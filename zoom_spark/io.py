@@ -1,0 +1,97 @@
+"""Source/sink layer (SURVEY.md §2.1 S5–S10, S12).
+
+The reference delegates table IO to pandas+SQLAlchemy
+(/root/reference/main.py:87-89, 66) — here every scan is a Spark
+reader (parquet primary; json/csv/jdbc exposed for parity) so that
+Catalyst column pruning and predicate pushdown reach the file format.
+
+Sinks re-express the reference's two load disciplines:
+  * full refresh / drop-then-load (/root/reference/main.py:38-46)
+      -> mode("overwrite") with overwriteSchema
+  * per-page append (/root/reference/main.py:66,113)
+      -> mode("append"); idempotent variant = dynamic partition
+         overwrite keyed by load partition (fixes the reference's
+         double-insert-on-retry hazard, SURVEY.md §1.5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table (S5). Predicate/column pushdown is
+    Catalyst's job — callers express filters declaratively."""
+    if name == "events":
+        # runtime-set so driver-built sessions (which lack the conf)
+        # can still read the nanos-timestamp parquet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as
+        # long (nanosAsLong). Truncate to micros — the same precision
+        # DuckDB's TIMESTAMP uses — so oracle comparisons line up.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """S6: expose every table as a temp view so spark.sql() queries
+    (S7 raw-SQL pushdown parity) can reference them by name."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """S10 catalog existence probe (/root/reference/main.py:36,76-78)."""
+    return spark.catalog.tableExists(name)
+
+
+def write_overwrite(df: DataFrame, path: str) -> None:
+    """S9 drop-then-load full refresh; schema reset comes free because
+    overwrite rewrites the footer (reference: main.py:38-46)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_append(df: DataFrame, path: str) -> None:
+    """S8 append sink (reference: main.py:66)."""
+    df.write.mode("append").parquet(path)
+
+
+def write_idempotent_partition(df: DataFrame, path: str, partition_col: str) -> None:
+    """Idempotent incremental sink: dynamic partition overwrite keyed by
+    the load partition column. A retried load rewrites its own
+    partition instead of double-appending (fixes SURVEY.md §1.5).
+    At 100 TB this is also the pruning axis: the watermark predicate
+    only touches the partitions it names."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1,0 +1,35 @@
+"""Gated query registry.
+
+Each module below implements operators from SURVEY.md §2 as
+(spark, sf_dir) -> DataFrame callables and registers them together
+with a DuckDB oracle SQL string (omitted only for genuinely
+non-SQL-expressible ops, which the driver checks rows-only).
+
+Aliasing rule: every computed column is aliased identically in the
+Spark plan and the oracle SQL — the driver sorts columns by name
+before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# Populate the registry (import order == SURVEY §7 phase order).
+from zoom_spark.queries import parity  # noqa: E402,F401
+from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401
