@@ -50,9 +50,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB's TIMESTAMP uses — so oracle comparisons line up.
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: float division loses precision above 2^53
+        # (epoch-nanos ≈ 1.7e18) and yields ±1µs errors
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

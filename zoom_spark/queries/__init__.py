@@ -32,4 +32,6 @@ def register(name: str, sql: str | None = None):
 
 # Populate the registry (import order == SURVEY §7 phase order).
 from zoom_spark.queries import parity  # noqa: E402,F401
+from zoom_spark.queries import analytics  # noqa: E402,F401
+from zoom_spark.queries import events_windows  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401

@@ -1,0 +1,120 @@
+"""Event-time window queries over the `events` table (SURVEY.md §2.9).
+
+Batch forms of tumbling / sliding / session windows — DuckDB-checkable
+via time_bucket and gaps-and-islands SQL. The Structured Streaming
+variants (withWatermark + the same window exprs) live in
+zoom_spark/streaming/ and are pytest-gated (the driver compare is
+batch-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+@register(
+    "tumbling_window_events",
+    sql="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — window() is epoch-aligned,
+    matching DuckDB's time_bucket."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_events",
+    sql="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM buckets
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in
+    two windows; oracle expands the assignment explicitly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_window_events",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_last_event,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30 min inactivity gap) per user. Spark's
+    session_window merges events whose windows overlap; the oracle is
+    the classic gaps-and-islands rewrite. Outputs min/max event time
+    (not the gap-padded window end) so both sides agree exactly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last_event"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last_event", "n_events")
+    )
