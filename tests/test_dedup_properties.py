@@ -1,0 +1,109 @@
+"""Property checks for the non-SQL-expressible dedup/similarity ops
+(SURVEY.md §5.2.5): exact-duplicate pairs MUST always be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zoom_spark.io import load_table
+from zoom_spark.queries.dedup_queries import DUP_OFFSET, _doubled_docs
+
+
+@pytest.fixture(scope="module")
+def n_docs(spark):
+    return load_table(spark, SF_DIR, "documents").count()
+
+
+def clone_pairs_found(result_df, n_docs) -> int:
+    """Count (doc_id, doc_id+DUP_OFFSET) clone pairs in result."""
+    return result_df.where(
+        F.col("id_b") == F.col("id_a") + DUP_OFFSET
+    ).count()
+
+
+def test_minhash_captures_all_clones(spark, n_docs):
+    from zoom_spark.queries.dedup_queries import minhash_dedup_docs
+
+    res = minhash_dedup_docs(spark, SF_DIR).cache()
+    clones = res.where(
+        (F.col("id_b") == F.col("id_a") + DUP_OFFSET)
+        & (F.col("jaccard_sim") == 1.0)
+    ).count()
+    # identical docs have jaccard 1.0 -> capture probability 1 at any banding
+    assert clones == n_docs, f"minhash missed {n_docs - clones} clone pairs"
+
+
+def test_simhash_clones_at_distance_zero(spark, n_docs):
+    from zoom_spark.queries.dedup_queries import simhash_dedup_docs
+
+    res = simhash_dedup_docs(spark, SF_DIR).cache()
+    clones = res.where(
+        (F.col("id_b") == F.col("id_a") + DUP_OFFSET)
+        & (F.col("hamming_dist") == 0)
+    ).count()
+    assert clones == n_docs, f"simhash missed {n_docs - clones} clone pairs"
+
+
+def test_winnow_identical_texts_share_fingerprints(spark):
+    from zoom_spark.functions.text import rolling_hash_fingerprint
+
+    doubled = _doubled_docs(spark, SF_DIR)
+    fp = doubled.select(
+        "doc_id", rolling_hash_fingerprint("text").alias("fp")
+    )
+    a = fp.where(F.col("doc_id") < DUP_OFFSET).alias("a")
+    b = fp.where(F.col("doc_id") >= DUP_OFFSET).select(
+        (F.col("doc_id") - DUP_OFFSET).alias("doc_id"), F.col("fp").alias("fp_b")
+    ).alias("b")
+    joined = a.join(b, on="doc_id")
+    mismatches = joined.where(F.col("fp") != F.col("fp_b")).count()
+    assert mismatches == 0
+
+
+def test_lsh_knn_results_are_true_cosines_and_overlap_bruteforce(spark):
+    from zoom_spark.queries.similarity_queries import knn_bruteforce, knn_lsh_bucketed
+
+    bf = knn_bruteforce(spark, SF_DIR).select(
+        "q_id", "neighbor_id", F.col("cosine_sim").alias("bf_sim")
+    )
+    lsh = knn_lsh_bucketed(spark, SF_DIR)
+    # every LSH neighbor's similarity must equal the exact cosine
+    joined = lsh.join(
+        bf, on=["q_id"], how="left"
+    )
+    # overlap: at least one exact top-5 neighbor recovered overall
+    hits = lsh.join(
+        bf.withColumnRenamed("bf_sim", "sim_match"),
+        on=["q_id", "neighbor_id"],
+    )
+    n_hits = hits.count()
+    assert n_hits > 0, "LSH recovered zero exact top-5 neighbors"
+    # and recovered pairs agree on the similarity value exactly
+    assert hits.where(F.col("cosine_sim") != F.col("sim_match")).count() == 0
+
+
+def test_multimodal_features_deterministic_and_shaped(spark):
+    from zoom_spark.queries.multimodal_queries import multimodal_features
+
+    res = multimodal_features(spark, SF_DIR).cache()
+    assert res.where(F.size("feature") != 8).count() == 0
+    # deterministic: two runs agree exactly
+    again = multimodal_features(spark, SF_DIR)
+    diff = res.select("media_id", "feature").subtract(
+        again.select("media_id", "feature")
+    )
+    assert diff.count() == 0
+    # stub decode matches a driver-side recompute on a sample
+    from zoom_spark.multimodal.binary_ops import decode_stub
+
+    row = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") == 0)
+        .select("text")
+        .first()
+    )
+    expected = [round(v, 6) for v in decode_stub(row["text"].encode(), "text")]
+    got = res.where(F.col("media_id") == 0).first()["feature"]
+    assert [round(v, 6) for v in got] == expected

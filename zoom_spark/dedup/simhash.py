@@ -1,0 +1,93 @@
+"""SimHash near-duplicate detection (X2 family).
+
+64-bit SimHash: each token hashes to 64 bits; per bit, sum +1/-1
+across tokens; the sign pattern is the signature. Near-dups =
+signatures within a small Hamming distance.
+
+Pure column expressions: the per-bit vote is an aggregate over the
+token-hash array with bit tests (shiftright & 1) — no UDF, so the
+pass is codegen'd and scales map-side. Hamming candidate search uses
+the standard block trick: split 64 bits into (k+1) blocks; any pair
+within Hamming distance k must agree exactly on >= 1 block -> join on
+(block_id, block_value), verify true distance on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.text import ws_tokens
+
+BITS = 64
+
+
+def simhash(text_col) -> "F.Column":
+    """64-bit SimHash of the lowercased whitespace tokens, as bigint."""
+    toks = F.transform(ws_tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+    # votes[i] = sum over tokens of (bit i set ? 1 : -1)
+    # fold into the signature bit-by-bit
+    # closure factory, NOT a default arg: pyspark infers lambda arity
+    # from the signature, so `lambda acc, h, i=i` would become a
+    # 3-variable lambda with `i` bound to a lambda-variable Column
+    def bit_vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for i in range(BITS):
+        vote = F.aggregate(toks, F.lit(0), bit_vote(i))
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def hamming(a, b) -> "F.Column":
+    """Popcount of XOR via bit_count (Spark >= 3.3 built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_blocks(df: DataFrame, text_col: str, id_col: str, *, max_distance: int = 3) -> DataFrame:
+    """(id, sig, block_id, block_val) rows; blocks = max_distance+1
+    16-bit slices of the signature."""
+    n_blocks = max_distance + 1
+    width = BITS // n_blocks
+    sigd = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("sig"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1).cast("long")
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    return sigd.select("id", "sig", F.posexplode(blocks).alias("block_id", "block_val"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Hamming(simhash) <= max_distance.
+    Exact under the pigeonhole block scheme (no false negatives)."""
+    blk = simhash_blocks(df, text_col, id_col, max_distance=max_distance)
+    a = blk.select("block_id", "block_val", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = blk.select("block_id", "block_val", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, on=["block_id", "block_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming_dist"),
+        )
+        .where(F.col("hamming_dist") <= max_distance)
+        .distinct()
+    )

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing (X5): image/audio/video as opaque
+binary columns + typed metadata, with decode/feature-extraction as
+Arrow-batched mapInPandas stages.
+
+The decode step is STUBBED (no image/audio libraries in this
+container): `decode_stub` produces a deterministic fake feature
+vector from the bytes; `decode_real` raises NotImplementedError with
+the integration point documented. The Spark-side plumbing — binary
+schema, partition sizing, UDF signature, Arrow batch shape — is real
+and tested; swapping the stub for PIL/ffmpeg is a one-function
+change.
+
+At 100 TB: binary payloads dominate partition size, so
+spark.sql.files.maxPartitionBytes (not row count) governs task
+sizing; metadata-only passes (hashing, size stats, dedup) must
+project away the blob column so the scan prunes it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("sha256_hex", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
+    """Wrap an arbitrary string/binary payload column as a typed media
+    table: opaque binary content + metadata (byte length, sha256).
+    Metadata is computed JVM-side so a metadata-only query never
+    deserializes the blob in Python."""
+    content = (
+        F.col(payload_col)
+        if dict(df.dtypes)[payload_col] == "binary"
+        else F.encode(F.col(payload_col), "UTF-8")
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(content).cast("long").alias("byte_len"),
+        F.lower(F.sha2(content, 256)).alias("sha256_hex"),
+    )
+
+
+def decode_stub(content: bytes, media_type: str, n_features: int = 8) -> list[float]:
+    """Deterministic fake decoder: n_features moments of the byte
+    stream. Stands in for image-resize / audio-frame-sample /
+    video-frame-extract until real codecs are wired in."""
+    if not content:
+        return [0.0] * n_features
+    step = max(1, len(content) // n_features)
+    return [
+        float(sum(content[i : i + step])) / (255.0 * step)
+        for i in range(0, step * n_features, step)
+    ]
+
+
+def decode_real(content: bytes, media_type: str) -> list[float]:
+    """Integration point for real decoders (PIL for image, soundfile
+    for audio, pyav for video). Not available in this container."""
+    raise NotImplementedError(
+        "real media decoding requires image/audio libraries not present "
+        "in this environment; use decode_stub (deterministic fake)"
+    )
+
+
+def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, batch shape =
+    (media_id, content, media_type, byte_len) -> FEATURE_SCHEMA rows.
+    Runs the stub decoder; the real decoder drops in per-row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_stub(bytes(c), mt, n_features)
+                for c, mt in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "content", "media_type", "byte_len").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )

@@ -34,4 +34,8 @@ def register(name: str, sql: str | None = None):
 from zoom_spark.queries import parity  # noqa: E402,F401
 from zoom_spark.queries import analytics  # noqa: E402,F401
 from zoom_spark.queries import events_windows  # noqa: E402,F401
+from zoom_spark.queries import text_analysis  # noqa: E402,F401
+from zoom_spark.queries import dedup_queries  # noqa: E402,F401
+from zoom_spark.queries import similarity_queries  # noqa: E402,F401
+from zoom_spark.queries import multimodal_queries  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401

@@ -1,0 +1,154 @@
+"""Dedup gated queries (X1/X2) over `documents` and `embeddings`.
+
+Exact dedup and n-gram Jaccard are oracle-checked; minhash/simhash
+use Spark-specific hashes (xxhash64) so they are rows-only here and
+property-tested in tests/test_dedup.py (exact-duplicate pairs MUST be
+found at any threshold — SURVEY.md §5.2.5).
+
+Duplicate construction: the driver corpus has no duplicate texts, so
+dedup queries run on corpus ∪ shifted-id corpus — every text then has
+exactly one duplicate, making expected outputs fully determined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.dedup.embedding import cosine_neardup_pairs
+from zoom_spark.dedup.exact import dedup_exact
+from zoom_spark.dedup.minhash import minhash_dedup_pairs
+from zoom_spark.dedup.ngram import ngram_jaccard_pairs
+from zoom_spark.dedup.simhash import simhash_dedup_pairs
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+DUP_OFFSET = 1_000_000
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + DUP_OFFSET)
+    return docs.unionByName(shifted)
+
+
+@register(
+    "dedup_exact_docs",
+    sql=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_OFFSET}, text FROM documents
+    )
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup: hash-groupBy on normalized-text fingerprint;
+    only the 16-byte fingerprint shuffles, never the document."""
+    return dedup_exact(_doubled_docs(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "ngram_jaccard_dups",
+    sql=rf"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_OFFSET}, lang, text FROM documents
+    ),
+    sh AS (
+      SELECT doc_id AS id, lang AS blk,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                          t -> t <> ''), t -> lower(t)) AS toks
+        FROM corpus
+      )
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                 THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(a.s || b.s))
+                 ELSE 0.0 END, 6) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+    WHERE round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(a.s || b.s))
+                ELSE 0.0 END, 6) >= 0.5
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact n-gram Jaccard near-dup pairs, language-blocked.
+    The doubled corpus guarantees every doc pairs with its clone at
+    jaccard 1.0; any organic near-dups also surface."""
+    return ngram_jaccard_pairs(
+        _doubled_docs(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        block_col="lang",
+        n=3,
+        threshold=0.5,
+    )
+
+
+@register("minhash_dedup_docs")  # Spark xxhash64 sketch: rows-only
+def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash+LSH banding (32 hashes, 8 bands × 4 rows) with exact
+    Jaccard verification of candidates. Property tests assert the
+    cloned pairs are always captured (s=1.0 -> capture prob 1)."""
+    return minhash_dedup_pairs(
+        _doubled_docs(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.8,
+    )
+
+
+@register("simhash_dedup_docs")  # Spark xxhash64 bits: rows-only
+def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash near-dup: 64-bit signatures, pigeonhole block join,
+    Hamming <= 3 verification; clones collide at distance 0."""
+    return simhash_dedup_pairs(
+        _doubled_docs(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        max_distance=3,
+    )
+
+
+@register(
+    "embedding_neardup",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)
+           AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding-cosine near-dup, label-blocked self-join; vectors
+    cast to double so both engines accumulate at the same precision."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return cosine_neardup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", block_col="label", threshold=0.4
+    )

@@ -1,0 +1,68 @@
+"""Similarity-search gated queries (X3) over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+from zoom_spark.similarity.knn import brute_force_topk, lsh_bucketed_topk
+
+N_QUERIES = 20
+EMBED_DIM = 64
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+@register(
+    "knn_bruteforce",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, n_id,
+             round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE q_id <> n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id AS neighbor_id, cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: exact top-5 cosine neighbors for the first
+    20 vectors — broadcast queries x corpus scan, JVM-side math."""
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, vec_col="embedding", id_col="vec_id", k=5)
+
+
+@register("knn_lsh_bucketed")  # approximate (recall<1): rows-only
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH bucketing — equi-join on
+    bucket instead of a full cross join. Property tests measure recall
+    overlap vs brute force."""
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return lsh_bucketed_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        dim=EMBED_DIM, k=5, n_planes=4,
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis gated queries over `documents` (X4, SURVEY.md §2.11).
+
+The oracle SQL re-implements each heuristic with DuckDB list/regex
+functions, so every scoring rule is pinned down exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.functions import text as T
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+@register(
+    "text_stats",
+    sql=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS INT) AS n_bpe_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(length(text)
+                      - length(regexp_replace(text,
+                          '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                      / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and punctuation
+    density — all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+@register(
+    "quality_scores",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text)
+                       - length(regexp_replace(text,
+                           '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS pr,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> ''), x -> lower(x)) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           round(least(1.0, n_tokens / 100.0) * (1.0 - pr), 6) AS quality,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> x IN
+                      ('the','a','an','and','or','of','to','in','is','it')))
+                      AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword heuristics — the
+    cheap pre-filter pass of a pretraining pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> ''), x -> lower(x)) AS t
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ('the','and','of','to','in')))  AS s_en,
+        len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(t, x -> x IN ('le','la','les','et','est')))  AS s_fr,
+        len(list_filter(t, x -> x IN ('el','la','los','y','es')))    AS s_es
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_pred
+    FROM scores
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/marker heuristic with deterministic argmax
+    tiebreak (en > de > fr > es)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_guess("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    sql=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via normalized-text md5 (portable
+    across engines; the winnowing rolling-hash variant is
+    rows-only: see winnow_fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_md5("text").alias("fp_md5"))
+
+
+@register("winnow_fingerprints")  # xxhash64 is Spark-specific: rows-only
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (sorted distinct
+    kept-hash arrays) — higher-order functions only, no UDF; property
+    tests assert identical texts share fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.rolling_hash_fingerprint("text").alias("fp_hashes"),
+    )

@@ -1,0 +1,108 @@
+"""Approximate / exact nearest-neighbor search over an embedding
+column (X3; PAPERS.md similarity-search background).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the corpus, rank per query with a window. One shuffle on
+query_id; the scoring pass is JVM-side zip_with/aggregate.
+
+Scale path: random-hyperplane LSH bucketing (IVF-style): corpus and
+queries hash to sign-bit buckets; search only within the query's
+bucket (optionally multi-probe neighboring buckets). Turns the
+O(N·Q) scan into O(Q·bucket_size) at some recall cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+    Deterministic: rank by (rounded sim desc, neighbor id asc)."""
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = F.broadcast(q).crossJoin(c).where(F.col("q_id") != F.col("n_id"))
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    return (
+        scored.select("q_id", F.col("n_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def _rp_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id from random-hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — avoids needing
+    numpy on executors; driver-side tiny)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane
+    bucket. Recall < 1 by design; property tests check overlap vs
+    brute force. Join is an equi-join on bucket — shuffle-partitioned,
+    no cross product."""
+    planes = make_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _rp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _rp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = q.join(c, on="bucket").where(F.col("q_id") != F.col("n_id"))
+    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("q_id", F.col("n_id").alias("neighbor_id"), sim.alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cosine_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
