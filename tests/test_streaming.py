@@ -1,0 +1,81 @@
+"""Structured Streaming parity tests: availableNow streaming runs
+must reproduce the batch results (SURVEY.md §2.9 / §5.2.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zoom_spark.io import load_table
+from zoom_spark.streaming.windows import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = tumbling_counts(read_events_stream(spark, SF_DIR))
+    got = run_to_memory(stream, "t_tumbling", output_mode="complete")
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert got.subtract(batch).count() == 0
+    assert batch.subtract(got).count() == 0
+
+
+def test_stream_sessions_match_batch(spark):
+    stream = session_counts(read_events_stream(spark, SF_DIR))
+    got = run_to_memory(stream, "t_sessions", output_mode="complete")
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    assert got.subtract(batch).count() == 0
+    assert batch.subtract(got).count() == 0
+
+
+def test_stream_dedup_drops_nothing_on_unique_keys(spark):
+    # event_id is unique in the source: dedup must be lossless
+    stream = dedup_within_watermark(read_events_stream(spark, SF_DIR))
+    got = run_to_memory(stream, "t_dedup", output_mode="append")
+    assert got.count() == load_table(spark, SF_DIR, "events").count()
+
+
+def test_stateful_running_profile(spark):
+    from zoom_spark.streaming.stateful import running_user_profile
+
+    stream = running_user_profile(read_events_stream(spark, SF_DIR))
+    got = run_to_memory(stream, "t_profile", output_mode="update")
+    # final state per user (last emitted row) must equal the batch agg
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    assert final.subtract(batch).count() == 0
+    assert batch.subtract(final).count() == 0

@@ -1,0 +1,125 @@
+"""Structured Streaming forms of the §2.9 incremental semantics.
+
+The reference's nightly batch re-run IS a hand-rolled stream: a
+watermark table, one day ingested per run, anti-join catch-up
+(SURVEY.md §2.9 table). Structured Streaming gives the same
+semantics natively:
+
+  * watermark column -> withWatermark (bounded state, late-data drop)
+  * one-day-per-run cadence -> micro-batch trigger
+  * anti-join dedup of already-loaded keys -> dropDuplicates within
+    watermark / idempotent sink
+
+Batch/stream parity: these transformations are the SAME DataFrame
+expressions used by the batch queries in
+zoom_spark/queries/events_windows.py — applied to a readStream
+source; tests assert the availableNow run reproduces the batch
+result exactly.
+
+At scale: state store size is bounded by (watermark horizon x key
+cardinality); shuffle partitions size the state store shards.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema under nanosAsLong (ts arrives as
+# bigint nanos; normalized to timestamp below)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table (one parquet = one
+    micro-batch by default); same ts normalization as the batch
+    loader (io.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # file stream sources take a directory; select the events
+        # parquet out of the shared sf dir with a glob
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window aggregate with watermark-bounded
+    state; identical expression shape to the batch
+    tumbling_window_events query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows (native session_window with
+    watermark state eviction)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-ish key dedup — the §2.9 analog of the
+    reference's anti-join 'already loaded?' check
+    (/root/reference/main.py:71-91)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute an availableNow pass into an in-memory table and return
+    the materialized result (test/dev harness; production sinks are
+    parquet/kafka with checkpointing)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
