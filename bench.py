@@ -21,12 +21,23 @@ from zoom_spark.session import get_spark  # noqa: E402
 
 # Queries that represent each operator family; grows with the registry.
 HEADLINE = [
-    "flagship_delta",
-    "groupby_multi_agg",
-    "join_enrich",
-    "union_pages_drift",
-    "date_functions",
-    "distinct_status",
+    "flagship_delta",          # anti-join incremental delta (J1)
+    "groupby_multi_agg",       # hash aggregate
+    "join_enrich",             # broadcast dim join
+    "union_pages_drift",       # unionByName w/ drift
+    "date_functions",          # scalar date fns
+    "distinct_status",         # distinct
+    "tpch_q1_pricing",         # scan-heavy multi-agg
+    "tpch_q3_shipping",        # 3-way join + top-k
+    "tpch_q5_local_revenue",   # 6-table join
+    "range_join_ship_lag",     # equi+range join
+    "latest_order_per_customer",  # window row_number
+    "tumbling_window_events",  # event-time window
+    "session_window_events",   # session window
+    "text_stats",              # text analysis pass
+    "dedup_exact_docs",        # exact dedup
+    "minhash_dedup_docs",      # MinHash LSH dedup
+    "knn_bruteforce",          # similarity search
 ]
 
 

@@ -1,0 +1,89 @@
+"""Physical-plan audit: assert the scale-critical plan properties
+hold for the headline queries (SURVEY.md §4; task directive
+".explain the plan and iterate").
+
+Checks per query:
+  * parquet scans carry PushedFilters when the query filters a base
+    column (predicate pushdown reached the source);
+  * ReadSchema is pruned (no scan reads all columns unless the query
+    needs them);
+  * dimension joins execute as BroadcastHashJoin;
+  * no CartesianProduct unless the query is an intentional cross
+    join;
+  * WholeStageCodegen covers the plan (Python-free hot path), except
+    for intentional Arrow/pandas stages.
+
+Usage: python scripts/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from zoom_spark.session import get_spark  # noqa: E402
+
+# query -> (expect_pushed_filter, expect_broadcast, allow_cartesian)
+EXPECTATIONS = {
+    # flagship/q1 join a 1-row scalar aggregate (threshold): that is a
+    # BroadcastNestedLoopJoin by design — broadcast side is 1 row
+    "flagship_delta": dict(pushed=False, broadcast=False, cartesian=True),
+    "filter_eq": dict(pushed=True, broadcast=False, cartesian=False),
+    "tpch_q1_pricing": dict(pushed=False, broadcast=False, cartesian=True),
+    "tpch_q3_shipping": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q5_local_revenue": dict(pushed=True, broadcast=True, cartesian=False),
+    "range_join_ship_lag": dict(pushed=False, broadcast=False, cartesian=False),
+    "join_enrich": dict(pushed=False, broadcast=True, cartesian=False),
+    "latest_order_per_customer": dict(pushed=False, broadcast=False, cartesian=False),
+    # knn is an intentional broadcast cross join (queries x corpus)
+    "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
+    "dedup_exact_docs": dict(pushed=False, broadcast=False, cartesian=False),
+    "minhash_dedup_docs": dict(pushed=False, broadcast=False, cartesian=False),
+}
+
+
+def audit(name: str, plan: str, exp: dict) -> list[str]:
+    problems = []
+    if exp["pushed"] and not re.search(r"PushedFilters: \[[^\]]", plan):
+        problems.append("no PushedFilters on any scan")
+    if exp["broadcast"] and "BroadcastHashJoin" not in plan:
+        problems.append("expected BroadcastHashJoin, none found")
+    if not exp["cartesian"] and (
+        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    ):
+        problems.append("unexpected cartesian/nested-loop join")
+    # column pruning: lineitem scans should never read all 11 columns
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(1).split(",") if c]
+        if len(cols) >= 11:
+            problems.append(f"unpruned scan ({len(cols)} cols)")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    qs = entry_mod.queries()
+    n_bad = 0
+    for name, exp in EXPECTATIONS.items():
+        import io
+        from contextlib import redirect_stdout
+
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        problems = audit(name, plan, exp)
+        status = "OK " if not problems else "BAD"
+        if problems:
+            n_bad += 1
+        print(f"[{status}] {name}: {problems if problems else 'plan as designed'}")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,25 +46,33 @@ def band_buckets(
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per document per band."""
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "sig"
-        ),
-    )
+
+    def perm(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    # Build band hashes directly from the per-permutation min-hash
+    # expressions so each is referenced EXACTLY once. Routing them
+    # through an intermediate signature-array column lets Catalyst's
+    # CollapseProject inline the whole 32-hash expression into every
+    # element_at() — a 32x duplication that turned this stage from
+    # ~1s into ~6min at sf0.1.
+    sh = shingles(F.col(text_col), shingle_n)
+    mh = [F.array_min(F.transform(sh, perm(i))) for i in range(num_hashes)]
     bands_arr = F.array(
         *[
             F.xxhash64(
-                F.concat_ws(",", *[
-                    F.element_at("sig", b * rows + r + 1).cast("string")
-                    for r in range(rows)
-                ]),
+                F.concat_ws(
+                    ",", *[mh[b * rows + r].cast("string") for r in range(rows)]
+                ),
                 F.lit(b),
             )
             for b in range(bands)
         ]
     )
-    return sig.select("id", F.posexplode(bands_arr).alias("band_id", "band_hash"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bands_arr).alias("band_id", "band_hash"),
+    )
 
 
 def minhash_candidate_pairs(

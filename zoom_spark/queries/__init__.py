@@ -38,4 +38,6 @@ from zoom_spark.queries import text_analysis  # noqa: E402,F401
 from zoom_spark.queries import dedup_queries  # noqa: E402,F401
 from zoom_spark.queries import similarity_queries  # noqa: E402,F401
 from zoom_spark.queries import multimodal_queries  # noqa: E402,F401
+from zoom_spark.queries import tpch_like  # noqa: E402,F401
+from zoom_spark.queries import scalar_breadth  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401
