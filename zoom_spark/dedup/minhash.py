@@ -22,17 +22,52 @@ from pyspark.sql import functions as F
 from zoom_spark.dedup.ngram import jaccard, shingles
 
 
-def minhash_signature(shingle_arr, num_hashes: int = 32):
-    """Array of `num_hashes` minhash values: min over shingles of
-    xxhash64(shingle, salt=i)."""
-    # closure factory, not a default arg: a 2-param lambda would make
-    # pyspark bind the 2nd param to the array-index lambda variable
-    def perm(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
+_LONG_MAX = (1 << 63) - 1
 
-    return F.array(
-        *[F.array_min(F.transform(shingle_arr, perm(i))) for i in range(num_hashes)]
+
+def minhash_signature(shingle_arr, num_hashes: int = 32):
+    """Array of `num_hashes` minhash values computed in a SINGLE pass
+    over the shingle array: fold each shingle's K salted xxhash64
+    values into a running elementwise minimum (zip_with + least).
+
+    The single-pass shape matters for plan size, not just row cost:
+    the naive ``array(*[array_min(transform(sh, hash_i)) ...])`` form
+    repeats the whole shingle-construction subtree K times, and once
+    CollapseProject inlines it further the optimizer+codegen spend
+    minutes on the expression tree (measured 152 s to plan+run 1000
+    rows at K=32). Here the shingle subtree appears exactly once.
+    """
+    def hashes(s):
+        return F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
+
+    zero = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
+    return F.aggregate(
+        shingle_arr,
+        zero,
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
     )
+
+
+def signature_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig: array<long>) with the signature MATERIALIZED behind a
+    round-robin exchange. The exchange is deliberate: it stops
+    CollapseProject from inlining the signature expression into every
+    downstream consumer (8 band hashes -> 8 copies of the tree). The
+    shuffled payload is only (id, K longs) per document — negligible
+    next to the band-bucket shuffle that follows at any scale."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def band_buckets(
@@ -46,33 +81,25 @@ def band_buckets(
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per document per band."""
     rows = num_hashes // bands
-
-    def perm(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    # Build band hashes directly from the per-permutation min-hash
-    # expressions so each is referenced EXACTLY once. Routing them
-    # through an intermediate signature-array column lets Catalyst's
-    # CollapseProject inline the whole 32-hash expression into every
-    # element_at() — a 32x duplication that turned this stage from
-    # ~1s into ~6min at sf0.1.
-    sh = shingles(F.col(text_col), shingle_n)
-    mh = [F.array_min(F.transform(sh, perm(i))) for i in range(num_hashes)]
+    sig = signature_df(
+        df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
+    )
     bands_arr = F.array(
         *[
             F.xxhash64(
                 F.concat_ws(
-                    ",", *[mh[b * rows + r].cast("string") for r in range(rows)]
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
                 ),
                 F.lit(b),
             )
             for b in range(bands)
         ]
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(bands_arr).alias("band_id", "band_hash"),
-    )
+    return sig.select("id", F.posexplode(bands_arr).alias("band_id", "band_hash"))
 
 
 def minhash_candidate_pairs(

@@ -23,27 +23,46 @@ BITS = 64
 
 
 def simhash(text_col) -> "F.Column":
-    """64-bit SimHash of the lowercased whitespace tokens, as bigint."""
-    toks = F.transform(ws_tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
-    # votes[i] = sum over tokens of (bit i set ? 1 : -1)
-    # fold into the signature bit-by-bit
-    # closure factory, NOT a default arg: pyspark infers lambda arity
-    # from the signature, so `lambda acc, h, i=i` would become a
-    # 3-variable lambda with `i` bound to a lambda-variable Column
-    def bit_vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    """64-bit SimHash of the lowercased whitespace tokens, as bigint.
 
-    sig = F.lit(0).cast("long")
-    for i in range(BITS):
-        vote = F.aggregate(toks, F.lit(0), bit_vote(i))
-        sig = sig.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+    Single pass over the tokens: fold each token hash's 64-bit
+    +1/-1 vote vector into a running array of counters (zip_with),
+    then combine the vote signs with a precomputed power-of-two
+    array. The one-aggregate shape keeps the token subtree out of
+    the plan 64 times over — the bit-by-bit form (64 F.aggregate
+    calls) made Catalyst planning/codegen the dominant cost (same
+    pathology as minhash.minhash_signature, which see)."""
+    toks = F.transform(ws_tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+
+    def bitvec(h):
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(BITS)
+            ]
         )
-    return sig
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), BITS),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b),
+    )
+    # powers[i] = 1 << i as signed long (bit 63 == long MIN_VALUE)
+    powers = F.array(
+        *[
+            F.lit((1 << i) if i < BITS - 1 else -(1 << (BITS - 1))).cast("long")
+            for i in range(BITS)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
 
 
 def hamming(a, b) -> "F.Column":
@@ -56,7 +75,12 @@ def simhash_blocks(df: DataFrame, text_col: str, id_col: str, *, max_distance: i
     16-bit slices of the signature."""
     n_blocks = max_distance + 1
     width = BITS // n_blocks
-    sigd = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    # Exchange barrier: materialize (id, sig) so CollapseProject
+    # cannot inline the simhash expression into each block slice
+    # (see minhash.signature_df for the rationale).
+    sigd = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     blocks = F.array(
         *[
             F.shiftright(F.col("sig"), b * width).bitwiseAND(
