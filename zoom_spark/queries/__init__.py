@@ -40,4 +40,6 @@ from zoom_spark.queries import similarity_queries  # noqa: E402,F401
 from zoom_spark.queries import multimodal_queries  # noqa: E402,F401
 from zoom_spark.queries import tpch_like  # noqa: E402,F401
 from zoom_spark.queries import scalar_breadth  # noqa: E402,F401
+from zoom_spark.queries import subqueries  # noqa: E402,F401
+from zoom_spark.queries import agg_breadth  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401

@@ -1,0 +1,204 @@
+"""Aggregate / scalar / window breadth (SURVEY.md §2.4-§2.6, §2.8
+'Absent' rows): statistical aggregates, ordered collect_list,
+string_agg, math and map scalar families, and window frames
+(dense_rank / ntile / first-last / RANGE frame).
+
+All partial+final HashAggregate / single-shuffle shapes — nothing
+here adds a second exchange beyond the groupBy/window key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+@register(
+    "stats_aggregates",
+    sql="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS qty_stddev,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/corr/covar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "collect_sorted_lines",
+    sql="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',')
+             AS flags_csv
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY l_orderkey
+    """,
+)
+def collect_sorted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set with deterministic post-sort (raw
+    collect order is partition-dependent, so every use at scale must
+    sort or treat as bag — the query bakes that discipline in)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.array_sort(F.collect_set("l_returnflag")), ","
+        ).alias("flags_csv"),
+    )
+
+
+@register(
+    "math_functions",
+    sql="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000.0) AS price_dev,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+           round(ln(p_retailprice), 6) AS price_ln,
+           round(log10(p_retailprice), 6) AS price_log10,
+           p_size % 7 AS size_mod7,
+           CAST(sign(p_retailprice - 1000.0) AS INT) AS dev_sign
+    FROM part
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family: abs/ceil/floor/sqrt/pow/ln/log10/mod/sign."""
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.abs(price - 1000.0).alias("price_dev"),
+        F.ceil(price).alias("price_ceil"),
+        F.floor(price).alias("price_floor"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2.0), 1).alias("size_sq"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.signum(price - 1000.0).cast("int").alias("dev_sign"),
+    )
+
+
+@register(
+    "map_functions",
+    sql="""
+    WITH t AS (
+      SELECT s_suppkey,
+             MAP(['nation', 'balance'],
+                 [CAST(s_nationkey AS VARCHAR), CAST(round(s_acctbal, 2) AS VARCHAR)])
+               AS m
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(cardinality(m) AS INT) AS m_size,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
+           m['nation'][1] AS nation_val
+    FROM t
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar family: construction, cardinality, keys, lookup.
+    Map columns never cross the comparison boundary (engines disagree
+    on map ordering/hashing) — only scalars derived from them."""
+    s = load_table(spark, sf_dir, "supplier")
+    m = F.create_map(
+        F.lit("nation"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("balance"),
+        F.round(F.col("s_acctbal"), 2).cast("string"),
+    )
+    return s.select(
+        "s_suppkey",
+        F.size(m).alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "nation").alias("nation_val"),
+    )
+
+
+@register(
+    "window_frames",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_rank,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS pair_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth: dense_rank, ntile, first_value, and an explicit
+    ROWS frame — one shuffle on the partition key serves all four."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    frame = w.rowsBetween(-1, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).cast("bigint").alias("price_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("pair_sum"),
+    )
+
+
+@register(
+    "range_frame_rolling_revenue",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(o_totalprice) AS day_rev
+      FROM orders GROUP BY 1
+    )
+    SELECT d, round(day_rev, 2) AS day_rev,
+           round(sum(day_rev) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                              AND CURRENT ROW), 2) AS rev_7d
+    FROM daily
+    """,
+)
+def range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: 7-day rolling revenue. Spark's
+    rangeBetween needs a numeric orderBy, so the frame runs over epoch
+    days — value-identical to the oracle's INTERVAL frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+        .withColumn("d_num", F.unix_date(F.col("d")))
+    )
+    w = Window.orderBy("d_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "d",
+        F.round("day_rev", 2).alias("day_rev"),
+        F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
+    )
