@@ -1,0 +1,105 @@
+"""S12 format breadth: csv/json round-trips preserve data under an
+explicit schema; sink disciplines (overwrite / append / idempotent
+dynamic-partition-overwrite) behave per SURVEY.md §2.1 S8/S9 and fix
+the §1.5 double-insert hazard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zoom_spark.io import (
+    load_table,
+    read_csv,
+    read_json,
+    write_append,
+    write_csv,
+    write_idempotent_partition,
+    write_json,
+    write_overwrite,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sample(spark):
+    return load_table(spark, SF_DIR, "supplier").orderBy("s_suppkey")
+
+
+def _collected(df):
+    return [tuple(r) for r in df.orderBy("s_suppkey").collect()]
+
+
+def test_csv_round_trip(spark, tmp_path):
+    src = _sample(spark)
+    path = str(tmp_path / "supplier_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    assert _collected(back) == _collected(src)
+
+
+def test_json_round_trip(spark, tmp_path):
+    src = _sample(spark)
+    path = str(tmp_path / "supplier_json")
+    write_json(src, path)
+    back = read_json(spark, path, schema=src.schema)
+    assert _collected(back) == _collected(src)
+
+
+def test_csv_inference_without_schema(spark, tmp_path):
+    src = _sample(spark)
+    path = str(tmp_path / "supplier_csv2")
+    write_csv(src, path)
+    back = read_csv(spark, path)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+
+
+def test_overwrite_resets_append_accumulates(spark, tmp_path):
+    src = _sample(spark)
+    path = str(tmp_path / "sink")
+    n = src.count()
+    write_overwrite(src, path)
+    write_append(src, path)
+    assert spark.read.parquet(path).count() == 2 * n
+    write_overwrite(src, path)
+    assert spark.read.parquet(path).count() == n
+
+
+def test_idempotent_partition_overwrite_under_retry(spark, tmp_path):
+    """A retried load of the same partition must not double-insert
+    (the reference's §1.5 hazard: retry re-appends committed pages)."""
+    src = _sample(spark).withColumn(
+        "load_date", F.lit("2026-01-01")
+    )
+    path = str(tmp_path / "inc_sink")
+    n = src.count()
+    write_idempotent_partition(src, path, "load_date")
+    # simulate tenacity retry re-running the same load
+    write_idempotent_partition(src, path, "load_date")
+    assert spark.read.parquet(path).count() == n
+    # a different load date lands alongside, not over, the first
+    nxt = src.withColumn("load_date", F.lit("2026-01-02"))
+    write_idempotent_partition(nxt, path, "load_date")
+    assert spark.read.parquet(path).count() == 2 * n
+
+
+def test_jdbc_reader_constructs(spark):
+    """No JDBC driver in the container: assert the reader is built
+    with partitioned-scan options without triggering a connection."""
+    from zoom_spark.io import read_jdbc
+
+    try:
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost:5/nope",
+            "t",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=100,
+            num_partitions=4,
+        )
+    except Exception as e:  # noqa: BLE001
+        # connection/driver failure is expected; option-plumbing errors
+        # (IllegalArgument on bounds) are not
+        assert "IllegalArgument" not in type(e).__name__

@@ -83,6 +83,72 @@ def write_append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema=None, **options
+) -> DataFrame:
+    """S12 CSV source. Schema-first (TESTDATA types are lossy through
+    CSV inference); header on unless overridden. PERMISSIVE mode keeps
+    malformed rows as nulls (S15 domain-error-skip analog)."""
+    reader = spark.read.options(header="true", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema=None, **options
+) -> DataFrame:
+    """S12 JSON-lines source — the landed-page format of the S1/S2
+    paginated fetchers (each API page -> one JSON-lines file)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    **options,
+) -> DataFrame:
+    """S12 JDBC source — parity with the reference's MSSQL/PostgreSQL/
+    SQLite backends (/root/reference/config.py:68-86). When the
+    partition bounds are given the scan parallelizes across
+    num_partitions range slices; otherwise it is a single-connection
+    scan (fine for dims, wrong for facts at scale). No JDBC driver
+    ships in this container, so this is covered by construction tests
+    only."""
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def write_idempotent_partition(df: DataFrame, path: str, partition_col: str) -> None:
     """Idempotent incremental sink: dynamic partition overwrite keyed by
     the load partition column. A retried load rewrites its own
