@@ -107,3 +107,41 @@ def test_multimodal_features_deterministic_and_shaped(spark):
     expected = [round(v, 6) for v in decode_stub(row["text"].encode(), "text")]
     got = res.where(F.col("media_id") == 0).first()["feature"]
     assert [round(v, 6) for v in got] == expected
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Probing every cell is exhaustive: IVF(n_probe == n_centroids)
+    must reproduce brute force exactly (same pairs, sims, ranks)."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.queries.similarity_queries import _emb_double, N_QUERIES
+    from zoom_spark.similarity.ivf import ivf_topk
+    from zoom_spark.similarity.knn import brute_force_topk
+
+    emb = _emb_double(spark, SF_DIR)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    bf = brute_force_topk(emb, queries, vec_col="embedding", id_col="vec_id", k=5)
+    full = ivf_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        k=5, n_centroids=8, n_probe=8,
+    )
+    assert full.subtract(bf).count() == 0
+    assert bf.subtract(full).count() == 0
+
+
+def test_ivf_partial_probe_recall(spark):
+    """With n_probe < n_centroids, recall@5 should still be
+    substantial, and every returned similarity must be a true cosine
+    (verified against the brute-force join)."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.queries.similarity_queries import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(spark, SF_DIR).select(
+        "q_id", "neighbor_id", F.col("cosine_sim").alias("bf_sim")
+    )
+    ivf = knn_ivf(spark, SF_DIR).cache()
+    hits = ivf.join(bf, on=["q_id", "neighbor_id"])
+    recall = hits.count() / bf.count()
+    assert recall >= 0.3, f"IVF recall@5 too low: {recall:.2f}"
+    assert hits.where(F.col("cosine_sim") != F.col("bf_sim")).count() == 0

@@ -66,3 +66,18 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, vec_col="embedding", id_col="vec_id",
         dim=EMBED_DIM, k=5, n_planes=4,
     )
+
+
+@register("knn_ivf")  # approximate (recall<1): rows-only
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF-flat — coarse-quantizer cells, map-side
+    corpus assignment, n_probe nearest cells per query. Property
+    tests: n_probe==n_centroids reproduces brute force exactly."""
+    from zoom_spark.similarity.ivf import ivf_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        k=5, n_centroids=8, n_probe=3,
+    )

@@ -1,0 +1,129 @@
+"""IVF-flat approximate nearest-neighbor search (X3 scale path #2,
+alongside the random-hyperplane LSH in knn.py).
+
+Classic inverted-file design (PAPERS.md similarity-search
+literature): a small coarse quantizer (C centroids) partitions the
+corpus into cells; each query probes only its `n_probe` nearest
+cells. The O(N·Q) scan becomes O(Q · n_probe/C · N).
+
+Spark mapping, scale-first:
+  * centroids are a MODEL ARTIFACT (C · dim floats) — fitted from a
+    deterministic hash-ordered sample and embedded as literal arrays,
+    exactly like broadcasting ML model weights. C is tiny (<=256);
+    nothing data-sized ever reaches the driver.
+  * corpus cell assignment is a pure map-side projection (argmax over
+    the C-wide similarity array) — NO shuffle to build the index.
+  * the probe join is an equi-join on cell id; at warehouse scale the
+    corpus would be bucket-stored by cell so the join co-locates.
+  * recall property: probing ALL cells is exhaustive — IVF with
+    n_probe == n_centroids must equal brute force exactly (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.vectors import cosine
+
+
+def sample_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the n_centroids corpus vectors
+    with the smallest xxhash64(id) — a reproducible pseudo-random
+    sample taken with a distributed top-k (TakeOrderedAndProject),
+    never a global sort."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _sims_to_centroids(vec_col, centroids: list[list[float]]):
+    """C-wide array of cosine similarities to each (literal) centroid."""
+    return F.array(
+        *[
+            cosine(vec_col, F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def assign_cells(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, vec, cell) — argmax over the similarity array, map-side
+    only. Ties break to the lowest cell index (array_position finds
+    the first occurrence)."""
+    sims = _sims_to_centroids(F.col(vec_col), centroids)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+    )
+
+
+def probe_cells(
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """(q_id, q_vec, cell) — one row per probed cell: the n_probe
+    most-similar centroids per query, via sort of the zipped
+    (neg-sim, index) structs (array-local, no shuffle)."""
+    sims = _sims_to_centroids(F.col(vec_col), centroids)
+    order = F.array_sort(
+        F.zip_with(
+            sims,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
+        )
+    )
+    probes = F.slice(F.transform(order, lambda x: x["idx"]), 1, n_probe)
+    return queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("cell"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors in the query's probed
+    cells. Output matches brute_force_topk's schema; deterministic
+    rank by (rounded sim desc, neighbor id)."""
+    centroids = sample_centroids(corpus, vec_col, id_col, n_centroids)
+    cells = assign_cells(corpus, vec_col, id_col, centroids)
+    probes = probe_cells(queries, vec_col, id_col, centroids, n_probe)
+    scored = probes.join(cells, on="cell").where(F.col("q_id") != F.col("id"))
+    sim = F.round(cosine(F.col("q_vec"), F.col("vec")), 6)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "q_id", F.col("id").alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
