@@ -145,3 +145,24 @@ def test_ivf_partial_probe_recall(spark):
     recall = hits.count() / bf.count()
     assert recall >= 0.3, f"IVF recall@5 too low: {recall:.2f}"
     assert hits.where(F.col("cosine_sim") != F.col("bf_sim")).count() == 0
+
+
+def test_connected_components_merges_chains(spark):
+    """Transitivity: a-b, b-c, c-d collapse to one component rooted at
+    the minimum id; disjoint pairs stay separate; singletons absent
+    from pairs keep their own id via canonical_ids."""
+    from zoom_spark.dedup.components import canonical_ids, connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 99]], ["id"])
+    canon = {
+        r["id"]: r["canonical_id"]
+        for r in canonical_ids(ids, pairs, id_col="id").collect()
+    }
+    assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 99: 99}

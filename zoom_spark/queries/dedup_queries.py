@@ -114,6 +114,43 @@ def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "canonical_doc_ids",
+    sql=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_OFFSET}, text FROM documents
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           ) AS canonical_id
+    FROM corpus
+    """,
+)
+def canonical_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 transitive closure: exact-duplicate pairs -> connected
+    components -> canonical id per document. The oracle expresses the
+    same grouping directly via the fingerprint partition (valid
+    because exact-dup components ARE fingerprint groups); the Spark
+    side runs the real iterative min-label propagation so the gated
+    query exercises the distributed algorithm end-to-end."""
+    from zoom_spark.dedup.components import canonical_ids
+    from zoom_spark.functions.text import fingerprint_md5
+
+    docs = _doubled_docs(spark, sf_dir)
+    fp = docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, on="fp").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    return canonical_ids(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select("doc_id", "canonical_id")
+
+
 @register("simhash_dedup_docs")  # Spark xxhash64 bits: rows-only
 def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 SimHash near-dup: 64-bit signatures, pigeonhole block join,
