@@ -38,6 +38,10 @@ HEADLINE = [
     "dedup_exact_docs",        # exact dedup
     "minhash_dedup_docs",      # MinHash LSH dedup
     "knn_bruteforce",          # similarity search
+    "knn_ivf",                 # IVF-flat ANN
+    "canonical_doc_ids",       # iterative connected components
+    "window_frames",           # multi-function window pass
+    "exists_heavy_lineitem",   # decorrelated subquery
 ]
 
 

@@ -42,6 +42,20 @@ EXPECTATIONS = {
     "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
     "dedup_exact_docs": dict(pushed=False, broadcast=False, cartesian=False),
     "minhash_dedup_docs": dict(pushed=False, broadcast=False, cartesian=False),
+    # EXISTS decorrelates to a broadcast left-semi; the quantity filter
+    # must reach the lineitem scan
+    "exists_heavy_lineitem": dict(pushed=True, broadcast=True, cartesian=False),
+    "in_subquery_parts": dict(pushed=True, broadcast=True, cartesian=False),
+    "correlated_scalar_vs_cust_avg": dict(pushed=False, broadcast=True, cartesian=False),
+    "not_exists_quiet_customers": dict(pushed=True, broadcast=True, cartesian=False),
+    "stats_aggregates": dict(pushed=False, broadcast=False, cartesian=False),
+    "window_frames": dict(pushed=False, broadcast=False, cartesian=False),
+    "range_frame_rolling_revenue": dict(pushed=False, broadcast=False, cartesian=False),
+    "collect_sorted_lines": dict(pushed=True, broadcast=False, cartesian=False),
+    "canonical_doc_ids": dict(pushed=False, broadcast=False, cartesian=False),
+    "knn_ivf": dict(pushed=True, broadcast=True, cartesian=False),
+    "simhash_dedup_docs": dict(pushed=False, broadcast=False, cartesian=False),
+    "ngram_jaccard_dups": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

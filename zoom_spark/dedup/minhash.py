@@ -141,10 +141,14 @@ def minhash_dedup_pairs(
         df, text_col, id_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
     )
+    # Same exchange-barrier trick as signature_df: both verification
+    # join sides (sh_a / sh_b) rename columns AFTER the repartition,
+    # so the underlying shuffle subtrees are identical and Spark's
+    # ReuseExchange computes the shingle projection once, not twice.
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")

@@ -17,14 +17,28 @@ from zoom_spark.functions.text import ws_tokens
 
 def shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles of the lowercased token stream.
-    Sliding word-window via sequence+transform (no UDF)."""
-    toks = F.transform(ws_tokens(text_col), lambda t: F.lower(t))
+
+    Sliding window via a zip_with fold over shifted copies of the
+    token array: gram[i] = toks[i] + " " + toks[i+1] + ... — two
+    string concats per position instead of a per-position
+    slice+concat_ws (which allocated an n-element array per shingle
+    and measured ~5.4 s of a 7.9 s MinHash pass at sf0.1). Lowercase
+    is applied to the whole string once, not per token (identical
+    tokens: lowercasing never creates or removes whitespace).
+
+    zip_with pads the shorter side with nulls and concat_ws skips
+    nulls, so positions past n_tok-n+1 hold partial grams — the final
+    slice drops them (docs with fewer than n tokens yield an empty
+    array, matching the oracle's generate_series upper bound)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = ws_tokens(F.lower(c))
     n_tok = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(-1)))
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(gram)
+    gram = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(n_tok - k, F.lit(0)))
+        gram = F.zip_with(gram, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(gram, 1, F.greatest(n_tok - (n - 1), F.lit(0)))
+    return F.array_distinct(full)
 
 
 def jaccard(a, b):
