@@ -103,3 +103,19 @@ def test_jdbc_reader_constructs(spark):
         # connection/driver failure is expected; option-plumbing errors
         # (IllegalArgument on bounds) are not
         assert "IllegalArgument" not in type(e).__name__
+
+
+def test_elapsed_decorator_logs_and_passes_through(caplog):
+    import logging
+
+    from zoom_spark.timing import elapsed, format_elapsed
+
+    @elapsed
+    def add(a, b):
+        return a + b
+
+    with caplog.at_level(logging.INFO, logger="zoom_spark.timing"):
+        assert add(2, 3) == 5
+    assert any("add completed in" in r.message for r in caplog.records)
+    assert format_elapsed(1.5) == "1.50 seconds"
+    assert format_elapsed(61.5) == "1 minutes 1.50 seconds"

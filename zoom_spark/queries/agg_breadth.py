@@ -142,6 +142,32 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_prices",
+    sql="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (linear interpolation — value-identical to the
+    oracle's quantile_cont) and min_by/max_by argmin aggregates. The
+    exact form needs a per-group sort; percentile_approx (t-digest,
+    one pass, mergeable) is the 100 TB default but is algorithm-
+    specific so it can't be oracle-hashed."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+    )
+
+
+@register(
     "window_frames",
     sql="""
     SELECT o_orderkey, o_custkey,
