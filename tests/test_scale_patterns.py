@@ -1,0 +1,95 @@
+"""Scale-pattern operators: salted skew joins must be result-identical
+to plain joins while widening the key space, and bucketed tables must
+join without a shuffle (SURVEY.md §4.3; pyspark_guide bucketing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zoom_spark.io import load_table
+from zoom_spark.operators.skew import salted_join
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    dim = pt.withColumnRenamed("p_partkey", "l_partkey")
+
+    plain = li.join(dim, on="l_partkey").groupBy("p_brand").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+    salted = salted_join(li, dim, on="l_partkey", n_salts=8).groupBy(
+        "p_brand"
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    assert salted.subtract(plain).count() == 0
+    assert plain.subtract(salted).count() == 0
+
+
+def test_salted_join_outer_preserves_unmatched(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "av"])
+    b = spark.createDataFrame([(1, "p"), (9, "q")], ["k", "bv"])
+    got = {
+        (r["k"], r["av"], r["bv"])
+        for r in salted_join(a, b, on="k", n_salts=4, how="left").collect()
+    }
+    assert got == {(1, "x", "p"), (2, "y", None), (3, "z", None)}
+
+
+def test_salt_spreads_hot_key(spark):
+    from zoom_spark.operators.skew import SALT_COL, salt_fact
+
+    hot = spark.range(0, 10000).select(
+        F.lit(42).alias("k"), F.col("id").alias("payload")
+    )
+    n_salts = (
+        salt_fact(hot, 8).select(SALT_COL).distinct().count()
+    )
+    assert n_salts == 8, "hot key not spread across all salt values"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed-by-key tables sort-merge join without an Exchange —
+    the co-located-join layout for repeated fact-fact joins at scale."""
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    for name, df, key in [
+        ("t_orders_b", o, "o_orderkey"),
+        ("t_lineitem_b", li, "l_orderkey"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    # sf0.001 tables fit the broadcast threshold; disable it so the
+    # join takes the sort-merge path bucketing is designed for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_linenumber", "o_totalprice"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffled"
+        # and the join is correct
+        expected = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
