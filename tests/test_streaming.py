@@ -79,3 +79,40 @@ def test_stateful_running_profile(spark):
     )
     assert final.subtract(batch).count() == 0
     assert batch.subtract(final).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from zoom_spark.streaming.windows import stream_stream_join
+
+    left = read_events_stream(spark, SF_DIR)
+    right = read_events_stream(spark, SF_DIR)
+    got = run_to_memory(
+        stream_stream_join(left, right), "t_ssjoin", output_mode="append"
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    l = ev.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = (
+        l.join(
+            r,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes"))
+            & (F.col("l_event") != F.col("r_event")),
+        )
+        .select(
+            F.col("l_user").alias("user_id"), "l_event", "r_event", "l_ts", "r_ts"
+        )
+    )
+    assert got.count() > 0
+    assert got.subtract(batch).count() == 0
+    assert batch.subtract(got).count() == 0

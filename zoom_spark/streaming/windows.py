@@ -108,6 +108,46 @@ def dedup_within_watermark(events: DataFrame, *, watermark: str = "1 hour") -> D
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each 'click'-side event matched to
+    same-user 'view'-side events within [0, max_lag] after it. Both
+    sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict state for rows past the horizon —
+    the required shape for an unbounded stream-stream join (state is
+    otherwise infinite)."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("l_event") != F.col("r_event"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_user").alias("user_id"), "l_event", "r_event", "l_ts", "r_ts"
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
