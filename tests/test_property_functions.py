@@ -1,0 +1,159 @@
+"""Hypothesis property tests: the column-expression implementations
+must agree with straightforward Python reference implementations on
+random inputs (SURVEY.md §5.2.4 — unit tests beyond the oracle gate).
+
+Each example batches all generated rows into ONE DataFrame so a
+hypothesis example costs one Spark job, not one per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish text with plenty of whitespace variety
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ012 .,!\t\n") + ["é", "ß"]
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in re.split(r"\s+", s.strip()) if t != ""]
+
+
+def _py_shingles(s: str, n: int = 3) -> list[str]:
+    toks = _py_tokens(s.lower())
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_shingles_match_python_reference(spark, rows):
+    from zoom_spark.dedup.ngram import shingles
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], ["i", "t"])
+    got = {
+        r["i"]: list(r["sh"])
+        for r in df.select("i", shingles(F.col("t"), 3).alias("sh")).collect()
+    }
+    for i, s in enumerate(rows):
+        assert got[i] == _py_shingles(s, 3), f"mismatch on {s!r}"
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_token_counts_match_python_reference(spark, rows):
+    from zoom_spark.functions.text import token_count, ws_tokens
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], ["i", "t"])
+    got = {
+        r["i"]: (list(r["toks"]), r["n"])
+        for r in df.select(
+            "i",
+            ws_tokens("t").alias("toks"),
+            token_count("t").alias("n"),
+        ).collect()
+    }
+    for i, s in enumerate(rows):
+        exp = _py_tokens(s)
+        assert got[i] == (exp, len(exp)), f"mismatch on {s!r}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcde"), max_size=8),
+            st.lists(st.sampled_from("abcde"), max_size=8),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_jaccard_matches_set_definition(spark, pairs):
+    from zoom_spark.dedup.ngram import jaccard
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<string>, b array<string>",
+    )
+    got = {
+        r["i"]: r["j"]
+        for r in df.select(
+            "i",
+            F.round(
+                jaccard(F.array_distinct("a"), F.array_distinct("b")), 6
+            ).alias("j"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = set(a), set(b)
+        exp = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert abs(got[i] - round(exp, 6)) < 1e-9
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_simhash_identical_texts_distance_zero(spark, rows):
+    from zoom_spark.dedup.simhash import hamming, simhash
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], ["i", "t"])
+    sigs = df.select(
+        "i",
+        simhash(F.col("t")).alias("s1"),
+        simhash(F.col("t")).alias("s2"),
+    )
+    bad = sigs.where(hamming(F.col("s1"), F.col("s2")) != 0).count()
+    assert bad == 0
+
+
+@given(
+    st.lists(st.text(alphabet="abc xyz", max_size=40), min_size=1, max_size=20),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(**SETTINGS)
+def test_conform_schema_contract(spark, rows, extra_cols):
+    """conform_schema must emit exactly the contract columns in order,
+    null-filling missing ones, regardless of input column drift
+    (reference reindex semantics, /root/reference/main.py:65)."""
+    from zoom_spark.operators.conform import conform_schema
+
+    df = spark.createDataFrame([(s,) for s in rows], ["a"])
+    for i in range(extra_cols):
+        df = df.withColumn(f"x{i}", F.lit(i))
+    contract = [
+        ("a", "string"),
+        ("missing1", "int"),
+        ("x0", "long"),
+        ("missing2", "string"),
+    ]
+    out = conform_schema(df, contract)
+    assert out.columns == [n for n, _ in contract]
+    first = out.first()
+    assert first["missing1"] is None and first["missing2"] is None
+    if extra_cols == 0:
+        # x0 absent from the input -> typed NULL
+        assert first["x0"] is None
