@@ -138,6 +138,68 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint_md5("text").alias("fp_md5"))
 
 
+@register(
+    "docs_pipeline_clean",
+    sql=r"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text)
+                       - length(regexp_replace(text,
+                           '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS pr
+      FROM documents
+    ),
+    quality AS (
+      SELECT *, round(least(1.0, n_tokens / 100.0) * (1.0 - pr), 6) AS q
+      FROM scored
+    ),
+    kept AS (
+      SELECT * FROM quality
+      WHERE q >= 0.5
+        AND doc_id = (SELECT min(doc_id) FROM quality q2 WHERE q2.fp = quality.fp)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(q), 6) AS avg_quality
+    FROM kept GROUP BY source
+    """,
+)
+def docs_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline (the composed form a
+    pretraining data pass takes): quality-score filter -> exact-dedup
+    keep-first -> per-source stats. One window shuffle on fingerprint
+    + one aggregate shuffle on source; the text column never shuffles
+    past the scoring projection."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.fingerprint_md5("text").alias("fp"),
+        T.token_count("text").cast("double").alias("n_tokens"),
+        T.quality_score("text").alias("q"),
+    )
+    kept = (
+        scored.where(F.col("q") >= 0.5)
+        .withColumn(
+            "canon", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .where(F.col("doc_id") == F.col("canon"))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
 @register("winnow_fingerprints")  # xxhash64 is Spark-specific: rows-only
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprints (sorted distinct
