@@ -42,6 +42,7 @@ HEADLINE = [
     "canonical_doc_ids",       # iterative connected components
     "window_frames",           # multi-function window pass
     "exists_heavy_lineitem",   # decorrelated subquery
+    "docs_pipeline_clean",     # composed corpus-cleaning pipeline
 ]
 
 
