@@ -27,3 +27,19 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """approx_count_distinct (HyperLogLog++) is rows-only in the
+    oracle gate; pin its accuracy against the exact count here."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from zoom_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey").alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)

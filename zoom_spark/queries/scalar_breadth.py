@@ -168,6 +168,67 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epoch_timezone_functions",
+    sql="""
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+           CAST(strftime(o_orderdate, '%H') AS INT) AS hr,
+           strftime(o_orderdate + INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS plus5h,
+           CAST(date_diff('day', DATE '2026-01-01', o_orderdate) AS BIGINT)
+             AS days_from_2026
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def epoch_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/interval conversions (F1-F3 breadth): unix seconds,
+    field extraction, interval shift, day arithmetic. Session TZ is
+    UTC so epoch matches the oracle's naive-timestamp epoch()."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.year("o_orderdate").alias("yr"),
+        F.hour("o_orderdate").alias("hr"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 5 HOURS"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("plus5h"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2026-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_from_2026"),
+    )
+
+
+@register(
+    "regexp_groups",
+    sql=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CASE WHEN regexp_matches(c_name, '0{2}') THEN TRUE ELSE FALSE END
+             AS has_double_zero,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits,
+           translate(c_name, '#0', '_O') AS translated
+    FROM customer
+    """,
+)
+def regexp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture groups, boolean match, global extraction count,
+    and character translation (F9 breadth)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.col("c_name").rlike("0{2}").alias("has_double_zero"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]"), 0)).alias(
+            "n_digits"
+        ),
+        F.translate("c_name", "#0", "_O").alias("translated"),
+    )
+
+
+@register(
     "pivot_status_counts",
     sql="""
     SELECT o_custkey,
