@@ -111,3 +111,62 @@ def test_incremental_load_idempotent_retry(spark):
         load_incremental(src, sink, watermark_col="load_date", partition_col="load_date")
         second = spark.read.parquet(sink).count()
         assert first == second == 30
+
+
+def test_python_datasource_matches_mapinpandas_fetcher(spark):
+    """The DataSource-API reader and the mapInPandas fetcher must land
+    identical rows for the same key set (S1/S2 parity, one partition
+    per key)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from zoom_spark.sources.datasource import PagedApiDataSource
+    from zoom_spark.sources.paginated import MockPagedClient, fetch_paginated
+
+    spark.dataSource.register(PagedApiDataSource)
+    keys = [str(k) for k in range(1, 15)]
+
+    via_ds = (
+        spark.read.format("paged_api")
+        .option("keys", ",".join(keys))
+        .load()
+    )
+    assert via_ds.rdd.getNumPartitions() == len(keys)
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("item_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    keys_df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    client = MockPagedClient()
+    via_mip = fetch_paginated(
+        keys_df,
+        lambda k, t: client.fetch_page(k, t),
+        schema,
+        key_col="key",
+    ).select("key", "item_id", "value")
+
+    assert via_ds.subtract(via_mip).count() == 0
+    assert via_mip.subtract(via_ds).count() == 0
+
+
+def test_python_datasource_skips_missing_keys(spark):
+    from zoom_spark.sources.datasource import PagedApiDataSource
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (
+        spark.read.format("paged_api")
+        .option("keys", "1,2,3")
+        .option("missing", "2")
+        .load()
+    )
+    assert df.where("key = '2'").count() == 0
+    assert df.where("key = '1'").count() > 0

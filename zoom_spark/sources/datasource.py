@@ -1,0 +1,96 @@
+"""Custom Python data source (PySpark 4 DataSource API) for
+paginated-API ingestion — the fully Spark-native form of SURVEY.md
+§2.1 S1/S2 ("custom DataSource ... with one partition per page").
+
+Where sources/paginated.py distributes fetches over an existing keys
+DataFrame with mapInPandas, this exposes the API as a first-class
+reader:
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (spark.read.format("paged_api")
+          .option("keys", "1,2,3")        # or key_start/key_end range
+          .load())
+
+Planning: one InputPartition per key — a cursor chain is sequential
+by construction (each page token comes from the previous response),
+so the page is the unit of WORK but the key is the unit of
+PARALLELISM. Retry/backoff/domain-skip semantics (S13-S15) reuse the
+same policy machinery as the mapInPandas fetcher. The client is the
+deterministic MockPagedClient (no network in this environment); a
+real HTTP client implements the same fetch_page signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from zoom_spark.sources.paginated import (
+    DomainSkipError,
+    MockPagedClient,
+    RetryPolicy,
+    _with_retry,
+)
+
+SCHEMA_DDL = "key string, item_id bigint, value double"
+
+
+class KeyPartition(InputPartition):
+    def __init__(self, key: str):
+        self.key = key
+
+
+class PagedApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+        keys_opt = options.get("keys")
+        if keys_opt:
+            self.keys = [k.strip() for k in keys_opt.split(",") if k.strip()]
+        else:
+            lo = int(options.get("key_start", 0))
+            hi = int(options.get("key_end", 0))
+            self.keys = [str(k) for k in range(lo, hi)]
+
+    def partitions(self):
+        # one partition per key: cursor chains are sequential within a
+        # key and independent across keys
+        return [KeyPartition(k) for k in self.keys]
+
+    def read(self, partition: KeyPartition):
+        client = MockPagedClient(
+            page_size=int(self.options.get("page_size", 5)),
+            max_pages=int(self.options.get("max_pages", 3)),
+            missing=frozenset(
+                m
+                for m in self.options.get("missing", "").split(",")
+                if m
+            ),
+        )
+        policy = RetryPolicy()
+        key = partition.key
+        token: str | None = None
+        while True:
+            try:
+                page, token = _with_retry(
+                    lambda: client.fetch_page(key, token), policy
+                )
+            except DomainSkipError:
+                return  # S15: skip the key, keep the scan
+            for row in page:
+                yield (key, row["item_id"], row["value"])
+            if not token:
+                return
+
+
+class PagedApiDataSource(DataSource):
+    """format("paged_api") — register with
+    spark.dataSource.register(PagedApiDataSource)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> PagedApiReader:
+        return PagedApiReader(self.options)
