@@ -116,3 +116,21 @@ def test_stream_stream_join_matches_batch(spark):
     assert got.count() > 0
     assert got.subtract(batch).count() == 0
     assert batch.subtract(got).count() == 0
+
+
+def test_stream_sink_idempotent_under_replay(spark, tmp_path):
+    """Replaying the stream from a fresh checkpoint (at-least-once
+    redelivery) must not duplicate rows in the sink."""
+    from zoom_spark.streaming.windows import write_stream_idempotent
+
+    sink = str(tmp_path / "sink")
+    ev = read_events_stream(spark, SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    expected = load_table(spark, SF_DIR, "events").count()
+
+    write_stream_idempotent(ev, sink, "event_date", str(tmp_path / "cp1"))
+    assert spark.read.parquet(sink).count() == expected
+    # replay with a NEW checkpoint: every batch redelivered
+    write_stream_idempotent(ev, sink, "event_date", str(tmp_path / "cp2"))
+    assert spark.read.parquet(sink).count() == expected

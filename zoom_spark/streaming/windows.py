@@ -148,6 +148,33 @@ def stream_stream_join(
     )
 
 
+def write_stream_idempotent(
+    stream_df: DataFrame,
+    path: str,
+    partition_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming sink with batch-replay safety: each micro-batch lands
+    via dynamic partition overwrite (io.write_idempotent_partition),
+    so a replayed batch — failure recovery, checkpoint reset,
+    at-least-once upstream — rewrites its partitions instead of
+    double-appending. This is the streaming form of the §1.5 fix and
+    the standard foreachBatch + idempotent-write pattern."""
+    from zoom_spark.io import write_idempotent_partition
+
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, _epoch: write_idempotent_partition(
+                df, path, partition_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
