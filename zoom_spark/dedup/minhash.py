@@ -25,10 +25,21 @@ from zoom_spark.dedup.ngram import jaccard, shingles
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signature(shingle_arr, num_hashes: int = 32):
+def hashed_shingles(text_col, shingle_n: int = 3):
+    """Distinct shingles reduced to 64-bit xxhash64 values. Everything
+    downstream (signature fold, Jaccard verification) operates on
+    longs: salted re-hashes touch 8 bytes instead of the shingle
+    string, and the verification shuffle moves long arrays instead of
+    text. Collision probability ~2^-64 per pair — the standard
+    hashed-shingle formulation (MMDS ch.3)."""
+    return F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+
+
+def minhash_signature(shingle_hash_arr, num_hashes: int = 32):
     """Array of `num_hashes` minhash values computed in a SINGLE pass
-    over the shingle array: fold each shingle's K salted xxhash64
-    values into a running elementwise minimum (zip_with + least).
+    over the hashed-shingle array: fold each shingle's K salted
+    xxhash64 values into a running elementwise minimum (zip_with +
+    least).
 
     The single-pass shape matters for plan size, not just row cost:
     the naive ``array(*[array_min(transform(sh, hash_i)) ...])`` form
@@ -42,7 +53,7 @@ def minhash_signature(shingle_arr, num_hashes: int = 32):
 
     zero = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
     return F.aggregate(
-        shingle_arr,
+        shingle_hash_arr,
         zero,
         lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
     )
@@ -64,9 +75,9 @@ def signature_df(
     next to the band-bucket shuffle that follows at any scale."""
     return df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "sig"
-        ),
+        minhash_signature(
+            hashed_shingles(F.col(text_col), shingle_n), num_hashes
+        ).alias("sig"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
@@ -145,9 +156,10 @@ def minhash_dedup_pairs(
     # join sides (sh_a / sh_b) rename columns AFTER the repartition,
     # so the underlying shuffle subtrees are identical and Spark's
     # ReuseExchange computes the shingle projection once, not twice.
+    # Hashed shingles: the exchange moves long arrays, not text.
     sh = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
+        hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
