@@ -200,6 +200,42 @@ def docs_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stratified_sample_docs",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM t
+    WHERE bucket < CASE WHEN source = 'web' THEN 10 ELSE 50 END
+    GROUP BY source
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation:
+    per-source keep rates (downsample the over-represented 'web'
+    stratum to 10%, others 50%) decided by an md5-derived bucket of
+    the row id — engine-portable (unlike sample()/sampleBy() RNG),
+    reproducible across runs, and embarrassingly parallel: a pure
+    map-side filter, no shuffle before the audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("source") == "web", 10).otherwise(50)
+    return (
+        docs.where(bucket < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
 @register("winnow_fingerprints")  # xxhash64 is Spark-specific: rows-only
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprints (sorted distinct
