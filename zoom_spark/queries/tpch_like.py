@@ -178,6 +178,116 @@ def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q13_order_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped distribution-of-counts: left join preserves
+    zero-order customers, two cascaded aggregates (the second groups
+    on the first's output — tiny, coalesced by AQE)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q18_large_orders",
+    sql="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    HAVING sum(l.l_quantity) > 250
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: group-filter (HAVING) over a fact-fact join; the
+    HAVING predicate evaluates post-aggregate, after map-side partials
+    have already shrunk the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    sql="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped cross-nation trade volume: the nation dim joins twice
+    under different roles (broadcast both), inequality predicate
+    between the two role columns."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .where(F.col("n1_key") != F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            # decimal-cast before summing: with 600 groups a double
+            # sum's order-dependent last bit lands on a cent-rounding
+            # boundary somewhere; exact decimal addition is
+            # associative, so the total is shuffle-order-independent
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "cross_join_status_region",
     sql="""
     SELECT r_name, o_orderstatus
