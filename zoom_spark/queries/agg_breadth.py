@@ -202,7 +202,7 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             sum(o_totalprice) AS day_rev
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS day_rev
       FROM orders GROUP BY 1
     )
     SELECT d, round(day_rev, 2) AS day_rev,
@@ -219,7 +219,7 @@ def range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum("o_totalprice").alias("day_rev"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("day_rev"))
         .withColumn("d_num", F.unix_date(F.col("d")))
     )
     w = Window.orderBy("d_num").rangeBetween(-6, Window.currentRow)

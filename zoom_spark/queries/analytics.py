@@ -167,7 +167,7 @@ def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS cnt,
-           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
            CAST(grouping(l_returnflag) AS BIGINT) * 2
              + CAST(grouping(l_linestatus) AS BIGINT) AS gid
     FROM lineitem
@@ -179,7 +179,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 2).alias("sum_price"),
         F.grouping_id().cast("bigint").alias("gid"),
     )
 

@@ -22,7 +22,7 @@ from zoom_spark.queries import register
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -35,7 +35,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -56,7 +56,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
     FROM buckets
     GROUP BY 1
     """,
@@ -69,7 +69,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )

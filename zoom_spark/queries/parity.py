@@ -198,7 +198,7 @@ def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS cnt,
            round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
            round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -214,7 +214,7 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 2).alias("sum_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         )
     )

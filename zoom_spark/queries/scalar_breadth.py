@@ -62,7 +62,7 @@ def url_encode_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 150000 THEN 'medium'
                 ELSE 'large' END AS price_bucket,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -76,7 +76,7 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy(bucket.alias("price_bucket")).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2).alias("total"),
     )
 
 

@@ -25,11 +25,12 @@ from zoom_spark.queries import register
     WITH thr AS (SELECT max(l_shipdate) - INTERVAL 90 DAY AS t FROM lineitem)
     SELECT l_returnflag, l_linestatus,
            round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
-             AS sum_disc_price,
-           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-             AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
            round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
            round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
@@ -44,15 +45,22 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     thr = li.agg((F.max("l_shipdate") - F.expr("INTERVAL 90 DAYS")).alias("t"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def dsum(expr):
+        # decimal-cast money sums: exact addition is associative, so
+        # totals are independent of shuffle arrival order (doubles
+        # are not — a 1-cent flake at rounding boundaries)
+        return F.sum(expr.cast("decimal(18,6)")).cast("double")
+
     return (
         li.join(F.broadcast(thr))
         .where(F.col("l_shipdate") <= F.col("t"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(dsum(disc), 2).alias("sum_disc_price"),
+            F.round(dsum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -64,8 +72,8 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     sql="""
     SELECT l_orderkey,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
-             AS revenue,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -93,7 +101,12 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -106,8 +119,8 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_revenue",
     sql="""
     SELECT n_name,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
-             AS revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -140,7 +153,12 @@ def tpch_q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
     )
