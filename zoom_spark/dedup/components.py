@@ -35,10 +35,17 @@ def connected_components(
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # The label frame is (node, component) — tiny relative to the data
+    # that produced the pairs. Sizing its partition count to the frame
+    # (not the session shuffle default) keeps each iteration's jobs
+    # from paying 32 near-empty tasks per round; at real scale this
+    # would be ~nodes/target_rows_per_task instead of a constant.
+    n_parts = max(2, min(8, sym.sparkSession.sparkContext.defaultParallelism))
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .coalesce(n_parts)
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -60,6 +67,7 @@ def connected_components(
                     < F.col("component")
                 ).alias("__changed"),
             )
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         n_changed = updated.where("__changed").count()
