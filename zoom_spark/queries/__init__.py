@@ -39,6 +39,7 @@ from zoom_spark.queries import dedup_queries  # noqa: E402,F401
 from zoom_spark.queries import similarity_queries  # noqa: E402,F401
 from zoom_spark.queries import multimodal_queries  # noqa: E402,F401
 from zoom_spark.queries import tpch_like  # noqa: E402,F401
+from zoom_spark.queries import tpch_advanced  # noqa: E402,F401
 from zoom_spark.queries import scalar_breadth  # noqa: E402,F401
 from zoom_spark.queries import subqueries  # noqa: E402,F401
 from zoom_spark.queries import agg_breadth  # noqa: E402,F401

@@ -1,0 +1,500 @@
+"""Advanced TPC-H-shaped queries (Q2/Q4/Q11/Q12/Q14/Q15/Q16/Q17/Q19/
+Q20/Q21/Q22 analogs) adapted to the driver's reduced star schema
+(TESTDATA.md: no partsupp, no commitdate/shipmode/phone columns).
+
+These complete the subquery + conditional-aggregation surface started
+in queries/subqueries.py (SURVEY.md §2.3/§2.4 "Absent" rows — the
+reference delegates all SQL to its backend, /root/reference/main.py:
+79-85, so the rebuilt engine must run the full analytical dialect).
+
+Scale design notes:
+  * every correlated subquery below decorrelates into a join (checked
+    with .explain — no per-row subquery execution anywhere);
+  * Q21's triple-self-join shape is rewritten as one per-order
+    aggregate + rejoin (the standard decorrelation) instead of two
+    correlated EXISTS, saving two lineitem scans;
+  * money sums are decimal-cast before aggregation so totals are
+    independent of shuffle arrival order (doubles are not);
+  * all scalar thresholds are relative (avg/max-derived), never
+    absolute, so queries stay non-degenerate at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_DEC = "decimal(18,6)"
+
+
+def _dsum(col):
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+@register(
+    "tpch_q2_top_supplier_per_nation",
+    sql="""
+    SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_acctbal = (
+        SELECT max(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+      )
+    """,
+)
+def tpch_q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped correlated-scalar-max: best-balance supplier per
+    nation within one region. Catalyst decorrelates the MAX into a
+    per-nation aggregate joined back on the correlation key."""
+    _views(spark, sf_dir, "supplier", "nation", "region")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND s.s_acctbal = (
+            SELECT max(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+          )
+        """
+    )
+
+
+@register(
+    "tpch_q4_priority_count",
+    sql="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: priority histogram of orders having a late line
+    (shipped >45 days after order). Correlated EXISTS with a non-equi
+    correlate — decorrelates to a left-semi join on orderkey with the
+    date predicate evaluated at the probe."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    sql="""
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+    FROM val
+    WHERE v > (SELECT 1.5 * avg(v) FROM val)
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped "important stock": parts whose lineitem value exceeds
+    1.5x the average per-part value. The scalar threshold is computed
+    once over the same CTE (Spark reuses the aggregated subplan via
+    exchange reuse). Exact decimal sums make the > comparison
+    shuffle-order-independent."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        WITH val AS (
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+        FROM val
+        WHERE v > (SELECT 1.5 * avg(v) FROM val)
+        """
+    )
+
+
+@register(
+    "tpch_q12_priority_by_returnflag",
+    sql="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped conditional aggregation: high/low-priority line
+    counts per return flag (shipmode stand-in). One fact-fact shuffle;
+    the CASE folds into the partial aggregate map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .where(l.l_shipdate > o.o_orderdate)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    sql="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo-revenue ratio: part dim broadcast into the
+    fact scan, two exact decimal sums, ratio taken in double only at
+    the very end (both operands already deterministic)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped top supplier: revenue view over the trailing 90
+    days, pick the argmax via an exact-decimal scalar-max equality
+    (ties all returned, as in the spec). The rev CTE is aggregated
+    once and reused for both the filter and the scalar."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+          FROM lineitem
+          WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE r = (SELECT max(r) FROM rev)
+        """
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 28, 33, 41, 47)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped distinct-supplier count per (brand, type, size) with
+    a NOT IN exclusion subquery (negative-balance suppliers stand in
+    for the complaints filter). NOT IN compiles to a null-aware anti
+    join; the distinct-agg runs as two-phase hash aggregate."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 28, 33, 41, 47)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    sql="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < 0.2 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped small-quantity-order revenue: correlated per-part
+    average quantity threshold. Decorrelates into a per-partkey
+    aggregate joined back; l_quantity is integer-valued so the double
+    avg is exact and the comparison deterministic."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_quantity < 0.2 * (
+            SELECT avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    sql="""
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive predicate pushdown: three OR-blocks
+    mixing build-side (part) and probe-side (lineitem) columns.
+    Catalyst extracts the common-side disjuncts so each side is
+    pre-filtered before the join (checked in the plan: both scans
+    carry pushed filters)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    blk = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (p.p_brand == brand)
+        & p.p_size.between(1, smax)
+        & l.l_quantity.between(qlo, qhi)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(
+            blk("Brand#11", 5, 1, 11)
+            | blk("Brand#16", 10, 10, 20)
+            | blk("Brand#20", 15, 20, 30)
+        )
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    sql="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name LIKE 'NATION_1%'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+        )
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 500
+      )
+    """,
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped nested-IN: suppliers in a nation band who moved
+    >500 units of bolt-like parts. Two-level IN nesting — the inner
+    IN filters the fact scan (semi join), the outer IN semi-joins the
+    grouped result against the supplier dim."""
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name LIKE 'NATION_1%'
+          AND s.s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+            )
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 500
+          )
+        """
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    sql="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_supp AS (
+      SELECT l_orderkey, l_suppkey, max(is_late) AS supp_late
+      FROM flagged GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_supp,
+             CAST(sum(supp_late) AS BIGINT) AS n_late_supp
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.supp_late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped "supplier who kept the order waiting": the only
+    late supplier on a multi-supplier finalized order. The spec's two
+    correlated EXISTS over lineitem are rewritten as one per-(order,
+    supplier) aggregate + per-order rollup — two scans of the fact
+    instead of four, and both aggregates share the orderkey shuffle
+    partitioning (no extra exchange for per_order or the rejoin)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        l.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 60).cast("timestamp"),
+        1,
+    ).otherwise(0)
+    per_supp = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("supp_late").alias("n_late_supp")
+    )
+    return (
+        per_supp.alias("ps")
+        .join(per_order.alias("po"), "l_orderkey")
+        .where(
+            (F.col("ps.supp_late") == 1)
+            & (F.col("po.n_supp") > 1)
+            & (F.col("po.n_late_supp") == 1)
+        )
+        .join(F.broadcast(s), F.col("ps.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    sql="""
+    WITH thr AS (
+      SELECT avg(CAST(c_acctbal AS DECIMAL(18,6))) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: rich customers with no urgent order, per nation — scalar
+    avg threshold (exact decimal, so the > comparison can't flake on
+    a last-bit boundary) + NOT EXISTS anti-join against orders
+    (the reference's core delta operator in its Q22 role,
+    /root/reference/main.py:79-85)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast(_DEC)).alias("a")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.where(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(_dsum(F.col("c_acctbal")), 2).alias("totacctbal"),
+        )
+    )
