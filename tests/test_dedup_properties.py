@@ -166,3 +166,52 @@ def test_connected_components_merges_chains(spark):
         for r in canonical_ids(ids, pairs, id_col="id").collect()
     }
     assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 99: 99}
+
+
+def test_weighted_minhash_captures_all_clones(spark, n_docs):
+    from zoom_spark.queries.dedup_queries import weighted_minhash_dedup_docs
+
+    res = weighted_minhash_dedup_docs(spark, SF_DIR).cache()
+    clones = res.where(
+        (F.col("id_b") == F.col("id_a") + DUP_OFFSET)
+        & (F.col("wjaccard") == 1.0)
+    ).count()
+    assert clones == n_docs, f"weighted minhash missed {n_docs - clones} clones"
+
+
+def test_weighted_signature_scale_invariance(spark):
+    """doc||doc doubles every term weight; the exponential-race
+    signature must be identical (scores all scale by 1/2)."""
+    from zoom_spark.dedup.weighted_minhash import weighted_signature_df
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    doubled = docs.select(
+        "doc_id", F.concat_ws(" ", "text", "text").alias("text")
+    )
+    s1 = weighted_signature_df(docs, "text", "doc_id", num_hashes=16)
+    s2 = weighted_signature_df(doubled, "text", "doc_id", num_hashes=16)
+    j = s1.join(
+        s2.withColumnRenamed("sig", "sig2"), on="id"
+    )
+    assert j.where(F.col("sig") != F.col("sig2")).count() == 0
+
+
+def test_weighted_jaccard_bounds_and_self_similarity(spark):
+    from zoom_spark.dedup.weighted_minhash import (
+        exact_weighted_jaccard,
+        term_freq_rows,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    tf = term_freq_rows(docs, "text", "doc_id")
+    self_pairs = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    res = exact_weighted_jaccard(self_pairs, tf).cache()
+    assert res.where(F.col("wjaccard") != 1.0).count() == 0
+    adj = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    r2 = exact_weighted_jaccard(adj, tf).cache()
+    assert r2.where((F.col("wjaccard") < 0) | (F.col("wjaccard") > 1)).count() == 0

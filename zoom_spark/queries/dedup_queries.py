@@ -164,6 +164,79 @@ def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_jaccard_adjacent",
+    sql=r"""
+    WITH tf AS (
+      SELECT doc_id AS id, t AS term, CAST(count(*) AS BIGINT) AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+      )
+      GROUP BY doc_id, t
+    ),
+    tot AS (SELECT id, CAST(sum(w) AS BIGINT) AS tot FROM tf GROUP BY id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(sum(least(ta.w, tb.w)) AS BIGINT) AS m
+      FROM pairs p
+      JOIN tf ta ON ta.id = p.id_a
+      JOIN tf tb ON tb.id = p.id_b AND tb.term = ta.term
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(coalesce(i.m, 0) AS DOUBLE)
+                 / (ta.tot + tb.tot - coalesce(i.m, 0)), 6) AS wjaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN tot ta ON ta.id = p.id_a
+    JOIN tot tb ON tb.id = p.id_b
+    """,
+)
+def weighted_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact weighted Jaccard (multiset similarity respecting term
+    frequency) over a linear pair set (adjacent doc ids). Integer
+    min/max sums — exact under any shuffle order; this oracle-gates
+    the verification stage of weighted_minhash_dedup_docs."""
+    from zoom_spark.dedup.weighted_minhash import (
+        exact_weighted_jaccard,
+        term_freq_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    tf = term_freq_rows(docs, "text", "doc_id")
+    return exact_weighted_jaccard(pairs, tf)
+
+
+@register("weighted_minhash_dedup_docs")  # Spark xxhash64 sketch: rows-only
+def weighted_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 weighted MinHash (consistent weighted sampling via the
+    exponential-race trick) + LSH banding, candidates verified with
+    exact weighted Jaccard. Clones collide on every band (signature
+    is weight-scale-invariant), so property tests assert full clone
+    capture plus the doc||doc invariance."""
+    from zoom_spark.dedup.weighted_minhash import weighted_minhash_dedup_pairs
+
+    return weighted_minhash_dedup_pairs(
+        _doubled_docs(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        num_hashes=32,
+        bands=4,  # 8 rows/band: this corpus's organic baseline J_w is
+        # ~0.34, so R=8 keeps the candidate rate at ~7e-4 of all pairs
+        # (R=4 would admit ~10% — quadratic blowup at scale)
+        threshold=0.5,
+    )
+
+
+@register(
     "embedding_neardup",
     sql="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
