@@ -113,3 +113,30 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 8, keep_mod: int 
     hashes = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(window))))
     kept = F.filter(hashes, lambda h: h % keep_mod == 0)
     return F.array_sort(F.array_distinct(kept))
+
+
+def dup_token_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - distinct/total. The cheap repetition signal used by C4/Gopher-
+    style corpus filters."""
+    toks = F.transform(ws_tokens(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_ratio(text: Column | str) -> Column:
+    """Frequency of the single most common token divided by total
+    token count (Gopher's "most common word" repetition rule).
+    Computed per-document with the sort + run-length-encode fold from
+    weighted_minhash.term_freqs — no shuffle."""
+    from zoom_spark.dedup.weighted_minhash import term_freqs
+
+    tf = term_freqs(text)
+    n = F.size(ws_tokens(text))
+    return F.when(
+        n > 0,
+        F.array_max(F.transform(tf, lambda e: e["w"])).cast("double") / n,
+    ).otherwise(F.lit(0.0))

@@ -228,3 +228,37 @@ def range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("day_rev", 2).alias("day_rev"),
         F.round(F.sum("day_rev").over(w), 2).alias("rev_7d"),
     )
+
+
+@register(
+    "user_value_slope",
+    sql="""
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts) / 86400.0), 4) AS slope_per_day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 3
+    """,
+)
+def user_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend slope via grouped-map applyInPandas (§2.10):
+    events shuffle once on user_id, each group arrives as one Arrow-
+    backed pandas DataFrame, and the function emits slope + count in
+    a single pass — the engine's vectorized escape hatch for
+    aggregates Catalyst lacks. Oracle: DuckDB's built-in regr_slope
+    (same covar_pop/var_pop definition)."""
+    from zoom_spark.functions.grouped import slope_and_count
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (F.unix_micros("ts") / F.lit(86400.0 * 1e6)).alias("x")
+    grouped = ev.select("user_id", days, F.col("value").alias("y")).groupBy(
+        "user_id"
+    )
+    out = grouped.applyInPandas(
+        slope_and_count,
+        schema="user_id bigint, slope_per_day double, n_events bigint",
+    )
+    return out.where(F.col("n_events") >= 3).withColumn(
+        "slope_per_day", F.round("slope_per_day", 4)
+    )

@@ -246,3 +246,60 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.rolling_hash_fingerprint("text").alias("fp_hashes"),
     )
+
+
+@register(
+    "repetition_stats",
+    sql=r"""
+    WITH tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+      )
+      GROUP BY doc_id, t
+    ),
+    st AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(w) AS BIGINT) AS max_w
+      FROM tf GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(st.n_tokens, 0) AS n_tokens,
+           round(CASE WHEN st.n_tokens > 0
+                 THEN 1.0 - st.n_distinct / CAST(st.n_tokens AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_token_ratio,
+           round(CASE WHEN st.n_tokens > 0
+                 THEN st.max_w / CAST(st.n_tokens AS DOUBLE)
+                 ELSE 0.0 END, 6) AS top_token_ratio,
+           (coalesce(st.n_tokens, 0) >= 10
+            AND round(CASE WHEN st.n_tokens > 0
+                      THEN st.max_w / CAST(st.n_tokens AS DOUBLE)
+                      ELSE 0.0 END, 6) < 0.25) AS keep
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 repetition signals (C4/Gopher-style corpus filter): dup-token
+    ratio, most-common-token ratio, and the keep decision. All per-row
+    column expressions (sort + run-length-encode fold) — a pure
+    map-side pass, no shuffle, linear at 100 TB."""
+    from zoom_spark.functions.text import (
+        dup_token_ratio,
+        token_count,
+        top_token_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    topr = F.round(top_token_ratio("text"), 6)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(dup_token_ratio("text"), 6).alias("dup_token_ratio"),
+        topr.alias("top_token_ratio"),
+        ((n >= 10) & (topr < 0.25)).alias("keep"),
+    )
