@@ -134,3 +134,56 @@ def test_stream_sink_idempotent_under_replay(spark, tmp_path):
     # replay with a NEW checkpoint: every batch redelivered
     write_stream_idempotent(ev, sink, "event_date", str(tmp_path / "cp2"))
     assert spark.read.parquet(sink).count() == expected
+
+
+def test_streaming_datasource_ingests_all_pages(spark):
+    """The paged_api_stream Python DataSource (simpleStreamReader)
+    must deliver exactly the rows the batch DataSource reads: one
+    page number per microbatch until every key's chain is exhausted,
+    then empty batches (offset stops advancing)."""
+    import time
+
+    from zoom_spark.sources.datasource import (
+        PagedApiDataSource,
+        PagedApiStreamDataSource,
+    )
+    from zoom_spark.sources.paginated import MockPagedClient
+
+    spark.dataSource.register(PagedApiDataSource)
+    spark.dataSource.register(PagedApiStreamDataSource)
+    keys = "1,2,3,4,5"
+    client = MockPagedClient(fail_every=0, ratelimit_every=0)
+    expected = sum(
+        client.pages_for(k) * client.page_size for k in keys.split(",")
+    )
+
+    q = (
+        spark.readStream.format("paged_api_stream")
+        .option("keys", keys)
+        .load()
+        .writeStream.format("memory")
+        .queryName("paged_stream_t")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM paged_stream_t").first().c
+            if n >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n == expected
+
+    batch = (
+        spark.read.format("paged_api")
+        .option("keys", keys)
+        .option("fail_every", "0")
+        .load()
+    )
+    got = spark.sql("SELECT key, item_id, value FROM paged_stream_t")
+    assert got.subtract(batch).count() == 0
+    assert batch.subtract(got).count() == 0

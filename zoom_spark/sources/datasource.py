@@ -94,3 +94,75 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> PagedApiReader:
         return PagedApiReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: each microbatch ingests ONE page number across all
+# keys (the Structured-Streaming form of the reference's one-day-per-run
+# incremental loop, /root/reference/main.py:213-224 — progress tracked in
+# the offset log instead of a watermark table).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """simpleStreamReader: offsets are {"page": p} (1-based next page
+    to ingest). read(start) pulls page p for every key that has one;
+    when all chains are exhausted the offset stops advancing and
+    microbatches come back empty. readBetweenOffsets replays
+    deterministically from the mock (same page -> same rows), which is
+    what makes recovery exactly-once."""
+
+    def __init__(self, options: dict):
+        keys_opt = options.get("keys", "")
+        self.keys = [k.strip() for k in keys_opt.split(",") if k.strip()]
+        self.client = MockPagedClient(
+            page_size=int(options.get("page_size", 5)),
+            max_pages=int(options.get("max_pages", 3)),
+            fail_every=0,
+            ratelimit_every=0,
+        )
+
+    def initialOffset(self) -> dict:
+        return {"page": 1}
+
+    def _rows_for_page(self, page_no: int) -> list:
+        # materialized list, not a generator: the simple stream reader's
+        # rows are pickled driver-side for prefetch/replay
+        out = []
+        for key in self.keys:
+            if page_no <= self.client.pages_for(key):
+                rows, _ = self.client.fetch_page(key, str(page_no))
+                out.extend((key, r["item_id"], r["value"]) for r in rows)
+        return out
+
+    def read(self, start: dict):
+        page_no = start["page"]
+        max_chain = max((self.client.pages_for(k) for k in self.keys), default=0)
+        if page_no > max_chain:  # caught up: empty batch, same offset
+            return iter([]), start
+        return iter(self._rows_for_page(page_no)), {"page": page_no + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for p in range(start["page"], end["page"]):
+            rows.extend(self._rows_for_page(p))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # mock source has nothing to clean up
+
+
+class PagedApiStreamDataSource(DataSource):
+    """format("paged_api_stream") — spark.readStream.format(...)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api_stream"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def simpleStreamReader(self, schema) -> PagedApiStreamReader:
+        return PagedApiStreamReader(self.options)
