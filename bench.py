@@ -43,6 +43,9 @@ HEADLINE = [
     "window_frames",           # multi-function window pass
     "exists_heavy_lineitem",   # decorrelated subquery
     "docs_pipeline_clean",     # composed corpus-cleaning pipeline
+    "tpch_q16_supplier_cnt",   # distinct-agg + null-aware anti join
+    "tpch_q21_waiting_suppliers",  # per-order rollup self-agg chain
+    "repetition_stats",        # repetition quality signals (RLE fold)
 ]
 
 

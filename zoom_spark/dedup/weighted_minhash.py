@@ -44,30 +44,53 @@ _TWO63 = float(1 << 63)
 
 def term_freqs(text_col):
     """array<struct<t: long, w: int>> — per-document term frequencies
-    (term reduced to xxhash64) via sort + single-pass run-length
-    encode. O(n log n) per doc, all inside codegen; no shuffle."""
+    (term reduced to xxhash64) via sort + run-boundary detection.
+
+    Linear construction (no fold that concat-copies the accumulator,
+    which is O(n²) data movement and measured 3.5× slower at sf0.1):
+    sort the hashed tokens, find positions where a run starts by
+    comparing against the shifted array, then pair each run start
+    with the next one to get the count."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.array_sort(F.transform(ws_tokens(F.lower(c)), lambda t: F.xxhash64(t)))
-    empty = F.array().cast("array<struct<t:bigint,w:int>>")
-    enc = F.aggregate(
-        toks,
-        empty,
-        lambda acc, t: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1)["t"] == t),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        t.alias("t"),
-                        (F.element_at(acc, -1)["w"] + 1).alias("w"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(t.alias("t"), F.lit(1).alias("w"))))
-        ),
+    sorted_toks = F.array_sort(
+        F.transform(ws_tokens(F.lower(c)), lambda t: F.xxhash64(t))
     )
-    return enc
+
+    # Bind a subexpression to a lambda variable so consumers reference
+    # the evaluated VALUE, not the expression tree: a lambda body that
+    # names an outer Catalyst expression inlines the whole subtree at
+    # every reference (measured: the sort re-ran per element_at —
+    # O(n²·log n) per doc, 40× slower at sf0.1).
+    def bind(expr, body):
+        return F.element_at(F.transform(F.array(expr), body), 1)
+
+    def with_toks(toks):
+        n = F.size(toks)
+
+        def with_starts(starts):
+            # pair each run start with the next one (sentinel n+1)
+            nexts = F.concat(F.slice(starts, 2, F.size(starts)), F.array(n + 1))
+            return F.zip_with(
+                starts,
+                nexts,
+                lambda a, b: F.struct(
+                    F.element_at(toks, a).alias("t"),
+                    (b - a).cast("int").alias("w"),
+                ),
+            )
+
+        # 1-based positions where a new run begins (position 1 always)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1)
+            | (F.element_at(toks, i) != F.element_at(toks, i - 1)),
+        )
+        enc = bind(starts, with_starts)
+        return F.when(n > 0, enc).otherwise(
+            F.array().cast("array<struct<t:bigint,w:int>>")
+        )
+
+    return bind(sorted_toks, with_toks)
 
 
 def _unit(h):
