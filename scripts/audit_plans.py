@@ -56,6 +56,22 @@ EXPECTATIONS = {
     "knn_ivf": dict(pushed=True, broadcast=True, cartesian=False),
     "simhash_dedup_docs": dict(pushed=False, broadcast=False, cartesian=False),
     "ngram_jaccard_dups": dict(pushed=False, broadcast=False, cartesian=False),
+    # q6: scalar-threshold join is a 1-row BroadcastNestedLoopJoin by
+    # design; discount/quantity predicates must reach the scan
+    "tpch_q6_forecast_revenue": dict(pushed=True, broadcast=False, cartesian=True),
+    "tpch_q8_market_share": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q9_profit_by_nation_year": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q10_returned_items": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q2_top_supplier_per_nation": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q4_priority_count": dict(pushed=False, broadcast=False, cartesian=False),
+    "tpch_q12_priority_by_returnflag": dict(pushed=False, broadcast=False, cartesian=False),
+    "tpch_q14_promo_revenue": dict(pushed=False, broadcast=True, cartesian=False),
+    "tpch_q16_supplier_cnt": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q19_disjunctive_revenue": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q21_waiting_suppliers": dict(pushed=True, broadcast=True, cartesian=False),
+    "tpch_q22_global_sales_opportunity": dict(pushed=False, broadcast=True, cartesian=True),
+    "repetition_stats": dict(pushed=False, broadcast=False, cartesian=False),
+    "user_value_slope": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -498,3 +498,190 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.round(_dsum(F.col("c_acctbal")), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    sql="""
+    WITH thr AS (SELECT max(l_shipdate) - INTERVAL 365 DAY AS t FROM lineitem)
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem, thr
+    WHERE l_shipdate >= t
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped forecasting-revenue-change: pure scan + conjunctive
+    filter + single agg. The discount/quantity predicates push to the
+    parquet scan (PushedFilters); only 4 columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = li.agg((F.max("l_shipdate") - F.expr("INTERVAL 365 DAYS")).alias("t"))
+    return (
+        li.join(F.broadcast(thr))
+        .where(
+            (F.col("l_shipdate") >= F.col("t"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    sql="""
+    WITH trade AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+    FROM trade GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped market share: one nation's fraction of regional trade
+    volume per order-year. Every dimension broadcasts; the two nation
+    roles (customer side filters the region, supplier side tags the
+    share) join independently. Exact decimal sums; the ratio goes
+    double only at the end."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    trade = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("n1_reg"))
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n2), F.col("n2_key") == s.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    return trade.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("vol")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("vol").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation_year",
+    sql="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.8 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped product-profit rollup (supply cost proxied as 80% of
+    retail price — the testdata has no partsupp table). The p_name
+    LIKE filter prunes parts BEFORE the broadcast, shrinking the fact
+    join's build side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(_DEC)
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped returned-item ranking: the returnflag filter pushes
+    to the fact scan, dims broadcast, top-20 compiles to
+    TakeOrderedAndProject (no global sort). Deterministic tiebreak on
+    custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
