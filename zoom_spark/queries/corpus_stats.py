@@ -1,0 +1,198 @@
+"""Corpus-statistics queries for training-data curation (X4 family,
+BASELINE.json north-star): vocabulary building, TF-IDF term salience,
+and benchmark-contamination detection.
+
+Scale design:
+  * tf/df aggregates shuffle once on (doc, term) / term with map-side
+    partial aggregation — the classic two-level word-count shape;
+  * document totals broadcast back into the per-term frame (tiny);
+  * contamination is a shingle-level semi-join: the benchmark side is
+    aggregated to DISTINCT shingles first (small), then broadcast —
+    the corpus side never shuffles;
+  * ranking ties break on the term string so top-k is deterministic;
+    ranks compare ROUNDED tf-idf so a 1-ulp libm difference between
+    engines cannot reorder neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.text import ws_tokens
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+def _term_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) one row per token occurrence (lowercased)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(ws_tokens("text"), lambda t: F.lower(t))).alias(
+            "term"
+        ),
+    )
+
+
+@register(
+    "vocab_doc_frequency",
+    sql=r"""
+    WITH term_rows AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    df AS (
+      SELECT term,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+             CAST(count(*) AS BIGINT) AS total_occurrences
+      FROM term_rows GROUP BY term
+    )
+    SELECT term, doc_freq, total_occurrences
+    FROM df
+    ORDER BY doc_freq DESC, term
+    LIMIT 50
+    """,
+)
+def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-50 terms by document frequency (the first
+    pass of any tokenizer/vocab build). Pure integer aggregates;
+    term-string tiebreak makes the top-k deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _term_rows(docs)
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("total_occurrences"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    sql=r"""
+    WITH term_rows AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS w
+      FROM term_rows GROUP BY doc_id, term
+    ),
+    doc_len AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((tf.w / CAST(dl.n_tok AS DOUBLE))
+                   * ln(n.n_docs / CAST(df.doc_freq AS DOUBLE)), 6) AS tfidf
+      FROM tf
+      JOIN doc_len dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. tf and df are integer
+    aggregates; the double math is per-row (no accumulation), and
+    ranking compares the ROUNDED score with a term tiebreak, so the
+    result is engine-portable. df broadcasts back into tf (vocab is
+    tiny next to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _term_rows(docs).groupBy("doc_id", "term").agg(F.count("*").alias("w"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("w").alias("n_tok"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, on="doc_id")
+        .join(F.broadcast(df_t), on="term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("w") / F.col("n_tok").cast("double"))
+                * F.log(F.col("n_docs") / F.col("doc_freq").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "benchmark_contamination",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t <> ''), t -> lower(t)) AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0'
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM corpus c JOIN bench b ON b.shingle = c.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every non-benchmark document,
+    count its distinct 3-gram shingles that also appear anywhere in
+    the benchmark split (source='src0' stands in for an eval set).
+    The benchmark shingle set is deduplicated then broadcast — the
+    corpus side is a map-side semi-probe, no corpus shuffle."""
+    from zoom_spark.dedup.ngram import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", shingles(F.col("text"), 3).alias("s")
+    )
+    bench = (
+        sh.where(F.col("source") == "src0")
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.where(F.col("source") != "src0").select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
