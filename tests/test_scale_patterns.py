@@ -93,3 +93,58 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    """Bucketed interval join must equal the naive range join for
+    intervals spanning multiple buckets, sub-bucket intervals, and
+    end-exclusive boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from zoom_spark.operators.interval import empty_intervals, interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    points = spark.createDataFrame(
+        [(i, ts(h), "k%d" % (i % 2)) for i, h in enumerate(
+            [0, 1, 23, 24, 25, 47, 48, 50, 100, 119, 120]
+        )],
+        "pid int, ts timestamp, k string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, ts(0), ts(24), "k0"),    # exactly one bucket
+            (1, ts(12), ts(60), "k1"),   # spans 3 buckets
+            (2, ts(47), ts(48), "k0"),   # sub-bucket sliver (hour-47
+            # point carries k1, so this interval stays empty)
+            (3, ts(200), ts(240), "k1"), # empty
+            (4, ts(96), ts(121), "k0"),  # end-exclusive boundary at 120
+        ],
+        "iid int, s timestamp, e timestamp, ik string",
+    )
+    got = interval_join(
+        points, intervals,
+        point_col="ts", start_col="s", end_col="e",
+        keys=[("k", "ik")], bucket_seconds=86400,
+    ).select("pid", "iid")
+    naive = points.join(
+        intervals,
+        (F.col("k") == F.col("ik"))
+        & (F.col("ts") >= F.col("s"))
+        & (F.col("ts") < F.col("e")),
+    ).select("pid", "iid")
+    assert got.subtract(naive).count() == 0
+    assert naive.subtract(got).count() == 0
+    assert naive.count() > 0
+
+    gaps = empty_intervals(
+        points, intervals,
+        point_col="ts", start_col="s", end_col="e",
+        keys=[("k", "ik")], bucket_seconds=86400,
+    )
+    assert sorted(r.iid for r in gaps.select("iid").collect()) == [2, 3]

@@ -118,3 +118,79 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_last_event", "n_events")
     )
+
+
+@register(
+    "interval_join_campaigns",
+    sql="""
+    WITH bounds AS (SELECT min(ts) AS t0 FROM events),
+    win AS (
+      SELECT et.event_type, g.i AS window_id,
+             t0 + (g.i * 96) * INTERVAL 1 HOUR AS w_start,
+             t0 + (g.i * 96 + 36) * INTERVAL 1 HOUR AS w_end
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN bounds
+      CROSS JOIN generate_series(0, 5) AS g(i)
+    )
+    SELECT w.event_type, w.window_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_value
+    FROM win w
+    JOIN events e ON e.event_type = w.event_type
+                 AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.event_type, w.window_id
+    """,
+)
+def interval_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (SURVEY §2.3 range-join row, the non-equi case):
+    events land in deterministic 36-hour "campaign windows" (6 per
+    event type, spaced 96 h from the global min timestamp). Runs
+    through operators/interval.interval_join — bucketed banding turns
+    the range predicate into an equi key (one bin per point, interval
+    exploded to overlapped bins), so the plan is a hash join + residual
+    filter, never a nested loop over the fact side."""
+    from zoom_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("ts").alias("t0"))
+    types = ev.select("event_type").distinct()
+    win = (
+        types.crossJoin(F.broadcast(bounds))
+        .crossJoin(
+            F.broadcast(
+                spark.range(6).select(F.col("id").cast("bigint").alias("window_id"))
+            )
+        )
+        .select(
+            F.col("event_type").alias("w_event_type"),
+            "window_id",
+            (
+                F.col("t0")
+                + (F.col("window_id") * 96).cast("int") * F.expr("INTERVAL 1 HOUR")
+            ).alias("w_start"),
+            (
+                F.col("t0")
+                + (F.col("window_id") * 96 + 36).cast("int")
+                * F.expr("INTERVAL 1 HOUR")
+            ).alias("w_end"),
+        )
+    )
+    joined = interval_join(
+        ev,
+        win,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        keys=[("event_type", "w_event_type")],
+        bucket_seconds=86400,
+    )
+    return (
+        joined.groupBy(F.col("w_event_type").alias("event_type"), "window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select("event_type", "window_id", "n_events", "total_value")
+    )
