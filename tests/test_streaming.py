@@ -4,6 +4,7 @@ must reproduce the batch results (SURVEY.md §2.9 / §5.2.5)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -187,3 +188,43 @@ def test_streaming_datasource_ingests_all_pages(spark):
     got = spark.sql("SELECT key, item_id, value FROM paged_stream_t")
     assert got.subtract(batch).count() == 0
     assert batch.subtract(got).count() == 0
+
+
+def test_transform_with_state_running_profile(spark):
+    """transformWithStateInPandas (arbitrary-state v2) must converge
+    to the same per-user totals as the batch aggregate."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python protocol needs protobuf, "
+        "not installed in this environment",
+    )
+    from zoom_spark.streaming.stateful import running_user_profile_v2
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    stream = running_user_profile_v2(read_events_stream(spark, SF_DIR))
+    got = run_to_memory(stream, "t_profile_v2", output_mode="update")
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    assert final.subtract(batch).count() == 0
+    assert batch.subtract(final).count() == 0

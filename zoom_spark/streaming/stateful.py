@@ -76,3 +76,70 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4 arbitrary-state v2 API):
+# same running-profile semantics, expressed as a StatefulProcessor with
+# typed ValueState. Compared with applyInPandasWithState above, state
+# here is a named, schema'd handle (composable: a processor can hold
+# several value/list/map states) and timers are first-class.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningProfileProcessor(StatefulProcessor):
+    """Per-user cumulative count/sum via ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "profile", "n_events BIGINT, sum_value DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = (0, 0.0)
+        if self._state.exists():
+            n, total = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def running_user_profile_v2(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas form of running_user_profile.
+
+    Requires the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and the protobuf
+    package for the state-server protocol; the test gates on both.
+    Kept alongside the applyInPandasWithState form so the engine
+    exposes both stateful APIs."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningProfileProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
