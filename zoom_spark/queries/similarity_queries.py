@@ -81,3 +81,20 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, vec_col="embedding", id_col="vec_id",
         k=5, n_centroids=8, n_probe=3,
     )
+
+
+@register("kmeans_corpus_cells")  # float means: rows-only + property tests
+def kmeans_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 distributed Lloyd's k-means (k=8, 3 iterations) over the
+    embedding corpus; returns per-cluster sizes. M-step is the
+    two-phase partial-sum reduction (see similarity/kmeans.py) —
+    only K·partitions tiny rows ever shuffle."""
+    from zoom_spark.similarity.kmeans import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=3)
+    return (
+        kmeans_assign(emb, "embedding", "vec_id", centroids)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )

@@ -1,0 +1,132 @@
+"""Distributed Lloyd's k-means over an embedding column (X3 family —
+the trainer for ivf.py's coarse quantizer, and a standalone clustering
+operator for corpus bucketing / domain discovery).
+
+Scale design (the part that matters at 100 TB):
+  * E-step (assignment) is the map-side argmax projection from
+    ivf.assign_cells — centroids ride along as literal arrays (model
+    weights), no shuffle;
+  * M-step (new centroids) is TWO-PHASE: each input partition reduces
+    to at most K partial rows (per-cell vector sum + count) inside an
+    Arrow-batched mapInPandas pass, and only those K·num_partitions
+    tiny rows shuffle for the final combine. Naive
+    posexplode+groupBy(cell, dim) would shuffle N·dim rows — the
+    classic mistake this module exists to avoid.
+  * the centroid frame never exceeds K·dim floats, so it collects to
+    the driver like any model artifact.
+
+Determinism note: vector sums are float; across different partition
+counts the last bits of a mean can differ, so k-means is gated by
+PROPERTY tests (inertia monotonicity, perfect clustering recovery)
+and a rows-only driver check, not a value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.vectors import dot
+from zoom_spark.similarity.ivf import sample_centroids
+
+
+def _assign(df: DataFrame, vec_col: str, id_col: str, centroids) -> DataFrame:
+    """(id, vec, cell, dist2) — nearest centroid by squared L2
+    distance. ||v - c||² = ||v||² - 2·v·c + ||c||²; the argmin only
+    needs (-2·v·c + ||c||²), computed as one fold per centroid."""
+    score = F.array(
+        *[
+            -2.0 * dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            + float(sum(x * x for x in c))
+            for c in centroids
+        ]
+    )
+    vnorm2 = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.array_position(score, F.array_min(score)) - 1).cast("int").alias("cell"),
+        (F.array_min(score) + vnorm2).alias("dist2"),
+    )
+
+
+def _mstep(assigned: DataFrame, k: int, dim: int) -> list[list[float]]:
+    """New centroids: per-partition partial (cell, sum_vec, n) rows,
+    then a final combine over <= K·num_partitions rows."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for cell, grp in pdf.groupby("cell"):
+                mat = np.asarray(list(grp["vec"]), dtype=np.float64)
+                sums[cell] = sums.get(cell, np.zeros(dim)) + mat.sum(axis=0)
+                counts[cell] = counts.get(cell, 0) + len(grp)
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "cell": list(counts),
+                    "psum": [sums[c].tolist() for c in counts],
+                    "n": [counts[c] for c in counts],
+                }
+            )
+
+    part = assigned.select("cell", "vec").mapInPandas(
+        partials, schema="cell int, psum array<double>, n bigint"
+    )
+    # final combine: explode the tiny partials frame (K·parts·dim rows)
+    combined = (
+        part.select("cell", "n", F.posexplode("psum").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("sx"), F.sum("n").alias("n"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("sx") / F.col("n")).alias("m")))
+            ).alias("mean_entries")
+        )
+        .select("cell", F.transform("mean_entries", lambda e: e["m"]).alias("mean"))
+        .collect()
+    )
+    by_cell = {r["cell"]: [float(x) for x in r["mean"]] for r in combined}
+    # empty cells keep their previous position only if caller re-seeds;
+    # here they simply drop (k shrinks), matching standard Lloyd's
+    return [by_cell[c] for c in sorted(by_cell)]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    *,
+    max_iter: int = 5,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's iterations from a deterministic hash-ordered seed
+    sample. Returns (centroids, inertia_per_iteration)."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    centroids = sample_centroids(df, vec_col, id_col, k)
+    inertias: list[float] = []
+    for _ in range(max_iter):
+        assigned = _assign(df, vec_col, id_col, centroids)
+        inertia = assigned.agg(F.sum("dist2").alias("i")).first()["i"]
+        inertias.append(float(inertia))
+        centroids = _mstep(assigned, k, dim)
+    return centroids, inertias
+
+
+def kmeans_assign(
+    df: DataFrame, vec_col: str, id_col: str, centroids
+) -> DataFrame:
+    """(id, cell, dist2) final assignment for fitted centroids."""
+    return _assign(df, vec_col, id_col, centroids).select("id", "cell", "dist2")
