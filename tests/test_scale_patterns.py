@@ -148,3 +148,51 @@ def test_interval_join_matches_naive_theta_join(spark):
         keys=[("k", "ik")], bucket_seconds=86400,
     )
     assert sorted(r.iid for r in gaps.select("iid").collect()) == [2, 3]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: with a selective filter on the
+    build side of a shuffle join, Spark injects a bloom filter that
+    pre-prunes the probe side before the exchange — the runtime
+    analog of partition pruning, and the knob that matters when both
+    join sides are fact-sized at 100 TB. Results must be identical
+    with and without the rewrite."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+
+    sf = SF_DIR
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        o = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, sf, "lineitem")
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = build()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan
+        with_bloom = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    baseline = {(r.o_orderpriority, r.n) for r in build().collect()}
+    assert with_bloom == baseline and len(baseline) == 1

@@ -194,3 +194,67 @@ def interval_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "window_id", "n_events", "total_value")
     )
+
+
+@register(
+    "campaign_gap_report",
+    sql="""
+    WITH bounds AS (SELECT min(ts) AS t0 FROM events),
+    win AS (
+      SELECT et.event_type, g.i AS window_id,
+             t0 + (g.i * 96) * INTERVAL 1 HOUR AS w_start,
+             t0 + (g.i * 96 + 1) * INTERVAL 1 HOUR AS w_end
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN bounds
+      CROSS JOIN generate_series(0, 29) AS g(i)
+    )
+    SELECT w.event_type, w.window_id
+    FROM win w
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.event_type = w.event_type
+        AND e.ts >= w.w_start AND e.ts < w.w_end
+    )
+    """,
+)
+def campaign_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap report via operators/interval.empty_intervals: 1-hour probe
+    windows (30 per event type) with no event — the monitoring
+    counterpart of interval_join_campaigns, exercising the anti-join
+    path over the bucketed interval machinery."""
+    from zoom_spark.operators.interval import empty_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("ts").alias("t0"))
+    win = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(
+            F.broadcast(
+                spark.range(30).select(F.col("id").cast("bigint").alias("window_id"))
+            )
+        )
+        .select(
+            F.col("event_type").alias("w_event_type"),
+            "window_id",
+            (
+                F.col("t0")
+                + (F.col("window_id") * 96).cast("int") * F.expr("INTERVAL 1 HOUR")
+            ).alias("w_start"),
+            (
+                F.col("t0")
+                + (F.col("window_id") * 96 + 1).cast("int")
+                * F.expr("INTERVAL 1 HOUR")
+            ).alias("w_end"),
+        )
+    )
+    return empty_intervals(
+        ev,
+        win,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        keys=[("event_type", "w_event_type")],
+        bucket_seconds=86400,
+    ).select(F.col("w_event_type").alias("event_type"), "window_id")
