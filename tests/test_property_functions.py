@@ -15,6 +15,8 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 SETTINGS = dict(
     max_examples=10,
     deadline=None,
@@ -157,3 +159,35 @@ def test_conform_schema_contract(spark, rows, extra_cols):
     if extra_cols == 0:
         # x0 absent from the input -> typed NULL
         assert first["x0"] is None
+
+
+def test_approx_quantiles_within_bound_of_exact(spark):
+    """approx_percentile's sketch must land within rank-error bounds
+    of the exact percentiles (accuracy 10000 -> eps = 1/10000; allow
+    a generous value tolerance via neighboring exact quantiles)."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.agg_breadth import approx_quantiles_prices
+
+    got = {
+        r.o_orderstatus: r.approx_quartiles
+        for r in approx_quantiles_prices(spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r.o_orderstatus: r.q
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.24, 0.25, 0.26, 0.49, 0.5,"
+                " 0.51, 0.74, 0.75, 0.76))"
+            ).alias("q")
+        )
+        .collect()
+    }
+    for status, approx in got.items():
+        lo24, _, hi26, lo49, _, hi51, lo74, _, hi76 = exact[status]
+        assert lo24 <= approx[0] <= hi26
+        assert lo49 <= approx[1] <= hi51
+        assert lo74 <= approx[2] <= hi76

@@ -262,3 +262,136 @@ def user_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("n_events") >= 3).withColumn(
         "slope_per_day", F.round("slope_per_day", 4)
     )
+
+
+@register(
+    "unpivot_order_metrics",
+    sql="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS sum_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS sum_disc,
+             round(CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS sum_tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM agg
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc, sum_tax))
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): per-returnflag measure columns
+    become (metric, value) rows via DataFrame.unpivot — the inverse of
+    pivot_status_counts. Map-side reshape, no extra shuffle beyond
+    the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(c):
+        return F.round(F.sum(F.col(c).cast("decimal(18,6)")).cast("double"), 2)
+
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+        dsum("l_tax").alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "orders_per_day_densified",
+    sql="""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    per_day AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT s.day, coalesce(p.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN per_day p USING (day)
+    """,
+)
+def orders_per_day_densified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine densification (gap filling): a generated calendar
+    spine left-joined to per-day counts so quiet days appear as
+    explicit zeros — the standard pre-step for window/timeseries ops.
+    The spine generates from one sequence() row and explodes; the
+    fact side aggregates BEFORE the join so the spine join touches
+    one row per day, not per order."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    per_day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    return spine.join(per_day, on="day", how="left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+@register(
+    "variant_json_extract",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json into a
+    VARIANT column, variant_get a typed field, aggregate on it. The
+    open-schema analog of from_json-with-declared-schema — the right
+    tool when event payloads drift (SURVEY.md §1.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+@register("approx_quantiles_prices")  # sketch-based: rows-only + property
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via approx_percentile (KLL-style sketch,
+    mergeable across partitions — the 100 TB path where exact
+    percentile's global sort is off the table). Property test bounds
+    the error against the exact percentiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("approx_quartiles")
+    )
