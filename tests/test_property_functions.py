@@ -191,3 +191,54 @@ def test_approx_quantiles_within_bound_of_exact(spark):
         assert lo24 <= approx[0] <= hi26
         assert lo49 <= approx[1] <= hi51
         assert lo74 <= approx[2] <= hi76
+
+
+def test_udtf_chunking_matches_jvm_chunking(spark):
+    """The Python UDTF chunker (slow path, for logic that outgrows
+    column expressions) must agree row-for-row with the JVM
+    fixed_chunks expansion (fast path)."""
+    from zoom_spark.functions.chunking import ChunkDocs, fixed_chunks
+    from zoom_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    docs.createOrReplaceTempView("chunk_docs_in")
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk
+        FROM chunk_docs_in d, LATERAL chunk_docs(d.text) c
+        """
+    )
+    via_jvm = docs.select(
+        "doc_id", F.explode(fixed_chunks("text", 120, 20)).alias("c")
+    ).select("doc_id", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    assert via_udtf.count() > 0
+    assert via_udtf.subtract(via_jvm).count() == 0
+    assert via_jvm.subtract(via_udtf).count() == 0
+
+
+def test_observation_metrics_match_direct_agg(spark):
+    """df.observe(): pipeline metrics collected as a side effect of
+    the write action (the Spark-first form of the reference's per-load
+    row-count logging, /root/reference/main.py:67,119-121) — no second
+    scan of the data."""
+    from pyspark.sql import Observation
+
+    from zoom_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    obs = Observation("load_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2).alias(
+            "total_price"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    direct = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2).alias("t"),
+    ).first()
+    assert obs.get["n_rows"] == direct.n
+    assert obs.get["total_price"] == direct.t

@@ -303,3 +303,41 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         topr.alias("top_token_ratio"),
         ((n >= 10) & (topr < 0.25)).alias("keep"),
     )
+
+
+@register(
+    "doc_chunks",
+    sql="""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           substring(text, CAST(i AS INTEGER) * 100 + 1, 120) AS chunk,
+           CAST(length(substring(text, CAST(i AS INTEGER) * 100 + 1, 120))
+                AS BIGINT) AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // 100)) AS i
+      FROM documents WHERE length(text) >= 1
+    )
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (size 120, overlap 20) for
+    embedding/RAG pipelines — JVM-side sequence+substring expansion
+    (functions/chunking.fixed_chunks), exploded to one row per chunk.
+    Map-side only; output is ~len/step rows per doc with no shuffle."""
+    from zoom_spark.functions.chunking import fixed_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(fixed_chunks("text", size=120, overlap=20)).alias(
+                "_pos", "c"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk").alias("chunk"),
+            F.length("c.chunk").cast("bigint").alias("chunk_len"),
+        )
+    )
