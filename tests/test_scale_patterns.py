@@ -196,3 +196,38 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.set(k, v)
     baseline = {(r.o_orderpriority, r.n) for r in build().collect()}
     assert with_bloom == baseline and len(baseline) == 1
+
+
+def test_prefix_sum_matches_single_partition_window(spark):
+    """Two-phase distributed prefix sum == the single-task global
+    window, including across many range partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from zoom_spark.operators.prefix import pack_by_budget, prefix_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 91 + 1).alias("w")
+    )
+    got = prefix_sum(df, "k", "w", out_col="cum", num_partitions=16)
+    ref = df.withColumn(
+        "cum", F.sum("w").over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    assert got.subtract(ref).count() == 0
+    assert ref.subtract(got).count() == 0
+
+    packed = pack_by_budget(df, "k", "w", budget=500, num_partitions=16)
+    # shards are contiguous in k and non-decreasing
+    rows = packed.orderBy("k").collect()
+    shards = [r.shard_id for r in rows]
+    assert shards == sorted(shards)
+    assert shards[0] == 0
+    # no shard exceeds budget unless one of its items alone does
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in rows:
+        tot[r.shard_id] += r.w
+    for sid, t in tot.items():
+        items = [r.w for r in rows if r.shard_id == sid]
+        assert t <= 500 + max(items)

@@ -1,0 +1,82 @@
+"""Distributed prefix sum (running total in a global order) — the
+building block for sequence packing, shard assignment, and offset
+indexing in training-data pipelines.
+
+The naive Spark spelling — ``sum().over(Window.orderBy(k))`` with no
+partitionBy — collapses the whole dataset into ONE task (Spark must
+see every row in order), which is exactly what dies at 100 TB. The
+scale-correct shape is the classic two-phase scan:
+
+  1. range-partition by the order key (partition i holds keys below
+     partition i+1 — the range partitioner is order-preserving across
+     partition ids);
+  2. local running sums per partition (window within partition);
+  3. per-partition totals (P tiny rows) → exclusive offsets on the
+     driver → broadcast-joined back and added.
+
+Total cost: one range shuffle + one P-row collect. The only driver
+state is P numbers (a model-artifact-sized object, like broadcast
+join keys)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds `out_col` = inclusive running sum of `value_col` in
+    ascending `order_col` order. `order_col` values must be unique
+    (they define the global order)."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    totals = (
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+    )
+    # exclusive offsets in partition-id order (range partitions are
+    # ordered by construction)
+    offsets, running = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = running
+        running += r["_tot"] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset bigint"
+    )
+    return (
+        local.join(F.broadcast(off_df), on="_pid")
+        .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+def pack_by_budget(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign rows (in `order_col` order) to consecutive shards of at
+    most ~`budget` total weight: shard = floor(exclusive_prefix /
+    budget). Contiguous, deterministic, single extra column — the
+    sequence-packing step of a training pipeline (items larger than
+    the budget get their own shard rather than splitting)."""
+    with_cum = prefix_sum(
+        df, order_col, weight_col, out_col="_cum", num_partitions=num_partitions
+    )
+    return with_cum.withColumn(
+        shard_col,
+        F.floor((F.col("_cum") - F.col(weight_col)) / F.lit(budget)).cast("bigint"),
+    ).drop("_cum")

@@ -196,3 +196,36 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+@register(
+    "pack_docs_into_shards",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+    FROM tok
+    """,
+)
+def pack_docs_into_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in doc_id order) to
+    consecutive ~2000-token shards via the distributed two-phase
+    prefix sum (operators/prefix.py) — never a single-task global
+    window. Integer weights make the assignment exact and
+    engine-portable."""
+    from zoom_spark.functions.text import token_count
+    from zoom_spark.operators.prefix import pack_by_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_by_budget(
+        docs, order_col="doc_id", weight_col="n_tokens", budget=2000
+    ).select("doc_id", "n_tokens", "shard_id")
