@@ -119,3 +119,62 @@ def test_elapsed_decorator_logs_and_passes_through(caplog):
     assert any("add completed in" in r.message for r in caplog.records)
     assert format_elapsed(1.5) == "1.50 seconds"
     assert format_elapsed(61.5) == "1 minutes 1.50 seconds"
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively; the
+    engine's writers/readers must round-trip schema and values."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+
+    src = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == src.schema
+    assert back.subtract(src).count() == 0
+    assert src.subtract(back).count() == 0
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join hints (BROADCAST / MERGE / SHUFFLE_HASH) must reach the
+    physical plan — the manual override lane when statistics mislead
+    the optimizer at scale."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in plan_of(merged)
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plan_of(hashed)
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in plan_of(bcast)
+
+
+def test_cached_intermediate_reused_across_actions(spark):
+    """persist(): an expensive intermediate feeding several outputs
+    must scan its input once; the second consumer reads
+    InMemoryRelation."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty")).persist()
+    )
+    try:
+        n = per_order.count()  # materialize
+        top = per_order.orderBy(F.col("qty").desc()).limit(5)
+        assert "InMemoryTableScan" in top._jdf.queryExecution().executedPlan().toString()
+        assert top.count() == 5 and n > 0
+    finally:
+        per_order.unpersist()
