@@ -242,3 +242,50 @@ def test_observation_metrics_match_direct_agg(spark):
     ).first()
     assert obs.get["n_rows"] == direct.n
     assert obs.get["total_price"] == direct.t
+
+
+def test_map_in_arrow_normalization_matches_jvm(spark):
+    """mapInArrow (zero-copy Arrow batches, the lowest-overhead
+    Python escape hatch) must agree with the JVM higher-order-function
+    form of L2 vector normalization."""
+    import pyarrow as pa
+
+    from zoom_spark.functions.vectors import norm
+    from zoom_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def normalize(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column("vec_id").to_pylist()
+            vecs = tbl.column("v").to_pylist()
+            out = []
+            for v in vecs:
+                n = sum(x * x for x in v) ** 0.5
+                out.append([x / n for x in v] if n > 0 else v)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": ids, "unit": out},
+                schema=pa.schema(
+                    [("vec_id", pa.int64()), ("unit", pa.list_(pa.float64()))]
+                ),
+            )
+
+    via_arrow = emb.mapInArrow(normalize, schema="vec_id bigint, unit array<double>")
+    via_jvm = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: x / norm(F.col("v"))).alias("unit"),
+    )
+    joined = via_arrow.withColumnRenamed("unit", "unit_a").join(via_jvm, on="vec_id")
+    # elementwise agreement to double precision
+    diff = joined.select(
+        F.aggregate(
+            F.zip_with("unit_a", "unit", lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_abs_diff")
+    )
+    assert diff.agg(F.max("max_abs_diff")).first()[0] < 1e-12
+    assert via_arrow.count() == emb.count()

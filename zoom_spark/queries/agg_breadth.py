@@ -395,3 +395,122 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
         ).alias("approx_quartiles")
     )
+
+
+@register(
+    "profile_orders",
+    sql="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (per-column null/distinct/min/max summary) —
+    the data-quality pass a warehouse runs before trusting a feed.
+    All columns profile in ONE scan: the per-column aggregates run
+    side by side in a single Aggregate node, then unpivot to rows
+    (never one scan per column)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.count(c).alias(f"{c}__nonnull"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    )
+    per_col = [
+        agg.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"{c}__nonnull").alias("n_nonnull"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for d in per_col[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@register(
+    "orders_lineitem_reconciliation",
+    sql="""
+    WITH li AS (
+      SELECT l_orderkey,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT
+      CAST(sum(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS orders_without_lines,
+      CAST(sum(CASE WHEN li.l_orderkey IS NOT NULL
+                    AND abs(li.computed - o.o_totalprice) > 0.01
+                    THEN 1 ELSE 0 END) AS BIGINT) AS price_mismatches,
+      CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    """,
+)
+def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sink reconciliation (referential data-quality check):
+    recompute each order's total from its lineitems and count orders
+    with no lines and orders whose stored total disagrees beyond a
+    cent. The aggregate side reduces BEFORE the join, so the join
+    moves one row per order, not per lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    li = l.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(18,6)")
+            ).cast("double"),
+            2,
+        ).alias("computed")
+    )
+    j = o.join(li, li.l_orderkey == o.o_orderkey, "left")
+    return j.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "orders_without_lines"
+        ),
+        F.sum(
+            F.when(
+                F.col("l_orderkey").isNotNull()
+                & (F.abs(F.col("computed") - F.col("o_totalprice")) > 0.01),
+                1,
+            ).otherwise(0)
+        ).alias("price_mismatches"),
+        F.count("*").alias("n_orders"),
+    )

@@ -258,3 +258,66 @@ def campaign_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=[("event_type", "w_event_type")],
         bucket_seconds=86400,
     ).select(F.col("w_event_type").alias("event_type"), "window_id")
+
+
+@register(
+    "sessionize_events_sql",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             -- deterministic tie-break: (ts, event_id) on BOTH windows
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the lag-gap + running-sum pattern (the
+    SQL classic; session_window_events covers the built-in). One
+    shuffle on user_id serves both window passes and the final
+    aggregate — the partitioning is reused across all three."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev = F.lag("ts").over(by_user)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_sess)
+        .withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
