@@ -178,3 +178,46 @@ def test_cached_intermediate_reused_across_actions(spark):
         assert top.count() == 5 and n > 0
     finally:
         per_order.unpersist()
+
+
+def test_permissive_json_isolates_corrupt_records(spark, tmp_path):
+    """PERMISSIVE JSON parsing (S15 analog): corrupt rows land in
+    _corrupt_record with NULLs elsewhere; FAILFAST raises; DROPMALFORMED
+    silently drops — the engine exposes all three."""
+    import pyspark
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "{this is not json}\n"
+        '{"id": 3, "v": 2.25}\n'
+    )
+    schema = "id bigint, v double, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    ).cache()
+    assert df.count() == 3
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    assert bad.first().id is None
+    good_ids = sorted(
+        r.id for r in df.where(F.col("_corrupt_record").isNull()).collect()
+    )
+    assert good_ids == [1, 3]
+    df.unpersist()
+
+    dropped = (
+        spark.read.schema("id bigint, v double")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert dropped.count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.schema("id bigint, v double").option(
+            "mode", "FAILFAST"
+        ).json(str(p)).collect()

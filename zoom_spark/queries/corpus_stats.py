@@ -229,3 +229,96 @@ def pack_docs_into_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_budget(
         docs, order_col="doc_id", weight_col="n_tokens", budget=2000
     ).select("doc_id", "n_tokens", "shard_id")
+
+
+@register(
+    "corpus_to_shards_pipeline",
+    sql=r"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS DOUBLE) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text)
+                       - length(regexp_replace(text,
+                           '[.,!?;:''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS pr
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, text, fp,
+             round(least(1.0, n_tokens / 100.0) * (1.0 - pr), 6) AS q
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc_id, text FROM quality
+      WHERE q >= 0.5
+        AND doc_id = (SELECT min(doc_id) FROM quality q2 WHERE q2.fp = quality.fp)
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+             CAST(length(substring(text, CAST(i AS INTEGER) * 100 + 1, 120))
+                  AS BIGINT) AS chunk_len
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, (length(text) - 1) // 100)) AS i
+        FROM kept WHERE length(text) >= 1
+      )
+    ),
+    packed AS (
+      SELECT doc_id, chunk_id, chunk_len,
+             CAST(floor((sum(chunk_len) OVER (ORDER BY doc_id, chunk_id
+                                              ROWS UNBOUNDED PRECEDING)
+                         - chunk_len) / 5000.0) AS BIGINT) AS shard_id
+      FROM chunks
+    )
+    SELECT shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM packed GROUP BY shard_id
+    """,
+)
+def corpus_to_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pass, composed end-to-end: quality
+    filter -> exact-dedup keep-first -> fixed-window chunking ->
+    distributed prefix-sum packing into ~5000-char shards -> shard
+    audit stats. Every stage is one of this engine's gated operators;
+    the composition adds no extra shuffles beyond each stage's own
+    (fingerprint window, range partition, final aggregate)."""
+    from pyspark.sql import Window
+
+    from zoom_spark.functions import text as T
+    from zoom_spark.functions.chunking import fixed_chunks
+    from zoom_spark.operators.prefix import pack_by_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        T.fingerprint_md5("text").alias("fp"),
+        T.quality_score("text").alias("q"),
+    )
+    kept = (
+        scored.where(F.col("q") >= 0.5)
+        .withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "text")
+    )
+    chunks = kept.select(
+        "doc_id", F.explode(fixed_chunks("text", 120, 20)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.length("c.chunk").cast("bigint").alias("chunk_len"),
+        (F.col("doc_id") * 1000 + F.col("c.chunk_id")).alias("order_key"),
+    )
+    packed = pack_by_budget(
+        chunks, order_col="order_key", weight_col="chunk_len", budget=5000
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").alias("total_chars"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )

@@ -256,3 +256,33 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_P"),
     )
+
+
+@register(
+    "try_functions",
+    sql="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+           round(o_totalprice / nullif(o_custkey % 5, 0), 4) AS risky_ratio
+    FROM orders
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (try_cast / try_divide): malformed
+    input degrades to NULL instead of failing the job — the batch
+    analog of the reference's domain-error skip (S15,
+    /root/reference/main.py:284-286). At 100 TB a single dirty row
+    must never kill the stage."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_num"),
+        # round(4): a 2-decimal price over a divisor in 1..4 can hit an
+        # exact half at the 2nd decimal (x/2 = y.xx5 -> engines split on
+        # half-up vs correctly-rounded) but never at the 4th
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_custkey") % 5), 4
+        ).alias("risky_ratio"),
+    )
