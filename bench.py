@@ -46,6 +46,10 @@ HEADLINE = [
     "tpch_q16_supplier_cnt",   # distinct-agg + null-aware anti join
     "tpch_q21_waiting_suppliers",  # per-order rollup self-agg chain
     "repetition_stats",        # repetition quality signals (RLE fold)
+    "interval_join_campaigns", # bucketed interval join (non-equi)
+    "sessionize_events_sql",   # lag-gap sessionization
+    "tfidf_top_terms",         # tf-idf ranking over corpus
+    "corpus_to_shards_pipeline",  # composed pass incl. prefix-sum packing
 ]
 
 

@@ -72,6 +72,23 @@ EXPECTATIONS = {
     "tpch_q22_global_sales_opportunity": dict(pushed=False, broadcast=True, cartesian=True),
     "repetition_stats": dict(pushed=False, broadcast=False, cartesian=False),
     "user_value_slope": dict(pushed=False, broadcast=False, cartesian=False),
+    "sessionize_events_sql": dict(pushed=False, broadcast=False, cartesian=False),
+    # interval/gap joins broadcast the tiny exploded window frame; the
+    # window frame derives from a 1-row bounds aggregate (BNLJ by design)
+    "interval_join_campaigns": dict(pushed=False, broadcast=True, cartesian=True),
+    "tfidf_top_terms": dict(pushed=False, broadcast=True, cartesian=True),
+    "benchmark_contamination": dict(pushed=True, broadcast=True, cartesian=False),
+    "vocab_doc_frequency": dict(pushed=False, broadcast=False, cartesian=False),
+    "corpus_to_shards_pipeline": dict(pushed=False, broadcast=True, cartesian=False),
+    "pack_docs_into_shards": dict(pushed=False, broadcast=True, cartesian=False),
+    "orders_lineitem_reconciliation": dict(pushed=False, broadcast=False, cartesian=False),
+    "profile_orders": dict(pushed=False, broadcast=False, cartesian=False),
+    "doc_chunks": dict(pushed=False, broadcast=False, cartesian=False),
+    "try_functions": dict(pushed=False, broadcast=False, cartesian=False),
+    "unpivot_order_metrics": dict(pushed=False, broadcast=False, cartesian=False),
+    "orders_per_day_densified": dict(pushed=False, broadcast=False, cartesian=True),
+    "variant_json_extract": dict(pushed=False, broadcast=False, cartesian=False),
+    "weighted_jaccard_adjacent": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 
