@@ -215,3 +215,38 @@ def test_weighted_jaccard_bounds_and_self_similarity(spark):
     )
     r2 = exact_weighted_jaccard(adj, tf).cache()
     assert r2.where((F.col("wjaccard") < 0) | (F.col("wjaccard") > 1)).count() == 0
+
+
+def test_multimodal_resize_and_frames_deterministic(spark):
+    """Resize and frame-sample stubs: deterministic across runs,
+    correct output shapes, frame offsets monotone within a media id."""
+    from zoom_spark.multimodal.binary_ops import (
+        resize_media,
+        sample_frames,
+        to_media_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = to_media_table(docs, "doc_id", "text", "image")
+
+    r1 = resize_media(media, width=4, height=4).cache()
+    assert r1.count() == 50
+    assert r1.where(F.length("content") != 16).count() == 0
+    r2 = resize_media(media, width=4, height=4)
+    assert r1.select("media_id", "content").subtract(
+        r2.select("media_id", "content")
+    ).count() == 0
+
+    fr = sample_frames(media, n_frames=4, frame_bytes=8).cache()
+    assert fr.count() == 200
+    assert fr.where(F.length("frame") > 8).count() == 0
+    # offsets non-decreasing in frame order per media id
+    from pyspark.sql import Window as W
+
+    prev = F.lag("frame_offset").over(
+        W.partitionBy("media_id").orderBy("frame_id")
+    )
+    bad = fr.withColumn("prev", prev).where(
+        F.col("prev").isNotNull() & (F.col("frame_offset") < F.col("prev"))
+    )
+    assert bad.count() == 0

@@ -118,3 +118,92 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     return media.select("media_id", "content", "media_type", "byte_len").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_stub(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: stride-samples the byte stream down
+    to width*height bytes (padding with zeros). Stands in for a PIL
+    `Image.resize`; the plumbing (binary in, binary out, metadata
+    columns) is what the engine owns."""
+    target = width * height
+    if not content:
+        return bytes(target)
+    step = max(1, len(content) // target)
+    out = bytes(content[i] for i in range(0, min(len(content), step * target), step))
+    return out[:target] + bytes(max(0, target - len(out)))
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """mapInPandas resize pass: one output row per media row with the
+    resized payload and output dims. Arrow moves the blobs; task
+    sizing is governed by bytes (maxPartitionBytes), not row count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": [width] * len(pdf),
+                    "out_height": [height] * len(pdf),
+                    "content": [
+                        resize_stub(bytes(c), width, height)
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """mapInPandas frame sampling (the video path): each media row
+    expands to n_frames rows at evenly spaced byte offsets — the same
+    1-to-N Arrow expansion a real keyframe extractor produces. Frame
+    payloads are slices of the source (deterministic stub for an
+    ffmpeg/pyav decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, offs, frames = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(c)
+                span = max(1, (len(data) - frame_bytes) // max(1, n_frames - 1))
+                for f in range(n_frames):
+                    off = min(f * span, max(0, len(data) - frame_bytes))
+                    ids.append(mid)
+                    fids.append(f)
+                    offs.append(off)
+                    frames.append(data[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_id": fids,
+                    "frame_offset": offs,
+                    "frame": frames,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
