@@ -514,3 +514,76 @@ def orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("price_mismatches"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "histogram_prices",
+    sql="""
+    WITH bounds AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets over the observed range) —
+    the profiling primitive behind skew detection and range-partition
+    planning. Bounds come from one broadcast scalar aggregate; bucket
+    assignment is a map-side expression; one aggregate shuffle on the
+    bucket id."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "rank_distributions",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+             AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice, o_orderkey), 6)
+             AS cume,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS quartile
+    FROM orders
+    """,
+)
+def rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist /
+    ntile) with a full deterministic ordering (price, key) so rank
+    values are engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
