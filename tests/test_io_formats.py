@@ -221,3 +221,39 @@ def test_permissive_json_isolates_corrupt_records(spark, tmp_path):
         spark.read.schema("id bigint, v double").option(
             "mode", "FAILFAST"
         ).json(str(p)).collect()
+
+
+def test_pandas_api_reindex_matches_conform(spark):
+    """pandas API on Spark runs the reference's LITERAL conformance
+    call — users.reindex(columns=contract) (/root/reference/main.py:65)
+    — distributed. It must agree with the engine's conform_schema
+    projection (P1): same columns, same order, same null-fill."""
+    import pyspark.pandas as ps
+
+    from zoom_spark.io import load_table
+    from zoom_spark.operators.conform import conform_schema
+
+    contract = [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_mktsegment", "string"),
+        ("missing_col", "string"),  # not in source -> nulls
+    ]
+    sdf = load_table(spark, SF_DIR, "customer")
+    via_engine = conform_schema(sdf, contract)
+
+    psdf = sdf.pandas_api()
+    via_ps = psdf.reindex(columns=[c for c, _ in contract]).to_spark()
+
+    assert via_ps.columns == via_engine.columns
+    # null-fill: the engine uses typed SQL NULL; pandas semantics fill
+    # NaN — both are "missing" in their own convention
+    assert via_engine.where(F.col("missing_col").isNotNull()).count() == 0
+    ps_missing = via_ps.where(
+        F.col("missing_col").isNotNull()
+        & ~F.isnan(F.col("missing_col").cast("double"))
+    )
+    assert ps_missing.count() == 0
+    a = via_engine.select("c_custkey", "c_name", "c_mktsegment")
+    b = via_ps.select("c_custkey", "c_name", "c_mktsegment")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
