@@ -163,7 +163,11 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
         F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.max_by(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000000
+            + F.col("o_orderkey"),
+        ).alias("priciest_order"),
     )
 
 
@@ -586,4 +590,83 @@ def rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "locf_gap_fill",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN round(value, 2) END
+               AS purchase_value
+      FROM events
+    )
+    SELECT user_id, event_id,
+           last_value(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS last_purchase_value
+    FROM marked
+    """,
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward (timeseries gap fill): every
+    event carries the user's most recent purchase value via
+    last_value(..., ignoreNulls) over an ordered frame — the standard
+    forward-fill before feature extraction. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.round("value", 2)).alias(
+            "purchase_value"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.last("purchase_value", ignorenulls=True).over(w).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+@register(
+    "boolean_aggregates",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+           CAST(max_by(o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+                       + o_orderkey) AS BIGINT) AS priciest_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family (count_if, bool_and,
+    bool_or, max_by) — single-pass partial+final hash aggregate.
+    max_by orders on a composite integer (price cents, then orderkey)
+    so a price tie cannot make the argmax engine-dependent."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent"),
+        F.max_by(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000000
+            + F.col("o_orderkey"),
+        ).alias("priciest_order"),
     )
