@@ -231,3 +231,22 @@ def test_prefix_sum_matches_single_partition_window(spark):
     for sid, t in tot.items():
         items = [r.w for r in rows if r.shard_id == sid]
         assert t <= 500 + max(items)
+
+
+def test_money_sums_invariant_to_shuffle_partitioning(spark):
+    """The decimal-cast money sums must produce IDENTICAL results
+    under different shuffle partition counts (different partial-agg
+    groupings and arrival orders) — the property that makes the
+    oracle hash stable and the answer trustworthy on any cluster
+    layout."""
+    from zoom_spark.queries.tpch_like import tpch_q1_pricing
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = {tuple(r) for r in tpch_q1_pricing(spark, SF_DIR).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        b = {tuple(r) for r in tpch_q1_pricing(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b
