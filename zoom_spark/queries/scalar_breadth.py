@@ -286,3 +286,47 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide("o_totalprice", F.col("o_custkey") % 5), 4
         ).alias("risky_ratio"),
     )
+
+
+@register(
+    "higher_order_arrays",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(list_aggregate(list_transform(toks, t -> length(t) > 6),
+                                   'bool_or'), false) AS has_long_token,
+           coalesce(list_aggregate(list_transform(toks, t -> length(t) >= 1),
+                                   'bool_and'), true) AS all_nonempty,
+           CAST(coalesce(list_aggregate(list_transform(toks, t -> length(t)),
+                                        'sum'), 0) AS BIGINT)
+             AS total_token_chars,
+           CAST(len(list_filter(toks, t -> t LIKE 's%')) AS BIGINT)
+             AS n_s_tokens
+    FROM t
+    """,
+)
+def higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (exists / forall / aggregate /
+    filter) — the lambda family that keeps per-row collection logic
+    JVM-side instead of in a Python UDF. All run inside one codegen
+    stage over the token array."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda t: F.length(t) > 6).alias("has_long_token"),
+        F.forall(toks, lambda t: F.length(t) >= 1).alias("all_nonempty"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("bigint").alias("total_token_chars"),
+        F.size(F.filter(toks, lambda t: t.startswith("s"))).cast("bigint").alias(
+            "n_s_tokens"
+        ),
+    )
