@@ -257,3 +257,50 @@ def test_pandas_api_reindex_matches_conform(spark):
     a = via_engine.select("c_custkey", "c_name", "c_mktsegment")
     b = via_ps.select("c_custkey", "c_name", "c_mktsegment")
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_sql_ddl_lifecycle_matches_reference_drop_then_load(spark):
+    """SQL DDL surface (S9/S10 in SQL form): the reference's
+    drop_table + recreate-on-load cycle (/root/reference/main.py:38-46)
+    as CREATE TABLE AS / INSERT INTO / DROP TABLE IF EXISTS over the
+    session catalog, with existence probes between steps."""
+    import shutil
+
+    from zoom_spark.io import load_table
+
+    spark.sql("DROP TABLE IF EXISTS zoom_users_ddl")
+    # a dropped table's directory can survive a previous session's
+    # in-memory catalog; CREATE refuses to reuse the location
+    shutil.rmtree("/root/repo/spark-warehouse/zoom_users_ddl", ignore_errors=True)
+    assert not spark.catalog.tableExists("zoom_users_ddl")
+
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("cust_src")
+    spark.sql(
+        """
+        CREATE TABLE zoom_users_ddl AS
+        SELECT c_custkey AS user_id, c_name AS user_name FROM cust_src
+        WHERE c_custkey <= 50
+        """
+    )
+    assert spark.catalog.tableExists("zoom_users_ddl")
+    src = load_table(spark, SF_DIR, "customer")
+    n1 = spark.sql("SELECT count(*) c FROM zoom_users_ddl").first().c
+    assert n1 == src.where(F.col("c_custkey") <= 50).count()
+
+    spark.sql(
+        """
+        INSERT INTO zoom_users_ddl
+        SELECT c_custkey, c_name FROM cust_src
+        WHERE c_custkey > 50 AND c_custkey <= 60
+        """
+    )
+    n_ins = src.where(
+        (F.col("c_custkey") > 50) & (F.col("c_custkey") <= 60)
+    ).count()
+    assert (
+        spark.sql("SELECT count(*) c FROM zoom_users_ddl").first().c == n1 + n_ins
+    )
+
+    # drop-then-reload resets the schema (reference main.py:39 docstring)
+    spark.sql("DROP TABLE IF EXISTS zoom_users_ddl")
+    assert not spark.catalog.tableExists("zoom_users_ddl")
