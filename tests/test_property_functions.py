@@ -289,3 +289,65 @@ def test_map_in_arrow_normalization_matches_jvm(spark):
     )
     assert diff.agg(F.max("max_abs_diff")).first()[0] < 1e-12
     assert via_arrow.count() == emb.count()
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("abcde XYZ.01")), min_size=0, max_size=400),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_chunking_reconstructs_text(spark, docs):
+    """Dropping each chunk's overlap prefix (after the first) and
+    concatenating must reproduce the original text exactly — chunking
+    loses nothing and invents nothing."""
+    from zoom_spark.functions.chunking import fixed_chunks
+
+    size, overlap, step = 120, 20, 100
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    rows = (
+        df.select(
+            "doc_id", "text", F.explode(fixed_chunks("text", size, overlap)).alias("c")
+        )
+        .select("doc_id", "text", "c.chunk_id", "c.chunk")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    originals: dict[int, str] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+        originals[r.doc_id] = r.text
+    for i, t in enumerate(docs):
+        if len(t) == 0:
+            assert i not in by_doc  # empty docs produce no chunks
+            continue
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == t
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=300),
+    st.integers(min_value=10, max_value=1000),
+)
+@settings(**SETTINGS)
+def test_prefix_sum_and_packing_match_python_reference(spark, weights, budget):
+    """Distributed prefix sum / shard packing vs a straight Python
+    cumsum on arbitrary weight sequences and budgets."""
+    from zoom_spark.operators.prefix import pack_by_budget
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "k bigint, w bigint"
+    )
+    got = {
+        r.k: (r.shard_id)
+        for r in pack_by_budget(df, "k", "w", budget=budget, num_partitions=7).collect()
+    }
+    cum = 0
+    for i, w in enumerate(weights):
+        assert got[i] == cum // budget
+        cum += w
