@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zoom_spark.functions.vectors import cosine
+from zoom_spark.functions.vectors import cosine_with_norms, norm
 
 
 def cosine_neardup_pairs(
@@ -26,21 +26,26 @@ def cosine_neardup_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     a = base.select(
         *(["blk"] if block_col else []),
         F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
     )
     b = base.select(
         *(["blk"] if block_col else []),
         F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
     )
     on = ["blk"] if block_col else None
     pairs = (a.join(b, on=on) if on else a.crossJoin(b)).where(
         F.col("id_a") < F.col("id_b")
     )
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    sim = F.round(
+        cosine_with_norms(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")), 6
+    )
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
         F.col("cosine_sim") >= threshold
     )

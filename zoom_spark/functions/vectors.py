@@ -28,3 +28,14 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     denom = norm(a) * norm(b)
     return F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
+
+
+def cosine_with_norms(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """cosine(va, vb) with the norms supplied as columns. Computing
+    norm(v) once per ROW before a pair join — instead of once per
+    PAIR inside it — cuts the pair-stage fold work 3× and is bitwise
+    identical (same ops over the same inputs, so rounded similarities
+    cannot move)."""
+    d = dot(va, vb)
+    denom = na * nb
+    return F.when(denom > 0, d / denom).otherwise(F.lit(0.0))

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from zoom_spark.functions.vectors import cosine, dot
+from zoom_spark.functions.vectors import cosine_with_norms, dot, norm
 
 
 def sample_centroids(
@@ -66,13 +66,16 @@ def _dots_to_unit_centroids(vec_col, centroids: list[list[float]]):
 def assign_cells(
     df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
 ) -> DataFrame:
-    """(id, vec, cell) — argmax over the similarity array, map-side
-    only. Ties break to the lowest cell index (array_position finds
-    the first occurrence)."""
+    """(id, vec, v_norm, cell) — argmax over the similarity array,
+    map-side only. Ties break to the lowest cell index
+    (array_position finds the first occurrence). The vector norm is
+    computed here, once per row, so the probe join's cosine never
+    re-folds it per pair."""
     sims = _dots_to_unit_centroids(F.col(vec_col), centroids)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("v_norm"),
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
     )
 
@@ -99,6 +102,7 @@ def probe_cells(
     return queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probes).alias("cell"),
     )
 
@@ -120,7 +124,12 @@ def ivf_topk(
     cells = assign_cells(corpus, vec_col, id_col, centroids)
     probes = probe_cells(queries, vec_col, id_col, centroids, n_probe)
     scored = probes.join(cells, on="cell").where(F.col("q_id") != F.col("id"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("vec")), 6)
+    sim = F.round(
+        cosine_with_norms(
+            F.col("q_vec"), F.col("vec"), F.col("q_norm"), F.col("v_norm")
+        ),
+        6,
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from zoom_spark.functions.vectors import cosine, dot
+from zoom_spark.functions.vectors import cosine_with_norms, dot, norm
 
 
 def brute_force_topk(
@@ -29,13 +29,22 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query (excluding self).
     Deterministic: rank by (rounded sim desc, neighbor id asc)."""
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
     )
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     scored = F.broadcast(q).crossJoin(c).where(F.col("q_id") != F.col("n_id"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    sim = F.round(
+        cosine_with_norms(
+            F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")
+        ),
+        6,
+    )
     return (
         scored.select("q_id", F.col("n_id").alias("neighbor_id"), sim.alias("cosine_sim"))
         .withColumn("rnk", F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))))
@@ -90,15 +99,22 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
         _rp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         _rp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = q.join(c, on="bucket").where(F.col("q_id") != F.col("n_id"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    sim = F.round(
+        cosine_with_norms(
+            F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")
+        ),
+        6,
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         scored.select("q_id", F.col("n_id").alias("neighbor_id"), sim.alias("cosine_sim"))
