@@ -39,7 +39,16 @@ def prefix_sum(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(order_col)
-    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    # MATERIALIZE before fanning out to two consumers (the totals
+    # collect and the final join): repartitionByRange samples its
+    # boundaries per execution, so re-evaluating `local` in each
+    # consumer can yield two DIFFERENT partitionings — offsets from
+    # one applied to the other corrupt the prefix. localCheckpoint
+    # freezes one partitioning for both reads (at warehouse scale:
+    # persist(DISK_ONLY) or a checkpoint dir).
+    local = ranged.withColumn(
+        "_local_cum", F.sum(value_col).over(w)
+    ).localCheckpoint()
     totals = (
         local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
     )

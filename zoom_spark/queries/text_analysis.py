@@ -166,7 +166,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(avg(n_tokens), 4) AS avg_tokens,
-           round(avg(q), 6) AS avg_quality
+           round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS avg_quality
     FROM kept GROUP BY source
     """,
 )
@@ -196,7 +197,13 @@ def docs_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("q"), 6).alias("avg_quality"),
+        # q is already 6-decimal, so the decimal sum is exact and the
+        # average cannot wobble on a rounding boundary across shuffle
+        # orders (avg(double) flaked at sf0.1: 0.717812 vs 0.717813)
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_quality"),
     )
 
 
