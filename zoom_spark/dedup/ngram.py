@@ -55,20 +55,74 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) within a blocking key whose
-    n-gram Jaccard >= threshold. Output: id_a, id_b, jaccard_sim."""
+    """Pairs (id_a < id_b) within a blocking key whose n-gram Jaccard
+    >= threshold. Output: id_a, id_b, jaccard_sim.
+
+    Candidate generation is EXACT prefix filtering (AllPairs/PPJoin
+    family, public set-similarity-join literature), not a blocked
+    cross join: J(A,B) >= t implies |A∩B| >= ceil(t·max(|A|,|B|)),
+    and two sorted sets sharing >= o elements must collide within
+    their first (size - o + 1) elements under ANY shared total order.
+    Ordering shingles by ascending GLOBAL frequency (rarest first)
+    makes those prefix postings nearly unique, so the posting join
+    emits ~linear candidates. The naive lang-blocked cross join
+    measured 395 s at sf0.1 (3M array intersections per block); this
+    path produces the IDENTICAL result (the filter is lossless for
+    the threshold) at a fraction of the pairs.
+
+    Pipeline: shingle+hash -> global frequency table -> per-doc
+    shingles sorted by (freq, hash) -> explode prefix postings ->
+    equi-join on (block, shingle) -> exact Jaccard verify.
+    """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
-        shingles(F.col(text_col), n).alias("sh"),
+        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    ).where(F.size("sh") > 0)
+
+    exploded = sh.select("id", "blk", F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count("*").alias("f"))
+    # per-doc shingle array re-assembled in (global freq, hash) order;
+    # this is one (doc, shingle) shuffle — linear in corpus size
+    ordered = (
+        exploded.join(freq, on="g")
+        .groupBy("id", "blk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "g"))),
+                lambda e: e["g"],
+            ).alias("sh")
+        )
     )
-    a = sh.select(
-        F.col("id").alias("id_a"), F.col("blk"), F.col("sh").alias("sh_a")
+    n_sh = F.size("sh")
+    prefix_len = (n_sh - F.ceil(n_sh * F.lit(float(threshold))) + 1).cast("int")
+    postings = ordered.select(
+        "id", "blk", F.explode(F.slice("sh", 1, prefix_len)).alias("g")
     )
-    b = sh.select(
-        F.col("id").alias("id_b"), F.col("blk"), F.col("sh").alias("sh_b")
+    cands = (
+        postings.select("blk", "g", F.col("id").alias("id_a"))
+        .join(postings.select("blk", "g", F.col("id").alias("id_b")), on=["blk", "g"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    pairs = a.join(b, on="blk").where(F.col("id_a") < F.col("id_b"))
+    sides = ordered.select("id", "sh").repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id"
+    )
+    pairs = (
+        cands.join(sides.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sides.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
+        # length-ratio filter (also implied by the threshold): skip
+        # the intersection when sizes alone rule the pair out
+        .where(
+            F.size("sh_b") * F.lit(float(threshold)) <= F.size("sh_a")
+        )
+        .where(
+            F.size("sh_a") * F.lit(float(threshold)) <= F.size("sh_b")
+        )
+    )
     sim = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
     return (
         pairs.select("id_a", "id_b", sim.alias("jaccard_sim"))
