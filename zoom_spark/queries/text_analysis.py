@@ -245,13 +245,19 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("winnow_fingerprints")  # xxhash64 is Spark-specific: rows-only
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (sorted distinct
-    kept-hash arrays) — higher-order functions only, no UDF; property
-    tests assert identical texts share fingerprints."""
+    """Winnowing-style rolling-hash fingerprints — higher-order
+    functions only, no UDF; property tests assert identical texts
+    share fingerprints.  The gated output explodes the internal
+    sorted-distinct hash array to scalar (doc_id, fp_hash) rows:
+    the driver canonicalizes results via a pandas sort, which cannot
+    hash list-valued cells (round-1 red row), and the exploded shape
+    is also what a 100 TB posting-list join would consume anyway.
+    explode_outer keeps empty-text docs as a NULL-hash row so the
+    doc universe stays auditable."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.rolling_hash_fingerprint("text").alias("fp_hashes"),
+        F.explode_outer(T.rolling_hash_fingerprint("text")).alias("fp_hash"),
     )
 
 
