@@ -168,6 +168,50 @@ def test_connected_components_merges_chains(spark):
     assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 99: 99}
 
 
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """Adversarial chain graph (diameter = n-1): the default
+    large-star/small-star path must converge in O(log n) rounds, not
+    the O(n) label propagation would need — THE scale property for
+    100 TB dup graphs with long transitive tails. 10k-node chain:
+    log2(10000) ~ 13.3; allow 2x slack for the alternation constant."""
+    import math
+
+    from zoom_spark.dedup.components import _star_contraction
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id as src", "id + 1 as dst")
+    edges, rounds = _star_contraction(pairs, n_parts=8, max_iter=60)
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, f"took {rounds} rounds"
+    # Converged star: every non-root node points straight at 0.
+    assert edges.where("dst != 0").count() == 0
+    assert edges.count() == n - 1
+
+
+def test_connected_components_star_label_agree(spark):
+    """Both algorithms are exact: identical (id, component) maps on a
+    mixed clique/chain/singleton-free graph with shuffled ids."""
+    from zoom_spark.dedup.components import connected_components
+
+    raw = (
+        # clique on {7, 13, 42}, chain 100..104, cross-link 42-104,
+        # isolated pair (5, 6), self-loop noise (9, 9)
+        [(7, 13), (13, 42), (7, 42)]
+        + [(i, i + 1) for i in range(100, 104)]
+        + [(42, 104), (5, 6), (9, 9)]
+    )
+    pairs = spark.createDataFrame(raw, ["id_a", "id_b"])
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    label = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="label").collect()
+    }
+    assert star == label
+    assert star[104] == 7 and star[100] == 7 and star[6] == 5 and star[9] == 9
+
+
 def test_weighted_minhash_captures_all_clones(spark, n_docs):
     from zoom_spark.queries.dedup_queries import weighted_minhash_dedup_docs
 

@@ -2,20 +2,34 @@
 canonical document ids (X2 final step: MinHash/SimHash/Jaccard
 emit PAIRS; groups need the transitive closure).
 
-Iterative min-label propagation: every node starts as its own
-component; each round, a node adopts the smallest label among itself
-and its neighbors; stop when no label changes. Converges in
-O(graph diameter) rounds — near-dup graphs are unions of small
-cliques, so the practical round count is 2-3. (The O(log n)
-large-star/small-star variant from the MapReduce literature drops in
-behind the same signature if adversarial chain-shaped graphs ever
-matter.)
+Two interchangeable algorithms behind one signature (both return
+(id, component) with component = min reachable id, so gated outputs
+are identical):
 
-Scale notes: each round is one shuffle (join on dst + groupBy src);
-labels are localCheckpoint()ed per round so the plan does not grow
-with iterations (lineage-truncation, the standard Spark idiom for
-iterative algorithms). Convergence check is a count of changed
-labels — one extra action per round on the (small) label frame.
+- ``algorithm="star"`` (default): alternating large-star/small-star
+  contraction from the MapReduce CC literature (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  paper, re-expressed here as DataFrame ops). Each round: large-star
+  hooks every node's larger neighbors onto the neighborhood minimum,
+  small-star hooks the smaller neighbors; the edge set converges to
+  per-component stars centered at the minimum id in O(log^2 n)
+  rounds worst-case (observed ~log n on chains, 2-3 on the clique
+  unions near-dup graphs actually look like). This is the 100 TB
+  path: round count is logarithmic in component DIAMETER-free terms,
+  not linear like label propagation on a chain.
+
+- ``algorithm="label"``: iterative min-label propagation, one shuffle
+  per round, O(diameter) rounds. Kept as the simple path for small /
+  clique-shaped graphs where diameter is 1-2 and per-round cost wins.
+
+Scale notes: every round's frames are localCheckpoint()ed so the plan
+does not grow with iterations (lineage truncation, the standard Spark
+idiom for iterative algorithms). Convergence is detected with a
+(count, hash-sum) checksum of the edge set — one cheap action per
+round; a checksum collision would only cost one extra (idempotent)
+round. Star rounds shuffle the EDGE set only (never the documents),
+and the edge frame shrinks monotonically toward one edge per
+non-root node.
 """
 
 from __future__ import annotations
@@ -24,23 +38,112 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}).  Emitted edges always point high -> low, so the
+    component minimum only spreads downhill."""
+    sym = _symmetrize(edges)
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("mn"))
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .coalesce(n_parts)
+    )
+
+
+def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
+    """Orient every edge (max, min); for each center u connect u and
+    all its (smaller) neighbors to the neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    nbrs = oriented.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("mn").alias("dst")
+    )
+    centers = mins.select("src", F.col("mn").alias("dst"))
+    return (
+        nbrs.union(centers)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .coalesce(n_parts)
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple:
+    # decimal sum: immune to ANSI long-overflow on the hash aggregate
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _star_contraction(
+    sym: DataFrame, n_parts: int, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the edge set is stable.
+    Returns (converged high->low edge set, rounds used)."""
+    edges = sym.where(F.col("src") != F.col("dst")).distinct().coalesce(n_parts)
+    edges = edges.localCheckpoint()
+    prev = _checksum(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        edges = _small_star(_large_star(edges, n_parts), n_parts).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    return edges, rounds
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(id, component) for every node appearing in `pairs`; component
     is the minimum node id reachable through the pair graph."""
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    # The label frame is (node, component) — tiny relative to the data
-    # that produced the pairs. Sizing its partition count to the frame
-    # (not the session shuffle default) keeps each iteration's jobs
-    # from paying 32 near-empty tasks per round; at real scale this
-    # would be ~nodes/target_rows_per_task instead of a constant.
+    # The working frames are (node, node) pairs — tiny relative to the
+    # data that produced them. Sizing their partition count to the
+    # frame (not the session shuffle default) keeps each iteration's
+    # jobs from paying 32 near-empty tasks per round; at real scale
+    # this would be ~edges/target_rows_per_task instead of a constant.
     n_parts = max(2, min(8, sym.sparkSession.sparkContext.defaultParallelism))
+    if algorithm == "star":
+        edges, _ = _star_contraction(sym, n_parts, max_iter)
+        # Converged edge set is a star per component: (member, min).
+        # Roots and singletons are their own component.
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+        members = edges.select(
+            F.col("src").alias("id"), F.col("dst").alias("component")
+        )
+        roots = nodes.join(members, "id", "left_anti").withColumn(
+            "component", F.col("id")
+        )
+        return members.union(roots).coalesce(n_parts)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
