@@ -212,6 +212,44 @@ def test_connected_components_star_label_agree(spark):
     assert star[104] == 7 and star[100] == 7 and star[6] == 5 and star[9] == 9
 
 
+def test_embedding_lsh_captures_thresholded_pairs(spark):
+    """The unblocked LSH default must find every pair the O(n^2)
+    referee finds at threshold 0.95 on a planted-dup fixture (exact
+    clones via scaling + near-clones via one perturbed coordinate),
+    with zero spurious pairs (verify stage is exact)."""
+    from zoom_spark.dedup.embedding import cosine_neardup_pairs
+    from zoom_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    clones = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x * 3.0).alias("v"),
+    )
+    near = emb.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 2 * DUP_OFFSET).alias("vec_id"),
+        # nudge one coordinate: cosine stays ~0.99+, no longer exact
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + 0.01).otherwise(x)
+        ).alias("v"),
+    )
+    aug = emb.unionByName(clones).unionByName(near)
+    kw = dict(vec_col="v", id_col="vec_id", threshold=0.95, dim=64)
+    lsh = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in cosine_neardup_pairs(aug, **kw).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in cosine_neardup_pairs(aug, **kw, exact_all_pairs=True).collect()
+    }
+    assert exact, "fixture planted no qualifying pairs"
+    assert lsh == exact, (
+        f"missed {len(exact - lsh)}, spurious {len(lsh - exact)}"
+    )
+
+
 def test_weighted_minhash_captures_all_clones(spark, n_docs):
     from zoom_spark.queries.dedup_queries import weighted_minhash_dedup_docs
 
