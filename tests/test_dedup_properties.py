@@ -84,6 +84,44 @@ def test_lsh_knn_results_are_true_cosines_and_overlap_bruteforce(spark):
     assert hits.where(F.col("cosine_sim") != F.col("sim_match")).count() == 0
 
 
+def test_multiprobe_lsh_recall_on_planted_neighbors(spark):
+    """Multi-probe LSH must recover >= 0.9 of planted true nearest
+    neighbors (cos ~ 0.947 perturbed copies) while probing only
+    37/256 buckets (~14% of the corpus) — and single-bucket probing
+    on the same fixture must do materially worse, proving the recall
+    is earned by Hamming-adjacent probing, not by bucket luck.
+    Everything is deterministic (fixed planes, fixed fixture), so the
+    measured recalls are exact replays, not flaky samples."""
+    from zoom_spark.similarity.knn import lsh_bucketed_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qs = emb.select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + 0.06 * F.sin(F.col("vec_id") * (i + F.lit(1)))
+        ).alias("v"),
+    )
+    n_q = qs.count()
+
+    def planted_recall(multi_probe: int) -> float:
+        res = lsh_bucketed_topk(
+            emb, qs, vec_col="v", id_col="vec_id",
+            dim=64, k=5, n_planes=8, multi_probe=multi_probe,
+        )
+        hits = res.where(
+            F.col("neighbor_id") == F.col("q_id") - DUP_OFFSET
+        ).count()
+        return hits / n_q
+
+    r2 = planted_recall(2)
+    r0 = planted_recall(0)
+    assert r2 >= 0.9, f"multi-probe recall too low: {r2:.3f}"
+    assert r0 < 0.6, f"single-bucket baseline suspiciously high: {r0:.3f}"
+    assert r2 > r0 + 0.25, f"probing added too little: {r0:.3f} -> {r2:.3f}"
+
+
 def test_multimodal_features_deterministic_and_shaped(spark):
     from zoom_spark.queries.multimodal_queries import multimodal_features
 

@@ -80,6 +80,24 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return planes
 
 
+def _probe_buckets(bucket, n_planes: int, radius: int):
+    """The query's own bucket plus every bucket within Hamming
+    distance `radius` of it (multi-probe LSH, Lv et al. VLDB'07:
+    near-miss buckets differ in the sign bits whose projections were
+    closest to zero; probing all r-flips is the rank-free variant).
+    Driver-side combinatorics only — the column expression is a
+    literal XOR fan-out, and the join stays an equi-join."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return F.array(
+        *[bucket.bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -90,11 +108,17 @@ def lsh_bucketed_topk(
     k: int = 5,
     n_planes: int = 4,
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's hyperplane
-    bucket. Recall < 1 by design; property tests check overlap vs
-    brute force. Join is an equi-join on bucket — shuffle-partitioned,
-    no cross product."""
+    bucket, plus Hamming-adjacent buckets when ``multi_probe`` > 0
+    (radius of sign-bit flips to probe — each flip trades one more
+    bucket-sized scan per query for recall; the candidate set stays
+    O(probes * corpus / 2^n_planes) vs the brute-force O(corpus)).
+    Property tests check overlap vs brute force. Join is an equi-join
+    on bucket — shuffle-partitioned, no cross product; each corpus row
+    lives in exactly ONE bucket so probing never duplicates a
+    (query, candidate) pair and needs no dedup."""
     planes = make_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("n_id"),
@@ -108,6 +132,15 @@ def lsh_bucketed_topk(
         norm(F.col(vec_col)).alias("q_norm"),
         _rp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if multi_probe > 0:
+        q = q.select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            F.explode(
+                _probe_buckets(F.col("bucket"), n_planes, multi_probe)
+            ).alias("bucket"),
+        )
     scored = q.join(c, on="bucket").where(F.col("q_id") != F.col("n_id"))
     sim = F.round(
         cosine_with_norms(
