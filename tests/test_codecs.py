@@ -1,0 +1,118 @@
+"""Roundtrip + robustness tests for the pure-Python media codecs
+(X5 honest-decode path): what the oracle-gated query deliberately
+excludes (float sample statistics, malformed inputs, header
+tolerance) is proven here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from zoom_spark.multimodal.codecs import (
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    synth_ppm_bytes,
+    synth_wav_bytes,
+)
+
+
+def test_wav_roundtrip_mono():
+    sr, n = 8000, 500
+    # 400 Hz at 8 kHz over 500 samples = exactly 25 cycles, so the
+    # mean cancels and rms hits amp/sqrt(2) up to quantization
+    samples = [0.5 * math.sin(2 * math.pi * 400 * i / sr) for i in range(n)]
+    d = decode_wav(encode_wav(samples, sr, 1))
+    assert d["n_channels"] == 1 and d["sample_rate"] == sr and d["n_units"] == n
+    # sine rms = amp/sqrt(2); quantization moves it < 1e-3
+    assert abs(d["rms_val"] - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(d["mean_val"]) < 1e-3
+    assert abs(d["peak_val"] - 0.5) < 1e-2
+
+
+def test_wav_roundtrip_stereo_interleave():
+    sr = 11025
+    frames = 100
+    # L channel constant +0.25, R channel constant -0.25
+    samples = []
+    for _ in range(frames):
+        samples.extend([0.25, -0.25])
+    d = decode_wav(encode_wav(samples, sr, 2))
+    assert d["n_channels"] == 2 and d["n_units"] == frames
+    assert abs(d["mean_val"]) < 1e-4  # channels cancel
+    assert abs(d["rms_val"] - 0.25) < 1e-3
+
+
+def test_wav_tolerates_extra_chunks():
+    raw = bytearray(encode_wav([0.1, -0.1, 0.2], 8000, 1))
+    # splice a LIST chunk (odd length -> exercises word-align padding)
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = bytes(raw[:12]) + extra + bytes(raw[12:])
+    # fix RIFF size
+    spliced = (
+        spliced[:4]
+        + (len(spliced) - 8).to_bytes(4, "little")
+        + spliced[8:]
+    )
+    d = decode_wav(spliced)
+    assert d["n_units"] == 3 and d["sample_rate"] == 8000
+
+
+def test_wav_rejects_garbage_and_nonpcm():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    raw = bytearray(encode_wav([0.0] * 4, 8000, 1))
+    raw[20] = 3  # audio_format -> IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(raw))
+
+
+def test_ppm_roundtrip_exact_sums():
+    w, h = 5, 3
+    rgb = [((x * 17) % 256, (y * 31) % 256, (x + y) % 256) for y in range(h) for x in range(w)]
+    d = decode_ppm(encode_ppm(w, h, rgb))
+    assert (d["width"], d["height"], d["maxval"], d["n_units"]) == (w, h, 255, w * h)
+    assert d["sum_pixels"] == sum(sum(px) for px in rgb)
+    assert abs(d["mean_r"] - sum(p[0] for p in rgb) / (w * h) / 255.0) < 1e-12
+
+
+def test_ppm_header_comments_and_whitespace():
+    body = bytes(v for px in [(1, 2, 3), (4, 5, 6)] for v in px)
+    raw = b"P6\n# a comment\n  2 1\n# another\n255\n" + body
+    d = decode_ppm(raw)
+    assert (d["width"], d["height"], d["sum_pixels"]) == (2, 1, 21)
+
+
+def test_ppm_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+
+
+def test_synth_fixture_matches_closed_form():
+    """The synthesized payloads decode to exactly the header fields
+    the oracle SQL derives from the id (the gated query's contract),
+    and byte lengths match the closed forms."""
+    for seed in [0, 2, 10, 96]:  # even -> wav
+        d = decode_wav(synth_wav_bytes(seed))
+        assert d["n_channels"] == 1 + (seed // 2) % 2
+        assert d["sample_rate"] == 8000 + 1000 * ((seed // 2) % 4)
+        assert d["n_units"] == 200 + (seed // 2) % 50
+        assert len(synth_wav_bytes(seed)) == 44 + 2 * d["n_channels"] * d["n_units"]
+    for seed in [1, 3, 11, 95]:  # odd -> ppm
+        w, h = 8 + seed % 9, 6 + seed % 7
+        raw = synth_ppm_bytes(seed)
+        d = decode_ppm(raw)
+        assert (d["width"], d["height"]) == (w, h)
+        assert len(raw) == 9 + len(str(w)) + len(str(h)) + 3 * w * h
+        assert d["sum_pixels"] == sum(
+            (x * 7 + y * 3 + seed) % 256
+            + (x * 5 + y * 11 + 2 * seed) % 256
+            + (x * 13 + y + 3 * seed) % 256
+            for y in range(h)
+            for x in range(w)
+        )

@@ -2,13 +2,14 @@
 binary columns + typed metadata, with decode/feature-extraction as
 Arrow-batched mapInPandas stages.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): `decode_stub` produces a deterministic fake feature
-vector from the bytes; `decode_real` raises NotImplementedError with
-the integration point documented. The Spark-side plumbing — binary
-schema, partition sizing, UDF signature, Arrow batch shape — is real
-and tested; swapping the stub for PIL/ffmpeg is a one-function
-change.
+Decoding is REAL for WAV (RIFF/PCM) and PPM (P6) via the pure-Python
+codecs in codecs.py — `decode_media` parses genuine container bytes
+and its outputs are oracle-gated (multimodal_decode_wav_ppm).
+Formats whose codecs need PIL/soundfile/pyav (JPEG, PNG, MP3, MP4)
+still raise from `decode_real`; `decode_stub` remains as the
+deterministic fake for plumbing tests of arbitrary payloads. The
+Spark-side plumbing — binary schema, partition sizing, UDF
+signature, Arrow batch shape — is identical for both.
 
 At 100 TB: binary payloads dominate partition size, so
 spark.sql.files.maxPartitionBytes (not row count) governs task
@@ -86,12 +87,23 @@ def decode_stub(content: bytes, media_type: str, n_features: int = 8) -> list[fl
     ]
 
 
-def decode_real(content: bytes, media_type: str) -> list[float]:
-    """Integration point for real decoders (PIL for image, soundfile
-    for audio, pyav for video). Not available in this container."""
+def decode_real(content: bytes, media_type: str) -> dict:
+    """Real byte-level decoding for the formats parseable with the
+    standard library alone: RIFF/WAVE PCM (`audio/wav`) and binary
+    PPM (`image/ppm`) — see codecs.py.  Formats that require PIL /
+    soundfile / pyav (JPEG, PNG, MP3, MP4) still raise: their codecs
+    are not reimplementable here and arrive with those libraries in a
+    real deployment."""
+    from zoom_spark.multimodal.codecs import decode_ppm, decode_wav
+
+    if media_type == "audio/wav":
+        return decode_wav(content)
+    if media_type == "image/ppm":
+        return decode_ppm(content)
     raise NotImplementedError(
-        "real media decoding requires image/audio libraries not present "
-        "in this environment; use decode_stub (deterministic fake)"
+        f"no pure-Python decoder for {media_type!r}; JPEG/PNG/MP3/MP4 "
+        "require image/audio libraries not present in this environment "
+        "(use decode_stub for plumbing tests)"
     )
 
 
@@ -117,6 +129,94 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
 
     return media.select("media_id", "content", "media_type", "byte_len").mapInPandas(
         run, schema=FEATURE_SCHEMA
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_units", LongType()),
+        StructField("sum_pixels", LongType()),
+        StructField("rms_val", DoubleType()),
+    ]
+)
+
+
+def synthesize_media_fixture(ids: DataFrame, id_col: str) -> DataFrame:
+    """Executor-side media synthesis: even ids encode a sine-burst
+    WAV, odd ids a gradient PPM (deterministic per id — see
+    codecs.synth_*).  Emits (media_id, content, media_type) with real
+    container bytes; at scale this stage is the 'fetch blobs' scan
+    and the synthesis stands in for object-store reads."""
+    from zoom_spark.multimodal.codecs import synth_ppm_bytes, synth_wav_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(i) for i in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_,
+                    "content": [
+                        synth_wav_bytes(i) if i % 2 == 0 else synth_ppm_bytes(i)
+                        for i in ids_
+                    ],
+                    "media_type": [
+                        "audio/wav" if i % 2 == 0 else "image/ppm" for i in ids_
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return ids.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, schema=schema
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: parses each row's container bytes
+    with the format's pure-Python codec (decode_real dispatch) and
+    emits typed per-format fields (NULL where inapplicable).  This is
+    the honest counterpart of extract_features' stub path — header
+    fields and statistics come from actually walking the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c, mt in zip(
+                pdf["media_id"], pdf["content"], pdf["media_type"]
+            ):
+                raw = bytes(c)
+                d = decode_real(raw, mt)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": mt,
+                        "byte_len": len(raw),
+                        "n_channels": d.get("n_channels"),
+                        "sample_rate": d.get("sample_rate"),
+                        "width": d.get("width"),
+                        "height": d.get("height"),
+                        "n_units": d["n_units"],
+                        "sum_pixels": d.get("sum_pixels"),
+                        "rms_val": d.get("rms_val"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
+
+    return media.select("media_id", "content", "media_type").mapInPandas(
+        run, schema=DECODED_SCHEMA
     )
 
 
