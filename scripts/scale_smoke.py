@@ -1,0 +1,114 @@
+"""sf1-scale smoke for the quadratic-tail suspects (VERDICT r1 #7):
+`ngram_jaccard_dups`, `minhash_dedup_docs`, `canonical_doc_ids`.
+
+Synthesizes a ~10x upscale of sf0.1's documents table (each doc
+replicated 10x with a per-replica suffix token — near-duplicates with
+distinct ids, the realistic dup-clique shape), times each suspect at
+sf0.1 and at the upscale, and reports the wall-time ratio vs the 10x
+row ratio.  A query whose ratio is far above the row ratio has a
+super-linear tail (candidate blowup, all-pairs leak, O(n) rounds).
+
+Writes BENCH_NOTES.md at the repo root.  Usage:
+    python scripts/scale_smoke.py [replication=10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import QUERIES
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_smoke/sf1"
+SUSPECTS = ["ngram_jaccard_dups", "minhash_dedup_docs", "canonical_doc_ids"]
+
+
+def build_upscale(spark: SparkSession, replication: int) -> int:
+    docs = load_table(spark, SRC, "documents")
+    reps = spark.range(replication).withColumnRenamed("id", "rep")
+    up = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 100_000).alias("doc_id"),
+            # replica 0 keeps the original text; others append a
+            # variant token -> near-duplicates, not exact clones
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit(" variant"), F.col("rep").cast("string")))
+            .alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    up.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
+    # the suspects only read documents; symlink the rest for load_table
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        link = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    return up.count()
+
+
+def time_query(name: str, spark: SparkSession, sf_dir: str) -> tuple[float, int]:
+    t0 = time.time()
+    n = QUERIES[name](spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    replication = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    os.makedirs(DST, exist_ok=True)
+    n_up = build_upscale(spark, replication)
+    results = {}
+    for name in SUSPECTS:
+        t_base, n_base = time_query(name, spark, SRC)
+        t_up, n_out = time_query(name, spark, DST)
+        ratio = t_up / t_base if t_base > 0 else float("inf")
+        results[name] = {
+            "sf0.1_sec": round(t_base, 2),
+            "upscale_sec": round(t_up, 2),
+            "time_ratio": round(ratio, 2),
+            "row_ratio": replication,
+            "upscale_out_rows": n_out,
+            "superlinear": ratio > replication * 1.5,
+        }
+        print(json.dumps({name: results[name]}))
+    lines = [
+        "# BENCH NOTES — upscale smoke (quadratic-tail suspects)",
+        "",
+        f"Upscale: sf0.1 documents x{replication} near-dup replicas "
+        f"({n_up} rows), local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]. "
+        "A healthy query's time_ratio stays near the row ratio "
+        f"({replication}x) — shuffle growth allows up to ~1.5x over it.",
+        "",
+        "| query | sf0.1 s | upscale s | time ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        verdict = "SUPER-LINEAR" if r["superlinear"] else "ok (≲ linear + shuffle)"
+        lines.append(
+            f"| {name} | {r['sf0.1_sec']} | {r['upscale_sec']} | "
+            f"{r['time_ratio']}x vs {r['row_ratio']}x rows | {verdict} |"
+        )
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_NOTES.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH_NOTES.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
