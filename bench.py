@@ -50,6 +50,14 @@ HEADLINE = [
     "sessionize_events_sql",   # lag-gap sessionization
     "tfidf_top_terms",         # tf-idf ranking over corpus
     "corpus_to_shards_pipeline",  # composed pass incl. prefix-sum packing
+    # round 2 additions
+    "embedding_neardup_lsh",   # banded hyperplane-LSH near-dup (no crossJoin)
+    "canonical_ids_chained",   # star CC on chain graph (oracle-hashed)
+    "multimodal_decode_wav_ppm",  # real WAV/PPM decode via mapInPandas
+    "recursive_tree_depth",    # ANSI WITH RECURSIVE (UnionLoop)
+    "weighted_sample_docs",    # A-ES weighted sampling (TakeOrdered)
+    "unigram_logprob_quality", # unigram-LM quality filter (2-pass join)
+    "pii_redaction",           # regex scrub pass (codegen'd)
 ]
 
 

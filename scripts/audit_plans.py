@@ -89,6 +89,16 @@ EXPECTATIONS = {
     "orders_per_day_densified": dict(pushed=False, broadcast=False, cartesian=True),
     "variant_json_extract": dict(pushed=False, broadcast=False, cartesian=False),
     "weighted_jaccard_adjacent": dict(pushed=False, broadcast=False, cartesian=False),
+    # round 2 queries
+    "embedding_neardup_lsh": dict(pushed=False, broadcast=False, cartesian=False),
+    "canonical_ids_chained": dict(pushed=False, broadcast=False, cartesian=False),
+    "multimodal_decode_wav_ppm": dict(pushed=False, broadcast=False, cartesian=False),
+    "weighted_sample_docs": dict(pushed=False, broadcast=False, cartesian=False),
+    "pii_redaction": dict(pushed=False, broadcast=False, cartesian=False),
+    # vocab-total scalar is a 1-row broadcast by design
+    "unigram_logprob_quality": dict(pushed=False, broadcast=True, cartesian=True),
+    "url_domain_stats": dict(pushed=False, broadcast=False, cartesian=False),
+    "label_centroids": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

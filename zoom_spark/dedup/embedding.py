@@ -75,17 +75,54 @@ def lsh_candidate_pairs(
     posexplode to (band_id, bucket) posting rows and a self equi-join
     — the exact MinHash banding shape, reused for cosine space."""
     planes = make_hyperplanes(dim, n_bands * band_bits, seed)
-    buckets = F.array(
-        *[
-            _rp_bucket(
-                F.col("v"), planes[b * band_bits : (b + 1) * band_bits]
-            )
-            for b in range(n_bands)
-        ]
+    # The planes travel as broadcast DATA (one row), not as literal
+    # expression nodes: n_bands*band_bits*dim literals made Catalyst
+    # analysis+codegen the dominant cost (~7 s fixed per query) and
+    # the generated method exceeded JIT-friendly size.  As data, the
+    # expression is three small higher-order loops.
+    planes_df = df.sparkSession.createDataFrame(
+        [(planes,)], schema="planes array<array<double>>"
     )
-    bk = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).select("id", F.posexplode(buckets).alias("band_id", "bucket"))
+    v = F.col("v")
+    projs = F.transform(
+        F.col("planes"),
+        lambda p: F.aggregate(
+            F.zip_with(p, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # Bind projs ONCE via the array/element_at trick: HOF lambdas
+    # re-inline every reference to an outer expression (round-1
+    # 40x-slowdown lesson), and per-band slice() would otherwise
+    # recompute all projections n_bands times per row.
+    buckets = F.element_at(
+        F.transform(
+            F.array(projs),
+            lambda pr: F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.aggregate(
+                    F.slice(pr, b * band_bits + 1, band_bits),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc * 2
+                    + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)),
+                ),
+            ),
+        ),
+        1,
+    )
+    bk = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(planes_df))
+        .select("id", F.posexplode(buckets).alias("band_id", "bucket"))
+    )
+    # Materialize the posting frame before the self-join: both sides
+    # otherwise re-run the full projection pass (the renames defeat
+    # ReuseExchange here — AQE broadcasts one side, so the subtrees
+    # never match).  The frame is (id, band, bucket) longs — ~3 words
+    # per doc per band, cheap to hold even at corpus scale, and the
+    # projection pass it saves is the expensive part.
+    bk = bk.localCheckpoint()
     a = bk.select("band_id", "bucket", F.col("id").alias("id_a"))
     b = bk.select("band_id", "bucket", F.col("id").alias("id_b"))
     return (
