@@ -99,12 +99,16 @@ def _star_contraction(
     """Alternate large-star/small-star until the edge set is stable.
     Returns (converged high->low edge set, rounds used)."""
     edges = sym.where(F.col("src") != F.col("dst")).distinct().coalesce(n_parts)
-    edges = edges.localCheckpoint()
+    # lazy checkpoints: the checksum action right after materializes
+    # them, so each round runs ONE job instead of two
+    edges = edges.localCheckpoint(eager=False)
     prev = _checksum(edges)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        edges = _small_star(_large_star(edges, n_parts), n_parts).localCheckpoint()
+        edges = _small_star(_large_star(edges, n_parts), n_parts).localCheckpoint(
+            eager=False
+        )
         cur = _checksum(edges)
         if cur == prev:
             break
