@@ -46,4 +46,5 @@ from zoom_spark.queries import agg_breadth  # noqa: E402,F401
 from zoom_spark.queries import corpus_stats  # noqa: E402,F401
 from zoom_spark.queries import recursive_queries  # noqa: E402,F401
 from zoom_spark.queries import llm_pipeline  # noqa: E402,F401
+from zoom_spark.queries import warehouse_ops  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401

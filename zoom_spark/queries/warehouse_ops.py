@@ -1,0 +1,199 @@
+"""Warehouse-scale operational patterns, round 2 widening:
+mergeable HLL sketches, incremental aggregate maintenance, funnel
+analysis, and Z-order layout keys.
+
+These are the patterns that distinguish a 100 TB engine from a
+laptop one: distinct counts that MERGE instead of reshuffling raw
+ids, aggregates maintained from deltas instead of recomputed, and
+file-layout keys that let scans prune multi-dimensionally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+@register("hll_distinct_users")  # Datasketches HLL != DuckDB's sketch: rows-only
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    F.hll_sketch_agg): per-event-type sketches are built with map-side
+    partial aggregation, then UNIONED into a global estimate without
+    ever shuffling raw user_ids — the 100 TB distinct-count idiom
+    (a re-aggregatable rollup cube stores the sketch, not the ids).
+    DuckDB's approx_distinct uses a different sketch so there is no
+    value oracle; the property test bounds both estimates against the
+    exact count (HLL lgK=12 -> ~1.6% relative error)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    ).unionByName(
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        ).select(
+            F.lit("__all__").alias("event_type"),
+            "est_users",
+            F.lit(None).cast("long").alias("exact_users"),
+        )
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    sql="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer
+    rollup is split into a 'materialized' partition (orders before a
+    watermark date) and a 'delta' (at/after it); each side aggregates
+    independently and the partial states MERGE by summing — count and
+    sum are decomposable, so maintenance cost is O(delta), never a
+    full recompute.  The oracle IS the full recompute over all
+    orders: merged-partials == recomputed proves the maintenance
+    algebra exact (decimal sums, so no float merge drift)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wm = F.to_date(F.lit("1996-01-01"))
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend"),
+        )
+
+    merged = (
+        partial(orders.where(F.col("o_orderdate") < wm))
+        .unionByName(partial(orders.where(F.col("o_orderdate") >= wm)))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_spend").cast("decimal(38,2)").alias("total_spend"),
+        )
+    )
+    return merged
+
+
+@register(
+    "funnel_signup_purchase",
+    sql="""
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(count(t_view) AS BIGINT) AS step_view,
+      CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS step_click,
+      CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                 THEN 1 END) AS BIGINT) AS step_purchase
+    FROM steps
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): one hash aggregate
+    collapses each user's history to first-touch timestamps per step
+    (min-CASE pivots — no self-joins, no window sort), then a single
+    reduce counts users completing each prefix IN ORDER.  The classic
+    product-analytics query, shaped so 100 TB of events costs one
+    shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("step_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("step_purchase"),
+    )
+
+
+@register(
+    "zorder_layout_keys",
+    sql="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS xk,
+             CAST(floor(o_totalprice / 1000.0) AS BIGINT) % 1024 AS yk
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, xk, yk,
+             CAST(list_sum(list_transform(generate_series(0, 9),
+               i -> (((xk // CAST(pow(2, i) AS BIGINT)) % 2)
+                       * CAST(pow(2, 2*i) AS BIGINT))
+                  + (((yk // CAST(pow(2, i) AS BIGINT)) % 2)
+                       * CAST(pow(2, 2*i + 1) AS BIGINT))))
+             AS BIGINT) AS zkey
+      FROM keyed
+    )
+    SELECT o_orderkey, xk, yk, zkey
+    FROM z ORDER BY zkey, o_orderkey LIMIT 100
+    """,
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (custkey, price-bucket):
+    interleaves 10 bits of each dimension with pure higher-order
+    expressions — the clustering key a 100 TB table would
+    repartitionByRange + sortWithinPartitions on before writing, so
+    scans filtering on EITHER dimension prune files (multi-dim
+    data skipping, the Delta/Iceberg OPTIMIZE ZORDER idiom).  Gated
+    on the key computation + global order (TakeOrderedAndProject);
+    the write-side layout is exercised in tests."""
+    keyed = zorder_keyed_orders(spark, sf_dir)
+    return keyed.orderBy("zkey", "o_orderkey").limit(100)
+
+
+def morton_key(x, y, bits: int = 10):
+    """Interleave `bits` low bits of two non-negative long columns
+    into a Z-order key — pure higher-order fold, no UDF."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (x / F.pow(F.lit(2.0), i.cast("double")).cast("long")).cast("long") % 2
+        * F.pow(F.lit(2.0), (2 * i).cast("double")).cast("long")
+        + (y / F.pow(F.lit(2.0), i.cast("double")).cast("long")).cast("long") % 2
+        * F.pow(F.lit(2.0), (2 * i + 1).cast("double")).cast("long"),
+    )
+
+
+def zorder_keyed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full keyed table (no top-k): what a layout job would
+    repartitionByRange + sortWithinPartitions on before writing."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("xk"),
+        (F.floor(F.col("o_totalprice") / 1000.0).cast("long") % 1024).alias("yk"),
+    )
+    return keyed.withColumn("zkey", morton_key(F.col("xk"), F.col("yk")))
