@@ -99,6 +99,11 @@ EXPECTATIONS = {
     "unigram_logprob_quality": dict(pushed=False, broadcast=True, cartesian=True),
     "url_domain_stats": dict(pushed=False, broadcast=False, cartesian=False),
     "label_centroids": dict(pushed=False, broadcast=False, cartesian=False),
+    "hll_distinct_users": dict(pushed=False, broadcast=False, cartesian=False),
+    "incremental_agg_maintenance": dict(pushed=False, broadcast=False, cartesian=False),
+    "funnel_signup_purchase": dict(pushed=False, broadcast=False, cartesian=False),
+    "zorder_layout_keys": dict(pushed=False, broadcast=False, cartesian=False),
+    "fuzzy_part_matches": dict(pushed=False, broadcast=True, cartesian=False),
 }
 
 

@@ -173,6 +173,57 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy("zkey", "o_orderkey").limit(100)
 
 
+@register(
+    "fuzzy_part_matches",
+    sql="""
+    WITH named AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM named a JOIN named b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: near-identical part names
+    (typo-level variants) found with BLOCKED pairwise Levenshtein —
+    the block key (last name token) turns the O(n^2) comparison into
+    per-block quadratic work on small groups, the standard record-
+    linkage shape.  levenshtein() is JVM-side on Spark and native in
+    DuckDB, so the whole match set is oracle-hashed."""
+    part = load_table(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    a = named.select(
+        F.col("blk"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = named.select(
+        F.col("blk"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, on="blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(dist <= 2)
+        .select(
+            "key_a", "key_b", "name_a", "name_b",
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
+
+
 def morton_key(x, y, bits: int = 10):
     """Interleave `bits` low bits of two non-negative long columns
     into a Z-order key — pure higher-order fold, no UDF."""
