@@ -104,6 +104,7 @@ EXPECTATIONS = {
     "funnel_signup_purchase": dict(pushed=False, broadcast=False, cartesian=False),
     "zorder_layout_keys": dict(pushed=False, broadcast=False, cartesian=False),
     "fuzzy_part_matches": dict(pushed=False, broadcast=True, cartesian=False),
+    "multimodal_resize_ppm": dict(pushed=True, broadcast=False, cartesian=False),
 }
 
 

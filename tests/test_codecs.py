@@ -116,3 +116,31 @@ def test_synth_fixture_matches_closed_form():
             for y in range(h)
             for x in range(w)
         )
+
+
+def test_ppm_resize_real_nearest_neighbor():
+    """resize_ppm samples exactly src = floor(dst*in/out) and
+    re-encodes a valid container (decode of the output succeeds and
+    matches a driver-side resample)."""
+    from zoom_spark.multimodal.codecs import resize_ppm
+
+    seed = 11
+    w, h = 8 + seed % 9, 6 + seed % 7
+    out = resize_ppm(synth_ppm_bytes(seed), 4, 3)
+    d = decode_ppm(out)
+    assert (d["width"], d["height"], d["n_units"]) == (4, 3, 12)
+    expect = 0
+    for yo in range(3):
+        ys = yo * h // 3
+        for xo in range(4):
+            xs = xo * w // 4
+            expect += (
+                (xs * 7 + ys * 3 + seed) % 256
+                + (xs * 5 + ys * 11 + 2 * seed) % 256
+                + (xs * 13 + ys + 3 * seed) % 256
+            )
+    assert d["sum_pixels"] == expect
+
+    # upscale works too (NN repeats pixels)
+    up = decode_ppm(resize_ppm(synth_ppm_bytes(seed), 2 * w, 2 * h))
+    assert (up["width"], up["height"]) == (2 * w, 2 * h)

@@ -220,6 +220,33 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_ppm_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """REAL resize pass for PPM media: each batch decodes the P6
+    container, nearest-neighbor-resamples the pixel grid, re-encodes
+    (codecs.resize_ppm).  Same RESIZED_SCHEMA and Arrow plumbing as
+    the stub path — this is the honest counterpart for the format we
+    can genuinely decode."""
+    from zoom_spark.multimodal.codecs import resize_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": [width] * len(pdf),
+                    "out_height": [height] * len(pdf),
+                    "content": [
+                        resize_ppm(bytes(c), width, height)
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

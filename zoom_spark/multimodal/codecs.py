@@ -147,7 +147,26 @@ def decode_ppm(content: bytes) -> dict:
         "mean_r": tot[0] / n_px / 255.0 if n_px else 0.0,
         "mean_g": tot[1] / n_px / 255.0 if n_px else 0.0,
         "mean_b": tot[2] / n_px / 255.0 if n_px else 0.0,
+        "_payload_pos": pos,  # internal: where pixel bytes start
     }
+
+
+def resize_ppm(content: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize for P6 PPM: decode the container,
+    resample the pixel grid (src = floor(dst * in/out), the standard
+    NN mapping), re-encode.  Replaces the byte-stride stub for the
+    one image format this container can honestly decode."""
+    d = decode_ppm(content)
+    w, h = d["width"], d["height"]
+    pix = content[d["_payload_pos"]:]
+    rgb = []
+    for y_out in range(out_h):
+        y_src = y_out * h // out_h
+        for x_out in range(out_w):
+            x_src = x_out * w // out_w
+            i = 3 * (y_src * w + x_src)
+            rgb.append((pix[i], pix[i + 1], pix[i + 2]))
+    return encode_ppm(out_w, out_h, rgb)
 
 
 # --- deterministic fixture synthesis (executor-side) ----------------------

@@ -97,6 +97,57 @@ def multimodal_decode_wav_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize_ppm",
+    sql="""
+    WITH img AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    ys AS (SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS yo FROM img),
+    xy AS (SELECT doc_id, w, h, yo, unnest(generate_series(0, 7)) AS xo FROM ys),
+    src AS (
+      SELECT doc_id, (xo * w) // 8 AS xs, (yo * h) // 8 AS ys_
+      FROM xy
+    )
+    SELECT doc_id AS media_id,
+           CAST(203 AS BIGINT) AS byte_len,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(64 AS BIGINT) AS n_units,
+           CAST(sum((xs*7 + ys_*3 + doc_id) % 256
+                  + (xs*5 + ys_*11 + 2*doc_id) % 256
+                  + (xs*13 + ys_ + 3*doc_id) % 256) AS BIGINT) AS sum_pixels
+    FROM src GROUP BY doc_id
+    """,
+)
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 honest RESIZE gate: synthesize real P6 containers (odd
+    doc_ids), nearest-neighbor-resample each to 8x8 through the real
+    codec (decode -> pixel-grid resample -> re-encode), then decode
+    the RESIZED container and hash its header fields + exact pixel
+    sum against DuckDB's closed-form replay of the same NN mapping
+    (src = floor(dst*in/out)).  A resampler that's off by one pixel
+    anywhere, or an encoder that emits a malformed header, mismatches.
+    byte_len 203 = len('P6\\n8 8\\n255\\n') + 3*64."""
+    from zoom_spark.multimodal.binary_ops import (
+        decode_media,
+        resize_ppm_media,
+        synthesize_media_fixture,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 2 == 1
+    )
+    media = synthesize_media_fixture(ids, id_col="doc_id")
+    resized = resize_ppm_media(media, width=8, height=8).select(
+        "media_id", "content", F.lit("image/ppm").alias("media_type")
+    )
+    dec = decode_media(resized)
+    return dec.select(
+        "media_id", "byte_len", "width", "height", "n_units", "sum_pixels"
+    )
+
+
 @register("multimodal_features")  # mapInPandas stub decoder: rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction through the
