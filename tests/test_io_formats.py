@@ -304,3 +304,50 @@ def test_sql_ddl_lifecycle_matches_reference_drop_then_load(spark):
     # drop-then-reload resets the schema (reference main.py:39 docstring)
     spark.sql("DROP TABLE IF EXISTS zoom_users_ddl")
     assert not spark.catalog.tableExists("zoom_users_ddl")
+
+
+def test_observe_metrics_piggyback_on_one_pass(spark):
+    """df.observe() collects QA metrics (row count, null count, sum)
+    as a side effect of the SAME action that produces the result — at
+    100 TB this replaces a second full validation scan. The listener-
+    free Observation API works in batch."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from zoom_spark.io import load_table
+
+    obs = Observation("qa")
+    orders = load_table(spark, SF_DIR, "orders")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_cust"),
+    )
+    n_written = observed.where(F.col("o_totalprice") > 0).count()
+    got = obs.get
+    assert got["n_rows"] == orders.count()
+    assert got["null_cust"] == 0
+    assert n_written <= got["n_rows"]
+    exact = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    assert got["sum_price"] == exact
+
+
+def test_from_xml_struct_extraction(spark):
+    """Spark 4 native XML: from_xml parses nested payloads into
+    structs (the config/feed ingestion path); parity vs a driver-side
+    expectation on deterministic synthesized XML."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"<rec><id>{i}</id><tag>t{i % 3}</tag><v>{i * 10}</v></rec>")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "xml"])
+    parsed = df.select(
+        "k",
+        F.from_xml("xml", "id INT, tag STRING, v INT").alias("s"),
+    ).select("k", "s.id", "s.tag", "s.v")
+    got = {r.k: (r.id, r.tag, r.v) for r in parsed.collect()}
+    assert got == {i: (i, f"t{i % 3}", i * 10) for i in range(50)}
