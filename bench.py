@@ -58,6 +58,7 @@ HEADLINE = [
     "weighted_sample_docs",    # A-ES weighted sampling (TakeOrdered)
     "unigram_logprob_quality", # unigram-LM quality filter (2-pass join)
     "pii_redaction",           # regex scrub pass (codegen'd)
+    "curation_pipeline_e2e",   # composed curation flagship (5 stages)
 ]
 
 

@@ -105,6 +105,7 @@ EXPECTATIONS = {
     "zorder_layout_keys": dict(pushed=False, broadcast=False, cartesian=False),
     "fuzzy_part_matches": dict(pushed=False, broadcast=True, cartesian=False),
     "multimodal_resize_ppm": dict(pushed=True, broadcast=False, cartesian=False),
+    "curation_pipeline_e2e": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -114,6 +114,118 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline_e2e",
+    sql=r"""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM doubled
+    ),
+    quality AS (SELECT * FROM toks WHERE n_tokens >= 10),
+    redacted AS (
+      SELECT doc_id, n_tokens,
+             regexp_replace(text || ' reach me: u' || CAST(doc_id AS VARCHAR)
+                            || '@mail.test',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS text
+      FROM quality
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+      FROM redacted GROUP BY md5(text)
+    ),
+    sampled AS (
+      SELECT doc_id, n_tokens,
+             round(pow(
+               (1.0 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT)) / 4294967297.0,
+               1.0 / n_tokens), 6) AS priority
+      FROM deduped
+      ORDER BY priority DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id, n_tokens, priority,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY priority DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0)
+                AS BIGINT) AS shard_id
+    FROM sampled
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation, every stage oracle-hashed: token
+    quality gate -> PII scrub (seeded email so the regex provably
+    fires) -> exact dedup on redacted-content hash (input is the
+    doubled corpus, so dedup removes exactly half) -> A-ES weighted
+    sample of 100 docs -> greedy token-budget shard packing by
+    cumulative count.  Each stage is the scale-shaped primitive the
+    standalone queries gate (hash-agg dedup, TakeOrdered sample);
+    the final cumulative window runs on the 100-row SAMPLED frame
+    only — the full-corpus packing path with the two-phase
+    distributed prefix sum is `corpus_to_shards_pipeline`."""
+    from pyspark.sql import Window
+
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    toks = doubled.select(
+        "doc_id", "text", F.size(ws_tokens("text")).cast("long").alias("n_tokens")
+    )
+    quality = toks.where(F.col("n_tokens") >= 10)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    redacted = quality.select(
+        "doc_id",
+        "n_tokens",
+        F.regexp_replace(
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me: u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.test"),
+            ),
+            email,
+            "<EMAIL>",
+        ).alias("text"),
+    )
+    deduped = redacted.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
+    )
+    u = (
+        1.0
+        + F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    ) / F.lit(4294967297.0)
+    sampled = (
+        deduped.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.pow(u, 1.0 / F.col("n_tokens")), 6).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(100)
+    )
+    w = (
+        Window.orderBy(F.col("priority").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sampled.select(
+        "doc_id",
+        "n_tokens",
+        "priority",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000.0)
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
+@register(
     "url_domain_stats",
     sql=r"""
     WITH seeded AS (
