@@ -294,3 +294,51 @@ def test_broadcast_queries_identical_under_sortmergejoin(spark):
             "not_exists_quiet_customers",
         ):
             assert "BroadcastHashJoin" not in plan, f"{name} still broadcast"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling is the no-code-change
+    counterpart to salted_join: with a 90%-hot key and thresholds
+    scaled to fixture size, the final adaptive plan must mark the
+    sort-merge join skew-handled (skew=true) and the result must be
+    byte-identical to the plain (non-adaptive) join."""
+    import pyspark.sql.functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        # the downstream groupBy shares the join's partitioning; without
+        # force, AQE declines to split (split would add a reshuffle)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in conf}
+    # 90% of fact rows hit key 7; dim has 100 keys
+    fact = spark.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dval")
+    )
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # bare join: skew split applies directly (reading the plan off
+        # the SAME DataFrame object AFTER its action — a fresh
+        # queryExecution would show isFinalPlan=false)
+        joined = fact.join(dim, on="k")
+        skew_rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the join skew-handled"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in final plan"
+        skew_result = {tuple(r) for r in skew_rows}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plain = {tuple(r) for r in fact.join(dim, on="k").collect()}
+    assert skew_result == plain
