@@ -122,6 +122,43 @@ def test_multiprobe_lsh_recall_on_planted_neighbors(spark):
     assert r2 > r0 + 0.25, f"probing added too little: {r0:.3f} -> {r2:.3f}"
 
 
+def test_directed_probing_matches_radius1_at_half_the_scan(spark):
+    """Query-directed probing (flip the least-confident bits) must
+    recover ≥95% of rank-free radius-1 recall while probing 5 buckets
+    per query instead of 9 — the probe budget is the scan cost at
+    100 TB, so recall-per-probe is the metric that matters."""
+    from zoom_spark.similarity.knn import lsh_bucketed_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qs = emb.select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + 0.06 * F.sin(F.col("vec_id") * (i + F.lit(1)))
+        ).alias("v"),
+    )
+    n_q = qs.count()
+
+    def planted_recall(**kw) -> float:
+        res = lsh_bucketed_topk(
+            emb, qs, vec_col="v", id_col="vec_id",
+            dim=64, k=5, n_planes=8, **kw,
+        )
+        return (
+            res.where(F.col("neighbor_id") == F.col("q_id") - DUP_OFFSET).count()
+            / n_q
+        )
+
+    r_directed = planted_recall(directed_probes=4)   # 5 buckets/query
+    r_radius1 = planted_recall(multi_probe=1)        # 9 buckets/query
+    r_single = planted_recall()                      # 1 bucket/query
+    assert r_directed >= 0.95 * r_radius1, (
+        f"directed {r_directed:.3f} << radius-1 {r_radius1:.3f}"
+    )
+    assert r_directed > r_single + 0.2
+
+
 def test_multimodal_features_deterministic_and_shaped(spark):
     from zoom_spark.queries.multimodal_queries import multimodal_features
 

@@ -98,6 +98,42 @@ def _probe_buckets(bucket, n_planes: int, radius: int):
     )
 
 
+def _directed_probe_buckets(vec_col, bucket, planes: list[list[float]], t: int):
+    """Query-directed multi-probe (Lv et al. VLDB'07 proper): rank the
+    sign bits by |projection| — the planes the query sits closest to
+    are the likeliest to disagree with a true neighbor — and probe the
+    buckets obtained by flipping the t least-confident bits, one at a
+    time.  t+1 probes buy most of radius-1's recall at a fraction of
+    its bucket count.  Pure column expressions: zip (|proj|, idx),
+    array_sort (lexicographic: by |proj| then idx — deterministic),
+    slice, flip."""
+    n = len(planes)
+    projs = F.array(
+        *[dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) for p in planes]
+    )
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                projs,
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda p, i: F.struct(
+                    F.abs(p).alias("conf"), i.alias("idx")
+                ),
+            )
+        ),
+        lambda s: s.getField("idx"),
+    )
+    flips = F.transform(
+        F.slice(ranked, 1, t),
+        # shiftleft needs a literal bit count; 2^i via pow is exact
+        # for i < 53 and casts cleanly to long
+        lambda i: bucket.bitwiseXOR(
+            F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        ),
+    )
+    return F.concat(F.array(bucket), flips)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,6 +145,7 @@ def lsh_bucketed_topk(
     n_planes: int = 4,
     seed: int = 42,
     multi_probe: int = 0,
+    directed_probes: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's hyperplane
     bucket, plus Hamming-adjacent buckets when ``multi_probe`` > 0
@@ -132,7 +169,21 @@ def lsh_bucketed_topk(
         norm(F.col(vec_col)).alias("q_norm"),
         _rp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    if multi_probe > 0:
+    if directed_probes > 0:
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+            F.explode(
+                _directed_probe_buckets(
+                    F.col(vec_col),
+                    _rp_bucket(F.col(vec_col), planes),
+                    planes,
+                    directed_probes,
+                )
+            ).alias("bucket"),
+        )
+    elif multi_probe > 0:
         q = q.select(
             "q_id",
             "q_vec",
