@@ -28,7 +28,14 @@ from zoom_spark.queries import QUERIES
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/scale_smoke/sf1"
-SUSPECTS = ["ngram_jaccard_dups", "minhash_dedup_docs", "canonical_doc_ids"]
+SUSPECTS = [
+    "ngram_jaccard_dups",
+    "minhash_dedup_docs",
+    "canonical_doc_ids",
+    # round 2: star CC on chain graphs, banded-LSH embedding dedup
+    "canonical_ids_chained",
+    "embedding_neardup_lsh",
+]
 
 
 def build_upscale(spark: SparkSession, replication: int) -> int:
@@ -47,7 +54,20 @@ def build_upscale(spark: SparkSession, replication: int) -> int:
         )
     )
     up.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
-    # the suspects only read documents; symlink the rest for load_table
+    emb = load_table(spark, SRC, "embeddings")
+    emb_up = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 100_000).alias("vec_id"),
+            "label",
+            # perturb replicas so they are near- but not exact copies
+            F.transform(
+                "embedding", lambda x: x + F.col("rep").cast("float") * 0.001
+            ).alias("embedding"),
+        )
+    )
+    emb_up.write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
+    # remaining tables are not read by the suspects; symlink for load_table
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         link = os.path.join(DST, f"{t}.parquet")
