@@ -144,3 +144,32 @@ def test_ppm_resize_real_nearest_neighbor():
     # upscale works too (NN repeats pixels)
     up = decode_ppm(resize_ppm(synth_ppm_bytes(seed), 2 * w, 2 * h))
     assert (up["width"], up["height"]) == (2 * w, 2 * h)
+
+
+def test_decode_media_permissive_quarantines_bad_blobs(spark):
+    """One corrupt blob in a batch: strict mode fails the job,
+    permissive mode yields an error row with NULL fields while good
+    rows decode normally — the quarantine channel a 100 TB decode
+    pass requires."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from zoom_spark.multimodal.binary_ops import decode_media
+    from zoom_spark.multimodal.codecs import synth_wav_bytes
+
+    rows = [
+        (0, synth_wav_bytes(0), "audio/wav"),
+        (1, b"garbage-not-a-riff", "audio/wav"),
+        (2, synth_wav_bytes(2), "audio/wav"),
+        (3, synth_wav_bytes(4), "video/mp4"),  # unsupported format
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, media_type string"
+    )
+    res = {r.media_id: r for r in decode_media(media, permissive=True).collect()}
+    assert res[0].error is None and res[0].n_units == 200
+    assert res[2].error is None and res[2].sample_rate == 9000
+    assert "ValueError" in res[1].error and res[1].n_units is None
+    assert "NotImplementedError" in res[3].error
+    with _pytest.raises(Exception, match="RIFF|not a"):
+        decode_media(media, permissive=False).collect()

@@ -144,6 +144,7 @@ DECODED_SCHEMA = StructType(
         StructField("n_units", LongType()),
         StructField("sum_pixels", LongType()),
         StructField("rms_val", DoubleType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -184,12 +185,19 @@ def synthesize_media_fixture(ids: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, permissive: bool = False) -> DataFrame:
     """Arrow-batched REAL decode: parses each row's container bytes
     with the format's pure-Python codec (decode_real dispatch) and
     emits typed per-format fields (NULL where inapplicable).  This is
     the honest counterpart of extract_features' stub path — header
-    fields and statistics come from actually walking the bytes."""
+    fields and statistics come from actually walking the bytes.
+
+    ``permissive=True`` is the 100 TB posture (same design as the
+    fetcher's S15 error channel): a corrupt or unsupported blob
+    yields a row with NULL fields and the exception text in `error`
+    instead of failing the task — one bad object out of a billion
+    must not kill a ten-hour job, and error rows stay queryable for
+    quarantine/retry."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -198,12 +206,29 @@ def decode_media(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["media_type"]
             ):
                 raw = bytes(c)
-                d = decode_real(raw, mt)
+                base = {
+                    "media_id": int(mid),
+                    "media_type": mt,
+                    "byte_len": len(raw),
+                    "n_channels": None,
+                    "sample_rate": None,
+                    "width": None,
+                    "height": None,
+                    "n_units": None,
+                    "sum_pixels": None,
+                    "rms_val": None,
+                    "error": None,
+                }
+                try:
+                    d = decode_real(raw, mt)
+                except Exception as exc:  # noqa: BLE001 — quarantined below
+                    if not permissive:
+                        raise
+                    rows.append(base | {"error": f"{type(exc).__name__}: {exc}"})
+                    continue
                 rows.append(
-                    {
-                        "media_id": int(mid),
-                        "media_type": mt,
-                        "byte_len": len(raw),
+                    base
+                    | {
                         "n_channels": d.get("n_channels"),
                         "sample_rate": d.get("sample_rate"),
                         "width": d.get("width"),
