@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zoom_spark.functions.vectors import cosine_with_norms, norm
-from zoom_spark.similarity.knn import _rp_bucket, make_hyperplanes
+from zoom_spark.similarity.knn import make_hyperplanes
 
 
 def _verify_pairs(
