@@ -106,6 +106,7 @@ EXPECTATIONS = {
     "fuzzy_part_matches": dict(pushed=False, broadcast=True, cartesian=False),
     "multimodal_resize_ppm": dict(pushed=True, broadcast=False, cartesian=False),
     "curation_pipeline_e2e": dict(pushed=False, broadcast=False, cartesian=False),
+    "quota_sample_per_source": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

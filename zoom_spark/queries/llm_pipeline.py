@@ -114,6 +114,40 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quota_sample_per_source",
+    sql="""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas (the 'exactly N docs per source'
+    data-mix recipe): rank within each source by md5 hash order — a
+    deterministic pseudo-random shuffle both engines agree on — and
+    keep the first 30.  Spark compiles rank<=k into WindowGroupLimit:
+    each partition pre-prunes to its local top-k BEFORE the shuffle,
+    so the exchange moves ~k*P rows per stratum, not the stratum."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 30)
+    )
+
+
+@register(
     "curation_pipeline_e2e",
     sql=r"""
     WITH doubled AS (
