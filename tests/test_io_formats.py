@@ -351,3 +351,30 @@ def test_from_xml_struct_extraction(spark):
     ).select("k", "s.id", "s.tag", "s.v")
     got = {r.k: (r.id, r.tag, r.v) for r in parsed.collect()}
     assert got == {i: (i, f"t{i % 3}", i * 10) for i in range(50)}
+
+
+def test_csv_malformed_row_quarantine(spark, tmp_path):
+    """PERMISSIVE CSV read with columnNameOfCorruptRecord: malformed
+    rows survive as quarantined raw text (queryable for retry) while
+    good rows parse; DROPMALFORMED silently keeps only the good ones.
+    The file-ingest twin of decode_media(permissive=True)."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,x\nnot-an-int,y\n3,z\n")
+    schema = "a INT, b STRING, _corrupt STRING"
+    df = read_csv(
+        spark, str(p), schema=schema,
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt",
+    ).cache()
+    assert df.count() == 3
+    bad = df.where(F.col("_corrupt").isNotNull()).collect()
+    assert len(bad) == 1 and "not-an-int" in bad[0]["_corrupt"]
+    assert {r.a for r in df.where(F.col("_corrupt").isNull()).collect()} == {1, 3}
+    df.unpersist()
+    dropped = read_csv(
+        spark, str(p), schema="a INT, b STRING", mode="DROPMALFORMED"
+    )
+    assert {r.a for r in dropped.collect()} == {1, 3}

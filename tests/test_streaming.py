@@ -228,3 +228,29 @@ def test_transform_with_state_running_profile(spark):
     )
     assert final.subtract(batch).count() == 0
     assert batch.subtract(final).count() == 0
+
+
+def test_rate_source_windowed_counts(spark):
+    """Built-in rate source (the load-generator for streaming
+    soak tests): rows carry (timestamp, value) with value a gapless
+    sequence; a processing pass over one micro-batch must see every
+    value exactly once."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .option("numPartitions", "2")
+        .load()
+        .withColumn("bucket", F.col("value") % 5)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from rate_sink").collect()
+    vals = sorted(r.value for r in rows)
+    assert vals == list(range(len(vals)))  # gapless, exactly-once
+    assert all(r.bucket == r.value % 5 for r in rows)
