@@ -342,3 +342,37 @@ def test_aqe_splits_skewed_join_partition(spark):
             spark.conf.set(k, v)
     plain = {tuple(r) for r in fact.join(dim, on="k").collect()}
     assert skew_result == plain
+
+
+def test_bucketed_table_prunes_buckets_on_point_lookup(spark, tmp_path):
+    """Bucket pruning: an equality filter on the bucketing key must
+    scan ONE bucket, not the table (SelectedBucketsCount 1 out of N
+    in the scan node) — the point-lookup path that makes a bucketed
+    100 TB fact table answer key probes without a full scan."""
+    import pyspark.sql.functions as F
+
+    name = "bp_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(name)
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved_auto = spark.conf.get(auto)
+    try:
+        # a bare filter has no distribution requirement, so the planner
+        # would silently fall back to a plain scan; force the bucketed
+        # read to exercise the pruning path a point-lookup service uses
+        spark.conf.set(auto, "false")
+        probe = spark.table(name).where(F.col("o_custkey") == 42)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:600]
+        # and the pruned read returns exactly the right rows
+        expect = (
+            load_table(spark, SF_DIR, "orders")
+            .where(F.col("o_custkey") == 42)
+            .count()
+        )
+        assert probe.count() == expect
+    finally:
+        spark.conf.set(auto, saved_auto)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
