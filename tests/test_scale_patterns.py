@@ -376,3 +376,29 @@ def test_bucketed_table_prunes_buckets_on_point_lookup(spark, tmp_path):
     finally:
         spark.conf.set(auto, saved_auto)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_hive_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Disk-layout partition pruning: a filter on the partitioning
+    column must reach the scan as a PartitionFilter (directories are
+    skipped at planning time, zero I/O for other partitions) — with
+    bucket pruning and the runtime bloom filter this completes the
+    pruning ladder a 100 TB table relies on."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, SF_DIR, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    probe = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    plan = _plan(probe)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:500]
+    expect = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert probe.count() == expect and expect > 0
