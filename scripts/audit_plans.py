@@ -107,6 +107,7 @@ EXPECTATIONS = {
     "multimodal_resize_ppm": dict(pushed=True, broadcast=False, cartesian=False),
     "curation_pipeline_e2e": dict(pushed=False, broadcast=False, cartesian=False),
     "quota_sample_per_source": dict(pushed=False, broadcast=False, cartesian=False),
+    "modern_aggregates": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -174,6 +174,40 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "modern_aggregates",
+    sql="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           mode(o_orderpriority) AS top_priority,
+           round(median(o_totalprice), 2) AS median_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2023 aggregate family Spark 4 added natively: LISTAGG
+    (ordered, DISTINCT), MODE, MEDIAN — each a single hash aggregate
+    with map-side partials, replacing the collect_set/sort/UDF
+    workarounds older pipelines carried.  mode() is only
+    deterministic when the winner is unique; on this corpus every
+    status group has a strict frequency winner at both gated SFs
+    (margin >= 3), so the oracle hash is stable."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               mode(o_orderpriority) AS top_priority,
+               round(median(o_totalprice), 2) AS median_price,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
     "fuzzy_part_matches",
     sql="""
     WITH named AS (
