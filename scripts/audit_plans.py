@@ -108,6 +108,7 @@ EXPECTATIONS = {
     "curation_pipeline_e2e": dict(pushed=False, broadcast=False, cartesian=False),
     "quota_sample_per_source": dict(pushed=False, broadcast=False, cartesian=False),
     "modern_aggregates": dict(pushed=False, broadcast=False, cartesian=False),
+    "asof_forward_tolerance": dict(pushed=True, broadcast=False, cartesian=False),
 }
 
 

@@ -288,3 +288,50 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_value_cols=["ts", "event_id"],
     )
+
+
+@register(
+    "asof_forward_tolerance",
+    sql="""
+    WITH base AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             v.ts AS m_ts, v.event_id AS m_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts <= v.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN m_ts IS NOT NULL
+                 AND epoch_us(m_ts) - epoch_us(ts) <= 86400000000
+                THEN m_ts END AS r_ts,
+           CASE WHEN m_ts IS NOT NULL
+                 AND epoch_us(m_ts) - epoch_us(ts) <= 86400000000
+                THEN m_event_id END AS r_event_id
+    FROM base
+    """,
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (pandas merge_asof parity): for
+    each purchase, the same user's NEXT view event, nulled when it
+    falls more than 24 h later.  Same one-shuffle union+window plan
+    as the backward form, with a following-frame first_value; the
+    tolerance is a post-window column expression (exact, since the
+    nearest match is the only candidate).  Oracle: DuckDB native
+    ASOF with the inequality reversed + an epoch_us gap guard."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["ts", "event_id"],
+        direction="forward",
+        tolerance_us=86_400_000_000,
+    )
