@@ -176,30 +176,41 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "modern_aggregates",
     sql="""
-    SELECT o_orderstatus,
-           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+    WITH pc AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    topp AS (
+      SELECT o_orderstatus, min(o_orderpriority) AS top_priority
+      FROM (SELECT *, max(c) OVER (PARTITION BY o_orderstatus) AS mx FROM pc)
+      WHERE c = mx GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           string_agg(DISTINCT o.o_orderpriority, ',' ORDER BY o.o_orderpriority)
              AS priorities,
-           mode(o_orderpriority) AS top_priority,
-           round(median(o_totalprice), 2) AS median_price,
+           t.top_priority,
+           round(median(o.o_totalprice), 2) AS median_price,
            CAST(count(*) AS BIGINT) AS n
-    FROM orders GROUP BY o_orderstatus
+    FROM orders o JOIN topp t USING (o_orderstatus)
+    GROUP BY o.o_orderstatus, t.top_priority
     """,
 )
 def modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL:2023 aggregate family Spark 4 added natively: LISTAGG
     (ordered, DISTINCT), MODE, MEDIAN — each a single hash aggregate
     with map-side partials, replacing the collect_set/sort/UDF
-    workarounds older pipelines carried.  mode() is only
-    deterministic when the winner is unique; on this corpus every
-    status group has a strict frequency winner at both gated SFs
-    (margin >= 3), so the oracle hash is stable."""
+    workarounds older pipelines carried.  mode(col, true) is the
+    deterministic form (ties break to the lowest value), so the
+    oracle hash is stable even when a group has no strict frequency
+    winner; the DuckDB oracle spells the same argmax-with-min
+    tie-break explicitly since its mode() leaves ties unspecified."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderstatus,
                listagg(DISTINCT o_orderpriority, ',')
                  WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
-               mode(o_orderpriority) AS top_priority,
+               mode(o_orderpriority, true) AS top_priority,
                round(median(o_totalprice), 2) AS median_price,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus
