@@ -69,6 +69,60 @@ def prefix_sum(
     )
 
 
+def prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "run_max",
+    exclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds `out_col` = running MAX of `value_col` (a BIGINT column) in
+    ascending `order_col` order — the max-monoid sibling of
+    :func:`prefix_sum`, with the same two-phase scan shape (range
+    shuffle + local window + O(P) driver offsets) instead of the
+    single-task global window. With ``exclusive=True`` the running max
+    covers strictly-preceding rows only (NULL for the global first
+    row), which is the shape dominance-style filters (skyline, record
+    tracking) need. `order_col` values must be unique."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    upper = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    # Same double-consumer hazard as prefix_sum: freeze ONE range
+    # partitioning before the totals collect and the final join.
+    local = ranged.withColumn(
+        "_local_mx", F.max(value_col).over(w)
+    ).localCheckpoint()
+    totals = (
+        local.groupBy("_pid").agg(F.max(value_col).alias("_tot")).collect()
+    )
+    offsets: dict[int, int | None] = {}
+    running: int | None = None
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = running
+        if r["_tot"] is not None:
+            running = r["_tot"] if running is None else max(running, r["_tot"])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset bigint"
+    )
+    # greatest() skips NULLs, so a NULL local-exclusive-max (first row
+    # of a partition) falls back to the prior-partition offset and the
+    # global first row stays NULL — exactly exclusive-scan semantics.
+    return (
+        local.join(F.broadcast(off_df), on="_pid")
+        .withColumn(out_col, F.greatest("_local_mx", "_offset"))
+        .drop("_pid", "_local_mx", "_offset")
+    )
+
+
 def pack_by_budget(
     df: DataFrame,
     order_col: str,

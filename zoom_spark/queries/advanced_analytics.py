@@ -1,0 +1,433 @@
+"""Advanced analytics operators (round-2 continuation): time-series
+linear interpolation, statistical anomaly detection, bitmap (bitset)
+aggregates, MATCH_RECOGNIZE-style event-sequence matching, 2-D
+skyline, graph triangle counting, and content-defined chunking.
+
+Each query is the batch/oracle-gated face of a reusable operator
+(operators/skyline.py, operators/graph.py, operators/prefix.py,
+functions/cdc.py). Determinism rules follow the repo conventions:
+exact DECIMAL partial sums before any double math, identical
+arithmetic expression order on both engines, explicit tie-breaks on
+every ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.cdc import cdc_chunks
+from zoom_spark.io import load_table
+from zoom_spark.operators.graph import triangle_count
+from zoom_spark.operators.skyline import skyline_2d
+from zoom_spark.queries import register
+
+# Saturdays+Sundays of Jan 2024 as day-offsets from Mon 2024-01-01:
+# {5,6,12,13,19,20,26,27} -> sum(2^i) = 202911840.
+_WEEKEND_MASK = 202911840
+
+
+@register(
+    "linear_interp_fill",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,6))) AS day_sum,
+             CAST(count(*) AS BIGINT) AS day_cnt
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.day_sum, d.day_cnt
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    w AS (
+      SELECT user_id, day, day_sum, day_cnt,
+             last_value(CASE WHEN day_sum IS NOT NULL
+                             THEN CAST(day_sum AS DOUBLE) / day_cnt END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             last_value(CASE WHEN day_sum IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             first_value(CASE WHEN day_sum IS NOT NULL
+                              THEN CAST(day_sum AS DOUBLE) / day_cnt END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN day_sum IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM j
+    )
+    SELECT user_id, day,
+           -- floor(x*1e4 + 0.5)/1e4, NOT round(x, 4): both engines'
+           -- round() implementations disagree on last-digit boundary
+           -- values; the floor form is pure IEEE arithmetic on
+           -- bit-identical doubles, so it cannot diverge.
+           floor((CASE WHEN day_sum IS NOT NULL
+                       THEN CAST(day_sum AS DOUBLE) / day_cnt
+                       ELSE prev_v + (next_v - prev_v)
+                            * ((day - prev_d) / (next_d - prev_d)) END)
+                 * 10000 + 0.5) / 10000.0 AS filled_value,
+           day_sum IS NOT NULL AS is_observed
+    FROM w
+    """,
+)
+def linear_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation onto a dense per-user daily
+    grid (the step beyond LOCF: missing days get the straight line
+    between the neighboring observed days, not a copy of the last
+    one). Daily means come from exact DECIMAL sums so both engines
+    interpolate from bit-identical doubles. Shape: one shuffle on
+    user_id serves the daily agg, the grid explode (sequence +
+    explode, JVM-side), and all four IGNORE-NULLS window passes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("day_sum"),
+        F.count("*").alias("day_cnt"),
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    j = grid.join(daily, on=["user_id", "day"], how="left")
+    avg = F.col("day_sum").cast("double") / F.col("day_cnt")
+    observed = F.col("day_sum").isNotNull()
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(F.when(observed, avg), ignorenulls=True).over(wprev)
+    prev_d = F.last(F.when(observed, F.col("day")), ignorenulls=True).over(wprev)
+    next_v = F.first(F.when(observed, avg), ignorenulls=True).over(wnext)
+    next_d = F.first(F.when(observed, F.col("day")), ignorenulls=True).over(wnext)
+    frac = F.datediff(F.col("day"), prev_d) / F.datediff(next_d, prev_d)
+    filled = F.when(observed, avg).otherwise(prev_v + (next_v - prev_v) * frac)
+    # floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): Spark rounds the
+    # exact BigDecimal of the double, DuckDB rounds via a multiply
+    # trick — they disagree on last-digit boundaries. The floor form
+    # is plain IEEE arithmetic, identical on identical inputs.
+    return j.select(
+        "user_id",
+        "day",
+        (F.floor(filled * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "filled_value"
+        ),
+        observed.alias("is_observed"),
+    )
+
+
+@register(
+    "zscore_anomaly_events",
+    sql="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - CAST(st.s AS DOUBLE) / st.n)
+               / sqrt((CAST(st.ss AS DOUBLE)
+                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                      / (st.n - 1)) AS z
+      FROM events e JOIN stats st ON e.event_type = st.event_type
+    )
+    SELECT event_id, event_type, value,
+           -- engine-neutral 4dp quantization (see linear_interp_fill)
+           floor(z * 10000 + 0.5) / 10000.0 AS zscore
+    FROM scored WHERE abs(z) > 2.5
+    """,
+)
+def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: per-event-type z-score from
+    exact DECIMAL sum / sum-of-squares (mean and sample variance
+    derived in double with an identical expression on both engines),
+    flagging |z| > 2.5. The 5-row stats table broadcasts; the scan
+    stays a single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).alias("s"),
+        F.sum(vdec * vdec).alias("ss"),
+    )
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    mean = s_d / F.col("n")
+    var = (ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), on="event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(F.col("z") * 10000 + 0.5) / F.lit(10000.0)).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
+@register(
+    "bitmap_day_activity",
+    sql=f"""
+    WITH m AS (
+      SELECT user_id,
+             bit_or(CAST(pow(2, CAST(ts AS DATE) - DATE '2024-01-01') AS BIGINT))
+               AS activity_mask,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, activity_mask,
+           CAST(bit_count(activity_mask) AS BIGINT) AS n_active_days,
+           CAST(bit_count(activity_mask & {_WEEKEND_MASK}) AS BIGINT)
+             AS n_weekend_days,
+           n_events
+    FROM m
+    """,
+)
+def bitmap_day_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap index aggregate: each user's active days as a 30-bit
+    set in ONE BIGINT via bit_or(2^day_offset) — the
+    roaring-bitmap-style engagement encoding. Set cardinality and
+    set-intersection queries (weekend activity) become bit_count and
+    bitwise AND on a single column, no joins, no arrays. Partial
+    bit_or combines map-side, so the shuffle moves one long per
+    (user, partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    day_bit = F.pow(F.lit(2.0), day_idx).cast("bigint")
+    m = ev.groupBy("user_id").agg(
+        F.bit_or(day_bit).alias("activity_mask"),
+        F.count("*").alias("n_events"),
+    )
+    return m.select(
+        "user_id",
+        "activity_mask",
+        F.bit_count("activity_mask").cast("bigint").alias("n_active_days"),
+        F.bit_count(
+            F.col("activity_mask").bitwiseAND(F.lit(_WEEKEND_MASK))
+        )
+        .cast("bigint")
+        .alias("n_weekend_days"),
+        "n_events",
+    )
+
+
+@register(
+    "event_pattern_sessions",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    g AS (
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+             min(ts) AS session_start
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT user_id, session_seq, n_events, event_seq, session_start
+    FROM g
+    WHERE regexp_matches(event_seq, '(^|,)view(,click)*,purchase(,|$)')
+    """,
+)
+def event_pattern_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE analog: sessionize (30-min gap), serialize each
+    session's event types in (ts, event_id) order, and keep sessions
+    containing the contiguous pattern view (click)* purchase — regex
+    over the serialized sequence, the classic funnel-with-pattern
+    formulation for engines without MATCH_RECOGNIZE. One shuffle on
+    user_id serves both window passes and the aggregate; the ordered
+    serialization is array_sort(collect_list(struct)) so the
+    tie-break is explicit, not partition-order luck."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = by_user.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(by_user)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    grouped = (
+        ev.withColumn("new_session", new_sess)
+        .withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ",",
+            ).alias("event_seq"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+    return grouped.where(
+        F.col("event_seq").rlike("(^|,)view(,click)*,purchase(,|$)")
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "event_seq",
+        "session_start",
+    )
+
+
+@register(
+    "skyline_orders",
+    sql="""
+    WITH g AS (
+      SELECT o_totalprice AS price,
+             max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS grp_best
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT price,
+             max(grp_best) OVER (ORDER BY price
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS best_cheaper
+      FROM g
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN w ON o.o_totalprice = w.price
+    WHERE w.best_cheaper IS NULL
+       OR w.best_cheaper <= CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: orders not strictly dominated on (cheaper price,
+    more recent date) — the Pareto frontier query. Spark side is the
+    O(n log n) sort-scan via the two-phase distributed prefix-max
+    (operators/skyline.py + operators/prefix.py), NOT the quadratic
+    NOT-EXISTS self-join; the oracle states the same scan with a
+    plain window (fine at oracle scale, one task)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    pts = o.withColumn(
+        "_epoch",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long"),
+    )
+    return skyline_2d(pts, "o_totalprice", "_epoch").drop("_epoch").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+
+@register(
+    "co_purchase_triangles",
+    sql="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) * 1000000000 + node AS ord
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.ord < dv.ord THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.ord < dv.ord THEN e.v ELSE e.u END AS dst,
+             CASE WHEN du.ord < dv.ord THEN dv.ord ELSE du.ord END AS dst_ord
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    wedges AS (
+      SELECT e1.dst AS wv, e2.dst AS ww
+      FROM oriented e1 JOIN oriented e2
+        ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM wedges w JOIN oriented o ON w.wv = o.src AND w.ww = o.dst
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the co-purchase graph (parts appearing in the
+    same order are connected). Degree-oriented counting
+    (operators/graph.py): wedges only fan out from the
+    lower-(degree,id) endpoint, bounding per-node wedge work at
+    O(sqrt(edges)) — the standard trick that keeps triangle joins
+    alive on skewed graphs. All equi-joins; degree table broadcasts."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+@register("cdc_chunks_docs")
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (gear-hash CDC) of the documents table
+    — rows-only gate (the sequential rolling hash is not
+    SQL-expressible); reconstruction / bounds / edit-locality
+    properties are pytest-gated in test_advanced_analytics.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs).orderBy("doc_id", "chunk_idx")
