@@ -109,6 +109,17 @@ EXPECTATIONS = {
     "quota_sample_per_source": dict(pushed=False, broadcast=False, cartesian=False),
     "modern_aggregates": dict(pushed=False, broadcast=False, cartesian=False),
     "asof_forward_tolerance": dict(pushed=True, broadcast=False, cartesian=False),
+    "linear_interp_fill": dict(pushed=False, broadcast=False, cartesian=False),
+    # 5-row per-type stats table is an explicit broadcast
+    "zscore_anomaly_events": dict(pushed=False, broadcast=True, cartesian=False),
+    "bitmap_day_activity": dict(pushed=False, broadcast=False, cartesian=False),
+    "event_pattern_sessions": dict(pushed=False, broadcast=False, cartesian=False),
+    # prefix-max offsets are an explicit O(P)-row broadcast
+    "skyline_orders": dict(pushed=False, broadcast=True, cartesian=False),
+    # degree table broadcasts; final assembly crossJoins three 1-row
+    # aggregates by design
+    "co_purchase_triangles": dict(pushed=False, broadcast=True, cartesian=True),
+    "cdc_chunks_docs": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 
