@@ -120,6 +120,13 @@ EXPECTATIONS = {
     # aggregates by design
     "co_purchase_triangles": dict(pushed=False, broadcast=True, cartesian=True),
     "cdc_chunks_docs": dict(pushed=False, broadcast=False, cartesian=False),
+    "time_weighted_avg": dict(pushed=False, broadcast=False, cartesian=False),
+    # cohort-size dimension is an explicit broadcast
+    "cohort_retention": dict(pushed=False, broadcast=True, cartesian=False),
+    # FK anti-join broadcasts the customer dim; the report assembles
+    # two 1-row aggregate legs with an intentional crossJoin
+    "dq_constraint_report": dict(pushed=False, broadcast=True, cartesian=True),
+    "pagerank_parts": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -178,7 +178,100 @@ class TestTriangles:
         assert r["n_triangles"] == naive
 
 
+class TestPageRank:
+    def test_against_numpy_power_iteration(self, spark):
+        import numpy as np
+
+        from zoom_spark.operators.graph import pagerank
+
+        rng = random.Random(17)
+        n = 25
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(80)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+
+        present = sorted({x for e in edges for x in e})
+        idx = {node: i for i, node in enumerate(present)}
+        m = len(present)
+        adj = np.zeros((m, m))
+        for a, b in edges:
+            adj[idx[b], idx[a]] = 1.0
+            adj[idx[a], idx[b]] = 1.0
+        col = adj / adj.sum(axis=0, keepdims=True)
+        r = np.full(m, 1.0 / m)
+        for _ in range(10):
+            r = (1 - 0.85) / m + 0.85 * (col @ r)
+        assert set(got) == set(present)
+        for node in present:
+            assert got[node] == pytest.approx(r[idx[node]], abs=1e-9)
+        # total mass conserved (no dangling nodes in undirected graph)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 class TestQueriesSanity:
+    def test_twap_naive_reference(self, spark):
+        from zoom_spark.io import load_table
+        from zoom_spark.queries.advanced_analytics import time_weighted_avg
+
+        got = {
+            r["user_id"]: (r["twap"], r["n_intervals"])
+            for r in time_weighted_avg(spark, SF_DIR).collect()
+        }
+        ev = load_table(spark, SF_DIR, "events").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        by_user: dict = {}
+        for r in ev.collect():
+            by_user.setdefault(r["user_id"], []).append(r)
+        assert got
+        for uid, rows in by_user.items():
+            rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+            num = den = 0.0
+            for a, b in zip(rows, rows[1:]):
+                dt = (b["ts"] - a["ts"]).total_seconds()
+                num += a["value"] * dt
+                den += dt
+            if den == 0:
+                assert uid not in got
+                continue
+            twap, n = got[uid]
+            assert n == len(rows) - 1
+            assert twap == pytest.approx(num / den, rel=1e-6)
+
+    def test_dq_report_shape(self, spark):
+        from zoom_spark.queries.advanced_analytics import dq_constraint_report
+
+        rows = {
+            r["constraint_name"]: r
+            for r in dq_constraint_report(spark, SF_DIR).collect()
+        }
+        assert len(rows) == 6
+        # the synthetic data is clean: every constraint should pass
+        for name, r in rows.items():
+            assert r["passed"], name
+        assert rows["completeness_custkey"]["metric"] == 1.0
+        assert rows["uniqueness_orderkey"]["metric"] == 1.0
+        assert rows["referential_custkey_in_customer"]["metric"] == 0.0
+
+    def test_cohort_retention_invariants(self, spark):
+        from zoom_spark.queries.advanced_analytics import cohort_retention
+
+        rows = cohort_retention(spark, SF_DIR).collect()
+        assert rows
+        by_cohort: dict = {}
+        for r in rows:
+            assert r["day_offset"] >= 0
+            assert 0 < r["n_active"] <= r["cohort_size"]
+            by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r
+        for cohort, offs in by_cohort.items():
+            # day 0 exists and retains the full cohort
+            assert offs[0]["n_active"] == offs[0]["cohort_size"]
     def test_bitmap_matches_distinct_days(self, spark):
         from zoom_spark.queries.advanced_analytics import bitmap_day_activity
 

@@ -57,6 +57,49 @@ def orient_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected edge list (each edge walked both
+    ways), fixed-iteration power method. Returns (node, rank).
+
+    Iterative DataFrame loop in the same shape as the connected-
+    components operator (dedup/components.py): each round is one
+    shuffle (contributions grouped by destination) + a broadcast-join
+    of ranks onto the directed edge list, with ``localCheckpoint``
+    truncating the lineage so round R's plan does not replay rounds
+    1..R-1. Isolated nodes never appear (no edges); with the
+    undirected expansion every present node has out-degree >= 1, so
+    there is no dangling mass to redistribute."""
+    directed = edges.select(
+        F.col(src).alias("from"), F.col(dst).alias("to")
+    ).unionAll(edges.select(F.col(dst).alias("from"), F.col(src).alias("to")))
+    out_deg = directed.groupBy("from").agg(F.count("*").alias("out_deg"))
+    directed = directed.join(out_deg, on="from").localCheckpoint(eager=False)
+    nodes = directed.select(F.col("from").alias("node")).distinct()
+    n_total = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    base = (1.0 - damping) / n_total
+    for _ in range(iterations):
+        contribs = (
+            directed.join(ranks, on=F.col("from") == F.col("node"))
+            .select(
+                F.col("to").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = contribs.select(
+            "node", (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank")
+        ).localCheckpoint(eager=False)
+    return ranks
+
+
 def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Count triangles in an undirected graph given a deduped edge
     list with `src < dst` normalization (one row per undirected edge,

@@ -406,13 +406,212 @@ def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-(degree,id) endpoint, bounding per-node wedge work at
     O(sqrt(edges)) — the standard trick that keeps triangle joins
     alive on skewed graphs. All equi-joins; degree table broadcasts."""
+    return triangle_count(_co_purchase_edges(spark, sf_dir))
+
+
+@register(
+    "time_weighted_avg",
+    sql="""
+    WITH stepped AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           floor((CAST(sum(v * dt_us) AS DOUBLE) / CAST(sum(dt_us) AS DOUBLE))
+                 * 10000 + 0.5) / 10000.0 AS twap,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM stepped WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each event's value is held until
+    the user's next event; the mean weights each value by its holding
+    duration — the correct aggregate for irregularly-sampled series
+    (a plain avg over-weights bursts). Durations are exact
+    microsecond integers (unix_micros / epoch_us) and the numerator
+    is an exact DECIMAL sum, so both engines divide bit-identical
+    values. One shuffle on user_id serves the lead() and the
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    stepped = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        (
+            F.floor(
+                (
+                    F.sum(F.col("v") * F.col("dt_us")).cast("double")
+                    / F.sum("dt_us").cast("double")
+                )
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("twap"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+@register(
+    "cohort_retention",
+    sql="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY 1
+    )
+    SELECT c.cohort_day,
+           CAST(u.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           any_value(s.cohort_size) AS cohort_size
+    FROM user_days u
+    JOIN cohorts c ON u.user_id = c.user_id
+    JOIN sizes s ON c.cohort_day = s.cohort_day
+    GROUP BY c.cohort_day, u.day - c.cohort_day
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted again at each day offset — the standard product-analytics
+    rollup. Pure integer outputs (no rate division) keep the oracle
+    exact. The cohort and size tables are user- and day-sized
+    dimensions (broadcastable); the only big shuffle is the distinct
+    over (user, day), which partial-aggregates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        user_days.join(cohorts, on="user_id")
+        .join(F.broadcast(sizes), on="cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_active"),
+            F.any_value("cohort_size").alias("cohort_size"),
+        )
+    )
+
+
+@register(
+    "dq_constraint_report",
+    sql="""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_custkey) AS BIGINT) AS n_custkey,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_ok,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price,
+             CAST(count_if(o_orderstatus IN ('O','F','P')) AS BIGINT) AS n_status
+      FROM orders
+    ),
+    ri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orphans
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT 'completeness_custkey' AS constraint_name,
+           floor(CAST(n_custkey AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000.0 AS metric,
+           n_custkey = n_rows AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness_orderkey',
+           floor(CAST(n_ok AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000.0,
+           n_ok = n_rows FROM m
+    UNION ALL
+    SELECT 'min_totalprice_nonnegative', min_price, min_price >= 0 FROM m
+    UNION ALL
+    SELECT 'max_totalprice_bounded', max_price, max_price <= 1000000 FROM m
+    UNION ALL
+    SELECT 'allowed_values_orderstatus',
+           floor(CAST(n_status AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000.0,
+           n_status = n_rows FROM m
+    UNION ALL
+    SELECT 'referential_custkey_in_customer',
+           floor(CAST(n_orphans AS DOUBLE) / (SELECT n_rows FROM m) * 1000000 + 0.5) / 1000000.0,
+           n_orphans = 0 FROM ri
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ pattern): declare
+    completeness / uniqueness / range / allowed-values / referential
+    constraints, compute ALL metrics in one pass over the table (a
+    single hash aggregate) plus one anti-join for the foreign-key
+    check, and emit a (constraint, metric, passed) report. At scale
+    this shape matters: N constraints cost one scan, not N scans."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_ok"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count_if(
+            F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("n_status"),
+    )
+    orphans = (
+        o.join(
+            cust, on=F.col("o_custkey") == F.col("c_custkey"), how="left_anti"
+        )
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    row = m.crossJoin(orphans)
+
+    def q6(c):
+        return F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)
+
+    def frac(num):
+        return q6(F.col(num).cast("double") / F.col("n_rows"))
+
+    checks = [
+        ("completeness_custkey", frac("n_custkey"), F.col("n_custkey") == F.col("n_rows")),
+        ("uniqueness_orderkey", frac("n_ok"), F.col("n_ok") == F.col("n_rows")),
+        ("min_totalprice_nonnegative", F.col("min_price"), F.col("min_price") >= 0),
+        ("max_totalprice_bounded", F.col("max_price"), F.col("max_price") <= 1000000),
+        ("allowed_values_orderstatus", frac("n_status"), F.col("n_status") == F.col("n_rows")),
+        ("referential_custkey_in_customer", frac("n_orphans"), F.col("n_orphans") == 0),
+    ]
+    report = None
+    for name, metric, passed in checks:
+        part = row.select(
+            F.lit(name).alias("constraint_name"),
+            metric.cast("double").alias("metric"),
+            passed.alias("passed"),
+        )
+        report = part if report is None else report.unionAll(part)
+    return report
+
+
+def _co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    return (
         a.join(b, on="l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
@@ -420,7 +619,30 @@ def co_purchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return triangle_count(edges)
+
+
+@register("pagerank_parts")
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (operators/graph.pagerank,
+    10 fixed power iterations, damping 0.85): the 'importance' signal
+    for catalog/curation ranking. Iterative float fixpoint — not
+    SQL-expressible, so rows-only gate here; a numpy power-iteration
+    referee pins the values in pytest. Top-20 by rank with node-id
+    tie-break."""
+    from zoom_spark.operators.graph import pagerank
+
+    edges = _co_purchase_edges(spark, sf_dir)
+    ranks = pagerank(edges)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("part_id"),
+            (F.floor(F.col("rank") * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+                "rank_q6"
+            ),
+        )
+    )
 
 
 @register("cdc_chunks_docs")
