@@ -59,6 +59,11 @@ HEADLINE = [
     "unigram_logprob_quality", # unigram-LM quality filter (2-pass join)
     "pii_redaction",           # regex scrub pass (codegen'd)
     "curation_pipeline_e2e",   # composed curation flagship (5 stages)
+    # round 2 continuation
+    "co_purchase_triangles",   # degree-oriented triangle count
+    "pagerank_parts",          # 10-iteration PageRank fixpoint
+    "linear_interp_fill",      # dense-grid linear interpolation
+    "cdc_chunks_docs",         # gear-hash content-defined chunking
 ]
 
 
