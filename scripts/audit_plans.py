@@ -127,6 +127,13 @@ EXPECTATIONS = {
     # two 1-row aggregate legs with an intentional crossJoin
     "dq_constraint_report": dict(pushed=False, broadcast=True, cartesian=True),
     "pagerank_parts": dict(pushed=False, broadcast=False, cartesian=False),
+    "markov_transitions": dict(pushed=False, broadcast=False, cartesian=False),
+    # one conditional-moments pass; purchase filter must reach the scan
+    "welch_ttest_weekend": dict(pushed=True, broadcast=False, cartesian=False),
+    # global_row_number broadcasts O(P) offsets; the 1-row count
+    # scalar joins via an intentional crossJoin
+    "equidepth_histogram": dict(pushed=False, broadcast=True, cartesian=True),
+    "posting_lists": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -214,7 +214,58 @@ class TestPageRank:
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+class TestGlobalRowNumber:
+    def test_matches_single_task_window(self, spark):
+        from pyspark.sql import Window
+
+        from zoom_spark.operators.prefix import global_row_number
+
+        rng = random.Random(19)
+        rows = [
+            (i, float(rng.randrange(0, 100))) for i in range(1000)
+        ]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "id bigint, p double")
+        got = {
+            r["id"]: r["rn"]
+            for r in global_row_number(
+                df, ["p", "id"], num_partitions=7
+            ).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("p", "id"))
+            ).collect()
+        }
+        assert got == want
+
+
 class TestQueriesSanity:
+    def test_equidepth_bucket_sizes(self, spark):
+        from zoom_spark.queries.advanced_analytics import equidepth_histogram
+
+        rows = sorted(
+            equidepth_histogram(spark, SF_DIR).collect(),
+            key=lambda r: r["bucket"],
+        )
+        assert [r["bucket"] for r in rows] == list(range(1, 11))
+        sizes = {r["n_rows"] for r in rows}
+        assert len(sizes) <= 2 and max(sizes) - min(sizes) <= 1
+        # equi-depth: bucket ranges are contiguous and ordered
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] <= b["lo"]
+
+    def test_markov_rows_normalize(self, spark):
+        from zoom_spark.queries.advanced_analytics import markov_transitions
+
+        rows = markov_transitions(spark, SF_DIR).collect()
+        assert rows
+        by_from: dict = {}
+        for r in rows:
+            by_from.setdefault(r["from_type"], []).append(r["prob"])
+        for probs in by_from.values():
+            assert sum(probs) == pytest.approx(1.0, abs=1e-4)
     def test_twap_naive_reference(self, spark):
         from zoom_spark.io import load_table
         from zoom_spark.queries.advanced_analytics import time_weighted_avg

@@ -123,6 +123,44 @@ def prefix_max(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number in ascending `order_cols` order
+    WITHOUT the single-task global window: range-partition on the
+    order key, local row_number per partition, then add each
+    partition's exclusive count offset (O(P) driver exchange — same
+    two-phase scan as prefix_sum). The combined order key must be
+    unique (use a unique id as the last column)."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(p, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn(
+        "_local_rn", F.row_number().over(w)
+    ).localCheckpoint()
+    totals = local.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    offsets, running = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = running
+        running += r["_n"]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset bigint"
+    )
+    return (
+        local.join(F.broadcast(off_df), on="_pid")
+        .withColumn(
+            out_col, (F.col("_local_rn") + F.col("_offset")).cast("bigint")
+        )
+        .drop("_pid", "_local_rn", "_offset")
+    )
+
+
 def pack_by_budget(
     df: DataFrame,
     order_col: str,

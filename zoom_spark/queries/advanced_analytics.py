@@ -645,6 +645,258 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "markov_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           floor(CAST(n_transitions AS DOUBLE)
+                 / sum(n_transitions) OVER (PARTITION BY from_type)
+                 * 1000000 + 0.5) / 1000000.0 AS prob
+    FROM t
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (the behavioral-model / anomaly-baseline building block):
+    lead() pairs each event with its successor, a hash aggregate
+    counts (from, to), and row-normalization is a window over the
+    25-cell result — the normalize step costs nothing because the
+    matrix is event-type-sized, not data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    total = Window.partitionBy("from_type")
+    prob = F.col("n_transitions").cast("double") / F.sum(
+        "n_transitions"
+    ).over(total)
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.floor(prob * 1000000 + 0.5) / F.lit(1000000.0)).alias("prob"),
+    )
+
+
+@register(
+    "welch_ttest_weekend",
+    sql="""
+    WITH labeled AS (
+      SELECT CAST(value AS DECIMAL(18,6)) AS v,
+             ((CAST(ts AS DATE) - DATE '2024-01-01') % 7) IN (5, 6) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT CAST(count_if(wk) AS BIGINT) AS n1,
+             CAST(count_if(NOT wk) AS BIGINT) AS n2,
+             sum(CASE WHEN wk THEN v END) AS s1,
+             sum(CASE WHEN NOT wk THEN v END) AS s2,
+             sum(CASE WHEN wk THEN v * v END) AS ss1,
+             sum(CASE WHEN NOT wk THEN v * v END) AS ss2
+      FROM labeled
+    ),
+    d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1) AS v1,
+             (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+               / (n2 - 1) AS v2
+      FROM m
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           floor((m1 - m2) * 1000000 + 0.5) / 1000000.0 AS mean_diff,
+           floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 1000000 + 0.5)
+             / 1000000.0 AS t_stat,
+           floor((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1))
+                 * 10000 + 0.5) / 10000.0 AS welch_df
+    FROM d
+    """,
+)
+def welch_ttest_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test statistic at warehouse scale: Welch's unequal-variance
+    t between weekend and weekday purchase values, computed from ONE
+    pass of conditional exact-decimal moments (no per-group subquery,
+    no second scan). Weekend test uses day-offset-mod-7 arithmetic so
+    both engines share the same integer expression (dayofweek numbering
+    differs between dialects). All double math happens once, on exact
+    inputs, in identical expression order."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    wk = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) % 7
+    ).isin(5, 6)
+    m = ev.select(vdec.alias("v"), wk.alias("wk")).agg(
+        F.count_if("wk").alias("n1"),
+        F.count_if(~F.col("wk")).alias("n2"),
+        F.sum(F.when(F.col("wk"), F.col("v"))).alias("s1"),
+        F.sum(F.when(~F.col("wk"), F.col("v"))).alias("s2"),
+        F.sum(F.when(F.col("wk"), F.col("v") * F.col("v"))).alias("ss1"),
+        F.sum(F.when(~F.col("wk"), F.col("v") * F.col("v"))).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n1
+    ) / (n1 - 1)
+    v2 = (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / n2
+    ) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+
+    def q(c, scale):
+        return F.floor(c * scale + 0.5) / F.lit(float(scale))
+
+    return m.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        q(m1 - m2, 1000000).alias("mean_diff"),
+        q(t, 1000000).alias("t_stat"),
+        q(wdf, 10000).alias("welch_df"),
+    )
+
+
+@register(
+    "equidepth_histogram",
+    sql="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders),
+    b AS (
+      SELECT o_totalprice,
+             CASE WHEN rn <= (c % 10) * (c // 10 + 1)
+                  THEN (rn - 1) // (c // 10 + 1) + 1
+                  ELSE (c % 10)
+                       + (rn - 1 - (c % 10) * (c // 10 + 1)) // (c // 10) + 1
+             END AS bucket
+      FROM ranked, tot
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) 10-bucket histogram of order prices —
+    the optimizer-statistics primitive. The global rank comes from
+    operators/prefix.global_row_number (range partition + local
+    row_number + O(P) offsets), NOT a single-task ntile window; the
+    NTILE bucket formula is then applied arithmetically so the oracle
+    (plain row_number + the same formula) states identical semantics.
+    A 1-row count scalar broadcasts into the bucket expression."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"])
+    tot = o.agg(F.count("*").cast("bigint").alias("c"))
+    k = 10
+    rn, c = F.col("rn"), F.col("c")
+    # double division + truncating cast == floor for these positive
+    # ranges (exact below 2^53)
+    size = (c / k).cast("bigint")
+    # NTILE semantics: the first c%k buckets hold size+1 rows
+    cut = (c % k) * (size + 1)
+    bucket = F.when(
+        rn <= cut, ((rn - 1) / (size + 1)).cast("bigint") + 1
+    ).otherwise((c % k) + ((rn - 1 - cut) / size).cast("bigint") + 1)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "posting_lists",
+    sql=r"""
+    WITH term_rows AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+             array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS posting_list
+      FROM term_rows GROUP BY term
+    )
+    SELECT term, doc_freq, posting_list
+    FROM postings
+    ORDER BY doc_freq DESC, term
+    LIMIT 40
+    """,
+)
+def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-engine core op): token explode
+    -> per-term sorted posting list + document frequency, top-40 terms
+    by df with term tie-break. Postings are numerically sorted doc-id
+    arrays serialized AFTER sorting, so both engines emit byte-equal
+    lists. One shuffle on term; collect_set keeps the posting
+    map-side-combinable."""
+    from zoom_spark.queries.corpus_stats import _term_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _term_rows(docs)
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_list"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "term")
+        .limit(40)
+    )
+
+
 @register("cdc_chunks_docs")
 def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (gear-hash CDC) of the documents table
