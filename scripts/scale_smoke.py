@@ -35,6 +35,10 @@ SUSPECTS = [
     # round 2: star CC on chain graphs, banded-LSH embedding dedup
     "canonical_ids_chained",
     "embedding_neardup_lsh",
+    # round-2 continuation: graph ops over the co-purchase edge list
+    # (upscaled as DISJOINT graph copies -> exactly linear expected)
+    "co_purchase_triangles",
+    "pagerank_parts",
 ]
 
 
@@ -67,6 +71,17 @@ def build_upscale(spark: SparkSession, replication: int) -> int:
         )
     )
     emb_up.write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
+    # lineitem: replicate with BOTH orderkey and partkey offsets —
+    # `replication` disjoint copies of the co-purchase graph, so edge,
+    # wedge and triangle counts all scale exactly linearly and any
+    # super-linear time is the algorithm's fault, not densification.
+    li = load_table(spark, SRC, "lineitem")
+    li_up = li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("rep") * 10_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("rep") * 10_000_000).alias("l_partkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+    )
+    li_up.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
     # remaining tables are not read by the suspects; symlink for load_table
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
