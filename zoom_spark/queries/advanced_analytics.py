@@ -148,10 +148,15 @@ def linear_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT e.event_id, e.event_type, e.value,
-             (e.value - CAST(st.s AS DOUBLE) / st.n)
-               / sqrt((CAST(st.ss AS DOUBLE)
-                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
-                      / (st.n - 1)) AS z
+             CASE WHEN st.n > 1
+                   AND (CAST(st.ss AS DOUBLE)
+                        - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                       / (st.n - 1) > 0
+                  THEN (e.value - CAST(st.s AS DOUBLE) / st.n)
+                     / sqrt((CAST(st.ss AS DOUBLE)
+                             - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                            / (st.n - 1))
+             END AS z
       FROM events e JOIN stats st ON e.event_type = st.event_type
     )
     SELECT event_id, event_type, value,
@@ -177,7 +182,14 @@ def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss_d = F.col("ss").cast("double")
     mean = s_d / F.col("n")
     var = (ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # Zero-variance guard: a constant-valued (or n=1) group would
+    # produce Inf/NaN whose quantization semantics differ between
+    # engines; gate z on var > 0 (NULL rows drop in the |z| filter,
+    # mirrored by the oracle's CASE WHEN).
+    z = F.when(
+        (F.col("n") > 1) & (var > 0),
+        (F.col("value") - mean) / F.sqrt(var),
+    )
     return (
         ev.join(F.broadcast(stats), on="event_type")
         .select(
@@ -287,8 +299,12 @@ def event_pattern_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = by_user.rowsBetween(Window.unboundedPreceding, 0)
     prev = F.lag("ts").over(by_user)
+    # Microsecond-exact gap (unix_micros) to match the oracle's
+    # INTERVAL comparison — cast('long') truncates to seconds and
+    # would mis-sessionize a gap in (1800 s, 1801 s).
     new_sess = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
         1,
     ).otherwise(0)
     grouped = (
