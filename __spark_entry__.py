@@ -30,8 +30,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Entries are interleaved round-robin across the query modules
+    (operator families) rather than returned in import order, so any
+    prefix sample of the registry — the correctness gate samples the
+    first N — exercises every family instead of only the earliest
+    imported modules.
+    """
+    from itertools import zip_longest
+
+    by_module: dict[str, list[tuple[str, Callable]]] = {}
+    for name, fn in Q.QUERIES.items():
+        by_module.setdefault(fn.__module__, []).append((name, fn))
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for wave in zip_longest(*by_module.values()):
+        for item in wave:
+            if item is not None:
+                out[item[0]] = item[1]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -97,13 +97,19 @@ def _star_contraction(
     sym: DataFrame, n_parts: int, max_iter: int
 ) -> tuple[DataFrame, int]:
     """Alternate large-star/small-star until the edge set is stable.
-    Returns (converged high->low edge set, rounds used)."""
+    Returns (converged high->low edge set, rounds used).
+
+    Raises RuntimeError if max_iter rounds pass without the edge-set
+    checksum stabilizing: an unconverged edge set can hold multiple
+    dst per src, which would surface downstream as duplicate
+    (id, component) rows with no other signal."""
     edges = sym.where(F.col("src") != F.col("dst")).distinct().coalesce(n_parts)
     # lazy checkpoints: the checksum action right after materializes
     # them, so each round runs ONE job instead of two
     edges = edges.localCheckpoint(eager=False)
     prev = _checksum(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         edges = _small_star(_large_star(edges, n_parts), n_parts).localCheckpoint(
@@ -111,8 +117,15 @@ def _star_contraction(
         )
         cur = _checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds "
+            f"(edge checksum still changing: {prev}); raise max_iter — "
+            "O(log^2 n) rounds suffice for any graph"
+        )
     return edges, rounds
 
 

@@ -36,23 +36,40 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType regardless of how the
+    parquet writer encoded it. Test fixtures have shipped both
+    TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ),
+    so the conversion must key off the observed dtype, not an assumed
+    physical encoding."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # epoch-nanos as bigint: integer division to micros (float
+        # division loses precision above 2^53 and yields ±1µs errors)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # naive micros: reinterpret in the session timezone (UTC —
+        # load_table pins it) so downstream epoch arithmetic and the
+        # DuckDB oracle's naive timestamps agree
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table (S5). Predicate/column pushdown is
     Catalyst's job — callers express filters declaratively."""
     if name == "events":
-        # runtime-set so driver-built sessions (which lack the conf)
-        # can still read the nanos-timestamp parquet
+        # runtime-set so driver-built sessions (which lack the confs)
+        # read nanos fixtures and render timestamps UTC like ours do
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as
-        # long (nanosAsLong). Truncate to micros — the same precision
-        # DuckDB's TIMESTAMP uses — so oracle comparisons line up.
-        from pyspark.sql import functions as F
-
-        # integer division: float division loses precision above 2^53
-        # (epoch-nanos ≈ 1.7e18) and yields ±1µs errors
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

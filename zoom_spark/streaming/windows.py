@@ -34,8 +34,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema under nanosAsLong (ts arrives as
-# bigint nanos; normalized to timestamp below)
+# events.parquet schema when ts is stored as TIMESTAMP(NANOS) and read
+# under nanosAsLong (fixtures have also shipped micros — see
+# read_events_stream, which sniffs the real schema from a batch read)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -53,17 +54,28 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events table (one parquet = one
     micro-batch by default); same ts normalization as the batch
-    loader (io.load_table)."""
+    loader (io.load_table).
+
+    File streams require a user-supplied schema, but fixtures have
+    shipped ts as both nanos-bigint and micros — so sniff the actual
+    read schema with a zero-cost batch read (footer only), then apply
+    the shared dtype-aware normalization."""
+    from zoom_spark.io import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # file stream sources take a directory; select the events
         # parquet out of the shared sf dir with a glob
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(reader)
 
 
 def tumbling_counts(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
