@@ -64,6 +64,12 @@ HEADLINE = [
     "pagerank_parts",          # 10-iteration PageRank fixpoint
     "linear_interp_fill",      # dense-grid linear interpolation
     "cdc_chunks_docs",         # gear-hash content-defined chunking
+    # round 4 additions
+    "shuffle_shards_deterministic",  # md5 shard + in-shard rank
+    "temperature_mix_sample",  # temperature-weighted source mixing
+    "heavy_hitter_tokens",     # two-phase exact heavy hitters
+    "semdedup_corpus",         # k-means + within-cluster cosine dedup
+    "pca_project_corpus",      # distributed moments + literal projection
 ]
 
 

@@ -134,6 +134,15 @@ EXPECTATIONS = {
     # scalar joins via an intentional crossJoin
     "equidepth_histogram": dict(pushed=False, broadcast=True, cartesian=True),
     "posting_lists": dict(pushed=False, broadcast=False, cartesian=False),
+    # round 4: shard rank is a hash partition + in-partition sort
+    "shuffle_shards_deterministic": dict(pushed=False, broadcast=False, cartesian=False),
+    # per-source rates broadcast; the 1-row min scalar is an
+    # intentional 1-row broadcast nested-loop
+    "temperature_mix_sample": dict(pushed=False, broadcast=True, cartesian=True),
+    # candidate set broadcasts into the recount; 1-row total crossJoin
+    "heavy_hitter_tokens": dict(pushed=False, broadcast=True, cartesian=True),
+    "semdedup_corpus": dict(pushed=False, broadcast=False, cartesian=False),
+    "pca_project_corpus": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -1,0 +1,157 @@
+"""Property tests for the round-4 operators: SemDeDup, distributed
+PCA, and exact threshold heavy hitters."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zoom_spark.dedup.semdedup import semdedup
+from zoom_spark.operators.heavy_hitters import (
+    local_candidates,
+    threshold_heavy_hitters,
+)
+from zoom_spark.similarity.pca import fit_pca, project
+
+
+# ---------- SemDeDup ----------
+
+
+def _unit(rng, dim):
+    v = [rng.gauss(0, 1) for _ in range(dim)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_semdedup_drops_exact_duplicates_keeps_originals(spark):
+    rng = random.Random(7)
+    dim = 16
+    base = [_unit(rng, dim) for _ in range(40)]
+    rows = [(i, base[i]) for i in range(40)]
+    # plant exact clones of vectors 0..9 at ids 100..109
+    rows += [(100 + i, list(base[i])) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = semdedup(df, "v", "id", k=4, threshold=0.999).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(out) == 50
+    # every clone is dropped (its original has the smaller id)
+    for i in range(10):
+        assert not by_id[100 + i]["keep"], f"clone {100+i} survived"
+        assert by_id[i]["keep"], f"original {i} dropped"
+
+
+def test_semdedup_keeps_orthogonal_set(spark):
+    dim = 12
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(dim)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = semdedup(df, "v", "id", k=2, threshold=0.9).collect()
+    assert all(r["keep"] for r in out)
+
+
+def test_semdedup_reuses_supplied_centroids(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = semdedup(
+        df, "v", "id", threshold=1.01, centroids=[[0.0, 1.0], [5.0, 1.0]]
+    ).collect()
+    # threshold > 1 => nothing droppable, but cells come from the
+    # supplied centroids (no fit ran)
+    assert all(r["keep"] for r in out)
+    assert {r["cell"] for r in out} == {0, 1}
+
+
+# ---------- PCA ----------
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(300, 10)) * np.linspace(5, 0.1, 10)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "id long, v array<double>"
+    )
+    _, comps, evals = fit_pca(df, "v", n_components=4)
+    w = np.array(comps)
+    assert np.allclose(w @ w.T, np.eye(4), atol=1e-8)
+    assert evals == sorted(evals, reverse=True)
+
+
+def test_pca_recovers_planted_subspace_and_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    # rank-2 data in 8 dims + tiny noise
+    basis = rng.normal(size=(2, 8))
+    coef = rng.normal(size=(400, 2)) * [4.0, 2.0]
+    x = coef @ basis + rng.normal(size=(400, 8)) * 1e-3
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "id long, v array<double>"
+    ).repartition(7)
+    mean, comps, evals = fit_pca(df, "v", n_components=2)
+    # distributed moments == numpy covariance eigens (same math)
+    ref_evals = np.linalg.eigvalsh(np.cov(x.T))[::-1][:2]
+    assert np.allclose(evals, ref_evals, rtol=1e-6)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    # top-2 components span the planted basis: projecting the basis
+    # onto the components loses almost nothing
+    w = np.array(comps)
+    for b in basis:
+        b = b / np.linalg.norm(b)
+        assert np.linalg.norm(w.T @ (w @ b)) > 0.999
+
+
+def test_pca_projection_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(50, 6))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "id long, v array<double>"
+    )
+    mean, comps, _ = fit_pca(df, "v", n_components=3)
+    got = {
+        r["id"]: r["proj"]
+        for r in project(df, "v", mean, comps).select("id", "proj").collect()
+    }
+    expect = (x - np.array(mean)) @ np.array(comps).T
+    for i in range(50):
+        assert np.allclose(got[i], expect[i], atol=1e-9)
+
+
+# ---------- heavy hitters ----------
+
+
+def _values_df(spark, counts: dict[str, int], parts: int = 8):
+    rows = [(v,) for v, c in counts.items() for _ in range(c)]
+    random.Random(0).shuffle(rows)
+    return spark.createDataFrame(rows, "t string").repartition(parts)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    rng = random.Random(42)
+    counts = {f"tail{i}": rng.randint(1, 3) for i in range(200)}
+    counts.update({"alpha": 150, "beta": 90, "gamma": 40})
+    df = _values_df(spark, counts)
+    k = 20
+    got = {
+        r["t"]: r["freq"] for r in threshold_heavy_hitters(df, "t", k).collect()
+    }
+    n = sum(counts.values())
+    expect = {v: c for v, c in counts.items() if c * k > n}
+    assert got == expect
+
+
+def test_local_candidates_superset_of_true_heavy(spark):
+    counts = {f"x{i}": 2 for i in range(100)}
+    counts["big"] = 120
+    df = _values_df(spark, counts, parts=16)
+    k = 10
+    cand = {r["t"] for r in local_candidates(df, "t", k).collect()}
+    n = sum(counts.values())
+    true_heavy = {v for v, c in counts.items() if c * k > n}
+    assert true_heavy <= cand
+
+
+def test_heavy_hitters_empty_when_uniform(spark):
+    counts = {f"u{i}": 5 for i in range(50)}
+    df = _values_df(spark, counts)
+    assert threshold_heavy_hitters(df, "t", 10).count() == 0

@@ -1,0 +1,185 @@
+"""Data-mixing / corpus-curation gated queries, round 4:
+deterministic global shuffle-sharding, temperature-weighted source
+mixing, exact threshold heavy hitters, SemDeDup, and PCA projection.
+
+These are the operations a training-data pipeline runs AFTER
+cleaning/dedup: decide the per-source mixture, shuffle the corpus
+into training shards, audit the dominant tokens, and compress the
+embedding space. The reference has no analog (SURVEY.md §2.11
+north-star family); semantics follow the public literature
+(temperature sampling from the multilingual-training literature,
+SemDeDup arXiv:2303.09540).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.text import ws_tokens
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+N_SHARDS = 16
+HH_K = 500  # heavy-hitter threshold denominator: freq * K > N
+MIX_ALPHA = 0.5  # temperature-sampling exponent (T = 1/alpha = 2)
+
+
+@register(
+    "shuffle_shards_deterministic",
+    sql=f"""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % {N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {N_SHARDS}
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def shuffle_shards_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: shard =
+    md5(doc_id) mod N, position = md5-order rank within the shard.
+    This is the 'shuffle once, read sequentially' layout trainers
+    want. Engine-portable (md5, not rand) so both engines agree
+    row-for-row. At 100 TB: the shard assignment is map-only; the
+    only shuffle is the per-shard rank — a hash partition on shard
+    with an in-partition sort, i.e. exactly the write pattern of
+    repartition(shard).sortWithinPartitions, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(N_SHARDS)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@register(
+    "temperature_mix_sample",
+    sql=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n_docs) AS m FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             round(pow(CAST(n_docs AS DOUBLE) / m, {MIX_ALPHA} - 1.0), 6) AS rate
+      FROM counts CROSS JOIN mn
+    ),
+    u AS (
+      SELECT doc_id, source,
+             (1.0 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT)) / 4294967297.0 AS u
+      FROM documents
+    )
+    SELECT r.source, r.n_docs, r.rate,
+           CAST(count(*) FILTER (WHERE u.u < r.rate) AS BIGINT) AS n_sampled
+    FROM u JOIN rates r USING (source)
+    GROUP BY r.source, r.n_docs, r.rate
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual-training
+    recipe: sample source s with probability ∝ n_s^alpha, flattening
+    the natural distribution): per-doc acceptance rate
+    (n_s / n_min)^(alpha-1), largest for the smallest source (rate
+    1.0), computed from a two-row broadcastable stats frame; the
+    accept/reject itself is a map-only md5-uniform compare. Output is
+    the per-source audit (kept counts), the artifact a mixing run
+    logs. The rate is rounded to 6dp BEFORE the compare so both
+    engines apply the identical threshold (libm pow may differ in the
+    last ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("m"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("m"), MIX_ALPHA - 1.0), 6
+        ).alias("rate"),
+    )
+    u = (
+        1.0
+        + F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+    ) / F.lit(4294967297.0)
+    return (
+        docs.select("source", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(
+            F.count(F.when(F.col("u") < F.col("rate"), 1)).alias("n_sampled")
+        )
+        .select("source", "n_docs", "rate", "n_sampled")
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    sql=rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+    SELECT t, CAST(count(*) AS BIGINT) AS freq
+    FROM tok CROSS JOIN tot
+    GROUP BY t, tot.total
+    HAVING count(*) * {HH_K} > tot.total
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold heavy hitters (tokens with freq > N/k) via the
+    two-phase local-candidate pruning in operators/heavy_hitters.py:
+    partitions emit only locally-heavy tokens (pigeonhole superset),
+    then only candidates are recounted — the long-tail vocabulary is
+    filtered map-side and never shuffles. Final predicate is integer
+    (freq * k > N), so the oracle comparison is float-free."""
+    from zoom_spark.operators.heavy_hitters import threshold_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ws_tokens(F.lower("text"))).alias("t"))
+    return threshold_heavy_hitters(tok, "t", HH_K)
+
+
+@register("semdedup_corpus")  # float k-means cells: rows-only + property tests
+def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means coarse clusters,
+    within-cluster cosine >= 0.93 drops every non-minimum id. Output
+    is (id, cell, keep) for auditability; see dedup/semdedup.py for
+    the scale argument (quadratic work confined to clusters)."""
+    from zoom_spark.dedup.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, "embedding", "vec_id", k=8, threshold=0.93)
+
+
+@register("pca_project_corpus")  # float moments: rows-only + property tests
+def pca_project_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-compress the 64-d embeddings to 8 components: distributed
+    moment pass (one tiny partial row per partition), driver-side
+    eigh on the 64x64 covariance, JVM-side literal-weight projection
+    (similarity/pca.py). Output rounded to 4dp to damp partial-sum
+    flutter, serialized to a CSV string — the driver's rows-only
+    canonicalization cannot sort array columns (round-1
+    winnow_fingerprints lesson)."""
+    from zoom_spark.similarity.pca import fit_pca, project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = fit_pca(emb, "embedding", n_components=8)
+    return project(emb, "embedding", mean, comps).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("proj", lambda x: F.round(x, 4).cast("string"))
+        ).alias("proj_csv"),
+    )
