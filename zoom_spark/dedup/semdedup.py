@@ -55,7 +55,9 @@ def semdedup(
     >= threshold. Pass precomputed ``centroids`` to skip the fit
     (e.g. reuse an IVF coarse quantizer)."""
     if centroids is None:
-        centroids, _ = kmeans_fit(df, vec_col, id_col, k, max_iter=max_iter)
+        centroids, _ = kmeans_fit(
+            df, vec_col, id_col, k, max_iter=max_iter, compute_inertia=False
+        )
     assigned = kmeans_assign(df, vec_col, id_col, centroids).select("id", "cell")
     vecs = df.select(
         F.col(id_col).alias("id"),

@@ -78,8 +78,19 @@ def pagerank(
     directed = edges.select(
         F.col(src).alias("from"), F.col(dst).alias("to")
     ).unionAll(edges.select(F.col(dst).alias("from"), F.col(src).alias("to")))
+    # Per-round frames are (node, rank)/(edge) sized — far smaller than
+    # the data that produced them. Sizing their partition count to the
+    # frame (same rationale as dedup/components.py) keeps each of the
+    # 2*iterations shuffles from paying a session-wide partition count
+    # of near-empty tasks; at real scale this would be
+    # ~edges/target_rows_per_task instead of a constant.
+    n_parts = max(2, min(8, edges.sparkSession.sparkContext.defaultParallelism))
     out_deg = directed.groupBy("from").agg(F.count("*").alias("out_deg"))
-    directed = directed.join(out_deg, on="from").localCheckpoint(eager=False)
+    directed = (
+        directed.join(out_deg, on="from")
+        .coalesce(n_parts)
+        .localCheckpoint(eager=False)
+    )
     nodes = directed.select(F.col("from").alias("node")).distinct()
     n_total = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
@@ -94,9 +105,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = contribs.select(
-            "node", (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank")
-        ).localCheckpoint(eager=False)
+        ranks = (
+            contribs.select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank"),
+            )
+            .coalesce(n_parts)
+            .localCheckpoint(eager=False)
+        )
     return ranks
 
 

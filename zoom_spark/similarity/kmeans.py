@@ -110,17 +110,23 @@ def kmeans_fit(
     k: int,
     *,
     max_iter: int = 5,
+    compute_inertia: bool = True,
 ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's iterations from a deterministic hash-ordered seed
-    sample. Returns (centroids, inertia_per_iteration)."""
+    sample. Returns (centroids, inertia_per_iteration).
+
+    ``compute_inertia=False`` skips the per-iteration inertia action
+    (one full E-step scan each) for callers that only need the
+    centroids (IVF training, SemDeDup) — halves the job count."""
     first = df.select(vec_col).first()
     dim = len(first[0])
     centroids = sample_centroids(df, vec_col, id_col, k)
     inertias: list[float] = []
     for _ in range(max_iter):
         assigned = _assign(df, vec_col, id_col, centroids)
-        inertia = assigned.agg(F.sum("dist2").alias("i")).first()["i"]
-        inertias.append(float(inertia))
+        if compute_inertia:
+            inertia = assigned.agg(F.sum("dist2").alias("i")).first()["i"]
+            inertias.append(float(inertia))
         centroids = _mstep(assigned, k, dim)
     return centroids, inertias
 
