@@ -70,6 +70,7 @@ HEADLINE = [
     "heavy_hitter_tokens",     # two-phase exact heavy hitters
     "semdedup_corpus",         # k-means + within-cluster cosine dedup
     "pca_project_corpus",      # distributed moments + literal projection
+    "knn_pq_adc",              # product-quantization ADC ANN
 ]
 
 

@@ -143,6 +143,9 @@ EXPECTATIONS = {
     "heavy_hitter_tokens": dict(pushed=False, broadcast=True, cartesian=True),
     "semdedup_corpus": dict(pushed=False, broadcast=False, cartesian=False),
     "pca_project_corpus": dict(pushed=False, broadcast=False, cartesian=False),
+    # ADC scan is a literal-LUT fold + per-query top-k over the FULL
+    # encoded corpus; no joins, no base-column filter in the plan
+    "knn_pq_adc": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -101,3 +101,23 @@ def kmeans_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+@register("knn_pq_adc")  # quantized (approximate): rows-only + property tests
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity/pq.py): one-pass-per-
+    iteration codebook training, map-only encoding to m=8 int codes
+    (8x compression of the 64-d corpus), then ADC top-10 for 5 query
+    vectors — the memory-bound regime IVF-flat can't reach. The ADC
+    scan is a JVM literal-LUT fold (no Python, no shuffle except the
+    final per-query top-k)."""
+    from zoom_spark.similarity.pq import encode_pq, pq_topk, train_pq
+
+    emb = _emb_double(spark, sf_dir)
+    books, _ = train_pq(emb, "embedding", "vec_id", m=8, k=16, max_iter=3)
+    encoded = encode_pq(emb, "embedding", "vec_id", books)
+    qs = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    return pq_topk(encoded, qs, books, k_neighbors=10)
