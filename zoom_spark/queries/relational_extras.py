@@ -1,0 +1,119 @@
+"""Relational-breadth gated queries, round 4: LATERAL correlated
+subquery, null-safe equality join, and positional bigram counting.
+
+These close the last ANSI-join-shape gaps in the §2.3/§2.8 families:
+LATERAL is the standard "top-N detail rows per outer row" idiom
+(decorrelated by Catalyst into WindowGroupLimit + equi-join — the
+plan a hand-written window query would produce, proving the
+decorrelation); null-safe equality (`<=>` / IS NOT DISTINCT FROM) is
+the join form GROUP BY-with-null-keys pipelines need; bigrams are
+the positional higher-order-array idiom (zip of shifted slices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.functions.text import ws_tokens
+from zoom_spark.io import load_table, register_views
+from zoom_spark.queries import register
+
+LATERAL_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+"""
+
+
+@register("lateral_top_orders_per_customer", sql=LATERAL_SQL)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-2 orders per customer — the identical
+    SQL text runs on both engines (recursive_tree_depth precedent).
+    Catalyst decorrelates it to WindowGroupLimit (map-side top-k
+    pre-prune) + BroadcastHashJoin: the scale-correct plan, with no
+    per-outer-row re-execution anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_SQL)
+
+
+@register(
+    "null_safe_join_segments",
+    sql="""
+    WITH tagged AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    sizes AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_in_seg
+      FROM tagged GROUP BY seg
+    )
+    SELECT t.c_custkey, t.seg, s.n_in_seg
+    FROM tagged t JOIN sizes s ON t.seg IS NOT DISTINCT FROM s.seg
+    """,
+)
+def null_safe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`eqNullSafe` / IS NOT DISTINCT FROM):
+    the NULL segment group joins to its own size row instead of
+    dropping out as an ordinary equi-join would. Still hash-joinable
+    (null-safe equality is a deterministic key function), so the
+    small aggregated side broadcasts — no nested-loop fallback."""
+    c = load_table(spark, sf_dir, "customer")
+    tagged = c.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    )
+    sizes = tagged.groupBy("seg").agg(F.count("*").alias("n_in_seg"))
+    return (
+        tagged.alias("t")
+        .join(
+            F.broadcast(sizes.alias("s")),
+            F.col("t.seg").eqNullSafe(F.col("s.seg")),
+        )
+        .select("t.c_custkey", "t.seg", "s.n_in_seg")
+    )
+
+
+@register(
+    "bigram_counts",
+    sql=r"""
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY w1, w2
+    HAVING count(*) >= 20
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (language-model / collocation primitive):
+    adjacent-token pairs via a zip of shifted array slices — pure
+    higher-order expressions, the explode happens AFTER pairing so
+    each token shuffles once, not twice. Zipf-skewed key space, but
+    the aggregate is map-side partial so hot bigrams combine before
+    the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = ws_tokens(F.lower("text"))
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 20)
+    )
