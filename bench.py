@@ -71,6 +71,7 @@ HEADLINE = [
     "semdedup_corpus",         # k-means + within-cluster cosine dedup
     "pca_project_corpus",      # distributed moments + literal projection
     "knn_pq_adc",              # product-quantization ADC ANN
+    "knn_ivfpq",               # residual IVF-PQ probe join
 ]
 
 

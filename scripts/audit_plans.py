@@ -146,6 +146,8 @@ EXPECTATIONS = {
     # ADC scan is a literal-LUT fold + per-query top-k over the FULL
     # encoded corpus; no joins, no base-column filter in the plan
     "knn_pq_adc": dict(pushed=False, broadcast=False, cartesian=False),
+    # probe LUTs broadcast into the cell equi-join
+    "knn_ivfpq": dict(pushed=False, broadcast=True, cartesian=False),
     # LATERAL decorrelates to WindowGroupLimit + broadcast equi-join
     "lateral_top_orders_per_customer": dict(pushed=True, broadcast=True, cartesian=False),
     # null-safe equality is hash-joinable: broadcast, never nested-loop

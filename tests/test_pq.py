@@ -77,3 +77,80 @@ def test_encode_codes_shape_and_range(spark):
     for r in rows:
         assert len(r["codes"]) == 2
         assert all(0 <= c < 4 for c in r["codes"])
+
+
+# ---------- residual IVF-PQ ----------
+
+
+def test_ivfpq_full_probe_matches_numpy_adc(spark):
+    """n_probe == n_cells scans everything; distances must equal a
+    numpy re-computation of the residual ADC pipeline from the
+    collected index artifacts."""
+    from zoom_spark.similarity.pq import ivfpq_build, ivfpq_topk
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(120, 8))
+    df = _df(spark, x).repartition(3)
+    encoded, cents, books = ivfpq_build(
+        df, "v", "vec_id", n_cells=4, m=2, k=8, max_iter=3
+    )
+    cents_np, books_np = np.array(cents), np.array(books)
+    codes = {r["id"]: (r["cell"], r["codes"]) for r in encoded.collect()}
+    queries = [(int(i), x[i].tolist()) for i in (0, 50, 100)]
+    out = ivfpq_topk(
+        encoded, cents, books, queries, n_probe=4, k_neighbors=120
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 50, 100}
+    m, _, ds = books_np.shape
+    for r in out:
+        q = x[r["query_id"]]
+        cell, cs = codes[r["id"]]
+        rq = (q - cents_np[cell]).reshape(m, ds)
+        expect = sum(
+            float(((rq[j] - books_np[j][cs[j]]) ** 2).sum()) for j in range(m)
+        )
+        assert abs(r["adc_dist"] - round(expect, 6)) < 1e-6
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    from zoom_spark.similarity.pq import ivfpq_build, ivfpq_topk
+
+    rng = np.random.default_rng(8)
+    centers = rng.normal(size=(4, 16)) * 50.0
+    pts = np.concatenate([c + rng.normal(size=(25, 16)) for c in centers])
+    df = _df(spark, pts).repartition(4)
+    encoded, cents, books = ivfpq_build(
+        df, "v", "vec_id", n_cells=4, m=4, k=16, max_iter=4
+    )
+    queries = [(int(i), pts[i].tolist()) for i in (0, 30, 60, 90)]
+    out = ivfpq_topk(encoded, cents, books, queries, n_probe=2, k_neighbors=10).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["id"] // 25 == r["query_id"] // 25
+
+
+def test_ivfpq_probe_subset_of_full(spark):
+    """Probing fewer cells returns a subset of the full-probe
+    candidate ids for each query (cells partition the corpus)."""
+    from zoom_spark.similarity.pq import ivfpq_build, ivfpq_topk
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(80, 8))
+    df = _df(spark, x)
+    encoded, cents, books = ivfpq_build(
+        df, "v", "vec_id", n_cells=4, m=2, k=8, max_iter=2
+    )
+    queries = [(0, x[0].tolist())]
+    full = {
+        r["id"]
+        for r in ivfpq_topk(
+            encoded, cents, books, queries, n_probe=4, k_neighbors=80
+        ).collect()
+    }
+    part = {
+        r["id"]
+        for r in ivfpq_topk(
+            encoded, cents, books, queries, n_probe=1, k_neighbors=80
+        ).collect()
+    }
+    assert part < full

@@ -121,3 +121,24 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < 5).collect()
     ]
     return pq_topk(encoded, qs, books, k_neighbors=10)
+
+
+@register("knn_ivfpq")  # quantized (approximate): rows-only + property tests
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (IVFADC, similarity/pq.py): coarse L2 cells +
+    PQ codebooks trained on residuals, probe join on cell with the
+    per-(query, cell) lookup table shipped as broadcast DATA. The
+    memory-bound 100 TB ANN layout: 8x-compressed codes, m-lookup
+    distances, and only n_probe/n_cells of the corpus scanned per
+    query."""
+    from zoom_spark.similarity.pq import ivfpq_build, ivfpq_topk
+
+    emb = _emb_double(spark, sf_dir)
+    encoded, cents, books = ivfpq_build(
+        emb, "embedding", "vec_id", n_cells=8, m=8, k=16, max_iter=3
+    )
+    qs = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    return ivfpq_topk(encoded, cents, books, qs, n_probe=3, k_neighbors=10)

@@ -125,11 +125,22 @@ def train_pq(
 
 
 def encode_pq(
-    df: DataFrame, vec_col: str, id_col: str, codebooks
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks,
+    *,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes[m]) — map-only vectorized argmin per subspace."""
+    """(id, codes[m], *extra_cols) — map-only vectorized argmin per
+    subspace; ``extra_cols`` (e.g. the IVF cell id) pass through the
+    same map so no join is needed to reattach them."""
     books = np.array(codebooks)
     m, k, ds = books.shape
+    extra = list(extra_cols or [])
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra
+    )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -148,12 +159,13 @@ def encode_pq(
                 ],
                 axis=1,
             )  # (N, m)
-            yield pd.DataFrame(
-                {"id": b[id_col].values, "codes": list(codes.astype(int))}
-            )
+            out = {"id": b[id_col].values, "codes": list(codes.astype(int))}
+            for c in extra:
+                out[c] = b[c].values
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
-        enc, f"id long, codes array<int>"
+    return df.select(F.col(id_col).alias(id_col), vec_col, *extra).mapInPandas(
+        enc, f"id long, codes array<int>{extra_schema}"
     )
 
 
@@ -210,6 +222,98 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
     return (
         scans.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 3,
+) -> tuple[DataFrame, list[list[float]], list]:
+    """Residual IVF-PQ index: coarse-quantize to n_cells (L2 argmin,
+    map-only), PQ-train on the RESIDUALS x - centroid[cell] (residual
+    energy is what PQ should spend its codes on — the Jégou et al.
+    IVFADC layout), encode with the cell id riding along. Returns
+    (encoded(id, codes, cell), cell_centroids, codebooks).
+
+    The residual subtraction is a JVM zip_with against an
+    array-of-arrays centroid literal indexed by cell — no Python, no
+    join. The residual frame is lazily checkpointed: training
+    iterations and encoding both scan it, and without the checkpoint
+    each pass would recompute the assignment projection."""
+    from zoom_spark.similarity.kmeans import _assign
+
+    cents = sample_centroids(corpus, vec_col, id_col, n_cells)
+    assigned = _assign(corpus, vec_col, id_col, cents)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    resid = assigned.select(
+        "id",
+        "cell",
+        F.zip_with(
+            "vec",
+            F.element_at(cents_lit, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("resid"),
+    ).localCheckpoint(eager=False)
+    books, _ = train_pq(resid, "resid", "id", m=m, k=k, max_iter=max_iter)
+    encoded = encode_pq(resid, "resid", "id", books, extra_cols=["cell"])
+    return encoded, cents, books
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    cell_centroids: list[list[float]],
+    codebooks,
+    queries: list[tuple[int, list[float]]],
+    *,
+    n_probe: int = 3,
+    k_neighbors: int = 10,
+) -> DataFrame:
+    """(query_id, id, adc_dist, rank) — probe each query's n_probe
+    nearest cells only. The probe set ships as a tiny broadcast
+    DataFrame carrying the per-(query, cell) residual lookup table AS
+    DATA (m x k doubles per row), so the scan is one equi-join on
+    cell + a JVM fold — scale shape identical to ivf.py's probe join,
+    with PQ's m-lookup distance instead of a d-wide cosine fold."""
+    cents = np.array(cell_centroids)
+    books = np.array(codebooks)
+    m, k, ds = books.shape
+    spark = encoded.sparkSession
+    rows = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        d2 = ((cents - q) ** 2).sum(1)
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            rq = (q - cents[cell]).reshape(m, ds)
+            lut = [
+                [float(((rq[j] - books[j][c]) ** 2).sum()) for c in range(k)]
+                for j in range(m)
+            ]
+            rows.append((int(qid), int(cell), lut))
+    probes = spark.createDataFrame(
+        rows, "query_id int, cell int, lut array<array<double>>"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "lut", "codes", lambda row, c: F.element_at(row, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    return (
+        encoded.join(F.broadcast(probes), "cell")
+        .select("query_id", "id", F.round(dist, 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k_neighbors)
         .select("query_id", "id", "adc_dist", "rank")
     )
