@@ -76,3 +76,57 @@ def test_cogrouped_apply_in_pandas_matches_join_agg(spark):
     )
     assert got.subtract(ref).count() == 0
     assert ref.subtract(got).count() == 0
+
+
+def test_grouped_agg_pandas_udf_matches_jvm_weighted_mean(spark):
+    """GROUPED_AGG pandas_udf (the Arrow UDAF form): per-status
+    quantity-weighted mean price must equal the JVM sum/sum
+    expression."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(s, float(q), float(p)) for s in ("A", "B", "C")
+         for q, p in zip(range(1, 8), range(10, 80, 10))],
+        "status string, qty double, price double",
+    )
+
+    @pandas_udf("double")
+    def wmean(qty: pd.Series, price: pd.Series) -> float:
+        return float(np.average(price, weights=qty))
+
+    got = {
+        r["status"]: r["wm"]
+        for r in df.groupBy("status").agg(wmean("qty", "price").alias("wm")).collect()
+    }
+    expect = {
+        r["status"]: r["wm"]
+        for r in df.groupBy("status")
+        .agg((F.sum(F.col("qty") * F.col("price")) / F.sum("qty")).alias("wm"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for s in got:
+        assert abs(got[s] - expect[s]) < 1e-9
+
+
+def test_grouped_agg_pandas_udf_over_window(spark):
+    """GROUPED_AGG UDFs are also valid over unbounded windows —
+    per-partition mean via Arrow must equal F.avg over the window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(30)], "k int, v double"
+    )
+
+    @pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    w = Window.partitionBy("k")
+    rows = df.select(
+        "k", "v", pmean("v").over(w).alias("m1"), F.avg("v").over(w).alias("m2")
+    ).collect()
+    for r in rows:
+        assert abs(r["m1"] - r["m2"]) < 1e-9

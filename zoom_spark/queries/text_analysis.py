@@ -354,3 +354,55 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("c.chunk").cast("bigint").alias("chunk_len"),
         )
     )
+
+
+@register(
+    "duplicate_spans",
+    sql=r"""
+    WITH grams AS (
+      SELECT doc_id, md5(substr(text, i, 24)) AS gram_md5
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 23, 8)) AS i
+        FROM documents WHERE length(text) >= 24
+      )
+    )
+    SELECT gram_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams
+    GROUP BY gram_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring-duplication detection (the Lee
+    et al. "Deduplicating Training Data" substring shape): stride-8
+    24-char grams hashed and grouped; any gram seen in >= 2 docs
+    marks a duplicated span. Detection guarantee: every duplicated
+    substring of length >= 24+8-1 contains at least one sampled gram
+    in both copies at SOME alignment — stride sampling bounds the
+    blow-up to ~len/8 rows per doc (map-side, one shuffle on the
+    16-byte hash). The winnowing variant (winnow_fingerprints) is the
+    tighter-selection production path; this one is exact-stride and
+    therefore DuckDB-oracle-checkable end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.where(F.length("text") >= 24)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 23, F.lit(8))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.md5(F.substring(F.col("text"), F.col("i"), 24).cast("binary")).alias("gram_md5"))
+    )
+    return (
+        grams.groupBy("gram_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
