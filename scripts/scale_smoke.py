@@ -39,6 +39,11 @@ SUSPECTS = [
     # (upscaled as DISJOINT graph copies -> exactly linear expected)
     "co_purchase_triangles",
     "pagerank_parts",
+    # round 4: semdedup's within-cell cosine step is the quadratic
+    # suspect (clusters grow with the near-dup replication); the
+    # substring-gram pass is the shuffle-volume suspect
+    "semdedup_corpus",
+    "duplicate_spans",
 ]
 
 

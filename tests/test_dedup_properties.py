@@ -407,3 +407,20 @@ def test_multimodal_resize_and_frames_deterministic(spark):
         F.col("prev").isNotNull() & (F.col("frame_offset") < F.col("prev"))
     )
     assert bad.count() == 0
+
+
+def test_star_contraction_raises_on_exhausted_iterations(spark):
+    """ADVICE r3: an exhausted contraction loop must raise, not
+    silently return a possibly-multi-dst edge set that would emit
+    duplicate (id, component) rows downstream."""
+    from zoom_spark.dedup.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1).collect()
+    # the same graph converges comfortably within the default budget
+    out = connected_components(chain).collect()
+    assert all(r["component"] == 0 for r in out)
+    assert len(out) == 201
