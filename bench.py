@@ -72,6 +72,9 @@ HEADLINE = [
     "pca_project_corpus",      # distributed moments + literal projection
     "knn_pq_adc",              # product-quantization ADC ANN
     "knn_ivfpq",               # residual IVF-PQ probe join
+    "snapshot_diff_orders",    # CDF-style snapshot diff (full-outer)
+    "mix_shard_pipeline",      # composed mix-dedup-shard flagship
+    "duplicate_spans",         # stride-gram substring dup detection
 ]
 
 

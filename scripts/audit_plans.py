@@ -153,6 +153,10 @@ EXPECTATIONS = {
     # null-safe equality is hash-joinable: broadcast, never nested-loop
     "null_safe_join_segments": dict(pushed=False, broadcast=True, cartesian=False),
     "bigram_counts": dict(pushed=False, broadcast=False, cartesian=False),
+    "snapshot_diff_orders": dict(pushed=False, broadcast=False, cartesian=False),
+    # rates broadcast; 1-row min scalar is an intentional 1-row BNLJ
+    "mix_shard_pipeline": dict(pushed=False, broadcast=True, cartesian=True),
+    "duplicate_spans": dict(pushed=True, broadcast=False, cartesian=False),
 }
 
 

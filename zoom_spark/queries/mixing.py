@@ -183,3 +183,89 @@ def pca_project_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("proj", lambda x: F.round(x, 4).cast("string"))
         ).alias("proj_csv"),
     )
+
+
+@register(
+    "mix_shard_pipeline",
+    sql=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n_docs) AS m FROM counts),
+    rates AS (
+      SELECT source,
+             round(pow(CAST(n_docs AS DOUBLE) / m, {MIX_ALPHA} - 1.0), 6) AS rate
+      FROM counts CROSS JOIN mn
+    ),
+    accepted AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN rates r USING (source)
+      WHERE (1.0 + CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT)) / 4294967297.0 < r.rate
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id
+      FROM accepted
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ),
+    sharded AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS INT) AS shard
+      FROM deduped
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM sharded GROUP BY shard
+    """,
+)
+def mix_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed round-4 flagship: temperature-weighted source
+    acceptance -> exact near-whitespace dedup (min-id exemplar) ->
+    md5 shard assignment -> per-shard audit. Every stage is the gated
+    operator it reuses (temperature_mix_sample, dedup_exact_docs,
+    shuffle_shards_deterministic); one oracle-hashed plan proves the
+    composition. Three shuffles total: the per-source count, the
+    dedup group, the shard audit group — acceptance and shard
+    assignment are map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("m"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("m"), MIX_ALPHA - 1.0), 6
+        ).alias("rate"),
+    )
+    u = (
+        1.0
+        + F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+    ) / F.lit(4294967297.0)
+    accepted = (
+        docs.join(F.broadcast(rates), "source")
+        .where(u < F.col("rate"))
+        .select("doc_id", "text")
+    )
+    from zoom_spark.functions.text import fingerprint_md5
+
+    deduped = accepted.groupBy(fingerprint_md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(8),
+    ).cast("int")
+    return (
+        deduped.select("doc_id", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

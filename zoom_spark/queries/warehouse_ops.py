@@ -293,3 +293,80 @@ def zorder_keyed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("o_totalprice") / 1000.0).cast("long") % 1024).alias("yk"),
     )
     return keyed.withColumn("zkey", morton_key(F.col("xk"), F.col("yk")))
+
+
+@register(
+    "snapshot_diff_orders",
+    sql="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v2.o_orderkey IS NULL THEN 'deleted'
+                WHEN v1.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change_type,
+           v1.o_totalprice AS old_price,
+           v2.o_totalprice AS new_price
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v2.o_orderkey IS NULL
+       OR v1.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+       OR v1.o_orderstatus <> v2.o_orderstatus
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed between two table versions
+    (the Delta-CDF pattern, computed engine-side): v2 is a
+    deterministic mutation of orders (every 97th key deleted, every
+    100th repriced), and the diff is ONE full-outer equi-join on the
+    key with a row-hash-style inequality filter — no per-column
+    subqueries, no driver loop. At 100 TB both snapshots would be
+    bucket-stored on the key so the join co-locates; the change set
+    is the only output that moves."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    v1 = o.alias("v1")
+    v2 = v2.alias("v2")
+    joined = v1.join(v2, on="o_orderkey", how="full_outer").select(
+        "o_orderkey",
+        F.col("v1.o_totalprice").alias("old_price"),
+        F.col("v2.o_totalprice").alias("new_price"),
+        F.col("v1.o_orderstatus").alias("old_status"),
+        F.col("v2.o_orderstatus").alias("new_status"),
+        F.col("v1.o_totalprice").isNull().alias("v1_missing"),
+        F.col("v2.o_totalprice").isNull().alias("v2_missing"),
+    )
+    return (
+        joined.where(
+            F.col("v2_missing")
+            | F.col("v1_missing")
+            | (F.col("old_price") != F.col("new_price"))
+            | (F.col("old_status") != F.col("new_status"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("v2_missing"), "deleted")
+            .when(F.col("v1_missing"), "inserted")
+            .otherwise("updated")
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+    )
