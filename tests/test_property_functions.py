@@ -351,3 +351,40 @@ def test_prefix_sum_and_packing_match_python_reference(spark, weights, budget):
     for i, w in enumerate(weights):
         assert got[i] == cum // budget
         cum += w
+
+
+def test_collation_case_insensitive_grouping(spark):
+    """Spark 4 collation support: UTF8_LCASE groups case variants
+    together while leaving distinct words apart."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Apple",), ("apple",), ("APPLE",), ("pear",)], "w string"
+    )
+    out = {
+        r["wl"].lower(): r["n"]
+        for r in df.groupBy(F.collate("w", "UTF8_LCASE").alias("wl"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == {"apple": 3, "pear": 1}
+
+
+def test_from_xml_nested_extraction(spark):
+    """Spark 4 native XML parsing mirrors the from_json nested-field
+    projection family (P5) for XML payloads."""
+    from pyspark.sql import functions as F
+
+    x = spark.createDataFrame(
+        [(1, "<r><a>1</a><b>x</b></r>"), (2, "<r><a>7</a><b>y</b></r>"),
+         (3, "not xml at all")],
+        "id long, xml string",
+    )
+    rows = (
+        x.select("id", F.from_xml("xml", "a INT, b STRING").alias("s"))
+        .select("id", "s.a", "s.b")
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r["a"], r["b"]) for r in rows[:2]] == [(1, "x"), (7, "y")]
+    assert rows[2]["a"] is None  # malformed row nulls out, no crash
