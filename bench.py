@@ -75,6 +75,8 @@ HEADLINE = [
     "snapshot_diff_orders",    # CDF-style snapshot diff (full-outer)
     "mix_shard_pipeline",      # composed mix-dedup-shard flagship
     "duplicate_spans",         # stride-gram substring dup detection
+    "kll_quantile_sketch_prices",  # mergeable KLL quantile sketches
+    "theta_sketch_segment_overlap",  # theta set-overlap matrix
 ]
 
 

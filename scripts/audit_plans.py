@@ -157,6 +157,10 @@ EXPECTATIONS = {
     # rates broadcast; 1-row min scalar is an intentional 1-row BNLJ
     "mix_shard_pipeline": dict(pushed=False, broadcast=True, cartesian=True),
     "duplicate_spans": dict(pushed=True, broadcast=False, cartesian=False),
+    "kll_quantile_sketch_prices": dict(pushed=False, broadcast=False, cartesian=False),
+    # pairwise sketch matrix: 5-row self-join is an intentional
+    # broadcast nested-loop on the theta-sketch frame
+    "theta_sketch_segment_overlap": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

@@ -82,3 +82,43 @@ def test_zorder_write_layout_prunes_both_dimensions(spark, tmp_path):
     lo = min(s[0] for s in x_spans)
     hi = max(s[1] for s in x_spans)
     assert any(s[0] > lo or s[1] < hi for s in x_spans)
+
+
+def test_kll_sketch_quantiles_near_exact(spark):
+    """KLL p50/p90/p99 must sit within tight rank error of the exact
+    order statistics (KLL default k -> ~1.7% rank error at 99%
+    confidence; we allow 3% rank slack)."""
+    from zoom_spark.queries.warehouse_ops import kll_quantile_sketch_prices
+    import duckdb
+
+    rows = kll_quantile_sketch_prices(spark, SF_DIR).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    prices = [r[0] for r in con.execute(
+        "SELECT o_totalprice FROM orders ORDER BY o_totalprice"
+    ).fetchall()]
+    by_status = {r["o_orderstatus"]: r for r in rows}
+    assert "ALL" in by_status
+    n = len(prices)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        got = by_status["ALL"][col]
+        # rank of the sketch answer in the exact sorted data
+        import bisect
+        rank = bisect.bisect_left(prices, got) / n
+        assert abs(rank - q) < 0.03, (q, got, rank)
+
+
+def test_theta_sketch_overlap_matches_exact_disjoint_and_union(spark):
+    """Market segments partition customers: every pairwise
+    intersection is exactly 0 and every union is n_a + n_b; the theta
+    estimates must agree within 2% relative error."""
+    from zoom_spark.queries.warehouse_ops import theta_sketch_segment_overlap
+
+    rows = theta_sketch_segment_overlap(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) segment pairs
+    for r in rows:
+        exact_union = r["n_a"] + r["n_b"]
+        assert abs(r["est_union"] - exact_union) <= max(2, 0.02 * exact_union)
+        assert r["est_intersection"] <= max(2, 0.02 * exact_union)

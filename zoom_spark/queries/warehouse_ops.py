@@ -370,3 +370,87 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_price",
         )
     )
+
+
+@register("kll_quantile_sketch_prices")  # DataSketches KLL: rows-only + property
+def kll_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL via
+    F.kll_sketch_agg_double): per-status sketches built with map-side
+    partials, then MERGED into an all-data sketch without reshuffling
+    raw prices — the rollup-cube quantile idiom (store the sketch per
+    cell, merge on query). Emits p50/p90/p99 per status plus the
+    merged ALL row. DuckDB has no KLL, so the gate is rows-only; the
+    property test bounds the sketch quantiles against exact
+    percentile_approx-free order statistics."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    # kll_sketch_merge_double is a BINARY scalar merge; the all-data
+    # sketch is a fold over the (one-per-status, tiny) sketch list
+    sk_list = F.collect_list("sk")
+    merged = per.agg(
+        sk_list.alias("sks"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.aggregate(
+            F.slice(F.col("sks"), 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+        "n_rows",
+    )
+    both = per.unionByName(merged)
+    return both.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@register("theta_sketch_segment_overlap")  # DataSketches Theta: rows-only + property
+def theta_sketch_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable SET sketches (Apache DataSketches Theta): per-segment
+    customer sketches support UNION, INTERSECTION and DIFFERENCE
+    estimates — the cross-segment audience-overlap question HLL
+    cannot answer (HLL only unions). Each segment's sketch is built
+    map-side; the pairwise overlap matrix is computed on the tiny
+    collected sketch frame via theta_intersection on a self-join of
+    segments — sketches move, never customer ids."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.theta_sketch_agg("c_custkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    a = seg.select(
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_rows").alias("n_a"),
+    )
+    b = seg.select(
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_rows").alias("n_b"),
+    )
+    return (
+        a.join(b, F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.theta_sketch_estimate(
+                    F.theta_union(F.col("sk_a"), F.col("sk_b"))
+                )
+            ).cast("long").alias("est_union"),
+            F.round(
+                F.theta_sketch_estimate(
+                    F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+                )
+            ).cast("long").alias("est_intersection"),
+        )
+    )
