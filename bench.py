@@ -77,6 +77,7 @@ HEADLINE = [
     "duplicate_spans",         # stride-gram substring dup detection
     "kll_quantile_sketch_prices",  # mergeable KLL quantile sketches
     "theta_sketch_segment_overlap",  # theta set-overlap matrix
+    "bitmap_exact_distinct_customers",  # exact OR-mergeable bitmap distinct
 ]
 
 

@@ -161,6 +161,7 @@ EXPECTATIONS = {
     # pairwise sketch matrix: 5-row self-join is an intentional
     # broadcast nested-loop on the theta-sketch frame
     "theta_sketch_segment_overlap": dict(pushed=False, broadcast=False, cartesian=True),
+    "bitmap_exact_distinct_customers": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

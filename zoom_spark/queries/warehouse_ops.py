@@ -454,3 +454,34 @@ def theta_sketch_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("est_intersection"),
         )
     )
+
+
+@register(
+    "bitmap_exact_distinct_customers",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def bitmap_exact_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark 4 bitmap aggregates:
+    keys bucket into 32k-bit bitmap segments (bitmap_bucket_number),
+    each (group, bucket) builds its bitmap with map-side partial OR,
+    and the distinct count is the sum of bit_counts — a re-rollable
+    EXACT distinct (bitmaps OR-merge like sketches but without
+    estimation error; the Delta/ClickHouse bitmap-index idiom).
+    Oracle: plain COUNT(DISTINCT) — the bitmap path must match it
+    exactly, which is the whole point."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = o.select(
+        "o_orderstatus",
+        F.bitmap_bucket_number("o_custkey").alias("bkt"),
+        F.col("o_custkey").alias("k"),
+    ).groupBy("o_orderstatus", "bkt").agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm")
+    )
+    return (
+        per_bucket.groupBy("o_orderstatus")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"))
+    )
