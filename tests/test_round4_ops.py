@@ -155,3 +155,36 @@ def test_heavy_hitters_empty_when_uniform(spark):
     counts = {f"u{i}": 5 for i in range(50)}
     df = _values_df(spark, counts)
     assert threshold_heavy_hitters(df, "t", 10).count() == 0
+
+
+# ---------- edge cases ----------
+
+
+def test_heavy_hitters_single_partition_and_singleton(spark):
+    df = spark.createDataFrame([("only",)], "t string").coalesce(1)
+    got = threshold_heavy_hitters(df, "t", 5).collect()
+    assert [(r["t"], r["freq"]) for r in got] == [("only", 1)]
+
+
+def test_heavy_hitters_all_rows_same_value(spark):
+    df = spark.createDataFrame([("x",)] * 100, "t string").repartition(8)
+    got = threshold_heavy_hitters(df, "t", 10).collect()
+    assert [(r["t"], r["freq"]) for r in got] == [("x", 100)]
+
+
+def test_pca_constant_input_zero_covariance(spark):
+    rows = [(i, [2.0, 5.0, -1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    mean, comps, evals = fit_pca(df, "v", n_components=2)
+    assert np.allclose(mean, [2.0, 5.0, -1.0])
+    assert np.allclose(evals, 0.0)
+    # projection of identical rows is identical (and ~0)
+    out = project(df, "v", mean, comps).select("proj").collect()
+    for r in out:
+        assert np.allclose(r["proj"], 0.0, atol=1e-12)
+
+
+def test_semdedup_single_row(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
+    out = semdedup(df, "v", "id", k=1, threshold=0.9).collect()
+    assert len(out) == 1 and out[0]["keep"]
