@@ -78,6 +78,7 @@ HEADLINE = [
     "kll_quantile_sketch_prices",  # mergeable KLL quantile sketches
     "theta_sketch_segment_overlap",  # theta set-overlap matrix
     "bitmap_exact_distinct_customers",  # exact OR-mergeable bitmap distinct
+    "bigram_logprob_quality",  # add-1 bigram-LM quality scoring
 ]
 
 

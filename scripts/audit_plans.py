@@ -162,6 +162,8 @@ EXPECTATIONS = {
     # broadcast nested-loop on the theta-sketch frame
     "theta_sketch_segment_overlap": dict(pushed=False, broadcast=False, cartesian=True),
     "bitmap_exact_distinct_customers": dict(pushed=False, broadcast=False, cartesian=False),
+    # 1-row vocab scalar is an intentional broadcast cross join
+    "bigram_logprob_quality": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

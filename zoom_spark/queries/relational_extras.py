@@ -117,3 +117,75 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= 20)
     )
+
+
+@register(
+    "bigram_logprob_quality",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+    ),
+    uni AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM pairs GROUP BY w1, w2
+    ),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bi.c2 + 1.0) / (uni.c1 + v.vocab))), 4) AS avg_logprob
+    FROM pairs p
+    JOIN bi  ON p.w1 = bi.w1 AND p.w2 = bi.w2
+    JOIN uni ON p.w1 = uni.w1
+    CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document quality with add-1 smoothing — the
+    next-order refinement of the CCNet-style unigram filter
+    (unigram_logprob_quality): docs whose ADJACENT-token transitions
+    are improbable under the corpus bigram LM score low even when
+    each token is individually common (word salad). Three aggregates
+    over the same pair stream (bigram counts, left-unigram counts,
+    vocab scalar), then one enrichment join back onto the pairs; the
+    model side of each join is the SMALL side (distinct n-grams vs
+    the token stream), Zipf-skewed on stopword bigrams — AQE
+    broadcast/skew-handles it. Rounded to 4dp so cross-engine libm
+    ln+avg noise cannot move the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = ws_tokens(F.lower("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = uni.agg(F.count("*").alias("vocab"))
+    scored = (
+        pairs.join(bi, on=["w1", "w2"])
+        .join(uni, on="w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))), 4
+        ).alias("avg_logprob"),
+    )
