@@ -254,3 +254,36 @@ def test_rate_source_windowed_counts(spark):
     vals = sorted(r.value for r in rows)
     assert vals == list(range(len(vals)))  # gapless, exactly-once
     assert all(r.bucket == r.value % 5 for r in rows)
+
+
+def test_stream_static_anti_join_skips_loaded_keys(spark, tmp_path):
+    """Stream-static anti join: events whose key is already in the
+    static 'loaded' table never reach the sink; batch anti-join is
+    the parity referee."""
+    from zoom_spark.io import load_table
+    from zoom_spark.streaming.windows import (
+        read_events_stream,
+        stream_static_anti_join,
+    )
+
+    sf = SF_DIR
+    batch = load_table(spark, sf, "events")
+    loaded = batch.where(F.col("event_id") % 3 == 0).select("event_id")
+    out = stream_static_anti_join(read_events_stream(spark, sf), loaded)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_anti")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM ss_anti").collect()
+    }
+    expect = {
+        r["event_id"]
+        for r in batch.join(loaded, "event_id", "left_anti").collect()
+    }
+    assert got == expect
+    assert all(k % 3 != 0 for k in got)

@@ -202,3 +202,19 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stream_static_anti_join(
+    stream: DataFrame, loaded_keys: DataFrame, key: str = "event_id"
+) -> DataFrame:
+    """Stream-static LEFT ANTI join — the EXACT streaming form of the
+    reference's incremental discipline (/root/reference/main.py:71-91:
+    'fetch only meetings whose uuid is not already in Participants'):
+    the static side is the already-loaded key set, re-read per
+    micro-batch, and only unseen keys flow through. No streaming
+    state at all (the static side carries the history), so unlike
+    dropDuplicates there is no watermark horizon limiting how old a
+    duplicate can be."""
+    return stream.join(
+        loaded_keys.select(key).distinct(), on=key, how="left_anti"
+    )
