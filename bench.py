@@ -79,6 +79,7 @@ HEADLINE = [
     "theta_sketch_segment_overlap",  # theta set-overlap matrix
     "bitmap_exact_distinct_customers",  # exact OR-mergeable bitmap distinct
     "bigram_logprob_quality",  # add-1 bigram-LM quality scoring
+    "bm25_ranking",            # BM25 retrieval ranking
 ]
 
 

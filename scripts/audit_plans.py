@@ -164,6 +164,8 @@ EXPECTATIONS = {
     "bitmap_exact_distinct_customers": dict(pushed=False, broadcast=False, cartesian=False),
     # 1-row vocab scalar is an intentional broadcast cross join
     "bigram_logprob_quality": dict(pushed=False, broadcast=True, cartesian=True),
+    # df + (n_docs, avgdl) stats are broadcast; 1-row stats crossJoin
+    "bm25_ranking": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

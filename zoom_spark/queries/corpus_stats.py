@@ -322,3 +322,86 @@ def corpus_to_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_len").alias("total_chars"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+@register(
+    "bm25_ranking",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE t IN ('data', 'model', 'learning')
+      GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl)))
+               AS raw
+      FROM tf
+      JOIN df ON tf.t = df.t
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS bm25,
+           CAST(row_number() OVER (ORDER BY round(raw, 4) DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 20
+    """,
+)
+def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed term query (k1=1.2, b=0.75,
+    Lucene's +1 idf smoothing) — completes the retrieval stack over
+    posting_lists/tfidf_top_terms. Scale shape: the query-term filter
+    prunes the token stream BEFORE any shuffle (only matching tokens
+    aggregate); df and the (n_docs, avgdl) stats frame are tiny
+    broadcast sides; final top-20 is TakeOrderedAndProject. Scores
+    rounded to 4dp pre-rank so cross-engine libm noise cannot reorder
+    the hash-compared output."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zoom_spark.functions.text import ws_tokens
+
+    tok = docs.select("doc_id", F.explode(ws_tokens(F.lower("text"))).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    terms = ["data", "model", "learning"]
+    tf = (
+        tok.where(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * 2.2 / denom).alias("raw"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.select("doc_id", F.round("raw", 4).alias("bm25"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 20)
+    )
