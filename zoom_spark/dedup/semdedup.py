@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zoom_spark.functions.vectors import cosine_with_norms, norm
-from zoom_spark.similarity.kmeans import kmeans_assign, kmeans_fit
+from zoom_spark.similarity.kmeans import kmeans_fit
 
 
 def semdedup(
@@ -58,12 +58,13 @@ def semdedup(
         centroids, _ = kmeans_fit(
             df, vec_col, id_col, k, max_iter=max_iter, compute_inertia=False
         )
-    assigned = kmeans_assign(df, vec_col, id_col, centroids).select("id", "cell")
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
-    ).join(assigned, "id")
+    # _assign already carries the vector through the cell projection —
+    # taking it from there (instead of kmeans_assign + join back onto
+    # df) saves a full equi-join/shuffle of the vectors
+    from zoom_spark.similarity.kmeans import _assign
+
+    assigned = _assign(df, vec_col, id_col, centroids).select("id", "vec", "cell")
+    vecs = assigned.withColumn("nrm", norm(F.col("vec")))
     a = vecs.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),
@@ -90,7 +91,8 @@ def semdedup(
         .distinct()
     )
     return (
-        assigned.join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
+        assigned.select("id", "cell")
+        .join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
         .select(
             "id",
             "cell",
