@@ -80,6 +80,7 @@ HEADLINE = [
     "bitmap_exact_distinct_customers",  # exact OR-mergeable bitmap distinct
     "bigram_logprob_quality",  # add-1 bigram-LM quality scoring
     "bm25_ranking",            # BM25 retrieval ranking
+    "association_rules_pairs", # market-basket support/confidence/lift
 ]
 
 

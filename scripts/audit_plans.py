@@ -166,6 +166,8 @@ EXPECTATIONS = {
     "bigram_logprob_quality": dict(pushed=False, broadcast=True, cartesian=True),
     # df + (n_docs, avgdl) stats are broadcast; 1-row stats crossJoin
     "bm25_ranking": dict(pushed=False, broadcast=True, cartesian=True),
+    # item stats broadcast; 1-row order count is an intentional BNLJ
+    "association_rules_pairs": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

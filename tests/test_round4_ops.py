@@ -188,3 +188,43 @@ def test_semdedup_single_row(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
     out = semdedup(df, "v", "id", k=1, threshold=0.9).collect()
     assert len(out) == 1 and out[0]["keep"]
+
+
+# ---------- Hypothesis: heavy hitters always exact ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        counts=st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+            st.integers(min_value=1, max_value=60),
+            min_size=1,
+            max_size=40,
+        ),
+        k=st.integers(min_value=2, max_value=30),
+        parts=st.integers(min_value=1, max_value=12),
+    )
+    def test_heavy_hitters_exact_for_any_distribution(
+        spark_session_holder, counts, k, parts
+    ):
+        spark = spark_session_holder
+        df = _values_df(spark, counts, parts=parts)
+        got = {
+            r["t"]: r["freq"]
+            for r in threshold_heavy_hitters(df, "t", k).collect()
+        }
+        n = sum(counts.values())
+        expect = {v: c for v, c in counts.items() if c * k > n}
+        assert got == expect
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="session")
+    def spark_session_holder(spark):
+        return spark
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass

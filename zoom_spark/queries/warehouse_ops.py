@@ -485,3 +485,83 @@ def bitmap_exact_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFra
         per_bucket.groupBy("o_orderstatus")
         .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"))
     )
+
+
+@register(
+    "association_rules_pairs",
+    sql="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem),
+    item_supp AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY item
+    ),
+    pair_supp AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= 75
+    )
+    SELECT p.item_a, p.item_b, p.n_pair,
+           round(CAST(p.n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(p.n_pair AS DOUBLE) / sa.n_item, 6) AS confidence,
+           round(CAST(p.n_pair AS DOUBLE) * n.n_orders
+                 / (sa.n_item * sb.n_item), 6) AS lift
+    FROM pair_supp p
+    JOIN item_supp sa ON p.item_a = sa.item
+    JOIN item_supp sb ON p.item_b = sb.item
+    CROSS JOIN n
+    """,
+)
+def association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (pairwise support / confidence
+    / lift — the 2-itemset core of Apriori/FP-growth): baskets are
+    per-order distinct item sets, candidate pairs come from a
+    self-equi-join ON THE ORDER KEY (quadratic only within a basket,
+    the same confinement argument as SemDeDup's clusters), and the
+    min-support HAVING prunes before the metric joins. Item stats are
+    the small broadcast side. Items bucketed mod 50 so sf0.01's
+    baskets genuinely overlap (avg pair co-occurrence ~70)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item_supp = baskets.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = baskets.select("l_orderkey", F.col("item").alias("item_a"))
+    b = baskets.select("l_orderkey", F.col("item").alias("item_b"))
+    pair_supp = (
+        a.join(b, "l_orderkey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= 75)
+    )
+    sa = item_supp.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    sb = item_supp.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_supp.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
