@@ -168,6 +168,7 @@ EXPECTATIONS = {
     "bm25_ranking": dict(pushed=False, broadcast=True, cartesian=True),
     # item stats broadcast; 1-row order count is an intentional BNLJ
     "association_rules_pairs": dict(pushed=False, broadcast=True, cartesian=True),
+    "left_lateral_latest_urgent_order": dict(pushed=True, broadcast=True, cartesian=False),
 }
 
 

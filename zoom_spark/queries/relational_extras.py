@@ -189,3 +189,24 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))), 4
         ).alias("avg_logprob"),
     )
+
+
+LEFT_LATERAL_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l ON true
+"""
+
+
+@register("left_lateral_latest_urgent_order", sql=LEFT_LATERAL_SQL)
+def left_lateral_latest_urgent_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT (outer-preserving) LATERAL: each customer keeps exactly
+    one row even with zero urgent orders (NULL detail columns) — the
+    semantic an inner LATERAL or a plain window query silently drops.
+    Identical SQL text on both engines; Catalyst decorrelates to
+    WindowGroupLimit + LEFT BroadcastHashJoin with the priority
+    filter pushed to the orders scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(LEFT_LATERAL_SQL)
