@@ -287,3 +287,42 @@ def test_stream_static_anti_join_skips_loaded_keys(spark, tmp_path):
     }
     assert got == expect
     assert all(k % 3 != 0 for k in got)
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Checkpoint recovery: a file-source stream processed in two
+    separate query runs sharing one checkpoint directory must ingest
+    every input row exactly once — the restart resumes from the
+    committed offset log instead of re-reading finished files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_file(name, start):
+        t = pa.table({"id": pa.array(range(start, start + 50), type=pa.int64())})
+        pq.write_table(t, str(src / name))
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file("a.parquet", 0)
+    run_once()  # first run ingests file a
+    write_file("b.parquet", 50)
+    run_once()  # restart from checkpoint: must ingest ONLY file b
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(100)), (
+        f"expected exactly-once ingestion of 100 rows, got {len(got)}"
+    )
