@@ -169,6 +169,7 @@ EXPECTATIONS = {
     # item stats broadcast; 1-row order count is an intentional BNLJ
     "association_rules_pairs": dict(pushed=False, broadcast=True, cartesian=True),
     "left_lateral_latest_urgent_order": dict(pushed=True, broadcast=True, cartesian=False),
+    "community_labels_copurchase": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

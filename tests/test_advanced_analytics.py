@@ -380,3 +380,32 @@ class TestQueriesSanity:
         for r in rows:
             assert pat.search(r["event_seq"])
             assert r["n_events"] == r["event_seq"].count(",") + 1
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 6-cliques joined by one bridge edge: connected components
+    merges them, LPA must keep them as two communities."""
+    from zoom_spark.operators.graph import label_propagation_communities
+
+    edges = []
+    for base in (0, 10):
+        ids = list(range(base, base + 6))
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    edges.append((0, 10))  # bridge
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = {r["node"]: r["community"] for r in
+           label_propagation_communities(df).collect()}
+    left = {out[i] for i in range(0, 6)}
+    right = {out[i] for i in range(10, 16)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_single_clique_one_community(spark):
+    from zoom_spark.operators.graph import label_propagation_communities
+
+    ids = list(range(8))
+    edges = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = {r["community"] for r in label_propagation_communities(df).collect()}
+    assert len(out) == 1

@@ -148,3 +148,61 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         F.col("n_edges").cast("bigint").alias("n_edges"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007, re-expressed as DataFrame ops): every node
+    starts in its own community and each round adopts the most
+    frequent label among its neighbors (ties -> smallest label, so
+    rounds are deterministic). Unlike connected components this
+    splits a connected graph into dense regions: a bridge edge
+    between two cliques cannot outvote either clique's internal
+    majority. Returns (node, community).
+
+    Scale shape mirrors pagerank: per round ONE shuffle to count
+    (node, neighbor-label) votes and one max_by reduce — the
+    frame-sized partition count and lazy localCheckpoint keep the
+    2*iterations stages from growing the plan or paying empty tasks.
+    Fixed iteration count (LPA oscillates on bipartite shapes;
+    synchronous + bounded rounds is the standard remedy)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    n_parts = max(2, min(8, edges.sparkSession.sparkContext.defaultParallelism))
+    sym = sym.coalesce(n_parts).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+        .coalesce(n_parts)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a"), F.col("community"))
+            .agg(F.count("*").alias("n_votes"))
+        )
+        # most-frequent neighbor label; ties to the SMALLEST label via
+        # a single max_by on a (votes, -community) composite
+        labels = (
+            votes.groupBy("a")
+            .agg(
+                F.max_by(
+                    "community",
+                    F.struct(
+                        F.col("n_votes"), (-F.col("community")).alias("tie")
+                    ),
+                ).alias("community")
+            )
+            .select(F.col("a").alias("node"), "community")
+            .coalesce(n_parts)
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -921,3 +921,22 @@ def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     properties are pytest-gated in test_advanced_analytics.py."""
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs).orderBy("doc_id", "chunk_idx")
+
+
+@register("community_labels_copurchase")  # iterative vote ties on dense graphs
+def community_labels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the co-purchase graph
+    (operators/graph.label_propagation_communities): dense purchase
+    regions coalesce onto one label while bridge edges can't outvote
+    a community's internal majority — the CC output can't make this
+    distinction (everything co-purchased is one component). Output
+    is the per-community size histogram (community, n_nodes), the
+    artifact a segmentation job reports. Rows-only: the synchronous
+    vote dynamics are exact, but DuckDB has no iterative analog;
+    the planted-clique properties in tests/test_advanced_analytics.py
+    are the semantic gate."""
+    from zoom_spark.operators.graph import label_propagation_communities
+
+    edges = _co_purchase_edges(spark, sf_dir)
+    labels = label_propagation_communities(edges)
+    return labels.groupBy("community").agg(F.count("*").alias("n_nodes"))
