@@ -81,6 +81,7 @@ HEADLINE = [
     "bigram_logprob_quality",  # add-1 bigram-LM quality scoring
     "bm25_ranking",            # BM25 retrieval ranking
     "association_rules_pairs", # market-basket support/confidence/lift
+    "merge_order_intervals",   # gaps-and-islands interval merging
 ]
 
 

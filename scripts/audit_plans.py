@@ -170,6 +170,7 @@ EXPECTATIONS = {
     "association_rules_pairs": dict(pushed=False, broadcast=True, cartesian=True),
     "left_lateral_latest_urgent_order": dict(pushed=True, broadcast=True, cartesian=False),
     "community_labels_copurchase": dict(pushed=False, broadcast=False, cartesian=False),
+    "merge_order_intervals": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -210,3 +210,68 @@ def left_lateral_latest_urgent_order(spark: SparkSession, sf_dir: str) -> DataFr
     filter pushed to the orders scan."""
     register_views(spark, sf_dir)
     return spark.sql(LEFT_LATERAL_SQL)
+
+
+@register(
+    "merge_order_intervals",
+    sql="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders
+    ),
+    m AS (
+      SELECT o_custkey, s, e,
+             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ),
+    fl AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                     THEN 1 ELSE 0 END AS new_island
+      FROM m
+    ),
+    isl AS (
+      SELECT *, sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                      ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    )
+    SELECT o_custkey, CAST(island AS BIGINT) AS island,
+           min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM isl GROUP BY o_custkey, island
+    """,
+)
+def merge_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging (the classic SQL pattern,
+    applied to 30-day order-activity spans per customer): running
+    max-of-end over a 1-row-lagged frame detects island starts, a
+    running sum numbers them, one aggregate merges each island. All
+    three passes share ONE window partitioning (o_custkey) — a single
+    shuffle, then map-side window work; no self-joins, no recursion.
+    The building block behind SCD coalescing, sessionized billing,
+    and coverage/uptime reports."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    fl = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("o_custkey", F.col("island").cast("long").alias("island")).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count("*").alias("n_orders"),
+    )
