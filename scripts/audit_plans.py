@@ -171,6 +171,8 @@ EXPECTATIONS = {
     "left_lateral_latest_urgent_order": dict(pushed=True, broadcast=True, cartesian=False),
     "community_labels_copurchase": dict(pushed=False, broadcast=False, cartesian=False),
     "merge_order_intervals": dict(pushed=False, broadcast=False, cartesian=False),
+    # O(P) rank offsets broadcast; 1-row stats legs cross-join
+    "gini_customer_spend": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

@@ -275,3 +275,60 @@ def merge_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("island_end"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "gini_customer_spend",
+    sql="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM spend
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,2)) AS total,
+             CAST(sum(i * x) AS DECIMAL(38,2)) AS weighted
+      FROM ranked
+    )
+    SELECT n, total,
+           round(2.0 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend (the inequality / skew
+    diagnostic a data-balance audit reports): rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending spend. The
+    global rank uses operators/prefix.global_row_number — range
+    partition + local row_number + O(P) offsets — NOT a single-task
+    global window, so the ranking pass survives 100 TB. Sums are
+    decimal (exact merge), only the final ratio is floating."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("x")
+    )
+    ranked = global_row_number(spend, ["x", "o_custkey"], out_col="i")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("total"),
+        F.sum(F.col("i") * F.col("x")).cast("decimal(38,2)").alias("weighted"),
+    )
+    return agg.select(
+        "n",
+        "total",
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
