@@ -163,11 +163,14 @@ def test_multimodal_features_deterministic_and_shaped(spark):
     from zoom_spark.queries.multimodal_queries import multimodal_features
 
     res = multimodal_features(spark, SF_DIR).cache()
-    assert res.where(F.size("feature") != 8).count() == 0
+    # feature_csv is the gate-safe serialized vector: 8 comma-joined values
+    assert (
+        res.where(F.size(F.split("feature_csv", ",")) != 8).count() == 0
+    )
     # deterministic: two runs agree exactly
     again = multimodal_features(spark, SF_DIR)
-    diff = res.select("media_id", "feature").subtract(
-        again.select("media_id", "feature")
+    diff = res.select("media_id", "feature_csv").subtract(
+        again.select("media_id", "feature_csv")
     )
     assert diff.count() == 0
     # stub decode matches a driver-side recompute on a sample
@@ -179,9 +182,11 @@ def test_multimodal_features_deterministic_and_shaped(spark):
         .select("text")
         .first()
     )
-    expected = [round(v, 6) for v in decode_stub(row["text"].encode(), "text")]
-    got = res.where(F.col("media_id") == 0).first()["feature"]
-    assert [round(v, 6) for v in got] == expected
+    expected = ",".join(
+        "%.6f" % v for v in decode_stub(row["text"].encode(), "text")
+    )
+    got = res.where(F.col("media_id") == 0).first()["feature_csv"]
+    assert got == expected
 
 
 def test_ivf_full_probe_equals_bruteforce(spark):

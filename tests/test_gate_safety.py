@@ -1,0 +1,71 @@
+"""Gate-safety guards: the round-4 postmortem made two promises —
+
+1. no gated query may expose an output schema the driver's pandas
+   canonicalizer can't digest (Array/Map/Struct/Decimal/Binary), and
+2. the local harness must reproduce the driver's failure modes (list
+   cells crash; Decimal-vs-float64 rendering mismatches), so a local
+   green sweep predicts a driver green gate.
+
+Test 1 lints every registry entry's ANALYZED schema (no execution —
+building the DataFrame is enough). Tests 2-4 are harness regression
+tests pinned to the exact r4 driver reds.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_harness import canon_frame, lint_output_schema
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_no_driver_unsafe_output_schemas(spark):
+    """Every queries() entry must analyze to a canonicalizer-safe
+    schema. This is the lint VERDICT r4 asked for: it would have
+    caught collect_sorted_lines, label_centroids (arrays),
+    incremental_agg_maintenance, gini_customer_spend (decimals),
+    multimodal_features and approx_quantiles_prices before the driver
+    did."""
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        schema = fn(spark, SF_DIR).schema  # analysis only, no job
+        risky = lint_output_schema(schema)
+        if risky:
+            bad[name] = risky
+    assert not bad, f"driver-unsafe output columns: {bad}"
+
+
+def test_canon_crashes_on_list_cells_like_the_driver():
+    """r4 red: collect_sorted_lines returned array<int> and the
+    driver's sort_values/factorize crashed. canon_frame must fail the
+    same way, not tolerate it."""
+    pdf = pd.DataFrame({"k": [1, 2], "v": [[1, 2], [3]]})
+    with pytest.raises(TypeError):
+        canon_frame(pdf)
+
+
+def test_canon_renders_decimal_with_trailing_zeros():
+    """r4 red: Spark Decimal('3005007.00') vs DuckDB float64 3005007.0.
+    The harness must preserve that asymmetry, not normalize it away."""
+    spark_side = pd.DataFrame({"x": [decimal.Decimal("3005007.00")]})
+    duck_side = pd.DataFrame({"x": [3005007.0]})
+    assert canon_frame(spark_side) != canon_frame(duck_side)
+
+
+def test_canon_equates_date_and_midnight_timestamp():
+    """DuckDB .df() widens DATE to midnight Timestamp while Spark
+    keeps datetime.date; the driver graded those equal in r4
+    (date_functions), so the harness must too."""
+    import datetime as dt
+
+    spark_side = pd.DataFrame({"d": [dt.date(1995, 1, 1)]})
+    duck_side = pd.DataFrame({"d": [pd.Timestamp("1995-01-01 00:00:00")]})
+    assert canon_frame(spark_side) == canon_frame(duck_side)
+    # ...but a real time-of-day difference still fails
+    duck_side2 = pd.DataFrame({"d": [pd.Timestamp("1995-01-01 03:00:00")]})
+    assert canon_frame(spark_side) != canon_frame(duck_side2)

@@ -171,7 +171,7 @@ def test_approx_quantiles_within_bound_of_exact(spark):
     from zoom_spark.queries.agg_breadth import approx_quantiles_prices
 
     got = {
-        r.o_orderstatus: r.approx_quartiles
+        r.o_orderstatus: [float(v) for v in r.approx_quartiles_csv.split(",")]
         for r in approx_quantiles_prices(spark, SF_DIR).collect()
     }
     o = load_table(spark, SF_DIR, "orders")

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from zoom_spark.operators.sizing import frame_partitions
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.union(
@@ -94,20 +96,28 @@ def _checksum(edges: DataFrame) -> tuple:
 
 
 def _star_contraction(
-    sym: DataFrame, n_parts: int, max_iter: int
+    sym: DataFrame, n_parts: int | None, max_iter: int
 ) -> tuple[DataFrame, int]:
     """Alternate large-star/small-star until the edge set is stable.
     Returns (converged high->low edge set, rounds used).
+    ``n_parts=None`` sizes the per-round partition count from the
+    materialized edge count (frame_partitions).
 
     Raises RuntimeError if max_iter rounds pass without the edge-set
     checksum stabilizing: an unconverged edge set can hold multiple
     dst per src, which would surface downstream as duplicate
     (id, component) rows with no other signal."""
-    edges = sym.where(F.col("src") != F.col("dst")).distinct().coalesce(n_parts)
+    edges = sym.where(F.col("src") != F.col("dst")).distinct()
     # lazy checkpoints: the checksum action right after materializes
     # them, so each round runs ONE job instead of two
     edges = edges.localCheckpoint(eager=False)
     prev = _checksum(edges)
+    if n_parts is None:
+        # Size round partitioning from the materialized edge count the
+        # first checksum just gave us for free — frame-sized, not a
+        # constant (round-4 lesson: a hardcoded cap serializes rounds).
+        n_parts = frame_partitions(sym.sparkSession.sparkContext, prev[0])
+        edges = edges.repartition(n_parts, "src").localCheckpoint(eager=False)
     rounds = 0
     converged = False
     for _ in range(max_iter):
@@ -142,13 +152,13 @@ def connected_components(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     # The working frames are (node, node) pairs — tiny relative to the
-    # data that produced them. Sizing their partition count to the
-    # frame (not the session shuffle default) keeps each iteration's
-    # jobs from paying 32 near-empty tasks per round; at real scale
-    # this would be ~edges/target_rows_per_task instead of a constant.
-    n_parts = max(2, min(8, sym.sparkSession.sparkContext.defaultParallelism))
+    # data that produced them. Their per-round partition count is
+    # derived from the materialized frame size (frame_partitions, see
+    # operators/sizing.py) — NOT a constant, which round 4 showed
+    # serializes every round at local scale and would be a scale-killer
+    # on a real cluster.
     if algorithm == "star":
-        edges, _ = _star_contraction(sym, n_parts, max_iter)
+        edges, _ = _star_contraction(sym, None, max_iter)
         # Converged edge set is a star per component: (member, min).
         # Roots and singletons are their own component.
         nodes = sym.select(F.col("src").alias("id")).distinct()
@@ -158,15 +168,17 @@ def connected_components(
         roots = nodes.join(members, "id", "left_anti").withColumn(
             "component", F.col("id")
         )
-        return members.union(roots).coalesce(n_parts)
+        return members.union(roots)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .coalesce(n_parts)
         .localCheckpoint()
+    )
+    n_parts = frame_partitions(
+        sym.sparkSession.sparkContext, labels.count()
     )
     for _ in range(max_iter):
         nbr_min = (

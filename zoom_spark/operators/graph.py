@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from zoom_spark.operators.sizing import frame_partitions
+
 # ord key = degree * ORD_BASE + node_id: a single BIGINT total order
 # (degree-major, id tie-break) that both sides of every comparison
 # share. Node ids must stay below ORD_BASE.
@@ -78,19 +80,21 @@ def pagerank(
     directed = edges.select(
         F.col(src).alias("from"), F.col(dst).alias("to")
     ).unionAll(edges.select(F.col(dst).alias("from"), F.col(src).alias("to")))
-    # Per-round frames are (node, rank)/(edge) sized — far smaller than
-    # the data that produced them. Sizing their partition count to the
-    # frame (same rationale as dedup/components.py) keeps each of the
-    # 2*iterations shuffles from paying a session-wide partition count
-    # of near-empty tasks; at real scale this would be
-    # ~edges/target_rows_per_task instead of a constant.
-    n_parts = max(2, min(8, edges.sparkSession.sparkContext.defaultParallelism))
+    # Size the static edge frame's partitioning to the frame itself:
+    # ~rows/target_rows_per_task, clamped to the session's parallelism
+    # range. An explicit keyed repartition (NOT coalesce — round 4's
+    # coalesce(<=8) collapsed the upstream join/agg stage to 8 tasks
+    # and tripled the bench) keeps upstream parallelism intact and
+    # co-partitions the directed edges on the join key every round
+    # reuses. Per-round shuffles below are left at the session's
+    # shuffle-partition count; AQE's post-shuffle coalescing trims the
+    # near-empty tasks at runtime, which scales with the data where a
+    # constant cannot.
+    sc = edges.sparkSession.sparkContext
     out_deg = directed.groupBy("from").agg(F.count("*").alias("out_deg"))
-    directed = (
-        directed.join(out_deg, on="from")
-        .coalesce(n_parts)
-        .localCheckpoint(eager=False)
-    )
+    joined = directed.join(out_deg, on="from")
+    n_parts = frame_partitions(sc, joined.count())
+    directed = joined.repartition(n_parts, "from").localCheckpoint(eager=False)
     nodes = directed.select(F.col("from").alias("node")).distinct()
     n_total = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
@@ -110,7 +114,6 @@ def pagerank(
                 "node",
                 (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank"),
             )
-            .coalesce(n_parts)
             .localCheckpoint(eager=False)
         )
     return ranks
@@ -174,13 +177,18 @@ def label_propagation_communities(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    n_parts = max(2, min(8, edges.sparkSession.sparkContext.defaultParallelism))
-    sym = sym.coalesce(n_parts).localCheckpoint(eager=False)
+    sc = edges.sparkSession.sparkContext
+    # Size the symmetrized frame's partitioning from its row count;
+    # repartition (not coalesce) so the count/upstream stages keep
+    # their parallelism. Per-round shuffles stay at the session count
+    # with AQE trimming empties at runtime.
+    sym = sym.localCheckpoint(eager=False)
+    n_parts = frame_partitions(sc, sym.count())
+    sym = sym.repartition(n_parts, "b").localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("community", F.col("node"))
-        .coalesce(n_parts)
         .localCheckpoint(eager=False)
     )
     for _ in range(iterations):
@@ -202,7 +210,6 @@ def label_propagation_communities(
                 ).alias("community")
             )
             .select(F.col("a").alias("node"), "community")
-            .coalesce(n_parts)
             .localCheckpoint(eager=False)
         )
     return labels

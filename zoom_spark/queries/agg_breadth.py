@@ -50,7 +50,8 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_lines",
     sql="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',')
+             AS line_numbers_csv,
            array_to_string(list_sort(list(DISTINCT l_returnflag)), ',')
              AS flags_csv
     FROM lineitem
@@ -61,10 +62,16 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collect_sorted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / collect_set with deterministic post-sort (raw
     collect order is partition-dependent, so every use at scale must
-    sort or treat as bag — the query bakes that discipline in)."""
+    sort or treat as bag — the query bakes that discipline in).
+
+    Gate note: both collected arrays are serialized to CSV strings —
+    the driver's pandas-based canonicalizer cannot hash list cells.
+    """
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.array_sort(F.collect_list("l_linenumber")), ","
+        ).alias("line_numbers_csv"),
         F.array_join(
             F.array_sort(F.collect_set("l_returnflag")), ","
         ).alias("flags_csv"),
@@ -392,12 +399,22 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via approx_percentile (KLL-style sketch,
     mergeable across partitions — the 100 TB path where exact
     percentile's global sort is off the table). Property test bounds
-    the error against the exact percentiles."""
+    the error against the exact percentiles.  Output serializes the
+    quartile array to a %.2f CSV string — the gate canonicalizer
+    cannot hash array cells."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx(
-            "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
-        ).alias("approx_quartiles")
+        F.array_join(
+            F.transform(
+                F.percentile_approx(
+                    "o_totalprice",
+                    F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                    10000,
+                ),
+                lambda x: F.format_string("%.2f", x),
+            ),
+            ",",
+        ).alias("approx_quartiles_csv")
     )
 
 

@@ -82,7 +82,8 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_dims,
-           list(m ORDER BY dim) AS centroid
+           array_to_string(list(printf('%.4f', m) ORDER BY dim), ',')
+             AS centroid_csv
     FROM per_dim GROUP BY label
     """,
 )
@@ -92,8 +93,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode to (label, dim, value), avg per (label, dim) with
     map-side partials, then reassemble the vector ordered by dim
     (sort_array on (dim, mean) structs — no collect, no UDF).
-    Rounded per-dimension BEFORE assembly so the array hash is
-    stable cross-engine."""
+    Rounded per-dimension BEFORE assembly, then serialized to a
+    fixed-precision CSV string (the driver's canonicalizer cannot
+    hash array cells, and %.4f makes the float rendering identical
+    cross-engine)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "label",
@@ -106,10 +109,13 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_dim.groupBy("label").agg(
         F.count("*").alias("n_dims"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim0", "m"))),
-            lambda s: s.getField("m"),
-        ).alias("centroid"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim0", "m"))),
+                lambda s: F.format_string("%.4f", s.getField("m")),
+            ),
+            ",",
+        ).alias("centroid_csv"),
     )
 
 

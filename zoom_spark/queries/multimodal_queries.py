@@ -152,7 +152,8 @@ def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction through the
     stubbed decoder — exercises the real batch shape/schema/partition
-    plumbing; rounds features for stable rows-only counting."""
+    plumbing; serializes the feature vector to a %.6f CSV string so
+    the gate canonicalizer (which cannot hash array cells) is safe."""
     docs = load_table(spark, sf_dir, "documents")
     media = to_media_table(docs, id_col="doc_id", payload_col="text", media_type="text")
     feats = extract_features(media, n_features=8)
@@ -160,5 +161,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "media_type",
         "byte_len",
-        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("feature_csv"),
     )

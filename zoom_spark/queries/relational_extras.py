@@ -296,7 +296,7 @@ def merge_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(i * x) AS DECIMAL(38,2)) AS weighted
       FROM ranked
     )
-    SELECT n, total,
+    SELECT n, round(CAST(total AS DOUBLE), 2) AS total,
            round(2.0 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini
     FROM agg
     """,
@@ -325,7 +325,7 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n",
-        "total",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
         F.round(
             2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
             - (F.col("n") + 1.0) / F.col("n"),

