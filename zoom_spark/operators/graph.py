@@ -77,6 +77,11 @@ def pagerank(
     1..R-1. Isolated nodes never appear (no edges); with the
     undirected expansion every present node has out-degree >= 1, so
     there is no dangling mass to redistribute."""
+    # The caller's edge frame is referenced 4x in the pre-loop plan
+    # (two union branches x degree-agg + join): checkpoint it once so
+    # an expensive edge construction (e.g. a self-join co-purchase
+    # build) materializes exactly once.
+    edges = edges.localCheckpoint(eager=False)
     directed = edges.select(
         F.col(src).alias("from"), F.col(dst).alias("to")
     ).unionAll(edges.select(F.col(dst).alias("from"), F.col(src).alias("to")))
@@ -92,7 +97,10 @@ def pagerank(
     # constant cannot.
     sc = edges.sparkSession.sparkContext
     out_deg = directed.groupBy("from").agg(F.count("*").alias("out_deg"))
-    joined = directed.join(out_deg, on="from")
+    # Checkpoint BEFORE counting: the count both sizes the partitioning
+    # and materializes the (possibly expensive) edge construction once;
+    # the keyed repartition then only reshuffles the checkpointed frame.
+    joined = directed.join(out_deg, on="from").localCheckpoint(eager=False)
     n_parts = frame_partitions(sc, joined.count())
     directed = joined.repartition(n_parts, "from").localCheckpoint(eager=False)
     nodes = directed.select(F.col("from").alias("node")).distinct()
