@@ -228,3 +228,13 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_heavy_hitters_bigint_column(spark):
+    """Schema is derived from the input column's type (ADVICE r4):
+    a bigint key must round-trip exactly, not coerce through string."""
+    rows = [(10_000_000_007,)] * 50 + [(i,) for i in range(40)]
+    df = spark.createDataFrame(rows, "t long").repartition(4)
+    got = {r["t"]: r["freq"] for r in threshold_heavy_hitters(df, "t", 4).collect()}
+    assert got == {10_000_000_007: 50}
+    assert all(isinstance(k, int) for k in got)

@@ -10,8 +10,17 @@ dedup/embedding.py (threshold near-dup) and similarity/kmeans.py.
 Algorithm (the paper's shape):
   1. k-means cluster the embeddings (coarse partition of the space);
   2. WITHIN each cluster, compute pairwise cosine similarity;
-  3. in every similarity-connected group keep one exemplar (here:
-     the minimum id, deterministic) and drop the rest.
+  3. drop a vector iff some SMALLER-ID vector in the same cluster is
+     >= threshold similar (a one-hop witness rule).
+
+Note the rule is one-hop, not connected-components: a
+similarity-connected group may keep several exemplars (chain a~b~c
+with a!~c keeps a, drops b and c — and c's witness b is itself
+dropped, so a dropped row's nearest KEPT row can be farther than the
+threshold). That is the paper's cheap deterministic variant; when
+true one-exemplar-per-connected-group semantics are wanted, feed the
+over-threshold pairs to dedup/components.connected_components within
+each cluster instead.
 
 Scale design: the quadratic step is confined to single clusters — the
 whole point of clustering first. The pair join is an equi-join on
@@ -19,10 +28,8 @@ whole point of clustering first. The pair join is an equi-join on
 side carries a precomputed norm so the per-pair fold is one zip_with.
 At 100 TB you raise k so the expected cluster size keeps
 |cluster|^2 work bounded — k scales with corpus size, the per-cluster
-work does not. Keep/drop is a pigeonhole rule (drop any vector that
-has a more-canonical similar neighbor), not an iterative CC — one
-shuffle, no fixpoint loop; for dedup purposes a dropped row always
-has a kept representative at distance <= threshold transitively.
+work does not. Keep/drop is that single pigeonhole shuffle — no
+fixpoint loop.
 
 Gate: float k-means centroids make cluster boundaries
 partitioning-sensitive, so the gated query is rows-only; exactness is

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 
 def local_candidates(values: DataFrame, col: str, k: int) -> DataFrame:
-    """One row per locally-heavy value (freq * k > partition rows)."""
+    """One row per locally-heavy value (freq * k > partition rows).
+
+    The mapInPandas output schema is derived from the input column's
+    type (not hardcoded to string) so non-string keys — bigint ids,
+    dates — round-trip without Arrow schema mismatches or silent
+    coercion."""
+    col_type = values.schema[col].dataType.simpleString()
 
     def heavy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
@@ -47,7 +53,9 @@ def local_candidates(values: DataFrame, col: str, k: int) -> DataFrame:
         if cand:
             yield pd.DataFrame({col: cand})
 
-    return values.select(col).mapInPandas(heavy, f"{col} string").distinct()
+    return (
+        values.select(col).mapInPandas(heavy, f"{col} {col_type}").distinct()
+    )
 
 
 def threshold_heavy_hitters(values: DataFrame, col: str, k: int) -> DataFrame:

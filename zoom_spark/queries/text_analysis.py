@@ -376,16 +376,20 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cross-document substring-duplication detection (the Lee
-    et al. "Deduplicating Training Data" substring shape): stride-8
-    24-char grams hashed and grouped; any gram seen in >= 2 docs
-    marks a duplicated span. Detection guarantee: every duplicated
-    substring of length >= 24+8-1 contains at least one sampled gram
-    in both copies at SOME alignment — stride sampling bounds the
-    blow-up to ~len/8 rows per doc (map-side, one shuffle on the
-    16-byte hash). The winnowing variant (winnow_fingerprints) is the
-    tighter-selection production path; this one is exact-stride and
-    therefore DuckDB-oracle-checkable end to end."""
+    """Cross-document substring-duplication detection (the Lee et al.
+    "Deduplicating Training Data" substring shape): stride-8 24-char
+    grams hashed and grouped; any gram seen in >= 2 docs marks a
+    duplicated span. Detection is ALIGNMENT-SENSITIVE: grams are
+    sampled at fixed absolute positions (1, 9, 17, ...), so two
+    copies of a span share a sampled gram only when their start
+    offsets are congruent mod 8 — a duplicated span at a misaligned
+    offset can go undetected. Stride sampling bounds the blow-up to
+    ~len/8 rows per doc (map-side, one shuffle on the 16-byte hash).
+    For alignment-INVARIANT selection use the winnowing variant
+    (winnow_fingerprints), whose content-defined anchors pick the
+    same grams wherever the span lands; this stride version is kept
+    because it is exact-stride and therefore DuckDB-oracle-checkable
+    end to end."""
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.where(F.length("text") >= 24)

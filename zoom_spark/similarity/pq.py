@@ -164,8 +164,9 @@ def encode_pq(
                 out[c] = b[c].values
             yield pd.DataFrame(out)
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col).alias(id_col), vec_col, *extra).mapInPandas(
-        enc, f"id long, codes array<int>{extra_schema}"
+        enc, f"id {id_type}, codes array<int>{extra_schema}"
     )
 
 
@@ -204,7 +205,14 @@ def pq_topk(
     """(query_id, id, adc_dist, rank) top-k per query over the
     encoded corpus. One ADC scan per query, unioned — each scan is a
     map + TakeOrdered top-k, no shuffle of the corpus; the loop is
-    over the (small) query set, mirroring knn.py's broadcast design."""
+    over the (small) query set, mirroring knn.py's broadcast design.
+
+    The encoded frame is lazily checkpointed first: ``encode_pq`` is a
+    Python-side mapInPandas, and without the checkpoint every unioned
+    per-query scan would re-run the encode over the full corpus
+    (len(queries) Python passes instead of one) — the same lineage cut
+    ivfpq_build applies to its residual frame."""
+    encoded = encoded.localCheckpoint(eager=False)
     per_query = []
     for qid, qv in queries:
         per_query.append(
