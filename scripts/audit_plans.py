@@ -173,6 +173,15 @@ EXPECTATIONS = {
     "merge_order_intervals": dict(pushed=False, broadcast=False, cartesian=False),
     # O(P) rank offsets broadcast; 1-row stats legs cross-join
     "gini_customer_spend": dict(pushed=False, broadcast=True, cartesian=True),
+    # round-5 additions
+    "duplicate_spans_invariant": dict(pushed=True, broadcast=False, cartesian=False),
+    # probe side joins the broadcast sketch; 1-row totals cross-join
+    "countmin_token_freq": dict(pushed=False, broadcast=True, cartesian=False),
+    "dsir_importance_weights": dict(pushed=False, broadcast=True, cartesian=True),
+    "touch_attribution": dict(pushed=True, broadcast=False, cartesian=False),
+    "bfs_reachable_parts": dict(pushed=False, broadcast=False, cartesian=False),
+    "mad_robust_anomaly": dict(pushed=False, broadcast=True, cartesian=False),
+    "bpe_merge_candidates": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 
