@@ -50,7 +50,12 @@ EXPECTATIONS = {
     "not_exists_quiet_customers": dict(pushed=True, broadcast=True, cartesian=False),
     "stats_aggregates": dict(pushed=False, broadcast=False, cartesian=False),
     "window_frames": dict(pushed=False, broadcast=False, cartesian=False),
-    "range_frame_rolling_revenue": dict(pushed=False, broadcast=False, cartesian=False),
+    # the RANGE frame runs over a day-level pre-aggregate: the frame is
+    # calendar-bounded (one row per order date, ~2.4k rows at any SF),
+    # so the single-task window is over a constant-sized input
+    "range_frame_rolling_revenue": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
     "collect_sorted_lines": dict(pushed=True, broadcast=False, cartesian=False),
     "canonical_doc_ids": dict(pushed=False, broadcast=False, cartesian=False),
     "knn_ivf": dict(pushed=True, broadcast=True, cartesian=False),
@@ -185,8 +190,62 @@ EXPECTATIONS = {
 }
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Split an Arguments line into its top-level [...] groups."""
+    groups: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _has_unbounded_global_window(plan: str) -> bool:
+    """True if any Window node has an empty partition spec AND the plan
+    is not bounded upstream by TakeOrderedAndProject/WindowGroupLimit.
+
+    A fully-specified Window's Arguments line carries three top-level
+    bracket groups ([exprs], [partitionSpec], [orderSpec]); a window
+    missing one spec carries two, and the second group is an orderSpec
+    (contains ASC/DESC sort directions) exactly when the partition spec
+    is the missing one. An unpartitioned window funnels the frame
+    through a single task — only acceptable when the input is already
+    bounded (top-k'd or pre-aggregated to a small frame).
+    """
+    bounded = "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    if bounded:
+        return False
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) Window$", line.strip()):
+            for j in range(i + 1, min(i + 6, len(lines))):
+                if lines[j].strip().startswith("Arguments:"):
+                    groups = _top_level_groups(lines[j])
+                    if len(groups) == 1:
+                        return True
+                    if len(groups) == 2 and re.search(
+                        r"\b(ASC|DESC)\b", groups[1]
+                    ):
+                        return True
+                    break
+    return False
+
+
 def audit(name: str, plan: str, exp: dict) -> list[str]:
     problems = []
+    if not exp.get("unpart_window", False) and _has_unbounded_global_window(plan):
+        problems.append("unpartitioned Window over an unbounded frame")
     if exp["pushed"] and not re.search(r"PushedFilters: \[[^\]]", plan):
         problems.append("no PushedFilters on any scan")
     if exp["broadcast"] and "BroadcastHashJoin" not in plan:
