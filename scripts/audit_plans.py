@@ -187,6 +187,15 @@ EXPECTATIONS = {
     "bfs_reachable_parts": dict(pushed=False, broadcast=False, cartesian=False),
     "mad_robust_anomaly": dict(pushed=False, broadcast=True, cartesian=False),
     "bpe_merge_candidates": dict(pushed=False, broadcast=False, cartesian=False),
+    # round-5 stats suite: contingency/row/col totals broadcast; the
+    # 1-row grand-total legs are intentional 1-row BNLJs
+    "chi_square_independence": dict(pushed=False, broadcast=True, cartesian=True),
+    "js_divergence_sources": dict(pushed=False, broadcast=True, cartesian=True),
+    "train_val_test_split": dict(pushed=False, broadcast=False, cartesian=False),
+    # O(P) rank offsets broadcast; 1-row max-date scalar cross-joins
+    "rfm_scores": dict(pushed=False, broadcast=True, cartesian=True),
+    "novelty_ngram_score": dict(pushed=False, broadcast=False, cartesian=False),
+    "ab_test_proportions": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -51,4 +51,5 @@ from zoom_spark.queries import advanced_analytics  # noqa: E402,F401
 from zoom_spark.queries import mixing  # noqa: E402,F401
 from zoom_spark.queries import relational_extras  # noqa: E402,F401
 from zoom_spark.queries import pipeline_breadth  # noqa: E402,F401
+from zoom_spark.queries import stats_suite  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401
