@@ -82,6 +82,13 @@ HEADLINE = [
     "bm25_ranking",            # BM25 retrieval ranking
     "association_rules_pairs", # market-basket support/confidence/lift
     "merge_order_intervals",   # gaps-and-islands interval merging
+    # round 5 additions
+    "duplicate_spans_invariant",  # alignment-invariant substring dup
+    "countmin_token_freq",     # Count-Min sketch + heavy-hitter probe
+    "bfs_reachable_parts",     # bounded-depth BFS frontier expansion
+    "js_divergence_sources",   # per-source JS divergence (mixing drift)
+    "novelty_ngram_score",     # per-doc trigram novelty
+    "rfm_scores",              # distributed-rank RFM quintiles
 ]
 
 

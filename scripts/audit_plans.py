@@ -196,6 +196,19 @@ EXPECTATIONS = {
     "rfm_scores": dict(pushed=False, broadcast=True, cartesian=True),
     "novelty_ngram_score": dict(pushed=False, broadcast=False, cartesian=False),
     "ab_test_proportions": dict(pushed=False, broadcast=False, cartesian=False),
+    # round-5 curation extras: class totals + 1-row class-average
+    # broadcast; per-label top-5 is WindowGroupLimit-bounded
+    "ctfidf_cluster_terms": dict(pushed=False, broadcast=True, cartesian=True),
+    # intentional broadcast corpus x corpus cross join (exact baseline;
+    # the scale path is the bucketed ANN family)
+    "hard_negative_pairs": dict(pushed=False, broadcast=False, cartesian=True),
+    "kcore_parts": dict(pushed=False, broadcast=False, cartesian=False),
+    # lag-7/lag-1 run over the calendar-bounded day-level pre-aggregate
+    "seasonal_naive_mase": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    # entropy legs are 1-row cross-joins over the tiny contingency
+    "conditional_entropy_props": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

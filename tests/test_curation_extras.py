@@ -1,0 +1,147 @@
+"""Referee / property tests for the round-5 curation-extras operators
+(zoom_spark/queries/curation_extras.py). The oracle gate pins
+cross-engine parity; these pin the algorithmic claims against
+independent python/numpy referees and planted graphs."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _python_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling: returns {node: in-core degree}."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_planted_clique_and_tail(spark):
+    """A 4-clique is its own 3-core; a pendant chain hanging off it
+    must be peeled away (iteratively — the chain's inner nodes have
+    degree 2 only until their neighbor goes)."""
+    from zoom_spark.operators.graph import k_core
+
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    tail = [(3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(clique + tail, "u long, v long")
+    got = {r["node"]: r["core_deg"] for r in k_core(df, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_fully_peeled_graph_is_empty(spark):
+    from zoom_spark.operators.graph import k_core
+
+    chain = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(chain, "u long, v long")
+    assert k_core(df, k=3).count() == 0
+
+
+def test_kcore_matches_python_referee_on_testdata(spark):
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+    from zoom_spark.queries.curation_extras import kcore_parts
+
+    edges = [
+        (r["u"], r["v"]) for r in _co_purchase_edges(spark, SF_DIR).collect()
+    ]
+    want = _python_kcore(edges, 3)
+    got = {r["node"]: r["core_deg"] for r in kcore_parts(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_hard_negatives_match_numpy_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.curation_extras import hard_negative_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    vecs = np.array([np.array(v, dtype=np.float64) for v in emb["embedding"]])
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(normed @ normed.T, 6)
+    got = {r["vec_id"]: r for r in hard_negative_pairs(spark, SF_DIR).collect()}
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        mask = labels != labels[i]
+        best_sim = sims[i][mask].max()
+        # ties break to the highest neg_id
+        cand = ids[mask][sims[i][mask] == best_sim].max()
+        assert got[vid]["neg_id"] == cand, vid
+        assert abs(got[vid]["sim"] - best_sim) < 1e-9
+        assert got[vid]["neg_label"] != labels[i]
+
+
+def test_ctfidf_topk_per_label_and_term_provenance(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.curation_extras import ctfidf_cluster_terms
+
+    rows = ctfidf_cluster_terms(spark, SF_DIR).collect()
+    per_label = Counter(r["label"] for r in rows)
+    assert all(n <= 5 for n in per_label.values())
+    # every reported term actually occurs in that label's documents
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    vocab_by_label: dict[int, set[str]] = defaultdict(set)
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        vocab_by_label[lab[did]].update(t for t in text.split(" ") if t)
+    for r in rows:
+        assert r["term"] in vocab_by_label[r["label"]], r
+
+
+def test_mase_matches_pandas_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.curation_extras import seasonal_naive_mase
+
+    [r] = seasonal_naive_mase(spark, SF_DIR).collect()
+    o = load_table(spark, SF_DIR, "orders").select("o_orderdate", "o_totalprice").toPandas()
+    daily = (
+        o.groupby(o["o_orderdate"].dt.normalize())["o_totalprice"]
+        .sum()
+        .round(2)
+        .sort_index()
+    )
+    err7 = (daily - daily.shift(7)).abs()
+    err1 = (daily - daily.shift(1)).abs()
+    keep = err7.notna() & err1.notna()
+    assert r["n_days"] == int(keep.sum())
+    assert abs(r["mase"] - err7[keep].mean() / err1[keep].mean()) < 1e-4
+
+
+def test_conditional_entropy_bounds_and_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.curation_extras import conditional_entropy_props
+    import json
+
+    [r] = conditional_entropy_props(spark, SF_DIR).collect()
+    assert 0 <= r["h_cond"] <= r["h_type"] + 1e-9
+    assert abs(r["info_gain"] - (r["h_type"] - r["h_cond"])) < 2e-6
+    ev = load_table(spark, SF_DIR, "events").select("props", "event_type").toPandas()
+    cells = Counter(
+        (json.loads(p)["k"] % 10, t)
+        for p, t in zip(ev["props"], ev["event_type"])
+        if p is not None
+    )
+    n = sum(cells.values())
+    nb = Counter()
+    nt = Counter()
+    for (kb, et), c in cells.items():
+        nb[kb] += c
+        nt[et] += c
+    h_cond = -sum(c / n * math.log(c / nb[kb]) for (kb, _), c in cells.items())
+    h_type = -sum(c / n * math.log(c / n) for c in nt.values())
+    assert abs(r["h_cond"] - h_cond) < 1e-4
+    assert abs(r["h_type"] - h_type) < 1e-4

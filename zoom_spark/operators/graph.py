@@ -161,6 +161,66 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     )
 
 
+def k_core(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    k: int = 3,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Batagelj-Zaveršnik
+    semantics, bulk-synchronous): repeatedly delete every vertex whose
+    degree in the REMAINING graph is < k, until a fixpoint. Returns
+    the surviving vertices with their in-core degree
+    ``(node, core_deg)`` — the standard density filter for graph
+    cleanup (spam/periphery removal) before community or ranking
+    passes.
+
+    Scale shape mirrors the other iterative operators here: the
+    symmetrized edge frame is checkpointed and partitioned by
+    frame_partitions; each round is one degree aggregate plus two
+    equi-semi-joins of the edge frame against the survivor set, with
+    lazy localCheckpoint truncating lineage. The loop exits when a
+    round deletes nothing (guaranteed: the survivor count is
+    monotonically non-increasing); max_rounds is a safety rail — the
+    peel cannot cycle, so hitting it raises."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sc = edges.sparkSession.sparkContext
+    sym = sym.localCheckpoint(eager=False)
+    n_edges = sym.count()
+    n_parts = frame_partitions(sc, n_edges)
+    alive = sym.repartition(n_parts, "a").localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        deg = alive.groupBy("a").agg(F.count("*").alias("core_deg"))
+        survivors = deg.where(F.col("core_deg") >= k).localCheckpoint(
+            eager=False
+        )
+        nxt = (
+            alive.join(survivors.select("a"), on="a", how="left_semi")
+            .join(
+                survivors.select(F.col("a").alias("b")),
+                on="b",
+                how="left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return deg.where(F.col("core_deg") >= k).select(
+                F.col("a").alias("node"),
+                F.col("core_deg").cast("bigint").alias("core_deg"),
+            )
+        alive, n_edges = nxt, n_next
+        if n_edges == 0:
+            return alive.select(
+                F.col("a").alias("node"),
+                F.lit(0).cast("bigint").alias("core_deg"),
+            )
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
 def label_propagation_communities(
     edges: DataFrame,
     src: str = "u",

@@ -52,4 +52,5 @@ from zoom_spark.queries import mixing  # noqa: E402,F401
 from zoom_spark.queries import relational_extras  # noqa: E402,F401
 from zoom_spark.queries import pipeline_breadth  # noqa: E402,F401
 from zoom_spark.queries import stats_suite  # noqa: E402,F401
+from zoom_spark.queries import curation_extras  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401

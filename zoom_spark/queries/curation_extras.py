@@ -1,0 +1,325 @@
+"""Round-5 curation / graph / time-series extras (R75-R79).
+
+Cluster-level topic terms (c-TF-IDF), contrastive hard-negative
+mining over the embedding table, k-core graph peeling, seasonal-naive
+forecast-error scoring (MASE), and conditional-entropy feature
+diagnostics — the remaining analytics a corpus-curation warehouse
+leans on around the round-2..4 dedup/ANN/mixing core.
+
+All but the iterative k-core carry exact DuckDB oracle twins; every
+float aggregate is rounded on both sides before compare.
+
+Reference parity note: the reference pipeline (/root/reference/main.py)
+has no analog for any of these — they belong to the mandated
+LLM-pipeline / warehouse extension family (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+CTFIDF_TOPK = 5
+
+
+@register(
+    "ctfidf_cluster_terms",
+    sql=f"""
+    WITH labeled AS (
+      SELECT e.label, d.text
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    tf AS (
+      SELECT label, t.tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM labeled
+      CROSS JOIN LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+      WHERE t.tok <> ''
+      GROUP BY label, t.tok
+    ),
+    wc AS (SELECT label, sum(tf) AS w_c FROM tf GROUP BY label),
+    ft AS (SELECT tok, sum(tf) AS f_t FROM tf GROUP BY tok),
+    a AS (SELECT avg(w_c) AS a FROM wc),
+    scored AS (
+      SELECT tf.label, tf.tok AS term,
+             round((tf.tf / wc.w_c) * ln(1.0 + a.a / ft.f_t), 6) AS ctfidf
+      FROM tf JOIN wc USING (label) JOIN ft USING (tok) CROSS JOIN a
+    ),
+    ranked AS (
+      SELECT label, term, ctfidf,
+             CAST(row_number() OVER (
+               PARTITION BY label ORDER BY ctfidf DESC, term) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT label, term, ctfidf, rnk FROM ranked WHERE rnk <= {CTFIDF_TOPK}
+    """,
+)
+def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic topic-labeling formula,
+    Grootendorst 2022: score = (tf_t,c / w_c) * ln(1 + A / f_t)) — the
+    top terms that characterize each embedding cluster, turning
+    k-means/label cells into human-readable topics. One token-explode
+    pass aggregates to (label, token); w_c and the 1-row class-average
+    A broadcast; the token-keyed f_t join is equi; the per-label top-5
+    compiles to WindowGroupLimit (rank <= 5 pushed below the final
+    sort). Score rounded to 6dp before ranking so both engines order
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    tf = (
+        docs.join(emb, "doc_id")
+        .select("label", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("label", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    wc = tf.groupBy("label").agg(F.sum("tf").alias("w_c"))
+    ft = tf.groupBy("tok").agg(F.sum("tf").alias("f_t"))
+    a = wc.agg(F.avg("w_c").alias("a"))
+    scored = (
+        tf.join(F.broadcast(wc), "label")
+        .join(ft, "tok")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "label",
+            F.col("tok").alias("term"),
+            F.round(
+                (F.col("tf") / F.col("w_c"))
+                * F.log(1.0 + F.col("a") / F.col("f_t")),
+                6,
+            ).alias("ctfidf"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("ctfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= CTFIDF_TOPK)
+        .select("label", "term", "ctfidf", "rnk")
+    )
+
+
+@register(
+    "hard_negative_pairs",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+      FROM v a CROSS JOIN v b
+      WHERE a.label <> b.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neg_id DESC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, label, neg_id, neg_label, sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for every vector, the single
+    most-cosine-similar vector carrying a DIFFERENT label — the pair a
+    metric-learning / embedding-finetune loop trains against. This is
+    the exact brute-force baseline (broadcast corpus x corpus,
+    JVM-side zip_with/aggregate math, one max-struct reduce per
+    vector — no window over the N^2 frame); at corpus scale the same
+    contract runs through the bucketed ANN paths (similarity/knn.py
+    LSH, ivf.py, pq.py) with the label filter applied post-probe.
+    Sim rounded to 6dp before the argmax; ties break to the highest
+    neg_id on both engines (max-struct vs DESC rank)."""
+    from zoom_spark.functions.vectors import cosine_with_norms, norm
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vec"
+        ),
+    )
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("vec").alias("a_vec"),
+        norm(F.col("vec")).alias("a_norm"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("vec").alias("b_vec"),
+        norm(F.col("vec")).alias("b_norm"),
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("a_vec"), F.col("b_vec"), F.col("a_norm"), F.col("b_norm")
+        ),
+        6,
+    )
+    best = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a_label") != F.col("b_label"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("a_label").alias("label"),
+            F.struct(
+                sim.alias("sim"),
+                F.col("b_id").alias("neg_id"),
+                F.col("b_label").alias("neg_label"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("cand").alias("best"))
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("best.neg_id").alias("neg_id"),
+        F.col("best.neg_label").alias("neg_label"),
+        F.col("best.sim").alias("sim"),
+    )
+
+
+@register("kcore_parts")  # iterative peel: rows-only gate + referee test
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.k_core):
+    vertices surviving iterated removal of degree<3 nodes, with their
+    in-core degree — the density filter that strips periphery/noise
+    parts before community or ranking passes. Iterative fixpoint (each
+    round's degrees depend on the previous round's deletions), so not
+    SQL-expressible: rows-only gate here; a pure-python peeling
+    referee pins correctness in tests/test_curation_extras.py."""
+    from zoom_spark.operators.graph import k_core
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+
+    return k_core(_co_purchase_edges(spark, sf_dir), k=3)
+
+
+@register(
+    "seasonal_naive_mase",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, rev,
+             lag(rev, 7) OVER (ORDER BY d) AS rev_7,
+             lag(rev, 1) OVER (ORDER BY d) AS rev_1
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(rev - rev_7)), 2) AS mae_seasonal,
+           round(avg(abs(rev - rev_7)) / avg(abs(rev - rev_1)), 6) AS mase
+    FROM lagged WHERE rev_7 IS NOT NULL AND rev_1 IS NOT NULL
+    """,
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast skill on daily revenue: MASE = mean
+    absolute error of the 7-rows-ago forecast over that of the
+    1-row-ago naive — the scale-free yardstick (Hyndman-Koehler 2006)
+    a forecasting pipeline reports before trying anything fancier
+    (MASE < 1: weekly seasonality carries signal). The lags run over
+    the day-level PRE-AGGREGATE — one row per order date, calendar-
+    bounded at any SF — so the single-task window is over a
+    constant-sized frame (same justification as
+    range_frame_rolling_revenue); day revenue is rounded to 2dp
+    before differencing so both engines difference identical values."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 7).over(w).alias("rev_7"),
+        F.lag("rev", 1).over(w).alias("rev_1"),
+    ).where(F.col("rev_7").isNotNull() & F.col("rev_1").isNotNull())
+    err7 = F.abs(F.col("rev") - F.col("rev_7"))
+    err1 = F.abs(F.col("rev") - F.col("rev_1"))
+    return lagged.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg(err7), 2).alias("mae_seasonal"),
+        F.round(F.avg(err7) / F.avg(err1), 6).alias("mase"),
+    )
+
+
+@register(
+    "conditional_entropy_props",
+    sql="""
+    WITH base AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS kb,
+             event_type AS et
+      FROM events WHERE props IS NOT NULL
+    ),
+    cells AS (
+      SELECT kb, et, CAST(count(*) AS DOUBLE) AS n FROM base GROUP BY 1, 2
+    ),
+    bt AS (SELECT kb, sum(n) AS nb FROM cells GROUP BY kb),
+    tt AS (SELECT et, sum(n) AS nt FROM cells GROUP BY et),
+    g AS (SELECT sum(n) AS n_tot FROM cells),
+    hc AS (
+      SELECT -sum((c.n / g.n_tot) * ln(c.n / b.nb)) AS h_cond
+      FROM cells c JOIN bt b USING (kb) CROSS JOIN g
+    ),
+    hm AS (
+      SELECT -sum((nt / g.n_tot) * ln(nt / g.n_tot)) AS h_type
+      FROM tt CROSS JOIN g
+    )
+    SELECT round(h_type, 6) AS h_type,
+           round(h_cond, 6) AS h_cond,
+           round(h_type - h_cond, 6) AS info_gain
+    FROM hm CROSS JOIN hc
+    """,
+)
+def conditional_entropy_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(event_type | props.k mod 10) and the
+    information gain H(T) - H(T|B) — the feature-usefulness
+    diagnostic (does this JSON property predict behavior at all?)
+    that feature stores compute across thousands of candidate
+    columns. One JSON-extract + hash-aggregate pass reduces the
+    stream to a <=|types| x 10 contingency; all entropy legs are
+    broadcasts/1-row cross-joins over that tiny frame."""
+    from zoom_spark.operators.conform import json_field
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.where(F.col("props").isNotNull())
+        .select(
+            (json_field("props", "k").cast("int") % 10).alias("kb"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("kb", "et")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    bt = cells.groupBy("kb").agg(F.sum("n").alias("nb"))
+    tt = cells.groupBy("et").agg(F.sum("n").alias("nt"))
+    g = cells.agg(F.sum("n").alias("n_tot"))
+    hc = (
+        cells.join(F.broadcast(bt), "kb")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            (-F.sum((F.col("n") / F.col("n_tot")) * F.log(F.col("n") / F.col("nb"))))
+            .alias("h_cond")
+        )
+    )
+    hm = tt.crossJoin(F.broadcast(g)).agg(
+        (-F.sum((F.col("nt") / F.col("n_tot")) * F.log(F.col("nt") / F.col("n_tot"))))
+        .alias("h_type")
+    )
+    return hm.crossJoin(hc).select(
+        F.round("h_type", 6).alias("h_type"),
+        F.round("h_cond", 6).alias("h_cond"),
+        F.round(F.col("h_type") - F.col("h_cond"), 6).alias("info_gain"),
+    )
