@@ -89,6 +89,10 @@ HEADLINE = [
     "js_divergence_sources",   # per-source JS divergence (mixing drift)
     "novelty_ngram_score",     # per-doc trigram novelty
     "rfm_scores",              # distributed-rank RFM quintiles
+    "decontaminate_ngram_overlap",  # test-set n-gram contamination scrub
+    "gopher_quality_flags",    # Gopher/C4 heuristic quality gates
+    "roc_auc_purchase_value",  # distributed-rank tie-corrected AUC
+    "regr_aggregates_lineitem",  # SQL:2016 regr_* aggregate family
 ]
 
 

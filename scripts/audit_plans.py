@@ -209,6 +209,18 @@ EXPECTATIONS = {
     ),
     # entropy legs are 1-row cross-joins over the tiny contingency
     "conditional_entropy_props": dict(pushed=False, broadcast=True, cartesian=True),
+    # round-5 training-prep (R80-R86)
+    "decontaminate_ngram_overlap": dict(pushed=False, broadcast=False, cartesian=False),
+    "regr_aggregates_lineitem": dict(pushed=False, broadcast=False, cartesian=False),
+    "gopher_quality_flags": dict(pushed=False, broadcast=False, cartesian=False),
+    # |priorities|-row percentile frame broadcast onto the fact scan
+    "winsorized_price_stats": dict(pushed=False, broadcast=True, cartesian=False),
+    # 2-value median scalar broadcast (1-row BNLJ by design)
+    "cohens_kappa_raters": dict(pushed=False, broadcast=False, cartesian=True),
+    # 1-row P*Q normalizer broadcast (BNLJ by design); prefix-sum offsets
+    # join is a broadcast hash join
+    "roc_auc_purchase_value": dict(pushed=False, broadcast=True, cartesian=True),
+    "ols_normal_equations": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -1,0 +1,239 @@
+"""Referee / planted-input tests for the round-5 training-prep
+operators (zoom_spark/queries/training_prep.py). The oracle gate pins
+cross-engine parity; these pin the ALGORITHMIC claims against
+independent numpy / pure-python referees."""
+
+from __future__ import annotations
+
+import importlib
+from unittest.mock import patch
+
+import numpy as np
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _with_docs(spark, rows, fn):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    mod = importlib.import_module(fn.__module__)
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        return fn(spark, SF_DIR).collect()
+
+
+# ---------- R80 decontamination ----------
+
+
+def test_decontamination_planted_overlap(spark):
+    from zoom_spark.queries.training_prep import decontaminate_ngram_overlap
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-gram
+    rows = [
+        (0, f"pre {span} post"),          # test doc (0 % 17 == 0)
+        (1, f"other stuff {span} tail"),  # train: contains the test 8-gram
+        (2, "a b c d e f g h i j"),       # train: disjoint
+        (3, "too short"),                 # train: < 8 words, 0 shingles
+    ]
+    out = {r["doc_id"]: r for r in _with_docs(spark, rows, decontaminate_ngram_overlap)}
+    assert set(out) == {1, 2, 3}  # test doc excluded from verdicts
+    assert out[1]["contaminated"] == 1 and out[1]["n_overlap"] >= 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
+    assert out[3] == out[3].__class__(
+        doc_id=3, n_shingles=0, n_overlap=0, contaminated=0
+    ) or (out[3]["n_shingles"] == 0 and out[3]["contaminated"] == 0)
+
+
+def test_decontamination_misaligned_copy_is_still_caught(spark):
+    from zoom_spark.queries.training_prep import decontaminate_ngram_overlap
+
+    span = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (0, f"x1 x2 x3 {span}"),  # test doc, span at offset 3
+        (1, f"{span} y1 y2"),     # train doc, span at offset 0
+    ]
+    out = {r["doc_id"]: r for r in _with_docs(spark, rows, decontaminate_ngram_overlap)}
+    assert out[1]["contaminated"] == 1  # shingle identity is position-free
+
+
+# ---------- R81 regression aggregates ----------
+
+
+def test_regr_aggregates_match_numpy(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import regr_aggregates_lineitem
+
+    rows = regr_aggregates_lineitem(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for r in rows:
+        g = li[li["l_returnflag"] == r["l_returnflag"]]
+        x, y = g["l_quantity"].to_numpy(), g["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        pred = slope * x + intercept
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert r["n"] == len(g)
+        assert abs(r["slope"] - slope) < 1e-3
+        assert abs(r["intercept"] - intercept) < 1e-3
+        assert abs(r["r2"] - r2) < 1e-5
+        assert abs(r["avg_x"] - x.mean()) < 1e-3
+        assert abs(r["avg_y"] - y.mean()) < 1e-3
+
+
+# ---------- R82 gopher flags ----------
+
+
+def test_gopher_flags_planted_failures(spark):
+    from zoom_spark.queries.training_prep import gopher_quality_flags
+
+    good = "the quick brown foxes jumped over a lazy sleeping hound " * 4
+    rows = [
+        (0, good.strip()),                      # passes every gate (40 words)
+        (1, "tiny doc"),                        # too few words
+        (2, " ".join(["zz"] * 50)),             # top-word dominance + short words
+        (3, " ".join(f"w{i}" for i in range(50))),  # no stopwords
+    ]
+    out = {r["doc_id"]: r for r in _with_docs(spark, rows, gopher_quality_flags)}
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0 and out[1]["n_words"] == 2
+    assert out[2]["keep"] == 0 and out[2]["top_word_frac"] == 1.0
+    assert out[3]["keep"] == 0 and out[3]["stop_frac"] == 0.0
+
+
+# ---------- R83 winsorized stats ----------
+
+
+def test_winsorized_stats_match_numpy(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import winsorized_price_stats
+
+    rows = winsorized_price_stats(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    for r in rows:
+        v = od[od["o_orderpriority"] == r["o_orderpriority"]][
+            "o_totalprice"
+        ].to_numpy()
+        p05, p95 = np.percentile(v, [5, 95])  # linear interp == percentile_cont
+        w = np.clip(v, p05, p95)
+        assert r["n"] == len(v)
+        assert abs(r["p05"] - p05) < 1e-3
+        assert abs(r["p95"] - p95) < 1e-3
+        assert abs(r["winsor_mean"] - w.mean()) < 1e-3
+        assert abs(r["winsor_std"] - w.std(ddof=1)) < 1e-3
+
+
+# ---------- R84 Cohen's kappa ----------
+
+
+def test_cohens_kappa_matches_closed_form(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import cohens_kappa_raters
+
+    [r] = cohens_kappa_raters(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "n_chars", "text"
+    ).toPandas()
+    nw = docs["text"].str.split().str.len().to_numpy()
+    ra = (docs["n_chars"].to_numpy() > np.percentile(docs["n_chars"], 50)).astype(int)
+    rb = (nw > np.percentile(nw, 50)).astype(int)
+    n = len(ra)
+    po = (ra == rb).mean()
+    pa1, pb1 = ra.mean(), rb.mean()
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    kappa = (po - pe) / (1 - pe)
+    assert r["n"] == n
+    assert abs(r["po"] - po) < 1e-6
+    assert abs(r["pe"] - pe) < 1e-6
+    assert abs(r["kappa"] - kappa) < 1e-5
+
+
+def test_kappa_is_one_for_perfect_agreement(spark):
+    # planted: rater_a == rater_b on every doc (n_chars tracks words 1:1)
+    from zoom_spark.queries.training_prep import cohens_kappa_raters
+
+    rows = [(i, " ".join(["w"] * (5 + i))) for i in range(10)]
+    out = _with_docs(spark, rows, cohens_kappa_raters)
+    assert out[0]["kappa"] == 1.0
+
+
+# ---------- R85 ROC AUC ----------
+
+
+def _auc_referee(scores, labels):
+    """Tie-corrected Mann-Whitney AUC via average ranks (numpy only)."""
+    order = np.argsort(scores, kind="mergesort")
+    s, y = np.asarray(scores)[order], np.asarray(labels)[order]
+    ranks = np.empty(len(s), dtype=float)
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        ranks[i : j + 1] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    u = ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0
+    return u / (n_pos * n_neg)
+
+
+def test_roc_auc_matches_rank_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import roc_auc_purchase_value
+
+    [r] = roc_auc_purchase_value(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").toPandas()
+    y = (ev["event_type"] == "purchase").astype(int).to_numpy()
+    auc = _auc_referee(ev["value"].to_numpy(), y)
+    assert r["n_pos"] == int(y.sum())
+    assert r["n_neg"] == int((1 - y).sum())
+    assert abs(r["auc"] - auc) < 1e-6
+
+
+def test_roc_auc_perfect_and_random_separation(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from zoom_spark.queries.training_prep import roc_auc_purchase_value
+
+    mod = importlib.import_module(roc_auc_purchase_value.__module__)
+    # perfect: every purchase outranks every non-purchase
+    rows = [(i, "purchase" if i >= 50 else "view", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = roc_auc_purchase_value(spark, SF_DIR).collect()
+    assert r["auc"] == 1.0
+    # all-ties: AUC is exactly 0.5 by the tie-correction
+    rows = [(i, "purchase" if i % 2 else "view", 7.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = roc_auc_purchase_value(spark, SF_DIR).collect()
+    assert r["auc"] == 0.5
+
+
+# ---------- R86 OLS normal equations ----------
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import ols_normal_equations
+
+    [r] = ols_normal_equations(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            li["l_quantity"].to_numpy(),
+            li["l_discount"].to_numpy(),
+        ]
+    )
+    yv = li["l_extendedprice"].to_numpy() / 1000.0
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert r["n"] == len(li)
+    # moment rounding perturbs coefficients by far less than 1e-4
+    assert abs(r["b0"] - beta[0]) < 1e-3
+    assert abs(r["b1"] - beta[1]) < 1e-3
+    assert abs(r["b2"] - beta[2]) < 1e-3

@@ -1,0 +1,588 @@
+"""Round-5 continuation: training-data preparation operators (R80-R86).
+
+The remaining high-value LLM-pipeline surface after SURVEY.md §2.14:
+benchmark decontamination (n-gram overlap against a held-out test
+set), SQL:2016 linear-regression aggregates, Gopher/C4-style document
+quality flags, winsorized robust statistics, inter-rater agreement
+(Cohen's kappa), a distributed-rank ROC-AUC (Mann-Whitney U with tie
+correction), and closed-form multivariate OLS via normal equations.
+
+All are DataFrame-first with exact DuckDB oracle twins. Float
+aggregates are rounded on both sides before compare; the OLS query
+rounds its *moments* first so both engines run identical arithmetic
+on identical inputs (summation-order noise cannot reach the
+coefficients).
+
+Reference parity note: the reference pipeline (/root/reference/main.py)
+has no analog for any of these — they belong to the mandated
+LLM-pipeline / warehouse extension family (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# R80: benchmark decontamination via n-gram overlap
+# ---------------------------------------------------------------------------
+
+DECON_W = 8  # words per shingle — the n-gram width used by PaLM/GPT-3 decontamination (8..13)
+DECON_MOD = 17  # doc_id % DECON_MOD == 0 -> held-out "benchmark" set
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    sql=f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             doc_id % {DECON_MOD} = 0 AS is_test
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, is_test,
+             md5(array_to_string(ws[t.i:t.i + {DECON_W - 1}], ' ')) AS sh
+      FROM words
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - {DECON_W - 1})) AS i
+      ) t
+      WHERE len(ws) >= {DECON_W}
+    ),
+    test_set AS (SELECT DISTINCT sh FROM shingles WHERE is_test),
+    train AS (SELECT doc_id, sh FROM shingles WHERE NOT is_test),
+    hits AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(ts.sh) AS BIGINT) AS n_overlap
+      FROM train t LEFT JOIN test_set ts USING (sh)
+      GROUP BY t.doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(h.n_shingles, 0) AS n_shingles,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           CAST(CASE WHEN coalesce(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS contaminated
+    FROM words w LEFT JOIN hits h USING (doc_id)
+    WHERE NOT w.is_test
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word-{DECON_W}-gram with the held-out test
+    split (doc_id % {DECON_MOD} == 0) — the n-gram-overlap rule used
+    to scrub eval sets out of pretraining corpora. Shingles are
+    md5-hashed map-side, so the shuffle moves 16-byte keys, never
+    text. The test-set shingle table is benchmark-sized (a tiny
+    fraction of the corpus), so at 100 TB the probe join is a
+    broadcast or a cheap equi-shuffle on the hash — never doc-vs-doc.
+    The final left join restores zero-shingle / zero-overlap training
+    docs so the output is a per-doc verdict, not just the hit list."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        (F.col("doc_id") % DECON_MOD == 0).alias("is_test"),
+    )
+    shingles = (
+        base.where(F.size("ws") >= DECON_W)
+        .select(
+            "doc_id",
+            "is_test",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws") - (DECON_W - 1), F.lit(1))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "is_test",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), DECON_W))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    test_set = shingles.where("is_test").select("sh").distinct()
+    train = shingles.where(~F.col("is_test")).select("doc_id", "sh")
+    hits = (
+        train.join(test_set.withColumn("_hit", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("_hit").cast("bigint").alias("n_overlap"),
+        )
+    )
+    return (
+        base.where(~F.col("is_test"))
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.when(F.coalesce("n_overlap", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R81: SQL:2016 linear-regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regr_aggregates_lineitem",
+    sql="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regr_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 bivariate regression aggregates (REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 / REGR_COUNT / REGR_AVGX / REGR_AVGY)
+    fitting extendedprice ~ quantity per return flag. One hash
+    aggregate with map-side partials — the regr_* family is
+    decomposable into (n, Σx, Σy, Σxx, Σyy, Σxy) so Spark computes it
+    in a single data pass with combiner semantics, the same shape as
+    SUM. Nothing here is data-sized after the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R82: Gopher/C4-style document quality flags
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+GQ_MIN_WORDS, GQ_MAX_WORDS = 25, 90
+GQ_MIN_MWL, GQ_MAX_MWL = 3.9, 5.1
+GQ_MIN_STOP = 0.02
+GQ_MAX_TOP = 0.15
+
+
+@register(
+    "gopher_quality_flags",
+    sql=f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      )
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             sum(length(w) * c) * 1.0 / sum(c) AS mwl,
+             coalesce(sum(c) FILTER (WHERE w IN {STOPWORDS}), 0) * 1.0
+               / sum(c) AS stop_frac,
+             max(c) * 1.0 / sum(c) AS top_frac
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(stop_frac, 6) AS stop_frac,
+           round(top_frac, 6) AS top_word_frac,
+           CAST(CASE WHEN n_words BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}
+                      AND mwl >= {GQ_MIN_MWL} AND mwl <= {GQ_MAX_MWL}
+                      AND stop_frac >= {GQ_MIN_STOP}
+                      AND top_frac <= {GQ_MAX_TOP}
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM per_doc
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality filter: word-count bounds,
+    mean-word-length window, minimum stopword fraction, and maximum
+    single-word dominance, combined into a keep/drop verdict per
+    document. Two hash aggregates — (doc, word) counts then per-doc
+    signals — both with map-side partials; word dominance needs the
+    nested shape (max of per-word counts), which is why this is not a
+    single pass. Thresholds compare the UNROUNDED signals on both
+    engines; rounding is applied only to the reported columns, so the
+    verdict can't flip at a print boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    stop_c = F.sum(F.when(F.col("w").isin(*STOPWORDS), F.col("c")).otherwise(0))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        (F.sum(F.length("w") * F.col("c")) * 1.0 / F.sum("c")).alias("mwl"),
+        (stop_c * 1.0 / F.sum("c")).alias("stop_frac"),
+        (F.max("c") * 1.0 / F.sum("c")).alias("top_frac"),
+    )
+    keep = (
+        F.col("n_words").between(GQ_MIN_WORDS, GQ_MAX_WORDS)
+        & (F.col("mwl") >= GQ_MIN_MWL)
+        & (F.col("mwl") <= GQ_MAX_MWL)
+        & (F.col("stop_frac") >= GQ_MIN_STOP)
+        & (F.col("top_frac") <= GQ_MAX_TOP)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("stop_frac", 6).alias("stop_frac"),
+        F.round("top_frac", 6).alias("top_word_frac"),
+        F.when(keep, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R83: winsorized robust statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_price_stats",
+    sql="""
+    WITH pct AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(p.p05, 4) AS p05,
+           round(p.p95, 4) AS p95,
+           round(avg(least(greatest(o.o_totalprice, p.p05), p.p95)), 4)
+             AS winsor_mean,
+           round(stddev_samp(least(greatest(o.o_totalprice, p.p05), p.p95)), 4)
+             AS winsor_std
+    FROM orders o JOIN pct p USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, p.p05, p.p95
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/stddev of order totals per priority: clamp each
+    value into its group's [p05, p95] band, then aggregate — the
+    outlier-robust summary used for per-source quality dashboards.
+    Two passes over the data: an exact interpolated percentile
+    aggregate (group-count-sized result), broadcast back onto the
+    fact scan, then one clamped hash aggregate. The percentile frame
+    is |priorities| rows, so the join is always a broadcast."""
+    od = load_table(spark, sf_dir, "orders")
+    pct = od.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        od.join(F.broadcast(pct), "o_orderpriority")
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg(clamped), 4).alias("winsor_mean"),
+            F.round(F.stddev_samp(clamped), 4).alias("winsor_std"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "winsor_mean",
+            "winsor_std",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R84: Cohen's kappa inter-rater agreement
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohens_kappa_raters",
+    sql="""
+    WITH meds AS (
+      SELECT quantile_cont(n_chars, 0.5) AS med_chars,
+             quantile_cont(len(list_filter(string_split(text, ' '),
+                                           x -> x <> '')), 0.5) AS med_words
+      FROM documents
+    ),
+    rated AS (
+      SELECT CASE WHEN d.n_chars > m.med_chars THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_filter(string_split(d.text, ' '),
+                                       x -> x <> '')) > m.med_words
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents d CROSS JOIN meds m
+    ),
+    cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00,
+             CAST(sum(ra) AS BIGINT) AS na1,
+             CAST(sum(rb) AS BIGINT) AS nb1
+      FROM rated
+    )
+    SELECT n, n11, n00,
+           round((n11 + n00) * 1.0 / n, 6) AS po,
+           round((na1 * nb1 + (n - na1) * (n - nb1)) * 1.0 / (n * n), 6) AS pe,
+           round(((n11 + n00) * 1.0 / n
+                  - (na1 * nb1 + (n - na1) * (n - nb1)) * 1.0 / (n * n))
+                 / (1.0 - (na1 * nb1 + (n - na1) * (n - nb1)) * 1.0 / (n * n)),
+                 6) AS kappa
+    FROM cm
+    """,
+)
+def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two derived binary raters (above-median
+    char count vs above-median word count) — the chance-corrected
+    agreement statistic used to audit redundant quality labelers. The
+    medians are a 2-value scalar aggregate broadcast onto the doc
+    scan (BroadcastNestedLoopJoin over 1 row, by design); the
+    confusion matrix is one hash aggregate to a single row. Kappa
+    arithmetic happens on exact BIGINT confusion counts, so both
+    engines compute bit-identical po/pe/kappa."""
+    docs = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    meds = docs.agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med_chars"),
+        F.percentile(nw, F.lit(0.5)).alias("med_words"),
+    )
+    rated = docs.crossJoin(F.broadcast(meds)).select(
+        F.when(F.col("n_chars") > F.col("med_chars"), 1).otherwise(0).alias("ra"),
+        F.when(nw > F.col("med_words"), 1).otherwise(0).alias("rb"),
+    )
+    cm = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum("ra").cast("bigint").alias("na1"),
+        F.sum("rb").cast("bigint").alias("nb1"),
+    )
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = (
+        F.col("na1") * F.col("nb1")
+        + (F.col("n") - F.col("na1")) * (F.col("n") - F.col("nb1"))
+    ) * 1.0 / (F.col("n") * F.col("n"))
+    return cm.select(
+        "n",
+        "n11",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R85: ROC AUC via distributed rank statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "roc_auc_purchase_value",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    pv AS (
+      SELECT v,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v, n_pos, n_neg,
+             sum(n_neg) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_neg AS below
+      FROM pv
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+             CAST(sum(n_neg) AS BIGINT) AS q
+      FROM pv
+    )
+    SELECT t.p AS n_pos, t.q AS n_neg,
+           round(sum(c.n_pos * (c.below + c.n_neg / 2.0)) / (t.p * t.q), 6)
+             AS auc
+    FROM c CROSS JOIN tot t
+    GROUP BY t.p, t.q
+    """,
+)
+def roc_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a classifier score for purchase events —
+    the Mann-Whitney U statistic with tie correction (ties contribute
+    half). Computed WITHOUT a global sort or single-task window:
+    scores collapse to per-distinct-value (n_pos, n_neg) counts (one
+    hash aggregate), then the running count of negatives below each
+    value comes from the repo's two-phase distributed prefix-sum
+    (range shuffle + per-partition window + O(P) driver offsets —
+    operators/prefix.py). U = Σ n_pos·(neg_below + n_neg/2); the
+    P·Q normalizer is a 1-row broadcast. At 100 TB every stage is a
+    shuffle over distinct scores, never a global single-task sort."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    c = prefix_sum(pv, "v", "n_neg", out_col="cum_neg").withColumn(
+        "below", F.col("cum_neg") - F.col("n_neg")
+    )
+    tot = pv.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_neg").cast("bigint").alias("q"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("p", "q")
+        .agg(
+            F.round(
+                F.sum(F.col("n_pos") * (F.col("below") + F.col("n_neg") / 2.0))
+                / (F.col("p") * F.col("q")).cast("double"),
+                6,
+            ).alias("auc")
+        )
+        .select(
+            F.col("p").alias("n_pos"), F.col("q").alias("n_neg"), "auc"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R86: multivariate OLS via normal equations (closed form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_normal_equations",
+    sql="""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             round(sum(l_quantity), 3) AS sx1,
+             round(sum(l_discount), 3) AS sx2,
+             round(sum(l_quantity * l_quantity), 3) AS sx11,
+             round(sum(l_quantity * l_discount), 3) AS sx12,
+             round(sum(l_discount * l_discount), 3) AS sx22,
+             round(sum(l_extendedprice / 1000.0), 3) AS sy,
+             round(sum(l_quantity * l_extendedprice / 1000.0), 3) AS sx1y,
+             round(sum(l_discount * l_extendedprice / 1000.0), 3) AS sx2y
+      FROM lineitem
+    ),
+    d AS (
+      SELECT *,
+             n * (sx11 * sx22 - sx12 * sx12)
+             - sx1 * (sx1 * sx22 - sx12 * sx2)
+             + sx2 * (sx1 * sx12 - sx11 * sx2) AS det
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((sy * (sx11 * sx22 - sx12 * sx12)
+                  - sx1 * (sx1y * sx22 - sx12 * sx2y)
+                  + sx2 * (sx1y * sx12 - sx11 * sx2y)) / det, 6) AS b0,
+           round((n * (sx1y * sx22 - sx12 * sx2y)
+                  - sy * (sx1 * sx22 - sx12 * sx2)
+                  + sx2 * (sx1 * sx2y - sx1y * sx2)) / det, 6) AS b1,
+           round((n * (sx11 * sx2y - sx1y * sx12)
+                  - sx1 * (sx1 * sx2y - sx1y * sx2)
+                  + sy * (sx1 * sx12 - sx11 * sx2)) / det, 6) AS b2
+    FROM d
+    """,
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS (extendedprice/1000 ~ quantity + discount) by
+    the normal equations: one hash aggregate collects the 9 second-
+    order moments (n, Σx, Σxx', Σx'y), then a 3x3 Cramer's-rule solve
+    runs as scalar arithmetic on the 1-row frame. This is the
+    canonical "distributed ML as aggregation" shape — a single data
+    pass with map-side partials, O(d²) state, nothing data-sized
+    after the aggregate; the same pattern scales to any d where d²
+    fits in a row. Moments are rounded to 3 decimals on BOTH engines
+    BEFORE the solve, so both run identical float arithmetic on
+    identical inputs and summation-order noise cannot reach the
+    coefficients (y is scaled by 1/1000 to keep moment magnitudes
+    ≤1e9, where double noise « the rounding quantum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2 = F.col("l_quantity"), F.col("l_discount")
+    y = F.col("l_extendedprice") / 1000.0
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum(x1), 3).alias("sx1"),
+        F.round(F.sum(x2), 3).alias("sx2"),
+        F.round(F.sum(x1 * x1), 3).alias("sx11"),
+        F.round(F.sum(x1 * x2), 3).alias("sx12"),
+        F.round(F.sum(x2 * x2), 3).alias("sx22"),
+        F.round(F.sum(y), 3).alias("sy"),
+        F.round(F.sum(x1 * y), 3).alias("sx1y"),
+        F.round(F.sum(x2 * y), 3).alias("sx2y"),
+    )
+    c = F.col
+    det = (
+        c("n") * (c("sx11") * c("sx22") - c("sx12") * c("sx12"))
+        - c("sx1") * (c("sx1") * c("sx22") - c("sx12") * c("sx2"))
+        + c("sx2") * (c("sx1") * c("sx12") - c("sx11") * c("sx2"))
+    )
+    b0 = (
+        c("sy") * (c("sx11") * c("sx22") - c("sx12") * c("sx12"))
+        - c("sx1") * (c("sx1y") * c("sx22") - c("sx12") * c("sx2y"))
+        + c("sx2") * (c("sx1y") * c("sx12") - c("sx11") * c("sx2y"))
+    )
+    b1 = (
+        c("n") * (c("sx1y") * c("sx22") - c("sx12") * c("sx2y"))
+        - c("sy") * (c("sx1") * c("sx22") - c("sx12") * c("sx2"))
+        + c("sx2") * (c("sx1") * c("sx2y") - c("sx1y") * c("sx2"))
+    )
+    b2 = (
+        c("n") * (c("sx11") * c("sx2y") - c("sx1y") * c("sx12"))
+        - c("sx1") * (c("sx1") * c("sx2y") - c("sx1y") * c("sx2"))
+        + c("sy") * (c("sx1") * c("sx12") - c("sx11") * c("sx2"))
+    )
+    return m.withColumn("det", det).select(
+        c("n").cast("bigint").alias("n"),
+        F.round(b0 / c("det"), 6).alias("b0"),
+        F.round(b1 / c("det"), 6).alias("b1"),
+        F.round(b2 / c("det"), 6).alias("b2"),
+    )
