@@ -221,6 +221,10 @@ EXPECTATIONS = {
     # join is a broadcast hash join
     "roc_auc_purchase_value": dict(pushed=False, broadcast=True, cartesian=True),
     "ols_normal_equations": dict(pushed=False, broadcast=False, cartesian=False),
+    # 1-row point-estimate broadcast joined onto the B-row CI frame
+    "bootstrap_ci_order_value": dict(pushed=False, broadcast=False, cartesian=True),
+    # df sides are word-model-sized broadcasts; 1-row corpus count BNLJ
+    "pmi_cooccurrence": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

@@ -237,3 +237,72 @@ def test_ols_matches_numpy_lstsq(spark):
     assert abs(r["b0"] - beta[0]) < 1e-3
     assert abs(r["b1"] - beta[1]) < 1e-3
     assert abs(r["b2"] - beta[2]) < 1e-3
+
+
+# ---------- R87 Poisson bootstrap CI ----------
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import bootstrap_ci_order_value
+
+    [r1] = bootstrap_ci_order_value(spark, SF_DIR).collect()
+    [r2] = bootstrap_ci_order_value(spark, SF_DIR).collect()
+    assert r1 == r2  # md5-derived resamples are deterministic
+    od = load_table(spark, SF_DIR, "orders").select("o_totalprice").toPandas()
+    true_mean = od["o_totalprice"].mean()
+    assert abs(r1["mean_est"] - true_mean) < 1e-2
+    assert r1["ci_lo"] < true_mean < r1["ci_hi"]
+    # CI width should be in the right ballpark of +/- ~3 SEM
+    sem = od["o_totalprice"].std() / np.sqrt(len(od))
+    assert (r1["ci_hi"] - r1["ci_lo"]) < 8 * sem
+    assert (r1["ci_hi"] - r1["ci_lo"]) > 0.5 * sem
+
+
+def test_bootstrap_ci_degenerate_constant_column(spark):
+    from zoom_spark.queries.training_prep import bootstrap_ci_order_value
+
+    mod = importlib.import_module(bootstrap_ci_order_value.__module__)
+    rows = [(i, 42.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = bootstrap_ci_order_value(spark, SF_DIR).collect()
+    assert r["mean_est"] == r["ci_lo"] == r["ci_hi"] == 42.0
+
+
+# ---------- R88 PMI co-occurrence ----------
+
+
+def test_pmi_matches_hand_computation(spark):
+    from zoom_spark.queries.training_prep import pmi_cooccurrence
+
+    mod = importlib.import_module(pmi_cooccurrence.__module__)
+    # 80 docs: "alpha beta" in all 80; "gamma" in the first 40 only.
+    rows = [
+        (i, "alpha beta gamma" if i < 40 else "alpha beta")
+        for i in range(80)
+    ]
+    out = _with_docs(spark, rows, pmi_cooccurrence)
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    ab = by_pair[("alpha", "beta")]
+    assert ab["n_pair"] == 80 and ab["df1"] == 80 and ab["df2"] == 80
+    assert ab["pmi"] == 0.0  # independent under saturation: ln(80*80/6400)
+    ag = by_pair[("alpha", "gamma")]
+    assert ag["n_pair"] == 40
+    # gamma co-occurs with alpha in every gamma-doc: ln(40*80/(80*40)) = 0
+    assert ag["pmi"] == 0.0
+    bg = by_pair[("beta", "gamma")]
+    assert bg["pmi"] == 0.0
+
+
+def test_pmi_positive_for_correlated_rare_pair(spark):
+    from zoom_spark.queries.training_prep import pmi_cooccurrence
+
+    # "x y" always together in 40 of 100 docs -> PMI = ln(100/40) > 0
+    rows = [(i, "x y filler" if i < 40 else "filler only") for i in range(100)]
+    out = _with_docs(spark, rows, pmi_cooccurrence)
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    import math
+
+    xy = by_pair[("x", "y")]
+    assert abs(xy["pmi"] - round(math.log(100 * 40 / (40 * 40)), 6)) < 1e-9

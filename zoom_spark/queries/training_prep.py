@@ -586,3 +586,193 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b1 / c("det"), 6).alias("b1"),
         F.round(b2 / c("det"), 6).alias("b2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R87: Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+BOOT_B = 48  # bootstrap replicates
+# Poisson(1) CDF ladder: P(X<=k) for k = 0..4; tail mass lands on 5
+_POIS = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431, 0.9963401532)
+
+
+@register(
+    "bootstrap_ci_order_value",
+    sql=f"""
+    WITH rep AS (
+      SELECT o_totalprice AS x, b.b,
+             CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                         || CAST(b.b AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS u
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+    ),
+    weighted AS (
+      SELECT b, x,
+             CASE WHEN u < {_POIS[0]} THEN 0
+                  WHEN u < {_POIS[1]} THEN 1
+                  WHEN u < {_POIS[2]} THEN 2
+                  WHEN u < {_POIS[3]} THEN 3
+                  WHEN u < {_POIS[4]} THEN 4
+                  ELSE 5 END AS w
+      FROM rep
+    ),
+    means AS (
+      SELECT b, sum(w * x) / sum(w) AS m FROM weighted GROUP BY b
+    )
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_reps,
+           round((SELECT avg(o_totalprice) FROM orders), 4) AS mean_est,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via
+    the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams") — the resampling scheme that works when
+    n is unknown and no single machine holds the data: each row
+    contributes Poisson(1)-many copies to each replicate, with the
+    count derived from a deterministic md5 uniform and an inverse-CDF
+    ladder, so both engines draw identical resamples. One explode to
+    B={BOOT_B} replicate rows per record, one hash aggregate to B
+    weighted means (map-side partials reduce each partition to ≤B
+    rows), then an exact percentile over the B-row frame. At 100 TB
+    the shuffle carries B rows per partition, not B× the data."""
+    od = load_table(spark, sf_dir, "orders")
+    rep = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0),
+    )
+    w = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .when(F.col("u") < _POIS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"))
+    )
+    est = od.agg(F.round(F.avg("o_totalprice"), 4).alias("mean_est"))
+    return (
+        means.agg(
+            F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(est))
+        .select(
+            F.lit(BOOT_B).cast("bigint").alias("n_reps"),
+            "mean_est",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R88: PMI token co-occurrence
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 40  # minimum co-occurrence count to report
+
+
+@register(
+    "pmi_cooccurrence",
+    sql=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      )
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM dw),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY w),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING count(*) >= {PMI_MIN_PAIR}
+    )
+    SELECT p.w1, p.w2, p.n_pair, d1.df AS df1, d2.df AS df2,
+           round(ln(p.n_pair * n.n_docs / (d1.df * d2.df)), 6) AS pmi
+    FROM pairs p
+    JOIN df d1 ON p.w1 = d1.w
+    JOIN df d2 ON p.w2 = d2.w
+    CROSS JOIN n
+    """,
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs at document
+    granularity: PMI = ln(P(w1,w2)/(P(w1)P(w2))) over document
+    presence, the classic collocation / embedding-matrix statistic.
+    The pair space is generated by a SELF-EQUI-JOIN on doc_id with
+    w1 < w2, so the quadratic blowup is bounded per document by its
+    distinct-word count (docs are token-bounded in a curation
+    pipeline), never corpus-wide; the support floor then prunes
+    before the df joins. The document-frequency side joins are on
+    single words — model-sized, broadcast-eligible. The 1-row corpus
+    count is a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    ).distinct()
+    n = dw.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    dfreq = dw.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    a = dw.alias("a")
+    b = dw.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    return (
+        pairs.join(dfreq.withColumnRenamed("w", "w1").withColumnRenamed("df", "df1"), "w1")
+        .join(dfreq.withColumnRenamed("w", "w2").withColumnRenamed("df", "df2"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "df1",
+            "df2",
+            F.round(
+                F.log(
+                    F.col("n_pair") * F.col("n_docs") / (F.col("df1") * F.col("df2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
