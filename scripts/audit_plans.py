@@ -225,6 +225,8 @@ EXPECTATIONS = {
     "bootstrap_ci_order_value": dict(pushed=False, broadcast=False, cartesian=True),
     # df sides are word-model-sized broadcasts; 1-row corpus count BNLJ
     "pmi_cooccurrence": dict(pushed=False, broadcast=True, cartesian=True),
+    # |sources|x2 cuts frame broadcast; 1-row vocab total BNLJ
+    "ccnet_perplexity_buckets": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

@@ -306,3 +306,66 @@ def test_pmi_positive_for_correlated_rare_pair(spark):
 
     xy = by_pair[("x", "y")]
     assert abs(xy["pmi"] - round(math.log(100 * 40 / (40 * 40)), 6)) < 1e-9
+
+
+# ---------- R89 CCNet perplexity buckets ----------
+
+
+def test_ccnet_buckets_respect_per_source_cuts(spark):
+    from zoom_spark.queries.training_prep import ccnet_perplexity_buckets
+
+    rows = ccnet_perplexity_buckets(spark, SF_DIR).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(by_source) > 1
+    for src, docs in by_source.items():
+        head = [r["lp"] for r in docs if r["bucket"] == "head"]
+        mid = [r["lp"] for r in docs if r["bucket"] == "middle"]
+        tail = [r["lp"] for r in docs if r["bucket"] == "tail"]
+        assert head and tail, f"{src} missing extreme buckets"
+        # bucket boundaries are per-source order-respecting
+        if mid:
+            assert min(head) >= max(mid) >= min(mid) >= max(tail)
+        else:
+            assert min(head) >= max(tail)
+        # tertile split: no bucket takes more than ~55% of a source
+        n = len(docs)
+        for b in (head, mid, tail):
+            assert len(b) <= 0.56 * n + 1
+
+
+# ---------- R90 logistic regression ----------
+
+
+def test_logreg_matches_numpy_gd_referee(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        logreg_purchase_model,
+    )
+
+    [r] = logreg_purchase_model(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    g = ev.groupby("user_id")
+    f1 = np.log(g.size().to_numpy().astype(float))
+    f2 = g["value"].mean().to_numpy()
+    y = g["event_type"].apply(lambda s: int((s == "purchase").any())).to_numpy()
+    x1 = (f1 - f1.mean()) / f1.std()  # ddof=0 == stddev_pop
+    x2 = (f2 - f2.mean()) / f2.std()
+    w = np.zeros(3)
+    X = np.column_stack([np.ones(len(y)), x1, x2])
+    for _ in range(LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w -= LOGREG_LR * (X.T @ (p - y)) / len(y)
+    assert r["n"] == len(y)
+    assert abs(r["w0"] - w[0]) < 1e-5
+    assert abs(r["w1"] - w[1]) < 1e-5
+    assert abs(r["w2"] - w[2]) < 1e-5
+    acc = (((X @ w) > 0).astype(int) == y).mean()
+    assert abs(r["train_acc"] - acc) < 1e-6
+    assert 0.0 <= r["train_acc"] <= 1.0

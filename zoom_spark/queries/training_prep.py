@@ -776,3 +776,165 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R89: CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY t
+    ),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM vocab),
+    lp AS (
+      SELECT tok.doc_id,
+             round(avg(ln(vocab.tf / CAST(tot.n AS DOUBLE))), 6) AS lp
+      FROM tok JOIN vocab ON tok.t = vocab.t CROSS JOIN tot
+      GROUP BY tok.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, l.lp FROM documents d JOIN lp l USING (doc_id)
+    ),
+    cuts AS (
+      SELECT source,
+             quantile_cont(lp, 0.33) AS t33,
+             quantile_cont(lp, 0.66) AS t66
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, round(s.lp, 4) AS lp,
+           CASE WHEN s.lp >= c.t66 THEN 'head'
+                WHEN s.lp >= c.t33 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (source)
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 1911.00359):
+    score each document by its average unigram log-prob under the
+    corpus LM, then split each SOURCE into head/middle/tail at its
+    own 33/66 percentiles — the standard way to keep per-domain
+    quality tiers comparable. The LM pass is the repo's two-shuffle
+    unigram scorer; per-doc scores are rounded to 6dp BEFORE the
+    percentile cut on BOTH engines, so threshold comparisons run on
+    identical values and summation-order noise cannot flip a bucket.
+    The cuts frame is |sources|×2 — always a broadcast."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ws_tokens(F.lower("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n"))
+    lp = (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("tf") / F.col("n").cast("double"))), 6
+            ).alias("lp")
+        )
+    )
+    scored = docs.select("doc_id", "source").join(lp, "doc_id")
+    cuts = scored.groupBy("source").agg(
+        F.percentile("lp", F.lit(0.33)).alias("t33"),
+        F.percentile("lp", F.lit(0.66)).alias("t66"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round("lp", 4).alias("lp"),
+            F.when(F.col("lp") >= F.col("t66"), "head")
+            .when(F.col("lp") >= F.col("t33"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R90: logistic regression via aggregated gradient descent
+# ---------------------------------------------------------------------------
+
+LOGREG_ITERS = 20
+LOGREG_LR = 0.5
+
+
+@register("logreg_purchase_model")  # iterative: rows-only gate + numpy referee
+def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (did this user ever purchase?) trained by
+    full-batch gradient descent where each iteration is ONE aggregate:
+    grad = Σ (σ(w·x) − y)·x / n, a 3-double row collected to the
+    driver — the canonical "iterative ML as aggregation" pattern
+    (same shape Spark MLlib's LBFGS uses for its loss/grad passes).
+    Features (z-scored event count and mean value per user) are built
+    once and PERSISTED, so the 20 gradient passes re-scan a
+    materialized user-sized frame, not the raw events. Driver state is
+    the 3-vector w — model-sized, never data-sized. Iterative fixpoint
+    ⇒ not SQL-expressible: rows-only driver gate; the numpy referee in
+    tests/test_training_prep.py reruns the identical GD and matches
+    coefficients to 1e-6."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.log(F.count("*").cast("double")).alias("f1"),
+        F.avg("value").alias("f2"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    stats = users.agg(
+        F.avg("f1").alias("m1"),
+        F.stddev_pop("f1").alias("s1"),
+        F.avg("f2").alias("m2"),
+        F.stddev_pop("f2").alias("s2"),
+    ).collect()[0]
+    feats = users.select(
+        ((F.col("f1") - stats["m1"]) / stats["s1"]).alias("x1"),
+        ((F.col("f2") - stats["m2"]) / stats["s2"]).alias("x2"),
+        F.col("y").cast("double").alias("y"),
+    ).persist()
+    n = feats.count()
+    w0 = w1 = w2 = 0.0
+    for _ in range(LOGREG_ITERS):
+        z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = feats.agg(
+            F.avg(p - F.col("y")).alias("g0"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        w0 -= LOGREG_LR * g["g0"]
+        w1 -= LOGREG_LR * g["g1"]
+        w2 -= LOGREG_LR * g["g2"]
+    z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    acc = feats.agg(
+        F.avg(
+            (
+                ((z > 0).cast("int") == F.col("y").cast("int")).cast("double")
+            )
+        ).alias("acc")
+    ).collect()[0]["acc"]
+    feats.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                round(w0, 6),
+                round(w1, 6),
+                round(w2, 6),
+                round(acc, 6),
+            )
+        ],
+        "n bigint, w0 double, w1 double, w2 double, train_acc double",
+    )
