@@ -227,6 +227,12 @@ EXPECTATIONS = {
     "pmi_cooccurrence": dict(pushed=False, broadcast=True, cartesian=True),
     # |sources|x2 cuts frame broadcast; 1-row vocab total BNLJ
     "ccnet_perplexity_buckets": dict(pushed=False, broadcast=True, cartesian=True),
+    # segment-partitioned window over the customer aggregate
+    "quantile_normalize_spend": dict(pushed=False, broadcast=False, cartesian=False),
+    # 1-row softmax normalizer BNLJ over the |sources| frame
+    "doremi_source_weights": dict(pushed=False, broadcast=True, cartesian=True),
+    # calendar semi-join is a day-count-sized broadcast
+    "rolling_7day_active_users": dict(pushed=False, broadcast=True, cartesian=False),
 }
 
 

@@ -369,3 +369,56 @@ def test_logreg_matches_numpy_gd_referee(spark):
     acc = (((X @ w) > 0).astype(int) == y).mean()
     assert abs(r["train_acc"] - acc) < 1e-6
     assert 0.0 <= r["train_acc"] <= 1.0
+
+
+# ---------- R91 quantile normalization ----------
+
+
+def test_quantile_normalize_matches_pandas_rank(spark):
+    from zoom_spark.queries.training_prep import quantile_normalize_spend
+
+    rows = quantile_normalize_spend(spark, SF_DIR).collect()
+    import pandas as pd
+
+    df = pd.DataFrame([r.asDict() for r in rows])
+    for seg, g in df.groupby("c_mktsegment"):
+        n = len(g)
+        # percent_rank = (rank_min - 1) / (n - 1)
+        expected = (g["spend"].rank(method="min") - 1) / (n - 1)
+        assert np.allclose(g["q"], expected.round(6), atol=1e-6)
+        assert g["q"].min() == 0.0 and g["q"].max() == 1.0
+
+
+# ---------- R92 DoReMi weights ----------
+
+
+def test_doremi_weights_sum_to_one_and_are_monotone(spark):
+    from zoom_spark.queries.training_prep import doremi_source_weights
+
+    rows = doremi_source_weights(spark, SF_DIR).collect()
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - 1.0) < 1e-4  # rounding each weight to 6dp
+    ordered = sorted(rows, key=lambda r: r["score"])
+    ws = [r["weight"] for r in ordered]
+    assert ws == sorted(ws)  # higher score -> higher weight
+
+
+# ---------- R93 rolling 7-day actives ----------
+
+
+def test_rolling_7day_matches_pandas_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import rolling_7day_active_users
+
+    rows = {r["day"]: r["active_7d"] for r in
+            rolling_7day_active_users(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select("ts", "user_id").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    days = sorted(ev["day"].unique())
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        expected = ev[(ev["day"] >= lo) & (ev["day"] <= d)]["user_id"].nunique()
+        assert rows[d] == expected, d
+    assert set(rows) == set(days)

@@ -938,3 +938,187 @@ def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n bigint, w0 double, w1 double, w2 double, train_acc double",
     )
+
+
+# ---------------------------------------------------------------------------
+# R91: within-group quantile normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalize_spend",
+    sql="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             round(sum(o.o_totalprice), 2) AS spend
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, spend,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY spend), 6) AS q
+    FROM spend
+    """,
+)
+def quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group quantile normalization: map each customer's total
+    spend to its percent-rank inside its market segment — the
+    uniformizing transform used to make heavy-tailed features
+    comparable across strata before mixing/sampling. Spend is rounded
+    to 2dp BEFORE ranking on both engines (the repo's pre-rank
+    rounding idiom) so summation-order noise cannot reorder ties.
+    The window is PARTITIONED by segment — each segment ranks in its
+    own tasks; no single-task global window. At 100 TB a segment's
+    rows must fit a partition's sort spill budget, which holds for
+    any bounded-cardinality stratification key."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    spend = (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R92: DoReMi-style source mixing weights
+# ---------------------------------------------------------------------------
+
+DOREMI_T = 0.5  # softmax temperature
+
+
+@register(
+    "doremi_source_weights",
+    sql=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM vocab),
+    lp AS (
+      SELECT tok.doc_id,
+             round(avg(ln(vocab.tf / CAST(tot.n AS DOUBLE))), 6) AS lp
+      FROM tok JOIN vocab ON tok.t = vocab.t CROSS JOIN tot
+      GROUP BY tok.doc_id
+    ),
+    src AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(avg(l.lp), 6) AS score
+      FROM documents d JOIN lp l USING (doc_id)
+      GROUP BY d.source
+    ),
+    z AS (SELECT sum(exp(score / {DOREMI_T})) AS z FROM src)
+    SELECT s.source, s.n_docs, s.score,
+           round(exp(s.score / {DOREMI_T}) / z.z, 6) AS weight
+    FROM src s CROSS JOIN z
+    """,
+)
+def doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighting in the DoReMi style (Xie et al. 2305.10429):
+    score each SOURCE by its average unigram-LM log-prob (the offline
+    proxy for per-domain excess loss) and turn scores into sampling
+    weights with a temperature-T softmax. The corpus pass is the
+    two-shuffle unigram scorer; after the per-source aggregate the
+    frame is |sources| rows, so the softmax normalizer is a 1-row
+    broadcast. Per-doc and per-source scores are rounded on BOTH
+    engines before exp(), so the weights are bit-identical."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ws_tokens(F.lower("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n"))
+    lp = (
+        tok.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("tf") / F.col("n").cast("double"))), 6
+            ).alias("lp")
+        )
+    )
+    src = (
+        docs.select("doc_id", "source")
+        .join(lp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("lp"), 6).alias("score"),
+        )
+    )
+    z = src.agg(F.sum(F.exp(F.col("score") / DOREMI_T)).alias("z"))
+    return src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "score",
+        F.round(F.exp(F.col("score") / DOREMI_T) / F.col("z"), 6).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R93: rolling 7-day distinct active users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7day_active_users",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    cal AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT DISTINCT du.day + CAST(k.k AS INTEGER) AS w, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) k
+    )
+    SELECT c.w AS day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM contrib c JOIN cal ON c.w = cal.day
+    GROUP BY c.w
+    """,
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) that naive SQL writes as a self-join or an
+    unbounded RANGE window. Here each distinct (day, user) pair
+    CONTRIBUTES itself to the 7 window-end days it falls in (a
+    map-only explode of 7 offsets), then one distinct-aggregate per
+    (window_day, user) pair — shuffle keys are (date, user_id), never
+    a per-day user list. The calendar semi-join (broadcast,
+    day-count-sized) drops window ends past the observed range. At
+    100 TB this is 7x the distinct-pair shuffle — linear, skew-free,
+    and partitionable, unlike a RANGE-interval window which would
+    single-task per day."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    cal = du.select("day").distinct()
+    contrib = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add("day", F.col("k")).alias("w"), "user_id")
+        .distinct()
+    )
+    return (
+        contrib.join(
+            F.broadcast(cal.withColumnRenamed("day", "w")), "w"
+        )
+        .groupBy(F.col("w").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+    )
