@@ -233,6 +233,10 @@ EXPECTATIONS = {
     "doremi_source_weights": dict(pushed=False, broadcast=True, cartesian=True),
     # calendar semi-join is a day-count-sized broadcast
     "rolling_7day_active_users": dict(pushed=False, broadcast=True, cartesian=False),
+    # two distributed row-number passes (broadcast offset joins) + top-100
+    "rrf_customer_rankings": dict(pushed=False, broadcast=True, cartesian=False),
+    # per-user self-join (equi on user_id); 1-row user-count BNLJ
+    "eventually_follows_pairs": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

@@ -422,3 +422,70 @@ def test_rolling_7day_matches_pandas_referee(spark):
         expected = ev[(ev["day"] >= lo) & (ev["day"] <= d)]["user_id"].nunique()
         assert rows[d] == expected, d
     assert set(rows) == set(days)
+
+
+# ---------- R94 reciprocal rank fusion ----------
+
+
+def test_rrf_matches_pandas_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import RRF_K, rrf_customer_rankings
+
+    rows = rrf_customer_rankings(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).toPandas()
+    g = od.groupby("o_custkey").agg(
+        spend=("o_totalprice", "sum"), last=("o_orderdate", "max")
+    ).reset_index()
+    g["spend"] = g["spend"].round(2)
+    # the query ranks over the TOTAL order (metric desc, custkey asc),
+    # so ranks are 1..n with deterministic tie-breaks — reproduce that
+    g = g.sort_values(["spend", "o_custkey"], ascending=[False, True])
+    g["r_spend"] = range(1, len(g) + 1)
+    g = g.sort_values(["last", "o_custkey"], ascending=[False, True])
+    g["r_recent"] = range(1, len(g) + 1)
+    g["rrf"] = (1.0 / (RRF_K + g["r_spend"]) + 1.0 / (RRF_K + g["r_recent"])).round(6)
+    top = g.sort_values(["rrf", "o_custkey"], ascending=[False, True]).head(100)
+    expect = list(zip(top["o_custkey"], top["rrf"]))
+    got = [(r["c_custkey"], r["rrf"]) for r in rows]
+    assert got == expect
+
+
+# ---------- R95 eventually-follows ----------
+
+
+def test_eventually_follows_planted_sequences(spark):
+    from zoom_spark.queries.training_prep import eventually_follows_pairs
+
+    mod = importlib.import_module(eventually_follows_pairs.__module__)
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec, typ):
+        return (eid, t0 + datetime.timedelta(seconds=sec), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "purchase"),
+        ev(4, 2, 0, "click"), ev(5, 2, 5, "view"),
+        # user 3: tie timestamps -> event_id order decides
+        ev(6, 3, 0, "signup"), ev(7, 3, 0, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df), \
+         patch.object(mod, "EF_MIN_USERS", 1):
+        out = eventually_follows_pairs(spark, SF_DIR).collect()
+    pairs = {(r["t1"], r["t2"]): r for r in out}
+    assert pairs[("view", "click")]["n_users_pair"] == 1   # user 1
+    assert pairs[("click", "view")]["n_users_pair"] == 1   # user 2
+    assert pairs[("view", "purchase")]["n_users_pair"] == 1
+    assert pairs[("click", "purchase")]["n_users_pair"] == 1
+    assert pairs[("signup", "error")]["n_users_pair"] == 1  # tie by event_id
+    assert ("error", "signup") not in pairs
+    assert ("purchase", "view") not in pairs
+    # support normalizes by ALL users
+    assert abs(pairs[("view", "click")]["support"] - round(1 / 3, 6)) < 1e-9

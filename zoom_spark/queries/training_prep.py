@@ -1122,3 +1122,157 @@ def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# R94: reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+
+
+@register(
+    "rrf_customer_rankings",
+    sql=f"""
+    WITH spend AS (
+      SELECT o_custkey AS c, round(sum(o_totalprice), 2) AS spend,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c,
+             rank() OVER (ORDER BY spend DESC, c) AS r_spend,
+             rank() OVER (ORDER BY last_order DESC, c) AS r_recent
+      FROM spend
+    ),
+    fused AS (
+      SELECT c, r_spend, r_recent,
+             round(1.0 / ({RRF_K} + r_spend)
+                   + 1.0 / ({RRF_K} + r_recent), 6) AS rrf
+      FROM ranked
+    )
+    SELECT c AS c_custkey, r_spend, r_recent, rrf
+    FROM fused
+    ORDER BY rrf DESC, c_custkey
+    LIMIT 100
+    """,
+)
+def rrf_customer_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR'09) of two
+    independent rankings — by lifetime spend and by recency — into
+    one top-100: score = Σ 1/(k + rank_i), the standard way to merge
+    retrieval lists (BM25 + dense) without score calibration. Both
+    ranks come from the repo's two-phase distributed row-number
+    (prefix.global_row_number: range shuffle + local window + O(P)
+    offsets — never a single-task global window), over the TOTAL
+    order (metric desc, custkey asc) so ties are deterministic and
+    rank() == row_number() on both engines. The final top-100 is a
+    bounded TakeOrderedAndProject."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.max("o_orderdate").alias("last_order"),
+    ).withColumn("neg_spend", -F.col("spend")).withColumn(
+        "neg_days",
+        -F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
+    )
+    ranked = global_row_number(spend, ["neg_spend", "c"], "r_spend")
+    ranked = global_row_number(ranked, ["neg_days", "c"], "r_recent")
+    fused = ranked.select(
+        "c",
+        "r_spend",
+        "r_recent",
+        F.round(
+            1.0 / (RRF_K + F.col("r_spend")) + 1.0 / (RRF_K + F.col("r_recent")),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("c"))
+        .limit(100)
+        .select(F.col("c").alias("c_custkey"), "r_spend", "r_recent", "rrf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R95: eventually-follows sequential patterns
+# ---------------------------------------------------------------------------
+
+EF_MIN_USERS = 50  # report pairs supported by at least this many users
+
+
+@register(
+    "eventually_follows_pairs",
+    sql=f"""
+    WITH seq AS (
+      SELECT DISTINCT a.user_id, a.event_type AS t1, b.event_type AS t2
+      FROM events a
+      JOIN events b
+        ON a.user_id = b.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      WHERE a.event_type <> b.event_type
+    ),
+    users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events)
+    SELECT s.t1, s.t2,
+           CAST(count(*) AS BIGINT) AS n_users_pair,
+           round(count(*) * 1.0 / u.n_users, 6) AS support
+    FROM seq s CROSS JOIN users u
+    GROUP BY s.t1, s.t2, u.n_users
+    HAVING count(*) >= {EF_MIN_USERS}
+    """,
+)
+def eventually_follows_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential 2-patterns with "eventually follows" semantics (the
+    process-mining / PrefixSpan-style relation): for how many users
+    does event type A occur strictly before some later B? The pair
+    space is a SELF-EQUI-JOIN on user_id with a timestamp predicate —
+    quadratic only within a user's own history (bounded per user;
+    sessions are short relative to the corpus), never across users —
+    then DISTINCT collapses each user's evidence to one vote before
+    the support aggregate. Unlike markov_transitions (adjacent steps
+    only), this captures long-range ordering. Ties on ts break by
+    event_id so both engines count the identical pair set."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    seq = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (
+                (F.col("a.ts") < F.col("b.ts"))
+                | (
+                    (F.col("a.ts") == F.col("b.ts"))
+                    & (F.col("a.event_id") < F.col("b.event_id"))
+                )
+            ),
+        )
+        .where(F.col("a.event_type") != F.col("b.event_type"))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .distinct()
+    )
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return (
+        seq.crossJoin(F.broadcast(n_users))
+        .groupBy("t1", "t2", "n_users")
+        .agg(F.count("*").cast("bigint").alias("n_users_pair"))
+        .where(F.col("n_users_pair") >= EF_MIN_USERS)
+        .select(
+            "t1",
+            "t2",
+            "n_users_pair",
+            F.round(
+                F.col("n_users_pair") * 1.0 / F.col("n_users"), 6
+            ).alias("support"),
+        )
+    )
