@@ -237,6 +237,12 @@ EXPECTATIONS = {
     "rrf_customer_rankings": dict(pushed=False, broadcast=True, cartesian=False),
     # per-user self-join (equi on user_id); 1-row user-count BNLJ
     "eventually_follows_pairs": dict(pushed=False, broadcast=False, cartesian=True),
+    # two prefix-sum passes (broadcast offsets); 1-row totals BNLJ
+    "ks_test_weekend_value": dict(pushed=False, broadcast=True, cartesian=True),
+    # 1-row normalizer BNLJ over the |strata| frame
+    "neyman_allocation": dict(pushed=False, broadcast=False, cartesian=True),
+    # <=9-digit frame x 1-row total BNLJ; totalprice filter pushed
+    "benford_first_digit": dict(pushed=True, broadcast=False, cartesian=True),
 }
 
 

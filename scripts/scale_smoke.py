@@ -44,6 +44,14 @@ SUSPECTS = [
     # substring-gram pass is the shuffle-volume suspect
     "semdedup_corpus",
     "duplicate_spans",
+    # round 5: alignment-invariant grams (stride-1 side is the volume
+    # suspect), per-doc-bounded PMI pair join, shingle-join
+    # decontamination, and the lineitem-graph iterative peels
+    "duplicate_spans_invariant",
+    "pmi_cooccurrence",
+    "decontaminate_ngram_overlap",
+    "kcore_parts",
+    "bfs_reachable_parts",
 ]
 
 
@@ -144,9 +152,22 @@ def main() -> None:
             f"| {name} | {r['sf0.1_sec']} | {r['upscale_sec']} | "
             f"{r['time_ratio']}x vs {r['row_ratio']}x rows | {verdict} |"
         )
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_NOTES.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote BENCH_NOTES.md")
+    # Replace ONLY the upscale-smoke section (everything up to the first
+    # "## " heading); later hand-written sections (variance notes, etc.)
+    # are preserved.
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_NOTES.md",
+    )
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
+    print("wrote BENCH_NOTES.md (upscale section)")
     spark.stop()
 
 

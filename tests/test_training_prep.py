@@ -489,3 +489,110 @@ def test_eventually_follows_planted_sequences(spark):
     assert ("purchase", "view") not in pairs
     # support normalizes by ALL users
     assert abs(pairs[("view", "click")]["support"] - round(1 / 3, 6)) < 1e-9
+
+
+# ---------- R96 KS test ----------
+
+
+def test_ks_statistic_matches_numpy_ecdf(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import ks_test_weekend_value
+
+    [r] = ks_test_weekend_value(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select("ts", "value").toPandas()
+    wd = (ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days % 7
+    a = np.sort(ev.loc[wd.isin([5, 6]), "value"].to_numpy())
+    b = np.sort(ev.loc[~wd.isin([5, 6]), "value"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    d = np.abs(
+        np.searchsorted(a, grid, side="right") / len(a)
+        - np.searchsorted(b, grid, side="right") / len(b)
+    ).max()
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert abs(r["ks_d"] - d) < 1e-6
+    n_eff = len(a) * len(b) / (len(a) + len(b))
+    assert abs(r["p_value"] - 2 * np.exp(-2 * r["ks_d"] ** 2 * n_eff)) < 1e-5
+
+
+def test_ks_disjoint_supports_give_d_one(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import ks_test_weekend_value
+
+    mod = importlib.import_module(ks_test_weekend_value.__module__)
+    rows = []
+    # weekend days (wd 5,6 from 2024-01-01 anchor): Jan 6 (sat), Jan 7
+    for i in range(50):
+        rows.append((i, datetime.datetime(2024, 1, 6, 1, 0, i), i, "view",
+                     100.0 + i, "{}"))       # weekend: values >= 100
+        rows.append((1000 + i, datetime.datetime(2024, 1, 2, 1, 0, i), i,
+                     "view", float(i), "{}"))  # weekday: values < 100
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = ks_test_weekend_value(spark, SF_DIR).collect()
+    assert r["ks_d"] == 1.0
+
+
+# ---------- R97 Neyman allocation ----------
+
+
+def test_neyman_allocation_proportional_and_budgeted(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+    )
+
+    rows = neyman_allocation(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    g = od.groupby("o_orderpriority")["o_totalprice"]
+    nh = g.size()
+    sh = g.std(ddof=1).round(6)
+    z = (nh * sh).sum()
+    for r in rows:
+        k = r["o_orderpriority"]
+        assert r["n_h"] == nh[k]
+        assert abs(r["s_h"] - sh[k]) < 1e-6
+        assert r["alloc"] == round(NEYMAN_BUDGET * nh[k] * sh[k] / z)
+    total = sum(r["alloc"] for r in rows)
+    assert abs(total - NEYMAN_BUDGET) <= len(rows)  # rounding slack
+
+
+# ---------- R98 Benford ----------
+
+
+def test_benford_mechanics_on_planted_digits(spark):
+    from zoom_spark.queries.training_prep import benford_first_digit
+
+    mod = importlib.import_module(benford_first_digit.__module__)
+    # 30 values starting with 1, 10 with 2, 10 with 9
+    vals = [1000.0 + i for i in range(30)] + [250.0 + i for i in range(10)] \
+        + [9000.0 + i for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "o_orderkey long, o_totalprice double",
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        out = {r["digit"]: r for r in benford_first_digit(spark, SF_DIR).collect()}
+    assert out[1]["n"] == 30 and out[2]["n"] == 10 and out[9]["n"] == 10
+    assert abs(out[1]["obs_frac"] - 0.6) < 1e-9
+    import math
+
+    for d, r in out.items():
+        bf = math.log10(1 + 1 / d)
+        assert abs(r["benford_frac"] - round(bf, 6)) < 1e-9
+        chi = (r["n"] / 50 - bf) ** 2 / bf * 50
+        assert abs(r["chi2_part"] - chi) < 1e-4
+
+
+def test_benford_real_orders_fracs_sum_to_one(spark):
+    from zoom_spark.queries.training_prep import benford_first_digit
+
+    rows = benford_first_digit(spark, SF_DIR).collect()
+    assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-4
+    assert {r["digit"] for r in rows} <= set(range(1, 10))

@@ -1276,3 +1276,207 @@ def eventually_follows_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R96: two-sample Kolmogorov-Smirnov test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_test_weekend_value",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pv AS (
+      SELECT v,
+             CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb
+      FROM pv
+    ),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b FROM pv),
+    d AS (
+      SELECT t.n_a, t.n_b,
+             max(abs(c.ca * 1.0 / t.n_a - c.cb * 1.0 / t.n_b)) AS ks_d
+      FROM c CROSS JOIN tot t GROUP BY t.n_a, t.n_b
+    )
+    SELECT n_a, n_b, round(ks_d, 6) AS ks_d,
+           round(2 * exp(-2 * pow(round(ks_d, 6), 2)
+                         * (n_a * n_b * 1.0 / (n_a + n_b))), 6) AS p_value
+    FROM d
+    """,
+)
+def ks_test_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (weekend vs weekday event
+    values): D = sup |ECDF_a − ECDF_b|, with the asymptotic
+    2·exp(−2D²·n_eff) p-value. Scores collapse to per-distinct-value
+    (n_a, n_b) counts in one hash aggregate, then BOTH running counts
+    come from the repo's two-phase distributed prefix-sum (two range
+    passes — no single-task global window); the sup is one more
+    aggregate. The p-value is computed from the 6dp-ROUNDED D on both
+    engines, so exp() sees identical inputs. Same scale shape as the
+    distributed AUC: everything after the first aggregate is
+    distinct-value-sized."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    c = prefix_sum(pv, "v", "na", out_col="ca")
+    c = prefix_sum(c, "v", "nb", out_col="cb")
+    tot = pv.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") * 1.0 / F.col("n_a")
+                        - F.col("cb") * 1.0 / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+    )
+    n_eff = F.col("n_a") * F.col("n_b") * 1.0 / (F.col("n_a") + F.col("n_b"))
+    return d.select(
+        "n_a",
+        "n_b",
+        "ks_d",
+        F.round(2 * F.exp(-2 * F.pow(F.col("ks_d"), 2) * n_eff), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R97: Neyman optimal stratified allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    sql=f"""
+    WITH strata AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_h,
+             round(stddev_samp(o_totalprice), 6) AS s_h
+      FROM orders GROUP BY o_orderpriority
+    ),
+    z AS (SELECT sum(n_h * s_h) AS z FROM strata)
+    SELECT s.o_orderpriority, s.n_h, s.s_h,
+           CAST(round({NEYMAN_BUDGET} * s.n_h * s.s_h / z.z, 0) AS BIGINT)
+             AS alloc
+    FROM strata s CROSS JOIN z
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a {NEYMAN_BUDGET}-row sampling
+    budget across strata: n_h ∝ N_h·S_h (stratum size × stddev), the
+    design that minimizes the variance of the stratified mean — what
+    a pipeline uses to audit-sample heterogeneous sources. One hash
+    aggregate to |strata| rows; the normalizer is a 1-row broadcast.
+    Stddevs are rounded on both engines BEFORE the allocation
+    arithmetic, so the rounded integer allocations are identical."""
+    od = load_table(spark, sf_dir, "orders")
+    strata = od.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("s_h"),
+    )
+    z = strata.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("z"))
+    return strata.crossJoin(F.broadcast(z)).select(
+        "o_orderpriority",
+        "n_h",
+        "s_h",
+        F.round(NEYMAN_BUDGET * F.col("n_h") * F.col("s_h") / F.col("z"), 0)
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R98: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit",
+    sql="""
+    WITH digits AS (
+      SELECT CAST(substring(printf('%.2f', o_totalprice), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM counts)
+    SELECT c.digit, c.n,
+           round(c.n * 1.0 / t.n_tot, 6) AS obs_frac,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford_frac,
+           round(pow(c.n * 1.0 / t.n_tot - log10(1.0 + 1.0 / c.digit), 2)
+                 / log10(1.0 + 1.0 / c.digit) * t.n_tot, 6) AS chi2_part
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic fraud / synthetic-data detector. The first digit is
+    extracted from a fixed-precision printf rendering (identical
+    string on both engines — no float-formatting divergence, no
+    log10-at-power-of-ten boundary risk), reduced in one hash
+    aggregate to ≤9 rows; expected Benford mass log10(1+1/d) and the
+    per-digit chi-square contribution are scalar arithmetic on that
+    tiny frame against a 1-row broadcast total."""
+    od = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.format_string("%.2f", F.col("o_totalprice")), 1, 1
+    ).cast("bigint")
+    counts = (
+        od.where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    obs = F.col("n") * 1.0 / F.col("n_tot")
+    exp_f = F.log10(1.0 + 1.0 / F.col("digit"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_frac"),
+        F.round(exp_f, 6).alias("benford_frac"),
+        F.round(F.pow(obs - exp_f, 2) / exp_f * F.col("n_tot"), 6).alias(
+            "chi2_part"
+        ),
+    )
