@@ -93,6 +93,11 @@ HEADLINE = [
     "gopher_quality_flags",    # Gopher/C4 heuristic quality gates
     "roc_auc_purchase_value",  # distributed-rank tie-corrected AUC
     "regr_aggregates_lineitem",  # SQL:2016 regr_* aggregate family
+    "pmi_cooccurrence",        # doc-bounded PMI pair join
+    "ks_test_weekend_value",   # distributed two-sample KS
+    "bootstrap_ci_order_value",  # Poisson bootstrap CI
+    "rolling_7day_active_users",  # windowed COUNT(DISTINCT) via explode
+    "pretrain_corpus_pipeline",  # composed round-5 curation flagship
 ]
 
 

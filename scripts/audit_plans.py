@@ -243,6 +243,8 @@ EXPECTATIONS = {
     "neyman_allocation": dict(pushed=False, broadcast=False, cartesian=True),
     # <=9-digit frame x 1-row total BNLJ; totalprice filter pushed
     "benford_first_digit": dict(pushed=True, broadcast=False, cartesian=True),
+    # composed flagship: broadcast cuts + 1-row share normalizer BNLJ
+    "pretrain_corpus_pipeline": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

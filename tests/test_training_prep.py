@@ -596,3 +596,50 @@ def test_benford_real_orders_fracs_sum_to_one(spark):
     rows = benford_first_digit(spark, SF_DIR).collect()
     assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-4
     assert {r["digit"] for r in rows} <= set(range(1, 10))
+
+
+# ---------- R99 composed flagship ----------
+
+
+def test_pretrain_pipeline_consistent_with_stages(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        ccnet_perplexity_buckets,
+        decontaminate_ngram_overlap,
+        gopher_quality_flags,
+        pretrain_corpus_pipeline,
+    )
+
+    out = pretrain_corpus_pipeline(spark, SF_DIR).collect()
+    assert out, "pipeline should keep some documents"
+    # stage-consistency referee: recompute the survivor set from the
+    # three standalone gated queries in driver python
+    decon_ok = {
+        r["doc_id"]
+        for r in decontaminate_ngram_overlap(spark, SF_DIR).collect()
+        if r["contaminated"] == 0
+    }
+    gq = {
+        r["doc_id"]: r["n_words"]
+        for r in gopher_quality_flags(spark, SF_DIR).collect()
+        if r["keep"] == 1
+    }
+    tiers = {
+        r["doc_id"]: r["source"]
+        for r in ccnet_perplexity_buckets(spark, SF_DIR).collect()
+        if r["bucket"] in ("head", "middle")
+    }
+    survivors = decon_ok & set(gq) & set(tiers)
+    by_source = {}
+    for d in survivors:
+        s = tiers[d]
+        by_source.setdefault(s, [0, 0])
+        by_source[s][0] += 1
+        by_source[s][1] += gq[d]
+    assert {r["source"]: (r["n_docs"], r["n_tokens"]) for r in out} == {
+        s: tuple(v) for s, v in by_source.items()
+    }
+    n_total = load_table(spark, SF_DIR, "documents").count()
+    n_kept = sum(r["n_docs"] for r in out)
+    assert 0 < n_kept < n_total  # the gates actually filter
+    assert abs(sum(r["doc_share"] for r in out) - 1.0) < 1e-3

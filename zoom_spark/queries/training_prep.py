@@ -1480,3 +1480,132 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_part"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R99: composed pretraining-corpus pipeline (round-5 flagship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pretrain_corpus_pipeline",
+    sql=rf"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             doc_id % {DECON_MOD} = 0 AS is_test
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, is_test,
+             md5(array_to_string(ws[t.i:t.i + {DECON_W - 1}], ' ')) AS sh
+      FROM words
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - {DECON_W - 1})) AS i
+      ) t
+      WHERE len(ws) >= {DECON_W}
+    ),
+    test_set AS (SELECT DISTINCT sh FROM shingles WHERE is_test),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM shingles s
+      JOIN test_set ts USING (sh) WHERE NOT s.is_test
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c FROM (
+        SELECT doc_id, unnest(ws) AS w FROM words WHERE NOT is_test
+      ) GROUP BY doc_id, w
+    ),
+    gq AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             sum(length(w) * c) * 1.0 / sum(c) AS mwl,
+             coalesce(sum(c) FILTER (WHERE w IN {STOPWORDS}), 0) * 1.0
+               / sum(c) AS stop_frac,
+             max(c) * 1.0 / sum(c) AS top_frac
+      FROM wc GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id, n_words FROM gq
+      WHERE n_words BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}
+        AND mwl >= {GQ_MIN_MWL} AND mwl <= {GQ_MAX_MWL}
+        AND stop_frac >= {GQ_MIN_STOP} AND top_frac <= {GQ_MAX_TOP}
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM vocab),
+    lp AS (
+      SELECT tok.doc_id,
+             round(avg(ln(vocab.tf / CAST(tot.n AS DOUBLE))), 6) AS lp
+      FROM tok JOIN vocab ON tok.t = vocab.t CROSS JOIN tot
+      GROUP BY tok.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, l.lp FROM documents d JOIN lp l USING (doc_id)
+    ),
+    cuts AS (
+      SELECT source, quantile_cont(lp, 0.33) AS t33
+      FROM scored GROUP BY source
+    ),
+    final AS (
+      SELECT s.source, k.n_words
+      FROM kept k
+      JOIN scored s USING (doc_id)
+      JOIN cuts c USING (source)
+      WHERE s.lp >= c.t33
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           round(count(*) * 1.0
+                 / (SELECT count(*) FROM final), 6) AS doc_share
+    FROM final GROUP BY source
+    """,
+)
+def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation flagship, composed end-to-end from this
+    module's gated stages: (1) benchmark DECONTAMINATION drops train
+    docs sharing an 8-gram with the held-out split, (2) GOPHER
+    heuristic gates drop low-quality docs, (3) CCNET keeps only each
+    source's head+middle perplexity tiers (lp >= its own p33), then
+    the survivors aggregate to a per-source dataset card (doc count,
+    token count, share). Every stage is the same plan shape its
+    standalone gated query runs — shingle hashing, the two-aggregate
+    quality pass, the two-shuffle unigram LM, broadcast cuts — so the
+    composition adds joins on doc_id but no new shuffle classes. The
+    doc-share normalizer is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    decon = decontaminate_ngram_overlap(spark, sf_dir).where(
+        F.col("contaminated") == 0
+    )
+    gq = gopher_quality_flags(spark, sf_dir).where(F.col("keep") == 1)
+    buckets = ccnet_perplexity_buckets(spark, sf_dir).where(
+        F.col("bucket").isin("head", "middle")
+    )
+    final = (
+        decon.select("doc_id")
+        .join(gq.select("doc_id", "n_words"), "doc_id")
+        .join(buckets.select("doc_id", "source"), "doc_id")
+    )
+    tot = final.agg(F.count("*").alias("n_final"))
+    return (
+        final.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") * 1.0 / F.col("n_final"), 6).alias(
+                "doc_share"
+            ),
+        )
+    )
