@@ -245,6 +245,13 @@ EXPECTATIONS = {
     "benford_first_digit": dict(pushed=True, broadcast=False, cartesian=True),
     # composed flagship: broadcast cuts + 1-row share normalizer BNLJ
     "pretrain_corpus_pipeline": dict(pushed=False, broadcast=True, cartesian=True),
+    # user-partitioned window + hash aggregate
+    "ewma_user_value": dict(pushed=False, broadcast=False, cartesian=False),
+    # CUSUM window runs over the calendar-bounded day-level pre-agg
+    # (~2.4k rows at any SF); argmax is TakeOrdered(1); 1-row mean BNLJ
+    "cusum_changepoint_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

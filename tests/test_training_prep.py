@@ -643,3 +643,80 @@ def test_pretrain_pipeline_consistent_with_stages(spark):
     n_kept = sum(r["n_docs"] for r in out)
     assert 0 < n_kept < n_total  # the gates actually filter
     assert abs(sum(r["doc_share"] for r in out) - 1.0) < 1e-3
+
+
+# ---------- R100 EWMA ----------
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import EWMA_ALPHA, ewma_user_value
+
+    rows = {r["user_id"]: r for r in ewma_user_value(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).toPandas().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        ref = g["value"].ewm(alpha=EWMA_ALPHA, adjust=True).mean().iloc[-1]
+        assert rows[uid]["n_events"] == len(g)
+        assert abs(rows[uid]["ewma"] - ref) < 1e-5, uid
+
+
+def test_ewma_constant_series_is_identity(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import ewma_user_value
+
+    mod = importlib.import_module(ewma_user_value.__module__)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0 + datetime.timedelta(minutes=i), 1, "view", 7.5, "{}")
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = ewma_user_value(spark, SF_DIR).collect()
+    assert r["ewma"] == 7.5
+
+
+# ---------- R101 CUSUM ----------
+
+
+def test_cusum_finds_planted_mean_shift(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import cusum_changepoint_revenue
+
+    mod = importlib.import_module(cusum_changepoint_revenue.__module__)
+    d0 = datetime.date(2024, 1, 1)
+    # 40 days at level 100, then 40 days at level 200 -> the CUSUM
+    # trough is at the last low day (day index 39)
+    rows = []
+    k = 0
+    for i in range(80):
+        level = 100.0 if i < 40 else 200.0
+        rows.append((k, d0 + datetime.timedelta(days=i), level))
+        k += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = cusum_changepoint_revenue(spark, SF_DIR).collect()
+    assert r["changepoint_day"] == d0 + datetime.timedelta(days=39)
+    assert r["n_days"] == 80
+    # |S| at the shift = 40 days * |100 - 150| = 2000
+    assert abs(r["max_abs_cusum"] - 2000.0) < 1e-6
+
+
+def test_cusum_matches_numpy_argmax_on_real_data(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import cusum_changepoint_revenue
+
+    [r] = cusum_changepoint_revenue(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    daily = od.groupby("o_orderdate")["o_totalprice"].sum().round(2).sort_index()
+    s = (daily - daily.mean()).cumsum()
+    assert r["changepoint_day"] == s.abs().idxmax()
+    assert abs(r["max_abs_cusum"] - abs(s).max()) < 1e-2

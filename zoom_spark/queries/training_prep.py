@@ -1609,3 +1609,118 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R100: exponentially weighted moving average (recency-weighted value)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "ewma_user_value",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) - 1 AS r
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * pow(1.0 - {EWMA_ALPHA}, r))
+                 / sum(pow(1.0 - {EWMA_ALPHA}, r)), 6) AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (EWMA, adjust-style) mean event value per
+    user: weight (1−α)^r for the r-th most recent event, normalized —
+    pandas' ewm(alpha={EWMA_ALPHA}, adjust=True).mean() final value,
+    the standard freshness-decayed engagement metric. One
+    user-PARTITIONED window (descending row_number — partitioned, so
+    no single-task sort) then one hash aggregate; the geometric
+    weights are computed identically from the integer rank on both
+    engines, so parity holds at 6dp. Weight magnitude is bounded by
+    1, so no overflow for arbitrarily long histories."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ordered = ev.select(
+        "user_id", "value", (F.row_number().over(w) - 1).alias("r")
+    )
+    decay = F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("r"))
+    return ordered.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value") * decay) / F.sum(decay), 6).alias(
+            "ewma"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R101: CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint_revenue",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    m AS (SELECT avg(rev) AS mu, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily),
+    c AS (
+      SELECT d.day,
+             sum(d.rev - m.mu) OVER (ORDER BY d.day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS s,
+             m.n_days
+      FROM daily d CROSS JOIN m
+    )
+    SELECT day AS changepoint_day, n_days,
+           round(abs(s), 4) AS max_abs_cusum
+    FROM c
+    ORDER BY abs(s) DESC, day LIMIT 1
+    """,
+)
+def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue: the day t
+    maximizing |Σ_{i≤t}(x_i − mean)| is the most likely mean-shift
+    point (Page's cumulative-sum statistic). Daily revenue is rounded
+    to 2dp BEFORE differencing on both engines. The running sum uses
+    the repo's two-phase distributed prefix scan — but note the
+    CUSUM prefix here is over DOUBLES, so instead of prefix_sum
+    (bigint offsets) the day-level pre-aggregate (calendar-bounded,
+    ~2.4k rows at any SF) runs through one windowed pass whose input
+    is constant-sized; the argmax is a bounded TakeOrdered(1)."""
+    od = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    m = daily.agg(
+        F.avg("rev").alias("mu"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(F.broadcast(m))
+        .withColumn("s", F.sum(F.col("rev") - F.col("mu")).over(w))
+    )
+    return (
+        c.orderBy(F.abs(F.col("s")).desc(), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            "n_days",
+            F.round(F.abs(F.col("s")), 4).alias("max_abs_cusum"),
+        )
+    )
