@@ -218,3 +218,56 @@ def stream_static_anti_join(
     return stream.join(
         loaded_keys.select(key).distinct(), on=key, how="left_anti"
     )
+
+
+def read_documents_stream(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (schema pinned from
+    the batch footer, one-file-per-trigger left to the default). The
+    streaming twin of io.load_table(spark, sf_dir, "documents")."""
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    # file stream sources take a directory; glob-select the documents
+    # parquet out of the shared sf dir (same idiom as the events stream)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_decontaminate(
+    docs_stream: DataFrame, test_shingles: DataFrame, n: int = 8
+) -> DataFrame:
+    """Streaming benchmark decontamination: as documents arrive, flag
+    any that share a word-``n``-gram with the STATIC held-out test
+    shingle set (queries/training_prep.decontaminate_ngram_overlap is
+    the batch twin — same map-side md5 shingling, so the stream
+    shuffles 16-byte hashes, never text). The static side is
+    benchmark-sized and re-read per micro-batch (stream-static inner
+    join needs no watermark); dropDuplicates('doc_id') collapses
+    multi-shingle hits — keyed state is one doc_id per contaminated
+    doc, bounded by the contamination rate, not the corpus."""
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    shingles = (
+        docs_stream.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1), F.lit(1))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), n))).alias(
+                "sh"
+            ),
+        )
+    )
+    return (
+        shingles.join(test_shingles.select("sh").distinct(), "sh")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
