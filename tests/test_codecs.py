@@ -175,3 +175,61 @@ def test_decode_media_permissive_quarantines_bad_blobs(spark):
     # both the corrupt blob and the unsupported format must abort
     with _pytest.raises(Exception, match="RIFF|no pure-Python decoder"):
         decode_media(media, permissive=False).collect()
+
+
+# --- concatenated-PPM video container -------------------------------------
+
+
+def test_ppm_video_roundtrip_and_split():
+    from zoom_spark.multimodal.codecs import (
+        decode_ppm,
+        split_ppm_frames,
+        synth_ppm_video_bytes,
+    )
+
+    for seed in range(8):
+        stream = synth_ppm_video_bytes(seed)
+        frames = split_ppm_frames(stream)
+        assert len(frames) == 2 + seed % 4
+        assert b"".join(frames) == stream  # lossless split
+        for f in frames:
+            d = decode_ppm(f)  # every frame is a valid standalone PPM
+            assert d["n_units"] == d["width"] * d["height"]
+
+
+def test_ppm_video_split_rejects_truncation():
+    import pytest
+
+    from zoom_spark.multimodal.codecs import (
+        split_ppm_frames,
+        synth_ppm_video_bytes,
+    )
+
+    stream = synth_ppm_video_bytes(3)
+    with pytest.raises(ValueError):
+        split_ppm_frames(stream[:-5])
+
+
+def test_sample_ppm_video_frames_every_k(spark):
+    from zoom_spark.multimodal.binary_ops import sample_ppm_video_frames
+    from zoom_spark.multimodal.codecs import (
+        decode_ppm,
+        split_ppm_frames,
+        synth_ppm_video_bytes,
+    )
+
+    rows = [(i, synth_ppm_video_bytes(i, n_frames=5)) for i in range(6)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = sample_ppm_video_frames(media, every_k=2).collect()
+    by_key = {(r["media_id"], r["frame_id"]): r for r in out}
+    for i, stream in rows:
+        frames = split_ppm_frames(stream)
+        expect_ids = list(range(0, 5, 2))
+        got_ids = sorted(f for (m, f) in by_key if m == i)
+        assert got_ids == expect_ids
+        for fid in expect_ids:
+            d = decode_ppm(frames[fid])
+            r = by_key[(i, fid)]
+            assert (r["width"], r["height"]) == (d["width"], d["height"])
+            assert r["sum_pixels"] == d["sum_pixels"]
+            assert abs(r["mean_r"] - d["mean_r"]) < 1e-6

@@ -359,3 +359,45 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
     return media.select("media_id", "content").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+PPM_FRAME_SCHEMA = (
+    "media_id long, frame_id int, width int, height int, "
+    "sum_pixels long, mean_r double, mean_g double, mean_b double"
+)
+
+
+def sample_ppm_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL frame sampling for the repo's concatenated-PPM video
+    container (codecs.split_ppm_frames): each media row's stream is
+    split by walking the self-delimiting P6 headers, every k-th frame
+    is decoded, and per-frame statistics come out as a 1-to-N Arrow
+    expansion — the honest version of the byte-stride sample_frames
+    stub, for the one container this repo can truly parse. Work is
+    per-row and map-only (no shuffle); at 100 TB the frame explosion
+    multiplies rows but never crosses partitions."""
+    from zoom_spark.multimodal.codecs import decode_ppm, split_ppm_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_id", "width", "height",
+                "sum_pixels", "mean_r", "mean_g", "mean_b",
+            )}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                frames = split_ppm_frames(bytes(c))
+                for fid in range(0, len(frames), every_k):
+                    d = decode_ppm(frames[fid])
+                    out["media_id"].append(mid)
+                    out["frame_id"].append(fid)
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["sum_pixels"].append(d["sum_pixels"])
+                    out["mean_r"].append(round(d["mean_r"], 6))
+                    out["mean_g"].append(round(d["mean_g"], 6))
+                    out["mean_b"].append(round(d["mean_b"], 6))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=PPM_FRAME_SCHEMA
+    )

@@ -201,3 +201,47 @@ def synth_ppm_bytes(seed: int) -> bytes:
         for x in range(width)
     ]
     return encode_ppm(width, height, rgb)
+
+
+# --- concatenated-PPM pseudo-video container ------------------------------
+
+def encode_ppm_video(frames: list[bytes]) -> bytes:
+    """The repo's honest test 'video' container: a plain concatenation
+    of self-delimiting P6 PPM frames (each header states its own pixel
+    extent, so the stream splits without an index — the same property
+    MJPEG exploits). No codec library needed; every byte is real."""
+    return b"".join(frames)
+
+
+def split_ppm_frames(content: bytes) -> list[bytes]:
+    """Walk the concatenated-PPM stream frame by frame: parse each P6
+    header, compute the frame's total length from its own width/height,
+    slice, advance. Raises on any malformed/truncated frame (the
+    quarantine path catches this upstream)."""
+    frames, pos = [], 0
+    while pos < len(content):
+        d = decode_ppm(content[pos:])
+        end = d["_payload_pos"] + 3 * d["n_units"]
+        frames.append(content[pos : pos + end])
+        pos += end
+    return frames
+
+
+def synth_ppm_video_bytes(seed: int, n_frames: int | None = None) -> bytes:
+    """Deterministic multi-frame fixture: n_frames (2 + seed % 4 when
+    unset) PPM frames whose pixels vary by frame index, so per-frame
+    statistics differ and sampling order is testable."""
+    k = n_frames if n_frames is not None else 2 + seed % 4
+    frames = []
+    for f in range(k):
+        w, h = 4 + seed % 3, 3 + (seed + f) % 3
+        rgb = [
+            (
+                (seed * 37 + f * 11 + i * 7) % 256,
+                (seed * 53 + f * 13 + i * 17) % 256,
+                (seed * 71 + f * 19 + i * 29) % 256,
+            )
+            for i in range(w * h)
+        ]
+        frames.append(encode_ppm(w, h, rgb))
+    return encode_ppm_video(frames)

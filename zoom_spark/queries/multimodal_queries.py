@@ -165,3 +165,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
         ).alias("feature_csv"),
     )
+
+
+@register("multimodal_video_frame_sample")  # real PPM-container parse: rows-only
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frame sampling, honest edition: synthesize deterministic
+    concatenated-PPM video streams (every byte a real P6 frame), walk
+    the self-delimiting headers executor-side, decode every 2nd frame,
+    and emit per-frame pixel statistics. Map-only 1-to-N Arrow
+    expansion — the Spark plumbing (binary column in, typed frame rows
+    out, no shuffle) is exactly what an ffmpeg-backed keyframe
+    extractor needs; only the codec call would change. Python-side
+    decode is unavoidable here (no JVM PPM parser), which is the
+    documented multimodal exception to the no-Python-hot-path rule."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+    from zoom_spark.multimodal.binary_ops import sample_ppm_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+
+    import pandas as pd
+
+    from zoom_spark.multimodal.codecs import synth_ppm_video_bytes
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_ppm_video_bytes(int(i) % 97) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    out = sample_ppm_video_frames(media, every_k=2)
+    return out.orderBy("media_id", "frame_id").select(
+        "media_id",
+        "frame_id",
+        "width",
+        "height",
+        "sum_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+    )
