@@ -1206,13 +1206,23 @@ EF_MIN_USERS = 50  # report pairs supported by at least this many users
 @register(
     "eventually_follows_pairs",
     sql=f"""
-    WITH seq AS (
-      SELECT DISTINCT a.user_id, a.event_type AS t1, b.event_type AS t2
-      FROM events a
-      JOIN events b
-        ON a.user_id = b.user_id
-       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
-      WHERE a.event_type <> b.event_type
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    ),
+    firsts AS (SELECT user_id, event_type AS t1, ts, event_id
+               FROM ranked WHERE rn_first = 1),
+    lasts AS (SELECT user_id, event_type AS t2, ts, event_id
+              FROM ranked WHERE rn_last = 1),
+    seq AS (
+      SELECT f.user_id, f.t1, l.t2
+      FROM firsts f JOIN lasts l ON f.user_id = l.user_id
+      WHERE f.t1 <> l.t2
+        AND (f.ts < l.ts OR (f.ts = l.ts AND f.event_id < l.event_id))
     ),
     users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
               FROM events)
@@ -1227,37 +1237,64 @@ EF_MIN_USERS = 50  # report pairs supported by at least this many users
 def eventually_follows_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential 2-patterns with "eventually follows" semantics (the
     process-mining / PrefixSpan-style relation): for how many users
-    does event type A occur strictly before some later B? The pair
-    space is a SELF-EQUI-JOIN on user_id with a timestamp predicate —
-    quadratic only within a user's own history (bounded per user;
-    sessions are short relative to the corpus), never across users —
-    then DISTINCT collapses each user's evidence to one vote before
-    the support aggregate. Unlike markov_transitions (adjacent steps
-    only), this captures long-range ordering. Ties on ts break by
-    event_id so both engines count the identical pair set."""
+    does event type A occur strictly before some later B?
+
+    Exactness shortcut that kills the per-user quadratic join: "some A
+    strictly before some B" holds iff the FIRST occurrence of A
+    precedes the LAST occurrence of B (⇐ pick those two events; ⇒
+    first(A) ≤ a < b ≤ last(B)). So the events stream reduces to one
+    (user, type) frame carrying each type's first and last composite
+    key — two partitioned windows on the SAME (user, type)
+    partitioning, one shuffle — and the per-user join is
+    |types|×|types|, not history×history. A user with a million
+    events costs 25 join rows, not 10^12. Ties on ts break by
+    event_id so both engines count the identical pair set. Unlike
+    markov_transitions (adjacent steps only), this captures
+    long-range ordering."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    a, b = ev.alias("a"), ev.alias("b")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_last = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    firsts = ranked.where("rn_first = 1").select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_id").alias("f_eid"),
+    )
+    lasts = ranked.where("rn_last = 1").select(
+        "user_id",
+        F.col("event_type").alias("t2"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_eid"),
+    )
     seq = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
+        firsts.join(lasts, "user_id")
+        .where(
+            (F.col("t1") != F.col("t2"))
             & (
-                (F.col("a.ts") < F.col("b.ts"))
+                (F.col("f_ts") < F.col("l_ts"))
                 | (
-                    (F.col("a.ts") == F.col("b.ts"))
-                    & (F.col("a.event_id") < F.col("b.event_id"))
+                    (F.col("f_ts") == F.col("l_ts"))
+                    & (F.col("f_eid") < F.col("l_eid"))
                 )
-            ),
+            )
         )
-        .where(F.col("a.event_type") != F.col("b.event_type"))
-        .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.event_type").alias("t1"),
-            F.col("b.event_type").alias("t2"),
-        )
-        .distinct()
+        .select("user_id", "t1", "t2")
     )
     n_users = ev.agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
