@@ -720,3 +720,106 @@ def test_cusum_matches_numpy_argmax_on_real_data(spark):
     s = (daily - daily.mean()).cumsum()
     assert r["changepoint_day"] == s.abs().idxmax()
     assert abs(r["max_abs_cusum"] - abs(s).max()) < 1e-2
+
+
+# ---------- Hypothesis invariants for the distributed statistics ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="session")
+    def _spark_holder(spark):
+        return spark
+
+    def _events_df(spark, vals):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + datetime.timedelta(seconds=i), i % 7,
+             "purchase" if y else "view", float(v), "{}")
+            for i, (v, y) in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string"
+        )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),
+                st.booleans(),
+            ),
+            min_size=8,
+            max_size=60,
+        ).filter(
+            lambda v: 0 < sum(y for _, y in v) < len(v)
+        ),
+    )
+    def test_auc_invariant_under_monotone_score_transform(_spark_holder, vals):
+        """AUC is a rank statistic: applying a strictly increasing
+        transform (2x+1000) to every score must not change it."""
+        import importlib as _il
+        from unittest.mock import patch as _patch
+
+        from zoom_spark.queries.training_prep import roc_auc_purchase_value
+
+        spark = _spark_holder
+        mod = _il.import_module(roc_auc_purchase_value.__module__)
+        df1 = _events_df(spark, vals)
+        df2 = _events_df(spark, [(2 * v + 1000, y) for v, y in vals])
+        with _patch.object(mod, "load_table", lambda spark, sf, t: df1):
+            [r1] = roc_auc_purchase_value(spark, SF_DIR).collect()
+        with _patch.object(mod, "load_table", lambda spark, sf, t: df2):
+            [r2] = roc_auc_purchase_value(spark, SF_DIR).collect()
+        assert r1["auc"] == r2["auc"]
+        assert 0.0 <= r1["auc"] <= 1.0
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-30, max_value=30),
+            min_size=10,
+            max_size=60,
+        ),
+    )
+    def test_ks_bounds_and_weekday_self_identity(_spark_holder, vals):
+        """0 <= D <= 1 always; identical weekend/weekday samples give
+        D == 0 (every value planted once on a weekend day and once on
+        a weekday)."""
+        import datetime
+        import importlib as _il
+        from unittest.mock import patch as _patch
+
+        from zoom_spark.queries.training_prep import ks_test_weekend_value
+
+        spark = _spark_holder
+        mod = _il.import_module(ks_test_weekend_value.__module__)
+        rows = []
+        k = 0
+        for v in vals:
+            # Jan 6 2024 is wd 5 (weekend anchor math), Jan 2 is wd 1
+            rows.append((k, datetime.datetime(2024, 1, 6, 0, 0, k % 60,
+                                              k // 60), 1, "view",
+                         float(v), "{}"))
+            k += 1
+            rows.append((k, datetime.datetime(2024, 1, 2, 0, 0, k % 60,
+                                              k // 60), 1, "view",
+                         float(v), "{}"))
+            k += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string"
+        )
+        with _patch.object(mod, "load_table", lambda spark, sf, t: df):
+            [r] = ks_test_weekend_value(spark, SF_DIR).collect()
+        assert r["ks_d"] == 0.0
+        assert r["p_value"] == 2.0
+
+except ImportError:  # pragma: no cover
+    pass
