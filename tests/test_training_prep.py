@@ -823,3 +823,62 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---------- R104 isotonic calibration ----------
+
+
+def _pav_naive(rates, weights):
+    """Independent O(n^2) referee: repeatedly find ANY adjacent
+    violator and merge, until monotone (different algorithm from the
+    operator's single-pass stack)."""
+    blocks = [[v, w] for v, w in zip(rates, weights)]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                v1, w1 = blocks[i]
+                v2, w2 = blocks[i + 1]
+                blocks[i] = [(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2]
+                del blocks[i + 1]
+                changed = True
+                break
+    out = []
+    k = 0
+    for v, w in blocks:
+        # expand back: each merged block covers its constituent buckets
+        total = w
+        while total > 1e-9 and k < len(weights):
+            out.append(v)
+            total -= weights[k]
+            k += 1
+    return out
+
+
+def test_isotonic_matches_naive_pav_and_is_monotone(spark):
+    from zoom_spark.queries.training_prep import isotonic_calibration
+
+    rows = isotonic_calibration(spark, SF_DIR).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert len(by_grp) == 2
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["bucket"])
+        fitted = [r["calibrated"] for r in rs]
+        # monotone non-decreasing
+        assert all(a <= b + 1e-9 for a, b in zip(fitted, fitted[1:]))
+        # matches the independent referee
+        ref = _pav_naive(
+            [r["raw_rate"] for r in rs], [float(r["n"]) for r in rs]
+        )
+        assert len(ref) == len(fitted)
+        for a, b in zip(fitted, ref):
+            assert abs(a - b) < 1e-5
+        # weighted mean is preserved by pooling
+        wsum = sum(r["n"] for r in rs)
+        assert abs(
+            sum(r["calibrated"] * r["n"] for r in rs) / wsum
+            - sum(r["raw_rate"] * r["n"] for r in rs) / wsum
+        ) < 1e-4

@@ -1761,3 +1761,80 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("s")), 4).alias("max_abs_cusum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R104: isotonic (PAV) calibration per group
+# ---------------------------------------------------------------------------
+
+ISO_BUCKET_W = 10.0  # score-bucket width for the calibration curve
+
+
+@register("isotonic_calibration")  # sequential PAV per group: rows-only gate
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curves (pool-adjacent-violators) of
+    purchase rate as a function of the `value` score, fitted per
+    event-type-parity group: the monotone regression used to
+    calibrate ranker/classifier scores into probabilities. The raw
+    stream first collapses to (group, bucket) conversion aggregates —
+    one hash aggregate, calibration-curve-sized — then PAV runs
+    inside applyInPandas per GROUP: genuinely sequential, but over
+    ≤ #buckets rows per group, which is the textbook grouped-map
+    case (group-local state, Arrow-batched, no driver involvement).
+    Weighted PAV: pooling merges buckets by event weight, so the fit
+    equals sklearn's IsotonicRegression on the bucket means. Rows-only
+    gate (iterative pooling is not SQL-expressible); the test referee
+    is an independent O(n²) re-pooling implementation."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        (F.floor(F.col("value") / ISO_BUCKET_W) * ISO_BUCKET_W).alias(
+            "bucket"
+        ),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    agg = base.groupBy("grp", "bucket").agg(
+        F.count("*").cast("double").alias("w"),
+        F.avg("y").alias("rate"),
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        # stack-based weighted PAV: pool while the sequence decreases
+        vals, wts, idx = [], [], []
+        for _, row in pdf.iterrows():
+            v, w, n = float(row["rate"]), float(row["w"]), 1
+            while vals and vals[-1] > v:
+                pv, pw = vals.pop(), wts.pop()
+                pn = idx.pop()
+                v = (v * w + pv * pw) / (w + pw)
+                w += pw
+                n += pn
+            vals.append(v)
+            wts.append(w)
+            idx.append(n)
+        fitted = []
+        for v, n in zip(vals, idx):
+            fitted.extend([v] * n)
+        out = pdf[["grp", "bucket", "w", "rate"]].copy()
+        out["calibrated"] = [round(v, 6) for v in fitted]
+        return out
+
+    schema = (
+        "grp int, bucket double, w double, rate double, calibrated double"
+    )
+    return (
+        agg.groupBy("grp")
+        .applyInPandas(pav, schema=schema)
+        .select(
+            "grp",
+            "bucket",
+            F.col("w").cast("bigint").alias("n"),
+            F.round("rate", 6).alias("raw_rate"),
+            "calibrated",
+        )
+    )
