@@ -252,6 +252,8 @@ EXPECTATIONS = {
     "cusum_changepoint_revenue": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # source-partitioned window + audit aggregate
+    "stratified_kfold_docs": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -106,3 +106,27 @@ def test_cube_and_rollup_grand_totals_agree(spark):
     cube_gt = [r["n"] for r in cube if r["o_orderstatus"] is None]
     roll_gt = [r["n"] for r in roll if r["o_orderstatus"] is None]
     assert cube_gt == [total] and roll_gt == [total]
+
+
+def test_observe_collects_metrics_without_extra_pass(spark):
+    # df.observe: metrics accumulate during the SAME action (S16-style
+    # instrumentation without a second scan)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    od = load_table(spark, SF_DIR, "orders")
+    obs = Observation("orders_metrics")
+    observed = od.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("total"),
+        F.max("o_orderdate").alias("max_day"),
+    )
+    kept = observed.where(F.col("o_totalprice") > 0).count()
+    got = obs.get
+    assert got["n_rows"] == od.count() == kept
+    ref = od.agg(
+        F.sum("o_totalprice").alias("t"), F.max("o_orderdate").alias("d")
+    ).collect()[0]
+    assert abs(got["total"] - ref["t"]) < 1e-6
+    assert got["max_day"] == ref["d"]

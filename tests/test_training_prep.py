@@ -882,3 +882,27 @@ def test_isotonic_matches_naive_pav_and_is_monotone(spark):
             sum(r["calibrated"] * r["n"] for r in rs) / wsum
             - sum(r["raw_rate"] * r["n"] for r in rs) / wsum
         ) < 1e-4
+
+
+# ---------- R105 stratified k-fold ----------
+
+
+def test_kfold_balance_within_one_per_stratum(spark):
+    from zoom_spark.queries.training_prep import KFOLD_K, stratified_kfold_docs
+
+    rows = stratified_kfold_docs(spark, SF_DIR).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], {})[r["fold"]] = r["n_docs"]
+    for src, folds in by_source.items():
+        assert set(folds) == set(range(KFOLD_K)), src
+        sizes = list(folds.values())
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)  # exact balance
+
+
+def test_kfold_assignment_is_deterministic(spark):
+    from zoom_spark.queries.training_prep import stratified_kfold_docs
+
+    a = sorted(map(tuple, stratified_kfold_docs(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, stratified_kfold_docs(spark, SF_DIR).collect()))
+    assert a == b

@@ -1838,3 +1838,66 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "calibrated",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R105: stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "stratified_kfold_docs",
+    sql=f"""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1
+               AS rn
+      FROM hashed
+    ),
+    folds AS (
+      SELECT doc_id, source, CAST(rn % {KFOLD_K} AS INTEGER) AS fold
+      FROM ranked
+    )
+    SELECT source, fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM folds GROUP BY source, fold
+    """,
+)
+def stratified_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified {KFOLD_K}-fold cross-validation assignment:
+    documents are shuffled deterministically WITHIN each source (md5
+    rank — the repo's hash-randomness idiom, so a doc's fold is
+    reproducible run-to-run) and dealt round-robin, guaranteeing each
+    fold holds n_h/{KFOLD_K} ± 1 docs of EVERY stratum — the property
+    plain random splitting only has in expectation. One
+    source-PARTITIONED window (no single-task sort; a stratum's rows
+    sort within its partition) then a fold-count audit aggregate.
+    The per-doc assignment frame is the reusable intermediate; the
+    output here is the audit card (per-stratum fold sizes + a
+    determinism witness column)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    folds = hashed.select(
+        "doc_id",
+        "source",
+        ((F.row_number().over(w) - 1) % KFOLD_K).cast("int").alias("fold"),
+    )
+    return folds.groupBy("source", "fold").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
