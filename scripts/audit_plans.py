@@ -254,6 +254,10 @@ EXPECTATIONS = {
     ),
     # source-partitioned window + audit aggregate
     "stratified_kfold_docs": dict(pushed=False, broadcast=False, cartesian=False),
+    # user-partitioned windows feed position-discounted aggregates
+    "ndcg_value_ranking": dict(pushed=False, broadcast=False, cartesian=False),
+    # token self-join bounded by sources-per-token; size frames broadcast
+    "source_vocab_jaccard": dict(pushed=False, broadcast=True, cartesian=False),
 }
 
 

@@ -1901,3 +1901,178 @@ def stratified_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R106: NDCG@k ranking quality
+# ---------------------------------------------------------------------------
+
+NDCG_K = 5
+
+
+@register(
+    "ndcg_value_ranking",
+    sql=f"""
+    WITH ranked AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS pos
+      FROM events
+    ),
+    ideal AS (
+      SELECT user_id, rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rel DESC, event_id) AS pos
+      FROM (SELECT user_id, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+                     AS rel FROM events)
+    ),
+    dcg AS (
+      SELECT user_id, sum(rel / log2(pos + 1)) AS dcg
+      FROM ranked WHERE pos <= {NDCG_K} GROUP BY user_id
+    ),
+    idcg AS (
+      SELECT user_id, sum(rel / log2(pos + 1)) AS idcg
+      FROM ideal WHERE pos <= {NDCG_K} GROUP BY user_id
+    ),
+    per_user AS (
+      SELECT d.user_id,
+             CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg END AS ndcg
+      FROM dcg d JOIN idcg i USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(ndcg) AS BIGINT) AS n_scored,
+           round(avg(ndcg), 6) AS mean_ndcg
+    FROM per_user
+    """,
+)
+def ndcg_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of `value` as a per-user ranking score against
+    purchase relevance — the standard graded retrieval-quality metric
+    (complements the corpus-level AUC with a per-query/top-k view).
+    Two user-PARTITIONED windows (actual order by score, ideal order
+    by relevance; deterministic event_id tie-breaks) feed
+    position-discounted sums; users with no relevant event have
+    IDCG=0 and are excluded from the mean (reported separately in
+    n_scored). All windows partition by user_id — no single-task
+    sort anywhere; the final frame is one row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rel = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    base = ev.select("user_id", "event_id", "value", rel.alias("rel"))
+    w_act = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    w_ideal = Window.partitionBy("user_id").orderBy(
+        F.desc("rel"), F.asc("event_id")
+    )
+    disc = lambda pos: F.col("rel") / F.log2(pos + 1)  # noqa: E731
+    dcg = (
+        base.withColumn("pos", F.row_number().over(w_act))
+        .where(F.col("pos") <= NDCG_K)
+        .groupBy("user_id")
+        .agg(F.sum(disc(F.col("pos"))).alias("dcg"))
+    )
+    idcg = (
+        base.withColumn("pos", F.row_number().over(w_ideal))
+        .where(F.col("pos") <= NDCG_K)
+        .groupBy("user_id")
+        .agg(F.sum(disc(F.col("pos"))).alias("idcg"))
+    )
+    per_user = dcg.join(idcg, "user_id").select(
+        "user_id",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias(
+            "ndcg"
+        ),
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("ndcg").cast("bigint").alias("n_scored"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R107: pairwise source-vocabulary Jaccard matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_jaccard",
+    sql="""
+    WITH sv AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sv
+              GROUP BY source),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.s1, i.s2, i.n_inter, za.n AS n1, zb.n AS n2,
+           round(i.n_inter * 1.0 / (za.n + zb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.s1 = za.source
+    JOIN sizes zb ON i.s2 = zb.source
+    """,
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-level
+    domain-similarity matrix that guides mixing/dedup decisions (which
+    domains overlap enough to cross-deduplicate?). The (source, token)
+    distinct frame is vocabulary-sized; the pair intersection is a
+    SELF-EQUI-JOIN ON TOKEN (each token contributes |sources-with-it|²
+    pairs — bounded by the source count squared, NOT corpus size), and
+    the |sources|² result joins two broadcast size frames. No
+    doc-level or corpus-level quadratic anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    ).distinct()
+    sizes = sv.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "s1").withColumnRenamed("n", "n1")),
+            "s1",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "s2").withColumnRenamed("n", "n2")),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "n_inter",
+            "n1",
+            "n2",
+            F.round(
+                F.col("n_inter")
+                * 1.0
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
