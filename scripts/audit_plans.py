@@ -258,6 +258,8 @@ EXPECTATIONS = {
     "ndcg_value_ranking": dict(pushed=False, broadcast=False, cartesian=False),
     # token self-join bounded by sources-per-token; size frames broadcast
     "source_vocab_jaccard": dict(pushed=False, broadcast=True, cartesian=False),
+    # broadcast decile edges (collected 9-double model) + 1-row totals BNLJ
+    "psi_value_drift": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

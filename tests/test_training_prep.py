@@ -988,3 +988,86 @@ def test_source_jaccard_matches_python_sets(spark):
         assert r["n_inter"] == inter
         assert r["n1"] == len(a) and r["n2"] == len(b)
         assert abs(r["jaccard"] - round(inter / len(a | b), 6)) < 1e-9
+
+
+# ---------- R108 compression ratio ----------
+
+
+def test_compression_ratio_matches_direct_zlib_and_orders_repetition(spark):
+    import zlib
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import compression_ratio_quality
+
+    rows = {r["doc_id"]: r for r in
+            compression_ratio_quality(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    for _, d in docs.iterrows():
+        raw = d["text"].encode()
+        r = rows[d["doc_id"]]
+        assert r["raw_bytes"] == len(raw)
+        assert r["comp_bytes"] == len(zlib.compress(raw, 6))
+        assert abs(r["ratio"] - round(r["comp_bytes"] / r["raw_bytes"], 6)) < 1e-9
+
+
+def test_compression_ratio_repetitive_text_compresses_harder(spark):
+    from zoom_spark.queries.training_prep import compression_ratio_quality
+
+    uniq = " ".join(f"word{i}x{i*7%13}" for i in range(200))
+    rep = "the same phrase again " * 50
+    out = {r["doc_id"]: r for r in _with_docs(
+        spark, [(0, uniq), (1, rep.strip())], compression_ratio_quality
+    )}
+    assert out[1]["ratio"] < out[0]["ratio"] * 0.5
+
+
+# ---------- R109 PSI ----------
+
+
+def test_psi_zero_for_identical_distributions_and_nonneg_real(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import psi_value_drift
+
+    [r] = psi_value_drift(spark, SF_DIR).collect()
+    assert r["psi"] >= 0.0  # every PSI term is sign-consistent
+    mod = importlib.import_module(psi_value_drift.__module__)
+    rows = []
+    k = 0
+    for v in range(100):
+        rows.append((k, datetime.datetime(2024, 1, 6, 0, k % 60, k // 60),
+                     1, "view", float(v), "{}"))  # weekend
+        k += 1
+        rows.append((k, datetime.datetime(2024, 1, 2, 0, k % 60, k // 60),
+                     1, "view", float(v), "{}"))  # weekday
+        k += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r0] = psi_value_drift(spark, SF_DIR).collect()
+    assert r0["psi"] == 0.0
+
+
+def test_psi_detects_planted_shift(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import psi_value_drift
+
+    mod = importlib.import_module(psi_value_drift.__module__)
+    rows = []
+    k = 0
+    for v in range(200):
+        rows.append((k, datetime.datetime(2024, 1, 2, 0, k % 60, k // 60),
+                     1, "view", float(v % 100), "{}"))  # weekday ref: 0..99
+        k += 1
+        rows.append((k, datetime.datetime(2024, 1, 6, 0, k % 60, k // 60),
+                     1, "view", float(v % 100 + 50), "{}"))  # weekend: +50
+        k += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = psi_value_drift(spark, SF_DIR).collect()
+    assert r["psi"] > 0.25  # the "significant shift" threshold

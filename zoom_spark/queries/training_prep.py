@@ -2076,3 +2076,159 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R108: compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+@register("compression_ratio_quality")  # zlib not in DuckDB SQL: rows-only
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib-deflate each document
+    and report compressed/raw byte ratio — the classic cheap detector
+    for boilerplate and machine-generated repetition (highly
+    compressible ⇒ low-entropy text; used alongside the Gopher gates
+    in production curation). Runs as one Arrow-batched mapInPandas
+    over the text column (zlib is stdlib and deterministic at a fixed
+    level, so the output is reproducible cross-platform); map-only,
+    no shuffle until the final per-source rollup. Rows-only gate
+    (DuckDB has no deflate); the pytest referee recomputes ratios
+    with an independent direct zlib call and checks the repetition
+    ordering property (repeated text compresses harder than unique
+    text)."""
+    import zlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "raw_bytes": raw.map(len),
+                    "comp_bytes": comp,
+                }
+            )
+
+    per_doc = docs.select("doc_id", "source", "text").mapInPandas(
+        ratios, schema="doc_id long, source string, raw_bytes long, comp_bytes long"
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "raw_bytes",
+        "comp_bytes",
+        F.round(F.col("comp_bytes") / F.col("raw_bytes"), 6).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R109: population stability index (PSI) drift
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+
+
+@register(
+    "psi_value_drift",
+    sql=f"""
+    WITH labeled AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    edges AS (
+      SELECT quantile_cont(v, [{", ".join(str((i + 1) / PSI_BUCKETS) for i in range(PSI_BUCKETS - 1))}]) AS qs
+      FROM labeled WHERE grp = 0
+    ),
+    bucketed AS (
+      SELECT grp,
+             (SELECT count(*) FROM unnest(e.qs) AS t(q) WHERE l.v > q)
+               AS bucket
+      FROM labeled l CROSS JOIN edges e
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_cur
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                   CAST(sum(n_cur) AS BIGINT) AS t_cur FROM counts),
+    parts AS (
+      SELECT c.bucket,
+             round(c.n_ref * 1.0 / t.t_ref, 6) AS p_ref,
+             round(c.n_cur * 1.0 / t.t_cur, 6) AS p_cur
+      FROM counts c CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           round(sum(CASE WHEN p_ref > 0 AND p_cur > 0
+                          THEN (p_cur - p_ref) * ln(p_cur / p_ref)
+                          ELSE 0 END), 6) AS psi
+    FROM parts
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the weekday (reference) and
+    weekend (current) value distributions — the ML-ops drift metric:
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) over reference-decile
+    buckets (<0.1 stable, >0.25 shifted). Decile edges come from ONE
+    exact-percentile aggregate over the reference sample (9 doubles,
+    broadcast); bucketing is arithmetic against those broadcast edges
+    (count of edges below v — identical integer semantics both
+    engines); bucket shares are ROUNDED before the log on both sides
+    so the transcendental sees identical inputs. Empty-side buckets
+    contribute 0 (the standard continuity convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    labeled = ev.select(
+        F.col("value").alias("v"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    qs = [ (i + 1) / PSI_BUCKETS for i in range(PSI_BUCKETS - 1) ]
+    edges_row = (
+        labeled.where("grp = 0")
+        .agg(F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("qs"))
+        .collect()[0]["qs"]
+    )
+    bucket = sum(
+        (F.col("v") > F.lit(float(e))).cast("int") for e in edges_row
+    )
+    counts = labeled.select("grp", bucket.alias("bucket")).groupBy(
+        "bucket"
+    ).agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    parts = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(F.col("n_ref") * 1.0 / F.col("t_ref"), 6).alias("p_ref"),
+        F.round(F.col("n_cur") * 1.0 / F.col("t_cur"), 6).alias("p_cur"),
+    )
+    term = F.when(
+        (F.col("p_ref") > 0) & (F.col("p_cur") > 0),
+        (F.col("p_cur") - F.col("p_ref"))
+        * F.log(F.col("p_cur") / F.col("p_ref")),
+    ).otherwise(0.0)
+    return parts.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.round(F.sum(term), 6).alias("psi"),
+    )
