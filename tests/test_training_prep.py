@@ -1071,3 +1071,36 @@ def test_psi_detects_planted_shift(spark):
     with patch.object(mod, "load_table", lambda spark, sf, t: df):
         [r] = psi_value_drift(spark, SF_DIR).collect()
     assert r["psi"] > 0.25  # the "significant shift" threshold
+
+
+# ---------- R110 diversity card ----------
+
+
+def test_diversity_card_uniform_and_skewed(spark):
+    from zoom_spark.queries.training_prep import corpus_diversity_card
+
+    # uniform 4 sources x 5 docs -> H = ln 4, effective = 4
+    rows = [(i, f"text {i}") for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 4}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    mod = importlib.import_module(corpus_diversity_card.__module__)
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = corpus_diversity_card(spark, SF_DIR).collect()
+    import math
+
+    assert r["n_sources"] == 4
+    assert abs(r["shannon_nats"] - math.log(4)) < 1e-4
+    assert abs(r["effective_sources"] - 4.0) < 1e-3
+    assert abs(r["inv_simpson"] - 4.0) < 1e-3
+    # heavy skew: 17 docs in one source, 1 in each of 3 others
+    df2 = spark.createDataFrame(
+        [(i, f"t{i}", "en", "big" if i < 17 else f"s{i}", 3)
+         for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df2):
+        [r2] = corpus_diversity_card(spark, SF_DIR).collect()
+    assert r2["n_sources"] == 4
+    assert r2["effective_sources"] < 2.0  # mixture is worth < 2 domains
