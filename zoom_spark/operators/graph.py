@@ -137,18 +137,19 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     ordered by (degree, id) as a < b < c, the only wedge that finds it
     is (a→b, a→c), closed by the oriented edge b→c.
 
-    Both the raw edge frame (consumed by the degree aggregate, the
-    orient joins, and the node/edge counts) and the oriented frame
-    (consumed by BOTH wedge legs and the closing join) are
-    materialized once via lazy localCheckpoint — callers pass
-    expensive edge constructions (e.g. the co-purchase self-join) and
-    without the cut the construction would re-execute once per
-    consumer (~6x). Same lesson as the pagerank input materialization;
-    at warehouse scale use persist(DISK_ONLY)/checkpoint instead."""
+    The raw edge frame is materialized once via lazy localCheckpoint:
+    callers pass expensive edge constructions (e.g. the co-purchase
+    self-join) consumed by six plan legs (degree aggregate, two orient
+    joins, wedge legs, node/edge counts), and exchange reuse is not
+    guaranteed to deduplicate them under AQE at scale. The oriented
+    frame itself is NOT checkpointed — its wedge legs are identical
+    subplans over the checkpointed edges (exchange-reused), and
+    keeping it in the plan leaves the broadcast degree joins visible
+    to the plan audit. Same lesson as the pagerank input
+    materialization; at warehouse scale use persist(DISK_ONLY) or a
+    checkpoint dir instead."""
     edges = edges.localCheckpoint(eager=False)
-    oriented = orient_edges(edges, src=src, dst=dst).localCheckpoint(
-        eager=False
-    )
+    oriented = orient_edges(edges, src=src, dst=dst)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(e2, on="src").where(
