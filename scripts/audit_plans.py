@@ -260,6 +260,10 @@ EXPECTATIONS = {
     "source_vocab_jaccard": dict(pushed=False, broadcast=True, cartesian=False),
     # broadcast decile edges (collected 9-double model) + 1-row totals BNLJ
     "psi_value_drift": dict(pushed=False, broadcast=False, cartesian=True),
+    # inverted-index posting self-join on the shingle hash
+    "containment_neardup_pairs": dict(pushed=False, broadcast=False, cartesian=False),
+    # user-partitioned window + min-agg; 1-row user count BNLJ
+    "mrr_value_ranking": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

@@ -1104,3 +1104,87 @@ def test_diversity_card_uniform_and_skewed(spark):
         [r2] = corpus_diversity_card(spark, SF_DIR).collect()
     assert r2["n_sources"] == 4
     assert r2["effective_sources"] < 2.0  # mixture is worth < 2 domains
+
+
+# ---------- R111 containment ----------
+
+
+def test_containment_asymmetry_on_planted_subset(spark):
+    from zoom_spark.queries.training_prep import (
+        CONT_OFFSET,
+        containment_neardup_pairs,
+    )
+
+    rows = containment_neardup_pairs(spark, SF_DIR).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in rows}
+    # every original is FULLY contained in its tail-extended clone
+    origs = {a for (a, b) in by_pair if b == a + CONT_OFFSET}
+    assert origs, "planted clones must surface"
+    for a in origs:
+        fwd = by_pair[(a, a + CONT_OFFSET)]
+        assert fwd["containment"] == 1.0
+        rev = by_pair.get((a + CONT_OFFSET, a))
+        if rev is not None:  # clone -> orig direction is strictly smaller
+            assert rev["containment"] < 1.0
+            assert rev["n_shared"] == fwd["n_shared"]
+
+
+def test_containment_matches_python_sets(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        CONT_MIN,
+        CONT_OFFSET,
+        CONT_W,
+        containment_neardup_pairs,
+    )
+
+    rows = containment_neardup_pairs(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    sets = {}
+    for _, d in docs.iterrows():
+        for did, text in (
+            (d["doc_id"], d["text"]),
+            (d["doc_id"] + CONT_OFFSET,
+             d["text"] + " appended tail marker words"),
+        ):
+            ws = [w for w in text.split(" ") if w]
+            sets[did] = {
+                " ".join(ws[i : i + CONT_W])
+                for i in range(len(ws) - CONT_W + 1)
+            }
+    expect = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and sa:
+                inter = len(sa & sb)
+                if inter / len(sa) >= CONT_MIN:
+                    expect[(a, b)] = (inter, len(sa))
+    got = {(r["id_a"], r["id_b"]): (r["n_shared"], r["n_a"]) for r in rows}
+    assert got == expect
+
+
+# ---------- R112 MRR ----------
+
+
+def test_mrr_matches_pandas_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import mrr_value_ranking
+
+    [r] = mrr_value_ranking(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value", "event_type"
+    ).toPandas()
+    total = 0.0
+    n_rel = 0
+    users = ev["user_id"].nunique()
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        rel = (g["event_type"] == "purchase").to_numpy()
+        if rel.any():
+            n_rel += 1
+            total += 1.0 / (int(np.argmax(rel)) + 1)
+    assert r["n_users"] == users
+    assert r["n_with_relevant"] == n_rel
+    assert abs(r["mrr"] - total / users) < 1e-6

@@ -2280,3 +2280,183 @@ def corpus_diversity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inv_simpson"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R111: asymmetric containment near-dup (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+CONT_W = 8       # shingle width (words)
+CONT_MIN = 0.5   # report containment >= this
+CONT_OFFSET = 1_000_000  # clone ids in the planted doubled corpus
+
+
+@register(
+    "containment_neardup_pairs",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {CONT_OFFSET},
+             text || ' appended tail marker words' AS text
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             md5(array_to_string(ws[t.i:t.i + {CONT_W - 1}], ' ')) AS sh
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM corpus
+      )
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - {CONT_W - 1})) AS i
+      ) t
+      WHERE len(ws) >= {CONT_W}
+    ),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT s.id_a, s.id_b, s.n_shared, za.n AS n_a,
+           round(s.n_shared * 1.0 / za.n, 6) AS containment
+    FROM shared s JOIN sizes za ON s.id_a = za.id
+    WHERE s.n_shared * 1.0 / za.n >= {CONT_MIN}
+    """,
+)
+def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection (the RefinedWeb /
+    subset-duplication rule Jaccard misses): containment(A→B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|, so a document fully
+    embedded in a longer one scores 1.0 in that direction even though
+    symmetric Jaccard is low. The planted doubled corpus (each doc +
+    a clone with an appended tail) pins exactly this asymmetry:
+    orig→clone containment is 1.0, clone→orig is < 1. Candidates come
+    from the inverted shingle index (posting-list self-equi-join on
+    the md5 8-gram hash — fanout bounded by per-shingle document
+    frequency, which is tiny for 8-grams by construction; never a
+    doc×doc join); sizes join back broadcast-shaped. Both directions
+    of a pair are reported independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + CONT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended tail marker words")).alias(
+                "text"
+            ),
+        )
+    )
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sh = (
+        corpus.select(F.col("doc_id").alias("id"), ws.alias("ws"))
+        .where(F.size("ws") >= CONT_W)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws") - (CONT_W - 1), F.lit(1))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            "id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), CONT_W))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .where(F.col("n_shared") * 1.0 / F.col("n_a") >= CONT_MIN)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            F.round(F.col("n_shared") * 1.0 / F.col("n_a"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R112: mean reciprocal rank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mrr_value_ranking",
+    sql="""
+    WITH ranked AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS pos
+      FROM events
+    ),
+    firstrel AS (
+      SELECT user_id, min(pos) AS first_pos
+      FROM ranked WHERE rel = 1 GROUP BY user_id
+    ),
+    allu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM events)
+    SELECT a.n_users,
+           CAST(count(*) AS BIGINT) AS n_with_relevant,
+           round(sum(1.0 / f.first_pos) / a.n_users, 6) AS mrr
+    FROM firstrel f CROSS JOIN allu a
+    GROUP BY a.n_users
+    """,
+)
+def mrr_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first purchase under the
+    value-descending per-user ranking — the retrieval metric for
+    "how high does the first relevant result sit", complementing
+    NDCG's graded view. One user-PARTITIONED window, a min-aggregate
+    for the first relevant position, and the conventional zero
+    contribution for users with no relevant event (they divide the
+    mean but add nothing). Deterministic event_id tie-breaks keep
+    both engines on the identical permutation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    ranked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "rel"
+        ),
+        F.row_number().over(w).alias("pos"),
+    )
+    firstrel = (
+        ranked.where("rel = 1")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    allu = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    return (
+        firstrel.crossJoin(F.broadcast(allu))
+        .groupBy("n_users")
+        .agg(
+            F.count("*").cast("bigint").alias("n_with_relevant"),
+            F.round(F.sum(1.0 / F.col("first_pos")) / F.col("n_users"), 6).alias(
+                "mrr"
+            ),
+        )
+        .select("n_users", "n_with_relevant", "mrr")
+    )
