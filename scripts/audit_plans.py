@@ -264,6 +264,8 @@ EXPECTATIONS = {
     "containment_neardup_pairs": dict(pushed=False, broadcast=False, cartesian=False),
     # user-partitioned window + min-agg; 1-row user count BNLJ
     "mrr_value_ranking": dict(pushed=False, broadcast=False, cartesian=True),
+    # two-phase rank + prefix mass (broadcast offsets); 1-row total BNLJ
+    "vocab_coverage_sizes": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

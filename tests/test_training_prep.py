@@ -1188,3 +1188,37 @@ def test_mrr_matches_pandas_referee(spark):
     assert r["n_users"] == users
     assert r["n_with_relevant"] == n_rel
     assert abs(r["mrr"] - total / users) < 1e-6
+
+
+# ---------- R113 vocab coverage ----------
+
+
+def test_vocab_coverage_matches_numpy_zipf_walk(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        VOCAB_COVERAGE_TARGETS,
+        vocab_coverage_sizes,
+    )
+
+    [r] = vocab_coverage_sizes(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    from collections import Counter
+
+    c = Counter()
+    for t in docs["text"]:
+        c.update(w for w in t.split(" ") if w)
+    freqs = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(v for _, v in freqs)
+    assert r["vocab_size"] == len(freqs)
+    assert r["total_tokens"] == total
+    cum = 0
+    knees = {}
+    for i, (_, v) in enumerate(freqs, start=1):
+        cum += v
+        for q in VOCAB_COVERAGE_TARGETS:
+            key = f"k_{int(q * 100)}"
+            if key not in knees and cum >= q * total:
+                knees[key] = i
+    for key, expected in knees.items():
+        assert r[key] == expected, key
+    assert r["k_50"] <= r["k_90"] <= r["k_99"] <= r["vocab_size"]

@@ -2460,3 +2460,83 @@ def mrr_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_users", "n_with_relevant", "mrr")
     )
+
+
+# ---------------------------------------------------------------------------
+# R113: vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_TARGETS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "vocab_coverage_sizes",
+    sql=f"""
+    WITH tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS rnk,
+             sum(tf) OVER (ORDER BY tf DESC, w
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+      FROM tf
+    ),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS v FROM tf)
+    SELECT t.v AS vocab_size, t.t AS total_tokens,
+           {", ".join(
+               f"CAST(min(CASE WHEN r.cum >= {q} * t.t THEN r.rnk END) "
+               f"AS BIGINT) AS k_{int(q * 100)}"
+               for q in VOCAB_COVERAGE_TARGETS
+           )}
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.v, t.t
+    """,
+)
+def vocab_coverage_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary truncation sizing: the smallest top-k (by corpus
+    frequency) that covers 50/90/99% of all token occurrences — the
+    number a tokenizer/vocab designer reads off the Zipf curve. The
+    corpus collapses to the vocabulary frame in one token shuffle;
+    the rank and running mass over (tf DESC, token) come from the
+    repo's two-phase distributed scan primitives (global_row_number +
+    prefix_sum — range shuffle, per-partition window, O(P) driver
+    offsets, NO single-task global window); each coverage knee is a
+    conditional-min aggregate against the 1-row broadcast total."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn("neg_tf", -F.col("tf"))
+    )
+    ranked = global_row_number(tf, ["neg_tf", "w"], "rnk")
+    # prefix_sum needs a unique numeric order col: rnk is exactly that
+    ranked = prefix_sum(ranked, "rnk", "tf", out_col="cum")
+    tot = tf.agg(
+        F.sum("tf").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    knees = [
+        F.min(
+            F.when(F.col("cum") >= q * F.col("t"), F.col("rnk"))
+        )
+        .cast("bigint")
+        .alias(f"k_{int(q * 100)}")
+        for q in VOCAB_COVERAGE_TARGETS
+    ]
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("v").alias("vocab_size"), F.col("t").alias("total_tokens"))
+        .agg(*knees)
+    )
