@@ -98,6 +98,11 @@ HEADLINE = [
     "bootstrap_ci_order_value",  # Poisson bootstrap CI
     "rolling_7day_active_users",  # windowed COUNT(DISTINCT) via explode
     "pretrain_corpus_pipeline",  # composed round-5 curation flagship
+    "psi_value_drift",         # PSI drift over broadcast decile edges
+    "ndcg_value_ranking",      # per-user graded ranking quality
+    "containment_neardup_pairs",  # asymmetric containment via postings
+    "vocab_coverage_sizes",    # Zipf coverage knees (rank + prefix mass)
+    "eventually_follows_pairs",  # first/last sequence-pattern reduction
 ]
 
 

@@ -266,6 +266,8 @@ EXPECTATIONS = {
     "mrr_value_ranking": dict(pushed=False, broadcast=False, cartesian=True),
     # two-phase rank + prefix mass (broadcast offsets); 1-row total BNLJ
     "vocab_coverage_sizes": dict(pushed=False, broadcast=True, cartesian=True),
+    # per-user aggregate + 1-row report reduce
+    "split_leakage_report": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

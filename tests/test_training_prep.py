@@ -1222,3 +1222,50 @@ def test_vocab_coverage_matches_numpy_zipf_walk(spark):
     for key, expected in knees.items():
         assert r[key] == expected, key
     assert r["k_50"] <= r["k_90"] <= r["k_99"] <= r["vocab_size"]
+
+
+# ---------- R114 split leakage ----------
+
+
+def test_split_leakage_matches_pandas_referee(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        LEAK_SPLIT_DAY,
+        split_leakage_report,
+    )
+
+    [r] = split_leakage_report(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").toPandas()
+    ev["part"] = (ev["ts"].dt.normalize() >= pd.Timestamp(LEAK_SPLIT_DAY)).astype(int)
+    g = ev.groupby("user_id")["part"].agg(["sum", "count"])
+    n_train = g["count"] - g["sum"]
+    n_test = g["sum"]
+    leaking = ((n_train > 0) & (n_test > 0)).sum()
+    assert r["n_users"] == len(g)
+    assert r["n_leaking_users"] == leaking
+    assert abs(r["user_leak_rate"] - leaking / len(g)) < 1e-6
+    assert r["n_test_events"] == n_test.sum()
+    seen = n_test[n_train > 0].sum()
+    assert abs(r["test_event_seen_user_rate"] - seen / n_test.sum()) < 1e-6
+
+
+def test_split_leakage_zero_for_disjoint_users(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import split_leakage_report
+
+    mod = importlib.import_module(split_leakage_report.__module__)
+    rows = []
+    for i in range(40):
+        uid = i
+        day = datetime.datetime(2024, 1, 5) if i < 20 else datetime.datetime(2024, 1, 25)
+        rows.append((i, day, uid, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = split_leakage_report(spark, SF_DIR).collect()
+    assert r["n_leaking_users"] == 0
+    assert r["user_leak_rate"] == 0.0
+    assert r["test_event_seen_user_rate"] == 0.0

@@ -2540,3 +2540,79 @@ def vocab_coverage_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v").alias("vocab_size"), F.col("t").alias("total_tokens"))
         .agg(*knees)
     )
+
+
+# ---------------------------------------------------------------------------
+# R114: temporal split leakage report
+# ---------------------------------------------------------------------------
+
+LEAK_SPLIT_DAY = "2024-01-20"  # train strictly before, test on/after
+
+
+@register(
+    "split_leakage_report",
+    sql=f"""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) < DATE '{LEAK_SPLIT_DAY}'
+                  THEN 0 ELSE 1 END AS part
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(sum(part) AS BIGINT) AS n_test
+      FROM tagged GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_users,
+           round(sum(CASE WHEN n_train > 0 AND n_test > 0
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS user_leak_rate,
+           CAST(sum(n_test) AS BIGINT) AS n_test_events,
+           round(sum(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) * 1.0
+                 / sum(n_test), 6) AS test_event_seen_user_rate
+    FROM per_user
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene report for a temporal train/test split at
+    {LEAK_SPLIT_DAY}: how many users straddle the boundary (their
+    test-period behavior is partially memorizable from train), and
+    what fraction of test EVENTS belong to users seen in training —
+    the two numbers that decide between a user-disjoint and a
+    time-disjoint evaluation. One hash aggregate to a per-user
+    (n_train, n_test) frame, one reduce to a single report row; the
+    split predicate is a scan-level comparison (partition-pruning
+    axis on a date-partitioned warehouse layout)."""
+    ev = load_table(spark, sf_dir, "events")
+    part = F.when(
+        F.col("ts").cast("date") < F.lit(LEAK_SPLIT_DAY).cast("date"), 0
+    ).otherwise(1)
+    per_user = (
+        ev.select("user_id", part.alias("part"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("part") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum("part").cast("bigint").alias("n_test"),
+        )
+    )
+    leaking = F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1).otherwise(0)
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(leaking).cast("bigint").alias("n_leaking_users"),
+        F.round(F.sum(leaking) * 1.0 / F.count("*"), 6).alias(
+            "user_leak_rate"
+        ),
+        F.sum("n_test").cast("bigint").alias("n_test_events"),
+        F.round(
+            F.sum(F.when(F.col("n_train") > 0, F.col("n_test")).otherwise(0))
+            * 1.0
+            / F.sum("n_test"),
+            6,
+        ).alias("test_event_seen_user_rate"),
+    )
