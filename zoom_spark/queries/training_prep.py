@@ -1099,8 +1099,9 @@ def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-day user list. The calendar semi-join (broadcast,
     day-count-sized) drops window ends past the observed range. At
     100 TB this is 7x the distinct-pair shuffle — linear, skew-free,
-    and partitionable, unlike a RANGE-interval window which would
-    single-task per day."""
+    and partitionable, whereas Spark's window functions cannot express
+    a rolling COUNT(DISTINCT) at all, and the self-join formulation
+    (days x 7-day spans) re-reads the pair set per window end."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(
         F.col("ts").cast("date").alias("day"), "user_id"
