@@ -268,6 +268,8 @@ EXPECTATIONS = {
     "vocab_coverage_sizes": dict(pushed=False, broadcast=True, cartesian=True),
     # per-user aggregate + 1-row report reduce
     "split_leakage_report": dict(pushed=False, broadcast=False, cartesian=False),
+    # per-user equi-join + residual time range; type filters pushed
+    "linear_touch_attribution": dict(pushed=True, broadcast=False, cartesian=False),
 }
 
 

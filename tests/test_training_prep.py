@@ -1269,3 +1269,66 @@ def test_split_leakage_zero_for_disjoint_users(spark):
     assert r["n_leaking_users"] == 0
     assert r["user_leak_rate"] == 0.0
     assert r["test_event_seen_user_rate"] == 0.0
+
+
+# ---------- R115 linear attribution ----------
+
+
+def test_linear_attribution_credit_sums_to_attributed_purchases(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        ATTR_WINDOW_DAYS,
+        linear_touch_attribution,
+    )
+
+    rows = linear_touch_attribution(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).toPandas()
+    purchases = ev[ev["event_type"] == "purchase"]
+    touches = ev[ev["event_type"].isin(["click", "view"])]
+    total_credit = {}
+    n_attr = 0
+    for _, p in purchases.iterrows():
+        w = touches[
+            (touches["user_id"] == p["user_id"])
+            & (touches["ts"] < p["ts"])
+            & (touches["ts"] >= p["ts"] - pd.Timedelta(days=ATTR_WINDOW_DAYS))
+        ]
+        if len(w):
+            n_attr += 1
+            for et, c in w["event_type"].value_counts().items():
+                total_credit[et] = total_credit.get(et, 0.0) + c / len(w)
+    got = {r["event_type"]: r["credit"] for r in rows}
+    for et, c in total_credit.items():
+        assert abs(got[et] - c) < 1e-3, et
+    # linear attribution conserves credit: one unit per attributed purchase
+    assert abs(sum(got.values()) - n_attr) < 1e-3
+
+
+def test_linear_attribution_planted_shares(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import linear_touch_attribution
+
+    mod = importlib.import_module(linear_touch_attribution.__module__)
+    t0 = datetime.datetime(2024, 1, 10)
+    rows = [
+        (1, t0 - datetime.timedelta(days=1), 1, "click", 1.0, "{}"),
+        (2, t0 - datetime.timedelta(days=2), 1, "view", 1.0, "{}"),
+        (3, t0 - datetime.timedelta(days=3), 1, "view", 1.0, "{}"),
+        (4, t0, 1, "purchase", 1.0, "{}"),
+        (5, t0 - datetime.timedelta(days=30), 2, "click", 1.0, "{}"),  # stale
+        (6, t0, 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        out = {r["event_type"]: r for r in
+               linear_touch_attribution(spark, SF_DIR).collect()}
+    assert abs(out["click"]["credit"] - 1 / 3) < 1e-6
+    assert abs(out["view"]["credit"] - 2 / 3) < 1e-6
+    # user 2's stale click gets nothing (outside the window)
+    assert out["click"]["n_touches"] == 1

@@ -2617,3 +2617,79 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("test_event_seen_user_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R115: linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "linear_touch_attribution",
+    sql=f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_id AS t_id, ts AS t_ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+      SELECT p.p_id, t.event_type
+      FROM purchases p
+      JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ),
+    per_purchase AS (
+      SELECT p_id, CAST(count(*) AS BIGINT) AS n_touches
+      FROM attributed GROUP BY p_id
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(1.0 / pp.n_touches), 6) AS credit
+    FROM attributed a JOIN per_purchase pp USING (p_id)
+    GROUP BY a.event_type
+    """,
+)
+def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every click/view
+    in the {ATTR_WINDOW_DAYS}-day window before a purchase shares the
+    conversion credit equally (1/n each) — the fractional-credit
+    sibling of the last-touch argmax (R65). The purchase-touch pairing
+    is a per-user EQUI-join with a residual time-range predicate
+    (quadratic only within one user's recent history, never across
+    users; at warehouse scale the bucketed interval-join operator is
+    the drop-in for heavy users). Per-purchase touch counts broadcast
+    back onto the pair frame; two hash aggregates end the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    attributed = purchases.join(touches, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+        )
+    ).select("p_id", "event_type")
+    per_purchase = attributed.groupBy("p_id").agg(
+        F.count("*").cast("bigint").alias("n_touches")
+    )
+    return (
+        attributed.join(per_purchase, "p_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("credit"),
+        )
+    )
