@@ -270,6 +270,8 @@ EXPECTATIONS = {
     "split_leakage_report": dict(pushed=False, broadcast=False, cartesian=False),
     # per-user equi-join + residual time range; type filters pushed
     "linear_touch_attribution": dict(pushed=True, broadcast=False, cartesian=False),
+    # one conditional per-user aggregate
+    "churn_labels": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -1332,3 +1332,51 @@ def test_linear_attribution_planted_shares(spark):
     assert abs(out["view"]["credit"] - 2 / 3) < 1e-6
     # user 2's stale click gets nothing (outside the window)
     assert out["click"]["n_touches"] == 1
+
+
+# ---------- R116 churn labels ----------
+
+
+def test_churn_labels_windows_are_disjoint_and_correct(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import CHURN_CUTOFF, churn_labels
+
+    rows = {r["user_id"]: r for r in churn_labels(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "value"
+    ).toPandas()
+    cutoff = pd.Timestamp(CHURN_CUTOFF)
+    for uid, g in ev.groupby("user_id"):
+        obs = g[g["ts"].dt.normalize() < cutoff]
+        out = g[g["ts"].dt.normalize() >= cutoff]
+        if len(obs) == 0:
+            assert uid not in rows  # nothing to predict from
+            continue
+        r = rows[uid]
+        assert r["n_obs"] == len(obs)
+        assert abs(r["avg_value_obs"] - obs["value"].mean()) < 1e-5
+        assert r["churned"] == int(len(out) == 0)
+
+
+def test_churn_planted_churner_and_stayer(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import churn_labels
+
+    mod = importlib.import_module(churn_labels.__module__)
+    rows = [
+        (1, datetime.datetime(2024, 1, 5), 1, "view", 10.0, "{}"),   # churner
+        (2, datetime.datetime(2024, 1, 5), 2, "view", 20.0, "{}"),   # stayer
+        (3, datetime.datetime(2024, 1, 25), 2, "view", 30.0, "{}"),
+        (4, datetime.datetime(2024, 1, 25), 3, "view", 40.0, "{}"),  # no obs
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        out = {r["user_id"]: r for r in churn_labels(spark, SF_DIR).collect()}
+    assert out[1]["churned"] == 1
+    assert out[2]["churned"] == 0
+    assert out[2]["avg_value_obs"] == 20.0  # outcome value NOT leaked
+    assert 3 not in out

@@ -2693,3 +2693,65 @@ def linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("credit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R116: churn-label construction (observation/outcome windows)
+# ---------------------------------------------------------------------------
+
+CHURN_CUTOFF = "2024-01-20"  # observation before, outcome on/after
+
+
+@register(
+    "churn_labels",
+    sql=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE CAST(ts AS DATE)
+                                   < DATE '{CHURN_CUTOFF}') AS BIGINT)
+               AS n_obs,
+             round(coalesce(avg(value) FILTER (WHERE CAST(ts AS DATE)
+                                               < DATE '{CHURN_CUTOFF}'), 0.0),
+                   6) AS avg_value_obs,
+             CAST(count(*) FILTER (WHERE CAST(ts AS DATE)
+                                   >= DATE '{CHURN_CUTOFF}') AS BIGINT)
+               AS n_out
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_obs, avg_value_obs,
+           CAST(CASE WHEN n_out = 0 THEN 1 ELSE 0 END AS INTEGER) AS churned
+    FROM per_user
+    WHERE n_obs > 0
+    """,
+)
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label construction with the observation/outcome window
+    discipline: features (activity count, mean value) come ONLY from
+    the observation window before {CHURN_CUTOFF}; the label (churned =
+    zero outcome-window events) comes ONLY from after it — the
+    temporal separation that prevents the label leaking into the
+    features (the failure mode split_leakage_report measures). One
+    conditional hash aggregate per user; users with no observation
+    activity are excluded (nothing to predict from). Pairs with
+    logreg_purchase_model as the supervised-dataset-construction
+    half."""
+    ev = load_table(spark, sf_dir, "events")
+    in_obs = F.col("ts").cast("date") < F.lit(CHURN_CUTOFF).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(in_obs, 1).otherwise(0)).cast("bigint").alias("n_obs"),
+        F.round(
+            F.coalesce(F.avg(F.when(in_obs, F.col("value"))), F.lit(0.0)), 6
+        ).alias("avg_value_obs"),
+        F.sum(F.when(~in_obs, 1).otherwise(0)).cast("bigint").alias("n_out"),
+    )
+    return (
+        per_user.where(F.col("n_obs") > 0)
+        .select(
+            "user_id",
+            "n_obs",
+            "avg_value_obs",
+            F.when(F.col("n_out") == 0, 1).otherwise(0).cast("int").alias(
+                "churned"
+            ),
+        )
+    )
