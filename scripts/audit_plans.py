@@ -272,6 +272,8 @@ EXPECTATIONS = {
     "linear_touch_attribution": dict(pushed=True, broadcast=False, cartesian=False),
     # one conditional per-user aggregate
     "churn_labels": dict(pushed=False, broadcast=False, cartesian=False),
+    # two map-side-partial aggregates
+    "good_turing_unseen_mass": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

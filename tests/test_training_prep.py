@@ -1380,3 +1380,50 @@ def test_churn_planted_churner_and_stayer(spark):
     assert out[2]["churned"] == 0
     assert out[2]["avg_value_obs"] == 20.0  # outcome value NOT leaked
     assert 3 not in out
+
+
+# ---------- R117 Good-Turing ----------
+
+
+def test_good_turing_matches_counter_referee(spark):
+    from collections import Counter
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import good_turing_unseen_mass
+
+    rows = {r["source"]: r for r in
+            good_turing_unseen_mass(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).toPandas()
+    for src, g in docs.groupby("source"):
+        c = Counter()
+        for t in g["text"]:
+            c.update(w for w in t.split(" ") if w)
+        n = sum(c.values())
+        n1 = sum(1 for v in c.values() if v == 1)
+        r = rows[src]
+        assert r["n_tokens"] == n
+        assert r["vocab"] == len(c)
+        assert r["n_singletons"] == n1
+        assert abs(r["p_unseen"] - round(n1 / n, 6)) < 1e-9
+
+
+def test_good_turing_extremes(spark):
+    from zoom_spark.queries.training_prep import good_turing_unseen_mass
+
+    # all-singleton source -> p_unseen = 1; all-repeated -> near 0
+    rows = [
+        (0, " ".join(f"u{i}" for i in range(30))),   # 30 singletons
+        (1, " ".join(["same"] * 30)),                 # one type, tf=30
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", f"s{i}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    mod = importlib.import_module(good_turing_unseen_mass.__module__)
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        out = {r["source"]: r for r in
+               good_turing_unseen_mass(spark, SF_DIR).collect()}
+    assert out["s0"]["p_unseen"] == 1.0
+    assert out["s1"]["p_unseen"] == 0.0

@@ -2755,3 +2755,57 @@ def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R117: Good-Turing unseen-mass estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "good_turing_unseen_mass",
+    sql="""
+    WITH tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS n_singletons,
+           round(count(*) FILTER (WHERE tf = 1) * 1.0 / sum(tf), 6)
+             AS p_unseen
+    FROM tf GROUP BY source
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing estimate of the unseen-vocabulary probability mass
+    per source: P(next token is novel) ≈ N₁/N, the singleton fraction
+    (Good 1953) — the corpus-sizing statistic that says how much of a
+    domain's vocabulary the crawl has NOT seen yet (high p_unseen ⇒
+    keep crawling, low ⇒ saturated). Two hash aggregates — (source,
+    token) frequencies, then per-source counts with a singleton
+    filter — both with map-side partials; nothing data-sized after
+    the first shuffle. Complements vocab_coverage_sizes (what the
+    vocabulary covers) with what it still misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    singles = F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        singles.cast("bigint").alias("n_singletons"),
+        F.round(singles * 1.0 / F.sum("tf"), 6).alias("p_unseen"),
+    )
