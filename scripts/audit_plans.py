@@ -274,6 +274,10 @@ EXPECTATIONS = {
     "churn_labels": dict(pushed=False, broadcast=False, cartesian=False),
     # two map-side-partial aggregates
     "good_turing_unseen_mass": dict(pushed=False, broadcast=False, cartesian=False),
+    # 1-row pooled-slope BNLJ onto the |strata| frame
+    "simpsons_paradox_check": dict(pushed=False, broadcast=False, cartesian=True),
+    # distributed rank (broadcast offsets) + one decomposable regr agg
+    "zipf_exponent_fit": dict(pushed=False, broadcast=True, cartesian=False),
 }
 
 

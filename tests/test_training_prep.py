@@ -1427,3 +1427,72 @@ def test_good_turing_extremes(spark):
                good_turing_unseen_mass(spark, SF_DIR).collect()}
     assert out["s0"]["p_unseen"] == 1.0
     assert out["s1"]["p_unseen"] == 0.0
+
+
+# ---------- R118 Simpson's paradox ----------
+
+
+def test_simpsons_check_matches_numpy_slopes(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import simpsons_paradox_check
+
+    rows = simpsons_paradox_check(spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_discount", "l_extendedprice"
+    ).toPandas()
+    slope_all = np.polyfit(li["l_discount"], li["l_extendedprice"], 1)[0]
+    for r in rows:
+        g = li[li["l_returnflag"] == r["l_returnflag"]]
+        slope = np.polyfit(g["l_discount"], g["l_extendedprice"], 1)[0]
+        assert abs(r["slope"] - slope) < 1e-2
+        assert abs(r["slope_all"] - slope_all) < 1e-2
+        assert r["sign_reversed"] == int(r["slope"] * r["slope_all"] < 0)
+
+
+def test_simpsons_planted_reversal(spark):
+    from zoom_spark.queries.training_prep import simpsons_paradox_check
+
+    mod = importlib.import_module(simpsons_paradox_check.__module__)
+    # two strata with NEGATIVE within-group trend but offset so the
+    # pooled trend is positive (the textbook paradox construction)
+    rows = []
+    k = 0
+    for grp, x0, y0 in (("A", 0.0, 0.0), ("B", 5.0, 50.0)):
+        for i in range(30):
+            x = x0 + i / 10.0
+            y = y0 - 2.0 * (i / 10.0)  # within-group slope -2
+            rows.append((k, grp, float(x), float(y)))
+            k += 1
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_discount double,"
+              " l_extendedprice double"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        out = simpsons_paradox_check(spark, SF_DIR).collect()
+    assert all(r["sign_reversed"] == 1 for r in out)
+    assert all(r["slope"] < 0 < r["slope_all"] for r in out)
+
+
+# ---------- R119 Zipf fit ----------
+
+
+def test_zipf_fit_matches_numpy_and_is_negative(spark):
+    from collections import Counter
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import zipf_exponent_fit
+
+    [r] = zipf_exponent_fit(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    c = Counter()
+    for t in docs["text"]:
+        c.update(w for w in t.split(" ") if w)
+    freqs = sorted(c.values(), reverse=True)
+    lx = np.log(np.arange(1, len(freqs) + 1))
+    ly = np.log(np.array(freqs, dtype=float))
+    slope, _ = np.polyfit(lx, ly, 1)
+    r2 = np.corrcoef(lx, ly)[0, 1] ** 2
+    assert r["vocab"] == len(freqs)
+    assert abs(r["zipf_slope"] - slope) < 1e-4
+    assert abs(r["fit_r2"] - r2) < 1e-4
+    assert r["zipf_slope"] < 0

@@ -2809,3 +2809,108 @@ def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         singles.cast("bigint").alias("n_singletons"),
         F.round(singles * 1.0 / F.sum("tf"), 6).alias("p_unseen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R118: Simpson's-paradox detector
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simpsons_paradox_check",
+    sql="""
+    WITH pooled AS (
+      SELECT round(regr_slope(l_extendedprice, l_discount), 4) AS slope_all
+      FROM lineitem
+    ),
+    per_group AS (
+      SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_discount), 4) AS slope
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT g.l_returnflag, g.slope, p.slope_all,
+           CAST(CASE WHEN g.slope * p.slope_all < 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS sign_reversed
+    FROM per_group g CROSS JOIN pooled p
+    """,
+)
+def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the pooled regression slope of
+    price on discount versus each return-flag stratum's own slope,
+    flagging strata whose trend sign REVERSES under aggregation —
+    the confounding check any metrics pipeline should run before
+    reporting a pooled correlation. Both passes are single-scan
+    decomposable regr_slope aggregates (map-side partials); the
+    pooled slope is a 1-row broadcast onto the |strata| frame.
+    Slopes are rounded before the sign product on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_discount")
+    pooled = li.agg(F.round(F.regr_slope(y, x), 4).alias("slope_all"))
+    per_group = li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope")
+    )
+    return per_group.crossJoin(F.broadcast(pooled)).select(
+        "l_returnflag",
+        "slope",
+        "slope_all",
+        F.when(F.col("slope") * F.col("slope_all") < 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("sign_reversed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R119: Zipf exponent fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_exponent_fit",
+    sql="""
+    WITH tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS rnk
+      FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           round(regr_slope(ln(tf), ln(rnk)), 6) AS zipf_slope,
+           round(regr_r2(ln(tf), ln(rnk)), 6) AS fit_r2
+    FROM ranked
+    """,
+)
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent: the OLS slope of ln(frequency) on
+    ln(rank) over the vocabulary — natural text sits near −1, and a
+    corpus that deviates far from it (too flat: templated/boilerplate;
+    too steep: tiny effective vocabulary) fails the naturalness
+    screen. Rank comes from the distributed row-number primitive
+    (range shuffle + O(P) offsets, no single-task window); the fit is
+    one decomposable regr_slope/regr_r2 aggregate over the
+    vocabulary-sized frame. Deterministic (tf DESC, token) ordering
+    keeps both engines on the identical rank permutation."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn("neg_tf", -F.col("tf"))
+    )
+    ranked = global_row_number(tf, ["neg_tf", "w"], "rnk")
+    ly, lx = F.log(F.col("tf")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ly, lx), 6).alias("fit_r2"),
+    )
