@@ -278,6 +278,10 @@ EXPECTATIONS = {
     "simpsons_paradox_check": dict(pushed=False, broadcast=False, cartesian=True),
     # distributed rank (broadcast offsets) + one decomposable regr agg
     "zipf_exponent_fit": dict(pushed=False, broadcast=True, cartesian=False),
+    # dim equi-join over the model-sized centroid frame
+    "centroid_cosine_matrix": dict(pushed=False, broadcast=False, cartesian=False),
+    # conditional-min per-user collapse + 1-row percentile reduce
+    "funnel_latency_percentiles": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

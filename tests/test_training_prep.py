@@ -1496,3 +1496,53 @@ def test_zipf_fit_matches_numpy_and_is_negative(spark):
     assert abs(r["zipf_slope"] - slope) < 1e-4
     assert abs(r["fit_r2"] - r2) < 1e-4
     assert r["zipf_slope"] < 0
+
+
+# ---------- R120 centroid cosine matrix ----------
+
+
+def test_centroid_cosine_matches_numpy(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import centroid_cosine_matrix
+
+    rows = centroid_cosine_matrix(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "label", "embedding"
+    ).toPandas()
+    cents = {}
+    for lab, g in emb.groupby("label"):
+        m = np.stack(g["embedding"].to_numpy()).astype(float).mean(axis=0)
+        cents[lab] = np.round(m, 6)  # the query rounds per-dim first
+    for r in rows:
+        a, b = cents[r["l1"]], cents[r["l2"]]
+        cos = a @ b / np.sqrt((a @ a) * (b @ b))
+        assert abs(r["cosine"] - cos) < 1e-5
+        assert -1.0 <= r["cosine"] <= 1.0
+    n = len(cents)
+    assert len(rows) == n * (n - 1) // 2
+
+
+# ---------- R121 funnel latency ----------
+
+
+def test_funnel_latency_matches_pandas_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import funnel_latency_percentiles
+
+    [r] = funnel_latency_percentiles(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    lat = []
+    for uid, g in ev.groupby("user_id"):
+        s = g[g["event_type"] == "signup"]["ts"].min()
+        p = g[g["event_type"] == "purchase"]["ts"].min()
+        import pandas as pd
+
+        if pd.notna(s) and pd.notna(p) and p >= s:
+            lat.append((p - s).total_seconds() / 3600.0)
+    assert r["n_converted"] == len(lat)
+    assert abs(r["p50_hours"] - np.percentile(lat, 50)) < 1e-3
+    assert abs(r["p90_hours"] - np.percentile(lat, 90)) < 1e-3
+    assert abs(r["p99_hours"] - np.percentile(lat, 99)) < 1e-3
+    assert r["p50_hours"] <= r["p90_hours"] <= r["p99_hours"]

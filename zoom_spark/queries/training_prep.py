@@ -2914,3 +2914,141 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
         F.round(F.regr_r2(ly, lx), 6).alias("fit_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R120: label-centroid cosine similarity matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "centroid_cosine_matrix",
+    sql="""
+    WITH dims AS (
+      SELECT e.label, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+    ),
+    cent AS (
+      SELECT label, dim, round(avg(val), 6) AS m
+      FROM dims GROUP BY label, dim
+    ),
+    dots AS (
+      SELECT a.label AS l1, b.label AS l2,
+             sum(a.m * b.m) AS dot,
+             sum(a.m * a.m) AS n1,
+             sum(b.m * b.m) AS n2
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT l1, l2, round(dot / sqrt(n1 * n2), 6) AS cosine
+    FROM dots
+    """,
+)
+def centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the cluster-separability diagnostic read before
+    trusting SemDeDup cells or stratified ANN (labels whose centroids
+    sit near cosine 1 will cross-contaminate). The corpus reduces to
+    a (label, dim) centroid frame in one posexplode + aggregate pass
+    (centroids rounded per-dim on both engines BEFORE the dot
+    products); the pairwise step is an equi-join ON DIM over the
+    |labels|×64 model-sized frame — quadratic only in label count,
+    never in corpus rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("m")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(
+            F.sum(F.col("a.m") * F.col("b.m")).alias("dot"),
+            F.sum(F.col("a.m") * F.col("a.m")).alias("n1"),
+            F.sum(F.col("b.m") * F.col("b.m")).alias("n2"),
+        )
+    )
+    return dots.select(
+        "l1",
+        "l2",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("n1") * F.col("n2")), 6
+        ).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R121: funnel latency percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_latency_percentiles",
+    sql="""
+    WITH stages AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT epoch_us(t_purchase - t_signup) / 3600e6 AS hours
+      FROM stages
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_signup
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 4) AS p90_hours,
+           round(quantile_cont(hours, 0.99), 4) AS p99_hours
+    FROM lat
+    """,
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles: hours from a user's FIRST signup
+    to their FIRST subsequent purchase, p50/p90/p99 — the latency
+    companion to the funnel COUNT queries (how fast, not just how
+    many). One conditional-min hash aggregate collapses each user to
+    two timestamps; the latency frame is converted-user-sized, so the
+    exact interpolated percentile aggregate runs over a frame that is
+    tiny relative to the event stream. Users whose first purchase
+    precedes their first signup (pre-existing accounts) are excluded
+    on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lat = stages.where(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_signup"))
+    ).select(
+        (
+            (
+                F.unix_micros("t_purchase") - F.unix_micros("t_signup")
+            )
+            / 3600e6
+        ).alias("hours")
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.5)), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 4).alias("p90_hours"),
+        F.round(F.percentile("hours", F.lit(0.99)), 4).alias("p99_hours"),
+    )
