@@ -282,6 +282,10 @@ EXPECTATIONS = {
     "centroid_cosine_matrix": dict(pushed=False, broadcast=False, cartesian=False),
     # conditional-min per-user collapse + 1-row percentile reduce
     "funnel_latency_percentiles": dict(pushed=False, broadcast=False, cartesian=False),
+    # fingerprint agg + equi-join back on the hash
+    "source_duplication_report": dict(pushed=False, broadcast=False, cartesian=False),
+    # distributed ranks (broadcast offsets) + k^2-bounded theta self-join
+    "kendall_tau_topk": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

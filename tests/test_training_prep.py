@@ -1546,3 +1546,67 @@ def test_funnel_latency_matches_pandas_referee(spark):
     assert abs(r["p90_hours"] - np.percentile(lat, 90)) < 1e-3
     assert abs(r["p99_hours"] - np.percentile(lat, 99)) < 1e-3
     assert r["p50_hours"] <= r["p90_hours"] <= r["p99_hours"]
+
+
+# ---------- R122 duplication dashboard ----------
+
+
+def test_source_duplication_report_planted_copies(spark):
+    from zoom_spark.queries.training_prep import source_duplication_report
+
+    mod = importlib.import_module(source_duplication_report.__module__)
+    rows = [
+        (0, "shared copy text", "en", "sA", 16),
+        (1, "shared copy text", "en", "sB", 16),   # cross-source copy
+        (2, "unique a", "en", "sA", 8),
+        (3, "within dup", "en", "sB", 10),
+        (4, "within dup", "en", "sB", 10),         # within-source copy
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long",
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        out = {r["source"]: r for r in
+               source_duplication_report(spark, SF_DIR).collect()}
+    assert out["sA"]["n_docs"] == 2
+    assert out["sA"]["n_duplicated"] == 1      # the shared copy
+    assert out["sA"]["n_cross_source"] == 1
+    assert out["sB"]["n_docs"] == 3
+    assert out["sB"]["n_duplicated"] == 3      # shared + the within pair
+    assert out["sB"]["n_cross_source"] == 1
+    assert abs(out["sB"]["dup_rate"] - 1.0) < 1e-9
+
+
+# ---------- R123 Kendall tau ----------
+
+
+def test_kendall_tau_matches_scipy_free_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import TAU_K, kendall_tau_topk
+
+    [r] = kendall_tau_topk(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).toPandas()
+    g = od.groupby("o_custkey").agg(
+        spend=("o_totalprice", "sum"), last=("o_orderdate", "max")
+    ).reset_index()
+    g["spend"] = g["spend"].round(2)
+    g = g.sort_values(["spend", "o_custkey"], ascending=[False, True])
+    g["r1"] = range(1, len(g) + 1)
+    g = g.sort_values(["last", "o_custkey"], ascending=[False, True])
+    g["r2"] = range(1, len(g) + 1)
+    top = g[g["r1"] <= TAU_K]
+    r1 = top["r1"].to_numpy()
+    r2 = top["r2"].to_numpy()
+    conc = 0
+    n = 0
+    for i in range(len(top)):
+        for j in range(i + 1, len(top)):
+            n += 1
+            conc += int((r1[i] - r1[j]) * (r2[i] - r2[j]) > 0)
+    assert r["n_pairs"] == n == TAU_K * (TAU_K - 1) // 2
+    assert r["n_concordant"] == conc
+    assert abs(r["tau"] - (2 * conc - n) / n) < 1e-6
+    assert -1.0 <= r["tau"] <= 1.0

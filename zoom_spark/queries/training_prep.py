@@ -3052,3 +3052,146 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("hours", F.lit(0.9)), 4).alias("p90_hours"),
         F.round(F.percentile("hours", F.lit(0.99)), 4).alias("p99_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R122: per-source duplication dashboard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_duplication_report",
+    sql=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    per_fp AS (
+      SELECT fp,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM fp GROUP BY fp
+    ),
+    joined AS (
+      SELECT f.source, p.n_copies, p.n_sources FROM fp f
+      JOIN per_fp p USING (fp)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source,
+           round(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_rate
+    FROM joined GROUP BY source
+    """,
+)
+def source_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication dashboard: how many of a source's docs
+    have at least one exact (whitespace-normalized) copy anywhere in
+    the corpus, and how many of those copies cross source boundaries
+    — the dataset-card numbers that decide whether dedup should run
+    per-source or globally. Fingerprints are md5 map-side (16-byte
+    shuffle keys); one fingerprint aggregate + an equi-join back on
+    the hash + one per-source rollup. Uses the SAME normalization as
+    the exact-dedup operator, so the counts reconcile with its keep
+    set."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("fp"),
+    )
+    per_fp = fp.groupBy("fp").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    joined = fp.join(per_fp, "fp")
+    dup = F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        dup.cast("bigint").alias("n_duplicated"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cross_source"),
+        F.round(dup * 1.0 / F.count("*"), 6).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R123: Kendall tau rank agreement on the top-k
+# ---------------------------------------------------------------------------
+
+TAU_K = 100
+
+
+@register(
+    "kendall_tau_topk",
+    sql=f"""
+    WITH spend AS (
+      SELECT o_custkey AS c, round(sum(o_totalprice), 2) AS spend,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY spend DESC, c) AS r1,
+             row_number() OVER (ORDER BY last_order DESC, c) AS r2
+      FROM spend
+    ),
+    top AS (SELECT c, r1, r2 FROM ranked WHERE r1 <= {TAU_K}),
+    pairs AS (
+      SELECT CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) > 0 THEN 1 ELSE 0 END
+               AS concordant
+      FROM top a JOIN top b ON a.c < b.c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(concordant) AS BIGINT) AS n_concordant,
+           round((2.0 * sum(concordant) - count(*)) / count(*), 6) AS tau
+    FROM pairs
+    """,
+)
+def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a rank agreement between the spend and recency
+    orderings, restricted to the spend top-{TAU_K} — "do my two
+    ranking signals agree where it matters?", the stability check run
+    before fusing rankings (RRF, R94). Both rankings come from total
+    orders (deterministic tie-breaks), so there are no rank ties and
+    tau-a = (C − D)/total is exact. The quadratic concordance step is
+    a self-join CONFINED to the top-k frame (k² = {TAU_K * TAU_K}
+    pairs, constant at any corpus size); both ranks come from the
+    two-phase distributed row-number (prefix.global_row_number — no
+    single-task global window), the same primitive the RRF fusion
+    uses."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.max("o_orderdate").alias("last_order"),
+    ).withColumn("neg_spend", -F.col("spend")).withColumn(
+        "neg_days",
+        -F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
+    )
+    ranked = global_row_number(spend, ["neg_spend", "c"], "r1")
+    ranked = global_row_number(ranked, ["neg_days", "c"], "r2")
+    top = ranked.where(F.col("r1") <= TAU_K)
+    a, b = top.alias("a"), top.alias("b")
+    conc = F.when(
+        (F.col("a.r1") - F.col("b.r1")) * (F.col("a.r2") - F.col("b.r2")) > 0,
+        1,
+    ).otherwise(0)
+    pairs = a.join(b, F.col("a.c") < F.col("b.c")).select(
+        conc.alias("concordant")
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("concordant").cast("bigint").alias("n_concordant"),
+        F.round(
+            (2.0 * F.sum("concordant") - F.count("*")) / F.count("*"), 6
+        ).alias("tau"),
+    )
