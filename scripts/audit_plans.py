@@ -286,6 +286,10 @@ EXPECTATIONS = {
     "source_duplication_report": dict(pushed=False, broadcast=False, cartesian=False),
     # distributed ranks (broadcast offsets) + k^2-bounded theta self-join
     "kendall_tau_topk": dict(pushed=False, broadcast=True, cartesian=True),
+    # two decomposable-moment aggregates
+    "event_burstiness": dict(pushed=False, broadcast=False, cartesian=False),
+    # bigram shuffle + marginal equi-join; 1-row totals BNLJ
+    "bigram_entropy_rate": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

@@ -1610,3 +1610,82 @@ def test_kendall_tau_matches_scipy_free_referee(spark):
     assert r["n_concordant"] == conc
     assert abs(r["tau"] - (2 * conc - n) / n) < 1e-6
     assert -1.0 <= r["tau"] <= 1.0
+
+
+# ---------- R124 burstiness ----------
+
+
+def test_burstiness_matches_pandas_and_poisson_planted(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import event_burstiness
+
+    rows = {r["event_type"]: r for r in
+            event_burstiness(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "ts").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size()
+        r = rows[et]
+        assert r["n_days"] == len(daily)
+        assert abs(r["mean_daily"] - daily.mean()) < 1e-4
+        assert abs(r["var_daily"] - daily.var(ddof=1)) < 1e-4
+        assert abs(r["fano"] - daily.var(ddof=1) / daily.mean()) < 1e-4
+
+
+def test_burstiness_constant_series_fano_zero(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import event_burstiness
+
+    mod = importlib.import_module(event_burstiness.__module__)
+    rows = []
+    k = 0
+    for d in range(10):          # exactly 3 events every day
+        for j in range(3):
+            rows.append((k, datetime.datetime(2024, 1, 1 + d, j), 1,
+                         "view", 1.0, "{}"))
+            k += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = event_burstiness(spark, SF_DIR).collect()
+    assert r["fano"] == 0.0  # perfectly regular arrivals
+
+
+# ---------- R125 bigram entropy ----------
+
+
+def test_bigram_entropy_matches_counter_referee(spark):
+    import math
+    import re as _re
+    from collections import Counter
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import bigram_entropy_rate
+
+    [r] = bigram_entropy_rate(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    bi = Counter()
+    for t in docs["text"]:
+        ws = [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+        bi.update(zip(ws, ws[1:]))
+    uni = Counter()
+    for (w1, _), n in bi.items():
+        uni[w1] += n
+    total = sum(bi.values())
+    h = -sum((n / total) * math.log(n / uni[w1]) for (w1, _), n in bi.items())
+    assert r["n_bigrams"] == total
+    assert r["distinct_bigrams"] == len(bi)
+    assert abs(r["cond_entropy_nats"] - h) < 1e-4
+
+
+def test_bigram_entropy_zero_for_deterministic_chain(spark):
+    from zoom_spark.queries.training_prep import bigram_entropy_rate
+
+    # "a b a b a b ..." -> w2 is fully determined by w1 -> H = 0
+    rows = [(0, "a b " * 50), (1, "a b " * 30)]
+    out = _with_docs(spark, [(i, t.strip()) for i, t in rows],
+                     bigram_entropy_rate)
+    assert out[0]["cond_entropy_nats"] == 0.0

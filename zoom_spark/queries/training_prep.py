@@ -3195,3 +3195,131 @@ def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.sum("concordant") - F.count("*")) / F.count("*"), 6
         ).alias("tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R124: burstiness (index of dispersion) per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_burstiness",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(n), 6) AS mean_daily,
+           round(var_samp(n), 6) AS var_daily,
+           round(var_samp(n) / avg(n), 6) AS fano
+    FROM daily GROUP BY event_type
+    """,
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of event arrivals: the Fano factor (variance/mean of
+    daily counts) per event type — 1 for a Poisson process, >1 for
+    bursty traffic (flash crowds, batch replays), <1 for throttled/
+    regular arrivals. The detector that separates organic usage from
+    machine-generated replay in traffic QA. Two hash aggregates, both
+    with map-side partials; the per-type frame is calendar-bounded.
+    Both moments are decomposable, so the plan is a single data
+    pass + one tiny rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg("n"), 6).alias("mean_daily"),
+        F.round(F.var_samp("n"), 6).alias("var_daily"),
+        F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R125: bigram entropy rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_entropy_rate",
+    sql=r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    bi AS (
+      SELECT w[t.i] AS w1, w[t.i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ws CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+      ) t
+      WHERE len(w) >= 2
+      GROUP BY w[t.i], w[t.i + 1]
+    ),
+    uni AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n1 FROM bi GROUP BY w1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bi)
+    SELECT t.t AS n_bigrams,
+           CAST((SELECT count(*) FROM bi) AS BIGINT) AS distinct_bigrams,
+           round(-sum((b.n * 1.0 / t.t) * ln(b.n * 1.0 / u.n1)), 6)
+             AS cond_entropy_nats
+    FROM bi b JOIN uni u USING (w1) CROSS JOIN tot t
+    GROUP BY t.t
+    """,
+)
+def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate H(w₂|w₁) = −Σ p(w₁,w₂) ln p(w₂|w₁): the
+    text-naturalness statistic that drops toward 0 for templated /
+    machine-repeated corpora and sits high for diverse natural text —
+    the information-theoretic sibling of the compression-ratio gate.
+    One bigram-count shuffle (the shifted-slice idiom the bigram-LM
+    query uses), a w₁-marginal rollup joined back equi on w₁ (the
+    vocabulary side — broadcast-eligible), and a 1-row total. No
+    data-sized structure survives the first aggregate."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(ws_tokens(F.lower("text")).alias("w")).where(
+        F.size("w") >= 2
+    )
+    bi = (
+        ws.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    uni = bi.groupBy("w1").agg(F.sum("n").cast("bigint").alias("n1"))
+    tot = bi.agg(F.sum("n").cast("bigint").alias("t"))
+    distinct_bi = bi.agg(F.count("*").cast("bigint").alias("d"))
+    return (
+        bi.join(uni, "w1")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("t")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") * 1.0 / F.col("t"))
+                    * F.log(F.col("n") * 1.0 / F.col("n1"))
+                ),
+                6,
+            ).alias("cond_entropy_nats")
+        )
+        .crossJoin(F.broadcast(distinct_bi))
+        .select(
+            F.col("t").alias("n_bigrams"),
+            F.col("d").alias("distinct_bigrams"),
+            "cond_entropy_nats",
+        )
+    )
