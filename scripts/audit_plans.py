@@ -290,6 +290,8 @@ EXPECTATIONS = {
     "event_burstiness": dict(pushed=False, broadcast=False, cartesian=False),
     # bigram shuffle + marginal equi-join; 1-row totals BNLJ
     "bigram_entropy_rate": dict(pushed=False, broadcast=False, cartesian=True),
+    # distributed rank + prefix sum; <=10-row fan-out membership BNLJ
+    "lorenz_curve_spend": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

@@ -1689,3 +1689,39 @@ def test_bigram_entropy_zero_for_deterministic_chain(spark):
     out = _with_docs(spark, [(i, t.strip()) for i, t in rows],
                      bigram_entropy_rate)
     assert out[0]["cond_entropy_nats"] == 0.0
+
+
+# ---------- R126 Lorenz curve ----------
+
+
+def test_lorenz_curve_matches_numpy_and_is_convex(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        LORENZ_POINTS,
+        lorenz_curve_spend,
+    )
+
+    rows = sorted(
+        lorenz_curve_spend(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    s = np.sort(
+        od.groupby("o_custkey")["o_totalprice"].sum().round(2).to_numpy()
+    )
+    n, total = len(s), s.sum()
+    shares = []
+    for p in range(1, LORENZ_POINTS + 1):
+        k = int(np.floor(p * n / LORENZ_POINTS))
+        shares.append(s[:k].sum() / total)
+    got = [r["spend_share"] for r in rows]
+    assert len(got) == LORENZ_POINTS
+    for a, b in zip(got, shares):
+        assert abs(a - b) < 1e-4
+    # Lorenz curve properties: increasing, below the diagonal, ends at 1
+    assert all(a <= b + 1e-9 for a, b in zip(got, got[1:]))
+    for i, v in enumerate(got[:-1], start=1):
+        assert v <= i / LORENZ_POINTS + 1e-9
+    assert abs(got[-1] - 1.0) < 1e-6

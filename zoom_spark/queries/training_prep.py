@@ -3323,3 +3323,79 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cond_entropy_nats",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R126: Lorenz curve decile points
+# ---------------------------------------------------------------------------
+
+LORENZ_POINTS = 10
+
+
+@register(
+    "lorenz_curve_spend",
+    sql=f"""
+    WITH spend AS (
+      SELECT o_custkey AS c, round(sum(o_totalprice), 2) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, c) AS rnk,
+             sum(s) OVER (ORDER BY s, c ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM spend
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(s) AS t FROM spend)
+    SELECT CAST(p.p AS INTEGER) AS decile,
+           round(max(r.cum) / any_value(t.t), 6) AS spend_share
+    FROM ranked r
+    CROSS JOIN tot t
+    JOIN (SELECT unnest(generate_series(1, {LORENZ_POINTS})) AS p) p
+      ON r.rnk <= CAST(floor(p.p * t.n / {LORENZ_POINTS}.0) AS BIGINT)
+    GROUP BY p.p
+    """,
+)
+def lorenz_curve_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend at decile points: the share of
+    total revenue held by the poorest 10%, 20%, … of customers — the
+    distribution-shape companion to the scalar Gini (R61), read
+    whenever a mixture/quota decision needs the WHOLE inequality
+    curve, not one number. Customers collapse to one aggregate
+    (2dp-rounded pre-rank, the repo idiom); rank and running mass
+    come from the two-phase distributed row-number + prefix-sum (no
+    single-task window); each decile point is a bounded conditional
+    aggregate against the 1-row broadcast total. The tiny
+    decile-membership join fans each customer into at most
+    {LORENZ_POINTS} rows — constant factor, not quadratic."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    ranked = global_row_number(spend, ["s", "c"], "rnk")
+    # prefix_sum requires a bigint value: scale cents to integers
+    ranked = ranked.withColumn(
+        "s_cents", F.round(F.col("s") * 100).cast("bigint")
+    )
+    ranked = prefix_sum(ranked, "rnk", "s_cents", out_col="cum_cents")
+    tot = spend.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("s").alias("t")
+    )
+    points = spark.range(1, LORENZ_POINTS + 1).withColumnRenamed("id", "p")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(points),
+            F.col("rnk")
+            <= F.floor(F.col("p") * F.col("n") / float(LORENZ_POINTS)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy(F.col("p").cast("int").alias("decile"))
+        .agg(
+            F.round(
+                F.max("cum_cents") / 100.0 / F.first("t"), 6
+            ).alias("spend_share")
+        )
+    )
