@@ -292,6 +292,10 @@ EXPECTATIONS = {
     "bigram_entropy_rate": dict(pushed=False, broadcast=False, cartesian=True),
     # distributed rank + prefix sum; <=10-row fan-out membership BNLJ
     "lorenz_curve_spend": dict(pushed=False, broadcast=True, cartesian=True),
+    # |thresholds|-row broadcast fan-out BNLJ + one confusion aggregate
+    "prf_at_thresholds": dict(pushed=False, broadcast=False, cartesian=True),
+    # contingency reduction + broadcast marginals; 1-row total BNLJ
+    "cramers_v_type_weekday": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

@@ -140,3 +140,37 @@ def test_ab_test_z_matches_closed_form(spark):
     )
     assert abs(r["z"] - round(z, 4)) < 1e-9
     assert 0 < pool < 1  # metric is non-degenerate at this SF
+
+
+def test_chi_square_counts_structural_zero_cells(spark):
+    """Round-5 regression: a (type, weekday) cell with ZERO observations
+    still contributes its full expectation to chi-square (the
+    observed-cells-only sum understates the statistic)."""
+    import datetime
+    import importlib
+    from unittest.mock import patch
+
+    import numpy as np
+    from zoom_spark.queries.stats_suite import chi_square_independence
+
+    mod = importlib.import_module(chi_square_independence.__module__)
+    rows = []
+    k = 0
+    # 2 types x 2 weekdays, perfectly associated -> two empty cells
+    for d, et in ((1, "view"), (2, "click")):  # Jan 2 -> wd1, Jan 3 -> wd2
+        for i in range(20):
+            rows.append((k, datetime.datetime(2024, 1, 1 + d, 0, 0, i), 1,
+                         et, 1.0, "{}"))
+            k += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = chi_square_independence(spark, "/root/testdata/sf0.001").collect()
+    # full-grid referee: chi2 for a perfect 2x2 association equals N
+    obs = np.array([[20.0, 0.0], [0.0, 20.0]])
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert abs(r["chi2"] - chi2) < 1e-6
+    assert r["chi2"] == 40.0

@@ -1725,3 +1725,72 @@ def test_lorenz_curve_matches_numpy_and_is_convex(spark):
     for i, v in enumerate(got[:-1], start=1):
         assert v <= i / LORENZ_POINTS + 1e-9
     assert abs(got[-1] - 1.0) < 1e-6
+
+
+# ---------- R127 PRF ----------
+
+
+def test_prf_matches_numpy_confusion(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        PRF_THRESHOLDS,
+        prf_at_thresholds,
+    )
+
+    rows = {r["thr"]: r for r in prf_at_thresholds(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "value", "event_type"
+    ).toPandas()
+    v = ev["value"].to_numpy()
+    y = (ev["event_type"] == "purchase").to_numpy()
+    for thr in PRF_THRESHOLDS:
+        pred = v >= thr
+        tp = int((pred & y).sum())
+        fp = int((pred & ~y).sum())
+        fn = int((~pred & y).sum())
+        r = rows[thr]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        assert abs(r["precision"] - tp / (tp + fp)) < 1e-6
+        assert abs(r["recall"] - tp / (tp + fn)) < 1e-6
+        assert abs(r["f1"] - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+
+
+# ---------- R128 Cramér's V ----------
+
+
+def test_cramers_v_consistent_with_chi_square_query(spark):
+    from zoom_spark.queries.training_prep import cramers_v_type_weekday
+    from zoom_spark.queries.stats_suite import chi_square_independence
+
+    [v] = cramers_v_type_weekday(spark, SF_DIR).collect()
+    [chi] = chi_square_independence(spark, SF_DIR).collect()
+    assert abs(v["chi2"] - chi["chi2"]) < 1e-3  # same contingency
+    assert v["n"] == chi["n"]
+    import math
+
+    r_c_min = 5  # 5 event types < 7 weekdays
+    expect = math.sqrt(v["chi2"] / (v["n"] * (r_c_min - 1)))
+    assert abs(v["cramers_v"] - expect) < 1e-5
+    assert 0.0 <= v["cramers_v"] <= 1.0
+
+
+def test_cramers_v_is_one_for_perfect_association(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import cramers_v_type_weekday
+
+    mod = importlib.import_module(cramers_v_type_weekday.__module__)
+    # event_type fully determined by weekday (2 types x 2 days)
+    rows = []
+    k = 0
+    for d, et in ((1, "view"), (2, "click")):  # Jan 2 -> wd1, Jan 3 -> wd2
+        for i in range(20):
+            rows.append((k, datetime.datetime(2024, 1, 1 + d, 0, 0, i), 1,
+                         et, 1.0, "{}"))
+            k += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = cramers_v_type_weekday(spark, SF_DIR).collect()
+    assert r["cramers_v"] == 1.0

@@ -37,8 +37,14 @@ from zoom_spark.queries import register
     tot AS (SELECT sum(n) AS n_tot FROM cells),
     rowt AS (SELECT et, sum(n) AS rn FROM cells GROUP BY et),
     colt AS (SELECT wd, sum(n) AS cn FROM cells GROUP BY wd)
+    -- observed-cell sum + the structural-zero correction: every
+    -- missing (et, wd) cell contributes its full expectation e, and
+    -- sum(e) over ALL cells is n_tot, so the missing mass is
+    -- n_tot - sum(e over observed cells)
     SELECT round(sum(pow(c.n - r.rn * co.cn / t.n_tot, 2)
-                     / (r.rn * co.cn / t.n_tot)), 6) AS chi2,
+                     / (r.rn * co.cn / t.n_tot))
+                 + (any_value(t.n_tot)
+                    - sum(r.rn * co.cn / t.n_tot)), 6) AS chi2,
            CAST((count(DISTINCT c.et) - 1) * (count(DISTINCT c.wd) - 1)
                 AS BIGINT) AS dof,
            CAST(sum(c.n) AS BIGINT) AS n
@@ -75,7 +81,14 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(colt), "wd")
         .crossJoin(F.broadcast(tot))
         .agg(
-            F.round(F.sum(F.pow(F.col("n") - e, 2) / e), 6).alias("chi2"),
+            # observed-cell sum + structural-zero correction (missing
+            # cells contribute their full expectation; sum(e) over ALL
+            # cells is n_tot, so the missing mass is n_tot - sum(e))
+            F.round(
+                F.sum(F.pow(F.col("n") - e, 2) / e)
+                + (F.first("n_tot") - F.sum(e)),
+                6,
+            ).alias("chi2"),
             (
                 (F.countDistinct("et") - 1) * (F.countDistinct("wd") - 1)
             ).cast("bigint").alias("dof"),

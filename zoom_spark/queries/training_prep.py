@@ -3399,3 +3399,175 @@ def lorenz_curve_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R127: precision / recall / F1 at thresholds
+# ---------------------------------------------------------------------------
+
+PRF_THRESHOLDS = (30.0, 50.0, 70.0)
+
+
+@register(
+    "prf_at_thresholds",
+    sql=f"""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    th AS (SELECT unnest(ARRAY[{", ".join(str(t) for t in PRF_THRESHOLDS)}])
+             AS thr),
+    cm AS (
+      SELECT th.thr,
+             CAST(sum(CASE WHEN s.v >= th.thr AND s.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.v >= th.thr AND s.y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s.v < th.thr AND s.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM s CROSS JOIN th GROUP BY th.thr
+    )
+    SELECT thr, tp, fp, fn,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM cm
+    """,
+)
+def prf_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of `value >= threshold` as a purchase
+    classifier, at {len(PRF_THRESHOLDS)} operating points — the
+    thresholded companion to the AUC/MRR/NDCG rank metrics (what you
+    report once a cutoff is CHOSEN). The threshold list is a tiny
+    broadcast fan-out (|thresholds| rows per event, folded by
+    map-side partials into one confusion row per threshold); exact
+    integer confusion counts make the ratios bit-identical across
+    engines. F1 uses the 2TP/(2TP+FP+FN) form, which never divides
+    by a rounded intermediate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in PRF_THRESHOLDS], "thr double"
+    )
+    cm = (
+        s.crossJoin(F.broadcast(th))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("v") >= F.col("thr")) & (F.col("y") == 1), 1)
+                  .otherwise(0)).cast("bigint").alias("tp"),
+            F.sum(F.when((F.col("v") >= F.col("thr")) & (F.col("y") == 0), 1)
+                  .otherwise(0)).cast("bigint").alias("fp"),
+            F.sum(F.when((F.col("v") < F.col("thr")) & (F.col("y") == 1), 1)
+                  .otherwise(0)).cast("bigint").alias("fn"),
+        )
+    )
+    return cm.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R128: Cramér's V association strength
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cramers_v_type_weekday",
+    sql="""
+    WITH cells AS (
+      SELECT event_type AS et,
+             CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS BIGINT) AS wd,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS n_tot FROM cells),
+    rowt AS (SELECT et, sum(n) AS rn FROM cells GROUP BY et),
+    colt AS (SELECT wd, sum(n) AS cn FROM cells GROUP BY wd),
+    chi AS (
+      -- observed-cell sum + structural-zero correction: missing cells
+      -- contribute their full expectation; sum(e) over ALL cells is
+      -- n_tot, so the missing mass is n_tot - sum(e over observed)
+      SELECT sum(pow(c.n - r.rn * co.cn / t.n_tot, 2)
+                 / (r.rn * co.cn / t.n_tot))
+             + (any_value(t.n_tot) - sum(r.rn * co.cn / t.n_tot)) AS chi2,
+             any_value(t.n_tot) AS n_tot,
+             count(DISTINCT c.et) AS r_cnt,
+             count(DISTINCT c.wd) AS c_cnt
+      FROM cells c JOIN rowt r USING (et) JOIN colt co USING (wd)
+      CROSS JOIN tot t
+    )
+    SELECT round(chi2, 6) AS chi2,
+           CAST(n_tot AS BIGINT) AS n,
+           round(sqrt(chi2 / (n_tot * (least(r_cnt, c_cnt) - 1))), 6)
+             AS cramers_v
+    FROM chi
+    """,
+)
+def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event-type × weekday
+    association: √(χ²/(N·(min(r,c)−1))) — the bounded-[0,1] companion
+    the chi-square test (R69) needs, since χ² grows with N and says
+    nothing about STRENGTH at warehouse scale. Same one-pass
+    contingency reduction (category-count-sized) with broadcast
+    marginals; the V arithmetic runs on the 1-row chi frame."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    cells = (
+        ev.select(F.col("event_type").alias("et"), wd.alias("wd"))
+        .groupBy("et", "wd")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    rowt = cells.groupBy("et").agg(F.sum("n").alias("rn"))
+    colt = cells.groupBy("wd").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("n_tot"))
+    e = F.col("rn") * F.col("cn") / F.col("n_tot")
+    chi = (
+        cells.join(F.broadcast(rowt), "et")
+        .join(F.broadcast(colt), "wd")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            # observed-cell sum + structural-zero correction (see SQL)
+            (
+                F.sum(F.pow(F.col("n") - e, 2) / e)
+                + (F.first("n_tot") - F.sum(e))
+            ).alias("chi2"),
+            F.first("n_tot").alias("n_tot"),
+            F.countDistinct("et").alias("r_cnt"),
+            F.countDistinct("wd").alias("c_cnt"),
+        )
+    )
+    return chi.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.col("n_tot").cast("bigint").alias("n"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n_tot") * (F.least("r_cnt", "c_cnt") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
