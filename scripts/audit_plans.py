@@ -296,6 +296,10 @@ EXPECTATIONS = {
     "prf_at_thresholds": dict(pushed=False, broadcast=False, cartesian=True),
     # contingency reduction + broadcast marginals; 1-row total BNLJ
     "cramers_v_type_weekday": dict(pushed=False, broadcast=True, cartesian=True),
+    # single-scan discordant-count reduce
+    "mcnemar_paired_classifiers": dict(pushed=False, broadcast=False, cartesian=False),
+    # two distributed row-number passes + decomposable corr
+    "spearman_spend_recency": dict(pushed=False, broadcast=True, cartesian=False),
 }
 
 

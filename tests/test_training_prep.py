@@ -1794,3 +1794,55 @@ def test_cramers_v_is_one_for_perfect_association(spark):
     with patch.object(mod, "load_table", lambda spark, sf, t: df):
         [r] = cramers_v_type_weekday(spark, SF_DIR).collect()
     assert r["cramers_v"] == 1.0
+
+
+# ---------- R129 McNemar ----------
+
+
+def test_mcnemar_matches_numpy_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        MCN_T1,
+        MCN_T2,
+        mcnemar_paired_classifiers,
+    )
+
+    [r] = mcnemar_paired_classifiers(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "value", "event_type"
+    ).toPandas()
+    v = ev["value"].to_numpy()
+    y = (ev["event_type"] == "purchase").to_numpy()
+    a = v >= MCN_T1
+    b = v >= MCN_T2
+    n_b = int(((a == y) & (b != y)).sum())
+    n_c = int(((a != y) & (b == y)).sum())
+    assert (r["n_b"], r["n_c"]) == (n_b, n_c)
+    assert abs(
+        r["mcnemar_chi2"] - (abs(n_b - n_c) - 1) ** 2 / (n_b + n_c)
+    ) < 1e-6
+
+
+# ---------- R130 Spearman ----------
+
+
+def test_spearman_matches_scipy_free_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import spearman_spend_recency
+
+    [r] = spearman_spend_recency(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).toPandas()
+    g = od.groupby("o_custkey").agg(
+        spend=("o_totalprice", "sum"), last=("o_orderdate", "max")
+    ).reset_index()
+    g["spend"] = g["spend"].round(2)
+    g = g.sort_values(["spend", "o_custkey"], ascending=[False, True])
+    g["r1"] = range(1, len(g) + 1)
+    g = g.sort_values(["last", "o_custkey"], ascending=[False, True])
+    g["r2"] = range(1, len(g) + 1)
+    rho = np.corrcoef(g["r1"], g["r2"])[0, 1]
+    assert r["n"] == len(g)
+    assert abs(r["spearman_rho"] - rho) < 1e-5
+    assert -1.0 <= r["spearman_rho"] <= 1.0

@@ -3571,3 +3571,118 @@ def cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R129: McNemar's paired-classifier test
+# ---------------------------------------------------------------------------
+
+MCN_T1, MCN_T2 = 30.0, 70.0
+
+
+@register(
+    "mcnemar_paired_classifiers",
+    sql=f"""
+    WITH s AS (
+      SELECT CASE WHEN value >= {MCN_T1} THEN 1 ELSE 0 END AS a,
+             CASE WHEN value >= {MCN_T2} THEN 1 ELSE 0 END AS b,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    cm AS (
+      SELECT CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT n, n_b, n_c,
+           round(pow(abs(n_b - n_c) - 1, 2) * 1.0
+                 / nullif(n_b + n_c, 0), 6) AS mcnemar_chi2
+    FROM cm
+    """,
+)
+def mcnemar_paired_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two thresholded classifiers (cutoffs
+    {MCN_T1} and {MCN_T2}) on the SAME events — the paired test that
+    must replace a two-proportion z-test when both models score
+    identical examples (their errors are correlated). Only the
+    DISCORDANT counts matter: b = A right where B wrong, c = the
+    reverse; the statistic is the continuity-corrected
+    (|b−c|−1)²/(b+c). One scan to a 1-row confusion reduce — exact
+    integers, bit-identical ratios across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.when(F.col("value") >= MCN_T1, 1).otherwise(0)
+    b = F.when(F.col("value") >= MCN_T2, 1).otherwise(0)
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = ev.select(a.alias("a"), b.alias("b"), y.alias("y"))
+    cm = s.agg(
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1)
+              .otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")), 1)
+              .otherwise(0)).cast("bigint").alias("n_c"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return cm.select(
+        "n",
+        "n_b",
+        "n_c",
+        F.round(
+            F.pow(F.abs(F.col("n_b") - F.col("n_c")) - 1, 2)
+            * 1.0
+            / F.nullif(F.col("n_b") + F.col("n_c"), F.lit(0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R130: Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_spend_recency",
+    sql="""
+    WITH spend AS (
+      SELECT o_custkey AS c, round(sum(o_totalprice), 2) AS spend,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY spend DESC, c) AS r1,
+             row_number() OVER (ORDER BY last_order DESC, c) AS r2
+      FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(r1, r2), 6) AS spearman_rho
+    FROM ranked
+    """,
+)
+def spearman_spend_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer spend and recency:
+    Pearson correlation of the two rank permutations — the
+    whole-population companion to the top-k Kendall tau (R123),
+    robust to the heavy-tailed spend distribution that would distort
+    a raw Pearson. Both ranks are TOTAL orders (metric desc, key asc
+    tie-breaks) from the two-phase distributed row-number — no
+    single-task window — and corr() is a decomposable moment
+    aggregate, so after the customer rollup nothing is data-sized."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.max("o_orderdate").alias("last_order"),
+    ).withColumn("neg_spend", -F.col("spend")).withColumn(
+        "neg_days",
+        -F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
+    )
+    ranked = global_row_number(spend, ["neg_spend", "c"], "r1")
+    ranked = global_row_number(ranked, ["neg_days", "c"], "r2")
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("r1", "r2"), 6).alias("spearman_rho"),
+    )
