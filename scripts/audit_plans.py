@@ -300,6 +300,10 @@ EXPECTATIONS = {
     "mcnemar_paired_classifiers": dict(pushed=False, broadcast=False, cartesian=False),
     # two distributed row-number passes + decomposable corr
     "spearman_spend_recency": dict(pushed=False, broadcast=True, cartesian=False),
+    # per-user collapse + cohort rollup + closed-form arithmetic
+    "wilson_conversion_intervals": dict(pushed=False, broadcast=False, cartesian=False),
+    # calendar-bounded day-pair theta join; 1-row n BNLJ
+    "mann_kendall_revenue_trend": dict(pushed=False, broadcast=True, cartesian=True),
 }
 
 

@@ -1846,3 +1846,99 @@ def test_spearman_matches_scipy_free_referee(spark):
     assert r["n"] == len(g)
     assert abs(r["spearman_rho"] - rho) < 1e-5
     assert -1.0 <= r["spearman_rho"] <= 1.0
+
+
+# ---------- R131 Wilson intervals ----------
+
+
+def test_wilson_intervals_match_closed_form_and_bound(spark):
+    import math
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        WILSON_Z,
+        wilson_conversion_intervals,
+    )
+
+    rows = wilson_conversion_intervals(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type"
+    ).toPandas()
+    conv = ev.groupby("user_id")["event_type"].apply(
+        lambda s: int((s == "purchase").any())
+    )
+    for r in rows:
+        users = [u for u in conv.index if u % 4 == r["cohort"]]
+        n = len(users)
+        k = int(conv[users].sum())
+        assert (r["n"], r["k"]) == (n, k)
+        p = k / n
+        z2 = WILSON_Z ** 2
+        center = p + z2 / (2 * n)
+        half = WILSON_Z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        denom = 1 + z2 / n
+        assert abs(r["ci_lo"] - (center - half) / denom) < 1e-6
+        assert abs(r["ci_hi"] - (center + half) / denom) < 1e-6
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+
+
+def test_wilson_never_degenerate_at_extremes(spark):
+    import datetime
+    from zoom_spark.queries.training_prep import wilson_conversion_intervals
+
+    mod = importlib.import_module(wilson_conversion_intervals.__module__)
+    # cohort 0: all converters; cohort 1: none
+    rows = []
+    k = 0
+    for uid in range(8):
+        et = "purchase" if uid % 4 == 0 else "view"
+        rows.append((k, datetime.datetime(2024, 1, 2), uid, et, 1.0, "{}"))
+        k += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        out = {r["cohort"]: r for r in
+               wilson_conversion_intervals(spark, SF_DIR).collect()}
+    assert out[0]["rate"] == 1.0 and out[0]["ci_lo"] > 0.2  # not [1,1]
+    assert out[0]["ci_hi"] == 1.0
+    assert out[1]["rate"] == 0.0 and out[1]["ci_hi"] < 0.8  # not [0,0]
+    assert out[1]["ci_lo"] == 0.0
+
+
+# ---------- R132 Mann-Kendall ----------
+
+
+def test_mann_kendall_matches_numpy_and_planted_trends(spark):
+    import datetime
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import mann_kendall_revenue_trend
+
+    [r] = mann_kendall_revenue_trend(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    daily = od.groupby("o_orderdate")["o_totalprice"].sum().round(2).sort_index()
+    x = daily.to_numpy()
+    s = sum(
+        np.sign(x[j] - x[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    )
+    assert r["n_days"] == len(x)
+    assert r["s_stat"] == int(s)
+    # planted strictly increasing series -> strongly positive z
+    mod = importlib.import_module(mann_kendall_revenue_trend.__module__)
+    d0 = datetime.date(2024, 1, 1)
+    rows = [(i, d0 + datetime.timedelta(days=i), 100.0 + i)
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [up] = mann_kendall_revenue_trend(spark, SF_DIR).collect()
+    n = 50
+    assert up["s_stat"] == n * (n - 1) // 2  # every pair concordant
+    assert up["z_stat"] > 8.0

@@ -3686,3 +3686,145 @@ def spearman_spend_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.corr("r1", "r2"), 6).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R131: Wilson score intervals for conversion rates
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.959964  # 95% two-sided
+
+
+@register(
+    "wilson_conversion_intervals",
+    sql=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 4 AS cohort,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(cohort AS INTEGER) AS cohort,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM per_user GROUP BY cohort
+    )
+    SELECT cohort, n, k,
+           round(k * 1.0 / n, 6) AS rate,
+           round((k * 1.0 / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                      + {WILSON_Z} * {WILSON_Z}
+                                        / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS ci_lo,
+           round((k * 1.0 / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  + {WILSON_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                      + {WILSON_Z} * {WILSON_Z}
+                                        / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS ci_hi
+    FROM agg
+    """,
+)
+def wilson_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score intervals for per-cohort conversion rates —
+    the binomial CI that stays valid at small n and extreme rates
+    where the naive normal interval breaks (never exits [0,1], never
+    collapses to a point at k=0 or k=n). One per-user conversion
+    collapse, one cohort rollup, then closed-form arithmetic on exact
+    BIGINT (n, k) — identical on both engines. The standard interval
+    for dashboarding rates from A/B cohorts."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).withColumn("cohort", (F.col("user_id") % 4).cast("int"))
+    agg = per_user.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z2 = WILSON_Z * WILSON_Z
+    center = p + z2 / (2 * F.col("n"))
+    half = WILSON_Z * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return agg.select(
+        "cohort",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R132: Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_kendall_revenue_trend",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                 CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT nd.n AS n_days, s.s_stat,
+           round((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                       WHEN s.s_stat < 0 THEN s.s_stat + 1
+                       ELSE 0 END)
+                 / sqrt(nd.n * (nd.n - 1) * (2 * nd.n + 5) / 18.0), 6)
+             AS z_stat
+    FROM s CROSS JOIN nd
+    """,
+)
+def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on daily revenue:
+    S = Σ sign(xⱼ − xᵢ) over all day pairs i<j, with the
+    continuity-corrected z against Var(S) = n(n−1)(2n+5)/18 — the
+    monotone-trend detector that needs no distributional assumption
+    (the hypothesis-test companion of the CUSUM change-point). The
+    quadratic pair join is CONFINED to the calendar-bounded day-level
+    pre-aggregate (~2.4k rows at any SF ⇒ ≤ ~3M sign pairs,
+    constant in corpus size); daily revenue is 2dp-rounded before
+    comparison on both engines so the sign pattern is identical."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .select(sgn.alias("sgn"))
+        .agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n"))
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    var = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round(corrected / F.sqrt(var), 6).alias("z_stat"),
+        )
+    )
