@@ -302,8 +302,9 @@ EXPECTATIONS = {
     "spearman_spend_recency": dict(pushed=False, broadcast=True, cartesian=False),
     # per-user collapse + cohort rollup + closed-form arithmetic
     "wilson_conversion_intervals": dict(pushed=False, broadcast=False, cartesian=False),
-    # calendar-bounded day-pair theta join; 1-row n BNLJ
-    "mann_kendall_revenue_trend": dict(pushed=False, broadcast=True, cartesian=True),
+    # calendar-bounded day-pair theta join executes as a BNLJ over the
+    # tiny day frame (by design), as does the 1-row n join
+    "mann_kendall_revenue_trend": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 
