@@ -305,6 +305,10 @@ EXPECTATIONS = {
     # calendar-bounded day-pair theta join executes as a BNLJ over the
     # tiny day frame (by design), as does the 1-row n join
     "mann_kendall_revenue_trend": dict(pushed=False, broadcast=False, cartesian=True),
+    # edge self-join + degree agg + 1-row node-count BNLJ
+    "degree_powerlaw_alpha": dict(pushed=False, broadcast=False, cartesian=True),
+    # edge construction + broadcast-eligible degree joins + corr pass
+    "degree_assortativity": dict(pushed=False, broadcast=False, cartesian=False),
 }
 
 

@@ -1942,3 +1942,55 @@ def test_mann_kendall_matches_numpy_and_planted_trends(spark):
     n = 50
     assert up["s_stat"] == n * (n - 1) // 2  # every pair concordant
     assert up["z_stat"] > 8.0
+
+
+# ---------- R133/R134 graph statistics ----------
+
+
+def _co_purchase_graph(spark):
+    from zoom_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas().drop_duplicates()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(g["l_partkey"].unique())
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return edges, deg
+
+
+def test_powerlaw_alpha_matches_mle_referee(spark):
+    import math
+    from zoom_spark.queries.training_prep import (
+        PL_DMIN,
+        degree_powerlaw_alpha,
+    )
+
+    [r] = degree_powerlaw_alpha(spark, SF_DIR).collect()
+    edges, deg = _co_purchase_graph(spark)
+    tail = [d for d in deg.values() if d >= PL_DMIN]
+    alpha = 1 + len(tail) / sum(math.log(d / (PL_DMIN - 0.5)) for d in tail)
+    assert r["n_nodes"] == len(deg)
+    assert r["n_tail"] == len(tail)
+    assert abs(r["alpha"] - alpha) < 1e-5
+    assert r["alpha"] > 1.0  # MLE is bounded below by 1
+
+
+def test_assortativity_matches_numpy_referee(spark):
+    from zoom_spark.queries.training_prep import degree_assortativity
+
+    [r] = degree_assortativity(spark, SF_DIR).collect()
+    edges, deg = _co_purchase_graph(spark)
+    du = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    dv = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    rho = np.corrcoef(du, dv)[0, 1]
+    assert r["n_edges"] == len(edges)
+    assert abs(r["assortativity"] - rho) < 1e-5
+    assert -1.0 <= r["assortativity"] <= 1.0

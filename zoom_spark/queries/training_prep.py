@@ -3828,3 +3828,154 @@ def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(corrected / F.sqrt(var), 6).alias("z_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R133/R134: co-purchase graph statistics (power-law alpha, assortativity)
+# ---------------------------------------------------------------------------
+
+PL_DMIN = 5  # degrees >= dmin enter the power-law MLE
+
+
+@register(
+    "degree_powerlaw_alpha",
+    sql=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ),
+    tail AS (SELECT d FROM deg WHERE d >= {PL_DMIN})
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           round(1.0 + count(*) / sum(ln(d * 1.0 / ({PL_DMIN} - 0.5))), 6)
+             AS alpha
+    FROM tail
+    """,
+)
+def degree_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the co-purchase degree distribution via
+    the continuous Clauset-Shalizi-Newman MLE α = 1 + n/Σ ln(d/(dmin−½))
+    over the tail d ≥ {PL_DMIN} — the scale-free-ness check that
+    decides whether degree-oriented tricks (wedge orientation, skew
+    salting) are WORTH their cost on this graph. The edge self-join
+    is the repo's standard co-purchase construction; degrees reduce
+    to one aggregate and the MLE is one more decomposable pass over
+    the node-sized tail frame."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    tail = deg.where(F.col("d") >= PL_DMIN)
+    return (
+        tail.agg(
+            F.count("*").cast("bigint").alias("n_tail"),
+            F.round(
+                1.0
+                + F.count("*")
+                / F.sum(F.log(F.col("d") * 1.0 / (PL_DMIN - 0.5))),
+                6,
+            ).alias("alpha"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_nodes", "n_tail", "alpha")
+    )
+
+
+@register(
+    "degree_assortativity",
+    sql="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ),
+    ends AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    sym AS (
+      SELECT du, dv FROM ends UNION ALL SELECT dv AS du, du AS dv FROM ends
+    )
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           round(corr(du, dv), 6) AS assortativity
+    FROM sym
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list
+    (Newman 2002) — positive means hubs link to hubs (social-like),
+    negative means hub-leaf structure (dependency-like), which
+    predicts how badly a skewed join key will behave. Degrees join
+    back onto edges equi on node (degree side is node-sized,
+    broadcast-eligible); the symmetrization is a union, and corr()
+    is one decomposable moment pass. Nothing quadratic anywhere —
+    the edge list itself is the largest frame."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    ends = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select("du", "dv")
+    )
+    sym = ends.unionAll(
+        ends.select(F.col("dv").alias("du"), F.col("du").alias("dv"))
+    )
+    return sym.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+    )
