@@ -309,6 +309,10 @@ EXPECTATIONS = {
     "degree_powerlaw_alpha": dict(pushed=False, broadcast=False, cartesian=True),
     # edge construction + broadcast-eligible degree joins + corr pass
     "degree_assortativity": dict(pushed=False, broadcast=False, cartesian=False),
+    # 1-row mean BNLJ + decomposable reduce
+    "theil_index_spend": dict(pushed=False, broadcast=False, cartesian=True),
+    # lag fan-out BNLJ + day equi-join over the calendar frame
+    "revenue_autocorrelation": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

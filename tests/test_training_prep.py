@@ -1994,3 +1994,70 @@ def test_assortativity_matches_numpy_referee(spark):
     assert r["n_edges"] == len(edges)
     assert abs(r["assortativity"] - rho) < 1e-5
     assert -1.0 <= r["assortativity"] <= 1.0
+
+
+# ---------- R135 Theil index ----------
+
+
+def test_theil_matches_numpy_and_decomposition_bounds(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import theil_index_spend
+
+    [r] = theil_index_spend(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    s = od.groupby("o_custkey")["o_totalprice"].sum().round(2).to_numpy()
+    mu = s.mean()
+    theil = ((s / mu) * np.log(s / mu)).sum() / len(s)
+    assert r["n_customers"] == len(s)
+    assert abs(r["theil_t"] - theil) < 1e-5
+    assert 0.0 <= r["theil_t"] <= np.log(len(s))
+
+
+def test_theil_zero_for_perfect_equality(spark):
+    from zoom_spark.queries.training_prep import theil_index_spend
+
+    mod = importlib.import_module(theil_index_spend.__module__)
+    df = spark.createDataFrame(
+        [(i, i % 20, 100.0) for i in range(100)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    with patch.object(mod, "load_table", lambda spark, sf, t: df):
+        [r] = theil_index_spend(spark, SF_DIR).collect()
+    assert r["theil_t"] == 0.0
+
+
+# ---------- R136 autocorrelation ----------
+
+
+def test_acf_matches_numpy_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        ACF_LAGS,
+        revenue_autocorrelation,
+    )
+
+    rows = {r["lag"]: r for r in
+            revenue_autocorrelation(spark, SF_DIR).collect()}
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    od["day"] = od["o_orderdate"].astype("datetime64[ns]").dt.date
+    daily = od.groupby("day")["o_totalprice"].sum().round(2).sort_index()
+    days = daily.index.to_list()
+    import datetime
+
+    for k in ACF_LAGS:
+        xs, ys = [], []
+        dayset = set(days)
+        for d in days:
+            d2 = d + datetime.timedelta(days=k)
+            if d2 in dayset:
+                xs.append(daily[d])
+                ys.append(daily[d2])
+        rho = np.corrcoef(xs, ys)[0, 1]
+        r = rows[k]
+        assert r["n_pairs"] == len(xs)
+        assert abs(r["acf"] - rho) < 1e-5
+        assert -1.0 <= r["acf"] <= 1.0

@@ -3979,3 +3979,112 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / 2).cast("bigint").alias("n_edges"),
         F.round(F.corr("du", "dv"), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R135: Theil inequality index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_index_spend",
+    sql="""
+    WITH spend AS (
+      SELECT o_custkey AS c, round(sum(o_totalprice), 2) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (SELECT avg(s) AS mu, CAST(count(*) AS BIGINT) AS n FROM spend)
+    SELECT m.n AS n_customers,
+           round(sum((sp.s / (m.mu * m.n)) * ln(sp.s / m.mu)), 6)
+             AS theil_t
+    FROM spend sp CROSS JOIN m
+    GROUP BY m.n
+    """,
+)
+def theil_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend:
+    T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) — 0 at perfect equality, ln(n) at
+    total concentration, and (unlike Gini) exactly DECOMPOSABLE into
+    within-group + between-group terms, which is why mixture audits
+    prefer it. One customer aggregate, a 1-row broadcast mean, one
+    decomposable reduce — no rank, no sort, no prefix scan at all,
+    making it the cheapest of the repo's three inequality lenses
+    (scalar Gini R61, Lorenz curve R126, Theil here)."""
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    m = spend.agg(
+        F.avg("s").alias("mu"), F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        spend.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("s") / (F.col("mu") * F.col("n")))
+                    * F.log(F.col("s") / F.col("mu"))
+                ),
+                6,
+            ).alias("theil_t")
+        )
+        .select(F.col("n").alias("n_customers"), "theil_t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R136: daily-revenue autocorrelation
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 7)
+
+
+@register(
+    "revenue_autocorrelation",
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT l.lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.rev, b.rev), 6) AS acf
+    FROM daily a
+    JOIN (SELECT unnest(ARRAY[{", ".join(str(k) for k in ACF_LAGS)}]) AS lag) l
+      ON true
+    JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    GROUP BY l.lag
+    """,
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags {ACF_LAGS}: the
+    seasonality detector (a high lag-7 value means a weekly cycle the
+    forecasting and anomaly operators must model — it is what makes
+    seasonal-naive R78 the right baseline). The lagged pairing is an
+    EQUI-join on (day + lag) over the calendar-bounded daily
+    pre-aggregate — no window, no sort — and corr() per lag is a
+    decomposable moment pass. Daily revenue is 2dp-rounded before
+    pairing on both engines. Note this is the Pearson-of-pairs ACF
+    estimator (each lag uses its own overlapping-sample means), the
+    form that is exactly a corr() aggregate."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "lag int")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day") == F.expr("date_add(a.day, lag)"),
+        )
+        .select("lag", F.col("a.rev").alias("x"), F.col("b.rev").alias("y"))
+    )
+    return paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.corr("x", "y"), 6).alias("acf"),
+    )
