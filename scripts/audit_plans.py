@@ -313,6 +313,10 @@ EXPECTATIONS = {
     "theil_index_spend": dict(pushed=False, broadcast=False, cartesian=True),
     # lag fan-out BNLJ + day equi-join over the calendar frame
     "revenue_autocorrelation": dict(pushed=False, broadcast=False, cartesian=True),
+    # first-order equi-join back + cohort-partitioned cumulative window
+    "cohort_ltv_curve": dict(pushed=False, broadcast=True, cartesian=False),
+    # day pre-agg + 1-row overall-mean BNLJ
+    "weekday_seasonal_index": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

@@ -2061,3 +2061,76 @@ def test_acf_matches_numpy_referee(spark):
         assert r["n_pairs"] == len(xs)
         assert abs(r["acf"] - rho) < 1e-5
         assert -1.0 <= r["acf"] <= 1.0
+
+
+# ---------- R137 cohort LTV ----------
+
+
+def test_cohort_ltv_monotone_and_matches_pandas(spark):
+    import pandas as pd
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import cohort_ltv_curve
+
+    rows = cohort_ltv_curve(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).toPandas()
+    od["day"] = pd.to_datetime(od["o_orderdate"]).dt.date
+    firsts = od.groupby("o_custkey")["day"].min()
+    od["cohort"] = od["o_custkey"].map(
+        lambda c: firsts[c].strftime("%Y-%m")
+    )
+    od["age"] = od.apply(
+        lambda r: (r["day"].year * 12 + r["day"].month)
+        - (firsts[r["o_custkey"]].year * 12 + firsts[r["o_custkey"]].month),
+        axis=1,
+    )
+    sizes = firsts.map(lambda d: d.strftime("%Y-%m")).value_counts()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["month_age"])
+        # cumulative LTV per user is non-decreasing within a cohort
+        vals = [r["cum_ltv_per_user"] for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+        assert rs[0]["cohort_size"] == sizes[cohort]
+        # final point equals total cohort revenue / cohort size
+        g = od[od["cohort"] == cohort]
+        expect_final = round(
+            round(
+                g.groupby("age")["o_totalprice"].sum().round(2).sum(), 10
+            ) / sizes[cohort],
+            4,
+        )
+        assert abs(vals[-1] - expect_final) < 0.01
+
+
+# ---------- R138 weekday index ----------
+
+
+def test_weekday_index_averages_to_one_when_balanced(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import weekday_seasonal_index
+
+    rows = weekday_seasonal_index(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    n_days = {r["wd"]: r["n_days"] for r in rows}
+    # weighted by day counts, indices average to exactly 1
+    total_days = sum(n_days.values())
+    weighted = sum(r["seasonal_index"] * r["n_days"] for r in rows)
+    assert abs(weighted / total_days - 1.0) < 1e-4
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    import pandas as pd
+
+    od["day"] = pd.to_datetime(od["o_orderdate"]).dt.date
+    daily = od.groupby("day")["o_totalprice"].sum().round(2)
+    anchor = pd.Timestamp("1990-01-01").date()
+    wd = {d: (d - anchor).days % 7 for d in daily.index}
+    mu = daily.mean()
+    for r in rows:
+        vals = [v for d, v in daily.items() if wd[d] == r["wd"]]
+        assert r["n_days"] == len(vals)
+        assert abs(r["seasonal_index"] - np.mean(vals) / mu) < 1e-4

@@ -4088,3 +4088,171 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_pairs"),
         F.round(F.corr("x", "y"), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R137: cohort LTV curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curve",
+    sql="""
+    WITH firsts AS (
+      SELECT o_custkey AS c, min(CAST(o_orderdate AS DATE)) AS first_day
+      FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+      SELECT f.c,
+             CAST(strftime(f.first_day, '%Y-%m') AS VARCHAR) AS cohort,
+             CAST((date_part('year', CAST(o.o_orderdate AS DATE)) * 12
+                   + date_part('month', CAST(o.o_orderdate AS DATE)))
+                  - (date_part('year', f.first_day) * 12
+                     + date_part('month', f.first_day)) AS INTEGER)
+               AS month_age,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev_cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.c
+    ),
+    cm AS (
+      SELECT cohort, month_age,
+             CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT c) AS BIGINT) AS active
+      FROM tagged GROUP BY cohort, month_age
+    ),
+    sizes AS (
+      SELECT CAST(strftime(first_day, '%Y-%m') AS VARCHAR) AS cohort,
+             CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY 1
+    )
+    SELECT cm.cohort, cm.month_age, cm.active, s.cohort_size,
+           floor(sum(cm.rev_cents) OVER (PARTITION BY cm.cohort
+                                         ORDER BY cm.month_age
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                 / 100.0 / s.cohort_size * 10000 + 0.5) / 10000.0
+             AS cum_ltv_per_user
+    FROM cm JOIN sizes s USING (cohort)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative revenue per original
+    cohort member by months since first order — the money companion
+    to cohort retention (R30): retention says who comes back, LTV
+    says what they are worth. First-order tagging is one customer
+    aggregate joined back equi on custkey; the cumulative runs in a
+    COHORT-PARTITIONED window over the (cohort, month) pre-aggregate
+    (months are calendar-bounded, so each partition is tiny);
+    prices are converted to EXACT integer cents PER ROW (source
+    prices are 2dp, so this is lossless), making every downstream sum
+    order-independent integer arithmetic — quantizing the double SUM
+    instead still flipped cents at half-way boundaries at sf0.1."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    firsts = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_day")
+    )
+    tagged = od.join(firsts, od.o_custkey == firsts.c).select(
+        "c",
+        F.date_format("first_day", "yyyy-MM").alias("cohort"),
+        (
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+            )
+            - (F.year("first_day") * 12 + F.month("first_day"))
+        ).cast("int").alias("month_age"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "rev_cents"
+        ),
+    )
+    cm = tagged.groupBy("cohort", "month_age").agg(
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        F.countDistinct("c").cast("bigint").alias("active"),
+    )
+    sizes = firsts.groupBy(
+        F.date_format("first_day", "yyyy-MM").alias("cohort")
+    ).agg(F.count("*").cast("bigint").alias("cohort_size"))
+    w = Window.partitionBy("cohort").orderBy("month_age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cm.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "month_age",
+            "active",
+            "cohort_size",
+            # floor(x*1e4+0.5)/1e4 (the TWAP idiom): identical float
+            # arithmetic on both engines — round(x, 4) diverges at
+            # exact half-way doubles (Spark rounds the decimal string,
+            # DuckDB the binary double)
+            (
+                F.floor(
+                    F.sum("rev_cents").over(w)
+                    / 100.0
+                    / F.col("cohort_size")
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R138: weekday seasonal index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekday_seasonal_index",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tagged AS (
+      SELECT CAST((day - DATE '1990-01-01') % 7 AS BIGINT) AS wd, rev
+      FROM daily
+    ),
+    overall AS (SELECT avg(rev) AS mu FROM tagged)
+    SELECT t.wd,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(t.rev), 2) AS mean_rev,
+           round(avg(t.rev) / o.mu, 6) AS seasonal_index
+    FROM tagged t CROSS JOIN overall o
+    GROUP BY t.wd, o.mu
+    """,
+)
+def weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal indices: each weekday's mean daily revenue
+    relative to the overall mean — the multiplicative factors a
+    seasonal adjustment divides out (and the direct quantification of
+    the cycle the lag-7 autocorrelation detects). Day-level
+    pre-aggregate (calendar-bounded), 1-row broadcast overall mean,
+    7-row output. Indices average to 1 by construction when day
+    counts are balanced."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    # anchor BEFORE the data range (orders are 1992-1998) so the
+    # modulo stays non-negative on both engines
+    wd = (
+        F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")) % 7
+    ).cast("bigint")
+    tagged = daily.select(wd.alias("wd"), "rev")
+    overall = tagged.agg(F.avg("rev").alias("mu"))
+    return (
+        tagged.crossJoin(F.broadcast(overall))
+        .groupBy("wd", "mu")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.avg("rev"), 2).alias("mean_rev"),
+            F.round(F.avg("rev") / F.first("mu"), 6).alias("seasonal_index"),
+        )
+        .select("wd", "n_days", "mean_rev", "seasonal_index")
+    )
