@@ -315,6 +315,10 @@ EXPECTATIONS = {
     "revenue_autocorrelation": dict(pushed=False, broadcast=False, cartesian=True),
     # first-order equi-join back + cohort-partitioned cumulative window
     "cohort_ltv_curve": dict(pushed=False, broadcast=True, cartesian=False),
+    # picked-keys equi-join expansion + 1-row population BNLJ
+    "cluster_sample_lineitems": dict(pushed=False, broadcast=True, cartesian=True),
+    # one distinct pass + conditional reduce
+    "capture_recapture_customers": dict(pushed=False, broadcast=False, cartesian=False),
     # day pre-agg + 1-row overall-mean BNLJ
     "weekday_seasonal_index": dict(pushed=False, broadcast=False, cartesian=True),
 }

@@ -2134,3 +2134,51 @@ def test_weekday_index_averages_to_one_when_balanced(spark):
         vals = [v for d, v in daily.items() if wd[d] == r["wd"]]
         assert r["n_days"] == len(vals)
         assert abs(r["seasonal_index"] - np.mean(vals) / mu) < 1e-4
+
+
+# ---------- R139 cluster sampling ----------
+
+
+def test_cluster_sample_matches_hash_referee(spark):
+    import hashlib
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        CLUSTER_SAMPLE_MOD,
+        cluster_sample_lineitems,
+    )
+
+    [r] = cluster_sample_lineitems(spark, SF_DIR).collect()
+    od = load_table(spark, SF_DIR, "orders").select("o_orderkey").toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).toPandas()
+
+    def picked(k):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        return h % CLUSTER_SAMPLE_MOD == 0
+
+    chosen = {k for k in od["o_orderkey"] if picked(k)}
+    samp = li[li["l_orderkey"].isin(chosen)]
+    assert r["n_clusters"] == len(chosen)
+    assert r["n_sampled"] == len(samp)
+    assert r["n_pop"] == len(li)
+    assert abs(r["mean_qty_sample"] - samp["l_quantity"].mean()) < 1e-4
+    assert abs(r["mean_qty_pop"] - li["l_quantity"].mean()) < 1e-4
+    # cluster design keeps the mean close to the population mean
+    assert abs(r["mean_qty_sample"] - r["mean_qty_pop"]) < 2.0
+
+
+# ---------- R140 capture-recapture ----------
+
+
+def test_capture_recapture_estimates_true_count(spark):
+    from zoom_spark.queries.training_prep import capture_recapture_customers
+
+    [r] = capture_recapture_customers(spark, SF_DIR).collect()
+    assert r["m"] <= min(r["n1"], r["n2"])
+    # Chapman estimator consistency with the reported counts
+    expect = round((r["n1"] + 1) * (r["n2"] + 1) / (r["m"] + 1) - 1)
+    assert r["n_hat"] == expect
+    # within +-40% of the true count at these capture rates (1/3, 1/4)
+    assert 0.6 * r["n_true"] <= r["n_hat"] <= 1.4 * r["n_true"]

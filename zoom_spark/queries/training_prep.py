@@ -4256,3 +4256,173 @@ def weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("wd", "n_days", "mean_rev", "seasonal_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# R139: cluster (multistage) sampling
+# ---------------------------------------------------------------------------
+
+CLUSTER_SAMPLE_MOD = 10  # keep orders with md5-bucket 0 -> ~10%
+
+
+@register(
+    "cluster_sample_lineitems",
+    sql=f"""
+    WITH picked AS (
+      SELECT o_orderkey FROM orders
+      WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS UBIGINT) % {CLUSTER_SAMPLE_MOD} = 0
+    ),
+    sampled AS (
+      SELECT l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN picked p ON l.l_orderkey = p.o_orderkey
+    ),
+    pop AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pop,
+             round(avg(l_quantity), 6) AS mean_qty_pop
+      FROM lineitem
+    )
+    SELECT CAST((SELECT count(*) FROM picked) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           p.n_pop,
+           round(count(*) * 1.0 / p.n_pop, 6) AS sample_rate,
+           round(avg(s.l_quantity), 6) AS mean_qty_sample,
+           p.mean_qty_pop
+    FROM sampled s CROSS JOIN pop p
+    GROUP BY p.n_pop, p.mean_qty_pop
+    """,
+)
+def cluster_sample_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster (multistage) sampling: deterministically pick ~1/
+    {CLUSTER_SAMPLE_MOD} of ORDERS by md5 bucket, then take ALL their
+    line items — the survey design used when the unit of collection
+    (an order, a crawl host, a user) is cheaper to enumerate than its
+    rows, trading some design effect for locality. The stage-2
+    expansion is a broadcast-or-shuffle SEMI-style equi-join on the
+    picked keys (never a row-level filter re-hash); the audit row
+    compares the cluster-sample mean against the population mean so
+    the design effect is visible. Same md5 idiom as every sampling
+    op, so the pick is reproducible run-to-run."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = od.where(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(CLUSTER_SAMPLE_MOD),
+        )
+        == 0
+    ).select("o_orderkey")
+    n_clusters = picked.agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    sampled = li.join(picked, li.l_orderkey == picked.o_orderkey).select(
+        "l_quantity"
+    )
+    pop = li.agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty_pop"),
+    )
+    return (
+        sampled.crossJoin(F.broadcast(pop))
+        .groupBy("n_pop", "mean_qty_pop")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.round(F.count("*") * 1.0 / F.first("n_pop"), 6).alias(
+                "sample_rate"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("mean_qty_sample"),
+        )
+        .crossJoin(F.broadcast(n_clusters))
+        .select(
+            "n_clusters",
+            "n_sampled",
+            "n_pop",
+            "sample_rate",
+            "mean_qty_sample",
+            "mean_qty_pop",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R140: Lincoln-Petersen capture-recapture estimate
+# ---------------------------------------------------------------------------
+
+CR_MOD_A, CR_MOD_B = 3, 4  # two independent md5 "captures" (~1/3 and ~1/4)
+
+
+@register(
+    "capture_recapture_customers",
+    sql=f"""
+    WITH base AS (
+      SELECT DISTINCT o_custkey AS c FROM orders
+    ),
+    marked AS (
+      SELECT c,
+             CAST(('0x' || substring(md5('A' || CAST(c AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % {CR_MOD_A} = 0 AS in_a,
+             CAST(('0x' || substring(md5('B' || CAST(c AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % {CR_MOD_B} = 0 AS in_b
+      FROM base
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS n1,
+           CAST(count(*) FILTER (WHERE in_b) AS BIGINT) AS n2,
+           CAST(count(*) FILTER (WHERE in_a AND in_b) AS BIGINT) AS m,
+           CAST(round(
+             (count(*) FILTER (WHERE in_a) + 1.0)
+             * (count(*) FILTER (WHERE in_b) + 1.0)
+             / (count(*) FILTER (WHERE in_a AND in_b) + 1.0) - 1.0, 0)
+             AS BIGINT) AS n_hat
+    FROM marked
+    """,
+)
+def capture_recapture_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate (Chapman's
+    bias-corrected form N̂ = (n₁+1)(n₂+1)/(m+1) − 1) of the distinct
+    customer count from TWO independent deterministic samples — the
+    estimator used when the full distinct count is too expensive but
+    two cheap independent marks are not (and a teaching-clean referee
+    for the HLL sketch family: the output carries the TRUE count
+    beside the estimate). Both marks are md5 hashes with different
+    salts, so the captures are independent and reproducible; one
+    distinct pass + one conditional reduce."""
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(F.col("o_custkey").alias("c")).distinct()
+
+    def mark(salt: str, mod: int):
+        return (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt), F.col("c").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(mod),
+            )
+            == 0
+        )
+
+    marked = base.select(
+        mark("A", CR_MOD_A).alias("in_a"), mark("B", CR_MOD_B).alias("in_b")
+    )
+    n1 = F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("in_b"), 1).otherwise(0))
+    m = F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+    return marked.agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        m.cast("bigint").alias("m"),
+        F.round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 0)
+        .cast("bigint")
+        .alias("n_hat"),
+    )
