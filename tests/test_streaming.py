@@ -384,3 +384,63 @@ def test_stream_decontaminate_matches_batch_query(spark):
     }
     assert got == expect
     assert expect, "fixture should contain contaminated docs"
+
+
+def test_stream_drift_monitor_matches_batch_l1(spark):
+    """Streaming drift monitor: per-day L1 distance between the
+    streamed event-type mix and a static reference equals the batch
+    computation on the same data."""
+    from zoom_spark.io import load_table
+    from zoom_spark.streaming.windows import (
+        read_events_stream,
+        stream_drift_monitor,
+    )
+
+    sf = SF_DIR
+    batch = load_table(spark, sf, "events")
+    n = batch.count()
+    ref = (
+        batch.groupBy("event_type")
+        .agg((F.count("*") / F.lit(float(n))).alias("ref_share"))
+    )
+    out = stream_drift_monitor(read_events_stream(spark, sf), ref)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_mon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["l1_drift"]
+        for r in spark.sql("SELECT * FROM drift_mon").collect()
+    }
+    # batch referee
+    daily = (
+        batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = batch.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count("*").alias("n_tot")
+    )
+    expect = {
+        r["ws"]: r["l1"]
+        for r in daily.join(tot, "w")
+        .join(ref, "event_type")
+        .select(
+            F.col("w.start").alias("ws"),
+            F.abs(F.col("n") / F.col("n_tot") - F.col("ref_share")).alias("d"),
+        )
+        .groupBy("ws")
+        .agg(F.round(F.sum("d"), 6).alias("l1"))
+        .collect()
+    }
+    # append mode emits only watermark-closed windows: every emitted
+    # window must match the batch value, and most windows must emit
+    assert got, "should produce at least one window"
+    for ws, v in got.items():
+        assert v == expect[ws], ws
+    # 2-day watermark over 1-day windows: up to 3 tail windows stay open
+    assert len(got) >= len(expect) - 3
+    assert all(0 <= v < 1.0 for v in got.values())

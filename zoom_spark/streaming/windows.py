@@ -271,3 +271,51 @@ def stream_decontaminate(
         .select("doc_id")
         .dropDuplicates(["doc_id"])
     )
+
+
+def stream_drift_monitor(
+    events: DataFrame,
+    reference_shares: DataFrame,
+    *,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per tumbling window,
+    compare the arriving event-type mix against a STATIC reference
+    share table and emit the L1 (total-variation x2) drift score —
+    the production alarm that pages before a traffic mix shift
+    poisons downstream models (the streaming sibling of the batch PSI
+    query). The reference is MODEL-sized, so it is collected once at
+    plan-build time and embedded as literal conditional aggregates —
+    which keeps the whole monitor ONE watermarked windowed aggregate
+    (a join between two streaming aggregates is not allowed, and this
+    shape needs no join at all). State is bounded by the watermark;
+    output works in append mode."""
+    ref = {
+        r["event_type"]: float(r["ref_share"])
+        for r in reference_shares.collect()
+    }
+    counts = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+            f"_n_{i}"
+        )
+        for i, t in enumerate(ref)
+    ]
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_tot"), *counts)
+    )
+    known = sum(
+        F.abs(F.col(f"_n_{i}") / F.col("n_tot") - F.lit(share))
+        for i, share in enumerate(ref.values())
+    )
+    # any event types absent from the reference contribute their full
+    # observed share
+    unknown = (
+        F.col("n_tot") - sum(F.col(f"_n_{i}") for i in range(len(ref)))
+    ) / F.col("n_tot")
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.round(known + unknown, 6).alias("l1_drift"),
+    )
