@@ -233,3 +233,46 @@ def test_sample_ppm_video_frames_every_k(spark):
             assert (r["width"], r["height"]) == (d["width"], d["height"])
             assert r["sum_pixels"] == d["sum_pixels"]
             assert abs(r["mean_r"] - d["mean_r"]) < 1e-6
+
+
+# --- WAV energy envelope ---------------------------------------------------
+
+
+def test_wav_segment_rms_consistent_with_whole_clip():
+    import math
+
+    from zoom_spark.multimodal.codecs import (
+        decode_wav,
+        synth_wav_bytes,
+        wav_segment_rms,
+    )
+
+    for seed in range(6):
+        wav = synth_wav_bytes(seed)
+        whole = decode_wav(wav)
+        segs = wav_segment_rms(wav, n_segments=4)
+        assert sum(s["n_samples"] for s in segs) == whole["n_units"] * whole[
+            "n_channels"
+        ]
+        # energy conservation: weighted RMS^2 over segments == clip RMS^2
+        total = sum(s["n_samples"] * s["rms"] ** 2 for s in segs)
+        n = sum(s["n_samples"] for s in segs)
+        assert abs(math.sqrt(total / n) - whole["rms_val"]) < 1e-9
+        assert max(s["peak"] for s in segs) == whole["peak_val"]
+
+
+def test_wav_energy_envelope_mapinpandas(spark):
+    from zoom_spark.multimodal.binary_ops import wav_energy_envelope
+    from zoom_spark.multimodal.codecs import synth_wav_bytes, wav_segment_rms
+
+    rows = [(i, synth_wav_bytes(i)) for i in range(5)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = wav_energy_envelope(media, n_segments=4).collect()
+    by_key = {(r["media_id"], r["segment"]): r for r in out}
+    assert len(out) == 20
+    for i, wav in rows:
+        for seg in wav_segment_rms(wav, 4):
+            r = by_key[(i, seg["segment"])]
+            assert r["n_samples"] == seg["n_samples"]
+            assert abs(r["rms"] - seg["rms"]) < 1e-6
+            assert abs(r["peak"] - seg["peak"]) < 1e-6

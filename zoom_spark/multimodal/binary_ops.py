@@ -401,3 +401,37 @@ def sample_ppm_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, schema=PPM_FRAME_SCHEMA
     )
+
+
+WAV_SEGMENT_SCHEMA = (
+    "media_id long, segment int, n_samples long, rms double, peak double"
+)
+
+
+def wav_energy_envelope(media: DataFrame, n_segments: int = 4) -> DataFrame:
+    """Time-resolved audio energy envelope over REAL WAV payloads:
+    each media row's PCM stream splits into n_segments spans with
+    per-segment RMS and peak — the feature a voice-activity /
+    silence-trim curation stage consumes (codecs.wav_segment_rms does
+    the decode). Map-only 1-to-N Arrow expansion, mirror of the
+    PPM-video frame sampler on the audio side; Python-side decode is
+    the documented multimodal exception."""
+    from zoom_spark.multimodal.codecs import wav_segment_rms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "segment", "n_samples", "rms", "peak"
+            )}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                for seg in wav_segment_rms(bytes(c), n_segments):
+                    out["media_id"].append(mid)
+                    out["segment"].append(seg["segment"])
+                    out["n_samples"].append(seg["n_samples"])
+                    out["rms"].append(round(seg["rms"], 6))
+                    out["peak"].append(round(seg["peak"], 6))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=WAV_SEGMENT_SCHEMA
+    )

@@ -245,3 +245,49 @@ def synth_ppm_video_bytes(seed: int, n_frames: int | None = None) -> bytes:
         ]
         frames.append(encode_ppm(w, h, rgb))
     return encode_ppm_video(frames)
+
+
+def wav_segment_rms(content: bytes, n_segments: int = 4) -> list[dict]:
+    """Windowed audio features over the REAL PCM payload: split the
+    sample stream into n_segments equal spans and return per-segment
+    RMS/peak (normalized to [-1, 1]) — the time-resolved version of
+    decode_wav's whole-clip statistics, i.e. the energy envelope a
+    voice-activity or silence-trim stage consumes. Pure-stdlib parse
+    (same chunk walk as decode_wav); raises on non-PCM-16 input."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt[0] != 1 or fmt[5] != 16:
+        raise ValueError("only PCM-16 supported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    out = []
+    for seg in range(n_segments):
+        lo = seg * n // n_segments
+        hi = (seg + 1) * n // n_segments
+        span = samples[lo:hi]
+        if span:
+            rms = math.sqrt(sum(s * s for s in span) / len(span)) / 32767.0
+            peak = max(abs(s) for s in span) / 32767.0
+        else:
+            rms = peak = 0.0
+        out.append(
+            {
+                "segment": seg,
+                "n_samples": len(span),
+                "rms": rms,
+                "peak": peak,
+            }
+        )
+    return out

@@ -210,3 +210,37 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "sum_pixels",
         F.round("mean_r", 6).alias("mean_r"),
     )
+
+
+@register("multimodal_audio_envelope")  # real WAV decode: rows-only
+def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 time-resolved audio features: synthesize deterministic PCM-16
+    WAV clips, split each real payload into 4 segments executor-side,
+    and emit per-segment RMS/peak — the energy envelope a
+    voice-activity / silence-trim stage consumes (the audio mirror of
+    the PPM-video frame sampler). Map-only 1-to-N Arrow expansion."""
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+
+    from zoom_spark.io import load_table
+    from zoom_spark.multimodal.binary_ops import wav_energy_envelope
+    from zoom_spark.multimodal.codecs import synth_wav_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_wav_bytes(int(i) % 89) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return wav_energy_envelope(media, n_segments=4).orderBy(
+        "media_id", "segment"
+    )
