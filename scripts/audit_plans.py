@@ -319,6 +319,13 @@ EXPECTATIONS = {
     "cluster_sample_lineitems": dict(pushed=False, broadcast=True, cartesian=True),
     # one distinct pass + conditional reduce
     "capture_recapture_customers": dict(pushed=False, broadcast=False, cartesian=False),
+    # reverse/forward windows over the <= |days| event-time frame
+    # (calendar-bounded, cusum-style exception); 1-row horizon BNLJ
+    "kaplan_meier_conversion": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # bin aggregate + 1-row weighted reduce BNLJ
+    "expected_calibration_error": dict(pushed=False, broadcast=False, cartesian=True),
     # day pre-agg + 1-row overall-mean BNLJ
     "weekday_seasonal_index": dict(pushed=False, broadcast=False, cartesian=True),
 }

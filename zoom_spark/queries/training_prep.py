@@ -4426,3 +4426,201 @@ def capture_recapture_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R143: Kaplan-Meier survival with right-censoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kaplan_meier_conversion",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CAST(ts AS DATE)) AS first_day,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS conv_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    spells AS (
+      SELECT CAST(CASE WHEN p.conv_day IS NOT NULL
+                           AND p.conv_day >= p.first_day
+                       THEN p.conv_day - p.first_day
+                       ELSE hz.h - p.first_day END AS BIGINT) AS t,
+             CASE WHEN p.conv_day IS NOT NULL
+                       AND p.conv_day >= p.first_day
+                  THEN 1 ELSE 0 END AS converted
+      FROM per_user p CROSS JOIN horizon hz
+    ),
+    at_t AS (
+      SELECT t,
+             CAST(sum(converted) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM spells GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(leaving) OVER (ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM at_t
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             exp(sum(ln(greatest(1.0 - d * 1.0 / n_risk, 1e-300)))
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)) AS s
+      FROM risk WHERE d > 0
+    )
+    SELECT t AS day, d AS n_events, n_risk,
+           round(s, 6) AS survival
+    FROM km
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase with
+    RIGHT-CENSORING: users who never convert contribute risk time up
+    to the observation horizon instead of being dropped — the
+    estimator every naive conversion-latency percentile silently gets
+    wrong (R121 conditions on conversion; this does not). Day
+    granularity keeps every frame CALENDAR-BOUNDED: spells collapse
+    to (day, events, leaving) counts; the at-risk count is a
+    reverse-order running sum and S(t) = Π(1−d/n) runs as
+    exp(Σ ln(1−d/n)) — both windows over the ≤ |days| frame (the
+    cusum-style bounded exception). Ratios d/n are exact integer
+    quotients, so both engines feed ln() identical doubles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts").cast("date")
+            )
+        ).alias("conv_day"),
+    )
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    conv_ok = F.col("conv_day").isNotNull() & (
+        F.col("conv_day") >= F.col("first_day")
+    )
+    spells = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(conv_ok, F.datediff("conv_day", "first_day"))
+        .otherwise(F.datediff("h", "first_day"))
+        .cast("bigint")
+        .alias("t"),
+        F.when(conv_ok, 1).otherwise(0).alias("converted"),
+    )
+    at_t = spells.groupBy("t").agg(
+        F.sum("converted").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = at_t.withColumn(
+        "n_risk", F.sum("leaving").over(w_desc).cast("bigint")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        risk.where(F.col("d") > 0)
+        .withColumn(
+            "s",
+            # greatest(..., 1e-300): the final time point has d == n
+            # (everyone remaining leaves), whose factor is 0 — the
+            # epsilon floor keeps ln() defined and the product rounds
+            # to exactly 0.0 at 6dp on both engines
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            1.0 - F.col("d") * 1.0 / F.col("n_risk"),
+                            F.lit(1e-300),
+                        )
+                    )
+                ).over(w_asc)
+            ),
+        )
+    )
+    return km.select(
+        F.col("t").alias("day"),
+        F.col("d").alias("n_events"),
+        "n_risk",
+        F.round("s", 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R144: expected calibration error
+# ---------------------------------------------------------------------------
+
+ECE_BINS = 10
+
+
+@register(
+    "expected_calibration_error",
+    sql=f"""
+    WITH s AS (
+      SELECT least(greatest(value / 100.0, 0.0), 1.0) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ),
+    binned AS (
+      SELECT CAST(least(floor(p * {ECE_BINS}), {ECE_BINS - 1}) AS INTEGER)
+               AS bin,
+             p, y
+      FROM s
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             avg(p) AS conf, avg(y) AS acc
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM per_bin)
+    SELECT t.n_tot AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(b.n * abs(b.acc - b.conf)) / t.n_tot, 6) AS ece
+    FROM per_bin b CROSS JOIN tot t
+    GROUP BY t.n_tot
+    """,
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of `value/100` read as a purchase
+    probability: bin predictions into {ECE_BINS} equal-width
+    confidence buckets and average |accuracy − confidence| weighted
+    by bin mass — the scalar the reliability-diagram/isotonic pair
+    (R104) is optimizing. One binning pass (arithmetic bucket ids,
+    identical both engines), one per-bin aggregate, a 1-row weighted
+    reduce. The per-bin means divide exact counts, so cross-engine
+    noise stays below the 6dp rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.least(F.greatest(F.col("value") / 100.0, F.lit(0.0)), F.lit(1.0))
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    binned = ev.select(
+        F.least(
+            F.floor(p * ECE_BINS), F.lit(ECE_BINS - 1)
+        ).cast("int").alias("bin"),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    tot = per_bin.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("n_tot")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bins"),
+            F.round(
+                F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf")))
+                / F.first("n_tot"),
+                6,
+            ).alias("ece"),
+        )
+        .select(F.col("n_tot").alias("n"), "n_bins", "ece")
+    )
