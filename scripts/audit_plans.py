@@ -326,6 +326,10 @@ EXPECTATIONS = {
     ),
     # bin aggregate + 1-row weighted reduce BNLJ
     "expected_calibration_error": dict(pushed=False, broadcast=False, cartesian=True),
+    # bigram shuffle + marginal equi-joins; 1-row total BNLJ
+    "gtest_collocations": dict(pushed=False, broadcast=False, cartesian=True),
+    # centroid/spread aggregates + labels^2 dim equi-join
+    "davies_bouldin_embeddings": dict(pushed=False, broadcast=False, cartesian=False),
     # day pre-agg + 1-row overall-mean BNLJ
     "weekday_seasonal_index": dict(pushed=False, broadcast=False, cartesian=True),
 }

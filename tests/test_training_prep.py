@@ -2271,3 +2271,85 @@ def test_ece_matches_numpy_referee_and_zero_for_perfect(spark):
     with patch.object(mod, "load_table", lambda spark, sf, t: df):
         [r0] = expected_calibration_error(spark, SF_DIR).collect()
     assert r0["ece"] == 0.0
+
+
+# ---------- R145 G-test collocations ----------
+
+
+def test_gtest_matches_counter_referee(spark):
+    import math
+    import re as _re
+    from collections import Counter
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        GTEST_MIN_COUNT,
+        gtest_collocations,
+    )
+
+    rows = {(r["w1"], r["w2"]): r for r in
+            gtest_collocations(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    bi = Counter()
+    for t in docs["text"]:
+        ws = [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+        bi.update(zip(ws, ws[1:]))
+    c1, c2 = Counter(), Counter()
+    for (a, b), n in bi.items():
+        c1[a] += n
+        c2[b] += n
+    n_tot = sum(bi.values())
+    for (a, b), n11 in bi.items():
+        if n11 < GTEST_MIN_COUNT:
+            assert (a, b) not in rows
+            continue
+        n12 = c1[a] - n11
+        n21 = c2[b] - n11
+        n22 = n_tot - c1[a] - c2[b] + n11
+        g2 = 0.0
+        for o, rn, cn in (
+            (n11, c1[a], c2[b]),
+            (n12, c1[a], n_tot - c2[b]),
+            (n21, n_tot - c1[a], c2[b]),
+            (n22, n_tot - c1[a], n_tot - c2[b]),
+        ):
+            if o > 0:
+                g2 += o * math.log(o * n_tot / (rn * cn))
+        g2 *= 2
+        r = rows[(a, b)]
+        assert r["n11"] == n11
+        assert abs(r["g2"] - g2) < 1e-2
+        assert r["g2"] >= -1e-9  # G^2 is non-negative
+
+
+# ---------- R146 Davies-Bouldin ----------
+
+
+def test_davies_bouldin_matches_numpy_referee(spark):
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import davies_bouldin_embeddings
+
+    [r] = davies_bouldin_embeddings(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "label", "embedding"
+    ).toPandas()
+    cents, spreads = {}, {}
+    for lab, g in emb.groupby("label"):
+        X = np.stack(g["embedding"].to_numpy()).astype(float)
+        c = np.round(X.mean(axis=0), 6)  # query rounds per-dim
+        cents[lab] = c
+        spreads[lab] = round(
+            float(np.sqrt(((X - c) ** 2).sum(axis=1).mean())), 6
+        )
+    labs = sorted(cents)
+    ratios = []
+    for i in labs:
+        best = max(
+            (spreads[i] + spreads[j]) / np.linalg.norm(cents[i] - cents[j])
+            for j in labs
+            if j != i
+        )
+        ratios.append(best)
+    assert r["n_clusters"] == len(labs)
+    assert abs(r["davies_bouldin"] - np.mean(ratios)) < 1e-4
+    assert r["davies_bouldin"] > 0

@@ -4624,3 +4624,217 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n_tot").alias("n"), "n_bins", "ece")
     )
+
+
+# ---------------------------------------------------------------------------
+# R145: Dunning G-test collocations
+# ---------------------------------------------------------------------------
+
+GTEST_MIN_COUNT = 20  # report bigrams with at least this many occurrences
+
+
+@register(
+    "gtest_collocations",
+    sql=rf"""
+    WITH ws AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    bi AS (
+      SELECT w[t.i] AS w1, w[t.i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS n11
+      FROM ws CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+      ) t
+      WHERE len(w) >= 2
+      GROUP BY w[t.i], w[t.i + 1]
+    ),
+    left_m AS (SELECT w1, CAST(sum(n11) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+    right_m AS (SELECT w2, CAST(sum(n11) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+    tot AS (SELECT CAST(sum(n11) AS BIGINT) AS n FROM bi),
+    cells AS (
+      SELECT b.w1, b.w2, b.n11,
+             l.c1 - b.n11 AS n12,
+             r.c2 - b.n11 AS n21,
+             t.n - l.c1 - r.c2 + b.n11 AS n22,
+             l.c1 AS c1, r.c2 AS c2, t.n AS n
+      FROM bi b JOIN left_m l USING (w1) JOIN right_m r USING (w2)
+      CROSS JOIN tot t
+      WHERE b.n11 >= {GTEST_MIN_COUNT}
+    )
+    SELECT w1, w2, n11,
+           round(2 * (
+             CASE WHEN n11 > 0 THEN n11 * ln(n11 * 1.0 * n / (c1 * c2))
+                  ELSE 0 END
+             + CASE WHEN n12 > 0
+                    THEN n12 * ln(n12 * 1.0 * n / (c1 * (n - c2)))
+                    ELSE 0 END
+             + CASE WHEN n21 > 0
+                    THEN n21 * ln(n21 * 1.0 * n / ((n - c1) * c2))
+                    ELSE 0 END
+             + CASE WHEN n22 > 0
+                    THEN n22 * ln(n22 * 1.0 * n / ((n - c1) * (n - c2)))
+                    ELSE 0 END
+           ), 4) AS g2
+    FROM cells
+    """,
+)
+def gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio (G²) collocation scores for
+    adjacent bigrams — the classic significant-collocation statistic
+    (Dunning 1993), which unlike PMI stays calibrated at low counts
+    because it tests the full 2×2 contingency (bigram present/absent
+    × left-word present/absent). One bigram-count shuffle, two
+    marginal rollups joined back equi on the word (model-sized
+    sides), a 1-row total; every cell count is exact integer
+    arithmetic so ln() sees identical ratios on both engines. The
+    min-count floor prunes before the score."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(ws_tokens(F.lower("text")).alias("w")).where(
+        F.size("w") >= 2
+    )
+    bi = (
+        ws.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n11"))
+    )
+    left_m = bi.groupBy("w1").agg(F.sum("n11").cast("bigint").alias("c1"))
+    right_m = bi.groupBy("w2").agg(F.sum("n11").cast("bigint").alias("c2"))
+    tot = bi.agg(F.sum("n11").cast("bigint").alias("n"))
+    cells = (
+        bi.where(F.col("n11") >= GTEST_MIN_COUNT)
+        .join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n12", F.col("c1") - F.col("n11"))
+        .withColumn("n21", F.col("c2") - F.col("n11"))
+        .withColumn(
+            "n22", F.col("n") - F.col("c1") - F.col("c2") + F.col("n11")
+        )
+    )
+
+    def term(o, e_num, e_den):
+        return F.when(
+            o > 0, o * F.log(o * 1.0 * F.col("n") / (e_num * e_den))
+        ).otherwise(0.0)
+
+    g2 = 2 * (
+        term(F.col("n11"), F.col("c1"), F.col("c2"))
+        + term(F.col("n12"), F.col("c1"), F.col("n") - F.col("c2"))
+        + term(F.col("n21"), F.col("n") - F.col("c1"), F.col("c2"))
+        + term(
+            F.col("n22"), F.col("n") - F.col("c1"), F.col("n") - F.col("c2")
+        )
+    )
+    return cells.select("w1", "w2", "n11", F.round(g2, 4).alias("g2"))
+
+
+# ---------------------------------------------------------------------------
+# R146: Davies-Bouldin cluster-quality index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "davies_bouldin_embeddings",
+    sql="""
+    WITH dims AS (
+      SELECT e.label, e.vec_id, d.dim,
+             CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+    ),
+    cent AS (
+      SELECT label, dim, round(avg(val), 6) AS m
+      FROM dims GROUP BY label, dim
+    ),
+    spread AS (
+      SELECT d.label,
+             round(sqrt(avg(pow(d.val - c.m, 2) * 64)), 6) AS s
+      FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+      GROUP BY d.label
+    ),
+    cdist AS (
+      SELECT a.label AS l1, b.label AS l2,
+             sqrt(sum(pow(a.m - b.m, 2))) AS dist
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY a.label, b.label
+    ),
+    ratios AS (
+      SELECT c.l1, max((sa.s + sb.s) / c.dist) AS r
+      FROM cdist c
+      JOIN spread sa ON c.l1 = sa.label
+      JOIN spread sb ON c.l2 = sb.label
+      GROUP BY c.l1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           round(avg(r), 6) AS davies_bouldin
+    FROM ratios
+    """,
+)
+def davies_bouldin_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index of the labeled embedding clusters: mean
+    over clusters of max_j (sᵢ+sⱼ)/d(cᵢ,cⱼ) — lower = tighter, more
+    separated clusters. The clustering-quality scalar read before
+    trusting SemDeDup cells or the centroid-cosine matrix, computable
+    WITHOUT any point-to-point pairing: per-cluster centroids and
+    RMS spreads are aggregates over the (label, dim) expansion, and
+    the pairwise step is |labels|² over MODEL-sized centroid rows
+    (dim equi-join). Centroids are rounded per-dim on both engines
+    before every downstream distance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("m")
+    )
+    spread = (
+        dims.join(cent, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.avg(F.pow(F.col("val") - F.col("m"), 2) * 64)), 6
+            ).alias("s")
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    cdist = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(F.sqrt(F.sum(F.pow(F.col("a.m") - F.col("b.m"), 2))).alias("dist"))
+    )
+    ratios = (
+        cdist.join(
+            spread.withColumnRenamed("label", "l1").withColumnRenamed("s", "sa"),
+            "l1",
+        )
+        .join(
+            spread.withColumnRenamed("label", "l2").withColumnRenamed("s", "sb"),
+            "l2",
+        )
+        .groupBy("l1")
+        .agg(F.max((F.col("sa") + F.col("sb")) / F.col("dist")).alias("r"))
+    )
+    return ratios.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.round(F.avg("r"), 6).alias("davies_bouldin"),
+    )
