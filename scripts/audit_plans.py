@@ -330,6 +330,10 @@ EXPECTATIONS = {
     "gtest_collocations": dict(pushed=False, broadcast=False, cartesian=True),
     # centroid/spread aggregates + labels^2 dim equi-join
     "davies_bouldin_embeddings": dict(pushed=False, broadcast=False, cartesian=False),
+    # posting self-join + norm equi-joins; 1-row doc count BNLJ
+    "tfidf_cosine_pairs": dict(pushed=False, broadcast=False, cartesian=True),
+    # map-only K-explode + per-perm reduce; 1-row observed BNLJ
+    "permutation_test_weekend": dict(pushed=False, broadcast=False, cartesian=True),
     # day pre-agg + 1-row overall-mean BNLJ
     "weekday_seasonal_index": dict(pushed=False, broadcast=False, cartesian=True),
 }

@@ -2353,3 +2353,75 @@ def test_davies_bouldin_matches_numpy_referee(spark):
     assert r["n_clusters"] == len(labs)
     assert abs(r["davies_bouldin"] - np.mean(ratios)) < 1e-4
     assert r["davies_bouldin"] > 0
+
+
+# ---------- R147 TF-IDF cosine pairs ----------
+
+
+def test_tfidf_cosine_pairs_match_numpy_referee(spark):
+    import math
+    import re as _re
+    from collections import Counter
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        TFIDF_COS_MIN,
+        tfidf_cosine_pairs,
+    )
+
+    rows = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+            tfidf_cosine_pairs(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    tfs, df = {}, Counter()
+    for _, d in docs.iterrows():
+        c = Counter(w for w in d["text"].split(" ") if w)
+        tfs[d["doc_id"]] = c
+        df.update(c.keys())
+    n = len(tfs)
+    idf = {w: math.log(n / v) for w, v in df.items()}
+    vecs = {
+        did: {w: round(tf * idf[w], 6) for w, tf in c.items()}
+        for did, c in tfs.items()
+    }
+    norms = {
+        did: math.sqrt(sum(x * x for x in v.values()))
+        for did, v in vecs.items()
+    }
+    ids = sorted(vecs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            dot = sum(vecs[a][w] * vecs[b][w] for w in shared)
+            cos = dot / (norms[a] * norms[b])
+            if cos >= TFIDF_COS_MIN:
+                expect[(a, b)] = round(cos, 6)
+    assert set(rows) == set(expect)
+    for k, v in expect.items():
+        assert abs(rows[k] - v) < 1e-6
+
+
+# ---------- R148 permutation test ----------
+
+
+def test_permutation_test_deterministic_and_valid_pvalue(spark):
+    from zoom_spark.queries.training_prep import (
+        PERM_K,
+        permutation_test_weekend,
+    )
+
+    [r1] = permutation_test_weekend(spark, SF_DIR).collect()
+    [r2] = permutation_test_weekend(spark, SF_DIR).collect()
+    assert r1 == r2  # md5 relabelings are deterministic
+    assert r1["n_perms"] == PERM_K
+    assert 0 <= r1["n_extreme"] <= PERM_K
+    # add-one smoothing bounds
+    lo = 1.0 / (PERM_K + 1)
+    assert lo - 1e-9 <= r1["p_value"] <= 1.0
+    assert abs(
+        r1["p_value"] - (r1["n_extreme"] + 1) / (PERM_K + 1)
+    ) < 1e-6

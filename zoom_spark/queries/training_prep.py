@@ -4838,3 +4838,235 @@ def davies_bouldin_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         F.round(F.avg("r"), 6).alias("davies_bouldin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R147: sparse TF-IDF cosine document pairs
+# ---------------------------------------------------------------------------
+
+TFIDF_COS_MIN = 0.9  # high-similarity tier; the synthetic corpus's tiny shared vocabulary makes lower thresholds emit millions of pairs
+
+
+@register(
+    "tfidf_cosine_pairs",
+    sql=f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    n_docs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    idf AS (
+      SELECT w, ln(nd.n * 1.0 / count(DISTINCT t.doc_id)) AS idf
+      FROM tf t CROSS JOIN n_docs nd GROUP BY w, nd.n
+    ),
+    vec AS (
+      SELECT t.doc_id, t.w, round(t.tf * i.idf, 6) AS x
+      FROM tf t JOIN idf i USING (w)
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM vec GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.x * b.x) AS dot
+      FROM vec a JOIN vec b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id_a, d.id_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON d.id_a = na.doc_id
+    JOIN norms nb ON d.id_b = nb.doc_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= {TFIDF_COS_MIN}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the classic IR
+    document-similarity join, complementing the hashed (MinHash/
+    SimHash) and dense (embedding) near-dup families with the exact
+    lexical one. The pair space comes from the INVERTED INDEX (a
+    posting self-equi-join on the token), so only docs sharing a
+    token ever pair, and IDF down-weighting means stopword-heavy
+    postings contribute near-zero mass; norms join back on doc_id.
+    Per-token weights are rounded on both engines BEFORE the dot
+    products. Threshold applied on the unrounded cosine consistently
+    on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    n_docs = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    idf = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .groupBy("w", "n")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "w", F.log(F.col("n") * 1.0 / F.col("df")).alias("idf")
+        )
+    )
+    vec = tf.join(idf, "w").select(
+        "doc_id", "w", F.round(F.col("tf") * F.col("idf"), 6).alias("x")
+    )
+    norms = vec.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(
+            norms.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "nrm", "na"
+            ),
+            "id_a",
+        )
+        .join(
+            norms.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "nrm", "nb"
+            ),
+            "id_b",
+        )
+        .where(cos >= TFIDF_COS_MIN)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R148: deterministic permutation test
+# ---------------------------------------------------------------------------
+
+PERM_K = 40
+
+
+@register(
+    "permutation_test_weekend",
+    sql=f"""
+    WITH s AS (
+      SELECT event_id, value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    obs AS (
+      SELECT avg(CASE WHEN grp = 1 THEN v END)
+             - avg(CASE WHEN grp = 0 THEN v END) AS d
+      FROM s
+    ),
+    perms AS (
+      SELECT p.p, s.v,
+             CAST(('0x' || substring(md5(CAST(s.event_id AS VARCHAR) || ':'
+                                         || CAST(p.p AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 2 AS g
+      FROM s CROSS JOIN (SELECT unnest(generate_series(1, {PERM_K})) AS p) p
+    ),
+    perm_d AS (
+      SELECT p,
+             avg(CASE WHEN g = 1 THEN v END)
+             - avg(CASE WHEN g = 0 THEN v END) AS d
+      FROM perms GROUP BY p
+    )
+    SELECT round(o.d, 6) AS observed_diff,
+           CAST({PERM_K} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN abs(pd.d) >= abs(o.d) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           round((sum(CASE WHEN abs(pd.d) >= abs(o.d) THEN 1 ELSE 0 END)
+                  + 1.0) / ({PERM_K} + 1.0), 6) AS p_value
+    FROM perm_d pd CROSS JOIN obs o
+    GROUP BY o.d
+    """,
+)
+def permutation_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the weekend-vs-weekday mean value
+    difference: {PERM_K} deterministic md5 relabelings build the null
+    distribution, and the p-value is the (add-one smoothed) fraction
+    of permuted |diffs| at least as extreme as the observed — the
+    assumption-free companion to the parametric z-test (R74), and the
+    null-resampling sibling of the Poisson bootstrap (which resamples
+    the DATA, not the LABELS). The explode is map-only; each
+    permutation reduces via map-side partials to one row, so the
+    shuffle is K-rows-per-partition. Identical hash labels on both
+    engines make the null distribution bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    s = ev.select(
+        "event_id",
+        F.col("value").alias("v"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    obs = s.agg(
+        (
+            F.avg(F.when(F.col("grp") == 1, F.col("v")))
+            - F.avg(F.when(F.col("grp") == 0, F.col("v")))
+        ).alias("d")
+    )
+    perms = s.select(
+        "event_id",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(PERM_K))).alias("p"),
+    ).withColumn(
+        "g",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(":"),
+                            F.col("p").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        ),
+    )
+    perm_d = perms.groupBy("p").agg(
+        (
+            F.avg(F.when(F.col("g") == 1, F.col("v")))
+            - F.avg(F.when(F.col("g") == 0, F.col("v")))
+        ).alias("d")
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("od")), 1).otherwise(0)
+    )
+    return (
+        perm_d.crossJoin(F.broadcast(obs.withColumnRenamed("d", "od")))
+        .groupBy("od")
+        .agg(
+            F.count("*").cast("bigint").alias("n_perms"),
+            extreme.cast("bigint").alias("n_extreme"),
+            F.round((extreme + 1.0) / (PERM_K + 1.0), 6).alias("p_value"),
+        )
+        .select(
+            F.round("od", 6).alias("observed_diff"),
+            "n_perms",
+            "n_extreme",
+            "p_value",
+        )
+    )
