@@ -38,29 +38,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first N — exercises every family instead of only the earliest
     imported modules.
 
-    The round-4 at-risk outputs (array/decimal columns that crashed or
-    hash-mismatched the driver canonicalizer, fixed since) are pinned
-    immediately after the first interleave wave so the driver's
-    first-50 sample re-adjudicates every one of them this round while
-    wave 1 still covers every family.
+    Because the gate samples only the first ~50 each round while the
+    registry holds 260+, each module's list is additionally ROTATED by
+    a per-round offset (bump ``ROTATION_ROUND`` every round) so each
+    round's prefix sample adjudicates queries the driver has never seen,
+    while still covering every family. Queries whose gate changed this
+    round (e.g. rows-only → oracle-hashed) are pinned right after the
+    first wave so the new contract is driver-verified immediately.
     """
     from itertools import zip_longest
 
+    # Round 6: rows-only → oracle-hashed conversions + new R149+ ops.
     resample_first = (
-        "collect_sorted_lines",
-        "label_centroids",
-        "incremental_agg_maintenance",
-        "gini_customer_spend",
-        "multimodal_features",
         "approx_quantiles_prices",
+        "multimodal_features",
+        "knn_ivf_fullprobe",
     )
+    ROTATION_ROUND = 6
     by_module: dict[str, list[tuple[str, Callable]]] = {}
     for name, fn in Q.QUERIES.items():
         if name in resample_first:
             continue
         by_module.setdefault(fn.__module__, []).append((name, fn))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for i, wave in enumerate(zip_longest(*by_module.values())):
+    rotated = []
+    for lst in by_module.values():
+        k = (2 * (ROTATION_ROUND - 5)) % len(lst)
+        rotated.append(lst[k:] + lst[:k])
+    for i, wave in enumerate(zip_longest(*rotated)):
         for item in wave:
             if item is not None:
                 out[item[0]] = item[1]

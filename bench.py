@@ -149,7 +149,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -157,8 +157,37 @@ def main():
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # Full per-query detail: printed first (for humans/logs) and written
+    # to BENCH_DETAIL.json. The LAST stdout line must stay well under the
+    # driver's 2000-char tail capture or the recorded round loses its
+    # machine-readable total (BENCH_r05.json parsed:null) — so the final
+    # line carries the total plus only the slowest queries, trimmed to fit.
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])
+    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "query_count": len(timings),
+        "error_count": len(errors),
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    while len(json.dumps(summary)) > 1200 and summary["queries"]:
+        summary["queries"].pop(next(reversed(summary["queries"])))
+    print(json.dumps(summary))
     sys.exit(1 if errors else 0)
 
 

@@ -336,6 +336,13 @@ EXPECTATIONS = {
     "permutation_test_weekend": dict(pushed=False, broadcast=False, cartesian=True),
     # day pre-agg + 1-row overall-mean BNLJ
     "weekday_seasonal_index": dict(pushed=False, broadcast=False, cartesian=True),
+    # 1-row min-ts scalar frame joined to the probe grid (BNLJ by design)
+    "campaign_gap_report": dict(pushed=False, broadcast=False, cartesian=True),
+    # the §2.3 CROSS JOIN coverage entry: 3-status x 5-region, both
+    # sides are tiny pre-aggregates — the cartesian IS the operator
+    "cross_join_status_region": dict(pushed=False, broadcast=False, cartesian=True),
+    # 1-row min/max bounds frame broadcast onto orders (BNLJ by design)
+    "histogram_prices": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 
@@ -411,12 +418,28 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
     return problems
 
 
+# Conservative default for queries without a hand-written entry: no
+# pushdown/broadcast REQUIREMENT, but cartesians and unpartitioned
+# windows are still flagged. Every registered query is audited — a new
+# query with a bad plan shape fails the audit unless an explicit waiver
+# is added above with a justification comment.
+DEFAULT_EXPECTATION = dict(pushed=False, broadcast=False, cartesian=False)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     qs = entry_mod.queries()
+    only = set(sys.argv[2:])  # optional: audit just the named queries
     n_bad = 0
-    for name, exp in EXPECTATIONS.items():
+    stale = [n for n in EXPECTATIONS if n not in qs]
+    if stale:
+        print(f"[BAD] EXPECTATIONS references unregistered queries: {stale}")
+        n_bad += 1
+    for name in qs:
+        if only and name not in only:
+            continue
+        exp = EXPECTATIONS.get(name, DEFAULT_EXPECTATION)
         import io
         from contextlib import redirect_stdout
 
