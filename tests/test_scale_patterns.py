@@ -402,3 +402,59 @@ def test_hive_partition_pruning_on_partitioned_write(spark, tmp_path):
         .count()
     )
     assert probe.count() == expect and expect > 0
+
+
+def test_grouped_rank_matches_plain_window(spark):
+    """grouped_rank (two-phase, no single-group window task) must be
+    result-identical to the plain PARTITION BY window — including tie
+    groups that straddle range-partition boundaries (many ties per
+    (group, value) with num_partitions >> distinct values)."""
+    from pyspark.sql import Window
+
+    from zoom_spark.operators.prefix import grouped_rank
+
+    rows = [
+        (i, ["A", "B", "C"][i % 3], float((i * 7) % 10))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string, v double")
+
+    got = (
+        grouped_rank(
+            df,
+            group_cols=["grp"],
+            order_col="v",
+            descending=True,
+            rank_col="r",
+            dense_rank_col="dr",
+            num_partitions=16,
+        )
+        .select("id", "r", "dr")
+        .collect()
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("v").desc())
+    exp = df.select(
+        "id",
+        F.rank().over(w).cast("bigint").alias("r"),
+        F.dense_rank().over(w).cast("bigint").alias("dr"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_grouped_rank_ascending_no_dense(spark):
+    from pyspark.sql import Window
+
+    from zoom_spark.operators.prefix import grouped_rank
+
+    rows = [(i, "g" + str(i % 2), i % 25) for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, grp string, v int")
+    got = (
+        grouped_rank(df, ["grp"], "v", rank_col="r", num_partitions=8)
+        .select("id", "r")
+        .collect()
+    )
+    w = Window.partitionBy("grp").orderBy("v")
+    exp = df.select(
+        "id", F.rank().over(w).cast("bigint").alias("r")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))

@@ -181,3 +181,90 @@ def pack_by_budget(
         shard_col,
         F.floor((F.col("_cum") - F.col(weight_col)) / F.lit(budget)).cast("bigint"),
     ).drop("_cum")
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    descending: bool = False,
+    rank_col: str = "rank",
+    dense_rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """rank()/dense_rank() OVER (PARTITION BY group ORDER BY order_col)
+    without one task per group — the scale-safe shape when the group
+    key is low-cardinality (a 3-value status key puts 1/3 of the table
+    in ONE window task at 100 TB).
+
+    Two-phase: range-partition on (group, order) — the range
+    partitioner maps EQUAL sort keys to the SAME partition, so ties
+    never straddle a partition boundary and local ranks are exact
+    within each partition — then add per-(partition, group) offsets:
+    rank offset = rows of the group in earlier partitions, dense-rank
+    offset = distinct order values of the group in earlier partitions.
+    One range shuffle + an O(P x |groups|) driver exchange.
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    gcols = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(p, *gcols, oc).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(oc)
+    local_cols = [ranged[c] for c in df.columns] + [
+        F.col("_pid"),
+        F.rank().over(w).alias("_local_rank"),
+    ]
+    if dense_rank_col is not None:
+        local_cols.append(F.dense_rank().over(w).alias("_local_dense"))
+    # Freeze one partitioning for the two consumers (offsets collect +
+    # final join) — same hazard prefix_sum documents.
+    local = ranged.select(*local_cols).localCheckpoint()
+    aggs = [F.count("*").alias("_n")]
+    if dense_rank_col is not None:
+        aggs.append(F.countDistinct(order_col).alias("_nd"))
+    totals = local.groupBy("_pid", *group_cols).agg(*aggs).collect()
+    offsets: dict[tuple, list[int]] = {}
+    running: dict[tuple, list[int]] = {}
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        gkey = tuple(r[c] for c in group_cols)
+        run = running.setdefault(gkey, [0, 0])
+        offsets[(r["_pid"], *gkey)] = list(run)
+        run[0] += r["_n"]
+        if dense_rank_col is not None:
+            run[1] += r["_nd"]
+    schema = (
+        "_pid int, "
+        + ", ".join(f"{c}_k string" for c in group_cols)
+        + ", _roff bigint, _doff bigint"
+    )
+    off_df = df.sparkSession.createDataFrame(
+        [
+            (k[0], *[str(v) for v in k[1:]], off[0], off[1])
+            for k, off in offsets.items()
+        ],
+        schema,
+    )
+    cond = [local["_pid"] == off_df["_pid"]] + [
+        local[c].cast("string") == off_df[f"{c}_k"] for c in group_cols
+    ]
+    out = (
+        local.join(F.broadcast(off_df), cond)
+        .withColumn(
+            rank_col, (F.col("_local_rank") + F.col("_roff")).cast("bigint")
+        )
+    )
+    if dense_rank_col is not None:
+        out = out.withColumn(
+            dense_rank_col,
+            (F.col("_local_dense") + F.col("_doff")).cast("bigint"),
+        )
+    drop = [local["_pid"], off_df["_pid"], "_local_rank", "_roff", "_doff"] + [
+        f"{c}_k" for c in group_cols
+    ]
+    if dense_rank_col is not None:
+        drop.append("_local_dense")
+    for d in drop:
+        out = out.drop(d)
+    return out

@@ -47,15 +47,23 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rank_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank — deterministic under ties (equal rank)."""
+    """rank/dense_rank — deterministic under ties (equal rank).
+
+    o_orderstatus has 3 values, so a plain window PARTITION BY holds
+    ~1/3 of orders in ONE task at scale; route through the two-phase
+    operators/prefix.grouped_rank instead (range shuffle + O(P x 3)
+    offset exchange, no single-group task)."""
+    from zoom_spark.operators.prefix import grouped_rank
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
-    return orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
-    )
+    return grouped_rank(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        group_cols=["o_orderstatus"],
+        order_col="o_totalprice",
+        descending=True,
+        rank_col="price_rank",
+        dense_rank_col="price_dense_rank",
+    ).select("o_orderkey", "o_orderstatus", "price_rank", "price_dense_rank")
 
 
 @register(
