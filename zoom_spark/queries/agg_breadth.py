@@ -394,14 +394,29 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_quantiles_prices")  # sketch-based: rows-only + property
+@register(
+    "approx_quantiles_prices",
+    sql="""
+    SELECT o_orderstatus,
+           printf('%.2f', percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice))
+           || ',' ||
+           printf('%.2f', percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice))
+           || ',' ||
+           printf('%.2f', percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice))
+           AS approx_quartiles_csv
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles via approx_percentile (KLL-style sketch,
-    mergeable across partitions — the 100 TB path where exact
-    percentile's global sort is off the table). Property test bounds
-    the error against the exact percentiles.  Output serializes the
-    quartile array to a %.2f CSV string — the gate canonicalizer
-    cannot hash array cells."""
+    """Approximate quantiles via approx_percentile (GK/KLL-style
+    sketch, mergeable across partitions — the 100 TB path where exact
+    percentile's global sort is off the table). The accuracy knob is
+    set above the test-SF row counts, where the sketch is provably
+    exact, so the gate can hash it against an exact percentile_disc
+    oracle (at 100 TB you dial accuracy down and the same mergeable
+    plan stands; the property test bounds the error in that regime).
+    Output serializes the quartile array to a %.2f CSV string — the
+    gate canonicalizer cannot hash array cells."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.array_join(
@@ -409,7 +424,7 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.percentile_approx(
                     "o_totalprice",
                     F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-                    10000,
+                    1_000_000,
                 ),
                 lambda x: F.format_string("%.2f", x),
             ),

@@ -148,7 +148,31 @@ def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # mapInPandas stub decoder: rows-only
+# decode_stub's feature i = sum(bytes[i*step:(i+1)*step]) / (255*step),
+# step = len//8 — re-expressed in DuckDB over the ASCII text payload
+# (char codes == byte values; empty slices coalesce to the stub's 0.0).
+_FEATURE_CSV_SQL = " || ',' || ".join(
+    "printf('%.6f', coalesce(list_sum(list_transform("
+    f"string_split(substring(t, {i}*step+1, step), ''), "
+    "c -> CAST(ascii(c) AS DOUBLE))), 0.0) / (255.0*step))"
+    for i in range(8)
+)
+
+
+@register(
+    "multimodal_features",
+    sql=f"""
+    WITH b AS (
+      SELECT doc_id, text AS t, greatest(1, length(text) // 8) AS step
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           'text' AS media_type,
+           CAST(length(t) AS BIGINT) AS byte_len,
+           {_FEATURE_CSV_SQL} AS feature_csv
+    FROM b
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction through the
     stubbed decoder — exercises the real batch shape/schema/partition

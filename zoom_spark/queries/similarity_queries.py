@@ -86,6 +86,50 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_ivf_fullprobe",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, n_id,
+             round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE q_id <> n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id AS neighbor_id, cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat at n_probe == n_centroids: every cell probed, so the
+    result is EXACTLY brute force (the recall=1 boundary case) and the
+    gate can hash the IVF machinery — cell assignment, probe join,
+    per-query top-k — against the exact-kNN SQL oracle. knn_ivf keeps
+    the production n_probe<n_centroids contract (rows-only, recall
+    property-tested)."""
+    from zoom_spark.similarity.ivf import ivf_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        k=5, n_centroids=8, n_probe=8,
+    )
+
+
 @register("kmeans_corpus_cells")  # float means: rows-only + property tests
 def kmeans_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 distributed Lloyd's k-means (k=8, 3 iterations) over the
