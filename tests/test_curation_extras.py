@@ -145,3 +145,73 @@ def test_conditional_entropy_bounds_and_referee(spark):
     h_type = -sum(c / n * math.log(c / n) for c in nt.values())
     assert abs(r["h_cond"] - h_cond) < 1e-4
     assert abs(r["h_type"] - h_type) < 1e-4
+
+
+def test_hard_negatives_ann_fullprobe_equals_exact_baseline(spark):
+    """IVF hard-negative mining with n_probe == n_centroids probes
+    every cell, so it must reproduce the exact O(N^2) baseline
+    row-for-row (same rounding, same tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.curation_extras import (
+        hard_negative_pairs,
+        mine_hard_negatives_ann,
+    )
+
+    v = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    got = sorted(
+        map(tuple, mine_hard_negatives_ann(v, n_centroids=8, n_probe=8).collect())
+    )
+    exact = sorted(map(tuple, hard_negative_pairs(spark, SF_DIR).collect()))
+    assert got == exact
+
+
+def test_hard_negatives_ann_planted_cluster_agreement(spark):
+    """Planted well-separated clusters: at n_probe=3 of 8 cells the
+    ANN top-1 must agree with the exact baseline for >= 90% of
+    vectors (the nearest different-label vector lives in the query's
+    own or an adjacent cell by construction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zoom_spark.queries.curation_extras import mine_hard_negatives_ann
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 4 tight clusters on distinct axes; labels alternate inside each
+    # cluster so every vector's hardest negative is a neighbor in its
+    # own cluster (same IVF cell).
+    for c in range(4):
+        center = np.zeros(16)
+        center[c * 4] = 10.0
+        for i in range(50):
+            vec = center + rng.normal(0, 0.05, 16)
+            rows.append(
+                (c * 50 + i, f"lab{i % 2}", [float(x) for x in vec])
+            )
+    v = spark.createDataFrame(
+        rows, "vec_id bigint, label string, vec array<double>"
+    )
+    ann = {
+        r["vec_id"]: r["neg_id"]
+        for r in mine_hard_negatives_ann(v, n_centroids=8, n_probe=3).collect()
+    }
+    exact = {}
+    vecs = np.array([r[2] for r in rows])
+    labels = [r[1] for r in rows]
+    ids = [r[0] for r in rows]
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(normed @ normed.T, 6)
+    for i in range(len(rows)):
+        mask = np.array([lab != labels[i] for lab in labels])
+        best = sims[i][mask].max()
+        exact[ids[i]] = max(
+            np.array(ids)[mask][sims[i][mask] == best]
+        )
+    agree = sum(1 for k, v_ in exact.items() if ann.get(k) == v_)
+    assert agree / len(exact) >= 0.9, f"top-1 agreement {agree}/{len(exact)}"

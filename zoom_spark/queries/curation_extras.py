@@ -190,6 +190,81 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mine_hard_negatives_ann(
+    v: DataFrame, *, n_centroids: int = 8, n_probe: int = 3
+) -> DataFrame:
+    """ANN-backed hard-negative mining: IVF coarse cells bound the
+    candidate set (each vector scores only the vectors in its n_probe
+    nearest cells), label filter applied POST-probe, then one
+    max-struct reduce per vector — the 100 TB shape, vs the O(N^2)
+    exact baseline in hard_negative_pairs (kept as the referee).
+    Input: (vec_id, label, vec[double]). Same tiebreak as the
+    baseline: round(sim, 6) desc, then highest neg_id. At
+    n_probe == n_centroids the probe is exhaustive and the result
+    equals the exact baseline (property-tested)."""
+    from zoom_spark.functions.vectors import cosine_with_norms
+    from zoom_spark.similarity.ivf import (
+        assign_cells,
+        probe_cells,
+        sample_centroids,
+    )
+
+    centroids = sample_centroids(v, "vec", "vec_id", n_centroids)
+    labels = v.select(
+        F.col("vec_id").alias("id"), F.col("label").alias("n_label")
+    )
+    cells = assign_cells(v, "vec", "vec_id", centroids).join(labels, on="id")
+    probes = probe_cells(v, "vec", "vec_id", centroids, n_probe).join(
+        v.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")),
+        on="q_id",
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("q_vec"), F.col("vec"), F.col("q_norm"), F.col("v_norm")
+        ),
+        6,
+    )
+    best = (
+        probes.join(cells, on="cell")
+        .where(F.col("q_id") != F.col("id"))
+        .where(F.col("q_label") != F.col("n_label"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("q_label").alias("label"),
+            F.struct(
+                sim.alias("sim"),
+                F.col("id").alias("neg_id"),
+                F.col("n_label").alias("neg_label"),
+            ).alias("cand"),
+        )
+        # a vector probed via multiple cells can meet the same
+        # candidate once per shared cell — max-struct dedups for free
+        .groupBy("vec_id", "label")
+        .agg(F.max("cand").alias("best"))
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("best.neg_id").alias("neg_id"),
+        F.col("best.neg_label").alias("neg_label"),
+        F.col("best.sim").alias("sim"),
+    )
+
+
+@register("hard_negative_pairs_ann")  # approximate (recall<1): rows-only
+def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of hard_negative_pairs: IVF-bucketed candidate
+    generation (n_probe=3 of 8 cells) instead of the exact N^2 scan.
+    Property tests: full-probe equals the exact baseline exactly;
+    at n_probe=3 top-1 agreement >= 0.9 on planted clusters."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    return mine_hard_negatives_ann(v, n_centroids=8, n_probe=3)
+
+
 @register("kcore_parts")  # iterative peel: rows-only gate + referee test
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph (operators/graph.k_core):
