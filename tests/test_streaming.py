@@ -444,3 +444,63 @@ def test_stream_drift_monitor_matches_batch_l1(spark):
     # 2-day watermark over 1-day windows: up to 3 tail windows stay open
     assert len(got) >= len(expect) - 3
     assert all(0 <= v < 1.0 for v in got.values())
+
+
+def test_stream_decontaminate_bounded_state_variant(spark):
+    """dedup_within path: watermarked dropDuplicatesWithinWatermark
+    must produce the same contaminated set within one run (horizon far
+    larger than the run), with bounded keyed state."""
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import (
+        DECON_MOD,
+        DECON_W,
+        decontaminate_ngram_overlap,
+    )
+    from zoom_spark.streaming.windows import (
+        read_documents_stream,
+        stream_decontaminate,
+    )
+
+    sf = SF_DIR
+    docs = load_table(spark, sf, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    test_shingles = (
+        docs.where(F.col("doc_id") % DECON_MOD == 0)
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= DECON_W)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws") - (DECON_W - 1), F.lit(1))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("ws"), F.col("i"), DECON_W))
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    train_stream = read_documents_stream(spark, sf).where(
+        F.col("doc_id") % DECON_MOD != 0
+    )
+    out = stream_decontaminate(
+        train_stream, test_shingles, n=DECON_W, dedup_within="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_decon_bounded")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM stream_decon_bounded").collect()
+    }
+    expect = {
+        r["doc_id"]
+        for r in decontaminate_ngram_overlap(spark, sf).collect()
+        if r["contaminated"] == 1
+    }
+    assert got == expect

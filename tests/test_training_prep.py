@@ -1110,11 +1110,13 @@ def test_diversity_card_uniform_and_skewed(spark):
 
 
 def test_containment_asymmetry_on_planted_subset(spark):
-    from zoom_spark.queries.training_prep import (
-        CONT_OFFSET,
-        containment_neardup_pairs,
-    )
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.training_prep import containment_neardup_pairs
 
+    CONT_OFFSET = (
+        load_table(spark, SF_DIR, "documents").agg({"doc_id": "max"}).collect()[0][0]
+        + 1
+    )
     rows = containment_neardup_pairs(spark, SF_DIR).collect()
     by_pair = {(r["id_a"], r["id_b"]): r for r in rows}
     # every original is FULLY contained in its tail-extended clone
@@ -1133,12 +1135,15 @@ def test_containment_matches_python_sets(spark):
     from zoom_spark.io import load_table
     from zoom_spark.queries.training_prep import (
         CONT_MIN,
-        CONT_OFFSET,
         CONT_W,
         containment_neardup_pairs,
     )
 
     rows = containment_neardup_pairs(spark, SF_DIR).collect()
+    CONT_OFFSET = (
+        load_table(spark, SF_DIR, "documents").agg({"doc_id": "max"}).collect()[0][0]
+        + 1
+    )
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text"
     ).toPandas()

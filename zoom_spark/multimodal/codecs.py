@@ -60,10 +60,11 @@ def encode_wav(
     )
 
 
-def decode_wav(content: bytes) -> dict:
-    """Parse RIFF/WAVE: walk chunks to fmt + data (tolerating extra
-    chunks like LIST), return header fields and sample statistics
-    computed from the real PCM payload."""
+def _parse_wav_pcm16(content: bytes) -> tuple[tuple, tuple[int, ...]]:
+    """Shared RIFF chunk walk + PCM-16 validation: returns (fmt tuple,
+    decoded int16 samples). Single source of truth for decode_wav and
+    wav_segment_rms — the chunk-walk logic must never drift between
+    the whole-clip and windowed paths."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, data = 12, None, None
@@ -78,12 +79,20 @@ def decode_wav(content: bytes) -> dict:
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, n_channels, sample_rate = fmt[0], fmt[1], fmt[2]
-    bits = fmt[5]
+    audio_format, bits = fmt[0], fmt[5]
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only PCM-16 supported (fmt={audio_format}, bits={bits})")
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return fmt, struct.unpack(f"<{n}h", data[: n * 2])
+
+
+def decode_wav(content: bytes) -> dict:
+    """Parse RIFF/WAVE: walk chunks to fmt + data (tolerating extra
+    chunks like LIST), return header fields and sample statistics
+    computed from the real PCM payload."""
+    fmt, samples = _parse_wav_pcm16(content)
+    n_channels, sample_rate = fmt[1], fmt[2]
+    n = len(samples)
     n_frames = n // max(1, n_channels)
     mean = sum(samples) / n / 32767.0 if n else 0.0
     rms = math.sqrt(sum(s * s for s in samples) / n) / 32767.0 if n else 0.0
@@ -106,9 +115,11 @@ def encode_ppm(width: int, height: int, rgb: list[tuple[int, int, int]]) -> byte
     return header + bytes(v for px in rgb for v in px)
 
 
-def decode_ppm(content: bytes) -> dict:
-    """Parse P6 PPM: whitespace/comment-tolerant header scan, then
-    pixel statistics from the real RGB payload."""
+def _parse_ppm_header(content: bytes) -> tuple[int, int, int, int]:
+    """Header-only P6 parse: (width, height, maxval, payload_pos).
+    Whitespace/comment-tolerant, NO pixel work — the cheap walk
+    split_ppm_frames uses to locate frame boundaries without paying
+    per-pixel decode for frames it will skip."""
     if content[:2] != b"P6":
         raise ValueError("not a P6 PPM stream")
     fields, pos = [], 2
@@ -122,11 +133,20 @@ def decode_ppm(content: bytes) -> dict:
         start = pos
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
         fields.append(int(content[start:pos]))
     pos += 1  # single whitespace after maxval
     width, height, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
+    return width, height, maxval, pos
+
+
+def decode_ppm(content: bytes) -> dict:
+    """Parse P6 PPM: whitespace/comment-tolerant header scan, then
+    pixel statistics from the real RGB payload."""
+    width, height, maxval, pos = _parse_ppm_header(content)
     n_px = width * height
     pix = content[pos : pos + 3 * n_px]
     if len(pix) < 3 * n_px:
@@ -214,14 +234,18 @@ def encode_ppm_video(frames: list[bytes]) -> bytes:
 
 
 def split_ppm_frames(content: bytes) -> list[bytes]:
-    """Walk the concatenated-PPM stream frame by frame: parse each P6
-    header, compute the frame's total length from its own width/height,
-    slice, advance. Raises on any malformed/truncated frame (the
+    """Walk the concatenated-PPM stream frame by frame: HEADER-ONLY
+    parse per frame (width/height/payload offset), compute the frame's
+    total length, slice, advance — no per-pixel work, so a sampler
+    that decodes only every k-th frame pays pixel cost only for the
+    frames it keeps. Raises on any malformed/truncated frame (the
     quarantine path catches this upstream)."""
     frames, pos = [], 0
     while pos < len(content):
-        d = decode_ppm(content[pos:])
-        end = d["_payload_pos"] + 3 * d["n_units"]
+        w, h, _maxval, payload = _parse_ppm_header(content[pos:])
+        end = payload + 3 * w * h
+        if pos + end > len(content):
+            raise ValueError("truncated pixel payload")
         frames.append(content[pos : pos + end])
         pos += end
     return frames
@@ -249,33 +273,23 @@ def synth_ppm_video_bytes(seed: int, n_frames: int | None = None) -> bytes:
 
 def wav_segment_rms(content: bytes, n_segments: int = 4) -> list[dict]:
     """Windowed audio features over the REAL PCM payload: split the
-    sample stream into n_segments equal spans and return per-segment
-    RMS/peak (normalized to [-1, 1]) — the time-resolved version of
-    decode_wav's whole-clip statistics, i.e. the energy envelope a
-    voice-activity or silence-trim stage consumes. Pure-stdlib parse
-    (same chunk walk as decode_wav); raises on non-PCM-16 input."""
-    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(content):
-        cid = content[pos : pos + 4]
-        (clen,) = struct.unpack_from("<I", content, pos + 4)
-        body = content[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-        pos += 8 + clen + (clen & 1)
-    if fmt is None or data is None:
-        raise ValueError("missing fmt/data chunk")
-    if fmt[0] != 1 or fmt[5] != 16:
-        raise ValueError("only PCM-16 supported")
-    n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    sample stream into n_segments roughly-equal spans and return
+    per-segment RMS/peak (normalized to [-1, 1]) — the time-resolved
+    version of decode_wav's whole-clip statistics, i.e. the energy
+    envelope a voice-activity or silence-trim stage consumes. Uses the
+    shared _parse_wav_pcm16 chunk walk; segment boundaries are aligned
+    to whole interleaved FRAMES (n_channels multiples) so a stereo
+    frame is never split across segments."""
+    fmt, samples = _parse_wav_pcm16(content)
+    n_channels = max(1, fmt[1])
+    n = len(samples)
+    n_frames = n // n_channels
     out = []
     for seg in range(n_segments):
-        lo = seg * n // n_segments
-        hi = (seg + 1) * n // n_segments
+        lo = (seg * n_frames // n_segments) * n_channels
+        hi = ((seg + 1) * n_frames // n_segments) * n_channels
+        if seg == n_segments - 1:
+            hi = n  # any trailing partial frame lands in the last span
         span = samples[lo:hi]
         if span:
             rms = math.sqrt(sum(s * s for s in span) / len(span)) / 32767.0

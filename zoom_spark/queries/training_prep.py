@@ -904,28 +904,32 @@ def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("f2") - stats["m2"]) / stats["s2"]).alias("x2"),
         F.col("y").cast("double").alias("y"),
     ).persist()
-    n = feats.count()
-    w0 = w1 = w2 = 0.0
-    for _ in range(LOGREG_ITERS):
+    try:
+        n = feats.count()
+        w0 = w1 = w2 = 0.0
+        for _ in range(LOGREG_ITERS):
+            z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            g = feats.agg(
+                F.avg(p - F.col("y")).alias("g0"),
+                F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+                F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+            ).collect()[0]
+            w0 -= LOGREG_LR * g["g0"]
+            w1 -= LOGREG_LR * g["g1"]
+            w2 -= LOGREG_LR * g["g2"]
         z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        g = feats.agg(
-            F.avg(p - F.col("y")).alias("g0"),
-            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
-            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
-        ).collect()[0]
-        w0 -= LOGREG_LR * g["g0"]
-        w1 -= LOGREG_LR * g["g1"]
-        w2 -= LOGREG_LR * g["g2"]
-    z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
-    acc = feats.agg(
-        F.avg(
-            (
-                ((z > 0).cast("int") == F.col("y").cast("int")).cast("double")
-            )
-        ).alias("acc")
-    ).collect()[0]["acc"]
-    feats.unpersist()
+        acc = feats.agg(
+            F.avg(
+                (
+                    ((z > 0).cast("int") == F.col("y").cast("int")).cast("double")
+                )
+            ).alias("acc")
+        ).collect()[0]["acc"]
+    finally:
+        # any failure in the GD collect loop must not leak the cached
+        # frame for the session's lifetime
+        feats.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -2289,7 +2293,6 @@ def corpus_diversity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONT_W = 8       # shingle width (words)
 CONT_MIN = 0.5   # report containment >= this
-CONT_OFFSET = 1_000_000  # clone ids in the planted doubled corpus
 
 
 @register(
@@ -2298,7 +2301,7 @@ CONT_OFFSET = 1_000_000  # clone ids in the planted doubled corpus
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + {CONT_OFFSET},
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
              text || ' appended tail marker words' AS text
       FROM documents
     ),
@@ -2342,9 +2345,13 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc×doc join); sizes join back broadcast-shaped. Both directions
     of a pair are reported independently."""
     docs = load_table(spark, sf_dir, "documents")
+    # clone-id offset derived from the data (max+1) so planted clone
+    # ids can never collide with real doc ids at any SF; the oracle
+    # SQL derives the same offset with a scalar subquery
+    cont_offset = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     corpus = docs.select("doc_id", "text").unionAll(
         docs.select(
-            (F.col("doc_id") + CONT_OFFSET).alias("doc_id"),
+            (F.col("doc_id") + F.lit(cont_offset)).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" appended tail marker words")).alias(
                 "text"
             ),

@@ -237,7 +237,10 @@ def read_documents_stream(spark, sf_dir: str) -> DataFrame:
 
 
 def stream_decontaminate(
-    docs_stream: DataFrame, test_shingles: DataFrame, n: int = 8
+    docs_stream: DataFrame,
+    test_shingles: DataFrame,
+    n: int = 8,
+    dedup_within: str | None = None,
 ) -> DataFrame:
     """Streaming benchmark decontamination: as documents arrive, flag
     any that share a word-``n``-gram with the STATIC held-out test
@@ -245,9 +248,16 @@ def stream_decontaminate(
     the batch twin — same map-side md5 shingling, so the stream
     shuffles 16-byte hashes, never text). The static side is
     benchmark-sized and re-read per micro-batch (stream-static inner
-    join needs no watermark); dropDuplicates('doc_id') collapses
-    multi-shingle hits — keyed state is one doc_id per contaminated
-    doc, bounded by the contamination rate, not the corpus."""
+    join needs no watermark).
+
+    Dedup state: with ``dedup_within`` unset, dropDuplicates('doc_id')
+    keeps one state entry per contaminated doc for the STREAM'S
+    LIFETIME — exact output, but state grows with total contaminated
+    docs, not a rate. For long-running production streams pass
+    ``dedup_within`` (e.g. "1 hour"): hits are stamped with arrival
+    time and deduped via dropDuplicatesWithinWatermark, so state is
+    bounded by the horizon; a doc re-delivered after the horizon
+    re-emits its (idempotent) flag."""
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     shingles = (
         docs_stream.select("doc_id", ws.alias("ws"))
@@ -266,11 +276,15 @@ def stream_decontaminate(
             ),
         )
     )
-    return (
-        shingles.join(test_shingles.select("sh").distinct(), "sh")
-        .select("doc_id")
-        .dropDuplicates(["doc_id"])
-    )
+    hits = shingles.join(test_shingles.select("sh").distinct(), "sh")
+    if dedup_within is not None:
+        return (
+            hits.withColumn("_arrival", F.current_timestamp())
+            .withWatermark("_arrival", dedup_within)
+            .dropDuplicatesWithinWatermark(["doc_id"])
+            .select("doc_id")
+        )
+    return hits.select("doc_id").dropDuplicates(["doc_id"])
 
 
 def stream_drift_monitor(
