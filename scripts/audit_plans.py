@@ -343,6 +343,12 @@ EXPECTATIONS = {
     "cross_join_status_region": dict(pushed=False, broadcast=False, cartesian=True),
     # 1-row min/max bounds frame broadcast onto orders (BNLJ by design)
     "histogram_prices": dict(pushed=False, broadcast=False, cartesian=True),
+    # day-level pre-agg self-join (calendar-bounded theta join) + 1-row
+    # median-slope frame broadcast back (BNLJ by design)
+    "theil_sen_revenue_trend": dict(pushed=False, broadcast=False, cartesian=True),
+    # two 1-row scalar normalizers (total chars, sum of weights)
+    # broadcast onto the source-level frame (BNLJ by design)
+    "mixing_budget_allocation": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

@@ -1,0 +1,224 @@
+"""Independent referees for the round-6 breadth operators (R151+).
+
+Each test recomputes the answer with a DIFFERENT algorithm/library
+(pure-Python adjacency walk, pandas groupby, numpy median) — never the
+engine's own plan — per the repo's referee discipline.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zoom_spark.io import load_table
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _edges(spark):
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    return edges
+
+
+def test_adamic_adar_matches_python_referee(spark):
+    from zoom_spark.queries.round6_breadth import (
+        AA_TOPK,
+        adamic_adar_link_prediction,
+    )
+
+    edges = _edges(spark)
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    scores: dict[tuple, float] = defaultdict(float)
+    common: dict[tuple, int] = defaultdict(int)
+    for z, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        w = 1.0 / math.log(len(nbrs))
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                scores[(ns[i], ns[j])] += w
+                common[(ns[i], ns[j])] += 1
+    cand = [
+        (round(s, 6), a, b, common[(a, b)])
+        for (a, b), s in scores.items()
+        if (a, b) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, n, s) for s, a, b, n in cand[:AA_TOPK]]
+    got = [
+        (r["a"], r["b"], r["n_common"], r["aa_score"])
+        for r in adamic_adar_link_prediction(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_markov_transitions_match_pandas_referee(spark):
+    from zoom_spark.queries.round6_breadth import markov_event_transitions
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    counts: dict[tuple, int] = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        for prev, nxt in zip(types, types[1:]):
+            counts[(prev, nxt)] += 1
+    prev_tot = defaultdict(int)
+    for (p, _), c in counts.items():
+        prev_tot[p] += c
+    want = {
+        (p, nx): (c, round(c / prev_tot[p], 6)) for (p, nx), c in counts.items()
+    }
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p"])
+        for r in markov_event_transitions(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # each row of the transition matrix sums to ~1
+    row_sum = defaultdict(float)
+    for (p, _), (_, prob) in got.items():
+        row_sum[p] += prob
+    for p, s in row_sum.items():
+        assert abs(s - 1.0) < 1e-4, (p, s)
+
+
+def test_theil_sen_matches_numpy_referee(spark):
+    from zoom_spark.queries.round6_breadth import theil_sen_revenue_trend
+
+    o = load_table(spark, SF_DIR, "orders").toPandas()
+    o["d"] = (o["o_orderdate"].dt.normalize() - np.datetime64("1970-01-01")).dt.days
+    daily = (
+        o.groupby("d")["o_totalprice"].sum().round(2).reset_index(name="rev")
+    )
+    d = daily["d"].to_numpy(dtype=float)
+    rev = daily["rev"].to_numpy()
+    slopes = []
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            slopes.append((rev[j] - rev[i]) / (d[j] - d[i]))
+    slope = float(np.median(slopes))
+    intercept = float(np.median(rev - slope * d))
+    [r] = theil_sen_revenue_trend(spark, SF_DIR).collect()
+    assert r["n_days"] == len(d)
+    assert r["n_pairs"] == len(slopes)
+    assert abs(r["slope"] - round(slope, 6)) < 1e-6
+    assert abs(r["intercept"] - round(intercept, 4)) < 1e-3
+
+
+def test_readability_matches_python_referee(spark):
+    import re
+
+    from zoom_spark.queries.round6_breadth import readability_scores
+
+    got = {r["doc_id"]: r for r in readability_scores(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        ws = [w for w in d["text"].split(" ") if w]
+        n_s = max(1, len(re.findall(r"[.!?]+", d["text"])))
+        n_syl = len(re.findall(r"[aeiouy]+", d["text"].lower()))
+        flesch = round(
+            206.835 - 1.015 * (len(ws) / n_s) - 84.6 * (n_syl / max(1, len(ws))),
+            4,
+        )
+        r = got[d["doc_id"]]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            len(ws),
+            n_s,
+            n_syl,
+        )
+        assert abs(r["flesch"] - flesch) < 1e-6
+
+
+def test_fuzzy_name_pairs_matches_python_levenshtein(spark):
+    from zoom_spark.queries.round6_breadth import (
+        FUZZY_MAX_DIST,
+        fuzzy_name_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = load_table(spark, SF_DIR, "part").groupBy("p_name").count().collect()
+    counts = {r["p_name"]: r["count"] for r in names}
+    want = set()
+    for a in counts:
+        for b in counts:
+            if (
+                a < b
+                and a.split(" ")[-1] == b.split(" ")[-1]
+                and lev(a, b) <= FUZZY_MAX_DIST
+            ):
+                want.add((a, b, lev(a, b), counts[a], counts[b]))
+    got = {
+        (r["name_a"], r["name_b"], r["edit_dist"], r["n_a"], r["n_b"])
+        for r in fuzzy_name_pairs(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert want, "fixture should surface fuzzy pairs"
+
+
+def test_mixing_budget_allocation_properties(spark):
+    from zoom_spark.queries.round6_breadth import (
+        MIX_CHAR_BUDGET,
+        MIX_TEMP,
+        mixing_budget_allocation,
+    )
+
+    rows = mixing_budget_allocation(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("source", "n_chars").collect()
+    chars = defaultdict(int)
+    for r in docs:
+        chars[r["source"]] += r["n_chars"]
+    tot = sum(chars.values())
+    pw = {s: (c / tot) ** MIX_TEMP for s, c in chars.items()}
+    z = sum(pw.values())
+    assert {r["source"] for r in rows} == set(chars)
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    assert (
+        abs(sum(r["target_chars"] for r in rows) - MIX_CHAR_BUDGET)
+        <= len(rows)  # per-source rounding
+    )
+    for r in rows:
+        assert abs(r["mix_weight"] - round(pw[r["source"]] / z, 6)) < 1e-6
+        assert abs(
+            r["epochs"] - round(pw[r["source"]] / z * MIX_CHAR_BUDGET / chars[r["source"]], 6)
+        ) < 1e-5
+    # temperature < 1 flattens: small sources get MORE than raw share
+    smallest = min(chars, key=chars.get)
+    raw_share = chars[smallest] / tot
+    got_w = next(r["mix_weight"] for r in rows if r["source"] == smallest)
+    assert got_w > raw_share

@@ -1,0 +1,386 @@
+"""Round-6 breadth operators (R151–R156): link prediction, sequence
+modeling, robust regression, readability scoring, fuzzy string
+matching, and mixing-budget allocation.
+
+Each query is Spark-first (JVM expressions, bounded joins, two-phase
+reductions) with an exact DuckDB oracle twin; floats are rounded on
+both sides before compare (driver-gate discipline, see
+tests/oracle_harness.py).
+
+Reference parity note: the reference pipeline (/root/reference/main.py)
+has no analog for any of these — they belong to the mandated
+LLM-pipeline / warehouse extension family (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+AA_TOPK = 50
+
+
+@register(
+    "adamic_adar_link_prediction",
+    sql=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nbr AS (
+      SELECT u AS z, v AS x FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (SELECT z, count(*) AS d FROM nbr GROUP BY z),
+    wedges AS (
+      SELECT e1.x AS a, e2.x AS b, 1.0 / ln(deg.d) AS w
+      FROM nbr e1 JOIN nbr e2 ON e1.z = e2.z AND e1.x < e2.x
+      JOIN deg ON deg.z = e1.z
+      WHERE deg.d >= 2
+    ),
+    scored AS (
+      SELECT a, b, round(sum(w), 6) AS aa_score,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM wedges GROUP BY a, b
+    ),
+    non_edges AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN pairs p ON s.a = p.u AND s.b = p.v
+      WHERE p.u IS NULL
+    )
+    SELECT a, b, n_common, aa_score FROM non_edges
+    ORDER BY aa_score DESC, a, b LIMIT {AA_TOPK}
+    """,
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R151 link prediction: Adamic-Adar score over the co-purchase
+    graph — for each NON-adjacent part pair, sum 1/ln(deg(z)) over
+    common neighbors z (rarer shared neighbors count more). The
+    candidate-generation step of a recommendation / graph-completion
+    pipeline. Wedge enumeration is the bounded equi-join on the wedge
+    center (same shape as co_purchase_triangles — fanout is
+    sum(deg^2), never |V|^2); existing edges drop via a left-anti
+    join; top-k via TakeOrderedAndProject with (a, b) tiebreak."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a_, b_ = li.alias("a"), li.alias("b")
+    pairs = (
+        a_.join(b_, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    nbr = pairs.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
+        pairs.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    )
+    deg = nbr.groupBy("z").agg(F.count("*").alias("d")).where(F.col("d") >= 2)
+    e1 = nbr.select(F.col("z"), F.col("x").alias("a"))
+    e2 = nbr.select(F.col("z"), F.col("x").alias("b"))
+    wedges = (
+        e1.join(e2, on="z")
+        .where(F.col("a") < F.col("b"))
+        .join(deg, on="z")
+        .select("a", "b", (F.lit(1.0) / F.log(F.col("d"))).alias("w"))
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.round(F.sum("w"), 6).alias("aa_score"),
+        F.count("*").cast("bigint").alias("n_common"),
+    )
+    non_edges = scored.join(
+        pairs,
+        (scored["a"] == pairs["u"]) & (scored["b"] == pairs["v"]),
+        "left_anti",
+    )
+    return non_edges.select("a", "b", "n_common", "aa_score").orderBy(
+        F.col("aa_score").desc(), "a", "b"
+    ).limit(AA_TOPK)
+
+
+@register(
+    "markov_event_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           round(n_transitions * 1.0 / sum(n_transitions)
+                 OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R152 first-order Markov chain over per-user event sequences:
+    transition counts and row-normalized probabilities between event
+    types — the behavioral model behind next-action prediction and
+    anomalous-session detection. Per-user lag window (user_id
+    partitions are small and numerous — the healthy window shape),
+    then one aggregate; the normalizing window runs over the
+    |types|^2-row transition matrix, a model-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wp), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "theil_sen_revenue_trend",
+    sql="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    m AS (SELECT median(slope) AS slope FROM slopes)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM slopes) AS BIGINT) AS n_pairs,
+           round(m.slope, 6) AS slope,
+           round((SELECT median(rev - m.slope * d) FROM daily), 4) AS intercept
+    FROM m
+    """,
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R153 Theil-Sen robust trend: median of all pairwise
+    day-over-day revenue slopes (breakdown point 29% — outlier days
+    cannot drag the trend the way OLS lets them), intercept =
+    median(rev - slope*day). The pairwise join runs over the DAY-LEVEL
+    pre-aggregate: its size is calendar-bounded (~2.4k days at any SF,
+    so ~3M pairs at 100 TB exactly as at sf0.01) — the same bound the
+    RANGE-frame whitelist queries rely on. Medians are Spark's exact
+    percentile over that bounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    a_, b_ = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a_.join(b_, F.col("a.d") < F.col("b.d"))
+        .select(
+            (
+                (F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))
+            ).alias("slope")
+        )
+    )
+    m = slopes.agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    resid = daily.join(F.broadcast(m)).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.round(F.first("slope"), 6).alias("slope"),
+        F.round(
+            F.percentile(F.col("rev") - F.col("slope") * F.col("d"), F.lit(0.5)),
+            4,
+        ).alias("intercept"),
+    )
+    return resid.select("n_days", "n_pairs", "slope", "intercept")
+
+
+@register(
+    "readability_scores",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / greatest(1, n_words)),
+                 4) AS flesch
+    FROM t
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R154 readability quality signal: Flesch reading-ease per doc
+    with the standard cheap proxies (sentences = punctuation runs,
+    syllables = vowel groups) — a staple text-quality gate next to the
+    Gopher/C4 heuristics. Pure JVM regexp/split expressions, map-only,
+    no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
+        "bigint"
+    )
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"), F.regexp_count("text", F.lit(r"[.!?]+")).cast("bigint")
+    )
+    n_syl = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("bigint")
+    t = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+            - 84.6
+            * (
+                F.col("n_syllables")
+                * 1.0
+                / F.greatest(F.lit(1).cast("bigint"), F.col("n_words"))
+            ),
+            4,
+        ).alias("flesch"),
+    )
+
+
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "fuzzy_name_pairs",
+    sql=f"""
+    WITH nm AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    b AS (
+      SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk FROM nm
+    )
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_a, c.n_parts AS n_b
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R155 fuzzy string matching (entity-resolution candidate pairs):
+    part-name pairs within Levenshtein distance {2}, blocked on the
+    head noun (last token) so the quadratic verify runs inside
+    vocabulary-sized blocks — the name VOCABULARY is what pairs up
+    (64 names at every SF), never the row count, so the plan is
+    scale-stable by construction. Carries per-name part counts so a
+    resolution step can weight merges."""
+    part = load_table(spark, sf_dir, "part")
+    nm = part.groupBy("p_name").agg(F.count("*").cast("bigint").alias("n_parts"))
+    b = nm.select(
+        "p_name", "n_parts", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    a_, c_ = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a_.join(
+            c_,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .where(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            dist.cast("bigint").alias("edit_dist"),
+            F.col("a.n_parts").alias("n_a"),
+            F.col("c.n_parts").alias("n_b"),
+        )
+    )
+
+
+MIX_TEMP = 0.7
+MIX_CHAR_BUDGET = 1_000_000
+
+
+@register(
+    "mixing_budget_allocation",
+    sql=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, pow(chars * 1.0 / (SELECT sum(chars) FROM s), {MIX_TEMP}) AS pw
+      FROM s
+    )
+    SELECT source, n_docs, chars,
+           round(pw / (SELECT sum(pw) FROM w), 6) AS mix_weight,
+           CAST(round(pw / (SELECT sum(pw) FROM w) * {MIX_CHAR_BUDGET})
+                AS BIGINT) AS target_chars,
+           round(pw / (SELECT sum(pw) FROM w) * {MIX_CHAR_BUDGET} / chars,
+                 6) AS epochs
+    FROM w
+    """,
+)
+def mixing_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R156 temperature-mixing BUDGET PLANNER: turn per-source corpus
+    masses into concrete per-source character budgets under a
+    temperature-T mixing law (w_i ∝ share_i^T — the standard
+    multilingual/multi-source rebalancing rule) and report the implied
+    epochs (>1 means that source repeats). The planning twin of
+    temperature_mix_sample, which draws the sample a plan like this
+    sizes. Two tiny scalar aggregates broadcast back over the
+    source-level frame — model-sized everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = s.agg(F.sum("chars").alias("tot"))
+    w = s.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.pow(F.col("chars") * 1.0 / F.col("tot"), MIX_TEMP).alias("pw"),
+    )
+    z = w.agg(F.sum("pw").alias("z"))
+    return w.join(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.round(F.col("pw") / F.col("z"), 6).alias("mix_weight"),
+        F.round(F.col("pw") / F.col("z") * MIX_CHAR_BUDGET)
+        .cast("bigint")
+        .alias("target_chars"),
+        F.round(
+            F.col("pw") / F.col("z") * MIX_CHAR_BUDGET / F.col("chars"), 6
+        ).alias("epochs"),
+    )
