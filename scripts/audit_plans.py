@@ -349,6 +349,8 @@ EXPECTATIONS = {
     # two 1-row scalar normalizers (total chars, sum of weights)
     # broadcast onto the source-level frame (BNLJ by design)
     "mixing_budget_allocation": dict(pushed=False, broadcast=False, cartesian=True),
+    # two 1-row key-count scalars joined onto the 1-row product sum
+    "join_size_estimator": dict(pushed=False, broadcast=False, cartesian=True),
 }
 
 

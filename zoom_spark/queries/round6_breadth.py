@@ -384,3 +384,234 @@ def mixing_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pw") / F.col("z") * MIX_CHAR_BUDGET / F.col("chars"), 6
         ).alias("epochs"),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             (date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7
+              - f.cohort_week) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           round(count(*) * 1.0 / s.cohort_size, 6) AS retention
+    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R157 retention triangle: users cohorted by first-activity week,
+    then per (cohort, week-offset) the share of the cohort still
+    active — the canonical product-analytics matrix behind retention
+    curves (cohort_ltv is the revenue sibling). One groupBy for the
+    cohort map, broadcast back onto events, distinct + aggregate; the
+    matrix itself is calendar^2-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        / 7
+    )
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    activity = (
+        ev.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), on="cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "join_skew_advisor",
+    sql="""
+    WITH ok AS (
+      SELECT 'l_orderkey' AS key_col, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    pk AS (
+      SELECT 'l_partkey' AS key_col, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_partkey
+    ),
+    u AS (
+      SELECT key_col, n FROM ok UNION ALL SELECT key_col, n FROM pk
+    )
+    SELECT key_col,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           round(avg(n), 4) AS avg_rows_per_key,
+           CAST(max(n) AS BIGINT) AS max_rows_per_key,
+           round(max(n) / avg(n), 4) AS skew_ratio,
+           CAST(least(32, greatest(1, ceil(max(n) / avg(n)))) AS BIGINT)
+             AS salt_factor
+    FROM u GROUP BY key_col
+    """,
+)
+def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R158 shuffle-skew advisor: per candidate join key, the
+    rows-per-key distribution (max vs mean) and the salting factor a
+    skew-salted join (operators/skew.salted_join) would want — the
+    planning query you run BEFORE a 100 TB join to decide between
+    plain shuffle, AQE skew split, and explicit salting. Two
+    partial-agg passes, model-sized output."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def per_key(col: str) -> DataFrame:
+        counts = li.groupBy(col).agg(F.count("*").alias("n"))
+        return counts.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.round(F.avg("n"), 4).alias("avg_rows_per_key"),
+            F.max("n").cast("bigint").alias("max_rows_per_key"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+            F.least(
+                F.lit(32),
+                F.greatest(F.lit(1), F.ceil(F.max("n") / F.avg("n"))),
+            )
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+
+    return per_key("l_orderkey").unionAll(per_key("l_partkey"))
+
+
+@register(
+    "join_size_estimator",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_custkey
+    )
+    SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS n_keys_left,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_keys_right,
+           CAST(count(*) AS BIGINT) AS n_keys_matched,
+           CAST(coalesce(sum(o.n * c.n), 0) AS BIGINT) AS join_rows
+    FROM o JOIN c ON o.k = c.k
+    """,
+)
+def join_size_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R159 join-cardinality estimator: |A JOIN B| computed EXACTLY
+    from per-key count products — the two GROUP BYs shuffle key-count
+    pairs (tiny) instead of materializing the join, which is how a
+    planner/cost check sizes a dangerous join before running it. At
+    100 TB both aggregates are partial-agg friendly and the final
+    frame is keys-sized, not rows-sized."""
+    o = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count("*").alias("n_o"))
+    c = load_table(spark, sf_dir, "customer").groupBy(
+        F.col("c_custkey").alias("k")
+    ).agg(F.count("*").alias("n_c"))
+    nl = o.agg(F.count("*").cast("bigint").alias("n_keys_left"))
+    nr = c.agg(F.count("*").cast("bigint").alias("n_keys_right"))
+    j = o.join(c, on="k").agg(
+        F.count("*").cast("bigint").alias("n_keys_matched"),
+        F.coalesce(F.sum(F.col("n_o") * F.col("n_c")), F.lit(0))
+        .cast("bigint")
+        .alias("join_rows"),
+    )
+    return j.join(F.broadcast(nl)).join(F.broadcast(nr)).select(
+        "n_keys_left", "n_keys_right", "n_keys_matched", "join_rows"
+    )
+
+
+WINNOW_K = 12  # k-gram length (chars)
+WINNOW_W = 6   # winnowing window (positions)
+
+
+@register(
+    "robust_winnow_fingerprints",
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id, t.i AS i,
+             md5(substring(text, t.i, {WINNOW_K})) AS h,
+             length(text) - {WINNOW_K} + 1 AS npos
+      FROM documents
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) AS i
+      ) t
+      WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    m AS (
+      SELECT doc_id, i, npos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM m WHERE i <= npos - {WINNOW_W - 1}
+    """,
+)
+def robust_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R160 TRUE winnowing (MOSS window-min): per position the md5 of
+    the k-gram, then the MINIMUM hash in every w-window of consecutive
+    positions; distinct (doc, fp). Guarantees any shared substring of
+    length >= k+w-1 yields a shared fingerprint — the tight-selection
+    upgrade over the mod-p winnow_fingerprints gate (which is
+    rows-only because xxhash64 has no oracle twin; md5 hex strings
+    compare identically on both engines). Per-doc window partitions
+    are document-sized — the healthy window shape."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (WINNOW_K - 1))
+        ).alias("i"),
+        (F.length("text") - (WINNOW_K - 1)).alias("npos"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        "npos",
+        F.md5(F.expr(f"substring(text, i, {WINNOW_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    m = g.select(
+        "doc_id", "i", "npos", F.min("h").over(w).alias("fp")
+    ).where(F.col("i") <= F.col("npos") - (WINNOW_W - 1))
+    return m.select("doc_id", "fp").distinct()
