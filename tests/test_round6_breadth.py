@@ -323,3 +323,113 @@ def test_robust_winnow_guarantee_and_referee(spark):
     a = winnow("aaa " + shared + " bbb endword padding")
     b = winnow("completely different head " + shared + " tail")
     assert a & b
+
+
+def test_feature_hashing_matches_python_referee(spark):
+    """R161 referee: recompute the signed 16-bucket hashed BoW with
+    hashlib.md5 in pure Python and compare every doc's CSV vector."""
+    import hashlib
+
+    from zoom_spark.queries.round6_breadth import (
+        FH_BUCKETS,
+        feature_hashing_vectors,
+    )
+
+    got = {
+        r["doc_id"]: r["features_csv"]
+        for r in feature_hashing_vectors(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        vec = [0] * FH_BUCKETS
+        for t in r["text"].lower().split(" "):
+            if not t:
+                continue
+            h = hashlib.md5(t.encode()).hexdigest()
+            bucket = int(h[0], 16)
+            sign = 1 if h[1] < "8" else -1
+            vec[bucket] += sign
+        assert got[r["doc_id"]] == ",".join(str(v) for v in vec), r["doc_id"]
+
+
+def test_phrase_search_matches_python_scan(spark):
+    """R162 referee: a naive full-text token walk (the strategy the
+    operator deliberately avoids) must find the same docs/counts."""
+    from zoom_spark.queries.round6_breadth import (
+        PHRASE_W1,
+        PHRASE_W2,
+        phrase_search_postings,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_search_postings(spark, SF_DIR).collect()
+    }
+    expect = {}
+    for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
+        ws = [w for w in r["text"].lower().split(" ") if w]
+        hits = [
+            i + 1
+            for i in range(len(ws) - 1)
+            if ws[i] == PHRASE_W1 and ws[i + 1] == PHRASE_W2
+        ]
+        if hits:
+            expect[r["doc_id"]] = (len(hits), hits[0])
+    assert got == expect
+    assert expect, "fixture should contain at least one phrase hit"
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    """R163 property: the bucketed checksum must (a) partition all rows,
+    (b) be order-insensitive, and (c) move in exactly one bucket when
+    exactly one row's content changes."""
+    from zoom_spark.queries.round6_breadth import (
+        CHECKSUM_BUCKETS,
+        table_checksum_buckets,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    base = {r["bucket"]: (r["n_rows"], r["checksum"])
+            for r in table_checksum_buckets(spark, SF_DIR).collect()}
+    assert sum(n for n, _ in base.values()) == o.count()
+    assert set(base) <= set(range(CHECKSUM_BUCKETS))
+
+    # order-insensitive: recompute from a differently-ordered snapshot
+    import hashlib
+
+    rows = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    ).collect()
+    again = defaultdict(lambda: [0, 0])
+    for r in sorted(rows, key=lambda r: -r["o_orderkey"]):
+        s = "|".join(
+            [
+                str(r["o_orderkey"]),
+                str(r["o_custkey"]),
+                r["o_orderstatus"],
+                f"{float(r['o_totalprice']):.2f}",
+                r["o_orderdate"].strftime("%Y-%m-%d"),
+            ]
+        )
+        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        b = again[r["o_orderkey"] % CHECKSUM_BUCKETS]
+        b[0] += 1
+        b[1] += h
+    assert {k: tuple(v) for k, v in again.items()} == base
+
+    # single-row perturbation flips exactly one bucket's checksum
+    victim = rows[0]
+    s_old = "|".join(
+        [
+            str(victim["o_orderkey"]),
+            str(victim["o_custkey"]),
+            victim["o_orderstatus"],
+            f"{float(victim['o_totalprice']):.2f}",
+            victim["o_orderdate"].strftime("%Y-%m-%d"),
+        ]
+    )
+    s_new = s_old.replace(str(victim["o_custkey"]), str(victim["o_custkey"] + 1), 1)
+    h_old = int(hashlib.md5(s_old.encode()).hexdigest()[:8], 16)
+    h_new = int(hashlib.md5(s_new.encode()).hexdigest()[:8], 16)
+    assert h_old != h_new  # checksum in that bucket moves; others untouched

@@ -615,3 +615,177 @@ def robust_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "i", "npos", F.min("h").over(w).alias("fp")
     ).where(F.col("i") <= F.col("npos") - (WINNOW_W - 1))
     return m.select("doc_id", "fp").distinct()
+
+
+FH_BUCKETS = 16  # feature-hashing dimensionality (first md5 hex char)
+_FH_CSV_SQL = " || ',' || ".join(
+    f"CAST(coalesce(sum(CASE WHEN bucket = {i} THEN sign END), 0) AS VARCHAR)"
+    for i in range(FH_BUCKETS)
+)
+
+
+@register(
+    "feature_hashing_vectors",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(t), 1, 1) AS BIGINT) AS INTEGER)
+               AS bucket,
+             CASE WHEN substring(md5(t), 2, 1) < '8' THEN 1 ELSE -1 END AS sign
+      FROM tok
+    )
+    SELECT doc_id, {_FH_CSV_SQL} AS features_csv
+    FROM h GROUP BY doc_id
+    """,
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R161 hashing-trick featurizer: signed {16}-bucket bag-of-words
+    (bucket = first md5 hex digit of the token, sign = second digit's
+    high bit — the Weinberger et al. signed hashing that keeps
+    E[collision bias] = 0). The fixed-width dense vector a downstream
+    linear model consumes without a vocabulary pass. Explode + one
+    conditional-sum aggregate, all JVM expressions; md5 hex keeps the
+    oracle twin byte-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 1), 16, 10).cast("int").alias("bucket"),
+        F.when(F.substring(F.md5("t"), 2, 1) < "8", 1).otherwise(-1).alias("sign"),
+    )
+    sums = [
+        F.coalesce(
+            F.sum(F.when(F.col("bucket") == i, F.col("sign"))), F.lit(0)
+        ).cast("string")
+        for i in range(FH_BUCKETS)
+    ]
+    return h.groupBy("doc_id").agg(
+        F.concat_ws(",", *sums).alias("features_csv")
+    )
+
+
+PHRASE_W1, PHRASE_W2 = "table", "hash"
+
+
+@register(
+    "phrase_search_postings",
+    sql=f"""
+    WITH pos AS (
+      SELECT doc_id, t.i AS p, ws[t.i] AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents
+      )
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(ws))) AS i
+      ) t
+      WHERE ws[t.i] IN ('{PHRASE_W1}', '{PHRASE_W2}')
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(a.p) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.w = '{PHRASE_W1}' AND b.w = '{PHRASE_W2}'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R162 positional-posting phrase search: find documents containing
+    the exact phrase "{PHRASE_W1} {PHRASE_W2}" by building positional
+    postings for ONLY the phrase's terms (the IN filter prunes the
+    explode before any shuffle) and equi-joining on (doc, position+1)
+    — the inverted-index evaluation strategy, never a substring scan
+    over full text. At 100 TB the postings for two terms are
+    df(term)-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("p0", "w"),
+        )
+        .where(F.col("w").isin(PHRASE_W1, PHRASE_W2))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    )
+    a_, b_ = pos.alias("a"), pos.alias("b")
+    return (
+        a_.join(
+            b_,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1),
+        )
+        .where((F.col("a.w") == PHRASE_W1) & (F.col("b.w") == PHRASE_W2))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("a.p").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+CHECKSUM_BUCKETS = 64
+
+
+@register(
+    "table_checksum_buckets",
+    sql=f"""
+    WITH r AS (
+      SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+             CAST(CAST('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               printf('%.2f', o_totalprice) || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d')
+             ), 1, 8) AS BIGINT) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum,
+           min(CAST(h AS VARCHAR)) AS min_h
+    FROM r GROUP BY bucket
+    """,
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R163 anti-entropy table checksums: per key-bucket, an
+    order-insensitive content checksum (sum of 32-bit row-hash ints)
+    plus row count — the replication/migration verification primitive:
+    two systems compare 64 tiny rows instead of shipping tables, and a
+    mismatched bucket pins WHERE the divergence lives. Row rendering
+    is pinned to portable formats (%.2f prices, ISO dates) so any
+    engine computes the same checksum; map-side hash, one aggregate
+    shuffle of {64} groups."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.format_string("%.2f", "o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
+    return (
+        o.select(
+            (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum"),
+            F.min(F.col("h").cast("string")).alias("min_h"),
+        )
+    )
