@@ -504,3 +504,51 @@ def test_stream_decontaminate_bounded_state_variant(spark):
         if r["contaminated"] == 1
     }
     assert got == expect
+
+
+def test_stream_merge_upsert_cdc_apply(spark, tmp_path):
+    """CDC-apply sink: a change stream with multiple versions per key
+    (within AND across micro-batches) must converge to exactly one row
+    per key carrying the highest sequence number, and re-running the
+    same changes against a fresh checkpoint must leave the table
+    unchanged (last-write-wins idempotency)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zoom_spark.streaming.windows import write_stream_merge_upsert
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    sink = str(tmp_path / "table")
+
+    def write_changes(name, rows):
+        t = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "v": pa.array([r[1] for r in rows]),
+                "seq": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, str(src / name))
+
+    # batch 1: keys 1..3, with an intra-batch duplicate for key 2
+    write_changes("b1.parquet", [(1, "a", 10), (2, "b", 11), (2, "b2", 12), (3, "c", 13)])
+    # batch 2 (separate file): update key 1, delete-free upsert of key 4
+    write_changes("b2.parquet", [(1, "a2", 20), (4, "d", 21)])
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema("k long, v string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        write_stream_merge_upsert(stream, sink, "k", "seq", str(tmp_path / cp))
+
+    run("cp1")
+    got = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(sink).collect()}
+    assert got == {1: ("a2", 20), 2: ("b2", 12), 3: ("c", 13), 4: ("d", 21)}
+
+    # replay everything with a fresh checkpoint: converges to same table
+    run("cp2")
+    again = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(sink).collect()}
+    assert again == got

@@ -187,6 +187,48 @@ def write_stream_idempotent(
     q.awaitTermination()
 
 
+def write_stream_merge_upsert(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str] | str,
+    seq_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming CDC-apply sink: each micro-batch MERGEs into the
+    parquet table keyed on `keys`, updates winning over existing rows
+    (the foreachBatch + MERGE pattern every lakehouse CDC pipeline
+    uses; reference main.py:79-85 computes the same keep-latest delta
+    batch-wise). Within a batch, only the row with the highest
+    `seq_col` per key is applied — a batch replaying after a crash
+    re-applies the same per-key winners, so the sink converges to the
+    same table (idempotent under at-least-once delivery). At scale the
+    per-batch reduce is one hash aggregate on the key, and the merge
+    rewrite is bounded by merge_upsert_to_path's staging swap (or the
+    partition-pruned variant for partitioned sinks)."""
+    from pyspark.sql.window import Window
+
+    from zoom_spark.operators.merge import merge_upsert_to_path
+
+    k = [keys] if isinstance(keys, str) else list(keys)
+
+    def apply_batch(df: DataFrame, _epoch: int) -> None:
+        w = Window.partitionBy(*k).orderBy(F.col(seq_col).desc())
+        latest = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_upsert_to_path(df.sparkSession, path, latest, k)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
