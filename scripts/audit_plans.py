@@ -53,6 +53,17 @@ EXPECTATIONS = {
     # the RANGE frame runs over a day-level pre-aggregate: the frame is
     # calendar-bounded (one row per order date, ~2.4k rows at any SF),
     # so the single-task window is over a constant-sized input
+    # centered 7-day moving average over the day-level pre-aggregate
+    # (~2.4k rows at any SF, calendar-bounded) + a 1-row/7-row scalar
+    # broadcast for the seasonal centering — same waiver class as
+    # range_frame_rolling_revenue
+    "seasonal_decompose_revenue": dict(
+        pushed=False, broadcast=True, cartesian=True, unpart_window=True
+    ),
+    # cumulative-gains step is a 10x10 non-equi self-join on the
+    # per-decile aggregate plus a 1-row totals broadcast — both
+    # constant-sized nested-loop joins by design
+    "lift_gains_deciles": dict(pushed=False, broadcast=True, cartesian=True),
     "range_frame_rolling_revenue": dict(
         pushed=False, broadcast=False, cartesian=False, unpart_window=True
     ),

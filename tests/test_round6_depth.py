@@ -1,0 +1,175 @@
+"""Independent referees for the round-6 depth operators (R164–R168).
+
+Each test recomputes the answer with a DIFFERENT algorithm/library
+(pandas groupby/rolling, pure-Python hashlib) — never the engine's own
+plan — per the repo's referee discipline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from tests.conftest import SF_DIR
+from zoom_spark.io import load_table
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def test_zone_map_prunability_is_sound(spark):
+    """R164 soundness: a chunk flagged prunable must contain ZERO rows
+    matching the predicate, and scanning only non-prunable chunks must
+    return exactly the predicate's full result."""
+    from zoom_spark.queries.round6_depth import (
+        ZM_PRED_DATE,
+        zone_map_skipping_report,
+    )
+
+    report = {r["chunk"]: r for r in zone_map_skipping_report(spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem").select("l_shipdate")
+    rows = li.collect()
+    import datetime
+
+    bound = datetime.date.fromisoformat(ZM_PRED_DATE)
+    per_chunk_hits = {}
+    for r in rows:
+        d = r["l_shipdate"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        c = d.year * 12 + d.month - 1
+        per_chunk_hits[c] = per_chunk_hits.get(c, 0) + (d >= bound)
+    assert set(per_chunk_hits) == set(report)
+    total_hits = sum(per_chunk_hits.values())
+    kept_hits = 0
+    for c, rep in report.items():
+        if rep["prunable"]:
+            assert per_chunk_hits[c] == 0, f"chunk {c} pruned but has matches"
+        else:
+            kept_hits += per_chunk_hits[c]
+    assert kept_hits == total_hits
+    # the report should actually prune something on this fixture
+    assert any(rep["prunable"] for rep in report.values())
+
+
+def test_seasonal_decompose_matches_pandas_referee(spark):
+    """R165 referee: pandas rolling(center=True) + groupby recomputes
+    trend/seasonal; the components must also sum back to the series."""
+    import pandas as pd
+
+    from zoom_spark.queries.round6_depth import seasonal_decompose_revenue
+
+    got = (
+        seasonal_decompose_revenue(spark, SF_DIR)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # additivity: rev == trend + seasonal + resid (to the 2dp rounding)
+    recon = (got["trend"] + got["seasonal"] + got["resid"] - got["rev"]).abs()
+    assert recon.max() < 0.02
+
+    # referee trend: pandas centered rolling mean with partial windows
+    ref_trend = (
+        got["rev"].rolling(7, center=True, min_periods=1).mean().round(2)
+    )
+    assert (got["trend"] - ref_trend).abs().max() < 0.011
+
+    # seasonal: one value per weekday, centered to ~0
+    days = pd.to_datetime(got["day"])
+    anchor = pd.Timestamp("1990-01-01")
+    wd = ((days - anchor).dt.days % 7).to_numpy()
+    per_wd = got.groupby(wd)["seasonal"].nunique()
+    assert (per_wd == 1).all()
+    assert abs(got.groupby(wd)["seasonal"].first().mean()) < 0.02
+
+
+def test_lift_gains_matches_pandas_referee(spark):
+    """R166 referee: full pandas recompute (rank -> decile -> cumsum)
+    plus the boundary identities gain(10)=lift(10)=1."""
+    import pandas as pd
+
+    from zoom_spark.queries.round6_depth import LIFT_DECILES, lift_gains_deciles
+
+    got = (
+        lift_gains_deciles(spark, SF_DIR)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    ).toPandas()
+    cust = od.groupby("o_custkey").agg(
+        score=("o_totalprice", lambda s: round(s.sum(), 2)),
+        label=("o_orderpriority", lambda s: int((s == "1-URGENT").any())),
+    ).reset_index()
+    cust = cust.sort_values(
+        ["score", "o_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    n = len(cust)
+    cust["decile"] = (pd.RangeIndex(n) * LIFT_DECILES // n) + 1
+    per = cust.groupby("decile").agg(
+        n_rows=("label", "size"), n_pos=("label", "sum")
+    )
+    assert list(got["n_rows"]) == list(per["n_rows"])
+    assert list(got["n_pos"]) == list(per["n_pos"])
+    tp, tn = per["n_pos"].sum(), per["n_rows"].sum()
+    cum_pos = per["n_pos"].cumsum()
+    cum_rows = per["n_rows"].cumsum()
+    assert list(got["cum_pos"]) == list(cum_pos)
+    ref_gain = (cum_pos / tp).round(6).to_numpy()
+    ref_lift = ((cum_pos / cum_rows) / (tp / tn)).round(6).to_numpy()
+    assert abs(got["gain"].to_numpy() - ref_gain).max() < 1e-9
+    assert abs(got["lift"].to_numpy() - ref_lift).max() < 1e-9
+    assert got["gain"].iloc[-1] == 1.0 and got["lift"].iloc[-1] == 1.0
+
+
+def test_k_anonymity_matches_pandas_referee(spark):
+    """R167 referee: pandas groupby recompute of class sizes and
+    sensitive-value diversity; flags must agree with the thresholds."""
+    from zoom_spark.queries.round6_depth import K_ANON, L_DIV, k_anonymity_report
+
+    got = k_anonymity_report(spark, SF_DIR).toPandas()
+    c = load_table(spark, SF_DIR, "customer").toPandas()
+    c["bal_bucket"] = (c["c_acctbal"] / 1000).apply(math.floor)
+    c["sens"] = c["c_name"].str[-1]
+    ref = c.groupby(["c_nationkey", "c_mktsegment", "bal_bucket"]).agg(
+        n_rows=("sens", "size"), l_div=("sens", "nunique")
+    )
+    gm = got.set_index(["c_nationkey", "c_mktsegment", "bal_bucket"])
+    assert len(gm) == len(ref)
+    joined = gm.join(ref, rsuffix="_ref")
+    assert (joined["n_rows"] == joined["n_rows_ref"]).all()
+    assert (joined["l_div"] == joined["l_div_ref"]).all()
+    assert (got["k_risky"] == (got["n_rows"] < K_ANON)).all()
+    assert (got["l_risky"] == (got["l_div"] < L_DIV)).all()
+
+
+def test_dp_noise_matches_hashlib_referee(spark):
+    """R168 referee: recompute the seeded Laplace noise with hashlib +
+    math.log; n_noisy must equal n_true + noise, and the noise must be
+    Laplace-plausible (|noise| mostly < 5 for b=1)."""
+    from zoom_spark.queries.round6_depth import DP_SCALE, dp_noisy_counts
+
+    from pyspark.sql import functions as F
+
+    got = {r["segment"]: r for r in dp_noisy_counts(spark, SF_DIR).collect()}
+    c = load_table(spark, SF_DIR, "customer")
+    true_counts = {
+        r["c_mktsegment"]: r["n"]
+        for r in c.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    for seg, row in got.items():
+        assert row["n_true"] == true_counts[seg]
+        u = round(
+            int(hashlib.md5(seg.encode()).hexdigest()[:7], 16) / DP_SCALE, 9
+        )
+        if u < 0.5:
+            noise = math.log(max(2 * u, 1e-12))
+        else:
+            noise = -math.log(max(2 * (1 - u), 1e-12))
+        assert abs(row["noise"] - round(noise, 4)) < 1e-9, seg
+        assert abs(row["n_noisy"] - round(row["n_true"] + noise, 4)) < 1e-9
+        assert abs(row["noise"]) < 10
