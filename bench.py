@@ -103,6 +103,17 @@ HEADLINE = [
     "containment_neardup_pairs",  # asymmetric containment via postings
     "vocab_coverage_sizes",    # Zipf coverage knees (rank + prefix mass)
     "eventually_follows_pairs",  # first/last sequence-pattern reduction
+    # round 6 additions
+    "hard_negative_pairs_ann", # IVF-probe contrastive mining (scale path)
+    "bpe_token_counts",        # greedy BPE merge-table apply
+    "adamic_adar_link_prediction",  # wedge-join link prediction
+    "fuzzy_name_pairs",        # blocked levenshtein entity resolution
+    "robust_winnow_fingerprints",  # MOSS window-min fingerprints
+    "feature_hashing_vectors", # signed hashing-trick featurizer
+    "phrase_search_postings",  # pruned positional-posting phrase match
+    "seasonal_decompose_revenue",  # trend/seasonal/residual decomposition
+    "lift_gains_deciles",      # two-phase-rank targeting curve
+    "k_anonymity_report",      # QI equivalence-class audit
 ]
 
 
