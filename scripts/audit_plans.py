@@ -64,6 +64,14 @@ EXPECTATIONS = {
     # per-decile aggregate plus a 1-row totals broadcast — both
     # constant-sized nested-loop joins by design
     "lift_gains_deciles": dict(pushed=False, broadcast=True, cartesian=True),
+    # NB scoring crosses test tokens with the |classes|-row class-total
+    # frame and the 1-row vocab-size frame — both broadcast model-sized
+    # nested-loop joins by design
+    "naive_bayes_source_classifier": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
+    # theta/mean(x) is a 1-row broadcast joined to every customer row
+    "cuped_adjusted_ab": dict(pushed=False, broadcast=False, cartesian=True),
     "range_frame_rolling_revenue": dict(
         pushed=False, broadcast=False, cartesian=False, unpart_window=True
     ),

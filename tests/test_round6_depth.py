@@ -173,3 +173,209 @@ def test_dp_noise_matches_hashlib_referee(spark):
         assert abs(row["noise"] - round(noise, 4)) < 1e-9, seg
         assert abs(row["n_noisy"] - round(row["n_true"] + noise, 4)) < 1e-9
         assert abs(row["noise"]) < 10
+
+
+def test_bloom_filter_matches_python_referee(spark):
+    """R169 referee: rebuild the Bloom filter with hashlib in pure
+    Python and reproduce every count; the Bloom invariant (zero false
+    negatives) must hold."""
+    from zoom_spark.queries.round6_depth import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_filter_join_stats,
+    )
+
+    row = bloom_filter_join_stats(spark, SF_DIR).collect()[0]
+    assert row["n_false_neg"] == 0
+
+    c = load_table(spark, SF_DIR, "customer").collect()
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey").collect()
+    build = {r["c_custkey"] for r in c if r["c_mktsegment"] == "BUILDING"}
+
+    def positions(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        return [int(h[6 * i : 6 * i + 6], 16) % BLOOM_M for i in range(BLOOM_K)]
+
+    bits = set()
+    for k in build:
+        bits.update(positions(k))
+    probe = {r["o_custkey"] for r in o}
+    n_pass = sum(1 for k in probe if all(p in bits for p in positions(k)))
+    n_true = len(probe & build)
+    assert row["n_probed"] == len(probe)
+    assert row["n_pass"] == n_pass
+    assert row["n_true"] == n_true
+    assert row["n_false_pos"] == n_pass - n_true
+
+
+def test_naive_bayes_matches_python_referee(spark):
+    """R170 referee: pure-Python Counter-based multinomial NB on the
+    same even/odd split must produce identical predictions."""
+    from collections import Counter, defaultdict
+
+    from zoom_spark.queries.round6_depth import (
+        NB_SMOOTH,
+        naive_bayes_source_classifier,
+    )
+
+    got = {
+        r["doc_id"]: (r["true_source"], r["pred_source"])
+        for r in naive_bayes_source_classifier(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    cls_tok = defaultdict(Counter)
+    prior = Counter()
+    vocab = set()
+    test = []
+    for r in docs:
+        ws = [w for w in r["text"].lower().split(" ") if w]
+        if r["doc_id"] % 2 == 0:
+            cls_tok[r["source"]].update(ws)
+            vocab.update(ws)
+            prior[r["source"]] += 1
+        else:
+            test.append((r["doc_id"], r["source"], ws))
+    n_train = sum(prior.values())
+    v = len(vocab)
+    classes = sorted(cls_tok)
+    tot = {c: sum(cls_tok[c].values()) for c in classes}
+    assert len(got) == len(test)
+    agree = 0
+    for doc_id, true_src, ws in test:
+        scores = {}
+        for cl in classes:
+            s = math.log(prior[cl] / n_train)
+            for t, f in Counter(ws).items():
+                s += f * math.log(
+                    (cls_tok[cl].get(t, 0) + NB_SMOOTH)
+                    / (tot[cl] + NB_SMOOTH * v)
+                )
+            scores[cl] = round(s, 6)
+        pred = min(classes, key=lambda cl: (-scores[cl], cl))
+        assert got[doc_id][0] == true_src
+        assert got[doc_id][1] == pred, (doc_id, got[doc_id], pred, scores)
+        agree += pred == true_src
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    """R171 referee: numpy recompute of theta and the adjusted means;
+    CUPED must not increase the metric stddev."""
+    import numpy as np
+
+    from zoom_spark.queries.round6_depth import CUPED_CUT, cuped_adjusted_ab
+
+    got = {r["arm"]: r for r in cuped_adjusted_ab(spark, SF_DIR).collect()}
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    import datetime
+
+    cut = datetime.date.fromisoformat(CUPED_CUT)
+    agg = {}
+    for r in o:
+        d = r["o_orderdate"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        x, y = agg.setdefault(r["o_custkey"], [0.0, 0.0])
+        if d < cut:
+            agg[r["o_custkey"]][0] += r["o_totalprice"]
+        else:
+            agg[r["o_custkey"]][1] += r["o_totalprice"]
+    keys = sorted(agg)
+    x = np.round([agg[k][0] for k in keys], 2)
+    y = np.round([agg[k][1] for k in keys], 2)
+    arm = np.array(
+        [
+            "treatment"
+            if hashlib.md5(str(k).encode()).hexdigest()[0] < "8"
+            else "control"
+            for k in keys
+        ]
+    )
+    th = round(float(np.cov(x, y, bias=True)[0, 1] / np.var(x)), 6)
+    mx = round(float(x.mean()), 6)
+    adj = y - th * (x - mx)
+    for a in ("treatment", "control"):
+        m = arm == a
+        assert got[a]["n"] == int(m.sum())
+        assert abs(got[a]["mean_y"] - round(float(y[m].mean()), 4)) < 1e-6
+        assert (
+            abs(got[a]["mean_y_cuped"] - round(float(adj[m].mean()), 4)) < 1e-6
+        )
+    # CUPED guarantees POOLED variance reduction (per-arm can tick up
+    # when theta is fit on the pooled population)
+    assert float(np.var(adj)) <= float(np.var(y)) + 1e-6
+
+
+def test_horvitz_thompson_matches_python_referee(spark):
+    """R172 referee: hashlib recompute of the stratified Bernoulli
+    sample and the inverse-probability totals."""
+    from zoom_spark.queries.round6_depth import (
+        HT_P_BUILDING,
+        HT_P_OTHER,
+        horvitz_thompson_total,
+    )
+
+    got = {
+        r["c_mktsegment"]: r
+        for r in horvitz_thompson_total(spark, SF_DIR).collect()
+    }
+    c = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    spend = {}
+    for r in o:
+        spend[r["o_custkey"]] = spend.get(r["o_custkey"], 0.0) + r["o_totalprice"]
+    per_seg = {}
+    for k, y in spend.items():
+        seg = c[k]
+        y = round(y, 2)
+        p = HT_P_BUILDING if seg == "BUILDING" else HT_P_OTHER
+        u = int(hashlib.md5(str(k).encode()).hexdigest()[:7], 16) / 268435456.0
+        e = per_seg.setdefault(seg, [0, 0, 0.0, 0.0])
+        e[0] += 1
+        if u < p:
+            e[1] += 1
+            e[2] += y / p
+        e[3] += y
+    for seg, (nf, ns, ht, tt) in per_seg.items():
+        assert got[seg]["n_frame"] == nf
+        assert got[seg]["n_sampled"] == ns
+        assert abs(got[seg]["ht_total"] - round(ht, 2)) < 0.05
+        assert abs(got[seg]["true_total"] - round(tt, 2)) < 0.05
+        assert got[seg]["ht_total"] >= 0.0
+
+
+def test_gdpr_cascade_matches_python_referee(spark):
+    """R173 referee: recompute the erasure blast radius with python
+    set joins over collected keys."""
+    from zoom_spark.queries.round6_depth import (
+        ERASE_PREFIX,
+        gdpr_erasure_cascade,
+    )
+
+    got = {
+        r["table_name"]: r["n_rows_to_delete"]
+        for r in gdpr_erasure_cascade(spark, SF_DIR).collect()
+    }
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey").collect()
+    req = {
+        r["c_custkey"]
+        for r in c
+        if hashlib.md5(str(r["c_custkey"]).encode()).hexdigest()[:1]
+        == ERASE_PREFIX
+    }
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    ords = {r["o_orderkey"] for r in o if r["o_custkey"] in req}
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey").collect()
+    n_li = sum(1 for r in li if r["l_orderkey"] in ords)
+    assert got == {"customer": len(req), "orders": len(ords), "lineitem": n_li}
+    assert len(req) > 0, "fixture should produce at least one DSAR"

@@ -15,7 +15,7 @@ LLM-pipeline / warehouse extension family (SURVEY.md §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zoom_spark.io import load_table
@@ -359,4 +359,521 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         F.round(noise, 4).alias("noise"),
         F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+    )
+
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3  # hash functions (md5 hex slices)
+
+
+def _bloom_pos_sql(col: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), {1 + 6 * i}, 6) "
+        f"AS BIGINT) % {BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_filter_join_stats",
+    sql=f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql('c_custkey', i)} AS pos FROM build"
+            for i in range(BLOOM_K)
+        )}
+      )
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    probed AS (
+      SELECT p.k, count(b.pos) AS nbits
+      FROM probe p
+      CROSS JOIN LATERAL (
+        {" UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql('p.k', i)} AS pos"
+            for i in range(BLOOM_K)
+        )}
+      ) h
+      LEFT JOIN bits b ON b.pos = h.pos
+      GROUP BY p.k
+    ),
+    truth AS (SELECT c_custkey AS k FROM build),
+    fused AS (
+      SELECT p.k, (p.nbits = {BLOOM_K}) AS bloom_pass,
+             (t.k IS NOT NULL) AS truly_in
+      FROM probed p LEFT JOIN truth t ON p.k = t.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(sum(CASE WHEN truly_in THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(sum(CASE WHEN bloom_pass AND NOT truly_in THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN NOT bloom_pass AND truly_in THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_neg,
+           round(CAST(sum(CASE WHEN bloom_pass AND NOT truly_in THEN 1
+                          ELSE 0 END) AS DOUBLE)
+                 / greatest(count(*) - sum(CASE WHEN truly_in THEN 1
+                                           ELSE 0 END), 1), 6) AS fp_rate
+    FROM fused
+    """,
+)
+def bloom_filter_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R169 Bloom-filter join pruning, made inspectable: build an
+    m={BLOOM_M}-bit k={BLOOM_K}-hash Bloom filter from the dimension
+    side (BUILDING customers), probe every distinct orders customer,
+    and report pass/true/false-positive counts and the FP rate — the
+    runtime-filter mechanic behind Spark's own
+    spark.sql.optimizer.runtime.bloomFilter (which the engine also
+    enables), with md5 slice hashing so the oracle builds the
+    bit-identical filter. The filter is a DISTINCT-positions frame
+    (≤m rows) joined to probe positions — set-semantics Bloom, no
+    bitmap type needed; zero false negatives by construction (asserted
+    by the n_false_neg column)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def pos(col, i):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1 + 6 * i, 6),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_M
+        )
+
+    build = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = None
+    for i in range(BLOOM_K):
+        part = build.select(pos("c_custkey", i).alias("pos"))
+        bits = part if bits is None else bits.unionAll(part)
+    bits = bits.distinct()
+    probe = o.select(F.col("o_custkey").alias("k")).distinct()
+    hashes = None
+    for i in range(BLOOM_K):
+        part = probe.select("k", pos("k", i).alias("pos"))
+        hashes = part if hashes is None else hashes.unionAll(part)
+    probed = (
+        hashes.join(F.broadcast(bits.withColumn("_hit", F.lit(1))), on="pos", how="left")
+        .groupBy("k")
+        .agg(F.count("_hit").alias("nbits"))
+    )
+    truth = build.select(F.col("c_custkey").alias("k")).withColumn(
+        "_in", F.lit(1)
+    )
+    fused = probed.join(truth, on="k", how="left").select(
+        (F.col("nbits") == BLOOM_K).alias("bloom_pass"),
+        F.col("_in").isNotNull().alias("truly_in"),
+    )
+    return fused.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("truly_in"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("truly_in"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when(~F.col("bloom_pass") & F.col("truly_in"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_neg"),
+        F.round(
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("truly_in"), 1).otherwise(0)
+            ).cast("double")
+            / F.greatest(
+                F.count("*")
+                - F.sum(F.when(F.col("truly_in"), 1).otherwise(0)),
+                F.lit(1),
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+NB_SMOOTH = 1  # Laplace add-one
+
+
+@register(
+    "naive_bayes_source_classifier",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+    test  AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+    tr_tok AS (
+      SELECT source, unnest(ws) AS t FROM train
+    ),
+    cls_tok AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tr_tok GROUP BY 1, 2
+    ),
+    cls_tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM cls_tok GROUP BY 1
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tr_tok),
+    prior AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1
+    ),
+    n_train AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+    te_tok AS (
+      SELECT doc_id, source AS true_source, t, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT doc_id, source, unnest(ws) AS t FROM test)
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT te.doc_id, te.true_source, ct.source AS cls,
+             sum(te.f * ln((coalesce(k.c, 0) + {NB_SMOOTH})
+                           / CAST(ct.tot + {NB_SMOOTH} * vb.v AS DOUBLE))) AS ll
+      FROM te_tok te
+      CROSS JOIN cls_tot ct
+      CROSS JOIN vocab vb
+      LEFT JOIN cls_tok k ON k.source = ct.source AND k.t = te.t
+      GROUP BY 1, 2, 3
+    ),
+    full_score AS (
+      SELECT s.doc_id, s.true_source, s.cls,
+             round(s.ll + ln(p.nd / CAST(nt.n AS DOUBLE)), 6) AS score
+      FROM scored s JOIN prior p ON p.source = s.cls CROSS JOIN n_train nt
+    ),
+    best AS (
+      SELECT doc_id, true_source, cls AS pred_source,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cls) AS rk
+      FROM full_score
+    )
+    SELECT doc_id, true_source, pred_source FROM best WHERE rk = 1
+    """,
+)
+def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R170 multinomial Naive Bayes, trained AND applied distributed:
+    fit per-source token log-likelihoods with add-one smoothing on the
+    even-doc_id half, predict the source of each odd-doc_id document
+    via argmax of sum(f * ln P(t|c)) + ln P(c). Training is one
+    (source, token) aggregate; the model frames (class totals, priors,
+    vocab size) are broadcast; scoring joins test tokens against the
+    count table per class so unseen tokens fall back to the smoothed
+    floor via the left join. The per-doc argmax window partitions on
+    doc_id (high cardinality — never single-task). Scores are rounded
+    to 6dp on both engines before the argmax so ulp-level ln noise
+    can't flip the winner."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ws"),
+    )
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    tr_tok = train.select("source", F.explode("ws").alias("t"))
+    cls_tok = tr_tok.groupBy("source", "t").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cls_tot = cls_tok.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    vocab = tr_tok.agg(F.countDistinct("t").cast("bigint").alias("v"))
+    prior = train.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nd")
+    )
+    n_train = train.agg(F.count("*").cast("bigint").alias("n"))
+    te_tok = (
+        test.select(
+            "doc_id",
+            F.col("source").alias("true_source"),
+            F.explode("ws").alias("t"),
+        )
+        .groupBy("doc_id", "true_source", "t")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    scored = (
+        te_tok.crossJoin(
+            F.broadcast(cls_tot.select(F.col("source").alias("cls"), "tot"))
+        )
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            cls_tok.select(
+                F.col("source").alias("cls"), F.col("t"), F.col("c")
+            ),
+            on=["cls", "t"],
+            how="left",
+        )
+        .groupBy("doc_id", "true_source", "cls")
+        .agg(
+            F.sum(
+                F.col("f")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + NB_SMOOTH)
+                    / (F.col("tot") + NB_SMOOTH * F.col("v")).cast("double")
+                )
+            ).alias("ll")
+        )
+    )
+    full_score = (
+        scored.join(
+            F.broadcast(prior.select(F.col("source").alias("cls"), "nd")),
+            on="cls",
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            "true_source",
+            "cls",
+            F.round(
+                F.col("ll") + F.log(F.col("nd") / F.col("n").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cls")
+    )
+    return (
+        full_score.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "true_source", F.col("cls").alias("pred_source"))
+    )
+
+
+CUPED_CUT = "1996-01-01"  # pre-period / experiment boundary
+
+
+@register(
+    "cuped_adjusted_ab",
+    sql=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             round(sum(CASE WHEN o_orderdate < DATE '{CUPED_CUT}'
+                       THEN o_totalprice ELSE 0 END), 2) AS x,
+             round(sum(CASE WHEN o_orderdate >= DATE '{CUPED_CUT}'
+                       THEN o_totalprice ELSE 0 END), 2) AS y,
+             CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                       < '8' THEN 'treatment' ELSE 'control' END AS arm
+      FROM orders GROUP BY o_custkey
+    ),
+    theta AS (
+      SELECT round(covar_pop(x, y) / var_pop(x), 6) AS th,
+             round(avg(x), 6) AS mx
+      FROM per_cust
+    )
+    SELECT p.arm,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p.y), 4) AS mean_y,
+           round(avg(p.y - t.th * (p.x - t.mx)), 4) AS mean_y_cuped,
+           round(stddev_pop(p.y), 2) AS sd_y,
+           round(stddev_pop(p.y - t.th * (p.x - t.mx)), 2) AS sd_y_cuped
+    FROM per_cust p CROSS JOIN theta t
+    GROUP BY p.arm
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R171 CUPED variance reduction (Deng et al., WSDM'13): adjust the
+    experiment-period metric y with the pre-period covariate x via
+    theta = cov(x,y)/var(x), reporting per-arm raw and adjusted means
+    and standard deviations (stddev, not variance: at 1e11 magnitudes
+    variance's last cent is summation-order noise) — the standard trick that cuts A/B test run time by
+    the covariate's R². Arms are a deterministic md5 split (the
+    engine-portable randomization unit); theta/mean(x) are a 1-row
+    broadcast; everything else is decomposable aggregates — two passes
+    over a per-customer frame, no windows, no sorts. x/y are
+    2dp-rounded and theta 6dp-rounded on both engines before the
+    adjusted-metric arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(CUPED_CUT).cast("date")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderdate") < cut, F.col("o_totalprice"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("x"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderdate") >= cut, F.col("o_totalprice"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8",
+            "treatment",
+        ).otherwise("control"),
+    )
+    theta = per_cust.agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("th"),
+        F.round(F.avg("x"), 6).alias("mx"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    return (
+        per_cust.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg(adj), 4).alias("mean_y_cuped"),
+            F.round(F.stddev_pop("y"), 2).alias("sd_y"),
+            F.round(F.stddev_pop(adj), 2).alias("sd_y_cuped"),
+        )
+    )
+
+
+HT_P_BUILDING = 0.5  # inclusion probability, BUILDING stratum
+HT_P_OTHER = 0.125  # inclusion probability, all other segments
+
+
+@register(
+    "horvitz_thompson_total",
+    sql=f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             round(sum(o.o_totalprice), 2) AS y,
+             CASE WHEN c.c_mktsegment = 'BUILDING'
+                  THEN {HT_P_BUILDING} ELSE {HT_P_OTHER} END AS p,
+             CAST(CAST('0x' || substring(
+                    md5(CAST(c.c_custkey AS VARCHAR)), 1, 7) AS BIGINT)
+                  AS DOUBLE) / 268435456.0 AS u
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_frame,
+           CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           round(sum(CASE WHEN u < p THEN y / p ELSE 0 END), 2) AS ht_total,
+           round(sum(y), 2) AS true_total,
+           round(abs(sum(CASE WHEN u < p THEN y / p ELSE 0 END) - sum(y))
+                 / sum(y), 6) AS rel_err
+    FROM spend GROUP BY 1
+    """,
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R172 Horvitz-Thompson estimation under unequal-probability
+    sampling: customers are Bernoulli-sampled with a design that
+    oversamples the BUILDING stratum ({HT_P_BUILDING} vs {HT_P_OTHER}),
+    and the population spend total per segment is estimated as
+    sum(y/p) over the sample — the inverse-inclusion-probability
+    estimator every survey/telemetry pipeline uses when sampling rates
+    differ by stratum. The sample membership is a deterministic
+    md5-uniform (engine-portable); the report carries the true total
+    and relative error so the estimator's unbiasedness is visible.
+    One join + one aggregate; sampling is a map-side predicate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("c_mktsegment") == "BUILDING", F.lit(HT_P_BUILDING)
+            ).otherwise(F.lit(HT_P_OTHER)),
+        )
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("double")
+            / 268435456.0,
+        )
+    )
+    in_s = F.col("u") < F.col("p")
+    return spend.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_frame"),
+        F.sum(F.when(in_s, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.round(
+            F.sum(F.when(in_s, F.col("y") / F.col("p")).otherwise(0.0)), 2
+        ).alias("ht_total"),
+        F.round(F.sum("y"), 2).alias("true_total"),
+        F.round(
+            F.abs(
+                F.sum(F.when(in_s, F.col("y") / F.col("p")).otherwise(0.0))
+                - F.sum("y")
+            )
+            / F.sum("y"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+ERASE_PREFIX = "0"  # md5 prefix selecting ~1/16 of customers
+
+
+@register(
+    "gdpr_erasure_cascade",
+    sql=f"""
+    WITH req AS (
+      SELECT c_custkey FROM customer
+      WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+            = '{ERASE_PREFIX}'
+    ),
+    ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM req)
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS table_name,
+             CAST((SELECT count(*) FROM req) AS BIGINT) AS n_rows_to_delete
+      UNION ALL
+      SELECT 'orders', CAST((SELECT count(*) FROM ords) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+                  AS BIGINT)
+    )
+    """,
+)
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R173 right-to-erasure cascade plan: for a deterministic request
+    set (~1/16 of customers via an md5 prefix — the stand-in for an
+    uploaded DSAR list), count every row that a compliant delete must
+    touch across the foreign-key graph (customer → orders → lineitem)
+    — the blast-radius report a data-governance pipeline produces
+    before executing the purge. Each hop is a broadcast LEFT SEMI join
+    (the request set is DSAR-sized, orders-of-magnitude smaller than
+    the fact tables), so at 100 TB the cascade is two semi joins + 3
+    counts, never a shuffle of the big tables."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    req = c.where(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+        == ERASE_PREFIX
+    ).select("c_custkey")
+    ords = o.join(
+        F.broadcast(req),
+        o["o_custkey"] == req["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    lis = li.join(
+        F.broadcast(ords),
+        li["l_orderkey"] == ords["o_orderkey"],
+        "left_semi",
+    )
+
+    def one(name, df):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows_to_delete"),
+        )
+
+    return (
+        one("customer", req)
+        .unionAll(one("orders", ords))
+        .unionAll(one("lineitem", lis))
     )
