@@ -57,6 +57,11 @@ EXPECTATIONS = {
     # (~2.4k rows at any SF, calendar-bounded) + a 1-row/7-row scalar
     # broadcast for the seasonal centering — same waiver class as
     # range_frame_rolling_revenue
+    # composes seasonal_decompose_revenue (same calendar-bounded window
+    # + broadcast legs) plus a 1-row residual-stddev broadcast
+    "seasonal_anomaly_days": dict(
+        pushed=False, broadcast=True, cartesian=True, unpart_window=True
+    ),
     "seasonal_decompose_revenue": dict(
         pushed=False, broadcast=True, cartesian=True, unpart_window=True
     ),

@@ -379,3 +379,70 @@ def test_gdpr_cascade_matches_python_referee(spark):
     n_li = sum(1 for r in li if r["l_orderkey"] in ords)
     assert got == {"customer": len(req), "orders": len(ords), "lineitem": n_li}
     assert len(req) > 0, "fixture should produce at least one DSAR"
+
+
+def test_retention_decay_matches_numpy_referee(spark):
+    """R174 referee: numpy polyfit of ln(rate) vs offset per cohort
+    from a pure-Python activity recompute."""
+    import datetime
+
+    import numpy as np
+
+    from zoom_spark.queries.round6_depth import RET_ANCHOR, retention_decay_fit
+
+    got = {r["cohort"]: r for r in retention_decay_fit(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    anchor = datetime.date.fromisoformat(RET_ANCHOR)
+    act = {(r["user_id"], (r["ts"].date() - anchor).days) for r in ev}
+    first = {}
+    for u, d in act:
+        first[u] = min(first.get(u, d), d)
+    sizes = {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    ret = {}
+    for u, d in act:
+        c = first[u]
+        if d > c:
+            ret.setdefault((c, d - c), set()).add(u)
+    by_cohort = {}
+    for (c, off), users in ret.items():
+        rate = round(len(users) / sizes[c], 9)
+        if rate > 0:
+            by_cohort.setdefault(c, []).append((off, rate))
+    expect_cohorts = {c for c, pts in by_cohort.items() if len(pts) >= 3}
+    assert set(got) == expect_cohorts
+    for c in expect_cohorts:
+        pts = sorted(by_cohort[c])
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.log([p[1] for p in pts])
+        slope = round(float(np.polyfit(x, y, 1)[0]), 6)
+        assert abs(got[c]["decay_slope"] - slope) < 2e-6, (c, got[c], slope)
+        assert got[c]["n_weeks"] == len(pts)
+        if slope < 0:
+            assert abs(
+                got[c]["half_life_periods"] - round(math.log(2) / -slope, 4)
+            ) < 1e-3
+        else:
+            assert got[c]["half_life_periods"] is None
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    """R175 property: flagged days are exactly the |z|>threshold days
+    of the decomposition residual, and a referee recompute from the
+    decomposition output agrees."""
+    from zoom_spark.queries.round6_depth import (
+        ANOM_Z,
+        seasonal_anomaly_days,
+        seasonal_decompose_revenue,
+    )
+
+    dec = seasonal_decompose_revenue(spark, SF_DIR).toPandas()
+    sd = round(float(dec["resid"].std(ddof=0)), 2)
+    dec["z"] = (dec["resid"] / sd).round(3)
+    expect = dec[dec["z"].abs() > ANOM_Z][["day", "z"]]
+    got = seasonal_anomaly_days(spark, SF_DIR).toPandas()
+    assert len(got) == len(expect)
+    em = dict(zip(expect["day"], expect["z"]))
+    for _, r in got.iterrows():
+        assert abs(em[r["day"]] - r["z"]) < 1e-9

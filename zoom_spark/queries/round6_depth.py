@@ -877,3 +877,163 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orders", ords))
         .unionAll(one("lineitem", lis))
     )
+
+
+RET_ANCHOR = "2022-01-03"  # pre-range anchor for day bucketing
+
+
+@register(
+    "retention_decay_fit",
+    sql=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '{RET_ANCHOR}' AS BIGINT) AS wk
+      FROM events
+    ),
+    first_wk AS (
+      SELECT user_id, min(wk) AS cohort FROM act GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_wk GROUP BY 1
+    ),
+    ret AS (
+      SELECT f.cohort, a.wk - f.cohort AS offset_wk,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN first_wk f ON a.user_id = f.user_id
+      WHERE a.wk > f.cohort
+      GROUP BY 1, 2
+    ),
+    rates AS (
+      SELECT r.cohort, r.offset_wk,
+             round(CAST(r.n_active AS DOUBLE) / s.n_users, 9) AS rate
+      FROM ret r JOIN sizes s ON s.cohort = r.cohort
+    ),
+    fit AS (
+      SELECT cohort,
+             CAST(count(*) AS BIGINT) AS n_weeks,
+             round(regr_slope(ln(rate), offset_wk), 6) AS decay_slope
+      FROM rates WHERE rate > 0 GROUP BY cohort
+      HAVING count(*) >= 3
+    )
+    SELECT cohort, n_weeks, decay_slope,
+           CASE WHEN decay_slope < 0
+                THEN round(ln(2) / (-decay_slope), 4) END AS half_life_periods
+    FROM fit
+    """,
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R174 retention-decay fitting: per signup cohort (first-activity
+    DAY — the fixture's events span ~30 days, so daily cohorts give a
+    real fit surface; on production data the bucket would be a week),
+    regress ln(retention rate) on day offset — the exponential-decay
+    model product teams use to project long-horizon retention from a
+    few observed periods — and report the decay slope and implied
+    half-life (periods). Rates are rounded to 9dp on both engines
+    before ln (transcendental-input discipline); the fit is the
+    decomposable regr_slope aggregate, so the whole query is joins +
+    hash aggregates, no windows. Cohorts with <3 observed periods are
+    dropped (an unstable 2-point fit is noise, not signal)."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit(RET_ANCHOR).cast("date"))
+        .cast("bigint")
+        .alias("wk"),
+    ).distinct()
+    first_wk = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = first_wk.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    ret = (
+        act.join(first_wk, on="user_id")
+        .where(F.col("wk") > F.col("cohort"))
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("offset_wk"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    rates = ret.join(F.broadcast(sizes), on="cohort").select(
+        "cohort",
+        "offset_wk",
+        F.round(F.col("n_active").cast("double") / F.col("n_users"), 9).alias(
+            "rate"
+        ),
+    )
+    fit = (
+        rates.where(F.col("rate") > 0)
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_weeks"),
+            F.round(
+                F.regr_slope(F.log("rate"), F.col("offset_wk").cast("double")),
+                6,
+            ).alias("decay_slope"),
+        )
+        .where(F.col("n_weeks") >= 3)
+    )
+    return fit.select(
+        "cohort",
+        "n_weeks",
+        "decay_slope",
+        F.when(
+            F.col("decay_slope") < 0,
+            F.round(F.lit(float(__import__("math").log(2))) / (-F.col("decay_slope")), 4),
+        ).alias("half_life_periods"),
+    )
+
+
+ANOM_Z = 2.5  # |z| threshold on the decomposition residual
+
+
+@register(
+    "seasonal_anomaly_days",
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, rev,
+             round(avg(rev) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS trend,
+             CAST((day - DATE '1990-01-01') % 7 AS BIGINT) AS wd
+      FROM daily
+    ),
+    sr AS (
+      SELECT wd, round(avg(rev - trend), 2) AS s_raw
+      FROM tr GROUP BY wd
+    ),
+    ctr AS (SELECT round(avg(s_raw), 2) AS s_mean FROM sr),
+    dec AS (
+      SELECT t.day, t.rev,
+             round(t.rev - t.trend - (s.s_raw - c.s_mean), 2) AS resid
+      FROM tr t JOIN sr s ON t.wd = s.wd CROSS JOIN ctr c
+    ),
+    sd AS (SELECT round(stddev_pop(resid), 2) AS s FROM dec)
+    SELECT d.day, d.rev, d.resid,
+           round(d.resid / n.s, 3) AS z
+    FROM dec d CROSS JOIN sd n
+    WHERE abs(round(d.resid / n.s, 3)) > {ANOM_Z}
+    """,
+)
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R175 seasonality-adjusted anomaly detection: z-score the
+    RESIDUAL of the R165 classical decomposition (so weekday cycles
+    and slow trend shifts never fire the alarm — the fix for naive
+    z-scoring's Monday false positives) and report days with
+    |z| > {ANOM_Z}. Composes the R165 plan (calendar-bounded window +
+    7-row broadcast) with a 1-row stddev broadcast; the filter
+    compares the ROUNDED z on both engines so the cut can't flip on
+    ulp noise."""
+    from zoom_spark.queries.round6_depth import seasonal_decompose_revenue
+
+    dec = seasonal_decompose_revenue(spark, sf_dir).select(
+        "day", "rev", "resid"
+    )
+    sd = dec.agg(F.round(F.stddev_pop("resid"), 2).alias("s"))
+    z = F.round(F.col("resid") / F.col("s"), 3)
+    return (
+        dec.crossJoin(F.broadcast(sd))
+        .select("day", "rev", "resid", z.alias("z"))
+        .where(F.abs(F.col("z")) > ANOM_Z)
+    )
