@@ -62,6 +62,11 @@ EXPECTATIONS = {
     "seasonal_anomaly_days": dict(
         pushed=False, broadcast=True, cartesian=True, unpart_window=True
     ),
+    # three 1-row LM-normalizer broadcasts (target total, source total,
+    # vocab size) crossed onto the token frame — scalar BNLJ by design
+    "importance_weight_ess": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     "seasonal_decompose_revenue": dict(
         pushed=False, broadcast=True, cartesian=True, unpart_window=True
     ),

@@ -1037,3 +1037,153 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "rev", "resid", z.alias("z"))
         .where(F.abs(F.col("z")) > ANOM_Z)
     )
+
+
+GKF_K = 4  # folds
+
+
+@register(
+    "group_kfold_assignment",
+    sql=f"""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substring(md5(source), 1, 7) AS BIGINT)
+                  % {GKF_K} AS BIGINT) AS fold
+      FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM tagged GROUP BY fold
+    """,
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R176 group-aware k-fold (GroupKFold): folds are assigned by
+    hashing the GROUP (source), not the row, so every document of a
+    source lands in the same fold — the split discipline that stops
+    correlated documents (same crawl domain, same author) from leaking
+    across train/validation. Complements R105's stratified k-fold
+    (which balances sources across folds — the opposite contract,
+    right for i.i.d. rows; this one is right for correlated groups).
+    Map-side assignment + one aggregate; zero cross-fold sources by
+    construction (proven by the referee test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("source"), 1, 7), 16, 10).cast("bigint")
+            % GKF_K
+        ).alias("fold"),
+    )
+    return tagged.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
+@register(
+    "importance_weight_ess",
+    sql="""
+    WITH target AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS t
+        FROM documents WHERE source = 'src0'
+      ) GROUP BY 1
+    ),
+    tgt_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM target),
+    src AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS t
+        FROM documents
+      ) GROUP BY 1
+    ),
+    src_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM src),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM src),
+    doc_w AS (
+      SELECT d.doc_id, d.source,
+             round(exp(sum(round(
+               ln(((coalesce(tg.c, 0) + 1)
+                   / CAST(tt.n + vb.v AS DOUBLE))
+                  / ((s.c + 1) / CAST(st.n + vb.v AS DOUBLE))), 9)) 
+               / count(*)), 9) AS w
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS t
+        FROM documents
+      ) d
+      JOIN src s ON s.t = d.t
+      LEFT JOIN target tg ON tg.t = d.t
+      CROSS JOIN tgt_tot tt CROSS JOIN src_tot st CROSS JOIN vocab vb
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(w) * sum(w) / sum(w * w) / count(*), 6) AS ess_frac,
+           round(avg(w), 6) AS mean_w
+    FROM doc_w GROUP BY source
+    """,
+)
+def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R177 effective sample size of importance weights: per source,
+    ESS/n = (Σw)²/(n·Σw²) for DSIR-style per-doc importance weights
+    (geometric-mean per-token target/source likelihood ratio toward the
+    'src0' target — the fixture's source ids are src0..src19) — the diagnostic that tells you how much a
+    reweighting collapsed your effective data (ESS/n → 1 uniform,
+    → 1/n one-doc-dominates; Kish 1965). The weight model reuses the
+    R64 DSIR construction; ln inputs rounded to 9dp on both engines,
+    per-doc weight is exp of the MEAN log-ratio (geometric mean) so
+    doc length doesn't explode the scale. One token join against the
+    broadcast LM frames + two aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    target = (
+        tok.where(F.col("source") == "src0")
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("tc"))
+    )
+    src = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("sc"))
+    tgt_tot = target.agg(F.sum("tc").cast("bigint").alias("tn"))
+    src_tot = src.agg(F.sum("sc").cast("bigint").alias("sn"))
+    vocab = src.agg(F.count("*").cast("bigint").alias("v"))
+    ratio = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                / (F.col("tn") + F.col("v")).cast("double")
+            )
+            / ((F.col("sc") + 1) / (F.col("sn") + F.col("v")).cast("double"))
+        ),
+        9,
+    )
+    doc_w = (
+        tok.join(src, on="t")
+        .join(F.broadcast(target), on="t", how="left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.exp(F.sum(ratio) / F.count("*")), 9).alias("w"))
+    )
+    return doc_w.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("w") * F.sum("w") / F.sum(F.col("w") * F.col("w"))
+            / F.count("*"),
+            6,
+        ).alias("ess_frac"),
+        F.round(F.avg("w"), 6).alias("mean_w"),
+    )
