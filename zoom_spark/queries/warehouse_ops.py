@@ -413,7 +413,29 @@ def kll_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("theta_sketch_segment_overlap")  # DataSketches Theta: rows-only + property
+@register(
+    "theta_sketch_segment_overlap",
+    sql="""
+    WITH seg AS (
+      SELECT c_mktsegment, c_custkey FROM customer
+    ),
+    sizes AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+      FROM seg GROUP BY 1
+    )
+    SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+           a.n_rows AS n_a, b.n_rows AS n_b,
+           (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM seg
+            WHERE c_mktsegment IN (a.c_mktsegment, b.c_mktsegment))
+             AS est_union,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT c_custkey FROM seg WHERE c_mktsegment = a.c_mktsegment
+               INTERSECT
+               SELECT c_custkey FROM seg WHERE c_mktsegment = b.c_mktsegment))
+             AS est_intersection
+    FROM sizes a JOIN sizes b ON a.c_mktsegment < b.c_mktsegment
+    """,
+)  # DataSketches Theta in exact mode at test SF: oracle-hashed
 def theta_sketch_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable SET sketches (Apache DataSketches Theta): per-segment
     customer sketches support UNION, INTERSECTION and DIFFERENCE
@@ -421,10 +443,15 @@ def theta_sketch_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot answer (HLL only unions). Each segment's sketch is built
     map-side; the pairwise overlap matrix is computed on the tiny
     collected sketch frame via theta_intersection on a self-join of
-    segments — sketches move, never customer ids."""
+    segments — sketches move, never customer ids. lgNomEntries=15
+    keeps the sketches in EXACT mode below ~32k distinct keys per
+    union, so at the gate SFs the estimates equal the true set
+    algebra and the query is oracle-hashed against exact
+    DISTINCT/INTERSECT SQL (beyond that scale the same plan degrades
+    gracefully to ~2% error estimates)."""
     c = load_table(spark, sf_dir, "customer")
     seg = c.groupBy("c_mktsegment").agg(
-        F.theta_sketch_agg("c_custkey").alias("sk"),
+        F.theta_sketch_agg("c_custkey", 15).alias("sk"),
         F.count("*").alias("n_rows"),
     )
     a = seg.select(
@@ -446,7 +473,7 @@ def theta_sketch_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.round(
                 F.theta_sketch_estimate(
-                    F.theta_union(F.col("sk_a"), F.col("sk_b"))
+                    F.theta_union(F.col("sk_a"), F.col("sk_b"), 15)
                 )
             ).cast("long").alias("est_union"),
             F.round(
