@@ -500,3 +500,128 @@ def test_importance_weight_ess_bounds_and_referee(spark):
 
     w = np.ones(100)
     assert abs((w.sum() ** 2) / (len(w) * (w**2).sum()) - 1.0) < 1e-12
+
+
+def test_wasserstein_matches_numpy_referee(spark):
+    """R178 referee: numpy ECDF-integral recompute of W1; also W1 >= 0
+    and identical-sample W1 == 0."""
+    import datetime
+
+    import numpy as np
+
+    from zoom_spark.queries.round6_depth import wasserstein_weekend_value
+
+    row = wasserstein_weekend_value(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events").select("ts", "value").collect()
+    anchor = datetime.date.fromisoformat("2024-01-01")
+    a, b = [], []
+    for r in ev:
+        wd = (r["ts"].date() - anchor).days % 7
+        (a if wd in (5, 6) else b).append(r["value"])
+    a, b = np.sort(a), np.sort(b)
+    vs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, vs, side="right") / len(a)
+    cb = np.searchsorted(b, vs, side="right") / len(b)
+    w1 = float(np.sum(np.abs(ca[:-1] - cb[:-1]) * np.diff(vs)))
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["w1"] - round(w1, 6)) < 1e-4
+    assert row["w1"] >= 0
+
+
+def test_diff_in_diff_matches_pandas_referee(spark):
+    """R179 referee: pandas 2x2 cell means; the md5 placebo split
+    should produce a small DiD relative to the mean level."""
+    import datetime
+
+    from zoom_spark.queries.round6_depth import DID_CUT, diff_in_diff_order_value
+
+    row = diff_in_diff_order_value(spark, SF_DIR).collect()[0]
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    cut = datetime.date.fromisoformat(DID_CUT)
+    cells = {}
+    for r in o:
+        arm = (
+            "treatment"
+            if hashlib.md5(str(r["o_custkey"]).encode()).hexdigest()[0] < "8"
+            else "control"
+        )
+        d = r["o_orderdate"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        period = "post" if d >= cut else "pre"
+        cells.setdefault((arm, period), []).append(r["o_totalprice"])
+    means = {k: round(sum(v) / len(v), 4) for k, v in cells.items()}
+    assert abs(row["treat_post"] - means[("treatment", "post")]) < 1e-6
+    assert abs(row["ctrl_pre"] - means[("control", "pre")]) < 1e-6
+    did = round(
+        (means[("treatment", "post")] - means[("treatment", "pre")])
+        - (means[("control", "post")] - means[("control", "pre")]),
+        4,
+    )
+    assert abs(row["did_estimate"] - did) < 1e-6
+    assert row["n_total"] == len(o)
+    # placebo: effect is small vs the metric level
+    assert abs(did) < 0.1 * means[("treatment", "post")]
+
+
+def test_word2vec_sampling_matches_python_referee(spark):
+    """R180 referee: Counter recompute of keep/neg probabilities; the
+    negative distribution must sum to ~1 and flatten the raw counts."""
+    from collections import Counter
+
+    from zoom_spark.queries.round6_depth import (
+        W2V_MIN_COUNT,
+        W2V_T,
+        word2vec_sampling_table,
+    )
+
+    got = {r["t"]: r for r in word2vec_sampling_table(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        cnt.update(w for w in r["text"].lower().split(" ") if w)
+    cnt = {t: c for t, c in cnt.items() if c >= W2V_MIN_COUNT}
+    assert set(got) == set(cnt)
+    n = sum(cnt.values())
+    z = round(sum(c**0.75 for c in cnt.values()), 6)
+    for t, c in cnt.items():
+        f = c / n
+        keep = round(min(1.0, (W2V_T / f) ** 0.5 + W2V_T / f), 6)
+        neg = round(c**0.75 / z, 9)
+        assert got[t]["c"] == c
+        assert abs(got[t]["keep_prob"] - keep) < 1e-8, t
+        assert abs(got[t]["neg_prob"] - neg) < 1e-8, t
+    assert abs(sum(r["neg_prob"] for r in got.values()) - 1.0) < 1e-3
+    # count^0.75 flattens: max/min ratio shrinks vs raw
+    raw_ratio = max(cnt.values()) / min(cnt.values())
+    neg_ratio = max(r["neg_prob"] for r in got.values()) / min(
+        r["neg_prob"] for r in got.values()
+    )
+    assert neg_ratio < raw_ratio
+
+
+def test_padding_waste_matches_python_referee(spark):
+    """R181 referee: pure-Python bucket accounting; bucketed efficiency
+    must dominate unbucketed in every bucket."""
+    from zoom_spark.queries.round6_depth import SEQ_BUCKETS, padding_waste_report
+
+    got = {r["bucket_cap"]: r for r in padding_waste_report(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    agg = {}
+    for r in docs:
+        n = len([w for w in r["text"].lower().split(" ") if w])
+        n = min(n, SEQ_BUCKETS[-1])
+        cap = next(b for b in SEQ_BUCKETS if n <= b)
+        e = agg.setdefault(cap, [0, 0])
+        e[0] += 1
+        e[1] += n
+    assert set(got) == set(agg)
+    for cap, (nd, real) in agg.items():
+        r = got[cap]
+        assert r["n_docs"] == nd
+        assert r["real_tokens"] == real
+        assert r["pad_tokens"] == nd * cap - real
+        assert abs(r["bucket_efficiency"] - round(real / (nd * cap), 6)) < 1e-8
+        assert r["bucket_efficiency"] >= r["unbucketed_efficiency"] - 1e-9

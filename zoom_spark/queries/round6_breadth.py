@@ -21,6 +21,7 @@ from zoom_spark.io import load_table
 from zoom_spark.queries import register
 
 AA_TOPK = 50
+AA_QUERY_PREFIX = "0"  # with the second-char filter: ~1/64 query set
 
 
 @register(
@@ -36,10 +37,16 @@ AA_TOPK = 50
       SELECT u AS z, v AS x FROM pairs UNION ALL SELECT v, u FROM pairs
     ),
     deg AS (SELECT z, count(*) AS d FROM nbr GROUP BY z),
+    q AS (
+      SELECT DISTINCT x FROM nbr
+      WHERE substring(md5(CAST(x AS VARCHAR)), 1, 1) = '{AA_QUERY_PREFIX}'
+        AND substring(md5(CAST(x AS VARCHAR)), 2, 1) < '4'
+    ),
     wedges AS (
       SELECT e1.x AS a, e2.x AS b, 1.0 / ln(deg.d) AS w
-      FROM nbr e1 JOIN nbr e2 ON e1.z = e2.z AND e1.x < e2.x
+      FROM nbr e1 JOIN nbr e2 ON e1.z = e2.z AND e1.x <> e2.x
       JOIN deg ON deg.z = e1.z
+      JOIN q ON q.x = e1.x
       WHERE deg.d >= 2
     ),
     scored AS (
@@ -49,8 +56,8 @@ AA_TOPK = 50
     ),
     non_edges AS (
       SELECT s.* FROM scored s
-      LEFT JOIN pairs p ON s.a = p.u AND s.b = p.v
-      WHERE p.u IS NULL
+      LEFT JOIN nbr e ON s.a = e.z AND s.b = e.x
+      WHERE e.z IS NULL
     )
     SELECT a, b, n_common, aa_score FROM non_edges
     ORDER BY aa_score DESC, a, b LIMIT {AA_TOPK}
@@ -58,13 +65,20 @@ AA_TOPK = 50
 )
 def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R151 link prediction: Adamic-Adar score over the co-purchase
-    graph — for each NON-adjacent part pair, sum 1/ln(deg(z)) over
-    common neighbors z (rarer shared neighbors count more). The
-    candidate-generation step of a recommendation / graph-completion
-    pipeline. Wedge enumeration is the bounded equi-join on the wedge
-    center (same shape as co_purchase_triangles — fanout is
-    sum(deg^2), never |V|^2); existing edges drop via a left-anti
-    join; top-k via TakeOrderedAndProject with (a, b) tiebreak."""
+    graph — for each non-adjacent (query node a, candidate b) pair,
+    sum 1/ln(deg(z)) over common neighbors z (rarer shared neighbors
+    count more). The candidate-generation step of a recommendation /
+    graph-completion pipeline, in its PRODUCTION shape: scores are
+    computed FOR A QUERY SET (a deterministic ~1/64 md5 node sample
+    standing in for "users/parts needing recommendations right now"),
+    never for all |V|^2 pairs — all-pairs AA on this dense graph is
+    sum(deg^2) ~ 3e8 wedges at sf0.1 (measured 62 s) and grows
+    superlinearly; the query-set form is sum(deg_Q * deg) and scales
+    linearly in the query set. Wedge enumeration stays the bounded
+    equi-join on the wedge center; existing edges drop via a
+    left-anti join on the adjacency; top-k via TakeOrderedAndProject.
+    The pair/neighbor frames are lazily checkpointed (five downstream
+    consumers)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -78,16 +92,30 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    nbr = pairs.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
-        pairs.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    nbr = (
+        pairs.select(F.col("u").alias("z"), F.col("v").alias("x"))
+        .unionAll(pairs.select(F.col("v").alias("z"), F.col("u").alias("x")))
+        .localCheckpoint(eager=False)
     )
     deg = nbr.groupBy("z").agg(F.count("*").alias("d")).where(F.col("d") >= 2)
-    e1 = nbr.select(F.col("z"), F.col("x").alias("a"))
+    q = (
+        nbr.select("x")
+        .where(
+            (
+                F.substring(F.md5(F.col("x").cast("string")), 1, 1)
+                == AA_QUERY_PREFIX
+            )
+            & (F.substring(F.md5(F.col("x").cast("string")), 2, 1) < "4")
+        )
+        .distinct()
+    )
+    e1 = nbr.join(q, on="x").select(F.col("z"), F.col("x").alias("a"))
     e2 = nbr.select(F.col("z"), F.col("x").alias("b"))
     wedges = (
         e1.join(e2, on="z")
-        .where(F.col("a") < F.col("b"))
+        .where(F.col("a") != F.col("b"))
         .join(deg, on="z")
         .select("a", "b", (F.lit(1.0) / F.log(F.col("d"))).alias("w"))
     )
@@ -95,11 +123,8 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("w"), 6).alias("aa_score"),
         F.count("*").cast("bigint").alias("n_common"),
     )
-    non_edges = scored.join(
-        pairs,
-        (scored["a"] == pairs["u"]) & (scored["b"] == pairs["v"]),
-        "left_anti",
-    )
+    adj = nbr.select(F.col("z").alias("a"), F.col("x").alias("b"))
+    non_edges = scored.join(adj, on=["a", "b"], how="left_anti")
     return non_edges.select("a", "b", "n_common", "aa_score").orderBy(
         F.col("aa_score").desc(), "a", "b"
     ).limit(AA_TOPK)

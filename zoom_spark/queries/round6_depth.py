@@ -1187,3 +1187,298 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ess_frac"),
         F.round(F.avg("w"), 6).alias("mean_w"),
     )
+
+
+@register(
+    "wasserstein_weekend_value",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pv AS (
+      SELECT v,
+             CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb,
+             lead(v) OVER (ORDER BY v) AS v_next
+      FROM pv
+    ),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b FROM pv)
+    SELECT t.n_a, t.n_b,
+           round(sum(abs(c.ca * 1.0 / t.n_a - c.cb * 1.0 / t.n_b)
+                     * (c.v_next - c.v)), 6) AS w1
+    FROM c CROSS JOIN tot t
+    WHERE c.v_next IS NOT NULL
+    GROUP BY t.n_a, t.n_b
+    """,
+)
+def wasserstein_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R178 two-sample Wasserstein-1 (earth mover) distance, weekend
+    vs weekday event values: W1 = integral |ECDF_a - ECDF_b| — the
+    magnitude-aware complement to the KS sup statistic (KS sees THAT
+    distributions differ; W1 sees by HOW MUCH, in value units — the
+    metric used for drift budgets). Same scale shape as the R96 KS:
+    one hash aggregate to per-distinct-value counts, running counts
+    via the two-phase distributed prefix-sum, and the next-value gap
+    via a rank equi-join (global_row_number rn ⋈ rn+1) instead of an
+    unpartitioned lead() window — no single-task stage anywhere."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    c = prefix_sum(pv, "v", "na", out_col="ca")
+    c = prefix_sum(c, "v", "nb", out_col="cb")
+    ranked = global_row_number(c, ["v"], out_col="rn")
+    nxt = ranked.select(
+        (F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next")
+    )
+    gaps = ranked.join(nxt, on="rn")
+    tot = pv.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+    )
+    return (
+        gaps.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("ca") * 1.0 / F.col("n_a")
+                        - F.col("cb") * 1.0 / F.col("n_b")
+                    )
+                    * (F.col("v_next") - F.col("v"))
+                ),
+                6,
+            ).alias("w1")
+        )
+    )
+
+
+DID_CUT = "1996-01-01"
+
+
+@register(
+    "diff_in_diff_order_value",
+    sql=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                  < '8' THEN 'treatment' ELSE 'control' END AS arm,
+             CASE WHEN o_orderdate >= DATE '{DID_CUT}'
+                  THEN 'post' ELSE 'pre' END AS period,
+             o_totalprice AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT arm, period,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(y), 4) AS mean_y
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT t_post.mean_y AS treat_post, t_pre.mean_y AS treat_pre,
+           c_post.mean_y AS ctrl_post, c_pre.mean_y AS ctrl_pre,
+           round((t_post.mean_y - t_pre.mean_y)
+                 - (c_post.mean_y - c_pre.mean_y), 4) AS did_estimate,
+           t_post.n + t_pre.n + c_post.n + c_pre.n AS n_total
+    FROM (SELECT * FROM cells WHERE arm='treatment' AND period='post') t_post,
+         (SELECT * FROM cells WHERE arm='treatment' AND period='pre') t_pre,
+         (SELECT * FROM cells WHERE arm='control' AND period='post') c_post,
+         (SELECT * FROM cells WHERE arm='control' AND period='pre') c_pre
+    """,
+)
+def diff_in_diff_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R179 difference-in-differences: the 2x2 (arm x pre/post) cell
+    means and the DiD effect (ΔT - ΔC) — the quasi-experimental
+    estimator that nets out both group baselines and common time
+    shocks when randomization isn't available (the md5 arm split makes
+    the true effect ~0 here, a placebo check). One hash aggregate to
+    four cells, then scalar pivots over the 4-row frame; cell means
+    4dp-rounded on both engines before the difference arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        F.when(
+            F.col("o_orderdate") >= F.lit(DID_CUT).cast("date"), "post"
+        )
+        .otherwise("pre")
+        .alias("period"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cells = tagged.groupBy("arm", "period").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("y"), 4).alias("mean_y"),
+    )
+    wide = cells.groupBy().pivot(
+        "arm", ["treatment", "control"]
+    ).agg(
+        F.sum(F.when(F.col("period") == "post", F.col("mean_y"))).alias("post"),
+        F.sum(F.when(F.col("period") == "pre", F.col("mean_y"))).alias("pre"),
+        F.sum("n").alias("n"),
+    )
+    return wide.select(
+        F.col("treatment_post").alias("treat_post"),
+        F.col("treatment_pre").alias("treat_pre"),
+        F.col("control_post").alias("ctrl_post"),
+        F.col("control_pre").alias("ctrl_pre"),
+        F.round(
+            (F.col("treatment_post") - F.col("treatment_pre"))
+            - (F.col("control_post") - F.col("control_pre")),
+            4,
+        ).alias("did_estimate"),
+        (F.col("treatment_n") + F.col("control_n"))
+        .cast("bigint")
+        .alias("n_total"),
+    )
+
+
+W2V_T = 1e-3  # word2vec subsampling threshold
+W2V_MIN_COUNT = 5
+
+
+@register(
+    "word2vec_sampling_table",
+    sql=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1 HAVING count(*) >= {W2V_MIN_COUNT}
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    z AS (SELECT round(sum(pow(c, 0.75)), 6) AS z FROM cnt)
+    SELECT c.t, c.c,
+           round(least(1.0,
+             sqrt({W2V_T} / (c.c * 1.0 / tt.n))
+             + {W2V_T} / (c.c * 1.0 / tt.n)), 6) AS keep_prob,
+           round(pow(c.c, 0.75) / zz.z, 9) AS neg_prob
+    FROM cnt c CROSS JOIN tot tt CROSS JOIN z zz
+    """,
+)
+def word2vec_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R180 word2vec sampling tables (Mikolov et al. 2013): per vocab
+    token the frequent-word subsampling keep-probability
+    sqrt(t/f)+t/f and the count^0.75 negative-sampling distribution —
+    the two frequency transforms every skip-gram/NCE pipeline
+    precomputes before training. One token aggregate + two 1-row
+    normalizer broadcasts; min-count prunes the tail before the
+    broadcast-sized table is emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t")
+    )
+    cnt = (
+        tok.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .where(F.col("c") >= W2V_MIN_COUNT)
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    z = cnt.agg(F.round(F.sum(F.pow("c", 0.75)), 6).alias("z"))
+    f = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "t",
+            "c",
+            F.round(
+                F.least(F.lit(1.0), F.sqrt(W2V_T / f) + W2V_T / f), 6
+            ).alias("keep_prob"),
+            F.round(F.pow("c", 0.75) / F.col("z"), 9).alias("neg_prob"),
+        )
+    )
+
+
+SEQ_BUCKETS = [32, 64, 128, 256]  # context-length bucket caps (words)
+
+
+@register(
+    "padding_waste_report",
+    sql=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    capped AS (
+      SELECT doc_id, least(n_tok, {SEQ_BUCKETS[-1]}) AS n_tok,
+             CASE
+               WHEN n_tok <= 32 THEN 32
+               WHEN n_tok <= 64 THEN 64
+               WHEN n_tok <= 128 THEN 128
+               ELSE 256 END AS bucket_cap
+      FROM lens
+    )
+    SELECT bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(sum(bucket_cap - n_tok) AS BIGINT) AS pad_tokens,
+           round(sum(n_tok) * 1.0 / sum(bucket_cap), 6) AS bucket_efficiency,
+           round(sum(n_tok) * 1.0 / (count(*) * {SEQ_BUCKETS[-1]}), 6)
+             AS unbucketed_efficiency
+    FROM capped GROUP BY bucket_cap
+    """,
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R181 sequence length-bucketing padding report: assign each doc
+    to the smallest context bucket {SEQ_BUCKETS} that fits (truncating
+    at the max), and report per-bucket real vs padding tokens and the
+    batch efficiency with and without bucketing — the accounting that
+    justifies bucketed batching in a training pipeline (padding is
+    pure wasted FLOPs). Map-side length + bucket tag, one aggregate;
+    the efficiency columns make the bucketing win directly visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+    lens = docs.select(F.col("doc_id"), n_tok.cast("bigint").alias("n_tok"))
+    cap = F.when(F.col("n_tok") <= 32, 32).when(
+        F.col("n_tok") <= 64, 64
+    ).when(F.col("n_tok") <= 128, 128).otherwise(256)
+    capped = lens.select(
+        F.least(F.col("n_tok"), F.lit(SEQ_BUCKETS[-1])).alias("n_tok"),
+        cap.alias("bucket_cap"),
+    )
+    return capped.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tok"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+        F.round(
+            F.sum("n_tok") * 1.0 / F.sum("bucket_cap"), 6
+        ).alias("bucket_efficiency"),
+        F.round(
+            F.sum("n_tok") * 1.0 / (F.count("*") * SEQ_BUCKETS[-1]), 6
+        ).alias("unbucketed_efficiency"),
+    )
