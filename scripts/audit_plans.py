@@ -67,6 +67,15 @@ EXPECTATIONS = {
     "importance_weight_ess": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # 1-row totals broadcast crossed onto the distinct-value frame
+    # (same shape as the KS test's waiver)
+    "wasserstein_weekend_value": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
+    # two 1-row normalizer broadcasts (token total, Z = sum c^0.75)
+    "word2vec_sampling_table": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     "seasonal_decompose_revenue": dict(
         pushed=False, broadcast=True, cartesian=True, unpart_window=True
     ),
