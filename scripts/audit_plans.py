@@ -96,7 +96,12 @@ EXPECTATIONS = {
     ),
     "collect_sorted_lines": dict(pushed=True, broadcast=False, cartesian=False),
     "canonical_doc_ids": dict(pushed=False, broadcast=False, cartesian=False),
-    "knn_ivf": dict(pushed=True, broadcast=True, cartesian=False),
+    # IVF centroid matrix rides in as a 1-row broadcast crossJoin
+    # (BNLJ by design — see similarity/ivf._with_centroid_sims); the
+    # probe-cell join is size-planned by AQE, not forced broadcast
+    "knn_ivf_fullprobe": dict(pushed=False, broadcast=False, cartesian=True),
+    "hard_negative_pairs_ann": dict(pushed=False, broadcast=False, cartesian=True),
+    "knn_ivf": dict(pushed=True, broadcast=False, cartesian=True),
     "simhash_dedup_docs": dict(pushed=False, broadcast=False, cartesian=False),
     "ngram_jaccard_dups": dict(pushed=False, broadcast=False, cartesian=False),
     # q6: scalar-threshold join is a 1-row BroadcastNestedLoopJoin by

@@ -48,18 +48,31 @@ def _unit(c: list[float]) -> list[float]:
     return [x / n for x in c] if n > 0 else c
 
 
-def _dots_to_unit_centroids(vec_col, centroids: list[list[float]]):
-    """C-wide array of dot products against UNIT-normalized centroid
-    literals. Cell assignment and probe ordering only need the argmax
-    / ordering of cosine similarity, which is invariant under the
-    row vector's (positive) norm — so the row norm is never computed
-    and each centroid costs one fold instead of three (dot + two
-    norms). Centroids are normalized once, driver-side."""
-    return F.array(
-        *[
-            dot(vec_col, F.array(*[F.lit(x) for x in _unit(c)]))
-            for c in centroids
-        ]
+def _with_centroid_sims(
+    df: DataFrame, vec_col, centroids: list[list[float]], out: str
+) -> DataFrame:
+    """Attach a C-wide array of dot products against UNIT-normalized
+    centroids as column `out`. Cell assignment and probe ordering only
+    need the argmax / ordering of cosine similarity, which is
+    invariant under the row vector's (positive) norm — so the row
+    norm is never computed and each centroid costs one fold.
+
+    The centroid matrix rides in as ONE array<array<double>> column
+    from a 1-row broadcast (map-side, no shuffle), and the similarity
+    array is a nested higher-order transform over it. NOT literal
+    arrays: a C x dim literal expression tree makes Catalyst
+    analysis the bottleneck (measured ~4 s to COMPILE a 44x64
+    literal plan vs milliseconds to execute it); the matrix-column
+    form keeps the plan O(1)-sized regardless of C."""
+    cmat = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [([_unit(c) for c in centroids],)], "cmat array<array<double>>"
+        )
+    )
+    return (
+        df.crossJoin(cmat)
+        .withColumn(out, F.transform(F.col("cmat"), lambda c: dot(vec_col, c)))
+        .drop("cmat")
     )
 
 
@@ -71,8 +84,9 @@ def assign_cells(
     (array_position finds the first occurrence). The vector norm is
     computed here, once per row, so the probe join's cosine never
     re-folds it per pair."""
-    sims = _dots_to_unit_centroids(F.col(vec_col), centroids)
-    return df.select(
+    with_sims = _with_centroid_sims(df, F.col(vec_col), centroids, "_sims")
+    sims = F.col("_sims")
+    return with_sims.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("v_norm"),
@@ -90,16 +104,16 @@ def probe_cells(
     """(q_id, q_vec, cell) — one row per probed cell: the n_probe
     most-similar centroids per query, via sort of the zipped
     (neg-sim, index) structs (array-local, no shuffle)."""
-    sims = _dots_to_unit_centroids(F.col(vec_col), centroids)
+    with_sims = _with_centroid_sims(queries, F.col(vec_col), centroids, "_sims")
     order = F.array_sort(
         F.zip_with(
-            sims,
+            F.col("_sims"),
             F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
             lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
         )
     )
     probes = F.slice(F.transform(order, lambda x: x["idx"]), 1, n_probe)
-    return queries.select(
+    return with_sims.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
