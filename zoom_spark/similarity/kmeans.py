@@ -39,19 +39,31 @@ def _assign(df: DataFrame, vec_col: str, id_col: str, centroids) -> DataFrame:
     """(id, vec, cell, dist2) — nearest centroid by squared L2
     distance. ||v - c||² = ||v||² - 2·v·c + ||c||²; the argmin only
     needs (-2·v·c + ||c||²), computed as one fold per centroid."""
-    score = F.array(
-        *[
-            -2.0 * dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            + float(sum(x * x for x in c))
-            for c in centroids
-        ]
+    # centroid matrix + per-centroid ||c||^2 ride in as one-row
+    # broadcast columns; the score array is a higher-order zip over
+    # them. NOT literal arrays: a k x dim literal tree makes Catalyst
+    # analysis the per-iteration bottleneck (same fix as
+    # ivf._with_centroid_sims — Lloyd pays it EVERY iteration).
+    cstats = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(
+                [[float(x) for x in c] for c in centroids],
+                [float(sum(x * x for x in c)) for c in centroids],
+            )],
+            "cmat array<array<double>>, cn2 array<double>",
+        )
+    )
+    score = F.zip_with(
+        F.col("cmat"),
+        F.col("cn2"),
+        lambda c, n2: -2.0 * dot(F.col(vec_col), c) + n2,
     )
     vnorm2 = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    return df.select(
+    return df.crossJoin(cstats).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         (F.array_position(score, F.array_min(score)) - 1).cast("int").alias("cell"),
