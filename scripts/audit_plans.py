@@ -189,7 +189,10 @@ EXPECTATIONS = {
     "temperature_mix_sample": dict(pushed=False, broadcast=True, cartesian=True),
     # candidate set broadcasts into the recount; 1-row total crossJoin
     "heavy_hitter_tokens": dict(pushed=False, broadcast=True, cartesian=True),
-    "semdedup_corpus": dict(pushed=False, broadcast=False, cartesian=False),
+    # k-means centroid matrix is a 1-row broadcast crossJoin per Lloyd
+    # iteration (BNLJ by design — similarity/kmeans._assign)
+    "semdedup_corpus": dict(pushed=False, broadcast=False, cartesian=True),
+    "kmeans_corpus_cells": dict(pushed=False, broadcast=False, cartesian=True),
     "pca_project_corpus": dict(pushed=False, broadcast=False, cartesian=False),
     # ADC scan is a literal-LUT fold + per-query top-k over the FULL
     # encoded corpus; no joins, no base-column filter in the plan
