@@ -76,6 +76,13 @@ EXPECTATIONS = {
     "word2vec_sampling_table": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # conformal: 1-row model/k/q-hat broadcasts crossed onto the
+    # residual frame (scalar BNLJ by design)
+    "conformal_interval_coverage": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
+    # BH: 1-row threshold broadcast onto the cell-count-sized battery
+    "bh_fdr_correction": dict(pushed=False, broadcast=True, cartesian=True),
     "seasonal_decompose_revenue": dict(
         pushed=False, broadcast=True, cartesian=True, unpart_window=True
     ),

@@ -625,3 +625,73 @@ def test_padding_waste_matches_python_referee(spark):
         assert r["pad_tokens"] == nd * cap - real
         assert abs(r["bucket_efficiency"] - round(real / (nd * cap), 6)) < 1e-8
         assert r["bucket_efficiency"] >= r["unbucketed_efficiency"] - 1e-9
+
+
+def test_conformal_coverage_matches_numpy_and_guarantee(spark):
+    """R182 referee: numpy recompute of the split-conformal interval;
+    coverage on the test half must be >= 1 - alpha - slack (the
+    finite-sample conformal guarantee)."""
+    import numpy as np
+
+    from zoom_spark.queries.round6_depth import (
+        CONF_ALPHA,
+        conformal_interval_coverage,
+    )
+
+    row = conformal_interval_coverage(spark, SF_DIR).collect()[0]
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    agg = {}
+    for r in o:
+        e = agg.setdefault(r["o_custkey"], [0.0, 0])
+        e[0] += r["o_totalprice"]
+        e[1] += 1
+    keys = sorted(agg)
+    y = np.round([agg[k][0] for k in keys], 2)
+    x = np.array([agg[k][1] for k in keys], dtype=float)
+    cal = np.array([k % 2 == 0 for k in keys])
+    n, sx = int(cal.sum()), x[cal].sum()
+    sy = round(float(y[cal].sum()), 2)
+    sxx = float((x[cal] ** 2).sum())
+    sxy = round(float((x[cal] * y[cal]).sum()), 2)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    r_all = np.abs(y - (a + b * x))
+    r_cal = np.sort(r_all[cal])
+    k = min(n, math.ceil((1 - CONF_ALPHA) * (n + 1)))
+    q = round(float(r_cal[k - 1]), 6)
+    r_test = r_all[~cal]
+    cov = round(float((r_test <= q).mean()), 6)
+    assert row["n_test"] == int((~cal).sum())
+    assert abs(row["interval_halfwidth"] - q) < 1e-4
+    assert abs(row["coverage"] - cov) < 1e-6
+    # conformal guarantee holds in EXPECTATION; allow 3-sigma binomial
+    # slack for the finite test half
+    slack = 3 * (CONF_ALPHA * (1 - CONF_ALPHA) / row["n_test"]) ** 0.5
+    assert row["coverage"] >= 1 - CONF_ALPHA - slack
+
+
+def test_bh_fdr_matches_python_referee(spark):
+    """R183 referee: recompute the BH procedure from the engine's own
+    (cell, p) battery with pure Python; the rejection set must match
+    the step-up rule exactly, and with placebo arms it should be
+    small."""
+    from zoom_spark.queries.round6_depth import BH_ALPHA, bh_fdr_correction
+
+    rows = bh_fdr_correction(spark, SF_DIR).collect()
+    assert rows
+    ps = sorted((r["p"], r["cell"]) for r in rows)
+    m = len(ps)
+    k = 0
+    for i, (p, _) in enumerate(ps, 1):
+        if p <= BH_ALPHA * i / m:
+            k = i
+    rejected_ref = {c for (p, c) in ps[:k]}
+    got_rejected = {r["cell"] for r in rows if r["rejected"]}
+    assert got_rejected == rejected_ref
+    # ranks are the p-ascending order
+    by_rank = sorted(rows, key=lambda r: r["rk"])
+    assert [r["cell"] for r in by_rank] == [c for (_, c) in ps]
+    # placebo arms: BH should reject few cells (FDR control working)
+    assert len(got_rejected) <= max(2, m // 10)

@@ -1482,3 +1482,288 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok") * 1.0 / (F.count("*") * SEQ_BUCKETS[-1]), 6
         ).alias("unbucketed_efficiency"),
     )
+
+
+CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@register(
+    "conformal_interval_coverage",
+    sql=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             round(sum(o_totalprice), 2) AS y,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CASE WHEN o_custkey % 2 = 0 THEN 'cal' ELSE 'test' END AS split
+      FROM orders GROUP BY o_custkey
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_orders) AS BIGINT) AS sx,
+             round(sum(y), 2) AS sy,
+             CAST(sum(n_orders * n_orders) AS BIGINT) AS sxx,
+             round(sum(n_orders * y), 2) AS sxy
+      FROM cust WHERE split = 'cal'
+    ),
+    model AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM mom
+    ),
+    resid AS (
+      SELECT c.split, abs(c.y - (m.a + m.b * c.n_orders)) AS r
+      FROM cust c CROSS JOIN model m
+    ),
+    nc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM resid WHERE split = 'cal'
+    ),
+    kk AS (
+      SELECT least(n, CAST(ceil((1 - {CONF_ALPHA}) * (n + 1)) AS BIGINT))
+               AS k
+      FROM nc
+    ),
+    cum AS (
+      SELECT r, sum(cnt) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS c
+      FROM (SELECT r, count(*) AS cnt FROM resid
+            WHERE split = 'cal' GROUP BY r)
+    ),
+    qhat AS (
+      SELECT round(min(cum.r), 6) AS q FROM cum CROSS JOIN kk
+      WHERE cum.c >= kk.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           round(q.q, 6) AS interval_halfwidth,
+           round(avg(CASE WHEN t.r <= q.q THEN 1.0 ELSE 0.0 END), 6)
+             AS coverage
+    FROM (SELECT r FROM resid WHERE split = 'test') t CROSS JOIN qhat q
+    GROUP BY q.q
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R182 split-conformal prediction intervals (Vovk; Lei et al.):
+    fit a 1-feature regression (total spend ~ order count; sums, not
+    means — a sum of 2dp prices sits exactly ON the cent grid, so the
+    2dp rounding is noise-free on both engines) on the calibration half, take the
+    ceil((1-alpha)(n+1))-th smallest absolute calibration residual
+    (the classical order statistic — computed by the distributed
+    prefix-count selection, no single-task sort) as the interval
+    half-width, and report the achieved
+    coverage on the held-out half — the distribution-free uncertainty
+    wrapper every production model should ship with (coverage >= 90%
+    guaranteed in expectation regardless of the model being wrong).
+    Decomposable regr_* fit + one exact-percentile reduce + one
+    coverage aggregate; model and q-hat are 1-row broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    ).withColumn(
+        "split",
+        F.when(F.col("o_custkey") % 2 == 0, "cal").otherwise("test"),
+    )
+    # moments rounded on both engines BEFORE the closed-form solve
+    # (the ols_normal_equations discipline): the coefficient then
+    # comes from identical double arithmetic on identical inputs, so
+    # summation-order noise cannot flip a rounded coefficient digit
+    mom = cust.where(F.col("split") == "cal").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_orders").cast("bigint").alias("sx"),
+        F.round(F.sum("y"), 2).alias("sy"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).cast("bigint").alias("sxx"),
+        F.round(F.sum(F.col("n_orders") * F.col("y")), 2).alias("sxy"),
+    )
+    b_expr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    model = mom.select(
+        b_expr.alias("b"),
+        ((F.col("sy") - b_expr * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    resid = cust.crossJoin(F.broadcast(model)).select(
+        "split",
+        F.abs(
+            F.col("y") - (F.col("a") + F.col("b") * F.col("n_orders"))
+        ).alias("r"),
+    )
+    from zoom_spark.operators.prefix import prefix_sum
+
+    cal = resid.where(F.col("split") == "cal")
+    nc = cal.agg(F.count("*").cast("bigint").alias("n"))
+    kk = nc.select(
+        F.least(
+            F.col("n"),
+            F.ceil((1 - CONF_ALPHA) * (F.col("n") + 1)).cast("bigint"),
+        ).alias("k")
+    )
+    pv = cal.groupBy("r").agg(F.count("*").alias("cnt"))
+    cum = prefix_sum(pv, "r", "cnt", out_col="c")
+    qhat = (
+        cum.crossJoin(F.broadcast(kk))
+        .where(F.col("c") >= F.col("k"))
+        .agg(F.round(F.min("r"), 6).alias("q"))
+    )
+    test = resid.where(F.col("split") == "test")
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(
+                F.avg(F.when(F.col("r") <= F.col("q"), 1.0).otherwise(0.0)), 6
+            ).alias("coverage"),
+        )
+        .select(
+            "n_test",
+            F.round(F.col("q"), 6).alias("interval_halfwidth"),
+            "coverage",
+        )
+    )
+
+
+BH_ALPHA = 0.05
+
+
+@register(
+    "bh_fdr_correction",
+    sql=f"""
+    WITH seg AS (
+      SELECT c.c_mktsegment || '/' || CAST(c.c_nationkey AS VARCHAR)
+               AS cell,
+             CASE WHEN substring(md5(CAST(o.o_custkey AS VARCHAR)), 1, 1)
+                  < '8' THEN 1 ELSE 0 END AS grp,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    stats AS (
+      SELECT cell,
+             CAST(sum(grp) AS BIGINT) AS n1,
+             CAST(count(*) - sum(grp) AS BIGINT) AS n0,
+             round(avg(CASE WHEN grp = 1 THEN y END), 6) AS m1,
+             round(avg(CASE WHEN grp = 0 THEN y END), 6) AS m0,
+             round(var_samp(CASE WHEN grp = 1 THEN y END), 2) AS v1,
+             round(var_samp(CASE WHEN grp = 0 THEN y END), 2) AS v0
+      FROM seg GROUP BY cell
+      HAVING sum(grp) >= 5 AND count(*) - sum(grp) >= 5
+    ),
+    tests AS (
+      SELECT cell,
+             round(abs(m1 - m0) / sqrt(v1 / n1 + v0 / n0), 6) AS z
+      FROM stats WHERE v1 > 0 AND v0 > 0
+    ),
+    pvals AS (
+      -- two-sided p from |z| via the Abramowitz-Stegun 7.1.26
+      -- erf polynomial, written IDENTICALLY on both engines so the
+      -- approximation (not each engine's own erf) is the contract
+      SELECT cell, z,
+             round(2 * 0.5 * ((0.254829592 * t - 0.284496736 * t * t
+                    + 1.421413741 * t * t * t
+                    - 1.453152027 * t * t * t * t
+                    + 1.061405429 * t * t * t * t * t)
+                   * exp(-(z * z) / 2)), 9) AS p
+      FROM (
+        SELECT cell, z,
+               1 / (1 + 0.3275911 * (z / sqrt(2.0))) AS t
+        FROM tests
+      )
+    ),
+    ranked AS (
+      SELECT cell, z, p,
+             row_number() OVER (ORDER BY p, cell) AS rk,
+             count(*) OVER () AS m
+      FROM pvals
+    ),
+    thresh AS (
+      SELECT max(rk) AS k FROM ranked
+      WHERE p <= {BH_ALPHA} * rk * 1.0 / m
+    )
+    SELECT r.cell, r.z, r.p, CAST(r.rk AS BIGINT) AS rk,
+           (t.k IS NOT NULL AND r.rk <= t.k) AS rejected
+    FROM ranked r CROSS JOIN thresh t
+    """,
+)
+def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R183 Benjamini-Hochberg FDR correction over a battery of
+    per-cell z-tests (placebo md5 arms across segment x nation cells):
+    rank p-values, find the largest k with p_(k) <= alpha*k/m, reject
+    the first k — the multiple-testing discipline that stops a
+    125-cell dashboard from reporting ~6 false 'significant' cells at
+    alpha=0.05. The per-cell Welch z-stats come from one decomposable
+    aggregate; the p-value rank uses the two-phase global_row_number
+    (the battery is cell-count-sized anyway); the BH threshold is a
+    1-row broadcast. The normal tail comes from the Abramowitz-
+    Stegun erf polynomial written identically on both engines (the
+    portable-transcendental discipline; Spark has no builtin erf)."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(c, c["c_custkey"] == o["o_custkey"]).select(
+        F.concat_ws(
+            "/", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("cell"),
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("grp"),
+        F.col("o_totalprice").alias("y"),
+    )
+    stats = (
+        seg.groupBy("cell")
+        .agg(
+            F.sum("grp").cast("bigint").alias("n1"),
+            (F.count("*") - F.sum("grp")).cast("bigint").alias("n0"),
+            F.round(F.avg(F.when(F.col("grp") == 1, F.col("y"))), 6).alias("m1"),
+            F.round(F.avg(F.when(F.col("grp") == 0, F.col("y"))), 6).alias("m0"),
+            F.round(
+                F.var_samp(F.when(F.col("grp") == 1, F.col("y"))), 2
+            ).alias("v1"),
+            F.round(
+                F.var_samp(F.when(F.col("grp") == 0, F.col("y"))), 2
+            ).alias("v0"),
+        )
+        .where((F.col("n1") >= 5) & (F.col("n0") >= 5))
+    )
+    tests = stats.where((F.col("v1") > 0) & (F.col("v0") > 0)).select(
+        "cell",
+        F.round(
+            F.abs(F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")),
+            6,
+        ).alias("z"),
+    )
+    t = 1 / (1 + 0.3275911 * (F.col("z") / F.sqrt(F.lit(2.0))))
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    pvals = tests.select(
+        "cell",
+        "z",
+        F.round(
+            2 * 0.5 * (poly * F.exp(-(F.col("z") * F.col("z")) / 2)), 9
+        ).alias("p"),
+    )
+    ranked = global_row_number(pvals, ["p", "cell"], out_col="rk")
+    m_tot = pvals.count()
+    thresh = (
+        ranked.where(F.col("p") <= BH_ALPHA * F.col("rk") / F.lit(m_tot))
+        .agg(F.max("rk").alias("k"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thresh))
+        .select(
+            "cell",
+            "z",
+            "p",
+            F.col("rk").cast("bigint").alias("rk"),
+            (F.col("k").isNotNull() & (F.col("rk") <= F.col("k"))).alias(
+                "rejected"
+            ),
+        )
+    )
