@@ -114,6 +114,12 @@ HEADLINE = [
     "seasonal_decompose_revenue",  # trend/seasonal/residual decomposition
     "lift_gains_deciles",      # two-phase-rank targeting curve
     "k_anonymity_report",      # QI equivalence-class audit
+    "naive_bayes_source_classifier",  # distributed NB train+apply
+    "bloom_filter_join_stats", # inspectable runtime-filter build/probe
+    "wasserstein_weekend_value",  # prefix-sum ECDF-integral drift
+    "conformal_interval_coverage",  # order-statistic conformal interval
+    "bh_fdr_correction",       # step-up FDR over a z-test battery
+    "importance_weight_ess",   # Kish ESS over DSIR weights
 ]
 
 
