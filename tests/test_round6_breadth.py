@@ -87,7 +87,9 @@ def test_adamic_adar_matches_python_referee(spark):
 
 
 def test_markov_transitions_match_pandas_referee(spark):
-    from zoom_spark.queries.round6_breadth import markov_event_transitions
+    # full pandas recompute referee for the (R29-era) markov operator —
+    # added in round 6 when the R152 duplicate was consolidated into it
+    from zoom_spark.queries.advanced_analytics import markov_transitions
 
     ev = (
         load_table(spark, SF_DIR, "events")
@@ -107,8 +109,8 @@ def test_markov_transitions_match_pandas_referee(spark):
         (p, nx): (c, round(c / prev_tot[p], 6)) for (p, nx), c in counts.items()
     }
     got = {
-        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p"])
-        for r in markov_event_transitions(spark, SF_DIR).collect()
+        (r["from_type"], r["to_type"]): (r["n_transitions"], round(r["prob"], 6))
+        for r in markov_transitions(spark, SF_DIR).collect()
     }
     assert got == want
     # each row of the transition matrix sums to ~1

@@ -131,54 +131,6 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "markov_event_transitions",
-    sql="""
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events
-    ),
-    trans AS (
-      SELECT prev_type, event_type AS next_type,
-             CAST(count(*) AS BIGINT) AS n_transitions
-      FROM seq WHERE prev_type IS NOT NULL
-      GROUP BY prev_type, next_type
-    )
-    SELECT prev_type, next_type, n_transitions,
-           round(n_transitions * 1.0 / sum(n_transitions)
-                 OVER (PARTITION BY prev_type), 6) AS p
-    FROM trans
-    """,
-)
-def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R152 first-order Markov chain over per-user event sequences:
-    transition counts and row-normalized probabilities between event
-    types — the behavioral model behind next-action prediction and
-    anomalous-session detection. Per-user lag window (user_id
-    partitions are small and numerous — the healthy window shape),
-    then one aggregate; the normalizing window runs over the
-    |types|^2-row transition matrix, a model-sized frame."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).where(F.col("prev_type").isNotNull())
-    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
-        F.count("*").cast("bigint").alias("n_transitions")
-    )
-    wp = Window.partitionBy("prev_type")
-    return trans.select(
-        "prev_type",
-        "next_type",
-        "n_transitions",
-        F.round(
-            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wp), 6
-        ).alias("p"),
-    )
-
-
-@register(
     "theil_sen_revenue_trend",
     sql="""
     WITH daily AS (
