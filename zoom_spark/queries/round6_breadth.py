@@ -394,7 +394,9 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R157 retention triangle: users cohorted by first-activity week,
     then per (cohort, week-offset) the share of the cohort still
     active — the canonical product-analytics matrix behind retention
-    curves (cohort_ltv is the revenue sibling). One groupBy for the
+    curves (cohort_ltv is the revenue sibling; `cohort_retention` in
+    advanced_analytics is the DAY-granularity pure-count variant —
+    this one adds the week rollup and the rate normalization). One groupBy for the
     cohort map, broadcast back onto events, distinct + aggregate; the
     matrix itself is calendar^2-bounded."""
     ev = load_table(spark, sf_dir, "events")
