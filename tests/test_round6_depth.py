@@ -695,3 +695,103 @@ def test_bh_fdr_matches_python_referee(spark):
     assert [r["cell"] for r in by_rank] == [c for (_, c) in ps]
     # placebo arms: BH should reject few cells (FDR control working)
     assert len(got_rejected) <= max(2, m // 10)
+
+
+def test_spectral_features_pin_planted_tone(spark):
+    """R184 referee: the synth WAVs are pure sine bursts at
+    220 + 5*(seed % 89 % 40) Hz — the FFT dominant bin must land
+    within one bin of the planted tone for every clip, the centroid
+    near it, and a pure-python O(n^2) DFT must agree with numpy's
+    dominant bin on a sample of clips."""
+    import cmath
+
+    from zoom_spark.multimodal.codecs import _parse_wav_pcm16, synth_wav_bytes
+    from zoom_spark.queries.multimodal_queries import (
+        multimodal_spectral_features,
+    )
+
+    rows = multimodal_spectral_features(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        seed = r["media_id"] % 89
+        planted = 220.0 + (seed % 40) * 5.0
+        assert abs(r["dominant_freq_hz"] - planted) <= r["bin_hz"], (
+            r["media_id"],
+            planted,
+            r,
+        )
+        # rectangular-window leakage spreads energy upward, so the
+        # centroid sits above the tone but must stay low-band (far
+        # from Nyquist) for a pure low tone
+        assert 0.8 * planted <= r["spectral_centroid_hz"] <= 4 * planted, r
+
+    # independent O(n^2) DFT referee on 3 clips
+    for seed in (0, 7, 42):
+        fmt, samples = _parse_wav_pcm16(synth_wav_bytes(seed))
+        nch, sr = fmt[1], fmt[2]
+        mono = [
+            sum(samples[i : i + nch]) / nch
+            for i in range(0, len(samples) - len(samples) % nch, nch)
+        ]
+        n = len(mono)
+        best_k, best_m = 0, -1.0
+        for k in range(1, n // 2 + 1):
+            acc = sum(
+                mono[t] * cmath.exp(-2j * cmath.pi * k * t / n)
+                for t in range(n)
+            )
+            if abs(acc) > best_m:
+                best_k, best_m = k, abs(acc)
+        planted = 220.0 + (seed % 40) * 5.0
+        assert abs(best_k * sr / n - planted) <= sr / n, (seed, best_k)
+
+
+def test_rake_matches_python_referee(spark):
+    """R185 referee: pure-Python RAKE (Rose et al.) over the corpus —
+    identical phrase splitting, word degree/freq scoring, top-k."""
+    from collections import Counter, defaultdict
+
+    from zoom_spark.queries.round6_depth import (
+        RAKE_STOPWORDS,
+        RAKE_TOPK,
+        rake_keywords,
+    )
+
+    stop = set(RAKE_STOPWORDS.split(","))
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    all_phrases = []
+    for r in docs:
+        run = []
+        for w in [w for w in r["text"].lower().split(" ") if w]:
+            if w in stop:
+                if 2 <= len(run) <= 4:
+                    all_phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if 2 <= len(run) <= 4:
+            all_phrases.append(tuple(run))
+    freq = Counter()
+    degree = Counter()
+    for ph in all_phrases:
+        for w in ph:
+            freq[w] += 1
+            degree[w] += len(ph)
+    phrase_scores = defaultdict(float)
+    phrase_counts = Counter()
+    for ph in all_phrases:
+        s = sum(degree[w] / freq[w] for w in ph)
+        phrase_scores[" ".join(ph)] += s
+        phrase_counts[" ".join(ph)] += 1
+    ranked = sorted(
+        phrase_scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0])
+    )[:RAKE_TOPK]
+    want = [
+        (p, phrase_counts[p], round(s, 6)) for p, s in ranked
+    ]
+    got = [
+        (r["phrase"], r["n_occurrences"], r["rake_score"])
+        for r in rake_keywords(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert want, "fixture should yield candidate phrases"

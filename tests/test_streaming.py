@@ -552,3 +552,72 @@ def test_stream_merge_upsert_cdc_apply(spark, tmp_path):
     run("cp2")
     again = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(sink).collect()}
     assert again == got
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark):
+    """LEFT OUTER stream-stream join: matched rows equal the inner
+    join's, and every left event also appears (unmatched ones with
+    NULL right columns) — checked against a batch recompute."""
+    from zoom_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_left_outer_join,
+    )
+
+    sf = SF_DIR
+    left = read_events_stream(spark, sf)
+    right = read_events_stream(spark, sf)
+    out = run_to_memory(
+        stream_stream_left_outer_join(left, right),
+        "s2s_left_outer",
+    )
+    got = out.collect()
+
+    from zoom_spark.io import load_table
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    import pyspark.sql.functions as F
+
+    l = ev.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes"))
+        & (F.col("l_event") != F.col("r_event"))
+    )
+    batch_rows = l.join(r, cond, "left_outer").collect()
+    batch = {(x["l_event"], x["r_event"]) for x in batch_rows}
+    got_set = {(x["l_event"], x["r_event"]) for x in got}
+
+    # matched pairs: exact parity with the batch join
+    assert {p for p in got_set if p[1] is not None} == {
+        p for p in batch if p[1] is not None
+    }
+    # unmatched emission follows watermark semantics: a left row is
+    # emitted as unmatched only once the watermark (max_ts - 1 hour)
+    # passes its join horizon (l_ts + 30 min); rows still inside the
+    # horizon at end-of-stream stay in state — so got's unmatched set
+    # is the CLOSED-horizon subset of the batch's
+    import datetime
+
+    max_ts = max(x["l_ts"] for x in batch_rows)
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=30)
+    closed_unmatched = {
+        (x["l_event"], None)
+        for x in batch_rows
+        if x["r_event"] is None and x["l_ts"] < horizon
+    }
+    got_unmatched = {p for p in got_set if p[1] is None}
+    assert closed_unmatched <= got_unmatched <= {
+        p for p in batch if p[1] is None
+    }
+    assert got_unmatched, "unmatched rows emitted"

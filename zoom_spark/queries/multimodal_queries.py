@@ -268,3 +268,36 @@ def multimodal_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_energy_envelope(media, n_segments=4).orderBy(
         "media_id", "segment"
     )
+
+
+@register("multimodal_spectral_features")  # numpy rFFT: rows-only
+def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frequency-domain audio features (R184): synthesize the
+    deterministic sine-burst WAV clips, then compute per-clip dominant
+    frequency and spectral centroid via the Arrow-batched numpy rFFT
+    (binary_ops.wav_spectral_features). The synth tones have KNOWN
+    frequencies (codecs.synth_wav_bytes: 220 + 5*(seed%40) Hz), so the
+    referee test pins the dominant bin to the planted tone within one
+    FFT bin — a decode-and-transform correctness check no rows-only
+    count could fake. DuckDB has no FFT: rows-only gate + referee."""
+    import pandas as pd
+
+    from zoom_spark.io import load_table
+    from zoom_spark.multimodal.binary_ops import wav_spectral_features
+    from zoom_spark.multimodal.codecs import synth_wav_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_wav_bytes(int(i) % 89) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return wav_spectral_features(media).orderBy("media_id")

@@ -1767,3 +1767,133 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RAKE_STOPWORDS = (
+    "the,a,an,and,or,of,to,in,is,are,was,were,for,on,with,as,by,at,"
+    "it,this,that,be,from,has,have,had,not,but,they,their,we,you,i"
+)
+RAKE_TOPK = 50
+
+
+@register(
+    "rake_keywords",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, t.i AS p, ws[t.i] AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents
+      )
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(ws))) AS i
+      ) t
+    ),
+    flagged AS (
+      SELECT doc_id, p, w,
+             CASE WHEN list_contains(string_split('{RAKE_STOPWORDS}', ','), w)
+                  THEN 1 ELSE 0 END AS stop
+      FROM tok
+    ),
+    runs AS (
+      SELECT doc_id, p, w,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+               AS island
+      FROM flagged WHERE stop = 0
+    ),
+    phrases AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY p) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM runs GROUP BY doc_id, island
+      HAVING count(*) BETWEEN 2 AND 4
+    ),
+    members AS (
+      SELECT r.doc_id, r.island, r.w, ph.plen
+      FROM runs r JOIN phrases ph
+        ON ph.doc_id = r.doc_id AND ph.island = r.island
+    ),
+    wordstats AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM members GROUP BY w
+    ),
+    scored AS (
+      SELECT p.phrase,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             round(sum(sc.s), 6) AS rake_score
+      FROM phrases p
+      JOIN (
+        SELECT m.doc_id, m.island,
+               sum(CAST(ws.degree AS DOUBLE) / ws.freq) AS s
+        FROM members m JOIN wordstats ws ON ws.w = m.w
+        GROUP BY m.doc_id, m.island
+      ) sc ON sc.doc_id = p.doc_id AND sc.island = p.island
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, rake_score FROM scored
+    ORDER BY rake_score DESC, phrase LIMIT {RAKE_TOPK}
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R185 RAKE keyword extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands on
+    token positions, per-doc window — healthy partitioning), each
+    word scored degree/frequency over phrase co-occurrence, each
+    phrase scored as the sum of member word scores; corpus-level
+    top-{RAKE_TOPK} phrases (2-4 words). Everything is exact integer
+    degree/freq arithmetic plus one 6dp-rounded division, so the
+    DuckDB twin hashes exactly; at 100 TB the phrase and word frames
+    are vocabulary-sized, and the only data-sized shuffles are the
+    token explode and the phrase aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = RAKE_STOPWORDS.split(",")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    nonstop = tok.where(~F.col("w").isin(stop))
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    runs = nonstop.withColumn(
+        "island", F.col("p") - F.row_number().over(wd)
+    )
+    phrases = (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("p", "w"))
+            ).getField("w")).alias("phrase"),
+            F.count("*").cast("bigint").alias("plen"),
+        )
+        .where(F.col("plen").between(2, 4))
+    )
+    members = runs.join(
+        phrases.select("doc_id", "island", "plen"),
+        on=["doc_id", "island"],
+    ).select("doc_id", "island", "w", "plen")
+    wordstats = members.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    per_phrase = (
+        members.join(F.broadcast(wordstats), on="w")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.sum(F.col("degree").cast("double") / F.col("freq")).alias("s")
+        )
+    )
+    scored = (
+        phrases.join(per_phrase, on=["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.round(F.sum("s"), 6).alias("rake_score"),
+        )
+    )
+    return scored.orderBy(F.col("rake_score").desc(), "phrase").limit(
+        RAKE_TOPK
+    )

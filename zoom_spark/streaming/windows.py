@@ -160,6 +160,41 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — same watermarked, time-bounded
+    condition as stream_stream_join, but unmatched left rows are
+    EMITTED (with NULL right columns) once the watermark passes their
+    join horizon, instead of dropped. This is the outer-join state
+    semantics Structured Streaming only allows when both the
+    watermark and an event-time bound are present (otherwise Spark
+    could never prove a left row will stay unmatched)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("l_event") != F.col("r_event"))
+    )
+    return l.join(r, cond, "left_outer").select(
+        F.col("l_user").alias("user_id"), "l_event", "r_event", "l_ts", "r_ts"
+    )
+
+
 def write_stream_idempotent(
     stream_df: DataFrame,
     path: str,
