@@ -1,0 +1,584 @@
+"""Round-6 rank/classical statistical tests (R186–R190): Mann-Whitney
+U, Kruskal-Wallis H, one-way ANOVA F, Brown-Forsythe (median-centered
+Levene) variance homogeneity, and a two-sample effect-size panel
+(Cohen's d / Hedges' g / common-language / Cliff's delta).
+
+All rank machinery goes through ``operators.ranks.add_midranks`` (the
+two-phase distributed prefix scan — value-collapse + range shuffle +
+O(P) offsets), never a global window; the moment-based statistics are
+single decomposable aggregates. Mid-ranks are half-integers and the
+input values sit on a cent grid, so rank sums and raw-moment sums are
+EXACT in IEEE doubles below 2^53 — the Spark plan and the DuckDB
+oracle agree bit-for-bit before the final 6dp rounding (driver-gate
+discipline, tests/oracle_harness.py). Normal tails use the
+Abramowitz-Stegun 7.1.26 erf polynomial written IDENTICALLY on both
+engines (Spark has no builtin erf); the chi-square tail for the
+(dof=4) Kruskal-Wallis test uses the exact even-dof closed form
+exp(-x/2)*(1+x/2).
+
+Reference parity note: the reference pipeline (/root/reference/main.py)
+has no analog — these belong to the mandated eval/statistics extension
+family (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.operators.ranks import add_midranks
+from zoom_spark.queries import register
+
+# Weekend split shared with ks_test_weekend_value / welch_ttest_weekend:
+# day index relative to the epoch Monday 2024-01-01, days 5/6 = Sat/Sun.
+_WEEKEND_SQL = """
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+"""
+
+
+def _weekend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    return ev.select(
+        F.col("value").alias("v"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+
+
+def _erf_tail_p(z_abs_col, decimals: int = 9):
+    """Two-sided normal tail 2*(1-Phi(|z|)) via the Abramowitz-Stegun
+    7.1.26 erfc polynomial — written with the exact same literals and
+    operation order as the SQL twin so the approximation (not each
+    engine's erf) is the contract."""
+    t = 1 / (1 + 0.3275911 * (z_abs_col / F.sqrt(F.lit(2.0))))
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    return F.round(
+        2 * 0.5 * (poly * F.exp(-(z_abs_col * z_abs_col) / 2)), decimals
+    )
+
+
+_ERF_P_SQL = """round(2 * 0.5 * ((0.254829592 * t - 0.284496736 * t * t
+                    + 1.421413741 * t * t * t
+                    - 1.453152027 * t * t * t * t
+                    + 1.061405429 * t * t * t * t * t)
+                   * exp(-(az * az) / 2)), 9)"""
+
+
+# ---------------------------------------------------------------------------
+# R186: Mann-Whitney U (Wilcoxon rank-sum) test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_u_weekend",
+    sql=f"""
+    WITH s AS ({_WEEKEND_SQL}),
+    pv AS (
+      SELECT v, CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT na, nb, na + nb AS c,
+             sum(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM pv
+    ),
+    a AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+             sum(na * (cum - c + (c + 1) / 2.0)) AS r1,
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tt
+      FROM r
+    ),
+    u AS (
+      SELECT n1, n2, n1 + n2 AS n,
+             r1 - n1 * (n1 + 1) / 2.0 AS u1, tt
+      FROM a
+    ),
+    z AS (
+      SELECT n1, n2, round(u1, 1) AS u_stat,
+             round((u1 - n1 * n2 / 2.0)
+                   / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
+                          * ((n + 1) - tt / (CAST(n AS DOUBLE) * (n - 1)))),
+                   6) AS z
+      FROM u
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday, u_stat, z,
+           {_ERF_P_SQL} AS p_value
+    FROM (SELECT n1, n2, u_stat, z, abs(z) AS az,
+                 1 / (1 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+          FROM z)
+    """,
+)
+def mann_whitney_u_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R186 Mann-Whitney U (Wilcoxon rank-sum) test, weekend vs
+    weekday event values: U1 = R1 − n1(n1+1)/2 from weekend mid-rank
+    sums, normal approximation with the exact tie-corrected variance
+    n1·n2/12·((n+1) − ΣT/(n(n−1))), ΣT = Σ(c³−c) over tie groups (no
+    continuity correction — both engines compute the same closed
+    form). Rows collapse to per-distinct-value (weekend, weekday)
+    counts in one hash aggregate; the running count comes from the
+    two-phase distributed prefix scan; everything after is one more
+    aggregate — two shuffles total at any scale. Mid-ranks are
+    half-integers so U is exact before the 6dp z rounding; the
+    two-sided p uses the shared A-S erf polynomial."""
+    s = _weekend_events(spark, sf_dir)
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    pv = pv.withColumn("c", (F.col("na") + F.col("nb")).cast("bigint"))
+    r = add_midranks(pv, value_col="v", cnt_col="c", out_col="avg_rank")
+    a = r.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum("nb").cast("bigint").alias("n2"),
+        F.sum(F.col("na") * F.col("avg_rank")).alias("r1"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tt"),
+    )
+    u = a.select(
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("n"),
+        (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0).alias("u1"),
+        "tt",
+    )
+    z = u.select(
+        "n1",
+        "n2",
+        F.round(F.col("u1"), 1).alias("u_stat"),
+        F.round(
+            (F.col("u1") - F.col("n1") * F.col("n2") / 2.0)
+            / F.sqrt(
+                (F.col("n1") * F.col("n2").cast("double") / 12.0)
+                * (
+                    (F.col("n") + 1)
+                    - F.col("tt")
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+            ),
+            6,
+        ).alias("z"),
+    )
+    return z.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        "u_stat",
+        "z",
+        _erf_tail_p(F.abs(F.col("z"))).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R187: Kruskal-Wallis H test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kruskal_wallis_segments",
+    sql="""
+    WITH j AS (
+      SELECT o.o_totalprice AS v, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    pg AS (SELECT v, seg, CAST(count(*) AS BIGINT) AS cg
+           FROM j GROUP BY v, seg),
+    pv AS (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM pg GROUP BY v),
+    r AS (
+      SELECT v, c,
+             sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM pv
+    ),
+    ranks AS (SELECT v, c, cum - c + (c + 1) / 2.0 AS avg_rank FROM r),
+    g AS (
+      SELECT pg.seg,
+             CAST(sum(pg.cg) AS BIGINT) AS ng,
+             sum(pg.cg * ranks.avg_rank) AS rg,
+             sum(pg.cg * (CAST(ranks.c AS DOUBLE) * ranks.c - 1)) AS tg
+      FROM pg JOIN ranks ON pg.v = ranks.v
+      GROUP BY pg.seg
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(rg * rg / ng) AS s,
+             sum(tg) AS tt
+      FROM g
+    ),
+    h AS (
+      SELECT k_groups, n,
+             round(12.0 * s / (n * (n + 1.0)) - 3 * (n + 1.0), 6) AS h_stat,
+             round((12.0 * s / (n * (n + 1.0)) - 3 * (n + 1.0))
+                   / (1 - tt / (CAST(n AS DOUBLE) * n * n - n)),
+                   6) AS h_tie_corrected
+      FROM a
+    )
+    SELECT k_groups, n, h_stat, h_tie_corrected,
+           CASE WHEN k_groups = 5
+                THEN round(exp(-h_tie_corrected / 2)
+                           * (1 + h_tie_corrected / 2), 9)
+                ELSE NULL END AS p_value
+    FROM h
+    """,
+)
+def kruskal_wallis_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R187 Kruskal-Wallis H test: does order value differ across the
+    five market segments? H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with the
+    tie-correction divisor 1 − ΣT/(N³−N). Rank sums come from the
+    distinct-value mid-rank frame (two-phase prefix scan) joined back
+    to per-(value, segment) counts — the tie term folds into the SAME
+    per-segment aggregate via Σ c_g·(c²−1) (summing over group slices
+    of a tie group reconstitutes c³−c exactly), so the whole statistic
+    is one chain of decomposable aggregates: no global window, no
+    scalar cross join. The dof=4 chi-square tail uses the exact
+    even-dof closed form exp(−H/2)(1+H/2), emitted only when all five
+    segments are present."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, c["c_custkey"] == o["o_custkey"]).select(
+        F.col("o_totalprice").alias("v"), F.col("c_mktsegment").alias("seg")
+    )
+    pg = j.groupBy("v", "seg").agg(F.count("*").cast("bigint").alias("cg"))
+    pv = pg.groupBy("v").agg(F.sum("cg").cast("bigint").alias("c"))
+    ranks = add_midranks(pv, value_col="v", cnt_col="c", out_col="avg_rank")
+    g = (
+        pg.join(ranks, on="v")
+        .groupBy("seg")
+        .agg(
+            F.sum("cg").cast("bigint").alias("ng"),
+            F.sum(F.col("cg") * F.col("avg_rank")).alias("rg"),
+            F.sum(
+                F.col("cg")
+                * (F.col("c").cast("double") * F.col("c") - 1)
+            ).alias("tg"),
+        )
+    )
+    a = g.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("s"),
+        F.sum("tg").alias("tt"),
+    )
+    h_expr = 12.0 * F.col("s") / (F.col("n") * (F.col("n") + 1.0)) - 3 * (
+        F.col("n") + 1.0
+    )
+    tie_div = 1 - F.col("tt") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    h = a.select(
+        "k_groups",
+        "n",
+        F.round(h_expr, 6).alias("h_stat"),
+        F.round(h_expr / tie_div, 6).alias("h_tie_corrected"),
+    )
+    return h.select(
+        "k_groups",
+        "n",
+        "h_stat",
+        "h_tie_corrected",
+        F.when(
+            F.col("k_groups") == 5,
+            F.round(
+                F.exp(-F.col("h_tie_corrected") / 2)
+                * (1 + F.col("h_tie_corrected") / 2),
+                9,
+            ),
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R188: one-way ANOVA F test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anova_f_segments",
+    sql="""
+    WITH j AS (
+      SELECT o.o_totalprice AS y, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+             round(avg(y), 6) AS m,
+             round(var_samp(y), 2) AS vv
+      FROM j GROUP BY seg
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(ng * m) AS sm,
+             sum(ng * m * m) AS sm2,
+             sum((ng - 1) * vv) AS ssw
+      FROM g
+    )
+    SELECT k_groups, n,
+           round((sm2 - sm * sm / n) / 1000000.0, 4) AS ssb_millions,
+           round(ssw / 1000000.0, 4) AS ssw_millions,
+           round(((sm2 - sm * sm / n) / (k_groups - 1))
+                 / (ssw / (n - k_groups)), 6) AS f_stat,
+           round((sm2 - sm * sm / n) / ((sm2 - sm * sm / n) + ssw), 6)
+             AS eta_squared
+    FROM a
+    """,
+)
+def anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R188 one-way ANOVA F test of order value across the five market
+    segments: F = (SSB/(k−1))/(SSW/(N−k)) with effect size
+    η² = SSB/(SSB+SSW). Per-group moments come from ONE decomposable
+    aggregate with the engine-parity rounding discipline (avg→6dp,
+    var_samp→2dp — both engines then compute from identical inputs);
+    SSB is reconstructed as Σn_g·m_g² − (Σn_g·m_g)²/N, so the whole
+    statistic is a 5-row aggregate chain with no second data pass, no
+    broadcast scalar join, no window. The cent-grid input keeps
+    Σn_g·m_g exact in doubles; SSB carries ~1e-16 relative error, so
+    the 4dp millions-scaled SSB/SSW and 6dp F are stable (raw SSW
+    exceeds the 2^53 cent-grid-exact range at sf0.1, so it is reported
+    millions-scaled too)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, c["c_custkey"] == o["o_custkey"]).select(
+        F.col("o_totalprice").alias("y"), F.col("c_mktsegment").alias("seg")
+    )
+    g = j.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.round(F.avg("y"), 6).alias("m"),
+        F.round(F.var_samp("y"), 2).alias("vv"),
+    )
+    a = g.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(F.col("ng") * F.col("m")).alias("sm"),
+        F.sum(F.col("ng") * F.col("m") * F.col("m")).alias("sm2"),
+        F.sum((F.col("ng") - 1) * F.col("vv")).alias("ssw"),
+    )
+    ssb = F.col("sm2") - F.col("sm") * F.col("sm") / F.col("n")
+    return a.select(
+        "k_groups",
+        "n",
+        F.round(ssb / 1000000.0, 4).alias("ssb_millions"),
+        F.round(F.col("ssw") / 1000000.0, 4).alias("ssw_millions"),
+        F.round(
+            (ssb / (F.col("k_groups") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k_groups"))),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R189: Brown-Forsythe (median-centered Levene) variance homogeneity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "levene_brown_forsythe",
+    sql="""
+    WITH med AS (
+      SELECT c_mktsegment AS seg,
+             round(quantile_cont(c_acctbal, 0.5), 4) AS med
+      FROM customer GROUP BY c_mktsegment
+    ),
+    z AS (
+      SELECT c.c_mktsegment AS seg, abs(c.c_acctbal - m.med) AS z
+      FROM customer c JOIN med m ON m.seg = c.c_mktsegment
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+             round(avg(z), 6) AS m,
+             round(var_samp(z), 2) AS vv
+      FROM z GROUP BY seg
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(ng * m) AS sm,
+             sum(ng * m * m) AS sm2,
+             sum((ng - 1) * vv) AS ssw
+      FROM g
+    )
+    SELECT k_groups, n,
+           round(((sm2 - sm * sm / n) / (k_groups - 1))
+                 / (ssw / (n - k_groups)), 6) AS w_stat
+    FROM a
+    """,
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R189 Brown-Forsythe test (median-centered Levene): are account
+    balance variances homogeneous across market segments? W is the
+    one-way ANOVA F computed on z = |x − median_g|. Per-group exact
+    medians (5 rows — at warehouse scale swap in percentile_approx)
+    are rounded to 4dp on both engines (the cent-grid median is a
+    0.005-grid value, exactly representable), broadcast back, and the
+    rest is the same single decomposable aggregate chain as
+    anova_f_segments — no global window, no scalar cross join."""
+    cust = load_table(spark, sf_dir, "customer")
+    med = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("med")
+    )
+    z = (
+        cust.join(
+            F.broadcast(med), cust["c_mktsegment"] == med["seg"]
+        ).select("seg", F.abs(F.col("c_acctbal") - F.col("med")).alias("z"))
+    )
+    g = z.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.round(F.avg("z"), 6).alias("m"),
+        F.round(F.var_samp("z"), 2).alias("vv"),
+    )
+    a = g.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(F.col("ng") * F.col("m")).alias("sm"),
+        F.sum(F.col("ng") * F.col("m") * F.col("m")).alias("sm2"),
+        F.sum((F.col("ng") - 1) * F.col("vv")).alias("ssw"),
+    )
+    ssb = F.col("sm2") - F.col("sm") * F.col("sm") / F.col("n")
+    return a.select(
+        "k_groups",
+        "n",
+        F.round(
+            (ssb / (F.col("k_groups") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k_groups"))),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R190: two-sample effect-size panel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "effect_sizes_weekend",
+    sql=f"""
+    WITH s AS ({_WEEKEND_SQL}),
+    pv AS (
+      SELECT v, CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT v, na, nb, na + nb AS c,
+             sum(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM pv
+    ),
+    a AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+             sum(na * (cum - c + (c + 1) / 2.0)) AS r1,
+             sum(na * v) AS sa, sum(na * v * v) AS sa2,
+             sum(nb * v) AS sb, sum(nb * v * v) AS sb2
+      FROM r
+    ),
+    m AS (
+      SELECT n1, n2,
+             r1 - n1 * (n1 + 1) / 2.0 AS u1,
+             sa / n1 AS m1, sb / n2 AS m0,
+             (sa2 - sa * sa / n1) / (n1 - 1) AS v1,
+             (sb2 - sb * sb / n2) / (n2 - 1) AS v0
+      FROM a
+    ),
+    d AS (
+      SELECT n1, n2, u1,
+             (m1 - m0) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v0)
+                              / (n1 + n2 - 2)) AS cohens_d_raw
+      FROM m
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(cohens_d_raw, 6) AS cohens_d,
+           round(cohens_d_raw * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6)
+             AS hedges_g,
+           round(u1 / (n1 * CAST(n2 AS DOUBLE)), 6) AS cles,
+           round(2 * u1 / (n1 * CAST(n2 AS DOUBLE)) - 1, 6) AS cliffs_delta
+    FROM d
+    """,
+)
+def effect_sizes_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R190 two-sample effect-size panel (weekend vs weekday event
+    values) — the numbers a test report should carry alongside its
+    p-value: Cohen's d (pooled-SD standardized mean difference),
+    Hedges' g (small-sample bias correction 1 − 3/(4n−9)), the
+    common-language effect size P(X>Y) = U/(n1·n2) (mid-rank handling
+    of ties), and Cliff's delta = 2·CLES − 1. One per-distinct-value
+    aggregate feeds BOTH the moment sums (cent-grid products stay
+    exact in doubles) and the mid-rank U via the two-phase prefix scan
+    — a single aggregate chain, no second data pass, no scalar cross
+    join, no global window."""
+    s = _weekend_events(spark, sf_dir)
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    pv = pv.withColumn("c", (F.col("na") + F.col("nb")).cast("bigint"))
+    r = add_midranks(pv, value_col="v", cnt_col="c", out_col="avg_rank")
+    a = r.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum("nb").cast("bigint").alias("n2"),
+        F.sum(F.col("na") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("na") * F.col("v")).alias("sa"),
+        F.sum(F.col("na") * F.col("v") * F.col("v")).alias("sa2"),
+        F.sum(F.col("nb") * F.col("v")).alias("sb"),
+        F.sum(F.col("nb") * F.col("v") * F.col("v")).alias("sb2"),
+    )
+    m = a.select(
+        "n1",
+        "n2",
+        (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0).alias("u1"),
+        (F.col("sa") / F.col("n1")).alias("m1"),
+        (F.col("sb") / F.col("n2")).alias("m0"),
+        (
+            (F.col("sa2") - F.col("sa") * F.col("sa") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (F.col("sb2") - F.col("sb") * F.col("sb") / F.col("n2"))
+            / (F.col("n2") - 1)
+        ).alias("v0"),
+    )
+    d = m.select(
+        "n1",
+        "n2",
+        "u1",
+        (
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(
+                ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v0"))
+                / (F.col("n1") + F.col("n2") - 2)
+            )
+        ).alias("cohens_d_raw"),
+    )
+    return d.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(F.col("cohens_d_raw"), 6).alias("cohens_d"),
+        F.round(
+            F.col("cohens_d_raw")
+            * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)),
+            6,
+        ).alias("hedges_g"),
+        F.round(F.col("u1") / (F.col("n1") * F.col("n2").cast("double")), 6).alias(
+            "cles"
+        ),
+        F.round(
+            2 * F.col("u1") / (F.col("n1") * F.col("n2").cast("double")) - 1, 6
+        ).alias("cliffs_delta"),
+    )
