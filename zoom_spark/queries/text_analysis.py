@@ -410,3 +410,60 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# R191: Aho-Corasick blocklist scan
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_TERMS = (
+    "slow",
+    "merge batch",
+    "big table",
+    "hash value",
+    "window stream",
+    "vector",
+)
+BLOCKLIST_FLAG_THRESHOLD = 8
+_BL_SQL_LIST = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+
+
+@register(
+    "blocklist_scan_docs",
+    sql=f"""
+    WITH pats AS (SELECT unnest([{_BL_SQL_LIST}]) AS p),
+    hits AS (
+      SELECT d.doc_id, pats.p,
+             CAST((length(d.text) - length(replace(d.text, pats.p, '')))
+                  / length(pats.p) AS BIGINT) AS cnt,
+             strpos(d.text, pats.p) AS pos
+      FROM documents d CROSS JOIN pats
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_terms,
+           CAST(sum(cnt) AS BIGINT) AS total_hits,
+           CAST(min(CASE WHEN pos > 0 THEN pos END) AS BIGINT)
+             AS first_hit_pos,
+           (sum(cnt) >= {BLOCKLIST_FLAG_THRESHOLD}) AS flagged
+    FROM hits GROUP BY doc_id
+    """,
+)
+def blocklist_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R191 blocklist / PII-term filter via a REAL Aho-Corasick
+    automaton (`functions/acscan.py`): per document, distinct terms
+    present, total greedy non-overlapping hits (str.count semantics,
+    so the oracle recomputes them with replace()), 1-based first hit
+    position, and a flagged verdict. ONE pass per document for the
+    whole pattern set (O(len + matches), independent of blocklist
+    size) in an Arrow-batched mapInPandas — the scan a 100 TB curation
+    sweep needs, vs the P-passes-per-doc instr() spelling the oracle
+    uses. Map-only: no shuffle at all."""
+    from zoom_spark.functions.acscan import blocklist_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_scan(
+        docs,
+        BLOCKLIST_TERMS,
+        flag_threshold=BLOCKLIST_FLAG_THRESHOLD,
+    )
