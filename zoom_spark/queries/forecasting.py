@@ -1,0 +1,138 @@
+"""Forecasting operators (R192+): Holt's linear-trend (double
+exponential smoothing) forecast over the daily revenue series.
+
+The recursion s_t = α·y_t + (1−α)(s_{t−1}+b_{t−1}) is inherently
+sequential, but the SERIES is calendar-bounded: the day-level
+pre-aggregate has one row per order date (~2.4k rows at ANY scale
+factor), so the sequential pass runs over a constant-sized frame —
+the same waiver class as the repo's other calendar-bounded ops
+(range_frame_rolling_revenue, cusum_changepoint_revenue). The 100 TB
+cost lives in the day pre-aggregate, which is one decomposable
+hash aggregate.
+
+Engine-parity discipline: smoothing constants are written as LITERALS
+on both engines (0.3/0.7, 0.1/0.9 — never computed as 1−α, which
+differs from the 0.7 literal in the last bit), daily revenue is
+cent-grid-exact (round(sum, 2)), and the Python loop mirrors the
+DuckDB recursive-CTE arithmetic operation for operation, so the
+recursion stays bit-identical across engines before the final 4dp
+rounding.
+
+No analog in the reference connector (SURVEY.md §2.11 extension
+family).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+# literals shared by both engines — see module docstring
+HOLT_A = 0.3
+HOLT_OMA = 0.7
+HOLT_B = 0.1
+HOLT_OMB = 0.9
+HOLT_H = 7
+
+
+def holt_fit(ys: list[float]) -> tuple[float, float]:
+    """Run the Holt recursion over an ordered series; returns the
+    final (level, trend). Mirrors the oracle's recursive CTE
+    operation for operation (literal constants, same op order)."""
+    s = ys[0]
+    b = ys[1] - ys[0]
+    for t in range(1, len(ys)):
+        y = ys[t]
+        s_new = HOLT_A * y + HOLT_OMA * (s + b)
+        b = HOLT_B * (s_new - s) + HOLT_OMB * b
+        s = s_new
+    return s, b
+
+
+@register(
+    "holt_linear_forecast_revenue",
+    sql=f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+      FROM daily
+    ),
+    rec AS (
+      SELECT CAST(1 AS BIGINT) AS t,
+             (SELECT rev FROM idx WHERE t = 1) AS s,
+             (SELECT rev FROM idx WHERE t = 2)
+               - (SELECT rev FROM idx WHERE t = 1) AS b
+      UNION ALL
+      SELECT r.t + 1,
+             {HOLT_A} * i.rev + {HOLT_OMA} * (r.s + r.b),
+             {HOLT_B} * (({HOLT_A} * i.rev + {HOLT_OMA} * (r.s + r.b)) - r.s)
+               + {HOLT_OMB} * r.b
+      FROM rec r JOIN idx i ON i.t = r.t + 1
+    ),
+    fin AS (
+      SELECT t AS n_days, s, b FROM rec ORDER BY t DESC LIMIT 1
+    )
+    SELECT CAST(h.h AS BIGINT) AS h,
+           f.n_days,
+           round(f.s, 4) AS level,
+           round(f.b, 6) AS trend,
+           round(f.s + h.h * f.b, 4) AS yhat
+    FROM fin f CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS h) h
+    """,
+)
+def holt_linear_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R192 Holt's linear-trend forecast of daily revenue, horizon
+    {HOLT_H} days: level/trend double exponential smoothing
+    (α=0.3, β=0.1; init s₁=y₁, b₁=y₂−y₁ over the observed-day
+    sequence), forecast ŷ_{{n+h}} = s_n + h·b_n. One decomposable
+    day-level aggregate feeds an applyInPandas pass over the
+    calendar-bounded series (single constant-key group — bounded by
+    the calendar, not the data; the oracle recomputes the identical
+    recursion with a DuckDB recursive CTE)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = pdf["rev"].tolist()
+        n = len(ys)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["h", "n_days", "level", "trend", "yhat"]
+            )
+        s, b = holt_fit(ys)
+        rows = [
+            (h, n, s, b, s + h * b) for h in range(1, HOLT_H + 1)
+        ]
+        return pd.DataFrame(
+            rows, columns=["h", "n_days", "level", "trend", "yhat"]
+        )
+
+    raw = (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: holt(pdf),
+            schema="h bigint, n_days bigint, level double, trend double, yhat double",
+        )
+    )
+    # rounding happens JVM-side (HALF_UP, matching DuckDB round()) —
+    # Python's round() is half-even and would diverge on boundaries
+    return raw.select(
+        "h",
+        "n_days",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("yhat", 4).alias("yhat"),
+    )
