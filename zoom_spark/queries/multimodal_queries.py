@@ -301,3 +301,72 @@ def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="media_id long, content binary")
     return wav_spectral_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# R193: perceptual-hash image near-dup pairs
+# ---------------------------------------------------------------------------
+
+PHASH_TWIN_MOD = 50  # ids ≡1 (mod 50) get a planted one-pixel twin
+
+
+@register("ppm_phash_neardup")  # DCT hash: not SQL-expressible, rows-only
+def ppm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R193 image near-duplicate pairs via DCT perceptual hashing
+    (`multimodal/phash.py`): synthesize the odd-id PPM corpus (same
+    fixture as the decode gates), hash each image map-side (32x32 NN
+    resize -> orthonormal 2-D DCT -> 8x8 block -> median-threshold,
+    DC bit dropped so uniform brightness shifts hash identically),
+    then find all pairs within Hamming distance <= 3 with the 4x16-bit
+    banded equi-join (pigeonhole-exact recall, no cross join) and a
+    JVM-side bit_count verify. Ids ≡1 (mod 50) also emit a planted
+    one-pixel-perturbed twin at max(doc_id)+1+id (offset derived from
+    the data, never a fixed constant), so the pair set is non-trivial
+    at every SF. Referee tests pin DCT correctness (O(n^4) naive DCT),
+    brightness-shift invariance, and banded-vs-brute pair parity."""
+    import pandas as pd
+
+    from zoom_spark.multimodal.codecs import decode_ppm, synth_ppm_bytes
+    from zoom_spark.multimodal.phash import (
+        banded_hamming_pairs,
+        phash64,
+        ppm_to_gray,
+        to_signed64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # 1-scalar driver pull (model-artifact-sized), keeps twin ids
+    # disjoint from real ids at any SF (round-5 advisory discipline)
+    offset = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1
+    # the id frame arrives as one small parquet split; spread the
+    # (CPU-bound) decode+DCT map stage across the cluster
+    from zoom_spark.operators.sizing import frame_partitions
+
+    n_docs = docs.count()
+    odd = docs.where(F.col("doc_id") % 2 == 1).repartition(
+        frame_partitions(
+            spark.sparkContext, n_docs, target_rows_per_task=2_000
+        )
+    )
+
+    def hash_batch(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                content = synth_ppm_bytes(i)
+                rows.append((i, to_signed64(phash64(ppm_to_gray(content)))))
+                if i % PHASH_TWIN_MOD == 1:
+                    tw = bytearray(content)
+                    p = decode_ppm(content)["_payload_pos"]
+                    tw[p] = tw[p] + 1 if tw[p] < 255 else tw[p] - 1
+                    rows.append(
+                        (
+                            i + offset,
+                            to_signed64(phash64(ppm_to_gray(bytes(tw)))),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    hashes = odd.mapInPandas(hash_batch, "media_id bigint, phash bigint")
+    return banded_hamming_pairs(hashes)
