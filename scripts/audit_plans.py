@@ -40,6 +40,10 @@ EXPECTATIONS = {
     "latest_order_per_customer": dict(pushed=False, broadcast=False, cartesian=False),
     # knn is an intentional broadcast cross join (queries x corpus)
     "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
+    # margin mining scores a fixed 50-vector panel against the corpus:
+    # ONE broadcast(panel) x corpus scan feeds both rank directions —
+    # O(N * panel), linear in corpus size (same class as knn_bruteforce)
+    "margin_mutual_knn_pairs": dict(pushed=True, broadcast=True, cartesian=True),
     "dedup_exact_docs": dict(pushed=False, broadcast=False, cartesian=False),
     "minhash_dedup_docs": dict(pushed=False, broadcast=False, cartesian=False),
     # EXISTS decorrelates to a broadcast left-semi; the quantity filter

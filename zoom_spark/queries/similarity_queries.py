@@ -186,3 +186,136 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < 5).collect()
     ]
     return ivfpq_topk(encoded, cents, books, qs, n_probe=3, k_neighbors=10)
+
+
+# ---------------------------------------------------------------------------
+# R194: margin-based mutual-kNN pair mining (bitext-mining primitive)
+# ---------------------------------------------------------------------------
+
+MARGIN_PANEL = 50  # query-panel size (one "language side" of the mining)
+MARGIN_K = 4  # neighborhood size for the margin denominator
+
+
+@register(
+    "margin_mutual_knn_pairs",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {MARGIN_PANEL}
+    ),
+    c AS (
+      SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, c_id,
+             round(list_cosine_similarity(qv, cv), 6) AS sim
+      FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    qr AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, c_id) AS r
+      FROM scored
+    ),
+    cr AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY c_id
+                                ORDER BY sim DESC, q_id) AS r
+      FROM scored
+    ),
+    qavg AS (SELECT q_id, avg(sim) AS qa FROM qr
+             WHERE r <= {MARGIN_K} GROUP BY q_id),
+    cavg AS (SELECT c_id, avg(sim) AS ca FROM cr
+             WHERE r <= {MARGIN_K} GROUP BY c_id),
+    qtop AS (SELECT q_id, c_id, sim FROM qr WHERE r = 1),
+    ctop AS (SELECT q_id, c_id FROM cr WHERE r = 1)
+    SELECT t.q_id, t.c_id, t.sim AS cosine_sim,
+           round(t.sim / ((qa.qa + ca.ca) / 2), 6) AS margin
+    FROM qtop t
+    JOIN ctop m ON m.c_id = t.c_id AND m.q_id = t.q_id
+    JOIN qavg qa ON qa.q_id = t.q_id
+    JOIN cavg ca ON ca.c_id = t.c_id
+    """,
+)
+def margin_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R194 margin-based mutual-kNN pair mining — the bitext/parallel-
+    pair mining primitive (Artetxe & Schwenk ratio margin): a pair
+    (q, c) survives iff each is the other's top-1 neighbor (mutuality
+    kills hub vectors) and is scored by cos(q,c) normalized by the
+    mean of both sides' top-{MARGIN_K} neighborhoods — the margin that
+    separates true translations from dense-region look-alikes. ONE
+    broadcast(panel) x corpus scan produces BOTH directions' scores
+    (O(N·panel), linear in corpus size); the q-side ranks over
+    corpus-sized groups are the documented exact-baseline contract
+    (panel is fixed at {MARGIN_PANEL}), the c-side ranks are
+    {MARGIN_PANEL}-sized groups, and the margin denominators are
+    panel-bounded aggregates of 6dp-grid cosines (exact on both
+    engines). Scale route for the candidate step: the existing
+    LSH/IVF/PQ family (knn_lsh_bucketed et al.)."""
+    from pyspark.sql import Window
+
+    from zoom_spark.functions.vectors import cosine_with_norms, norm
+
+    emb = _emb_double(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < MARGIN_PANEL).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    wc = Window.partitionBy("c_id").orderBy(F.col("sim").desc(), F.col("q_id"))
+    qr = scored.withColumn("r", F.row_number().over(wq))
+    cr = scored.withColumn("r", F.row_number().over(wc))
+    qavg = (
+        qr.where(F.col("r") <= MARGIN_K)
+        .groupBy("q_id")
+        .agg(F.avg("sim").alias("qa"))
+    )
+    cavg = (
+        cr.where(F.col("r") <= MARGIN_K)
+        .groupBy("c_id")
+        .agg(F.avg("sim").alias("ca"))
+    )
+    qtop = qr.where(F.col("r") == 1).select("q_id", "c_id", "sim")
+    ctop = cr.where(F.col("r") == 1).select(
+        F.col("q_id").alias("m_q"), F.col("c_id").alias("m_c")
+    )
+    return (
+        qtop.join(
+            ctop,
+            (F.col("m_c") == F.col("c_id")) & (F.col("m_q") == F.col("q_id")),
+        )
+        .join(F.broadcast(qavg), on="q_id")
+        .join(F.broadcast(cavg), on="c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.col("sim").alias("cosine_sim"),
+            F.round(
+                F.col("sim") / ((F.col("qa") + F.col("ca")) / 2), 6
+            ).alias("margin"),
+        )
+    )
