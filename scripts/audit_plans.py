@@ -40,6 +40,9 @@ EXPECTATIONS = {
     "latest_order_per_customer": dict(pushed=False, broadcast=False, cartesian=False),
     # knn is an intentional broadcast cross join (queries x corpus)
     "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
+    # HITS normalizes each half-step by a 1-row L2-norm broadcast
+    # (scalar BNLJ by design, same class as the k-means centroid waiver)
+    "hits_supplier_part": dict(pushed=False, broadcast=False, cartesian=True),
     # margin mining scores a fixed 50-vector panel against the corpus:
     # ONE broadcast(panel) x corpus scan feeds both rank directions —
     # O(N * panel), linear in corpus size (same class as knn_bruteforce)

@@ -294,3 +294,61 @@ def label_propagation_communities(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "hub",
+    dst: str = "auth",
+    iterations: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg hubs & authorities) over a DIRECTED edge list —
+    the bipartite importance dual: a hub is good because it points at
+    good authorities, an authority because good hubs point at it.
+    Fixed-iteration mutual power method with L2 normalization each
+    half-step. Returns ``(hubs(node, h), auths(node, a))``.
+
+    Scale shape mirrors :func:`pagerank`: the static edge frame is
+    sized with frame_partitions and co-partitioned on the join key
+    once; each half-step is one equi-join + one hash aggregate; the
+    L2 normalizer is a 1-row broadcast (never a driver collect); and
+    ``localCheckpoint`` truncates lineage so round R does not replay
+    rounds 1..R-1."""
+    edges = edges.localCheckpoint(eager=False)
+    sc = edges.sparkSession.sparkContext
+    n_parts = frame_partitions(sc, edges.count())
+    e = (
+        edges.select(F.col(src).alias("hub"), F.col(dst).alias("auth"))
+        .repartition(n_parts, "hub")
+        .localCheckpoint(eager=False)
+    )
+    auths = (
+        e.select(F.col("auth").alias("node")).distinct().withColumn("a", F.lit(1.0))
+    )
+    hubs = None
+    for _ in range(iterations):
+        hub_raw = (
+            e.join(auths, on=e["auth"] == auths["node"])
+            .groupBy("hub")
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+        h_norm = hub_raw.agg(
+            F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm")
+        )
+        hubs = hub_raw.crossJoin(F.broadcast(h_norm)).select(
+            F.col("hub").alias("node"), (F.col("h") / F.col("nrm")).alias("h")
+        )
+        auth_raw = (
+            e.join(hubs, on=e["hub"] == hubs["node"])
+            .groupBy("auth")
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        a_norm = auth_raw.agg(
+            F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm")
+        )
+        auths = auth_raw.crossJoin(F.broadcast(a_norm)).select(
+            F.col("auth").alias("node"), (F.col("a") / F.col("nrm")).alias("a")
+        )
+    return hubs, auths

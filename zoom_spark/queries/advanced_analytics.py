@@ -940,3 +940,47 @@ def community_labels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_purchase_edges(spark, sf_dir)
     labels = label_propagation_communities(edges)
     return labels.groupBy("community").agg(F.count("*").alias("n_nodes"))
+
+
+@register("hits_supplier_part")  # iterative float fixpoint: rows-only
+def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R195 HITS hubs & authorities over the supplier->part supply
+    graph (distinct l_suppkey -> l_partkey edges): suppliers are hubs
+    (they stock influential parts), parts are authorities (stocked by
+    influential suppliers) — the classic bipartite importance dual
+    complementing pagerank_parts. operators/graph.hits: 8 mutual
+    power iterations, one equi-join + one aggregate per half-step,
+    1-row broadcast L2 normalizers, lazy checkpoints. Not
+    SQL-expressible (iterative normalization) — rows-only gate; the
+    numpy power-iteration referee in tests pins values. Output: top-12
+    per side with id tie-break."""
+    from zoom_spark.operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("hub"), F.col("l_partkey").alias("auth")
+    ).distinct()
+    hubs, auths = hits(edges)
+    top_h = (
+        hubs.orderBy(F.col("h").desc(), "node")
+        .limit(12)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("node").alias("node_id"),
+            (F.floor(F.col("h") * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+                "score_q6"
+            ),
+        )
+    )
+    top_a = (
+        auths.orderBy(F.col("a").desc(), "node")
+        .limit(12)
+        .select(
+            F.lit("auth").alias("side"),
+            F.col("node").alias("node_id"),
+            (F.floor(F.col("a") * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+                "score_q6"
+            ),
+        )
+    )
+    return top_h.unionAll(top_a)
