@@ -40,6 +40,10 @@ EXPECTATIONS = {
     "latest_order_per_customer": dict(pushed=False, broadcast=False, cartesian=False),
     # knn is an intentional broadcast cross join (queries x corpus)
     "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
+    # SPRT assembles its single summary row from four 1-row broadcast
+    # frames (crossing index, final index, probed LLR values) — scalar
+    # BNLJ by design; the trajectory itself is never broadcast
+    "sprt_purchase_rate": dict(pushed=False, broadcast=False, cartesian=True),
     # HITS normalizes each half-step by a 1-row L2-norm broadcast
     # (scalar BNLJ by design, same class as the k-means centroid waiver)
     "hits_supplier_part": dict(pushed=False, broadcast=False, cartesian=True),

@@ -1,0 +1,130 @@
+"""Sequential experimentation operators (R196+): Wald's SPRT over the
+event stream.
+
+Engine-parity discipline: the log-likelihood-ratio increments are
+PRECOMPUTED Python float literals inlined into BOTH the Spark plan and
+the DuckDB oracle (never ln() evaluated per engine), and the running
+LLR is reconstructed from exact integer prefix counts —
+LLR_n = k1_n·C1 + (n−k1_n)·C0 — one multiply-add on exact integers,
+so the trajectory is bit-identical across engines. The running counts
+come from the repo's two-phase distributed prefix machinery (range
+shuffle + O(P) offsets), never a single-task global window.
+
+No analog in the reference connector (SURVEY.md §2.11 extension
+family).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+# H0: purchase share p0 vs H1: p1, alpha = beta = 0.05
+SPRT_P0 = 0.15
+SPRT_P1 = 0.20
+SPRT_ALPHA = 0.05
+SPRT_C1 = math.log(SPRT_P1 / SPRT_P0)  # increment for a success
+SPRT_C0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))  # for a failure
+SPRT_LN_A = math.log((1 - SPRT_ALPHA) / SPRT_ALPHA)  # accept-H1 bound
+SPRT_LN_B = math.log(SPRT_ALPHA / (1 - SPRT_ALPHA))  # accept-H0 bound
+
+
+@register(
+    "sprt_purchase_rate",
+    sql=f"""
+    WITH s AS (
+      SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS k1
+      FROM events
+    ),
+    llr AS (
+      SELECT n, k1,
+             k1 * {SPRT_C1!r} + (n - k1) * {SPRT_C0!r} AS llr
+      FROM s
+    ),
+    crossed AS (
+      SELECT min(n) AS decision_n FROM llr
+      WHERE llr >= {SPRT_LN_A!r} OR llr <= {SPRT_LN_B!r}
+    ),
+    fin AS (
+      SELECT max(n) AS n_obs FROM llr
+    )
+    SELECT f.n_obs,
+           c.decision_n,
+           CASE WHEN c.decision_n IS NULL THEN 'continue'
+                WHEN (SELECT llr FROM llr WHERE n = c.decision_n)
+                     >= {SPRT_LN_A!r} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           round((SELECT llr FROM llr WHERE n = c.decision_n), 6)
+             AS llr_at_decision,
+           round((SELECT llr FROM llr WHERE n = f.n_obs), 6) AS llr_final
+    FROM fin f CROSS JOIN crossed c
+    """,
+)
+def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R196 Wald sequential probability ratio test on the purchase
+    share of the event stream (H0: p={SPRT_P0} vs H1: p={SPRT_P1},
+    α=β=0.05): the always-valid early-stopping monitor an
+    experimentation platform runs instead of a fixed-horizon test.
+    The LLR trajectory is k1·C1 + (n−k1)·C0 over EXACT integer
+    running counts (two two-phase prefix passes — global row number +
+    running success count — no single-task window); the first
+    boundary crossing and the decision are one more aggregate. The
+    C0/C1/lnA/lnB constants are Python float literals shared with the
+    oracle, so the whole trajectory is bit-identical across engines
+    before the 6dp output rounding."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    numbered = global_row_number(ev, ["ts", "event_id"], out_col="n")
+    with_k = prefix_sum(numbered, "n", "x", out_col="k1")
+    llr = with_k.select(
+        "n",
+        (
+            F.col("k1") * F.lit(SPRT_C1)
+            + (F.col("n") - F.col("k1")) * F.lit(SPRT_C0)
+        ).alias("llr"),
+    ).localCheckpoint(eager=False)
+    crossed = llr.where(
+        (F.col("llr") >= SPRT_LN_A) | (F.col("llr") <= SPRT_LN_B)
+    ).agg(F.min("n").alias("decision_n"))
+    fin = llr.agg(F.max("n").alias("n_obs"))
+    # probe the big trajectory with 1-row BROADCAST keys (never
+    # broadcast the trajectory itself), then re-aggregate to exactly
+    # one row so a missing crossing still yields a NULL column
+    at_val = (
+        llr.join(F.broadcast(crossed), F.col("n") == F.col("decision_n"))
+        .agg(F.min("llr").alias("llr_at_decision"))
+    )
+    fin_val = (
+        llr.join(F.broadcast(fin), F.col("n") == F.col("n_obs"))
+        .agg(F.min("llr").alias("llr_final"))
+    )
+    return (
+        fin.crossJoin(F.broadcast(crossed))
+        .crossJoin(F.broadcast(at_val))
+        .crossJoin(F.broadcast(fin_val))
+        .select(
+            "n_obs",
+            "decision_n",
+            F.when(F.col("decision_n").isNull(), "continue")
+            .when(F.col("llr_at_decision") >= SPRT_LN_A, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            F.round("llr_at_decision", 6).alias("llr_at_decision"),
+            F.round("llr_final", 6).alias("llr_final"),
+        )
+    )
