@@ -1,0 +1,121 @@
+"""Alternating least squares matrix factorization (one full sweep) —
+the collaborative-filtering / recommender-training primitive, shaped
+the way ALS actually runs on a cluster.
+
+Each half-sweep solves, PER ENTITY, the k×k regularized normal
+equations (VᵀV + λI)u = Vᵀr over that entity's rated items — an
+embarrassingly parallel groupBy + applyInPandas where every group's
+problem is k×k (model-sized), never data-sized. The other side's
+factors ship to the ratings via an equi-join on the item key (at
+warehouse scale: a broadcast when the item side is dimension-sized,
+a shuffle join otherwise — Catalyst/AQE picks). Factor
+initialization is a deterministic md5 hash of (tag, id, j), so any
+engine / referee reproduces the exact same starting point without a
+random-state dependency.
+
+No analog in the reference connector (SURVEY.md §2.11 extension
+family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALS_K = 8
+ALS_LAMBDA = 0.1
+
+
+def hash_unit(tag: str, ident: int, j: int) -> float:
+    """Deterministic uniform in [-0.5, 0.5) from md5(tag:id:j)."""
+    h = hashlib.md5(f"{tag}:{ident}:{j}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(1 << 32) - 0.5
+
+
+def init_factors(
+    ids: DataFrame, id_col: str, k: int = ALS_K, tag: str = "item"
+) -> DataFrame:
+    """(id, vec: array<double>) with md5-hash init — map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: ids_,
+                    "vec": [
+                        [hash_unit(tag, i, j) for j in range(k)] for i in ids_
+                    ],
+                }
+            )
+
+    return ids.select(id_col).distinct().mapInPandas(
+        run, schema=f"{id_col} bigint, vec array<double>"
+    )
+
+
+def solve_side(
+    ratings: DataFrame,
+    fixed: DataFrame,
+    solve_col: str,
+    fixed_col: str,
+    rating_col: str = "r",
+    k: int = ALS_K,
+    lam: float = ALS_LAMBDA,
+) -> DataFrame:
+    """One ALS half-sweep: given `fixed` factors keyed by `fixed_col`,
+    solve (VᵀV + λI)x = Vᵀr per `solve_col` group. Returns
+    (solve_col, vec)."""
+    joined = ratings.join(fixed, on=fixed_col).select(
+        solve_col, rating_col, "vec"
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(pdf["vec"].to_numpy())
+        r = pdf[rating_col].to_numpy(dtype=np.float64)
+        A = V.T @ V + lam * np.eye(k)
+        x = np.linalg.solve(A, V.T @ r)
+        return pd.DataFrame(
+            {solve_col: [int(pdf[solve_col].iloc[0])], "vec": [list(x)]}
+        )
+
+    return joined.groupBy(solve_col).applyInPandas(
+        solve, schema=f"{solve_col} bigint, vec array<double>"
+    )
+
+
+def predict_rmse(
+    ratings: DataFrame,
+    user_fac: DataFrame | None,
+    item_fac: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str = "r",
+) -> DataFrame:
+    """1-row frame with the RMSE of u·v predictions (prediction 0
+    where a side is missing — `user_fac=None` scores the zero
+    baseline). JVM-side dot product (zip_with + aggregate)."""
+    from zoom_spark.functions.vectors import dot
+
+    if user_fac is None:
+        scored = ratings.select(
+            (F.col(rating_col) * F.col(rating_col)).alias("se")
+        )
+    else:
+        uf = user_fac.withColumnRenamed("vec", "uvec")
+        vf = item_fac.withColumnRenamed("vec", "ivec")
+        scored = (
+            ratings.join(uf, on=user_col)
+            .join(vf, on=item_col)
+            .select(
+                F.pow(
+                    F.col(rating_col) - dot(F.col("uvec"), F.col("ivec")), 2
+                ).alias("se")
+            )
+        )
+    return scored.agg(F.sqrt(F.avg("se")).alias("rmse"))
