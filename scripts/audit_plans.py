@@ -40,6 +40,11 @@ EXPECTATIONS = {
     "latest_order_per_customer": dict(pushed=False, broadcast=False, cartesian=False),
     # knn is an intentional broadcast cross join (queries x corpus)
     "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
+    # jackknife ratio: 1-row totals broadcast crossed onto the
+    # unit frame (scalar BNLJ by design)
+    "jackknife_ratio_revenue_per_order": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # SPRT assembles its single summary row from four 1-row broadcast
     # frames (crossing index, final index, probed LLR values) — scalar
     # BNLJ by design; the trajectory itself is never broadcast

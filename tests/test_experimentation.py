@@ -60,3 +60,33 @@ def test_sprt_boundaries_are_wald_5pct():
     assert SPRT_LN_A == pytest.approx(math.log(0.95 / 0.05))
     assert SPRT_LN_B == pytest.approx(-math.log(0.95 / 0.05))
     assert SPRT_C1 > 0 > SPRT_C0
+
+
+def test_jackknife_ratio_matches_explicit_loo_referee(spark):
+    """R198 referee: explicit leave-one-out recompute (actually drop
+    each customer and recompute the ratio) at full precision."""
+    import numpy as np
+
+    from zoom_spark.queries.experimentation import (
+        jackknife_ratio_revenue_per_order,
+    )
+
+    got = jackknife_ratio_revenue_per_order(spark, SF_DIR).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    unit = o.groupby("o_custkey").agg(
+        rev=("o_totalprice", "sum"), cnt=("o_totalprice", "count")
+    )
+    R, N = unit["rev"].sum(), unit["cnt"].sum()
+    theta = R / N
+    loo = (R - unit["rev"]) / (N - unit["cnt"])
+    n = len(unit)
+    se = float(np.sqrt((n - 1) / n * ((loo - loo.mean()) ** 2).sum()))
+    assert got["n_units"] == n
+    assert got["theta"] == pytest.approx(theta, rel=1e-9)
+    assert got["se_jack"] == pytest.approx(se, rel=1e-5)
+    assert got["ci_lo"] == pytest.approx(theta - 1.96 * se, rel=1e-5)
+    assert got["ci_hi"] == pytest.approx(theta + 1.96 * se, rel=1e-5)
+    # the CI must bracket theta
+    assert got["ci_lo"] < got["theta"] < got["ci_hi"]

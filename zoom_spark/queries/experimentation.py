@@ -128,3 +128,106 @@ def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("llr_final", 6).alias("llr_final"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R198: jackknife standard error for a ratio metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jackknife_ratio_revenue_per_order",
+    sql="""
+    WITH unit AS (
+      SELECT o_custkey AS u, round(sum(o_totalprice), 2) AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev) AS tr, CAST(sum(cnt) AS BIGINT) AS tn,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(rev) / CAST(sum(cnt) AS BIGINT), 6) AS theta
+            FROM unit),
+    loo AS (
+      -- center each leave-one-out ratio at the ROUNDED global theta:
+      -- dev terms are O(spread), so the second aggregate has no
+      -- catastrophic cancellation for either engine to disagree on
+      SELECT (t.tr - u.rev) / (t.tn - u.cnt) - t.theta AS dev,
+             t.n, t.theta
+      FROM unit u CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT n, theta, sum(dev) AS sd, sum(dev * dev) AS sd2
+      FROM loo GROUP BY n, theta
+    ),
+    se AS (
+      SELECT n, theta,
+             round(sqrt((n - 1.0) / n * (sd2 - sd * sd / n)), 4) AS se_jack
+      FROM agg
+    )
+    SELECT n AS n_units, theta, se_jack,
+           round(theta - 1.96 * se_jack, 4) AS ci_lo,
+           round(theta + 1.96 * se_jack, 4) AS ci_hi
+    FROM se
+    """,
+)
+def jackknife_ratio_revenue_per_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R198 leave-one-unit-out jackknife SE for a RATIO metric
+    (revenue per order, randomization unit = customer) — the variance
+    tool ratio metrics need because orders within a customer are not
+    independent (naive per-order SEs understate). Closed form: one
+    per-unit aggregate (cent-grid exact), a 1-row totals broadcast,
+    then θ_(i) = (R−r_i)/(N−n_i) per unit and
+    SE² = (n−1)/n · (Σθ² − (Σθ)²/n) in a single second aggregate —
+    no per-replicate recompute, O(units) total. The dev terms are
+    centered at the ROUNDED global θ before squaring, so the second
+    aggregate carries no catastrophic cancellation (raw Σθ² would —
+    it flipped a rounding boundary in testing); the CI is assembled
+    from the ROUNDED θ and SE so both engines agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    unit = o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    tot = unit.agg(
+        F.sum("rev").alias("tr"),
+        F.sum("cnt").cast("bigint").alias("tn"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        "tr",
+        "tn",
+        "n",
+        F.round(F.col("tr") / F.col("tn"), 6).alias("theta"),
+    )
+    loo = unit.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("tr") - F.col("rev")) / (F.col("tn") - F.col("cnt"))
+            - F.col("theta")
+        ).alias("dev"),
+        "n",
+        "theta",
+    )
+    agg = loo.groupBy("n", "theta").agg(
+        F.sum("dev").alias("sd"),
+        F.sum(F.col("dev") * F.col("dev")).alias("sd2"),
+    )
+    se = agg.select(
+        "n",
+        "theta",
+        F.round(
+            F.sqrt(
+                (F.col("n") - 1.0)
+                / F.col("n")
+                * (F.col("sd2") - F.col("sd") * F.col("sd") / F.col("n"))
+            ),
+            4,
+        ).alias("se_jack"),
+    )
+    return se.select(
+        F.col("n").alias("n_units"),
+        "theta",
+        "se_jack",
+        F.round(F.col("theta") - 1.96 * F.col("se_jack"), 4).alias("ci_lo"),
+        F.round(F.col("theta") + 1.96 * F.col("se_jack"), 4).alias("ci_hi"),
+    )
