@@ -768,3 +768,92 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("h").cast("string")).alias("min_h"),
         )
     )
+
+
+JW_THRESHOLD = 0.85
+
+
+@register(
+    "jaro_winkler_name_pairs",
+    sql=f"""
+    WITH nm AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    b AS (
+      SELECT p_name, n_parts, 'c1:' || substring(p_name, 1, 1) AS blk
+      FROM nm
+      UNION ALL
+      SELECT p_name, n_parts, 'tk:' || string_split(p_name, ' ')[-1] AS blk
+      FROM nm
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, c.p_name AS name_b,
+             a.n_parts AS n_a, c.n_parts AS n_b
+      FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    )
+    SELECT name_a, name_b,
+           round(jaro_winkler_similarity(name_a, name_b), 6) AS jw,
+           n_a, n_b
+    FROM cand
+    WHERE jaro_winkler_similarity(name_a, name_b) >= {JW_THRESHOLD}
+    """,
+)
+def jaro_winkler_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R199 Jaro-Winkler record-linkage pairs over the part-name
+    vocabulary (the Fellegi-Sunter metric family beyond R155's
+    Levenshtein): MULTI-PASS blocking (first character ∪ last token —
+    the standard record-linkage recall hedge; single-key blocking
+    provably drops pairs like 'cold anvil'/'old anvil' at jw 0.967,
+    which the referee test pins), candidates deduped, then verified
+    by the repo's REAL pure-Python Jaro-Winkler
+    (`functions/jaro.py`, Arrow-batched pandas UDF). The ORACLE
+    recomputes with DuckDB's
+    own independent C++ jaro_winkler_similarity — two unrelated
+    implementations, bit-identical over the whole vocabulary pair
+    set (pinned in tests). Vocabulary-sized frames throughout
+    (64 names at every SF): scale-stable by construction."""
+    from zoom_spark.functions.jaro import jaro_winkler_udf
+
+    part = load_table(spark, sf_dir, "part")
+    nm = part.groupBy("p_name").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    b = nm.select(
+        "p_name",
+        "n_parts",
+        F.concat(F.lit("c1:"), F.substring("p_name", 1, 1)).alias("blk"),
+    ).unionAll(
+        nm.select(
+            "p_name",
+            "n_parts",
+            F.concat(
+                F.lit("tk:"), F.element_at(F.split("p_name", " "), -1)
+            ).alias("blk"),
+        )
+    )
+    a_, c_ = b.alias("a"), b.alias("c")
+    cand = (
+        a_.join(
+            c_,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            F.col("a.n_parts").alias("n_a"),
+            F.col("c.n_parts").alias("n_b"),
+        )
+        .distinct()
+    )
+    pairs = cand.withColumn(
+        "jw_raw", jaro_winkler_udf(F.col("name_a"), F.col("name_b"))
+    )
+    return pairs.where(F.col("jw_raw") >= JW_THRESHOLD).select(
+        "name_a",
+        "name_b",
+        F.round(F.col("jw_raw"), 6).alias("jw"),
+        "n_a",
+        "n_b",
+    )
