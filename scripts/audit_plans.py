@@ -393,6 +393,14 @@ EXPECTATIONS = {
     "kaplan_meier_conversion": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # same calendar-bounded day frames + 1-row horizon BNLJ as the KM
+    # gate (log-rank adds the per-arm fill windows, still <= |days|)
+    "logrank_arm_conversion": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "nelson_aalen_conversion": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # bin aggregate + 1-row weighted reduce BNLJ
     "expected_calibration_error": dict(pushed=False, broadcast=False, cartesian=True),
     # bigram shuffle + marginal equi-joins; 1-row total BNLJ

@@ -61,4 +61,5 @@ from zoom_spark.queries import rank_stats  # noqa: E402,F401
 from zoom_spark.queries import forecasting  # noqa: E402,F401
 from zoom_spark.queries import experimentation  # noqa: E402,F401
 from zoom_spark.queries import recsys  # noqa: E402,F401
+from zoom_spark.queries import survival  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401
