@@ -582,3 +582,94 @@ def effect_sizes_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.col("u1") / (F.col("n1") * F.col("n2").cast("double")) - 1, 6
         ).alias("cliffs_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R202: Cochran-Armitage trend test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cochran_armitage_weekday_trend",
+    sql=f"""
+    WITH s AS (
+      SELECT CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS BIGINT) AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    g AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_w,
+             CAST(sum(x) AS BIGINT) AS r_w
+      FROM s GROUP BY w
+    ),
+    a AS (
+      SELECT CAST(sum(n_w) AS BIGINT) AS n, CAST(sum(r_w) AS BIGINT) AS r,
+             sum(w * r_w) AS swr, sum(w * n_w) AS sw,
+             sum(w * w * n_w) AS sw2
+      FROM g
+    ),
+    z AS (
+      -- T = Σw·r_w − p̄·Σw·n_w (same algebra as the engine side)
+      SELECT n, r,
+             round((swr - (r * 1.0 / n) * sw)
+                   / sqrt((r * 1.0 / n) * (1 - r * 1.0 / n)
+                          * (sw2 - sw * sw / n)), 6) AS z
+      FROM a
+    )
+    SELECT n AS n_events, r AS n_purchases, z,
+           {_ERF_P_SQL} AS p_value
+    FROM (SELECT n, r, z, abs(z) AS az,
+                 1 / (1 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+          FROM z)
+    """,
+)
+def cochran_armitage_weekday_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R202 Cochran-Armitage test for TREND in a binomial rate across
+    ordered doses (purchase share across the weekday index 0..6) —
+    more powerful than the omnibus chi-square when the alternative is
+    monotone. T = Σw(r_w − n_w·p̄), Var = p̄(1−p̄)(Σw²n − (Σwn)²/N):
+    one 7-group aggregate chain on exact integer counts (p̄ is the
+    only division), no window over data, no cross join. Two-sided p
+    via the shared A-S erf polynomial."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    s = ev.select(
+        wd.alias("w"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    g = s.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n_w"),
+        F.sum("x").cast("bigint").alias("r_w"),
+    )
+    a = g.agg(
+        F.sum("n_w").cast("bigint").alias("n"),
+        F.sum("r_w").cast("bigint").alias("r"),
+        F.sum(F.col("w") * F.col("r_w")).alias("swr"),
+        F.sum(F.col("w") * F.col("n_w")).alias("sw"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_w")).alias("sw2"),
+    )
+    # T = Σw·r_w − p̄·Σw·n_w  (algebraically equal to Σw(r_w − n_w·p̄))
+    pbar = F.col("r") * 1.0 / F.col("n")
+    z = a.select(
+        "n",
+        "r",
+        F.round(
+            (F.col("swr") - pbar * F.col("sw"))
+            / F.sqrt(
+                pbar * (1 - pbar)
+                * (F.col("sw2") - F.col("sw") * F.col("sw") / F.col("n"))
+            ),
+            6,
+        ).alias("z"),
+    )
+    return z.select(
+        F.col("n").alias("n_events"),
+        F.col("r").alias("n_purchases"),
+        "z",
+        _erf_tail_p(F.abs(F.col("z"))).alias("p_value"),
+    )
