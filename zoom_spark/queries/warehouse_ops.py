@@ -594,3 +594,28 @@ def association_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+TDIGEST_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register("tdigest_quantiles_prices")  # order-sensitive sketch: rows-only
+def tdigest_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R203 t-digest quantile sketch (Dunning merging digest,
+    operators/tdigest.py, δ=100) over order prices — the mergeable
+    tail-accurate quantile summary complementing the KLL gate (R52):
+    per-partition compress in mapInPandas, then ONE model-sized merge
+    of the P·O(δ) partial centroids, then interpolated estimates at
+    the 7 standard probe points. Centroid merging is order-sensitive
+    (inherent to the sketch), so the gate is rows-only; property
+    tests bound the rank error of every estimate (tight at the
+    tails, where the k2 size bound concentrates resolution) and
+    verify the partial→merge path against a single-shot digest."""
+    from zoom_spark.operators.tdigest import tdigest_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    return tdigest_quantiles(o, "o_totalprice", TDIGEST_QS).select(
+        "q",
+        F.round("est", 4).alias("est"),
+        "n_centroids",
+    )
