@@ -621,3 +621,92 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark):
         p for p in batch if p[1] is None
     }
     assert got_unmatched, "unmatched rows emitted"
+
+
+def test_stream_sprt_matches_batch_twin(spark):
+    """Streaming SPRT over the (single-file = single-batch) events
+    stream must reproduce the batch sprt_purchase_rate verdict
+    exactly: same n_obs, decision point, decision, and final LLR."""
+    from zoom_spark.queries.experimentation import sprt_purchase_rate
+    from zoom_spark.streaming.stateful import stream_sprt
+
+    got = run_to_memory(
+        stream_sprt(read_events_stream(spark, SF_DIR)),
+        "t_sprt",
+        output_mode="update",
+    ).collect()
+    # single micro-batch -> exactly one update row
+    assert len(got) == 1
+    s = got[0]
+    b = sprt_purchase_rate(spark, SF_DIR).collect()[0]
+    assert s["n_obs"] == b["n_obs"]
+    assert s["decision"] == b["decision"]
+    if b["decision_n"] is not None:
+        assert s["decision_n"] == b["decision_n"]
+    assert s["llr"] == pytest.approx(b["llr_final"], abs=1e-6)
+
+
+def test_stream_sprt_state_carries_across_batches(spark, tmp_path):
+    """Two files -> two micro-batches: the monitor's counts must carry
+    over, and a decision crossed in batch 1 must stay frozen in
+    batch 2 (sequential-test semantics)."""
+    import time as _time
+
+    import pandas as pd
+
+    from zoom_spark.queries.experimentation import (
+        SPRT_C0,
+        SPRT_C1,
+        SPRT_LN_A,
+    )
+    from zoom_spark.streaming.stateful import stream_sprt
+
+    # batch 1: enough purchases to cross the H1 boundary quickly;
+    # batch 2: all non-purchases (would drift down, must not undo)
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(ids, offset, etype):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [base + pd.Timedelta(seconds=offset + i) for i in ids],
+                "user_id": [1] * len(ids),
+                "event_type": [etype] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(mk(list(range(40)), 0, "purchase")).coalesce(
+        1
+    ).write.parquet(src + "/f1.parquet")
+    _time.sleep(1.1)  # file-stream orders batches by mtime
+    spark.createDataFrame(mk(list(range(40)), 3600, "view")).coalesce(
+        1
+    ).write.parquet(src + "/f2.parquet")
+    schema = spark.read.parquet(src + "/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = run_to_memory(
+        stream_sprt(stream), "t_sprt2", output_mode="update"
+    ).collect()
+    assert len(got) >= 2
+    final = max(got, key=lambda r: r["n_obs"])
+    # all 80 events seen; decision crossed early in batch 1 and frozen
+    assert final["n_obs"] == 80
+    assert final["decision"] == "accept_h1"
+    n_cross = final["decision_n"]
+    assert 1 <= n_cross <= 40
+    # crossing point: smallest n with n*C1 >= lnA (all purchases)
+    import math
+
+    expect_cross = math.ceil(SPRT_LN_A / SPRT_C1)
+    assert n_cross == expect_cross
+    # final llr reflects ALL events
+    assert final["llr"] == pytest.approx(
+        40 * SPRT_C1 + 40 * SPRT_C0, abs=1e-6
+    )

@@ -17,10 +17,12 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -142,4 +144,99 @@ def running_user_profile_v2(events: DataFrame) -> DataFrame:
         outputStructType=TWS_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT monitor: the always-valid sequential test as a
+# stateful stream (batch twin: queries/experimentation.sprt_purchase_rate)
+# ---------------------------------------------------------------------------
+
+SPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("k1", LongType()),
+        StructField("decision_n", LongType()),
+        StructField("decision", StringType()),
+    ]
+)
+
+SPRT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("monitor", StringType()),
+        StructField("n_obs", LongType()),
+        StructField("llr", DoubleType()),
+        StructField("decision_n", LongType()),
+        StructField("decision", StringType()),
+    ]
+)
+
+
+def _sprt_update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from zoom_spark.queries.experimentation import (
+        SPRT_C0,
+        SPRT_C1,
+        SPRT_LN_A,
+        SPRT_LN_B,
+    )
+
+    n, k1, dec_n, dec = (
+        state.get if state.exists else (0, 0, 0, "continue")
+    )
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = (pdf["event_type"] == "purchase").to_numpy().astype("int64")
+        ks = k1 + np.cumsum(xs)
+        ns = n + np.arange(1, len(xs) + 1)
+        llrs = ks * SPRT_C1 + (ns - ks) * SPRT_C0
+        if dec == "continue":
+            hit = np.nonzero((llrs >= SPRT_LN_A) | (llrs <= SPRT_LN_B))[0]
+            if hit.size:
+                i = int(hit[0])
+                dec_n = int(ns[i])
+                dec = (
+                    "accept_h1" if llrs[i] >= SPRT_LN_A else "accept_h0"
+                )
+        n = int(ns[-1])
+        k1 = int(ks[-1])
+    state.update((n, k1, dec_n, dec))
+    llr_now = (
+        k1 * SPRT_C1 + (n - k1) * SPRT_C0
+    )
+    yield pd.DataFrame(
+        {
+            "monitor": [key[0]],
+            "n_obs": [n],
+            "llr": [round(llr_now, 6)],
+            "decision_n": [dec_n],
+            "decision": [dec],
+        }
+    )
+
+
+def stream_sprt(events: DataFrame) -> DataFrame:
+    """Streaming Wald SPRT on the purchase share: a SINGLE-key
+    stateful accumulator (state = exact integer running counts plus
+    the frozen first decision) emitting the monitor's current LLR and
+    verdict each micro-batch. The decision, once crossed, never
+    un-crosses (sequential-test semantics); within a batch rows are
+    ordered by (ts, event_id), so with an ordered source the
+    trajectory matches the batch twin
+    `sprt_purchase_rate` exactly. State is four scalars — O(1)
+    regardless of stream length."""
+    keyed = events.withColumn("monitor", F.lit("purchase_rate"))
+    return keyed.groupBy("monitor").applyInPandasWithState(
+        _sprt_update,
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
