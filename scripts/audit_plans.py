@@ -40,6 +40,16 @@ EXPECTATIONS = {
     "latest_order_per_customer": dict(pushed=False, broadcast=False, cartesian=False),
     # knn is an intentional broadcast cross join (queries x corpus)
     "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
+    # Durbin-Watson: row_number/lag over the calendar-bounded day
+    # pre-aggregate (cusum-style exception) + 1-row OLS-fit BNLJs
+    "durbin_watson_revenue_trend": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
+    # totals frame — scalar BNLJ by design
+    "runs_test_purchase_sequence": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # jackknife ratio: 1-row totals broadcast crossed onto the
     # unit frame (scalar BNLJ by design)
     "jackknife_ratio_revenue_per_order": dict(

@@ -60,3 +60,61 @@ def test_holt_query_matches_direct_recompute(spark):
         assert r["level"] == pytest.approx(s, abs=1e-3)
         assert r["trend"] == pytest.approx(b, abs=1e-5)
         assert r["yhat"] == pytest.approx(s + h * b, abs=1e-3)
+
+
+def test_durbin_watson_matches_numpy_referee(spark):
+    """R205 referee: full-precision numpy OLS + DW recompute."""
+    import numpy as np
+
+    from zoom_spark.queries.forecasting import durbin_watson_revenue_trend
+
+    got = durbin_watson_revenue_trend(spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily = (
+        orders.groupby("o_orderdate")["o_totalprice"].sum().round(2).sort_index()
+    )
+    y = daily.to_numpy()
+    t = np.arange(1, len(y) + 1, dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    e = y - (a + b * t)
+    dw = float(((e[1:] - e[:-1]) ** 2).sum() / (e * e).sum())
+    assert got["n_days"] == len(y)
+    assert got["slope"] == pytest.approx(b, rel=1e-4)
+    assert got["intercept"] == pytest.approx(a, rel=1e-4)
+    assert got["dw"] == pytest.approx(dw, abs=1e-4)
+    assert got["rho_approx"] == pytest.approx(1 - dw / 2, abs=1e-4)
+    assert 0.0 <= got["dw"] <= 4.0
+
+
+def test_runs_test_matches_direct_referee(spark):
+    """R204 referee: direct run counting over the ordered sequence."""
+    import math
+
+    from zoom_spark.queries.experimentation import (
+        runs_test_purchase_sequence,
+    )
+
+    got = runs_test_purchase_sequence(spark, SF_DIR).collect()[0]
+    ev = (
+        pd.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["ts", "event_id", "event_type"],
+        )
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    x = (ev["event_type"] == "purchase").astype(int).to_numpy()
+    n = len(x)
+    n1 = int(x.sum())
+    runs = 1 + int((x[1:] != x[:-1]).sum())
+    mu = 1 + 2.0 * n1 * (n - n1) / n
+    two_m = 2.0 * n1 * (n - n1)
+    sig = math.sqrt(two_m * (two_m - n) / (float(n) * n * (n - 1)))
+    z = (runs - mu) / sig
+    assert got["n_obs"] == n and got["n_success"] == n1
+    assert got["n_runs"] == runs
+    assert got["z"] == pytest.approx(z, abs=1e-5)
+    p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+    assert got["p_value"] == pytest.approx(p, abs=1e-5)

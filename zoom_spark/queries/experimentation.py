@@ -231,3 +231,120 @@ def jackknife_ratio_revenue_per_order(
         F.round(F.col("theta") - 1.96 * F.col("se_jack"), 4).alias("ci_lo"),
         F.round(F.col("theta") + 1.96 * F.col("se_jack"), 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R204: Wald-Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "runs_test_purchase_sequence",
+    sql="""
+    WITH s AS (
+      SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS n,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    chg AS (
+      SELECT a.x AS x_prev, b.x AS x_cur
+      FROM s a JOIN s b ON b.n = a.n + 1
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+             (SELECT CAST(sum(x) AS BIGINT) FROM s) AS n1,
+             CAST(1 + sum(CASE WHEN x_prev <> x_cur THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs
+      FROM chg
+    ),
+    z AS (
+      SELECT n, n1, n - n1 AS n0, runs,
+             round((runs - (1 + 2.0 * n1 * (n - n1) / n))
+                   / sqrt(2.0 * n1 * (n - n1)
+                          * (2.0 * n1 * (n - n1) - n)
+                          / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
+      FROM agg
+    )
+    SELECT n AS n_obs, n1 AS n_success, runs AS n_runs, z,
+           round(2 * 0.5 * ((0.254829592 * t - 0.284496736 * t * t
+                  + 1.421413741 * t * t * t
+                  - 1.453152027 * t * t * t * t
+                  + 1.061405429 * t * t * t * t * t)
+                 * exp(-(az * az) / 2)), 9) AS p_value
+    FROM (SELECT n, n1, runs, z, abs(z) AS az,
+                 1 / (1 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+          FROM z)
+    """,
+)
+def runs_test_purchase_sequence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R204 Wald-Wolfowitz runs test on the purchase/non-purchase
+    sequence in event order — the randomness check a training-shard
+    interleave or an experiment's assignment stream should pass
+    (too few runs = clumping, too many = alternation). The sequence
+    collapses to (count, successes, runs); runs come from a
+    consecutive-row-number SELF-JOIN on the two-phase global row
+    number (range-co-partitioned equi-join — no single-task lag
+    window on the data). Exact integer moments; z rounded at 6dp; p
+    via the shared A-S erf polynomial."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    s = global_row_number(ev, ["ts", "event_id"], out_col="n").select("n", "x")
+    a = s.select(F.col("n").alias("na"), F.col("x").alias("x_prev"))
+    b = s.select(F.col("n").alias("nb"), F.col("x").alias("x_cur"))
+    chg = a.join(b, F.col("nb") == F.col("na") + 1)
+    runs = chg.agg(
+        (
+            1
+            + F.sum(
+                F.when(F.col("x_prev") != F.col("x_cur"), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs")
+    )
+    tot = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("n1"),
+    )
+    agg = tot.crossJoin(F.broadcast(runs))
+    mu = 1 + 2.0 * F.col("n1") * (F.col("n") - F.col("n1")) / F.col("n")
+    two_m = 2.0 * F.col("n1") * (F.col("n") - F.col("n1"))
+    sig = F.sqrt(
+        two_m
+        * (two_m - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    z = agg.select(
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n0"),
+        "runs",
+        F.round((F.col("runs") - mu) / sig, 6).alias("z"),
+    )
+    t = 1 / (1 + 0.3275911 * (F.abs(F.col("z")) / F.sqrt(F.lit(2.0))))
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    return z.select(
+        F.col("n").alias("n_obs"),
+        F.col("n1").alias("n_success"),
+        F.col("runs").alias("n_runs"),
+        "z",
+        F.round(
+            2
+            * 0.5
+            * (poly * F.exp(-(F.abs(F.col("z")) * F.abs(F.col("z"))) / 2)),
+            9,
+        ).alias("p_value"),
+    )

@@ -136,3 +136,116 @@ def holt_linear_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round("yhat", 4).alias("yhat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R205: Durbin-Watson residual autocorrelation diagnostic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "durbin_watson_revenue_trend",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+      FROM daily
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round((count(*) * sum(t * rev) - sum(t) * sum(rev))
+                   / (count(*) * sum(t * t) - sum(t) * sum(t)), 6) AS b
+      FROM idx
+    ),
+    fit2 AS (
+      SELECT f.n, f.b,
+             round((sum(i.rev) - f.b * sum(i.t)) / f.n, 4) AS a
+      FROM idx i CROSS JOIN fit f GROUP BY f.n, f.b
+    ),
+    resid AS (
+      SELECT i.t, i.rev - (f.a + f.b * i.t) AS e
+      FROM idx i CROSS JOIN fit2 f
+    ),
+    lagd AS (
+      SELECT e, lag(e) OVER (ORDER BY t) AS e_prev FROM resid
+    ),
+    dw AS (
+      SELECT sum(pow(e - e_prev, 2)) AS num,
+             sum(e * e) AS den
+      FROM lagd
+    )
+    SELECT f.n AS n_days, f.b AS slope, f.a AS intercept,
+           round(d.num / d.den, 6) AS dw,
+           round(1 - (d.num / d.den) / 2, 6) AS rho_approx
+    FROM dw d CROSS JOIN fit2 f
+    """,
+)
+def durbin_watson_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R205 Durbin-Watson statistic on the residuals of the daily-
+    revenue linear trend — the lag-1 autocorrelation diagnostic that
+    says whether an OLS trend's standard errors can be trusted
+    (DW≈2 - 2ρ). OLS comes from exact cent-grid sums (closed form, no
+    iteration), the slope/intercept are ROUNDED before the residual
+    pass so both engines subtract identical fits, and the lag runs
+    over the calendar-bounded day frame (the cusum-style bounded
+    exception). Scale cost is one day-level aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w_day = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w_day).cast("bigint").alias("t"), "rev"
+    ).localCheckpoint(eager=False)
+    fit = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            (
+                F.count("*") * F.sum(F.col("t") * F.col("rev"))
+                - F.sum("t") * F.sum("rev")
+            )
+            / (
+                F.count("*") * F.sum(F.col("t") * F.col("t"))
+                - F.sum("t") * F.sum("t")
+            ),
+            6,
+        ).alias("b"),
+    )
+    fit2 = (
+        idx.crossJoin(F.broadcast(fit))
+        .groupBy("n", "b")
+        .agg(
+            F.round(
+                (F.sum("rev") - F.col("b") * F.sum("t")) / F.col("n"), 4
+            ).alias("a")
+        )
+    )
+    resid = idx.crossJoin(F.broadcast(fit2)).select(
+        "t",
+        "n",
+        "b",
+        "a",
+        (F.col("rev") - (F.col("a") + F.col("b") * F.col("t"))).alias("e"),
+    )
+    w_t = Window.orderBy("t")
+    dw = resid.withColumn("e_prev", F.lag("e").over(w_t)).agg(
+        F.sum(F.pow(F.col("e") - F.col("e_prev"), 2)).alias("num"),
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+        F.min("n").alias("n_days"),
+        F.min("b").alias("slope"),
+        F.min("a").alias("intercept"),
+    )
+    return dw.select(
+        "n_days",
+        "slope",
+        "intercept",
+        F.round(F.col("num") / F.col("den"), 6).alias("dw"),
+        F.round(1 - (F.col("num") / F.col("den")) / 2, 6).alias("rho_approx"),
+    )
