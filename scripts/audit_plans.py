@@ -40,6 +40,11 @@ EXPECTATIONS = {
     "latest_order_per_customer": dict(pushed=False, broadcast=False, cartesian=False),
     # knn is an intentional broadcast cross join (queries x corpus)
     "knn_bruteforce": dict(pushed=True, broadcast=False, cartesian=True),
+    # decision stump: 1-row (N, P) totals broadcast crossed onto the
+    # distinct-value candidate frame — scalar BNLJ by design
+    "decision_stump_acctbal": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # Durbin-Watson: row_number/lag over the calendar-bounded day
     # pre-aggregate (cusum-style exception) + 1-row OLS-fit BNLJs
     "durbin_watson_revenue_trend": dict(

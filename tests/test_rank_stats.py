@@ -202,3 +202,51 @@ def test_cochran_armitage_matches_direct_referee(spark):
     assert got["z"] == pytest.approx(z, abs=1e-5)
     p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
     assert got["p_value"] == pytest.approx(p, abs=1e-5)
+
+
+def test_decision_stump_matches_exhaustive_referee(spark):
+    """R206 referee: exhaustive O(V^2)-free python scan over all
+    candidate thresholds with full-precision entropies."""
+    from zoom_spark.queries.ml_primitives import decision_stump_acctbal
+
+    got = decision_stump_acctbal(spark, SF_DIR).collect()[0]
+    cust = pd.read_parquet(
+        f"{SF_DIR.replace('0.001', '0.001')}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+    )
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    urgent = set(
+        orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_custkey"]
+    )
+    df = cust.assign(y=cust["c_custkey"].isin(urgent).astype(int)).sort_values(
+        "c_acctbal"
+    )
+
+    def ent(p, n):
+        if p <= 0 or p >= n:
+            return 0.0
+        f = p / n
+        return -f * math.log(f) - (1 - f) * math.log(1 - f)
+
+    n = len(df)
+    p = int(df["y"].sum())
+    parent = ent(p, n)
+    best = None
+    by_v = df.groupby("c_acctbal")["y"].agg(["count", "sum"])
+    nl = pl = 0
+    for v, row in by_v.iterrows():
+        nl += int(row["count"])
+        pl += int(row["sum"])
+        if nl >= n:
+            continue
+        nr, pr = n - nl, p - pl
+        g = parent - (nl / n) * ent(pl, nl) - (nr / n) * ent(pr, nr)
+        if best is None or g > best[1] + 1e-12:
+            best = (v, g, nl, nr)
+    v, g, nl, nr = best
+    assert got["threshold"] == pytest.approx(v, abs=1e-9)
+    assert got["n_left"] == nl and got["n_right"] == nr
+    assert got["info_gain"] == pytest.approx(g, abs=1e-5)
+    assert got["info_gain"] >= 0.0
