@@ -467,3 +467,93 @@ def blocklist_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         BLOCKLIST_TERMS,
         flag_threshold=BLOCKLIST_FLAG_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# R207: TextRank keyword extraction
+# ---------------------------------------------------------------------------
+
+TEXTRANK_TOPK = 10
+
+
+@register("textrank_keywords")  # iterative float fixpoint: rows-only
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R207 TextRank (Mihalcea & Tarau): PageRank over the corpus
+    word co-occurrence graph — the OTHER classic unsupervised keyword
+    extractor next to RAKE (R185; degree/frequency scoring). Adjacent
+    lowercased tokens pair via the zip-of-shifted-slices idiom (one
+    explode AFTER pairing), distinct undirected edges feed
+    operators/graph.pagerank (10 power iterations, the frame-sized
+    partitioning + lazy-checkpoint loop), and the top-{10} words come
+    out as a k-bounded TakeOrdered. Iterative float fixpoint — not
+    SQL-expressible, so rows-only; the numpy power-iteration referee
+    pins values. Word ids are md5-free: the vocabulary frame carries
+    a dense integer id from the two-phase global row number."""
+    from zoom_spark.operators.graph import pagerank
+    from zoom_spark.operators.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = (
+        pairs.where(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("wa"),
+            F.greatest("w1", "w2").alias("wb"),
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    # the tiny fixture vocabulary makes the RAW graph complete (every
+    # pair co-occurs somewhere -> uniform PageRank, a vacuous gate);
+    # keep only ABOVE-75th-percentile co-occurrence edges so the graph
+    # topology reflects association strength at every SF
+    thr = cnt.agg(
+        F.expr("percentile(n, 0.75)").alias("thr")
+    )
+    und = (
+        cnt.crossJoin(F.broadcast(thr))
+        .where(F.col("n") > F.col("thr"))
+        .select("wa", "wb")
+    )
+    vocab = (
+        und.select(F.col("wa").alias("w"))
+        .unionAll(und.select(F.col("wb").alias("w")))
+        .distinct()
+    )
+    ids = global_row_number(vocab, ["w"], out_col="nid").localCheckpoint(
+        eager=False
+    )
+    edges = (
+        und.join(ids.withColumnRenamed("w", "wa_w"), F.col("wa") == F.col("wa_w"))
+        .withColumnRenamed("nid", "u")
+        .drop("wa_w")
+        .join(ids.withColumnRenamed("w", "wb_w"), F.col("wb") == F.col("wb_w"))
+        .withColumnRenamed("nid", "v")
+        .drop("wb_w")
+        .select("u", "v")
+    )
+    ranks = pagerank(edges, src="u", dst="v")
+    top = (
+        ranks.join(ids, ranks["node"] == ids["nid"])
+        .orderBy(F.col("rank").desc(), F.col("w"))
+        .limit(TEXTRANK_TOPK)
+        .select(
+            F.col("w").alias("word"),
+            (F.floor(F.col("rank") * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+                "rank_q6"
+            ),
+        )
+    )
+    return top
