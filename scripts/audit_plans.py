@@ -50,6 +50,12 @@ EXPECTATIONS = {
     "durbin_watson_revenue_trend": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # Bayesian A/B: 1-row arm-count broadcasts crossed onto the k-range
+    # and summation frames (scalar BNLJ by design); the nine lnfact
+    # lookups are broadcast hash equi-joins on pre-projected keys
+    "bayes_ab_prob_purchase": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

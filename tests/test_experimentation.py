@@ -90,3 +90,51 @@ def test_jackknife_ratio_matches_explicit_loo_referee(spark):
     assert got["ci_hi"] == pytest.approx(theta + 1.96 * se, rel=1e-5)
     # the CI must bracket theta
     assert got["ci_lo"] < got["theta"] < got["ci_hi"]
+
+
+def test_bayes_ab_matches_lgamma_referee(spark):
+    """R208 referee: math.lgamma closed-form recompute of
+    P(p_B > p_A) — a completely different log-Beta path than the
+    engine's distributed log-factorial table."""
+    import hashlib
+    import math
+
+    from zoom_spark.queries.experimentation import bayes_ab_prob_purchase
+
+    got = bayes_ab_prob_purchase(spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    )
+    arm = ev["user_id"].map(
+        lambda u: hashlib.md5(str(u).encode()).hexdigest()[0] < "8"
+    )
+    x = ev["event_type"] == "purchase"
+    s_a, f_a = int((~arm & x).sum()), int((~arm & ~x).sum())
+    s_b, f_b = int((arm & x).sum()), int((arm & ~x).sum())
+    aa, ba, ab, bb = s_a + 1, f_a + 1, s_b + 1, f_b + 1
+
+    def ln_beta(p, q):
+        return math.lgamma(p) + math.lgamma(q) - math.lgamma(p + q)
+
+    h = sum(
+        math.exp(
+            ln_beta(aa + i, ba + bb)
+            - math.log(bb + i)
+            - ln_beta(1 + i, bb)
+            - ln_beta(aa, ba)
+        )
+        for i in range(ab)
+    )
+    assert (got["s_a"], got["f_a"], got["s_b"], got["f_b"]) == (
+        s_a,
+        f_a,
+        s_b,
+        f_b,
+    )
+    assert got["prob_b_beats_a"] == pytest.approx(h, abs=1e-5)
+    assert 0.0 <= got["prob_b_beats_a"] <= 1.0
+    lift = s_b / (s_b + f_b) - s_a / (s_a + f_a)
+    assert got["rate_lift"] == pytest.approx(lift, abs=1e-6)
+    # directional consistency: positive observed lift => prob > 0.5
+    if abs(lift) > 1e-6:
+        assert (got["prob_b_beats_a"] > 0.5) == (lift > 0)

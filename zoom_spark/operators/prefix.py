@@ -59,8 +59,18 @@ def prefix_sum(
         offsets[r["_pid"]] = running
         running += r["_tot"] or 0
     spark = df.sparkSession
+    # offsets carry the value column's numeric kind: fractional value
+    # columns (e.g. a running sum of ln k) need DOUBLE offsets, while
+    # integer columns keep exact BIGINT arithmetic
+    off_type = (
+        "double"
+        if isinstance(running, float)
+        else "bigint"
+    )
+    cast = float if off_type == "double" else int
     off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset bigint"
+        [(pid, cast(off)) for pid, off in offsets.items()],
+        f"_pid int, _offset {off_type}",
     )
     return (
         local.join(F.broadcast(off_df), on="_pid")

@@ -348,3 +348,196 @@ def runs_test_purchase_sequence(
             9,
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R208: exact Bayesian A/B probability (Beta-Binomial closed form)
+# ---------------------------------------------------------------------------
+
+_BAYES_SQL = """
+    WITH s AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) + 1
+               AS aa,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 - x ELSE 0 END) AS BIGINT) + 1
+               AS ba,
+             CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) + 1
+               AS ab,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 - x ELSE 0 END) AS BIGINT) + 1
+               AS bb
+      FROM s
+    ),
+    ks AS (
+      SELECT CAST(row_number() OVER () AS BIGINT) AS k FROM events
+      UNION ALL
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) + u.x
+      FROM (SELECT unnest([1, 2, 3, 4]) AS x) u
+    ),
+    lnf AS (
+      SELECT k, sum(ln(CAST(k AS DOUBLE))) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+      FROM ks
+      UNION ALL SELECT 0, 0.0
+    ),
+    keys AS (
+      SELECT x.k - 1 AS i, c.aa, c.ba, c.ab, c.bb,
+             c.aa + (x.k - 1) - 1 AS k1,
+             c.ba + c.bb - 1 AS k2,
+             c.aa + (x.k - 1) + c.ba + c.bb - 1 AS k3,
+             x.k - 1 AS k4,
+             c.bb - 1 AS k5,
+             (x.k - 1) + c.bb AS k6,
+             c.aa - 1 AS k7,
+             c.ba - 1 AS k8,
+             c.aa + c.ba - 1 AS k9
+      FROM ks x CROSS JOIN cnt c
+      WHERE x.k <= c.ab
+    ),
+    terms AS (
+      SELECT exp(
+          (l1.lf + l2.lf - l3.lf)
+          - ln(CAST(y.bb + y.i AS DOUBLE))
+          - (l4.lf + l5.lf - l6.lf)
+          - (l7.lf + l8.lf - l9.lf)
+        ) AS t
+      FROM keys y
+      JOIN lnf l1 ON l1.k = y.k1
+      JOIN lnf l2 ON l2.k = y.k2
+      JOIN lnf l3 ON l3.k = y.k3
+      JOIN lnf l4 ON l4.k = y.k4
+      JOIN lnf l5 ON l5.k = y.k5
+      JOIN lnf l6 ON l6.k = y.k6
+      JOIN lnf l7 ON l7.k = y.k7
+      JOIN lnf l8 ON l8.k = y.k8
+      JOIN lnf l9 ON l9.k = y.k9
+    )
+    SELECT c.aa - 1 AS s_a, c.ba - 1 AS f_a, c.ab - 1 AS s_b,
+           c.bb - 1 AS f_b,
+           round(CAST(c.ab - 1 AS DOUBLE) / (c.ab + c.bb - 2)
+                 - CAST(c.aa - 1 AS DOUBLE) / (c.aa + c.ba - 2), 6)
+             AS rate_lift,
+           round((SELECT sum(t) FROM terms), 6) AS prob_b_beats_a
+    FROM cnt c
+"""
+
+
+@register("bayes_ab_prob_purchase", sql=_BAYES_SQL)
+def bayes_ab_prob_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R208 EXACT Bayesian A/B verdict P(p_B > p_A) under Beta(1,1)
+    priors — Evan Miller's closed form
+    h = Σ_{{i<a_B}} B(a_A+i, b_A+b_B) / ((b_B+i)·B(1+i, b_B)·B(a_A, b_A))
+    with every log-Beta looked up from a DISTRIBUTED log-factorial
+    table: ln k! is the two-phase prefix sum of ln k over k = 1..n+4
+    (exactly the table both engines need — n events split 4 ways plus
+    priors), and each of the a_B summation terms resolves its nine
+    lnfact lookups through broadcast equi-joins on PRE-PROJECTED
+    integer keys (expression join keys would degrade to nested
+    loops — measured, not theoretical). The whole computation is
+    joins + one aggregate: no UDF, no driver math, no sampling."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+    )
+    s = ev.select(
+        F.when(arm, 1).otherwise(0).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    cnt = s.agg(
+        (F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("aa"),
+        (F.sum(F.when(F.col("arm") == 0, 1 - F.col("x")).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("ba"),
+        (F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("ab"),
+        (F.sum(F.when(F.col("arm") == 1, 1 - F.col("x")).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("bb"),
+    )
+    n_tot = ev.agg(F.count("*").cast("bigint").alias("n"))
+    extra = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x bigint")
+    ks = (
+        global_row_number(ev.select("event_id"), ["event_id"], out_col="k")
+        .select("k")
+        .unionAll(
+            extra.crossJoin(F.broadcast(n_tot)).select(
+                (F.col("n") + F.col("x")).alias("k")
+            )
+        )
+    )
+    lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
+    lnf = (
+        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        .select("k", "lf")
+        .unionAll(
+            spark.createDataFrame([(0, 0.0)], "k bigint, lf double")
+        )
+        .localCheckpoint(eager=False)
+    )
+    keys = (
+        ks.crossJoin(F.broadcast(cnt))
+        .where(F.col("k") <= F.col("ab"))
+        .select(
+            (F.col("k") - 1).alias("i"),
+            "aa",
+            "ba",
+            "ab",
+            "bb",
+            (F.col("aa") + (F.col("k") - 1) - 1).alias("k1"),
+            (F.col("ba") + F.col("bb") - 1).alias("k2"),
+            (
+                F.col("aa")
+                + (F.col("k") - 1)
+                + F.col("ba")
+                + F.col("bb")
+                - 1
+            ).alias("k3"),
+            (F.col("k") - 1).alias("k4"),
+            (F.col("bb") - 1).alias("k5"),
+            ((F.col("k") - 1) + F.col("bb")).alias("k6"),
+            (F.col("aa") - 1).alias("k7"),
+            (F.col("ba") - 1).alias("k8"),
+            (F.col("aa") + F.col("ba") - 1).alias("k9"),
+        )
+    )
+    t = keys
+    for j in range(1, 10):
+        lj = lnf.select(
+            F.col("k").alias(f"_k{j}"), F.col("lf").alias(f"lf{j}")
+        )
+        t = t.join(F.broadcast(lj), F.col(f"k{j}") == F.col(f"_k{j}")).drop(
+            f"_k{j}"
+        )
+    term = F.exp(
+        (F.col("lf1") + F.col("lf2") - F.col("lf3"))
+        - F.log((F.col("bb") + F.col("i")).cast("double"))
+        - (F.col("lf4") + F.col("lf5") - F.col("lf6"))
+        - (F.col("lf7") + F.col("lf8") - F.col("lf9"))
+    )
+    prob = t.agg(F.sum(term).alias("p"))
+    return (
+        cnt.crossJoin(F.broadcast(prob))
+        .select(
+            (F.col("aa") - 1).alias("s_a"),
+            (F.col("ba") - 1).alias("f_a"),
+            (F.col("ab") - 1).alias("s_b"),
+            (F.col("bb") - 1).alias("f_b"),
+            F.round(
+                (F.col("ab") - 1).cast("double")
+                / (F.col("ab") + F.col("bb") - 2)
+                - (F.col("aa") - 1).cast("double")
+                / (F.col("aa") + F.col("ba") - 2),
+                6,
+            ).alias("rate_lift"),
+            F.round(F.col("p"), 6).alias("prob_b_beats_a"),
+        )
+    )
