@@ -56,6 +56,11 @@ EXPECTATIONS = {
     "bayes_ab_prob_purchase": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # median CI: 1-row rank/median/value broadcasts crossed onto the
+    # j-range and distinct-value frames (scalar BNLJ by design)
+    "median_ci_order_stats": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

@@ -795,3 +795,36 @@ def test_rake_matches_python_referee(spark):
     ]
     assert got == want
     assert want, "fixture should yield candidate phrases"
+
+
+def test_chao1_matches_counter_referee(spark):
+    """R209 referee: pure-Python Counter over the same 4-gram shingles
+    — frequency-of-frequencies, bias-corrected Chao1, and Turing
+    coverage recomputed without Spark."""
+    from collections import Counter
+
+    from zoom_spark.queries.corpus_stats import chao1_shingle_richness
+
+    [got] = chao1_shingle_richness(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    grams = Counter()
+    for r in docs:
+        ws = [w for w in r["text"].strip().lower().split() if w]
+        for i in range(len(ws) - 3):
+            grams[" ".join(ws[i : i + 4])] += 1
+    s = len(grams)
+    n_total = sum(grams.values())
+    fof = Counter(grams.values())
+    f1, f2 = fof[1], fof[2]
+    assert got["s_observed"] == s
+    assert got["n_total"] == n_total
+    assert got["f1"] == f1
+    assert got["f2"] == f2
+    assert got["chao1_richness"] == pytest.approx(
+        round(s + f1 * (f1 - 1.0) / (2 * (f2 + 1)), 4), abs=1e-9
+    )
+    assert got["turing_coverage"] == pytest.approx(
+        round(1 - f1 / n_total, 6), abs=1e-9
+    )
+    # non-degenerate fixture: singletons must exist in the 4-gram space
+    assert f1 > 0 and s > 100

@@ -405,3 +405,98 @@ def bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# R209: Chao1 richness estimate of the 4-gram shingle space
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chao1_shingle_richness",
+    sql=r"""
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               AS gram
+      FROM tok, unnest(range(1, len(ts) - 2)) t(i)
+    ),
+    fof AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_grams
+      FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram) q
+      GROUP BY c
+    ),
+    a AS (
+      SELECT CAST(sum(n_grams) AS BIGINT) AS s,
+             CAST(sum(c * n_grams) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN c = 1 THEN n_grams ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN n_grams ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM fof
+    )
+    SELECT s AS s_observed, n_total, f1, f2,
+           round(s + f1 * (f1 - 1.0) / (2 * (f2 + 1)), 4) AS chao1_richness,
+           round(1 - f1 * 1.0 / n_total, 6) AS turing_coverage
+    FROM a
+    """,
+)
+def chao1_shingle_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R209 Chao1 species-richness estimate of the word-4-gram shingle
+    space (bias-corrected form S + f1(f1−1)/(2(f2+1))) with the Turing
+    sample-coverage estimate 1 − f1/N — the "how much of the shingle
+    universe has this corpus actually seen" diagnostic that
+    complements Good-Turing unseen MASS (R124): richness counts
+    unseen SPECIES. Shingles explode map-side, collapse to a
+    frequency-of-frequencies table in two hash aggregates, and the
+    estimator is one more 1-row aggregate — all integer counts until
+    the final two divisions. (Unigram f1/f2 are ZERO on this corpus —
+    the vacuous-selector lesson — so the gate targets the sparse
+    4-gram space, non-degenerate at every SF.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    grams = docs.select(ts.alias("ts")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 3, 0)), i -> "
+                "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), "
+                "element_at(ts, i + 2), element_at(ts, i + 3)))"
+            )
+        ).alias("gram")
+    )
+    fof = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("n_grams"))
+    )
+    a = fof.agg(
+        F.sum("n_grams").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("n_grams")).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("c") == 1, F.col("n_grams")).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, F.col("n_grams")).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return a.select(
+        F.col("s").alias("s_observed"),
+        "n_total",
+        "f1",
+        "f2",
+        F.round(
+            F.col("s")
+            + F.col("f1") * (F.col("f1") - 1.0) / (2 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1_richness"),
+        F.round(1 - F.col("f1") * 1.0 / F.col("n_total"), 6).alias(
+            "turing_coverage"
+        ),
+    )

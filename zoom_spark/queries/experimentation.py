@@ -541,3 +541,138 @@ def bayes_ab_prob_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p"), 6).alias("prob_b_beats_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R210: exact order-statistic confidence interval for the median
+# ---------------------------------------------------------------------------
+
+_LN2 = math.log(2.0)
+MEDCI_ALPHA = 0.05
+
+
+@register(
+    "median_ci_order_stats",
+    sql=f"""
+    WITH v AS (SELECT o_totalprice AS v FROM orders),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    ks AS (SELECT CAST(row_number() OVER () AS BIGINT) AS k FROM v),
+    lnf AS (
+      SELECT k, sum(ln(CAST(k AS DOUBLE))) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+      FROM ks
+      UNION ALL SELECT 0, 0.0
+    ),
+    js AS (
+      SELECT k - 1 AS j FROM ks
+      UNION ALL SELECT n FROM nn
+    ),
+    keys AS (SELECT js.j, nn.n, nn.n - js.j AS nj FROM js CROSS JOIN nn),
+    terms AS (
+      SELECT y.j, exp(l1.lf - l2.lf - l3.lf - y.n * {_LN2!r}) AS t
+      FROM keys y
+      JOIN lnf l1 ON l1.k = y.n
+      JOIN lnf l2 ON l2.k = y.j
+      JOIN lnf l3 ON l3.k = y.nj
+    ),
+    cdf AS (
+      SELECT j, sum(t) OVER (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c
+      FROM terms
+    ),
+    lo AS (SELECT CAST(max(j) + 1 AS BIGINT) AS lo_rank FROM cdf
+           WHERE c <= {MEDCI_ALPHA / 2!r}),
+    hi AS (SELECT CAST(min(j) + 1 AS BIGINT) AS hi_rank FROM cdf
+           WHERE c >= {1 - MEDCI_ALPHA / 2!r}),
+    pv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY v),
+    cum AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM pv
+    ),
+    vlo AS (SELECT min(v) AS ci_lo FROM cum CROSS JOIN lo
+            WHERE cum >= lo_rank),
+    vhi AS (SELECT min(v) AS ci_hi FROM cum CROSS JOIN hi
+            WHERE cum >= hi_rank)
+    SELECT nn.n, (SELECT round(quantile_cont(v, 0.5), 4) FROM v) AS median,
+           lo.lo_rank, hi.hi_rank, vlo.ci_lo, vhi.ci_hi
+    FROM nn CROSS JOIN lo CROSS JOIN hi CROSS JOIN vlo CROSS JOIN vhi
+    """,
+)
+def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R210 exact (distribution-free) 95% confidence interval for the
+    MEDIAN via order statistics: ranks l, u chosen from the exact
+    Binomial(n, 1/2) tail — l = max{{k: F(k) ≤ α/2}}+1,
+    u = min{{k: F(k) ≥ 1−α/2}}+1 — then X_(l), X_(u) selected with
+    the distinct-value prefix-count selection (no global sort). The
+    binomial CDF reuses the R208 distributed log-factorial machinery:
+    terms exp(lnC(n,j) − n·ln2) from broadcast lnfact lookups, running
+    CDF via the two-phase prefix scan. Everything is joins + scans —
+    no UDF, no sampling, exact coverage guarantee (the textbook sign-
+    test inversion)."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    nn = o.agg(F.count("*").cast("bigint").alias("n"))
+    ks = global_row_number(o.select("o_orderkey"), ["o_orderkey"], out_col="k").select("k")
+    lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
+    lnf = (
+        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        .select("k", "lf")
+        .unionAll(spark.createDataFrame([(0, 0.0)], "k bigint, lf double"))
+        .localCheckpoint(eager=False)
+    )
+    js = ks.select((F.col("k") - 1).alias("j")).unionAll(
+        nn.select(F.col("n").alias("j"))
+    )
+    keys = js.crossJoin(F.broadcast(nn)).select(
+        "j", "n", (F.col("n") - F.col("j")).alias("nj")
+    )
+    t = keys
+    for j, keycol in [(1, "n"), (2, "j"), (3, "nj")]:
+        lj = lnf.select(
+            F.col("k").alias(f"_k{j}"), F.col("lf").alias(f"lf{j}")
+        )
+        t = t.join(F.broadcast(lj), F.col(keycol) == F.col(f"_k{j}")).drop(
+            f"_k{j}"
+        )
+    terms = t.select(
+        "j",
+        F.exp(
+            F.col("lf1") - F.col("lf2") - F.col("lf3") - F.col("n") * _LN2
+        ).alias("t"),
+    )
+    cdf = prefix_sum(terms, "j", "t", out_col="c").localCheckpoint(
+        eager=False
+    )
+    lo = cdf.where(F.col("c") <= MEDCI_ALPHA / 2).agg(
+        (F.max("j") + 1).cast("bigint").alias("lo_rank")
+    )
+    hi = cdf.where(F.col("c") >= 1 - MEDCI_ALPHA / 2).agg(
+        (F.min("j") + 1).cast("bigint").alias("hi_rank")
+    )
+    pv = o.groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
+    cum = prefix_sum(pv, "v", "cnt", out_col="cum").localCheckpoint(
+        eager=False
+    )
+    vlo = (
+        cum.crossJoin(F.broadcast(lo))
+        .where(F.col("cum") >= F.col("lo_rank"))
+        .agg(F.min("v").alias("ci_lo"))
+    )
+    vhi = (
+        cum.crossJoin(F.broadcast(hi))
+        .where(F.col("cum") >= F.col("hi_rank"))
+        .agg(F.min("v").alias("ci_hi"))
+    )
+    med = o.agg(F.round(F.expr("percentile(v, 0.5)"), 4).alias("median"))
+    return (
+        nn.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(vlo))
+        .crossJoin(F.broadcast(vhi))
+        .select("n", "median", "lo_rank", "hi_rank", "ci_lo", "ci_hi")
+    )
