@@ -61,6 +61,17 @@ EXPECTATIONS = {
     "median_ci_order_stats": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # Jarque-Bera: 1-row rounded-mean broadcast crossed onto the scan
+    # for centering (scalar BNLJ by design)
+    "jarque_bera_order_value": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # Ljung-Box: row_number over the calendar-bounded day pre-aggregate
+    # (cusum-style exception) + 1-row mean/denominator/Q BNLJs; the
+    # lag pairing itself is a broadcast equi-join on rn + k
+    "ljung_box_daily_revenue": dict(
+        pushed=False, broadcast=True, cartesian=True, unpart_window=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

@@ -1,0 +1,141 @@
+"""Independent referees for the R211-R214 diagnostics operators.
+
+Each test recomputes the statistic with numpy/pandas on the raw
+parquet — never through the engine's own plan — and mirrors the
+engine's documented rounding schedule (scaled column, rounded mean,
+rounded moments) so the comparison is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+from zoom_spark.io import load_table
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _orders():
+    return pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_jarque_bera_matches_numpy_referee(spark):
+    from zoom_spark.queries.diagnostics import (
+        _JB_SCALE,
+        jarque_bera_order_value,
+    )
+
+    [got] = jarque_bera_order_value(spark, SF_DIR).collect()
+    v = _orders()["o_totalprice"].to_numpy() * _JB_SCALE
+    n = len(v)
+    mu = round(v.mean(), 6)
+    d = v - mu
+    m2 = round((d**2).mean(), 10)
+    m3 = round((d**3).mean(), 10)
+    m4 = round((d**4).mean(), 10)
+    s = m3 / m2**1.5
+    k = m4 / m2**2 - 3
+    assert got["n"] == n
+    assert got["skewness"] == pytest.approx(round(s, 6), abs=2e-6)
+    assert got["excess_kurtosis"] == pytest.approx(round(k, 6), abs=2e-6)
+    assert got["jb_stat"] == pytest.approx(
+        round(n / 6 * (s * s + k * k / 4), 4), abs=1e-2
+    )
+    # sanity: heavy-skewed synthetic prices must reject normality hard
+    assert got["jb_stat"] > 10
+
+
+def test_bartlett_matches_numpy_referee(spark):
+    from zoom_spark.queries.diagnostics import (
+        _JB_SCALE,
+        bartlett_variance_priorities,
+    )
+
+    [got] = bartlett_variance_priorities(spark, SF_DIR).collect()
+    o = _orders()
+    o["v"] = o["o_totalprice"] * _JB_SCALE
+    groups = [g["v"].to_numpy() for _, g in o.groupby("o_orderpriority")]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    vis = [round(g.var(ddof=1), 8) for g in groups]
+    nis = [len(g) for g in groups]
+    sp2 = round(
+        sum((ni - 1) * vi for ni, vi in zip(nis, vis)) / (n - k), 8
+    )
+    num = (n - k) * np.log(sp2) - sum(
+        (ni - 1) * np.log(vi) for ni, vi in zip(nis, vis)
+    )
+    c = 1 + (sum(1 / (ni - 1) for ni in nis) - 1 / (n - k)) / (3 * (k - 1))
+    assert got["k"] == k and got["n"] == n
+    assert got["bartlett_chi2"] == pytest.approx(
+        round(num / c, 6), abs=1e-4
+    )
+
+
+def test_ljung_box_matches_numpy_referee(spark):
+    from zoom_spark.queries.diagnostics import (
+        _JB_SCALE,
+        LB_LAGS,
+        ljung_box_daily_revenue,
+    )
+
+    rows = ljung_box_daily_revenue(spark, SF_DIR).collect()
+    o = _orders()
+    day = (
+        o.groupby("o_orderdate")["o_totalprice"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    rev = np.round(day * _JB_SCALE, 6)
+    n = len(rev)
+    mu = round(rev.mean(), 6)
+    d = rev - mu
+    s0 = round((d * d).sum(), 8)
+    rk = {
+        k: round(round((d[:-k] * d[k:]).sum(), 8) / s0, 8)
+        for k in range(1, LB_LAGS + 1)
+    }
+    q = round(
+        n * (n + 2) * sum(rk[k] ** 2 / (n - k) for k in rk), 6
+    )
+    got = {r["lag"]: r for r in rows}
+    assert set(got) == set(rk)
+    for k in rk:
+        assert got[k]["autocorr"] == pytest.approx(
+            round(rk[k], 6), abs=2e-6
+        )
+        assert got[k]["q_stat"] == pytest.approx(q, abs=1e-3)
+
+
+def test_mcc_matches_counting_referee(spark):
+    from zoom_spark.queries.diagnostics import (
+        MCC_THRESHOLD,
+        mcc_value_classifier,
+    )
+
+    [got] = mcc_value_classifier(spark, SF_DIR).collect()
+    o = _orders()
+    pred = (o["o_totalprice"] > MCC_THRESHOLD).to_numpy()
+    lab = (o["o_orderpriority"] == "1-URGENT").to_numpy()
+    tp = int((pred & lab).sum())
+    fp = int((pred & ~lab).sum())
+    fn = int((~pred & lab).sum())
+    tn = int((~pred & ~lab).sum())
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / np.sqrt(
+        float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    sens, spec = tp / (tp + fn), tn / (tn + fp)
+    assert got["mcc"] == pytest.approx(round(mcc, 6), abs=1e-9)
+    assert got["balanced_accuracy"] == pytest.approx(
+        round((sens + spec) / 2, 6), abs=1e-9
+    )
+    assert got["youden_j"] == pytest.approx(
+        round(sens + spec - 1, 6), abs=1e-9
+    )
+    # all four confusion cells must be populated at every SF
+    assert min(tp, fp, fn, tn) > 0

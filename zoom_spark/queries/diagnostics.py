@@ -1,0 +1,352 @@
+"""Model/distribution diagnostics (R211+): normality, variance
+homogeneity, autocorrelation portmanteau, binary-classifier summary.
+
+Engine-parity discipline (see tests/oracle_harness.py and the repo
+memory rules): every moment that feeds a closed-form statistic is
+computed on a 1e-5-scaled copy of the price column (keeps magnitudes
+O(1) so double noise sits ~1e-15 below the rounding grid), and is
+ROUNDED on both engines before any transcendental (ln, sqrt, ratio)
+touches it. Means are rounded before centering so both engines center
+on bit-identical values.
+
+No analog in the reference connector (/root/reference/main.py — a
+pandas/requests ETL); these are SURVEY.md §2.11 extension-family
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# R211: Jarque-Bera normality test on order values
+# ---------------------------------------------------------------------------
+
+_JB_SCALE = 1.0e-5  # puts o_totalprice moments on an O(1) grid
+
+
+@register(
+    "jarque_bera_order_value",
+    sql=f"""
+    WITH x AS (SELECT o_totalprice * {_JB_SCALE!r} AS v FROM orders),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS mu
+          FROM x),
+    d AS (SELECT v - m.mu AS d, m.n FROM x CROSS JOIN m),
+    mom AS (
+      SELECT any_value(n) AS n,
+             round(avg(d * d), 10) AS m2,
+             round(avg(d * d * d), 10) AS m3,
+             round(avg(d * d * d * d), 10) AS m4
+      FROM d
+    )
+    SELECT n,
+           round(m3 / (m2 ^ 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+           round(n / 6.0 * ((m3 / (m2 ^ 1.5)) ^ 2
+                 + (m4 / (m2 * m2) - 3) ^ 2 / 4), 4) AS jb_stat
+    FROM mom
+    """,
+)
+def jarque_bera_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R211 Jarque-Bera normality test: JB = n/6·(S² + K²/4) from the
+    2nd/3rd/4th central moments of the (1e-5-scaled) order values.
+    One full scan → one 1-row moment aggregate → pure-expression
+    closed form; the mean and each moment are rounded before the
+    ratio/power steps so both engines solve from identical inputs."""
+    x = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") * _JB_SCALE).alias("v")
+    )
+    m = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("v"), 6).alias("mu"),
+    )
+    d = x.crossJoin(F.broadcast(m)).select(
+        (F.col("v") - F.col("mu")).alias("d"), "n"
+    )
+    mom = d.agg(
+        F.any_value("n").alias("n"),
+        F.round(F.avg(F.col("d") * F.col("d")), 10).alias("m2"),
+        F.round(F.avg(F.col("d") * F.col("d") * F.col("d")), 10).alias(
+            "m3"
+        ),
+        F.round(
+            F.avg(F.col("d") * F.col("d") * F.col("d") * F.col("d")), 10
+        ).alias("m4"),
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    return mom.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4), 4
+        ).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R212: Bartlett's test for homogeneity of variances across priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bartlett_variance_priorities",
+    sql=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(*) AS BIGINT) AS ni,
+             round(var_samp(o_totalprice * {_JB_SCALE!r}), 8) AS vi
+      FROM orders GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ni) AS BIGINT) AS n,
+             round(sum((ni - 1) * vi) / sum(ni - 1), 8) AS sp2,
+             sum((ni - 1) * ln(vi)) AS sum_ln,
+             sum(1.0 / (ni - 1)) AS sum_inv
+      FROM g
+    )
+    SELECT k, n,
+           round(sp2, 6) AS pooled_var_scaled,
+           round(((n - k) * ln(sp2) - sum_ln)
+                 / (1 + (sum_inv - 1.0 / (n - k)) / (3 * (k - 1))), 6)
+             AS bartlett_chi2
+    FROM agg
+    """,
+)
+def bartlett_variance_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R212 Bartlett's χ² for variance homogeneity of order value
+    across the 5 priority classes: per-group sample variances (one
+    hash aggregate), then the closed form
+    χ² = [(N−k)·ln S_p² − Σ(n_i−1)·ln S_i²] / C. Variances are
+    computed on the 1e-5-scaled column and rounded to 8dp BEFORE ln
+    (round-inputs-to-transcendentals rule), so both engines feed ln
+    bit-identical arguments. Levene/Brown-Forsythe (R*) is the robust
+    sibling; Bartlett is the normal-theory exact form."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").cast("bigint").alias("ni"),
+            F.round(
+                F.var_samp(F.col("o_totalprice") * _JB_SCALE), 8
+            ).alias("vi"),
+        )
+    )
+    agg = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ni").cast("bigint").alias("n"),
+        F.round(
+            F.sum((F.col("ni") - 1) * F.col("vi"))
+            / F.sum(F.col("ni") - 1),
+            8,
+        ).alias("sp2"),
+        F.sum((F.col("ni") - 1) * F.log(F.col("vi"))).alias("sum_ln"),
+        F.sum(1.0 / (F.col("ni") - 1)).alias("sum_inv"),
+    )
+    c = 1 + (F.col("sum_inv") - 1.0 / (F.col("n") - F.col("k"))) / (
+        3 * (F.col("k") - 1)
+    )
+    stat = (
+        (F.col("n") - F.col("k")) * F.log(F.col("sp2"))
+        - F.col("sum_ln")
+    ) / c
+    return agg.select(
+        "k",
+        "n",
+        F.round(F.col("sp2"), 6).alias("pooled_var_scaled"),
+        F.round(stat, 6).alias("bartlett_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R213: Ljung-Box portmanteau test on the daily-revenue series
+# ---------------------------------------------------------------------------
+
+LB_LAGS = 7
+
+
+@register(
+    "ljung_box_daily_revenue",
+    sql=f"""
+    WITH day AS (
+      SELECT o_orderdate AS d,
+             round(CAST(sum(o_totalprice) AS DOUBLE) * {_JB_SCALE!r}, 6)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    rn AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, rev
+      FROM day
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, round(avg(rev), 6) AS mu
+          FROM rn),
+    dev AS (SELECT rn.rn, rn.rev - m.mu AS dv FROM rn CROSS JOIN m),
+    den AS (SELECT round(sum(dv * dv), 8) AS s0 FROM dev),
+    lag_num AS (
+      SELECT l.k, round(sum(a.dv * b.dv), 8) AS sk
+      FROM (SELECT unnest(range(1, {LB_LAGS} + 1)) AS k) l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.rn = a.rn + l.k
+      GROUP BY l.k
+    ),
+    r AS (
+      SELECT k, round(sk / (SELECT s0 FROM den), 8) AS rk
+      FROM lag_num
+    ),
+    q AS (
+      SELECT round((SELECT n FROM m) * ((SELECT n FROM m) + 2)
+                   * sum(rk * rk / ((SELECT n FROM m) - k)), 6) AS q_stat
+      FROM r
+    )
+    SELECT r.k AS lag, round(r.rk, 6) AS autocorr, q.q_stat
+    FROM r CROSS JOIN q
+    """,
+)
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R213 Ljung-Box Q test for autocorrelation in daily revenue at
+    lags 1..7: Q = n(n+2)·Σ r_k²/(n−k). The lag products come from a
+    lags×days EQUI-JOIN on (rn + k) — no single-task global window,
+    no per-lag passes: one join computes all 7 numerators. Daily
+    sums are cent-exact; the series is scaled/rounded before
+    centering so both engines difference identical values. The
+    denominator and each numerator are rounded before the ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") * _JB_SCALE, 6).alias("rev")
+    )
+    from pyspark.sql import Window
+
+    # |days| <= ~2.5k: a single-partition row_number over the daily
+    # pre-aggregate is the correct bound (calendar-bounded frame).
+    w = Window.orderBy("d")
+    rn = day.select(
+        F.row_number().over(w).cast("bigint").alias("rn"), "rev"
+    )
+    m = rn.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("rev"), 6).alias("mu"),
+    )
+    dev = rn.crossJoin(F.broadcast(m)).select(
+        "rn", (F.col("rev") - F.col("mu")).alias("dv")
+    )
+    den = dev.agg(F.round(F.sum(F.col("dv") * F.col("dv")), 8).alias("s0"))
+    lags = spark.createDataFrame([(k,) for k in range(1, LB_LAGS + 1)], "k bigint")
+    a = dev.select(F.col("rn").alias("arn"), F.col("dv").alias("adv"))
+    b = dev.select(F.col("rn").alias("brn"), F.col("dv").alias("bdv"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("target", F.col("arn") + F.col("k"))
+        .join(b, F.col("brn") == F.col("target"))
+        .groupBy("k")
+        .agg(F.round(F.sum(F.col("adv") * F.col("bdv")), 8).alias("sk"))
+    )
+    r = num.crossJoin(F.broadcast(den)).select(
+        "k", F.round(F.col("sk") / F.col("s0"), 8).alias("rk")
+    )
+    q = (
+        r.crossJoin(F.broadcast(m))
+        .agg(
+            F.round(
+                F.any_value(F.col("n"))
+                * (F.any_value(F.col("n")) + 2)
+                * F.sum(
+                    F.col("rk") * F.col("rk") / (F.col("n") - F.col("k"))
+                ),
+                6,
+            ).alias("q_stat")
+        )
+    )
+    return r.crossJoin(F.broadcast(q)).select(
+        F.col("k").alias("lag"),
+        F.round(F.col("rk"), 6).alias("autocorr"),
+        "q_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R214: Matthews correlation + balanced accuracy for a value classifier
+# ---------------------------------------------------------------------------
+
+MCC_THRESHOLD = 150000.0
+
+
+@register(
+    "mcc_value_classifier",
+    sql=f"""
+    WITH c AS (
+      SELECT CASE WHEN o_totalprice > {MCC_THRESHOLD!r} THEN 1 ELSE 0 END
+               AS pred,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS label
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(sum(pred * label) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+             CAST(sum((1 - pred) * label) AS BIGINT) AS fn,
+             CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn
+      FROM c
+    )
+    SELECT tp, fp, fn, tn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc,
+           round((CAST(tp AS DOUBLE) / (tp + fn)
+                  + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6)
+             AS balanced_accuracy,
+           round(CAST(tp AS DOUBLE) / (tp + fn)
+                 + CAST(tn AS DOUBLE) / (tn + fp) - 1, 6) AS youden_j
+    FROM m
+    """,
+)
+def mcc_value_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R214 Matthews correlation coefficient (plus balanced accuracy
+    and Youden's J) for the fixed-threshold value→urgency classifier:
+    the 2×2 confusion matrix is one integer aggregate over a single
+    scan; MCC's numerator stays exact-integer until the final double
+    divide. Complements prf_at_thresholds (precision/recall/F1) with
+    the prevalence-robust summary statistics."""
+    c = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") > MCC_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("pred"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    m = c.agg(
+        F.sum(F.col("pred") * F.col("label")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    sens = tp / (tp + fn)
+    spec = tn / (tn + fp)
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+            6,
+        ).alias("mcc"),
+        F.round((sens + spec) / 2, 6).alias("balanced_accuracy"),
+        F.round(sens + spec - 1, 6).alias("youden_j"),
+    )
