@@ -72,6 +72,28 @@ EXPECTATIONS = {
     "ljung_box_daily_revenue": dict(
         pushed=False, broadcast=True, cartesian=True, unpart_window=True
     ),
+    # Fisher exact: 1-row margin/obs broadcasts crossed onto the
+    # i-range (scalar BNLJ by design); the nine lnfact lookups are
+    # broadcast hash equi-joins on pre-projected keys
+    "fisher_exact_weekend_purchase": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # Granger: row_number over the calendar-bounded day pre-aggregate
+    # (cusum-style exception) + 1-row mean/moment BNLJs; the lag
+    # pairing is an equi-join on rn+1
+    "granger_count_to_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # ridge: 1-row rounded-mean broadcast crossed onto the scan for
+    # centering (scalar BNLJ by design)
+    "ridge_lineitem_price_model": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # Brier: 24-row forecast table broadcast equi-join + 1-row totals
+    # broadcast crossed onto the 24-bin frame (scalar BNLJ by design)
+    "brier_decomposition_purchase": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

@@ -181,3 +181,56 @@ def test_median_ci_matches_scipy_free_referee(spark):
     assert got["ci_lo"] <= got["median"] <= got["ci_hi"]
     # the interval must be properly inside the data range (n >> 40)
     assert lo_rank > 1 and hi_rank < n
+
+
+def test_fisher_exact_matches_lgamma_referee(spark):
+    """R215 referee: hypergeometric pmf via math.lgamma directly on
+    the pandas-counted 2x2 table (scipy-free), both tails."""
+    import math
+
+    from zoom_spark.queries.experimentation import (
+        _FISHER_TOL,
+        fisher_exact_weekend_purchase,
+    )
+
+    [got] = fisher_exact_weekend_purchase(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = (
+        pd.to_datetime(ev["ts"]).dt.normalize()
+        - pd.Timestamp("2024-01-01")
+    ).dt.days
+    wk = (days % 7).isin([5, 6]).to_numpy()
+    x = (ev["event_type"] == "purchase").to_numpy()
+    a = int((wk & x).sum())
+    b = int((wk & ~x).sum())
+    c = int((~wk & x).sum())
+    d = int((~wk & ~x).sum())
+    assert (
+        got["weekend_purchases"],
+        got["weekend_other"],
+        got["weekday_purchases"],
+        got["weekday_other"],
+    ) == (a, b, c, d)
+    r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+
+    def lnc(n_, k_):
+        return (
+            math.lgamma(n_ + 1)
+            - math.lgamma(k_ + 1)
+            - math.lgamma(n_ - k_ + 1)
+        )
+
+    lnp = {
+        i: lnc(r1, i) + lnc(r2, c1 - i) - lnc(n, c1)
+        for i in range(max(0, c1 - r2), min(r1, c1) + 1)
+    }
+    p_greater = sum(math.exp(v) for i, v in lnp.items() if i >= a)
+    cutoff = lnp[a] + math.log(_FISHER_TOL)
+    p_two = sum(math.exp(v) for v in lnp.values() if v <= cutoff)
+    assert got["p_greater"] == pytest.approx(round(p_greater, 6), abs=2e-6)
+    assert got["p_two_sided"] == pytest.approx(round(p_two, 6), abs=2e-6)
+    assert got["odds_ratio"] == pytest.approx(
+        round(a * d / (b * c), 6), abs=1e-9
+    )
+    # p-values are probabilities; two-sided >= one-sided tail here
+    assert 0 <= got["p_greater"] <= 1 and 0 <= got["p_two_sided"] <= 1

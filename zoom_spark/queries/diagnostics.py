@@ -350,3 +350,400 @@ def mcc_value_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sens + spec) / 2, 6).alias("balanced_accuracy"),
         F.round(sens + spec - 1, 6).alias("youden_j"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R216: Granger causality (lag-1), daily order count -> daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "granger_count_to_revenue",
+    sql=f"""
+    WITH day AS (
+      SELECT o_orderdate AS d,
+             round(CAST(sum(o_totalprice) AS DOUBLE) * {_JB_SCALE!r}, 6)
+               AS rev,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    rn AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, rev, cnt
+      FROM day
+    ),
+    pair AS (
+      SELECT a.rev AS y, b.rev AS y1, b.cnt AS x1
+      FROM rn a JOIN rn b ON a.rn = b.rn + 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(avg(y), 6) AS my,
+             round(avg(y1), 6) AS m1, round(avg(x1), 6) AS m2
+      FROM pair
+    ),
+    s AS (
+      SELECT any_value(m.n) AS n,
+             round(sum((y - my) * (y - my)), 8) AS syy,
+             round(sum((y1 - m1) * (y1 - m1)), 8) AS s11,
+             round(sum((x1 - m2) * (x1 - m2)), 8) AS s22,
+             round(sum((y1 - m1) * (x1 - m2)), 8) AS s12,
+             round(sum((y1 - m1) * (y - my)), 8) AS s1y,
+             round(sum((x1 - m2) * (y - my)), 8) AS s2y
+      FROM pair CROSS JOIN m
+    ),
+    fit AS (
+      SELECT n, syy, s1y, s11, s2y,
+             (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+             (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+      FROM s
+    ),
+    rss AS (
+      SELECT n,
+             round(syy - b1 * s1y - b2 * s2y, 8) AS rss_u,
+             round(syy - s1y * s1y / s11, 8) AS rss_r,
+             b1, b2
+      FROM fit
+    )
+    SELECT n AS n_pairs, round(b1, 6) AS beta_revlag,
+           round(b2, 6) AS beta_cntlag,
+           round((rss_r - rss_u) * (n - 3) / rss_u, 6) AS f_stat
+    FROM rss
+    """,
+)
+def granger_count_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R216 Granger causality (lag 1): does yesterday's ORDER COUNT
+    predict today's revenue beyond yesterday's revenue? F-test of the
+    restricted (AR(1)) vs unrestricted (AR(1)+x_{{t-1}}) OLS fits,
+    both solved in closed form from SIX centered cross-moments — one
+    aggregate over the lag-paired day series (rn = rn+1 equi-join on
+    the calendar-bounded pre-aggregate, no global window over raw
+    rows). Moments and RSS are rounded before every divide so both
+    engines solve identical systems."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") * _JB_SCALE, 6).alias("rev"),
+        F.count("*").cast("double").alias("cnt"),
+    )
+    rn = day.select(
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn"),
+        "rev",
+        "cnt",
+    )
+    a = rn.select(F.col("rn").alias("arn"), F.col("rev").alias("y"))
+    b = rn.select(
+        (F.col("rn") + 1).alias("brn"),
+        F.col("rev").alias("y1"),
+        F.col("cnt").alias("x1"),
+    )
+    pair = a.join(b, F.col("arn") == F.col("brn")).select("y", "y1", "x1")
+    m = pair.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("y"), 6).alias("my"),
+        F.round(F.avg("y1"), 6).alias("m1"),
+        F.round(F.avg("x1"), 6).alias("m2"),
+    )
+    s = pair.crossJoin(F.broadcast(m)).agg(
+        F.any_value("n").alias("n"),
+        F.round(
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))),
+            8,
+        ).alias("syy"),
+        F.round(
+            F.sum(
+                (F.col("y1") - F.col("m1")) * (F.col("y1") - F.col("m1"))
+            ),
+            8,
+        ).alias("s11"),
+        F.round(
+            F.sum(
+                (F.col("x1") - F.col("m2")) * (F.col("x1") - F.col("m2"))
+            ),
+            8,
+        ).alias("s22"),
+        F.round(
+            F.sum(
+                (F.col("y1") - F.col("m1")) * (F.col("x1") - F.col("m2"))
+            ),
+            8,
+        ).alias("s12"),
+        F.round(
+            F.sum((F.col("y1") - F.col("m1")) * (F.col("y") - F.col("my"))),
+            8,
+        ).alias("s1y"),
+        F.round(
+            F.sum((F.col("x1") - F.col("m2")) * (F.col("y") - F.col("my"))),
+            8,
+        ).alias("s2y"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    fit = s.select(
+        "n",
+        "syy",
+        "s1y",
+        "s11",
+        "s2y",
+        b1.alias("b1"),
+        b2.alias("b2"),
+    )
+    rss = fit.select(
+        "n",
+        F.round(
+            F.col("syy")
+            - F.col("b1") * F.col("s1y")
+            - F.col("b2") * F.col("s2y"),
+            8,
+        ).alias("rss_u"),
+        F.round(
+            F.col("syy") - F.col("s1y") * F.col("s1y") / F.col("s11"), 8
+        ).alias("rss_r"),
+        "b1",
+        "b2",
+    )
+    return rss.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("b1"), 6).alias("beta_revlag"),
+        F.round(F.col("b2"), 6).alias("beta_cntlag"),
+        F.round(
+            (F.col("rss_r") - F.col("rss_u"))
+            * (F.col("n") - 3)
+            / F.col("rss_u"),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R217: ridge regression (closed form) vs OLS on lineitem
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 10.0
+_RIDGE_YSCALE = 1.0e-4
+
+
+@register(
+    "ridge_lineitem_price_model",
+    sql=f"""
+    WITH x AS (
+      SELECT l_extendedprice * {_RIDGE_YSCALE!r} AS y,
+             CAST(l_quantity AS DOUBLE) AS x1, l_discount AS x2
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(avg(y), 6) AS my,
+             round(avg(x1), 6) AS m1, round(avg(x2), 6) AS m2
+      FROM x
+    ),
+    s AS (
+      SELECT any_value(m.n) AS n, any_value(my) AS my,
+             any_value(m1) AS m1, any_value(m2) AS m2,
+             round(sum((x1 - m1) * (x1 - m1)), 8) AS s11,
+             round(sum((x2 - m2) * (x2 - m2)), 8) AS s22,
+             round(sum((x1 - m1) * (x2 - m2)), 8) AS s12,
+             round(sum((x1 - m1) * (y - my)), 8) AS s1y,
+             round(sum((x2 - m2) * (y - my)), 8) AS s2y
+      FROM x CROSS JOIN m
+    )
+    SELECT n,
+           round((s1y * (s22 + {RIDGE_LAMBDA!r})
+                  - s2y * s12)
+                 / ((s11 + {RIDGE_LAMBDA!r}) * (s22 + {RIDGE_LAMBDA!r})
+                    - s12 * s12), 6) AS b_qty_ridge,
+           round((s2y * (s11 + {RIDGE_LAMBDA!r})
+                  - s1y * s12)
+                 / ((s11 + {RIDGE_LAMBDA!r}) * (s22 + {RIDGE_LAMBDA!r})
+                    - s12 * s12), 6) AS b_disc_ridge,
+           round((s1y * s22 - s2y * s12)
+                 / (s11 * s22 - s12 * s12), 6) AS b_qty_ols,
+           round((s2y * s11 - s1y * s12)
+                 / (s11 * s22 - s12 * s12), 6) AS b_disc_ols,
+           round(my - (s1y * (s22 + {RIDGE_LAMBDA!r}) - s2y * s12)
+                       / ((s11 + {RIDGE_LAMBDA!r})
+                          * (s22 + {RIDGE_LAMBDA!r}) - s12 * s12) * m1
+                    - (s2y * (s11 + {RIDGE_LAMBDA!r}) - s1y * s12)
+                       / ((s11 + {RIDGE_LAMBDA!r})
+                          * (s22 + {RIDGE_LAMBDA!r}) - s12 * s12) * m2,
+                 6) AS intercept_ridge
+    FROM s
+    """,
+)
+def ridge_lineitem_price_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R217 closed-form RIDGE regression (λ on the centered Gram,
+    intercept unpenalized — the textbook formulation) of scaled
+    extended price on quantity and discount, with the OLS solution
+    from the same five cross-moments for shrinkage comparison. One
+    scan → one 1-row moment aggregate → pure-expression 2×2 solve;
+    moments rounded before the solve (engine parity). The
+    regularized twin of ols_normal_equations."""
+    x = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * _RIDGE_YSCALE).alias("y"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").alias("x2"),
+    )
+    m = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("y"), 6).alias("my"),
+        F.round(F.avg("x1"), 6).alias("m1"),
+        F.round(F.avg("x2"), 6).alias("m2"),
+    )
+    s = x.crossJoin(F.broadcast(m)).agg(
+        F.any_value("n").alias("n"),
+        F.any_value("my").alias("my"),
+        F.any_value("m1").alias("m1"),
+        F.any_value("m2").alias("m2"),
+        F.round(
+            F.sum((F.col("x1") - F.col("m1")) * (F.col("x1") - F.col("m1"))),
+            8,
+        ).alias("s11"),
+        F.round(
+            F.sum((F.col("x2") - F.col("m2")) * (F.col("x2") - F.col("m2"))),
+            8,
+        ).alias("s22"),
+        F.round(
+            F.sum((F.col("x1") - F.col("m1")) * (F.col("x2") - F.col("m2"))),
+            8,
+        ).alias("s12"),
+        F.round(
+            F.sum((F.col("x1") - F.col("m1")) * (F.col("y") - F.col("my"))),
+            8,
+        ).alias("s1y"),
+        F.round(
+            F.sum((F.col("x2") - F.col("m2")) * (F.col("y") - F.col("my"))),
+            8,
+        ).alias("s2y"),
+    )
+    lam = F.lit(RIDGE_LAMBDA)
+    det_r = (F.col("s11") + lam) * (F.col("s22") + lam) - F.col("s12") * F.col("s12")
+    det_o = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1r = (F.col("s1y") * (F.col("s22") + lam) - F.col("s2y") * F.col("s12")) / det_r
+    b2r = (F.col("s2y") * (F.col("s11") + lam) - F.col("s1y") * F.col("s12")) / det_r
+    b1o = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det_o
+    b2o = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det_o
+    return s.select(
+        "n",
+        F.round(b1r, 6).alias("b_qty_ridge"),
+        F.round(b2r, 6).alias("b_disc_ridge"),
+        F.round(b1o, 6).alias("b_qty_ols"),
+        F.round(b2o, 6).alias("b_disc_ols"),
+        F.round(
+            F.col("my") - b1r * F.col("m1") - b2r * F.col("m2"), 6
+        ).alias("intercept_ridge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R218: Brier score decomposition on a held-out hour-rate forecaster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brier_decomposition_purchase",
+    sql="""
+    WITH e AS (
+      SELECT hour(ts) AS hr, event_id % 2 AS fold,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS o
+      FROM events
+    ),
+    f AS (
+      SELECT hr, round(avg(o), 6) AS fc
+      FROM e WHERE fold = 0 GROUP BY hr
+    ),
+    t AS (
+      SELECT e.hr, e.o, f.fc FROM e JOIN f ON e.hr = f.hr
+      WHERE e.fold = 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(avg(o), 6) AS obar,
+             round(avg((fc - o) * (fc - o)), 6) AS brier
+      FROM t
+    ),
+    bins AS (
+      SELECT hr, any_value(fc) AS fc, CAST(count(*) AS BIGINT) AS nk,
+             avg(o) AS ok
+      FROM t GROUP BY hr
+    )
+    SELECT tot.n, tot.obar, tot.brier,
+           round(sum(bins.nk * (bins.fc - bins.ok) * (bins.fc - bins.ok))
+                 / tot.n, 6) AS reliability,
+           round(sum(bins.nk * (bins.ok - tot.obar)
+                     * (bins.ok - tot.obar)) / tot.n, 6) AS resolution,
+           round(tot.obar * (1 - tot.obar), 6) AS uncertainty
+    FROM bins CROSS JOIN tot
+    GROUP BY tot.n, tot.obar, tot.brier
+    """,
+)
+def brier_decomposition_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R218 Murphy decomposition of the Brier score
+    (brier ≈ reliability − resolution + uncertainty) for an
+    hour-of-day purchase-rate forecaster FIT ON THE EVEN-event_id
+    fold and EVALUATED on the odd fold — held-out, so reliability is
+    genuinely nonzero. Forecast table is 24 rows (broadcast join);
+    the bin decomposition groups the test fold by forecast bin. All
+    rates rounded to 6dp on both engines before squaring."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.hour("ts").alias("hr"),
+        (F.col("event_id") % 2).alias("fold"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("o"),
+    )
+    f = (
+        e.where(F.col("fold") == 0)
+        .groupBy("hr")
+        .agg(F.round(F.avg("o"), 6).alias("fc"))
+    )
+    t = (
+        e.where(F.col("fold") == 1)
+        .join(F.broadcast(f), "hr")
+        .select("hr", "o", "fc")
+    )
+    tot = t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("o"), 6).alias("obar"),
+        F.round(
+            F.avg((F.col("fc") - F.col("o")) * (F.col("fc") - F.col("o"))),
+            6,
+        ).alias("brier"),
+    )
+    bins = t.groupBy("hr").agg(
+        F.any_value("fc").alias("fc"),
+        F.count("*").cast("bigint").alias("nk"),
+        F.avg("o").alias("ok"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("n", "obar", "brier")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("nk")
+                    * (F.col("fc") - F.col("ok"))
+                    * (F.col("fc") - F.col("ok"))
+                )
+                / F.any_value("n"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    F.col("nk")
+                    * (F.col("ok") - F.col("obar"))
+                    * (F.col("ok") - F.col("obar"))
+                )
+                / F.any_value("n"),
+                6,
+            ).alias("resolution"),
+            F.round(
+                F.any_value("obar") * (1 - F.any_value("obar")), 6
+            ).alias("uncertainty"),
+        )
+        .select(
+            "n", "obar", "brier", "reliability", "resolution", "uncertainty"
+        )
+    )

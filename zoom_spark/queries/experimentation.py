@@ -676,3 +676,206 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vhi))
         .select("n", "median", "lo_rank", "hi_rank", "ci_lo", "ci_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# R215: Fisher's exact test (2x2 weekend x purchase)
+# ---------------------------------------------------------------------------
+
+_FISHER_TOL = 1.0000001  # scipy-style relative slack on the pmf cutoff
+
+_FISHER_SQL = f"""
+    WITH s AS (
+      SELECT CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') % 7 IN (5, 6)
+                  THEN 1 ELSE 0 END AS wk,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    cnt AS (
+      SELECT CAST(sum(wk * x) AS BIGINT) AS a,
+             CAST(sum(wk * (1 - x)) AS BIGINT) AS b,
+             CAST(sum((1 - wk) * x) AS BIGINT) AS c,
+             CAST(sum((1 - wk) * (1 - x)) AS BIGINT) AS d
+      FROM s
+    ),
+    ks AS (SELECT CAST(row_number() OVER () AS BIGINT) AS k FROM events),
+    lnf AS (
+      SELECT k, sum(ln(CAST(k AS DOUBLE))) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+      FROM ks
+      UNION ALL SELECT 0, 0.0
+    ),
+    marg AS (
+      SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+             a + b + c + d AS n,
+             greatest(0, (a + c) - (c + d)) AS i_lo,
+             least(a + b, a + c) AS i_hi
+      FROM cnt
+    ),
+    keys AS (
+      SELECT x.k AS i, m.*,
+             m.c1 - x.k AS c1i
+      FROM ks x CROSS JOIN marg m
+      WHERE x.k BETWEEN m.i_lo AND m.i_hi
+      UNION ALL
+      SELECT 0, m.*, m.c1 FROM marg m WHERE m.i_lo = 0
+    ),
+    pmf AS (
+      SELECT y.i, y.a,
+             (lr1.lf - li.lf - lr1i.lf)
+           + (lr2.lf - lc1i.lf - lr2c.lf)
+           - (ln_.lf - lc1.lf - lnc1.lf) AS lnp
+      FROM keys y
+      JOIN lnf lr1  ON lr1.k  = y.r1
+      JOIN lnf li   ON li.k   = y.i
+      JOIN lnf lr1i ON lr1i.k = y.r1 - y.i
+      JOIN lnf lr2  ON lr2.k  = y.r2
+      JOIN lnf lc1i ON lc1i.k = y.c1i
+      JOIN lnf lr2c ON lr2c.k = y.r2 - y.c1i
+      JOIN lnf ln_  ON ln_.k  = y.n
+      JOIN lnf lc1  ON lc1.k  = y.c1
+      JOIN lnf lnc1 ON lnc1.k = y.n - y.c1
+    ),
+    obs AS (SELECT lnp AS lnp_obs FROM pmf, cnt WHERE pmf.i = cnt.a)
+    SELECT cnt.a AS weekend_purchases, cnt.b AS weekend_other,
+           cnt.c AS weekday_purchases, cnt.d AS weekday_other,
+           round(CAST(cnt.a AS DOUBLE) * cnt.d
+                 / (CAST(cnt.b AS DOUBLE) * cnt.c), 6) AS odds_ratio,
+           round((SELECT sum(exp(lnp)) FROM pmf, obs
+                  WHERE lnp <= lnp_obs + ln({_FISHER_TOL!r})), 6)
+             AS p_two_sided,
+           round((SELECT sum(exp(lnp)) FROM pmf, cnt
+                  WHERE pmf.i >= cnt.a), 6) AS p_greater
+    FROM cnt
+"""
+
+
+@register("fisher_exact_weekend_purchase", sql=_FISHER_SQL)
+def fisher_exact_weekend_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R215 Fisher's EXACT test of independence for the 2x2
+    weekend x purchase table: hypergeometric pmf over the full
+    support, p_greater = exact right tail (threshold-free) and
+    p_two_sided = sum of all outcomes no more likely than observed
+    (scipy convention, with the standard 1+1e-7 relative slack on the
+    pmf cutoff so boundary terms resolve identically on both
+    engines). Every ln-binomial resolves through the distributed
+    log-factorial table (two-phase prefix sum of ln k) via nine
+    broadcast equi-joins on pre-projected integer keys — the R208
+    pattern; the support is ~|purchases| rows, trivially parallel."""
+    import math as _math
+
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+    ).isin(5, 6)
+    s = ev.select(
+        F.when(wk, 1).otherwise(0).alias("wk"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    cnt = s.agg(
+        F.sum(F.col("wk") * F.col("x")).cast("bigint").alias("a"),
+        F.sum(F.col("wk") * (1 - F.col("x"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("wk")) * F.col("x")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("wk")) * (1 - F.col("x")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    ks = global_row_number(
+        ev.select("event_id"), ["event_id"], out_col="k"
+    ).select("k")
+    lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
+    lnf = (
+        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        .select("k", "lf")
+        .unionAll(spark.createDataFrame([(0, 0.0)], "k bigint, lf double"))
+        .localCheckpoint(eager=False)
+    )
+    marg = cnt.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("c") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("a") + F.col("c")) - (F.col("c") + F.col("d")),
+        ).alias("i_lo"),
+        F.least(F.col("a") + F.col("b"), F.col("a") + F.col("c")).alias(
+            "i_hi"
+        ),
+    )
+    zero = spark.createDataFrame([(0,)], "k bigint")
+    keys = (
+        ks.unionAll(zero)
+        .crossJoin(F.broadcast(marg))
+        .where(
+            (F.col("k") >= F.col("i_lo")) & (F.col("k") <= F.col("i_hi"))
+        )
+        .select(
+            F.col("k").alias("i"),
+            "a",
+            "r1",
+            "r2",
+            "c1",
+            "n",
+            (F.col("c1") - F.col("k")).alias("c1i"),
+            (F.col("r1") - F.col("k")).alias("r1i"),
+        )
+        .withColumn("r2c", F.col("r2") - F.col("c1i"))
+        .withColumn("nc1", F.col("n") - F.col("c1"))
+    )
+    t = keys
+    for j, keycol in enumerate(
+        ["r1", "i", "r1i", "r2", "c1i", "r2c", "n", "c1", "nc1"], start=1
+    ):
+        lj = lnf.select(
+            F.col("k").alias(f"_k{j}"), F.col("lf").alias(f"lf{j}")
+        )
+        t = t.join(F.broadcast(lj), F.col(keycol) == F.col(f"_k{j}")).drop(
+            f"_k{j}"
+        )
+    pmf = t.select(
+        "i",
+        "a",
+        (
+            (F.col("lf1") - F.col("lf2") - F.col("lf3"))
+            + (F.col("lf4") - F.col("lf5") - F.col("lf6"))
+            - (F.col("lf7") - F.col("lf8") - F.col("lf9"))
+        ).alias("lnp"),
+    ).localCheckpoint(eager=False)
+    obs = pmf.where(F.col("i") == F.col("a")).select(
+        F.col("lnp").alias("lnp_obs")
+    )
+    p2 = (
+        pmf.crossJoin(F.broadcast(obs))
+        .where(F.col("lnp") <= F.col("lnp_obs") + _math.log(_FISHER_TOL))
+        .agg(F.round(F.sum(F.exp("lnp")), 6).alias("p_two_sided"))
+    )
+    pg = pmf.where(F.col("i") >= F.col("a")).agg(
+        F.round(F.sum(F.exp("lnp")), 6).alias("p_greater")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(p2))
+        .crossJoin(F.broadcast(pg))
+        .select(
+            F.col("a").alias("weekend_purchases"),
+            F.col("b").alias("weekend_other"),
+            F.col("c").alias("weekday_purchases"),
+            F.col("d").alias("weekday_other"),
+            F.round(
+                F.col("a").cast("double")
+                * F.col("d")
+                / (F.col("b").cast("double") * F.col("c")),
+                6,
+            ).alias("odds_ratio"),
+            "p_two_sided",
+            "p_greater",
+        )
+    )
