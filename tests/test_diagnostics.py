@@ -236,3 +236,102 @@ def test_brier_decomposition_identity_and_referee(spark):
     )
     # held-out forecaster: reliability must be strictly positive
     assert got["reliability"] > 0
+
+
+def test_rolling_30day_distinct_matches_pandas_referee(spark):
+    from zoom_spark.queries.diagnostics import (
+        RW_DAYS,
+        rolling_30day_distinct_users,
+    )
+
+    rows = rolling_30day_distinct_users(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.normalize()
+    got = {r["day"]: r["active_30d"] for r in rows}
+    days = sorted(ev["d"].unique())
+    assert len(got) == len(days)
+    for day in days:
+        lo = day - pd.Timedelta(days=RW_DAYS - 1)
+        want = ev[(ev["d"] >= lo) & (ev["d"] <= day)]["user_id"].nunique()
+        assert got[day.date()] == want
+    # window must be binding: the count on the last day differs from
+    # the raw per-day distinct count (i.e. this is not a trivial daily)
+    last = days[-1]
+    daily = ev[ev["d"] == last]["user_id"].nunique()
+    assert got[last.date()] > daily
+
+
+def test_local_clustering_matches_bruteforce_referee(spark):
+    """R220 referee: pure-Python adjacency-set triangle counting on
+    the co-purchase graph (itertools over sorted neighbor sets)."""
+    from itertools import combinations
+
+    from zoom_spark.queries.advanced_analytics import (
+        local_clustering_parts,
+    )
+
+    rows = local_clustering_parts(spark, SF_DIR).collect()
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    adj: dict[int, set[int]] = {}
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["l_partkey"].unique()), 2):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    got = {r["node"]: r for r in rows}
+    want_nodes = {n for n, s in adj.items() if len(s) >= 2}
+    assert set(got) == want_nodes
+    import random
+
+    rng = random.Random(7)
+    sample = rng.sample(sorted(want_nodes), min(200, len(want_nodes)))
+    for n in sample:
+        nbrs = adj[n]
+        tri = sum(
+            1 for a, b in combinations(sorted(nbrs), 2) if b in adj[a]
+        )
+        d = len(nbrs)
+        assert got[n]["deg"] == d
+        assert got[n]["tri"] == tri
+        assert got[n]["lcc"] == pytest.approx(
+            round(2 * tri / (d * (d - 1)), 6), abs=1e-9
+        )
+    # graph must be non-degenerate: some node has lcc strictly inside (0,1)
+    assert any(0 < r["lcc"] < 1 for r in rows)
+
+
+def test_time_travel_asof_matches_dict_replay_referee(spark):
+    """R221 referee: replay the same change log imperatively with a
+    dict (last-writer-wins), assert exact state equality at v2 and
+    that v3 updates are excluded."""
+    from zoom_spark.queries.warehouse_ops import time_travel_asof_orders
+
+    rows = time_travel_asof_orders(spark, SF_DIR).collect()
+    o = _orders()
+    state: dict[int, tuple] = {}
+    for _, r in o.iterrows():
+        state[r["o_orderkey"]] = (r["o_totalprice"], r["o_orderstatus"])
+    for _, r in o.iterrows():  # version 2, seq 1: updates
+        if r["o_orderkey"] % 100 == 0:
+            state[r["o_orderkey"]] = (
+                round(r["o_totalprice"] * 1.1, 2),
+                r["o_orderstatus"],
+            )
+    for _, r in o.iterrows():  # version 2, seq 2: deletes
+        if r["o_orderkey"] % 97 == 0:
+            state.pop(r["o_orderkey"], None)
+    got = {r["o_orderkey"]: (r["price"], r["status"]) for r in rows}
+    assert len(got) == len(state)
+    assert got == {
+        k: (pytest.approx(v[0], abs=1e-9), v[1]) for k, v in state.items()
+    }
+    # v3's 0.8x reprice must NOT appear: keys %50==0 (and not deleted,
+    # not %100) must still carry their base price
+    probe = [
+        k for k in state if k % 50 == 0 and k % 100 != 0 and k % 97 != 0
+    ]
+    assert probe, "fixture must contain v3-only keys"
+    base = dict(zip(o["o_orderkey"], o["o_totalprice"]))
+    for k in probe[:50]:
+        assert got[k][0] == pytest.approx(base[k], abs=1e-9)

@@ -352,3 +352,56 @@ def hits(
             F.col("auth").alias("node"), (F.col("a") / F.col("nrm")).alias("a")
         )
     return hubs, auths
+
+
+def local_clustering(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node local clustering coefficient
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for nodes with deg ≥ 2.
+
+    Same degree-oriented wedge enumeration as triangle_count (each
+    triangle is FOUND once, from its lowest-(degree,id) vertex), but
+    every found triangle is exploded back onto its three vertices so
+    the per-node counts are exact. Wedge fan-out stays bounded at
+    O(sqrt(edges)) per node; the 3× explode is map-side. Nodes on no
+    triangle get tri = 0 via a left join against the degree table."""
+    edges = edges.localCheckpoint(eager=False)
+    oriented = orient_edges(edges, src=src, dst=dst)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = (
+        e1.join(e2, on="src")
+        .where(F.col("e1.dst_ord") < F.col("e2.dst_ord"))
+        .select("src", F.col("e1.dst").alias("wv"), F.col("e2.dst").alias("ww"))
+    )
+    closing = oriented.select(
+        F.col("src").alias("wv"), F.col("dst").alias("ww")
+    )
+    tri_nodes = (
+        wedges.join(closing, on=["wv", "ww"])
+        .select(
+            F.explode(F.array("src", "wv", "ww")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("tri"))
+    )
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri_nodes, on="node", how="left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0).cast("bigint")).alias("tri"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )

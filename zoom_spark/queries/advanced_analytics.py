@@ -984,3 +984,56 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_h.unionAll(top_a)
+
+
+@register(
+    "local_clustering_parts",
+    sql="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg,
+             CAST(count(*) AS BIGINT) * 1000000000 + node AS ord
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.ord < dv.ord THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.ord < dv.ord THEN e.v ELSE e.u END AS dst,
+             CASE WHEN du.ord < dv.ord THEN dv.ord ELSE du.ord END AS dst_ord
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    found AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+      JOIN oriented o ON o.src = e1.dst AND o.dst = e2.dst
+    ),
+    tri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS tri
+      FROM (SELECT a AS node FROM found
+            UNION ALL SELECT b FROM found
+            UNION ALL SELECT c FROM found)
+      GROUP BY node
+    )
+    SELECT deg.node, deg.deg, COALESCE(tri.tri, 0) AS tri,
+           round(2.0 * COALESCE(tri.tri, 0)
+                 / (deg.deg * (deg.deg - 1)), 6) AS lcc
+    FROM deg LEFT JOIN tri ON deg.node = tri.node
+    WHERE deg.deg >= 2
+    """,
+)
+def local_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient on the co-purchase graph
+    (operators/graph.py local_clustering): degree-oriented wedge
+    enumeration finds each triangle once, then explodes it onto its
+    three vertices for exact per-node counts — the node-level
+    refinement of co_purchase_triangles, and the standard
+    "how clique-like is this node's neighborhood" curation signal."""
+    from zoom_spark.operators.graph import local_clustering
+
+    return local_clustering(_co_purchase_edges(spark, sf_dir))

@@ -747,3 +747,59 @@ def brier_decomposition_purchase(
             "n", "obar", "brier", "reliability", "resolution", "uncertainty"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R219: rolling 30-day distinct active users (window COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+RW_DAYS = 30
+
+
+@register(
+    "rolling_30day_distinct_users",
+    sql=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT days.d AS day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_30d
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d > days.d - {RW_DAYS}
+    GROUP BY days.d
+    ORDER BY days.d
+    """,
+)
+def rolling_30day_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R219 trailing-30-day DISTINCT active users per day — the
+    window COUNT(DISTINCT) Spark's window functions cannot express.
+    Scale path: distinct (user, day) pairs explode into the ≤30
+    trailing report-days each activity covers (sequence + explode,
+    map-side, 30× fan-out), then ONE distinct + ONE count aggregate —
+    linear in activity, no day×events range join, no global window.
+    The oracle is the naive range join (quadratic but fine at gate
+    SFs). rolling_7day_active_users is the additive-count sibling;
+    this one is the DISTINCT variant where counts can't be added."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), RW_DAYS - 1),
+            )
+        ).alias("day"),
+    ).distinct()
+    return (
+        covered.join(days, "day")  # clip to observed days
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("active_30d"))
+        .orderBy("day")
+    )

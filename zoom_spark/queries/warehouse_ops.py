@@ -619,3 +619,89 @@ def tdigest_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est", 4).alias("est"),
         "n_centroids",
     )
+
+
+@register(
+    "time_travel_asof_orders",
+    sql="""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS version, 0 AS seq, 'I' AS op,
+             o_totalprice AS price, o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 1, 'U', round(o_totalprice * 1.1, 2),
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 2, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 1, 'U', round(o_totalprice * 0.8, 2),
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    recon AS (
+      SELECT k, op, price, status,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY version DESC, seq DESC) AS rn
+      FROM log WHERE version <= 2
+    )
+    SELECT k AS o_orderkey, price, status
+    FROM recon WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def time_travel_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel AS OF version 2: reconstruct the orders table from
+    a change log (insert base, v2 repriced/deleted, v3 repriced
+    again) by last-writer-wins per key — ONE window over the log
+    partitioned by key (parallel across keys), keep the latest
+    non-delete entry at or before the target version. This is the
+    Delta/Iceberg snapshot-reconstruction primitive expressed as a
+    plain DataFrame plan; the v3 entries prove later versions are
+    actually excluded. Sibling of snapshot_diff_orders (forward diff)
+    and merge/SCD2 (operators/merge.py)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("version"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v2u = o.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("version"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v2d = o.where(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("version"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    v3u = o.where(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("version"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") * 0.8, 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    log = base.unionAll(v2u).unionAll(v2d).unionAll(v3u)
+    w = Window.partitionBy("k").orderBy(
+        F.col("version").desc(), F.col("seq").desc()
+    )
+    asof = (
+        log.where(F.col("version") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return asof.select(F.col("k").alias("o_orderkey"), "price", "status")
