@@ -335,3 +335,54 @@ def test_time_travel_asof_matches_dict_replay_referee(spark):
     base = dict(zip(o["o_orderkey"], o["o_totalprice"]))
     for k in probe[:50]:
         assert got[k][0] == pytest.approx(base[k], abs=1e-9)
+
+
+def test_frequent_directions_error_bound_and_merge(spark):
+    """FD referee: exact numpy Gram of the full embedding matrix —
+    the sketch must satisfy the FD spectral bound
+    ||A'A - B'B||_2 <= ||A||_F^2 / ell, per-direction lower bounds
+    sigma_i(B)^2 >= sigma_i(A)^2 - ||A||_F^2/ell, and the distributed
+    (partitioned+merged) sketch must obey the same bound as a
+    single-pass sketch (the merge theorem)."""
+    from zoom_spark.queries.similarity_queries import (
+        frequent_directions_spectrum,
+    )
+    from zoom_spark.similarity.fd import fd_reduce, fd_sketch
+
+    ELL = 16
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    A = np.stack(
+        emb.sort_values("vec_id")["embedding"].to_numpy()
+    ).astype(np.float64)
+    fro2 = float((A * A).sum())
+    bound = fro2 / ELL
+
+    B = fd_sketch(
+        load_table(spark, SF_DIR, "embeddings"),
+        "embedding",
+        "vec_id",
+        ell=ELL,
+        n_groups=8,
+    )
+    assert B.shape[1] == A.shape[1]
+    gap = np.linalg.norm(A.T @ A - B.T @ B, ord=2)
+    assert gap <= bound + 1e-6
+    sa = np.linalg.svd(A, compute_uv=False)
+    sb = np.linalg.svd(B, compute_uv=False)
+    for i in range(min(len(sb), 8)):
+        assert sb[i] ** 2 >= sa[i] ** 2 - bound - 1e-6
+        assert sb[i] <= sa[i] + 1e-6  # shrinkage never inflates
+    # single-pass (unpartitioned) FD obeys the same bound — merging
+    # did not break the guarantee
+    B1 = fd_reduce(A, ELL)
+    gap1 = np.linalg.norm(A.T @ A - B1.T @ B1, ord=2)
+    assert gap1 <= bound + 1e-6
+    # the registered query serves the sketch spectrum
+    rows = frequent_directions_spectrum(spark, SF_DIR).collect()
+    assert len(rows) == min(ELL, len(sb))
+    assert rows[0]["singular_value"] == pytest.approx(
+        round(float(sb[0]), 4), abs=1e-9
+    )
+    assert rows[-1]["cum_energy"] == pytest.approx(1.0, abs=1e-6)
+    # top direction must capture real structure (embeddings aren't noise)
+    assert rows[0]["cum_energy"] > 0.1

@@ -710,3 +710,114 @@ def test_stream_sprt_state_carries_across_batches(spark, tmp_path):
     assert final["llr"] == pytest.approx(
         40 * SPRT_C1 + 40 * SPRT_C0, abs=1e-6
     )
+
+
+def test_stream_heavy_hitters_mg_guarantees(spark):
+    """Streaming Misra-Gries referee: every reported count must be an
+    UNDERCOUNT within the shard's documented slack, and every token
+    whose true shard count exceeds n_shard/(k+1) must be reported
+    (the MG guarantee), checked against exact pandas counts."""
+    import pandas as pd
+
+    from zoom_spark.streaming.stateful import (
+        MG_CAPACITY,
+        MG_SHARDS,
+        stream_heavy_hitters,
+    )
+    from zoom_spark.streaming.windows import read_events_stream
+
+    got = run_to_memory(
+        stream_heavy_hitters(read_events_stream(spark, SF_DIR)),
+        "t_mg",
+        output_mode="update",
+    ).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    tok = ev["user_id"].astype(str)
+    # recompute shard assignment through the engine's own hash (the
+    # only engine reuse here — the counts themselves are pandas-exact)
+    shard_map = {
+        r["token"]: r["shard"]
+        for r in spark.createDataFrame(
+            [(t,) for t in tok.unique().tolist()], "token string"
+        )
+        .select(
+            "token",
+            F.pmod(F.xxhash64("token"), F.lit(MG_SHARDS))
+            .cast("long")
+            .alias("shard"),
+        )
+        .collect()
+    }
+    true = tok.value_counts()
+    shard_n = {}
+    for t, c in true.items():
+        shard_n[shard_map[t]] = shard_n.get(shard_map[t], 0) + int(c)
+    reported = {(r["shard"], r["token"]): r for r in got}
+    assert len(got) > 0
+    for (sh, t), r in reported.items():
+        tc = int(true[t])
+        assert shard_map[t] == sh
+        assert r["n_shard"] == shard_n[sh]
+        # undercount-side guarantee
+        assert r["approx_count"] <= tc
+        assert tc <= r["approx_count"] + r["max_undercount"]
+        assert r["max_undercount"] <= shard_n[sh] // (MG_CAPACITY + 1)
+    # completeness: tokens above the shard threshold must be present
+    for t, c in true.items():
+        sh = shard_map[t]
+        if int(c) > shard_n[sh] / (MG_CAPACITY + 1):
+            assert (sh, t) in reported, f"missing guaranteed HH {t}"
+
+
+def test_stream_heavy_hitters_state_carries_across_batches(
+    spark, tmp_path
+):
+    """Two micro-batches: a token heavy ONLY in aggregate (split
+    across both batches) must surface with the combined count, and
+    n_shard must accumulate."""
+    import time as _time
+
+    import pandas as pd
+
+    from zoom_spark.streaming.stateful import stream_heavy_hitters
+
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(uids, off):
+        ids = list(range(len(uids)))
+        return pd.DataFrame(
+            {
+                "event_id": [off + i for i in ids],
+                "ts": [base + pd.Timedelta(seconds=off + i) for i in ids],
+                "user_id": uids,
+                "event_type": ["view"] * len(uids),
+                "value": [1.0] * len(uids),
+                "props": ["{}"] * len(uids),
+            }
+        )
+
+    # user 7 appears 30x per batch; 60 distinct one-off users as noise
+    src = str(tmp_path / "src")
+    b1 = mk([7] * 30 + list(range(100, 130)), 0)
+    b2 = mk([7] * 30 + list(range(200, 230)), 1000)
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src + "/f1.parquet")
+    _time.sleep(1.1)
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/f2.parquet")
+    schema = spark.read.parquet(src + "/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = run_to_memory(
+        stream_heavy_hitters(stream), "t_mg2", output_mode="update"
+    ).collect()
+    mine = [r for r in got if r["token"] == "7"]
+    assert mine, "token 7 must be tracked"
+    final = max(mine, key=lambda r: r["n_shard"])
+    # exact-side: 60 true occurrences, undercount bounded by the slack
+    assert final["approx_count"] <= 60
+    assert 60 <= final["approx_count"] + final["max_undercount"]
+    # state accumulated across both batches (token 7's shard saw both
+    # its halves; noise tokens may land on other shards)
+    assert final["n_shard"] >= 60

@@ -319,3 +319,34 @@ def margin_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
+
+
+@register("frequent_directions_spectrum")  # mergeable matrix sketch: rows-only
+def frequent_directions_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent Directions sketch (similarity/fd.py) of the N×64
+    embedding matrix at ℓ=16: per-partition constant-memory FD via
+    applyInPandas, one tiny merge pass (the FD merge theorem keeps
+    the ‖AᵀA−BᵀB‖₂ ≤ ‖A‖²_F/ℓ guarantee through concatenation).
+    Output: the sketch's singular-value spectrum (sign-free, so
+    replay-deterministic) plus cumulative energy share — the
+    streaming answer to "how low-rank are my embeddings" that never
+    materializes the Gram matrix. Referee test checks the spectral
+    error bound and per-direction lower bounds against exact numpy."""
+    import numpy as np
+
+    from zoom_spark.similarity.fd import fd_sketch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sketch = fd_sketch(emb, "embedding", "vec_id", ell=16, n_groups=8)
+    s = np.linalg.svd(sketch, compute_uv=False)
+    tot = float((s**2).sum()) or 1.0
+    cum = np.cumsum(s**2) / tot
+    rows = [
+        (int(i + 1), float(round(sv, 4)), float(round(c, 6)))
+        for i, (sv, c) in enumerate(zip(s, cum))
+    ]
+    return spark.createDataFrame(
+        rows, "rank_idx int, singular_value double, cum_energy double"
+    )

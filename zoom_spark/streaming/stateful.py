@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -237,6 +238,114 @@ def stream_sprt(events: DataFrame) -> DataFrame:
         _sprt_update,
         outputStructType=SPRT_OUTPUT_SCHEMA,
         stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters (mergeable summaries, Agarwal
+# et al. PODS'12): sharded by token hash, O(k) state per shard
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 16
+MG_SHARDS = 4
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+        StructField("decremented", LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("token", StringType()),
+        StructField("approx_count", LongType()),
+        StructField("n_shard", LongType()),
+        StructField("max_undercount", LongType()),
+    ]
+)
+
+
+def _mg_compress(counter: dict[str, int], k: int) -> tuple[dict[str, int], int]:
+    """Reduce a counter to <= k entries the Misra-Gries way: subtract
+    the (k+1)-th largest count from every entry and drop non-positive
+    ones. Returns (summary, amount_subtracted). This is exactly the
+    MERGE step of mergeable MG summaries, so state+batch merging
+    preserves the undercount bound."""
+    if len(counter) <= k:
+        return counter, 0
+    vals = sorted(counter.values(), reverse=True)
+    sub = vals[k]
+    out = {t: c - sub for t, c in counter.items() if c - sub > 0}
+    return out, sub
+
+
+def _mg_update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        tokens, counts, n_seen, decremented = state.get
+        summary = dict(zip(tokens, counts))
+    else:
+        summary, n_seen, decremented = {}, 0, 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        n_seen += len(pdf)
+        batch_counts = pdf["token"].value_counts()
+        for t, c in batch_counts.items():
+            summary[t] = summary.get(t, 0) + int(c)
+        summary, sub = _mg_compress(summary, MG_CAPACITY)
+        decremented += sub
+    state.update(
+        (
+            list(summary.keys()),
+            [int(v) for v in summary.values()],
+            int(n_seen),
+            int(decremented),
+        )
+    )
+    items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {
+            "shard": [key[0]] * len(items),
+            "token": [t for t, _ in items],
+            "approx_count": [c for _, c in items],
+            "n_shard": [n_seen] * len(items),
+            "max_undercount": [decremented] * len(items),
+        }
+    )
+
+
+def stream_heavy_hitters(
+    events: DataFrame, token_col: str = "user_id"
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters over a token stream,
+    sharded by token hash so state parallelizes: each shard holds an
+    O(k) summary of ITS OWN substream (a token maps to exactly one
+    shard, so per-token guarantees are shard-local and exact-side:
+    approx_count <= true <= approx_count + max_undercount, and any
+    token with true count > n_shard/(k+1) is guaranteed present).
+    The state+batch merge is the mergeable-summaries MG merge
+    (subtract the (k+1)-th largest, drop non-positive), so the bound
+    survives arbitrarily many micro-batches. State per shard is two
+    length-<=k arrays — O(k), stream-length-independent."""
+    keyed = events.select(
+        F.col(token_col).cast("string").alias("token")
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64("token"), F.lit(MG_SHARDS)).cast("long")
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _mg_update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
