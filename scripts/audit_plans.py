@@ -94,6 +94,21 @@ EXPECTATIONS = {
     "brier_decomposition_purchase": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # OOF target encoding: 1-row global-totals broadcast crossed onto
+    # the 25-cell frame (scalar BNLJ by design)
+    "target_encoding_oof": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
+    # Shapley: 8-row subset lattice crossed with the <=8-row mask
+    # frame (constant-size BNLJ by design)
+    "shapley_channel_attribution": dict(
+        pushed=True, broadcast=True, cartesian=True
+    ),
+    # Heaps: 10-row checkpoint grid + 1-row total/fit broadcasts
+    # crossed onto the type frame (scalar BNLJ by design)
+    "heaps_law_fit": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

@@ -386,3 +386,177 @@ def test_frequent_directions_error_bound_and_merge(spark):
     assert rows[-1]["cum_energy"] == pytest.approx(1.0, abs=1e-6)
     # top direction must capture real structure (embeddings aren't noise)
     assert rows[0]["cum_energy"] > 0.1
+
+
+def test_feature_information_gain_matches_counter_referee(spark):
+    """R223 referee: pure-Python Counter entropy/Gini over the same
+    three features."""
+    import math
+    from collections import Counter
+
+    from zoom_spark.queries.ml_primitives import feature_information_gain
+
+    rows = {
+        r["feature"]: r
+        for r in feature_information_gain(spark, SF_DIR).collect()
+    }
+    o = _orders()
+    y = (o["o_orderpriority"] == "1-URGENT").astype(int)
+    days = (
+        pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    feats = {
+        "status": o["o_orderstatus"],
+        "weekday": (days % 7).astype(str),
+        "price_bucket": np.floor(o["o_totalprice"] / 100000)
+        .astype(int)
+        .astype(str),
+    }
+
+    def h(p):
+        return sum(
+            -q * math.log(q) for q in (p, 1 - p) if q > 0
+        )
+
+    p_all = y.mean()
+    hy, gy = h(p_all), 2 * p_all * (1 - p_all)
+    for name, f in feats.items():
+        cells = Counter(zip(f, y))
+        byval: dict = {}
+        for (v, yy), c in cells.items():
+            n, pos = byval.get(v, (0, 0))
+            byval[v] = (n + c, pos + yy * c)
+        n_tot = len(y)
+        hc = sum(
+            (n / n_tot) * h(pos / n) for n, pos in byval.values()
+        )
+        gc = sum(
+            (n / n_tot) * 2 * (pos / n) * (1 - pos / n)
+            for n, pos in byval.values()
+        )
+        r = rows[name]
+        assert r["n_values"] == len(byval)
+        assert r["info_gain"] == pytest.approx(hy - hc, abs=2e-6)
+        assert r["gini_gain"] == pytest.approx(gy - gc, abs=2e-6)
+    # IG is non-negative by Jensen; some feature must carry signal >= 0
+    assert all(r["info_gain"] >= -1e-9 for r in rows.values())
+
+
+def test_target_encoding_oof_no_leakage(spark):
+    """R224 referee: recompute each (cat, fold) encoding from the raw
+    frame EXCLUDING that fold, and verify the leakage property — the
+    fold's own rows never contribute to its encoding."""
+    from zoom_spark.queries.ml_primitives import (
+        TE_FOLDS,
+        TE_SMOOTH_M,
+        target_encoding_oof,
+    )
+
+    rows = target_encoding_oof(spark, SF_DIR).collect()
+    o = _orders()
+    o["fold"] = o["o_orderkey"] % TE_FOLDS
+    assert len(rows) == 5 * TE_FOLDS
+    for r in rows[:12]:
+        others = o[
+            (o["o_orderpriority"] == r["cat"]) & (o["fold"] != r["fold"])
+        ]["o_totalprice"]
+        g_others = o[o["fold"] != r["fold"]]["o_totalprice"]
+        assert r["te_raw"] == pytest.approx(
+            round(others.mean(), 6), abs=2e-6
+        )
+        want_sm = (others.sum() + TE_SMOOTH_M * g_others.mean()) / (
+            len(others) + TE_SMOOTH_M
+        )
+        assert r["te_smoothed"] == pytest.approx(want_sm, abs=2e-6)
+        own = o[
+            (o["o_orderpriority"] == r["cat"]) & (o["fold"] == r["fold"])
+        ]["o_totalprice"]
+        assert r["n_fold"] == len(own)
+        # leakage check: the all-folds mean differs from the OOF mean
+        full = o[o["o_orderpriority"] == r["cat"]]["o_totalprice"].mean()
+        assert abs(full - others.mean()) > 1e-9
+
+
+def test_shapley_attribution_axioms_and_referee(spark):
+    """R225 referee: brute-force Shapley over all 3! orderings from
+    pandas-computed coalition values; efficiency axiom checked."""
+    from itertools import permutations
+
+    from zoom_spark.queries.ml_primitives import (
+        shapley_channel_attribution,
+    )
+
+    rows = {
+        r["channel"]: r["shapley"]
+        for r in shapley_channel_attribution(spark, SF_DIR).collect()
+    }
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    conv = set(ev[ev["event_type"] == "purchase"]["user_id"])
+    chans = ["view", "click", "signup"]
+    touched = {
+        c: set(ev[ev["event_type"] == c]["user_id"]) & conv for c in chans
+    }
+    masks = {}
+    for u in conv:
+        masks[u] = frozenset(c for c in chans if u in touched[c])
+
+    def v(S):
+        S = set(S)
+        return sum(1 for m in masks.values() if m <= S)
+
+    phi = {c: 0.0 for c in chans}
+    for perm in permutations(chans):
+        seen: list = []
+        for c in perm:
+            phi[c] += v(seen + [c]) - v(seen)
+            seen.append(c)
+    phi = {c: p / 6 for c, p in phi.items()}
+    for c in chans:
+        assert rows[c] == pytest.approx(round(phi[c], 6), abs=1e-6)
+    # efficiency: sum of shapley values = v(all) - v(empty)
+    assert sum(rows.values()) == pytest.approx(
+        v(chans) - v([]), abs=1e-3
+    )
+    assert v([]) >= 0 and v(chans) == len(conv)
+
+
+def test_heaps_law_matches_dict_referee(spark):
+    """R226 referee: single-threaded first-occurrence scan over the
+    concatenated token stream."""
+    import math
+
+    from zoom_spark.queries.corpus_stats import HEAPS_POINTS, heaps_law_fit
+
+    rows = heaps_law_fit(spark, SF_DIR).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values(
+        "doc_id"
+    )
+    stream: list = []
+    for t in docs["text"]:
+        ws = [w for w in t.strip().lower().split() if w]
+        stream.extend(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+    n = len(stream)
+    firstpos: dict = {}
+    for i, w in enumerate(stream, 1):
+        firstpos.setdefault(w, i)
+    pts = {}
+    for k in range(1, HEAPS_POINTS + 1):
+        nk = int(n // 2 ** (HEAPS_POINTS - k))
+        pts[k] = (nk, sum(1 for fpv in firstpos.values() if fpv <= nk))
+    got = {r["k"]: r for r in rows}
+    assert set(got) == set(pts)
+    for k, (nk, vk) in pts.items():
+        assert got[k]["n_k"] == nk
+        assert got[k]["vocab"] == vk
+    xs = [math.log(nk) for nk, _ in pts.values()]
+    ys = [math.log(vk) for _, vk in pts.values()]
+    ax, ay = sum(xs) / len(xs), sum(ys) / len(ys)
+    beta = sum(
+        (x - ax) * (yv - ay) for x, yv in zip(xs, ys)
+    ) / sum((x - ax) ** 2 for x in xs)
+    assert got[1]["beta"] == pytest.approx(round(beta, 6), abs=2e-6)
+    # Heaps exponent must be sublinear and positive on real text
+    assert 0 < got[1]["beta"] < 1

@@ -500,3 +500,147 @@ def chao1_shingle_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "turing_coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R226: Heaps' law fit (type growth V(n) = K * n^beta on 3-gram types)
+# ---------------------------------------------------------------------------
+
+HEAPS_POINTS = 10
+
+
+@register(
+    "heaps_law_fit",
+    sql=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(ts, i, i + 2), ' ') AS t
+      FROM tok, unnest(range(1, len(ts) - 1)) u(i)
+    ),
+    seq AS (
+      SELECT t, CAST(row_number() OVER (ORDER BY doc_id, pos) AS BIGINT)
+               AS rn
+      FROM flat
+    ),
+    fp AS (SELECT t, min(rn) AS firstpos FROM seq GROUP BY t),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+    grid AS (
+      SELECT k.k,
+             CAST(floor(nn.n / pow(2.0, {HEAPS_POINTS} - k.k)) AS BIGINT)
+               AS n_k
+      FROM (SELECT unnest(range(1, {HEAPS_POINTS} + 1)) AS k) k
+      CROSS JOIN nn
+    ),
+    pts AS (
+      SELECT g.k, g.n_k,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM grid g JOIN fp ON fp.firstpos <= g.n_k
+      GROUP BY g.k, g.n_k
+    ),
+    fit AS (
+      SELECT round(
+               sum((ln(CAST(n_k AS DOUBLE)) - ax) * (ln(CAST(vocab AS DOUBLE)) - ay))
+               / sum((ln(CAST(n_k AS DOUBLE)) - ax) * (ln(CAST(n_k AS DOUBLE)) - ax)),
+               6) AS beta,
+             round(ay, 6) AS ay_r, round(ax, 6) AS ax_r
+      FROM pts CROSS JOIN (
+        SELECT avg(ln(CAST(n_k AS DOUBLE))) AS ax,
+               avg(ln(CAST(vocab AS DOUBLE))) AS ay
+        FROM pts
+      )
+      GROUP BY ax, ay
+    )
+    SELECT p.k, p.n_k, p.vocab, f.beta,
+           round(f.ay_r - f.beta * f.ax_r, 6) AS ln_k_const
+    FROM pts p CROSS JOIN fit f
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R226 Heaps'-law fit V(n) ≈ K·n^β of TYPE growth over the
+    word-3-gram stream (the unigram vocabulary of this corpus is 31
+    words and saturates in the first 100 tokens — the
+    vacuous-selector lesson; 3-gram types keep growing through the
+    whole stream). Global gram sequence via the two-phase distributed
+    row number (no single-task window over raw grams),
+    first-occurrence position per type (one min-aggregate), type
+    counts at 10 LOG-SPACED prefix checkpoints (N/2⁹ … N — growth
+    curves live on a log axis) via a broadcast grid join, then the
+    log-log OLS slope in closed form. Companion to zipf_exponent_fit
+    (rank-frequency) and chao1_shingle_richness (asymptote)."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    grams = docs.select("doc_id", ts.alias("ts")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ts) - 2, 0)), i -> "
+                "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), "
+                "element_at(ts, i + 2)))"
+            )
+        ).alias("pos", "t"),
+    )
+    seq = global_row_number(grams, ["doc_id", "pos"], out_col="rn").select(
+        "t", "rn"
+    )
+    fp = seq.groupBy("t").agg(F.min("rn").alias("firstpos"))
+    nn = seq.agg(F.count("*").cast("bigint").alias("n"))
+    ks = spark.createDataFrame(
+        [(k,) for k in range(1, HEAPS_POINTS + 1)], "k bigint"
+    )
+    grid = ks.crossJoin(F.broadcast(nn)).select(
+        "k",
+        F.floor(
+            F.col("n") / F.pow(F.lit(2.0), HEAPS_POINTS - F.col("k"))
+        )
+        .cast("bigint")
+        .alias("n_k"),
+    )
+    pts = (
+        fp.crossJoin(F.broadcast(grid))
+        .where(F.col("firstpos") <= F.col("n_k"))
+        .groupBy("k", "n_k")
+        .agg(F.count("*").cast("bigint").alias("vocab"))
+    )
+    means = pts.agg(
+        F.avg(F.log(F.col("n_k").cast("double"))).alias("ax"),
+        F.avg(F.log(F.col("vocab").cast("double"))).alias("ay"),
+    )
+    fit = (
+        pts.crossJoin(F.broadcast(means))
+        .groupBy("ax", "ay")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.log(F.col("n_k").cast("double")) - F.col("ax"))
+                    * (F.log(F.col("vocab").cast("double")) - F.col("ay"))
+                )
+                / F.sum(
+                    (F.log(F.col("n_k").cast("double")) - F.col("ax"))
+                    * (F.log(F.col("n_k").cast("double")) - F.col("ax"))
+                ),
+                6,
+            ).alias("beta"),
+            F.round(F.any_value("ay"), 6).alias("ay_r"),
+            F.round(F.any_value("ax"), 6).alias("ax_r"),
+        )
+        .select("beta", "ay_r", "ax_r")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "k",
+        "n_k",
+        "vocab",
+        "beta",
+        F.round(F.col("ay_r") - F.col("beta") * F.col("ax_r"), 6).alias(
+            "ln_k_const"
+        ),
+    )
