@@ -109,6 +109,16 @@ EXPECTATIONS = {
     "heaps_law_fit": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # Hoeffding CS: 10-row checkpoint grid + 1-row total broadcast
+    # crossed onto the sequence frame (scalar BNLJ by design)
+    "hoeffding_confidence_sequence": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
+    # partial correlation: 1-row rounded-mean broadcast crossed onto
+    # the day pre-aggregate for centering (scalar BNLJ by design)
+    "partial_correlation_daily": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

@@ -560,3 +560,85 @@ def test_heaps_law_matches_dict_referee(spark):
     assert got[1]["beta"] == pytest.approx(round(beta, 6), abs=2e-6)
     # Heaps exponent must be sublinear and positive on real text
     assert 0 < got[1]["beta"] < 1
+
+
+def test_hoeffding_cs_matches_referee_and_is_anytime_valid(spark):
+    """R227 referee: recompute every checkpoint from the pandas-sorted
+    stream; verify the union bound actually spends < alpha and the
+    interval is monotone-shrinking in width."""
+    import math
+
+    from zoom_spark.queries.experimentation import (
+        CS_ALPHA,
+        CS_LNC,
+        CS_POINTS,
+        hoeffding_confidence_sequence,
+    )
+
+    rows = sorted(
+        hoeffding_confidence_sequence(spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    x = (ev["event_type"] == "purchase").to_numpy().astype(int)
+    n = len(x)
+    cum = np.cumsum(x)
+    assert len(rows) == CS_POINTS
+    widths = []
+    for r in rows:
+        k = r["k"]
+        nk = n * k // CS_POINTS
+        kp = int(cum[nk - 1])
+        assert r["n_k"] == nk
+        assert r["k_purchases"] == kp
+        ph = kp / nk
+        hw = math.sqrt(CS_LNC[k] / (2 * nk))
+        assert r["p_hat"] == pytest.approx(round(ph, 6), abs=1e-9)
+        assert r["ci_lo"] == pytest.approx(
+            round(max(ph - hw, 0.0), 6), abs=1e-9
+        )
+        assert r["ci_hi"] == pytest.approx(
+            round(min(ph + hw, 1.0), 6), abs=1e-9
+        )
+        widths.append(r["ci_hi"] - r["ci_lo"])
+    # spending schedule is a valid union bound
+    assert sum(CS_ALPHA / (k * (k + 1)) for k in range(1, CS_POINTS + 1)) < CS_ALPHA
+    # widths shrink as n grows (the defining CS property here)
+    assert all(w2 < w1 + 1e-12 for w1, w2 in zip(widths, widths[1:]))
+    # every interval contains the final empirical rate (sanity on this
+    # stationary fixture — not a theorem, but a red flag if violated)
+    p_final = cum[-1] / n
+    for r in rows:
+        assert r["ci_lo"] - 1e-9 <= p_final <= r["ci_hi"] + 1e-9
+
+
+def test_partial_correlation_matches_numpy_referee(spark):
+    from zoom_spark.queries.diagnostics import (
+        _JB_SCALE,
+        partial_correlation_daily,
+    )
+
+    [got] = partial_correlation_daily(spark, SF_DIR).collect()
+    o = _orders()
+    g = o.groupby("o_orderdate").agg(
+        x=("o_totalprice", "sum"),
+        y=("o_custkey", "nunique"),
+        z=("o_orderkey", "size"),
+    )
+    x = np.round(g["x"].to_numpy() * _JB_SCALE, 6)
+    y = g["y"].to_numpy().astype(float)
+    z = g["z"].to_numpy().astype(float)
+    C = np.corrcoef(np.vstack([x, y, z]))
+    rxy, rxz, ryz = C[0, 1], C[0, 2], C[1, 2]
+    part = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert got["n_days"] == len(g)
+    assert got["r_rev_cust"] == pytest.approx(rxy, abs=1e-4)
+    assert got["r_rev_orders"] == pytest.approx(rxz, abs=1e-4)
+    assert got["r_cust_orders"] == pytest.approx(ryz, abs=1e-4)
+    assert got["partial_rev_cust_given_orders"] == pytest.approx(
+        part, abs=1e-3
+    )
+    # the control is binding: partial must differ from the raw corr
+    assert abs(got["partial_rev_cust_given_orders"] - got["r_rev_cust"]) > 1e-4

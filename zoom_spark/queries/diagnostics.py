@@ -803,3 +803,109 @@ def rolling_30day_distinct_users(
         .agg(F.count("*").cast("bigint").alias("active_30d"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# R228: partial correlation of daily revenue and distinct customers,
+# controlling for daily order count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "partial_correlation_daily",
+    sql=f"""
+    WITH day AS (
+      SELECT o_orderdate AS d,
+             round(CAST(sum(o_totalprice) AS DOUBLE) * {_JB_SCALE!r}, 6)
+               AS x,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS y,
+             CAST(count(*) AS DOUBLE) AS z
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(avg(x), 6) AS mx,
+             round(avg(y), 6) AS my, round(avg(z), 6) AS mz
+      FROM day
+    ),
+    s AS (
+      SELECT any_value(m.n) AS n,
+             round(sum((x - mx) * (x - mx)), 8) AS sxx,
+             round(sum((y - my) * (y - my)), 8) AS syy,
+             round(sum((z - mz) * (z - mz)), 8) AS szz,
+             round(sum((x - mx) * (y - my)), 8) AS sxy,
+             round(sum((x - mx) * (z - mz)), 8) AS sxz,
+             round(sum((y - my) * (z - mz)), 8) AS syz
+      FROM day CROSS JOIN m
+    ),
+    r AS (
+      SELECT n,
+             round(sxy / sqrt(sxx * syy), 8) AS rxy,
+             round(sxz / sqrt(sxx * szz), 8) AS rxz,
+             round(syz / sqrt(syy * szz), 8) AS ryz
+      FROM s
+    )
+    SELECT n AS n_days, round(rxy, 6) AS r_rev_cust,
+           round(rxz, 6) AS r_rev_orders,
+           round(ryz, 6) AS r_cust_orders,
+           round((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_rev_cust_given_orders
+    FROM r
+    """,
+)
+def partial_correlation_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R228 first-order PARTIAL correlation: does daily revenue
+    correlate with distinct-customer count once daily order volume is
+    controlled for? r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    from one moment aggregate over the day pre-aggregate; the three
+    pairwise correlations are rounded before the composition
+    (round-before-closed-form rule). The confounder-adjusted sibling
+    of stats_aggregates' raw corr()."""
+    o = load_table(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice") * _JB_SCALE, 6).alias("x"),
+        F.countDistinct("o_custkey").cast("double").alias("y"),
+        F.count("*").cast("double").alias("z"),
+    )
+    m = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("x"), 6).alias("mx"),
+        F.round(F.avg("y"), 6).alias("my"),
+        F.round(F.avg("z"), 6).alias("mz"),
+    )
+    dx, dy, dz = (
+        F.col("x") - F.col("mx"),
+        F.col("y") - F.col("my"),
+        F.col("z") - F.col("mz"),
+    )
+    s = day.crossJoin(F.broadcast(m)).agg(
+        F.any_value("n").alias("n"),
+        F.round(F.sum(dx * dx), 8).alias("sxx"),
+        F.round(F.sum(dy * dy), 8).alias("syy"),
+        F.round(F.sum(dz * dz), 8).alias("szz"),
+        F.round(F.sum(dx * dy), 8).alias("sxy"),
+        F.round(F.sum(dx * dz), 8).alias("sxz"),
+        F.round(F.sum(dy * dz), 8).alias("syz"),
+    )
+    r = s.select(
+        "n",
+        F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 8).alias("rxy"),
+        F.round(F.col("sxz") / F.sqrt(F.col("sxx") * F.col("szz")), 8).alias("rxz"),
+        F.round(F.col("syz") / F.sqrt(F.col("syy") * F.col("szz")), 8).alias("ryz"),
+    )
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("rxy"), 6).alias("r_rev_cust"),
+        F.round(F.col("rxz"), 6).alias("r_rev_orders"),
+        F.round(F.col("ryz"), 6).alias("r_cust_orders"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("partial_rev_cust_given_orders"),
+    )

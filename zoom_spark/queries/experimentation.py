@@ -879,3 +879,106 @@ def fisher_exact_weekend_purchase(
             "p_greater",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R227: Hoeffding confidence sequence (anytime-valid CI) on purchase rate
+# ---------------------------------------------------------------------------
+
+CS_ALPHA = 0.05
+CS_POINTS = 10
+# ln(2k(k+1)/alpha) for k = 1..10, precomputed so BOTH engines consume
+# the identical float literal (union-bound spending schedule
+# delta_k = alpha / (k(k+1)))
+CS_LNC = {
+    k: math.log(2 * k * (k + 1) / CS_ALPHA) for k in range(1, CS_POINTS + 1)
+}
+
+_CS_VALUES = ", ".join(
+    f"({k}, {CS_LNC[k]!r})" for k in range(1, CS_POINTS + 1)
+)
+
+_CS_SQL = f"""
+    WITH seq AS (
+      SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+               AS rn,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+    ck AS (SELECT * FROM (VALUES {_CS_VALUES}) v(k, lnc)),
+    grid AS (
+      SELECT ck.k, ck.lnc,
+             CAST(floor(nn.n * ck.k / {CS_POINTS}.0) AS BIGINT) AS n_k
+      FROM ck CROSS JOIN nn
+    ),
+    pts AS (
+      SELECT g.k, g.n_k, g.lnc,
+             CAST(sum(s.x) AS BIGINT) AS k_purchases
+      FROM grid g JOIN seq s ON s.rn <= g.n_k
+      GROUP BY g.k, g.n_k, g.lnc
+    )
+    SELECT k, n_k, k_purchases,
+           round(CAST(k_purchases AS DOUBLE) / n_k, 6) AS p_hat,
+           round(greatest(CAST(k_purchases AS DOUBLE) / n_k
+                 - sqrt(lnc / (2 * n_k)), 0.0), 6) AS ci_lo,
+           round(least(CAST(k_purchases AS DOUBLE) / n_k
+                 + sqrt(lnc / (2 * n_k)), 1.0), 6) AS ci_hi
+    FROM pts
+"""
+
+
+@register("hoeffding_confidence_sequence", sql=_CS_SQL)
+def hoeffding_confidence_sequence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R227 anytime-valid Hoeffding CONFIDENCE SEQUENCE for the
+    purchase rate: at 10 stream checkpoints, the CI
+    p̂ ± sqrt(ln(2k(k+1)/α) / 2n) with the union-bound spending
+    schedule δ_k = α/(k(k+1)) — valid SIMULTANEOUSLY at every
+    checkpoint (Σδ_k < α), which is what lets a monitor peek at the
+    stream without inflating error (the always-valid cousin of the
+    SPRT, R196). Running counts come from the two-phase global row
+    number + one broadcast-grid join; the ln constants are
+    precomputed literals identical on both engines."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = global_row_number(
+        ev.select(
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("x"),
+        ),
+        ["ts", "event_id"],
+        out_col="rn",
+    ).select("rn", "x")
+    nn = seq.agg(F.count("*").cast("bigint").alias("n"))
+    ck = spark.createDataFrame(
+        [(k, CS_LNC[k]) for k in range(1, CS_POINTS + 1)], "k bigint, lnc double"
+    )
+    grid = ck.crossJoin(F.broadcast(nn)).select(
+        "k",
+        "lnc",
+        F.floor(F.col("n") * F.col("k") / float(CS_POINTS))
+        .cast("bigint")
+        .alias("n_k"),
+    )
+    pts = (
+        seq.crossJoin(F.broadcast(grid))
+        .where(F.col("rn") <= F.col("n_k"))
+        .groupBy("k", "n_k", "lnc")
+        .agg(F.sum("x").cast("bigint").alias("k_purchases"))
+    )
+    phat = F.col("k_purchases").cast("double") / F.col("n_k")
+    hw = F.sqrt(F.col("lnc") / (2 * F.col("n_k")))
+    return pts.select(
+        "k",
+        "n_k",
+        "k_purchases",
+        F.round(phat, 6).alias("p_hat"),
+        F.round(F.greatest(phat - hw, F.lit(0.0)), 6).alias("ci_lo"),
+        F.round(F.least(phat + hw, F.lit(1.0)), 6).alias("ci_hi"),
+    )
