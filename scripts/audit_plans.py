@@ -119,6 +119,11 @@ EXPECTATIONS = {
     "partial_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # JL projection: the 1-row projection-matrix broadcast crossed
+    # onto the scan (the catalyst-plan-compile matrix-column pattern)
+    "jl_random_projection": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

@@ -276,3 +276,36 @@ def test_wav_energy_envelope_mapinpandas(spark):
             assert r["n_samples"] == seg["n_samples"]
             assert abs(r["rms"] - seg["rms"]) < 1e-6
             assert abs(r["peak"] - seg["peak"]) < 1e-6
+
+
+def test_wav_pitch_autocorr_recovers_planted_tone(spark):
+    """R229 referee: the synth clips are pure sines with KNOWN
+    frequency f0 = 220 + 5*(seed % 40); the autocorrelation pitch
+    estimate must land within the lag-quantization error of f0
+    (sr/lag grid: adjacent lags differ by ~f0^2/sr Hz)."""
+    from zoom_spark.multimodal.binary_ops import wav_pitch_autocorr
+    from zoom_spark.multimodal.codecs import synth_wav_bytes
+
+    import pandas as pd
+
+    ids = list(range(60))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": ids,
+                "content": [synth_wav_bytes(i % 89) for i in ids],
+            }
+        )
+    )
+    rows = {r["media_id"]: r for r in wav_pitch_autocorr(media).collect()}
+    assert len(rows) == len(ids)
+    for i in ids:
+        seed = i % 89
+        sr = 8000 + 1000 * ((seed // 2) % 4)
+        f0 = 220.0 + (seed % 40) * 5.0
+        got = rows[i]["pitch_hz"]
+        # quantization: nearest integer lag to sr/f0
+        grid_err = f0 * f0 / sr  # one-lag step near f0
+        assert abs(got - f0) <= grid_err + 1e-9, (i, got, f0)
+        # a pure tone autocorrelates strongly at its period
+        assert rows[i]["autocorr_peak"] > 0.5

@@ -642,3 +642,44 @@ def test_partial_correlation_matches_numpy_referee(spark):
     )
     # the control is binding: partial must differ from the raw corr
     assert abs(got["partial_rev_cust_given_orders"] - got["r_rev_cust"]) > 1e-4
+
+
+def test_jl_projection_numpy_parity_and_distance_preservation(spark):
+    """R230 referee: exact numpy parity of the deterministic
+    projection, plus the JL statistics — squared-distance ratios
+    concentrate around 1 on sampled pairs."""
+    import random
+
+    from zoom_spark.queries.similarity_queries import jl_random_projection
+    from zoom_spark.similarity.fd import achlioptas_matrix
+
+    rows = jl_random_projection(spark, SF_DIR).collect()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    A = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    ids = emb.sort_values("vec_id")["vec_id"].to_numpy()
+    R = np.array(achlioptas_matrix(A.shape[1], 16))  # (16, 64)
+    P = A @ R.T
+    got = {r["vec_id"]: r["proj_csv"] for r in rows}
+    assert len(got) == len(ids)
+    for idx in range(0, len(ids), max(1, len(ids) // 50)):
+        want = ",".join("%.4f" % round(v, 4) for v in P[idx])
+        assert got[ids[idx]] == want
+    # matrix sparsity ~2/3 and symmetric signs
+    fr = np.abs(R) > 0
+    assert 0.25 < fr.mean() < 0.42
+    # JL distance preservation on 300 sampled pairs
+    rng = random.Random(11)
+    ratios = []
+    for _ in range(300):
+        i, j = rng.randrange(len(ids)), rng.randrange(len(ids))
+        if i == j:
+            continue
+        d0 = float(((A[i] - A[j]) ** 2).sum())
+        d1 = float(((P[i] - P[j]) ** 2).sum())
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert abs(ratios.mean() - 1.0) < 0.1  # unbiased on average
+    assert (ratios > 0.3).all() and (ratios < 2.5).all()  # k=16 tails

@@ -118,3 +118,59 @@ def test_runs_test_matches_direct_referee(spark):
     assert got["z"] == pytest.approx(z, abs=1e-5)
     p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
     assert got["p_value"] == pytest.approx(p, abs=1e-5)
+
+
+def test_holt_winters_matches_independent_recursion(spark):
+    """R231 referee: independently re-run the additive HW recursion
+    (numpy array state, different code path from holt_winters_fit)
+    and pin level/trend/season/yhat; also the identity
+    yhat(h) = level + h*trend + season[(h-1) % m]."""
+    import numpy as np
+
+    from zoom_spark.queries.forecasting import (
+        HW_A,
+        HW_B,
+        HW_G,
+        HW_H,
+        HW_M,
+        holt_winters_forecast_revenue,
+    )
+
+    rows = sorted(
+        holt_winters_forecast_revenue(spark, SF_DIR).collect(),
+        key=lambda r: r["h"],
+    )
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    ys = (
+        o.groupby("o_orderdate")["o_totalprice"]
+        .sum()
+        .round(2)
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(ys)
+    base = ys[:HW_M].mean()
+    s = base
+    b = (ys[HW_M : 2 * HW_M].mean() - base) / HW_M
+    ring = list(ys[:HW_M] - base)
+    for t in range(HW_M, n):
+        c = ring.pop(0)
+        s_new = HW_A * (ys[t] - c) + (1 - HW_A) * (s + b)
+        b = HW_B * (s_new - s) + (1 - HW_B) * b
+        ring.append(HW_G * (ys[t] - s_new) + (1 - HW_G) * c)
+        s = s_new
+    assert len(rows) == HW_H
+    for r in rows:
+        h = r["h"]
+        assert r["n_days"] == n
+        assert r["level"] == pytest.approx(s, abs=1e-2)
+        assert r["trend"] == pytest.approx(b, abs=1e-4)
+        assert r["season"] == pytest.approx(
+            ring[(h - 1) % HW_M], abs=1e-2
+        )
+        assert r["yhat"] == pytest.approx(
+            round(r["level"] + h * r["trend"] + r["season"], 3), abs=2e-2
+        )
+    # seasonality is real on this fixture: offsets are not all equal
+    seasons = [r["season"] for r in rows]
+    assert max(seasons) - min(seasons) > 1.0

@@ -493,3 +493,69 @@ def wav_spectral_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, schema=WAV_SPECTRAL_SCHEMA
     )
+
+
+WAV_PITCH_SCHEMA = (
+    "media_id long, n_samples long, best_lag long, "
+    "pitch_hz double, autocorr_peak double"
+)
+
+
+def wav_pitch_autocorr(
+    media: DataFrame, f_lo: float = 80.0, f_hi: float = 500.0
+) -> DataFrame:
+    """Pitch (fundamental-frequency) estimation over REAL WAV
+    payloads by NORMALIZED AUTOCORRELATION — the classic time-domain
+    pitch tracker (the spectral sibling is wav_spectral_features'
+    dominant bin): decode PCM-16, fold channels to mono, compute
+    r(τ) = Σ x_t·x_{t+τ} / Σ x_t² for τ in the lag band mapping to
+    [f_lo, f_hi] Hz, report the argmax lag and sr/τ*. Vectorized
+    numpy inside mapInPandas (Arrow batches); one output row per
+    clip. The lag search is a dot-product per candidate lag over a
+    bounded band — O(n·lags) with tiny constants; at warehouse scale
+    the band stays constant so cost is linear in audio seconds."""
+    import numpy as np
+
+    from zoom_spark.multimodal.codecs import _parse_wav_pcm16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {
+            k: []
+            for k in (
+                "media_id",
+                "n_samples",
+                "best_lag",
+                "pitch_hz",
+                "autocorr_peak",
+            )
+        }
+        for pdf in batches:
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                fmt, samples = _parse_wav_pcm16(bytes(c))
+                n_ch, sr = max(1, fmt[1]), fmt[2]
+                x = np.asarray(samples, dtype=np.float64)
+                if n_ch > 1:
+                    x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(
+                        axis=1
+                    )
+                x = x - x.mean()
+                denom = float(x @ x) or 1.0
+                lag_min = max(1, int(np.floor(sr / f_hi)))
+                lag_max = min(len(x) - 1, int(np.ceil(sr / f_lo)))
+                best_lag, best_r = 0, -np.inf
+                for lag in range(lag_min, lag_max + 1):
+                    r = float(x[:-lag] @ x[lag:]) / denom
+                    if r > best_r:
+                        best_r, best_lag = r, lag
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(x))
+                out["best_lag"].append(best_lag)
+                out["pitch_hz"].append(
+                    round(sr / best_lag, 4) if best_lag else 0.0
+                )
+                out["autocorr_peak"].append(round(best_r, 6))
+        yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=WAV_PITCH_SCHEMA
+    )

@@ -249,3 +249,154 @@ def durbin_watson_revenue_trend(
         F.round(F.col("num") / F.col("den"), 6).alias("dw"),
         F.round(1 - (F.col("num") / F.col("den")) / 2, 6).alias("rho_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R231: Holt-Winters additive seasonal forecast (period 7)
+# ---------------------------------------------------------------------------
+
+HW_A = 0.3
+HW_OMA = 0.7
+HW_B = 0.1
+HW_OMB = 0.9
+HW_G = 0.2
+HW_OMG = 0.8
+HW_M = 7
+HW_H = 7
+
+
+def holt_winters_fit(ys: list[float], m: int = HW_M):
+    """Additive Holt-Winters recursion; returns (level, trend,
+    seasonals) where seasonals[i] is the season value for phase
+    (n + 1 + i) mod m — i.e. seasonals[0] applies to the next step.
+    Mirrors the oracle's recursive CTE op for op: the seasonal state
+    is a ring of the last m seasonal values, exactly the list the
+    CTE carries."""
+    base = sum(ys[:m]) / m
+    base2 = sum(ys[m : 2 * m]) / m
+    s = base
+    b = (base2 - base) / m
+    ring = [ys[i] - base for i in range(m)]  # c_1..c_m
+    for t in range(m, len(ys)):
+        y = ys[t]
+        c_used = ring[0]
+        s_new = HW_A * (y - c_used) + HW_OMA * (s + b)
+        b = HW_B * (s_new - s) + HW_OMB * b
+        c_new = HW_G * (y - s_new) + HW_OMG * c_used
+        s = s_new
+        ring = ring[1:] + [c_new]
+    return s, b, ring
+
+
+@register(
+    "holt_winters_forecast_revenue",
+    sql=f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+      FROM daily
+    ),
+    init AS (
+      SELECT (SELECT sum(rev) FROM idx WHERE t <= {HW_M}) / {HW_M}.0
+               AS base,
+             (SELECT sum(rev) FROM idx
+              WHERE t > {HW_M} AND t <= {2 * HW_M}) / {HW_M}.0 AS base2
+    ),
+    rec AS (
+      SELECT CAST({HW_M} AS BIGINT) AS t,
+             i.base AS s,
+             (i.base2 - i.base) / {HW_M} AS b,
+             (SELECT list(rev - i.base ORDER BY t) FROM idx
+              WHERE t <= {HW_M}) AS ring
+      FROM init i
+      UNION ALL
+      SELECT r.t + 1,
+             {HW_A} * (i.rev - r.ring[1])
+               + {HW_OMA} * (r.s + r.b) AS s_new,
+             {HW_B} * (({HW_A} * (i.rev - r.ring[1])
+               + {HW_OMA} * (r.s + r.b)) - r.s) + {HW_OMB} * r.b,
+             list_slice(r.ring, 2, {HW_M})
+               || [{HW_G} * (i.rev - ({HW_A} * (i.rev - r.ring[1])
+                    + {HW_OMA} * (r.s + r.b)))
+                   + {HW_OMG} * r.ring[1]]
+      FROM rec r JOIN idx i ON i.t = r.t + 1
+    ),
+    fin AS (
+      SELECT t AS n_days, s, b, ring FROM rec ORDER BY t DESC LIMIT 1
+    )
+    SELECT CAST(h.h AS BIGINT) AS h, f.n_days,
+           round(f.s, 4) AS level, round(f.b, 6) AS trend,
+           round(f.ring[CAST((h.h - 1) % {HW_M} AS INT) + 1], 4)
+             AS season,
+           round(f.s + h.h * f.b
+                 + f.ring[CAST((h.h - 1) % {HW_M} AS INT) + 1], 4)
+             AS yhat
+    FROM fin f CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS h) h
+    """,
+)
+def holt_winters_forecast_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R231 additive Holt-Winters (triple exponential smoothing,
+    weekly period m=7) forecast of daily revenue, horizon 7: level/
+    trend/seasonal recursion with classical initialization (first-
+    week mean level, week-over-week trend, first-week seasonal
+    offsets). The seasonal state is a RING of the last m seasonals —
+    exactly the list the oracle's recursive CTE carries, so both
+    engines step bit-identically (literal smoothing constants, same
+    op order). Sequential pass over the calendar-bounded day
+    pre-aggregate (applyInPandas single constant-key group, same
+    waiver class as holt_linear); the 100 TB cost is the one
+    decomposable day aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = pdf["rev"].tolist()
+        n = len(ys)
+        if n < 2 * HW_M:
+            return pd.DataFrame(
+                columns=["h", "n_days", "level", "trend", "season", "yhat"]
+            )
+        s, b, ring = holt_winters_fit(ys)
+        rows = [
+            (
+                h,
+                n,
+                s,
+                b,
+                ring[(h - 1) % HW_M],
+                s + h * b + ring[(h - 1) % HW_M],
+            )
+            for h in range(1, HW_H + 1)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["h", "n_days", "level", "trend", "season", "yhat"],
+        )
+
+    raw = (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: hw(pdf),
+            schema=(
+                "h bigint, n_days bigint, level double, trend double, "
+                "season double, yhat double"
+            ),
+        )
+    )
+    return raw.select(
+        "h",
+        "n_days",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("season", 4).alias("season"),
+        F.round("yhat", 4).alias("yhat"),
+    )

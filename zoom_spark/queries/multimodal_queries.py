@@ -370,3 +370,34 @@ def ppm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashes = odd.mapInPandas(hash_batch, "media_id bigint, phash bigint")
     return banded_hamming_pairs(hashes)
+
+
+@register("multimodal_pitch_autocorr")  # real WAV decode: rows-only
+def multimodal_pitch_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 pitch tracking (R229): synthesize the deterministic
+    sine-tone WAV clips (planted f0 = 220 + 5·(seed%40) Hz, inside
+    the 80-500 Hz search band) and estimate each clip's fundamental
+    by normalized autocorrelation (binary_ops.wav_pitch_autocorr).
+    The time-domain twin of multimodal_spectral_features — the
+    referee pins the estimate to the planted tone within the lag
+    quantization error."""
+    import pandas as pd
+
+    from zoom_spark.multimodal.binary_ops import wav_pitch_autocorr
+    from zoom_spark.multimodal.codecs import synth_wav_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        synth_wav_bytes(int(i) % 89) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return wav_pitch_autocorr(media).orderBy("media_id")

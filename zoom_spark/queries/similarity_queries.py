@@ -350,3 +350,27 @@ def frequent_directions_spectrum(
     return spark.createDataFrame(
         rows, "rank_idx int, singular_value double, cum_energy double"
     )
+
+
+@register("jl_random_projection")  # deterministic JL transform: rows-only
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R230 Johnson-Lindenstrauss sparse random projection
+    (similarity/fd.py random_project): 64-d embeddings -> 16-d with
+    the deterministic Achlioptas {+,0,-} matrix (md5-derived, 2/3
+    sparse), shipped as a 1-row broadcast matrix column and applied
+    as a JVM-side higher-order fold — map-only, no shuffle, no UDF.
+    The dimensionality-reduction front-end for the LSH/IVF/PQ probes;
+    the referee pins exact numpy parity AND the JL distance-
+    preservation statistics on sampled pairs."""
+    from zoom_spark.similarity.fd import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_project(emb, "embedding", d_out=16).select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "proj", lambda x: F.format_string("%.4f", F.round(x, 4))
+            ),
+        ).alias("proj_csv"),
+    )

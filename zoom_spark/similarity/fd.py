@@ -98,3 +98,67 @@ def fd_sketch(
         return np.zeros((0, d))
     rows = np.stack(pdf["_v"].to_numpy())
     return fd_reduce(rows, ell)
+
+
+# ---------------------------------------------------------------------------
+# Sparse random projection (Achlioptas 2003 / JL transform)
+# ---------------------------------------------------------------------------
+
+
+def achlioptas_matrix(d_in: int, d_out: int) -> list[list[float]]:
+    """Deterministic Achlioptas sparse projection matrix: entries
+    +sqrt(3/d_out), 0, -sqrt(3/d_out) with probabilities 1/6, 2/3,
+    1/6, derived from md5(i,j) so every engine/run builds the
+    identical matrix (no RNG state). Satisfies the JL moment
+    conditions (E[r]=0, E[r^2]=1/d_out), so projected squared
+    distances are unbiased estimates of the originals."""
+    import hashlib
+
+    scale = (3.0 / d_out) ** 0.5
+    mat = []
+    for j in range(d_out):
+        row = []
+        for i in range(d_in):
+            h = int(
+                hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:8], 16
+            )
+            u = h % 6
+            row.append(scale if u == 0 else (-scale if u == 1 else 0.0))
+        mat.append(row)
+    return mat
+
+
+def random_project(
+    df: DataFrame, vec_col: str, d_out: int = 16
+) -> DataFrame:
+    """Project the array<float> column to d_out dims with the
+    deterministic Achlioptas matrix: the matrix rides in as ONE
+    array<array<double>> column from a 1-row broadcast and the
+    projection is a nested higher-order fold — JVM-side, map-only,
+    O(1)-sized plan regardless of d_in x d_out (the
+    catalyst-plan-compile lesson; see similarity/ivf.py)."""
+    d_in = len(df.select(vec_col).first()[0])
+    mat = achlioptas_matrix(d_in, d_out)
+    pm = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(mat,)], "pmat array<array<double>>"
+        )
+    )
+
+    def dot(vec, row):
+        return F.aggregate(
+            F.zip_with(vec, row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        df.crossJoin(pm)
+        .withColumn(
+            "proj",
+            F.transform(
+                F.col("pmat"), lambda r: dot(F.col(vec_col).cast("array<double>"), r)
+            ),
+        )
+        .drop("pmat")
+    )
