@@ -120,6 +120,17 @@ HEADLINE = [
     "conformal_interval_coverage",  # order-statistic conformal interval
     "bh_fdr_correction",       # step-up FDR over a z-test battery
     "importance_weight_ess",   # Kish ESS over DSIR weights
+    # round 6 continuation
+    "fisher_exact_weekend_purchase",  # distributed-lnfact exact test
+    "ljung_box_daily_revenue",        # all-lags equi-join portmanteau
+    "local_clustering_parts",         # per-node triangle explode
+    "rolling_30day_distinct_users",   # coverage-explode window distinct
+    "time_travel_asof_orders",        # CDC-log AS-OF reconstruction
+    "heaps_law_fit",                  # global row number + grid join
+    "shapley_channel_attribution",    # bitmask coalition aggregate
+    "frequent_directions_spectrum",   # mergeable FD matrix sketch
+    "jl_random_projection",           # broadcast-matrix JL transform
+    "holt_winters_forecast_revenue",  # seasonal-ring recursion
 ]
 
 
