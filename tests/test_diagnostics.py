@@ -683,3 +683,83 @@ def test_jl_projection_numpy_parity_and_distance_preservation(spark):
     ratios = np.array(ratios)
     assert abs(ratios.mean() - 1.0) < 0.1  # unbiased on average
     assert (ratios > 0.3).all() and (ratios < 2.5).all()  # k=16 tails
+
+
+def test_friedman_matches_rank_referee(spark):
+    """R232 referee: pandas rank-within-block recomputation."""
+    from zoom_spark.queries.rank_stats import friedman_priority_by_weekday
+
+    [got] = friedman_priority_by_weekday(spark, SF_DIR).collect()
+    o = _orders()
+    days = (
+        pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    o = o.assign(block=days % 7)
+    cell = (
+        o.groupby(["block", "o_orderpriority"])["o_totalprice"]
+        .mean()
+        .round(4)
+        .reset_index(name="m")
+    )
+    cell["r"] = cell.groupby("block")["m"].rank(method="min")
+    rj = cell.groupby("o_orderpriority")["r"].sum()
+    k, b = len(rj), cell["block"].nunique()
+    ss = float((rj**2).sum())
+    chi2 = 12.0 * ss / (b * k * (k + 1)) - 3.0 * b * (k + 1)
+    assert got["n_treatments"] == k and got["n_blocks"] == b
+    assert got["friedman_chi2"] == pytest.approx(round(chi2, 6), abs=1e-6)
+    assert got["kendalls_w"] == pytest.approx(
+        round(chi2 / (b * (k - 1)), 6), abs=1e-6
+    )
+    # W is a concordance coefficient: 0 <= W <= 1
+    assert -1e-9 <= got["kendalls_w"] <= 1 + 1e-9
+
+
+def test_overdispersion_matches_numpy_referee(spark):
+    from zoom_spark.queries.rank_stats import overdispersion_daily_events
+
+    [got] = overdispersion_daily_events(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    c = ev.groupby(pd.to_datetime(ev["ts"]).dt.normalize()).size()
+    mean_c, var_c = round(c.mean(), 6), round(c.var(ddof=1), 6)
+    assert got["n_days"] == len(c)
+    assert got["n_events"] == int(c.sum())
+    assert got["mean_c"] == pytest.approx(mean_c, abs=1e-9)
+    assert got["var_c"] == pytest.approx(var_c, abs=1e-9)
+    assert got["dispersion_index"] == pytest.approx(
+        round(var_c / mean_c, 6), abs=1e-6
+    )
+    assert got["chi2_stat"] == pytest.approx(
+        round((len(c) - 1) * var_c / mean_c, 6), abs=1e-4
+    )
+
+
+def test_l_diversity_matches_counter_referee(spark):
+    """R234 referee: per-class Counter entropy; also the structural
+    relations distinct_l >= entropy_l and entropy_l <= class_size."""
+    import math
+    from collections import Counter
+
+    from zoom_spark.queries.warehouse_ops import l_diversity_report
+
+    rows = {
+        (r["qi1"], r["qi2"]): r
+        for r in l_diversity_report(spark, SF_DIR).collect()
+    }
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    c["qi2"] = c["c_nationkey"] % 5
+    c["sens"] = np.floor(c["c_acctbal"] / 2000).astype(int)
+    for (q1, q2), grp in c.groupby(["c_mktsegment", "qi2"]):
+        r = rows[(q1, q2)]
+        cnt = Counter(grp["sens"])
+        n = len(grp)
+        h = -sum((v / n) * math.log(v / n) for v in cnt.values())
+        assert r["class_size"] == n
+        assert r["distinct_l"] == len(cnt)
+        assert r["entropy_nats"] == pytest.approx(round(h, 6), abs=2e-6)
+        assert r["entropy_l"] == pytest.approx(
+            round(math.exp(round(h, 6)), 4), abs=1e-4
+        )
+        assert r["entropy_l"] <= r["distinct_l"] + 1e-9
+    assert len(rows) == c.groupby(["c_mktsegment", "qi2"]).ngroups

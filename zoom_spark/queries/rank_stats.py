@@ -673,3 +673,152 @@ def cochran_armitage_weekday_trend(
         "z",
         _erf_tail_p(F.abs(F.col("z"))).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R232: Friedman test + Kendall's W over weekday blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "friedman_priority_by_weekday",
+    sql="""
+    WITH cell AS (
+      SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7
+               AS BIGINT) AS block,
+             o_orderpriority AS trt,
+             round(avg(o_totalprice), 4) AS m
+      FROM orders GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT block, trt,
+             CAST(rank() OVER (PARTITION BY block ORDER BY m) AS BIGINT)
+               AS r
+      FROM cell
+    ),
+    rj AS (
+      SELECT trt, CAST(sum(r) AS BIGINT) AS rsum,
+             CAST(count(*) AS BIGINT) AS b
+      FROM rk GROUP BY trt
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, any_value(b) AS b,
+             CAST(sum(rsum * rsum) AS BIGINT) AS ss
+      FROM rj
+    )
+    SELECT k AS n_treatments, b AS n_blocks,
+           round(12.0 * ss / (b * k * (k + 1)) - 3.0 * b * (k + 1), 6)
+             AS friedman_chi2,
+           round((12.0 * ss / (b * k * (k + 1)) - 3.0 * b * (k + 1))
+                 / (b * (k - 1)), 6) AS kendalls_w
+    FROM agg
+    """,
+)
+def friedman_priority_by_weekday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R232 Friedman rank test: do the 5 priority classes
+    consistently order by mean order value across the 7 weekday
+    blocks? Rank-within-block (7-row partitions over the 35-cell
+    pre-aggregate — constant-sized), χ²_F = 12/(bk(k+1))·ΣR_j² −
+    3b(k+1), plus Kendall's W = χ²_F/(b(k−1)) concordance. Cell
+    means are rounded before ranking so tie behavior is identical on
+    both engines; all sums exact integers after ranking. The
+    repeated-measures sibling of kruskal_wallis_segments."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        (
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            % 7
+        )
+        .cast("bigint")
+        .alias("block"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(F.round(F.avg("o_totalprice"), 4).alias("m"))
+    w = Window.partitionBy("block").orderBy("m")
+    rk = cell.select(
+        "block", "trt", F.rank().over(w).cast("bigint").alias("r")
+    )
+    rj = rk.groupBy("trt").agg(
+        F.sum("r").cast("bigint").alias("rsum"),
+        F.count("*").cast("bigint").alias("b"),
+    )
+    agg = rj.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.any_value("b").alias("b"),
+        F.sum(F.col("rsum") * F.col("rsum")).cast("bigint").alias("ss"),
+    )
+    chi2 = (
+        12.0 * F.col("ss") / (F.col("b") * F.col("k") * (F.col("k") + 1))
+        - 3.0 * F.col("b") * (F.col("k") + 1)
+    )
+    return agg.select(
+        F.col("k").alias("n_treatments"),
+        F.col("b").alias("n_blocks"),
+        F.round(chi2, 6).alias("friedman_chi2"),
+        F.round(chi2 / (F.col("b") * (F.col("k") - 1)), 6).alias(
+            "kendalls_w"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R233: overdispersion (index of dispersion) test on daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "overdispersion_daily_events",
+    sql="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS total,
+             round(avg(c), 6) AS mean_c,
+             round(var_samp(c), 6) AS var_c
+      FROM day
+    )
+    SELECT n AS n_days, total AS n_events, mean_c, var_c,
+           round(var_c / mean_c, 6) AS dispersion_index,
+           round((n - 1) * var_c / mean_c, 6) AS chi2_stat
+    FROM m
+    """,
+)
+def overdispersion_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R233 Poisson overdispersion check on daily event counts: the
+    index of dispersion D = s²/x̄ (D≈1 under Poisson) and the
+    conditional chi-square statistic (n−1)·D — the first diagnostic
+    before fitting any count model (negative-binomial vs Poisson).
+    One day-level aggregate, one 1-row moment reduce; mean/variance
+    rounded before the ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.round(F.avg("c"), 6).alias("mean_c"),
+        F.round(F.var_samp("c"), 6).alias("var_c"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("total").alias("n_events"),
+        "mean_c",
+        "var_c",
+        F.round(F.col("var_c") / F.col("mean_c"), 6).alias(
+            "dispersion_index"
+        ),
+        F.round(
+            (F.col("n") - 1) * F.col("var_c") / F.col("mean_c"), 6
+        ).alias("chi2_stat"),
+    )

@@ -705,3 +705,78 @@ def time_travel_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
     )
     return asof.select(F.col("k").alias("o_orderkey"), "price", "status")
+
+
+@register(
+    "l_diversity_report",
+    sql="""
+    WITH t AS (
+      SELECT c_mktsegment AS qi1, c_nationkey % 5 AS qi2,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS sensitive
+      FROM customer
+    ),
+    cls AS (
+      SELECT qi1, qi2,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT sensitive) AS BIGINT) AS distinct_l
+      FROM t GROUP BY qi1, qi2
+    ),
+    ent AS (
+      SELECT qi1, qi2,
+             round(-sum(p * ln(p)), 6) AS entropy_nats
+      FROM (
+        SELECT qi1, qi2,
+               CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY qi1, qi2) AS p
+        FROM t GROUP BY qi1, qi2, sensitive
+      ) q
+      GROUP BY qi1, qi2
+    )
+    SELECT cls.qi1, cls.qi2, cls.class_size, cls.distinct_l,
+           ent.entropy_nats,
+           round(exp(ent.entropy_nats), 4) AS entropy_l
+    FROM cls JOIN ent ON cls.qi1 = ent.qi1 AND cls.qi2 = ent.qi2
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit per quasi-identifier class (the step after
+    k-anonymity): distinct-l (count of distinct sensitive values in
+    the class) and ENTROPY l-diversity exp(H(sensitive|class)) — the
+    privacy guarantee k_anonymity_report cannot see (a large class
+    whose sensitive attribute is constant is k-anonymous but 1-
+    diverse). Two hash aggregates + one per-class entropy reduce;
+    within-class shares are exact-count ratios."""
+    c = load_table(spark, sf_dir, "customer")
+    t = c.select(
+        F.col("c_mktsegment").alias("qi1"),
+        (F.col("c_nationkey") % 5).alias("qi2"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias(
+            "sensitive"
+        ),
+    )
+    cls = t.groupBy("qi1", "qi2").agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.countDistinct("sensitive").cast("bigint").alias("distinct_l"),
+    )
+    cell = t.groupBy("qi1", "qi2", "sensitive").agg(
+        F.count("*").alias("cnt")
+    )
+    tot = cell.groupBy("qi1", "qi2").agg(F.sum("cnt").alias("ncls"))
+    ent = (
+        cell.join(tot, ["qi1", "qi2"])
+        .select(
+            "qi1",
+            "qi2",
+            (F.col("cnt").cast("double") / F.col("ncls")).alias("p"),
+        )
+        .groupBy("qi1", "qi2")
+        .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy_nats"))
+    )
+    return cls.join(ent, ["qi1", "qi2"]).select(
+        "qi1",
+        "qi2",
+        "class_size",
+        "distinct_l",
+        "entropy_nats",
+        F.round(F.exp("entropy_nats"), 4).alias("entropy_l"),
+    )
