@@ -124,6 +124,17 @@ EXPECTATIONS = {
     "jl_random_projection": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # SNM: 3-row offset frame crossed onto the vocabulary ranks
+    # (constant-size BNLJ by design); the window join itself is a
+    # broadcast equi-join on rank + k
+    "sorted_neighborhood_pairs": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
+    # exponential fit: 1-row (n, mean) broadcast crossed onto the
+    # distinct-gap ECDF frame (scalar BNLJ by design)
+    "exponential_fit_interevent": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

@@ -763,3 +763,66 @@ def test_l_diversity_matches_counter_referee(spark):
         )
         assert r["entropy_l"] <= r["distinct_l"] + 1e-9
     assert len(rows) == c.groupby(["c_mktsegment", "qi2"]).ngroups
+
+
+def test_sorted_neighborhood_matches_bruteforce_referee(spark):
+    """R235 referee: brute-force the sorted window from the pandas
+    vocabulary with the repo's pure-Python jaro (independent of the
+    Spark plan), and verify the SNM candidate contract (only
+    rank-gap <= W pairs are scored)."""
+    from zoom_spark.functions.jaro import jaro_winkler
+    from zoom_spark.queries.round6_breadth import (
+        SNM_THRESHOLD,
+        SNM_WINDOW,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = sorted_neighborhood_pairs(spark, SF_DIR).collect()
+    names = sorted(
+        pd.read_parquet(f"{SF_DIR}/part.parquet")["p_name"].unique()
+    )
+    want = {}
+    for i, a in enumerate(names):
+        for k in range(1, SNM_WINDOW + 1):
+            if i + k < len(names):
+                b = names[i + k]
+                jw = round(jaro_winkler(a, b), 6)
+                if jw >= SNM_THRESHOLD:
+                    want[(a, b)] = (k, jw)
+    got = {(r["name_a"], r["name_b"]): (r["rank_gap"], r["jw"]) for r in rows}
+    assert got == want
+    assert want, "fixture must produce SNM matches"
+
+
+def test_exponential_fit_matches_numpy_referee(spark):
+    """R236 referee: numpy MLE + two-sided KS against the fitted
+    exponential on the same per-user gaps."""
+    from zoom_spark.queries.survival import exponential_fit_interevent
+
+    [got] = exponential_fit_interevent(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    us = ev["ts"].astype("int64")  # ns or us depending on encoding
+    unit = 1e9 if us.iloc[0] > 10**17 else 1e6
+    gaps = []
+    for _, grp in ev.groupby("user_id"):
+        t = grp["ts"].astype("int64").to_numpy()
+        d = np.diff(t) / unit
+        gaps.extend(d[d > 0])
+    x = np.sort(np.array(gaps))
+    n = len(x)
+    mean_x = round(x.mean(), 6)
+    fitted = 1 - np.exp(-x / mean_x)
+    i = np.arange(1, n + 1)
+    ks = max(
+        np.max(np.abs(i / n - fitted)),
+        np.max(np.abs((i - 1) / n - fitted)),
+    )
+    assert got["n_gaps"] == n
+    assert got["mean_gap_sec"] == pytest.approx(mean_x, abs=1e-6)
+    assert got["lambda_per_sec"] == pytest.approx(
+        round(1 / mean_x, 8), abs=1e-8
+    )
+    assert got["ks_stat"] == pytest.approx(round(ks, 6), abs=2e-6)
+    assert 0 < got["ks_stat"] < 1

@@ -857,3 +857,76 @@ def jaro_winkler_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# R235: sorted-neighborhood entity-resolution blocking
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3
+SNM_THRESHOLD = 0.85
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    sql=f"""
+    WITH nm AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    rk AS (
+      SELECT p_name, n_parts,
+             CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS rn
+      FROM nm
+    ),
+    cand AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             b.rn - a.rn AS rank_gap
+      FROM rk a JOIN rk b
+        ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+    )
+    SELECT name_a, name_b, rank_gap,
+           round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+    FROM cand
+    WHERE jaro_winkler_similarity(name_a, name_b) >= {SNM_THRESHOLD}
+    """,
+)
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R235 sorted-neighborhood method (SNM) for entity resolution:
+    sort the name vocabulary once (two-phase distributed row number —
+    no single-task global sort), slide a window of W=3, and score
+    only rank-adjacent candidates with the repo's pure-Python
+    Jaro-Winkler (Arrow-batched) — candidates are W·N instead of N².
+    The window join is an offset-explode equi-join (rank + k), the
+    same shape as the Ljung-Box lag join. Complements
+    jaro_winkler_name_pairs' key blocking with the ordering-based
+    blocking family (Hernández-Stolfo)."""
+    from zoom_spark.functions.jaro import jaro_winkler_udf
+    from zoom_spark.operators.prefix import global_row_number
+
+    part = load_table(spark, sf_dir, "part")
+    nm = part.groupBy("p_name").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    rk = global_row_number(nm, ["p_name"], out_col="rn").select(
+        "p_name", "rn"
+    )
+    offs = spark.createDataFrame(
+        [(k,) for k in range(1, SNM_WINDOW + 1)], "k bigint"
+    )
+    a = rk.select(F.col("p_name").alias("name_a"), F.col("rn").alias("ra"))
+    b = rk.select(F.col("p_name").alias("name_b"), F.col("rn").alias("rb"))
+    cand = (
+        a.crossJoin(F.broadcast(offs))
+        .withColumn("target", F.col("ra") + F.col("k"))
+        .join(b, F.col("rb") == F.col("target"))
+        .select("name_a", "name_b", F.col("k").alias("rank_gap"))
+    )
+    scored = cand.withColumn(
+        "jw", F.round(jaro_winkler_udf("name_a", "name_b"), 6)
+    )
+    return scored.where(F.col("jw") >= SNM_THRESHOLD).select(
+        "name_a", "name_b", "rank_gap", "jw"
+    )

@@ -332,3 +332,96 @@ def nelson_aalen_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ch", 6).alias("cum_hazard"),
         F.round(F.sqrt("vr"), 6).alias("se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R236: exponential MLE + KS goodness-of-fit on inter-event gaps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exponential_fit_interevent",
+    sql="""
+    WITH g AS (
+      SELECT (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) - epoch_us(ts)) / 1000000.0 AS x
+      FROM events
+    ),
+    gg AS (SELECT x FROM g WHERE x IS NOT NULL AND x > 0),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(avg(x), 6) AS mean_x
+      FROM gg
+    ),
+    pv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM gg GROUP BY x),
+    cum AS (
+      SELECT x, cnt,
+             CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM pv
+    ),
+    dev AS (
+      SELECT greatest(
+               abs(CAST(c AS DOUBLE) / m.n
+                   - (1 - exp(-x / m.mean_x))),
+               abs(CAST(c - cnt AS DOUBLE) / m.n
+                   - (1 - exp(-x / m.mean_x)))
+             ) AS d
+      FROM cum CROSS JOIN m
+    )
+    SELECT m.n AS n_gaps, m.mean_x AS mean_gap_sec,
+           round(1.0 / m.mean_x, 8) AS lambda_per_sec,
+           (SELECT round(max(d), 6) FROM dev) AS ks_stat
+    FROM m
+    """,
+)
+def exponential_fit_interevent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R236 parametric survival fit: exponential MLE λ̂ = 1/x̄ on
+    per-user inter-event gaps (exact integer microseconds → seconds),
+    plus the Kolmogorov-Smirnov goodness-of-fit distance against the
+    fitted Exp(λ̂) — both ECDF step sides per distinct gap via the
+    prefix-count scan, the fitted CDF evaluated with the ROUNDED mean
+    so both engines exponentiate identical arguments. Quantifies how
+    non-Poisson the event stream is (burstiness; the continuous twin
+    of overdispersion_daily_events). One user-partition window + one
+    distinct-value prefix pass."""
+    from pyspark.sql import Window
+
+    from zoom_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            (
+                F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+            )
+            / 1000000.0
+        ).alias("x")
+    ).where(F.col("x").isNotNull() & (F.col("x") > 0))
+    m = g.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("x"), 6).alias("mean_x"),
+    )
+    pv = g.groupBy("x").agg(F.count("*").cast("bigint").alias("cnt"))
+    cum = prefix_sum(pv, "x", "cnt", out_col="c").withColumn(
+        "c", F.col("c").cast("bigint")
+    )
+    fitted = 1 - F.exp(-F.col("x") / F.col("mean_x"))
+    dev = cum.crossJoin(F.broadcast(m)).select(
+        F.greatest(
+            F.abs(F.col("c").cast("double") / F.col("n") - fitted),
+            F.abs(
+                (F.col("c") - F.col("cnt")).cast("double") / F.col("n")
+                - fitted
+            ),
+        ).alias("d")
+    )
+    ks = dev.agg(F.round(F.max("d"), 6).alias("ks_stat"))
+    return m.crossJoin(F.broadcast(ks)).select(
+        F.col("n").alias("n_gaps"),
+        F.col("mean_x").alias("mean_gap_sec"),
+        F.round(1.0 / F.col("mean_x"), 8).alias("lambda_per_sec"),
+        "ks_stat",
+    )
