@@ -135,6 +135,11 @@ EXPECTATIONS = {
     "exponential_fit_interevent": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # DP median: 1-row n/median broadcasts crossed onto the candidate
+    # frame and the 1-row winner (scalar BNLJ by design)
+    "dp_median_exponential_mechanism": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

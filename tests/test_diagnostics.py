@@ -826,3 +826,47 @@ def test_exponential_fit_matches_numpy_referee(spark):
     )
     assert got["ks_stat"] == pytest.approx(round(ks, 6), abs=2e-6)
     assert 0 < got["ks_stat"] < 1
+
+
+def test_dp_median_matches_gumbel_referee(spark):
+    """R237 referee: recompute the exponential-mechanism winner
+    single-threaded (hashlib uniforms, Gumbel-max over all distinct
+    values) and check the privacy-utility contract — the DP median's
+    rank error is small relative to n at eps=1."""
+    import hashlib
+    import math
+
+    from zoom_spark.queries.warehouse_ops import (
+        DPQ_EPS,
+        dp_median_exponential_mechanism,
+    )
+
+    [got] = dp_median_exponential_mechanism(spark, SF_DIR).collect()
+    x = sorted(_orders()["o_totalprice"])
+    n = len(x)
+    # distinct values with ranks (count of values <= v)
+    ranks = {}
+    for i, v in enumerate(x, 1):
+        ranks[v] = i  # max index = count <= v
+    best_v, best_s, best_u = None, -math.inf, None
+    for v, r in ranks.items():
+        util = -abs(r - n / 2.0)
+        # both engines hash the value's decimal string rendering
+        key = str(v)
+        u01 = (
+            1.0
+            + int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        ) / 4294967297.0
+        s = DPQ_EPS / 2.0 * util - math.log(-math.log(u01))
+        if s > best_s or (s == best_s and v < best_v):
+            best_v, best_s, best_u = v, s, util
+    assert got["n"] == n
+    assert got["dp_median"] == pytest.approx(best_v, abs=1e-9)
+    assert got["rank_utility"] == pytest.approx(
+        round(best_u, 4) + 0.0, abs=1e-9
+    )
+    assert got["winning_score"] == pytest.approx(
+        round(best_s, 6), abs=2e-6
+    )
+    # utility contract: selected rank within 1% of the true median rank
+    assert abs(best_u) <= max(20, 0.01 * n)

@@ -780,3 +780,102 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_nats",
         F.round(F.exp("entropy_nats"), 4).alias("entropy_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R237: differentially-private median via the exponential mechanism
+# ---------------------------------------------------------------------------
+
+DPQ_EPS = 1.0
+
+
+@register(
+    "dp_median_exponential_mechanism",
+    sql=f"""
+    WITH v AS (SELECT o_totalprice AS x FROM orders),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    pv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY x),
+    cum AS (
+      SELECT x, CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+      FROM pv
+    ),
+    scored AS (
+      SELECT cum.x,
+             -abs(CAST(cum.r AS DOUBLE) - nn.n / 2.0) AS utility,
+             {DPQ_EPS!r} / 2.0
+               * (-abs(CAST(cum.r AS DOUBLE) - nn.n / 2.0))
+             - ln(-ln((1.0 + CAST(('0x' || substring(
+                   md5(CAST(cum.x AS VARCHAR)), 1, 8)) AS BIGINT))
+                 / 4294967297.0)) AS gumbel_score
+      FROM cum CROSS JOIN nn
+    ),
+    win AS (
+      SELECT x, utility, gumbel_score FROM scored
+      ORDER BY gumbel_score DESC, x LIMIT 1
+    )
+    SELECT nn.n,
+           win.x AS dp_median,
+           round(win.utility, 4) + 0.0 AS rank_utility,
+           round(win.gumbel_score, 6) AS winning_score,
+           (SELECT round(quantile_cont(x, 0.5), 4) FROM v)
+             AS exact_median
+    FROM win CROSS JOIN nn
+    """,
+)
+def dp_median_exponential_mechanism(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R237 ε-differentially-private MEDIAN by the exponential
+    mechanism (McSherry-Talwar) with Gumbel-max selection — the
+    standard distributed formulation because argmax(score + Gumbel)
+    samples exactly from the exponential-mechanism distribution and
+    is embarrassingly parallel (one TakeOrdered over candidates, no
+    sequential sampling). Utility = −|rank − n/2| from the
+    distinct-value prefix scan; sensitivity 1. Gumbel noise derives
+    from the repo's md5-uniform idiom so BOTH engines select the
+    identical winner (replay-deterministic gate; a production run
+    would swap in a fresh seed, changing nothing structural). The
+    privacy-utility tradeoff is referee-tested: the winner's rank
+    error vs the exact median."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x")
+    )
+    nn = o.agg(F.count("*").cast("bigint").alias("n"))
+    pv = o.groupBy("x").agg(F.count("*").cast("bigint").alias("cnt"))
+    cum = prefix_sum(pv, "x", "cnt", out_col="r").withColumn(
+        "r", F.col("r").cast("bigint")
+    )
+    u = (
+        1.0
+        + F.conv(
+            F.substring(F.md5(F.col("x").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+    ) / F.lit(4294967297.0)
+    utility = -F.abs(F.col("r").cast("double") - F.col("n") / 2.0)
+    scored = cum.crossJoin(F.broadcast(nn)).select(
+        "x",
+        utility.alias("utility"),
+        (DPQ_EPS / 2.0 * utility - F.log(-F.log(u))).alias(
+            "gumbel_score"
+        ),
+    )
+    win = scored.orderBy(
+        F.col("gumbel_score").desc(), F.col("x")
+    ).limit(1)
+    med = o.agg(
+        F.round(F.expr("percentile(x, 0.5)"), 4).alias("exact_median")
+    )
+    return (
+        win.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n",
+            F.col("x").alias("dp_median"),
+            (F.round(F.col("utility"), 4) + 0.0).alias("rank_utility"),
+            F.round(F.col("gumbel_score"), 6).alias("winning_score"),
+            "exact_median",
+        )
+    )
