@@ -140,6 +140,11 @@ EXPECTATIONS = {
     "dp_median_exponential_mechanism": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # Huber IRLS: 1-row fit/scale broadcasts crossed onto the
+    # calendar-bounded day frame each iteration (scalar BNLJ by design)
+    "huber_regression_revenue_trend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # runs test: 1-row (runs-count) broadcast crossed onto the 1-row
     # totals frame — scalar BNLJ by design
     "runs_test_purchase_sequence": dict(

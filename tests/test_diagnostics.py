@@ -870,3 +870,113 @@ def test_dp_median_matches_gumbel_referee(spark):
     )
     # utility contract: selected rank within 1% of the true median rank
     assert abs(best_u) <= max(20, 0.01 * n)
+
+
+def test_huber_matches_numpy_irls_referee(spark):
+    """R238 referee: independent numpy IRLS (same schedule: OLS start,
+    MAD scale, k=1.345, 2 iterations) on the unrounded day series —
+    loose-but-binding tolerance since rounding schedules differ; plus
+    the robustness contract (huber slope finite, weights <= n)."""
+    from zoom_spark.queries.diagnostics import (
+        HUBER_K,
+        _JB_SCALE,
+        huber_regression_revenue_trend,
+    )
+
+    [got] = huber_regression_revenue_trend(spark, SF_DIR).collect()
+    o = _orders()
+    g = o.groupby("o_orderdate")["o_totalprice"].sum().sort_index()
+    t = np.array(
+        [
+            (pd.Timestamp(d) - pd.Timestamp("1970-01-01")).days
+            for d in g.index
+        ],
+        dtype=float,
+    )
+    y = np.round(g.to_numpy() * _JB_SCALE, 6)
+    n = len(y)
+
+    def wls(w):
+        mt, my = (w * t).sum() / w.sum(), (w * y).sum() / w.sum()
+        b1 = ((w * (t - mt) * (y - my)).sum()) / (
+            (w * (t - mt) ** 2).sum()
+        )
+        return b1, my - b1 * mt
+
+    b1, b0 = wls(np.ones(n))
+    ols_slope = b1
+    for _ in range(2):
+        r = np.abs(y - b0 - b1 * t)
+        s = np.median(r) / 0.6745
+        w = np.minimum(1.0, HUBER_K * s / np.maximum(r, 1e-12))
+        b1, b0 = wls(w)
+    assert got["n_days"] == n
+    assert got["slope_ols"] == pytest.approx(ols_slope, abs=1e-4)
+    assert got["slope_huber"] == pytest.approx(b1, abs=5e-4)
+    assert got["intercept_huber"] == pytest.approx(b0, abs=50.0 * 1e-4 * abs(b0) + 0.5)
+    assert 0 < got["total_weight"] <= n
+    # outlier days exist, so some weights must actually be < 1
+    assert got["total_weight"] < n - 0.5
+
+
+def test_risk_ratio_matches_lgamma_free_referee(spark):
+    import math
+
+    from zoom_spark.queries.diagnostics import (
+        RR_Z,
+        risk_ratio_weekend_purchase,
+    )
+
+    [got] = risk_ratio_weekend_purchase(spark, SF_DIR).collect()
+    a, b = got["weekend_purchases"], got["weekend_other"]
+    c, d = got["weekday_purchases"], got["weekday_other"]
+    # cross-check counts against the Fisher query's table
+    from zoom_spark.queries.experimentation import (
+        fisher_exact_weekend_purchase,
+    )
+
+    [f] = fisher_exact_weekend_purchase(spark, SF_DIR).collect()
+    assert (a, b, c, d) == (
+        f["weekend_purchases"],
+        f["weekend_other"],
+        f["weekday_purchases"],
+        f["weekday_other"],
+    )
+    lrr = math.log((a / (a + b)) / (c / (c + d)))
+    se = math.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    assert got["risk_ratio"] == pytest.approx(math.exp(lrr), abs=1e-5)
+    assert got["rr_ci_lo"] == pytest.approx(
+        math.exp(lrr - RR_Z * se), abs=1e-4
+    )
+    assert got["rr_ci_hi"] == pytest.approx(
+        math.exp(lrr + RR_Z * se), abs=1e-4
+    )
+    # CI ordering and containment of the point estimate
+    assert got["rr_ci_lo"] < got["risk_ratio"] < got["rr_ci_hi"]
+    assert got["or_ci_lo"] < got["odds_ratio"] < got["or_ci_hi"]
+    # OR is farther from 1 than RR (|log OR| >= |log RR|, same sign)
+    assert abs(math.log(got["odds_ratio"])) >= abs(
+        math.log(got["risk_ratio"])
+    ) - 1e-9
+
+
+def test_spiegelhalter_z_matches_pandas_referee(spark):
+    from zoom_spark.queries.diagnostics import spiegelhalter_z_calibration
+
+    [got] = spiegelhalter_z_calibration(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["hr"] = pd.to_datetime(ev["ts"]).dt.hour
+    ev["o"] = (ev["event_type"] == "purchase").astype(float)
+    train = ev[ev["event_id"] % 2 == 0]
+    test = ev[ev["event_id"] % 2 == 1].copy()
+    fc = train.groupby("hr")["o"].mean().round(6)
+    test["fc"] = test["hr"].map(fc)
+    num = ((test["o"] - test["fc"]) * (1 - 2 * test["fc"])).sum()
+    var = (
+        test["fc"] * (1 - test["fc"]) * (1 - 2 * test["fc"]) ** 2
+    ).sum()
+    z = num / np.sqrt(var)
+    assert got["n"] == len(test)
+    assert got["spiegelhalter_z"] == pytest.approx(round(z, 6), abs=2e-5)
+    # a train/test split of a stationary process: |Z| should be modest
+    assert abs(got["spiegelhalter_z"]) < 5

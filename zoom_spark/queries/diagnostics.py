@@ -909,3 +909,392 @@ def partial_correlation_daily(
             6,
         ).alias("partial_rev_cust_given_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R238: Huber robust regression (2 fixed IRLS iterations)
+# ---------------------------------------------------------------------------
+
+HUBER_K = 1.345  # the classic 95%-efficiency tuning constant
+HUBER_ITERS = 2
+
+
+@register(
+    "huber_regression_revenue_trend",
+    sql=f"""
+    WITH day AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+               AS t,
+             round(CAST(sum(o_totalprice) AS DOUBLE) * {_JB_SCALE!r}, 6)
+               AS y
+      FROM orders GROUP BY o_orderdate
+    ),
+    m0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(avg(t), 6) AS mt,
+             round(avg(y), 6) AS my
+      FROM day
+    ),
+    f0 AS (
+      SELECT any_value(n) AS n, any_value(mt) AS mt, any_value(my) AS my,
+             round(sum((t - mt) * (y - my)) / sum((t - mt) * (t - mt)), 8)
+               AS b1
+      FROM day CROSS JOIN m0
+    ),
+    fit0 AS (SELECT n, round(my - b1 * mt, 6) AS b0, b1 FROM f0),
+    s1 AS (
+      SELECT round(quantile_cont(abs(d.y - f.b0 - f.b1 * d.t), 0.5)
+                   / 0.6745, 6) AS s
+      FROM day d CROSS JOIN fit0 f
+    ),
+    w1 AS (
+      SELECT d.t, d.y,
+             least(1.0, {HUBER_K!r} * s1.s
+                   / greatest(abs(d.y - f.b0 - f.b1 * d.t), 1e-12)) AS w
+      FROM day d CROSS JOIN fit0 f CROSS JOIN s1
+    ),
+    f1 AS (
+      SELECT round(sum(w * t) / sum(w), 6) AS mt,
+             round(sum(w * y) / sum(w), 6) AS my
+      FROM w1
+    ),
+    b1c AS (
+      SELECT round(sum(w.w * (w.t - f.mt) * (w.y - f.my))
+                   / sum(w.w * (w.t - f.mt) * (w.t - f.mt)), 8) AS b1,
+             any_value(f.mt) AS mt, any_value(f.my) AS my
+      FROM w1 w CROSS JOIN f1 f
+    ),
+    fit1 AS (SELECT round(my - b1 * mt, 6) AS b0, b1 FROM b1c),
+    s2 AS (
+      SELECT round(quantile_cont(abs(d.y - f.b0 - f.b1 * d.t), 0.5)
+                   / 0.6745, 6) AS s
+      FROM day d CROSS JOIN fit1 f
+    ),
+    w2 AS (
+      SELECT d.t, d.y,
+             least(1.0, {HUBER_K!r} * s2.s
+                   / greatest(abs(d.y - f.b0 - f.b1 * d.t), 1e-12)) AS w
+      FROM day d CROSS JOIN fit1 f CROSS JOIN s2
+    ),
+    f2 AS (
+      SELECT round(sum(w * t) / sum(w), 6) AS mt,
+             round(sum(w * y) / sum(w), 6) AS my
+      FROM w2
+    ),
+    b2c AS (
+      SELECT round(sum(w.w * (w.t - f.mt) * (w.y - f.my))
+                   / sum(w.w * (w.t - f.mt) * (w.t - f.mt)), 8) AS b1,
+             any_value(f.mt) AS mt, any_value(f.my) AS my,
+             round(sum(w.w), 6) AS total_weight
+      FROM w2 w CROSS JOIN f2 f
+    )
+    SELECT f0.n AS n_days,
+           round(fit0.b1, 6) AS slope_ols,
+           round(b2c.b1, 6) AS slope_huber,
+           round(b2c.my - b2c.b1 * b2c.mt, 4) AS intercept_huber,
+           b2c.total_weight
+    FROM b2c CROSS JOIN fit0 CROSS JOIN f0
+    """,
+)
+def huber_regression_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R238 Huber M-estimator of the daily-revenue trend via TWO fixed
+    IRLS iterations (k=1.345, scale = MAD/0.6745 refreshed per
+    iteration): start from OLS, downweight residuals beyond k·s,
+    refit weighted least squares — each iteration is one aggregate
+    over the calendar-bounded day frame, so the whole robust fit is a
+    fixed pipeline of scans (no driver loop, no UDF). Every
+    intermediate (means, slope, scale) is rounded before reuse so
+    both engines iterate identically. The robust sibling of
+    theil_sen_revenue_trend (rank-based) and R205's OLS."""
+    o = load_table(spark, sf_dir, "orders")
+    day = o.groupBy("o_orderdate").agg(
+        F.round(F.sum("o_totalprice") * _JB_SCALE, 6).alias("y")
+    ).select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("t"),
+        "y",
+    )
+    m0 = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("t"), 6).alias("mt"),
+        F.round(F.avg("y"), 6).alias("my"),
+    )
+    f0 = day.crossJoin(F.broadcast(m0)).agg(
+        F.any_value("n").alias("n"),
+        F.any_value("mt").alias("mt"),
+        F.any_value("my").alias("my"),
+        F.round(
+            F.sum((F.col("t") - F.col("mt")) * (F.col("y") - F.col("my")))
+            / F.sum(
+                (F.col("t") - F.col("mt")) * (F.col("t") - F.col("mt"))
+            ),
+            8,
+        ).alias("b1"),
+    )
+    fit0 = f0.select(
+        "n",
+        F.round(F.col("my") - F.col("b1") * F.col("mt"), 6).alias("b0"),
+        "b1",
+    )
+
+    def irls_once(fit):
+        resid = F.abs(F.col("y") - F.col("b0") - F.col("b1") * F.col("t"))
+        s = day.crossJoin(F.broadcast(fit)).agg(
+            F.round(F.expr(
+                "percentile(abs(y - b0 - b1 * t), 0.5)"
+            ) / 0.6745, 6).alias("s")
+        )
+        w = (
+            day.crossJoin(F.broadcast(fit))
+            .crossJoin(F.broadcast(s))
+            .select(
+                "t",
+                "y",
+                F.least(
+                    F.lit(1.0),
+                    HUBER_K * F.col("s") / F.greatest(resid, F.lit(1e-12)),
+                ).alias("w"),
+            )
+        )
+        fm = w.agg(
+            F.round(F.sum(F.col("w") * F.col("t")) / F.sum("w"), 6).alias(
+                "mt"
+            ),
+            F.round(F.sum(F.col("w") * F.col("y")) / F.sum("w"), 6).alias(
+                "my"
+            ),
+        )
+        bc = w.crossJoin(F.broadcast(fm)).agg(
+            F.round(
+                F.sum(
+                    F.col("w")
+                    * (F.col("t") - F.col("mt"))
+                    * (F.col("y") - F.col("my"))
+                )
+                / F.sum(
+                    F.col("w")
+                    * (F.col("t") - F.col("mt"))
+                    * (F.col("t") - F.col("mt"))
+                ),
+                8,
+            ).alias("b1"),
+            F.any_value("mt").alias("mt"),
+            F.any_value("my").alias("my"),
+            F.round(F.sum("w"), 6).alias("total_weight"),
+        )
+        return bc
+
+    b1c = irls_once(fit0.select("b0", "b1"))
+    fit1 = b1c.select(
+        F.round(F.col("my") - F.col("b1") * F.col("mt"), 6).alias("b0"),
+        "b1",
+    )
+    b2c = irls_once(fit1)
+    return (
+        b2c.crossJoin(F.broadcast(fit0.select(F.col("b1").alias("ob1"))))
+        .crossJoin(F.broadcast(m0.select(F.col("n"))))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("ob1"), 6).alias("slope_ols"),
+            F.round(F.col("b1"), 6).alias("slope_huber"),
+            F.round(F.col("my") - F.col("b1") * F.col("mt"), 4).alias(
+                "intercept_huber"
+            ),
+            "total_weight",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R239: risk ratio / odds ratio with Katz log CIs (2x2 effect sizes)
+# ---------------------------------------------------------------------------
+
+RR_Z = 1.959963984540054  # N(0,1) 97.5% quantile literal, both engines
+
+
+@register(
+    "risk_ratio_weekend_purchase",
+    sql=f"""
+    WITH s AS (
+      SELECT CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') % 7 IN (5, 6)
+                  THEN 1 ELSE 0 END AS wk,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    cnt AS (
+      SELECT CAST(sum(wk * x) AS BIGINT) AS a,
+             CAST(sum(wk * (1 - x)) AS BIGINT) AS b,
+             CAST(sum((1 - wk) * x) AS BIGINT) AS c,
+             CAST(sum((1 - wk) * (1 - x)) AS BIGINT) AS d
+      FROM s
+    ),
+    eff AS (
+      SELECT a, b, c, d,
+             round(ln((CAST(a AS DOUBLE) / (a + b))
+                      / (CAST(c AS DOUBLE) / (c + d))), 8) AS lrr,
+             round(sqrt(1.0/a - 1.0/(a + b) + 1.0/c - 1.0/(c + d)), 8)
+               AS se_lrr,
+             round(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)), 8)
+               AS lor,
+             round(sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 8) AS se_lor
+      FROM cnt
+    )
+    SELECT a AS weekend_purchases, b AS weekend_other,
+           c AS weekday_purchases, d AS weekday_other,
+           round(exp(lrr), 6) AS risk_ratio,
+           round(exp(lrr - {RR_Z!r} * se_lrr), 6) AS rr_ci_lo,
+           round(exp(lrr + {RR_Z!r} * se_lrr), 6) AS rr_ci_hi,
+           round(exp(lor), 6) AS odds_ratio,
+           round(exp(lor - {RR_Z!r} * se_lor), 6) AS or_ci_lo,
+           round(exp(lor + {RR_Z!r} * se_lor), 6) AS or_ci_hi
+    FROM eff
+    """,
+)
+def risk_ratio_weekend_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R239 epidemiology-style 2×2 effect sizes: risk ratio and odds
+    ratio with Katz/Woolf log-scale 95% CIs — the interval companions
+    to R215's exact p-value on the same weekend×purchase table. One
+    integer aggregate; log effects and their SEs are rounded before
+    exponentiation (round-inputs-to-transcendentals rule); the z
+    quantile is a shared literal."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+    ).isin(5, 6)
+    s = ev.select(
+        F.when(wk, 1).otherwise(0).alias("wk"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    cnt = s.agg(
+        F.sum(F.col("wk") * F.col("x")).cast("bigint").alias("a"),
+        F.sum(F.col("wk") * (1 - F.col("x"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("wk")) * F.col("x")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("wk")) * (1 - F.col("x")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(n).cast("double") for n in ("a", "b", "c", "d"))
+    eff = cnt.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.log((a / (a + b)) / (c / (c + d))), 8).alias("lrr"),
+        F.round(
+            F.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d)), 8
+        ).alias("se_lrr"),
+        F.round(F.log(a * d / (b * c)), 8).alias("lor"),
+        F.round(F.sqrt(1 / a + 1 / b + 1 / c + 1 / d), 8).alias("se_lor"),
+    )
+    return eff.select(
+        F.col("a").alias("weekend_purchases"),
+        F.col("b").alias("weekend_other"),
+        F.col("c").alias("weekday_purchases"),
+        F.col("d").alias("weekday_other"),
+        F.round(F.exp("lrr"), 6).alias("risk_ratio"),
+        F.round(F.exp(F.col("lrr") - RR_Z * F.col("se_lrr")), 6).alias(
+            "rr_ci_lo"
+        ),
+        F.round(F.exp(F.col("lrr") + RR_Z * F.col("se_lrr")), 6).alias(
+            "rr_ci_hi"
+        ),
+        F.round(F.exp("lor"), 6).alias("odds_ratio"),
+        F.round(F.exp(F.col("lor") - RR_Z * F.col("se_lor")), 6).alias(
+            "or_ci_lo"
+        ),
+        F.round(F.exp(F.col("lor") + RR_Z * F.col("se_lor")), 6).alias(
+            "or_ci_hi"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R240: Spiegelhalter's Z calibration test for the hour-rate forecaster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spiegelhalter_z_calibration",
+    sql="""
+    WITH e AS (
+      SELECT hour(ts) AS hr, event_id % 2 AS fold,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS o
+      FROM events
+    ),
+    f AS (
+      SELECT hr, round(avg(o), 6) AS fc
+      FROM e WHERE fold = 0 GROUP BY hr
+    ),
+    t AS (
+      SELECT e.o, f.fc FROM e JOIN f ON e.hr = f.hr WHERE e.fold = 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(sum((o - fc) * (1 - 2 * fc)), 8) AS num,
+             round(sum(fc * (1 - fc) * (1 - 2 * fc) * (1 - 2 * fc)), 8)
+               AS var_term
+      FROM t
+    )
+    SELECT n, num AS z_numerator,
+           round(sqrt(var_term), 8) AS z_denominator,
+           round(num / sqrt(var_term), 6) AS spiegelhalter_z
+    FROM agg
+    """,
+)
+def spiegelhalter_z_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R240 Spiegelhalter's Z: is the held-out hour-rate forecaster's
+    Brier score consistent with perfect calibration?
+    Z = Σ(o−f)(1−2f) / sqrt(Σ f(1−f)(1−2f)²) over the odd test fold
+    (the hypothesis-test companion to R218's decomposition — same
+    fit/eval folds, same 24-row broadcast forecast join). One scan,
+    one 1-row reduce; numerator/variance rounded before the final
+    ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.hour("ts").alias("hr"),
+        (F.col("event_id") % 2).alias("fold"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("o"),
+    )
+    f = (
+        e.where(F.col("fold") == 0)
+        .groupBy("hr")
+        .agg(F.round(F.avg("o"), 6).alias("fc"))
+    )
+    t = (
+        e.where(F.col("fold") == 1)
+        .join(F.broadcast(f), "hr")
+        .select("o", "fc")
+    )
+    agg = t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum((F.col("o") - F.col("fc")) * (1 - 2 * F.col("fc"))), 8
+        ).alias("num"),
+        F.round(
+            F.sum(
+                F.col("fc")
+                * (1 - F.col("fc"))
+                * (1 - 2 * F.col("fc"))
+                * (1 - 2 * F.col("fc"))
+            ),
+            8,
+        ).alias("var_term"),
+    )
+    return agg.select(
+        "n",
+        F.col("num").alias("z_numerator"),
+        F.round(F.sqrt("var_term"), 8).alias("z_denominator"),
+        F.round(F.col("num") / F.sqrt("var_term"), 6).alias(
+            "spiegelhalter_z"
+        ),
+    )
