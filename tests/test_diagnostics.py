@@ -980,3 +980,40 @@ def test_spiegelhalter_z_matches_pandas_referee(spark):
     assert got["spiegelhalter_z"] == pytest.approx(round(z, 6), abs=2e-5)
     # a train/test split of a stationary process: |Z| should be modest
     assert abs(got["spiegelhalter_z"]) < 5
+
+
+def test_k_truss_matches_python_peeling_referee(spark):
+    """R241 referee: pure-Python iterative truss peeling (set-based
+    support recount each round) on the same co-purchase graph."""
+    from itertools import combinations
+
+    from zoom_spark.queries.advanced_analytics import k_truss_copurchase
+
+    rows = k_truss_copurchase(spark, SF_DIR).collect()
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["l_partkey"].unique()), 2):
+            edges.add((a, b))
+
+    K = 4
+    while True:
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        support = {
+            (a, b): len(adj[a] & adj[b]) for a, b in edges
+        }
+        keep = {e for e in edges if support[e] >= K - 2}
+        if keep == edges:
+            break
+        edges = keep
+    got = {(r["u"], r["v"]): r["support"] for r in rows}
+    assert set(got) == edges
+    for e in list(edges)[:200]:
+        assert got[e] == support[e]
+    # fixpoint is non-trivial: something was peeled, something survived
+    assert edges

@@ -405,3 +405,85 @@ def local_clustering(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFr
             ).alias("lcc"),
         )
     )
+
+
+def k_truss(
+    edges: DataFrame, k: int = 4, src: str = "u", dst: str = "v",
+    max_iters: int = 20,
+) -> DataFrame:
+    """k-truss decomposition: iteratively delete every edge supported
+    by fewer than k-2 triangles until fixpoint. Returns the surviving
+    edge list (u, v, support) — the classic dense-subgraph primitive
+    (a k-truss edge's endpoints share >= k-2 common neighbors, so
+    trusses are cohesive cores robust to spurious links; the edge
+    analog of k-core, which prunes by degree).
+
+    Each round: orient the CURRENT edge set by (degree, id), find
+    triangles once each via the bounded wedge join (compact-forward),
+    explode each triangle onto its three edges, count per-edge
+    support, filter. The loop is the CC/pagerank shape — one
+    wedge-join round per iteration, lineage truncated via lazy
+    localCheckpoint, driver-side count only to detect the fixpoint.
+    Support counting is exact, so the result is deterministic
+    regardless of partitioning."""
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        oriented = orient_edges(cur, src="u", dst="v")
+        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+        tri = (
+            e1.join(e2, on="src")
+            .where(F.col("e1.dst_ord") < F.col("e2.dst_ord"))
+            .select(
+                "src",
+                F.col("e1.dst").alias("wv"),
+                F.col("e2.dst").alias("ww"),
+            )
+            .join(
+                oriented.select(
+                    F.col("src").alias("wv"), F.col("dst").alias("ww")
+                ),
+                on=["wv", "ww"],
+            )
+        )
+        # explode each triangle onto its three UNDIRECTED edges
+        # (normalize to u < v so support keys match the edge list)
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("src", "wv").alias("u"),
+                        F.greatest("src", "wv").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("src", "ww").alias("u"),
+                        F.greatest("src", "ww").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("wv", "ww").alias("u"),
+                        F.greatest("wv", "ww").alias("v"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        support = tri_edges.groupBy("u", "v").agg(
+            F.count("*").cast("bigint").alias("support")
+        )
+        nxt = (
+            cur.join(support, on=["u", "v"], how="left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("u", "v", "support")
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt
+        n_edges = n_next
+        cur = nxt.select("u", "v")
+        if n_edges == 0:
+            return nxt
+    return nxt

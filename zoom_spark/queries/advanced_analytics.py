@@ -1037,3 +1037,19 @@ def local_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zoom_spark.operators.graph import local_clustering
 
     return local_clustering(_co_purchase_edges(spark, sf_dir))
+
+
+@register("k_truss_copurchase")  # iterative fixpoint: rows-only + referee
+def k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-purchase graph (operators/graph.k_truss):
+    iteratively delete edges supported by < 2 triangles to fixpoint —
+    the dense-core extraction that survives spurious co-occurrence
+    links, refining co_purchase_triangles (global count) and
+    local_clustering_parts (per-node) down to the edge level. One
+    bounded wedge-join round per iteration, CC/pagerank loop shape.
+    Referee: pure-Python iterative peeling on the same graph."""
+    from zoom_spark.operators.graph import k_truss
+
+    return k_truss(_co_purchase_edges(spark, sf_dir), k=4).orderBy(
+        "u", "v"
+    )
