@@ -352,7 +352,44 @@ def frequent_directions_spectrum(
     )
 
 
-@register("jl_random_projection")  # deterministic JL transform: rows-only
+def _jl_oracle_sql() -> str:
+    """The Achlioptas matrix is deterministic, so the JL projection is
+    fully oracle-able: nonzero entries ride in as a VALUES table and
+    DuckDB recomputes the same fixed-point CSV. `+ 0.0` after round
+    normalizes IEEE -0.0 on both engines (driver-gate-constraints
+    memory)."""
+    from zoom_spark.similarity.fd import achlioptas_matrix
+
+    vals = ", ".join(
+        f"({j}, {i + 1}, {w!r})"
+        for j, row in enumerate(achlioptas_matrix(64, 16))
+        for i, w in enumerate(row)
+        if w != 0.0
+    )
+    return f"""
+    WITH w(j, i, wt) AS (VALUES {vals}),
+    s AS (
+      SELECT e.vec_id, w.j,
+             CAST(sum(CAST(round(CAST(e.embedding[w.i] AS DOUBLE)
+                                 * CAST(w.wt AS DOUBLE) * 10000000)
+                           AS BIGINT)) AS BIGINT) AS t
+      FROM embeddings e JOIN w ON TRUE
+      GROUP BY e.vec_id, w.j
+    ),
+    r AS (
+      SELECT vec_id, j,
+             CASE WHEN t >= 0 THEN (t + 500) // 1000
+                  ELSE -((-t + 500) // 1000) END AS p4
+      FROM s
+    )
+    SELECT vec_id,
+           string_agg(printf('%.4f', (p4 + 0) / 10000.0), ',' ORDER BY j)
+             AS proj_csv
+    FROM r GROUP BY vec_id
+    """
+
+
+@register("jl_random_projection", sql=_jl_oracle_sql())
 def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R230 Johnson-Lindenstrauss sparse random projection
     (similarity/fd.py random_project): 64-d embeddings -> 16-d with
@@ -370,7 +407,8 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",",
             F.transform(
-                "proj", lambda x: F.format_string("%.4f", F.round(x, 4))
+                "proj",
+                lambda x: F.format_string("%.4f", x),
             ),
         ).alias("proj_csv"),
     )

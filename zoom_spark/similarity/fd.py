@@ -146,11 +146,26 @@ def random_project(
     )
 
     def dot(vec, row):
-        return F.aggregate(
-            F.zip_with(vec, row, lambda a, b: a * b),
-            F.lit(0.0),
+        # each product snaps to an integer 1e-7 grid BEFORE the sum, so
+        # the fold is an exact integer sum — bit-identical under ANY
+        # evaluation/merge order (what makes this projection fully
+        # oracle-able against an engine whose sum order differs)
+        t = F.aggregate(
+            F.zip_with(
+                vec,
+                row,
+                lambda a, b: F.round(a * b * 1e7).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
+        # 4dp rounding in INTEGER arithmetic (half away from zero):
+        # float rounding of t/1e7 hits half-boundaries ~1% of the
+        # time and engines disagree there; integer rounding cannot
+        p4 = F.when(t >= 0, (t + 500) / F.lit(1000)).otherwise(
+            -((-t + 500) / F.lit(1000))
+        ).cast("bigint")
+        return p4.cast("double") / 1e4
 
     return (
         df.crossJoin(pm)
