@@ -29,6 +29,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.flagship_delta(spark, "/root/testdata/sf0.001")
 
 
+# Every name the driver has adjudicated in CORRECTNESS_r01..r06 —
+# the rotation fronts names NOT in this set (refresh per round).
+_DRIVER_SAMPLED = frozenset({
+    "als_one_sweep_rmse", "anova_f_segments", "anti_join_customers",
+    "approx_distinct_parts", "approx_quantiles_prices",
+    "asof_forward_tolerance", "asof_purchase_view",
+    "benchmark_contamination", "bigram_counts", "bitmap_day_activity",
+    "bpe_token_counts", "campaign_gap_report", "canonical_doc_ids",
+    "canonical_ids_chained", "case_when_buckets", "chi_square_independence",
+    "collect_sorted_lines", "conform_contract",
+    "correlated_scalar_vs_cust_avg", "count_distinct_parts", "count_rows",
+    "countmin_token_freq", "ctfidf_cluster_terms", "cube_orders",
+    "date_functions", "decontaminate_ngram_overlap", "dedup_exact_docs",
+    "distinct_status", "doc_chunks", "doc_fingerprints",
+    "docs_pipeline_clean", "dsir_importance_weights",
+    "duplicate_spans_invariant", "embedding_neardup", "except_customers",
+    "exists_heavy_lineitem", "exponential_fit_interevent", "filter_eq",
+    "flagship_delta", "funnel_signup_purchase", "gini_customer_spend",
+    "gopher_quality_flags", "groupby_multi_agg", "grouping_sets_sql",
+    "hard_negative_pairs_ann", "heavy_hitter_tokens", "hll_distinct_users",
+    "holt_winters_forecast_revenue", "in_subquery_parts",
+    "incremental_agg_maintenance", "intersect_customers",
+    "interval_join_campaigns", "join_enrich", "js_divergence_sources",
+    "kmeans_corpus_cells", "knn_bruteforce", "knn_ivf", "knn_ivf_fullprobe",
+    "knn_lsh_bucketed", "label_centroids", "lag_lead_orders", "lang_id",
+    "lateral_top_orders_per_customer", "latest_order_per_customer",
+    "lift_gains_deciles", "linear_interp_fill", "ljung_box_daily_revenue",
+    "map_functions", "math_functions", "minhash_dedup_docs",
+    "multimodal_decode_wav_ppm", "multimodal_features",
+    "multimodal_metadata", "multimodal_resize_ppm",
+    "multimodal_video_frame_sample", "nested_json_extract",
+    "ngram_jaccard_dups", "null_handling", "null_safe_join_segments",
+    "outer_join_counts", "pack_docs_into_shards", "pii_redaction",
+    "quality_scores", "quota_sample_per_source", "range_join_ship_lag",
+    "rank_orders_by_price", "readability_scores", "recursive_tree_depth",
+    "repetition_stats", "rollup_lineitem", "running_sum_per_customer",
+    "runs_test_purchase_sequence", "scalar_subquery_above_avg",
+    "semi_join_customers", "session_window_events", "sessionize_events_sql",
+    "shuffle_shards_deterministic", "simhash_dedup_docs",
+    "sliding_window_events", "stats_aggregates", "stratified_sample_docs",
+    "string_functions", "target_encoding_oof", "temperature_mix_sample",
+    "text_stats", "tfidf_top_terms", "topk_orders",
+    "tpch_q11_important_parts", "tpch_q12_priority_by_returnflag",
+    "tpch_q1_pricing", "tpch_q2_top_supplier_per_nation",
+    "tpch_q3_shipping", "tpch_q4_priority_count", "tpch_q5_local_revenue",
+    "train_val_test_split", "tumbling_window_events",
+    "unigram_logprob_quality", "union_pages_drift", "url_encode_names",
+    "vocab_doc_frequency", "watermark_next_day",
+    "weighted_jaccard_adjacent", "weighted_minhash_dedup_docs",
+    "weighted_sample_docs", "winnow_fingerprints", "zscore_anomaly_events",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -39,33 +92,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     imported modules.
 
     Because the gate samples only the first ~50 each round while the
-    registry holds 260+, each module's list is additionally ROTATED by
-    a per-round offset (bump ``ROTATION_ROUND`` every round) so each
-    round's prefix sample adjudicates queries the driver has never seen,
-    while still covering every family. Queries whose gate changed this
-    round (e.g. rows-only → oracle-hashed) are pinned right after the
-    first wave so the new contract is driver-verified immediately.
+    registry holds 350+, each module's list is ordered NEVER-DRIVER-
+    SAMPLED names first (the frozen ``_DRIVER_SAMPLED`` set below holds
+    every name adjudicated in CORRECTNESS_r01..r06 — refresh it each
+    round), each sublist rotated by a per-round offset (bump
+    ``ROTATION_ROUND``), so each round's prefix sample adjudicates
+    queries the driver has never seen while still covering every
+    family. Queries whose gate changed this round (rows-only →
+    oracle-hashed conversions) are pinned right after the first wave so
+    the new contract is driver-verified immediately.
     """
     from itertools import zip_longest
 
-    # Round 6: rows-only → oracle-hashed conversions + new R149+ ops.
+    # Round 7: rows-only → oracle-hashed graph conversions (verdict
+    # item 3) + the new composed lakehouse flagship.
     resample_first = (
-        "approx_quantiles_prices",
-        "multimodal_features",
-        "knn_ivf_fullprobe",
+        "pagerank_parts",
+        "kcore_parts",
     )
-    ROTATION_ROUND = 6
+    ROTATION_ROUND = 7
     by_module: dict[str, list[tuple[str, Callable]]] = {}
     for name, fn in Q.QUERIES.items():
         if name in resample_first:
             continue
         by_module.setdefault(fn.__module__, []).append((name, fn))
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    rotated = []
+    fresh_by_mod, stale_by_mod = [], []
     for lst in by_module.values():
-        k = (2 * (ROTATION_ROUND - 5)) % len(lst)
-        rotated.append(lst[k:] + lst[:k])
-    for i, wave in enumerate(zip_longest(*rotated)):
+        fresh = [t for t in lst if t[0] not in _DRIVER_SAMPLED]
+        stale = [t for t in lst if t[0] in _DRIVER_SAMPLED]
+        for sub, acc in ((fresh, fresh_by_mod), (stale, stale_by_mod)):
+            if sub:
+                k = (3 * (ROTATION_ROUND - 6)) % len(sub)
+                acc.append(sub[k:] + sub[:k])
+    # All fresh names (interleaved across families) strictly precede
+    # all already-adjudicated names — a fully-sampled family re-enters
+    # the prefix only once every family is fully adjudicated.
+    for i, wave in enumerate(zip_longest(*fresh_by_mod)):
         for item in wave:
             if item is not None:
                 out[item[0]] = item[1]
@@ -73,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for name in resample_first:
                 if name in Q.QUERIES:
                     out[name] = Q.QUERIES[name]
+    for wave in zip_longest(*stale_by_mod):
+        for item in wave:
+            if item is not None:
+                out[item[0]] = item[1]
     return out
 
 

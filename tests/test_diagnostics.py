@@ -664,8 +664,12 @@ def test_jl_projection_numpy_parity_and_distance_preservation(spark):
     got = {r["vec_id"]: r["proj_csv"] for r in rows}
     assert len(got) == len(ids)
     for idx in range(0, len(ids), max(1, len(ids) // 50)):
-        want = ",".join("%.4f" % round(v, 4) for v in P[idx])
-        assert got[ids[idx]] == want
+        # Numeric compare with atol 1e-4, not bit-exact string equality:
+        # Spark's and numpy's dot-product summation orders differ, so a
+        # true value sitting on the 4dp half-grid can legitimately render
+        # 0.0499 vs 0.0500 (round-6 verdict item 1).
+        have = np.array([float(v) for v in got[ids[idx]].split(",")])
+        assert np.allclose(have, P[idx], atol=1.01e-4)
     # matrix sparsity ~2/3 and symmetric signs
     fr = np.abs(R) > 0
     assert 0.25 < fr.mean() < 0.42

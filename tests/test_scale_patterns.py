@@ -458,3 +458,105 @@ def test_grouped_rank_ascending_no_dense(spark):
         "id", F.rank().over(w).cast("bigint").alias("r")
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_grouped_rank_null_and_boolean_group_keys(spark):
+    """Round-7 ADVICE regression: the offset join must use native-typed
+    null-safe key equality — str()-cast round-trips silently dropped
+    rows with NULL group keys (NULL == 'None' is NULL) and ALL rows
+    with boolean group keys (str(True)='True' vs Spark cast 'true')."""
+    from pyspark.sql import Window
+
+    from zoom_spark.operators.prefix import grouped_rank
+
+    rows = [
+        (i, None if i % 5 == 0 else ["A", "B"][i % 2], float(i % 7))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string, v double")
+    got = (
+        grouped_rank(df, ["grp"], "v", rank_col="r", num_partitions=8)
+        .select("id", "r")
+        .collect()
+    )
+    assert len(got) == 200  # NULL-keyed rows are NOT dropped
+    w = Window.partitionBy("grp").orderBy("v")
+    exp = df.select("id", F.rank().over(w).cast("bigint").alias("r")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+    brows = [(i, i % 3 == 0, float((i * 3) % 11)) for i in range(150)]
+    bdf = spark.createDataFrame(brows, "id int, grp boolean, v double")
+    bgot = (
+        grouped_rank(bdf, ["grp"], "v", rank_col="r", num_partitions=8)
+        .select("id", "r")
+        .collect()
+    )
+    assert len(bgot) == 150  # boolean keys all match
+    bexp = bdf.select(
+        "id", F.rank().over(w).cast("bigint").alias("r")
+    ).collect()
+    assert sorted(map(tuple, bgot)) == sorted(map(tuple, bexp))
+
+
+def test_grouped_rank_null_order_values_dense(spark):
+    """Round-7 ADVICE regression: dense-rank offsets must count NULL as
+    a rank value (dense_rank() does; countDistinct excludes it), else
+    every value after an earlier-partition NULL is off by one."""
+    from pyspark.sql import Window
+
+    from zoom_spark.operators.prefix import grouped_rank
+
+    rows = [
+        (i, "g", None if i < 40 else float(i % 6)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string, v double")
+    got = (
+        grouped_rank(
+            df,
+            ["grp"],
+            "v",
+            rank_col="r",
+            dense_rank_col="dr",
+            num_partitions=16,
+        )
+        .select("id", "r", "dr")
+        .collect()
+    )
+    w = Window.partitionBy("grp").orderBy("v")
+    exp = df.select(
+        "id",
+        F.rank().over(w).cast("bigint").alias("r"),
+        F.dense_rank().over(w).cast("bigint").alias("dr"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_prefix_sum_decimal_values_exact(spark):
+    """Round-7 ADVICE regression: a Decimal value column must keep
+    exact decimal offsets (int() on a Decimal partition total silently
+    truncated fractional offsets)."""
+    import decimal
+
+    from pyspark.sql import Window
+
+    from zoom_spark.operators.prefix import prefix_sum
+
+    rows = [
+        (i, decimal.Decimal(f"{(i % 9) + 1}.{i % 100:02d}"))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k int, w decimal(10,2)")
+    got = {
+        r["k"]: r["cum"]
+        for r in prefix_sum(
+            df, "k", "w", out_col="cum", num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("k")
+    exp = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    assert len(got) == 300
+    for k, v in exp.items():
+        assert decimal.Decimal(got[k]) == decimal.Decimal(v), k

@@ -314,6 +314,8 @@ def hits(
     L2 normalizer is a 1-row broadcast (never a driver collect); and
     ``localCheckpoint`` truncates lineage so round R does not replay
     rounds 1..R-1."""
+    if iterations < 1:
+        raise ValueError(f"hits() needs iterations >= 1, got {iterations}")
     edges = edges.localCheckpoint(eager=False)
     sc = edges.sparkSession.sparkContext
     n_parts = frame_partitions(sc, edges.count())

@@ -60,14 +60,24 @@ def prefix_sum(
         running += r["_tot"] or 0
     spark = df.sparkSession
     # offsets carry the value column's numeric kind: fractional value
-    # columns (e.g. a running sum of ln k) need DOUBLE offsets, while
-    # integer columns keep exact BIGINT arithmetic
-    off_type = (
-        "double"
-        if isinstance(running, float)
-        else "bigint"
-    )
-    cast = float if off_type == "double" else int
+    # columns (e.g. a running sum of ln k) need DOUBLE offsets, integer
+    # columns keep exact BIGINT arithmetic, and DECIMAL columns keep the
+    # widened decimal type of the local running sum (int() on a Decimal
+    # partition total would silently truncate fractional offsets).
+    import decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    sum_dt = local.schema["_local_cum"].dataType
+    if isinstance(sum_dt, DecimalType):
+        off_type = sum_dt.simpleString()
+        cast = lambda v: decimal.Decimal(v)  # noqa: E731
+    elif isinstance(sum_dt, (DoubleType, FloatType)) or isinstance(
+        running, float
+    ):
+        off_type, cast = "double", float
+    else:
+        off_type, cast = "bigint", int
     off_df = spark.createDataFrame(
         [(pid, cast(off)) for pid, off in offsets.items()],
         f"_pid int, _offset {off_type}",
@@ -233,7 +243,18 @@ def grouped_rank(
     local = ranged.select(*local_cols).localCheckpoint()
     aggs = [F.count("*").alias("_n")]
     if dense_rank_col is not None:
-        aggs.append(F.countDistinct(order_col).alias("_nd"))
+        # dense_rank() treats NULL as a rank value, but countDistinct
+        # excludes NULLs — count it explicitly so a group whose NULL
+        # order values land in an earlier partition doesn't shift every
+        # later partition's dense ranks by one.
+        aggs.append(
+            (
+                F.countDistinct(order_col)
+                + F.max(
+                    F.when(F.col(order_col).isNull(), 1).otherwise(0)
+                )
+            ).alias("_nd")
+        )
     totals = local.groupBy("_pid", *group_cols).agg(*aggs).collect()
     offsets: dict[tuple, list[int]] = {}
     running: dict[tuple, list[int]] = {}
@@ -244,20 +265,37 @@ def grouped_rank(
         run[0] += r["_n"]
         if dense_rank_col is not None:
             run[1] += r["_nd"]
-    schema = (
-        "_pid int, "
-        + ", ".join(f"{c}_k string" for c in group_cols)
-        + ", _roff bigint, _doff bigint"
+    # Build the offset frame with the ORIGINAL key values and their
+    # native types (not str()-cast round-trips, which silently drop
+    # NULL keys — NULL == 'None' is NULL — and never match booleans:
+    # Python str(True) = 'True' vs Spark CAST = 'true').
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src_fields = {f.name: f for f in df.schema.fields}
+    off_schema = StructType(
+        [StructField("_pid", IntegerType(), False)]
+        + [
+            StructField(
+                f"{c}_k", src_fields[c].dataType, src_fields[c].nullable
+            )
+            for c in group_cols
+        ]
+        + [
+            StructField("_roff", LongType(), False),
+            StructField("_doff", LongType(), False),
+        ]
     )
     off_df = df.sparkSession.createDataFrame(
-        [
-            (k[0], *[str(v) for v in k[1:]], off[0], off[1])
-            for k, off in offsets.items()
-        ],
-        schema,
+        [(k[0], *k[1:], off[0], off[1]) for k, off in offsets.items()],
+        off_schema,
     )
     cond = [local["_pid"] == off_df["_pid"]] + [
-        local[c].cast("string") == off_df[f"{c}_k"] for c in group_cols
+        local[c].eqNullSafe(off_df[f"{c}_k"]) for c in group_cols
     ]
     out = (
         local.join(F.broadcast(off_df), cond)

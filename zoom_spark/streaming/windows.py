@@ -232,8 +232,8 @@ def write_stream_merge_upsert(
     """Streaming CDC-apply sink: each micro-batch MERGEs into the
     parquet table keyed on `keys`, updates winning over existing rows
     (the foreachBatch + MERGE pattern every lakehouse CDC pipeline
-    uses; reference main.py:79-85 computes the same keep-latest delta
-    batch-wise). Within a batch, only the row with the highest
+    uses; the reference's drop-then-reload sink, main.py:58,130,152 +
+    insert_into, is the non-incremental version this replaces). Within a batch, only the row with the highest
     `seq_col` per key is applied — a batch replaying after a crash
     re-applies the same per-key winners, so the sink converges to the
     same table (idempotent under at-least-once delivery). At scale the
