@@ -52,6 +52,17 @@ SUSPECTS = [
     "decontaminate_ngram_overlap",
     "kcore_parts",
     "bfs_reachable_parts",
+    # round 6 (VERDICT r6 #4): quadratic-adjacent additions — wedge
+    # joins (AA, clustering, truss), sorted-neighborhood windows,
+    # winnowing shingles, the lnfact prefix build, and the
+    # O(N*panel) margin-kNN scan
+    "adamic_adar_link_prediction",
+    "local_clustering_parts",
+    "k_truss_copurchase",
+    "sorted_neighborhood_pairs",
+    "robust_winnow_fingerprints",
+    "fisher_exact_weekend_purchase",
+    "margin_mutual_knn_pairs",
 ]
 
 
@@ -95,6 +106,29 @@ def build_upscale(spark: SparkSession, replication: int) -> int:
         *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
     )
     li_up.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
+    # part: per-replica name suffix keeps sorted-neighborhood blocks the
+    # same SIZE (10x more blocks, not 10x denser blocks), so linear
+    # scaling is the correct expectation for the sliding-window pass.
+    part = load_table(spark, SRC, "part")
+    part_up = part.crossJoin(F.broadcast(reps)).select(
+        (F.col("p_partkey") + F.col("rep") * 10_000_000).alias("p_partkey"),
+        F.when(F.col("rep") == 0, F.col("p_name"))
+        .otherwise(
+            F.concat("p_name", F.lit(" v"), F.col("rep").cast("string"))
+        )
+        .alias("p_name"),
+        *[c for c in part.columns if c not in ("p_partkey", "p_name")],
+    )
+    part_up.write.mode("overwrite").parquet(os.path.join(DST, "part.parquet"))
+    # events: disjoint user/event-id copies — contingency counts and the
+    # lnfact-table length scale ~10x, exercising the prefix-sum build.
+    ev = load_table(spark, SRC, "events")
+    ev_up = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "user_id")],
+    )
+    ev_up.write.mode("overwrite").parquet(os.path.join(DST, "events.parquet"))
     # remaining tables are not read by the suspects; symlink for load_table
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -119,6 +153,13 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # Clear any previous upscale: DST may hold stale symlinks for tables
+    # this run now writes (overwriting THROUGH a symlink would touch the
+    # read-only source tree).
+    import shutil
+
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     n_up = build_upscale(spark, replication)
     results = {}

@@ -65,6 +65,7 @@ def pagerank(
     dst: str = "v",
     iterations: int = 10,
     damping: float = 0.85,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list (each edge walked both
     ways), fixed-iteration power method. Returns (node, rank).
@@ -107,6 +108,13 @@ def pagerank(
     n_total = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
     base = (1.0 - damping) / n_total
+    # quantize_dp: engine-parity rounding schedule — snap every
+    # iteration's ranks to a fixed decimal grid (floor(x*10^dp+0.5),
+    # the repo's shared HALF-UP spelling) so a SQL oracle replaying the
+    # same unrolled iterations sees bit-identical inputs each round and
+    # float summation-order drift (~1e-17) can never accumulate across
+    # iterations or reach the output grid.
+    quant = float(10**quantize_dp) if quantize_dp is not None else None
     for _ in range(iterations):
         contribs = (
             directed.join(ranks, on=F.col("from") == F.col("node"))
@@ -117,11 +125,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
+        rank_expr = F.lit(base) + F.lit(damping) * F.col("in_mass")
+        if quant is not None:
+            rank_expr = F.floor(rank_expr * quant + 0.5) / F.lit(quant)
         ranks = (
-            contribs.select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank"),
-            )
+            contribs.select("node", rank_expr.alias("rank"))
             .localCheckpoint(eager=False)
         )
     return ranks

@@ -637,18 +637,71 @@ def _co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pagerank_parts")
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled power-method oracle: 10 fixed iterations as chained
+    MATERIALIZED CTEs (DuckDB inlines plain CTEs, and each round
+    references the previous one 2-3x — materialization keeps the plan
+    linear instead of 3^10 scans). The engine quantizes every
+    iteration's ranks to the 9dp grid (pagerank(quantize_dp=9)), and
+    this SQL replays the identical floor(x*1e9+0.5) schedule, so both
+    engines feed bit-identical ranks into every round and summation-
+    order drift (~1e-17) can never reach the 6dp output grid."""
+    parts = [
+        """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eu AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    directed AS MATERIALIZED (
+      SELECT u AS f, v AS t FROM eu UNION ALL SELECT v AS f, u AS t FROM eu
+    ),
+    outdeg AS MATERIALIZED (SELECT f, count(*) AS d FROM directed GROUP BY f),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM outdeg),
+    r0 AS MATERIALIZED (
+      SELECT f AS node, 1.0 / (SELECT n FROM nn) AS rank FROM outdeg
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT d.t AS node,
+             floor(((1.0 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * sum(r.rank / o.d)) * 1000000000.0 + 0.5)
+               / 1000000000.0 AS rank
+      FROM directed d
+      JOIN r{i-1} r ON d.f = r.node
+      JOIN outdeg o ON o.f = d.f
+      GROUP BY d.t
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS part_id,
+           floor(rank * 1000000 + 0.5) / 1000000.0 AS rank_q6
+    FROM r{iterations}
+    ORDER BY rank DESC, node
+    LIMIT 20"""
+    )
+
+
+@register("pagerank_parts", sql=_pagerank_oracle_sql())
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (operators/graph.pagerank,
     10 fixed power iterations, damping 0.85): the 'importance' signal
-    for catalog/curation ranking. Iterative float fixpoint — not
-    SQL-expressible, so rows-only gate here; a numpy power-iteration
-    referee pins the values in pytest. Top-20 by rank with node-id
-    tie-break."""
+    for catalog/curation ranking. Top-20 by rank with node-id
+    tie-break. Oracle-hashed since round 7: the fixed iteration count
+    makes the fixpoint SQL-expressible as unrolled chained CTEs, with
+    a shared 9dp per-iteration quantization schedule keeping both
+    engines bit-identical (a numpy power-iteration referee pins the
+    unquantized operator in pytest)."""
     from zoom_spark.operators.graph import pagerank
 
     edges = _co_purchase_edges(spark, sf_dir)
-    ranks = pagerank(edges)
+    ranks = pagerank(edges, quantize_dp=9)
     return (
         ranks.orderBy(F.col("rank").desc(), "node")
         .limit(20)

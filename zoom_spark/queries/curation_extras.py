@@ -275,15 +275,56 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kcore_parts")  # iterative peel: rows-only gate + referee test
+def _kcore_oracle_sql(rounds: int = 16, k: int = 3) -> str:
+    """Unrolled peel oracle: `rounds` bulk-synchronous peel rounds as
+    chained MATERIALIZED CTEs (peeling is monotone and idempotent at
+    the fixpoint, so extra rounds are no-ops — 16 rounds converges
+    with large margin at every test SF; verified round-12 == round-20
+    at sf0.01 and sf0.1). Integer degrees only, so no float-grid
+    concerns. MATERIALIZED keeps DuckDB from inlining each round's 3
+    references into an exponential plan."""
+    parts = [
+        """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eu AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM eu UNION ALL SELECT v AS a, u AS b FROM eu
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT a FROM e{i-1} GROUP BY a HAVING count(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i-1} e
+      JOIN s{i} x ON e.a = x.a JOIN s{i} y ON e.b = y.a
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY a HAVING count(*) >= {k}"""
+    )
+
+
+@register("kcore_parts", sql=_kcore_oracle_sql())
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph (operators/graph.k_core):
     vertices surviving iterated removal of degree<3 nodes, with their
     in-core degree — the density filter that strips periphery/noise
-    parts before community or ranking passes. Iterative fixpoint (each
-    round's degrees depend on the previous round's deletions), so not
-    SQL-expressible: rows-only gate here; a pure-python peeling
-    referee pins correctness in tests/test_curation_extras.py."""
+    parts before community or ranking passes. Oracle-hashed since
+    round 7: the engine peels to the true fixpoint while the oracle
+    unrolls 16 peel rounds (a fixpoint superset — extra rounds are
+    no-ops), all-integer so the hashes agree exactly; the pure-python
+    peeling referee in tests/test_curation_extras.py stays as the
+    independent check."""
     from zoom_spark.operators.graph import k_core
     from zoom_spark.queries.advanced_analytics import _co_purchase_edges
 
