@@ -131,6 +131,20 @@ HEADLINE = [
     "frequent_directions_spectrum",   # mergeable FD matrix sketch
     "jl_random_projection",           # broadcast-matrix JL transform
     "holt_winters_forecast_revenue",  # seasonal-ring recursion
+    # round 7 additions (VERDICT r6 item 6: heavy round-6 ops made
+    # bench-visible so regressions show round-over-round)
+    "sorted_neighborhood_pairs",      # sort-key sliding-window ER
+    "k_truss_copurchase",             # iterative support peel
+    "kcore_parts",                    # iterative degree peel (now oracle)
+    "blocklist_scan_docs",            # Aho-Corasick multi-pattern scan
+    "margin_mutual_knn_pairs",        # margin-scored mutual top-1 mining
+    "jaro_winkler_name_pairs",        # blocked pandas_udf similarity
+    "theil_sen_revenue_trend",        # pairwise-median robust slope
+    "huber_regression_revenue_trend", # IRLS robust regression
+    "textrank_keywords",              # word-graph pagerank keywords
+    "als_one_sweep_rmse",             # one-sweep ALS factorization
+    "target_encoding_oof",            # out-of-fold target encoding
+    "lakehouse_maintenance_pipeline", # composed MERGE+diff+zone-map (R242)
 ]
 
 

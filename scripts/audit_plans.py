@@ -162,6 +162,22 @@ EXPECTATIONS = {
     # HITS normalizes each half-step by a 1-row L2-norm broadcast
     # (scalar BNLJ by design, same class as the k-means centroid waiver)
     "hits_supplier_part": dict(pushed=False, broadcast=False, cartesian=True),
+    # R244/R245: the 10-row k-grid / 25-community frame crosses a
+    # model-sized histogram (degree or min-degree counts), and
+    # modularity adds a 1-row edge-count scalar broadcast — the edge
+    # list itself is never in any cartesian
+    "rich_club_coefficients": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "modularity_brand_partition": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
+    # R246: CCDF window + OLS run over the distinct-degree HISTOGRAM
+    # (hundreds of rows at any SF) with a 1-row total-count broadcast;
+    # the node-level degree aggregate is the only data-sized stage
+    "powerlaw_degree_fit": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # margin mining scores a fixed 50-vector panel against the corpus:
     # ONE broadcast(panel) x corpus scan feeds both rank directions —
     # O(N * panel), linear in corpus size (same class as knn_bruteforce)

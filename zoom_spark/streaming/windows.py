@@ -240,28 +240,43 @@ def write_stream_merge_upsert(
     per-batch reduce is one hash aggregate on the key, and the merge
     rewrite is bounded by merge_upsert_to_path's staging swap (or the
     partition-pruned variant for partitioned sinks)."""
-    from pyspark.sql.window import Window
-
-    from zoom_spark.operators.merge import merge_upsert_to_path
-
     k = [keys] if isinstance(keys, str) else list(keys)
 
-    def apply_batch(df: DataFrame, _epoch: int) -> None:
-        w = Window.partitionBy(*k).orderBy(F.col(seq_col).desc())
-        latest = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        merge_upsert_to_path(df.sparkSession, path, latest, k)
-
     q = (
-        stream_df.writeStream.foreachBatch(apply_batch)
+        stream_df.writeStream.foreachBatch(
+            lambda df, _epoch: cdc_apply_batch(df, path, k, seq_col)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def cdc_apply_batch(
+    df: DataFrame, path: str, keys: list[str] | str, seq_col: str
+) -> None:
+    """One micro-batch of the CDC-apply sink: reduce the batch to its
+    per-key winners (highest `seq_col`) and MERGE them into the
+    parquet table at `path`. Idempotent by construction — re-applying
+    the same batch re-derives the same winners and the merge
+    overwrites them in place, which is exactly what makes the sink
+    safe under Structured Streaming's at-least-once foreachBatch
+    replay (a crash after the sink write but before the epoch commit
+    re-runs this function with the same rows). Exposed separately so
+    crash-recovery tests can drive it under fault injection."""
+    from pyspark.sql.window import Window
+
+    from zoom_spark.operators.merge import merge_upsert_to_path
+
+    k = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*k).orderBy(F.col(seq_col).desc())
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    merge_upsert_to_path(df.sparkSession, path, latest, k)
 
 
 def run_to_memory(
