@@ -172,11 +172,6 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
-    # R250: whole-table digit histogram (no filter to push) + 9-row
-    # Benford grid and 1-row total broadcasts
-    "benford_first_digit": dict(
-        pushed=False, broadcast=True, cartesian=True
-    ),
     # R246: CCDF window + OLS run over the distinct-degree HISTOGRAM
     # (hundreds of rows at any SF) with a 1-row total-count broadcast;
     # the node-level degree aggregate is the only data-sized stage

@@ -22,6 +22,13 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} already "
+                f"registered by {QUERIES[name].__module__} "
+                f"(round-7 lesson: a dict overwrite silently shadows "
+                f"the original)"
+            )
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

@@ -195,83 +195,6 @@ _CP_EDGES_SQL = """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FRO
     deg AS MATERIALIZED (SELECT a AS node, count(*) AS d FROM sym GROUP BY a)"""
 
 
-@register(
-    "degree_assortativity",
-    sql=f"""
-    WITH {_CP_EDGES_SQL},
-    ed AS (
-      SELECT du.d AS x, dv.d AS y
-      FROM sym e JOIN deg du ON e.a = du.node JOIN deg dv ON e.b = dv.node
-    ),
-    s AS (
-      SELECT CAST(count(*) AS DOUBLE) AS m,
-             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(x * y) AS DOUBLE) AS sxy,
-             CAST(sum(x * x) AS DOUBLE) AS sxx,
-             CAST(sum(y * y) AS DOUBLE) AS syy
-      FROM ed
-    )
-    SELECT CAST(m AS BIGINT) AS n_directed_edges,
-           round((m * sxy - sx * sy)
-                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)),
-                 6) AS assortativity
-    FROM s
-    """,
-)
-def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R243 degree assortativity (Newman 2002): Pearson correlation of
-    endpoint degrees over the symmetrized co-purchase edge list — do
-    high-degree parts co-purchase with other hubs (r > 0) or with the
-    periphery (r < 0)? The structural health-check a graph pipeline
-    runs before trusting hub-based heuristics (orientation tricks,
-    rich-club pruning). All moments are exact BIGINT sums of integer
-    degrees (< 2^53, so the DOUBLE casts are lossless and both
-    engines evaluate the identical closed form); two broadcast-able
-    degree joins + one aggregate — one shuffle on the node key at any
-    scale."""
-    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
-
-    eu = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
-    sym = eu.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        eu.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    )
-    deg = sym.groupBy(F.col("a").alias("node")).agg(
-        F.count("*").alias("d")
-    )
-    ed = (
-        sym.join(deg.withColumnRenamed("d", "x"), sym["a"] == deg["node"])
-        .drop("node")
-        .join(
-            deg.withColumnRenamed("d", "y").withColumnRenamed(
-                "node", "node2"
-            ),
-            F.col("b") == F.col("node2"),
-        )
-        .select("x", "y")
-    )
-    s = ed.agg(
-        F.count("*").cast("double").alias("m"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    return s.select(
-        F.col("m").cast("bigint").alias("n_directed_edges"),
-        F.round(
-            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
-                F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(
-                    F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
-                )
-            ),
-            6,
-        ).alias("assortativity"),
-    )
-
-
 RC_MAX_K = 10
 
 
@@ -550,280 +473,4 @@ def powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
             "ccdf_intercept"
         ),
-    )
-
-
-@register(
-    "mann_kendall_revenue_trend",
-    sql="""
-    WITH daily AS MATERIALIZED (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             round(sum(o_totalprice), 2) AS rev
-      FROM orders GROUP BY 1
-    ),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
-    s AS (
-      SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
-                           WHEN b.rev < a.rev THEN -1 ELSE 0 END)
-                  AS BIGINT) AS s
-      FROM daily a JOIN daily b ON b.day > a.day
-    ),
-    ties AS (
-      SELECT CAST(coalesce(sum(t * (t - 1.0) * (2 * t + 5.0)), 0)
-                  AS DOUBLE) AS tie_term
-      FROM (SELECT count(*) AS t FROM daily GROUP BY rev HAVING count(*) > 1)
-    )
-    SELECT n.n AS n_days, s.s AS s_statistic,
-           round((n.n * (n.n - 1.0) * (2 * n.n + 5.0) - t.tie_term) / 18.0,
-                 6) AS var_s,
-           round(s.s / (n.n * (n.n - 1.0) / 2.0), 6) AS tau_a,
-           round(CASE WHEN s.s > 0 THEN (s.s - 1.0) WHEN s.s < 0
-                      THEN (s.s + 1.0) ELSE 0.0 END
-                 / sqrt((n.n * (n.n - 1.0) * (2 * n.n + 5.0) - t.tie_term)
-                        / 18.0), 6) AS z
-    FROM n, s, ties t
-    """,
-)
-def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R248 Mann-Kendall nonparametric trend test on daily revenue:
-    S = sum of pairwise sign(x_j - x_i) over j > i, tie-corrected
-    variance, continuity-corrected z, and Kendall's tau-a — the
-    monotone-trend detector that needs no linearity or normality
-    assumption (the robust sibling of theil_sen_revenue_trend's
-    slope). The pairwise pass runs over the CALENDAR-BOUNDED day
-    pre-aggregate (~2.4k days -> ~3M sign comparisons at any SF —
-    constant in data size, same waiver class as the other day-frame
-    quadratics); revenue is rounded to the cent grid first so both
-    engines compare identical values, making S an exact integer."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-        .localCheckpoint(eager=False)
-    )
-    n_row = daily.agg(F.count("*").cast("bigint").alias("n"))
-    a, b = daily.alias("a"), daily.alias("b")
-    s_row = (
-        a.join(b, F.col("b.day") > F.col("a.day"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.rev") > F.col("a.rev"), 1)
-                .when(F.col("b.rev") < F.col("a.rev"), -1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("s")
-        )
-    )
-    tie_row = (
-        daily.groupBy("rev")
-        .agg(F.count("*").alias("t"))
-        .where(F.col("t") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.col("t")
-                    * (F.col("t") - 1.0)
-                    * (2 * F.col("t") + 5.0)
-                ),
-                F.lit(0),
-            )
-            .cast("double")
-            .alias("tie_term")
-        )
-    )
-    nn, ss, tt = F.col("n"), F.col("s"), F.col("tie_term")
-    var_s = (nn * (nn - 1.0) * (2 * nn + 5.0) - tt) / 18.0
-    return (
-        n_row.crossJoin(F.broadcast(s_row))
-        .crossJoin(F.broadcast(tie_row))
-        .select(
-            nn.alias("n_days"),
-            ss.alias("s_statistic"),
-            F.round(var_s, 6).alias("var_s"),
-            F.round(ss / (nn * (nn - 1.0) / 2.0), 6).alias("tau_a"),
-            F.round(
-                F.when(ss > 0, ss - 1.0)
-                .when(ss < 0, ss + 1.0)
-                .otherwise(0.0)
-                / F.sqrt(var_s),
-                6,
-            ).alias("z"),
-        )
-    )
-
-
-@register(
-    "cusum_changepoint_revenue",
-    sql="""
-    WITH daily AS MATERIALIZED (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             round(sum(o_totalprice), 2) AS rev
-      FROM orders GROUP BY 1
-    ),
-    tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS n, round(sum(rev), 2) AS grand
-      FROM daily
-    ),
-    pre AS (
-      SELECT day,
-             row_number() OVER (ORDER BY day) AS k,
-             round(sum(rev) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS sk
-      FROM daily
-    ),
-    stat AS (
-      SELECT p.day, p.k, p.sk,
-             abs(p.sk - p.k * t.grand / t.n) AS cusum
-      FROM pre p CROSS JOIN tot t
-      WHERE p.k < t.n
-    ),
-    best AS (
-      SELECT day, k, sk, round(cusum, 6) AS cusum
-      FROM stat ORDER BY cusum DESC, day LIMIT 1
-    )
-    SELECT b.day AS split_day,
-           b.k AS n_before,
-           t.n - b.k AS n_after,
-           b.cusum AS max_cusum,
-           round(b.sk / b.k, 2) AS mean_before,
-           round((t.grand - b.sk) / (t.n - b.k), 2) AS mean_after
-    FROM best b CROSS JOIN tot t
-    """,
-)
-def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R249 CUSUM single-changepoint scan on daily revenue: the split
-    k maximizing |S_k - (k/n) S_n| (the cumulative deviation from a
-    constant-mean model — the binary-segmentation step every
-    changepoint pipeline starts with), reported with the before/after
-    means. Day revenue and prefix sums are snapped to the cent grid
-    (exact on both engines), so the argmax and the statistic are
-    deterministic; ties break to the earliest day. Windows run over
-    the calendar-bounded day frame (<= |days| rows at any SF)."""
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
-    )
-    tot = daily.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.round(F.sum("rev"), 2).alias("grand"),
-    )
-    w = Window.orderBy("day")
-    pre = daily.select(
-        "day",
-        F.row_number().over(w).alias("k"),
-        F.round(
-            F.sum("rev").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-            2,
-        ).alias("sk"),
-    )
-    stat = (
-        pre.crossJoin(F.broadcast(tot))
-        .where(F.col("k") < F.col("n"))
-        .select(
-            "day",
-            "k",
-            "sk",
-            F.abs(
-                F.col("sk") - F.col("k") * F.col("grand") / F.col("n")
-            ).alias("cusum"),
-        )
-    )
-    best = (
-        stat.orderBy(F.col("cusum").desc(), "day")
-        .limit(1)
-        .select("day", "k", "sk", F.round("cusum", 6).alias("cusum"))
-    )
-    return best.crossJoin(F.broadcast(tot)).select(
-        F.col("day").alias("split_day"),
-        F.col("k").alias("n_before"),
-        (F.col("n") - F.col("k")).alias("n_after"),
-        F.col("cusum").alias("max_cusum"),
-        F.round(F.col("sk") / F.col("k"), 2).alias("mean_before"),
-        F.round(
-            (F.col("grand") - F.col("sk")) / (F.col("n") - F.col("k")), 2
-        ).alias("mean_after"),
-    )
-
-
-@register(
-    "benford_first_digit",
-    sql="""
-    WITH digits AS (
-      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      FROM orders
-    ),
-    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM digits),
-    obs AS (
-      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
-      FROM digits GROUP BY digit
-    ),
-    grid AS (
-      SELECT CAST(range AS BIGINT) AS digit,
-             ln(1.0 + 1.0 / range) / ln(10.0) AS p_benford
-      FROM range(1, 10)
-    )
-    SELECT g.digit,
-           CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
-           round(coalesce(o.n_obs, 0) / t.n, 6) AS p_obs,
-           round(g.p_benford, 6) AS p_benford,
-           round(pow(coalesce(o.n_obs, 0) - t.n * g.p_benford, 2)
-                 / (t.n * g.p_benford), 6) AS chi2_term
-    FROM grid g LEFT JOIN obs o ON g.digit = o.digit CROSS JOIN tot t
-    """,
-)
-def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R250 Benford first-significant-digit conformance of order
-    totals: observed digit shares vs log10(1+1/d) with the per-digit
-    chi-square contribution — the forensic data-quality screen for
-    fabricated or truncated numeric columns (synthetic TPC-H prices
-    are famously NON-Benford, which the chi2 terms make obvious).
-    Digit extraction is string-based on the integer part (no
-    log10-of-double parity risk); one hash aggregate + a 9-row grid
-    join."""
-    o = load_table(spark, sf_dir, "orders")
-    digits = o.select(
-        F.substring(
-            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
-        )
-        .cast("bigint")
-        .alias("digit")
-    )
-    tot = digits.agg(F.count("*").cast("double").alias("n"))
-    obs = digits.groupBy("digit").agg(
-        F.count("*").cast("bigint").alias("n_obs")
-    )
-    grid = spark.range(1, 10).select(
-        F.col("id").cast("bigint").alias("digit"),
-        (F.log(1.0 + 1.0 / F.col("id")) / F.log(F.lit(10.0))).alias(
-            "p_benford"
-        ),
-    )
-    return (
-        grid.join(obs, on="digit", how="left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            F.coalesce(F.col("n_obs"), F.lit(0))
-            .cast("bigint")
-            .alias("n_obs"),
-            F.round(
-                F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("n"), 6
-            ).alias("p_obs"),
-            F.round("p_benford", 6).alias("p_benford"),
-            F.round(
-                F.pow(
-                    F.coalesce(F.col("n_obs"), F.lit(0))
-                    - F.col("n") * F.col("p_benford"),
-                    2,
-                )
-                / (F.col("n") * F.col("p_benford")),
-                6,
-            ).alias("chi2_term"),
-        )
     )

@@ -425,116 +425,3 @@ def exponential_fit_interevent(
         F.round(1.0 / F.col("mean_x"), 8).alias("lambda_per_sec"),
         "ks_stat",
     )
-
-
-@register(
-    "kaplan_meier_conversion",
-    sql=f"""
-    WITH {_SPELLS_SQL},
-    at_t AS (
-      SELECT t,
-             CAST(sum(converted) AS BIGINT) AS d,
-             CAST(count(*) AS BIGINT) AS leaving
-      FROM spells GROUP BY t
-    ),
-    risk AS (
-      SELECT t, d,
-             CAST(sum(leaving) OVER (ORDER BY t DESC
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS BIGINT) AS n_risk
-      FROM at_t
-    ),
-    km AS (
-      SELECT t, d, n_risk,
-             sum(CASE WHEN d < n_risk THEN ln(1.0 - d * 1.0 / n_risk) END)
-               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS lnp,
-             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
-               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS absorbed,
-             sum(CASE WHEN d < n_risk
-                      THEN d * 1.0 / (n_risk * CAST(n_risk - d AS DOUBLE))
-                 END)
-               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS gw
-      FROM risk WHERE d > 0
-    )
-    SELECT t AS day, d AS n_events, n_risk,
-           round(CASE WHEN absorbed = 1 THEN 0.0 ELSE exp(lnp) END, 6)
-             AS survival,
-           round(CASE WHEN absorbed = 1 THEN 0.0
-                      ELSE exp(lnp) * sqrt(gw) END, 6) AS se
-    FROM km
-    """,
-)
-def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R247 Kaplan-Meier product-limit survival curve for time-to-
-    first-purchase (right-censored at the observation horizon, same
-    spell frames as the Nelson-Aalen gate): S(t) = prod(1 - d/n) over
-    event days <= t, with the Greenwood standard error
-    S(t)*sqrt(sum d/(n(n-d))). The running product is exp(sum ln) —
-    d/n is an exact integer quotient so both engines feed identical
-    arguments to ln, and the (impossible-under-censoring but guarded)
-    d == n_risk absorption pins S = 0 exactly. Calendar-bounded day
-    frame: the windows run over <= |days| rows at any SF."""
-    spells = _spells(spark, sf_dir)
-    at_t = spells.groupBy("t").agg(
-        F.sum("converted").cast("bigint").alias("d"),
-        F.count("*").cast("bigint").alias("leaving"),
-    )
-    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    risk = at_t.withColumn(
-        "n_risk", F.sum("leaving").over(w_desc).cast("bigint")
-    )
-    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    km = (
-        risk.where(F.col("d") > 0)
-        .withColumn(
-            "lnp",
-            F.sum(
-                F.when(
-                    F.col("d") < F.col("n_risk"),
-                    F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")),
-                )
-            ).over(w_asc),
-        )
-        .withColumn(
-            "absorbed",
-            F.max(
-                F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
-            ).over(w_asc),
-        )
-        .withColumn(
-            "gw",
-            # guard the d == n_risk absorption row: ANSI mode evaluates
-            # the division eagerly, so keep it inside the WHEN (the
-            # absorbed branch never reads gw)
-            F.sum(
-                F.when(
-                    F.col("d") < F.col("n_risk"),
-                    F.col("d")
-                    * 1.0
-                    / (
-                        F.col("n_risk")
-                        * (F.col("n_risk") - F.col("d")).cast("double")
-                    ),
-                )
-            ).over(w_asc),
-        )
-    )
-    return km.select(
-        F.col("t").alias("day"),
-        F.col("d").alias("n_events"),
-        "n_risk",
-        F.round(
-            F.when(F.col("absorbed") == 1, 0.0).otherwise(F.exp("lnp")), 6
-        ).alias("survival"),
-        F.round(
-            F.when(F.col("absorbed") == 1, 0.0).otherwise(
-                F.exp("lnp") * F.sqrt("gw")
-            ),
-            6,
-        ).alias("se"),
-    )
