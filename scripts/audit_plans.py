@@ -172,6 +172,12 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R251: KN interpolation crosses the 1-row distinct-bigram-count
+    # scalar onto the pair stream (scalar BNLJ by design, same class
+    # as bigram_logprob_quality's vocab scalar)
+    "kneser_ney_bigram_quality": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # R246: CCDF window + OLS run over the distinct-degree HISTOGRAM
     # (hundreds of rows at any SF) with a 1-row total-count broadcast;
     # the node-level degree aggregate is the only data-sized stage

@@ -189,3 +189,210 @@ def test_powerlaw_fit_matches_numpy(spark):
     assert abs(got["ccdf_intercept"] - intercept) < 1e-5
     # a CCDF is non-increasing, so the fitted slope must be negative
     assert got["ccdf_slope"] < 0
+
+
+def test_kneser_ney_matches_python_referee(spark):
+    """R251 referee: pure-python KN recompute on a sample of docs,
+    plus the distribution property sum_w2 P(w2|w1) ~ 1 for sampled
+    contexts (the interpolated-KN mass-conservation identity)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from zoom_spark.queries.round7_ops import (
+        KN_D,
+        kneser_ney_bigram_quality,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in kneser_ney_bigram_quality(spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    uni, bi = Counter(), Counter()
+    right, left = defaultdict(set), defaultdict(set)
+    toks = {}
+    for r in docs.itertuples():
+        ts = [t for t in r.text.lower().strip().split() if t]
+        toks[r.doc_id] = ts
+        for w1, w2 in zip(ts, ts[1:]):
+            uni[w1] += 1
+            bi[(w1, w2)] += 1
+            right[w1].add(w2)
+            left[w2].add(w1)
+    nbi = len(bi)
+
+    def p_kn(w1, w2):
+        return max(bi[(w1, w2)] - KN_D, 0) / uni[w1] + (
+            KN_D * len(right[w1]) / uni[w1]
+        ) * (len(left[w2]) / nbi)
+
+    checked = 0
+    for doc_id, ts in list(toks.items())[::37]:
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert doc_id not in got
+            continue
+        lp = sum(math.log(p_kn(a, b)) for a, b in pairs) / len(pairs)
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(pairs)
+        assert abs(r["avg_kn_logprob"] - lp) < 1e-4
+        checked += 1
+    assert checked >= 10
+    # mass conservation: for a few contexts the smoothed distribution
+    # over observed continuation types plus the backoff mass of unseen
+    # types sums to ~1
+    vocab_left = {w: len(s) for w, s in left.items()}
+    total_left = sum(vocab_left.values())
+    assert total_left == sum(len(s) for s in left.values())
+    for w1 in list(right)[::500][:5]:
+        seen = sum(p_kn(w1, w2) for w2 in right[w1])
+        unseen = sum(
+            (KN_D * len(right[w1]) / uni[w1]) * (vocab_left[w2] / nbi)
+            for w2 in vocab_left
+            if w2 not in right[w1]
+        )
+        assert abs(seen + unseen - 1.0) < 1e-9
+
+
+def test_power_sample_size_matches_python(spark):
+    """R252 referee: closed-form recompute + the monotonicity
+    property that rarer base rates near 0.5 need larger n."""
+    from zoom_spark.queries.round7_ops import (
+        PW_DELTA,
+        PW_Z_ALPHA,
+        PW_Z_BETA,
+        power_sample_size_by_priority,
+    )
+
+    rows = power_sample_size_by_priority(spark, SF_DIR).collect()
+    o = _orders()
+    assert len(rows) == o["o_orderpriority"].nunique()
+    for r in rows:
+        seg = o[o["o_orderpriority"] == r["o_orderpriority"]]
+        p0 = round(float((seg["o_orderstatus"] == "F").mean()), 6)
+        assert r["n_orders"] == len(seg)
+        assert abs(r["p0"] - p0) < 1e-9
+        p1 = p0 + PW_DELTA
+        pbar = (p0 + p1) / 2
+        n = (
+            PW_Z_ALPHA * (2 * pbar * (1 - pbar)) ** 0.5
+            + PW_Z_BETA * (p0 * (1 - p0) + p1 * (1 - p1)) ** 0.5
+        ) ** 2 / PW_DELTA**2
+        assert abs(r["n_per_arm"] - n) < 0.02
+        # sanity: detecting a 2-point lift needs thousands per arm
+        assert r["n_per_arm"] > 500
+
+
+def test_cmh_matches_python_referee(spark):
+    """R253 referee: per-stratum 2x2 recompute from raw events."""
+    from zoom_spark.queries.round7_ops import (
+        cmh_pooled_odds_morning_purchase,
+    )
+
+    [got] = cmh_pooled_odds_morning_purchase(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ts = pd.to_datetime(ev["ts"])
+    anchor = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "stratum": (ts.dt.normalize() - anchor).dt.days % 7,
+            "e": (ts.dt.hour < 12).astype(int),
+            "o": (ev["event_type"] == "purchase").astype(int),
+        }
+    )
+    sa = se = sv = sad = sbc = 0.0
+    n_strata = 0
+    for _, g in df.groupby("stratum"):
+        a = int(((g.e == 1) & (g.o == 1)).sum())
+        b = int(((g.e == 1) & (g.o == 0)).sum())
+        c = int(((g.e == 0) & (g.o == 1)).sum())
+        d = int(((g.e == 0) & (g.o == 0)).sum())
+        n = len(g)
+        n_strata += 1
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        sad += a * d / n
+        sbc += b * c / n
+    assert got["n_strata"] == n_strata == 7
+    assert abs(got["or_mh"] - sad / sbc) < 1e-6
+    assert abs(got["cmh_chi2"] - (abs(sa - se) - 0.5) ** 2 / sv) < 1e-4
+    assert got["or_mh"] > 0
+
+
+def test_fellegi_sunter_matches_python_referee(spark):
+    """R254 referee: brute-force block + score recompute in pandas,
+    plus decision-rule consistency (weights partition into the three
+    classes by the fixed thresholds)."""
+    import math
+
+    from zoom_spark.queries.round7_ops import (
+        FS_MATCH_T,
+        FS_NONMATCH_T,
+        fellegi_sunter_part_linkage,
+    )
+
+    rows = fellegi_sunter_part_linkage(spark, SF_DIR).collect()
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    part["price"] = part["p_retailprice"].round(2)
+    part["blk"] = part["p_name"].str.split(" ").str[-1]
+
+    def lev(s, t):
+        m, n = len(s), len(t)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(
+                    dp[j] + 1,
+                    dp[j - 1] + 1,
+                    prev + (s[i - 1] != t[j - 1]),
+                )
+                prev = cur
+        return dp[n]
+
+    exp = {}
+    for _, blk in part.groupby(["blk", "p_size"]):
+        recs = blk.sort_values("p_partkey").to_dict("records")
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                x, y = recs[i], recs[j]
+                ags = (
+                    int(lev(x["p_name"], y["p_name"]) <= 1),
+                    int(x["p_brand"] == y["p_brand"]),
+                    int(x["p_type"] == y["p_type"]),
+                    int(abs(x["price"] - y["price"]) <= 1.00),
+                )
+                w = (
+                    (math.log(0.9 / 0.05) if ags[0] else math.log(0.1 / 0.95))
+                    + (
+                        math.log(0.85 / 0.04)
+                        if ags[1]
+                        else math.log(0.15 / 0.96)
+                    )
+                    + (math.log(0.8 / 0.2) if ags[2] else math.log(0.2 / 0.8))
+                    + (
+                        math.log(0.75 / 0.1)
+                        if ags[3]
+                        else math.log(0.25 / 0.9)
+                    )
+                )
+                exp[(x["p_partkey"], y["p_partkey"])] = (
+                    "".join(map(str, ags)),
+                    round(w, 6),
+                )
+    assert len(rows) == len(exp)
+    for r in rows:
+        pat, w = exp[(r["key_a"], r["key_b"])]
+        assert r["pattern"] == pat
+        assert abs(r["weight"] - w) < 1e-9
+        want = (
+            "match"
+            if w >= FS_MATCH_T
+            else ("non_match" if w <= FS_NONMATCH_T else "review")
+        )
+        assert r["decision"] == want
+    # all three decision classes are actually exercised by the fixture
+    classes = {r["decision"] for r in rows}
+    assert "match" in classes and len(classes) >= 2

@@ -474,3 +474,414 @@ def powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ccdf_intercept"
         ),
     )
+
+
+KN_D = 0.75  # fixed Kneser-Ney absolute discount
+
+
+@register(
+    "kneser_ney_bigram_quality",
+    sql=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+    ),
+    uni AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM pairs GROUP BY w1, w2
+    ),
+    rt AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS r1 FROM bi GROUP BY w1
+    ),
+    lt AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS l1 FROM bi GROUP BY w2
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM bi)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(
+             greatest(bi.c2 - {KN_D}, 0) / uni.c1
+             + ({KN_D} * rt.r1 / uni.c1) * (lt.l1 * 1.0 / nb.nbi)
+           )), 4) AS avg_kn_logprob
+    FROM pairs p
+    JOIN bi  ON p.w1 = bi.w1 AND p.w2 = bi.w2
+    JOIN uni ON p.w1 = uni.w1
+    JOIN rt  ON p.w1 = rt.w1
+    JOIN lt  ON p.w2 = lt.w2
+    CROSS JOIN nb
+    GROUP BY p.doc_id
+    """,
+)
+def kneser_ney_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R251 interpolated Kneser-Ney bigram LM document scoring (fixed
+    absolute discount D = {KN_D}): P(w2|w1) = max(c12 - D, 0)/c1 +
+    (D * |{{w: c(w1,w)>0}}| / c1) * P_cont(w2), where the continuation
+    probability P_cont(w2) = (distinct left contexts of w2) / (distinct
+    bigram types) is what separates KN from add-1/Good-Turing — a word
+    seen often but only ever in ONE context ('Francisco') gets a LOW
+    unseen-context probability. The industry-standard n-gram smoothing
+    (Chen & Goodman 1999) completing the LM-quality family
+    (unigram/add-1-bigram/Good-Turing/CCNet-perplexity). Same pair
+    stream and join shape as bigram_logprob_quality: four model-sized
+    count frames enrich the pair stream (AQE broadcasts the Zipf-small
+    sides), one aggregate per doc; every ln argument is a ratio of
+    exact integers, rounded 4dp."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = ws_tokens(F.lower("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    rt = bi.groupBy("w1").agg(F.count("*").alias("r1"))
+    lt = bi.groupBy("w2").agg(F.count("*").alias("l1"))
+    nb = bi.agg(F.count("*").alias("nbi"))
+    p_kn = F.log(
+        F.greatest(F.col("c2") - KN_D, F.lit(0)) / F.col("c1")
+        + (KN_D * F.col("r1") / F.col("c1"))
+        * (F.col("l1") * 1.0 / F.col("nbi"))
+    )
+    scored = (
+        pairs.join(bi, on=["w1", "w2"])
+        .join(uni, on="w1")
+        .join(rt, on="w1")
+        .join(lt, on="w2")
+        .crossJoin(F.broadcast(nb))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(p_kn), 4).alias("avg_kn_logprob"),
+    )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, fixed literals
+# so both engines use bit-identical constants
+PW_Z_ALPHA = 1.959964
+PW_Z_BETA = 0.841621
+PW_DELTA = 0.02  # absolute minimum detectable effect
+
+
+@register(
+    "power_sample_size_by_priority",
+    sql=f"""
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END),
+                   6) AS p0
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, p0,
+           round(p0 + {PW_DELTA}, 6) AS p1,
+           round(pow({PW_Z_ALPHA} * sqrt(2 * ((p0 + p0 + {PW_DELTA}) / 2)
+                       * (1 - (p0 + p0 + {PW_DELTA}) / 2))
+                     + {PW_Z_BETA} * sqrt(p0 * (1 - p0)
+                       + (p0 + {PW_DELTA}) * (1 - (p0 + {PW_DELTA}))), 2)
+                 / ({PW_DELTA} * {PW_DELTA}), 2) AS n_per_arm
+    FROM base
+    """,
+)
+def power_sample_size_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R252 A/B-test sample-size calculator per order-priority
+    segment: the standard two-proportion formula n =
+    (z_a*sqrt(2 pbar qbar) + z_b*sqrt(p0 q0 + p1 q1))^2 / delta^2 at
+    two-sided alpha=0.05, power=0.80, absolute MDE delta={PW_DELTA},
+    seeded with each segment's observed base rate p0 (share of 'F'
+    orders) — the pre-experiment planning step of the repo's
+    experimentation family (the post-hoc twins: ab_test_proportions,
+    wilson/bayes/SPRT). The z quantiles are shared literals (no
+    inverse-normal evaluation to drift); p0 is rounded to 6dp BEFORE
+    the formula so both engines feed identical doubles. One hash
+    aggregate; 5-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)),
+            6,
+        ).alias("p0"),
+    )
+    p0 = F.col("p0")
+    p1 = p0 + PW_DELTA
+    pbar = (p0 + p1) / 2
+    n_req = (
+        F.pow(
+            PW_Z_ALPHA * F.sqrt(2 * pbar * (1 - pbar))
+            + PW_Z_BETA * F.sqrt(p0 * (1 - p0) + p1 * (1 - p1)),
+            2,
+        )
+        / (PW_DELTA * PW_DELTA)
+    )
+    return base.select(
+        "o_orderpriority",
+        "n_orders",
+        "p0",
+        F.round(p1, 6).alias("p1"),
+        F.round(n_req, 2).alias("n_per_arm"),
+    )
+
+
+@register(
+    "cmh_pooled_odds_morning_purchase",
+    sql="""
+    WITH ev AS (
+      SELECT CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS BIGINT)
+               AS stratum,
+             CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outcome
+      FROM events
+    ),
+    cell AS (
+      SELECT stratum,
+             CAST(sum(exposed * outcome) AS BIGINT) AS a,
+             CAST(sum(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(sum((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(sum((1 - exposed) * (1 - outcome)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY stratum
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             sum(a * 1.0) AS sa,
+             sum((a + b) * (a + c) * 1.0 / n) AS se,
+             sum((a + b) * (c + d) * (a + c) * (b + d) * 1.0
+                 / (n * n * (n - 1.0))) AS sv,
+             sum(a * d * 1.0 / n) AS sad,
+             sum(b * c * 1.0 / n) AS sbc
+      FROM cell
+    )
+    SELECT n_strata,
+           round(sad / sbc, 6) AS or_mh,
+           round(pow(abs(sa - se) - 0.5, 2) / sv, 6) AS cmh_chi2
+    FROM s
+    """,
+)
+def cmh_pooled_odds_morning_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R253 Cochran-Mantel-Haenszel: does morning activity associate
+    with purchasing AFTER stratifying by weekday? Per-stratum 2x2
+    cells (exposure = event before noon, outcome = purchase, strata =
+    weekday), Mantel-Haenszel pooled odds ratio sum(ad/n)/sum(bc/n)
+    and the continuity-corrected CMH chi-square — the formal test
+    behind simpsons_paradox_check's descriptive flip report:
+    stratum-adjusted association vs the marginal one. All cells are
+    exact integer counts collapsing to a 7-row frame; the weekday
+    anchor (days since 2024-01-01 mod 7) matches the repo's other
+    weekday ops. One aggregate over events, then closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            (
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                )
+                % 7
+            )
+            .cast("bigint")
+            .alias("stratum"),
+            F.when(F.hour("ts") < 12, 1).otherwise(0).alias("exposed"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("outcome"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.col("exposed") * F.col("outcome"))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.col("exposed") * (1 - F.col("outcome")))
+            .cast("bigint")
+            .alias("b"),
+            F.sum((1 - F.col("exposed")) * F.col("outcome"))
+            .cast("bigint")
+            .alias("c"),
+            F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+            .cast("bigint")
+            .alias("d"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    a, b, c, d, n = (F.col(x) for x in "abcdn")
+    s = cell.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum(a * 1.0).alias("sa"),
+        F.sum((a + b) * (a + c) * 1.0 / n).alias("se"),
+        F.sum(
+            (a + b) * (c + d) * (a + c) * (b + d) * 1.0 / (n * n * (n - 1.0))
+        ).alias("sv"),
+        F.sum(a * d * 1.0 / n).alias("sad"),
+        F.sum(b * c * 1.0 / n).alias("sbc"),
+    )
+    return s.select(
+        "n_strata",
+        F.round(F.col("sad") / F.col("sbc"), 6).alias("or_mh"),
+        F.round(
+            F.pow(F.abs(F.col("sa") - F.col("se")) - 0.5, 2) / F.col("sv"), 6
+        ).alias("cmh_chi2"),
+    )
+
+
+# Fellegi-Sunter per-field match/unmatch probabilities (fixed literals
+# on both engines; weights are ln(m/u) on agree, ln((1-m)/(1-u)) on
+# disagree)
+FS_FIELDS = (
+    ("name", 0.9, 0.05),    # levenshtein(name) <= 1
+    ("brand", 0.85, 0.04),  # p_brand equal
+    ("type", 0.8, 0.2),     # p_type equal
+    ("price", 0.75, 0.1),   # |retailprice diff| <= 1.00
+)
+FS_MATCH_T = 4.0     # total weight >= -> 'match'
+FS_NONMATCH_T = -2.0  # total weight <= -> 'non_match'
+
+
+@register(
+    "fellegi_sunter_part_linkage",
+    sql=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_type,
+             round(p_retailprice, 2) AS price,
+             string_split(p_name, ' ')[-1] AS blk_tok, p_size
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= 1
+                  THEN 1 ELSE 0 END AS ag_name,
+             CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS ag_brand,
+             CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
+             CASE WHEN abs(a.price - b.price) <= 1.00
+                  THEN 1 ELSE 0 END AS ag_price
+      FROM p a JOIN p b
+        ON a.blk_tok = b.blk_tok AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+      SELECT key_a, key_b,
+             CAST(ag_name AS VARCHAR) || CAST(ag_brand AS VARCHAR)
+               || CAST(ag_type AS VARCHAR) || CAST(ag_price AS VARCHAR)
+               AS pattern,
+             round(
+               (CASE WHEN ag_name = 1 THEN ln(0.9 / 0.05)
+                     ELSE ln(0.1 / 0.95) END)
+             + (CASE WHEN ag_brand = 1 THEN ln(0.85 / 0.04)
+                     ELSE ln(0.15 / 0.96) END)
+             + (CASE WHEN ag_type = 1 THEN ln(0.8 / 0.2)
+                     ELSE ln(0.2 / 0.8) END)
+             + (CASE WHEN ag_price = 1 THEN ln(0.75 / 0.1)
+                     ELSE ln(0.25 / 0.9) END), 6) AS weight
+      FROM pairs
+    )
+    SELECT key_a, key_b, pattern, weight,
+           CASE WHEN weight >= {FS_MATCH_T} THEN 'match'
+                WHEN weight <= {FS_NONMATCH_T} THEN 'non_match'
+                ELSE 'review' END AS decision
+    FROM scored
+    """,
+)
+def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R254 Fellegi-Sunter probabilistic record linkage over the part
+    catalog: blocked candidate pairs (same head noun AND same size —
+    two independent blocking keys keep block growth bounded; the
+    production alternative at 100 TB is the repo's
+    sorted_neighborhood_pairs window) are scored per field with fixed
+    m/u probabilities — agreement on field i contributes ln(m_i/u_i),
+    disagreement ln((1-m_i)/(1-u_i)) — and the summed log-likelihood
+    weight lands each pair in match / review / non_match via the
+    classic two-threshold decision rule. The decision-theoretic
+    upgrade of fuzzy_name_pairs' raw edit distance: field agreements
+    (name edit<=1, brand, type, price within $1) are exact integer /
+    cent-grid predicates, weights are lns of shared literals, so both
+    engines agree bitwise."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.round("p_retailprice", 2).alias("price"),
+        F.element_at(F.split("p_name", " "), -1).alias("blk_tok"),
+        "p_size",
+    )
+    a, b = p.alias("a"), p.alias("b")
+    import math
+
+    pairs = a.join(
+        b,
+        (F.col("a.blk_tok") == F.col("b.blk_tok"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.when(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 1, 1
+        )
+        .otherwise(0)
+        .alias("ag_name"),
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1)
+        .otherwise(0)
+        .alias("ag_brand"),
+        F.when(F.col("a.p_type") == F.col("b.p_type"), 1)
+        .otherwise(0)
+        .alias("ag_type"),
+        F.when(F.abs(F.col("a.price") - F.col("b.price")) <= 1.00, 1)
+        .otherwise(0)
+        .alias("ag_price"),
+    )
+    weight = (
+        F.when(F.col("ag_name") == 1, math.log(0.9 / 0.05)).otherwise(
+            math.log(0.1 / 0.95)
+        )
+        + F.when(F.col("ag_brand") == 1, math.log(0.85 / 0.04)).otherwise(
+            math.log(0.15 / 0.96)
+        )
+        + F.when(F.col("ag_type") == 1, math.log(0.8 / 0.2)).otherwise(
+            math.log(0.2 / 0.8)
+        )
+        + F.when(F.col("ag_price") == 1, math.log(0.75 / 0.1)).otherwise(
+            math.log(0.25 / 0.9)
+        )
+    )
+    scored = pairs.select(
+        "key_a",
+        "key_b",
+        F.concat(
+            F.col("ag_name").cast("string"),
+            F.col("ag_brand").cast("string"),
+            F.col("ag_type").cast("string"),
+            F.col("ag_price").cast("string"),
+        ).alias("pattern"),
+        F.round(weight, 6).alias("weight"),
+    )
+    return scored.select(
+        "key_a",
+        "key_b",
+        "pattern",
+        "weight",
+        F.when(F.col("weight") >= FS_MATCH_T, "match")
+        .when(F.col("weight") <= FS_NONMATCH_T, "non_match")
+        .otherwise("review")
+        .alias("decision"),
+    )
