@@ -396,3 +396,120 @@ def test_fellegi_sunter_matches_python_referee(spark):
     # all three decision classes are actually exercised by the fixture
     classes = {r["decision"] for r in rows}
     assert "match" in classes and len(classes) >= 2
+
+
+def test_dbscan_matches_python_referee(spark):
+    """R255 referee: O(N^2) pure-python DBSCAN with the identical
+    deterministic labeling rule (CC over core eps-graph, border ->
+    min core-neighbor cluster, cluster id = min member id)."""
+    from zoom_spark.queries.round7_ops import (
+        DBSCAN_EPS,
+        DBSCAN_MIN_PTS,
+        dbscan_embedding_cells,
+    )
+
+    rows = dbscan_embedding_cells(spark, SF_DIR).collect()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    import numpy as np
+
+    ids = emb["vec_id"].to_numpy()
+    P = np.stack(emb["embedding"].to_numpy())[:, :2].astype(np.float64)
+    n = len(ids)
+    d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(-1)
+    nbr = (d2 <= DBSCAN_EPS * DBSCAN_EPS) & ~np.eye(n, dtype=bool)
+    is_core = nbr.sum(1) + 1 >= DBSCAN_MIN_PTS
+
+    # CC over core-core graph (union-find)
+    parent = {i: i for i in range(n) if is_core[i]}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        if not is_core[i]:
+            continue
+        for j in range(i + 1, n):
+            if is_core[j] and nbr[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    # cluster id = min member VEC id in the component
+    comp_members = {}
+    for i in parent:
+        comp_members.setdefault(find(i), []).append(i)
+    cluster_of = {}
+    for root, members in comp_members.items():
+        cid = min(ids[m] for m in members)
+        for m in members:
+            cluster_of[m] = cid
+    # border: non-core with a core neighbor -> min core cluster
+    for i in range(n):
+        if is_core[i]:
+            continue
+        cs = [cluster_of[j] for j in range(n) if is_core[j] and nbr[i, j]]
+        if cs:
+            cluster_of[i] = min(cs)
+    summary = {}
+    for i in range(n):
+        c = cluster_of.get(i)
+        key = None if c is None else int(c)
+        s = summary.setdefault(key, [0, 0, None])
+        s[0] += 1
+        s[1] += int(is_core[i])
+        m = int(ids[i])
+        s[2] = m if s[2] is None else min(s[2], m)
+    got = {
+        r["cluster"]: (r["n_points"], r["n_core"], r["min_member"])
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in summary.items()}
+    # the fixture genuinely exercises clusters AND noise
+    assert None in got and len(got) >= 2
+    assert all(v[1] > 0 for k, v in got.items() if k is not None)
+
+
+def test_silhouette_matches_numpy_referee(spark):
+    """R256 referee: numpy recompute of the centroid silhouette with
+    the same rounding schedule, plus the Davies-Bouldin consistency
+    property (labels with higher silhouette tend to be the tighter
+    ones: avg_intra < avg_nearest_other iff silhouette > 0)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import silhouette_label_centroids
+
+    rows = {
+        r["label"]: r
+        for r in silhouette_label_centroids(spark, SF_DIR).collect()
+    }
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    A = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    uniq = sorted(set(labels))
+    cents = {
+        l: np.round(A[labels == l].mean(0), 6) for l in uniq
+    }
+    for l in uniq:
+        X = A[labels == l]
+        dists = {
+            c: np.round(
+                np.sqrt(((X - m[None, :]) ** 2).sum(1)), 9
+            )
+            for c, m in cents.items()
+        }
+        a = dists[l]
+        b = np.min(
+            np.stack([dists[c] for c in uniq if c != l]), axis=0
+        )
+        denom = np.maximum(a, b)
+        sil = np.where(denom > 0, (b - a) / denom, 0.0)
+        r = rows[l]
+        assert r["n_vecs"] == len(X)
+        assert abs(r["avg_intra"] - a.mean()) < 1e-6
+        assert abs(r["avg_nearest_other"] - b.mean()) < 1e-6
+        assert abs(r["avg_silhouette"] - sil.mean()) < 1e-6
+        assert (r["avg_silhouette"] > 0) == (
+            r["avg_intra"] < r["avg_nearest_other"]
+        )

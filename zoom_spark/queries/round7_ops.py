@@ -885,3 +885,130 @@ def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("review")
         .alias("decision"),
     )
+
+
+DBSCAN_EPS = 0.05
+DBSCAN_MIN_PTS = 5
+
+
+@register("dbscan_embedding_cells")  # iterative CC core: rows-only + referee
+def dbscan_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R255 grid-accelerated DBSCAN over the first two embedding
+    dimensions (eps={0.05}, min_pts={5}): the density-based
+    complement of the centroid family (kmeans/semdedup assume convex
+    cells; DBSCAN finds arbitrary-shape dense regions and labels
+    sparse points as noise — the outlier-carving step of a curation
+    pipeline). Composition of bounded ops: eps-grid cell join (3x3
+    probe), exact eps filter, degree threshold for core points,
+    star-contraction CC over the core-core graph, deterministic
+    min-id border attachment (similarity/dbscan.py). Iterative CC
+    fixpoint -> rows-only gate; the pure-python referee recomputes
+    the exact labeling in tests/test_round7_ops.py. Output: one row
+    per cluster plus one NULL-cluster row aggregating noise."""
+    from zoom_spark.similarity.dbscan import dbscan_2d
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    lab = dbscan_2d(
+        pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS
+    )
+    return lab.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_core"),
+        F.min("id").cast("bigint").alias("min_member"),
+    )
+
+
+@register(
+    "silhouette_label_centroids",
+    sql="""
+    WITH dims AS (
+      SELECT e.label, e.vec_id, d.dim,
+             CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+    ),
+    cent AS (
+      SELECT label AS clabel, dim, round(avg(val), 6) AS m
+      FROM dims GROUP BY label, dim
+    ),
+    pdist AS (
+      SELECT d.vec_id, d.label, c.clabel,
+             round(sqrt(sum(pow(d.val - c.m, 2))), 9) AS dist
+      FROM dims d JOIN cent c ON d.dim = c.dim
+      GROUP BY d.vec_id, d.label, c.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN dist END) AS a,
+             min(CASE WHEN clabel <> label THEN dist END) AS b
+      FROM pdist GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label, a, b,
+             CASE WHEN greatest(a, b) > 0
+                  THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sil
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(a), 6) AS avg_intra,
+           round(avg(b), 6) AS avg_nearest_other,
+           round(avg(sil), 6) AS avg_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def silhouette_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R256 simplified (centroid-based) silhouette per label cluster:
+    a = distance to the own-label centroid, b = distance to the
+    nearest other centroid, s = (b-a)/max(a,b) — the standard
+    cluster-quality companion to davies_bouldin_embeddings (higher =
+    tighter/better separated), in the O(N * |labels|) centroid
+    formulation rather than the O(N^2) pairwise original (which is
+    the referee in pytest at test SF). Same engine-parity recipe as
+    Davies-Bouldin: per-dim centroid means rounded 6dp, distances
+    rounded 9dp, |labels|-sized join on the dim expansion — one
+    shuffle to build centroids, map-side scoring after."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "raw"),
+    ).select("label", "vec_id", "dim", F.col("raw").cast("double").alias("val"))
+    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.round(F.avg("val"), 6).alias("m")
+    )
+    pdist = (
+        dims.join(F.broadcast(cent), on="dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("val") - F.col("m"), 2))), 9
+            ).alias("dist")
+        )
+    )
+    ab = pdist.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+        ).alias("b"),
+    )
+    sil = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(0.0)
+    return ab.select("label", "a", "b", sil.alias("sil")).groupBy(
+        "label"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg("a"), 6).alias("avg_intra"),
+        F.round(F.avg("b"), 6).alias("avg_nearest_other"),
+        F.round(F.avg("sil"), 6).alias("avg_silhouette"),
+    )
