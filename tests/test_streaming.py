@@ -903,3 +903,84 @@ def test_stream_merge_upsert_crash_midbatch_recovery(spark, tmp_path):
     q2.awaitTermination()
     got = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(sink).collect()}
     assert got == {1: ("a2", 20), 2: ("b2", 12), 3: ("c", 13), 4: ("d", 21)}
+
+
+def test_stream_scd2_history_sink(spark, tmp_path):
+    """Streaming SCD2 sink: change batches build a valid_from/valid_to
+    history — within-batch version order applies oldest-first, closed
+    rows chain correctly, one open row per key — and replaying the
+    whole change stream against the existing table with a fresh
+    checkpoint leaves the history unchanged ((key, valid_from)
+    idempotency)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zoom_spark.streaming.windows import write_stream_scd2
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    sink = str(tmp_path / "dim")
+
+    def write_changes(name, rows):
+        t = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [datetime.date.fromisoformat(r[1]) for r in rows],
+                    type=pa.date32(),
+                ),
+                "attr": pa.array([r[2] for r in rows]),
+            }
+        )
+        pq.write_table(t, str(src / name))
+
+    write_changes(
+        "b1.parquet", [(1, "2024-01-01", "a1"), (2, "2024-01-01", "b1")]
+    )
+    # batch 2 carries TWO versions of key 1 (applied in ts order) and
+    # one of key 2
+    write_changes(
+        "b2.parquet",
+        [
+            (1, "2024-02-01", "a2"),
+            (1, "2024-03-01", "a3"),
+            (2, "2024-02-15", "b2"),
+        ],
+    )
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema("k long, ts date, attr string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        write_stream_scd2(stream, sink, "k", "ts", str(tmp_path / cp))
+
+    run("cp1")
+    rows = sorted(
+        (
+            (r["k"], str(r["valid_from"]), str(r["valid_to"]), r["attr"])
+            for r in spark.read.parquet(sink).collect()
+        )
+    )
+    expect = sorted(
+        [
+            (1, "2024-01-01", "2024-02-01", "a1"),
+            (1, "2024-02-01", "2024-03-01", "a2"),
+            (1, "2024-03-01", "9999-12-31", "a3"),
+            (2, "2024-01-01", "2024-02-15", "b1"),
+            (2, "2024-02-15", "9999-12-31", "b2"),
+        ]
+    )
+    assert rows == expect
+    # full replay with a fresh checkpoint: history must not duplicate
+    run("cp2")
+    again = sorted(
+        (
+            (r["k"], str(r["valid_from"]), str(r["valid_to"]), r["attr"])
+            for r in spark.read.parquet(sink).collect()
+        )
+    )
+    assert again == expect

@@ -1012,3 +1012,355 @@ def silhouette_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("b"), 6).alias("avg_nearest_other"),
         F.round(F.avg("sil"), 6).alias("avg_silhouette"),
     )
+
+
+BP_SEG_TOKENS = 8   # disjoint token-window segment size
+BP_MIN_DOCS = 3     # segment seen in >= this many docs == boilerplate
+
+
+@register(
+    "boilerplate_segment_removal",
+    sql=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(floor((i - 1.0) / {BP_SEG_TOKENS}) AS BIGINT)
+               AS seg_idx,
+             string_agg(w, ' ' ORDER BY i) AS seg_text
+      FROM (
+        SELECT doc_id, ts[i] AS w, i
+        FROM tok, LATERAL (
+          SELECT unnest(generate_series(1, len(ts))) AS i) g
+      )
+      GROUP BY doc_id, CAST(floor((i - 1.0) / {BP_SEG_TOKENS}) AS BIGINT)
+    ),
+    df AS (
+      SELECT seg_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM seg GROUP BY seg_text
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg_text,
+             (d.n_docs >= {BP_MIN_DOCS}) AS is_boiler
+      FROM seg s JOIN df d ON s.seg_text = d.seg_text
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg_text END,
+                                   ' ' ORDER BY seg_idx), '')) AS cleaned_md5
+    FROM marked GROUP BY doc_id
+    """,
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R257 C4/CCNet-style boilerplate removal at segment granularity:
+    split each doc into disjoint {BP_SEG_TOKENS}-token segments, count
+    the DISTINCT docs each segment occurs in, and strip every segment
+    seen in >= {BP_MIN_DOCS} docs (navigation chrome, legal footers,
+    templated intros — the near-dup mass REPAIR step, where the dedup
+    family only detects). Emits per doc the segment counts and the
+    md5 of the cleaned reassembly (segments rejoined in order) so the
+    oracle hashes the actual output text without shipping it. Scale
+    shape: explode -> two hash aggregates (segment doc-frequency is
+    Zipf-small) -> broadcast-able enrich join -> ordered reassembly
+    per doc; everything shuffles on doc_id or the segment hash."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", ws_tokens(F.lower("text")).alias("ts"))
+    words = tok.select(
+        "doc_id", F.posexplode("ts").alias("i0", "w")
+    )
+    seg = (
+        words.groupBy(
+            "doc_id",
+            F.floor(F.col("i0") / BP_SEG_TOKENS).cast("bigint").alias("seg_idx"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i0", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("seg_text")
+        )
+    )
+    df_counts = seg.groupBy("seg_text").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    marked = seg.join(df_counts, on="seg_text").select(
+        "doc_id",
+        "seg_idx",
+        "seg_text",
+        (F.col("n_docs") >= BP_MIN_DOCS).alias("is_boiler"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("is_boiler"),
+                                    F.struct("seg_idx", "seg_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg_text"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+MMR_QUERY_VEC = 0   # query = embedding of vec_id 0
+MMR_CAND_K = 20     # candidate pool: top-20 by query cosine
+MMR_SELECT_K = 5    # greedy MMR picks
+MMR_LAMBDA = 0.7    # relevance/diversity trade-off
+
+
+@register("mmr_rerank_topk")  # greedy sequential selection: rows-only
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R258 Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998): from the top-{MMR_CAND_K} cosine candidates for a
+    fixed query vector, greedily pick {MMR_SELECT_K} maximizing
+    lambda*sim(q,c) - (1-lambda)*max_{{s in selected}} sim(c,s) — the
+    diversity-aware re-rank every RAG / retrieval pipeline runs after
+    ANN. Scale shape: the DATA-sized work is the candidate scan (the
+    repo's knn family provides it; here a broadcast 1-query pass +
+    TakeOrdered top-k); the greedy loop then runs on the
+    MODEL-sized candidate set ({MMR_CAND_K} rows) via
+    {MMR_SELECT_K - 1} chained joins — never on the corpus. Rounded
+    6dp cosines make the argmax deterministic (ties break to the
+    smaller vec_id). Greedy sequential selection is not
+    SQL-expressible as one query -> rows-only gate + python referee."""
+    from zoom_spark.functions.vectors import cosine_with_norms, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") == MMR_QUERY_VEC).select(
+        F.col("v").alias("qv"), norm(F.col("v")).alias("qn")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != MMR_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(
+                cosine_with_norms(
+                    F.col("v"), F.col("qv"), norm(F.col("v")), F.col("qn")
+                ),
+                6,
+            ).alias("rel"),
+        )
+    )
+    cands = scored.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_CAND_K)
+    cands = cands.localCheckpoint(eager=False)
+    # pairwise sims among the candidate pool (model-sized: K x K)
+    a, b = cands.alias("a"), cands.alias("b")
+    pair = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.round(
+                cosine_with_norms(
+                    F.col("a.v"),
+                    F.col("b.v"),
+                    norm(F.col("a.v")),
+                    norm(F.col("b.v")),
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rel = cands.select("vec_id", "rel")
+    # greedy loop over the model-sized frame: selected ids accumulate,
+    # each step re-scores remaining candidates against the selection
+    selected: list[tuple[int, float]] = []
+    first = rel.orderBy(F.col("rel").desc(), "vec_id").first()
+    selected.append((first["vec_id"], float(first["rel"])))
+    for _ in range(MMR_SELECT_K - 1):
+        sel_ids = [s[0] for s in selected]
+        mmr = (
+            rel.where(~F.col("vec_id").isin(sel_ids))
+            .join(
+                pair.where(F.col("cb").isin(sel_ids)),
+                F.col("vec_id") == F.col("ca"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .select(
+                "vec_id",
+                "rel",
+                F.round(
+                    MMR_LAMBDA * F.col("rel")
+                    - (1 - MMR_LAMBDA) * F.col("max_sim"),
+                    6,
+                ).alias("mmr"),
+            )
+        )
+        nxt = mmr.orderBy(F.col("mmr").desc(), "vec_id").first()
+        selected.append((nxt["vec_id"], float(nxt["mmr"])))
+    out = spark.createDataFrame(
+        [
+            (rank + 1, vid, score)
+            for rank, (vid, score) in enumerate(selected)
+        ],
+        "rank bigint, vec_id bigint, score double",
+    )
+    return out
+
+
+OBF_LOOKS = 5
+OBF_ZK = 2.04  # O'Brien-Fleming final-look two-sided 5% boundary (K=5)
+
+
+@register(
+    "obrien_fleming_sequential",
+    sql=f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    span AS (
+      SELECT min(d) AS d0,
+             CAST(max(d) - min(d) AS BIGINT) + 1 AS n_days
+      FROM ev
+    ),
+    looks AS (
+      SELECT CAST(range AS BIGINT) AS k FROM range(1, {OBF_LOOKS} + 1)
+    ),
+    cum AS (
+      SELECT l.k,
+             CAST(sum(CASE WHEN e.arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN e.arm = 1 THEN e.y ELSE 0 END) AS BIGINT)
+               AS x_a,
+             CAST(sum(CASE WHEN e.arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN e.arm = 0 THEN e.y ELSE 0 END) AS BIGINT)
+               AS x_b
+      FROM looks l
+      JOIN span s ON true
+      JOIN ev e
+        ON e.d < s.d0 + CAST(ceil(s.n_days * l.k * 1.0 / {OBF_LOOKS})
+                             AS INTEGER)
+      GROUP BY l.k
+    ),
+    z AS (
+      SELECT k, n_a, x_a, n_b, x_b,
+             (x_a * 1.0 / n_a - x_b * 1.0 / n_b)
+               / sqrt((x_a + x_b) * 1.0 / (n_a + n_b)
+                      * (1 - (x_a + x_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) AS zval
+      FROM cum
+    )
+    SELECT k AS look, n_a, x_a, n_b, x_b,
+           round(zval, 6) AS z,
+           round({OBF_ZK} * sqrt({OBF_LOOKS} * 1.0 / k), 6) AS boundary,
+           (abs(zval) >= {OBF_ZK} * sqrt({OBF_LOOKS} * 1.0 / k)) AS crossed
+    FROM z
+    """,
+)
+def obrien_fleming_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R259 group-sequential monitoring with O'Brien-Fleming-style
+    boundaries: an md5 placebo split of users into arms, conversion
+    z-statistics recomputed at {OBF_LOOKS} equally-spaced calendar
+    looks, each compared against the OBF z-boundary z_K*sqrt(K/k)
+    (z_K = {OBF_ZK}, the classic K=5 two-sided 5% final-look value —
+    early looks need overwhelming evidence, the final look spends
+    nearly the full alpha). The interim-analysis discipline that
+    SPRT's fully-sequential path doesn't cover; as an A/A calibration
+    the placebo split should cross nothing. Counts are exact integers
+    per look (the look-date cutoffs are integer day offsets), the
+    pooled-z formula is one closed form, boundaries are shared
+    literals; 5-row output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    span = ev.agg(
+        F.min("d").alias("d0"),
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("bigint")
+        .alias("n_days"),
+    )
+    looks = spark.range(1, OBF_LOOKS + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    cum = (
+        looks.crossJoin(F.broadcast(span))
+        .join(
+            ev,
+            ev["d"]
+            < F.expr(
+                f"date_add(d0, CAST(ceil(n_days * k * 1.0 / {OBF_LOOKS})"
+                " AS INT))"
+            ),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("x_a"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("x_b"),
+        )
+    )
+    p_pool = (F.col("x_a") + F.col("x_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    zval = (
+        F.col("x_a") * 1.0 / F.col("n_a")
+        - F.col("x_b") * 1.0 / F.col("n_b")
+    ) / F.sqrt(
+        p_pool
+        * (1 - p_pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    boundary = OBF_ZK * F.sqrt(F.lit(OBF_LOOKS * 1.0) / F.col("k"))
+    return cum.select(
+        F.col("k").alias("look"),
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(zval, 6).alias("z"),
+        F.round(boundary, 6).alias("boundary"),
+        (F.abs(zval) >= boundary).alias("crossed"),
+    )

@@ -425,3 +425,97 @@ def stream_drift_monitor(
         F.col("w.start").alias("window_start"),
         F.round(known + unknown, 6).alias("l1_drift"),
     )
+
+
+def write_stream_scd2(
+    stream_df: DataFrame,
+    path: str,
+    key: str,
+    ts_col: str,
+    checkpoint_dir: str,
+    *,
+    open_end: str = "9999-12-31",
+) -> None:
+    """Streaming SCD-type-2 history sink: each micro-batch of change
+    rows closes the currently-open row per updated key (valid_to =
+    change ts) and appends the change as the new open row — the
+    dimension-history pattern (operators/merge.scd2_close_and_insert)
+    driven from a stream the way a warehouse CDC feed drives it.
+    Within a batch, multiple versions of a key are applied in ts
+    order (earlier versions become immediately-closed rows). Batches
+    replaying after a crash re-derive the same history because the
+    apply is keyed on (key, valid_from): a version already in the
+    table overwrites itself, not duplicates (idempotent under
+    at-least-once foreachBatch)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from zoom_spark.operators.merge import scd2_close_and_insert
+
+    def apply_batch(df: DataFrame, _epoch: int) -> None:
+        spark = df.sparkSession
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+        else:
+            existing = (
+                df.select(
+                    F.col(key),
+                    F.col(ts_col).alias("valid_from"),
+                    F.lit(open_end).cast("date").alias("valid_to"),
+                    *[
+                        c
+                        for c in df.columns
+                        if c not in (key, ts_col)
+                    ],
+                )
+                .limit(0)
+            )
+        # versions within the batch apply in ts order; dedupe exact
+        # (key, ts) replays so a re-delivered row is a no-op
+        w = Window.partitionBy(key, ts_col).orderBy(F.col(ts_col))
+        batch = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # drop rows whose (key, valid_from) is already in the table
+        # (crash-replay of a committed batch), then fold remaining
+        # versions in ts order
+        pending = batch.join(
+            existing.select(
+                F.col(key).alias("__k2"),
+                F.col("valid_from").alias("__f2"),
+            ),
+            (F.col(key) == F.col("__k2"))
+            & (F.col(ts_col).cast("date") == F.col("__f2")),
+            "left_anti",
+        )
+        versions = sorted(
+            pending.select(ts_col).distinct().collect(),
+            key=lambda r: r[0],
+        )
+        table = existing
+        for (v,) in versions:
+            table = scd2_close_and_insert(
+                table,
+                pending.where(F.col(ts_col) == v),
+                key,
+                ts_col,
+                open_end=open_end,
+            )
+        staging = f"{path}.__staging__"
+        table.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(path)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
