@@ -175,7 +175,7 @@ EXPECTATIONS = {
     # R259: 5-look grid x 1-row span scalar BNLJ, and the look-cutoff
     # date comparison is a non-equi broadcast join by design
     "obrien_fleming_sequential": dict(
-        pushed=False, broadcast=True, cartesian=True
+        pushed=False, broadcast=False, cartesian=True
     ),
     # R251: KN interpolation crosses the 1-row distinct-bigram-count
     # scalar onto the pair stream (scalar BNLJ by design, same class
