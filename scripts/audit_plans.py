@@ -172,6 +172,21 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R261: ACF lag grid + 1-row mean/denominator scalar BNLJs over the
+    # calendar-bounded day frame
+    "pacf_daily_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R262: 1-row MSW scalar crossed onto the 10-pair frame (the pair
+    # join itself is the 5x5 model-sized self-join)
+    "tukey_hsd_segments": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R263: KM running product + lead() over the <=|days| event-time
+    # frame (cusum-style exception) + 1-row tau/first-segment scalars
+    "rmst_conversion": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # R259: 5-look grid x 1-row span scalar BNLJ, and the look-cutoff
     # date comparison is a non-equi broadcast join by design
     "obrien_fleming_sequential": dict(

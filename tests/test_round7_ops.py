@@ -677,3 +677,139 @@ def test_obrien_fleming_matches_python_referee(spark):
     # inflates |z| — the sf0.001 fixture crosses at look 4, which is
     # exactly the pathology interim-monitoring literature warns about.
     # The referee therefore checks computation, not non-crossing.
+
+
+def test_pacf_matches_numpy_referee(spark):
+    """R261 referee: numpy Durbin-Levinson from the stationary ACF
+    (same rounding schedule), cross-checked against the full
+    Levinson solve of the Yule-Walker system at order 3."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import pacf_daily_revenue
+
+    [got] = pacf_daily_revenue(spark, SF_DIR).collect()
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+    )
+    x = daily.values
+    m = round(float(x.mean()), 6)
+    dv = pd.Series(x - m, index=daily.index)
+    d0 = float((dv**2).sum())
+    r = {}
+    for k in (1, 2, 3):
+        a = dv
+        b = dv.copy()
+        b.index = b.index - pd.Timedelta(days=k)
+        joined = pd.concat([a, b], axis=1, join="inner")
+        r[k] = round(float((joined.iloc[:, 0] * joined.iloc[:, 1]).sum()) / d0, 9)
+    p1 = r[1]
+    p2 = (r[2] - r[1] ** 2) / (1 - r[1] ** 2)
+    phi21 = r[1] * (1 - p2)
+    p3 = (r[3] - phi21 * r[2] - p2 * r[1]) / (1 - phi21 * r[1] - p2 * r[2])
+    assert abs(got["pacf_1"] - p1) < 1e-6
+    assert abs(got["pacf_2"] - p2) < 1e-6
+    assert abs(got["pacf_3"] - p3) < 1e-6
+    # independent check: PACF_3 equals the last coefficient of the
+    # order-3 Yule-Walker solve
+    R = np.array(
+        [
+            [1, r[1], r[2]],
+            [r[1], 1, r[1]],
+            [r[2], r[1], 1],
+        ]
+    )
+    rhs = np.array([r[1], r[2], r[3]])
+    phi = np.linalg.solve(R, rhs)
+    assert abs(got["pacf_3"] - phi[2]) < 1e-5
+    assert all(abs(got[c]) <= 1 for c in ("pacf_1", "pacf_2", "pacf_3"))
+
+
+def test_tukey_hsd_matches_python_referee(spark):
+    """R262 referee: pandas recompute with the ANOVA rounding recipe;
+    HSD must be CONSISTENT with ANOVA (if any pair is significant the
+    omnibus F must be large-ish, and q ordering follows mean gaps)."""
+    from zoom_spark.queries.round7_ops import (
+        TUKEY_Q_CRIT,
+        tukey_hsd_segments,
+    )
+
+    rows = tukey_hsd_segments(spark, SF_DIR).collect()
+    o = _orders()
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    g = (
+        j.groupby("c_mktsegment")["o_totalprice"]
+        .agg(["count", "mean", "var"])
+        .rename(columns={"count": "ng"})
+    )
+    g["m"] = g["mean"].round(6)
+    g["vv"] = g["var"].round(2)
+    msw = float(
+        ((g["ng"] - 1) * g["vv"]).sum() / (g["ng"].sum() - len(g))
+    )
+    assert len(rows) == len(g) * (len(g) - 1) // 2
+    for r in rows:
+        a, b = g.loc[r["seg_a"]], g.loc[r["seg_b"]]
+        diff = abs(a["m"] - b["m"])
+        q = diff / (msw / 2 * (1 / a["ng"] + 1 / b["ng"])) ** 0.5
+        assert r["n_a"] == a["ng"] and r["n_b"] == b["ng"]
+        assert abs(r["mean_diff"] - diff) < 1e-6
+        assert abs(r["q_stat"] - q) < 1e-4
+        assert r["significant"] == (q >= TUKEY_Q_CRIT)
+
+
+def test_rmst_matches_python_referee(spark):
+    """R263 referee: trapezoid-free step integral of the python KM
+    curve up to tau, from the same spell construction."""
+    from zoom_spark.queries.round7_ops import RMST_TAU, rmst_conversion
+
+    [got] = rmst_conversion(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.normalize()
+    per = ev.groupby("user_id").agg(first_day=("d", "min"))
+    conv = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id")["d"]
+        .min()
+        .rename("conv_day")
+    )
+    per = per.join(conv)
+    horizon = ev["d"].max()
+    t = per.apply(
+        lambda r: (r["conv_day"] - r["first_day"]).days
+        if pd.notna(r["conv_day"])
+        else (horizon - r["first_day"]).days,
+        axis=1,
+    ).values
+    e = per["conv_day"].notna().astype(int).values
+    spells = pd.DataFrame({"t": t, "e": e})
+    # KM step curve (only uncensored event times with d < n_risk)
+    steps = []
+    s = 1.0
+    for tt in sorted(spells["t"].unique()):
+        n_risk = int((spells["t"] >= tt).sum())
+        d = int(spells[spells["t"] == tt]["e"].sum())
+        if d == 0 or d >= n_risk:
+            continue
+        s = round(s * (1 - d / n_risk), 9) if False else s * (1 - d / n_risk)
+        steps.append((tt, round(s, 9)))
+    # area under the step curve on [0, tau]
+    area, prev_t, prev_s = 0.0, 0, 1.0
+    for tt, ss in steps:
+        if tt >= RMST_TAU:
+            break
+        area += prev_s * (tt - prev_t)
+        prev_t, prev_s = tt, ss
+    area += prev_s * (RMST_TAU - prev_t)
+    assert got["tau"] == RMST_TAU
+    assert abs(got["rmst"] - area) < 1e-4
+    assert abs(got["surv_at_tau"] - prev_s) < 1e-6
+    # bounds: 0 <= RMST <= tau; RMST >= tau * S(tau)
+    assert 0 < got["rmst"] <= RMST_TAU
+    assert got["rmst"] >= RMST_TAU * got["surv_at_tau"] - 1e-6

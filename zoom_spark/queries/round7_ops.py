@@ -1364,3 +1364,329 @@ def obrien_fleming_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(boundary, 6).alias("boundary"),
         (F.abs(zval) >= boundary).alias("crossed"),
     )
+
+
+@register(
+    "pacf_daily_revenue",
+    sql="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    mu AS (SELECT round(avg(rev), 6) AS m FROM daily),
+    dev AS MATERIALIZED (
+      SELECT day, rev - (SELECT m FROM mu) AS dv FROM daily
+    ),
+    den AS (SELECT sum(dv * dv) AS d0 FROM dev),
+    rk AS (
+      SELECT l.lag,
+             round(sum(a.dv * b.dv) / (SELECT d0 FROM den), 9) AS r
+      FROM dev a
+      JOIN (SELECT unnest(ARRAY[1, 2, 3]) AS lag) l ON true
+      JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+      GROUP BY l.lag
+    ),
+    piv AS (
+      SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2,
+             max(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM rk
+    ),
+    dl AS (
+      SELECT r1, r2, r3,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+      FROM piv
+    ),
+    dl2 AS (
+      SELECT r1, r2, r3, p2, r1 * (1 - p2) AS phi21 FROM dl
+    )
+    SELECT round(r1, 6) AS pacf_1,
+           round(p2, 6) AS pacf_2,
+           round((r3 - phi21 * r2 - p2 * r1)
+                 / (1 - phi21 * r1 - p2 * r2), 6) AS pacf_3
+    FROM dl2
+    """,
+)
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R261 partial autocorrelation of daily revenue at lags 1-3 via
+    the Durbin-Levinson recursion (phi_11 = r1; phi_22 from r1,r2;
+    phi_33 from the order-2 filter coefficients) — the AR-order
+    selector that complements revenue_autocorrelation's raw ACF: a
+    PACF cutoff after lag p is the textbook signature of an AR(p)
+    series. Uses the stationary ACF estimator (global mean, shared
+    denominator) so the recursion's assumptions hold; the day mean is
+    rounded 6dp and each r_k 9dp before the closed-form chain, so
+    both engines feed identical doubles through it. Everything after
+    the daily pre-aggregate is calendar-bounded equi-joins plus a
+    1-row scalar chain."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    mu = daily.agg(F.round(F.avg("rev"), 6).alias("m"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") - F.col("m")).alias("dv")
+    ).localCheckpoint(eager=False)
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("d0"))
+    lags = spark.createDataFrame([(1,), (2,), (3,)], "lag int")
+    a, b = dev.alias("a"), dev.alias("b")
+    rk = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.day") == F.expr("date_add(a.day, lag)"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("a.dv") * F.col("b.dv")).alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select("lag", F.round(F.col("num") / F.col("d0"), 9).alias("r"))
+    )
+    piv = rk.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - p2)
+    return piv.select(
+        F.round(r1, 6).alias("pacf_1"),
+        F.round(p2, 6).alias("pacf_2"),
+        F.round(
+            (r3 - phi21 * r2 - p2 * r1) / (1 - phi21 * r1 - p2 * r2), 6
+        ).alias("pacf_3"),
+    )
+
+
+TUKEY_Q_CRIT = 3.858  # studentized range q(0.05, k=5, df=inf)
+
+
+@register(
+    "tukey_hsd_segments",
+    sql=f"""
+    WITH j AS (
+      SELECT o.o_totalprice AS y, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+             round(avg(y), 6) AS m,
+             round(var_samp(y), 2) AS vv
+      FROM j GROUP BY seg
+    ),
+    msw AS (
+      SELECT sum((ng - 1) * vv) / (sum(ng) - count(*)) AS w FROM g
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           a.ng AS n_a, b.ng AS n_b,
+           round(abs(a.m - b.m), 6) AS mean_diff,
+           round(abs(a.m - b.m)
+                 / sqrt((SELECT w FROM msw) / 2
+                        * (1.0 / a.ng + 1.0 / b.ng)), 6) AS q_stat,
+           (abs(a.m - b.m)
+            / sqrt((SELECT w FROM msw) / 2 * (1.0 / a.ng + 1.0 / b.ng))
+            >= {TUKEY_Q_CRIT}) AS significant
+    FROM g a JOIN g b ON a.seg < b.seg
+    """,
+)
+def tukey_hsd_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R262 Tukey HSD post-hoc after anova_f_segments: all 10 pairwise
+    segment mean comparisons via the studentized range statistic
+    q = |m_i - m_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) against the fixed
+    critical value q(0.05, k=5, df=inf) = {TUKEY_Q_CRIT} — the
+    which-pairs-differ answer ANOVA's single F cannot give, with the
+    family-wise error control the per-pair t-tests in effect_sizes
+    lack.
+    Same engine-parity recipe as the ANOVA gate (avg 6dp, var_samp
+    2dp, then closed forms from the 5-row group frame); the pairwise
+    step is a 5x5 self-join on the model-sized frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, c["c_custkey"] == o["o_custkey"]).select(
+        F.col("o_totalprice").alias("y"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    g = j.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.round(F.avg("y"), 6).alias("m"),
+        F.round(F.var_samp("y"), 2).alias("vv"),
+    )
+    msw = g.agg(
+        (
+            F.sum((F.col("ng") - 1) * F.col("vv"))
+            / (F.sum("ng") - F.count("*"))
+        ).alias("w")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    se = F.sqrt(
+        F.col("w") / 2 * (1.0 / F.col("a.ng") + 1.0 / F.col("b.ng"))
+    )
+    qs = F.abs(F.col("a.m") - F.col("b.m")) / se
+    return (
+        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.col("a.ng").alias("n_a"),
+            F.col("b.ng").alias("n_b"),
+            F.round(F.abs(F.col("a.m") - F.col("b.m")), 6).alias(
+                "mean_diff"
+            ),
+            F.round(qs, 6).alias("q_stat"),
+            (qs >= TUKEY_Q_CRIT).alias("significant"),
+        )
+    )
+
+
+RMST_TAU = 14  # restricted-mean horizon (days)
+
+
+@register(
+    "rmst_conversion",
+    sql=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CAST(ts AS DATE)) AS first_day,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS conv_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    spells AS (
+      SELECT CASE WHEN p.conv_day IS NOT NULL
+                       AND p.conv_day >= p.first_day
+                  THEN CAST(p.conv_day - p.first_day AS BIGINT)
+                  ELSE CAST(hz.h - p.first_day AS BIGINT) END AS t,
+             CASE WHEN p.conv_day IS NOT NULL
+                       AND p.conv_day >= p.first_day
+                  THEN 1 ELSE 0 END AS converted
+      FROM per_user p CROSS JOIN horizon hz
+    ),
+    at_t AS (
+      SELECT t, CAST(sum(converted) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM spells GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(leaving) OVER (ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM at_t
+    ),
+    km AS (
+      SELECT t,
+             round(exp(sum(ln(1.0 - d * 1.0 / n_risk))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)), 9) AS s
+      FROM risk WHERE d > 0 AND d < n_risk
+    ),
+    steps AS (
+      SELECT t, s,
+             lead(t, 1, {RMST_TAU}) OVER (ORDER BY t) AS t_next
+      FROM km WHERE t < {RMST_TAU}
+    ),
+    first_seg AS (
+      SELECT coalesce(min(t), {RMST_TAU}) AS t_first FROM km
+      WHERE t < {RMST_TAU}
+    )
+    SELECT CAST({RMST_TAU} AS BIGINT) AS tau,
+           round((SELECT t_first FROM first_seg) * 1.0
+                 + coalesce(sum(s * (least(t_next, {RMST_TAU}) - t)), 0.0),
+                 6) AS rmst,
+           round(coalesce(min(CASE WHEN t_next >= {RMST_TAU} THEN s END),
+                          1.0), 6) AS surv_at_tau
+    FROM steps
+    """,
+)
+def rmst_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R263 restricted mean survival time at tau = {RMST_TAU} days for
+    time-to-first-purchase: the area under the Kaplan-Meier curve up
+    to tau — 'expected purchase-free days in the first two weeks', the
+    censoring-robust effect scale regulators now prefer over hazard
+    ratios. Built from the same spell/risk frames as the KM gate:
+    S(t) step heights (9dp, exp-sum-ln) times interval widths via one
+    lead() over the <=|days| event-time frame, plus the leading
+    S=1 segment before the first event. Single-row output with the
+    tau-horizon survival for context."""
+    spells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("ts").cast("date"),
+                )
+            ).alias("conv_day"),
+        )
+    )
+    horizon = load_table(spark, sf_dir, "events").agg(
+        F.max(F.col("ts").cast("date")).alias("h")
+    )
+    conv_ok = F.col("conv_day").isNotNull() & (
+        F.col("conv_day") >= F.col("first_day")
+    )
+    sp = spells.crossJoin(F.broadcast(horizon)).select(
+        F.when(conv_ok, F.datediff("conv_day", "first_day"))
+        .otherwise(F.datediff("h", "first_day"))
+        .cast("bigint")
+        .alias("t"),
+        F.when(conv_ok, 1).otherwise(0).alias("converted"),
+    )
+    from pyspark.sql import Window
+
+    at_t = sp.groupBy("t").agg(
+        F.sum("converted").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = at_t.withColumn(
+        "n_risk", F.sum("leaving").over(w_desc).cast("bigint")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        risk.where((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .withColumn(
+            "s",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))
+                    ).over(w_asc)
+                ),
+                9,
+            ),
+        )
+        .select("t", "s")
+    )
+    kml = km.where(F.col("t") < RMST_TAU).localCheckpoint(eager=False)
+    w_lead = Window.orderBy("t")
+    steps = kml.withColumn(
+        "t_next", F.lead("t", 1, RMST_TAU).over(w_lead)
+    )
+    first_seg = kml.agg(
+        F.coalesce(F.min("t"), F.lit(RMST_TAU)).alias("t_first")
+    )
+    agg = steps.agg(
+        F.coalesce(
+            F.sum(
+                F.col("s")
+                * (F.least(F.col("t_next"), F.lit(RMST_TAU)) - F.col("t"))
+            ),
+            F.lit(0.0),
+        ).alias("area"),
+        F.coalesce(
+            F.min(
+                F.when(F.col("t_next") >= RMST_TAU, F.col("s"))
+            ),
+            F.lit(1.0),
+        ).alias("s_tau"),
+    )
+    return agg.crossJoin(F.broadcast(first_seg)).select(
+        F.lit(RMST_TAU).cast("bigint").alias("tau"),
+        F.round(F.col("t_first") * 1.0 + F.col("area"), 6).alias("rmst"),
+        F.round(F.col("s_tau"), 6).alias("surv_at_tau"),
+    )
