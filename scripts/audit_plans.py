@@ -172,6 +172,11 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R267: 1-row r-hat/variance scalars crossed onto the per-customer
+    # frame and the 1-row totals (scalar BNLJ by design)
+    "delta_method_ratio_ci": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R261: ACF lag grid + 1-row mean/denominator scalar BNLJs over the
     # calendar-bounded day frame
     "pacf_daily_revenue": dict(

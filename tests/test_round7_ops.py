@@ -813,3 +813,184 @@ def test_rmst_matches_python_referee(spark):
     # bounds: 0 <= RMST <= tau; RMST >= tau * S(tau)
     assert 0 < got["rmst"] <= RMST_TAU
     assert got["rmst"] >= RMST_TAU * got["surv_at_tau"] - 1e-6
+
+
+def test_gmm_em_matches_numpy_referee(spark):
+    """R264 referee: numpy EM replay with the identical init and 9dp
+    parameter schedule, plus mixture sanity (weights in (0,1), the
+    two means bracket the data mean, loglik improves over init)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import GMM_ITERS, gmm_em_order_values
+
+    [got] = gmm_em_order_values(spark, SF_DIR).collect()
+    o = _orders()
+    x = np.round(np.log(o["o_totalprice"].to_numpy()), 6)
+    m, s = round(float(x.mean()), 6), round(float(x.std(ddof=1)), 6)
+    w1, mu1, v1, mu2, v2 = 0.5, m - s, s * s, m + s, s * s
+
+    def pdf(x, mu, v):
+        return np.exp(-((x - mu) ** 2) / (2 * v)) / np.sqrt(
+            2 * np.pi * v
+        )
+
+    ll0 = float(
+        np.log(w1 * pdf(x, mu1, v1) + (1 - w1) * pdf(x, mu2, v2)).sum()
+    )
+    for _ in range(GMM_ITERS):
+        f1 = w1 * pdf(x, mu1, v1)
+        f2 = (1 - w1) * pdf(x, mu2, v2)
+        r = f1 / (f1 + f2)
+        w1 = round(float(r.mean()), 9)
+        mu1_new = float((r * x).sum() / r.sum())
+        v1 = round(float((r * x * x).sum() / r.sum()) - mu1_new**2, 9)
+        mu1 = round(mu1_new, 9)
+        mu2_new = float(((1 - r) * x).sum() / (1 - r).sum())
+        v2 = round(
+            float(((1 - r) * x * x).sum() / (1 - r).sum()) - mu2_new**2, 9
+        )
+        mu2 = round(mu2_new, 9)
+    ll = float(
+        np.log(w1 * pdf(x, mu1, v1) + (1 - w1) * pdf(x, mu2, v2)).sum()
+    )
+    assert abs(got["w1"] - w1) < 1e-6
+    assert abs(got["mu1"] - mu1) < 1e-5
+    assert abs(got["sigma1"] - v1**0.5) < 1e-5
+    assert abs(got["mu2"] - mu2) < 1e-5
+    assert abs(got["sigma2"] - v2**0.5) < 1e-5
+    assert abs(got["loglik"] - ll) < 1e-2
+    assert got["n"] == len(x)
+    assert 0 < got["w1"] < 1 and got["mu1"] < got["mu2"]
+    assert ll >= ll0  # EM monotonically improves the likelihood
+
+
+def test_bradley_terry_matches_python_referee(spark):
+    """R265 referee: python MM replay from a brute-force match table;
+    win-total ordering should broadly follow strength ordering."""
+    import hashlib
+
+    from zoom_spark.queries.round7_ops import (
+        BT_ITERS,
+        bradley_terry_sources,
+    )
+
+    rows = {
+        r["source"]: r for r in bradley_terry_sources(spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs["bucket"] = docs["doc_id"].map(
+        lambda d: hashlib.md5(str(d).encode()).hexdigest()[0]
+    )
+    reps = (
+        docs.groupby(["source", "bucket"])["doc_id"].min().reset_index()
+    )
+    reps = reps.merge(
+        docs[["doc_id", "text"]], on="doc_id"
+    ).assign(sc=lambda f: f["text"].str.len())
+    n_ab, w = {}, {}
+    for _, blk in reps.groupby("bucket"):
+        rs = blk.sort_values("source").to_dict("records")
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                a_, b_ = rs[i], rs[j]
+                key = (a_["source"], b_["source"])
+                n_ab[key] = n_ab.get(key, 0) + 1
+                win_a = a_["sc"] > b_["sc"] or (
+                    a_["sc"] == b_["sc"] and a_["source"] < b_["source"]
+                )
+                w[key] = w.get(key, 0) + int(win_a)
+    srcs = sorted(reps["source"].unique())
+    nm = {(i, j): 0 for i in srcs for j in srcs}
+    wm = {(i, j): 0 for i in srcs for j in srcs}
+    for (a_, b_), n in n_ab.items():
+        nm[(a_, b_)] = nm[(b_, a_)] = n
+        wm[(a_, b_)] = w[(a_, b_)]
+        wm[(b_, a_)] = n - w[(a_, b_)]
+    wins = {i: sum(wm[(i, j)] for j in srcs) for i in srcs}
+    pi = {i: 1.0 for i in srcs}
+    for _ in range(BT_ITERS):
+        raw = {
+            i: wins[i]
+            / sum(
+                nm[(i, j)] / (pi[i] + pi[j])
+                for j in srcs
+                if nm[(i, j)] > 0
+            )
+            for i in srcs
+        }
+        mean_p = sum(raw.values()) / len(raw)
+        pi = {i: round(raw[i] / mean_p, 9) for i in srcs}
+    assert set(rows) == set(srcs)
+    for i in srcs:
+        r = rows[i]
+        assert r["n_wins"] == wins[i]
+        assert r["n_matches"] == sum(nm[(i, j)] for j in srcs)
+        assert abs(r["strength"] - pi[i]) < 1e-6
+    # strengths average to ~1 (the per-round normalization)
+    mean_s = sum(r["strength"] for r in rows.values()) / len(rows)
+    assert abs(mean_s - 1.0) < 1e-3
+
+
+def test_randomized_response_matches_python(spark):
+    """R266 referee: replay the deterministic mechanism; the de-biased
+    estimate must land closer to truth than the raw observed rate."""
+    import hashlib
+
+    from zoom_spark.queries.round7_ops import (
+        RR_Q,
+        randomized_response_estimate,
+    )
+
+    [got] = randomized_response_estimate(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    truth = (
+        ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .max()
+    )
+    coin = truth.index.map(
+        lambda u: hashlib.md5(str(u).encode()).hexdigest()[1] < "c"
+    )
+    reported = truth.where(pd.Series(coin, index=truth.index), 1 - truth)
+    n = len(truth)
+    p_obs = round(float(reported.mean()), 6)
+    p_true = round(float(truth.mean()), 6)
+    p_est = (p_obs - (1 - RR_Q)) / (2 * RR_Q - 1)
+    assert got["n_users"] == n
+    assert abs(got["p_obs"] - p_obs) < 1e-9
+    assert abs(got["p_true"] - p_true) < 1e-9
+    assert abs(got["p_est"] - p_est) < 1e-6
+    assert abs(got["abs_error"] - abs(p_est - p_true)) < 1e-6
+    # de-biasing must beat the raw mechanism output
+    assert abs(p_est - p_true) < abs(p_obs - p_true)
+
+
+def test_delta_method_matches_jackknife(spark):
+    """R267 referee: numpy recompute, plus agreement with a
+    leave-one-cluster-out jackknife SE (the two estimators should be
+    within a few percent on 10k clusters)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import delta_method_ratio_ci
+
+    [got] = delta_method_ratio_ci(spark, SF_DIR).collect()
+    o = _orders()
+    per = o.groupby("o_custkey")["o_totalprice"].agg(["sum", "count"])
+    s = per["sum"].round(2).to_numpy()
+    m = per["count"].to_numpy().astype(float)
+    r_hat = round(float(round(s.sum(), 2) / m.sum()), 9)
+    ssq = float(((s - r_hat * m) ** 2).sum())
+    se = ssq**0.5 / m.sum()
+    assert got["n_customers"] == len(per)
+    assert got["n_orders"] == int(m.sum())
+    assert abs(got["r_hat"] - r_hat) < 1e-6
+    assert abs(got["se"] - se) < 1e-6
+    assert abs(got["ci_lo"] - (r_hat - 1.959964 * se)) < 1e-3
+    assert abs(got["ci_hi"] - (r_hat + 1.959964 * se)) < 1e-3
+    # jackknife cross-check: delta-method and LOO jackknife agree
+    ts, tm = s.sum(), m.sum()
+    loo = (ts - s) / (tm - m)
+    jk_se = float(
+        np.sqrt((len(s) - 1) / len(s) * ((loo - loo.mean()) ** 2).sum())
+    )
+    assert abs(se - jk_se) / jk_se < 0.05

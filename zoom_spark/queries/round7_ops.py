@@ -1690,3 +1690,475 @@ def rmst_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t_first") * 1.0 + F.col("area"), 6).alias("rmst"),
         F.round(F.col("s_tau"), 6).alias("surv_at_tau"),
     )
+
+
+GMM_ITERS = 5
+
+
+def _gmm_oracle_sql(iters: int = GMM_ITERS) -> str:
+    """Unrolled 2-component 1-d EM oracle (chained MATERIALIZED CTEs,
+    one E+M pass per iteration). Parameters are snapped to the 9dp
+    grid after every M step — the pagerank quantization schedule — so
+    responsibility sums (the only cross-engine drift source) restart
+    from bit-identical params each round."""
+    head = """x AS MATERIALIZED (
+      SELECT round(ln(o_totalprice), 6) AS x FROM orders
+    ),
+    init AS MATERIALIZED (
+      SELECT round(avg(x), 6) AS m, round(stddev_samp(x), 6) AS s FROM x
+    ),
+    p0 AS MATERIALIZED (
+      SELECT 0.5 AS w1, m - s AS mu1, s * s AS v1,
+             m + s AS mu2, s * s AS v2
+      FROM init
+    )"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT x.x,
+             p.w1 * exp(-(x.x - p.mu1) * (x.x - p.mu1) / (2 * p.v1))
+               / sqrt(2 * pi() * p.v1) AS f1,
+             (1 - p.w1) * exp(-(x.x - p.mu2) * (x.x - p.mu2) / (2 * p.v2))
+               / sqrt(2 * pi() * p.v2) AS f2
+      FROM x CROSS JOIN p{i-1} p
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT x, f1 / (f1 + f2) AS r FROM e{i}
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT round(avg(r), 9) AS w1,
+             round(sum(r * x) / sum(r), 9) AS mu1,
+             round(sum(r * x * x) / sum(r)
+                   - pow(sum(r * x) / sum(r), 2), 9) AS v1,
+             round(sum((1 - r) * x) / sum(1 - r), 9) AS mu2,
+             round(sum((1 - r) * x * x) / sum(1 - r)
+                   - pow(sum((1 - r) * x) / sum(1 - r), 2), 9) AS v2
+      FROM r{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    ll AS (
+      SELECT round(sum(ln(f1 + f2)), 4) AS loglik,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT p.w1 * exp(-(x.x - p.mu1) * (x.x - p.mu1) / (2 * p.v1))
+                 / sqrt(2 * pi() * p.v1) AS f1,
+               (1 - p.w1) * exp(-(x.x - p.mu2) * (x.x - p.mu2) / (2 * p.v2))
+                 / sqrt(2 * pi() * p.v2) AS f2
+        FROM x CROSS JOIN p{iters} p
+      )
+    )
+    SELECT round(p.w1, 6) AS w1,
+           round(p.mu1, 6) AS mu1, round(sqrt(p.v1), 6) AS sigma1,
+           round(p.mu2, 6) AS mu2, round(sqrt(p.v2), 6) AS sigma2,
+           ll.loglik, ll.n
+    FROM p{iters} p CROSS JOIN ll"""
+    )
+
+
+@register("gmm_em_order_values", sql=_gmm_oracle_sql())
+def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R264 distributed EM for a 2-component 1-d Gaussian mixture on
+    ln(order value) — the canonical latent-variable fit (customer
+    'regular vs bulk' spend modes), run as {GMM_ITERS} bulk-synchronous
+    EM rounds: the E step is a map-side responsibility expression
+    against 1-row broadcast params, the M step ONE decomposable
+    aggregate (sum r, sum r*x, sum r*x^2), params re-broadcast.
+    Deterministic moment init (mu = m -/+ s); params snapped to 9dp
+    after every M step so the oracle's unrolled replay is
+    bit-identical (pagerank schedule). Data passes: {GMM_ITERS}+1
+    scans, zero shuffles beyond each scan's final aggregate —
+    textbook 100 TB EM shape."""
+    import math
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.round(F.log("o_totalprice"), 6).alias("x")
+    )
+    x = x.localCheckpoint(eager=False)
+    init = x.agg(
+        F.round(F.avg("x"), 6).alias("m"),
+        F.round(F.stddev_samp("x"), 6).alias("s"),
+    ).first()
+    w1, mu1, v1 = 0.5, init["m"] - init["s"], init["s"] * init["s"]
+    mu2, v2 = init["m"] + init["s"], init["s"] * init["s"]
+    two_pi = 2 * math.pi
+    for _ in range(GMM_ITERS):
+        f1 = (
+            F.lit(w1)
+            * F.exp(-(F.col("x") - mu1) * (F.col("x") - mu1) / (2 * v1))
+            / math.sqrt(two_pi * v1)
+        )
+        f2 = (
+            F.lit(1 - w1)
+            * F.exp(-(F.col("x") - mu2) * (F.col("x") - mu2) / (2 * v2))
+            / math.sqrt(two_pi * v2)
+        )
+        r = (f1 / (f1 + f2)).alias("r")
+        m = x.select("x", r).agg(
+            F.avg("r").alias("w1"),
+            (F.sum(F.col("r") * F.col("x")) / F.sum("r")).alias("mu1"),
+            (
+                F.sum(F.col("r") * F.col("x") * F.col("x")) / F.sum("r")
+            ).alias("m2_1"),
+            (
+                F.sum((1 - F.col("r")) * F.col("x"))
+                / F.sum(1 - F.col("r"))
+            ).alias("mu2"),
+            (
+                F.sum((1 - F.col("r")) * F.col("x") * F.col("x"))
+                / F.sum(1 - F.col("r"))
+            ).alias("m2_2"),
+        ).first()
+        w1 = round(m["w1"], 9)
+        mu1 = round(m["mu1"], 9)
+        v1 = round(m["m2_1"] - m["mu1"] * m["mu1"], 9)
+        mu2 = round(m["mu2"], 9)
+        v2 = round(m["m2_2"] - m["mu2"] * m["mu2"], 9)
+    f1 = (
+        F.lit(w1)
+        * F.exp(-(F.col("x") - mu1) * (F.col("x") - mu1) / (2 * v1))
+        / math.sqrt(two_pi * v1)
+    )
+    f2 = (
+        F.lit(1 - w1)
+        * F.exp(-(F.col("x") - mu2) * (F.col("x") - mu2) / (2 * v2))
+        / math.sqrt(two_pi * v2)
+    )
+    ll = x.agg(
+        F.round(F.sum(F.log(f1 + f2)), 4).alias("loglik"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return ll.select(
+        F.lit(round(w1, 6)).alias("w1"),
+        F.lit(round(mu1, 6)).alias("mu1"),
+        F.lit(round(math.sqrt(v1), 6)).alias("sigma1"),
+        F.lit(round(mu2, 6)).alias("mu2"),
+        F.lit(round(math.sqrt(v2), 6)).alias("sigma2"),
+        "loglik",
+        "n",
+    )
+
+
+BT_ITERS = 5
+
+
+def _bt_oracle_sql(iters: int = BT_ITERS) -> str:
+    """Unrolled Bradley-Terry minorization-maximization oracle: the
+    match table is model-sized (one representative doc per (source,
+    md5 bucket), all cross-source pairs per bucket), and each MM round
+    is two joins over the |sources|-row strength frame, strengths
+    renormalized to mean 1 and snapped to 9dp per round."""
+    head = """reps AS MATERIALIZED (
+      SELECT source, bucket, min(doc_id) AS doc_id
+      FROM (
+        SELECT source, doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        FROM documents
+      )
+      GROUP BY source, bucket
+    ),
+    rd AS MATERIALIZED (
+      SELECT r.source, r.bucket, length(d.text) AS sc
+      FROM reps r JOIN documents d ON r.doc_id = d.doc_id
+    ),
+    matches AS MATERIALIZED (
+      SELECT a.source AS sa, b.source AS sb,
+             CASE WHEN a.sc > b.sc THEN 1
+                  WHEN a.sc < b.sc THEN 0
+                  WHEN a.source < b.source THEN 1 ELSE 0 END AS win_a
+      FROM rd a JOIN rd b
+        ON a.bucket = b.bucket AND a.source < b.source
+    ),
+    pairw AS MATERIALIZED (
+      SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_ab,
+             CAST(sum(win_a) AS BIGINT) AS w_a
+      FROM matches GROUP BY sa, sb
+    ),
+    sym AS MATERIALIZED (
+      SELECT sa AS i, sb AS j, n_ab, w_a AS w FROM pairw
+      UNION ALL
+      SELECT sb, sa, n_ab, n_ab - w_a FROM pairw
+    ),
+    wins AS MATERIALIZED (
+      SELECT i, CAST(sum(w) AS BIGINT) AS wi FROM sym GROUP BY i
+    ),
+    pi0 AS MATERIALIZED (SELECT i, 1.0 AS p FROM wins)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""u{k} AS MATERIALIZED (
+      SELECT s.i,
+             w.wi / sum(s.n_ab / (pa.p + pb.p)) AS p_raw
+      FROM sym s
+      JOIN pi{k-1} pa ON pa.i = s.i
+      JOIN pi{k-1} pb ON pb.i = s.j
+      JOIN wins w ON w.i = s.i
+      GROUP BY s.i, w.wi
+    ),
+    pi{k} AS MATERIALIZED (
+      SELECT i, round(p_raw / (SELECT avg(p_raw) FROM u{k}), 9) AS p
+      FROM u{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT p.i AS source, w.wi AS n_wins,
+           CAST((SELECT sum(n_ab) FROM sym WHERE i = p.i) AS BIGINT)
+             AS n_matches,
+           round(p.p, 6) AS strength
+    FROM pi{iters} p JOIN wins w ON w.i = p.i"""
+    )
+
+
+@register("bradley_terry_sources", sql=_bt_oracle_sql())
+def bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R265 Bradley-Terry strength ranking of document sources from
+    pairwise contests — the arena-style paired-comparison model LLM
+    evals popularized: one representative doc per (source, md5
+    bucket) meets every other source's representative in that bucket,
+    the longer text wins (deterministic tie-break), and {BT_ITERS}
+    minorization-maximization rounds solve pi_i = W_i /
+    sum_j n_ij/(pi_i+pi_j) (Hunter 2004), renormalized to mean 1 and
+    9dp-snapped per round so the unrolled SQL replay is
+    bit-identical. Scale shape: the data-sized work is ONE pass to
+    pick bucket representatives; matches are |sources|^2 x 16 rows
+    and every MM round is two broadcast-able joins on the
+    |sources|-row strength frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    rd = reps.join(
+        docs.select("doc_id", F.length("text").alias("sc")), on="doc_id"
+    ).select("source", "bucket", "sc")
+    a, b = rd.alias("a"), rd.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("sa"),
+        F.col("b.source").alias("sb"),
+        F.when(F.col("a.sc") > F.col("b.sc"), 1)
+        .when(F.col("a.sc") < F.col("b.sc"), 0)
+        .when(F.col("a.source") < F.col("b.source"), 1)
+        .otherwise(0)
+        .alias("win_a"),
+    )
+    pairw = matches.groupBy("sa", "sb").agg(
+        F.count("*").cast("bigint").alias("n_ab"),
+        F.sum("win_a").cast("bigint").alias("w_a"),
+    )
+    sym = pairw.select(
+        F.col("sa").alias("i"), F.col("sb").alias("j"), "n_ab",
+        F.col("w_a").alias("w"),
+    ).unionAll(
+        pairw.select(
+            F.col("sb").alias("i"),
+            F.col("sa").alias("j"),
+            "n_ab",
+            (F.col("n_ab") - F.col("w_a")).alias("w"),
+        )
+    ).localCheckpoint(eager=False)
+    wins = sym.groupBy("i").agg(F.sum("w").cast("bigint").alias("wi"))
+    pi = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(BT_ITERS):
+        pa = pi.select(F.col("i").alias("ia"), F.col("p").alias("p_i"))
+        pb = pi.select(F.col("i").alias("ib"), F.col("p").alias("p_j"))
+        u = (
+            sym.join(pa, sym["i"] == pa["ia"])
+            .join(pb, sym["j"] == pb["ib"])
+            .join(wins, on="i")
+            .groupBy("i", "wi")
+            .agg(
+                (
+                    F.first("wi")
+                    / F.sum(F.col("n_ab") / (F.col("p_i") + F.col("p_j")))
+                ).alias("p_raw")
+            )
+            .select("i", "p_raw")
+        )
+        norm = u.agg(F.avg("p_raw").alias("mean_p"))
+        pi = (
+            u.crossJoin(F.broadcast(norm))
+            .select(
+                "i",
+                F.round(F.col("p_raw") / F.col("mean_p"), 9).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    n_matches = sym.groupBy("i").agg(
+        F.sum("n_ab").cast("bigint").alias("n_matches")
+    )
+    return (
+        pi.join(wins, on="i")
+        .join(n_matches, on="i")
+        .select(
+            F.col("i").alias("source"),
+            F.col("wi").alias("n_wins"),
+            "n_matches",
+            F.round("p", 6).alias("strength"),
+        )
+    )
+
+
+RR_Q = 0.75  # probability the mechanism reports the TRUE bit
+
+
+@register(
+    "randomized_response_estimate",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS truth,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 2, 1) < 'c'
+                  THEN 1 ELSE 0 END AS coin
+      FROM events GROUP BY user_id
+    ),
+    rr AS (
+      SELECT truth,
+             CASE WHEN coin = 1 THEN truth ELSE 1 - truth END AS reported
+      FROM u
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             round(avg(reported * 1.0), 6) AS p_obs,
+             round(avg(truth * 1.0), 6) AS p_true
+      FROM rr
+    )
+    SELECT n_users, p_obs, p_true,
+           round((p_obs - (1 - {RR_Q})) / (2 * {RR_Q} - 1), 6) AS p_est,
+           round(abs((p_obs - (1 - {RR_Q})) / (2 * {RR_Q} - 1) - p_true),
+                 6) AS abs_error
+    FROM s
+    """,
+)
+def randomized_response_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R266 Warner randomized response: each user's sensitive bit (did
+    they purchase?) passes through a report-truth-with-probability-q
+    mechanism (q = {RR_Q}, the coin being a deterministic md5 bit so
+    both engines replay the identical mechanism), and the de-biased
+    estimator p_est = (p_obs - (1-q)) / (2q - 1) recovers the
+    population rate without any individual's bit being trustworthy —
+    the local-DP primitive under the repo's privacy family (epsilon =
+    ln(q/(1-q)) ≈ 1.1 per response). The fixture's true rate is kept
+    alongside to exhibit the estimator's error. One user-level
+    aggregate + closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("truth")
+    ).select(
+        "truth",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 2, 1)
+            < "c",
+            F.col("truth"),
+        )
+        .otherwise(1 - F.col("truth"))
+        .alias("reported"),
+    )
+    s = u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg(F.col("reported") * 1.0), 6).alias("p_obs"),
+        F.round(F.avg(F.col("truth") * 1.0), 6).alias("p_true"),
+    )
+    est = (F.col("p_obs") - (1 - RR_Q)) / (2 * RR_Q - 1)
+    return s.select(
+        "n_users",
+        "p_obs",
+        "p_true",
+        F.round(est, 6).alias("p_est"),
+        F.round(F.abs(est - F.col("p_true")), 6).alias("abs_error"),
+    )
+
+
+@register(
+    "delta_method_ratio_ci",
+    sql="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             round(sum(o_totalprice), 2) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             round(sum(s), 2) AS ts,
+             CAST(sum(m) AS BIGINT) AS tm
+      FROM per_cust
+    ),
+    r AS (SELECT round(ts / tm, 9) AS r_hat FROM tot),
+    v AS (
+      SELECT sum(pow(p.s - (SELECT r_hat FROM r) * p.m, 2)) AS ssq
+      FROM per_cust p
+    )
+    SELECT t.k AS n_customers, t.tm AS n_orders,
+           round((SELECT r_hat FROM r), 6) AS r_hat,
+           round(sqrt(v.ssq) / t.tm, 6) AS se,
+           round((SELECT r_hat FROM r)
+                 - 1.959964 * sqrt(v.ssq) / t.tm, 4) AS ci_lo,
+           round((SELECT r_hat FROM r)
+                 + 1.959964 * sqrt(v.ssq) / t.tm, 4) AS ci_hi
+    FROM tot t CROSS JOIN v
+    """,
+)
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R267 cluster-robust delta-method CI for a ratio metric
+    (revenue per order, clustered by customer): R = sum s_i / sum
+    m_i over per-customer totals, Var(R) ~ sum (s_i - R m_i)^2 /
+    (sum m_i)^2 — the linearization every experimentation platform
+    uses for ratio metrics where the naive per-row variance is wrong
+    because orders within a customer correlate (the closed-form
+    sibling of jackknife_ratio_revenue_per_order, which resamples
+    the same clusters). Per-customer totals are cent-grid 2dp and R
+    is snapped to 9dp before the residual pass, so both engines sum
+    identical squared residuals; z = 1.959964 shared literal. One
+    aggregate + one residual pass."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+        F.count("*").cast("bigint").alias("m"),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.round(F.sum("s"), 2).alias("ts"),
+        F.sum("m").cast("bigint").alias("tm"),
+    )
+    r = tot.select(F.round(F.col("ts") / F.col("tm"), 9).alias("r_hat"))
+    v = per.crossJoin(F.broadcast(r)).agg(
+        F.sum(
+            F.pow(F.col("s") - F.col("r_hat") * F.col("m"), 2)
+        ).alias("ssq")
+    )
+    se = F.sqrt(F.col("ssq")) / F.col("tm")
+    return (
+        tot.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(r))
+        .select(
+            F.col("k").alias("n_customers"),
+            F.col("tm").alias("n_orders"),
+            F.round(F.col("r_hat"), 6).alias("r_hat"),
+            F.round(se, 6).alias("se"),
+            F.round(F.col("r_hat") - 1.959964 * se, 4).alias("ci_lo"),
+            F.round(F.col("r_hat") + 1.959964 * se, 4).alias("ci_hi"),
+        )
+    )
