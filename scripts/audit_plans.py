@@ -172,6 +172,11 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R270: the median window and count() run over the 32-row bucket
+    # frame; 1-row raw-mean/min-n scalars crossed on (scalar BNLJ)
+    "median_of_means_order_value": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # R267: 1-row r-hat/variance scalars crossed onto the per-customer
     # frame and the 1-row totals (scalar BNLJ by design)
     "delta_method_ratio_ci": dict(

@@ -994,3 +994,164 @@ def test_delta_method_matches_jackknife(spark):
         np.sqrt((len(s) - 1) / len(s) * ((loo - loo.mean()) ** 2).sum())
     )
     assert abs(se - jk_se) / jk_se < 0.05
+
+
+def test_random_walks_matches_python_referee(spark):
+    """R268 referee: pure-python replay of the hash-coin walks."""
+    import hashlib
+
+    from zoom_spark.queries.round7_ops import (
+        RW_START_PREFIX,
+        RW_STEPS,
+        deterministic_random_walks,
+    )
+
+    rows = {
+        r["node"]: r["n_visits"]
+        for r in deterministic_random_walks(spark, SF_DIR).collect()
+    }
+    e = _copurchase_edges_pd()
+    adj = {}
+    for r in e.itertuples():
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    starts = [
+        n
+        for n in adj
+        if hashlib.md5(str(n).encode()).hexdigest()[0] == RW_START_PREFIX
+    ]
+    ends = {}
+    for s0 in starts:
+        cur = s0
+        for k in range(1, RW_STEPS + 1):
+            cur = min(
+                adj[cur],
+                key=lambda b: (
+                    hashlib.md5(f"{cur}|{k}|{b}".encode()).hexdigest(),
+                    b,
+                ),
+            )
+        ends[cur] = ends.get(cur, 0) + 1
+    assert rows == ends
+    assert sum(rows.values()) == len(starts) and len(starts) > 10
+
+
+def test_er_clusters_matches_python_referee(spark):
+    """R269 referee: union-find closure over the python-recomputed
+    FS match pairs; every cluster has >= 2 members and the entity id
+    is the minimum member key."""
+    import math
+
+    from zoom_spark.queries.round7_ops import er_clusters_from_linkage
+
+    rows = {
+        r["entity_id"]: r
+        for r in er_clusters_from_linkage(spark, SF_DIR).collect()
+    }
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    part["price"] = part["p_retailprice"].round(2)
+    part["blk"] = part["p_name"].str.split(" ").str[-1]
+
+    def lev(s, t):
+        m, n = len(s), len(t)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (s[i - 1] != t[j - 1])
+                )
+                prev = cur
+        return dp[n]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    n_match = 0
+    for _, blk in part.groupby(["blk", "p_size"]):
+        recs = blk.sort_values("p_partkey").to_dict("records")
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                x, y = recs[i], recs[j]
+                w = (
+                    (
+                        math.log(0.9 / 0.05)
+                        if lev(x["p_name"], y["p_name"]) <= 1
+                        else math.log(0.1 / 0.95)
+                    )
+                    + (
+                        math.log(0.85 / 0.04)
+                        if x["p_brand"] == y["p_brand"]
+                        else math.log(0.15 / 0.96)
+                    )
+                    + (
+                        math.log(0.8 / 0.2)
+                        if x["p_type"] == y["p_type"]
+                        else math.log(0.2 / 0.8)
+                    )
+                    + (
+                        math.log(0.75 / 0.1)
+                        if abs(x["price"] - y["price"]) <= 1.00
+                        else math.log(0.25 / 0.9)
+                    )
+                )
+                if w >= 4.0:
+                    union(x["p_partkey"], y["p_partkey"])
+                    n_match += 1
+    clusters = {}
+    for k in list(parent):
+        clusters.setdefault(find(k), []).append(k)
+    meta = part.set_index("p_partkey")
+    assert n_match > 0 and set(rows) == set(clusters)
+    for root, members in clusters.items():
+        r = rows[root]
+        assert root == min(members)
+        assert r["n_members"] == len(members) >= 2
+        assert r["n_names"] == meta.loc[members, "p_name"].nunique()
+        assert r["n_brands"] == meta.loc[members, "p_brand"].nunique()
+
+
+def test_median_of_means_matches_python(spark):
+    """R270 referee: hashlib bucket replay; MoM must be a real
+    median (between the bucket-mean extremes) and all 32 buckets
+    populated."""
+    import hashlib
+    import statistics
+
+    from zoom_spark.queries.round7_ops import (
+        MOM_BUCKETS,
+        median_of_means_order_value,
+    )
+
+    [got] = median_of_means_order_value(spark, SF_DIR).collect()
+    o = _orders()
+    hx = o["o_orderkey"].map(
+        lambda k: hashlib.md5(str(k).encode()).hexdigest()
+    )
+    bucket = hx.str[0].map(lambda c: int(c, 16)) * 2 + (
+        hx.str[1] >= "8"
+    ).astype(int)
+    means = sorted(
+        round(float(g.mean()), 6)
+        for _, g in o.groupby(bucket)["o_totalprice"]
+    )
+    assert got["n_buckets"] == MOM_BUCKETS == len(means)
+    mom = round(statistics.median(means), 6)
+    assert abs(got["median_of_means"] - mom) < 2e-6
+    assert means[0] <= got["median_of_means"] <= means[-1]
+    assert got["min_bucket_n"] == int(
+        o.groupby(bucket)["o_totalprice"].count().min()
+    )
+    assert abs(got["raw_mean"] - round(float(o["o_totalprice"].mean()), 6)) < 1e-6

@@ -2162,3 +2162,287 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r_hat") + 1.959964 * se, 4).alias("ci_hi"),
         )
     )
+
+
+RW_STEPS = 4
+RW_START_PREFIX = "0"  # md5-selected ~1/16 of nodes start a walk
+
+
+def _walks_oracle_sql(steps: int = RW_STEPS) -> str:
+    """Unrolled deterministic-walk oracle: each step moves every
+    walker to the neighbor minimizing md5(cur || '|' || step || '|' ||
+    neighbor) — arg_min in DuckDB, min_by in Spark, identical hash
+    text on both."""
+    head = f"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eu AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM eu UNION ALL SELECT v AS a, u AS b FROM eu
+    ),
+    w0 AS MATERIALIZED (
+      SELECT DISTINCT a AS start, a AS cur FROM sym
+      WHERE substring(md5(CAST(a AS VARCHAR)), 1, 1) = '{RW_START_PREFIX}'
+    )"""
+    parts = [head]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT w.start,
+             arg_min(s.b, md5(CAST(w.cur AS VARCHAR) || '|' || {k}
+                              || '|' || CAST(s.b AS VARCHAR))) AS cur
+      FROM w{k-1} w JOIN sym s ON s.a = w.cur
+      GROUP BY w.start
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT cur AS node, CAST(count(*) AS BIGINT) AS n_visits
+    FROM w{steps} GROUP BY cur"""
+    )
+
+
+@register("deterministic_random_walks", sql=_walks_oracle_sql())
+def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R268 graph random walks with a deterministic hash coin — the
+    walk-generation primitive under DeepWalk/node2vec-style graph
+    embeddings, replayable bit-for-bit: an md5-selected ~1/16 cohort
+    of co-purchase nodes each walks {RW_STEPS} steps, every step
+    moving to the neighbor minimizing md5(cur|step|neighbor) (a
+    uniform-ish but seedlessly reproducible choice — the repo's
+    shuffle_shards_deterministic trick applied to graph traversal).
+    Output: landing-node visit counts (the empirical stationary
+    sketch). Each step is ONE equi-join on the frontier + a min_by
+    aggregate per walker — walk state is (start, cur), never a path
+    blob, so state stays two columns wide at any scale."""
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+
+    eu = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = eu.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        eu.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=False)
+    w = (
+        sym.select(F.col("a").alias("start"))
+        .distinct()
+        .where(
+            F.substring(F.md5(F.col("start").cast("string")), 1, 1)
+            == RW_START_PREFIX
+        )
+        .withColumn("cur", F.col("start"))
+    )
+    for k in range(1, RW_STEPS + 1):
+        w = (
+            w.join(sym, w["cur"] == sym["a"])
+            .groupBy("start")
+            .agg(
+                F.min_by(
+                    F.col("b"),
+                    F.md5(
+                        F.concat(
+                            F.col("cur").cast("string"),
+                            F.lit(f"|{k}|"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                ).alias("cur")
+            )
+        )
+    return w.groupBy(F.col("cur").alias("node")).agg(
+        F.count("*").cast("bigint").alias("n_visits")
+    )
+
+
+ER_CC_ROUNDS = 10
+
+
+def _er_oracle_sql(rounds: int = ER_CC_ROUNDS) -> str:
+    """FS 'match' pairs -> unrolled min-label propagation (label =
+    min(own, neighbors) per round; `rounds` exceeds the match-graph
+    diameter at every test SF — verified stable vs rounds+2)."""
+    head = """p AS MATERIALIZED (
+      SELECT p_partkey, p_name, p_brand, p_type,
+             round(p_retailprice, 2) AS price,
+             string_split(p_name, ' ')[-1] AS blk_tok, p_size
+      FROM part
+    ),
+    mp AS MATERIALIZED (
+      SELECT a.p_partkey AS ka, b.p_partkey AS kb
+      FROM p a JOIN p b
+        ON a.blk_tok = b.blk_tok AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE (CASE WHEN levenshtein(a.p_name, b.p_name) <= 1
+                  THEN ln(0.9 / 0.05) ELSE ln(0.1 / 0.95) END)
+          + (CASE WHEN a.p_brand = b.p_brand
+                  THEN ln(0.85 / 0.04) ELSE ln(0.15 / 0.96) END)
+          + (CASE WHEN a.p_type = b.p_type
+                  THEN ln(0.8 / 0.2) ELSE ln(0.2 / 0.8) END)
+          + (CASE WHEN abs(a.price - b.price) <= 1.00
+                  THEN ln(0.75 / 0.1) ELSE ln(0.25 / 0.9) END) >= 4.0
+    ),
+    sym AS MATERIALIZED (
+      SELECT ka AS a, kb AS b FROM mp UNION ALL SELECT kb, ka FROM mp
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS id, a AS lab FROM sym
+    )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT l.id, least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+      FROM l{k-1} l
+      LEFT JOIN sym s ON s.a = l.id
+      LEFT JOIN l{k-1} nl ON nl.id = s.b
+      GROUP BY l.id, l.lab
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT l.lab AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names,
+           CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+    FROM l{rounds} l JOIN p ON p.p_partkey = l.id
+    GROUP BY l.lab"""
+    )
+
+
+@register("er_clusters_from_linkage", sql=_er_oracle_sql())
+def er_clusters_from_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R269 entity-resolution clustering: the Fellegi-Sunter 'match'
+    pairs (R254's >= 4.0 log-likelihood decisions) close transitively
+    into entity clusters via the repo's star-contraction connected
+    components, reported with member counts and name/brand diversity
+    (the cluster-purity signals an ER pipeline reviews before
+    merging). Spark runs the real O(log n)-round CC; the oracle
+    replays an unrolled min-label propagation ({ER_CC_ROUNDS} rounds,
+    past the match-graph diameter). Composition: R254 scoring ->
+    decision threshold -> dedup/components.canonical_ids — detection,
+    decision, and closure as one gated pipeline."""
+    from zoom_spark.dedup.components import canonical_ids
+
+    scored = fellegi_sunter_part_linkage(spark, sf_dir)
+    matches = scored.where(F.col("decision") == "match").select(
+        F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b")
+    )
+    nodes = (
+        matches.select(F.col("id_a").alias("p_partkey"))
+        .unionAll(matches.select(F.col("id_b").alias("p_partkey")))
+        .distinct()
+    )
+    lab = canonical_ids(nodes, matches, id_col="p_partkey").select(
+        F.col("p_partkey"), F.col("canonical_id").alias("entity_id")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    return (
+        lab.join(p, on="p_partkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.countDistinct("p_name").cast("bigint").alias("n_names"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+        )
+    )
+
+
+MOM_BUCKETS = 32
+
+
+@register(
+    "median_of_means_order_value",
+    sql=f"""
+    WITH b AS (
+      SELECT CAST(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                  AS VARCHAR) AS hx,
+             o_totalprice AS y
+      FROM orders
+    ),
+    bm AS (
+      SELECT (CASE WHEN substring(hx, 1, 1) BETWEEN '0' AND '9'
+                   THEN CAST(substring(hx, 1, 1) AS INTEGER)
+                   ELSE ascii(substring(hx, 1, 1)) - 87 END) * 2
+             + (CASE WHEN substring(hx, 2, 1) < '8' THEN 0 ELSE 1 END)
+               AS bucket,
+             round(avg(y), 6) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1
+    ),
+    med AS (
+      SELECT round(avg(m), 6) AS mom FROM (
+        SELECT m, row_number() OVER (ORDER BY m) AS r,
+               count(*) OVER () AS c
+        FROM bm
+      ) WHERE r IN (CAST(floor((c + 1) / 2.0) AS BIGINT),
+                    CAST(floor((c + 2) / 2.0) AS BIGINT))
+    ),
+    raw AS (SELECT round(avg(o_totalprice), 6) AS raw_mean FROM orders)
+    SELECT CAST({MOM_BUCKETS} AS BIGINT) AS n_buckets,
+           (SELECT min(n) FROM bm) AS min_bucket_n,
+           (SELECT mom FROM med) AS median_of_means,
+           (SELECT raw_mean FROM raw) AS raw_mean
+    """,
+)
+def median_of_means_order_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R270 median-of-means robust mean estimator: orders are split
+    into {MOM_BUCKETS} deterministic md5 buckets, the bucket means
+    (6dp) are medianed — the estimator whose deviation bound holds
+    under heavy tails where the raw mean's does not (the robust-mean
+    primitive behind heavy-tailed metric aggregation). Bucket index =
+    first md5 hex digit x2 + second-digit half (exactly {MOM_BUCKETS}
+    cells, deterministic on both engines); the median step runs over
+    the {MOM_BUCKETS}-row bucket frame. Reported next to the raw mean
+    for the robustness delta."""
+    o = load_table(spark, sf_dir, "orders")
+    hx = F.md5(F.col("o_orderkey").cast("string"))
+    d1 = F.substring(hx, 1, 1)
+    d2 = F.substring(hx, 2, 1)
+    bucket = (
+        F.when(d1.between("0", "9"), d1.cast("int")).otherwise(
+            F.ascii(d1) - 87
+        )
+        * 2
+        + F.when(d2 < "8", 0).otherwise(1)
+    )
+    bm = o.groupBy(bucket.alias("bucket")).agg(
+        F.round(F.avg("o_totalprice"), 6).alias("m"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    from pyspark.sql import Window
+
+    wn = Window.orderBy("m")
+    ranked = bm.select(
+        "m",
+        F.row_number().over(wn).alias("r"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("c"),
+    )
+    med = ranked.where(
+        (F.col("r") == F.floor((F.col("c") + 1) / 2))
+        | (F.col("r") == F.floor((F.col("c") + 2) / 2))
+    ).agg(F.round(F.avg("m"), 6).alias("mom"))
+    raw = o.agg(F.round(F.avg("o_totalprice"), 6).alias("raw_mean"))
+    minn = bm.agg(F.min("n").alias("min_bucket_n"))
+    return (
+        med.crossJoin(F.broadcast(raw))
+        .crossJoin(F.broadcast(minn))
+        .select(
+            F.lit(MOM_BUCKETS).cast("bigint").alias("n_buckets"),
+            "min_bucket_n",
+            F.col("mom").alias("median_of_means"),
+            "raw_mean",
+        )
+    )
