@@ -145,6 +145,14 @@ HEADLINE = [
     "als_one_sweep_rmse",             # one-sweep ALS factorization
     "target_encoding_oof",            # out-of-fold target encoding
     "lakehouse_maintenance_pipeline", # composed MERGE+diff+zone-map (R242)
+    "kneser_ney_bigram_quality",      # KN LM scoring (4 count frames)
+    "fellegi_sunter_part_linkage",    # blocked probabilistic linkage
+    "dbscan_embedding_cells",         # grid DBSCAN + CC
+    "boilerplate_segment_removal",    # segment strip + ordered reassembly
+    "gmm_em_order_values",            # 5-round broadcast-params EM
+    "bradley_terry_sources",          # MM strength ranking
+    "deterministic_random_walks",     # hash-coin walk generation
+    "er_clusters_from_linkage",       # FS matches -> CC entities
 ]
 
 

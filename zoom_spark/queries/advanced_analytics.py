@@ -976,7 +976,53 @@ def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs).orderBy("doc_id", "chunk_idx")
 
 
-@register("community_labels_copurchase")  # iterative vote ties on dense graphs
+def _lpa_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled synchronous label-propagation oracle: per round, each
+    node adopts the most frequent neighbor label (ties -> smallest
+    label — row_number ordered by votes DESC, label ASC replicates the
+    engine's max_by((votes, -community)) exactly); integer labels and
+    counts end-to-end, so the replay is exact."""
+    head = """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eu AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM eu UNION ALL SELECT v AS a, u AS b FROM eu
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS community FROM sym
+    )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+      SELECT s.a, l.community, count(*) AS n_votes
+      FROM sym s JOIN l{k-1} l ON l.node = s.b
+      GROUP BY s.a, l.community
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT a AS node, community FROM (
+        SELECT a, community,
+               row_number() OVER (PARTITION BY a
+                                  ORDER BY n_votes DESC, community ASC)
+                 AS rn
+        FROM v{k}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{rounds} GROUP BY community"""
+    )
+
+
+@register("community_labels_copurchase", sql=_lpa_oracle_sql())
 def community_labels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities on the co-purchase graph
     (operators/graph.label_propagation_communities): dense purchase
@@ -984,10 +1030,12 @@ def community_labels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     a community's internal majority — the CC output can't make this
     distinction (everything co-purchased is one component). Output
     is the per-community size histogram (community, n_nodes), the
-    artifact a segmentation job reports. Rows-only: the synchronous
-    vote dynamics are exact, but DuckDB has no iterative analog;
-    the planted-clique properties in tests/test_advanced_analytics.py
-    are the semantic gate."""
+    artifact a segmentation job reports. Oracle-hashed since round 7:
+    the 5 fixed synchronous rounds are integer-deterministic
+    (most-frequent neighbor label, ties to the smallest), so an
+    unrolled SQL replay reproduces them exactly; the planted-clique
+    properties in tests/test_advanced_analytics.py stay as the
+    semantic gate."""
     from zoom_spark.operators.graph import label_propagation_communities
 
     edges = _co_purchase_edges(spark, sf_dir)
