@@ -1155,3 +1155,62 @@ def test_median_of_means_matches_python(spark):
         o.groupby(bucket)["o_totalprice"].count().min()
     )
     assert abs(got["raw_mean"] - round(float(o["o_totalprice"].mean()), 6)) < 1e-6
+
+
+def test_matrix_profile_matches_numpy_referee(spark):
+    """R271 referee: brute-force numpy matrix profile with the same
+    exclusion zone and rounding; motif symmetry property (the global
+    minimum's nearest-neighbor relation is mutual)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        MP_EXCL,
+        MP_W,
+        matrix_profile_revenue,
+    )
+
+    rows = {
+        r["pos_idx"]: r
+        for r in matrix_profile_revenue(spark, SF_DIR).collect()
+    }
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+    )
+    x = daily.values
+    n = len(x)
+    m = n - MP_W + 1
+    wins = np.stack([x[i : i + MP_W] for i in range(m)])
+    s = wins.sum(1)
+    ss = (wins**2).sum(1)
+    best = {}
+    for i in range(m):
+        cand = []
+        for j in range(m):
+            if abs(i - j) <= MP_EXCL:
+                continue
+            dot = float(wins[i] @ wins[j])
+            num = dot - s[i] * s[j] / MP_W
+            den = (
+                (ss[i] - s[i] ** 2 / MP_W) * (ss[j] - s[j] ** 2 / MP_W)
+            ) ** 0.5
+            d2 = round(2.0 * MP_W * (1.0 - num / den), 9)
+            cand.append((d2, j))
+        d2, j = min(cand)
+        best[i] = (round(max(d2, 0.0) ** 0.5, 6), j, daily.index[i].date())
+    assert set(rows) == set(best)
+    for i, (pd_, jn, day) in best.items():
+        r = rows[i]
+        assert r["window_start"] == day
+        assert abs(r["profile_dist"] - pd_) < 1e-6
+        assert r["nn_idx"] == jn
+    # motif mutuality: the global-min position's NN points back at it
+    gmin = min(best, key=lambda i: (best[i][0], i))
+    assert best[best[gmin][1]][1] == gmin or abs(
+        best[best[gmin][1]][0] - best[gmin][0]
+    ) < 1e-6

@@ -2446,3 +2446,143 @@ def median_of_means_order_value(
             "raw_mean",
         )
     )
+
+
+MP_W = 7          # subsequence window length (days)
+MP_EXCL = 3       # trivial-match exclusion half-width (|i-j| > MP_EXCL)
+
+
+@register(
+    "matrix_profile_revenue",
+    sql=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pos AS MATERIALIZED (
+      SELECT day, rev,
+             row_number() OVER (ORDER BY day) - 1 AS i
+      FROM daily
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos),
+    wins AS MATERIALIZED (
+      SELECT a.i, b.i - a.i AS k, b.rev AS x
+      FROM pos a JOIN pos b ON b.i BETWEEN a.i AND a.i + {MP_W - 1}
+      WHERE a.i + {MP_W - 1} <= (SELECT n FROM n) - 1
+    ),
+    mom AS MATERIALIZED (
+      SELECT i, sum(x) AS s, sum(x * x) AS ss FROM wins GROUP BY i
+    ),
+    dots AS MATERIALIZED (
+      SELECT a.i AS ia, b.i AS ib, sum(a.x * b.x) AS dot
+      FROM wins a JOIN wins b ON a.k = b.k
+      WHERE abs(a.i - b.i) > {MP_EXCL}
+      GROUP BY a.i, b.i
+    ),
+    dist AS MATERIALIZED (
+      SELECT d.ia, d.ib,
+             round(2.0 * {MP_W} * (1.0 -
+               (d.dot - ma.s * mb.s / {MP_W})
+               / sqrt((ma.ss - ma.s * ma.s / {MP_W})
+                      * (mb.ss - mb.s * mb.s / {MP_W}))), 9) AS d2
+      FROM dots d
+      JOIN mom ma ON ma.i = d.ia
+      JOIN mom mb ON mb.i = d.ib
+    ),
+    prof AS (
+      SELECT ia, d2, ib,
+             row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+      FROM dist
+    )
+    SELECT p.ia AS pos_idx, ps.day AS window_start,
+           round(sqrt(greatest(p.d2, 0.0)), 6) AS profile_dist,
+           p.ib AS nn_idx
+    FROM prof p JOIN pos ps ON ps.i = p.ia
+    WHERE p.rn = 1
+    """,
+)
+def matrix_profile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R271 matrix profile of daily revenue (window w={MP_W}): for
+    every length-{MP_W} subsequence, the z-normalized Euclidean
+    distance to its nearest non-trivial neighbor (exclusion zone
+    |i-j| > {MP_EXCL}) — low profile values are MOTIFS (repeated
+    weekly shapes), high values are DISCORDS (anomalous weeks); the
+    UCR matrix-profile primitive behind modern time-series mining.
+    Uses the d^2 = 2w(1 - rho) identity, with every moment (window
+    sums, sums of squares, cross dots) an EXACT cent-grid double —
+    both engines compute bit-identical distances, 9dp-rounded before
+    the argmin so ties break identically (then by neighbor index).
+    The pair/dot joins run over the calendar-bounded day frame
+    (<=|days|^2 * w multiply rows at any SF — the repo's documented
+    bounded-quadratic class; at true sequence scale the STOMP/FFT
+    recurrence replaces the pair join)."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    pos = daily.select(
+        "day",
+        "rev",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+    ).localCheckpoint(eager=False)
+    n = pos.count()
+    a, b = pos.alias("a"), pos.alias("b")
+    wins = (
+        a.join(
+            b,
+            (F.col("b.i") >= F.col("a.i"))
+            & (F.col("b.i") <= F.col("a.i") + (MP_W - 1)),
+        )
+        .where(F.col("a.i") + (MP_W - 1) <= n - 1)
+        .select(
+            F.col("a.i").alias("i"),
+            (F.col("b.i") - F.col("a.i")).alias("k"),
+            F.col("b.rev").alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mom = wins.groupBy("i").agg(
+        F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("ss")
+    )
+    wa, wb = wins.alias("wa"), wins.alias("wb")
+    dots = (
+        wa.join(wb, on="k")
+        .where(F.abs(F.col("wa.i") - F.col("wb.i")) > MP_EXCL)
+        .groupBy(F.col("wa.i").alias("ia"), F.col("wb.i").alias("ib"))
+        .agg(F.sum(F.col("wa.x") * F.col("wb.x")).alias("dot"))
+    )
+    ma = mom.select(
+        F.col("i").alias("ia"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    mb = mom.select(
+        F.col("i").alias("ib"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    rho_num = F.col("dot") - F.col("sa") * F.col("sb") / MP_W
+    rho_den = F.sqrt(
+        (F.col("ssa") - F.col("sa") * F.col("sa") / MP_W)
+        * (F.col("ssb") - F.col("sb") * F.col("sb") / MP_W)
+    )
+    dist = (
+        dots.join(ma, on="ia")
+        .join(mb, on="ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(2.0 * MP_W * (1.0 - rho_num / rho_den), 9).alias("d2"),
+        )
+    )
+    wmin = Window.partitionBy("ia").orderBy("d2", "ib")
+    prof = dist.withColumn("rn", F.row_number().over(wmin)).where(
+        F.col("rn") == 1
+    )
+    return prof.join(pos, prof["ia"] == pos["i"]).select(
+        F.col("ia").alias("pos_idx"),
+        F.col("day").alias("window_start"),
+        F.round(F.sqrt(F.greatest(F.col("d2"), F.lit(0.0))), 6).alias(
+            "profile_dist"
+        ),
+        F.col("ib").alias("nn_idx"),
+    )
