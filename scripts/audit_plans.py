@@ -172,6 +172,17 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R272: CUSUM window over the calendar-bounded day frame + 1-row
+    # split/total scalars crossed on (scalar BNLJ by design)
+    "two_segment_trend_fit": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R273: the cumulative-share rank runs over the PART frame (the
+    # catalog dimension, vocabulary-sized vs lineitem; the two-phase
+    # grouped machinery is the 100 TB route) + 1-row grand-total BNLJ
+    "abc_xyz_inventory": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # R270: the median window and count() run over the 32-row bucket
     # frame; 1-row raw-mean/min-n scalars crossed on (scalar BNLJ)
     "median_of_means_order_value": dict(

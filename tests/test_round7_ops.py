@@ -1214,3 +1214,104 @@ def test_matrix_profile_matches_numpy_referee(spark):
     assert best[best[gmin][1]][1] == gmin or abs(
         best[best[gmin][1]][0] - best[gmin][0]
     ) < 1e-6
+
+
+def test_two_segment_trend_matches_numpy(spark):
+    """R272 referee: numpy CUSUM split + per-segment polyfit +
+    forecast extrapolation."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import two_segment_trend_fit
+
+    [got] = two_segment_trend_fit(spark, SF_DIR).collect()
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+    )
+    x = daily.values
+    n = len(x)
+    sk = np.round(np.cumsum(x), 2)
+    stat = np.abs(sk[:-1] - np.arange(1, n) * sk[-1] / n)
+    split_k = int(np.argmax(stat)) + 1  # 1-based like the query
+    k = np.arange(1, n + 1)
+    before = k <= split_k
+    sb, ib_ = np.polyfit(k[before], x[before], 1)
+    sa, ia_ = np.polyfit(k[~before], x[~before], 1)
+    assert got["split_k"] == split_k
+    assert got["n_before"] == split_k and got["n_after"] == n - split_k
+    assert abs(got["slope_before"] - sb) < 1e-2
+    assert abs(got["slope_after"] - sa) < 1e-2
+    assert abs(got["forecast_day_plus7"] - (ia_ + sa * (n + 7))) < 1.0
+
+
+def test_abc_xyz_matches_pandas(spark):
+    """R273 referee: pandas replay of the weekly aggregation, ranked
+    cumulative share, and both classifications; marginals must cover
+    every part exactly once and A-class revenue dominates."""
+    from zoom_spark.queries.round7_ops import (
+        ABC_A,
+        ABC_B,
+        XYZ_X,
+        XYZ_Y,
+        abc_xyz_inventory,
+    )
+
+    rows = {
+        (r["abc"], r["xyz"]): r
+        for r in abc_xyz_inventory(spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_quantity", "l_shipdate"],
+    )
+    anchor = pd.Timestamp("1990-01-01")
+    li["wk"] = (
+        (pd.to_datetime(li["l_shipdate"]).dt.normalize() - anchor).dt.days
+        // 7
+    )
+    pw = (
+        li.groupby(["l_partkey", "wk"])
+        .agg(rev=("l_extendedprice", "sum"), qty=("l_quantity", "sum"))
+        .round({"rev": 2})
+        .reset_index()
+    )
+    per = pw.groupby("l_partkey").agg(
+        rev=("rev", "sum"),
+        mean_wq=("qty", "mean"),
+        sd_wq=("qty", lambda s: s.std(ddof=1) if len(s) > 1 else 0.0),
+        n_weeks=("wk", "count"),
+    )
+    per["rev"] = per["rev"].round(2)
+    per["mean_wq"] = per["mean_wq"].round(6)
+    per["sd_wq"] = per["sd_wq"].fillna(0.0).round(6)
+    per = per.sort_values(["rev", "l_partkey"], ascending=[False, True])
+    grand = round(per["rev"].sum(), 2)
+    per["cum_share"] = (per["rev"].cumsum() / grand).round(9)
+    per["abc"] = per["cum_share"].map(
+        lambda c: "A" if c <= ABC_A else ("B" if c <= ABC_B else "C")
+    )
+    cv = per["sd_wq"] / per["mean_wq"]
+    per["xyz"] = [
+        "Z" if m <= 0 else ("X" if c < XYZ_X else ("Y" if c < XYZ_Y else "Z"))
+        for m, c in zip(per["mean_wq"], cv)
+    ]
+    exp = per.groupby(["abc", "xyz"]).agg(
+        n_parts=("rev", "count"),
+        revenue=("rev", "sum"),
+        part_weeks=("n_weeks", "sum"),
+    )
+    assert set(rows) == set(exp.index)
+    for key, e in exp.iterrows():
+        r = rows[key]
+        assert r["n_parts"] == e["n_parts"]
+        assert abs(r["revenue"] - round(e["revenue"], 2)) < 0.02
+        assert r["part_weeks"] == e["part_weeks"]
+    assert sum(r["n_parts"] for r in rows.values()) == len(per)
+    a_rev = sum(v["revenue"] for k, v in rows.items() if k[0] == "A")
+    tot_rev = sum(v["revenue"] for v in rows.values())
+    assert a_rev / tot_rev >= ABC_A - 0.05  # A-class carries ~80%

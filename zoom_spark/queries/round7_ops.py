@@ -2586,3 +2586,248 @@ def matrix_profile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("ib").alias("nn_idx"),
     )
+
+
+@register(
+    "two_segment_trend_fit",
+    sql="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(sum(rev), 2) AS grand
+      FROM daily
+    ),
+    pre AS MATERIALIZED (
+      SELECT day,
+             row_number() OVER (ORDER BY day) AS k,
+             round(sum(rev) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS sk,
+             rev
+      FROM daily
+    ),
+    best AS (
+      SELECT k AS split_k FROM (
+        SELECT p.k, abs(p.sk - p.k * t.grand / t.n) AS cusum, p.day
+        FROM pre p CROSS JOIN tot t WHERE p.k < t.n
+        ORDER BY cusum DESC, day LIMIT 1
+      )
+    ),
+    seg AS (
+      SELECT p.k, p.rev,
+             CASE WHEN p.k <= (SELECT split_k FROM best)
+                  THEN 0 ELSE 1 END AS seg
+      FROM pre p
+    ),
+    fits AS (
+      SELECT seg,
+             CAST(count(*) AS BIGINT) AS n_days,
+             regr_slope(rev, k) AS slope,
+             regr_intercept(rev, k) AS icept
+      FROM seg GROUP BY seg
+    )
+    SELECT CAST((SELECT split_k FROM best) AS BIGINT) AS split_k,
+           max(CASE WHEN seg = 0 THEN n_days END) AS n_before,
+           max(CASE WHEN seg = 1 THEN n_days END) AS n_after,
+           round(max(CASE WHEN seg = 0 THEN slope END), 4) AS slope_before,
+           round(max(CASE WHEN seg = 1 THEN slope END), 4) AS slope_after,
+           round(max(CASE WHEN seg = 1 THEN icept END)
+                 + max(CASE WHEN seg = 1 THEN slope END)
+                   * ((SELECT n FROM tot) + 7), 2) AS forecast_day_plus7
+    FROM fits
+    """,
+)
+def two_segment_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R272 piecewise-linear trend with one changepoint — the
+    Prophet-style decomposition's core move, composed from the repo's
+    own parts: the CUSUM-optimal split (cusum_changepoint_revenue's
+    argmax, recomputed inline on the identical cent-grid prefix sums)
+    divides the day index, OLS fits each side (regr_slope /
+    regr_intercept — the SQL:2016 aggregates both engines share), and
+    the after-segment line extrapolates a 7-days-ahead forecast. The
+    slope comparison IS the trend-break report ('growth halved after
+    day k'). Day-frame bounded end to end; two aggregate passes."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("rev"), 2).alias("grand"),
+    )
+    w = Window.orderBy("day")
+    pre = daily.select(
+        "day",
+        F.row_number().over(w).alias("k"),
+        F.round(
+            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            2,
+        ).alias("sk"),
+        "rev",
+    ).localCheckpoint(eager=False)
+    best = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.col("k") < F.col("n"))
+        .select(
+            "k",
+            "day",
+            F.abs(
+                F.col("sk") - F.col("k") * F.col("grand") / F.col("n")
+            ).alias("cusum"),
+        )
+        .orderBy(F.col("cusum").desc(), "day")
+        .limit(1)
+        .select(F.col("k").alias("split_k"))
+    )
+    seg = pre.crossJoin(F.broadcast(best)).select(
+        "k",
+        "rev",
+        F.when(F.col("k") <= F.col("split_k"), 0).otherwise(1).alias("seg"),
+    )
+    fits = seg.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.regr_slope("rev", "k").alias("slope"),
+        F.regr_intercept("rev", "k").alias("icept"),
+    )
+    out = (
+        fits.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("split_k", "n")
+        .agg(
+            F.max(F.when(F.col("seg") == 0, F.col("n_days"))).alias(
+                "n_before"
+            ),
+            F.max(F.when(F.col("seg") == 1, F.col("n_days"))).alias(
+                "n_after"
+            ),
+            F.max(F.when(F.col("seg") == 0, F.col("slope"))).alias("sb"),
+            F.max(F.when(F.col("seg") == 1, F.col("slope"))).alias("sa"),
+            F.max(F.when(F.col("seg") == 1, F.col("icept"))).alias("ia"),
+        )
+    )
+    return out.select(
+        F.col("split_k").cast("bigint").alias("split_k"),
+        "n_before",
+        "n_after",
+        F.round("sb", 4).alias("slope_before"),
+        F.round("sa", 4).alias("slope_after"),
+        F.round(F.col("ia") + F.col("sa") * (F.col("n") + 7), 2).alias(
+            "forecast_day_plus7"
+        ),
+    )
+
+
+ABC_A, ABC_B = 0.8, 0.95   # cumulative revenue share cuts
+XYZ_X, XYZ_Y = 0.5, 1.0    # weekly-demand CV cuts
+
+
+@register(
+    "abc_xyz_inventory",
+    sql=f"""
+    WITH pr AS MATERIALIZED (
+      SELECT l_partkey,
+             round(sum(l_extendedprice), 2) AS rev,
+             CAST(floor((CAST(l_shipdate AS DATE) - DATE '1990-01-01')
+                        / 7.0) AS BIGINT) AS wk,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      GROUP BY l_partkey,
+               CAST(floor((CAST(l_shipdate AS DATE) - DATE '1990-01-01')
+                          / 7.0) AS BIGINT)
+    ),
+    per_part AS MATERIALIZED (
+      SELECT l_partkey,
+             round(sum(rev), 2) AS rev,
+             round(avg(qty), 6) AS mean_wq,
+             round(coalesce(stddev_samp(qty), 0.0), 6) AS sd_wq,
+             CAST(count(*) AS BIGINT) AS n_weeks
+      FROM pr GROUP BY l_partkey
+    ),
+    tot AS (SELECT round(sum(rev), 2) AS grand FROM per_part),
+    ranked AS (
+      SELECT p.*,
+             round(sum(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / t.grand, 9) AS cum_share
+      FROM per_part p CROSS JOIN tot t
+    ),
+    cls AS (
+      SELECT l_partkey, rev, n_weeks,
+             CASE WHEN cum_share <= {ABC_A} THEN 'A'
+                  WHEN cum_share <= {ABC_B} THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN mean_wq <= 0 THEN 'Z'
+                  WHEN sd_wq / mean_wq < {XYZ_X} THEN 'X'
+                  WHEN sd_wq / mean_wq < {XYZ_Y} THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM ranked
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev), 2) AS revenue,
+           CAST(sum(n_weeks) AS BIGINT) AS part_weeks
+    FROM cls GROUP BY abc, xyz
+    """,
+)
+def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R273 ABC/XYZ inventory classification — the supply-chain
+    segmentation every demand planner starts from: ABC = cumulative
+    revenue share (A: first {ABC_A:.0%}, B: to {ABC_B:.0%}, C: tail)
+    over parts ranked by revenue, XYZ = weekly-demand coefficient of
+    variation (X: steady < {XYZ_X}, Y: variable < {XYZ_Y}, Z:
+    erratic). Output: the 9-cell class matrix with part counts and
+    revenue — the artifact that routes A/X parts to tight forecasting
+    and C/Z to make-to-order. Scale shape: one (part, week) aggregate,
+    one per-part rollup, ONE ranked prefix-share window over the part
+    frame (at 100 TB: the two-phase prefix.grouped machinery), all
+    moments cent-grid/integer with 6dp CV inputs."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = F.floor(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        / 7.0
+    ).cast("bigint")
+    pr = li.groupBy("l_partkey", wk.alias("wk")).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+    per_part = pr.groupBy("l_partkey").agg(
+        F.round(F.sum("rev"), 2).alias("rev"),
+        F.round(F.avg("qty"), 6).alias("mean_wq"),
+        F.round(F.coalesce(F.stddev_samp("qty"), F.lit(0.0)), 6).alias(
+            "sd_wq"
+        ),
+        F.count("*").cast("bigint").alias("n_weeks"),
+    )
+    tot = per_part.agg(F.round(F.sum("rev"), 2).alias("grand"))
+    wrank = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_part.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share",
+        F.round(F.sum("rev").over(wrank) / F.col("grand"), 9),
+    )
+    cls = ranked.select(
+        "rev",
+        "n_weeks",
+        F.when(F.col("cum_share") <= ABC_A, "A")
+        .when(F.col("cum_share") <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("mean_wq") <= 0, "Z")
+        .when(F.col("sd_wq") / F.col("mean_wq") < XYZ_X, "X")
+        .when(F.col("sd_wq") / F.col("mean_wq") < XYZ_Y, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return cls.groupBy("abc", "xyz").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.sum("n_weeks").cast("bigint").alias("part_weeks"),
+    )
