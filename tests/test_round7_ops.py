@@ -1315,3 +1315,38 @@ def test_abc_xyz_matches_pandas(spark):
     a_rev = sum(v["revenue"] for k, v in rows.items() if k[0] == "A")
     tot_rev = sum(v["revenue"] for v in rows.values())
     assert a_rev / tot_rev >= ABC_A - 0.05  # A-class carries ~80%
+
+
+def test_suffix_array_matches_python_referee(spark):
+    """R274 referee: direct sorted-suffix recompute — the top-N
+    suffixes by full lexicographic token order, with clone-doc ties
+    sharing a dense rank."""
+    from zoom_spark.queries.round7_ops import SA_TOP, suffix_array_corpus
+
+    rows = suffix_array_corpus(spark, SF_DIR).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    suffixes = []
+    toks = {}
+    for r in docs.itertuples():
+        ts = [t for t in r.text.lower().strip().split() if t]
+        toks[r.doc_id] = ts
+        for p in range(len(ts)):
+            suffixes.append((tuple(ts[p:]), r.doc_id, p))
+    suffixes.sort(key=lambda s: s[0])
+    # dense ranks over the sorted suffix keys
+    want = {}
+    rank, prev_key = 0, None
+    for key, doc, p in suffixes:
+        if key != prev_key:
+            rank += 1
+            prev_key = key
+        if rank > SA_TOP:
+            break
+        want[(doc, p)] = (rank, " ".join(key[:3]))
+    got = {
+        (r["doc_id"], r["pos"]): (r["sa_rank"], r["preview"]) for r in rows
+    }
+    assert got == want
+    assert len(got) >= SA_TOP  # ties can only add rows
+    # ranks are dense from 1..SA_TOP
+    assert {r for r, _ in got.values()} == set(range(1, SA_TOP + 1))

@@ -2831,3 +2831,147 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev"), 2).alias("revenue"),
         F.sum("n_weeks").cast("bigint").alias("part_weeks"),
     )
+
+
+SA_ROUNDS = 10   # prefix-doubling rounds: covers doc lengths up to 2^10
+SA_TOP = 100     # emit the SA_TOP lexicographically smallest suffixes
+
+
+def _suffix_array_oracle_sql(rounds: int = SA_ROUNDS) -> str:
+    """Unrolled prefix-doubling replay: r_{k} = dense_rank of
+    (r_{k/2}[i], r_{k/2}[i + k/2] or 0) — integer ranks end-to-end,
+    idempotent once all distinguishable suffixes have distinct ranks
+    (exact-clone docs keep tied ranks, identically on both engines)."""
+    head = r"""tok AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+      ), LATERAL (
+        SELECT unnest(generate_series(1, len(ts))) AS i) g,
+      LATERAL (SELECT ts[i] AS w) w
+    ),
+    r0 AS MATERIALIZED (
+      SELECT doc_id, pos, dense_rank() OVER (ORDER BY w) AS r
+      FROM tok
+    )"""
+    parts = [head]
+    k = 1
+    for step in range(1, rounds + 1):
+        parts.append(
+            f"""r{step} AS MATERIALIZED (
+      SELECT a.doc_id, a.pos,
+             dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
+      FROM r{step-1} a
+      LEFT JOIN r{step-1} b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + {k}
+    )"""
+        )
+        k *= 2
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    prev AS (
+      SELECT s.r AS sa_rank, s.doc_id, s.pos,
+             (SELECT string_agg(t.w, ' ' ORDER BY t.pos)
+              FROM tok t
+              WHERE t.doc_id = s.doc_id
+                AND t.pos BETWEEN s.pos AND s.pos + 2) AS preview
+      FROM r{rounds} s WHERE s.r <= {SA_TOP}
+    )
+    SELECT CAST(sa_rank AS BIGINT) AS sa_rank, doc_id,
+           CAST(pos AS BIGINT) AS pos, preview
+    FROM prev"""
+    )
+
+
+@register("suffix_array_corpus", sql=_suffix_array_oracle_sql())
+def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R274 distributed suffix array over the token corpus by prefix
+    doubling (Manber-Myers re-expressed relationally): round k ranks
+    every suffix by the pair (rank of its first 2^(k-1) tokens, rank
+    of the next 2^(k-1)) — {SA_ROUNDS} rounds cover any doc below
+    2^{SA_ROUNDS} tokens, after which ranks are the suffix array
+    (exact-clone docs keep tied ranks, deterministically). This is
+    the exact-substring-dedup index (Lee et al. 2022 deduplicate
+    entire repeated spans with it) built with NO single-task sort:
+    each round's dense rank comes from global_row_number over the
+    DISTINCT pair keys (operators/prefix.py two-phase scan) joined
+    back, so every stage is a range shuffle + equi-join. Output: the
+    {SA_TOP} lexicographically smallest suffixes with a 3-token
+    preview."""
+    from zoom_spark.functions.text import ws_tokens
+    from zoom_spark.operators.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.posexplode(ws_tokens(F.lower("text"))).alias("pos", "w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # r0: dense rank of the token itself = row number over DISTINCT
+    # tokens (two-phase, no global window)
+    vocab = global_row_number(
+        tok.select("w").distinct(), ["w"], out_col="r"
+    )
+    cur = tok.join(vocab, on="w").select("doc_id", "pos", "r")
+    k = 1
+    for _ in range(SA_ROUNDS):
+        nxt = cur.select(
+            F.col("doc_id").alias("doc_id2"),
+            (F.col("pos") - k).alias("pos2"),
+            F.col("r").alias("r2"),
+        )
+        paired = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos") == F.col("pos2")),
+            "left",
+        ).select(
+            "doc_id",
+            "pos",
+            "r",
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+        ranks = global_row_number(
+            paired.select("r", "r2").distinct(),
+            ["r", "r2"],
+            out_col="nr",
+        )
+        cur = paired.join(ranks, on=["r", "r2"]).select(
+            "doc_id", "pos", F.col("nr").alias("r")
+        ).localCheckpoint(eager=False)
+        k *= 2
+    top = cur.where(F.col("r") <= SA_TOP)
+    prev = (
+        top.join(
+            tok.select(
+                F.col("doc_id").alias("td"),
+                F.col("pos").alias("tp"),
+                "w",
+            ),
+            (F.col("doc_id") == F.col("td"))
+            & (F.col("tp") >= F.col("pos"))
+            & (F.col("tp") <= F.col("pos") + 2),
+        )
+        .groupBy("r", "doc_id", "pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("preview")
+        )
+    )
+    return prev.select(
+        F.col("r").cast("bigint").alias("sa_rank"),
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "preview",
+    )
