@@ -153,6 +153,10 @@ HEADLINE = [
     "bradley_terry_sources",          # MM strength ranking
     "deterministic_random_walks",     # hash-coin walk generation
     "er_clusters_from_linkage",       # FS matches -> CC entities
+    "suffix_array_corpus",            # prefix-doubling suffix array
+    "matrix_profile_revenue",         # day-frame motif/discord mining
+    "abc_xyz_inventory",              # weekly demand class matrix
+    "community_labels_copurchase",    # sync LPA (now oracle-hashed)
 ]
 
 

@@ -1350,3 +1350,36 @@ def test_suffix_array_matches_python_referee(spark):
     assert len(got) >= SA_TOP  # ties can only add rows
     # ranks are dense from 1..SA_TOP
     assert {r for r, _ in got.values()} == set(range(1, SA_TOP + 1))
+
+
+def test_token_stats_by_lang_matches_pandas(spark):
+    """R275 referee: pandas recompute; every doc lands in exactly one
+    lang row and the global token total is conserved."""
+    from zoom_spark.queries.round7_ops import token_stats_by_lang
+
+    rows = {r["lang"]: r for r in token_stats_by_lang(spark, SF_DIR).collect()}
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs["n_tokens"] = docs["text"].map(
+        lambda t: len([x for x in t.lower().strip().split() if x])
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    g = docs.groupby("lang").agg(
+        n_docs=("doc_id", "count"),
+        total_tokens=("n_tokens", "sum"),
+        avg_tok=("n_tokens", "mean"),
+        n_chars=("n_chars", "sum"),
+    )
+    assert set(rows) == set(g.index)
+    for lang, e in g.iterrows():
+        r = rows[lang]
+        assert r["n_docs"] == e["n_docs"]
+        assert r["total_tokens"] == e["total_tokens"]
+        assert abs(r["avg_tokens_per_doc"] - e["avg_tok"]) < 1e-4
+        assert (
+            abs(r["chars_per_token"] - e["n_chars"] / e["total_tokens"])
+            < 1e-6
+        )
+    assert sum(r["n_docs"] for r in rows.values()) == len(docs)
+    assert sum(r["total_tokens"] for r in rows.values()) == int(
+        docs["n_tokens"].sum()
+    )

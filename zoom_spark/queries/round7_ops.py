@@ -2975,3 +2975,51 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         "preview",
     )
+
+
+@register(
+    "token_stats_by_lang",
+    sql=r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens * 1.0), 4) AS avg_tokens_per_doc,
+           round(sum(n_chars) * 1.0 / sum(n_tokens), 6)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R275 tokenizer fertility by language: chars-per-token and
+    tokens-per-doc per language bucket — the corpus card row a
+    multilingual pipeline reads before setting per-language token
+    budgets (a language whose chars/token runs high pays more
+    sequence length per information unit; the BPE analog is the
+    rows-gated bpe_token_counts). One map-side expression + one
+    aggregate; exact integer counts."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(ws_tokens(F.lower("text"))).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tokens") * 1.0), 4).alias(
+            "avg_tokens_per_doc"
+        ),
+        F.round(
+            F.sum("n_chars") * 1.0 / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
