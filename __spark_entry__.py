@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     resample_first = (
         "pagerank_parts",
         "kcore_parts",
+        "community_labels_copurchase",
     )
     ROTATION_ROUND = 7
     by_module: dict[str, list[tuple[str, Callable]]] = {}
