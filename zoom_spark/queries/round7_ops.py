@@ -2919,8 +2919,16 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select("w").distinct(), ["w"], out_col="r"
     )
     cur = tok.join(vocab, on="w").select("doc_id", "pos", "r")
+    # rounds beyond ceil(log2(longest doc)) are no-ops (every suffix
+    # pair already distinguishable), so run only the binding ones —
+    # the oracle's fixed SA_ROUNDS replay reaches the identical
+    # fixpoint. One cheap max() action prunes ~3 of 10 rounds.
+    import math
+
+    max_len = tok.agg(F.max("pos").alias("m")).first()["m"] + 1
+    rounds = min(SA_ROUNDS, max(1, math.ceil(math.log2(max(2, max_len)))))
     k = 1
-    for _ in range(SA_ROUNDS):
+    for _ in range(rounds):
         nxt = cur.select(
             F.col("doc_id").alias("doc_id2"),
             (F.col("pos") - k).alias("pos2"),
