@@ -172,6 +172,16 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R276: KM running product over the <=|days| event-time frame
+    # (cusum-style exception) + 1-row horizon scalar BNLJ
+    "competing_risks_cif": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R277: 1-row 9dp-fit and sigma^2 scalars crossed onto the
+    # calendar-bounded day frame (scalar BNLJ by design)
+    "ols_influence_diagnostics": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # R272: CUSUM window over the calendar-bounded day frame + 1-row
     # split/total scalars crossed on (scalar BNLJ by design)
     "two_segment_trend_fit": dict(

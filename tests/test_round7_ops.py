@@ -1383,3 +1383,109 @@ def test_token_stats_by_lang_matches_pandas(spark):
     assert sum(r["total_tokens"] for r in rows.values()) == int(
         docs["n_tokens"].sum()
     )
+
+
+def test_competing_risks_cif_matches_python(spark):
+    """R276 referee: python Aalen-Johansen replay + the identities
+    CIF_1 + CIF_2 <= 1 (monotone) and 1 - KM_combined == CIF_1 + CIF_2
+    at every event time."""
+    from zoom_spark.queries.round7_ops import competing_risks_cif
+
+    rows = sorted(
+        competing_risks_cif(spark, SF_DIR).collect(), key=lambda r: r["day"]
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.normalize()
+    per = ev.groupby("user_id").agg(first_day=("d", "min"))
+    for cause, et in (("p_day", "purchase"), ("e_day", "error")):
+        m = ev[ev["event_type"] == et].groupby("user_id")["d"].min()
+        per = per.join(m.rename(cause))
+    horizon = ev["d"].max()
+    spells = []
+    for r in per.itertuples():
+        p_first = pd.notna(r.p_day) and (
+            pd.isna(r.e_day) or r.p_day <= r.e_day
+        )
+        if p_first:
+            spells.append(((r.p_day - r.first_day).days, 1))
+        elif pd.notna(r.e_day):
+            spells.append(((r.e_day - r.first_day).days, 2))
+        else:
+            spells.append(((horizon - r.first_day).days, 0))
+    sp = pd.DataFrame(spells, columns=["t", "cause"])
+    s = 1.0
+    cif1 = cif2 = 0.0
+    got = {r["day"]: r for r in rows}
+    seen = 0
+    for tt in sorted(sp["t"].unique()):
+        at = sp[sp["t"] == tt]
+        n_risk = int((sp["t"] >= tt).sum())
+        d1 = int((at["cause"] == 1).sum())
+        d2 = int((at["cause"] == 2).sum())
+        if d1 + d2 == 0:
+            continue
+        seen += 1
+        cif1 += s * d1 / n_risk
+        cif2 += s * d2 / n_risk
+        if d1 + d2 < n_risk:
+            s *= 1 - (d1 + d2) / n_risk
+        else:
+            s = 0.0
+        r = got[tt]
+        assert (r["n_risk"], r["d_purchase"], r["d_error"]) == (
+            n_risk,
+            d1,
+            d2,
+        )
+        assert abs(r["cif_purchase"] - cif1) < 1e-6
+        assert abs(r["cif_error"] - cif2) < 1e-6
+        # Aalen-Johansen identity: CIFs partition the KM mass
+        assert abs((cif1 + cif2) - (1 - s)) < 1e-9
+        assert cif1 + cif2 <= 1 + 1e-9
+    assert seen == len(rows) > 0
+
+
+def test_ols_influence_matches_numpy(spark):
+    """R277 referee: numpy leverage/Cook's D recompute with the same
+    9dp-fit schedule; top-k ordering and the sum-of-leverage == 2
+    hat-matrix trace identity."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        OLS_DIAG_TOPK,
+        ols_influence_diagnostics,
+    )
+
+    rows = ols_influence_diagnostics(spark, SF_DIR).collect()
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+    )
+    y = daily.values
+    n = len(y)
+    k = np.arange(1, n + 1, dtype=float)
+    b, a = np.polyfit(k, y, 1)
+    b, a = round(b, 9), round(a, 9)
+    e = y - (a + b * k)
+    kbar = k.mean()
+    skk = (k * k).sum() - k.sum() ** 2 / n
+    h = 1.0 / n + (k - kbar) ** 2 / skk
+    s2 = (e**2).sum() / (n - 2)
+    d = (e / np.sqrt(s2 * (1 - h))) ** 2 * h / (2 * (1 - h))
+    # hat-matrix trace: sum(h) == p == 2
+    assert abs(h.sum() - 2.0) < 1e-9
+    order = sorted(
+        range(n), key=lambda i: (-round(d[i], 9), daily.index[i])
+    )[:OLS_DIAG_TOPK]
+    assert len(rows) == OLS_DIAG_TOPK
+    for r, i in zip(rows, order):
+        assert r["day"] == daily.index[i].date()
+        assert r["k"] == i + 1
+        assert abs(r["residual"] - round(e[i], 2)) < 0.02
+        assert abs(r["leverage"] - h[i]) < 1e-9
+        assert abs(r["cooks_d"] - d[i]) < 1e-6
