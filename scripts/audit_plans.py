@@ -172,6 +172,11 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R278: cumulative-adopter window over the calendar-bounded
+    # adopter-day frame (cusum-style exception)
+    "bass_diffusion_fit": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
     # R276: KM running product over the <=|days| event-time frame
     # (cusum-style exception) + 1-row horizon scalar BNLJ
     "competing_risks_cif": dict(

@@ -1489,3 +1489,48 @@ def test_ols_influence_matches_numpy(spark):
         assert abs(r["residual"] - round(e[i], 2)) < 0.02
         assert abs(r["leverage"] - h[i]) < 1e-9
         assert abs(r["cooks_d"] - d[i]) < 1e-6
+
+
+def test_bass_diffusion_matches_numpy(spark):
+    """R278 referee: numpy 3-var least squares with the identical
+    scaling/9dp schedule; the recovered market size must exceed the
+    observed adopter count (saturation hasn't completed) and p, q > 0."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        BASS_NSCALE,
+        bass_diffusion_fit,
+    )
+
+    [got] = bass_diffusion_fit(spark, SF_DIR).collect()
+    o = _orders()
+    firsts = (
+        o.groupby("o_custkey")["o_orderdate"]
+        .min()
+        .map(pd.Timestamp)
+        .sort_values()
+    )
+    daily = firsts.value_counts().sort_index()
+    y = daily.values.astype(float)
+    N_prev = np.concatenate([[0.0], np.cumsum(y)[:-1]]) / BASS_NSCALE
+    A = np.stack([np.ones_like(N_prev), N_prev, N_prev**2], axis=1)
+    # replicate the 9dp moment snapping
+    s = [round(float((N_prev**i).sum()), 9) for i in range(5)]
+    t = [round(float((N_prev**i * y).sum()), 9) for i in range(3)]
+    M3 = np.array(
+        [[s[0], s[1], s[2]], [s[1], s[2], s[3]], [s[2], s[3], s[4]]]
+    )
+    rhs = np.array(t)
+    b0, b1, b2 = (round(v, 9) for v in np.linalg.solve(M3, rhs))
+    m_root = (-b1 - (b1 * b1 - 4 * b0 * b2) ** 0.5) / (2 * b2)
+    assert abs(got["beta0"] - b0) < 1e-5
+    assert abs(got["beta1"] - b1) < 1e-5
+    assert abs(got["beta2"] - b2) < 1e-5
+    assert abs(got["market_size_m"] - m_root * BASS_NSCALE) < 0.5
+    p = b0 / m_root / BASS_NSCALE
+    assert abs(got["p_innovation"] - p) < 1e-6
+    assert abs(got["q_imitation"] - (b1 / BASS_NSCALE + p)) < 1e-6
+    # sanity: the fitted market exceeds observed adopters, p and the
+    # quadratic coefficient have Bass-consistent signs
+    assert got["market_size_m"] > float(y.sum())
+    assert got["p_innovation"] > 0 and got["beta2"] < 0

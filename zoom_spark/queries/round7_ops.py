@@ -3295,3 +3295,144 @@ def ols_influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual", "leverage", "cooks_d",
         )
     )
+
+
+BASS_NSCALE = 1000.0  # cumulative-adopter scaling keeps moment sums small
+
+
+@register(
+    "bass_diffusion_fit",
+    sql=f"""
+    WITH firsts AS (
+      SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS d0
+      FROM orders GROUP BY o_custkey
+    ),
+    daily AS MATERIALIZED (
+      SELECT d0 AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY d0
+    ),
+    series AS MATERIALIZED (
+      SELECT day, n_new * 1.0 AS y,
+             coalesce(sum(n_new) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {BASS_NSCALE} AS x
+      FROM daily
+    ),
+    m AS (
+      SELECT round(count(*) * 1.0, 9) AS s0,
+             round(sum(x), 9) AS s1, round(sum(x * x), 9) AS s2,
+             round(sum(x * x * x), 9) AS s3,
+             round(sum(x * x * x * x), 9) AS s4,
+             round(sum(y), 9) AS t0, round(sum(x * y), 9) AS t1,
+             round(sum(x * x * y), 9) AS t2
+      FROM series
+    ),
+    solve AS (
+      SELECT
+        (s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+         + s2 * (s1 * s3 - s2 * s2)) AS det,
+        (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+         + s2 * (t1 * s3 - t2 * s2)) AS det0,
+        (s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+         + s2 * (s1 * t2 - s2 * t1)) AS det1,
+        (s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+         + t0 * (s1 * s3 - s2 * s2)) AS det2
+      FROM m
+    ),
+    beta AS (
+      SELECT round(det0 / det, 9) AS b0,
+             round(det1 / det, 9) AS b1,
+             round(det2 / det, 9) AS b2
+      FROM solve
+    )
+    SELECT round(b0, 6) AS beta0,
+           round(b1, 6) AS beta1,
+           round(b2, 6) AS beta2,
+           round((-b1 - sqrt(b1 * b1 - 4 * b0 * b2)) / (2 * b2)
+                 * {BASS_NSCALE}, 2) AS market_size_m,
+           round(b0 / ((-b1 - sqrt(b1 * b1 - 4 * b0 * b2)) / (2 * b2))
+                 / {BASS_NSCALE}, 6) AS p_innovation,
+           round(b1 / {BASS_NSCALE}
+                 + b0 / ((-b1 - sqrt(b1 * b1 - 4 * b0 * b2)) / (2 * b2))
+                   / {BASS_NSCALE}, 6) AS q_imitation
+    FROM beta
+    """,
+)
+def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R278 Bass diffusion model fit for customer adoption: daily new
+    adopters n_t regressed on cumulative adopters N and N^2 (the
+    discrete Bass identity n = pM + (q-p)N - (q/M)N^2, Bass 1969 /
+    Mahajan's OLS estimation), solved by Cramer's rule on the 3x3
+    normal equations. Engine parity: N is scaled by 1/{BASS_NSCALE}
+    so the quartic moment sums stay far below 2^53, every moment and
+    the solved betas snap to 9dp on both engines before the
+    market-size root M = (-b1 - sqrt(b1^2 - 4 b0 b2)) / (2 b2) and
+    the innovation coefficient p = b0/M. One window over the
+    calendar-bounded adopter-day frame + one aggregate + scalar
+    algebra."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0")
+    )
+    daily = firsts.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    series = daily.select(
+        (F.col("n_new") * 1.0).alias("y"),
+        (
+            F.coalesce(F.sum("n_new").over(w), F.lit(0)) / BASS_NSCALE
+        ).alias("x"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = series.agg(
+        F.round(F.count("*") * 1.0, 9).alias("s0"),
+        F.round(F.sum(x), 9).alias("s1"),
+        F.round(F.sum(x * x), 9).alias("s2"),
+        F.round(F.sum(x * x * x), 9).alias("s3"),
+        F.round(F.sum(x * x * x * x), 9).alias("s4"),
+        F.round(F.sum(y), 9).alias("t0"),
+        F.round(F.sum(x * y), 9).alias("t1"),
+        F.round(F.sum(x * x * y), 9).alias("t2"),
+    )
+    s0, s1, s2, s3, s4 = (F.col(c) for c in ("s0", "s1", "s2", "s3", "s4"))
+    t0, t1, t2 = (F.col(c) for c in ("t0", "t1", "t2"))
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    det0 = (
+        t0 * (s2 * s4 - s3 * s3)
+        - s1 * (t1 * s4 - t2 * s3)
+        + s2 * (t1 * s3 - t2 * s2)
+    )
+    det1 = (
+        s0 * (t1 * s4 - t2 * s3)
+        - t0 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * t2 - s2 * t1)
+    )
+    det2 = (
+        s0 * (s2 * t2 - s3 * t1)
+        - s1 * (s1 * t2 - s2 * t1)
+        + t0 * (s1 * s3 - s2 * s2)
+    )
+    beta = m.select(
+        F.round(det0 / det, 9).alias("b0"),
+        F.round(det1 / det, 9).alias("b1"),
+        F.round(det2 / det, 9).alias("b2"),
+    )
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    m_root = (-b1 - F.sqrt(b1 * b1 - 4 * b0 * b2)) / (2 * b2)
+    return beta.select(
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(m_root * BASS_NSCALE, 2).alias("market_size_m"),
+        F.round(b0 / m_root / BASS_NSCALE, 6).alias("p_innovation"),
+        F.round(
+            b1 / BASS_NSCALE + b0 / m_root / BASS_NSCALE, 6
+        ).alias("q_imitation"),
+    )
