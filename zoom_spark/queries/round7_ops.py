@@ -1134,7 +1134,78 @@ MMR_SELECT_K = 5    # greedy MMR picks
 MMR_LAMBDA = 0.7    # relevance/diversity trade-off
 
 
-@register("mmr_rerank_topk")  # greedy sequential selection: rows-only
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy-MMR replay: candidate cosines from an explicit
+    dims expansion (identical arithmetic to the engine's JVM fold up
+    to 1ulp, absorbed by the 6dp rounding), then MMR_SELECT_K - 1
+    argmax steps as chained CTEs, each accumulating the selection.
+    The diversity weight is the literal 0.3 on BOTH engines (never
+    `1 - 0.7`, whose decimal-vs-binary evaluation differs)."""
+    head = f"""dims AS MATERIALIZED (
+      SELECT e.vec_id, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+    ),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, sqrt(sum(val * val)) AS nv FROM dims GROUP BY vec_id
+    ),
+    rel AS MATERIALIZED (
+      SELECT d.vec_id,
+             round(sum(d.val * q.val)
+                   / (n.nv * (SELECT nv FROM nrm
+                              WHERE vec_id = {MMR_QUERY_VEC})), 6) AS rel
+      FROM dims d
+      JOIN (SELECT dim, val FROM dims WHERE vec_id = {MMR_QUERY_VEC}) q
+        ON q.dim = d.dim
+      JOIN nrm n ON n.vec_id = d.vec_id
+      WHERE d.vec_id <> {MMR_QUERY_VEC}
+      GROUP BY d.vec_id, n.nv
+    ),
+    cand AS MATERIALIZED (
+      SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id
+      LIMIT {MMR_CAND_K}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.vec_id AS ca, b.vec_id AS cb,
+             round(sum(da.val * db.val) / (na.nv * nb.nv), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN dims da ON da.vec_id = a.vec_id
+      JOIN dims db ON db.vec_id = b.vec_id AND db.dim = da.dim
+      JOIN nrm na ON na.vec_id = a.vec_id
+      JOIN nrm nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, na.nv, nb.nv
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, rel AS score FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    parts = [head]
+    for k in range(2, MMR_SELECT_K + 1):
+        parts.append(
+            f"""pick{k} AS MATERIALIZED (
+      SELECT {k} AS rank, c.vec_id,
+             round({MMR_LAMBDA} * c.rel - 0.3 * max(p.sim), 6) AS score
+      FROM cand c
+      JOIN pair p ON p.ca = c.vec_id
+                 AND p.cb IN (SELECT vec_id FROM sel{k-1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k-1})
+      GROUP BY c.vec_id, c.rel
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT * FROM sel{k-1} UNION ALL SELECT * FROM pick{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM sel{MMR_SELECT_K}"""
+    )
+
+
+@register("mmr_rerank_topk", sql=_mmr_oracle_sql())
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R258 Maximal Marginal Relevance re-ranking (Carbonell &
     Goldstein 1998): from the top-{MMR_CAND_K} cosine candidates for a
@@ -1147,8 +1218,10 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MODEL-sized candidate set ({MMR_CAND_K} rows) via
     {MMR_SELECT_K - 1} chained joins — never on the corpus. Rounded
     6dp cosines make the argmax deterministic (ties break to the
-    smaller vec_id). Greedy sequential selection is not
-    SQL-expressible as one query -> rows-only gate + python referee."""
+    smaller vec_id). Oracle-hashed since round 7: the fixed
+    {MMR_SELECT_K}-step greedy selection unrolls into chained argmax
+    CTEs over the model-sized pool (python referee stays as the
+    independent check)."""
     from zoom_spark.functions.vectors import cosine_with_norms, norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1213,7 +1286,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rel",
                 F.round(
                     MMR_LAMBDA * F.col("rel")
-                    - (1 - MMR_LAMBDA) * F.col("max_sim"),
+                    - 0.3 * F.col("max_sim"),
                     6,
                 ).alias("mmr"),
             )
