@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parts",
         "kcore_parts",
         "community_labels_copurchase",
+        "mmr_rerank_topk",
     )
     ROTATION_ROUND = 7
     by_module: dict[str, list[tuple[str, Callable]]] = {}
