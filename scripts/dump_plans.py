@@ -14,6 +14,12 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from zoom_spark.session import get_spark  # noqa: E402
 
 SHOWCASE = {
+    "lakehouse_maintenance_pipeline": "R242 composed flagship: MERGE "
+    "(anti-join + union) -> full-outer snapshot diff -> month-chunk "
+    "zone map, all equi-joins/hash aggregates on the table key",
+    "suffix_array_corpus": "R274 prefix doubling: every round is a "
+    "range shuffle + equi-join (two-phase global_row_number), no "
+    "single-task sort",
     "tpch_q3_shipping": "dim filter broadcast into the fact join; "
     "pushed filter on c_mktsegment; top-10 compiles to TakeOrderedAndProject",
     "flagship_delta": "the reference's incremental delta: left-anti join "
