@@ -1534,3 +1534,49 @@ def test_bass_diffusion_matches_numpy(spark):
     # quadratic coefficient have Bass-consistent signs
     assert got["market_size_m"] > float(y.sum())
     assert got["p_innovation"] > 0 and got["beta2"] < 0
+
+
+def test_lang_confusion_matches_pandas(spark):
+    """R279 referee: python replay of the marker heuristic; marginals
+    cover every doc exactly once; recall shares sum to 1 per row."""
+    from zoom_spark.queries.round7_ops import lang_id_confusion_matrix
+
+    rows = lang_id_confusion_matrix(spark, SF_DIR).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    markers = {
+        "en": {"the", "and", "of", "to", "in"},
+        "de": {"der", "die", "das", "und", "ist"},
+        "fr": {"le", "la", "les", "et", "est"},
+        "es": {"el", "la", "los", "y", "es"},
+    }
+    cm = {}
+    for r in docs.itertuples():
+        t = [x.lower() for x in r.text.strip().split() if x]
+        s = {l: sum(1 for x in t if x in m) for l, m in markers.items()}
+        if max(s.values()) == 0:
+            p = "und"
+        elif s["en"] >= s["de"] and s["en"] >= s["fr"] and s["en"] >= s["es"]:
+            p = "en"
+        elif s["de"] >= s["fr"] and s["de"] >= s["es"]:
+            p = "de"
+        elif s["fr"] >= s["es"]:
+            p = "fr"
+        else:
+            p = "es"
+        cm[(r.lang, p)] = cm.get((r.lang, p), 0) + 1
+    got = {(r["true_lang"], r["pred_lang"]): r for r in rows}
+    assert set(got) == set(cm)
+    marg = {}
+    for (t_, _), n in cm.items():
+        marg[t_] = marg.get(t_, 0) + n
+    for key, n in cm.items():
+        r = got[key]
+        assert r["n"] == n
+        assert abs(r["recall_share"] - n / marg[key[0]]) < 1e-6
+        assert r["is_correct"] == (key[0] == key[1])
+    assert sum(r["n"] for r in rows) == len(docs)
+    # per-true-language shares sum to 1
+    bylang = {}
+    for r in rows:
+        bylang[r["true_lang"]] = bylang.get(r["true_lang"], 0) + r["recall_share"]
+    assert all(abs(v - 1) < 1e-4 for v in bylang.values())

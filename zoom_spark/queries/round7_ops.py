@@ -3509,3 +3509,78 @@ def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             b1 / BASS_NSCALE + b0 / m_root / BASS_NSCALE, 6
         ).alias("q_imitation"),
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> ''), x -> lower(x)) AS t
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ('the','and','of','to','in')))  AS s_en,
+        len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(t, x -> x IN ('le','la','les','et','est')))  AS s_fr,
+        len(list_filter(t, x -> x IN ('el','la','los','y','es')))    AS s_es
+      FROM toks
+    ),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE
+               WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0
+                 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es'
+             END AS pred_lang
+      FROM scores
+    ),
+    cm AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY 1
+    )
+    SELECT c.true_lang, c.pred_lang, c.n,
+           round(c.n * 1.0 / m.n_true, 6) AS recall_share,
+           (c.true_lang = c.pred_lang) AS is_correct
+    FROM cm c JOIN marg m ON c.true_lang = m.true_lang
+    """,
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R279 confusion matrix for the lang_id heuristic against the
+    gold `lang` labels: per (true, predicted) cell the count and its
+    share of the true-language row (per-class recall on the diagonal)
+    — the evaluation artifact that turns the classifier gate into a
+    measured quality report (which languages leak into 'und', which
+    marker sets collide). Reuses the exact lang_guess scoring
+    (functions/text.py); two hash aggregates + a broadcast marginal
+    join."""
+    from zoom_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        T.lang_guess("text").alias("pred_lang"),
+    )
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    marg = cm.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return cm.join(F.broadcast(marg), on="true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("n_true"), 6).alias(
+            "recall_share"
+        ),
+        (F.col("true_lang") == F.col("pred_lang")).alias("is_correct"),
+    )
