@@ -1580,3 +1580,49 @@ def test_lang_confusion_matches_pandas(spark):
     for r in rows:
         bylang[r["true_lang"]] = bylang.get(r["true_lang"], 0) + r["recall_share"]
     assert all(abs(v - 1) < 1e-4 for v in bylang.values())
+
+
+def test_negative_binomial_fit_matches_python(spark):
+    """R280 referee: pandas moments + the NB mean/variance identity
+    mu = r(1-p)/p, v = r(1-p)/p^2 recovered from the fitted params."""
+    from zoom_spark.queries.round7_ops import negative_binomial_fit_events
+
+    [got] = negative_binomial_fit_events(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    per = ev.groupby("user_id").size()
+    mu = round(float(per.mean()), 6)
+    v = round(float(per.var(ddof=1)), 6)
+    assert got["n_users"] == len(per)
+    assert abs(got["mu"] - mu) < 1e-9
+    assert abs(got["v"] - v) < 1e-9
+    assert abs(got["dispersion_index"] - v / mu) < 1e-6
+    if v > mu:
+        r_, p_ = mu * mu / (v - mu), mu / v
+        assert abs(got["nb_r"] - r_) < 1e-5
+        assert abs(got["nb_p"] - p_) < 1e-6
+        # identity: the fitted NB reproduces the observed moments
+        assert abs(r_ * (1 - p_) / p_ - mu) < 1e-3
+        assert abs(r_ * (1 - p_) / p_**2 - v) < 1e-2
+    else:
+        assert got["nb_r"] is None and got["nb_p"] is None
+
+
+def test_atkinson_matches_python(spark):
+    """R281 referee: numpy recompute + the ordering property
+    0 <= A(0.5) <= A(1) < 1 (Atkinson increases with aversion) and
+    consistency with positive inequality (gini > 0 fixture)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import atkinson_index_spend
+
+    [got] = atkinson_index_spend(spark, SF_DIR).collect()
+    o = _orders()
+    spend = o.groupby("o_custkey")["o_totalprice"].sum().round(2).values
+    mu = round(float(spend.mean()), 6)
+    ms = round(float(np.sqrt(spend).mean()), 9)
+    gm = round(float(np.exp(np.log(spend).mean())), 6)
+    assert got["n_customers"] == len(spend)
+    assert abs(got["mean_spend"] - mu) < 1e-9
+    assert abs(got["atkinson_05"] - (1 - ms * ms / mu)) < 1e-6
+    assert abs(got["atkinson_10"] - (1 - gm / mu)) < 1e-6
+    assert 0 <= got["atkinson_05"] <= got["atkinson_10"] < 1

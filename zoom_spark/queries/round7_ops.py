@@ -3584,3 +3584,106 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("true_lang") == F.col("pred_lang")).alias("is_correct"),
     )
+
+
+@register(
+    "negative_binomial_fit_events",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             round(avg(n_events * 1.0), 6) AS mu,
+             round(var_samp(n_events * 1.0), 6) AS v
+      FROM per_user
+    )
+    SELECT n_users, mu, v,
+           round(v / mu, 6) AS dispersion_index,
+           CASE WHEN v > mu
+                THEN round(mu * mu / (v - mu), 6) END AS nb_r,
+           CASE WHEN v > mu THEN round(mu / v, 6) END AS nb_p
+    FROM m
+    """,
+)
+def negative_binomial_fit_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R280 negative-binomial method-of-moments fit for events per
+    user: r = mu^2/(v - mu), p = mu/v — the overdispersed-count model
+    a Poisson assumption silently fails (overdispersion_daily_events
+    reports THAT the variance exceeds the mean; this op fits WHAT
+    distribution matches, the input to per-user volume simulation and
+    rate limiting). Guarded NULL when v <= mu (Poisson or under-
+    dispersed — NB undefined). One user-level aggregate, moments
+    rounded 6dp before the closed forms."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    m = per.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg(F.col("n_events") * 1.0), 6).alias("mu"),
+        F.round(F.var_samp(F.col("n_events") * 1.0), 6).alias("v"),
+    )
+    mu, v = F.col("mu"), F.col("v")
+    return m.select(
+        "n_users",
+        "mu",
+        "v",
+        F.round(v / mu, 6).alias("dispersion_index"),
+        F.when(v > mu, F.round(mu * mu / (v - mu), 6)).alias("nb_r"),
+        F.when(v > mu, F.round(mu / v, 6)).alias("nb_p"),
+    )
+
+
+@register(
+    "atkinson_index_spend",
+    sql="""
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(avg(spend), 6) AS mu,
+             round(avg(sqrt(spend)), 9) AS mean_sqrt,
+             round(exp(avg(ln(spend))), 6) AS geo_mean
+      FROM per_cust
+    )
+    SELECT n AS n_customers, mu AS mean_spend,
+           round(1.0 - (mean_sqrt * mean_sqrt) / mu, 6) AS atkinson_05,
+           round(1.0 - geo_mean / mu, 6) AS atkinson_10
+    FROM m
+    """,
+)
+def atkinson_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R281 Atkinson inequality index of customer spend at inequality
+    aversion eps = 0.5 (A = 1 - (mean sqrt x)^2 / mean) and eps = 1
+    (A = 1 - geometric mean / mean) — the welfare-grounded companion
+    to gini_customer_spend/theil_index_spend: A is the share of total
+    spend society would give up for equality at that aversion. Both
+    are single decomposable aggregates (sqrt/ln map-side); the
+    ln/sqrt arguments are cent-grid spends so both engines feed
+    identical doubles, moments rounded before the closed form."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    m = per.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("spend"), 6).alias("mu"),
+        F.round(F.avg(F.sqrt("spend")), 9).alias("mean_sqrt"),
+        F.round(F.exp(F.avg(F.log("spend"))), 6).alias("geo_mean"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.col("mu").alias("mean_spend"),
+        F.round(
+            1.0 - (F.col("mean_sqrt") * F.col("mean_sqrt")) / F.col("mu"), 6
+        ).alias("atkinson_05"),
+        F.round(1.0 - F.col("geo_mean") / F.col("mu"), 6).alias(
+            "atkinson_10"
+        ),
+    )
