@@ -1626,3 +1626,47 @@ def test_atkinson_matches_python(spark):
     assert abs(got["atkinson_05"] - (1 - ms * ms / mu)) < 1e-6
     assert abs(got["atkinson_10"] - (1 - gm / mu)) < 1e-6
     assert 0 <= got["atkinson_05"] <= got["atkinson_10"] < 1
+
+
+def test_hurst_matches_numpy_referee(spark):
+    """R282 referee: numpy R/S replay with the identical block/round
+    schedule; H must land in (0, 1)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        HURST_WINDOWS,
+        hurst_exponent_revenue,
+    )
+
+    [got] = hurst_exponent_revenue(spark, SF_DIR).collect()
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+        .values
+    )
+    n = len(daily)
+    pts = []
+    for w in HURST_WINDOWS:
+        rss = []
+        for b in range(n // w):
+            x = daily[b * w : (b + 1) * w]
+            m = round(float(x.mean()), 9)
+            s = round(float(np.sqrt((x**2).mean() - x.mean() ** 2)), 9)
+            if s <= 0:
+                continue
+            cd = np.cumsum(x - m)
+            rss.append(round((cd.max() - min(cd.min(), 0.0)) / s, 9))
+        if rss:
+            pts.append((w, round(float(np.mean(rss)), 9)))
+    lx = np.log([p[0] for p in pts])
+    ly = np.log([p[1] for p in pts])
+    slope, icept = np.polyfit(lx, ly, 1)
+    assert got["n_windows"] == len(pts)
+    assert abs(got["hurst"] - slope) < 1e-5
+    assert abs(got["log_intercept"] - icept) < 1e-5
+    assert 0 < got["hurst"] < 1

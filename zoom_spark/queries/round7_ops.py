@@ -3687,3 +3687,143 @@ def atkinson_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "atkinson_10"
         ),
     )
+
+
+HURST_WINDOWS = (8, 16, 32, 64)
+
+
+@register(
+    "hurst_exponent_revenue",
+    sql=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT round(sum(o_totalprice), 2) AS rev,
+             row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) - 1
+               AS k
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    grid AS (
+      SELECT unnest(ARRAY[{", ".join(str(w) for w in HURST_WINDOWS)}]) AS w
+    ),
+    blocks AS MATERIALIZED (
+      SELECT g.w, CAST(floor(d.k / g.w) AS BIGINT) AS blk, d.k, d.rev
+      FROM daily d CROSS JOIN grid g
+      WHERE d.k < CAST(floor((SELECT n FROM n) * 1.0 / g.w) AS BIGINT) * g.w
+    ),
+    bm AS MATERIALIZED (
+      SELECT w, blk, round(avg(rev), 9) AS m,
+             round(sqrt(avg(rev * rev) - avg(rev) * avg(rev)), 9) AS s
+      FROM blocks GROUP BY w, blk
+    ),
+    cum AS (
+      SELECT b.w, b.blk,
+             sum(b.rev - bm.m) OVER (PARTITION BY b.w, b.blk ORDER BY b.k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd,
+             bm.s
+      FROM blocks b JOIN bm ON bm.w = b.w AND bm.blk = b.blk
+    ),
+    rs AS (
+      SELECT w, blk,
+             round((max(cd) - least(min(cd), 0.0)) / max(s), 9) AS rs
+      FROM cum GROUP BY w, blk HAVING max(s) > 0
+    ),
+    per_w AS (
+      SELECT w, round(avg(rs), 9) AS mean_rs,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM rs GROUP BY w
+    ),
+    fit AS (
+      SELECT regr_slope(ln(mean_rs), ln(w * 1.0)) AS hurst,
+             regr_intercept(ln(mean_rs), ln(w * 1.0)) AS icept
+      FROM per_w
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_w) AS n_windows,
+           round((SELECT hurst FROM fit), 6) AS hurst,
+           round((SELECT icept FROM fit), 6) AS log_intercept
+    """,
+)
+def hurst_exponent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R282 Hurst exponent of daily revenue by rescaled-range (R/S)
+    analysis: for window sizes {HURST_WINDOWS}, split the day series
+    into complete blocks, compute each block's range of cumulative
+    mean-deviations over its std, average per window size, and fit
+    ln(R/S) ~ H ln(w) — H > 0.5 means long-memory persistence (shocks
+    echo for weeks, so i.i.d. bootstrap CIs understate variance),
+    H < 0.5 mean reversion. Complements the ACF/PACF short-lag view
+    with the scaling view. Everything runs on the calendar-bounded
+    day frame x 4 window sizes; block moments snap to 9dp so both
+    engines window identical deviations; R uses max(cd) - min(cd, 0)
+    (the 0-anchored classical form)."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "rev",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("k"),
+    ).localCheckpoint(eager=False)
+    n = daily.count()
+    grid = spark.createDataFrame(
+        [(w,) for w in HURST_WINDOWS], "w int"
+    )
+    blocks = (
+        daily.crossJoin(F.broadcast(grid))
+        .where(F.col("k") < F.floor(n / F.col("w")) * F.col("w"))
+        .select(
+            "w",
+            F.floor(F.col("k") / F.col("w")).cast("bigint").alias("blk"),
+            "k",
+            "rev",
+        )
+        .localCheckpoint(eager=False)
+    )
+    bm = blocks.groupBy("w", "blk").agg(
+        F.round(F.avg("rev"), 9).alias("m"),
+        F.round(
+            F.sqrt(
+                F.avg(F.col("rev") * F.col("rev"))
+                - F.avg("rev") * F.avg("rev")
+            ),
+            9,
+        ).alias("s"),
+    )
+    wcum = (
+        Window.partitionBy("w", "blk")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = blocks.join(bm, on=["w", "blk"]).withColumn(
+        "cd", F.sum(F.col("rev") - F.col("m")).over(wcum)
+    )
+    rs = (
+        cum.groupBy("w", "blk")
+        .agg(
+            F.max("cd").alias("mx"),
+            F.min("cd").alias("mn"),
+            F.max("s").alias("s"),
+        )
+        .where(F.col("s") > 0)
+        .select(
+            "w",
+            F.round(
+                (F.col("mx") - F.least(F.col("mn"), F.lit(0.0)))
+                / F.col("s"),
+                9,
+            ).alias("rs"),
+        )
+    )
+    per_w = rs.groupBy("w").agg(
+        F.round(F.avg("rs"), 9).alias("mean_rs"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    fit = per_w.agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.round(
+            F.regr_slope(F.log("mean_rs"), F.log(F.col("w") * 1.0)), 6
+        ).alias("hurst"),
+        F.round(
+            F.regr_intercept(F.log("mean_rs"), F.log(F.col("w") * 1.0)), 6
+        ).alias("log_intercept"),
+    )
+    return fit.select("n_windows", "hurst", "log_intercept")
