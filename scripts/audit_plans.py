@@ -172,6 +172,11 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R284: 1-row threshold scalar crossed onto the k-row top frame
+    # (scalar BNLJ by design; selection is TakeOrderedAndProject)
+    "hill_tail_index_spend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R278: cumulative-adopter window over the calendar-bounded
     # adopter-day frame (cusum-style exception)
     "bass_diffusion_fit": dict(

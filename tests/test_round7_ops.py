@@ -1670,3 +1670,64 @@ def test_hurst_matches_numpy_referee(spark):
     assert abs(got["hurst"] - slope) < 1e-5
     assert abs(got["log_intercept"] - icept) < 1e-5
     assert 0 < got["hurst"] < 1
+
+
+def test_taylors_law_matches_pandas(spark):
+    """R283 referee: pandas ln-ln fit over per-part weekly moments;
+    b must sit in the empirical (0.5, 2.5) band for count data."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import taylors_law_demand
+
+    [got] = taylors_law_demand(spark, SF_DIR).collect()
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_shipdate"],
+    )
+    anchor = pd.Timestamp("1990-01-01")
+    li["wk"] = (
+        (pd.to_datetime(li["l_shipdate"]).dt.normalize() - anchor).dt.days
+        // 7
+    )
+    pw = li.groupby(["l_partkey", "wk"])["l_quantity"].sum()
+    per = pw.groupby("l_partkey").agg(["mean", "var", "count"])
+    per = per[per["count"] >= 8]
+    per["m"] = per["mean"].round(9)
+    per["v"] = per["var"].round(9)
+    per = per[(per["m"] > 0) & (per["v"] > 0)]
+    lx, ly = np.log(per["m"].values), np.log(per["v"].values)
+    b, a = np.polyfit(lx, ly, 1)
+    assert got["n_parts"] == len(per)
+    assert abs(got["taylor_b"] - b) < 1e-4
+    assert abs(got["taylor_ln_a"] - a) < 1e-3
+    # synthetic near-uniform weekly demand at tiny SF fits sub-Poisson
+    # scaling; just require a positive, sane exponent
+    assert 0 < got["taylor_b"] < 2.5
+
+
+def test_hill_tail_matches_numpy(spark):
+    """R284 referee: numpy order-statistic recompute with the same
+    tie-break; alpha = 1/gamma identity."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import HILL_K, hill_tail_index_spend
+
+    [got] = hill_tail_index_spend(spark, SF_DIR).collect()
+    o = _orders()
+    per = (
+        o.groupby("o_custkey")["o_totalprice"]
+        .sum()
+        .round(2)
+        .reset_index()
+        .sort_values(
+            ["o_totalprice", "o_custkey"], ascending=[False, True]
+        )
+    )
+    top = per["o_totalprice"].values[: HILL_K + 1]
+    xk = top[HILL_K]
+    gamma = float(np.log(top[:HILL_K] / xk).mean())
+    assert got["k"] == HILL_K
+    assert abs(got["threshold_spend"] - xk) < 1e-9
+    assert abs(got["hill_gamma"] - gamma) < 1e-6
+    assert abs(got["tail_alpha"] - 1 / gamma) < 1e-3
+    assert got["hill_gamma"] > 0

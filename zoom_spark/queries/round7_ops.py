@@ -3827,3 +3827,139 @@ def hurst_exponent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("log_intercept"),
     )
     return fit.select("n_windows", "hurst", "log_intercept")
+
+
+@register(
+    "taylors_law_demand",
+    sql="""
+    WITH pw AS (
+      SELECT l_partkey,
+             CAST(floor((CAST(l_shipdate AS DATE) - DATE '1990-01-01')
+                        / 7.0) AS BIGINT) AS wk,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             round(avg(qty * 1.0), 9) AS m,
+             round(var_samp(qty * 1.0), 9) AS v,
+             CAST(count(*) AS BIGINT) AS n_weeks
+      FROM pw GROUP BY l_partkey HAVING count(*) >= 8
+    ),
+    pts AS (
+      SELECT ln(m) AS lx, ln(v) AS ly FROM per_part WHERE m > 0 AND v > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           round(regr_slope(ly, lx), 6) AS taylor_b,
+           round(regr_intercept(ly, lx), 6) AS taylor_ln_a,
+           round(regr_r2(ly, lx), 6) AS r2
+    FROM pts
+    """,
+)
+def taylors_law_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R283 Taylor's power law for part demand: variance ~ a * mean^b
+    across parts' weekly order quantities — the mean-variance scaling
+    exponent (b = 1: Poisson-like; b -> 2: clumped/bursty demand)
+    that calibrates safety-stock formulas and synthetic-demand
+    generators; the cross-sectional companion to abc_xyz_inventory's
+    per-part CV. Per-part weekly moments snap to 9dp, the ln-ln OLS
+    runs on the part-dimension frame via the shared regr_*
+    aggregates; parts with under 8 observed weeks drop (variance too
+    noisy to place)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = F.floor(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        / 7.0
+    ).cast("bigint")
+    pw = li.groupBy("l_partkey", wk.alias("wk")).agg(
+        F.sum("l_quantity").cast("bigint").alias("qty")
+    )
+    per = (
+        pw.groupBy("l_partkey")
+        .agg(
+            F.round(F.avg(F.col("qty") * 1.0), 9).alias("m"),
+            F.round(F.var_samp(F.col("qty") * 1.0), 9).alias("v"),
+            F.count("*").alias("n_weeks"),
+        )
+        .where(F.col("n_weeks") >= 8)
+    )
+    pts = per.where((F.col("m") > 0) & (F.col("v") > 0)).select(
+        F.log("m").alias("lx"), F.log("v").alias("ly")
+    )
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.regr_slope("ly", "lx"), 6).alias("taylor_b"),
+        F.round(F.regr_intercept("ly", "lx"), 6).alias("taylor_ln_a"),
+        F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
+    )
+
+
+HILL_K = 100  # tail order statistics used by the Hill estimator
+
+
+@register(
+    "hill_tail_index_spend",
+    sql=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    topk AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS r
+      FROM per_cust QUALIFY r <= {HILL_K} + 1
+    ),
+    xk AS (SELECT spend AS x_k FROM topk WHERE r = {HILL_K} + 1)
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           round((SELECT x_k FROM xk), 2) AS threshold_spend,
+           round(avg(ln(spend / (SELECT x_k FROM xk))), 6) AS hill_gamma,
+           round(1.0 / avg(ln(spend / (SELECT x_k FROM xk))), 6)
+             AS tail_alpha
+    FROM topk WHERE r <= {HILL_K}
+    """,
+)
+def hill_tail_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R284 Hill estimator of the spend tail index: gamma = mean of
+    ln(x_(i)/x_(k+1)) over the top-k order statistics, alpha = 1/gamma
+    — the standard heavy-tail measurement (alpha < 2: infinite
+    variance, sample means are unstable; the quantitative justifier
+    for median_of_means and winsorized estimators). Top-(k+1)
+    selection is a TakeOrdered pass (no global sort); the threshold
+    x_(k+1) broadcasts as a 1-row scalar; ln arguments are ratios of
+    cent-grid values so both engines agree."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    # deterministic tie-break on the customer key: ties at the k-th
+    # boundary would otherwise make top-k membership engine-dependent
+    topk = (
+        per.orderBy(F.col("spend").desc(), "o_custkey")
+        .limit(HILL_K + 1)
+        .select(
+            "spend",
+            F.row_number()
+            .over(Window.orderBy(F.col("spend").desc(), "o_custkey"))
+            .alias("r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    xk = topk.where(F.col("r") == HILL_K + 1).select(
+        F.col("spend").alias("x_k")
+    )
+    gamma = F.avg(F.log(F.col("spend") / F.col("x_k")))
+    return (
+        topk.where(F.col("r") <= HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.lit(HILL_K).cast("bigint").alias("k"),
+            F.round(F.first("x_k"), 2).alias("threshold_spend"),
+            F.round(gamma, 6).alias("hill_gamma"),
+            F.round(1.0 / gamma, 6).alias("tail_alpha"),
+        )
+    )
