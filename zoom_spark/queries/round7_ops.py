@@ -3963,3 +3963,84 @@ def hill_tail_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / gamma, 6).alias("tail_alpha"),
         )
     )
+
+
+PGRAM_PERIODS = (7, 14, 30, 91, 365)
+
+
+@register(
+    "periodogram_fixed_bins",
+    sql=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT round(sum(o_totalprice), 2) AS rev,
+             row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) - 1
+               AS t
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    mu AS (SELECT round(avg(rev), 6) AS m,
+                  CAST(count(*) AS BIGINT) AS n FROM daily),
+    grid AS (
+      SELECT unnest(ARRAY[{", ".join(str(p) for p in PGRAM_PERIODS)}])
+        AS period
+    ),
+    terms AS (
+      SELECT g.period,
+             sum((d.rev - mu.m) * cos(2 * pi() * d.t / g.period)) AS c,
+             sum((d.rev - mu.m) * sin(2 * pi() * d.t / g.period)) AS s,
+             max(mu.n) AS n
+      FROM daily d CROSS JOIN grid g CROSS JOIN mu
+      GROUP BY g.period
+    )
+    SELECT CAST(period AS BIGINT) AS period,
+           round((c * c + s * s) / n / 1000000.0, 4) AS power_millions
+    FROM terms
+    """,
+)
+def periodogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R285 periodogram at fixed candidate periods {PGRAM_PERIODS}
+    (weekly/fortnightly/monthly/quarterly/annual): spectral power
+    |sum (x_t - mean) e^(-2 pi i t / P)|^2 / n per period — the
+    single-bin Goertzel/DFT probe that confirms which seasonality the
+    decomposition and Holt-Winters ops should model, WITHOUT an FFT
+    (each bin is one map-side cos/sin expression + one aggregate; at
+    100 TB this is the cheap way to test a handful of hypothesized
+    periods). Mean snaps to 6dp; power reported millions-scaled at
+    4dp so the ~1e-16-relative cos/sin libm drift across engines
+    stays far below the grid."""
+    from pyspark.sql import Window
+    import math
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "rev",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    ).localCheckpoint(eager=False)
+    mu = daily.agg(
+        F.round(F.avg("rev"), 6).alias("m"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in PGRAM_PERIODS], "period int"
+    )
+    ang = 2 * math.pi * F.col("t") / F.col("period")
+    terms = (
+        daily.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("period")
+        .agg(
+            F.sum((F.col("rev") - F.col("m")) * F.cos(ang)).alias("c"),
+            F.sum((F.col("rev") - F.col("m")) * F.sin(ang)).alias("s"),
+            F.max("n").alias("n"),
+        )
+    )
+    return terms.select(
+        F.col("period").cast("bigint").alias("period"),
+        F.round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("n")
+            / 1000000.0,
+            4,
+        ).alias("power_millions"),
+    )
