@@ -172,6 +172,12 @@ EXPECTATIONS = {
     "modularity_brand_partition": dict(
         pushed=False, broadcast=True, cartesian=True
     ),
+    # R286: the day x day pair cross join is the documented
+    # calendar-bounded quadratic class (mann_kendall/matrix-profile);
+    # plus a 1-row grand-mean scalar BNLJ
+    "distance_correlation_daily": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R285: 5-row period grid + 1-row mean scalar crossed onto the
     # calendar-bounded day frame (constant-size BNLJ by design)
     "periodogram_fixed_bins": dict(

@@ -1770,3 +1770,37 @@ def test_periodogram_matches_numpy(spark):
         power = (c * c + s * s) / n / 1e6
         assert abs(rows[p] - power) < max(1e-3, 1e-6 * power), p
     assert all(v >= 0 for v in rows.values())
+
+
+def test_distance_correlation_matches_numpy(spark):
+    """R286 referee: full numpy doubly-centered recompute; dCor in
+    [0, 1] and positive (revenue and order count are dependent)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import distance_correlation_daily
+
+    [got] = distance_correlation_daily(spark, SF_DIR).collect()
+    o = _orders()
+    g = o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize()).agg(
+        rev=("o_totalprice", "sum"), cnt=("o_orderkey", "count")
+    )
+    x = g["rev"].round(2).values
+    y = g["cnt"].values.astype(float)
+    n = len(x)
+    A = np.abs(x[:, None] - x[None, :])
+    B = np.abs(y[:, None] - y[None, :])
+
+    def center(M):
+        rm = np.round(M.mean(1), 9)
+        gm = round(float(M.mean()), 9)
+        return M - rm[:, None] - rm[None, :] + gm
+
+    CA, CB = center(A), center(B)
+    dcov2 = float((CA * CB).mean())
+    dvarx = float((CA * CA).mean())
+    dvary = float((CB * CB).mean())
+    dcor = (max(dcov2, 0) ** 0.5) / (dvarx * dvary) ** 0.25
+    assert got["n_days"] == n
+    assert abs(got["dcov2_thousands"] - dcov2 / 1000) < 1e-4
+    assert abs(got["dcor"] - dcor) < 1e-5
+    assert 0 < got["dcor"] <= 1

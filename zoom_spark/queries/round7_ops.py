@@ -4044,3 +4044,124 @@ def periodogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("power_millions"),
     )
+
+
+@register(
+    "distance_correlation_daily",
+    sql="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    pairs AS MATERIALIZED (
+      SELECT a.day AS dj, abs(a.rev - b.rev) AS ax,
+             abs(a.n_orders - b.n_orders) * 1.0 AS ay
+      FROM daily a CROSS JOIN daily b
+    ),
+    rowm AS MATERIALIZED (
+      SELECT dj, round(avg(ax), 9) AS amj, round(avg(ay), 9) AS bmj
+      FROM pairs GROUP BY dj
+    ),
+    gm AS (
+      SELECT round(avg(ax), 9) AS ag, round(avg(ay), 9) AS bg FROM pairs
+    ),
+    centered AS (
+      SELECT (p.ax - ra.amj - rb.amj + g.ag) AS ca,
+             (p.ay - ra.bmj - rb.bmj + g.bg) AS cb
+      FROM (
+        SELECT a.day AS dj, b.day AS dk,
+               abs(a.rev - b.rev) AS ax,
+               abs(a.n_orders - b.n_orders) * 1.0 AS ay
+        FROM daily a CROSS JOIN daily b
+      ) p
+      JOIN rowm ra ON ra.dj = p.dj
+      JOIN rowm rb ON rb.dj = p.dk
+      CROSS JOIN gm g
+    ),
+    mom AS (
+      SELECT avg(ca * cb) AS dcov2,
+             avg(ca * ca) AS dvarx,
+             avg(cb * cb) AS dvary
+      FROM centered
+    )
+    SELECT (SELECT n FROM n) AS n_days,
+           round(dcov2 / 1000.0, 6) AS dcov2_thousands,
+           round(sqrt(greatest(dcov2, 0.0))
+                 / sqrt(sqrt(dvarx * dvary)), 6) AS dcor
+    FROM mom
+    """,
+)
+def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R286 distance correlation (Szekely-Rizzo) between daily revenue
+    and daily order count: doubly-centered pairwise distance matrices
+    A, B over the day frame, dCov^2 = mean(A.B), dCor =
+    dCov/sqrt(dVarX dVarY) — the dependence measure that is ZERO iff
+    independent (Pearson misses non-monotone structure; Spearman
+    misses non-monotone too; dCor catches any). The O(days^2) pair
+    join is the repo's documented calendar-bounded quadratic class
+    (mann_kendall, matrix profile); distances are cent-grid/integer
+    exact, row/grand means snap to 9dp so both engines center
+    identically; dCov reported thousands-scaled."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    ).localCheckpoint(eager=False)
+    n = daily.count()
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.crossJoin(b).select(
+        F.col("a.day").alias("dj"),
+        F.col("b.day").alias("dk"),
+        F.abs(F.col("a.rev") - F.col("b.rev")).alias("ax"),
+        (
+            F.abs(F.col("a.n_orders") - F.col("b.n_orders")) * 1.0
+        ).alias("ay"),
+    ).localCheckpoint(eager=False)
+    rowm = pairs.groupBy("dj").agg(
+        F.round(F.avg("ax"), 9).alias("amj"),
+        F.round(F.avg("ay"), 9).alias("bmj"),
+    )
+    gm = pairs.agg(
+        F.round(F.avg("ax"), 9).alias("ag"),
+        F.round(F.avg("ay"), 9).alias("bg"),
+    )
+    ra = rowm.select(
+        F.col("dj").alias("rj"), F.col("amj").alias("am_j"),
+        F.col("bmj").alias("bm_j"),
+    )
+    rb = rowm.select(
+        F.col("dj").alias("rk"), F.col("amj").alias("am_k"),
+        F.col("bmj").alias("bm_k"),
+    )
+    centered = (
+        pairs.join(ra, pairs["dj"] == ra["rj"])
+        .join(rb, pairs["dk"] == rb["rk"])
+        .crossJoin(F.broadcast(gm))
+        .select(
+            (
+                F.col("ax") - F.col("am_j") - F.col("am_k") + F.col("ag")
+            ).alias("ca"),
+            (
+                F.col("ay") - F.col("bm_j") - F.col("bm_k") + F.col("bg")
+            ).alias("cb"),
+        )
+    )
+    mom = centered.agg(
+        F.avg(F.col("ca") * F.col("cb")).alias("dcov2"),
+        F.avg(F.col("ca") * F.col("ca")).alias("dvarx"),
+        F.avg(F.col("cb") * F.col("cb")).alias("dvary"),
+    )
+    return mom.select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.round(F.col("dcov2") / 1000.0, 6).alias("dcov2_thousands"),
+        F.round(
+            F.sqrt(F.greatest(F.col("dcov2"), F.lit(0.0)))
+            / F.sqrt(F.sqrt(F.col("dvarx") * F.col("dvary"))),
+            6,
+        ).alias("dcor"),
+    )
