@@ -178,6 +178,10 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R288: same 1-row totals scalar BNLJ as KS/CvM
+    "kuiper_test_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R287: 1-row totals scalar crossed onto the distinct-value frame
     # (scalar BNLJ by design, same class as ks_test_weekend_value)
     "cramer_von_mises_weekend": dict(

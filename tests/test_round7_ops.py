@@ -1834,3 +1834,62 @@ def test_cramer_von_mises_matches_numpy(spark):
     assert abs(got["cvm_t"] - t) < 1e-4
     assert got["reject_05"] == (t >= CVM_CRIT_05)
     assert got["cvm_t"] >= 0
+
+
+def test_kuiper_matches_numpy(spark):
+    """R288 referee: numpy ECDF recompute; V >= KS-D identity."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import kuiper_test_weekend
+
+    [got] = kuiper_test_weekend(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    wd = (
+        pd.to_datetime(ev["ts"]).dt.normalize()
+        - pd.Timestamp("2024-01-01")
+    ).dt.days % 7
+    grp = wd.isin([5, 6]).astype(int)
+    va = np.sort(ev["value"][grp == 1].values)
+    vb = np.sort(ev["value"][grp == 0].values)
+    pooled = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(va, pooled, side="right") / len(va)
+    fb = np.searchsorted(vb, pooled, side="right") / len(vb)
+    dp, dm = float((fa - fb).max()), float((fb - fa).max())
+    assert (got["n_a"], got["n_b"]) == (len(va), len(vb))
+    assert abs(got["d_plus"] - dp) < 1e-6
+    assert abs(got["d_minus"] - dm) < 1e-6
+    assert abs(got["kuiper_v"] - (dp + dm)) < 1e-6
+    ks_d = float(np.abs(fa - fb).max())
+    assert got["kuiper_v"] >= ks_d - 1e-9  # V dominates KS-D
+
+
+def test_gumbel_fit_matches_numpy(spark):
+    """R289 referee: numpy block-maxima MoM; the 100-block return
+    level must exceed every but at most ~1% of observed maxima."""
+    import math
+
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        GUMBEL_EULER,
+        gumbel_block_maxima_fit,
+    )
+
+    [got] = gumbel_block_maxima_fit(spark, SF_DIR).collect()
+    o = _orders()
+    d = pd.to_datetime(o["o_orderdate"])
+    blk = d.dt.year * 12 + d.dt.month - 1
+    mx = o.groupby(blk)["o_totalprice"].max()
+    m1 = round(float(mx.mean()), 6)
+    sd = round(float(mx.std(ddof=1)), 6)
+    beta = sd * math.sqrt(6) / math.pi
+    mu = m1 - GUMBEL_EULER * beta
+    rl = mu - beta * math.log(-math.log(0.99))
+    assert got["n_blocks"] == len(mx)
+    assert abs(got["mean_max"] - m1) < 1e-9
+    assert abs(got["sd_max"] - sd) < 1e-9
+    assert abs(got["gumbel_beta"] - beta) < 1e-5
+    assert abs(got["gumbel_mu"] - mu) < 1e-5
+    assert abs(got["return_level_100"] - rl) < 0.02
+    # the 1-in-100-block level sits above nearly all observed maxima
+    assert (mx > got["return_level_100"]).mean() <= 0.05

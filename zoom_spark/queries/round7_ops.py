@@ -4266,3 +4266,157 @@ def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t_expr >= CVM_CRIT_05).alias("reject_05"),
         )
     )
+
+
+@register(
+    "kuiper_test_weekend",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pv AS (
+      SELECT v,
+             CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb
+      FROM pv
+    ),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b FROM pv),
+    d AS (
+      SELECT t.n_a, t.n_b,
+             max(c.ca * 1.0 / t.n_a - c.cb * 1.0 / t.n_b) AS d_plus,
+             max(c.cb * 1.0 / t.n_b - c.ca * 1.0 / t.n_a) AS d_minus
+      FROM c CROSS JOIN tot t GROUP BY t.n_a, t.n_b
+    )
+    SELECT n_a, n_b,
+           round(d_plus, 6) AS d_plus,
+           round(d_minus, 6) AS d_minus,
+           round(d_plus + d_minus, 6) AS kuiper_v
+    FROM d
+    """,
+)
+def kuiper_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R288 two-sample Kuiper test (weekend vs weekday event values):
+    V = D+ + D- (the sum of the largest positive and negative ECDF
+    gaps) — equally sensitive across the whole support including both
+    tails, where KS's single sup under-weights tail shifts; also the
+    right statistic for circular data (its value is invariant to
+    rotating the support). Same machinery as the KS gate: one
+    distinct-value aggregate, two two-phase prefix sums, one max
+    aggregate per direction."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        % 7
+    ).cast("bigint")
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    c = prefix_sum(pv, "v", "na", out_col="ca")
+    c = prefix_sum(c, "v", "nb", out_col="cb")
+    tot = pv.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+    )
+    fa = F.col("ca") * 1.0 / F.col("n_a")
+    fb = F.col("cb") * 1.0 / F.col("n_b")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(fa - fb).alias("dp"),
+            F.max(fb - fa).alias("dm"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round("dp", 6).alias("d_plus"),
+            F.round("dm", 6).alias("d_minus"),
+            F.round(F.col("dp") + F.col("dm"), 6).alias("kuiper_v"),
+        )
+    )
+
+
+GUMBEL_EULER = 0.5772156649  # Euler-Mascheroni, shared literal
+
+
+@register(
+    "gumbel_block_maxima_fit",
+    sql=f"""
+    WITH blocks AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS blk,
+             max(o_totalprice) AS mx
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             round(avg(mx), 6) AS m1,
+             round(stddev_samp(mx), 6) AS sd
+      FROM blocks
+    )
+    SELECT n_blocks, m1 AS mean_max, sd AS sd_max,
+           round(sd * sqrt(6.0) / pi(), 6) AS gumbel_beta,
+           round(m1 - {GUMBEL_EULER} * sd * sqrt(6.0) / pi(), 6)
+             AS gumbel_mu,
+           round(m1 - {GUMBEL_EULER} * sd * sqrt(6.0) / pi()
+                 - sd * sqrt(6.0) / pi() * ln(-ln(0.99)), 2)
+             AS return_level_100
+    FROM m
+    """,
+)
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R289 Gumbel extreme-value fit by block maxima: monthly maxima
+    of order value, method-of-moments location/scale (beta =
+    sd*sqrt(6)/pi, mu = mean - gamma*beta with the Euler-Mascheroni
+    literal), and the 100-block return level mu - beta*ln(-ln(0.99))
+    — 'the largest order we should expect once per ~8 years' — the
+    EVT capacity-planning primitive complementing the Hill tail index
+    (maxima-based vs order-statistic-based). One month-granular max
+    aggregate + one moment pass, all rounded before the closed
+    forms."""
+    o = load_table(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("blk")
+    ).agg(F.max("o_totalprice").alias("mx"))
+    import math
+
+    m = blocks.agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.round(F.avg("mx"), 6).alias("m1"),
+        F.round(F.stddev_samp("mx"), 6).alias("sd"),
+    )
+    beta = F.col("sd") * math.sqrt(6.0) / math.pi
+    mu = F.col("m1") - GUMBEL_EULER * beta
+    return m.select(
+        "n_blocks",
+        F.col("m1").alias("mean_max"),
+        F.col("sd").alias("sd_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(mu - beta * math.log(-math.log(0.99)), 2).alias(
+            "return_level_100"
+        ),
+    )
