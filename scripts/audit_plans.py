@@ -178,6 +178,14 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R290/R291: 1-row threshold/moment scalars crossed onto the scan
+    # (scalar BNLJ by design, same class as jarque_bera/zscore)
+    "gpd_tail_fit_spend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "mahalanobis_anomaly_events": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R288: same 1-row totals scalar BNLJ as KS/CvM
     "kuiper_test_weekend": dict(
         pushed=False, broadcast=False, cartesian=True

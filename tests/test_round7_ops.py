@@ -1893,3 +1893,59 @@ def test_gumbel_fit_matches_numpy(spark):
     assert abs(got["return_level_100"] - rl) < 0.02
     # the 1-in-100-block level sits above nearly all observed maxima
     assert (mx > got["return_level_100"]).mean() <= 0.05
+
+
+def test_gpd_tail_fit_matches_numpy(spark):
+    """R290 referee: numpy MoM recompute over exceedances; xi < 1/2
+    (finite variance needed for MoM validity) and sigma > 0."""
+    from zoom_spark.queries.round7_ops import gpd_tail_fit_spend
+
+    [got] = gpd_tail_fit_spend(spark, SF_DIR).collect()
+    o = _orders()
+    x = o["o_totalprice"].values
+    u = round(float(x.mean() + x.std(ddof=1)), 2)
+    y = x[x > u] - u
+    m1 = round(float(y.mean()), 6)
+    v = round(float(y.var(ddof=1)), 4)
+    assert abs(got["threshold"] - u) < 1e-9
+    assert got["n_exceed"] == len(y)
+    assert abs(got["mean_excess"] - m1) < 1e-9
+    assert abs(got["gpd_xi"] - 0.5 * (1 - m1 * m1 / v)) < 1e-6
+    assert abs(got["gpd_sigma"] - 0.5 * m1 * (m1 * m1 / v + 1)) < 1e-4
+    assert got["gpd_xi"] < 0.5 and got["gpd_sigma"] > 0
+
+
+def test_mahalanobis_anomaly_matches_numpy(spark):
+    """R291 referee: numpy quadratic-form recompute of the flagged
+    set; every flagged point is beyond the per-axis OR joint bound,
+    and the flag rate is small."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        MAHA_Z2_CRIT,
+        mahalanobis_anomaly_events,
+    )
+
+    rows = {
+        r["event_id"]: r
+        for r in mahalanobis_anomaly_events(spark, SF_DIR).collect()
+    }
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    x = ev["value"].values
+    y = pd.to_datetime(ev["ts"]).dt.hour.values.astype(float)
+    mx, my = round(float(x.mean()), 6), round(float(y.mean()), 6)
+    vx = round(float(x.var(ddof=1)), 6)
+    vy = round(float(y.var(ddof=1)), 6)
+    cxy = round(float(np.cov(x, y, ddof=1)[0, 1]), 6)
+    det = vx * vy - cxy * cxy
+    dx, dy = x - mx, y - my
+    d2 = (dx * dx * vy - 2 * dx * dy * cxy + dy * dy * vx) / det
+    flagged = {
+        int(e): round(float(d), 6)
+        for e, d in zip(ev["event_id"], d2)
+        if round(float(d), 6) > MAHA_Z2_CRIT
+    }
+    assert set(rows) == set(flagged)
+    for e, d in flagged.items():
+        assert abs(rows[e]["mahalanobis_d2"] - d) < 1e-4
+    assert 0 < len(flagged) < 0.05 * len(ev)

@@ -4420,3 +4420,133 @@ def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "return_level_100"
         ),
     )
+
+
+@register(
+    "gpd_tail_fit_spend",
+    sql="""
+    WITH base AS (
+      SELECT o_totalprice AS x FROM orders
+    ),
+    thr AS (
+      SELECT round(avg(x) + stddev_samp(x), 2) AS u FROM base
+    ),
+    exc AS (
+      SELECT x - (SELECT u FROM thr) AS y FROM base
+      WHERE x > (SELECT u FROM thr)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exceed,
+             round(avg(y), 6) AS m1,
+             round(var_samp(y), 4) AS v
+      FROM exc
+    )
+    SELECT (SELECT u FROM thr) AS threshold,
+           n_exceed, m1 AS mean_excess,
+           round(0.5 * (1 - m1 * m1 / v), 6) AS gpd_xi,
+           round(0.5 * m1 * (m1 * m1 / v + 1), 6) AS gpd_sigma
+    FROM m
+    """,
+)
+def gpd_tail_fit_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R290 generalized-Pareto peaks-over-threshold fit for order
+    values: exceedances over u = mean + 2sd (a deterministic
+    moment-based threshold, rounded to the cent grid) fitted by
+    method of moments — xi = (1 - m^2/v)/2, sigma = m(m^2/v + 1)/2
+    (Hosking-Wallis) — the POT side of extreme-value theory
+    complementing gumbel_block_maxima_fit's block-maxima side (POT
+    uses every tail observation, not one per block; xi > 0 flags a
+    Frechet-heavy tail consistent with the Hill index). Two moment
+    passes; all inputs cent-grid, moments rounded before the closed
+    forms."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x")
+    )
+    thr = o.agg(
+        F.round(F.avg("x") + F.stddev_samp("x"), 2).alias("u")
+    )
+    exc = o.crossJoin(F.broadcast(thr)).where(
+        F.col("x") > F.col("u")
+    ).select((F.col("x") - F.col("u")).alias("y"), "u")
+    m = exc.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("n_exceed"),
+        F.round(F.avg("y"), 6).alias("m1"),
+        F.round(F.var_samp("y"), 4).alias("v"),
+    )
+    m1, v = F.col("m1"), F.col("v")
+    return m.select(
+        F.col("u").alias("threshold"),
+        "n_exceed",
+        m1.alias("mean_excess"),
+        F.round(0.5 * (1 - m1 * m1 / v), 6).alias("gpd_xi"),
+        F.round(0.5 * m1 * (m1 * m1 / v + 1), 6).alias("gpd_sigma"),
+    )
+
+
+MAHA_Z2_CRIT = 13.815511  # chi2(2) 0.999 quantile, shared literal
+
+
+@register(
+    "mahalanobis_anomaly_events",
+    sql=f"""
+    WITH pts AS (
+      SELECT event_id, value AS x, hour(ts) * 1.0 AS y FROM events
+    ),
+    m AS (
+      SELECT round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+             round(var_samp(x), 6) AS vx, round(var_samp(y), 6) AS vy,
+             round(covar_samp(x, y), 6) AS cxy
+      FROM pts
+    ),
+    scored AS (
+      SELECT p.event_id, p.x, p.y,
+             ((p.x - m.mx) * (p.x - m.mx) * m.vy
+              - 2 * (p.x - m.mx) * (p.y - m.my) * m.cxy
+              + (p.y - m.my) * (p.y - m.my) * m.vx)
+             / (m.vx * m.vy - m.cxy * m.cxy) AS d2
+      FROM pts p CROSS JOIN m
+    )
+    SELECT event_id, round(x, 2) AS value, CAST(y AS BIGINT) AS hour,
+           round(d2, 6) AS mahalanobis_d2
+    FROM scored WHERE d2 > {MAHA_Z2_CRIT}
+    """,
+)
+def mahalanobis_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R291 bivariate Mahalanobis anomaly detection over (event value,
+    hour of day): d^2 = (p - mu)' Sigma^inv (p - mu) via the explicit
+    2x2 inverse, flagging d^2 above the chi-square(2) 99.9% quantile
+    — the correlation-aware outlier screen where per-axis z-scores
+    (zscore_anomaly_events) miss points anomalous only in
+    COMBINATION (a huge value at an hour where huge values never
+    happen). Moments snap to 6dp so both engines score identical
+    quadratic forms; the flagged set is the output (one scan +
+    1-row moment broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.col("value").alias("x"),
+        (F.hour("ts") * 1.0).alias("y"),
+    )
+    m = pts.agg(
+        F.round(F.avg("x"), 6).alias("mx"),
+        F.round(F.avg("y"), 6).alias("my"),
+        F.round(F.var_samp("x"), 6).alias("vx"),
+        F.round(F.var_samp("y"), 6).alias("vy"),
+        F.round(F.covar_samp("x", "y"), 6).alias("cxy"),
+    )
+    dx, dy = F.col("x") - F.col("mx"), F.col("y") - F.col("my")
+    det = F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")
+    d2 = (
+        dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy")
+        + dy * dy * F.col("vx")
+    ) / det
+    return (
+        pts.crossJoin(F.broadcast(m))
+        .select(
+            "event_id",
+            F.round("x", 2).alias("value"),
+            F.col("y").cast("bigint").alias("hour"),
+            F.round(d2, 6).alias("mahalanobis_d2"),
+        )
+        .where(F.col("mahalanobis_d2") > MAHA_Z2_CRIT)
+    )
