@@ -178,6 +178,11 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R293: 3-row q grid + 1-row base-variance scalar crossed onto the
+    # calendar-bounded day frame (constant-size BNLJ by design)
+    "variance_ratio_test_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R290/R291: 1-row threshold/moment scalars crossed onto the scan
     # (scalar BNLJ by design, same class as jarque_bera/zscore)
     "gpd_tail_fit_spend": dict(

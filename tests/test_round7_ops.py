@@ -1949,3 +1949,76 @@ def test_mahalanobis_anomaly_matches_numpy(spark):
     for e, d in flagged.items():
         assert abs(rows[e]["mahalanobis_d2"] - d) < 1e-4
     assert 0 < len(flagged) < 0.05 * len(ev)
+
+
+def test_arch_lm_matches_numpy(spark):
+    """R292 referee: numpy lag-1 regression of scaled squared
+    deviations; LM = n*R^2 and the decision flag."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import arch_lm_test_revenue
+
+    [got] = arch_lm_test_revenue(spark, SF_DIR).collect()
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+        .values
+    )
+    m = round(float(daily.mean()), 6)
+    u = np.round((daily - m) ** 2 / 1e6, 9)
+    from zoom_spark.queries.round7_ops import ARCH_LAGS
+
+    n_tot = len(u)
+    y = u[ARCH_LAGS:]
+    x1 = u[ARCH_LAGS - 1 : -1]
+    r = np.corrcoef(y, x1)[0, 1]
+    r2 = round(r * r, 9)
+    n = len(y)
+    assert got["n_obs"] == n
+    assert abs(got["r2_lag1"] - r2) < 1e-6
+    assert abs(got["lm_stat_lag1"] - n * r2) < 1e-3
+    assert got["arch_at_lag1"] == (n * r2 > 3.841459)
+
+
+def test_variance_ratio_matches_numpy(spark):
+    """R293 referee: numpy q-difference variances; VR(q) ~ the Hurst
+    scaling direction (both say persistence or both reversion)."""
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import (
+        VR_Q,
+        variance_ratio_test_revenue,
+    )
+
+    rows = {
+        r["q"]: r for r in variance_ratio_test_revenue(spark, SF_DIR).collect()
+    }
+    o = _orders()
+    daily = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+        .values
+    )
+    d1 = np.round(np.diff(daily), 2)
+    v1 = round(float(d1.var(ddof=1)), 4)
+    assert set(rows) == set(VR_Q)
+    for q in VR_Q:
+        dq = np.round(daily[q:] - daily[:-q], 2)
+        v = round(float(dq.var(ddof=1)), 4)
+        vr = v / (q * v1)
+        n = len(dq)
+        z = (vr - 1) * (n / (2 * (2 * q - 1) * (q - 1) / (3 * q))) ** 0.5
+        r = rows[q]
+        assert r["n_obs"] == n
+        assert abs(r["variance_ratio"] - vr) < 1e-6
+        assert abs(r["z_stat"] - z) < 1e-4
+        assert r["variance_ratio"] > 0

@@ -4550,3 +4550,181 @@ def mahalanobis_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("mahalanobis_d2") > MAHA_Z2_CRIT)
     )
+
+
+ARCH_LAGS = 5
+
+
+@register(
+    "arch_lm_test_revenue",
+    sql=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT round(sum(o_totalprice), 2) AS rev,
+             row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS k
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    mu AS (SELECT round(avg(rev), 6) AS m FROM daily),
+    e2 AS MATERIALIZED (
+      SELECT k, round(pow(rev - (SELECT m FROM mu), 2) / 1000000.0, 9)
+               AS u
+      FROM daily
+    ),
+    lagged AS (
+      SELECT a.u AS y,
+             {", ".join(f"l{i}.u AS x{i}" for i in range(1, ARCH_LAGS + 1))}
+      FROM e2 a
+      {" ".join(f"JOIN e2 l{i} ON l{i}.k = a.k - {i}" for i in range(1, ARCH_LAGS + 1))}
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(regr_r2(y, x1), 9) AS r2_1
+      FROM lagged
+    )
+    SELECT n AS n_obs, CAST({ARCH_LAGS} AS BIGINT) AS n_lags_joined,
+           r2_1 AS r2_lag1,
+           round(n * r2_1, 6) AS lm_stat_lag1,
+           (n * r2_1 > 3.841459) AS arch_at_lag1
+    FROM fit
+    """,
+)
+def arch_lm_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R292 Engle's ARCH LM test (lag-1 reported, lag frame joined to
+    {ARCH_LAGS}) on daily revenue: squared mean-deviations regressed
+    on their own lags — LM = n*R^2 vs chi-square(1) 5% = 3.841459
+    detects volatility CLUSTERING (calm/wild periods), which the
+    Ljung-Box test on levels misses and which decides whether
+    bootstrap/forecast intervals may assume constant variance.
+    Squared deviations are millions-scaled and 9dp-snapped so both
+    engines regress identical inputs; the lag pairing is the
+    Ljung-Box equi-join recipe over the calendar-bounded day frame."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("k")
+    )
+    mu = daily.agg(F.round(F.avg("rev"), 6).alias("m"))
+    e2 = daily.crossJoin(F.broadcast(mu)).select(
+        "k",
+        F.round(
+            F.pow(F.col("rev") - F.col("m"), 2) / 1000000.0, 9
+        ).alias("u"),
+    ).localCheckpoint(eager=False)
+    lagged = e2.alias("a")
+    for i in range(1, ARCH_LAGS + 1):
+        li = e2.select(
+            (F.col("k") + i).alias(f"k{i}"), F.col("u").alias(f"x{i}")
+        )
+        lagged = lagged.join(li, F.col("k") == F.col(f"k{i}"))
+    fit = lagged.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.regr_r2("u", "x1"), 9).alias("r2_1"),
+    )
+    return fit.select(
+        F.col("n").alias("n_obs"),
+        F.lit(ARCH_LAGS).cast("bigint").alias("n_lags_joined"),
+        F.col("r2_1").alias("r2_lag1"),
+        F.round(F.col("n") * F.col("r2_1"), 6).alias("lm_stat_lag1"),
+        (F.col("n") * F.col("r2_1") > 3.841459).alias("arch_at_lag1"),
+    )
+
+
+VR_Q = (2, 5, 10)
+
+
+@register(
+    "variance_ratio_test_revenue",
+    sql=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT round(sum(o_totalprice), 2) AS rev,
+             row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS k
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    r1 AS MATERIALIZED (
+      SELECT a.k, round(a.rev - b.rev, 2) AS d
+      FROM daily a JOIN daily b ON b.k = a.k - 1
+    ),
+    base AS (
+      SELECT round(var_samp(d), 4) AS v1,
+             CAST(count(*) AS BIGINT) AS n1
+      FROM r1
+    ),
+    grid AS (SELECT unnest(ARRAY[{", ".join(str(q) for q in VR_Q)}]) AS q),
+    rq AS (
+      SELECT g.q, a.k, round(a.rev - b.rev, 2) AS d
+      FROM grid g
+      JOIN daily a ON true
+      JOIN daily b ON b.k = a.k - g.q
+    ),
+    vq AS (
+      SELECT q, round(var_samp(d), 4) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM rq GROUP BY q
+    )
+    SELECT CAST(vq.q AS BIGINT) AS q, vq.n AS n_obs,
+           round(vq.v / (vq.q * b.v1), 6) AS variance_ratio,
+           round((vq.v / (vq.q * b.v1) - 1)
+                 * sqrt(vq.n * 1.0
+                        / (2.0 * (2 * vq.q - 1) * (vq.q - 1)
+                           / (3.0 * vq.q))), 6) AS z_stat
+    FROM vq CROSS JOIN base b
+    """,
+)
+def variance_ratio_test_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R293 Lo-MacKinlay variance-ratio test on daily revenue changes:
+    VR(q) = Var(q-day difference) / (q * Var(1-day difference)) with
+    the homoskedastic z — VR < 1 flags mean reversion, > 1 momentum,
+    = 1 a random walk; the market-efficiency diagnostic that reads
+    the same scaling behavior as the Hurst gate from variances
+    instead of ranges. Differences snap to the cent grid, variances
+    to 4dp before the ratio; q-difference pairing is an equi-join on
+    the day index over the calendar-bounded frame."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("k")
+    ).localCheckpoint(eager=False)
+    a, b = daily.alias("a"), daily.alias("b")
+    r1 = a.join(b, F.col("b.k") == F.col("a.k") - 1).select(
+        F.round(F.col("a.rev") - F.col("b.rev"), 2).alias("d")
+    )
+    base = r1.agg(
+        F.round(F.var_samp("d"), 4).alias("v1"),
+        F.count("*").cast("bigint").alias("n1"),
+    )
+    grid = spark.createDataFrame([(q,) for q in VR_Q], "q int")
+    rq = (
+        a.crossJoin(F.broadcast(grid))
+        .join(b, F.col("b.k") == F.col("a.k") - F.col("q"))
+        .select(
+            "q", F.round(F.col("a.rev") - F.col("b.rev"), 2).alias("d")
+        )
+    )
+    vq = rq.groupBy("q").agg(
+        F.round(F.var_samp("d"), 4).alias("v"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    vr = F.col("v") / (F.col("q") * F.col("v1"))
+    z = (vr - 1) * F.sqrt(
+        F.col("n")
+        * 1.0
+        / (
+            2.0
+            * (2 * F.col("q") - 1)
+            * (F.col("q") - 1)
+            / (3.0 * F.col("q"))
+        )
+    )
+    return vq.crossJoin(F.broadcast(base)).select(
+        F.col("q").cast("bigint").alias("q"),
+        F.col("n").alias("n_obs"),
+        F.round(vr, 6).alias("variance_ratio"),
+        F.round(z, 6).alias("z_stat"),
+    )
