@@ -178,6 +178,11 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R294: 1-row tolerance scalar crossed onto the day-frame template
+    # pair join (documented calendar-bounded quadratic class)
+    "sample_entropy_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R293: 3-row q grid + 1-row base-variance scalar crossed onto the
     # calendar-bounded day frame (constant-size BNLJ by design)
     "variance_ratio_test_revenue": dict(

@@ -2022,3 +2022,40 @@ def test_variance_ratio_matches_numpy(spark):
         assert abs(r["variance_ratio"] - vr) < 1e-6
         assert abs(r["z_stat"] - z) < 1e-4
         assert r["variance_ratio"] > 0
+
+
+def test_sample_entropy_matches_numpy(spark):
+    """R294 referee: brute-force numpy template matching; A <= B and
+    SampEn > 0 for a non-constant series."""
+    import math
+
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import sample_entropy_revenue
+
+    [got] = sample_entropy_revenue(spark, SF_DIR).collect()
+    o = _orders()
+    x = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+        .values
+    )
+    r = round(0.2 * float(x.std(ddof=1)), 6)
+    n = len(x) - 2
+    T = np.stack([x[:-2], x[1:-1], x[2:]], axis=1)
+    b_cnt = a_cnt = 0
+    for i in range(n):
+        d = np.abs(T[i + 1 :] - T[i])
+        b_cnt += int((d[:, :2].max(1) <= r).sum())
+        a_cnt += int((d.max(1) <= r).sum())
+    assert abs(got["tolerance_r"] - r) < 1e-9
+    assert got["n_matches_m2"] == b_cnt
+    assert got["n_matches_m3"] == a_cnt
+    assert a_cnt <= b_cnt
+    if a_cnt > 0 and b_cnt > 0:
+        assert abs(got["sampen"] - (-math.log(a_cnt / b_cnt))) < 1e-6
+        assert got["sampen"] > 0

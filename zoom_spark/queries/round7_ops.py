@@ -4728,3 +4728,106 @@ def variance_ratio_test_revenue(
         F.round(vr, 6).alias("variance_ratio"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "sample_entropy_revenue",
+    sql="""
+    WITH daily AS MATERIALIZED (
+      SELECT round(sum(o_totalprice), 2) AS rev,
+             row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS k
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    tol AS (
+      SELECT round(0.2 * stddev_samp(rev), 6) AS r FROM daily
+    ),
+    tpl AS MATERIALIZED (
+      SELECT a.k, a.rev AS x0, b.rev AS x1, c.rev AS x2
+      FROM daily a
+      JOIN daily b ON b.k = a.k + 1
+      JOIN daily c ON c.k = a.k + 2
+    ),
+    matches AS (
+      SELECT CAST(sum(CASE WHEN greatest(abs(p.x0 - q.x0),
+                                         abs(p.x1 - q.x1))
+                            <= (SELECT r FROM tol)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+             CAST(sum(CASE WHEN greatest(abs(p.x0 - q.x0),
+                                         abs(p.x1 - q.x1),
+                                         abs(p.x2 - q.x2))
+                            <= (SELECT r FROM tol)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt
+      FROM tpl p JOIN tpl q ON p.k < q.k
+    )
+    SELECT (SELECT round(r, 6) FROM tol) AS tolerance_r,
+           b_cnt AS n_matches_m2, a_cnt AS n_matches_m3,
+           CASE WHEN a_cnt > 0 AND b_cnt > 0
+                THEN round(-ln(a_cnt * 1.0 / b_cnt), 6) END AS sampen
+    FROM matches
+    """,
+)
+def sample_entropy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R294 sample entropy (Richman-Moorman, m=2, r=0.2sd) of daily
+    revenue: -ln(A/B) where B counts template pairs matching at
+    length 2 under the Chebyshev tolerance and A at length 3 — the
+    regularity/complexity measure behind physiological and ops
+    anomaly baselines (low SampEn = repetitive/templated series, high
+    = irregular), reading the same series as Hurst/VR from the
+    predictability angle. Cent-grid values and a 6dp tolerance make
+    every <= comparison deterministic; the template pair join is the
+    documented calendar-bounded day-frame quadratic."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("k")
+    ).localCheckpoint(eager=False)
+    tol = daily.agg(
+        F.round(0.2 * F.stddev_samp("rev"), 6).alias("r")
+    )
+    a, b, c = daily.alias("a"), daily.alias("b"), daily.alias("c")
+    tpl = (
+        a.join(b, F.col("b.k") == F.col("a.k") + 1)
+        .join(c, F.col("c.k") == F.col("a.k") + 2)
+        .select(
+            F.col("a.k").alias("k"),
+            F.col("a.rev").alias("x0"),
+            F.col("b.rev").alias("x1"),
+            F.col("c.rev").alias("x2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    p, q = tpl.alias("p"), tpl.alias("q")
+    d2 = F.greatest(
+        F.abs(F.col("p.x0") - F.col("q.x0")),
+        F.abs(F.col("p.x1") - F.col("q.x1")),
+    )
+    d3 = F.greatest(
+        F.abs(F.col("p.x0") - F.col("q.x0")),
+        F.abs(F.col("p.x1") - F.col("q.x1")),
+        F.abs(F.col("p.x2") - F.col("q.x2")),
+    )
+    matches = (
+        p.join(q, F.col("p.k") < F.col("q.k"))
+        .crossJoin(F.broadcast(tol))
+        .agg(
+            F.sum(F.when(d2 <= F.col("r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("b_cnt"),
+            F.sum(F.when(d3 <= F.col("r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_cnt"),
+            F.round(F.first("r"), 6).alias("tolerance_r"),
+        )
+    )
+    return matches.select(
+        "tolerance_r",
+        F.col("b_cnt").alias("n_matches_m2"),
+        F.col("a_cnt").alias("n_matches_m3"),
+        F.when(
+            (F.col("a_cnt") > 0) & (F.col("b_cnt") > 0),
+            F.round(-F.log(F.col("a_cnt") * 1.0 / F.col("b_cnt")), 6),
+        ).alias("sampen"),
+    )
