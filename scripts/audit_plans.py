@@ -178,6 +178,10 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R295: 1-row total scalar crossed onto the 6-row pattern histogram
+    "permutation_entropy_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R294: 1-row tolerance scalar crossed onto the day-frame template
     # pair join (documented calendar-bounded quadratic class)
     "sample_entropy_revenue": dict(

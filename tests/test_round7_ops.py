@@ -2059,3 +2059,44 @@ def test_sample_entropy_matches_numpy(spark):
     if a_cnt > 0 and b_cnt > 0:
         assert abs(got["sampen"] - (-math.log(a_cnt / b_cnt))) < 1e-6
         assert got["sampen"] > 0
+
+
+def test_permutation_entropy_matches_numpy(spark):
+    """R295 referee: numpy ordinal-pattern histogram; entropy in
+    (0, 1] and invariance check under a monotone transform."""
+    import math
+
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import permutation_entropy_revenue
+
+    [got] = permutation_entropy_revenue(spark, SF_DIR).collect()
+    o = _orders()
+    x = (
+        o.groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())[
+            "o_totalprice"
+        ]
+        .sum()
+        .round(2)
+        .sort_index()
+        .values
+    )
+
+    def pent(v):
+        pats = {}
+        for i in range(len(v) - 2):
+            a_, b_, c_ = v[i], v[i + 1], v[i + 2]
+            pid = 4 * (a_ <= b_) + 2 * (b_ <= c_) + 1 * (a_ <= c_)
+            pats[pid] = pats.get(pid, 0) + 1
+        t = sum(pats.values())
+        h = -sum(n / t * math.log(n / t) for n in pats.values())
+        return pats, t, h / math.log(6)
+
+    pats, t, h = pent(x)
+    assert got["n_windows"] == t
+    assert got["n_patterns"] == len(pats)
+    assert abs(got["perm_entropy"] - h) < 1e-6
+    assert 0 < got["perm_entropy"] <= 1
+    # ordinal patterns are invariant under monotone transforms
+    _, _, h2 = pent(np.log(x))
+    assert abs(h - h2) < 1e-12

@@ -4831,3 +4831,87 @@ def sample_entropy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.log(F.col("a_cnt") * 1.0 / F.col("b_cnt")), 6),
         ).alias("sampen"),
     )
+
+
+@register(
+    "permutation_entropy_revenue",
+    sql="""
+    WITH daily AS MATERIALIZED (
+      SELECT round(sum(o_totalprice), 2) AS rev,
+             row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS k
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    tpl AS (
+      SELECT (CASE WHEN a.rev < b.rev
+                   OR (a.rev = b.rev) THEN 4 ELSE 0 END)
+           + (CASE WHEN b.rev < c.rev
+                   OR (b.rev = c.rev) THEN 2 ELSE 0 END)
+           + (CASE WHEN a.rev < c.rev
+                   OR (a.rev = c.rev) THEN 1 ELSE 0 END) AS pat
+      FROM daily a
+      JOIN daily b ON b.k = a.k + 1
+      JOIN daily c ON c.k = a.k + 2
+    ),
+    hist AS (
+      SELECT pat, CAST(count(*) AS BIGINT) AS n FROM tpl GROUP BY pat
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist)
+    SELECT (SELECT t FROM tot) AS n_windows,
+           (SELECT CAST(count(*) AS BIGINT) FROM hist) AS n_patterns,
+           round(-sum((n * 1.0 / (SELECT t FROM tot))
+                      * ln(n * 1.0 / (SELECT t FROM tot)))
+                 / ln(6.0), 6) AS perm_entropy
+    FROM hist
+    """,
+)
+def permutation_entropy_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R295 permutation entropy (Bandt-Pompe, order 3) of daily
+    revenue: each consecutive day-triple maps to its ordinal pattern
+    (ties rank by time index — the standard convention, encoded as
+    three <=-comparisons into a 3-bit id), and the normalized Shannon
+    entropy of the 6-pattern histogram measures how UNPREDICTABLE the
+    local ordering dynamics are (1 = white noise, low = rigid weekly
+    choreography) — robust to any monotone transformation of the
+    values, unlike SampEn's amplitude tolerance. One triple join on
+    the day frame + a 6-row histogram."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("k")
+    ).localCheckpoint(eager=False)
+    a, b, c = daily.alias("a"), daily.alias("b"), daily.alias("c")
+    pat = (
+        F.when(F.col("a.rev") <= F.col("b.rev"), 4).otherwise(0)
+        + F.when(F.col("b.rev") <= F.col("c.rev"), 2).otherwise(0)
+        + F.when(F.col("a.rev") <= F.col("c.rev"), 1).otherwise(0)
+    )
+    tpl = (
+        a.join(b, F.col("b.k") == F.col("a.k") + 1)
+        .join(c, F.col("c.k") == F.col("a.k") + 2)
+        .select(pat.alias("pat"))
+    )
+    hist = tpl.groupBy("pat").agg(F.count("*").cast("bigint").alias("n"))
+    tot = hist.agg(F.sum("n").cast("bigint").alias("t"))
+    p = F.col("n") * 1.0 / F.col("t")
+    import math
+
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("t").alias("n_windows"),
+            F.count("*").cast("bigint").alias("n_patterns"),
+            F.round(
+                -F.sum(p * F.log(p)) / math.log(6.0), 6
+            ).alias("perm_entropy"),
+        )
+        .select(
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            "n_patterns",
+            "perm_entropy",
+        )
+    )
