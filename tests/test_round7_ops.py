@@ -2100,3 +2100,84 @@ def test_permutation_entropy_matches_numpy(spark):
     # ordinal patterns are invariant under monotone transforms
     _, _, h2 = pent(np.log(x))
     assert abs(h - h2) < 1e-12
+
+
+def test_lexical_diversity_matches_python(spark):
+    """R296 referee: python type/token recompute; TTR <= 1 and the
+    length-correction property (Guiraud/Herdan less length-coupled
+    than raw TTR)."""
+    import math
+
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import lexical_diversity_docs
+
+    rows = {
+        r["doc_id"]: r for r in lexical_diversity_docs(spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ttrs, lens = [], []
+    for r in docs.itertuples():
+        ts = [t for t in r.text.lower().strip().split() if t]
+        if not ts:
+            assert r.doc_id not in rows
+            continue
+        g = rows[r.doc_id]
+        v, n = len(set(ts)), len(ts)
+        assert g["n_tokens"] == n and g["n_types"] == v
+        assert abs(g["ttr"] - v / n) < 1e-6
+        assert abs(g["guiraud_r"] - v / math.sqrt(n)) < 1e-6
+        if n > 1:
+            assert abs(g["herdan_c"] - math.log(v) / math.log(n)) < 1e-6
+        assert 0 < g["ttr"] <= 1
+        ttrs.append(v / n)
+        lens.append(n)
+    # raw TTR correlates negatively with length (the defect the
+    # corrected measures exist to fix)
+    assert np.corrcoef(lens, ttrs)[0, 1] < 0
+
+
+def test_duplicate_token_waste_matches_python(spark):
+    """R297 referee: python fingerprint-group replay; global waste
+    must be positive (the fixture plants exact-dup cliques) and
+    canonical docs never count as waste."""
+    import hashlib
+    import re
+
+    from zoom_spark.queries.round7_ops import duplicate_token_waste
+
+    rows = {
+        r["source"]: r for r in duplicate_token_waste(spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    shifted = docs.copy()
+    shifted["doc_id"] = shifted["doc_id"] + 1_000_000
+    docs = pd.concat([docs, shifted], ignore_index=True)
+    docs["h"] = docs["text"].map(
+        lambda t: hashlib.md5(
+            re.sub(r"\s+", " ", t.strip()).lower().encode()
+        ).hexdigest()
+    )
+    docs["n_tokens"] = docs["text"].map(
+        lambda t: len([x for x in t.lower().strip().split() if x])
+    )
+    canon_id = docs.groupby("h")["doc_id"].transform("min")
+    docs["dup_tokens"] = docs["n_tokens"].where(
+        docs["doc_id"] != canon_id, 0
+    )
+    exp = docs.groupby("source").agg(
+        n_docs=("doc_id", "count"),
+        total_tokens=("n_tokens", "sum"),
+        duplicate_tokens=("dup_tokens", "sum"),
+    )
+    assert set(rows) == set(exp.index)
+    for src, e in exp.iterrows():
+        r = rows[src]
+        assert r["n_docs"] == e["n_docs"]
+        assert r["total_tokens"] == e["total_tokens"]
+        assert r["duplicate_tokens"] == e["duplicate_tokens"]
+        assert (
+            abs(r["waste_share"] - e["duplicate_tokens"] / e["total_tokens"])
+            < 1e-6
+        )
+    assert sum(r["duplicate_tokens"] for r in rows.values()) > 0

@@ -4915,3 +4915,142 @@ def permutation_entropy_revenue(
             "perm_entropy",
         )
     )
+
+
+@register(
+    "lexical_diversity_docs",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_types
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(n_types * 1.0 / n_tokens, 6) AS ttr,
+           round(n_types / sqrt(n_tokens * 1.0), 6) AS guiraud_r,
+           CASE WHEN n_tokens > 1
+                THEN round(ln(n_types * 1.0) / ln(n_tokens * 1.0), 6)
+           END AS herdan_c
+    FROM counts WHERE n_tokens > 0
+    """,
+)
+def lexical_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R296 per-document lexical diversity: type-token ratio plus the
+    two length-corrected classics — Guiraud's R = V/sqrt(N) and
+    Herdan's C = ln V / ln N (raw TTR shrinks mechanically with doc
+    length, so quality filters comparing docs of different sizes need
+    the corrected forms) — the per-doc companion to the corpus-level
+    heaps_law_fit and the vocabulary inputs to Gopher-style repetition
+    gates. Map-side array ops + one projection; integer type/token
+    counts feed exact closed forms."""
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.lower("text"))).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws_tokens(F.lower("text"))))
+        .cast("bigint")
+        .alias("n_types"),
+    ).where(F.col("n_tokens") > 0)
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(
+            F.col("n_types") / F.sqrt(F.col("n_tokens") * 1.0), 6
+        ).alias("guiraud_r"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(
+                F.log(F.col("n_types") * 1.0)
+                / F.log(F.col("n_tokens") * 1.0),
+                6,
+            ),
+        ).alias("herdan_c"),
+    )
+
+
+@register(
+    "duplicate_token_waste",
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+      FROM corpus
+    ),
+    canon AS (
+      SELECT doc_id, source, n_tokens,
+             (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_canonical
+      FROM fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN is_canonical THEN 0 ELSE n_tokens END)
+                AS BIGINT) AS duplicate_tokens,
+           round(sum(CASE WHEN is_canonical THEN 0 ELSE n_tokens END)
+                 * 1.0 / sum(n_tokens), 6) AS waste_share
+    FROM canon GROUP BY source
+    """,
+)
+def duplicate_token_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R297 duplicate-token waste report per source: tokens sitting in
+    NON-canonical exact duplicates (fingerprint groups, min-doc_id
+    canonical — the same contract as canonical_doc_ids) as a share of
+    each source's token budget — the number that prices the dedup
+    stage ('src7 wastes 40% of its tokens on copies') and decides
+    which feeds get the aggressive near-dup pass. Composes the exact-
+    dedup fingerprint with the fertility counts: one fingerprint
+    window + one source rollup."""
+    from pyspark.sql import Window
+
+    from zoom_spark.functions.text import fingerprint_md5, ws_tokens
+    from zoom_spark.queries.dedup_queries import _doubled_docs
+
+    docs = _doubled_docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.lower("text"))).cast("bigint").alias("n_tokens"),
+        fingerprint_md5("text").alias("h"),
+    )
+    canon = fp.withColumn(
+        "is_canonical",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")),
+    )
+    return canon.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("is_canonical"), 0).otherwise(F.col("n_tokens"))
+        )
+        .cast("bigint")
+        .alias("duplicate_tokens"),
+        F.round(
+            F.sum(
+                F.when(F.col("is_canonical"), 0).otherwise(
+                    F.col("n_tokens")
+                )
+            )
+            * 1.0
+            / F.sum("n_tokens"),
+            6,
+        ).alias("waste_share"),
+    )
