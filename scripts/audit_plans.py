@@ -178,6 +178,11 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R298: 1-row seasonal-mean scalar crossed onto the day frame
+    # (same class as seasonal_decompose_revenue)
+    "seasonality_strength_revenue": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # R295: 1-row total scalar crossed onto the 6-row pattern histogram
     "permutation_entropy_revenue": dict(
         pushed=False, broadcast=False, cartesian=True

@@ -5054,3 +5054,110 @@ def duplicate_token_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_share"),
     )
+
+
+@register(
+    "seasonality_strength_revenue",
+    sql="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tr AS MATERIALIZED (
+      SELECT day, rev,
+             round(avg(rev) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS trend,
+             CAST((day - DATE '1990-01-01') % 7 AS BIGINT) AS wd
+      FROM daily
+    ),
+    sr AS (
+      SELECT wd, round(avg(rev - trend), 2) AS s_raw FROM tr GROUP BY wd
+    ),
+    ctr AS (SELECT round(avg(s_raw), 2) AS s_mean FROM sr),
+    comp AS (
+      SELECT t.rev, t.trend,
+             round(s.s_raw - c.s_mean, 2) AS seasonal,
+             round(t.rev - t.trend - (s.s_raw - c.s_mean), 2) AS resid
+      FROM tr t JOIN sr s ON t.wd = s.wd CROSS JOIN ctr c
+    ),
+    v AS (
+      SELECT round(var_samp(resid), 4) AS v_r,
+             round(var_samp(seasonal + resid), 4) AS v_sr,
+             round(var_samp(trend + resid), 4) AS v_tr,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM comp
+    )
+    SELECT n_days,
+           round(greatest(0.0, 1.0 - v_r / v_sr), 6) AS seasonal_strength,
+           round(greatest(0.0, 1.0 - v_r / v_tr), 6) AS trend_strength
+    FROM v
+    """,
+)
+def seasonality_strength_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R298 seasonal and trend strength (Hyndman's STL-feature pair):
+    F_s = max(0, 1 - Var(resid)/Var(seasonal + resid)) and the trend
+    analog — the two scalars that summarize
+    seasonal_decompose_revenue's whole output into model-selection
+    features (F_s near 1 mandates a seasonal forecaster; near 0 says
+    Holt without the W). Reuses the identical decomposition recipe
+    (centered 7-day MA trend, weekday means re-centered, 2dp at every
+    stage) so both engines difference the same components; variances
+    snap to 4dp before the ratios."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "rev",
+        F.round(F.avg("rev").over(w), 2).alias("trend"),
+        (
+            F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")) % 7
+        )
+        .cast("bigint")
+        .alias("wd"),
+    ).localCheckpoint(eager=False)
+    sr = tr.groupBy("wd").agg(
+        F.round(F.avg(F.col("rev") - F.col("trend")), 2).alias("s_raw")
+    )
+    ctr = sr.agg(F.round(F.avg("s_raw"), 2).alias("s_mean"))
+    comp = (
+        tr.join(F.broadcast(sr), on="wd")
+        .crossJoin(F.broadcast(ctr))
+        .select(
+            "rev",
+            "trend",
+            F.round(F.col("s_raw") - F.col("s_mean"), 2).alias("seasonal"),
+            F.round(
+                F.col("rev")
+                - F.col("trend")
+                - (F.col("s_raw") - F.col("s_mean")),
+                2,
+            ).alias("resid"),
+        )
+    )
+    v = comp.agg(
+        F.round(F.var_samp("resid"), 4).alias("v_r"),
+        F.round(
+            F.var_samp(F.col("seasonal") + F.col("resid")), 4
+        ).alias("v_sr"),
+        F.round(F.var_samp(F.col("trend") + F.col("resid")), 4).alias(
+            "v_tr"
+        ),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    return v.select(
+        "n_days",
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_sr")), 6
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_tr")), 6
+        ).alias("trend_strength"),
+    )
