@@ -178,6 +178,11 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R299: 1-row order-total scalar crossed onto the <=13-row
+    # basket-size histogram (scalar BNLJ by design)
+    "poissonness_basket_sizes": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # R298: 1-row seasonal-mean scalar crossed onto the day frame
     # (same class as seasonal_decompose_revenue)
     "seasonality_strength_revenue": dict(

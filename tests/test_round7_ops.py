@@ -2223,3 +2223,39 @@ def test_seasonality_strength_matches_pandas(spark):
     assert abs(got["trend_strength"] - max(0, 1 - v_r / v_tr)) < 1e-6
     assert 0 <= got["seasonal_strength"] <= 1
     assert 0 <= got["trend_strength"] <= 1
+
+
+def test_poissonness_matches_numpy(spark):
+    """R299 referee: numpy metameter fit; lambda_hat should sit near
+    the observed mean basket size when linearity is high."""
+    import math
+
+    import numpy as np
+
+    from zoom_spark.queries.round7_ops import poissonness_basket_sizes
+
+    [got] = poissonness_basket_sizes(spark, SF_DIR).collect()
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    k = li.groupby("l_orderkey").size()
+    k = k[k <= 12]
+    hist = k.value_counts().sort_index()
+    n = int(hist.sum())
+    phi = np.array(
+        [
+            round(math.log(math.factorial(int(kk)) * nk / n), 9)
+            for kk, nk in hist.items()
+        ]
+    )
+    ks = hist.index.values.astype(float)
+    slope, _ = np.polyfit(ks, phi, 1)
+    ssr = np.corrcoef(ks, phi)[0, 1] ** 2
+    assert got["n_points"] == len(hist)
+    assert got["n_orders"] == n
+    assert abs(got["slope_ln_lambda"] - slope) < 1e-5
+    assert abs(got["lambda_hat"] - math.exp(slope)) < 1e-4
+    assert abs(got["linearity_r2"] - ssr) < 1e-4
+    # when the plot is near-linear, lambda_hat tracks the mean count
+    if got["linearity_r2"] > 0.95:
+        assert abs(got["lambda_hat"] - float(k.mean())) < 2.0

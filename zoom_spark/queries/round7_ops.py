@@ -5161,3 +5161,88 @@ def seasonality_strength_revenue(
             F.greatest(F.lit(0.0), 1.0 - F.col("v_r") / F.col("v_tr")), 6
         ).alias("trend_strength"),
     )
+
+
+# factorials 0!..12! as shared literals (basket sizes are small ints)
+_FACTS = [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880, 3628800,
+          39916800, 479001600]
+
+
+@register(
+    "poissonness_basket_sizes",
+    sql=f"""
+    WITH basket AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_k
+      FROM basket WHERE k <= 12 GROUP BY k
+    ),
+    tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n FROM hist),
+    facts AS (
+      SELECT CAST(range AS BIGINT) AS k,
+             CAST(([{", ".join(str(f) for f in _FACTS)}])[range + 1]
+                  AS DOUBLE) AS kfact
+      FROM range(0, 13)
+    ),
+    pts AS (
+      SELECT h.k, h.n_k,
+             round(ln(f.kfact * h.n_k / t.n), 9) AS phi
+      FROM hist h JOIN facts f ON f.k = h.k CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           (SELECT n FROM tot) AS n_orders,
+           round(regr_slope(phi, k * 1.0), 6) AS slope_ln_lambda,
+           round(exp(regr_slope(phi, k * 1.0)), 6) AS lambda_hat,
+           round(regr_r2(phi, k * 1.0), 6) AS linearity_r2
+    FROM pts
+    """,
+)
+def poissonness_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R299 Hoaglin Poissonness plot fit for order basket sizes
+    (lineitems per order): under a Poisson(lambda) model the count
+    metameter phi(k) = ln(k! n_k / N) is LINEAR in k with slope
+    ln(lambda) — the graphical GOF diagnostic reduced to its
+    regression form (r^2 near 1 = Poisson-consistent; curvature =
+    over/under-dispersion, cross-checked by the NB fit gate).
+    Factorials are shared integer literals (basket sizes cap at 12 in
+    TPC-H-shaped data), phi snaps to 9dp, the fit is one regr pass
+    over the <=13-row histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    hist = (
+        basket.where(F.col("k") <= 12)
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_k"))
+    )
+    tot = hist.agg(F.sum("n_k").cast("bigint").alias("n"))
+    facts = spark.createDataFrame(
+        [(k, float(f)) for k, f in enumerate(_FACTS)], "k bigint, kfact double"
+    )
+    pts = (
+        hist.join(F.broadcast(facts), on="k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_k",
+            F.round(
+                F.log(F.col("kfact") * F.col("n_k") / F.col("n")), 9
+            ).alias("phi"),
+        )
+    )
+    return pts.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.max("n").alias("n_orders"),
+        F.round(F.regr_slope("phi", F.col("k") * 1.0), 6).alias(
+            "slope_ln_lambda"
+        ),
+        F.round(
+            F.exp(F.regr_slope("phi", F.col("k") * 1.0)), 6
+        ).alias("lambda_hat"),
+        F.round(F.regr_r2("phi", F.col("k") * 1.0), 6).alias(
+            "linearity_r2"
+        ),
+    )
