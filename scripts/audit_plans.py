@@ -178,6 +178,11 @@ EXPECTATIONS = {
     "distance_correlation_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R300: inherits the KN component's 1-row distinct-bigram scalar
+    # BNLJ (see kneser_ney_bigram_quality)
+    "corpus_quality_scorecard": dict(
+        pushed=False, broadcast=True, cartesian=True
+    ),
     # R299: 1-row order-total scalar crossed onto the <=13-row
     # basket-size histogram (scalar BNLJ by design)
     "poissonness_basket_sizes": dict(

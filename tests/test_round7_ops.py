@@ -2259,3 +2259,54 @@ def test_poissonness_matches_numpy(spark):
     # when the plot is near-linear, lambda_hat tracks the mean count
     if got["linearity_r2"] > 0.95:
         assert abs(got["lambda_hat"] - float(k.mean())) < 2.0
+
+
+def test_corpus_scorecard_consistent_with_components(spark):
+    """R300 referee: the scorecard must aggregate exactly what the
+    component gates emit (stage-consistency, the composed-flagship
+    discipline), and every source appears once."""
+    from zoom_spark.queries.round7_ops import (
+        boilerplate_segment_removal,
+        corpus_quality_scorecard,
+        kneser_ney_bigram_quality,
+        lexical_diversity_docs,
+    )
+
+    rows = {
+        r["source"]: r
+        for r in corpus_quality_scorecard(spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+    )
+    kn = {
+        r["doc_id"]: r["avg_kn_logprob"]
+        for r in kneser_ney_bigram_quality(spark, SF_DIR).collect()
+    }
+    lex = {
+        r["doc_id"]: (r["ttr"], r["n_tokens"])
+        for r in lexical_diversity_docs(spark, SF_DIR).collect()
+    }
+    bp = {
+        r["doc_id"]: (r["n_segments"], r["n_dropped"])
+        for r in boilerplate_segment_removal(spark, SF_DIR).collect()
+    }
+    common = set(kn) & set(lex) & set(bp)
+    sub = docs[docs["doc_id"].isin(common)]
+    assert set(rows) == set(sub["source"].unique())
+    for src, g in sub.groupby("source"):
+        ids = g["doc_id"].tolist()
+        r = rows[src]
+        assert r["n_docs"] == len(ids)
+        assert (
+            abs(r["avg_kn_logprob"] - sum(kn[i] for i in ids) / len(ids))
+            < 1e-4
+        )
+        assert (
+            abs(r["avg_ttr"] - sum(lex[i][0] for i in ids) / len(ids))
+            < 1e-4
+        )
+        segs = sum(bp[i][0] for i in ids)
+        drops = sum(bp[i][1] for i in ids)
+        assert abs(r["boilerplate_share"] - drops / segs) < 1e-6
+        assert r["total_tokens"] == sum(lex[i][1] for i in ids)

@@ -5246,3 +5246,71 @@ def poissonness_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "linearity_r2"
         ),
     )
+
+
+def _scorecard_oracle_sql() -> str:
+    """Composes the already-gated per-doc oracles (KN logprob, lexical
+    diversity, boilerplate removal) as CTEs — the oracle is literally
+    the component oracles joined, so scorecard consistency is
+    inherited from their hashes."""
+    from zoom_spark.queries import ORACLE
+
+    kn = ORACLE["kneser_ney_bigram_quality"].strip()
+    lex = ORACLE["lexical_diversity_docs"].strip()
+    bp = ORACLE["boilerplate_segment_removal"].strip()
+    return f"""
+    WITH kn AS ({kn}),
+    lex AS ({lex}),
+    bp AS ({bp})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(kn.avg_kn_logprob), 6) AS avg_kn_logprob,
+           round(avg(lex.ttr), 6) AS avg_ttr,
+           round(sum(bp.n_dropped) * 1.0 / sum(bp.n_segments), 6)
+             AS boilerplate_share,
+           CAST(sum(lex.n_tokens) AS BIGINT) AS total_tokens
+    FROM documents d
+    JOIN kn ON kn.doc_id = d.doc_id
+    JOIN lex ON lex.doc_id = d.doc_id
+    JOIN bp ON bp.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register("corpus_quality_scorecard", sql=_scorecard_oracle_sql())
+def corpus_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R300 composed per-source corpus quality scorecard: the round-7
+    text gates joined into the one table a data-sourcing review reads
+    — per source the Kneser-Ney LM fluency, mean type-token ratio,
+    boilerplate segment share, and token volume. Composition at the
+    operator level (the engine calls the REGISTERED queries and joins
+    their outputs; the oracle embeds the component oracles as CTEs),
+    so the scorecard is consistent-by-construction with every
+    component's own hash gate — the same flagship-composition pattern
+    as pretrain_corpus_pipeline and lakehouse_maintenance_pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    kn = kneser_ney_bigram_quality(spark, sf_dir).select(
+        "doc_id", "avg_kn_logprob"
+    )
+    lex = lexical_diversity_docs(spark, sf_dir).select(
+        "doc_id", "ttr", "n_tokens"
+    )
+    bp = boilerplate_segment_removal(spark, sf_dir).select(
+        "doc_id", "n_segments", "n_dropped"
+    )
+    j = (
+        docs.join(kn, on="doc_id")
+        .join(lex, on="doc_id")
+        .join(bp, on="doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("avg_kn_logprob"), 6).alias("avg_kn_logprob"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        F.round(
+            F.sum("n_dropped") * 1.0 / F.sum("n_segments"), 6
+        ).alias("boilerplate_share"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
