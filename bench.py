@@ -157,6 +157,7 @@ HEADLINE = [
     "matrix_profile_revenue",         # day-frame motif/discord mining
     "abc_xyz_inventory",              # weekly demand class matrix
     "community_labels_copurchase",    # sync LPA (now oracle-hashed)
+    "corpus_quality_scorecard",       # composed KN+diversity+boilerplate
 ]
 
 
