@@ -254,11 +254,11 @@ EXPECTATIONS = {
     "two_segment_trend_fit": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
-    # R273: the cumulative-share rank runs over the PART frame (the
-    # catalog dimension, vocabulary-sized vs lineitem; the two-phase
-    # grouped machinery is the 100 TB route) + 1-row grand-total BNLJ
+    # R273: cumulative share now routes through the two-phase
+    # prefix_sum (range shuffle + O(P) offsets); remaining waiver is
+    # the 1-row grand-total scalar BNLJ only.
     "abc_xyz_inventory": dict(
-        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+        pushed=False, broadcast=False, cartesian=True
     ),
     # R270: the median window and count() run over the 32-row bucket
     # frame; 1-row raw-mean/min-n scalars crossed on (scalar BNLJ)

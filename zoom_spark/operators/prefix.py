@@ -26,19 +26,21 @@ from pyspark.sql import functions as F
 
 def prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds `out_col` = inclusive running sum of `value_col` in
-    ascending `order_col` order. `order_col` values must be unique
-    (they define the global order)."""
+    ascending `order_col` order (a column name or a list of names —
+    the combined key must be unique: it defines the global order)."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, F.col(order_col)).withColumn(
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(p, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    w = Window.partitionBy("_pid").orderBy(*cols)
     # MATERIALIZE before fanning out to two consumers (the totals
     # collect and the final join): repartitionByRange samples its
     # boundaries per execution, so re-evaluating `local` in each

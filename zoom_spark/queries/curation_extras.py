@@ -310,7 +310,16 @@ def _kcore_oracle_sql(rounds: int = 16, k: int = 3) -> str:
         + ",\n    ".join(parts)
         + f"""
     SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
-    FROM e{rounds} GROUP BY a HAVING count(*) >= {k}"""
+    FROM e{rounds} GROUP BY a HAVING count(*) >= {k}
+    UNION ALL
+    -- convergence sentinel: peeling is monotone (edge set only
+    -- shrinks), so equal edge counts in the last two rounds proves
+    -- the fixpoint was reached inside the unroll depth. If a larger
+    -- SF ever needs more rounds, this row makes the gate fail LOUDLY
+    -- (the engine never emits node=-1) instead of silently diverging.
+    SELECT -1 AS node, CAST(-1 AS BIGINT) AS core_deg
+    WHERE (SELECT count(*) FROM e{rounds})
+       <> (SELECT count(*) FROM e{rounds - 1})"""
     )
 
 

@@ -1771,9 +1771,10 @@ GMM_ITERS = 5
 def _gmm_oracle_sql(iters: int = GMM_ITERS) -> str:
     """Unrolled 2-component 1-d EM oracle (chained MATERIALIZED CTEs,
     one E+M pass per iteration). Parameters are snapped to the 9dp
-    grid after every M step — the pagerank quantization schedule — so
-    responsibility sums (the only cross-engine drift source) restart
-    from bit-identical params each round."""
+    grid after every M step — the pagerank quantization schedule, in
+    the repo's shared HALF-UP floor(x*1e9+0.5)/1e9 spelling on BOTH
+    sides — so responsibility sums (the only cross-engine drift
+    source) restart from bit-identical params each round."""
     head = """x AS MATERIALIZED (
       SELECT round(ln(o_totalprice), 6) AS x FROM orders
     ),
@@ -1800,13 +1801,14 @@ def _gmm_oracle_sql(iters: int = GMM_ITERS) -> str:
       SELECT x, f1 / (f1 + f2) AS r FROM e{i}
     ),
     p{i} AS MATERIALIZED (
-      SELECT round(avg(r), 9) AS w1,
-             round(sum(r * x) / sum(r), 9) AS mu1,
-             round(sum(r * x * x) / sum(r)
-                   - pow(sum(r * x) / sum(r), 2), 9) AS v1,
-             round(sum((1 - r) * x) / sum(1 - r), 9) AS mu2,
-             round(sum((1 - r) * x * x) / sum(1 - r)
-                   - pow(sum((1 - r) * x) / sum(1 - r), 2), 9) AS v2
+      SELECT floor(avg(r) * 1e9 + 0.5) / 1e9 AS w1,
+             floor(sum(r * x) / sum(r) * 1e9 + 0.5) / 1e9 AS mu1,
+             floor((sum(r * x * x) / sum(r)
+                   - pow(sum(r * x) / sum(r), 2)) * 1e9 + 0.5) / 1e9 AS v1,
+             floor(sum((1 - r) * x) / sum(1 - r) * 1e9 + 0.5) / 1e9 AS mu2,
+             floor((sum((1 - r) * x * x) / sum(1 - r)
+                   - pow(sum((1 - r) * x) / sum(1 - r), 2)) * 1e9 + 0.5)
+               / 1e9 AS v2
       FROM r{i}
     )"""
         )
@@ -1825,9 +1827,11 @@ def _gmm_oracle_sql(iters: int = GMM_ITERS) -> str:
         FROM x CROSS JOIN p{iters} p
       )
     )
-    SELECT round(p.w1, 6) AS w1,
-           round(p.mu1, 6) AS mu1, round(sqrt(p.v1), 6) AS sigma1,
-           round(p.mu2, 6) AS mu2, round(sqrt(p.v2), 6) AS sigma2,
+    SELECT floor(p.w1 * 1e6 + 0.5) / 1e6 AS w1,
+           floor(p.mu1 * 1e6 + 0.5) / 1e6 AS mu1,
+           floor(sqrt(p.v1) * 1e6 + 0.5) / 1e6 AS sigma1,
+           floor(p.mu2 * 1e6 + 0.5) / 1e6 AS mu2,
+           floor(sqrt(p.v2) * 1e6 + 0.5) / 1e6 AS sigma2,
            ll.loglik, ll.n
     FROM p{iters} p CROSS JOIN ll"""
     )
@@ -1886,11 +1890,16 @@ def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(1 - F.col("r"))
             ).alias("m2_2"),
         ).first()
-        w1 = round(m["w1"], 9)
-        mu1 = round(m["mu1"], 9)
-        v1 = round(m["m2_1"] - m["mu1"] * m["mu1"], 9)
-        mu2 = round(m["mu2"], 9)
-        v2 = round(m["m2_2"] - m["mu2"] * m["mu2"], 9)
+        # HALF-UP 9dp snap — the repo's shared floor(x*1e9+0.5)/1e9
+        # spelling (matches the oracle's identical spelling; Python
+        # round() is half-to-even and can flip a hash on a half-grid
+        # landing, the round-6 JL failure mode).
+        snap9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+        w1 = snap9(m["w1"])
+        mu1 = snap9(m["mu1"])
+        v1 = snap9(m["m2_1"] - m["mu1"] * m["mu1"])
+        mu2 = snap9(m["mu2"])
+        v2 = snap9(m["m2_2"] - m["mu2"] * m["mu2"])
     f1 = (
         F.lit(w1)
         * F.exp(-(F.col("x") - mu1) * (F.col("x") - mu1) / (2 * v1))
@@ -1905,12 +1914,13 @@ def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.log(f1 + f2)), 4).alias("loglik"),
         F.count("*").cast("bigint").alias("n"),
     )
+    snap6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
     return ll.select(
-        F.lit(round(w1, 6)).alias("w1"),
-        F.lit(round(mu1, 6)).alias("mu1"),
-        F.lit(round(math.sqrt(v1), 6)).alias("sigma1"),
-        F.lit(round(mu2, 6)).alias("mu2"),
-        F.lit(round(math.sqrt(v2), 6)).alias("sigma2"),
+        F.lit(snap6(w1)).alias("w1"),
+        F.lit(snap6(mu1)).alias("mu1"),
+        F.lit(snap6(math.sqrt(v1))).alias("sigma1"),
+        F.lit(snap6(mu2)).alias("mu2"),
+        F.lit(snap6(math.sqrt(v2))).alias("sigma2"),
         "loglik",
         "n",
     )
@@ -2383,7 +2393,17 @@ def _er_oracle_sql(rounds: int = ER_CC_ROUNDS) -> str:
            CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names,
            CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands
     FROM l{rounds} l JOIN p ON p.p_partkey = l.id
-    GROUP BY l.lab"""
+    GROUP BY l.lab
+    UNION ALL
+    -- convergence sentinel: min-label propagation is monotone (each
+    -- label only decreases), so an unchanged label SUM in the last
+    -- two rounds proves the fixpoint landed inside the unroll depth;
+    -- otherwise emit a row the engine never produces so the gate
+    -- fails loudly at any SF where {rounds} rounds are not enough.
+    SELECT -1 AS entity_id, CAST(-1 AS BIGINT) AS n_members,
+           CAST(-1 AS BIGINT) AS n_names, CAST(-1 AS BIGINT) AS n_brands
+    WHERE (SELECT sum(lab) FROM l{rounds})
+       <> (SELECT sum(lab) FROM l{rounds - 1})"""
     )
 
 
@@ -2854,10 +2874,10 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     erratic). Output: the 9-cell class matrix with part counts and
     revenue — the artifact that routes A/X parts to tight forecasting
     and C/Z to make-to-order. Scale shape: one (part, week) aggregate,
-    one per-part rollup, ONE ranked prefix-share window over the part
-    frame (at 100 TB: the two-phase prefix.grouped machinery), all
-    moments cent-grid/integer with 6dp CV inputs."""
-    from pyspark.sql import Window
+    one per-part rollup, then the two-phase prefix_sum (range shuffle +
+    O(P) offsets) for the ranked revenue share — no single-task global
+    window anywhere; all moments cent-grid/integer with 6dp CV inputs."""
+    from zoom_spark.operators.prefix import prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     wk = F.floor(
@@ -2879,12 +2899,20 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_weeks"),
     )
     tot = per_part.agg(F.round(F.sum("rev"), 2).alias("grand"))
-    wrank = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = per_part.crossJoin(F.broadcast(tot)).withColumn(
+    # Two-phase prefix sum instead of an unpartitioned ranked window:
+    # the part dimension grows with SF, so the single-task global
+    # window is the one stage that would stop scaling. Cumulative sums
+    # of 2dp prices are cent-grid exact in double, so the re-ordered
+    # partial summation is bit-identical to the sequential window.
+    cum = prefix_sum(
+        per_part.withColumn("_negrev", -F.col("rev")),
+        ["_negrev", "l_partkey"],
+        "rev",
+        out_col="_cum_rev",
+    ).drop("_negrev")
+    ranked = cum.crossJoin(F.broadcast(tot)).withColumn(
         "cum_share",
-        F.round(F.sum("rev").over(wrank) / F.col("grand"), 9),
+        F.round(F.col("_cum_rev") / F.col("grand"), 9),
     )
     cls = ranked.select(
         "rev",
