@@ -446,7 +446,14 @@ def write_stream_scd2(
     replaying after a crash re-derive the same history because the
     apply is keyed on (key, valid_from): a version already in the
     table overwrites itself, not duplicates (idempotent under
-    at-least-once foreachBatch)."""
+    at-least-once foreachBatch).
+
+    Scale note: each micro-batch rewrites the WHOLE history table
+    (O(table) per batch) — the honest cost of an SCD2 sink on plain
+    parquet, where closing a row means rewriting its file. At
+    warehouse scale the same foreachBatch body targets a format with
+    row-level MERGE (Delta/Iceberg), turning the rewrite into
+    O(touched files); the fold/dedupe logic above is unchanged."""
     import os
 
     from pyspark.sql.window import Window
@@ -472,8 +479,15 @@ def write_stream_scd2(
                 .limit(0)
             )
         # versions within the batch apply in ts order; dedupe exact
-        # (key, ts) replays so a re-delivered row is a no-op
-        w = Window.partitionBy(key, ts_col).orderBy(F.col(ts_col))
+        # (key, ts) replays so a re-delivered row is a no-op. The
+        # tie-break inside a (key, ts) partition orders by the
+        # REMAINING attribute columns — with only ts (constant in the
+        # partition) the survivor among two conflicting same-(key,ts)
+        # rows would be nondeterministic, not a replay no-op.
+        attr_cols = [c for c in df.columns if c not in (key, ts_col)]
+        w = Window.partitionBy(key, ts_col).orderBy(
+            *[F.col(c).asc_nulls_first() for c in attr_cols]
+        )
         batch = (
             df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
@@ -496,7 +510,7 @@ def write_stream_scd2(
             key=lambda r: r[0],
         )
         table = existing
-        for (v,) in versions:
+        for i, (v,) in enumerate(versions):
             table = scd2_close_and_insert(
                 table,
                 pending.where(F.col(ts_col) == v),
@@ -504,6 +518,14 @@ def write_stream_scd2(
                 ts_col,
                 open_end=open_end,
             )
+            # truncate the folded lineage every few versions: each
+            # close-and-insert layers a join+union on the last, so a
+            # timestamp-rich batch would otherwise build an
+            # arbitrarily deep uncheckpointed plan before the single
+            # staging write (at warehouse scale: persist(DISK_ONLY)
+            # or a checkpoint dir instead of localCheckpoint)
+            if (i + 1) % 4 == 0:
+                table = table.localCheckpoint(eager=False)
         staging = f"{path}.__staging__"
         table.write.mode("overwrite").parquet(staging)
         final = spark.read.parquet(staging)
