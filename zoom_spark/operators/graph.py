@@ -419,7 +419,7 @@ def local_clustering(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFr
 
 def k_truss(
     edges: DataFrame, k: int = 4, src: str = "u", dst: str = "v",
-    max_iters: int = 20,
+    max_iters: int = 50, assume_deduped: bool = False,
 ) -> DataFrame:
     """k-truss decomposition: iteratively delete every edge supported
     by fewer than k-2 triangles until fixpoint. Returns the surviving
@@ -428,72 +428,208 @@ def k_truss(
     trusses are cohesive cores robust to spurious links; the edge
     analog of k-core, which prunes by degree).
 
-    Each round: orient the CURRENT edge set by (degree, id), find
-    triangles once each via the bounded wedge join (compact-forward),
-    explode each triangle onto its three edges, count per-edge
-    support, filter. The loop is the CC/pagerank shape — one
-    wedge-join round per iteration, lineage truncated via lazy
-    localCheckpoint, driver-side count only to detect the fixpoint.
-    Support counting is exact, so the result is deterministic
-    regardless of partitioning."""
-    cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
+    Incremental support maintenance (the standard truss-peeling
+    optimization) instead of re-enumerating all triangles per round:
+
+    1. Enumerate triangles ONCE by degree-oriented adjacency
+       intersection: orient every edge low→high (degree, id) order,
+       build each node's out-neighbor set (bounded ~sqrt(m) by the
+       orientation), then per edge (a,b) the third vertices are
+       array_intersect(adj[a], adj[b]) — one groupBy plus one keyed
+       join of the edge list against the node-sized adjacency table;
+       no wedge-row shuffle (wedges can be 20x the triangle count).
+    2. The triangle table T is checkpointed and NEVER rewritten in
+       the loop. Deleted edges accumulate in a death-round-tagged set
+       D; each round flags T against D (broadcast when small — three
+       map-side hash joins in one whole-stage-codegen scan): a
+       triangle whose earliest edge-death round == r is destroyed
+       THIS round, and decrements exactly its still-alive edges.
+       A triangle is destroyed exactly once, so a surviving edge's
+       final support equals its live-triangle count — identical to
+       recounting from scratch, at per-round cost O(scan T) with no
+       shuffle of T.
+    3. Support-0 edges are in NO live triangle by definition, so
+       they drop out without touching T at all.
+    4. If the cumulative deleted set outgrows the broadcast budget
+       (a giant cascade — the 100 TB regime where D stops being
+       model-sized), compact: rewrite T to the live triangles, reset
+       D, and continue — per-round work returns to the affected
+       neighborhood of a small D.
+
+    Lineage is truncated via lazy localCheckpoint; driver exchanges
+    are one 2-long aggregate per round. Deterministic regardless of
+    partitioning (support counting is exact). ``assume_deduped=True``
+    skips the defensive distinct (a full edge shuffle) for callers
+    whose edge build already guarantees distinct normalized pairs."""
+    cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_deduped:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint(eager=False)
+    oriented = orient_edges(cur, src="u", dst="v").localCheckpoint(
+        eager=False
+    )
+    adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    tri = (
+        oriented.select("src", "dst")
+        .join(
+            adj.select(F.col("src").alias("_a"), F.col("nbrs").alias("na")),
+            on=F.col("src") == F.col("_a"),
+        )
+        .join(
+            adj.select(F.col("src").alias("_b"), F.col("nbrs").alias("nb")),
+            on=F.col("dst") == F.col("_b"),
+        )
+        .select(
+            "src", "dst", F.explode(F.array_intersect("na", "nb")).alias("w")
+        )
+        .select(
+            F.least("src", "dst").alias("u1"),
+            F.greatest("src", "dst").alias("v1"),
+            F.least("src", "w").alias("u2"),
+            F.greatest("src", "w").alias("v2"),
+            F.least("dst", "w").alias("u3"),
+            F.greatest("dst", "w").alias("v3"),
+        )
         .localCheckpoint(eager=False)
     )
-    n_edges = cur.count()
-    for _ in range(max_iters):
-        oriented = orient_edges(cur, src="u", dst="v")
-        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-        tri = (
-            e1.join(e2, on="src")
-            .where(F.col("e1.dst_ord") < F.col("e2.dst_ord"))
-            .select(
-                "src",
-                F.col("e1.dst").alias("wv"),
-                F.col("e2.dst").alias("ww"),
-            )
-            .join(
-                oriented.select(
-                    F.col("src").alias("wv"), F.col("dst").alias("ww")
-                ),
-                on=["wv", "ww"],
-            )
-        )
-        # explode each triangle onto its three UNDIRECTED edges
-        # (normalize to u < v so support keys match the edge list)
-        tri_edges = tri.select(
+    support = (
+        tri.select(
             F.explode(
                 F.array(
-                    F.struct(
-                        F.least("src", "wv").alias("u"),
-                        F.greatest("src", "wv").alias("v"),
-                    ),
-                    F.struct(
-                        F.least("src", "ww").alias("u"),
-                        F.greatest("src", "ww").alias("v"),
-                    ),
-                    F.struct(
-                        F.least("wv", "ww").alias("u"),
-                        F.greatest("wv", "ww").alias("v"),
-                    ),
+                    F.struct(F.col("u1").alias("u"), F.col("v1").alias("v")),
+                    F.struct(F.col("u2").alias("u"), F.col("v2").alias("v")),
+                    F.struct(F.col("u3").alias("u"), F.col("v3").alias("v")),
                 )
             ).alias("e")
-        ).select("e.u", "e.v")
-        support = tri_edges.groupBy("u", "v").agg(
-            F.count("*").cast("bigint").alias("support")
         )
-        nxt = (
-            cur.join(support, on=["u", "v"], how="left")
-            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
-            .select("u", "v", "support")
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    sup0 = (
+        cur.join(support, on=["u", "v"], how="left")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("support"), F.lit(0).cast("bigint")).alias(
+                "support"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    BCAST_MAX = 2_000_000  # rows of (u, v, died) kept broadcastable
+
+    def _sup_now(base, dec_cum):
+        """Current support = frozen base support minus accumulated
+        decrements (dec_cum is the small broadcast side)."""
+        if dec_cum is None:
+            return base.select(
+                "u", "v", F.col("support").alias("supn")
+            )
+        return (
+            base.join(F.broadcast(dec_cum), on=["u", "v"], how="left")
+            .select(
+                "u",
+                "v",
+                (
+                    F.col("support") - F.coalesce(F.col("_dec"), F.lit(0))
+                ).alias("supn"),
+            )
+        )
+
+    def _not_dead(frame, d_cum):
+        if d_cum is None:
+            return frame
+        return frame.join(
+            F.broadcast(d_cum.select("u", "v")), on=["u", "v"], how="left_anti"
+        )
+
+    d_cum: DataFrame | None = None   # (u, v, died): edges peeled so far
+    dec_cum: DataFrame | None = None  # (u, v, _dec): support decrements
+    n_dead = 0
+    for rnd in range(max_iters):
+        # edges dying THIS round: alive, in >= 1 live triangle, below
+        # threshold. Support-0 edges never touch the triangle table and
+        # fall out in the final filter, so the fixpoint condition is
+        # "no alive positive-support edge is sub-threshold".
+        batch = (
+            _not_dead(_sup_now(sup0, dec_cum), d_cum)
+            .where((F.col("supn") < k - 2) & (F.col("supn") > 0))
+            .select("u", "v", F.lit(rnd).alias("died"))
             .localCheckpoint(eager=False)
         )
-        n_next = nxt.count()
-        if n_next == n_edges:
-            return nxt
-        n_edges = n_next
-        cur = nxt.select("u", "v")
-        if n_edges == 0:
-            return nxt
-    return nxt
+        n_active = batch.count()
+        if n_active == 0:
+            break
+        d_cum = (
+            batch
+            if d_cum is None
+            else d_cum.unionByName(batch).localCheckpoint(eager=False)
+        )
+        n_dead += n_active
+        small = n_dead <= BCAST_MAX
+        flagged = tri
+        for i in (1, 2, 3):
+            d_i = d_cum.select(
+                F.col("u").alias(f"u{i}"),
+                F.col("v").alias(f"v{i}"),
+                F.col("died").alias(f"_d{i}"),
+            )
+            if small:
+                d_i = F.broadcast(d_i)
+            flagged = flagged.join(d_i, on=[f"u{i}", f"v{i}"], how="left")
+        # a triangle dies the FIRST round any of its edges dies
+        # (F.least skips NULLs); decrements apply to its edges that
+        # are still alive (no death round)
+        destroyed_now = flagged.where(F.least("_d1", "_d2", "_d3") == rnd)
+        dec_now = (
+            destroyed_now.select(
+                F.explode(
+                    F.filter(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.col(f"u{i}").alias("u"),
+                                    F.col(f"v{i}").alias("v"),
+                                    F.col(f"_d{i}").alias("died"),
+                                )
+                                for i in (1, 2, 3)
+                            ]
+                        ),
+                        lambda e: e["died"].isNull(),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+            .agg(F.count("*").cast("bigint").alias("_dec"))
+        )
+        dec_cum = (
+            dec_now
+            if dec_cum is None
+            else dec_cum.unionByName(dec_now)
+            .groupBy("u", "v")
+            .agg(F.sum("_dec").cast("bigint").alias("_dec"))
+        ).localCheckpoint(eager=False)
+        if not small:
+            # giant-cascade compaction (the 100 TB regime where the
+            # peeled set stops being model-sized): fold decrements into
+            # a fresh base support, shrink T to live triangles, reset
+            # the small-state frames — later rounds return to cheap
+            # broadcast flagging over the affected neighborhood
+            sup0 = (
+                _not_dead(_sup_now(sup0, dec_cum), d_cum)
+                .select("u", "v", F.col("supn").alias("support"))
+                .localCheckpoint(eager=False)
+            )
+            tri = (
+                flagged.where(F.least("_d1", "_d2", "_d3").isNull())
+                .select("u1", "v1", "u2", "v2", "u3", "v3")
+                .localCheckpoint(eager=False)
+            )
+            d_cum, dec_cum, n_dead = None, None, 0
+    # a dead edge's support froze below k-2 at death (decrements only
+    # apply to alive edges), so one threshold filter excludes every
+    # peeled edge and the support-0 stragglers alike
+    return _sup_now(sup0, dec_cum).where(F.col("supn") >= k - 2).select(
+        "u", "v", F.col("supn").alias("support")
+    )

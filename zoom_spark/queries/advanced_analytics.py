@@ -621,18 +621,32 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
+    """Distinct co-purchase edges (u < v): parts appearing in the same
+    order. Basket-explode build — ONE groupBy on the order key, each
+    basket's sorted part set expanded to its pairs map-side — instead
+    of the lineitem self-join (which shuffles the fact table twice and
+    re-joins it). Identical edge set; per-basket pair expansion is
+    quadratic only in BASKET size (orders hold a handful of parts at
+    any SF — the co-purchase notion itself caps it), so the explode
+    stays linear in lineitem rows at 100 TB. A retail-scale variant
+    with giant baskets would cap/sample baskets first."""
+    grp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a, b = li.alias("a"), li.alias("b")
     return (
-        a.join(b, on="l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i+2, size(ps)), "
+                    "y -> struct(x as u, y as v))))"
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v")
         .distinct()
     )
 
@@ -1146,11 +1160,13 @@ def k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteratively delete edges supported by < 2 triangles to fixpoint —
     the dense-core extraction that survives spurious co-occurrence
     links, refining co_purchase_triangles (global count) and
-    local_clustering_parts (per-node) down to the edge level. One
-    bounded wedge-join round per iteration, CC/pagerank loop shape.
+    local_clustering_parts (per-node) down to the edge level. ONE
+    bounded wedge-join triangle enumeration, then incremental support
+    maintenance per peel round (deleted edges ⋈ live triangles — the
+    affected neighborhood, not the graph).
     Referee: pure-Python iterative peeling on the same graph."""
     from zoom_spark.operators.graph import k_truss
 
-    return k_truss(_co_purchase_edges(spark, sf_dir), k=4).orderBy(
-        "u", "v"
-    )
+    return k_truss(
+        _co_purchase_edges(spark, sf_dir), k=4, assume_deduped=True
+    ).orderBy("u", "v")
