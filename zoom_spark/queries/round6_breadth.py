@@ -159,35 +159,54 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ~3M pairs at 100 TB exactly as at sf0.01) — the same bound the
     RANGE-frame whitelist queries rely on. Medians are Spark's exact
     percentile over that bounded frame."""
+    from zoom_spark.operators.prefix import global_row_number
+
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-        ).alias("d")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    a_, b_ = daily.alias("a"), daily.alias("b")
-    slopes = (
-        a_.join(b_, F.col("a.d") < F.col("b.d"))
-        .select(
-            (
-                (F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))
-            ).alias("slope")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d")
         )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .localCheckpoint(eager=False)
     )
-    m = slopes.agg(
-        F.percentile("slope", F.lit(0.5)).alias("slope"),
-        F.count("*").cast("bigint").alias("n_pairs"),
+    # the pair count is C(n,2) by construction — a calendar-bounded
+    # driver scalar, no count over the pair frame needed
+    nd = daily.count()
+    n_pairs = nd * (nd - 1) // 2
+    mid_lo, mid_hi = (n_pairs + 1) // 2, (n_pairs + 2) // 2
+    a_, b_ = daily.alias("a"), daily.alias("b")
+    slopes = a_.join(b_, F.col("a.d") < F.col("b.d")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope")
+    )
+    # exact median via the two-phase global rank (range shuffle +
+    # O(P) offsets) and a middle-rank pick — NOT F.percentile, whose
+    # ObjectHashAggregate buffers every pair value into one
+    # single-partition merge (the stage that dies first at scale).
+    # Even count averages the two middles, exactly DuckDB median().
+    m = (
+        global_row_number(slopes, ["slope"], out_col="rn")
+        .where(F.col("rn").isin(mid_lo, mid_hi))
+        .agg(F.avg("slope").alias("slope"))
     )
     resid = daily.join(F.broadcast(m)).agg(
         F.count("*").cast("bigint").alias("n_days"),
-        F.first("n_pairs").alias("n_pairs"),
         F.round(F.first("slope"), 6).alias("slope"),
         F.round(
             F.percentile(F.col("rev") - F.col("slope") * F.col("d"), F.lit(0.5)),
             4,
         ).alias("intercept"),
     )
-    return resid.select("n_days", "n_pairs", "slope", "intercept")
+    return resid.select(
+        "n_days",
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        "slope",
+        "intercept",
+    )
 
 
 @register(

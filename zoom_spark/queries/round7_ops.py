@@ -2606,10 +2606,12 @@ def matrix_profile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, sums of squares, cross dots) an EXACT cent-grid double —
     both engines compute bit-identical distances, 9dp-rounded before
     the argmin so ties break identically (then by neighbor index).
-    The pair/dot joins run over the calendar-bounded day frame
-    (<=|days|^2 * w multiply rows at any SF — the repo's documented
-    bounded-quadratic class; at true sequence scale the STOMP/FFT
-    recurrence replaces the pair join)."""
+    Dots use the STOMP diagonal formulation: pairwise products along
+    each diagonal d = ib - ia (a calendar-bounded ~days^2/2 frame at
+    ANY SF), then ONE sliding window sum per diagonal — ~|days|
+    well-balanced window partitions instead of the w-distinct-key
+    skew join of the naive window-row spelling (which funnels
+    |days|^2 * w rows through w tasks)."""
     from pyspark.sql import Window
 
     od = load_table(spark, sf_dir, "orders")
@@ -2623,29 +2625,51 @@ def matrix_profile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     n = pos.count()
     a, b = pos.alias("a"), pos.alias("b")
-    wins = (
-        a.join(
-            b,
-            (F.col("b.i") >= F.col("a.i"))
-            & (F.col("b.i") <= F.col("a.i") + (MP_W - 1)),
-        )
-        .where(F.col("a.i") + (MP_W - 1) <= n - 1)
-        .select(
-            F.col("a.i").alias("i"),
-            (F.col("b.i") - F.col("a.i")).alias("k"),
-            F.col("b.rev").alias("x"),
-        )
-        .localCheckpoint(eager=False)
+    # products along diagonals beyond the exclusion zone; diagonal
+    # rows are contiguous in i, so a ROWS sliding frame is the exact
+    # window dot: dot(i, i+d) = sum_{k<w} x[i+k] * x[i+d+k]
+    prod = a.join(b, F.col("b.i") - F.col("a.i") > MP_EXCL).select(
+        F.col("a.i").alias("i"),
+        (F.col("b.i") - F.col("a.i")).alias("diag"),
+        (F.col("a.rev") * F.col("b.rev")).alias("p"),
     )
-    mom = wins.groupBy("i").agg(
-        F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("ss")
+    w_diag = (
+        Window.partitionBy("diag").orderBy("i").rowsBetween(0, MP_W - 1)
     )
-    wa, wb = wins.alias("wa"), wins.alias("wb")
-    dots = (
-        wa.join(wb, on="k")
-        .where(F.abs(F.col("wa.i") - F.col("wb.i")) > MP_EXCL)
-        .groupBy(F.col("wa.i").alias("ia"), F.col("wb.i").alias("ib"))
-        .agg(F.sum(F.col("wa.x") * F.col("wb.x")).alias("dot"))
+    dots_d = (
+        prod.select(
+            "i",
+            "diag",
+            F.sum("p").over(w_diag).alias("dot"),
+            F.count("p").over(w_diag).alias("_cnt"),
+        )
+        .where(F.col("_cnt") == MP_W)  # == both windows fit in [0, n)
+    )
+    half = dots_d.select(
+        F.col("i").alias("ia"),
+        (F.col("i") + F.col("diag")).alias("ib"),
+        "dot",
+    )
+    # the distance is symmetric: emit both orientations so every
+    # window's argmin sees all non-trivial neighbors
+    dots = half.unionByName(
+        half.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "dot"
+        )
+    )
+    # per-window moments: one sliding frame over the day sequence
+    # (calendar-bounded single-task window, the repo's documented
+    # bounded class — same frame as the position index above)
+    w_mom = Window.orderBy("i").rowsBetween(0, MP_W - 1)
+    mom = (
+        pos.select(
+            "i",
+            F.sum("rev").over(w_mom).alias("s"),
+            F.sum(F.col("rev") * F.col("rev")).over(w_mom).alias("ss"),
+            F.count("rev").over(w_mom).alias("_cnt"),
+        )
+        .where(F.col("_cnt") == MP_W)
+        .drop("_cnt")
     )
     ma = mom.select(
         F.col("i").alias("ia"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
