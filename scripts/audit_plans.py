@@ -673,6 +673,12 @@ EXPECTATIONS = {
     # day-level pre-agg self-join (calendar-bounded theta join) + 1-row
     # median-slope frame broadcast back (BNLJ by design)
     "theil_sen_revenue_trend": dict(pushed=False, broadcast=False, cartesian=True),
+    # R271: STOMP diagonal products — the pair frame is the documented
+    # calendar-bounded day^2 class (same size at any SF), built by a
+    # theta self-join of the ~2.4k-row day sequence (BNLJ by design)
+    "matrix_profile_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # two 1-row scalar normalizers (total chars, sum of weights)
     # broadcast onto the source-level frame (BNLJ by design)
     "mixing_budget_allocation": dict(pushed=False, broadcast=False, cartesian=True),
