@@ -309,6 +309,7 @@ def hits(
     src: str = "hub",
     dst: str = "auth",
     iterations: int = 8,
+    quantize_dp: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """HITS (Kleinberg hubs & authorities) over a DIRECTED edge list —
     the bipartite importance dual: a hub is good because it points at
@@ -321,9 +322,22 @@ def hits(
     once; each half-step is one equi-join + one hash aggregate; the
     L2 normalizer is a 1-row broadcast (never a driver collect); and
     ``localCheckpoint`` truncates lineage so round R does not replay
-    rounds 1..R-1."""
+    rounds 1..R-1.
+
+    ``quantize_dp`` snaps both score vectors to a fixed decimal grid
+    (the repo's shared HALF-UP floor(x*10^dp+0.5) spelling) after
+    every normalization half-step — the pagerank quantization
+    schedule that makes an unrolled SQL oracle replay bit-identical
+    (summation-order drift can never accumulate across rounds)."""
     if iterations < 1:
         raise ValueError(f"hits() needs iterations >= 1, got {iterations}")
+    quant = float(10**quantize_dp) if quantize_dp is not None else None
+
+    def _snap(col):
+        if quant is None:
+            return col
+        return F.floor(col * quant + 0.5) / F.lit(quant)
+
     edges = edges.localCheckpoint(eager=False)
     sc = edges.sparkSession.sparkContext
     n_parts = frame_partitions(sc, edges.count())
@@ -347,7 +361,8 @@ def hits(
             F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nrm")
         )
         hubs = hub_raw.crossJoin(F.broadcast(h_norm)).select(
-            F.col("hub").alias("node"), (F.col("h") / F.col("nrm")).alias("h")
+            F.col("hub").alias("node"),
+            _snap(F.col("h") / F.col("nrm")).alias("h"),
         )
         auth_raw = (
             e.join(hubs, on=e["hub"] == hubs["node"])
@@ -359,7 +374,8 @@ def hits(
             F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm")
         )
         auths = auth_raw.crossJoin(F.broadcast(a_norm)).select(
-            F.col("auth").alias("node"), (F.col("a") / F.col("nrm")).alias("a")
+            F.col("auth").alias("node"),
+            _snap(F.col("a") / F.col("nrm")).alias("a"),
         )
     return hubs, auths
 

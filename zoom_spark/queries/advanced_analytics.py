@@ -1057,7 +1057,56 @@ def community_labels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("community").agg(F.count("*").alias("n_nodes"))
 
 
-@register("hits_supplier_part")  # iterative float fixpoint: rows-only
+def _hits_oracle_sql(iters: int = 8) -> str:
+    """Unrolled mutual-power-method replay (pagerank schedule): both
+    score vectors snapped to the 9dp grid after every L2-normalized
+    half-step, so each round restarts from bit-identical values and
+    summation-order drift can never accumulate across rounds."""
+    head = """e AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS hub, l_partkey AS auth FROM lineitem
+    ),
+    a0 AS MATERIALIZED (
+      SELECT DISTINCT auth AS node, 1.0 AS a FROM e
+    )"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+      SELECT e.hub, sum(p.a) AS h FROM e JOIN a{i-1} p ON p.node = e.auth
+      GROUP BY e.hub
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT hub AS node,
+             floor(h / (SELECT sqrt(sum(h * h)) FROM hr{i}) * 1e9 + 0.5)
+               / 1e9 AS h
+      FROM hr{i}
+    ),
+    ar{i} AS MATERIALIZED (
+      SELECT e.auth, sum(p.h) AS a FROM e JOIN h{i} p ON p.node = e.hub
+      GROUP BY e.auth
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT auth AS node,
+             floor(a / (SELECT sqrt(sum(a * a)) FROM ar{i}) * 1e9 + 0.5)
+               / 1e9 AS a
+      FROM ar{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    th AS (SELECT 'hub' AS side, node AS node_id,
+                  floor(h * 1e6 + 0.5) / 1e6 AS score_q6
+           FROM h{iters} ORDER BY h DESC, node LIMIT 12),
+    ta AS (SELECT 'auth' AS side, node AS node_id,
+                  floor(a * 1e6 + 0.5) / 1e6 AS score_q6
+           FROM a{iters} ORDER BY a DESC, node LIMIT 12)
+    SELECT * FROM th UNION ALL SELECT * FROM ta"""
+    )
+
+
+@register("hits_supplier_part", sql=_hits_oracle_sql())
 def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R195 HITS hubs & authorities over the supplier->part supply
     graph (distinct l_suppkey -> l_partkey edges): suppliers are hubs
@@ -1065,17 +1114,18 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     influential suppliers) — the classic bipartite importance dual
     complementing pagerank_parts. operators/graph.hits: 8 mutual
     power iterations, one equi-join + one aggregate per half-step,
-    1-row broadcast L2 normalizers, lazy checkpoints. Not
-    SQL-expressible (iterative normalization) — rows-only gate; the
-    numpy power-iteration referee in tests pins values. Output: top-12
-    per side with id tie-break."""
+    1-row broadcast L2 normalizers, lazy checkpoints. Oracle-hashed
+    since round 8 via the unrolled-CTE replay with 9dp half-step
+    snapping (quantize_dp=9 — the pagerank schedule); the numpy
+    power-iteration referee in tests stays as the independent check.
+    Output: top-12 per side with id tie-break."""
     from zoom_spark.operators.graph import hits
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("hub"), F.col("l_partkey").alias("auth")
     ).distinct()
-    hubs, auths = hits(edges)
+    hubs, auths = hits(edges, quantize_dp=9)
     top_h = (
         hubs.orderBy(F.col("h").desc(), "node")
         .limit(12)

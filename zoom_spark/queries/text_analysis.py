@@ -476,7 +476,68 @@ def blocklist_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXTRANK_TOPK = 10
 
 
-@register("textrank_keywords")  # iterative float fixpoint: rows-only
+def _textrank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled TextRank replay: the same tokenize → adjacent-pair →
+    75th-percentile threshold graph build, then the pagerank power-
+    method schedule (10 rounds, 9dp HALF-UP snap per round — the
+    engine runs pagerank(quantize_dp=9)) over word-string node ids.
+    Rank values depend only on graph topology, so the engine's dense
+    integer ids and the oracle's word ids agree exactly."""
+    head = r"""tok AS MATERIALIZED (
+      SELECT did, i, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (
+        SELECT row_number() OVER () AS did,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+      ), LATERAL (
+        SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+    ),
+    cnt AS MATERIALIZED (
+      SELECT least(w1, w2) AS wa, greatest(w1, w2) AS wb,
+             count(*) AS n
+      FROM tok WHERE w1 <> w2
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT quantile_cont(n, 0.75) AS t FROM cnt),
+    und AS MATERIALIZED (
+      SELECT wa, wb FROM cnt WHERE n > (SELECT t FROM thr)
+    ),
+    directed AS MATERIALIZED (
+      SELECT wa AS f, wb AS t FROM und UNION ALL SELECT wb, wa FROM und
+    ),
+    outdeg AS MATERIALIZED (SELECT f, count(*) AS d FROM directed GROUP BY f),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM outdeg),
+    r0 AS MATERIALIZED (
+      SELECT f AS node, 1.0 / (SELECT n FROM nn) AS rank FROM outdeg
+    )"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT d.t AS node,
+             floor(((1.0 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * sum(r.rank / o.d)) * 1000000000.0 + 0.5)
+               / 1000000000.0 AS rank
+      FROM directed d
+      JOIN r{i-1} r ON d.f = r.node
+      JOIN outdeg o ON o.f = d.f
+      GROUP BY d.t
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS word,
+           floor(rank * 1000000 + 0.5) / 1000000.0 AS rank_q6
+    FROM r{iterations}
+    ORDER BY rank DESC, node
+    LIMIT 10"""
+    )
+
+
+@register("textrank_keywords", sql=_textrank_oracle_sql())
 def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R207 TextRank (Mihalcea & Tarau): PageRank over the corpus
     word co-occurrence graph — the OTHER classic unsupervised keyword
@@ -485,10 +546,11 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode AFTER pairing), distinct undirected edges feed
     operators/graph.pagerank (10 power iterations, the frame-sized
     partitioning + lazy-checkpoint loop), and the top-{10} words come
-    out as a k-bounded TakeOrdered. Iterative float fixpoint — not
-    SQL-expressible, so rows-only; the numpy power-iteration referee
-    pins values. Word ids are md5-free: the vocabulary frame carries
-    a dense integer id from the two-phase global row number."""
+    out as a k-bounded TakeOrdered. Oracle-hashed since round 8 via
+    the unrolled-CTE pagerank replay with 9dp per-round snapping
+    (quantize_dp=9); the numpy power-iteration referee stays as the
+    independent check. Word ids are md5-free: the vocabulary frame
+    carries a dense integer id from the two-phase global row number."""
     from zoom_spark.operators.graph import pagerank
     from zoom_spark.operators.prefix import global_row_number
 
@@ -544,7 +606,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("wb_w")
         .select("u", "v")
     )
-    ranks = pagerank(edges, src="u", dst="v")
+    ranks = pagerank(edges, src="u", dst="v", quantize_dp=9)
     top = (
         ranks.join(ids, ranks["node"] == ids["nid"])
         .orderBy(F.col("rank").desc(), F.col("w"))

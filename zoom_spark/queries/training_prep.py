@@ -871,7 +871,73 @@ LOGREG_ITERS = 20
 LOGREG_LR = 0.5
 
 
-@register("logreg_purchase_model")  # iterative: rows-only gate + numpy referee
+def _logreg_oracle_sql(iters: int = 20, lr: float = 0.5) -> str:
+    """Unrolled full-batch GD replay: identical feature build, the
+    z-score stats and every iteration's weights snapped to the 9dp
+    grid (shared HALF-UP floor spelling, both sides), so each round's
+    sigmoid pass starts from bit-identical weights and the only drift
+    source (gradient summation order) is absorbed by the snap."""
+    head = """u AS MATERIALIZED (
+      SELECT user_id,
+             ln(CAST(count(*) AS DOUBLE)) AS f1,
+             avg(value) AS f2,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    st AS MATERIALIZED (
+      SELECT floor(avg(f1) * 1e9 + 0.5) / 1e9 AS m1,
+             floor(stddev_pop(f1) * 1e9 + 0.5) / 1e9 AS s1,
+             floor(avg(f2) * 1e9 + 0.5) / 1e9 AS m2,
+             floor(stddev_pop(f2) * 1e9 + 0.5) / 1e9 AS s2
+      FROM u
+    ),
+    x AS MATERIALIZED (
+      SELECT (f1 - st.m1) / st.s1 AS x1, (f2 - st.m2) / st.s2 AS x2, y
+      FROM u CROSS JOIN st
+    ),
+    w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+      SELECT avg(p - y) AS g0, avg((p - y) * x1) AS g1,
+             avg((p - y) * x2) AS g2
+      FROM (
+        SELECT 1.0 / (1.0 + exp(-(w.b + w.c1 * x1 + w.c2 * x2))) AS p,
+               x1, x2, y
+        FROM x CROSS JOIN w{i-1} w
+      )
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT floor((w.b  - {lr} * g.g0) * 1e9 + 0.5) / 1e9 AS b,
+             floor((w.c1 - {lr} * g.g1) * 1e9 + 0.5) / 1e9 AS c1,
+             floor((w.c2 - {lr} * g.g2) * 1e9 + 0.5) / 1e9 AS c2
+      FROM w{i-1} w CROSS JOIN g{i} g
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    fin AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(CASE WHEN (CASE WHEN w.b + w.c1 * x1 + w.c2 * x2 > 0
+                            THEN 1 ELSE 0 END) = CAST(y AS INT)
+                      THEN 1.0 ELSE 0.0 END) AS acc
+      FROM x CROSS JOIN w{iters} w
+    )
+    SELECT fin.n,
+           floor(w.b  * 1e6 + 0.5) / 1e6 AS w0,
+           floor(w.c1 * 1e6 + 0.5) / 1e6 AS w1,
+           floor(w.c2 * 1e6 + 0.5) / 1e6 AS w2,
+           floor(fin.acc * 1e6 + 0.5) / 1e6 AS train_acc
+    FROM w{iters} w CROSS JOIN fin"""
+    )
+
+
+@register("logreg_purchase_model",
+          sql=_logreg_oracle_sql(LOGREG_ITERS, LOGREG_LR))
 def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression (did this user ever purchase?) trained by
     full-batch gradient descent where each iteration is ONE aggregate:
@@ -884,7 +950,13 @@ def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3-vector w — model-sized, never data-sized. Iterative fixpoint
     ⇒ not SQL-expressible: rows-only driver gate; the numpy referee in
     tests/test_training_prep.py reruns the identical GD and matches
-    coefficients to 1e-6."""
+    coefficients to 1e-5. Oracle-hashed since round 8 via the
+    unrolled-CTE GD replay with 9dp stat/weight snapping (the
+    pagerank schedule)."""
+    import math
+
+    snap9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    snap6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.log(F.count("*").cast("double")).alias("f1"),
@@ -899,9 +971,15 @@ def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("f2").alias("m2"),
         F.stddev_pop("f2").alias("s2"),
     ).collect()[0]
+    # 9dp HALF-UP snaps (shared floor spelling, mirrored in the
+    # unrolled oracle) on the z-score stats and each iteration's
+    # weights: the only cross-engine drift source is aggregate
+    # summation order, absorbed by the grid
+    m1, s1 = snap9(stats["m1"]), snap9(stats["s1"])
+    m2, s2 = snap9(stats["m2"]), snap9(stats["s2"])
     feats = users.select(
-        ((F.col("f1") - stats["m1"]) / stats["s1"]).alias("x1"),
-        ((F.col("f2") - stats["m2"]) / stats["s2"]).alias("x2"),
+        ((F.col("f1") - m1) / s1).alias("x1"),
+        ((F.col("f2") - m2) / s2).alias("x2"),
         F.col("y").cast("double").alias("y"),
     ).persist()
     try:
@@ -915,9 +993,9 @@ def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
                 F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
             ).collect()[0]
-            w0 -= LOGREG_LR * g["g0"]
-            w1 -= LOGREG_LR * g["g1"]
-            w2 -= LOGREG_LR * g["g2"]
+            w0 = snap9(w0 - LOGREG_LR * g["g0"])
+            w1 = snap9(w1 - LOGREG_LR * g["g1"])
+            w2 = snap9(w2 - LOGREG_LR * g["g2"])
         z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
         acc = feats.agg(
             F.avg(
@@ -934,10 +1012,10 @@ def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(n),
-                round(w0, 6),
-                round(w1, 6),
-                round(w2, 6),
-                round(acc, 6),
+                snap6(w0),
+                snap6(w1),
+                snap6(w2),
+                snap6(acc),
             )
         ],
         "n bigint, w0 double, w1 double, w2 double, train_acc double",
