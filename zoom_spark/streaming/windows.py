@@ -312,20 +312,25 @@ def stream_static_anti_join(
     )
 
 
-def read_documents_stream(spark, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the documents table (schema pinned from
-    the batch footer, one-file-per-trigger left to the default). The
-    streaming twin of io.load_table(spark, sf_dir, "documents")."""
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
+    the batch footer). The streaming twin of
+    io.load_table(spark, sf_dir, "documents"). ``glob`` selects the
+    document files out of the directory (a multi-file feed directory
+    uses e.g. "documents_*.parquet"); ``max_files_per_trigger`` caps
+    micro-batch size (None = Spark default)."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     # file stream sources take a directory; glob-select the documents
     # parquet out of the shared sf dir (same idiom as the events stream)
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
 
 
 def stream_decontaminate(
