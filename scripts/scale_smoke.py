@@ -63,6 +63,20 @@ SUSPECTS = [
     "robust_winnow_fingerprints",
     "fisher_exact_weekend_purchase",
     "margin_mutual_knn_pairs",
+    # round 8 (VERDICT r7 #3): round-7 heavies — prefix-doubling
+    # suffix array (rounds fixed by max doc length -> linear in
+    # docs), grid DBSCAN over 10x embeddings, ER min-label closure
+    # over the replicated part catalog, bounded random walks on the
+    # disjoint graph copies, FS linkage blocking, GMM over 10x
+    # orders rows (day-frame ops like matrix_profile stay flat by
+    # construction: the calendar does not grow with rows)
+    "suffix_array_corpus",
+    "matrix_profile_revenue",
+    "dbscan_embedding_cells",
+    "er_clusters_from_linkage",
+    "deterministic_random_walks",
+    "gmm_em_order_values",
+    "fellegi_sunter_part_linkage",
 ]
 
 
@@ -129,6 +143,16 @@ def build_upscale(spark: SparkSession, replication: int) -> int:
         *[c for c in ev.columns if c not in ("event_id", "user_id")],
     )
     ev_up.write.mode("overwrite").parquet(os.path.join(DST, "events.parquet"))
+    # orders: disjoint orderkey copies, SAME calendar — row-linear ops
+    # (GMM EM scans) get 10x rows while day-frame ops (matrix profile,
+    # trend fits) keep a constant-size frame, which is exactly the
+    # 100 TB contract those queries document.
+    od = load_table(spark, SRC, "orders")
+    od_up = od.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("o_orderkey"),
+        *[c for c in od.columns if c != "o_orderkey"],
+    )
+    od_up.write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
     # remaining tables are not read by the suspects; symlink for load_table
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:

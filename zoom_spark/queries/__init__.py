@@ -72,4 +72,5 @@ from zoom_spark.queries import survival  # noqa: E402,F401
 from zoom_spark.queries import ml_primitives  # noqa: E402,F401
 from zoom_spark.queries import diagnostics  # noqa: E402,F401
 from zoom_spark.queries import round7_ops  # noqa: E402,F401
+from zoom_spark.queries import round8_ops  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401

@@ -1,0 +1,2101 @@
+"""Round-8 operator additions (R301+, SURVEY.md §2.17).
+
+Families, chosen to widen the eval/statistics battery and the
+training-data toolset where rounds 2-7 left gaps (concept-grepped
+against the registry first — round-7 lesson):
+
+- distribution/normality: D'Agostino-Pearson K² omnibus,
+  Anderson-Darling (exponential), generalized ESD outliers
+- rank tests: Mood's median, Ansari-Bradley, Conover squared ranks,
+  Somers' D
+- change/trend: Page-Hinkley, KPSS level stationarity
+- forecast eval: Diebold-Mariano, pinball (quantile) loss
+- causal: one-instrument 2SLS, regression discontinuity
+- survival/reliability: Weibull median-rank regression
+- feature engineering: WOE/IV binning; experimentation: SRM check
+- text/author: Burrows' Delta between sources
+- privacy: t-closeness (1-D EMD)
+- graph: harmonic centrality from deterministic seed set
+
+Engine-parity discipline (shared with rounds 4-7): every aggregate is
+decomposable (map-side partial + merge); moments are rounded on the
+shared HALF-UP floor grid before closed-form solves; medians/ranks go
+through the two-phase prefix machinery, never a single-task global
+window on a data-sized frame; calendar-bounded day^2 frames are the
+documented constant-size-at-any-SF class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# R301 D'Agostino-Pearson K² omnibus normality test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dagostino_k2_order_values",
+    sql="""
+    WITH x AS (SELECT round(ln(o_totalprice), 6) AS x FROM orders),
+    raw AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             floor(avg(x) * 1e9 + 0.5) / 1e9 AS e1,
+             floor(avg(x * x) * 1e9 + 0.5) / 1e9 AS e2,
+             floor(avg(x * x * x) * 1e9 + 0.5) / 1e9 AS e3,
+             floor(avg(x * x * x * x) * 1e9 + 0.5) / 1e9 AS e4
+      FROM x
+    ),
+    m AS (
+      -- central moments from 9dp-snapped raw moments: identical
+      -- closed-form arithmetic on both engines (no dependence on
+      -- either engine's skewness/kurtosis bias-correction flavor)
+      SELECT n,
+             (e2 - e1 * e1) AS m2,
+             (e3 - 3.0 * e1 * e2 + 2.0 * e1 * e1 * e1) AS m3,
+             (e4 - 4.0 * e1 * e3 + 6.0 * e1 * e1 * e2
+              - 3.0 * e1 * e1 * e1 * e1) AS m4
+      FROM raw
+    ),
+    g AS (
+      SELECT n,
+             m3 / pow(m2, 1.5) AS g1,
+             m4 / (m2 * m2) - 3.0 AS g2
+      FROM m
+    ),
+    z1c AS (
+      SELECT n, g1, g2,
+             g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS y,
+             3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) AS b2
+      FROM g
+    ),
+    z1 AS (
+      SELECT n, g1, g2,
+             ln(y / a + sqrt(y * y / (a * a) + 1.0))
+               / sqrt(ln(sqrt(w2))) AS z_skew
+      FROM (
+        SELECT n, g1, g2, y,
+               -1.0 + sqrt(2.0 * (b2 - 1.0)) AS w2,
+               sqrt(2.0 / (sqrt(2.0 * (b2 - 1.0)) - 2.0)) AS a
+        FROM z1c
+      )
+    ),
+    z2 AS (
+      SELECT n, g1, z_skew, g2,
+             (1.0 - 2.0 / (9.0 * aa)
+              - pow((1.0 - 2.0 / aa)
+                    / (1.0 + xx * sqrt(2.0 / (aa - 4.0))), 1.0 / 3.0))
+               / sqrt(2.0 / (9.0 * aa)) AS z_kurt
+      FROM (
+        SELECT n, g1, z_skew, g2,
+               6.0 + 8.0 / sb
+                 * (2.0 / sb + sqrt(1.0 + 4.0 / (sb * sb))) AS aa,
+               (g2 - mb) / sqrt(vb) AS xx
+        FROM (
+          SELECT n, g1, z_skew, g2,
+                 -6.0 / (n + 1.0) AS mb,
+                 24.0 * n * (n - 2.0) * (n - 3.0)
+                   / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)) AS vb,
+                 6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+                   * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                          / (n * (n - 2.0) * (n - 3.0))) AS sb
+          FROM z1
+        )
+      )
+    )
+    SELECT n,
+           floor(g1 * 1e6 + 0.5) / 1e6 + 0.0 AS skew_g1,
+           floor(g2 * 1e6 + 0.5) / 1e6 + 0.0 AS kurt_g2,
+           floor(z_skew * 1e6 + 0.5) / 1e6 + 0.0 AS z_skew,
+           floor(z_kurt * 1e6 + 0.5) / 1e6 + 0.0 AS z_kurt,
+           floor((z_skew * z_skew + z_kurt * z_kurt) * 1e6 + 0.5) / 1e6 AS k2
+    FROM z2
+    """,
+)
+def dagostino_k2_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R301 D'Agostino-Pearson K² omnibus normality test on
+    ln(order value): the standard production normality check (combines
+    the transformed-skewness and transformed-kurtosis z-tests,
+    K² ~ χ²(2) under H0) — the test scipy.stats.normaltest runs, and
+    the one a data-quality monitor applies to residuals. ONE
+    decomposable raw-moment pass (n, E[x..x^4]); g1/g2 and both z
+    transforms are closed-form arithmetic on the 9dp-snapped raw
+    moments, identical on both engines (no dependence on either
+    engine's skewness/kurtosis bias-correction flavor). Scale: a
+    single scan + 1-row aggregate at any SF."""
+    import math
+
+    snap9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    snap6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6 + 0.0  # noqa: E731
+    x = load_table(spark, sf_dir, "orders").select(
+        F.round(F.log("o_totalprice"), 6).alias("x")
+    )
+    m = x.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("e1"),
+        F.avg(F.pow("x", 2)).alias("e2"),
+        F.avg(F.pow("x", 3)).alias("e3"),
+        F.avg(F.pow("x", 4)).alias("e4"),
+    ).first()
+    n = m["n"]
+    # raw moments snapped to the shared 9dp grid, then central
+    # moments / g1 / g2 by identical closed-form arithmetic on both
+    # engines — sidesteps Spark-vs-DuckDB skewness/kurtosis
+    # bias-correction differences entirely
+    e1, e2 = snap9(m["e1"]), snap9(m["e2"])
+    e3, e4 = snap9(m["e3"]), snap9(m["e4"])
+    m2 = e2 - e1 * e1
+    m3 = e3 - 3.0 * e1 * e2 + 2.0 * e1 ** 3
+    m4 = e4 - 4.0 * e1 * e3 + 6.0 * e1 * e1 * e2 - 3.0 * e1 ** 4
+    g1 = m3 / m2 ** 1.5
+    g2 = m4 / (m2 * m2) - 3.0
+    # skewness z (D'Agostino 1970)
+    y = g1 * math.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    b2 = (
+        3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + math.sqrt(2.0 * (b2 - 1.0))
+    a = math.sqrt(2.0 / (w2 - 1.0))
+    z_skew = math.log(y / a + math.sqrt((y / a) ** 2 + 1.0)) / math.sqrt(
+        math.log(math.sqrt(w2))
+    )
+    # kurtosis z (Anscombe-Glynn 1983)
+    mb = -6.0 / (n + 1.0)
+    vb = (
+        24.0 * n * (n - 2.0) * (n - 3.0)
+        / ((n + 1.0) ** 2 * (n + 3.0) * (n + 5.0))
+    )
+    sb = (
+        6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+        * math.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+    )
+    aa = 6.0 + 8.0 / sb * (2.0 / sb + math.sqrt(1.0 + 4.0 / (sb * sb)))
+    xx = (g2 - mb) / math.sqrt(vb)
+    z_kurt = (
+        (1.0 - 2.0 / (9.0 * aa)
+         - ((1.0 - 2.0 / aa) / (1.0 + xx * math.sqrt(2.0 / (aa - 4.0))))
+         ** (1.0 / 3.0))
+        / math.sqrt(2.0 / (9.0 * aa))
+    )
+    return spark.createDataFrame(
+        [(
+            int(n),
+            snap6(g1),
+            snap6(g2),
+            snap6(z_skew),
+            snap6(z_kurt),
+            snap6(z_skew * z_skew + z_kurt * z_kurt),
+        )],
+        "n bigint, skew_g1 double, kurt_g2 double, z_skew double, "
+        "z_kurt double, k2 double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R302 Anderson-Darling goodness of fit (fitted exponential)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anderson_darling_interevent",
+    sql="""
+    WITH g AS (
+      SELECT (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) - epoch_us(ts)) / 1000000.0 AS x
+      FROM events
+    ),
+    gg AS (SELECT x FROM g WHERE x IS NOT NULL AND x > 0),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, round(avg(x), 6) AS theta
+      FROM gg
+    ),
+    pv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM gg GROUP BY x),
+    cum AS (
+      SELECT x, cnt,
+             CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM pv
+    ),
+    terms AS (
+      SELECT sum(
+               (CAST(c AS DOUBLE) * c - CAST(c - cnt AS DOUBLE) * (c - cnt))
+                 * ln(1.0 - exp(-x / m.theta))
+               + (CAST(m.n - c + cnt AS DOUBLE) * (m.n - c + cnt)
+                  - CAST(m.n - c AS DOUBLE) * (m.n - c))
+                 * (-x / m.theta)
+             ) AS s
+      FROM cum CROSS JOIN m
+    )
+    SELECT m.n AS n_gaps, m.theta AS theta_sec,
+           round(-CAST(m.n AS DOUBLE) - t.s / m.n, 6) AS a2
+    FROM m CROSS JOIN terms t
+    """,
+)
+def anderson_darling_interevent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R302 Anderson-Darling goodness-of-fit of per-user inter-event
+    gaps against the fitted exponential (theta = mean gap) — the
+    tail-weighted companion to the KS distance the exponential_fit
+    query reports (AD up-weights the tails where burstiness shows
+    first; the standard trio KS/CvM/AD is now complete in the
+    battery). Tie groups collapse to one distinct-value row; the
+    order-statistic weights (2i-1) summed over a tie block telescope
+    to m^2-(m-c)^2 (and its mirror), so the whole statistic is ONE
+    aggregate over the prefix-scanned distinct-gap frame — exact
+    integer coefficients, ln(1-F) spelled as -x/theta exactly on both
+    engines. Scale: one window + distinct collapse + two-phase prefix
+    scan, no data-sized sort."""
+    from pyspark.sql import Window
+
+    from zoom_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+            / 1000000.0
+        ).alias("x")
+    ).where(F.col("x").isNotNull() & (F.col("x") > 0))
+    m = g.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("x"), 6).alias("theta"),
+    )
+    pv = g.groupBy("x").agg(F.count("*").cast("bigint").alias("cnt"))
+    cum = prefix_sum(pv, "x", "cnt", out_col="c").withColumn(
+        "c", F.col("c").cast("bigint")
+    )
+    c, cnt, n = F.col("c"), F.col("cnt"), F.col("n")
+    ln_f = F.log(1.0 - F.exp(-F.col("x") / F.col("theta")))
+    ln_sf = -F.col("x") / F.col("theta")  # ln(exp(-x/theta)) exactly
+    terms = cum.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            (c.cast("double") * c - (c - cnt).cast("double") * (c - cnt))
+            * ln_f
+            + (
+                (n - c + cnt).cast("double") * (n - c + cnt)
+                - (n - c).cast("double") * (n - c)
+            )
+            * ln_sf
+        ).alias("s")
+    )
+    return m.crossJoin(F.broadcast(terms)).select(
+        F.col("n").alias("n_gaps"),
+        F.col("theta").alias("theta_sec"),
+        F.round(-n.cast("double") - F.col("s") / n, 6).alias("a2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R303 generalized ESD outlier detection (daily revenue)
+# ---------------------------------------------------------------------------
+
+ESD_ROUNDS = 5
+
+
+def _gesd_oracle_sql(rounds: int = ESD_ROUNDS) -> str:
+    """Unrolled gESD replay: each round snaps mean/sd to the 9dp grid
+    (shared HALF-UP spelling), removes the max-|z| day (date
+    tie-break), and reports that round's R statistic."""
+    head = """d0 AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    )"""
+    parts = [head]
+    outs = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""m{i} AS (
+      SELECT floor(avg(rev) * 1e9 + 0.5) / 1e9 AS mu,
+             floor(stddev_samp(rev) * 1e9 + 0.5) / 1e9 AS sd,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d{i-1}
+    ),
+    w{i} AS (
+      SELECT d.day, d.rev, abs(d.rev - m.mu) / m.sd AS az, m.n
+      FROM d{i-1} d CROSS JOIN m{i} m
+    ),
+    x{i} AS (
+      SELECT day, rev, az, n FROM w{i}
+      ORDER BY az DESC, day LIMIT 1
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT d.day, d.rev FROM d{i-1} d
+      WHERE d.day <> (SELECT day FROM x{i})
+    )"""
+        )
+        outs.append(
+            f"SELECT {i} AS iteration, day AS out_day,"
+            f" rev AS out_rev, round(az, 6) AS r_stat,"
+            f" n AS n_remaining FROM x{i}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(outs)
+    )
+
+
+@register("generalized_esd_revenue", sql=_gesd_oracle_sql())
+def generalized_esd_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R303 generalized ESD (Rosner) outlier detection on daily
+    revenue: {ESD_ROUNDS} rounds of "remove the max-|z| day, refit" —
+    the multi-outlier-safe form of Grubbs' test (a single-pass z rule
+    is masked by clustered outliers; gESD refits after each removal).
+    Output: one row per round (candidate day, value, R statistic,
+    remaining n) — the artifact an anomaly triage dashboard lists.
+    The day frame is calendar-bounded; each round is one 1-row moment
+    aggregate (9dp-snapped, shared HALF-UP spelling) + a bounded
+    argmax with date tie-break, mirrored exactly by the unrolled
+    oracle replay."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    import math
+
+    snap9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    cur = daily
+    rows = []
+    for i in range(1, ESD_ROUNDS + 1):
+        m = cur.agg(
+            F.avg("rev").alias("mu"),
+            F.stddev_samp("rev").alias("sd"),
+            F.count("*").alias("n"),
+        ).first()
+        mu, sd, n = snap9(m["mu"]), snap9(m["sd"]), m["n"]
+        top = (
+            cur.select(
+                "day", "rev", (F.abs(F.col("rev") - mu) / sd).alias("az")
+            )
+            .orderBy(F.col("az").desc(), "day")
+            .limit(1)
+            .first()
+        )
+        rows.append(
+            (
+                i,
+                top["day"],
+                top["rev"],
+                math.floor(top["az"] * 1e6 + 0.5) / 1e6,
+                int(n),
+            )
+        )
+        cur = cur.where(F.col("day") != F.lit(top["day"])).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        rows,
+        "iteration int, out_day date, out_rev double, r_stat double, "
+        "n_remaining bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R304 Mood's median test (acctbal across market segments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mood_median_segments",
+    sql="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg, round(c_acctbal, 2) AS x FROM customer
+    ),
+    med AS (SELECT median(x) AS med FROM c),
+    cnt AS (
+      SELECT seg,
+             CAST(sum(CASE WHEN x > (SELECT med FROM med)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             CAST(sum(CASE WHEN x <= (SELECT med FROM med)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_le
+      FROM c GROUP BY seg
+    ),
+    tot AS (
+      SELECT CAST(sum(n_above) AS DOUBLE) AS ta,
+             CAST(sum(n_le) AS DOUBLE) AS tl,
+             CAST(sum(n_above + n_le) AS DOUBLE) AS n
+      FROM cnt
+    ),
+    contrib AS (
+      SELECT seg, n_above, n_le,
+             pow(n_above - (n_above + n_le) * t.ta / t.n, 2)
+               / ((n_above + n_le) * t.ta / t.n)
+             + pow(n_le - (n_above + n_le) * t.tl / t.n, 2)
+               / ((n_above + n_le) * t.tl / t.n) AS contrib
+      FROM cnt CROSS JOIN tot t
+    )
+    SELECT seg, n_above, n_le,
+           round(contrib, 6) AS chi2_contrib,
+           round((SELECT sum(contrib) FROM contrib), 6) AS chi2_total
+    FROM contrib
+    """,
+)
+def mood_median_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R304 Mood's median test: are customer account balances across
+    the 5 market segments drawn from distributions with a common
+    median? Counts above/at-or-below the GLOBAL median per segment →
+    the 5x2 chi-square — the distribution-free ANOVA alternative that
+    only assumes independent samples (robust where kruskal_wallis
+    assumes shift). The global median uses the two-phase global rank
+    (range shuffle + O(P) offsets, DuckDB median() interpolation
+    semantics: even n averages the two middles) — never a single-task
+    percentile buffer; the contingency pass is one hash aggregate."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round("c_acctbal", 2).alias("x"),
+    ).localCheckpoint(eager=False)
+    n = c.count()
+    mid_lo, mid_hi = (n + 1) // 2, (n + 2) // 2
+    med = (
+        global_row_number(c.select("x"), ["x"], out_col="rn")
+        .where(F.col("rn").isin(mid_lo, mid_hi))
+        .agg(F.avg("x").alias("med"))
+    )
+    cnt = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("seg")
+        .agg(
+            F.sum((F.col("x") > F.col("med")).cast("int"))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum((F.col("x") <= F.col("med")).cast("int"))
+            .cast("bigint")
+            .alias("n_le"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(
+        F.sum("n_above").cast("double").alias("ta"),
+        F.sum("n_le").cast("double").alias("tl"),
+        F.sum(F.col("n_above") + F.col("n_le")).cast("double").alias("nn"),
+    )
+    row_n = F.col("n_above") + F.col("n_le")
+    ea = row_n * F.col("ta") / F.col("nn")
+    el = row_n * F.col("tl") / F.col("nn")
+    contrib = cnt.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_above",
+        "n_le",
+        (
+            F.pow(F.col("n_above") - ea, 2) / ea
+            + F.pow(F.col("n_le") - el, 2) / el
+        ).alias("contrib"),
+    )
+    total = contrib.agg(F.round(F.sum("contrib"), 6).alias("chi2_total"))
+    return contrib.crossJoin(F.broadcast(total)).select(
+        "seg",
+        "n_above",
+        "n_le",
+        F.round("contrib", 6).alias("chi2_contrib"),
+        "chi2_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R305 Page-Hinkley change detection (daily revenue)
+# ---------------------------------------------------------------------------
+
+PH_DELTA = 0.005  # tolerated drift, as a fraction of the global mean
+
+
+@register(
+    "page_hinkley_revenue",
+    sql=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT floor(avg(rev) * 1e9 + 0.5) / 1e9 AS mu FROM d),
+    cums AS (
+      SELECT day,
+             sum(rev - m.mu - {PH_DELTA} * m.mu)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS mt
+      FROM d CROSS JOIN m
+    ),
+    ph AS (
+      SELECT day, mt,
+             min(mt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS run_min
+      FROM cums
+    ),
+    stat AS (SELECT day, mt - run_min AS ph FROM ph)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           (SELECT round(max(ph), 4) FROM stat) AS ph_max,
+           (SELECT day FROM stat ORDER BY ph DESC, day LIMIT 1)
+             AS ph_argmax_day
+    """,
+)
+def page_hinkley_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R305 Page-Hinkley upward-change detector on daily revenue:
+    cumulative deviations m_t = sum(x - mean - delta) minus their
+    running minimum; PH = max of that excursion, with its argmax day —
+    the sequential drift test monitoring systems run beside CUSUM
+    (two_segment_trend_fit is the retrospective twin; PH is the
+    online form). Day frame is calendar-bounded, so the two running
+    scans are the documented bounded single-task window class; the
+    global mean is one decomposable aggregate snapped to the 9dp grid
+    before both engines subtract it."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    m = d.agg(
+        (F.floor(F.avg("rev") * 1e9 + 0.5) / 1e9).alias("mu"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cums = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n_days",
+        F.sum(
+            F.col("rev") - F.col("mu") - PH_DELTA * F.col("mu")
+        ).over(w).alias("mt"),
+    )
+    ph = cums.select(
+        "day",
+        "n_days",
+        (F.col("mt") - F.min("mt").over(w)).alias("ph"),
+    )
+    top = ph.orderBy(F.col("ph").desc(), "day").limit(1)
+    return top.select(
+        "n_days",
+        F.round("ph", 4).alias("ph_max"),
+        F.col("day").alias("ph_argmax_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R306 KPSS level-stationarity statistic (daily revenue)
+# ---------------------------------------------------------------------------
+
+KPSS_LAGS = 4
+
+
+@register(
+    "kpss_level_revenue",
+    sql=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT floor(avg(rev) * 1e9 + 0.5) / 1e9 AS mu,
+                 CAST(count(*) AS BIGINT) AS n FROM d),
+    e AS (
+      SELECT day, rev - m.mu AS e, m.n,
+             row_number() OVER (ORDER BY day) AS i
+      FROM d CROSS JOIN m
+    ),
+    s AS (
+      SELECT e.*, sum(e) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS st
+      FROM e
+    ),
+    gam AS (
+      SELECT j, sum(a.e * b.e) / max(a.n) AS g
+      FROM (SELECT unnest(generate_series(0, {KPSS_LAGS})) AS j) lags
+      JOIN s a ON TRUE
+      JOIN s b ON b.i = a.i - j
+      GROUP BY j
+    ),
+    lrv AS (
+      SELECT sum(CASE WHEN j = 0 THEN g
+                 ELSE 2.0 * (1.0 - j / ({KPSS_LAGS} + 1.0)) * g END) AS s2
+      FROM gam
+    ),
+    num AS (SELECT sum(st * st) AS ss, max(n) AS n FROM s)
+    SELECT num.n AS n_days,
+           round(lrv.s2, 4) AS long_run_var,
+           round(num.ss / (CAST(num.n AS DOUBLE) * num.n * lrv.s2), 6)
+             AS kpss_stat
+    FROM num CROSS JOIN lrv
+    """,
+)
+def kpss_level_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R306 KPSS level-stationarity statistic on daily revenue:
+    partial sums of demeaned revenue, normalized by the Bartlett
+    long-run variance (lags={KPSS_LAGS}) — the stationarity NULL
+    complement to the unit-root-NULL tests (variance_ratio, Hurst) in
+    the battery: KPSS rejecting while VR does not is the classic
+    "trend, not random walk" verdict. Day frame calendar-bounded:
+    the partial-sum window and the {KPSS_LAGS}+1 autocovariance lag
+    joins run over the constant-size day sequence; the mean is
+    9dp-snapped before both engines demean."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    m = d.agg(
+        (F.floor(F.avg("rev") * 1e9 + 0.5) / 1e9).alias("mu"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    wo = Window.orderBy("day")
+    e = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        (F.col("rev") - F.col("mu")).alias("e"),
+        F.row_number().over(wo).alias("i"),
+    )
+    s = e.select(
+        "*",
+        F.sum("e").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "st"
+        ),
+    ).localCheckpoint(eager=False)
+    # autocovariances via lag windows over the bounded day frame
+    gs = []
+    for j in range(KPSS_LAGS + 1):
+        lagged = F.lag("e", j).over(wo)
+        gs.append(
+            s.select(
+                F.lit(j).alias("j"),
+                (F.col("e") * lagged).alias("p"),
+                "n",
+            )
+            .agg(
+                F.first(F.lit(j)).alias("j"),
+                (F.sum("p") / F.first("n")).alias("g"),
+            )
+        )
+    from functools import reduce
+
+    gam = reduce(lambda a, b: a.unionByName(b), gs)
+    w_j = F.when(F.col("j") == 0, F.col("g")).otherwise(
+        2.0 * (1.0 - F.col("j") / (KPSS_LAGS + 1.0)) * F.col("g")
+    )
+    lrv = gam.agg(F.sum(w_j).alias("s2"))
+    num = s.agg(
+        F.sum(F.col("st") * F.col("st")).alias("ss"),
+        F.max("n").alias("n"),
+    )
+    return num.crossJoin(F.broadcast(lrv)).select(
+        F.col("n").alias("n_days"),
+        F.round("s2", 4).alias("long_run_var"),
+        F.round(
+            F.col("ss") / (F.col("n").cast("double") * F.col("n") * F.col("s2")),
+            6,
+        ).alias("kpss_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R307 Diebold-Mariano forecast comparison (naive vs seasonal naive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "diebold_mariano_revenue",
+    sql="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    f AS (
+      SELECT day, rev,
+             lag(rev, 1) OVER (ORDER BY day) AS f_naive,
+             lag(rev, 7) OVER (ORDER BY day) AS f_snaive
+      FROM d
+    ),
+    loss AS (
+      -- absolute-error loss: differentials stay exact on the cent
+      -- grid, so dbar is bit-identical across engines (squared error
+      -- would push dt^2 past 2^53 and off the exact grid)
+      SELECT abs(rev - f_naive) - abs(rev - f_snaive) AS dt
+      FROM f WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(dt) AS dbar,
+             sum(dt * dt) / count(*) - avg(dt) * avg(dt) AS vd
+      FROM loss
+    )
+    SELECT n AS n_days,
+           round(dbar, 4) AS mean_loss_diff,
+           round(dbar / sqrt(vd / n), 6) AS dm_stat
+    FROM m
+    """,
+)
+def diebold_mariano_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R307 Diebold-Mariano test comparing two forecasters of daily
+    revenue — naive (yesterday) vs seasonal naive (same weekday last
+    week) — on absolute-error loss differentials (exact on the cent
+    grid, so the mean differential is bit-identical across engines):
+    DM = dbar/sqrt(var/n)
+    (lag-0 variance; h=1 forecasts have uncorrelated differentials
+    under H0). THE standard "is forecaster A actually better?" test,
+    closing the forecast-eval family (MASE ranks one model against a
+    baseline; DM attaches a significance level to the comparison).
+    Day frame calendar-bounded: two lag windows + one snapped moment
+    aggregate."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    wo = Window.orderBy("day")
+    f = d.select(
+        "rev",
+        F.lag("rev", 1).over(wo).alias("f_naive"),
+        F.lag("rev", 7).over(wo).alias("f_snaive"),
+    ).where(F.col("f_naive").isNotNull() & F.col("f_snaive").isNotNull())
+    e1 = F.abs(F.col("rev") - F.col("f_naive"))
+    e2 = F.abs(F.col("rev") - F.col("f_snaive"))
+    loss = f.select((e1 - e2).alias("dt"))
+    m = loss.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("dt").alias("dbar"),
+        (
+            F.sum(F.col("dt") * F.col("dt")) / F.count("*")
+            - F.avg("dt") * F.avg("dt")
+        ).alias("vd"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round("dbar", 4).alias("mean_loss_diff"),
+        F.round(F.col("dbar") / F.sqrt(F.col("vd") / F.col("n")), 6).alias(
+            "dm_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R308 pinball (quantile) loss evaluation of per-weekday quantile
+# forecasts
+# ---------------------------------------------------------------------------
+
+PINBALL_SPLIT = "1997-01-01"
+PINBALL_QS = (0.1, 0.5, 0.9)
+
+
+@register(
+    "pinball_loss_weekday_quantiles",
+    sql=f"""
+    WITH d AS (
+      -- dow 0=Mon..6=Sun via day-diff from a Monday anchor BEFORE the
+      -- data (engine-portable: Spark and DuckDB dayofweek() disagree)
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 7
+                  AS BIGINT) AS dow,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    train AS (SELECT * FROM d WHERE day < DATE '{PINBALL_SPLIT}'),
+    test  AS (SELECT * FROM d WHERE day >= DATE '{PINBALL_SPLIT}'),
+    q AS (
+      SELECT dow,
+             {", ".join(f"quantile_cont(rev, {q}) AS q{int(q*100)}"
+                        for q in PINBALL_QS)}
+      FROM train GROUP BY dow
+    ),
+    j AS (SELECT t.rev, q.* FROM test t JOIN q ON q.dow = t.dow)
+    {" UNION ALL ".join(
+        f'''SELECT {q} AS tau,
+             CAST(count(*) AS BIGINT) AS n_test_days,
+             round(avg(CASE WHEN rev >= q{int(q*100)}
+                       THEN {q} * (rev - q{int(q*100)})
+                       ELSE ({q} - 1.0) * (rev - q{int(q*100)}) END), 4)
+               AS pinball
+           FROM j''' for q in PINBALL_QS)}
+    """,
+)
+def pinball_loss_weekday_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R308 pinball (quantile) loss: per-weekday revenue quantiles
+    (tau = 0.1/0.5/0.9) fitted on the pre-{PINBALL_SPLIT} train days,
+    scored on the held-out tail — THE metric for probabilistic
+    forecasts (M5-uncertainty, every quantile-regression service);
+    mean pinball per tau is what a forecast-quality dashboard plots.
+    Quantiles interpolate over the 7 weekday groups of the bounded
+    day frame (Spark percentile == DuckDB quantile_cont semantics);
+    scoring is one broadcast join + one aggregate per tau."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1990-01-01").cast("date"),
+                )
+                % 7
+            ).cast("bigint").alias("dow"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    train = d.where(F.col("day") < F.lit(PINBALL_SPLIT).cast("date"))
+    test = d.where(F.col("day") >= F.lit(PINBALL_SPLIT).cast("date"))
+    q = train.groupBy("dow").agg(
+        *[
+            F.percentile("rev", F.lit(qq)).alias(f"q{int(qq*100)}")
+            for qq in PINBALL_QS
+        ]
+    )
+    j = test.join(F.broadcast(q), on="dow")
+    outs = []
+    for qq in PINBALL_QS:
+        qc = F.col(f"q{int(qq*100)}")
+        loss = F.when(
+            F.col("rev") >= qc, qq * (F.col("rev") - qc)
+        ).otherwise((qq - 1.0) * (F.col("rev") - qc))
+        outs.append(
+            j.agg(
+                F.lit(qq).alias("tau"),
+                F.count("*").cast("bigint").alias("n_test_days"),
+                F.round(F.avg(loss), 4).alias("pinball"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# R309 one-instrument 2SLS (instrumental variables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "iv_2sls_orders_revenue",
+    sql="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                                  - DATE '1990-01-01') % 7 AS BIGINT)
+                       IN (5, 6) THEN 1 ELSE 0 END AS DOUBLE) AS z,
+             CAST(count(*) AS DOUBLE) AS x,
+             round(sum(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             floor(avg(z) * 1e9 + 0.5) / 1e9 AS mz,
+             floor(avg(x) * 1e9 + 0.5) / 1e9 AS mx,
+             floor(avg(y) * 1e9 + 0.5) / 1e9 AS my,
+             floor((sum(z * x) / count(*) - avg(z) * avg(x)) * 1e9 + 0.5)
+               / 1e9 AS czx,
+             floor((sum(z * y) / count(*) - avg(z) * avg(y)) * 1e9 + 0.5)
+               / 1e9 AS czy,
+             floor((sum(z * z) / count(*) - avg(z) * avg(z)) * 1e9 + 0.5)
+               / 1e9 AS vz,
+             floor((sum(x * x) / count(*) - avg(x) * avg(x)) * 1e9 + 0.5)
+               / 1e9 AS vx
+      FROM d
+    )
+    SELECT n AS n_days,
+           round(czy / czx, 6) AS beta_iv,
+           round(my - (czy / czx) * mx, 4) AS alpha_iv,
+           round(czx / vz, 6) AS first_stage_coef,
+           round(czx * czx / (vz * vx), 6) AS first_stage_r2
+    FROM m
+    """,
+)
+def iv_2sls_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R309 one-instrument two-stage least squares on the day panel:
+    effect of daily order COUNT (x, endogenous volume) on daily
+    revenue (y), instrumented by the weekend indicator (z, shifts
+    volume but enters revenue only through it) — the Wald/IV
+    estimator beta = cov(z,y)/cov(z,x), with the first-stage
+    coefficient and R^2 (the weak-instrument diagnostic every IV
+    readout must carry). Completes the causal family next to
+    did_weekend_promo and touch_attribution. ONE decomposable moment
+    aggregate over the calendar-bounded day frame, 9dp-snapped before
+    the closed-form solve."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.max(
+                (
+                    F.datediff(
+                        F.col("o_orderdate").cast("date"),
+                        F.lit("1990-01-01").cast("date"),
+                    )
+                    % 7
+                ).isin(5, 6).cast("double")
+            ).alias("z"),
+            F.count("*").cast("double").alias("x"),
+            F.round(F.sum("o_totalprice"), 2).alias("y"),
+        )
+    )
+    s9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    m = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        s9(F.avg("z")).alias("mz"),
+        s9(F.avg("x")).alias("mx"),
+        s9(F.avg("y")).alias("my"),
+        s9(
+            F.sum(F.col("z") * F.col("x")) / F.count("*")
+            - F.avg("z") * F.avg("x")
+        ).alias("czx"),
+        s9(
+            F.sum(F.col("z") * F.col("y")) / F.count("*")
+            - F.avg("z") * F.avg("y")
+        ).alias("czy"),
+        s9(
+            F.sum(F.col("z") * F.col("z")) / F.count("*")
+            - F.avg("z") * F.avg("z")
+        ).alias("vz"),
+        s9(
+            F.sum(F.col("x") * F.col("x")) / F.count("*")
+            - F.avg("x") * F.avg("x")
+        ).alias("vx"),
+    )
+    beta = F.col("czy") / F.col("czx")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(beta, 6).alias("beta_iv"),
+        F.round(F.col("my") - beta * F.col("mx"), 4).alias("alpha_iv"),
+        F.round(F.col("czx") / F.col("vz"), 6).alias("first_stage_coef"),
+        F.round(
+            F.col("czx") * F.col("czx") / (F.col("vz") * F.col("vx")), 6
+        ).alias("first_stage_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R310 regression discontinuity (account-balance cutoff)
+# ---------------------------------------------------------------------------
+
+RDD_CUTOFF = 0.0
+RDD_BANDWIDTH = 3000.0
+
+
+@register(
+    "regression_discontinuity_acctbal",
+    sql=f"""
+    WITH y AS (
+      SELECT c.c_custkey,
+             round(c.c_acctbal, 2) - {RDD_CUTOFF} AS r,
+             CASE WHEN round(c.c_acctbal, 2) >= {RDD_CUTOFF}
+                  THEN 1 ELSE 0 END AS side,
+             round(avg(o.o_totalprice), 2) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT * FROM y WHERE abs(r) <= {RDD_BANDWIDTH}
+    ),
+    m AS (
+      SELECT side,
+             CAST(count(*) AS BIGINT) AS n,
+             floor(avg(r) * 1e9 + 0.5) / 1e9 AS mr,
+             floor(avg(y) * 1e9 + 0.5) / 1e9 AS my,
+             floor((sum(r * y) / count(*) - avg(r) * avg(y)) * 1e9 + 0.5)
+               / 1e9 AS cry,
+             floor((sum(r * r) / count(*) - avg(r) * avg(r)) * 1e9 + 0.5)
+               / 1e9 AS vr
+      FROM w GROUP BY side
+    ),
+    fit AS (
+      SELECT side, n, my - (cry / vr) * mr AS icept, cry / vr AS slope
+      FROM m
+    )
+    SELECT
+      (SELECT n FROM fit WHERE side = 0) AS n_left,
+      (SELECT n FROM fit WHERE side = 1) AS n_right,
+      (SELECT round(icept, 4) FROM fit WHERE side = 0) AS intercept_left,
+      (SELECT round(icept, 4) FROM fit WHERE side = 1) AS intercept_right,
+      (SELECT round(slope, 6) FROM fit WHERE side = 0) AS slope_left,
+      (SELECT round(slope, 6) FROM fit WHERE side = 1) AS slope_right,
+      round((SELECT icept FROM fit WHERE side = 1)
+            - (SELECT icept FROM fit WHERE side = 0), 4) AS rd_effect
+    """,
+)
+def regression_discontinuity_acctbal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R310 sharp regression discontinuity at the zero-account-balance
+    cutoff: local linear fit of mean order value on the running
+    variable (acctbal) separately on each side inside the bandwidth;
+    the RD effect is the intercept jump at the cutoff — the canonical
+    quasi-experimental design where treatment flips at a threshold
+    (credit lines, eligibility scores). Two side-partitioned moment
+    aggregates (9dp-snapped) + closed-form slopes; the per-customer
+    outcome is one keyed join + aggregate. Completes the causal
+    family with iv_2sls and did."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    y = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy(
+            "c_custkey",
+            (F.col("bal") - RDD_CUTOFF).alias("r"),
+            (F.col("bal") >= RDD_CUTOFF).cast("int").alias("side"),
+        )
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("y"))
+        .where(F.abs(F.col("r")) <= RDD_BANDWIDTH)
+    )
+    s9 = lambda col: F.floor(col * 1e9 + 0.5) / 1e9  # noqa: E731
+    m = y.groupBy("side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        s9(F.avg("r")).alias("mr"),
+        s9(F.avg("y")).alias("my"),
+        s9(
+            F.sum(F.col("r") * F.col("y")) / F.count("*")
+            - F.avg("r") * F.avg("y")
+        ).alias("cry"),
+        s9(
+            F.sum(F.col("r") * F.col("r")) / F.count("*")
+            - F.avg("r") * F.avg("r")
+        ).alias("vr"),
+    )
+    fit = m.select(
+        "side",
+        "n",
+        (F.col("my") - (F.col("cry") / F.col("vr")) * F.col("mr")).alias(
+            "icept"
+        ),
+        (F.col("cry") / F.col("vr")).alias("slope"),
+    )
+    left = fit.where(F.col("side") == 0).select(
+        F.col("n").alias("n_left"),
+        F.round("icept", 4).alias("intercept_left"),
+        F.round("slope", 6).alias("slope_left"),
+        F.col("icept").alias("_il"),
+    )
+    right = fit.where(F.col("side") == 1).select(
+        F.col("n").alias("n_right"),
+        F.round("icept", 4).alias("intercept_right"),
+        F.round("slope", 6).alias("slope_right"),
+        F.col("icept").alias("_ir"),
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_left",
+        "n_right",
+        "intercept_left",
+        "intercept_right",
+        "slope_left",
+        "slope_right",
+        F.round(F.col("_ir") - F.col("_il"), 4).alias("rd_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R311 Weibull reliability fit by median-rank regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weibull_fit_interevent",
+    sql="""
+    WITH g AS (
+      SELECT (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) - epoch_us(ts)) / 1000000.0 AS x
+      FROM events
+    ),
+    gg AS (SELECT x FROM g WHERE x IS NOT NULL AND x > 0),
+    pv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM gg GROUP BY x),
+    cum AS (
+      SELECT x, cnt,
+             CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM pv
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+    pts AS (
+      -- Bernard median rank at the tie block's LAST position
+      -- (deterministic under ties on both engines)
+      SELECT ln(x) AS lx,
+             ln(-ln(1.0 - (c - 0.3) / (n.n + 0.4))) AS ly,
+             cnt
+      FROM cum CROSS JOIN n
+    ),
+    m AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             floor((sum(cnt * lx) / sum(cnt)) * 1e9 + 0.5) / 1e9 AS mx,
+             floor((sum(cnt * ly) / sum(cnt)) * 1e9 + 0.5) / 1e9 AS my,
+             floor((sum(cnt * lx * ly) / sum(cnt)
+                    - (sum(cnt * lx) / sum(cnt))
+                      * (sum(cnt * ly) / sum(cnt))) * 1e9 + 0.5) / 1e9 AS cxy,
+             floor((sum(cnt * lx * lx) / sum(cnt)
+                    - pow(sum(cnt * lx) / sum(cnt), 2)) * 1e9 + 0.5) / 1e9
+               AS vx
+      FROM pts
+    )
+    SELECT n AS n_gaps,
+           round(cxy / vx, 6) AS shape_k,
+           round(exp(-(my - (cxy / vx) * mx) / (cxy / vx)), 4)
+             AS scale_lambda
+    FROM m
+    """,
+)
+def weibull_fit_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R311 Weibull reliability fit on per-user inter-event gaps by
+    median-rank regression (the probability-plot method every
+    reliability engineer uses before an MLE): Bernard approximation
+    F_i = (i-0.3)/(n+0.4) at each tie block's last order statistic,
+    then OLS of ln(-ln(1-F)) on ln(t) — slope = shape k (k<1 bursty /
+    k=1 Poisson / k>1 regularizing), scale lambda = exp(-intercept/k).
+    Extends the exponential fit (shape pinned to 1) in the survival
+    family. Distinct-gap collapse + two-phase prefix scan + ONE
+    weighted moment aggregate, 9dp-snapped before the closed form."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+            / 1000000.0
+        ).alias("x")
+    ).where(F.col("x").isNotNull() & (F.col("x") > 0))
+    pv = g.groupBy("x").agg(F.count("*").cast("bigint").alias("cnt"))
+    cum = prefix_sum(pv, "x", "cnt", out_col="c").withColumn(
+        "c", F.col("c").cast("bigint")
+    )
+    nrow = pv.agg(F.sum("cnt").cast("bigint").alias("n"))
+    pts = cum.crossJoin(F.broadcast(nrow)).select(
+        F.log("x").alias("lx"),
+        F.log(
+            -F.log(1.0 - (F.col("c") - 0.3) / (F.col("n") + 0.4))
+        ).alias("ly"),
+        "cnt",
+    )
+    s9 = lambda col: F.floor(col * 1e9 + 0.5) / 1e9  # noqa: E731
+    wsum = F.sum("cnt")
+    m = pts.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        s9(F.sum(F.col("cnt") * F.col("lx")) / wsum).alias("mx"),
+        s9(F.sum(F.col("cnt") * F.col("ly")) / wsum).alias("my"),
+        s9(
+            F.sum(F.col("cnt") * F.col("lx") * F.col("ly")) / wsum
+            - (F.sum(F.col("cnt") * F.col("lx")) / wsum)
+            * (F.sum(F.col("cnt") * F.col("ly")) / wsum)
+        ).alias("cxy"),
+        s9(
+            F.sum(F.col("cnt") * F.col("lx") * F.col("lx")) / wsum
+            - F.pow(F.sum(F.col("cnt") * F.col("lx")) / wsum, 2)
+        ).alias("vx"),
+    )
+    k = F.col("cxy") / F.col("vx")
+    icept = F.col("my") - k * F.col("mx")
+    return m.select(
+        F.col("n").alias("n_gaps"),
+        F.round(k, 6).alias("shape_k"),
+        F.round(F.exp(-icept / k), 4).alias("scale_lambda"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R312 WOE / Information Value feature binning
+# ---------------------------------------------------------------------------
+
+WOE_BINS = 10
+
+
+@register(
+    "woe_iv_acctbal",
+    sql=f"""
+    WITH lab AS (
+      SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal,
+             CASE WHEN max(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) = 1
+                  THEN 1 ELSE 0 END AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT y,
+             row_number() OVER (ORDER BY bal, c_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM lab
+    ),
+    binned AS (
+      SELECT CAST(floor((rn - 1) * {WOE_BINS} / n) AS BIGINT) AS bin, y
+      FROM rk
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM cnt
+    ),
+    woe AS (
+      SELECT bin, n_pos, n_neg,
+             ln(((n_pos + 0.5) * (t.tn + 0.5))
+                / ((n_neg + 0.5) * (t.tp + 0.5))) AS woe,
+             ((n_pos + 0.5) / (t.tp + 0.5) - (n_neg + 0.5) / (t.tn + 0.5))
+               * ln(((n_pos + 0.5) * (t.tn + 0.5))
+                    / ((n_neg + 0.5) * (t.tp + 0.5))) AS ivc
+      FROM cnt CROSS JOIN tot t
+    )
+    SELECT bin, n_pos, n_neg,
+           round(woe, 6) AS woe,
+           round(ivc, 6) AS iv_contrib,
+           round((SELECT sum(ivc) FROM woe), 6) AS iv_total
+    FROM woe
+    """,
+)
+def woe_iv_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R312 weight-of-evidence / information-value binning — the
+    credit-scoring feature screen: acctbal deciles (equal-count bins
+    from the two-phase global rank) vs "customer ever placed an
+    URGENT order"; WOE_b = ln(pos share/neg share) with the 0.5
+    continuity correction (exact integer ratios, so both engines
+    take ln of identical arguments), IV = sum((dpos-dneg)*WOE). The
+    IV reading (<0.02 useless, >0.3 strong) is the standard feature
+    triage. One join+aggregate for labels, one two-phase rank for
+    bins, two bounded aggregates after."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("u"),
+    )
+    lab = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "bal")
+        .agg(F.coalesce(F.max("u"), F.lit(0)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    n = lab.count()
+    rk = global_row_number(lab, ["bal", "c_custkey"], out_col="rn")
+    binned = rk.select(
+        F.floor((F.col("rn") - 1) * WOE_BINS / n).cast("bigint").alias(
+            "bin"
+        ),
+        "y",
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    tot = cnt.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    woe_expr = F.log(
+        ((F.col("n_pos") + 0.5) * (F.col("tn") + 0.5))
+        / ((F.col("n_neg") + 0.5) * (F.col("tp") + 0.5))
+    )
+    ivc = (
+        (F.col("n_pos") + 0.5) / (F.col("tp") + 0.5)
+        - (F.col("n_neg") + 0.5) / (F.col("tn") + 0.5)
+    ) * woe_expr
+    woe = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_pos", "n_neg",
+        woe_expr.alias("woe"),
+        ivc.alias("ivc"),
+    ).localCheckpoint(eager=False)
+    total = woe.agg(F.round(F.sum("ivc"), 6).alias("iv_total"))
+    return woe.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round("woe", 6).alias("woe"),
+        F.round("ivc", 6).alias("iv_contrib"),
+        "iv_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R313 sample-ratio-mismatch (SRM) check
+# ---------------------------------------------------------------------------
+
+SRM_ARMS = 2
+
+
+@register(
+    "srm_check_assignment",
+    sql=f"""
+    WITH a AS (
+      SELECT CAST(c_custkey % {SRM_ARMS} AS BIGINT) AS arm FROM customer
+    ),
+    cnt AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY arm
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cnt)
+    SELECT arm, n,
+           round(n - t.t / {SRM_ARMS}, 1) AS delta_from_expected,
+           round((SELECT sum(pow(c2.n - t.t / {SRM_ARMS}, 2)
+                            / (t.t / {SRM_ARMS})) FROM cnt c2), 6)
+             AS chi2_srm
+    FROM cnt CROSS JOIN tot t
+    """,
+)
+def srm_check_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R313 sample-ratio-mismatch check — the first gate every A/B
+    readout must pass (Kohavi: most broken experiments fail HERE, not
+    in the effect): customers assigned to {SRM_ARMS} arms by key mod,
+    observed arm counts vs the designed equal split, chi-square GOF.
+    A significant chi2 means the assignment or logging pipeline is
+    dropping one arm's traffic and every downstream metric is
+    untrustworthy. Two tiny aggregates; the assignment expression is
+    the deterministic key-mod the experimentation family already
+    uses."""
+    a = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % SRM_ARMS).cast("bigint").alias("arm")
+    )
+    cnt = a.groupBy("arm").agg(F.count("*").cast("bigint").alias("n"))
+    cnt = cnt.localCheckpoint(eager=False)
+    tot = cnt.agg(F.sum("n").cast("double").alias("t"))
+    exp_n = F.col("t") / SRM_ARMS
+    chi2 = (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("n") - exp_n, 2) / exp_n), 6
+            ).alias("chi2_srm")
+        )
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "arm",
+            "n",
+            F.round(F.col("n") - exp_n, 1).alias("delta_from_expected"),
+            "chi2_srm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R314 Somers' D (ordinal association, asymmetric)
+# ---------------------------------------------------------------------------
+
+SOMERS_BINS = 8
+
+
+@register(
+    "somers_d_activity_purchase",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id,
+             least(CAST(floor(ln(count(*)) / ln(2.0)) AS BIGINT),
+                   {SOMERS_BINS - 1}) AS xb,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    cell AS (
+      SELECT xb, y, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY xb, y
+    ),
+    pairs AS (
+      SELECT sum(a.c * b.c) FILTER (
+               WHERE (b.xb > a.xb AND b.y > a.y)
+                  OR (b.xb < a.xb AND b.y < a.y)) AS conc,
+             sum(a.c * b.c) FILTER (
+               WHERE (b.xb > a.xb AND b.y < a.y)
+                  OR (b.xb < a.xb AND b.y > a.y)) AS disc,
+             sum(a.c * b.c) FILTER (
+               WHERE a.xb <> b.xb) AS pairs_x_differ
+      FROM cell a CROSS JOIN cell b
+    )
+    SELECT CAST((SELECT sum(c) FROM cell) AS BIGINT) AS n_users,
+           CAST(conc / 2 AS BIGINT) AS concordant,
+           CAST(disc / 2 AS BIGINT) AS discordant,
+           round((conc - disc) / pairs_x_differ, 6) AS somers_d
+    FROM pairs
+    """,
+)
+def somers_d_activity_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R314 Somers' D of purchase outcome on user activity: the
+    asymmetric ordinal association (concordant minus discordant
+    pairs, normalized by pairs differing on the PREDICTOR — exactly
+    2*AUC-1 for a binary outcome, which is why credit scorers call it
+    Gini). Activity is log2-bucketed event count ({SOMERS_BINS}
+    ordinal bins); all pair counting happens on the bounded
+    {SOMERS_BINS}x2 contingency grid (a model-sized self-join over
+    cell counts), never row pairs — the same contingency-closed-form
+    trick as kendall tau-a. One user aggregate + one grid pass at any
+    SF."""
+    u = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.least(
+            F.floor(F.log(F.count("*")) / F.log(F.lit(2.0))).cast("bigint"),
+            F.lit(SOMERS_BINS - 1).cast("bigint"),
+        ).alias("xb"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    )
+    cell = u.groupBy("xb", "y").agg(
+        F.count("*").cast("double").alias("c")
+    ).localCheckpoint(eager=False)
+    a, b = cell.alias("a"), cell.alias("b")
+    ax, bx = F.col("a.xb"), F.col("b.xb")
+    ay, by = F.col("a.y"), F.col("b.y")
+    prod = F.col("a.c") * F.col("b.c")
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(((bx > ax) & (by > ay)) | ((bx < ax) & (by < ay)), prod)
+        ).alias("conc"),
+        F.sum(
+            F.when(((bx > ax) & (by < ay)) | ((bx < ax) & (by > ay)), prod)
+        ).alias("disc"),
+        F.sum(F.when(ax != bx, prod)).alias("px"),
+    )
+    n = cell.agg(F.sum("c").cast("bigint").alias("n_users"))
+    return n.crossJoin(F.broadcast(pairs)).select(
+        "n_users",
+        (F.col("conc") / 2).cast("bigint").alias("concordant"),
+        (F.col("disc") / 2).cast("bigint").alias("discordant"),
+        F.round((F.col("conc") - F.col("disc")) / F.col("px"), 6).alias(
+            "somers_d"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R315 Ansari-Bradley scale test (weekend vs weekday event values)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ansari_bradley_weekend",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pv AS (
+      SELECT v, CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT na, nb, na + nb AS c,
+             CAST(sum(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             (SELECT CAST(sum(na + nb) AS BIGINT) FROM pv) AS n
+      FROM pv
+    ),
+    sc AS (
+      -- Ansari-Bradley score min(i, n+1-i) summed over the tie block
+      -- [cum-c+1, cum] in closed form, then averaged (midscore):
+      -- sum_{i=a..b} min(i, n+1-i) splits at mh = floor((n+1)/2)
+      -- (mh spelled with explicit floor: DuckDB integer / is DOUBLE)
+      SELECT na, nb, c, n,
+             (CASE
+                WHEN cum <= mh THEN
+                  (CAST(cum AS DOUBLE) * (cum + 1)
+                   - CAST(cum - c AS DOUBLE) * (cum - c + 1)) / 2.0
+                WHEN cum - c >= mh THEN
+                  CAST(n + 1 AS DOUBLE) * c
+                  - (CAST(cum AS DOUBLE) * (cum + 1)
+                     - CAST(cum - c AS DOUBLE) * (cum - c + 1)) / 2.0
+                ELSE
+                  (CAST(mh AS DOUBLE) * (mh + 1)
+                   - CAST(cum - c AS DOUBLE) * (cum - c + 1)) / 2.0
+                  + CAST(n + 1 AS DOUBLE) * (cum - mh)
+                  - (CAST(cum AS DOUBLE) * (cum + 1)
+                     - CAST(mh AS DOUBLE) * (mh + 1)) / 2.0
+              END) / c AS s_avg
+      FROM (SELECT *, CAST(floor((n + 1) / 2.0) AS BIGINT) AS mh FROM r)
+    ),
+    agg AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n1,
+             CAST(sum(nb) AS BIGINT) AS n2,
+             sum(na * s_avg) AS t1,
+             sum((na + nb) * s_avg) AS st,
+             sum((na + nb) * s_avg * s_avg) AS st2
+      FROM sc
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(t1, 1) AS ab_stat,
+           round((t1 - n1 * (st / (n1 + n2)))
+                 / sqrt(CAST(n1 AS DOUBLE) * n2
+                        * (st2 - st * st / (n1 + n2))
+                        / ((n1 + n2) * (n1 + n2 - 1.0))), 6) AS z
+    FROM agg
+    """,
+)
+def ansari_bradley_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R315 Ansari-Bradley scale test, weekend vs weekday event
+    values: scores s_i = min(rank, n+1-rank) peak at the center, so a
+    LOW group sum means that group occupies the tails (larger
+    dispersion) — the rank test for 'same spread?' that completes the
+    location tests (MWU) and the omnibus (KS) in the battery. Tie
+    blocks collapse to distinct values; the block's score SUM has a
+    closed form (triangular-number split at the midpoint), so
+    mid-scores need no per-row pass; the z uses the general
+    linear-rank-statistic variance with exact tie correction. Same
+    two-shuffle shape as mann_whitney_u_weekend: distinct-value
+    collapse + two-phase prefix scan + one aggregate."""
+    from zoom_spark.operators.prefix import prefix_sum
+    from zoom_spark.queries.rank_stats import _weekend_events
+
+    s = _weekend_events(spark, sf_dir)
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    pv = pv.withColumn("c", (F.col("na") + F.col("nb")).cast("bigint"))
+    cum = prefix_sum(pv, "v", "c", out_col="cum").withColumn(
+        "cum", F.col("cum").cast("bigint")
+    )
+    ntot = pv.agg(F.sum("c").cast("bigint").alias("n"))
+    r = cum.crossJoin(F.broadcast(ntot))
+    nn, c, cm = F.col("n"), F.col("c"), F.col("cum")
+    m_half = F.floor((nn + 1) / 2).cast("bigint")
+
+    def tri(hi, lo):
+        # sum_{i=lo+1..hi} i
+        return (
+            hi.cast("double") * (hi + 1) - lo.cast("double") * (lo + 1)
+        ) / 2.0
+
+    s_sum = (
+        F.when(cm <= m_half, tri(cm, cm - c))
+        .when(
+            cm - c >= m_half,
+            (nn + 1).cast("double") * c - tri(cm, cm - c),
+        )
+        .otherwise(
+            tri(m_half, cm - c)
+            + (nn + 1).cast("double") * (cm - m_half)
+            - tri(cm, m_half)
+        )
+    )
+    sc = r.select(
+        "na", "nb", "c", "n", (s_sum / c).alias("s_avg")
+    )
+    agg = sc.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum("nb").cast("bigint").alias("n2"),
+        F.sum(F.col("na") * F.col("s_avg")).alias("t1"),
+        F.sum((F.col("na") + F.col("nb")) * F.col("s_avg")).alias("st"),
+        F.sum(
+            (F.col("na") + F.col("nb")) * F.col("s_avg") * F.col("s_avg")
+        ).alias("st2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    e_t = n1 * (F.col("st") / (n1 + n2))
+    var_t = (
+        n1.cast("double")
+        * n2
+        * (F.col("st2") - F.col("st") * F.col("st") / (n1 + n2))
+        / ((n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.round("t1", 1).alias("ab_stat"),
+        F.round((F.col("t1") - e_t) / F.sqrt(var_t), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R316 Conover squared-ranks test for equal variances
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conover_squared_ranks_weekend",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    gm AS (
+      SELECT grp, floor(avg(v) * 1e9 + 0.5) / 1e9 AS mu
+      FROM s GROUP BY grp
+    ),
+    d AS (
+      SELECT abs(s.v - gm.mu) AS u, s.grp
+      FROM s JOIN gm ON gm.grp = s.grp
+    ),
+    pv AS (
+      SELECT u, CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM d GROUP BY u
+    ),
+    r AS (
+      SELECT na, nb, na + nb AS c,
+             sum(na + nb) OVER (ORDER BY u ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cum
+      FROM pv
+    ),
+    sc AS (
+      -- squared mid-rank score averaged over the tie block
+      -- [cum-c+1, cum]: sum of i^2 over the block in closed form
+      SELECT na, nb, c,
+             (CAST(cum AS DOUBLE) * (cum + 1) * (2 * cum + 1)
+              - CAST(cum - c AS DOUBLE) * (cum - c + 1)
+                * (2 * (cum - c) + 1)) / 6.0 / c AS s_avg
+      FROM r
+    ),
+    agg AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n1,
+             CAST(sum(nb) AS BIGINT) AS n2,
+             sum(na * s_avg) AS t1,
+             sum((na + nb) * s_avg) AS st,
+             sum((na + nb) * s_avg * s_avg) AS st2
+      FROM sc
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(t1, 1) AS t_stat,
+           round((t1 - n1 * (st / (n1 + n2)))
+                 / sqrt(CAST(n1 AS DOUBLE) * n2
+                        * (st2 - st * st / (n1 + n2))
+                        / ((n1 + n2) * (n1 + n2 - 1.0))), 6) AS z
+    FROM agg
+    """,
+)
+def conover_squared_ranks_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R316 Conover squared-ranks test for equal variances, weekend
+    vs weekday event values: rank |x - group mean| in the pooled
+    sample, score = squared mid-rank (closed-form sum of squares over
+    each tie block), z from the general linear-rank variance — the
+    nonparametric Levene alternative (levene/bartlett in the battery
+    assume less / more normality; Conover assumes none). Group means
+    are 9dp-snapped so both engines take abs-deviations of identical
+    values. Same scale shape as MWU/Ansari: distinct-value collapse +
+    two-phase prefix scan + one aggregate."""
+    from zoom_spark.operators.prefix import prefix_sum
+    from zoom_spark.queries.rank_stats import _weekend_events
+
+    s = _weekend_events(spark, sf_dir)
+    gm = s.groupBy("grp").agg(
+        (F.floor(F.avg("v") * 1e9 + 0.5) / 1e9).alias("mu")
+    )
+    d = s.join(F.broadcast(gm), on="grp").select(
+        F.abs(F.col("v") - F.col("mu")).alias("u"), "grp"
+    )
+    pv = d.groupBy("u").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    pv = pv.withColumn("c", (F.col("na") + F.col("nb")).cast("bigint"))
+    r = prefix_sum(pv, "u", "c", out_col="cum").withColumn(
+        "cum", F.col("cum").cast("bigint")
+    )
+    cm, c = F.col("cum"), F.col("c")
+
+    def sq_sum(hi, lo):
+        # sum_{i=lo+1..hi} i^2
+        return (
+            hi.cast("double") * (hi + 1) * (2 * hi + 1)
+            - lo.cast("double") * (lo + 1) * (2 * lo + 1)
+        ) / 6.0
+
+    sc = r.select(
+        "na", "nb", "c", (sq_sum(cm, cm - c) / c).alias("s_avg")
+    )
+    agg = sc.agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum("nb").cast("bigint").alias("n2"),
+        F.sum(F.col("na") * F.col("s_avg")).alias("t1"),
+        F.sum((F.col("na") + F.col("nb")) * F.col("s_avg")).alias("st"),
+        F.sum(
+            (F.col("na") + F.col("nb")) * F.col("s_avg") * F.col("s_avg")
+        ).alias("st2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    e_t = n1 * (F.col("st") / (n1 + n2))
+    var_t = (
+        n1.cast("double")
+        * n2
+        * (F.col("st2") - F.col("st") * F.col("st") / (n1 + n2))
+        / ((n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.round("t1", 1).alias("t_stat"),
+        F.round((F.col("t1") - e_t) / F.sqrt(var_t), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R317 Burrows' Delta authorship distance between sources
+# ---------------------------------------------------------------------------
+
+DELTA_TOP_WORDS = 30
+
+
+@register(
+    "burrows_delta_sources",
+    sql=rf"""
+    WITH tok AS (
+      SELECT source, w
+      FROM (
+        SELECT source,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+      ), LATERAL (SELECT unnest(ws) AS w) t
+    ),
+    topw AS (
+      SELECT w FROM tok GROUP BY w
+      ORDER BY count(*) DESC, w LIMIT {DELTA_TOP_WORDS}
+    ),
+    src_tot AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS tot FROM tok GROUP BY source
+    ),
+    freq AS (
+      SELECT st.source, tw.w,
+             coalesce(c.cnt, 0) / st.tot AS f
+      FROM src_tot st CROSS JOIN topw tw
+      LEFT JOIN (
+        SELECT source, w, CAST(count(*) AS DOUBLE) AS cnt
+        FROM tok JOIN topw USING (w) GROUP BY source, w
+      ) c ON c.source = st.source AND c.w = tw.w
+    ),
+    stats AS (
+      SELECT w,
+             floor(avg(f) * 1e9 + 0.5) / 1e9 AS mu,
+             floor(stddev_samp(f) * 1e9 + 0.5) / 1e9 AS sd
+      FROM freq GROUP BY w
+    ),
+    z AS (
+      SELECT f.source, f.w, (f.f - s.mu) / s.sd AS z
+      FROM freq f JOIN stats s ON s.w = f.w
+      WHERE s.sd > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R317 Burrows' Delta between document sources — the standard
+    authorship-attribution / style-drift distance: z-score each of
+    the top-{DELTA_TOP_WORDS} corpus words' relative frequencies
+    across sources, Delta(a,b) = mean |z_a - z_b| — the stylometric
+    fingerprint a contamination analyst uses to spot one source
+    masquerading as another. Scale shape: one token aggregate (word
+    counts), a deterministic top-K (count desc, word), then all work
+    lives on the sources x top-words grid (model-sized) and the
+    source-pair frame (#sources^2 — dimension-bounded); per-word
+    mean/sd snapped to 9dp before z-scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tok = docs.select(
+        "source", F.explode(ws).alias("w")
+    ).localCheckpoint(eager=False)
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(DELTA_TOP_WORDS)
+        .select("w")
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count("*").cast("double").alias("tot")
+    )
+    cnt = (
+        tok.join(F.broadcast(topw), on="w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(topw))
+        .join(cnt, on=["source", "w"], how="left")
+        .select(
+            "source",
+            "w",
+            (F.coalesce(F.col("cnt"), F.lit(0.0)) / F.col("tot")).alias("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = freq.groupBy("w").agg(
+        (F.floor(F.avg("f") * 1e9 + 0.5) / 1e9).alias("mu"),
+        (F.floor(F.stddev_samp("f") * 1e9 + 0.5) / 1e9).alias("sd"),
+    )
+    z = (
+        freq.join(F.broadcast(stats), on="w")
+        .where(F.col("sd") > 0)
+        .select(
+            "source", "w", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.round(
+                F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6
+            ).alias("delta")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R318 t-closeness report (ordered-attribute EMD per QI group)
+# ---------------------------------------------------------------------------
+
+TCLOSE_BUCKETS = 5
+
+
+@register(
+    "t_closeness_report",
+    sql=f"""
+    WITH c AS (
+      SELECT n_nationkey AS nat, c_mktsegment AS seg,
+             least(CAST(floor((round(c_acctbal, 2) + 1000.0) / 2500.0)
+                        AS BIGINT), {TCLOSE_BUCKETS - 1}) AS b
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ),
+    gq AS (
+      SELECT b, CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM c) AS q
+      FROM c GROUP BY b
+    ),
+    grp AS (
+      SELECT nat, seg, b, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY nat, seg, b
+    ),
+    gtot AS (
+      SELECT nat, seg, CAST(sum(n) AS DOUBLE) AS gt FROM grp
+      GROUP BY nat, seg
+    ),
+    full_grid AS (
+      SELECT gt.nat, gt.seg, gl.b, gl.q,
+             coalesce(g.n, 0) / gt.gt AS p
+      FROM gtot gt CROSS JOIN gq gl
+      LEFT JOIN grp g ON g.nat = gt.nat AND g.seg = gt.seg AND g.b = gl.b
+    ),
+    cums AS (
+      SELECT nat, seg, b,
+             sum(p - q) OVER (PARTITION BY nat, seg ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cd
+      FROM full_grid
+    ),
+    emd AS (
+      SELECT nat, seg,
+             round(sum(abs(cd)) / ({TCLOSE_BUCKETS} - 1.0), 6) AS t_emd
+      FROM cums WHERE b < {TCLOSE_BUCKETS} - 1
+      GROUP BY nat, seg
+    )
+    SELECT e.nat AS nationkey, e.seg AS mktsegment,
+           CAST(gt.gt AS BIGINT) AS group_size, e.t_emd
+    FROM emd e JOIN gtot gt ON gt.nat = e.nat AND gt.seg = e.seg
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R318 t-closeness audit: for each quasi-identifier group
+    (nation x market segment), the 1-D earth-mover distance between
+    the group's account-balance-bucket distribution and the GLOBAL
+    one — the privacy criterion beyond l-diversity (diverse-but-
+    skewed groups still leak; t bounds distributional disclosure).
+    EMD over an ordered attribute = mean |cumulative difference|
+    (Li et al.'s formula), so each group is one ordered scan of its
+    {TCLOSE_BUCKETS}-bucket histogram — per-group work is
+    model-sized, groups are dimension-bounded, and the heavy pass is
+    ONE hash aggregate over customers. Completes the privacy family
+    (k-anonymity counts, l-diversity, DP noise) with the closeness
+    criterion."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    c = cust.join(
+        nat, nat["n_nationkey"] == cust["c_nationkey"]
+    ).select(
+        F.col("n_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.least(
+            F.floor((F.round("c_acctbal", 2) + 1000.0) / 2500.0).cast(
+                "bigint"
+            ),
+            F.lit(TCLOSE_BUCKETS - 1).cast("bigint"),
+        ).alias("b"),
+    ).localCheckpoint(eager=False)
+    total = c.count()
+    glob = c.groupBy("b").agg(
+        (F.count("*").cast("double") / total).alias("q")
+    )
+    grp = c.groupBy("nat", "seg", "b").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    gtot = grp.groupBy("nat", "seg").agg(
+        F.sum("n").cast("double").alias("gt")
+    )
+    full_grid = (
+        gtot.crossJoin(F.broadcast(glob))
+        .join(grp, on=["nat", "seg", "b"], how="left")
+        .select(
+            "nat",
+            "seg",
+            "b",
+            "gt",
+            (F.coalesce(F.col("n"), F.lit(0)) / F.col("gt") - F.col("q")).alias(
+                "pd"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = full_grid.select(
+        "nat", "seg", "b", "gt", F.sum("pd").over(w).alias("cd")
+    )
+    return (
+        cums.where(F.col("b") < TCLOSE_BUCKETS - 1)
+        .groupBy(
+            F.col("nat").alias("nationkey"),
+            F.col("seg").alias("mktsegment"),
+            F.col("gt").cast("bigint").alias("group_size"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("cd"))) / (TCLOSE_BUCKETS - 1.0), 6
+            ).alias("t_emd")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R319 harmonic centrality from a deterministic seed set
+# ---------------------------------------------------------------------------
+
+HC_SEEDS = 8
+HC_HOPS = 4
+
+
+def _harmonic_oracle_sql(hops: int = HC_HOPS, seeds: int = HC_SEEDS) -> str:
+    """Unrolled multi-source BFS replay: dist(seed, node) via `hops`
+    min-label rounds (monotone — extra rounds idempotent inside the
+    horizon), then harmonic = sum over reached seeds of 1/dist."""
+    head = f"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eu AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM eu UNION ALL SELECT v AS a, u AS b FROM eu
+    ),
+    seeds AS MATERIALIZED (
+      SELECT u AS s FROM (SELECT DISTINCT u FROM eu
+                          UNION SELECT DISTINCT v FROM eu) t(u)
+      ORDER BY u LIMIT {seeds}
+    ),
+    d0 AS MATERIALIZED (
+      SELECT s, s AS node, 0 AS dist FROM seeds
+    )"""
+    parts = [head]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT s, node, min(dist) AS dist FROM (
+        SELECT s, node, dist FROM d{i-1}
+        UNION ALL
+        SELECT d.s, e.b AS node, d.dist + 1 AS dist
+        FROM d{i-1} d JOIN e ON e.a = d.node
+      ) GROUP BY s, node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS n_seeds_reached,
+           round(sum(1.0 / dist), 6) AS harmonic
+    FROM d{hops} WHERE dist > 0
+    GROUP BY node"""
+    )
+
+
+@register("harmonic_centrality_parts", sql=_harmonic_oracle_sql())
+def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R319 seed-sampled harmonic centrality on the co-purchase
+    graph: multi-source BFS from the {HC_SEEDS} smallest part ids
+    (deterministic seed set), {HC_HOPS} bulk-synchronous min-dist
+    rounds, harmonic(v) = sum over reached seeds of 1/dist(s,v) —
+    the centrality that behaves on disconnected graphs (unreached
+    seeds contribute 0, no infinite-distance patch), estimated the
+    way production systems do it (sampled sources; exact all-sources
+    harmonic is O(nm)). Frontier state is (node x seeds) bounded;
+    each round is one join + one min-aggregate, lineage truncated by
+    lazy checkpoints; the oracle replays the same fixed rounds
+    (min-label monotone, extra rounds idempotent)."""
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+
+    eu = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = eu.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(eu.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        eu.select(F.col("u").alias("node"))
+        .union(eu.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(HC_SEEDS).select(
+        F.col("node").alias("s")
+    )
+    d = F.broadcast(seeds).select(
+        "s", F.col("s").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=False)
+    for _ in range(HC_HOPS):
+        step = (
+            d.join(e, d["node"] == e["a"])
+            .select("s", F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.unionByName(step)
+            .groupBy("s", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seeds_reached"),
+            F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"),
+        )
+    )
