@@ -120,15 +120,21 @@ def build_upscale(spark: SparkSession, replication: int) -> int:
         *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
     )
     li_up.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
-    # part: per-replica name suffix keeps sorted-neighborhood blocks the
-    # same SIZE (10x more blocks, not 10x denser blocks), so linear
-    # scaling is the correct expectation for the sliding-window pass.
+    # part: per-replica suffix appended to the LAST TOKEN (no space!)
+    # keeps every blocking scheme the suspects use replica-disjoint
+    # and same-sized — 10x more blocks, not 10x denser blocks. A
+    # space-separated " v{rep}" suffix would CREATE a shared new last
+    # token per replica, collapsing last-token blocking (ER linkage,
+    # Fellegi-Sunter) into 10 giant blocks and measuring the
+    # generator's artifact instead of the algorithm (round-8 lesson:
+    # er_clusters showed 44x before this fix, 'superlinear' purely
+    # from densified blocks).
     part = load_table(spark, SRC, "part")
     part_up = part.crossJoin(F.broadcast(reps)).select(
         (F.col("p_partkey") + F.col("rep") * 10_000_000).alias("p_partkey"),
         F.when(F.col("rep") == 0, F.col("p_name"))
         .otherwise(
-            F.concat("p_name", F.lit(" v"), F.col("rep").cast("string"))
+            F.concat("p_name", F.lit("v"), F.col("rep").cast("string"))
         )
         .alias("p_name"),
         *[c for c in part.columns if c not in ("p_partkey", "p_name")],

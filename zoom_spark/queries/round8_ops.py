@@ -1397,59 +1397,75 @@ SOMERS_BINS = 8
 
 
 @register(
-    "somers_d_activity_purchase",
+    "somers_d_balance_urgency",
     sql=f"""
     WITH u AS (
-      SELECT user_id,
-             least(CAST(floor(ln(count(*)) / ln(2.0)) AS BIGINT),
+      SELECT c.c_custkey,
+             least(greatest(CAST(floor((round(c.c_acctbal, 2) + 1000.0)
+                                        / 1375.0) AS BIGINT), 0),
                    {SOMERS_BINS - 1}) AS xb,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-      FROM events GROUP BY user_id
+             CASE WHEN max(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) = 1
+                  THEN 1 ELSE 0 END AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
     ),
     cell AS (
       SELECT xb, y, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY xb, y
     ),
     pairs AS (
-      SELECT sum(a.c * b.c) FILTER (
+      SELECT coalesce(sum(a.c * b.c) FILTER (
                WHERE (b.xb > a.xb AND b.y > a.y)
-                  OR (b.xb < a.xb AND b.y < a.y)) AS conc,
-             sum(a.c * b.c) FILTER (
+                  OR (b.xb < a.xb AND b.y < a.y)), 0) AS conc,
+             coalesce(sum(a.c * b.c) FILTER (
                WHERE (b.xb > a.xb AND b.y < a.y)
-                  OR (b.xb < a.xb AND b.y > a.y)) AS disc,
+                  OR (b.xb < a.xb AND b.y > a.y)), 0) AS disc,
              sum(a.c * b.c) FILTER (
                WHERE a.xb <> b.xb) AS pairs_x_differ
       FROM cell a CROSS JOIN cell b
     )
-    SELECT CAST((SELECT sum(c) FROM cell) AS BIGINT) AS n_users,
+    SELECT CAST((SELECT sum(c) FROM cell) AS BIGINT) AS n_customers,
            CAST(conc / 2 AS BIGINT) AS concordant,
            CAST(disc / 2 AS BIGINT) AS discordant,
            round((conc - disc) / pairs_x_differ, 6) AS somers_d
     FROM pairs
     """,
 )
-def somers_d_activity_purchase(
+def somers_d_balance_urgency(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """R314 Somers' D of purchase outcome on user activity: the
-    asymmetric ordinal association (concordant minus discordant
+    """R314 Somers\' D of urgent-order incidence on account balance:
+    the asymmetric ordinal association (concordant minus discordant
     pairs, normalized by pairs differing on the PREDICTOR — exactly
     2*AUC-1 for a binary outcome, which is why credit scorers call it
-    Gini). Activity is log2-bucketed event count ({SOMERS_BINS}
-    ordinal bins); all pair counting happens on the bounded
-    {SOMERS_BINS}x2 contingency grid (a model-sized self-join over
-    cell counts), never row pairs — the same contingency-closed-form
-    trick as kendall tau-a. One user aggregate + one grid pass at any
+    Gini). Balance is range-bucketed into {SOMERS_BINS} ordinal bins;
+    all pair counting happens on the bounded {SOMERS_BINS}x2
+    contingency grid (a model-sized self-join over cell counts),
+    never row pairs — the same contingency-closed-form trick as
+    kendall tau-a. One customer aggregate + one grid pass at any
     SF."""
-    u = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
         F.least(
-            F.floor(F.log(F.count("*")) / F.log(F.lit(2.0))).cast("bigint"),
+            F.greatest(
+                F.floor(
+                    (F.round("c_acctbal", 2) + 1000.0) / 1375.0
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
             F.lit(SOMERS_BINS - 1).cast("bigint"),
         ).alias("xb"),
-        F.max(
-            (F.col("event_type") == "purchase").cast("int")
-        ).alias("y"),
     )
-    cell = u.groupBy("xb", "y").agg(
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("u"),
+    )
+    lab = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "xb")
+        .agg(F.coalesce(F.max("u"), F.lit(0)).alias("y"))
+    )
+    cell = lab.groupBy("xb", "y").agg(
         F.count("*").cast("double").alias("c")
     ).localCheckpoint(eager=False)
     a, b = cell.alias("a"), cell.alias("b")
@@ -1457,17 +1473,27 @@ def somers_d_activity_purchase(
     ay, by = F.col("a.y"), F.col("b.y")
     prod = F.col("a.c") * F.col("b.c")
     pairs = a.crossJoin(b).agg(
-        F.sum(
-            F.when(((bx > ax) & (by > ay)) | ((bx < ax) & (by < ay)), prod)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ((bx > ax) & (by > ay)) | ((bx < ax) & (by < ay)), prod
+                )
+            ),
+            F.lit(0.0),
         ).alias("conc"),
-        F.sum(
-            F.when(((bx > ax) & (by < ay)) | ((bx < ax) & (by > ay)), prod)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ((bx > ax) & (by < ay)) | ((bx < ax) & (by > ay)), prod
+                )
+            ),
+            F.lit(0.0),
         ).alias("disc"),
         F.sum(F.when(ax != bx, prod)).alias("px"),
     )
-    n = cell.agg(F.sum("c").cast("bigint").alias("n_users"))
+    n = cell.agg(F.sum("c").cast("bigint").alias("n_customers"))
     return n.crossJoin(F.broadcast(pairs)).select(
-        "n_users",
+        "n_customers",
         (F.col("conc") / 2).cast("bigint").alias("concordant"),
         (F.col("disc") / 2).cast("bigint").alias("discordant"),
         F.round((F.col("conc") - F.col("disc")) / F.col("px"), 6).alias(
@@ -1651,12 +1677,9 @@ def ansari_bradley_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pv
     ),
     sc AS (
-      -- squared mid-rank score averaged over the tie block
-      -- [cum-c+1, cum]: sum of i^2 over the block in closed form
+      -- Conover convention: assign MID-ranks under ties, then square
       SELECT na, nb, c,
-             (CAST(cum AS DOUBLE) * (cum + 1) * (2 * cum + 1)
-              - CAST(cum - c AS DOUBLE) * (cum - c + 1)
-                * (2 * (cum - c) + 1)) / 6.0 / c AS s_avg
+             pow(cum - c + (c + 1) / 2.0, 2) AS s_avg
       FROM r
     ),
     agg AS (
@@ -1681,8 +1704,9 @@ def conover_squared_ranks_weekend(
 ) -> DataFrame:
     """R316 Conover squared-ranks test for equal variances, weekend
     vs weekday event values: rank |x - group mean| in the pooled
-    sample, score = squared mid-rank (closed-form sum of squares over
-    each tie block), z from the general linear-rank variance — the
+    sample, score = squared MID-rank (Conover's tie convention:
+    average rank, then square), z from the general linear-rank
+    variance — the
     nonparametric Levene alternative (levene/bartlett in the battery
     assume less / more normality; Conover assumes none). Group means
     are 9dp-snapped so both engines take abs-deviations of identical
@@ -1707,16 +1731,10 @@ def conover_squared_ranks_weekend(
         "cum", F.col("cum").cast("bigint")
     )
     cm, c = F.col("cum"), F.col("c")
-
-    def sq_sum(hi, lo):
-        # sum_{i=lo+1..hi} i^2
-        return (
-            hi.cast("double") * (hi + 1) * (2 * hi + 1)
-            - lo.cast("double") * (lo + 1) * (2 * lo + 1)
-        ) / 6.0
-
+    # Conover convention: mid-rank under ties, then squared
     sc = r.select(
-        "na", "nb", "c", (sq_sum(cm, cm - c) / c).alias("s_avg")
+        "na", "nb", "c",
+        F.pow(cm - c + (c + 1) / 2.0, 2).alias("s_avg"),
     )
     agg = sc.agg(
         F.sum("na").cast("bigint").alias("n1"),
