@@ -158,6 +158,196 @@ HEADLINE = [
     "abc_xyz_inventory",              # weekly demand class matrix
     "community_labels_copurchase",    # sync LPA (now oracle-hashed)
     "corpus_quality_scorecard",       # composed KN+diversity+boilerplate
+    # agg_breadth (round-8 headline expansion)
+    "approx_quantiles_prices",
+    "boolean_aggregates",
+    "collect_sorted_lines",
+    "histogram_prices",
+    "locf_gap_fill",
+    "map_functions",
+    "math_functions",
+    "orders_lineitem_reconciliation",
+    "orders_per_day_densified",
+    "percentile_prices",
+    "profile_orders",
+    "range_frame_rolling_revenue",
+    "rank_distributions",
+    "stats_aggregates",
+    "unpivot_order_metrics",
+    "user_value_slope",
+    "variant_json_extract",
+    # diagnostics (round-8 headline expansion)
+    "bartlett_variance_priorities",
+    "brier_decomposition_purchase",
+    "granger_count_to_revenue",
+    "jarque_bera_order_value",
+    "mcc_value_classifier",
+    "partial_correlation_daily",
+    "ridge_lineitem_price_model",
+    "risk_ratio_weekend_purchase",
+    "spiegelhalter_z_calibration",
+    # experimentation (round-8 headline expansion)
+    "bayes_ab_prob_purchase",
+    "hoeffding_confidence_sequence",
+    "jackknife_ratio_revenue_per_order",
+    "median_ci_order_stats",
+    "runs_test_purchase_sequence",
+    "sprt_purchase_rate",
+    # forecasting (round-8 headline expansion)
+    "durbin_watson_revenue_trend",
+    "holt_linear_forecast_revenue",
+    # rank_stats (round-8 headline expansion)
+    "anova_f_segments",
+    "cochran_armitage_weekday_trend",
+    "effect_sizes_weekend",
+    "friedman_priority_by_weekday",
+    "kruskal_wallis_segments",
+    "levene_brown_forsythe",
+    "mann_whitney_u_weekend",
+    "overdispersion_daily_events",
+    # relational_extras (round-8 headline expansion)
+    "bigram_counts",
+    "gini_customer_spend",
+    "lateral_top_orders_per_customer",
+    "left_lateral_latest_urgent_order",
+    "null_safe_join_segments",
+    # round6_breadth (round-8 headline expansion)
+    "cohort_retention_matrix",
+    "join_size_estimator",
+    "join_skew_advisor",
+    "mixing_budget_allocation",
+    "readability_scores",
+    "table_checksum_buckets",
+    # round6_depth (round-8 headline expansion)
+    "cuped_adjusted_ab",
+    "diff_in_diff_order_value",
+    "dp_noisy_counts",
+    "gdpr_erasure_cascade",
+    "group_kfold_assignment",
+    "horvitz_thompson_total",
+    "padding_waste_report",
+    "rake_keywords",
+    "retention_decay_fit",
+    "seasonal_anomaly_days",
+    "word2vec_sampling_table",
+    "zone_map_skipping_report",
+    # round7_ops (round-8 headline expansion)
+    "arch_lm_test_revenue",
+    "atkinson_index_spend",
+    "bass_diffusion_fit",
+    "cmh_pooled_odds_morning_purchase",
+    "competing_risks_cif",
+    "cramer_von_mises_weekend",
+    "delta_method_ratio_ci",
+    "distance_correlation_daily",
+    "duplicate_token_waste",
+    "gpd_tail_fit_spend",
+    "gumbel_block_maxima_fit",
+    "hill_tail_index_spend",
+    "hurst_exponent_revenue",
+    "kuiper_test_weekend",
+    "lang_id_confusion_matrix",
+    "lexical_diversity_docs",
+    "mahalanobis_anomaly_events",
+    "median_of_means_order_value",
+    "mmr_rerank_topk",
+    "modularity_brand_partition",
+    "negative_binomial_fit_events",
+    "obrien_fleming_sequential",
+    "ols_influence_diagnostics",
+    "pacf_daily_revenue",
+    "periodogram_fixed_bins",
+    "permutation_entropy_revenue",
+    "poissonness_basket_sizes",
+    "power_sample_size_by_priority",
+    "powerlaw_degree_fit",
+    "randomized_response_estimate",
+    "rich_club_coefficients",
+    "rmst_conversion",
+    "sample_entropy_revenue",
+    "seasonality_strength_revenue",
+    "silhouette_label_centroids",
+    "taylors_law_demand",
+    "token_stats_by_lang",
+    "tukey_hsd_segments",
+    "two_segment_trend_fit",
+    "variance_ratio_test_revenue",
+    # round8_ops (round-8 headline expansion)
+    "anderson_darling_interevent",
+    "ansari_bradley_weekend",
+    "burrows_delta_sources",
+    "conover_squared_ranks_weekend",
+    "dagostino_k2_order_values",
+    "diebold_mariano_revenue",
+    "generalized_esd_revenue",
+    "harmonic_centrality_parts",
+    "iv_2sls_orders_revenue",
+    "kpss_level_revenue",
+    "mood_median_segments",
+    "page_hinkley_revenue",
+    "pinball_loss_weekday_quantiles",
+    "regression_discontinuity_acctbal",
+    "somers_d_balance_urgency",
+    "srm_check_assignment",
+    "t_closeness_report",
+    "weibull_fit_interevent",
+    "woe_iv_acctbal",
+    # scalar_breadth (round-8 headline expansion)
+    "array_functions",
+    "case_when_buckets",
+    "epoch_timezone_functions",
+    "explode_doc_tokens",
+    "higher_order_arrays",
+    "null_handling",
+    "pivot_status_counts",
+    "regexp_groups",
+    "string_functions",
+    "try_functions",
+    "url_encode_names",
+    # stats_suite (round-8 headline expansion)
+    "ab_test_proportions",
+    "chi_square_independence",
+    "train_val_test_split",
+    # subqueries (round-8 headline expansion)
+    "correlated_scalar_vs_cust_avg",
+    "in_subquery_parts",
+    "not_exists_quiet_customers",
+    "scalar_subquery_above_avg",
+    # survival (round-8 headline expansion)
+    "exponential_fit_interevent",
+    "logrank_arm_conversion",
+    "nelson_aalen_conversion",
+    # tpch_advanced (round-8 headline expansion)
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_top_supplier_per_nation",
+    "tpch_q4_priority_count",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    # tpch_like (round-8 headline expansion)
+    "cross_join_status_region",
+    "full_outer_balance",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q7_nation_volume",
+    # warehouse_ops (round-8 headline expansion)
+    "dp_median_exponential_mechanism",
+    "funnel_signup_purchase",
+    "fuzzy_part_matches",
+    "hll_distinct_users",
+    "incremental_agg_maintenance",
+    "l_diversity_report",
+    "modern_aggregates",
+    "tdigest_quantiles_prices",
+    "zorder_layout_keys",
 ]
 
 
