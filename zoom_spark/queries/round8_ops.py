@@ -2117,3 +2117,175 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R320 int8 scalar-quantized kNN (SQ8 candidate gen + float rerank)
+# ---------------------------------------------------------------------------
+
+SQ8_QUERIES = 20
+SQ8_CAND = 20
+SQ8_K = 5
+
+
+@register(
+    "knn_sq8_rerank",
+    sql=f"""
+    WITH dim AS (
+      SELECT pos - 1 AS p, min(x) AS lo, max(x) AS hi
+      FROM (
+        SELECT unnest(list_transform(embedding, v -> CAST(v AS DOUBLE)))
+                 AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      ) GROUP BY 1
+    ),
+    qz AS (
+      SELECT e.vec_id, t.p,
+             CAST(least(greatest(floor((CAST(t.x AS DOUBLE) - d.lo)
+                        / (CASE WHEN d.hi > d.lo THEN d.hi - d.lo
+                                ELSE 1.0 END) * 255.0 + 0.5), 0), 255)
+                  AS BIGINT) AS q,
+             CAST(t.x AS DOUBLE) AS x
+      FROM embeddings e, LATERAL (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS p) t
+      JOIN dim d ON d.p = t.p
+    ),
+    cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+      FROM qz a JOIN qz b ON a.p = b.p AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {SQ8_QUERIES}
+      GROUP BY 1, 2
+    ),
+    topc AS (
+      SELECT q_id, n_id, d2,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY d2, n_id) AS crk
+      FROM cand
+    ),
+    rerank AS (
+      SELECT t.q_id, t.n_id,
+             round(list_cosine_similarity(
+               (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE))
+                FROM embeddings WHERE vec_id = t.q_id),
+               (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE))
+                FROM embeddings WHERE vec_id = t.n_id)), 6) AS cosine_sim
+      FROM topc t WHERE t.crk <= {SQ8_CAND}
+    )
+    SELECT q_id, n_id AS neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rnk
+    FROM rerank
+    QUALIFY rnk <= {SQ8_K}
+    """,
+)
+def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R320 scalar-quantized (SQ8/int8) kNN — the compression tier
+    every vector store ships between float brute force and PQ: each
+    dimension is affinely mapped to 0..255 by its global min/max,
+    candidate generation runs on EXACT INTEGER L2 distances over the
+    4x-smaller codes (bit-identical across engines — quantized
+    distances need no rounding discipline at all), then the top
+    {SQ8_CAND} candidates are re-ranked by exact float cosine for the
+    final top {SQ8_K}. Completes the similarity-compression ladder
+    (brute float → SQ8 → PQ ADC → IVFPQ). Per-dim stats are min/max
+    (exact, no snapping needed); the dimension table is model-sized
+    and broadcast as a 1-row matrix column (the Catalyst
+    literal-array lesson); at scale the candidate scan buckets
+    through IVF like knn_ivfpq — this query gates the SQ8 math on the
+    exact referee shape."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    dim = (
+        emb.select(F.posexplode("v").alias("p", "x"))
+        .groupBy("p")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    # model-sized per-dim stats as ONE broadcast matrix column
+    stats = dim.orderBy("p").agg(
+        F.collect_list("lo").alias("los"), F.collect_list("hi").alias("his")
+    )
+    qz = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "v",
+        F.transform(
+            F.col("v"),
+            lambda x, i: F.least(
+                F.greatest(
+                    F.floor(
+                        (x - F.col("los")[i])
+                        / F.when(
+                            F.col("his")[i] > F.col("los")[i],
+                            F.col("his")[i] - F.col("los")[i],
+                        ).otherwise(F.lit(1.0))
+                        * 255.0
+                        + 0.5
+                    ),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(255).cast("bigint"),
+            ),
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    queries = qz.where(F.col("vec_id") < SQ8_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("q").alias("qq"),
+    )
+    cand = (
+        queries.crossJoin(qz.select(F.col("vec_id").alias("n_id"),
+                                    F.col("v").alias("nv"),
+                                    F.col("q").alias("nq")))
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            "qv",
+            "nv",
+            F.aggregate(
+                F.zip_with(
+                    "qq", "nq", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    topc = cand.withColumn("crk", F.row_number().over(wc)).where(
+        F.col("crk") <= SQ8_CAND
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    rer = topc.select(
+        "q_id",
+        F.col("n_id").alias("neighbor_id"),
+        F.round(dot / (nrm(F.col("qv")) * nrm(F.col("nv"))), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= SQ8_K)
+    )
