@@ -610,3 +610,37 @@ def test_knn_sq8_matches_numpy_quantization(spark):
     # SQ8 with 20-candidate rerank should recover the true top-1 for
     # the vast majority of queries on this fixture
     assert exact_hits >= int(0.8 * SQ8_QUERIES)
+
+
+def test_bh_fdr_matches_numpy_stepup(spark):
+    from zoom_spark.queries.round8_ops import bh_fdr_nation_urgency
+
+    rows = bh_fdr_nation_urgency(spark, SF_DIR).collect()
+    k = len(rows)
+    byrank = sorted(rows, key=lambda r: r["p_rank"])
+    # monotone step-up: q non-decreasing in rank, q >= p, q <= 1
+    qs = [r["bh_q"] for r in byrank]
+    assert all(qs[i] <= qs[i + 1] + 1e-12 for i in range(k - 1))
+    for r in byrank:
+        assert r["p_value"] <= r["bh_q"] + 1e-12
+        assert r["bh_q"] <= 1.0
+    # numpy referee: recompute q from the reported p-values
+    ps = np.array([r["p_value"] for r in byrank])
+    q = np.minimum.accumulate((ps * k / np.arange(1, k + 1))[::-1])[::-1]
+    q = np.minimum(q, 1.0)
+    for r, expect in zip(byrank, q):
+        assert r["bh_q"] == pytest.approx(expect, abs=1e-9)
+    # counts referee on one nation
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    o = _orders()
+    n = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    grp = j.groupby("n_name")
+    got = {r["nation"]: (r["n_urgent"], r["n_orders"]) for r in rows}
+    for name, g in grp:
+        assert got[name] == (
+            int((g["o_orderpriority"] == "1-URGENT").sum()),
+            len(g),
+        )

@@ -2289,3 +2289,157 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
         .where(F.col("rnk") <= SQ8_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# R321 Benjamini-Hochberg FDR over a per-nation test battery
+# ---------------------------------------------------------------------------
+
+BH_ERF_P = """round(2 * 0.5 * ((0.254829592 * t - 0.284496736 * t * t
+                    + 1.421413741 * t * t * t
+                    - 1.453152027 * t * t * t * t
+                    + 1.061405429 * t * t * t * t * t)
+                   * exp(-(az * az) / 2)), 9)"""
+
+
+@register(
+    "bh_fdr_nation_urgency",
+    sql=f"""
+    WITH j AS (
+      SELECT n.n_name AS nation,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    per AS (
+      SELECT nation, CAST(sum(u) AS BIGINT) AS k1,
+             CAST(count(*) AS BIGINT) AS n1
+      FROM j GROUP BY nation
+    ),
+    tot AS (
+      SELECT CAST(sum(k1) AS BIGINT) AS kt, CAST(sum(n1) AS BIGINT) AS nt
+      FROM per
+    ),
+    z AS (
+      SELECT nation, k1, n1,
+             (CAST(k1 AS DOUBLE) / n1
+              - CAST(t.kt - k1 AS DOUBLE) / (t.nt - n1))
+             / sqrt((CAST(t.kt AS DOUBLE) / t.nt)
+                    * (1.0 - CAST(t.kt AS DOUBLE) / t.nt)
+                    * (1.0 / n1 + 1.0 / (t.nt - n1))) AS zval
+      FROM per CROSS JOIN tot t
+    ),
+    p AS (
+      SELECT nation, k1, n1, round(zval, 6) AS z,
+             {BH_ERF_P} AS p_value
+      FROM (SELECT *, abs(zval) AS az,
+                   1 / (1 + 0.3275911 * (abs(zval) / sqrt(2.0))) AS t
+            FROM z)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY p_value, nation) AS rnk,
+             count(*) OVER () AS k
+      FROM p
+    ),
+    adj AS (
+      SELECT *,
+             least(min(p_value * k / rnk)
+                     OVER (ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW), 1.0) AS bh_q
+      FROM ranked
+    )
+    SELECT nation, k1 AS n_urgent, n1 AS n_orders, z, p_value,
+           CAST(rnk AS BIGINT) AS p_rank,
+           round(bh_q, 9) AS bh_q,
+           CASE WHEN bh_q <= 0.05 THEN 1 ELSE 0 END AS reject_fdr05
+    FROM adj
+    """,
+)
+def bh_fdr_nation_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R321 Benjamini-Hochberg FDR control over a battery of
+    per-nation two-proportion z-tests (nation's urgent-order share vs
+    the rest of the world) — the multiple-testing correction every
+    many-segments dashboard needs before flagging 'significant'
+    nations (25 uncorrected tests at alpha=.05 expect a false alarm).
+    Step-up q-values via the reverse running minimum of p*k/rank over
+    the dimension-bounded nation frame; z inputs are exact integer
+    counts, the p-value is the shared A-S erf polynomial (the
+    approximation, not either engine's erf, is the contract)."""
+    from pyspark.sql import Window
+    from zoom_spark.queries.rank_stats import _erf_tail_p
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("u"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("nation")
+        .agg(
+            F.sum("u").cast("bigint").alias("k1"),
+            F.count("*").cast("bigint").alias("n1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(
+        F.sum("k1").cast("bigint").alias("kt"),
+        F.sum("n1").cast("bigint").alias("nt"),
+    )
+    pooled = F.col("kt").cast("double") / F.col("nt")
+    zval = (
+        F.col("k1").cast("double") / F.col("n1")
+        - (F.col("kt") - F.col("k1")).cast("double")
+        / (F.col("nt") - F.col("n1"))
+    ) / F.sqrt(
+        pooled
+        * (1.0 - pooled)
+        * (1.0 / F.col("n1") + 1.0 / (F.col("nt") - F.col("n1")))
+    )
+    z = per.crossJoin(F.broadcast(tot)).select(
+        "nation", "k1", "n1", zval.alias("zval")
+    )
+    p = z.select(
+        "nation",
+        "k1",
+        "n1",
+        F.round("zval", 6).alias("z"),
+        _erf_tail_p(F.abs(F.col("zval"))).alias("p_value"),
+    )
+    wr = Window.orderBy("p_value", "nation")
+    ranked = p.select(
+        "*",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).alias("k"),
+    )
+    wrev = Window.orderBy(F.col("rnk").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = ranked.select(
+        "*",
+        F.least(
+            F.min(
+                F.col("p_value") * F.col("k") / F.col("rnk")
+            ).over(wrev),
+            F.lit(1.0),
+        ).alias("bh_q"),
+    )
+    return adj.select(
+        "nation",
+        F.col("k1").alias("n_urgent"),
+        F.col("n1").alias("n_orders"),
+        "z",
+        "p_value",
+        F.col("rnk").cast("bigint").alias("p_rank"),
+        F.round("bh_q", 9).alias("bh_q"),
+        (F.col("bh_q") <= 0.05).cast("int").alias("reject_fdr05"),
+    )
