@@ -644,3 +644,74 @@ def test_bh_fdr_matches_numpy_stepup(spark):
             int((g["o_orderpriority"] == "1-URGENT").sum()),
             len(g),
         )
+
+
+def _py_soundex(word: str) -> str:
+    """Textbook American Soundex (positional algorithm — an
+    independent spelling from the engine's translate/collapse chain):
+    keep first letter; code the rest with H/W transparent for
+    adjacent-merge and vowels breaking merges."""
+    codes = {
+        **{c: "1" for c in "BFPV"},
+        **{c: "2" for c in "CGJKQSXZ"},
+        **{c: "3" for c in "DT"},
+        "L": "4",
+        **{c: "5" for c in "MN"},
+        "R": "6",
+    }
+    w = word.upper()
+    out = []
+    prev = codes.get(w[0], "")
+    for ch in w[1:]:
+        if ch in "HW":
+            continue  # transparent: does not reset prev
+        code = codes.get(ch, "")
+        if code == "":  # vowel: breaks merges
+            prev = ""
+            continue
+        if code != prev:
+            out.append(code)
+        prev = code
+    return w[0] + ("".join(out) + "000")[:3]
+
+
+def test_soundex_blocked_dedup_matches_python(spark):
+    from zoom_spark.queries.round8_ops import (
+        SDX_LEV_MAX,
+        soundex_blocked_dedup,
+    )
+
+    rows = soundex_blocked_dedup(spark, SF_DIR).collect()
+    p = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    p["tok"] = p["p_name"].str.split(" ").str[0].str.upper()
+    p["code"] = p["tok"].map(_py_soundex)
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(
+                    dp[j] + 1,
+                    dp[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+                prev = cur
+        return dp[n]
+
+    expect = set()
+    for (code, size), grp in p.groupby(["code", "p_size"]):
+        recs = sorted(zip(grp["p_partkey"], grp["p_name"]))
+        for (ka, na), (kb, nb) in itertools.combinations(recs, 2):
+            d = lev(na, nb)
+            if d <= SDX_LEV_MAX:
+                expect.add((code, int(size), int(ka), int(kb), d))
+    got = {
+        (r["sdx_block"], r["p_size"], r["key_a"], r["key_b"], r["lev"])
+        for r in rows
+    }
+    assert got == expect
+    assert expect, "fixture should contain phonetic near-dup pairs"

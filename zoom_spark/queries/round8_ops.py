@@ -2443,3 +2443,132 @@ def bh_fdr_nation_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bh_q", 9).alias("bh_q"),
         (F.col("bh_q") <= 0.05).cast("int").alias("reject_fdr05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R322 soundex-blocked near-duplicate part names
+# ---------------------------------------------------------------------------
+
+SDX_LEV_MAX = 4
+
+
+@register(
+    "soundex_blocked_dedup",
+    sql=rf"""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_size,
+             upper(string_split(p_name, ' ')[1]) AS tok
+      FROM part
+    ),
+    sdx AS (
+      SELECT p_partkey, p_name, p_size,
+             substr(tok, 1, 1) ||
+             substr(replace(
+               CASE WHEN substr(tok, 1, 1) IN ('H', 'W')
+                    THEN regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(translate(tok, 'HW', ''),
+                        'BFPVCGJKQSXZDTLMNRAEIOUY',
+                        '122122222222334556000000'), '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g')
+                    ELSE substr(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(translate(translate(tok, 'HW', ''),
+                        'BFPVCGJKQSXZDTLMNRAEIOUY',
+                        '122122222222334556000000'), '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g'), 2)
+               END, '0', '') || '000', 1, 3) AS code
+      FROM p
+    ),
+    blocks AS (
+      SELECT code, p_size,
+             list_sort(list({{'pk': p_partkey, 'nm': p_name}})) AS ms
+      FROM sdx GROUP BY code, p_size
+    ),
+    pairs AS (
+      SELECT code, p_size,
+             ms[i].pk AS key_a, ms[i].nm AS name_a,
+             ms[j].pk AS key_b, ms[j].nm AS name_b
+      FROM blocks,
+      LATERAL (SELECT unnest(generate_series(1, len(ms))) AS i) gi,
+      LATERAL (SELECT unnest(generate_series(1, len(ms))) AS j) gj
+      WHERE i < j
+    )
+    SELECT code AS sdx_block, p_size, key_a, key_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= {SDX_LEV_MAX}
+    """,
+)
+def soundex_blocked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R322 phonetic-blocked entity dedup: American Soundex of the
+    FIRST part-name token (+ p_size) as the blocking key, exact
+    levenshtein <= {SDX_LEV_MAX} verify inside each block — the
+    classic record-linkage blocking scheme for misspelled names
+    (complements the last-token/size blocking of fellegi_sunter and
+    the sorted-neighborhood window). Soundex is spelled as the SAME
+    translate → H/W-merge → collapse → vowel-strip chain on both
+    engines (parity by construction, incl. the first-letter-H/W and
+    leading-code-absorption rules), so the blocking is
+    hash-verifiable without either engine's builtin. Blocks expand to
+    pairs via the basket-explode idiom — quadratic only in BLOCK
+    size, one shuffle on the blocking key at any SF."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.upper(F.split(F.col("p_name"), " ")[0]).alias("tok"),
+    )
+    first = F.substring(F.col("tok"), 1, 1)
+    coded = F.translate(
+        F.translate(F.col("tok"), "HW", ""),
+        "BFPVCGJKQSXZDTLMNRAEIOUY",
+        "122122222222334556000000",
+    )
+    # per-digit run collapse, one regexp per code digit: DuckDB's RE2
+    # has no backreferences, so both engines spell the collapse the
+    # same backreference-free way
+    for _d in "0123456":
+        coded = F.regexp_replace(coded, f"{_d}+", _d)
+    body = F.when(first.isin("H", "W"), coded).otherwise(
+        F.substring(coded, 2, 1000)
+    )
+    code = F.concat(
+        first,
+        F.substring(
+            F.concat(F.replace(body, F.lit("0"), F.lit("")), F.lit("000")),
+            1,
+            3,
+        ),
+    )
+    sdx = p.select("p_partkey", "p_name", "p_size", code.alias("code"))
+    blocks = sdx.groupBy("code", "p_size").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("p_partkey").alias("pk"),
+                    F.col("p_name").alias("nm"),
+                )
+            )
+        ).alias("ms")
+    )
+    pairs = blocks.select(
+        "code",
+        "p_size",
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i+2, size(ms)), "
+                "y -> struct(x.pk as key_a, x.nm as name_a, "
+                "y.pk as key_b, y.nm as name_b))))"
+            )
+        ).alias("e"),
+    ).select("code", "p_size", "e.*")
+    return (
+        pairs.withColumn(
+            "lev",
+            F.levenshtein("name_a", "name_b").cast("bigint"),
+        )
+        .where(F.col("lev") <= SDX_LEV_MAX)
+        .select(
+            F.col("code").alias("sdx_block"),
+            "p_size",
+            "key_a",
+            "key_b",
+            "lev",
+        )
+    )
