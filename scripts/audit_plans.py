@@ -673,6 +673,66 @@ EXPECTATIONS = {
     # day-level pre-agg self-join (calendar-bounded theta join) + 1-row
     # median-slope frame broadcast back (BNLJ by design)
     "theil_sen_revenue_trend": dict(pushed=False, broadcast=False, cartesian=True),
+    # ---- round 8 (R301+): 1-row scalar/moment broadcasts (BNLJ by
+    # design) and calendar/dimension-bounded single-task windows ----
+    # R302: 1-row (n, theta) scalar crossed onto the distinct-gap frame
+    "anderson_darling_interevent": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R304: 1-row global-median + marginal-total scalars crossed on
+    "mood_median_segments": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R305: 1-row snapped-mean scalar BNLJ + two running scans over the
+    # calendar-bounded day frame
+    "page_hinkley_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R306: day-frame partial-sum/lag windows + 1-row mean scalar BNLJ
+    "kpss_level_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R307: lag windows over the calendar-bounded day frame
+    "diebold_mariano_revenue": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    # R310: left-side x right-side 1-row fit frames crossed (2x1 rows)
+    "regression_discontinuity_acctbal": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R311: 1-row gap-count scalar crossed onto the distinct-gap frame
+    "weibull_fit_interevent": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R312: 1-row pos/neg-total scalar + 1-row IV-total crossed on
+    "woe_iv_acctbal": dict(pushed=False, broadcast=False, cartesian=True),
+    # R313: 1-row total scalar + 1-row chi2 crossed onto the arm counts
+    "srm_check_assignment": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R314: the contingency-cell self-cross is the bounded 16x2 grid;
+    # plus 1-row pair-count scalar
+    "somers_d_balance_urgency": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R315: 1-row pooled-n scalar crossed onto the distinct-value frame
+    "ansari_bradley_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R318: the bucket-histogram grid is gtot x 5 global buckets
+    # (dimension-bounded crossJoin by design)
+    "t_closeness_report": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R320: per-dim stats as a 1-row broadcast matrix column + the
+    # documented exact query x corpus candidate scan (same contract
+    # as knn_bruteforce; IVF twins are the scale path)
+    "knn_sq8_rerank": dict(pushed=False, broadcast=False, cartesian=True),
+    # R321: 1-row pooled-counts scalar BNLJ + BH step-up windows over
+    # the 25-row nation frame
+    "bh_fdr_nation_urgency": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
     # R271: STOMP diagonal products — the pair frame is the documented
     # calendar-bounded day^2 class (same size at any SF), built by a
     # theta self-join of the ~2.4k-row day sequence (BNLJ by design)
