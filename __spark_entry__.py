@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords",
         "hits_supplier_part",
         "logreg_purchase_model",
+        "k_truss_copurchase",
     )
     ROTATION_ROUND = 8
     by_module: dict[str, list[tuple[str, Callable]]] = {}

@@ -1204,7 +1204,71 @@ def local_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(_co_purchase_edges(spark, sf_dir))
 
 
-@register("k_truss_copurchase")  # iterative fixpoint: rows-only + referee
+def _ktruss_oracle_sql(rounds: int = 12, k: int = 4) -> str:
+    """Unrolled truss-peeling replay: each round re-enumerates
+    triangles of the surviving edge set via the same degree-oriented
+    wedge join the engine's ONE-TIME enumeration uses, counts per-edge
+    support, and drops edges below k-2. Peeling is monotone (the edge
+    set only shrinks), so extra rounds past the fixpoint are no-ops
+    and a convergence sentinel (edge counts of the last two rounds)
+    makes under-unrolling fail LOUDLY at any SF. All-integer
+    arithmetic — no float grid anywhere."""
+    head = """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""deg{p} AS MATERIALIZED (
+      SELECT node, count(*) * 1000000000 + node AS ord
+      FROM (SELECT u AS node FROM e{p} UNION ALL SELECT v AS node FROM e{p})
+      GROUP BY node
+    ),
+    o{p} AS MATERIALIZED (
+      SELECT CASE WHEN du.ord < dv.ord THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.ord < dv.ord THEN e.v ELSE e.u END AS dst,
+             CASE WHEN du.ord < dv.ord THEN dv.ord ELSE du.ord END AS dst_ord
+      FROM e{p} e JOIN deg{p} du ON e.u = du.node
+                  JOIN deg{p} dv ON e.v = dv.node
+    ),
+    t{p} AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o{p} e1
+      JOIN o{p} e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+      JOIN o{p} cl ON cl.src = e1.dst AND cl.dst = e2.dst
+    ),
+    s{p} AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS support
+      FROM (
+        SELECT least(a, b) AS u, greatest(a, b) AS v FROM t{p}
+        UNION ALL SELECT least(a, c), greatest(a, c) FROM t{p}
+        UNION ALL SELECT least(b, c), greatest(b, c) FROM t{p}
+      ) GROUP BY u, v
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT s.u, s.v, s.support FROM s{p} s WHERE s.support >= {k - 2}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT u, v, support FROM e{rounds}
+    UNION ALL
+    -- convergence sentinel: monotone peel, equal edge counts in the
+    -- last two rounds == fixpoint reached inside the unroll depth
+    SELECT -1 AS u, -1 AS v, CAST(-1 AS BIGINT) AS support
+    WHERE (SELECT count(*) FROM e{rounds})
+       <> (SELECT count(*) FROM e{rounds - 1})"""
+    )
+
+
+@register("k_truss_copurchase", sql=_ktruss_oracle_sql())
 def k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the co-purchase graph (operators/graph.k_truss):
     iteratively delete edges supported by < 2 triangles to fixpoint —
@@ -1213,8 +1277,11 @@ def k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_clustering_parts (per-node) down to the edge level. ONE
     bounded wedge-join triangle enumeration, then incremental support
     maintenance per peel round (deleted edges ⋈ live triangles — the
-    affected neighborhood, not the graph).
-    Referee: pure-Python iterative peeling on the same graph."""
+    affected neighborhood, not the graph). Oracle-hashed since round
+    8: all-integer peel, so the unrolled per-round re-enumeration
+    replay (with a convergence sentinel) matches the engine's
+    incremental path exactly; the pure-Python peeling referee stays
+    as the independent check."""
     from zoom_spark.operators.graph import k_truss
 
     return k_truss(
