@@ -455,7 +455,7 @@ def test_dbscan_matches_python_referee(spark):
     summary = {}
     for i in range(n):
         c = cluster_of.get(i)
-        key = None if c is None else int(c)
+        key = -1 if c is None else int(c)  # engine keys noise as -1
         s = summary.setdefault(key, [0, 0, None])
         s[0] += 1
         s[1] += int(is_core[i])
@@ -467,8 +467,8 @@ def test_dbscan_matches_python_referee(spark):
     }
     assert got == {k: tuple(v) for k, v in summary.items()}
     # the fixture genuinely exercises clusters AND noise
-    assert None in got and len(got) >= 2
-    assert all(v[1] > 0 for k, v in got.items() if k is not None)
+    assert -1 in got and len(got) >= 2
+    assert all(v[1] > 0 for k, v in got.items() if k != -1)
 
 
 def test_silhouette_matches_numpy_referee(spark):

@@ -891,7 +891,94 @@ DBSCAN_EPS = 0.05
 DBSCAN_MIN_PTS = 5
 
 
-@register("dbscan_embedding_cells")  # iterative CC core: rows-only + referee
+DBSCAN_CC_ROUNDS = 24
+
+
+def _dbscan_oracle_sql(
+    rounds: int = DBSCAN_CC_ROUNDS,
+    eps: float = 0.05,
+    min_pts: int = 5,
+) -> str:
+    """Unrolled grid-DBSCAN replay: eps-grid 3x3 cell join, exact eps
+    filter, degree threshold, then `rounds` min-label rounds over the
+    core-core graph (the engine's star-contraction CC converges to
+    the same min-member labeling), min-label border attachment, and a
+    convergence sentinel on the last two rounds' label sums."""
+    head = f"""pts AS MATERIALIZED (
+      SELECT vec_id AS id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) / {eps}) AS BIGINT) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) / {eps}) AS BIGINT) AS cy
+      FROM embeddings
+    ),
+    nbr AS MATERIALIZED (
+      SELECT a.id AS a_id, b.id AS b_id
+      FROM pts a JOIN pts b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id <> b.id
+      WHERE pow(a.x - b.x, 2) + pow(a.y - b.y, 2) <= {eps} * {eps}
+    ),
+    core AS MATERIALIZED (
+      SELECT a_id AS id FROM nbr GROUP BY a_id
+      HAVING count(*) + 1 >= {min_pts}
+    ),
+    ce AS MATERIALIZED (
+      SELECT n.a_id AS a, n.b_id AS b FROM nbr n
+      JOIN core x ON x.id = n.a_id JOIN core y ON y.id = n.b_id
+    ),
+    l0 AS MATERIALIZED (SELECT id, id AS lab FROM core)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT l.id, least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+      FROM l{i-1} l
+      LEFT JOIN ce s ON s.a = l.id
+      LEFT JOIN l{i-1} nl ON nl.id = s.b
+      GROUP BY l.id, l.lab
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    core_lab AS MATERIALIZED (
+      SELECT id, lab AS cluster, 1 AS is_core FROM l{rounds}
+    ),
+    border AS (
+      SELECT n.a_id AS id, min(cl.cluster) AS cluster, 0 AS is_core
+      FROM nbr n JOIN core_lab cl ON cl.id = n.b_id
+      WHERE n.a_id NOT IN (SELECT id FROM core)
+      GROUP BY n.a_id
+    ),
+    lab AS (
+      SELECT * FROM core_lab UNION ALL SELECT * FROM border
+      UNION ALL
+      SELECT p.id, NULL AS cluster, 0 AS is_core
+      FROM pts p
+      WHERE p.id NOT IN (SELECT id FROM core_lab)
+        AND p.id NOT IN (SELECT id FROM border)
+    )
+    SELECT coalesce(cluster, -1) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(is_core) AS BIGINT) AS n_core,
+           CAST(min(id) AS BIGINT) AS min_member
+    FROM lab GROUP BY 1
+    UNION ALL
+    -- convergence sentinel: min-label is monotone, equal label sums
+    -- in the last two rounds == fixpoint inside the unroll depth
+    SELECT -2 AS cluster, CAST(-1 AS BIGINT) AS n_points,
+           CAST(-1 AS BIGINT) AS n_core, CAST(-1 AS BIGINT) AS min_member
+    WHERE (SELECT sum(lab) FROM l{rounds})
+       <> (SELECT sum(lab) FROM l{rounds - 1})"""
+    )
+
+
+@register(
+    "dbscan_embedding_cells", sql=_dbscan_oracle_sql()
+)  # oracle since round 8: unrolled min-label CC replay + sentinel
 def dbscan_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R255 grid-accelerated DBSCAN over the first two embedding
     dimensions (eps={0.05}, min_pts={5}): the density-based
@@ -901,10 +988,12 @@ def dbscan_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline). Composition of bounded ops: eps-grid cell join (3x3
     probe), exact eps filter, degree threshold for core points,
     star-contraction CC over the core-core graph, deterministic
-    min-id border attachment (similarity/dbscan.py). Iterative CC
-    fixpoint -> rows-only gate; the pure-python referee recomputes
-    the exact labeling in tests/test_round7_ops.py. Output: one row
-    per cluster plus one NULL-cluster row aggregating noise."""
+    min-id border attachment (similarity/dbscan.py). Oracle-hashed
+    since round 8 (all-integer/exact-double deterministic pipeline;
+    the star-contraction CC equals the oracle's unrolled min-label
+    replay with a convergence sentinel); the pure-python referee in
+    tests/test_round7_ops.py stays the independent check. Output: one
+    row per cluster plus one noise row keyed cluster = -1."""
     from zoom_spark.similarity.dbscan import dbscan_2d
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -916,7 +1005,13 @@ def dbscan_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = dbscan_2d(
         pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS
     )
-    return lab.groupBy("cluster").agg(
+    return lab.groupBy(
+        # noise keyed as -1 (not NULL) so the driver canonicalizer
+        # compares an integer key on both engines
+        F.coalesce(F.col("cluster"), F.lit(-1)).cast("bigint").alias(
+            "cluster"
+        )
+    ).agg(
         F.count("*").cast("bigint").alias("n_points"),
         F.sum(F.when(F.col("is_core"), 1).otherwise(0))
         .cast("bigint")
