@@ -348,6 +348,11 @@ HEADLINE = [
     "modern_aggregates",
     "tdigest_quantiles_prices",
     "zorder_layout_keys",
+    # late round-8 registrations
+    "mann_kendall_revenue_trend",
+    "knn_sq8_rerank",
+    "bh_fdr_nation_urgency",
+    "soundex_blocked_dedup",
 ]
 
 
