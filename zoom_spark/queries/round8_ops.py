@@ -2114,11 +2114,18 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-label monotone, extra rounds idempotent)."""
     from zoom_spark.queries.advanced_analytics import _co_purchase_edges
 
+    from zoom_spark.operators.sizing import frame_partitions
+
     eu = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     e = eu.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(eu.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    # co-partition the static edge frame on the per-round join key
+    # ONCE: every BFS round's join then reuses the exchange instead
+    # of reshuffling the edges (pagerank's keyed-repartition lesson)
     e = e.localCheckpoint(eager=False)
+    n_parts = frame_partitions(spark.sparkContext, e.count())
+    e = e.repartition(n_parts, "a").localCheckpoint(eager=False)
     nodes = (
         eu.select(F.col("u").alias("node"))
         .union(eu.select(F.col("v").alias("node")))
