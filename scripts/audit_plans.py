@@ -733,6 +733,11 @@ EXPECTATIONS = {
     "bh_fdr_nation_urgency": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R323: 1-row (n_docs, avgdl) stats scalar crossed onto the
+    # query-matched candidate frame (same scalar BNLJ as bm25_ranking)
+    "rrf_fusion_ranking": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R271: STOMP diagonal products — the pair frame is the documented
     # calendar-bounded day^2 class (same size at any SF), built by a
     # theta self-join of the ~2.4k-row day sequence (BNLJ by design)

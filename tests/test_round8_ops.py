@@ -715,3 +715,63 @@ def test_soundex_blocked_dedup_matches_python(spark):
     }
     assert got == expect
     assert expect, "fixture should contain phonetic near-dup pairs"
+
+
+def test_rrf_fusion_matches_pandas(spark):
+    from zoom_spark.queries.round8_ops import (
+        RRF_K,
+        RRF_TERMS,
+        RRF_TOP,
+        rrf_fusion_ranking,
+    )
+
+    rows = rrf_fusion_ranking(spark, SF_DIR).collect()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    from collections import Counter
+
+    tfs, dlen = {}, {}
+    for _, row in docs.iterrows():
+        toks = [t for t in row["text"].lower().strip().split() if t]
+        dlen[row["doc_id"]] = len(toks)
+        c = Counter(t for t in toks if t in RRF_TERMS)
+        if c:
+            tfs[row["doc_id"]] = c
+    n_docs = len(dlen)
+    avgdl = sum(dlen.values()) / n_docs
+    df = Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    scored = {}
+    for d, c in tfs.items():
+        bm = sum(
+            math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen[d] / avgdl))
+            for t, tf in c.items()
+        )
+        ti = sum(tf * math.log(n_docs / df[t]) for t, tf in c.items())
+        scored[d] = (round(bm, 4), round(ti, 4))
+    rank_bm = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        )
+    }
+    rank_ti = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))
+        )
+    }
+    rrf = {
+        d: 1.0 / (RRF_K + rank_bm[d]) + 1.0 / (RRF_K + rank_ti[d])
+        for d in scored
+    }
+    top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP]
+    got = sorted(rows, key=lambda r: r["rnk"])
+    assert [r["doc_id"] for r in got] == [d for d, _ in top]
+    for r in got:
+        assert r["rank_bm25"] == rank_bm[r["doc_id"]]
+        assert r["rank_tfidf"] == rank_ti[r["doc_id"]]
+        assert r["rrf"] == pytest.approx(rrf[r["doc_id"]], abs=1e-9)
+    # fusion is non-trivial: the two rankers genuinely disagree
+    assert any(rank_bm[d] != rank_ti[d] for d in scored)

@@ -2611,3 +2611,136 @@ def soundex_blocked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lev",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R323 reciprocal rank fusion (BM25 + TF-IDF rankers)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 20
+RRF_TERMS = ("data", "model", "learning")
+
+
+@register(
+    "rrf_fusion_ranking",
+    sql=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen
+           FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE t IN {tuple(RRF_TERMS)}
+      GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))), 4)
+               AS bm25,
+             round(sum(tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / df.df)), 4)
+               AS tfidf
+      FROM tf
+      JOIN df ON tf.t = df.t
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS BIGINT) AS rank_bm25,
+             CAST(row_number() OVER (ORDER BY tfidf DESC, doc_id)
+                  AS BIGINT) AS rank_tfidf
+      FROM scored
+    )
+    SELECT doc_id, rank_bm25, rank_tfidf,
+           round(1.0 / ({RRF_K} + rank_bm25)
+                 + 1.0 / ({RRF_K} + rank_tfidf), 9) AS rrf,
+           CAST(row_number() OVER (
+             ORDER BY 1.0 / ({RRF_K} + rank_bm25)
+                    + 1.0 / ({RRF_K} + rank_tfidf) DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM ranked
+    QUALIFY rnk <= {RRF_TOP}
+    """,
+)
+def rrf_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R323 reciprocal rank fusion — THE standard zero-tuning way to
+    combine heterogeneous retrievers (Cormack et al.; every hybrid
+    BM25+vector search stack ships it): two lexical rankers over the
+    same fixed query (BM25 with Lucene idf; plain TF-IDF — different
+    weighting, genuinely different orderings), fused by
+    RRF = sum 1/(k + rank_i) with k={RRF_K}. Ranks are integers from
+    4dp-pre-rounded scores with doc_id tie-break, so the fused score
+    is an exact rational — bit-identical across engines with no float
+    discipline at all. Scale shape: the query-term filter prunes the
+    token stream before any shuffle (same as bm25_ranking); the
+    candidate set is query-matched docs only, final top-{RRF_TOP} is
+    rank-limited."""
+    from pyspark.sql import Window
+
+    from zoom_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower("text"))).alias("t")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("t").isin(*RRF_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf_bm = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    idf_plain = F.log(F.col("n_docs").cast("double") / F.col("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf_bm * F.col("tf") * 2.2 / denom), 4
+            ).alias("bm25"),
+            F.round(F.sum(F.col("tf") * idf_plain), 4).alias("tfidf"),
+        )
+    )
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    wt = Window.orderBy(F.col("tfidf").desc(), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(wb).cast("bigint").alias("rank_bm25"),
+        F.row_number().over(wt).cast("bigint").alias("rank_tfidf"),
+    )
+    rrf = 1.0 / (RRF_K + F.col("rank_bm25")) + 1.0 / (
+        RRF_K + F.col("rank_tfidf")
+    )
+    wf = Window.orderBy(rrf.desc(), "doc_id")
+    return (
+        ranked.select(
+            "doc_id",
+            "rank_bm25",
+            "rank_tfidf",
+            F.round(rrf, 9).alias("rrf"),
+        )
+        .withColumn("rnk", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rnk") <= RRF_TOP)
+    )
