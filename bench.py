@@ -349,6 +349,7 @@ HEADLINE = [
     "tdigest_quantiles_prices",
     "zorder_layout_keys",
     # late round-8 registrations
+    "jonckheere_terpstra_balance_orders",
     "rrf_fusion_ranking",
     "mann_kendall_revenue_trend",
     "knn_sq8_rerank",

@@ -738,6 +738,11 @@ EXPECTATIONS = {
     "rrf_fusion_ranking": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R324: contingency-grid theta self-join (bounded 8 x distinct
+    # order counts) + 1-row moment scalars crossed on
+    "jonckheere_terpstra_balance_orders": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R271: STOMP diagonal products — the pair frame is the documented
     # calendar-bounded day^2 class (same size at any SF), built by a
     # theta self-join of the ~2.4k-row day sequence (BNLJ by design)

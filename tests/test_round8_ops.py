@@ -775,3 +775,44 @@ def test_rrf_fusion_matches_pandas(spark):
         assert r["rrf"] == pytest.approx(rrf[r["doc_id"]], abs=1e-9)
     # fusion is non-trivial: the two rankers genuinely disagree
     assert any(rank_bm[d] != rank_ti[d] for d in scored)
+
+
+def test_jonckheere_terpstra_matches_bruteforce(spark):
+    from zoom_spark.queries.round8_ops import (
+        JT_BINS,
+        jonckheere_terpstra_balance_orders,
+    )
+
+    [r] = jonckheere_terpstra_balance_orders(spark, SF_DIR).collect()
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    o = _orders()
+    cnt = o.groupby("o_custkey").size()
+    g = np.minimum(
+        np.maximum(
+            np.floor((c["c_acctbal"].round(2) + 1000.0) / 1375.0), 0
+        ),
+        JT_BINS - 1,
+    ).astype(int).to_numpy()
+    x = c["c_custkey"].map(cnt).fillna(0).astype(int).to_numpy()
+    n = len(x)
+    jt = 0.0
+    for i in range(n):
+        gt = g > g[i]
+        jt += np.sum(gt & (x > x[i])) + 0.5 * np.sum(gt & (x == x[i]))
+    ng = pd.Series(g).value_counts().to_numpy().astype(float)
+    tt = pd.Series(x).value_counts().to_numpy().astype(float)
+    N = float(n)
+    e = (N * N - np.sum(ng**2)) / 4.0
+    v = (
+        (N * (N - 1) * (2 * N + 5)
+         - np.sum(ng * (ng - 1) * (2 * ng + 5))
+         - np.sum(tt * (tt - 1) * (2 * tt + 5))) / 72.0
+        + np.sum(ng * (ng - 1) * (ng - 2))
+        * np.sum(tt * (tt - 1) * (tt - 2))
+        / (36.0 * N * (N - 1) * (N - 2))
+        + np.sum(ng * (ng - 1)) * np.sum(tt * (tt - 1))
+        / (8.0 * N * (N - 1))
+    )
+    assert r["jt_stat"] == pytest.approx(jt, abs=0.11)
+    assert r["jt_expected"] == pytest.approx(e, abs=0.11)
+    assert r["z"] == pytest.approx((jt - e) / math.sqrt(v), abs=1e-4)

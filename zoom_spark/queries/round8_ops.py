@@ -2744,3 +2744,138 @@ def rrf_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wf).cast("bigint"))
         .where(F.col("rnk") <= RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# R324 Jonckheere-Terpstra ordered-alternative trend test
+# ---------------------------------------------------------------------------
+
+JT_BINS = 8
+
+
+@register(
+    "jonckheere_terpstra_balance_orders",
+    sql=f"""
+    WITH u AS (
+      SELECT c.c_custkey,
+             least(greatest(CAST(floor((round(c.c_acctbal, 2) + 1000.0)
+                                        / 1375.0) AS BIGINT), 0),
+                   {JT_BINS - 1}) AS g,
+             CAST(count(o.o_orderkey) AS BIGINT) AS x
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    cell AS (
+      SELECT g, x, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY g, x
+    ),
+    jt AS (
+      SELECT sum(a.c * b.c * CASE WHEN a.x < b.x THEN 1.0
+                                  WHEN a.x = b.x THEN 0.5
+                                  ELSE 0.0 END) AS jt
+      FROM cell a JOIN cell b ON a.g < b.g
+    ),
+    gs AS (SELECT g, CAST(sum(c) AS DOUBLE) AS n FROM cell GROUP BY g),
+    ts AS (SELECT x, CAST(sum(c) AS DOUBLE) AS t FROM cell GROUP BY x),
+    mom AS (
+      SELECT (SELECT sum(n) FROM gs) AS nn,
+             (SELECT sum(n * n) FROM gs) AS sn2,
+             (SELECT sum(n * (n - 1) * (2 * n + 5)) FROM gs) AS sg5,
+             (SELECT sum(n * (n - 1) * (n - 2)) FROM gs) AS sg3,
+             (SELECT sum(n * (n - 1)) FROM gs) AS sg2,
+             (SELECT sum(t * (t - 1) * (2 * t + 5)) FROM ts) AS st5,
+             (SELECT sum(t * (t - 1) * (t - 2)) FROM ts) AS st3,
+             (SELECT sum(t * (t - 1)) FROM ts) AS st2
+    ),
+    z AS (
+      SELECT jt.jt,
+             (mom.nn * mom.nn - mom.sn2) / 4.0 AS e_jt,
+             (mom.nn * (mom.nn - 1) * (2 * mom.nn + 5)
+              - mom.sg5 - mom.st5) / 72.0
+             + mom.sg3 * mom.st3
+               / (36.0 * mom.nn * (mom.nn - 1) * (mom.nn - 2))
+             + mom.sg2 * mom.st2 / (8.0 * mom.nn * (mom.nn - 1)) AS v_jt
+      FROM jt CROSS JOIN mom
+    )
+    SELECT round(jt, 1) AS jt_stat,
+           round(e_jt, 1) AS jt_expected,
+           round((jt - e_jt) / sqrt(v_jt), 6) AS z
+    FROM z
+    """,
+)
+def jonckheere_terpstra_balance_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R324 Jonckheere-Terpstra trend test: do customers with higher
+    account balances place stochastically MORE orders? The ordered-
+    alternative rank test (more powerful than Kruskal-Wallis when the
+    alternative is monotone across ordered groups — the dose-response
+    test). JT = sum over ordered group pairs of Mann-Whitney counts
+    (ties at 1/2), computed in closed form on the bounded (bucket x
+    order-count) contingency grid — never row pairs; the normal
+    approximation uses the FULL Hollander-Wolfe tie-corrected
+    variance from group sizes and tie-group sizes (all integer sums,
+    exact on both engines). One customer aggregate + model-sized grid
+    passes at any SF."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.round("c_acctbal", 2) + 1000.0) / 1375.0
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(JT_BINS - 1).cast("bigint"),
+        ).alias("g"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    u = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "g")
+        .agg(F.count("o_orderkey").cast("bigint").alias("x"))
+    )
+    cell = u.groupBy("g", "x").agg(
+        F.count("*").cast("double").alias("c")
+    ).localCheckpoint(eager=False)
+    a, b = cell.alias("a"), cell.alias("b")
+    jt = a.join(b, F.col("a.g") < F.col("b.g")).agg(
+        F.sum(
+            F.col("a.c")
+            * F.col("b.c")
+            * F.when(F.col("a.x") < F.col("b.x"), 1.0)
+            .when(F.col("a.x") == F.col("b.x"), 0.5)
+            .otherwise(0.0)
+        ).alias("jt")
+    )
+    gs = cell.groupBy("g").agg(F.sum("c").alias("n"))
+    ts = cell.groupBy("x").agg(F.sum("c").alias("t"))
+    n_ = F.col("n")
+    t_ = F.col("t")
+    mom_g = gs.agg(
+        F.sum(n_).alias("nn"),
+        F.sum(n_ * n_).alias("sn2"),
+        F.sum(n_ * (n_ - 1) * (2 * n_ + 5)).alias("sg5"),
+        F.sum(n_ * (n_ - 1) * (n_ - 2)).alias("sg3"),
+        F.sum(n_ * (n_ - 1)).alias("sg2"),
+    )
+    mom_t = ts.agg(
+        F.sum(t_ * (t_ - 1) * (2 * t_ + 5)).alias("st5"),
+        F.sum(t_ * (t_ - 1) * (t_ - 2)).alias("st3"),
+        F.sum(t_ * (t_ - 1)).alias("st2"),
+    )
+    nn = F.col("nn")
+    e_jt = (nn * nn - F.col("sn2")) / 4.0
+    v_jt = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("sg5") - F.col("st5")) / 72.0
+        + F.col("sg3") * F.col("st3") / (36.0 * nn * (nn - 1) * (nn - 2))
+        + F.col("sg2") * F.col("st2") / (8.0 * nn * (nn - 1))
+    )
+    return (
+        jt.crossJoin(F.broadcast(mom_g))
+        .crossJoin(F.broadcast(mom_t))
+        .select(
+            F.round("jt", 1).alias("jt_stat"),
+            F.round(e_jt, 1).alias("jt_expected"),
+            F.round((F.col("jt") - e_jt) / F.sqrt(v_jt), 6).alias("z"),
+        )
+    )
