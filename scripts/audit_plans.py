@@ -743,6 +743,11 @@ EXPECTATIONS = {
     "jonckheere_terpstra_balance_orders": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R325: 1-row rank-mean scalar crossed onto the distinct-value
+    # frame for the deviation pass (scalar BNLJ by design)
+    "brunner_munzel_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R271: STOMP diagonal products — the pair frame is the documented
     # calendar-bounded day^2 class (same size at any SF), built by a
     # theta self-join of the ~2.4k-row day sequence (BNLJ by design)

@@ -816,3 +816,30 @@ def test_jonckheere_terpstra_matches_bruteforce(spark):
     assert r["jt_stat"] == pytest.approx(jt, abs=0.11)
     assert r["jt_expected"] == pytest.approx(e, abs=0.11)
     assert r["z"] == pytest.approx((jt - e) / math.sqrt(v), abs=1e-4)
+
+
+def test_brunner_munzel_matches_bruteforce(spark):
+    """Per-row midrank recompute (pandas rank average), the scipy
+    brunnermunzel formulation."""
+    from zoom_spark.queries.round8_ops import brunner_munzel_weekend
+
+    [r] = brunner_munzel_weekend(spark, SF_DIR).collect()
+    v, grp = _weekend_values()
+    s = pd.Series(v)
+    rp = s.rank(method="average").to_numpy()
+    m_, n_ = int((grp == 1).sum()), int((grp == 0).sum())
+    ra = pd.Series(v[grp == 1]).rank(method="average").to_numpy()
+    rb = pd.Series(v[grp == 0]).rank(method="average").to_numpy()
+    rpa, rpb = rp[grp == 1], rp[grp == 0]
+    rbar_a, rbar_b = rpa.mean(), rpb.mean()
+    s2a = np.sum((rpa - ra - rbar_a + (m_ + 1) / 2.0) ** 2) / (m_ - 1)
+    s2b = np.sum((rpb - rb - rbar_b + (n_ + 1) / 2.0) ** 2) / (n_ - 1)
+    bm = (
+        m_ * n_ * (rbar_b - rbar_a) / (m_ + n_)
+        / math.sqrt(m_ * s2a + n_ * s2b)
+    )
+    p_hat = (rbar_b - (n_ + 1) / 2.0) / m_
+    assert r["n_weekend"] == m_ and r["n_weekday"] == n_
+    assert r["p_hat"] == pytest.approx(p_hat, abs=1e-6)
+    assert r["bm_stat"] == pytest.approx(bm, abs=1e-5)
+    assert 0.0 <= r["p_hat"] <= 1.0

@@ -2879,3 +2879,136 @@ def jonckheere_terpstra_balance_orders(
             F.round((F.col("jt") - e_jt) / F.sqrt(v_jt), 6).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R325 Brunner-Munzel test (rank Welch: no equal-variance assumption)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brunner_munzel_weekend",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pv AS (
+      SELECT v, CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT v, na, nb,
+             sum(na + nb) OVER w - (na + nb) + (na + nb + 1) / 2.0 AS rp,
+             sum(na) OVER w - na + (na + 1) / 2.0 AS ra,
+             sum(nb) OVER w - nb + (nb + 1) / 2.0 AS rb
+      FROM pv
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT CAST(sum(na) AS BIGINT) AS m,
+             CAST(sum(nb) AS BIGINT) AS n,
+             sum(na * rp) AS sra, sum(nb * rp) AS srb
+      FROM r
+    ),
+    dev AS (
+      SELECT sum(r.na * pow(r.rp - r.ra - m.sra / m.m + (m.m + 1) / 2.0, 2))
+               / (any_value(m.m) - 1) AS s2a,
+             sum(r.nb * pow(r.rp - r.rb - m.srb / m.n + (m.n + 1) / 2.0, 2))
+               / (any_value(m.n) - 1) AS s2b
+      FROM r CROSS JOIN m
+    )
+    SELECT m.m AS n_weekend, m.n AS n_weekday,
+           round((m.srb / m.n - (m.n + 1) / 2.0) / m.m, 6) AS p_hat,
+           round(CAST(m.m AS DOUBLE) * m.n * (m.srb / m.n - m.sra / m.m)
+                 / (m.m + m.n)
+                 / sqrt(m.m * dev.s2a + m.n * dev.s2b), 6) AS bm_stat
+    FROM m CROSS JOIN dev
+    """,
+)
+def brunner_munzel_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R325 Brunner-Munzel test, weekend vs weekday event values: the
+    rank analog of Welch's t — tests P(X<Y)+P(X=Y)/2 = 1/2 WITHOUT the
+    equal-variance/shape assumption Mann-Whitney needs (the modern
+    default recommendation when spreads differ; p_hat is the common-
+    language effect size). Needs pooled AND within-group midranks per
+    value: all three come from the same distinct-value prefix frame
+    (one pass, three running counts), the rank means from one
+    aggregate, and the S_i^2 deviation sums from one more — midranks
+    are half-integers so every sum is exact until the final 6dp
+    rounding. Same two-shuffle scale shape as MWU/Ansari/Conover."""
+    from zoom_spark.operators.prefix import prefix_sum
+    from zoom_spark.queries.rank_stats import _weekend_events
+
+    s = _weekend_events(spark, sf_dir)
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    pv = pv.withColumn("c", (F.col("na") + F.col("nb")).cast("bigint"))
+    r = prefix_sum(pv, "v", "c", out_col="cp")
+    r = prefix_sum(r, "v", "na", out_col="ca")
+    r = prefix_sum(r, "v", "nb", out_col="cb")
+    r = r.select(
+        "v",
+        "na",
+        "nb",
+        (F.col("cp") - F.col("c") + (F.col("c") + 1) / 2.0).alias("rp"),
+        (F.col("ca") - F.col("na") + (F.col("na") + 1) / 2.0).alias("ra"),
+        (F.col("cb") - F.col("nb") + (F.col("nb") + 1) / 2.0).alias("rb"),
+    ).localCheckpoint(eager=False)
+    m = r.agg(
+        F.sum("na").cast("bigint").alias("m"),
+        F.sum("nb").cast("bigint").alias("n"),
+        F.sum(F.col("na") * F.col("rp")).alias("sra"),
+        F.sum(F.col("nb") * F.col("rp")).alias("srb"),
+    )
+    withm = r.crossJoin(F.broadcast(m))
+    dev = withm.agg(
+        (
+            F.sum(
+                F.col("na")
+                * F.pow(
+                    F.col("rp")
+                    - F.col("ra")
+                    - F.col("sra") / F.col("m")
+                    + (F.col("m") + 1) / 2.0,
+                    2,
+                )
+            )
+            / (F.first("m") - 1)
+        ).alias("s2a"),
+        (
+            F.sum(
+                F.col("nb")
+                * F.pow(
+                    F.col("rp")
+                    - F.col("rb")
+                    - F.col("srb") / F.col("n")
+                    + (F.col("n") + 1) / 2.0,
+                    2,
+                )
+            )
+            / (F.first("n") - 1)
+        ).alias("s2b"),
+    )
+    mm, nn = F.col("m"), F.col("n")
+    return m.crossJoin(F.broadcast(dev)).select(
+        mm.alias("n_weekend"),
+        nn.alias("n_weekday"),
+        F.round(
+            (F.col("srb") / nn - (nn + 1) / 2.0) / mm, 6
+        ).alias("p_hat"),
+        F.round(
+            mm.cast("double")
+            * nn
+            * (F.col("srb") / nn - F.col("sra") / mm)
+            / (mm + nn)
+            / F.sqrt(mm * F.col("s2a") + nn * F.col("s2b")),
+            6,
+        ).alias("bm_stat"),
+    )
