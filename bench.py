@@ -349,6 +349,7 @@ HEADLINE = [
     "tdigest_quantiles_prices",
     "zorder_layout_keys",
     # late round-8 registrations
+    "cucconi_test_weekend",
     "brunner_munzel_weekend",
     "jonckheere_terpstra_balance_orders",
     "rrf_fusion_ranking",

@@ -748,6 +748,11 @@ EXPECTATIONS = {
     "brunner_munzel_weekend": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R326: 1-row total-N scalar crossed onto the distinct-value
+    # frame for the antirank pass (scalar BNLJ by design)
+    "cucconi_test_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
     # R271: STOMP diagonal products — the pair frame is the documented
     # calendar-bounded day^2 class (same size at any SF), built by a
     # theta self-join of the ~2.4k-row day sequence (BNLJ by design)

@@ -843,3 +843,25 @@ def test_brunner_munzel_matches_bruteforce(spark):
     assert r["p_hat"] == pytest.approx(p_hat, abs=1e-6)
     assert r["bm_stat"] == pytest.approx(bm, abs=1e-5)
     assert 0.0 <= r["p_hat"] <= 1.0
+
+
+def test_cucconi_matches_bruteforce(spark):
+    from zoom_spark.queries.round8_ops import cucconi_test_weekend
+
+    [r] = cucconi_test_weekend(spark, SF_DIR).collect()
+    v, grp = _weekend_values()
+    mr = pd.Series(v).rank(method="average").to_numpy()
+    n = len(v)
+    n1, n2 = int((grp == 1).sum()), int((grp == 0).sum())
+    u = np.sum(mr[grp == 1] ** 2)
+    vv = np.sum((n - mr[grp == 1] + 1) ** 2)
+    eu = n1 * (n + 1) * (2 * n + 1) / 6.0
+    vu = n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 180.0
+    zu, zv = (u - eu) / math.sqrt(vu), (vv - eu) / math.sqrt(vu)
+    rho = 2.0 * (n * n - 4.0) / ((2 * n + 1.0) * (8 * n + 11.0)) - 1.0
+    c = (zu**2 + zv**2 - 2 * rho * zu * zv) / (2 * (1 - rho**2))
+    assert r["n_weekend"] == n1 and r["n_weekday"] == n2
+    assert r["z_u"] == pytest.approx(zu, abs=1e-5)
+    assert r["z_v"] == pytest.approx(zv, abs=1e-5)
+    assert r["cucconi_c"] == pytest.approx(c, abs=1e-4)
+    assert r["cucconi_c"] >= 0.0

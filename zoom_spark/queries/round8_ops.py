@@ -3012,3 +3012,125 @@ def brunner_munzel_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bm_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R326 Cucconi location-scale omnibus test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cucconi_test_weekend",
+    sql="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pv AS (
+      SELECT v, CAST(sum(grp) AS BIGINT) AS na,
+             CAST(count(*) - sum(grp) AS BIGINT) AS nb
+      FROM s GROUP BY v
+    ),
+    r AS (
+      SELECT na, nb,
+             sum(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW)
+               - (na + nb) + (na + nb + 1) / 2.0 AS mr
+      FROM pv
+    ),
+    m AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n1,
+             CAST(sum(nb) AS BIGINT) AS n2,
+             sum(na * mr * mr) AS u,
+             sum(na * (sum_n - mr + 1) * (sum_n - mr + 1)) AS vv
+      FROM r CROSS JOIN (SELECT CAST(sum(na + nb) AS BIGINT) AS sum_n
+                         FROM pv) t
+    ),
+    z AS (
+      SELECT n1, n2, n1 + n2 AS nn, u, vv,
+             CAST(n1 AS DOUBLE) * (n1 + n2 + 1) * (2 * (n1 + n2) + 1)
+               / 6.0 AS eu,
+             CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1)
+               * (2 * (n1 + n2) + 1) * (8 * (n1 + n2) + 11) / 180.0 AS vu
+      FROM m
+    ),
+    c AS (
+      SELECT n1, n2,
+             (u - eu) / sqrt(vu) AS zu,
+             (vv - eu) / sqrt(vu) AS zv,
+             2.0 * (CAST(nn AS DOUBLE) * nn - 4.0)
+               / ((2 * nn + 1.0) * (8 * nn + 11.0)) - 1.0 AS rho
+      FROM z
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(zu, 6) AS z_u, round(zv, 6) AS z_v,
+           round((zu * zu + zv * zv - 2.0 * rho * zu * zv)
+                 / (2.0 * (1.0 - rho * rho)), 6) AS cucconi_c
+    FROM c
+    """,
+)
+def cucconi_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R326 Cucconi location-scale omnibus, weekend vs weekday event
+    values: standardized squared-rank (U) and squared-ANTIrank (V)
+    sums of the weekend sample, combined through their known negative
+    correlation rho — detects location AND scale shifts in one
+    statistic (predates and often beats Lepage; completes the
+    two-sample battery: MWU location, Ansari/Conover scale, KS/CvM/
+    Kuiper omnibus ECDF, BM rank-Welch, Cucconi location-scale).
+    Midranks from the distinct-value prefix scan, classical no-ties
+    moments (the documented contract under the cent-grid tie rate);
+    every sum is exact until the 6dp rounding. Two shuffles at any
+    SF."""
+    from zoom_spark.operators.prefix import prefix_sum
+    from zoom_spark.queries.rank_stats import _weekend_events
+
+    s = _weekend_events(spark, sf_dir)
+    pv = s.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
+    )
+    pv = pv.withColumn("c", (F.col("na") + F.col("nb")).cast("bigint"))
+    tot = pv.agg(F.sum("c").cast("bigint").alias("sum_n"))
+    r = prefix_sum(pv, "v", "c", out_col="cum")
+    r = r.select(
+        "na",
+        "nb",
+        (F.col("cum") - F.col("c") + (F.col("c") + 1) / 2.0).alias("mr"),
+    )
+    m = r.crossJoin(F.broadcast(tot)).agg(
+        F.sum("na").cast("bigint").alias("n1"),
+        F.sum("nb").cast("bigint").alias("n2"),
+        F.sum(F.col("na") * F.col("mr") * F.col("mr")).alias("u"),
+        F.sum(
+            F.col("na")
+            * (F.col("sum_n") - F.col("mr") + 1)
+            * (F.col("sum_n") - F.col("mr") + 1)
+        ).alias("vv"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    eu = n1.cast("double") * (nn + 1) * (2 * nn + 1) / 6.0
+    vu = (
+        n1.cast("double") * n2 * (nn + 1) * (2 * nn + 1) * (8 * nn + 11)
+        / 180.0
+    )
+    zu = (F.col("u") - eu) / F.sqrt(vu)
+    zv = (F.col("vv") - eu) / F.sqrt(vu)
+    rho = (
+        2.0 * (nn.cast("double") * nn - 4.0)
+        / ((2 * nn + 1.0) * (8 * nn + 11.0))
+        - 1.0
+    )
+    return m.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        F.round(zu, 6).alias("z_u"),
+        F.round(zv, 6).alias("z_v"),
+        F.round(
+            (zu * zu + zv * zv - 2.0 * rho * zu * zv)
+            / (2.0 * (1.0 - rho * rho)),
+            6,
+        ).alias("cucconi_c"),
+    )
