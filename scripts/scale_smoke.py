@@ -77,6 +77,15 @@ SUSPECTS = [
     "deterministic_random_walks",
     "gmm_em_order_values",
     "fellegi_sunter_part_linkage",
+    # round 9 (VERDICT r8 #2): the two headline heavies that joined the
+    # bench after the round-8 smoke rerun — seeded-BFS harmonic
+    # centrality over the disjoint graph copies (frontier rounds are
+    # diameter-bound per copy -> linear expected) and the rebuilt
+    # distinct-name PassJoin fuzzy matcher (replica-suffixed last
+    # tokens keep clusters same-sized: 10x more distinct names, 10x
+    # output -> linear expected)
+    "harmonic_centrality_parts",
+    "fuzzy_part_matches",
 ]
 
 
@@ -192,8 +201,12 @@ def main() -> None:
         shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     n_up = build_upscale(spark, replication)
+    # Optional: smoke only the named suspects (full list at round end);
+    # a partial run merges its rows into the existing BENCH_NOTES table.
+    only = set(sys.argv[2:])
+    suspects = [s for s in SUSPECTS if not only or s in only]
     results = {}
-    for name in SUSPECTS:
+    for name in suspects:
         t_base, n_base = time_query(name, spark, SRC)
         t_up, n_out = time_query(name, spark, DST)
         ratio = t_up / t_base if t_base > 0 else float("inf")
@@ -231,11 +244,23 @@ def main() -> None:
         "BENCH_NOTES.md",
     )
     tail = ""
+    old_rows: dict[str, str] = {}
     if os.path.exists(path):
         old = open(path).read()
         idx = old.find("\n## ")
         if idx != -1:
             tail = old[idx:]
+        for ln in old.splitlines():
+            if ln.startswith("| ") and not ln.startswith("| query"):
+                old_rows[ln.split("|")[1].strip()] = ln
+    if only:
+        # Partial run: merge fresh rows into the existing table so the
+        # untouched suspects keep their last full-battery numbers.
+        for ln in lines[len(lines) - len(results):]:
+            old_rows[ln.split("|")[1].strip()] = ln
+        lines = lines[: len(lines) - len(results)] + [
+            old_rows[s] for s in SUSPECTS if s in old_rows
+        ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + tail)
     print("wrote BENCH_NOTES.md (upscale section)")
