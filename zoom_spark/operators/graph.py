@@ -533,17 +533,22 @@ def k_truss(
         )
         .localCheckpoint(eager=False)
     )
-    BCAST_MAX = 2_000_000  # rows of (u, v, died) kept broadcastable
+    BCAST_MAX = 2_000_000  # rows of (u, v, *) kept broadcastable
 
-    def _sup_now(base, dec_cum):
+    def _sup_now(base, dec_cum, small):
         """Current support = frozen base support minus accumulated
-        decrements (dec_cum is the small broadcast side)."""
+        decrements.  The broadcast hint is gated on dec_cum's OWN
+        tracked row count (it holds decremented ALIVE edges — up to
+        3x destroyed triangles — so it can outgrow the budget while
+        the dead-edge count stays small); an oversized frame falls
+        back to a shuffle join instead of an executor-OOM broadcast."""
         if dec_cum is None:
             return base.select(
                 "u", "v", F.col("support").alias("supn")
             )
+        rhs = F.broadcast(dec_cum) if small else dec_cum
         return (
-            base.join(F.broadcast(dec_cum), on=["u", "v"], how="left")
+            base.join(rhs, on=["u", "v"], how="left")
             .select(
                 "u",
                 "v",
@@ -553,23 +558,29 @@ def k_truss(
             )
         )
 
-    def _not_dead(frame, d_cum):
+    def _not_dead(frame, d_cum, small):
         if d_cum is None:
             return frame
-        return frame.join(
-            F.broadcast(d_cum.select("u", "v")), on=["u", "v"], how="left_anti"
-        )
+        rhs = d_cum.select("u", "v")
+        if small:
+            rhs = F.broadcast(rhs)
+        return frame.join(rhs, on=["u", "v"], how="left_anti")
 
     d_cum: DataFrame | None = None   # (u, v, died): edges peeled so far
     dec_cum: DataFrame | None = None  # (u, v, _dec): support decrements
     n_dead = 0
+    n_dec = 0
     for rnd in range(max_iters):
         # edges dying THIS round: alive, in >= 1 live triangle, below
         # threshold. Support-0 edges never touch the triangle table and
         # fall out in the final filter, so the fixpoint condition is
         # "no alive positive-support edge is sub-threshold".
         batch = (
-            _not_dead(_sup_now(sup0, dec_cum), d_cum)
+            _not_dead(
+                _sup_now(sup0, dec_cum, n_dec <= BCAST_MAX),
+                d_cum,
+                n_dead <= BCAST_MAX,
+            )
             .where((F.col("supn") < k - 2) & (F.col("supn") > 0))
             .select("u", "v", F.lit(rnd).alias("died"))
             .localCheckpoint(eager=False)
@@ -626,14 +637,19 @@ def k_truss(
             .groupBy("u", "v")
             .agg(F.sum("_dec").cast("bigint").alias("_dec"))
         ).localCheckpoint(eager=False)
-        if not small:
+        # materializes the checkpoint this round would force anyway on
+        # first reuse; the count gates next round's broadcast hints
+        n_dec = dec_cum.count()
+        if not small or n_dec > BCAST_MAX:
             # giant-cascade compaction (the 100 TB regime where the
             # peeled set stops being model-sized): fold decrements into
             # a fresh base support, shrink T to live triangles, reset
             # the small-state frames — later rounds return to cheap
-            # broadcast flagging over the affected neighborhood
+            # broadcast flagging over the affected neighborhood.  The
+            # oversized frames are consumed here with SHUFFLE joins
+            # (small=False), never broadcast.
             sup0 = (
-                _not_dead(_sup_now(sup0, dec_cum), d_cum)
+                _not_dead(_sup_now(sup0, dec_cum, False), d_cum, False)
                 .select("u", "v", F.col("supn").alias("support"))
                 .localCheckpoint(eager=False)
             )
@@ -642,10 +658,12 @@ def k_truss(
                 .select("u1", "v1", "u2", "v2", "u3", "v3")
                 .localCheckpoint(eager=False)
             )
-            d_cum, dec_cum, n_dead = None, None, 0
+            d_cum, dec_cum, n_dead, n_dec = None, None, 0, 0
     # a dead edge's support froze below k-2 at death (decrements only
     # apply to alive edges), so one threshold filter excludes every
     # peeled edge and the support-0 stragglers alike
-    return _sup_now(sup0, dec_cum).where(F.col("supn") >= k - 2).select(
-        "u", "v", F.col("supn").alias("support")
+    return (
+        _sup_now(sup0, dec_cum, n_dec <= BCAST_MAX)
+        .where(F.col("supn") >= k - 2)
+        .select("u", "v", F.col("supn").alias("support"))
     )

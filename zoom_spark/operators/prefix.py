@@ -155,8 +155,20 @@ def global_row_number(
     WITHOUT the single-task global window: range-partition on the
     order key, local row_number per partition, then add each
     partition's exclusive count offset (O(P) driver exchange — same
-    two-phase scan as prefix_sum). The combined order key must be
-    unique (use a unique id as the last column)."""
+    two-phase scan as prefix_sum).
+
+    Contract: if the combined order key is UNIQUE, the row -> rn
+    mapping is deterministic.  With a NON-unique key the assignment
+    of rns WITHIN a tie group is arbitrary, but VALUE-AT-RANK is
+    still exact and deterministic: range partitioning keeps each
+    partition a contiguous key range (equal keys compare equal, so a
+    boundary cannot split them onto both sides — and even if a range
+    partitioner did split a tie group, the offsets would still give
+    the group consecutive global rns), hence the k-th smallest VALUE
+    is whatever row carries rn = k.  Callers reading values at ranks
+    (medians, quantile cuts) may therefore pass value-only keys;
+    callers that join rn back to rows or diff consecutive rows must
+    append a unique id as the last column."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(p, *cols).withColumn(

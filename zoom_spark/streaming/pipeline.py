@@ -71,24 +71,40 @@ def curate_batch(
     sink_path: str,
     *,
     n: int = 8,
+    epoch: int = 0,
 ) -> None:
     """One micro-batch of the curation sink: decontaminate (drop any
     doc sharing an ``n``-gram with the static held-out shingle set),
     project the model-facing columns, and CDC-merge on doc_id.
-    Idempotent: a replayed batch re-derives the same clean rows and
-    the keyed merge overwrites them in place."""
+    Idempotent: a replayed batch carries the SAME epoch id and
+    re-derives the same clean rows, so the keyed merge overwrites
+    them in place; a genuinely updated document redelivered after
+    the dedup watermark horizon arrives with a LATER epoch and wins
+    on recency (not on quality score), so the sink converges
+    latest-wins.  Within one epoch the (epoch, q) struct seq keeps
+    the winner deterministic; the transport-only seq column is
+    dropped before the merge (drop_seq) so the sink schema stays the
+    model-facing contract."""
     sh = doc_shingles(df, n=n)
     contaminated = (
         sh.join(test_shingles.select("sh").distinct(), on="sh")
         .select("doc_id")
         .distinct()
     )
-    clean = df.join(contaminated, on="doc_id", how="left_anti").select(
-        "doc_id", "source", "lang", "q", "n_tokens"
+    clean = (
+        df.join(contaminated, on="doc_id", how="left_anti")
+        .select("doc_id", "source", "lang", "q", "n_tokens")
+        .withColumn(
+            "_seq",
+            F.struct(
+                F.lit(int(epoch)).cast("long").alias("e"),
+                F.col("q").alias("q"),
+            ),
+        )
     )
-    # same-key rows are identical documents, so any deterministic
-    # seq works; q keeps the reduce window deterministic
-    cdc_apply_batch(clean, sink_path, ["doc_id"], seq_col="q")
+    cdc_apply_batch(
+        clean, sink_path, ["doc_id"], seq_col="_seq", drop_seq=True
+    )
 
 
 def stream_curation_pipeline(
@@ -135,8 +151,8 @@ def stream_curation_pipeline(
     kept = scored.where(F.col("q") >= q_min)
     q = (
         kept.writeStream.foreachBatch(
-            lambda df, _epoch: curate_batch(
-                df, test_shingles, sink_path, n=n
+            lambda df, epoch: curate_batch(
+                df, test_shingles, sink_path, n=n, epoch=epoch
             )
         )
         .option("checkpointLocation", checkpoint_dir)

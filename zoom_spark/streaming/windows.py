@@ -254,7 +254,11 @@ def write_stream_merge_upsert(
 
 
 def cdc_apply_batch(
-    df: DataFrame, path: str, keys: list[str] | str, seq_col: str
+    df: DataFrame,
+    path: str,
+    keys: list[str] | str,
+    seq_col: str,
+    drop_seq: bool = False,
 ) -> None:
     """One micro-batch of the CDC-apply sink: reduce the batch to its
     per-key winners (highest `seq_col`) and MERGE them into the
@@ -264,7 +268,12 @@ def cdc_apply_batch(
     safe under Structured Streaming's at-least-once foreachBatch
     replay (a crash after the sink write but before the epoch commit
     re-runs this function with the same rows). Exposed separately so
-    crash-recovery tests can drive it under fault injection."""
+    crash-recovery tests can drive it under fault injection.
+    ``drop_seq=True`` keeps the ordering column out of the sink
+    schema (for callers whose seq is a transport-only epoch/arrival
+    stamp rather than a domain column); cross-batch latest-wins does
+    not need a persisted seq because a later batch's merge overwrites
+    matched keys unconditionally."""
     from pyspark.sql.window import Window
 
     from zoom_spark.operators.merge import merge_upsert_to_path
@@ -276,6 +285,8 @@ def cdc_apply_batch(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if drop_seq:
+        latest = latest.drop(seq_col)
     merge_upsert_to_path(df.sparkSession, path, latest, k)
 
 
