@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the driver verifies the new contracts immediately.
     resample_first = (
         "fuzzy_part_matches",
+        "isotonic_calibration",
+        "kmeans_corpus_cells",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -130,18 +132,150 @@ def knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_corpus_cells")  # float means: rows-only + property tests
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_QSCALE = 1_000_000  # 1e-6 input quantization grid
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd replay (round-7 technique): the whole fit runs
+    on INTEGER-quantized vectors, so every dot product and partial
+    sum is exact in both engines (|x| <= 1e6, 64-term products
+    <= 6.4e13 < 2^53) — no 9dp snap schedule, no half-grid risk."""
+    parts = [
+        f"""
+    WITH edim AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {KMEANS_QSCALE} + 0.5) AS BIGINT) AS x
+      FROM embeddings
+    ),
+    seed AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS INTEGER) AS cell
+      FROM embeddings
+    ),
+    cent0 AS MATERIALIZED (
+      SELECT s.cell, e.d, e.x AS cv
+      FROM seed s JOIN edim e USING (vec_id)
+      WHERE s.cell < {KMEANS_K}
+    )"""
+    ]
+    for r in range(KMEANS_ITERS + 1):
+        parts.append(f""",
+    cn2_{r} AS (
+      SELECT cell, sum(cv * cv) AS n2 FROM cent{r} GROUP BY cell
+    ),
+    score{r} AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             -2 * sum(e.x * c.cv) + any_value(n.n2) AS s
+      FROM edim e
+      JOIN cent{r} c ON e.d = c.d
+      JOIN cn2_{r} n ON n.cell = c.cell
+      GROUP BY e.vec_id, c.cell
+    ),
+    assign{r} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY s, cell) AS rn
+        FROM score{r}
+      ) WHERE rn = 1
+    )""")
+        if r < KMEANS_ITERS:
+            parts.append(f""",
+    cent{r + 1} AS MATERIALIZED (
+      SELECT a.cell, e.d,
+             CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS cv
+      FROM assign{r} a JOIN edim e USING (vec_id)
+      GROUP BY a.cell, e.d
+    )""")
+    parts.append(f"""
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM assign{KMEANS_ITERS} GROUP BY cell
+    """)
+    return "".join(parts)
+
+
+@register("kmeans_corpus_cells", sql=_kmeans_oracle_sql())
 def kmeans_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 distributed Lloyd's k-means (k=8, 3 iterations) over the
     embedding corpus; returns per-cluster sizes. M-step is the
     two-phase partial-sum reduction (see similarity/kmeans.py) —
-    only K·partitions tiny rows ever shuffle."""
-    from zoom_spark.similarity.kmeans import kmeans_assign, kmeans_fit
+    only K·partitions tiny rows ever shuffle.
+
+    Oracle-hashed since round 9 via the INTEGER-QUANTIZED Lloyd
+    replay: inputs snap once to the 1e-6 grid (scalar quantization —
+    the SQ theme the X3 family already ships), seeds are the k
+    smallest md5(vec_id) vectors, and every E/M step is exact
+    integer arithmetic (dot products <= 6.4e13 < 2^53; centroid
+    update = floor(sum/n + 0.5) with exactly-representable
+    operands), so engine and oracle agree bitwise with NO float
+    snap schedule at all.  The DuckDB side unrolls the 3 rounds as
+    materialized CTEs; argmin ties break to the lowest cell id on
+    both sides.  Property referees (inertia monotone, planted-
+    cluster recovery) stay in tests/."""
+    from zoom_spark.similarity.kmeans import _mstep_means
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, _ = kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=3)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * KMEANS_QSCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("vec"),
+    ).localCheckpoint(eager=False)
+    seed_rows = (
+        base.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    cents: list[tuple[int, list[int]]] = [
+        (i, [int(x) for x in r["vec"]]) for i, r in enumerate(seed_rows)
+    ]
+
+    def assign(cents):
+        cstats = F.broadcast(
+            spark.createDataFrame(
+                [(
+                    [c for _, c in cents],
+                    [sum(x * x for x in c) for _, c in cents],
+                    [cid for cid, _ in cents],
+                )],
+                "cmat array<array<long>>, cn2 array<long>, cid array<int>",
+            )
+        )
+        score = F.zip_with(
+            F.col("cmat"),
+            F.col("cn2"),
+            lambda c, n2: -2
+            * F.aggregate(
+                F.zip_with(F.col("vec"), c, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            + n2,
+        )
+        # first position of the min == lowest cell id (cid ascending)
+        idx = F.array_position(score, F.array_min(score)).cast("int")
+        return base.crossJoin(cstats).select(
+            "id", "vec", F.element_at(F.col("cid"), idx).alias("cell")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cents)
+        means = _mstep_means(assigned, dim=len(cents[0][1]))
+        cents = sorted(
+            (cid, [int(math.floor(m + 0.5)) for m in mean])
+            for cid, mean in means.items()
+        )
     return (
-        kmeans_assign(emb, "embedding", "vec_id", centroids)
+        assign(cents)
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
     )

@@ -1853,7 +1853,54 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ISO_BUCKET_W = 10.0  # score-bucket width for the calibration curve
 
 
-@register("isotonic_calibration")  # sequential PAV per group: rows-only gate
+@register(
+    "isotonic_calibration",
+    sql=f"""
+    WITH base AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS grp,
+             floor(value / {ISO_BUCKET_W}) * {ISO_BUCKET_W} AS bucket,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT grp, bucket,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM base GROUP BY grp, bucket
+    ),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY bucket) AS i
+      FROM agg
+    ),
+    pre AS (
+      SELECT grp, i, bucket, w, sy,
+             sum(w) OVER (PARTITION BY grp ORDER BY i) AS cw,
+             sum(sy) OVER (PARTITION BY grp ORDER BY i) AS cy
+      FROM ord
+    ),
+    -- weighted mean of every contiguous bucket run [j..k]
+    seg AS (
+      SELECT a.grp, a.i AS j, b.i AS k,
+             CAST(b.cy - a.cy + a.sy AS DOUBLE)
+               / CAST(b.cw - a.cw + a.w AS DOUBLE) AS v
+      FROM pre a JOIN pre b ON a.grp = b.grp AND a.i <= b.i
+    ),
+    -- isotonic solution via the minimax theorem:
+    -- fitted_i = max over j<=i of ( min over k>=i of mean(j..k) )
+    mn AS (
+      SELECT s.grp, p.i, s.j, min(s.v) AS mv
+      FROM seg s JOIN pre p
+        ON s.grp = p.grp AND s.j <= p.i AND s.k >= p.i
+      GROUP BY s.grp, p.i, s.j
+    ),
+    fit AS (SELECT grp, i, max(mv) AS fitted FROM mn GROUP BY grp, i)
+    SELECT o.grp, o.bucket, o.w AS n,
+           floor(CAST(o.sy AS DOUBLE) / CAST(o.w AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS raw_rate,
+           floor(f.fitted * 1e6 + 0.5) / 1e6 AS calibrated
+    FROM ord o JOIN fit f ON o.grp = f.grp AND o.i = f.i
+    """,
+)
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration curves (pool-adjacent-violators) of
     purchase rate as a function of the `value` score, fitted per
@@ -1865,9 +1912,18 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ #buckets rows per group, which is the textbook grouped-map
     case (group-local state, Arrow-batched, no driver involvement).
     Weighted PAV: pooling merges buckets by event weight, so the fit
-    equals sklearn's IsotonicRegression on the bucket means. Rows-only
-    gate (iterative pooling is not SQL-expressible); the test referee
-    is an independent O(n²) re-pooling implementation."""
+    equals sklearn's IsotonicRegression on the bucket means.
+
+    Oracle-hashed since round 9 via the minimax characterization
+    (fitted_i = max_{{j<=i}} min_{{k>=i}} weightedMean(j..k)), which the
+    DuckDB oracle evaluates over all O(n^3) (j, i, k) triples of the
+    calibration-curve-sized bucket frame.  Engine/oracle bit-parity
+    holds because every pooled value is ONE IEEE division of exact
+    integer sums (purchases / events — the PAV stack pools (sy, w)
+    pairs, never incremental averages), distinct such rationals with
+    denominators <= |events| are separated by >> 1 ulp, and both
+    sides snap with the shared floor(x*1e6+0.5) spelling.  The test
+    referee stays the independent O(n^2) re-pooling implementation."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
@@ -1882,34 +1938,38 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = base.groupBy("grp", "bucket").agg(
         F.count("*").cast("double").alias("w"),
-        F.avg("y").alias("rate"),
+        F.sum("y").alias("sy"),
     )
 
     def pav(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket").reset_index(drop=True)
-        # stack-based weighted PAV: pool while the sequence decreases
-        vals, wts, idx = [], [], []
+        # stack-based weighted PAV pooling EXACT integer sums
+        # (purchase count, event count); a block's value is the one
+        # division sy/w, so it equals the oracle's prefix-difference
+        # ratio bitwise
+        sys_, wts, idx = [], [], []
         for _, row in pdf.iterrows():
-            v, w, n = float(row["rate"]), float(row["w"]), 1
-            while vals and vals[-1] > v:
-                pv, pw = vals.pop(), wts.pop()
-                pn = idx.pop()
-                v = (v * w + pv * pw) / (w + pw)
-                w += pw
-                n += pn
-            vals.append(v)
+            sy, w, n = float(row["sy"]), float(row["w"]), 1
+            while sys_ and sys_[-1] * w > sy * wts[-1]:
+                # previous block mean > current (cross-multiplied:
+                # integral doubles, exact) -> pool
+                sy += sys_.pop()
+                w += wts.pop()
+                n += idx.pop()
+            sys_.append(sy)
             wts.append(w)
             idx.append(n)
         fitted = []
-        for v, n in zip(vals, idx):
-            fitted.extend([v] * n)
-        out = pdf[["grp", "bucket", "w", "rate"]].copy()
-        out["calibrated"] = [round(v, 6) for v in fitted]
+        for sy, w, n in zip(sys_, wts, idx):
+            fitted.extend([sy / w] * n)
+        out = pdf[["grp", "bucket", "w", "sy"]].copy()
+        out["calibrated"] = fitted
         return out
 
     schema = (
-        "grp int, bucket double, w double, rate double, calibrated double"
+        "grp int, bucket double, w double, sy double, calibrated double"
     )
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
         agg.groupBy("grp")
         .applyInPandas(pav, schema=schema)
@@ -1917,8 +1977,8 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp",
             "bucket",
             F.col("w").cast("bigint").alias("n"),
-            F.round("rate", 6).alias("raw_rate"),
-            "calibrated",
+            snap(F.col("sy") / F.col("w")).alias("raw_rate"),
+            snap(F.col("calibrated")).alias("calibrated"),
         )
     )
 

@@ -71,9 +71,10 @@ def _assign(df: DataFrame, vec_col: str, id_col: str, centroids) -> DataFrame:
     )
 
 
-def _mstep(assigned: DataFrame, k: int, dim: int) -> list[list[float]]:
-    """New centroids: per-partition partial (cell, sum_vec, n) rows,
-    then a final combine over <= K·num_partitions rows."""
+def _mstep_means(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
+    """New centroid means keyed by ORIGINAL cell id: per-partition
+    partial (cell, sum_vec, n) rows, then a final combine over
+    <= K·num_partitions tiny rows.  Empty cells are simply absent."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sums: dict[int, np.ndarray] = {}
@@ -109,9 +110,13 @@ def _mstep(assigned: DataFrame, k: int, dim: int) -> list[list[float]]:
         .select("cell", F.transform("mean_entries", lambda e: e["m"]).alias("mean"))
         .collect()
     )
-    by_cell = {r["cell"]: [float(x) for x in r["mean"]] for r in combined}
-    # empty cells keep their previous position only if caller re-seeds;
-    # here they simply drop (k shrinks), matching standard Lloyd's
+    return {r["cell"]: [float(x) for x in r["mean"]] for r in combined}
+
+
+def _mstep(assigned: DataFrame, k: int, dim: int) -> list[list[float]]:
+    """List form of :func:`_mstep_means` (positional relabeling on
+    empty cells — k shrinks, matching standard Lloyd's)."""
+    by_cell = _mstep_means(assigned, dim)
     return [by_cell[c] for c in sorted(by_cell)]
 
 
