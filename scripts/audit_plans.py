@@ -764,6 +764,16 @@ EXPECTATIONS = {
     "mixing_budget_allocation": dict(pushed=False, broadcast=False, cartesian=True),
     # two 1-row key-count scalars joined onto the 1-row product sum
     "join_size_estimator": dict(pushed=False, broadcast=False, cartesian=True),
+    # R328: contingency-grid theta self-join (<= 5 priorities x ~25
+    # price buckets at ANY SF — grid-sized BNLJ by design)
+    "gk_gamma_priority_price": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R329: 1-row total-N scalar crossed onto the grid marginals
+    # (scalar BNLJ by design)
+    "theils_u_status_priority": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

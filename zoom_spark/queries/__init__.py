@@ -73,4 +73,5 @@ from zoom_spark.queries import ml_primitives  # noqa: E402,F401
 from zoom_spark.queries import diagnostics  # noqa: E402,F401
 from zoom_spark.queries import round7_ops  # noqa: E402,F401
 from zoom_spark.queries import round8_ops  # noqa: E402,F401
+from zoom_spark.queries import round9_ops  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401
