@@ -774,6 +774,16 @@ EXPECTATIONS = {
     "theils_u_status_priority": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R331: three 1-row scalar frames (within-dispersion, ||T||^2,
+    # global moments) crossed for the final ratio (scalar BNLJ)
+    "calinski_harabasz_labels": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R332: 1-row (n, n1) totals crossed onto the distinct-time risk
+    # frame and the 1-row score (scalar BNLJ by design)
+    "cox_one_step_cohort": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

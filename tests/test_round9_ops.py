@@ -86,3 +86,79 @@ def test_theils_u_matches_entropy_decomposition(spark):
     assert abs(row["h_status_given_priority"] - hyx) < 1e-5
     assert abs(row["theils_u"] - (hy - hyx) / hy) < 1e-4
     assert 0.0 <= row["theils_u"] <= 1.0
+
+
+def test_ccc_matches_numpy(spark):
+    from zoom_spark.queries.round9_ops import concordance_corr_daily
+
+    ev = _events()
+    day = pd.to_datetime(ev["ts"]).dt.date
+    g = ev.assign(day=day).groupby("day")["event_type"]
+    x = g.apply(lambda s: (s == "purchase").sum()).to_numpy(float)
+    y = g.apply(lambda s: (s == "click").sum()).to_numpy(float)
+    vx, vy = x.var(), y.var()  # population
+    cxy = ((x - x.mean()) * (y - y.mean())).mean()
+    want_ccc = 2 * cxy / (vx + vy + (x.mean() - y.mean()) ** 2)
+    want_r = cxy / math.sqrt(vx * vy)
+    row = concordance_corr_daily(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(x)
+    assert abs(row["ccc"] - want_ccc) < 1e-6
+    assert abs(row["pearson_r"] - want_r) < 1e-6
+
+
+def test_calinski_harabasz_matches_sklearn_formula(spark):
+    from zoom_spark.queries.round9_ops import (
+        CH_QSCALE,
+        calinski_harabasz_labels,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * CH_QSCALE
+        + 0.5
+    )
+    labels = emb["label"].to_numpy()
+    n, k = len(X), len(set(labels))
+    gmean = X.mean(axis=0)
+    ssw = ssb = 0.0
+    for lab in set(labels):
+        sub = X[labels == lab]
+        mu = sub.mean(axis=0)
+        ssw += ((sub - mu) ** 2).sum()
+        ssb += len(sub) * ((mu - gmean) ** 2).sum()
+    want = (ssb / (k - 1)) / (ssw / (n - k))
+    row = calinski_harabasz_labels(spark, SF_DIR).collect()[0]
+    assert row["n_vectors"] == n and row["n_labels"] == k
+    assert abs(row["ch_index"] - want) / want < 1e-6
+
+
+def test_cox_one_step_matches_bruteforce(spark):
+    from zoom_spark.queries.round9_ops import cox_one_step_cohort
+
+    ev = _events().copy()
+    ev["us"] = pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype(
+        "int64"
+    ) // 1000
+    rows = []
+    for uid, grp in ev.groupby("user_id"):
+        first = grp["us"].min()
+        p = grp.loc[grp["event_type"] == "purchase", "us"]
+        if len(p):
+            rows.append((p.min() - first, 1, uid % 2))
+        else:
+            rows.append((grp["us"].max() - first, 0, uid % 2))
+    df = pd.DataFrame(rows, columns=["t", "d", "x"])
+    u_score = info = 0.0
+    for t in sorted(df.loc[df["d"] == 1, "t"].unique()):
+        at_risk = df[df["t"] >= t]
+        s0, s1 = len(at_risk), int(at_risk["x"].sum())
+        ev_t = df[(df["t"] == t) & (df["d"] == 1)]
+        dcnt, dcnt1 = len(ev_t), int(ev_t["x"].sum())
+        frac = s1 / s0
+        u_score += dcnt1 - dcnt * frac
+        info += dcnt * frac * (1 - frac)
+    row = cox_one_step_cohort(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(df)
+    assert row["n_cohort1"] == int(df["x"].sum())
+    assert abs(row["beta_one_step"] - u_score / info) < 1e-5
+    assert abs(row["se_beta"] - 1 / math.sqrt(info)) < 1e-6

@@ -291,3 +291,335 @@ def theils_u_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R330 concordance correlation coefficient: daily purchases vs clicks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "concordance_corr_daily",
+    sql="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d
+    ),
+    m AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+               * (CAST(sx AS DOUBLE) / n) AS vx,
+             CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS vy,
+             CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n) AS cxy
+      FROM s
+    )
+    SELECT n AS n_days,
+           round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) AS ccc,
+           round(cxy / sqrt(vx * vy), 6) AS pearson_r
+    FROM m
+    """,
+)
+def concordance_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R330 Lin's concordance correlation coefficient between the
+    daily purchase-count and daily click-count series: CCC =
+    2*cov / (var_x + var_y + (mean_x - mean_y)^2) measures AGREEMENT
+    (how close pairs fall to the y = x identity line), penalizing
+    both location and scale shift where Pearson r (also emitted, the
+    classic CCC decomposition companion) only measures linearity.
+    The series collapse to one calendar-bounded day frame of integer
+    counts, so every raw moment is an exact BIGINT in both engines
+    and the closed form (spelled with the identical operation order
+    on both sides) is bit-identical until the final 6dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    cxy = F.col("sxy").cast("double") / n - mx * my
+    return s.select(
+        n.alias("n_days"),
+        F.round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6).alias(
+            "ccc"
+        ),
+        F.round(cxy / F.sqrt(vx * vy), 6).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R331 Calinski-Harabasz index over the labeled embeddings
+# ---------------------------------------------------------------------------
+
+CH_QSCALE = 1_000  # 1e-3 integer grid keeps every sum long-exact
+
+
+@register(
+    "calinski_harabasz_labels",
+    sql=f"""
+    WITH edim AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {CH_QSCALE} + 0.5) AS BIGINT) AS x
+      FROM embeddings
+    ),
+    ld AS (   -- per (label, dim): exact integer sums
+      SELECT label, d, CAST(sum(x) AS BIGINT) AS s
+      FROM edim GROUP BY label, d
+    ),
+    lstat AS (   -- per label: ||S_l||^2 and member count
+      SELECT label, CAST(sum(s * s) AS BIGINT) AS ssq
+      FROM ld GROUP BY label
+    ),
+    lcnt AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS nl
+      FROM embeddings GROUP BY label
+    ),
+    tstat AS (   -- global: ||T||^2, total squared norm, n, k
+      SELECT CAST(sum(td * td) AS BIGINT) AS tsq FROM (
+        SELECT d, CAST(sum(s) AS BIGINT) AS td FROM ld GROUP BY d
+      )
+    ),
+    xx AS (
+      SELECT CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      FROM edim
+    ),
+    parts AS (
+      SELECT sum(CAST(l.ssq AS DOUBLE) / c.nl) AS wsum,
+             CAST(count(*) AS BIGINT) AS k
+      FROM lstat l JOIN lcnt c USING (label)
+    )
+    SELECT xx.n AS n_vectors, parts.k AS n_labels,
+           round((parts.wsum - CAST(tstat.tsq AS DOUBLE) / xx.n)
+                   / (parts.k - 1)
+                 / ((CAST(xx.sxx AS DOUBLE) - parts.wsum)
+                   / (xx.n - parts.k)), 6) AS ch_index
+    FROM xx CROSS JOIN parts CROSS JOIN tstat
+    """,
+)
+def calinski_harabasz_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R331 Calinski-Harabasz (variance-ratio) clustering validity
+    index of the embeddings' ground-truth labels: CH =
+    (SSB/(k-1)) / (SSW/(n-k)) with SSW = sum||x||^2 - sum_l
+    ||S_l||^2/n_l and SSB = sum_l ||S_l||^2/n_l - ||T||^2/n — the
+    standard sums-of-squares decomposition, so the WHOLE statistic
+    reduces to per-(label, dim) integer sums.  Inputs quantize once
+    to the 1e-3 grid ({CH_QSCALE}), which keeps every sum exact in
+    BIGINT on both engines (|S_ld| <= 2.5e6 at sf0.1, squares <=
+    6.25e12, 64-dim sums <= 4e14 << 2^63); only the final k-term
+    double reduction and two divisions are float, with operation
+    order spelled identically in the oracle.  One posexplode + two
+    hash aggregates — map-side partials, no data-sized shuffle of
+    vectors.  Companions: davies_bouldin_embeddings (R?),
+    silhouette_label_centroids (round 7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edim = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * CH_QSCALE + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("d", "x"),
+    )
+    ld = edim.groupBy("label", "d").agg(
+        F.sum("x").cast("bigint").alias("s")
+    )
+    lstat = ld.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("ssq")
+    )
+    lcnt = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("nl"))
+    tsq = (
+        ld.groupBy("d")
+        .agg(F.sum("s").cast("bigint").alias("td"))
+        .agg(F.sum(F.col("td") * F.col("td")).cast("bigint").alias("tsq"))
+    )
+    xx = edim.agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.count_distinct(F.col("vec_id")).cast("bigint").alias("n"),
+    )
+    parts = lstat.join(lcnt, on="label").agg(
+        F.sum(F.col("ssq").cast("double") / F.col("nl")).alias("wsum"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    return (
+        xx.crossJoin(F.broadcast(parts))
+        .crossJoin(F.broadcast(tsq))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("k").alias("n_labels"),
+            F.round(
+                (F.col("wsum") - F.col("tsq").cast("double") / F.col("n"))
+                / (F.col("k") - 1)
+                / (
+                    (F.col("sxx").cast("double") - F.col("wsum"))
+                    / (F.col("n") - F.col("k"))
+                ),
+                6,
+            ).alias("ch_index"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R332 Cox proportional-hazards one-step estimator (weekend cohort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cox_one_step_cohort",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS purch_us
+      FROM events GROUP BY user_id
+    ),
+    surv AS (
+      SELECT user_id,
+             CASE WHEN purch_us IS NOT NULL THEN purch_us - first_us
+                  ELSE last_us - first_us END AS t,
+             CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS d,
+             CAST(user_id % 2 AS BIGINT) AS x
+      FROM u
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS n1
+      FROM surv
+    ),
+    tv AS (   -- distinct-time frame with per-time counts
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(x) AS BIGINT) AS cnt1,
+             CAST(sum(d) AS BIGINT) AS dcnt,
+             CAST(sum(d * x) AS BIGINT) AS dcnt1
+      FROM surv GROUP BY t
+    ),
+    rs AS (   -- Breslow risk sets via ascending prefix counts
+      SELECT t, dcnt, dcnt1,
+             tot.n - (sum(cnt) OVER w - cnt) AS s0,
+             tot.n1 - (sum(cnt1) OVER w - cnt1) AS s1
+      FROM tv CROSS JOIN tot
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    score AS (
+      SELECT sum(dcnt1 - dcnt * (CAST(s1 AS DOUBLE) / s0)) AS u_score,
+             sum(dcnt * (CAST(s1 AS DOUBLE) / s0)
+                 * (1.0 - CAST(s1 AS DOUBLE) / s0)) AS info
+      FROM rs WHERE dcnt > 0
+    )
+    SELECT tot.n AS n_users, tot.n1 AS n_cohort1,
+           round(score.u_score / score.info, 6) AS beta_one_step,
+           round(1.0 / sqrt(score.info), 6) AS se_beta
+    FROM score CROSS JOIN tot
+    """,
+)
+def cox_one_step_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R332 Cox proportional-hazards ONE-STEP estimator for the
+    odd-user-cohort effect on time-to-first-purchase: from
+    beta = 0, one Newton step gives beta_1 = U(0)/I(0) with the
+    Breslow tie convention — U(0) = sum_events (d1_i - d_i*S1/S0),
+    I(0) = sum_events d_i*(S1/S0)(1 - S1/S0), where S0/S1 are the
+    (cohort-) risk-set counts at each event time.  (The covariate is
+    the deterministic user-id parity split — the fixture's first
+    events all cluster on Jan 1-2, so a weekend-signup covariate
+    would be vacuous, the round-6 selector lesson.)  The one-step
+    estimator is asymptotically equivalent to the full MLE for small
+    effects and completes the survival battery (logrank R?, RMST,
+    Nelson-Aalen, Weibull) with a REGRESSION coefficient.  Users
+    with no purchase are right-censored at their last event.  Risk
+    sets come from ascending prefix counts over the distinct-time
+    frame (two-phase prefix_sum, never a data-sized global window);
+    everything is integer-exact until the per-time S1/S0 divisions
+    (exact operands -> identical doubles in both engines)."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("purch_us"),
+    )
+    surv = u.select(
+        F.when(
+            F.col("purch_us").isNotNull(),
+            F.col("purch_us") - F.col("first_us"),
+        )
+        .otherwise(F.col("last_us") - F.col("first_us"))
+        .alias("t"),
+        F.when(F.col("purch_us").isNotNull(), 1).otherwise(0).alias("d"),
+        (F.col("user_id") % 2).cast("bigint").alias("x"),
+    )
+    tot = surv.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("n1"),
+    )
+    tv = surv.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("x").cast("bigint").alias("cnt1"),
+        F.sum("d").cast("bigint").alias("dcnt"),
+        F.sum(F.col("d") * F.col("x")).cast("bigint").alias("dcnt1"),
+    )
+    r = prefix_sum(tv, "t", "cnt", out_col="cp")
+    r = prefix_sum(r, "t", "cnt1", out_col="cp1")
+    rs = r.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "dcnt",
+        "dcnt1",
+        (F.col("n") - (F.col("cp") - F.col("cnt"))).alias("s0"),
+        (F.col("n1") - (F.col("cp1") - F.col("cnt1"))).alias("s1"),
+    )
+    frac = F.col("s1").cast("double") / F.col("s0")
+    score = rs.where(F.col("dcnt") > 0).agg(
+        F.sum(F.col("dcnt1") - F.col("dcnt") * frac).alias("u_score"),
+        F.sum(F.col("dcnt") * frac * (1.0 - frac)).alias("info"),
+    )
+    return score.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_users"),
+        F.col("n1").alias("n_cohort1"),
+        F.round(F.col("u_score") / F.col("info"), 6).alias(
+            "beta_one_step"
+        ),
+        F.round(1.0 / F.sqrt(F.col("info")), 6).alias("se_beta"),
+    )
