@@ -784,6 +784,11 @@ EXPECTATIONS = {
     "cox_one_step_cohort": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R333: 20-row query side broadcast-crossed onto the 8-byte code
+    # scan (same contract as knn_bruteforce — query batch x corpus)
+    "hamming_knn_signbits": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -162,3 +162,52 @@ def test_cox_one_step_matches_bruteforce(spark):
     assert row["n_cohort1"] == int(df["x"].sum())
     assert abs(row["beta_one_step"] - u_score / info) < 1e-5
     assert abs(row["se_beta"] - 1 / math.sqrt(info)) < 1e-6
+
+
+def test_hamming_knn_matches_numpy(spark):
+    from zoom_spark.queries.round9_ops import (
+        HAM_QUERIES,
+        hamming_knn_signbits,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    bits = (X > 0).astype(np.uint8)  # full 64-bit sign mask
+    got = hamming_knn_signbits(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q in np.where(ids < HAM_QUERIES)[0]:
+        d = (bits ^ bits[q]).sum(axis=1)
+        order = sorted(
+            (int(d[i]), int(ids[i])) for i in range(len(ids)) if i != q
+        )
+        want = order[:5]
+        rows = sorted(by_q[int(ids[q])], key=lambda r: r["rnk"])
+        assert [(r["hamming"], r["neighbor_id"]) for r in rows] == want
+
+
+def test_linkage_prefix_features_matches_python(spark):
+    from zoom_spark.queries.round9_ops import linkage_prefix_features
+
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    srt = part.sort_values(["p_name", "p_partkey"]).reset_index(drop=True)
+    rows = linkage_prefix_features(spark, SF_DIR).collect()
+    assert len(rows) == len(srt) - 1
+    by_pair = {(r["key_a"], r["key_b"]): r for r in rows}
+    for i in range(len(srt) - 1):
+        a, b = srt.iloc[i], srt.iloc[i + 1]
+        r = by_pair[(a["p_partkey"], b["p_partkey"])]
+        na, nb = a["p_name"], b["p_name"]
+        lcp = 0
+        while lcp < min(len(na), len(nb)) and na[lcp] == nb[lcp]:
+            lcp += 1
+        lcs = 0
+        while lcs < min(len(na), len(nb)) and na[-1 - lcs] == nb[-1 - lcs]:
+            lcs += 1
+        assert r["lcp_len"] == lcp
+        assert r["lcs_len"] == lcs
+        assert r["same_block"] == int(
+            na.split(" ")[-1] == nb.split(" ")[-1]
+        )

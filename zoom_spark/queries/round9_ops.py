@@ -623,3 +623,243 @@ def cox_one_step_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(1.0 / F.sqrt(F.col("info")), 6).alias("se_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R333 sign-bit Hamming kNN: binary embedding search, exact contract
+# ---------------------------------------------------------------------------
+
+HAM_QUERIES = 20
+
+
+def _signbit_halves(vec_col):
+    """Two 32-bit sign masks (dims 0-31, 32-63) as non-negative
+    BIGINTs: bit d is set iff x_d > 0.  Sums of DISTINCT powers of
+    two are exact integer arithmetic in any summation order, so the
+    packing carries zero float-parity risk; two halves keep every
+    value well inside the positive signed-64 range on both engines
+    (no two's-complement/sign-bit edge cases)."""
+
+    def half(offset):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec_col, offset + 1, 32),
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda x, i: F.when(
+                    x > 0, F.pow(F.lit(2.0), i).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return half(0), half(32)
+
+
+@register(
+    "hamming_knn_signbits",
+    sql=f"""
+    WITH bits AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN x > 0 AND d <= 32
+                           THEN CAST(power(2, d - 1) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN x > 0 AND d > 32
+                           THEN CAST(power(2, d - 33) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS b1
+      FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding) AS x
+        FROM embeddings
+      ) GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.b0, c.b0))
+                  + bit_count(xor(q.b1, c.b1)) AS BIGINT) AS hamming
+      FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {HAM_QUERIES}
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, hamming,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY hamming, neighbor_id)
+             AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, hamming, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def hamming_knn_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R333 binary-embedding similarity search: every vector packs to
+    its 64 SIGN BITS (two 32-bit halves -> 8 bytes, a 32x compression
+    of the float corpus), and neighbors rank by Hamming distance
+    computed as two JVM popcounts over XORs — the memory-bound
+    binary-sketch regime (ITQ/LSH-style sign codes) that scans
+    billions of codes where float kNN cannot.  Unlike the other ANN
+    family members this contract is EXACT (sign extraction and
+    distinct-power sums are integer arithmetic in any order), so the
+    full top-5-per-query result is value-hashed against DuckDB —
+    the ANN family's first production-shaped member with a hash
+    gate rather than a recall property.  Scale shape: 8-byte codes
+    broadcast-free, query side broadcast, one scan, per-query top-k
+    (TakeOrdered-class); the float corpus is never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b0, b1 = _signbit_halves(F.col("embedding"))
+    bits = emb.select(
+        "vec_id", b0.alias("b0"), b1.alias("b1")
+    ).localCheckpoint(eager=False)
+    q = bits.where(F.col("vec_id") < HAM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("b0").alias("q0"),
+        F.col("b1").alias("q1"),
+    )
+    from pyspark.sql import Window
+
+    ham = (
+        F.bit_count(F.col("q0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("q1").bitwiseXOR(F.col("b1")))
+    ).cast("bigint")
+    return (
+        F.broadcast(q)
+        .crossJoin(bits)
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("q_id").orderBy(
+                    "hamming", "neighbor_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# R334 sorted-neighborhood linkage features: LCP / LCS(uffix) / edit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linkage_prefix_features",
+    sql="""
+    WITH named AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM named a JOIN named b ON b.rn = a.rn + 1
+    ),
+    pos AS (
+      SELECT key_a, key_b, name_a, name_b,
+             least(length(name_a), length(name_b)) AS ml,
+             unnest(range(1, least(length(name_a), length(name_b)) + 2))
+               AS i
+      FROM pairs
+    ),
+    lcp AS (
+      SELECT key_a, key_b,
+             CAST(min(CASE WHEN i > ml
+                           OR substring(name_a, i, 1)
+                              <> substring(name_b, i, 1)
+                      THEN i END) - 1 AS BIGINT) AS lcp_len,
+             CAST(min(CASE WHEN i > ml
+                           OR substring(name_a, length(name_a) - i + 1, 1)
+                              <> substring(name_b, length(name_b) - i + 1, 1)
+                      THEN i END) - 1 AS BIGINT) AS lcs_len
+      FROM pos GROUP BY key_a, key_b
+    )
+    SELECT p.key_a, p.key_b, p.name_a, p.name_b,
+           l.lcp_len, l.lcs_len,
+           CAST(levenshtein(p.name_a, p.name_b) AS BIGINT) AS edit_dist,
+           CASE WHEN string_split(p.name_a, ' ')[-1]
+                     = string_split(p.name_b, ' ')[-1]
+                THEN 1 ELSE 0 END AS same_block
+    FROM pairs p JOIN lcp l USING (key_a, key_b)
+    """,
+)
+def linkage_prefix_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R334 sorted-neighborhood record-linkage FEATURE EXTRACTION:
+    for every adjacent pair in the name-sorted part catalog (the
+    R235 SNM window at w = 2), emit the classic linkage feature
+    vector — longest-common-prefix length, longest-common-suffix
+    length, exact edit distance, and same-blocking-key flag — the
+    inputs a downstream Fellegi-Sunter or learned matcher consumes.
+    LCP/LCS come from one bounded position explode (<= len+1 rows
+    per pair, name lengths are bounded): the first mismatching
+    position minus one, evaluated front-to-back and back-to-front in
+    the same pass.  Adjacent pairing is a self-join on consecutive
+    global ranks (two-phase row_number at scale); everything is
+    integer-exact, so the whole feature table value-hashes."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    part = load_table(spark, sf_dir, "part")
+    named = global_row_number(
+        part.select("p_partkey", "p_name"),
+        ["p_name", "p_partkey"],
+        out_col="rn",
+    )
+    a = named.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "rn",
+    )
+    b = named.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    pairs = a.join(b, on="rn").drop("rn")
+    ml = F.least(F.length("name_a"), F.length("name_b"))
+    pos = pairs.select(
+        "key_a", "key_b", "name_a", "name_b", ml.alias("ml"),
+        F.explode(F.sequence(F.lit(1), ml + 1)).alias("i"),
+    )
+    first_pre = F.when(
+        (F.col("i") > F.col("ml"))
+        | (
+            F.col("name_a").substr(F.col("i"), F.lit(1))
+            != F.col("name_b").substr(F.col("i"), F.lit(1))
+        ),
+        F.col("i"),
+    )
+    first_suf = F.when(
+        (F.col("i") > F.col("ml"))
+        | (
+            F.col("name_a").substr(
+                F.length("name_a") - F.col("i") + 1, F.lit(1)
+            )
+            != F.col("name_b").substr(
+                F.length("name_b") - F.col("i") + 1, F.lit(1)
+            )
+        ),
+        F.col("i"),
+    )
+    lcp = pos.groupBy("key_a", "key_b").agg(
+        (F.min(first_pre) - 1).cast("bigint").alias("lcp_len"),
+        (F.min(first_suf) - 1).cast("bigint").alias("lcs_len"),
+    )
+    blk = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    return pairs.join(lcp, on=["key_a", "key_b"]).select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        "lcp_len",
+        "lcs_len",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        F.when(blk(F.col("name_a")) == blk(F.col("name_b")), 1)
+        .otherwise(0)
+        .alias("same_block"),
+    )
