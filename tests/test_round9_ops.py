@@ -211,3 +211,21 @@ def test_linkage_prefix_features_matches_python(spark):
         assert r["same_block"] == int(
             na.split(" ")[-1] == nb.split(" ")[-1]
         )
+
+
+def test_poisson_glm_matches_closed_form(spark):
+    from zoom_spark.queries.round9_ops import poisson_glm_daily
+
+    ev = _events()
+    day = pd.to_datetime(ev["ts"]).dt.date
+    cnt = ev.assign(day=day).groupby("day").size()
+    wd = (pd.to_datetime(cnt.index) - pd.Timestamp("2024-01-01")).days % 7
+    is_we = np.isin(wd, [5, 6])
+    y = cnt.to_numpy(float)
+    mu0, mu1 = y[~is_we].mean(), y[is_we].mean()
+    row = poisson_glm_daily(spark, SF_DIR).collect()[0]
+    # one-covariate Poisson MLE closed form: fitted group means
+    assert row["n_days"] == len(y)
+    assert abs(row["mu_weekday"] - mu0) < 1e-3
+    assert abs(row["mu_weekend"] - mu1) < 1e-3
+    assert abs(row["beta_weekend"] - math.log(mu1 / mu0)) < 1e-4

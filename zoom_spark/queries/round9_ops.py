@@ -863,3 +863,123 @@ def linkage_prefix_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("same_block"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R335 Poisson GLM (log link) on daily event counts, weekend effect
+# ---------------------------------------------------------------------------
+
+POIS_ITERS = 60
+POIS_LR = 0.5
+
+
+def _poisson_oracle_sql(iters: int = POIS_ITERS, lr: float = POIS_LR) -> str:
+    """Unrolled full-batch GD replay (the logreg/pagerank schedule):
+    counts are mean-scaled with an EXACT rational (sum/n of integers
+    — identical doubles on both engines, no ln() offset needed), and
+    every iteration's weights snap to the 9dp grid so gradient
+    summation-order drift cannot compound."""
+    head = """d AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS y,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1.0 ELSE 0.0 END AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    st AS MATERIALIZED (
+      SELECT CAST(sum(y) AS DOUBLE) / count(*) AS my,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d
+    ),
+    sc AS MATERIALIZED (
+      SELECT CAST(y AS DOUBLE) / st.my AS ys, x FROM d CROSS JOIN st
+    ),
+    w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS c1)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+      SELECT avg(ys - mu) AS g0, avg((ys - mu) * x) AS g1
+      FROM (
+        SELECT exp(w.b + w.c1 * x) AS mu, ys, x
+        FROM sc CROSS JOIN w{i - 1} w
+      )
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT floor((w.b  + {lr} * g.g0) * 1e9 + 0.5) / 1e9 AS b,
+             floor((w.c1 + {lr} * g.g1) * 1e9 + 0.5) / 1e9 AS c1
+      FROM w{i - 1} w CROSS JOIN g{i} g
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT st.n AS n_days,
+           floor(w.b  * 1e6 + 0.5) / 1e6 AS beta0,
+           floor(w.c1 * 1e6 + 0.5) / 1e6 AS beta_weekend,
+           floor(st.my * exp(w.b) * 1e6 + 0.5) / 1e6 AS mu_weekday,
+           floor(st.my * exp(w.b + w.c1) * 1e6 + 0.5) / 1e6 AS mu_weekend
+    FROM w{iters} w CROSS JOIN st"""
+    )
+
+
+@register("poisson_glm_daily", sql=_poisson_oracle_sql())
+def poisson_glm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R335 Poisson regression (log link) of daily event counts on a
+    weekend indicator, trained by full-batch gradient ascent on the
+    Poisson log-likelihood — each iteration is ONE tiny aggregate
+    over the calendar-bounded day frame (grad = avg[(y - mu)·x]),
+    the same "iterative ML as aggregation" shape as the gated
+    logistic GD (R90).  Counts are scaled by their EXACT rational
+    mean instead of carrying an ln() offset, so no transcendental
+    touches unsnapped cross-engine state; weights snap to the 9dp
+    grid per iteration (the pagerank schedule) and the oracle
+    replays the identical unrolled updates.  For one binary
+    covariate the MLE has the closed form beta_weekend =
+    ln(mean_weekend / mean_weekday) — the referee checks the GD
+    fixpoint against it independently."""
+    import math
+
+    snap9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    ev = load_table(spark, sf_dir, "events")
+    wd = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        % 7
+    ).cast("bigint")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y"),
+        F.max(F.when(wd.isin(5, 6), 1.0).otherwise(0.0)).alias("x"),
+    )
+    st = d.agg(
+        (F.sum("y").cast("double") / F.count("*")).alias("my"),
+        F.count("*").cast("bigint").alias("n"),
+    ).collect()[0]
+    my, n = float(st["my"]), int(st["n"])
+    sc = d.select(
+        (F.col("y").cast("double") / F.lit(my)).alias("ys"), "x"
+    ).persist()
+    try:
+        b = c1 = 0.0
+        for _ in range(POIS_ITERS):
+            mu = F.exp(F.lit(b) + F.lit(c1) * F.col("x"))
+            g = sc.agg(
+                F.avg(F.col("ys") - mu).alias("g0"),
+                F.avg((F.col("ys") - mu) * F.col("x")).alias("g1"),
+            ).collect()[0]
+            b = snap9(b + POIS_LR * g["g0"])
+            c1 = snap9(c1 + POIS_LR * g["g1"])
+    finally:
+        sc.unpersist()
+    snap6c = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    one = load_table(spark, sf_dir, "events").limit(1).select(F.lit(1))
+    return one.select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        snap6c(F.lit(b)).alias("beta0"),
+        snap6c(F.lit(c1)).alias("beta_weekend"),
+        snap6c(F.lit(my) * F.exp(F.lit(b))).alias("mu_weekday"),
+        snap6c(F.lit(my) * F.exp(F.lit(b) + F.lit(c1))).alias(
+            "mu_weekend"
+        ),
+    )
