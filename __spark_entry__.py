@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_matches",
         "isotonic_calibration",
         "kmeans_corpus_cells",
+        "semdedup_corpus",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

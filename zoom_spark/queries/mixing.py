@@ -152,16 +152,109 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_heavy_hitters(tok, "t", HH_K)
 
 
-@register("semdedup_corpus")  # float k-means cells: rows-only + property tests
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 3
+SEMDEDUP_QSCALE = 1_000_000
+SEMDEDUP_THRESHOLD = 0.93
+
+
+def _semdedup_oracle_sql() -> str:
+    from zoom_spark.queries.similarity_queries import int_lloyd_cte_sql
+
+    return (
+        int_lloyd_cte_sql(SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_QSCALE)
+        + f""",
+    cells AS MATERIALIZED (
+      SELECT a.vec_id, a.cell, v.qv,
+             sqrt(CAST(list_inner_product(v.qv, v.qv) AS DOUBLE)) AS nrm
+      FROM assign{SEMDEDUP_ITERS} a JOIN vecs v USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CAST(list_inner_product(a.qv, b.qv) AS DOUBLE)
+            >= {SEMDEDUP_THRESHOLD} * a.nrm * b.nrm
+    )
+    SELECT c.vec_id AS id, c.cell,
+           CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.id
+    """
+    )
+
+
+@register("semdedup_corpus", sql=_semdedup_oracle_sql())
 def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: k-means coarse clusters,
-    within-cluster cosine >= 0.93 drops every non-minimum id. Output
-    is (id, cell, keep) for auditability; see dedup/semdedup.py for
-    the scale argument (quadratic work confined to clusters)."""
-    from zoom_spark.dedup.semdedup import semdedup
+    """SemDeDup over the embeddings table (Abbas et al. 2023):
+    k-means coarse clusters, within-cluster cosine >= 0.93 drops
+    every non-minimum id. Output is (id, cell, keep) for
+    auditability; see dedup/semdedup.py for the scale argument
+    (quadratic work confined to clusters; k grows with the corpus).
+
+    Oracle-hashed since round 9 via the INTEGER-QUANTIZED pipeline:
+    vectors snap once to the 1e-6 grid, the coarse clusters come
+    from the exact integer Lloyd fit (shared with
+    kmeans_corpus_cells — md5-seeded, unrolled in the oracle), and
+    the within-cell witness rule compares exact integer dot products
+    against threshold * ||a|| * ||b|| where the norms are IEEE
+    sqrt of exact integers — sqrt is correctly rounded by both
+    engines, so the whole keep/drop decision is bit-deterministic
+    with NO float snap schedule.  The float-centroid general
+    operator (dedup/semdedup.semdedup) stays property-tested."""
+    from zoom_spark.similarity.kmeans import (
+        int_assign,
+        int_lloyd_fit,
+        int_quantize,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, "embedding", "vec_id", k=8, threshold=0.93)
+    base = int_quantize(
+        emb, "embedding", "vec_id", SEMDEDUP_QSCALE
+    ).localCheckpoint(eager=False)
+    cents = int_lloyd_fit(base, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    dotl = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cells = int_assign(base, cents).select(
+        F.col("id"),
+        "cell",
+        "vec",
+        F.sqrt(dotl(F.col("vec"), F.col("vec")).cast("double")).alias("nrm"),
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            dotl(F.col("vec_a"), F.col("vec_b")).cast("double")
+            >= F.lit(SEMDEDUP_THRESHOLD) * F.col("nrm_a") * F.col("nrm_b")
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        cells.select("id", "cell")
+        .join(dropped, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.when(F.col("__drop").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )
 
 
 @register("pca_project_corpus")  # float moments: rows-only + property tests

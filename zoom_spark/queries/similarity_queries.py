@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,17 +135,28 @@ KMEANS_ITERS = 3
 KMEANS_QSCALE = 1_000_000  # 1e-6 input quantization grid
 
 
-def _kmeans_oracle_sql() -> str:
-    """Unrolled Lloyd replay (round-7 technique): the whole fit runs
-    on INTEGER-quantized vectors, so every dot product and partial
-    sum is exact in both engines (|x| <= 1e6, 64-term products
-    <= 6.4e13 < 2^53) — no 9dp snap schedule, no half-grid risk."""
+def int_lloyd_cte_sql(k: int, iters: int, qscale: int) -> str:
+    """Shared unrolled integer-Lloyd WITH-body (round-9 technique):
+    the whole fit runs on INTEGER-quantized vectors, so every dot
+    product and partial sum is exact in both engines (|x| <= qscale,
+    64-term products well under 2^53) — no 9dp snap schedule, no
+    half-grid risk.  Exposes CTEs edim (vec_id, d, x), vecs (vec_id,
+    qv array), and assign{iters} (vec_id, cell) for the caller's
+    final SELECT.  Reused by kmeans_corpus_cells and the SemDeDup
+    oracle."""
     parts = [
         f"""
     WITH edim AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS d,
              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                        * {KMEANS_QSCALE} + 0.5) AS BIGINT) AS x
+                        * {qscale} + 0.5) AS BIGINT) AS x
+      FROM embeddings
+    ),
+    vecs AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * {qscale} + 0.5)
+                         AS BIGINT)) AS qv
       FROM embeddings
     ),
     seed AS (
@@ -160,10 +169,10 @@ def _kmeans_oracle_sql() -> str:
     cent0 AS MATERIALIZED (
       SELECT s.cell, e.d, e.x AS cv
       FROM seed s JOIN edim e USING (vec_id)
-      WHERE s.cell < {KMEANS_K}
+      WHERE s.cell < {k}
     )"""
     ]
-    for r in range(KMEANS_ITERS + 1):
+    for r in range(iters + 1):
         parts.append(f""",
     cn2_{r} AS (
       SELECT cell, sum(cv * cv) AS n2 FROM cent{r} GROUP BY cell
@@ -184,7 +193,7 @@ def _kmeans_oracle_sql() -> str:
         FROM score{r}
       ) WHERE rn = 1
     )""")
-        if r < KMEANS_ITERS:
+        if r < iters:
             parts.append(f""",
     cent{r + 1} AS MATERIALIZED (
       SELECT a.cell, e.d,
@@ -193,11 +202,17 @@ def _kmeans_oracle_sql() -> str:
       FROM assign{r} a JOIN edim e USING (vec_id)
       GROUP BY a.cell, e.d
     )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql() -> str:
+    return (
+        int_lloyd_cte_sql(KMEANS_K, KMEANS_ITERS, KMEANS_QSCALE)
+        + f"""
     SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
     FROM assign{KMEANS_ITERS} GROUP BY cell
-    """)
-    return "".join(parts)
+    """
+    )
 
 
 @register("kmeans_corpus_cells", sql=_kmeans_oracle_sql())
@@ -218,64 +233,19 @@ def kmeans_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized CTEs; argmin ties break to the lowest cell id on
     both sides.  Property referees (inertia monotone, planted-
     cluster recovery) stay in tests/."""
-    from zoom_spark.similarity.kmeans import _mstep_means
+    from zoom_spark.similarity.kmeans import (
+        int_assign,
+        int_lloyd_fit,
+        int_quantize,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        F.col("vec_id").alias("id"),
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                x.cast("double") * KMEANS_QSCALE + F.lit(0.5)
-            ).cast("long"),
-        ).alias("vec"),
+    base = int_quantize(
+        emb, "embedding", "vec_id", KMEANS_QSCALE
     ).localCheckpoint(eager=False)
-    seed_rows = (
-        base.orderBy(F.md5(F.col("id").cast("string")), "id")
-        .limit(KMEANS_K)
-        .collect()
-    )
-    cents: list[tuple[int, list[int]]] = [
-        (i, [int(x) for x in r["vec"]]) for i, r in enumerate(seed_rows)
-    ]
-
-    def assign(cents):
-        cstats = F.broadcast(
-            spark.createDataFrame(
-                [(
-                    [c for _, c in cents],
-                    [sum(x * x for x in c) for _, c in cents],
-                    [cid for cid, _ in cents],
-                )],
-                "cmat array<array<long>>, cn2 array<long>, cid array<int>",
-            )
-        )
-        score = F.zip_with(
-            F.col("cmat"),
-            F.col("cn2"),
-            lambda c, n2: -2
-            * F.aggregate(
-                F.zip_with(F.col("vec"), c, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            + n2,
-        )
-        # first position of the min == lowest cell id (cid ascending)
-        idx = F.array_position(score, F.array_min(score)).cast("int")
-        return base.crossJoin(cstats).select(
-            "id", "vec", F.element_at(F.col("cid"), idx).alias("cell")
-        )
-
-    for _ in range(KMEANS_ITERS):
-        assigned = assign(cents)
-        means = _mstep_means(assigned, dim=len(cents[0][1]))
-        cents = sorted(
-            (cid, [int(math.floor(m + 0.5)) for m in mean])
-            for cid, mean in means.items()
-        )
+    cents = int_lloyd_fit(base, k=KMEANS_K, iters=KMEANS_ITERS)
     return (
-        assign(cents)
+        int_assign(base, cents)
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
     )

@@ -153,3 +153,83 @@ def kmeans_assign(
 ) -> DataFrame:
     """(id, cell, dist2) final assignment for fitted centroids."""
     return _assign(df, vec_col, id_col, centroids).select("id", "cell", "dist2")
+
+
+def int_quantize(df: DataFrame, vec_col: str, id_col: str, qscale: int) -> DataFrame:
+    """(id, vec) with the vector snapped ONCE to the 1/qscale grid as
+    array<long> — the integer-exact arithmetic domain shared by the
+    oracle-hashed Lloyd/SemDeDup queries: dot products, norms-squared
+    and partial sums of these ints are exact in both engines in ANY
+    summation order, so no per-iteration float snap schedule is
+    needed (round-9 technique, first used by kmeans_corpus_cells)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * qscale + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("vec"),
+    )
+
+
+def int_assign(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """(id, vec, cell) nearest-centroid assignment over integer
+    vectors: score_j = -2*v.c_j + ||c_j||^2 in exact long arithmetic;
+    ties break to the lowest cell id (cents must be sorted)."""
+    spark = base.sparkSession
+    cstats = F.broadcast(
+        spark.createDataFrame(
+            [(
+                [c for _, c in cents],
+                [sum(x * x for x in c) for _, c in cents],
+                [cid for cid, _ in cents],
+            )],
+            "cmat array<array<long>>, cn2 array<long>, cid array<int>",
+        )
+    )
+    score = F.zip_with(
+        F.col("cmat"),
+        F.col("cn2"),
+        lambda c, n2: -2
+        * F.aggregate(
+            F.zip_with(F.col("vec"), c, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        + n2,
+    )
+    idx = F.array_position(score, F.array_min(score)).cast("int")
+    return base.crossJoin(cstats).select(
+        "id", "vec", F.element_at(F.col("cid"), idx).alias("cell")
+    )
+
+
+def int_lloyd_fit(
+    base: DataFrame, k: int, iters: int, seed_order_col: str = "id"
+) -> list[tuple[int, list[int]]]:
+    """Integer-exact Lloyd fit over an int_quantize frame: md5-seeded
+    (the k smallest md5(id) vectors, reproducible in ANSI SQL unlike
+    xxhash64), centroid updates snapped to the integer grid with the
+    shared floor(mean + 0.5) spelling.  Returns [(cell_id, centroid)]
+    sorted by cell id; empty cells drop WITHOUT relabeling (dict
+    keyed by original id), mirroring the unrolled oracle exactly."""
+    import math as _math
+
+    seed_rows = (
+        base.orderBy(F.md5(F.col(seed_order_col).cast("string")), seed_order_col)
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[int]]] = [
+        (i, [int(x) for x in r["vec"]]) for i, r in enumerate(seed_rows)
+    ]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = int_assign(base, cents)
+        means = _mstep_means(assigned, dim)
+        cents = sorted(
+            (cid, [int(_math.floor(m + 0.5)) for m in mean])
+            for cid, mean in means.items()
+        )
+    return cents
