@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration",
         "kmeans_corpus_cells",
         "semdedup_corpus",
+        "knn_ivf",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

@@ -374,7 +374,9 @@ EXPECTATIONS = {
     # probe-cell join is size-planned by AQE, not forced broadcast
     "knn_ivf_fullprobe": dict(pushed=False, broadcast=False, cartesian=True),
     "hard_negative_pairs_ann": dict(pushed=False, broadcast=False, cartesian=True),
-    "knn_ivf": dict(pushed=True, broadcast=False, cartesian=True),
+    # round 9: the query filter now lands on the localCheckpointed
+    # quantized frame (reused across Lloyd iterations), not the scan
+    "knn_ivf": dict(pushed=False, broadcast=False, cartesian=True),
     "simhash_dedup_docs": dict(pushed=False, broadcast=False, cartesian=False),
     "ngram_jaccard_dups": dict(pushed=False, broadcast=False, cartesian=False),
     # q6: scalar-threshold join is a 1-row BroadcastNestedLoopJoin by

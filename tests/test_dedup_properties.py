@@ -224,7 +224,15 @@ def test_ivf_partial_probe_recall(spark):
     hits = ivf.join(bf, on=["q_id", "neighbor_id"])
     recall = hits.count() / bf.count()
     assert recall >= 0.3, f"IVF recall@5 too low: {recall:.2f}"
-    assert hits.where(F.col("cosine_sim") != F.col("bf_sim")).count() == 0
+    # knn_ivf computes cosine on the 1e-6-quantized vectors (the
+    # round-9 integer-exact oracle contract), so its sims sit within
+    # one quantization step + snap grid of the float brute force
+    assert (
+        hits.where(
+            F.abs(F.col("cosine_sim") - F.col("bf_sim")) > 3e-6
+        ).count()
+        == 0
+    )
 
 
 def test_connected_components_merges_chains(spark):

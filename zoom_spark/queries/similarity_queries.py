@@ -13,128 +13,6 @@ N_QUERIES = 20
 EMBED_DIM = 64
 
 
-def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-
-
-@register(
-    "knn_bruteforce",
-    sql=f"""
-    WITH q AS (
-      SELECT vec_id AS q_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-      FROM embeddings WHERE vec_id < {N_QUERIES}
-    ),
-    c AS (
-      SELECT vec_id AS n_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT q_id, n_id,
-             round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
-      FROM q CROSS JOIN c WHERE q_id <> n_id
-    ),
-    ranked AS (
-      SELECT q_id, n_id AS neighbor_id, cosine_sim,
-             CAST(row_number() OVER (
-               PARTITION BY q_id ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rnk
-      FROM scored
-    )
-    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
-    """,
-)
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 baseline: exact top-5 cosine neighbors for the first
-    20 vectors — broadcast queries x corpus scan, JVM-side math."""
-    emb = _emb_double(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return brute_force_topk(emb, queries, vec_col="embedding", id_col="vec_id", k=5)
-
-
-@register("knn_lsh_bucketed")  # approximate (recall<1): rows-only
-def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: random-hyperplane LSH bucketing — equi-join on
-    bucket instead of a full cross join, with radius-1 multi-probe
-    (query side explodes to the 5 Hamming-adjacent buckets; candidate
-    set is still ~5/16 of the corpus, not O(n)). Property tests
-    measure recall overlap vs brute force and planted-neighbor recall
-    at radius 2."""
-    emb = _emb_double(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return lsh_bucketed_topk(
-        emb, queries, vec_col="embedding", id_col="vec_id",
-        dim=EMBED_DIM, k=5, n_planes=4, multi_probe=1,
-    )
-
-
-@register("knn_ivf")  # approximate (recall<1): rows-only
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path #2: IVF-flat — coarse-quantizer cells, map-side
-    corpus assignment, n_probe nearest cells per query. Property
-    tests: n_probe==n_centroids reproduces brute force exactly."""
-    from zoom_spark.similarity.ivf import ivf_topk
-
-    emb = _emb_double(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(
-        emb, queries, vec_col="embedding", id_col="vec_id",
-        k=5, n_centroids=8, n_probe=3,
-    )
-
-
-@register(
-    "knn_ivf_fullprobe",
-    sql=f"""
-    WITH q AS (
-      SELECT vec_id AS q_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-      FROM embeddings WHERE vec_id < {N_QUERIES}
-    ),
-    c AS (
-      SELECT vec_id AS n_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT q_id, n_id,
-             round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
-      FROM q CROSS JOIN c WHERE q_id <> n_id
-    ),
-    ranked AS (
-      SELECT q_id, n_id AS neighbor_id, cosine_sim,
-             CAST(row_number() OVER (
-               PARTITION BY q_id ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rnk
-      FROM scored
-    )
-    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
-    """,
-)
-def knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat at n_probe == n_centroids: every cell probed, so the
-    result is EXACTLY brute force (the recall=1 boundary case) and the
-    gate can hash the IVF machinery — cell assignment, probe join,
-    per-query top-k — against the exact-kNN SQL oracle. knn_ivf keeps
-    the production n_probe<n_centroids contract (rows-only, recall
-    property-tested)."""
-    from zoom_spark.similarity.ivf import ivf_topk
-
-    emb = _emb_double(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(
-        emb, queries, vec_col="embedding", id_col="vec_id",
-        k=5, n_centroids=8, n_probe=8,
-    )
-
-
-KMEANS_K = 8
-KMEANS_ITERS = 3
-KMEANS_QSCALE = 1_000_000  # 1e-6 input quantization grid
-
-
 def int_lloyd_cte_sql(k: int, iters: int, qscale: int) -> str:
     """Shared unrolled integer-Lloyd WITH-body (round-9 technique):
     the whole fit runs on INTEGER-quantized vectors, so every dot
@@ -203,6 +81,279 @@ def int_lloyd_cte_sql(k: int, iters: int, qscale: int) -> str:
       GROUP BY a.cell, e.d
     )""")
     return "".join(parts)
+
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+@register(
+    "knn_bruteforce",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, n_id,
+             round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE q_id <> n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id AS neighbor_id, cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: exact top-5 cosine neighbors for the first
+    20 vectors — broadcast queries x corpus scan, JVM-side math."""
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, vec_col="embedding", id_col="vec_id", k=5)
+
+
+@register("knn_lsh_bucketed")  # approximate (recall<1): rows-only
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH bucketing — equi-join on
+    bucket instead of a full cross join, with radius-1 multi-probe
+    (query side explodes to the 5 Hamming-adjacent buckets; candidate
+    set is still ~5/16 of the corpus, not O(n)). Property tests
+    measure recall overlap vs brute force and planted-neighbor recall
+    at radius 2."""
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return lsh_bucketed_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        dim=EMBED_DIM, k=5, n_planes=4, multi_probe=1,
+    )
+
+
+IVF_K = 8
+IVF_ITERS = 3
+IVF_PROBE = 3
+IVF_QSCALE = 1_000_000
+
+
+def _knn_ivf_oracle_sql() -> str:
+    return (
+        int_lloyd_cte_sql(IVF_K, IVF_ITERS, IVF_QSCALE)
+        + f""",
+    cn2_f AS (
+      SELECT cell, sum(cv * cv) AS n2 FROM cent{IVF_ITERS} GROUP BY cell
+    ),
+    qscore AS (   -- per (query, cell) exact integer L2 score
+      SELECT e.vec_id AS q_id, c.cell,
+             -2 * sum(e.x * c.cv) + any_value(n.n2) AS s
+      FROM edim e
+      JOIN cent{IVF_ITERS} c ON e.d = c.d
+      JOIN cn2_f n ON n.cell = c.cell
+      WHERE e.vec_id < {N_QUERIES}
+      GROUP BY e.vec_id, c.cell
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q_id, cell,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY s, cell) AS pr
+        FROM qscore
+      ) WHERE pr <= {IVF_PROBE}
+    ),
+    nv AS MATERIALIZED (
+      SELECT a.vec_id, a.cell, v.qv,
+             sqrt(CAST(list_inner_product(v.qv, v.qv) AS DOUBLE)) AS nrm
+      FROM assign{IVF_ITERS} a JOIN vecs v USING (vec_id)
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id AS neighbor_id,
+             floor(CAST(list_inner_product(q.qv, c.qv) AS DOUBLE)
+                   / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS cosine_sim
+      FROM probes p
+      JOIN nv c ON c.cell = p.cell
+      JOIN nv q ON q.vec_id = p.q_id
+      WHERE c.vec_id <> p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
+    """
+    )
+
+
+@register("knn_ivf", sql=_knn_ivf_oracle_sql())
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF-flat at the PRODUCTION shape — coarse-
+    quantizer cells, map-side corpus assignment, n_probe = 3 of 8
+    cells probed per query (recall < 1 by contract).
+
+    Oracle-hashed since round 9 via the INTEGER-QUANTIZED pipeline
+    (SQ + IVF — a real production ANN configuration): vectors snap
+    once to the 1e-6 grid, the coarse quantizer is the exact integer
+    Lloyd fit shared with kmeans_corpus_cells/semdedup_corpus, probe
+    ordering is the exact integer L2 score (ties to the lowest cell
+    id), and candidate ranking uses cosine from exact integer dots
+    over IEEE-correctly-rounded sqrt norms, snapped with the shared
+    floor(x*1e6+0.5) spelling BEFORE ranking — every tie-break is
+    bit-deterministic, so the approximate result value-hashes even
+    though recall < 1.  The float general operator (similarity/
+    ivf.ivf_topk) keeps its recall property tests; knn_ivf_fullprobe
+    keeps hashing the n_probe == n_centroids exact boundary."""
+    from pyspark.sql import Window
+
+    from zoom_spark.similarity.kmeans import (
+        int_assign,
+        int_lloyd_fit,
+        int_quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = int_quantize(
+        emb, "embedding", "vec_id", IVF_QSCALE
+    ).localCheckpoint(eager=False)
+    cents = int_lloyd_fit(base, k=IVF_K, iters=IVF_ITERS)
+    dotl = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nv = int_assign(base, cents).select(
+        "id",
+        "cell",
+        "vec",
+        F.sqrt(dotl(F.col("vec"), F.col("vec")).cast("double")).alias("nrm"),
+    )
+    # per-query probe list: exact integer L2 score against every
+    # centroid (the same one-row broadcast-matrix fold as int_assign,
+    # keeping Catalyst's plan O(1) in k), rank, keep n_probe
+    spark_ = emb.sparkSession
+    cstats = F.broadcast(
+        spark_.createDataFrame(
+            [(
+                [c for _, c in cents],
+                [sum(x * x for x in c) for _, c in cents],
+                [cid for cid, _ in cents],
+            )],
+            "cmat array<array<long>>, cn2 array<long>, cid array<int>",
+        )
+    )
+    q = base.where(F.col("id") < N_QUERIES).crossJoin(cstats).select(
+        F.col("id").alias("q_id"),
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.col("cmat"),
+                    F.col("cn2"),
+                    lambda c, n2: -2 * dotl(F.col("vec"), c) + n2,
+                ),
+                F.col("cid"),
+                lambda s, cid: F.struct(s.alias("s"), cid.alias("cell")),
+            )
+        ).alias("sc"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("sc.s"), F.col("sc.cell")
+    )
+    probes = (
+        q.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= IVF_PROBE)
+        .select("q_id", F.col("sc.cell").alias("cell"))
+    )
+    qv = nv.select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = (
+        F.floor(
+            dotl(F.col("q_vec"), F.col("vec")).cast("double")
+            / (F.col("q_nrm") * F.col("nrm"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(nv, on="cell")
+        .where(F.col("q_id") != F.col("id"))
+        .join(F.broadcast(qv), on="q_id")
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "knn_ivf_fullprobe",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS n_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, n_id,
+             round(list_cosine_similarity(qv, nv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE q_id <> n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id AS neighbor_id, cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine_sim DESC, n_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat at n_probe == n_centroids: every cell probed, so the
+    result is EXACTLY brute force (the recall=1 boundary case) and the
+    gate can hash the IVF machinery — cell assignment, probe join,
+    per-query top-k — against the exact-kNN SQL oracle. knn_ivf keeps
+    the production n_probe<n_centroids contract (rows-only, recall
+    property-tested)."""
+    from zoom_spark.similarity.ivf import ivf_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        k=5, n_centroids=8, n_probe=8,
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_QSCALE = 1_000_000  # 1e-6 input quantization grid
 
 
 def _kmeans_oracle_sql() -> str:
