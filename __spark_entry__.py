@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_corpus_cells",
         "semdedup_corpus",
         "knn_ivf",
+        "knn_lsh_bucketed",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

@@ -126,19 +126,190 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, vec_col="embedding", id_col="vec_id", k=5)
 
 
-@register("knn_lsh_bucketed")  # approximate (recall<1): rows-only
+LSH_PLANES = 4
+LSH_QSCALE = 1_000_000
+
+
+def _int_planes() -> list[list[int]]:
+    """The LCG hyperplanes snapped once to the 1e-6 integer grid —
+    model weights shared verbatim by the engine and the oracle, so
+    every projection is an exact 64-term integer dot product."""
+    from zoom_spark.similarity.knn import make_hyperplanes
+
+    return [
+        [int(__import__("math").floor(x * LSH_QSCALE + 0.5)) for x in p]
+        for p in make_hyperplanes(EMBED_DIM, LSH_PLANES, seed=42)
+    ]
+
+
+def _knn_lsh_oracle_sql() -> str:
+    planes = _int_planes()
+    vals = ",\n        ".join(
+        f"({p}, {d + 1}, {w})"
+        for p, row in enumerate(planes)
+        for d, w in enumerate(row)
+    )
+    return f"""
+    WITH planes(p, d, w) AS (VALUES
+        {vals}
+    ),
+    vecs AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * {LSH_QSCALE} + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    edim AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * {LSH_QSCALE} + 0.5) AS BIGINT) AS x
+      FROM embeddings
+    ),
+    buckets AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN proj > 0
+                      THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM (
+        SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS proj
+        FROM edim e JOIN planes pl ON e.d = pl.d
+        GROUP BY e.vec_id, pl.p
+      ) e GROUP BY e.vec_id
+    ),
+    nv AS MATERIALIZED (
+      SELECT v.vec_id, b.b, v.qv,
+             sqrt(CAST(list_inner_product(v.qv, v.qv) AS DOUBLE)) AS nrm
+      FROM vecs v JOIN buckets b USING (vec_id)
+    ),
+    probes AS (   -- own bucket + the 4 Hamming-1 flips
+      SELECT vec_id AS q_id, xor(b, m.m) AS pb
+      FROM buckets, (VALUES (0), (1), (2), (4), (8)) m(m)
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.q_id, c.vec_id AS neighbor_id,
+             floor(CAST(list_inner_product(q.qv, c.qv) AS DOUBLE)
+                   / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS cosine_sim
+      FROM probes p
+      JOIN nv c ON c.b = p.pb
+      JOIN nv q ON q.vec_id = p.q_id
+      WHERE c.vec_id <> p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine_sim, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("knn_lsh_bucketed", sql=_knn_lsh_oracle_sql())
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: random-hyperplane LSH bucketing — equi-join on
     bucket instead of a full cross join, with radius-1 multi-probe
     (query side explodes to the 5 Hamming-adjacent buckets; candidate
-    set is still ~5/16 of the corpus, not O(n)). Property tests
-    measure recall overlap vs brute force and planted-neighbor recall
-    at radius 2."""
-    emb = _emb_double(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return lsh_bucketed_topk(
-        emb, queries, vec_col="embedding", id_col="vec_id",
-        dim=EMBED_DIM, k=5, n_planes=4, multi_probe=1,
+    set is still ~5/16 of the corpus, not O(n)). Property tests keep
+    measuring recall overlap vs brute force and planted-neighbor
+    recall for the float general operator (knn.lsh_bucketed_topk).
+
+    Oracle-hashed since round 9: the LCG hyperplanes AND the vectors
+    snap once to the 1e-6 integer grid, so every projection is an
+    exact 64-term integer dot product — sign bits, bucket ids and
+    the probe fan-out are bit-deterministic in both engines, and the
+    candidate ranking reuses the exact-cosine contract (integer dot
+    / IEEE sqrt norms, shared floor(x*1e6+0.5) snap BEFORE ranking).
+    The approximate result value-hashes even though recall < 1 —
+    same round-9 technique as knn_ivf."""
+    from zoom_spark.similarity.kmeans import int_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = int_quantize(
+        emb, "embedding", "vec_id", LSH_QSCALE
+    ).localCheckpoint(eager=False)
+    planes = _int_planes()
+    dotl = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pstats = F.broadcast(
+        spark.createDataFrame(
+            [(planes,)], "pmat array<array<long>>"
+        )
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            F.col("pmat"),
+            F.sequence(F.lit(0), F.lit(LSH_PLANES - 1)),
+            lambda p, i: F.when(
+                dotl(F.col("vec"), p) > 0,
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nv = (
+        base.crossJoin(pstats)
+        .select(
+            "id",
+            "vec",
+            bucket.alias("b"),
+            F.sqrt(dotl(F.col("vec"), F.col("vec")).cast("double")).alias(
+                "nrm"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    masks = [0] + [1 << i for i in range(LSH_PLANES)]
+    probes = (
+        nv.where(F.col("id") < N_QUERIES)
+        .select(
+            F.col("id").alias("q_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.col("b").bitwiseXOR(F.lit(m).cast("long"))
+                        for m in masks
+                    ]
+                )
+            ).alias("pb"),
+        )
+    )
+    qv = nv.select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = (
+        F.floor(
+            dotl(F.col("q_vec"), F.col("vec")).cast("double")
+            / (F.col("q_nrm") * F.col("nrm"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(nv, probes["pb"] == nv["b"])
+        .where(F.col("q_id") != F.col("id"))
+        .join(F.broadcast(qv), on="q_id")
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
     )
 
 
