@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_corpus",
         "knn_ivf",
         "knn_lsh_bucketed",
+        "knn_pq_adc",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

@@ -573,24 +573,246 @@ def kmeans_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_pq_adc")  # quantized (approximate): rows-only + property tests
-def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (similarity/pq.py): one-pass-per-
-    iteration codebook training, map-only encoding to m=8 int codes
-    (8x compression of the 64-d corpus), then ADC top-10 for 5 query
-    vectors — the memory-bound regime IVF-flat can't reach. The ADC
-    scan is a JVM literal-LUT fold (no Python, no shuffle except the
-    final per-query top-k)."""
-    from zoom_spark.similarity.pq import encode_pq, pq_topk, train_pq
+PQ_M = 8          # subspaces (64 dims -> 8 x 8)
+PQ_SUBDIM = 8
+PQ_CODES = 16     # codes per subspace codebook
+PQ_ITERS = 3
+PQ_NQ = 5
+PQ_QSCALE = 1_000_000
 
-    emb = _emb_double(spark, sf_dir)
-    books, _ = train_pq(emb, "embedding", "vec_id", m=8, k=16, max_iter=3)
-    encoded = encode_pq(emb, "embedding", "vec_id", books)
-    qs = [
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 5).collect()
+
+def _pq_lloyd_cte_sql() -> str:
+    """Unrolled integer product-quantization training: ONE Lloyd
+    unroll vectorized across all PQ_M subspaces by carrying a `sub`
+    key through every CTE (seeds are the PQ_CODES smallest
+    md5(vec_id) vectors, shared across subspaces).  Exposes sdim
+    (vec_id, sub, dd, x) and codes (vec_id, sub, cell)."""
+    parts = [
+        f"""
+    WITH sdim AS MATERIALIZED (
+      SELECT vec_id, CAST((d - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+             CAST((d - 1) % {PQ_SUBDIM} AS INTEGER) AS dd,
+             CAST(floor(CAST(x AS DOUBLE) * {PQ_QSCALE} + 0.5)
+                  AS BIGINT) AS x
+      FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding) AS x
+        FROM embeddings
+      )
+    ),
+    pseed AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS INTEGER) AS cell
+      FROM embeddings
+    ),
+    pcent0 AS MATERIALIZED (
+      SELECT e.sub, s.cell, e.dd, e.x AS cv
+      FROM pseed s JOIN sdim e USING (vec_id)
+      WHERE s.cell < {PQ_CODES}
+    )"""
     ]
-    return pq_topk(encoded, qs, books, k_neighbors=10)
+    for r in range(PQ_ITERS + 1):
+        parts.append(f""",
+    pn2_{r} AS (
+      SELECT sub, cell, sum(cv * cv) AS n2
+      FROM pcent{r} GROUP BY sub, cell
+    ),
+    pscore{r} AS MATERIALIZED (
+      SELECT e.vec_id, e.sub, c.cell,
+             -2 * sum(e.x * c.cv) + any_value(n.n2) AS s
+      FROM sdim e
+      JOIN pcent{r} c ON e.sub = c.sub AND e.dd = c.dd
+      JOIN pn2_{r} n ON n.sub = c.sub AND n.cell = c.cell
+      GROUP BY e.vec_id, e.sub, c.cell
+    ),
+    passign{r} AS MATERIALIZED (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY s, cell) AS rn
+        FROM pscore{r}
+      ) WHERE rn = 1
+    )""")
+        if r < PQ_ITERS:
+            parts.append(f""",
+    pcent{r + 1} AS MATERIALIZED (
+      SELECT a.sub, a.cell, e.dd,
+             CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS cv
+      FROM passign{r} a
+      JOIN sdim e ON e.vec_id = a.vec_id AND e.sub = a.sub
+      GROUP BY a.sub, a.cell, e.dd
+    )""")
+    parts.append(f""",
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, cell FROM passign{PQ_ITERS}
+    )""")
+    return "".join(parts)
+
+
+def _knn_pq_oracle_sql() -> str:
+    return (
+        _pq_lloyd_cte_sql()
+        + f""",
+    lut AS MATERIALIZED (   -- per (query, sub, cell) exact sq dist
+      SELECT e.vec_id AS q_id, c.sub, c.cell,
+             sum((e.x - c.cv) * (e.x - c.cv)) AS d2
+      FROM sdim e
+      JOIN pcent{PQ_ITERS} c ON e.sub = c.sub AND e.dd = c.dd
+      WHERE e.vec_id < {PQ_NQ}
+      GROUP BY e.vec_id, c.sub, c.cell
+    ),
+    adc AS (
+      SELECT l.q_id AS query_id, k.vec_id AS id,
+             floor(CAST(sum(l.d2) AS DOUBLE)
+                   / {PQ_QSCALE}.0 / {PQ_QSCALE}.0 * 1e6 + 0.5) / 1e6
+               AS adc_dist
+      FROM codes k
+      JOIN lut l ON l.sub = k.sub AND l.cell = k.cell
+      GROUP BY l.q_id, k.vec_id
+    ),
+    rankedq AS (
+      SELECT query_id, id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, id) AS rank
+      FROM adc
+    )
+    SELECT query_id, id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM rankedq WHERE rank <= 10
+    """
+    )
+
+
+@register("knn_pq_adc", sql=_knn_pq_oracle_sql())
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: codebook training per subspace
+    (m=8 x 8 dims, 16 codes, 3 Lloyd rounds), encoding to m int
+    codes (8x compression of the 64-d corpus), then ADC top-10 for
+    5 query vectors — the memory-bound regime IVF-flat can't reach.
+
+    Oracle-hashed since round 9 via the INTEGER-QUANTIZED pipeline:
+    subvectors snap once to the 1e-6 grid, all PQ_M codebooks train
+    in ONE vectorized Lloyd (a `sub` key rides every frame), and the
+    ADC distance is an exact integer sum of per-subspace squared
+    distances — encoding argmins, LUT entries and the final ranking
+    are bit-deterministic in both engines; the only float op is the
+    final exact-operand unit rescale (/ QSCALE^2).  The float
+    general operator (similarity/pq.py: literal-LUT JVM fold, no
+    shuffle) keeps its property tests and serves knn_ivfpq."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sdim = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(
+                        x.cast("double") * PQ_QSCALE + F.lit(0.5)
+                    ).cast("long"),
+                )
+            ).alias("d", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("d") / PQ_SUBDIM).cast("int").alias("sub"),
+            (F.col("d") % PQ_SUBDIM).cast("int").alias("dd"),
+            "x",
+        )
+        .localCheckpoint(eager=False)
+    )
+    seed = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_CODES)
+        .select(
+            "vec_id",
+            (F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.col("vec_id").cast("string")), "vec_id"
+                )
+            ) - 1).cast("int").alias("cell"),
+        )
+    )
+    cent = (
+        seed.join(sdim, on="vec_id")
+        .select("sub", "cell", "dd", F.col("x").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+
+    def assign(cent):
+        n2 = cent.groupBy("sub", "cell").agg(
+            F.sum(F.col("cv") * F.col("cv")).alias("n2")
+        )
+        score = (
+            sdim.join(cent, on=["sub", "dd"])
+            .groupBy("vec_id", "sub", "cell")
+            .agg((-2 * F.sum(F.col("x") * F.col("cv"))).alias("xc"))
+            .join(n2, on=["sub", "cell"])
+            .select(
+                "vec_id", "sub", "cell",
+                (F.col("xc") + F.col("n2")).alias("s"),
+            )
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("s", "cell")
+        return (
+            score.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "sub", "cell")
+        )
+
+    for _ in range(PQ_ITERS):
+        a = assign(cent)
+        cent = (
+            a.join(sdim, on=["vec_id", "sub"])
+            .groupBy("sub", "cell", "dd")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count("*") + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cv")
+            )
+            .localCheckpoint(eager=False)
+        )
+    codes = assign(cent).localCheckpoint(eager=False)
+    lut = (
+        sdim.where(F.col("vec_id") < PQ_NQ)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(cent, on=["sub", "dd"])
+        .groupBy("q_id", "sub", "cell")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cv")) * (F.col("x") - F.col("cv"))
+            ).alias("d2")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), on=["sub", "cell"])
+        .groupBy(F.col("q_id").alias("query_id"), F.col("vec_id").alias("id"))
+        .agg(
+            (
+                F.floor(
+                    F.sum("d2").cast("double")
+                    / float(PQ_QSCALE)
+                    / float(PQ_QSCALE)
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "id", "adc_dist", "rank")
+    )
 
 
 @register("knn_ivfpq")  # quantized (approximate): rows-only + property tests
