@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf",
         "knn_lsh_bucketed",
         "knn_pq_adc",
+        "knn_ivfpq",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

@@ -581,25 +581,16 @@ PQ_NQ = 5
 PQ_QSCALE = 1_000_000
 
 
-def _pq_lloyd_cte_sql() -> str:
-    """Unrolled integer product-quantization training: ONE Lloyd
-    unroll vectorized across all PQ_M subspaces by carrying a `sub`
-    key through every CTE (seeds are the PQ_CODES smallest
-    md5(vec_id) vectors, shared across subspaces).  Exposes sdim
-    (vec_id, sub, dd, x) and codes (vec_id, sub, cell)."""
+def _pq_lloyd_body_sql(src: str) -> str:
+    """Unrolled integer product-quantization training CTE BODY
+    (assumes an open WITH and a CTE named ``src`` providing
+    (vec_id, sub, dd, x)): ONE Lloyd unroll vectorized across all
+    PQ_M subspaces by carrying the `sub` key through every frame
+    (seeds are the PQ_CODES smallest md5(vec_id) vectors, shared
+    across subspaces).  Emits pcent{PQ_ITERS} (codebooks) and codes
+    (vec_id, sub, cell)."""
     parts = [
-        f"""
-    WITH sdim AS MATERIALIZED (
-      SELECT vec_id, CAST((d - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
-             CAST((d - 1) % {PQ_SUBDIM} AS INTEGER) AS dd,
-             CAST(floor(CAST(x AS DOUBLE) * {PQ_QSCALE} + 0.5)
-                  AS BIGINT) AS x
-      FROM (
-        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-               unnest(embedding) AS x
-        FROM embeddings
-      )
-    ),
+        f""",
     pseed AS (
       SELECT vec_id,
              CAST(row_number() OVER (
@@ -609,7 +600,7 @@ def _pq_lloyd_cte_sql() -> str:
     ),
     pcent0 AS MATERIALIZED (
       SELECT e.sub, s.cell, e.dd, e.x AS cv
-      FROM pseed s JOIN sdim e USING (vec_id)
+      FROM pseed s JOIN {src} e USING (vec_id)
       WHERE s.cell < {PQ_CODES}
     )"""
     ]
@@ -622,7 +613,7 @@ def _pq_lloyd_cte_sql() -> str:
     pscore{r} AS MATERIALIZED (
       SELECT e.vec_id, e.sub, c.cell,
              -2 * sum(e.x * c.cv) + any_value(n.n2) AS s
-      FROM sdim e
+      FROM {src} e
       JOIN pcent{r} c ON e.sub = c.sub AND e.dd = c.dd
       JOIN pn2_{r} n ON n.sub = c.sub AND n.cell = c.cell
       GROUP BY e.vec_id, e.sub, c.cell
@@ -642,7 +633,7 @@ def _pq_lloyd_cte_sql() -> str:
              CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*) + 0.5)
                   AS BIGINT) AS cv
       FROM passign{r} a
-      JOIN sdim e ON e.vec_id = a.vec_id AND e.sub = a.sub
+      JOIN {src} e ON e.vec_id = a.vec_id AND e.sub = a.sub
       GROUP BY a.sub, a.cell, e.dd
     )""")
     parts.append(f""",
@@ -654,7 +645,19 @@ def _pq_lloyd_cte_sql() -> str:
 
 def _knn_pq_oracle_sql() -> str:
     return (
-        _pq_lloyd_cte_sql()
+        f"""
+    WITH sdim AS MATERIALIZED (
+      SELECT vec_id, CAST((d - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+             CAST((d - 1) % {PQ_SUBDIM} AS INTEGER) AS dd,
+             CAST(floor(CAST(x AS DOUBLE) * {PQ_QSCALE} + 0.5)
+                  AS BIGINT) AS x
+      FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding) AS x
+        FROM embeddings
+      )
+    )"""
+        + _pq_lloyd_body_sql("sdim")
         + f""",
     lut AS MATERIALIZED (   -- per (query, sub, cell) exact sq dist
       SELECT e.vec_id AS q_id, c.sub, c.cell,
@@ -685,49 +688,16 @@ def _knn_pq_oracle_sql() -> str:
     )
 
 
-@register("knn_pq_adc", sql=_knn_pq_oracle_sql())
-def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: codebook training per subspace
-    (m=8 x 8 dims, 16 codes, 3 Lloyd rounds), encoding to m int
-    codes (8x compression of the 64-d corpus), then ADC top-10 for
-    5 query vectors — the memory-bound regime IVF-flat can't reach.
-
-    Oracle-hashed since round 9 via the INTEGER-QUANTIZED pipeline:
-    subvectors snap once to the 1e-6 grid, all PQ_M codebooks train
-    in ONE vectorized Lloyd (a `sub` key rides every frame), and the
-    ADC distance is an exact integer sum of per-subspace squared
-    distances — encoding argmins, LUT entries and the final ranking
-    are bit-deterministic in both engines; the only float op is the
-    final exact-operand unit rescale (/ QSCALE^2).  The float
-    general operator (similarity/pq.py: literal-LUT JVM fold, no
-    shuffle) keeps its property tests and serves knn_ivfpq."""
+def _int_pq_train(ids: DataFrame, sdim: DataFrame):
+    """Train all PQ_M integer codebooks at once over a (vec_id, sub,
+    dd, x) frame (seeds: the PQ_CODES smallest md5(vec_id) rows of
+    ``ids``).  Returns (codes(vec_id, sub, cell), cent(sub, cell, dd,
+    cv)) — both lazily checkpointed.  Exact integer arithmetic
+    throughout: mirrors _pq_lloyd_body_sql bitwise."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    sdim = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.posexplode(
-                F.transform(
-                    "embedding",
-                    lambda x: F.floor(
-                        x.cast("double") * PQ_QSCALE + F.lit(0.5)
-                    ).cast("long"),
-                )
-            ).alias("d", "x"),
-        )
-        .select(
-            "vec_id",
-            (F.col("d") / PQ_SUBDIM).cast("int").alias("sub"),
-            (F.col("d") % PQ_SUBDIM).cast("int").alias("dd"),
-            "x",
-        )
-        .localCheckpoint(eager=False)
-    )
     seed = (
-        emb.select("vec_id")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        ids.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(PQ_CODES)
         .select(
             "vec_id",
@@ -780,6 +750,49 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     codes = assign(cent).localCheckpoint(eager=False)
+    return codes, cent
+
+
+@register("knn_pq_adc", sql=_knn_pq_oracle_sql())
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: codebook training per subspace
+    (m=8 x 8 dims, 16 codes, 3 Lloyd rounds), encoding to m int
+    codes (8x compression of the 64-d corpus), then ADC top-10 for
+    5 query vectors — the memory-bound regime IVF-flat can't reach.
+
+    Oracle-hashed since round 9 via the INTEGER-QUANTIZED pipeline:
+    subvectors snap once to the 1e-6 grid, all PQ_M codebooks train
+    in ONE vectorized Lloyd (a `sub` key rides every frame), and the
+    ADC distance is an exact integer sum of per-subspace squared
+    distances — encoding argmins, LUT entries and the final ranking
+    are bit-deterministic in both engines; the only float op is the
+    final exact-operand unit rescale (/ QSCALE^2).  The float
+    general operator (similarity/pq.py: literal-LUT JVM fold, no
+    shuffle) keeps its property tests and serves knn_ivfpq."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sdim = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(
+                        x.cast("double") * PQ_QSCALE + F.lit(0.5)
+                    ).cast("long"),
+                )
+            ).alias("d", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("d") / PQ_SUBDIM).cast("int").alias("sub"),
+            (F.col("d") % PQ_SUBDIM).cast("int").alias("dd"),
+            "x",
+        )
+        .localCheckpoint(eager=False)
+    )
+    codes, cent = _int_pq_train(emb.select("vec_id"), sdim)
     lut = (
         sdim.where(F.col("vec_id") < PQ_NQ)
         .withColumnRenamed("vec_id", "q_id")
@@ -815,25 +828,241 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivfpq")  # quantized (approximate): rows-only + property tests
+IVFPQ_CELLS = 8
+IVFPQ_PROBE = 3
+IVFPQ_NQ = 5
+
+
+def _knn_ivfpq_oracle_sql() -> str:
+    return (
+        int_lloyd_cte_sql(IVFPQ_CELLS, IVF_ITERS, PQ_QSCALE)
+        + f""",
+    rdim AS MATERIALIZED (   -- residuals vs the coarse centroid
+      SELECT e.vec_id,
+             CAST((e.d - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+             CAST((e.d - 1) % {PQ_SUBDIM} AS INTEGER) AS dd,
+             e.x - c.cv AS x
+      FROM edim e
+      JOIN assign{IVF_ITERS} a USING (vec_id)
+      JOIN cent{IVF_ITERS} c ON c.cell = a.cell AND c.d = e.d
+    )"""
+        + _pq_lloyd_body_sql("rdim")
+        + f""",
+    cn2_f AS (
+      SELECT cell, sum(cv * cv) AS n2
+      FROM cent{IVF_ITERS} GROUP BY cell
+    ),
+    qscore AS (
+      SELECT e.vec_id AS q_id, c.cell,
+             -2 * sum(e.x * c.cv) + any_value(n.n2) AS s
+      FROM edim e
+      JOIN cent{IVF_ITERS} c ON e.d = c.d
+      JOIN cn2_f n ON n.cell = c.cell
+      WHERE e.vec_id < {IVFPQ_NQ}
+      GROUP BY e.vec_id, c.cell
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q_id, cell,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY s, cell) AS pr
+        FROM qscore
+      ) WHERE pr <= {IVFPQ_PROBE}
+    ),
+    qr AS MATERIALIZED (   -- query residual vs EACH probed cell
+      SELECT p.q_id, p.cell,
+             CAST((e.d - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+             CAST((e.d - 1) % {PQ_SUBDIM} AS INTEGER) AS dd,
+             e.x - c.cv AS x
+      FROM probes p
+      JOIN edim e ON e.vec_id = p.q_id
+      JOIN cent{IVF_ITERS} c ON c.cell = p.cell AND c.d = e.d
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.q_id, q.cell, pc.sub, pc.cell AS code,
+             sum((q.x - pc.cv) * (q.x - pc.cv)) AS d2
+      FROM qr q
+      JOIN pcent{PQ_ITERS} pc ON pc.sub = q.sub AND pc.dd = q.dd
+      GROUP BY q.q_id, q.cell, pc.sub, pc.cell
+    ),
+    adc AS (
+      SELECT p.q_id AS query_id, a.vec_id AS id,
+             floor(CAST(sum(l.d2) AS DOUBLE)
+                   / {PQ_QSCALE}.0 / {PQ_QSCALE}.0 * 1e6 + 0.5) / 1e6
+               AS adc_dist
+      FROM probes p
+      JOIN assign{IVF_ITERS} a ON a.cell = p.cell
+      JOIN codes k ON k.vec_id = a.vec_id
+      JOIN lut l ON l.q_id = p.q_id AND l.cell = p.cell
+                AND l.sub = k.sub AND l.code = k.cell
+      GROUP BY p.q_id, a.vec_id
+    ),
+    rankedq AS (
+      SELECT query_id, id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, id) AS rank
+      FROM adc
+    )
+    SELECT query_id, id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM rankedq WHERE rank <= 10
+    """
+    )
+
+
+@register("knn_ivfpq", sql=_knn_ivfpq_oracle_sql())
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVF-PQ (IVFADC, similarity/pq.py): coarse L2 cells +
-    PQ codebooks trained on residuals, probe join on cell with the
-    per-(query, cell) lookup table shipped as broadcast DATA. The
+    """Residual IVF-PQ (the Jegou et al. IVFADC layout): coarse L2
+    cells + PQ codebooks trained on the RESIDUALS x - centroid[cell]
+    (residual energy is what PQ should spend its codes on), probe
+    join on cell with a per-(query, cell) lookup table.  The
     memory-bound 100 TB ANN layout: 8x-compressed codes, m-lookup
     distances, and only n_probe/n_cells of the corpus scanned per
-    query."""
-    from zoom_spark.similarity.pq import ivfpq_build, ivfpq_topk
+    query.
 
-    emb = _emb_double(spark, sf_dir)
-    encoded, cents, books = ivfpq_build(
-        emb, "embedding", "vec_id", n_cells=8, m=8, k=16, max_iter=3
+    Oracle-hashed since round 9: with the 1e-6 integer grid the
+    residuals are STILL exact integers (difference of ints), so the
+    coarse quantizer (shared int-Lloyd), the residual codebooks
+    (shared vectorized int-PQ trainer), the per-(query, probed-cell)
+    LUT, and the ADC sums are all bit-deterministic — the complete
+    IVFADC pipeline value-hashes at production shape (n_probe=3).
+    The float general operator (similarity/pq.py ivfpq_build/topk:
+    broadcast LUT-as-data, JVM fold) keeps its property tests."""
+    from pyspark.sql import Window
+
+    from zoom_spark.similarity.kmeans import (
+        int_assign,
+        int_lloyd_fit,
+        int_quantize,
     )
-    qs = [
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 5).collect()
-    ]
-    return ivfpq_topk(encoded, cents, books, qs, n_probe=3, k_neighbors=10)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = int_quantize(
+        emb, "embedding", "vec_id", PQ_QSCALE
+    ).localCheckpoint(eager=False)
+    cents = int_lloyd_fit(base, k=IVFPQ_CELLS, iters=IVF_ITERS)
+    assigned = int_assign(base, cents).localCheckpoint(eager=False)
+    spark_ = emb.sparkSession
+    cdim = F.broadcast(
+        spark_.createDataFrame(
+            [
+                (cid, d, int(cv))
+                for cid, c in cents
+                for d, cv in enumerate(c)
+            ],
+            "cell int, d int, cv long",
+        )
+    )
+    rdim = (
+        assigned.select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            F.posexplode("vec").alias("d", "x"),
+        )
+        .join(cdim, on=["cell", "d"])
+        .select(
+            "vec_id",
+            (F.col("d") / PQ_SUBDIM).cast("int").alias("sub"),
+            (F.col("d") % PQ_SUBDIM).cast("int").alias("dd"),
+            (F.col("x") - F.col("cv")).alias("x"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    codes, pcent = _int_pq_train(emb.select("vec_id"), rdim)
+    # per-query probe list: exact integer L2 vs the coarse centroids
+    cstats = F.broadcast(
+        spark_.createDataFrame(
+            [(
+                [c for _, c in cents],
+                [sum(x * x for x in c) for _, c in cents],
+                [cid for cid, _ in cents],
+            )],
+            "cmat array<array<long>>, cn2 array<long>, cid array<int>",
+        )
+    )
+    dotl = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    q = base.where(F.col("id") < IVFPQ_NQ).crossJoin(cstats).select(
+        F.col("id").alias("q_id"),
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.col("cmat"),
+                    F.col("cn2"),
+                    lambda c, n2: -2 * dotl(F.col("vec"), c) + n2,
+                ),
+                F.col("cid"),
+                lambda sc, cid: F.struct(sc.alias("s"), cid.alias("cell")),
+            )
+        ).alias("sc"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sc.s"), F.col("sc.cell"))
+    probes = (
+        q.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= IVFPQ_PROBE)
+        .select("q_id", F.col("sc.cell").alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    qr = (
+        probes.join(
+            base.where(F.col("id") < IVFPQ_NQ).select(
+                F.col("id").alias("q_id"), F.posexplode("vec").alias("d", "x")
+            ),
+            on="q_id",
+        )
+        .join(cdim, on=["cell", "d"])
+        .select(
+            "q_id",
+            "cell",
+            (F.col("d") / PQ_SUBDIM).cast("int").alias("sub"),
+            (F.col("d") % PQ_SUBDIM).cast("int").alias("dd"),
+            (F.col("x") - F.col("cv")).alias("x"),
+        )
+    )
+    lut = (
+        qr.join(
+            pcent.select(
+                "sub", F.col("cell").alias("code"), "dd", "cv"
+            ),
+            on=["sub", "dd"],
+        )
+        .groupBy("q_id", "cell", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cv")) * (F.col("x") - F.col("cv"))
+            ).alias("d2")
+        )
+    )
+    adc = (
+        probes.join(
+            assigned.select(F.col("id").alias("vec_id"), "cell"), on="cell"
+        )
+        .join(codes.withColumnRenamed("cell", "code"), on="vec_id")
+        .join(F.broadcast(lut), on=["q_id", "cell", "sub", "code"])
+        .groupBy(
+            F.col("q_id").alias("query_id"), F.col("vec_id").alias("id")
+        )
+        .agg(
+            (
+                F.floor(
+                    F.sum("d2").cast("double")
+                    / float(PQ_QSCALE)
+                    / float(PQ_QSCALE)
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "id", "adc_dist", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
