@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_bucketed",
         "knn_pq_adc",
         "knn_ivfpq",
+        "winnow_fingerprints",
+        "simhash_dedup_docs",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

@@ -115,3 +115,98 @@ def simhash_dedup_pairs(
         .where(F.col("hamming_dist") <= max_distance)
         .distinct()
     )
+
+
+MD5_BITS = 60
+
+
+def simhash_md5(text_col) -> "F.Column":
+    """60-bit SimHash on an ENGINE-PORTABLE token hash: the low 60
+    bits (15 hex chars) of md5(lower(token)) — identical in ANSI SQL,
+    so a DuckDB oracle can replay signatures exactly (xxhash64 is
+    Spark-only).  Same one-aggregate vote fold as :func:`simhash`;
+    bit 59 < the sign bit, so the signature is a non-negative
+    bigint and block slicing needs no two's-complement care."""
+    toks = F.transform(
+        ws_tokens(text_col),
+        lambda t: F.conv(
+            F.substring(F.md5(F.lower(t)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+
+    def bitvec(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for i in range(MD5_BITS)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), MD5_BITS),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b),
+    )
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(MD5_BITS)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
+def simhash_md5_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Hamming(simhash_md5) <= max_distance —
+    the oracle-replayable twin of :func:`simhash_dedup_pairs`
+    (pigeonhole blocks: 4 x 15-bit slices for distance 3)."""
+    n_blocks = max_distance + 1
+    width = MD5_BITS // n_blocks
+    sigd = df.select(
+        F.col(id_col).alias("id"), simhash_md5(F.col(text_col)).alias("sig")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("sig"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1).cast("long")
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    blk = sigd.select(
+        "id", "sig", F.posexplode(blocks).alias("block_id", "block_val")
+    )
+    a = blk.select(
+        "block_id", "block_val",
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = blk.select(
+        "block_id", "block_val",
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(b, on=["block_id", "block_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming(F.col("sig_a"), F.col("sig_b")).cast("int").alias(
+                "hamming_dist"
+            ),
+        )
+        .where(F.col("hamming_dist") <= max_distance)
+        .distinct()
+    )

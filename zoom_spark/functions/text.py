@@ -140,3 +140,26 @@ def top_token_ratio(text: Column | str) -> Column:
         n > 0,
         F.array_max(F.transform(tf, lambda e: e["w"])).cast("double") / n,
     ).otherwise(F.lit(0.0))
+
+
+def md5_window_fingerprint(
+    text: Column | str, window: int = 8, keep_mod: int = 16
+) -> Column:
+    """Winnowing-style fingerprint on an ENGINE-PORTABLE hash: the
+    low 60 bits (15 hex chars) of md5 over each character window,
+    keeping hashes ≡ 0 (mod keep_mod), summarized as a sorted
+    distinct array.  Same shape as rolling_hash_fingerprint but
+    md5-based, so a SQL oracle can replay it exactly (xxhash64 is
+    Spark-specific); pure higher-order-function expression, no
+    UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(c.substr(i, F.lit(window))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    kept = F.filter(hashes, lambda h: h % keep_mod == 0)
+    return F.array_sort(F.array_distinct(kept))

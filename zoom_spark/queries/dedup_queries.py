@@ -151,11 +151,184 @@ def canonical_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "canonical_id")
 
 
-@register("simhash_dedup_docs")  # Spark xxhash64 bits: rows-only
+def _simhash_oracle_sql() -> str:
+    """60-bit md5 SimHash replay: one pass computes all 60 bit votes
+    as aggregate COLUMNS (no token x bit row explosion), then the
+    pigeonhole block join + popcount verify."""
+    return rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_OFFSET}, text FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(lower(t)), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS t
+        FROM corpus
+      )
+    ),
+    votes AS (
+      SELECT doc_id,
+             sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+             sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+             sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+             sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+             sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+             sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+             sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+             sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+             sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+             sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+             sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+             sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+             sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+             sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+             sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+             sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+             sum(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+             sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+             sum(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+             sum(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+             sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+             sum(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+             sum(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+             sum(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+             sum(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+             sum(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+             sum(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+             sum(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+             sum(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+             sum(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+             sum(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+             sum(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+             sum(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+             sum(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+             sum(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+             sum(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+             sum(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+             sum(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+             sum(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+             sum(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+             sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+             sum(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+             sum(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+             sum(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+             sum(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+             sum(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+             sum(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+             sum(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+             sum(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+             sum(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+             sum(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+             sum(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+             sum(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+             sum(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+             sum(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+             sum(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+             sum(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+             sum(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+             sum(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+             sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT c.doc_id AS id,
+             coalesce((CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v32 > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v33 > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v34 > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v35 > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v36 > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v37 > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v38 > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v39 > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v40 > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v41 > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v42 > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v43 > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v44 > 0 THEN CAST(17592186044416 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v45 > 0 THEN CAST(35184372088832 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v46 > 0 THEN CAST(70368744177664 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v47 > 0 THEN CAST(140737488355328 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v48 > 0 THEN CAST(281474976710656 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v49 > 0 THEN CAST(562949953421312 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v50 > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v51 > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v52 > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v53 > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v54 > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v55 > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v56 > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v57 > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v58 > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE 0 END)
+               + (CASE WHEN v59 > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE 0 END), 0) AS s
+      FROM corpus c LEFT JOIN votes v ON v.doc_id = c.doc_id
+    ),
+    blk AS (
+      SELECT id, s,
+             b.b AS block_id, (s >> (15 * b.b)) & 32767 AS block_val
+      FROM sig, (VALUES (0), (1), (2), (3)) b(b)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming_dist
+    FROM blk a JOIN blk b
+      ON a.block_id = b.block_id AND a.block_val = b.block_val
+         AND a.id < b.id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
+@register("simhash_dedup_docs", sql=_simhash_oracle_sql())
 def simhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 SimHash near-dup: 64-bit signatures, pigeonhole block join,
-    Hamming <= 3 verification; clones collide at distance 0."""
-    return simhash_dedup_pairs(
+    """X2 SimHash near-dup: 60-bit signatures, pigeonhole block join
+    (4 x 15-bit slices), Hamming <= 3 verification; clones collide at
+    distance 0.
+
+    Oracle-hashed since round 9: the per-token hash switched from
+    Spark-only xxhash64 to the low 60 bits of md5 (identical in both
+    engines), so signatures, blocks and the verified pair set all
+    value-hash; the DuckDB side computes the 60 bit votes as one
+    60-column aggregate pass (no token x bit row explosion).  The
+    64-bit xxhash64 operator (dedup/simhash.simhash_dedup_pairs)
+    remains for Spark-only callers with its property tests."""
+    from zoom_spark.dedup.simhash import simhash_md5_dedup_pairs
+
+    return simhash_md5_dedup_pairs(
         _doubled_docs(spark, sf_dir),
         text_col="text",
         id_col="doc_id",

@@ -243,7 +243,24 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("winnow_fingerprints")  # xxhash64 is Spark-specific: rows-only
+@register(
+    "winnow_fingerprints",
+    sql="""
+    WITH wins AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(substring(text, CAST(t.i AS INTEGER), 8)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents,
+           unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT DISTINCT doc_id, h AS fp_hash
+      FROM wins WHERE h % 16 = 0
+    )
+    SELECT d.doc_id, k.fp_hash
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+)
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprints — higher-order
     functions only, no UDF; property tests assert identical texts
@@ -253,11 +270,18 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash list-valued cells (round-1 red row), and the exploded shape
     is also what a 100 TB posting-list join would consume anyway.
     explode_outer keeps empty-text docs as a NULL-hash row so the
-    doc universe stays auditable."""
+    doc universe stays auditable.
+
+    Oracle-hashed since round 9: the window hash switched from
+    Spark-only xxhash64 to the low 60 bits of md5 (identical in both
+    engines), so the whole fingerprint set value-hashes; the
+    xxhash64 variant remains as functions/text.rolling_hash_
+    fingerprint for Spark-only callers (robust winnowing keeps its
+    own alignment-invariant gate)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.explode_outer(T.rolling_hash_fingerprint("text")).alias("fp_hash"),
+        F.explode_outer(T.md5_window_fingerprint("text")).alias("fp_hash"),
     )
 
 
