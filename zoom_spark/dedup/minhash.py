@@ -195,3 +195,148 @@ def minhash_dedup_pairs(
         pairs.select("id_a", "id_b", sim.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+# --- md5-based oracle-replayable variant (round 9) -------------------------
+
+_KM_PRIME = 140_737_488_355_213  # < 2^47: i*h2 + h1 stays < 2^61 exact
+_MD5_IDENTITY = 1 << 62          # fold identity, above any KM hash value
+
+
+def _md5lo60(scol):
+    """Low 60 bits (15 hex chars) of md5 — the engine-portable hash
+    shared with the winnowing/simhash conversions."""
+    return F.conv(F.substring(F.md5(scol), 1, 15), 16, 10).cast("long")
+
+
+def hashed_shingles_md5(text_col, shingle_n: int = 3):
+    """:func:`hashed_shingles` on md5 instead of xxhash64: token
+    hashes chain through md5 of their decimal concatenation, so an
+    ANSI-SQL oracle replays the exact shingle set."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.transform(ws_tokens(F.lower(c)), lambda t: _md5lo60(t))
+
+    def bind(expr, body):
+        return F.element_at(F.transform(F.array(expr), body), 1)
+
+    def with_hashes(h):
+        n_tok = F.size(h)
+        g = h
+        for k in range(1, shingle_n):
+            shifted = F.slice(h, k + 1, F.greatest(n_tok - k, F.lit(0)))
+            g = F.zip_with(
+                g,
+                shifted,
+                lambda a, b: _md5lo60(
+                    F.concat_ws(",", a.cast("string"), b.cast("string"))
+                ),
+            )
+        full = F.slice(g, 1, F.greatest(n_tok - (shingle_n - 1), F.lit(0)))
+        return F.array_distinct(full)
+
+    return bind(toks, with_hashes)
+
+
+def minhash_md5_signature(shingle_hash_arr, num_hashes: int = 32):
+    """Single-pass minhash fold over md5 shingles with the
+    Kirsch-Mitzenmacher two-hash family h_i = h1 + i*(h2 mod P):
+    TWO md5 evaluations per shingle (bound once via the
+    single-element-transform trick) instead of num_hashes, and pure
+    exact integer arithmetic both engines can replay."""
+
+    def hashes(s):
+        pair = F.struct(
+            _md5lo60(F.concat(s.cast("string"), F.lit("#a"))).alias("h1"),
+            (
+                _md5lo60(F.concat(s.cast("string"), F.lit("#b")))
+                % _KM_PRIME
+            ).alias("h2"),
+        )
+        return F.element_at(
+            F.transform(
+                F.array(pair),
+                lambda p: F.array(
+                    *[
+                        p["h1"] + F.lit(i).cast("long") * p["h2"]
+                        for i in range(num_hashes)
+                    ]
+                ),
+            ),
+            1,
+        )
+
+    zero = F.array_repeat(F.lit(_MD5_IDENTITY).cast("long"), num_hashes)
+    return F.aggregate(
+        shingle_hash_arr,
+        zero,
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_md5_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Oracle-replayable twin of :func:`minhash_dedup_pairs`: md5
+    shingles/signatures/band hashes, exact Jaccard verify, and the
+    shared floor(x*1e6+0.5) similarity snap.  Same band/bucket
+    equi-join scale shape."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_md5_signature(
+            hashed_shingles_md5(F.col(text_col), shingle_n), num_hashes
+        ).alias("sig"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    bands_arr = F.array(
+        *[
+            _md5lo60(
+                F.concat(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows)
+                        ],
+                    ),
+                    F.lit(f"#{b}"),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    bk = sig.select(
+        "id", F.posexplode(bands_arr).alias("band_id", "band_hash")
+    )
+    a = bk.select("band_id", "band_hash", F.col("id").alias("id_a"))
+    b = bk.select("band_id", "band_hash", F.col("id").alias("id_b"))
+    cands = (
+        a.join(b, on=["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        hashed_shingles_md5(F.col(text_col), shingle_n).alias("sh"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    pairs = (
+        cands.join(
+            sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a"
+        ).join(
+            sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b"
+        )
+    )
+    sim = F.floor(jaccard(F.col("sh_a"), F.col("sh_b")) * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        pairs.select("id_a", "id_b", sim.alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
+    )

@@ -98,12 +98,178 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_dedup_docs")  # Spark xxhash64 sketch: rows-only
+def _minhash_oracle_sql() -> str:
+    """md5 MinHash+LSH replay: token hashes chain into 3-gram shingle
+    hashes exactly as the engine folds them; the 32 signature minima
+    use the Kirsch-Mitzenmacher family h_i = h1 + i*(h2 mod P)
+    (exact BIGINT arithmetic, two md5s per shingle) and come out as
+    one 32-column aggregate pass; band hashes, the bucket self-join
+    and the exact-Jaccard verify mirror the engine bitwise."""
+    return rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DUP_OFFSET}, text FROM documents
+    ),
+    tokh AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> ''),
+               t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+             ) AS th
+      FROM corpus
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(th) - 2, 0) + 1),
+               i -> CAST(('0x' || substring(md5(
+                      CAST(CAST(('0x' || substring(md5(
+                            CAST(th[i] AS VARCHAR) || ',' ||
+                            CAST(th[i + 1] AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS VARCHAR)
+                      || ',' || CAST(th[i + 2] AS VARCHAR)), 1, 15))
+                    AS BIGINT)
+             )) AS sh
+      FROM tokh
+    ),
+    srows AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(s AS VARCHAR) || '#a'),
+                                     1, 15)) AS BIGINT) AS h1,
+             CAST(('0x' || substring(md5(CAST(s AS VARCHAR) || '#b'),
+                                     1, 15)) AS BIGINT)
+               % 140737488355213 AS h2
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    vmins AS (
+      SELECT doc_id,
+             min(h1 + 0 * h2) AS m0,
+             min(h1 + 1 * h2) AS m1,
+             min(h1 + 2 * h2) AS m2,
+             min(h1 + 3 * h2) AS m3,
+             min(h1 + 4 * h2) AS m4,
+             min(h1 + 5 * h2) AS m5,
+             min(h1 + 6 * h2) AS m6,
+             min(h1 + 7 * h2) AS m7,
+             min(h1 + 8 * h2) AS m8,
+             min(h1 + 9 * h2) AS m9,
+             min(h1 + 10 * h2) AS m10,
+             min(h1 + 11 * h2) AS m11,
+             min(h1 + 12 * h2) AS m12,
+             min(h1 + 13 * h2) AS m13,
+             min(h1 + 14 * h2) AS m14,
+             min(h1 + 15 * h2) AS m15,
+             min(h1 + 16 * h2) AS m16,
+             min(h1 + 17 * h2) AS m17,
+             min(h1 + 18 * h2) AS m18,
+             min(h1 + 19 * h2) AS m19,
+             min(h1 + 20 * h2) AS m20,
+             min(h1 + 21 * h2) AS m21,
+             min(h1 + 22 * h2) AS m22,
+             min(h1 + 23 * h2) AS m23,
+             min(h1 + 24 * h2) AS m24,
+             min(h1 + 25 * h2) AS m25,
+             min(h1 + 26 * h2) AS m26,
+             min(h1 + 27 * h2) AS m27,
+             min(h1 + 28 * h2) AS m28,
+             min(h1 + 29 * h2) AS m29,
+             min(h1 + 30 * h2) AS m30,
+             min(h1 + 31 * h2) AS m31
+      FROM srows GROUP BY doc_id
+    ),
+    sig AS MATERIALIZED (
+      SELECT c.doc_id AS id,
+             coalesce(v.m0, CAST(4611686018427387904 AS BIGINT)) AS m0,
+             coalesce(v.m1, CAST(4611686018427387904 AS BIGINT)) AS m1,
+             coalesce(v.m2, CAST(4611686018427387904 AS BIGINT)) AS m2,
+             coalesce(v.m3, CAST(4611686018427387904 AS BIGINT)) AS m3,
+             coalesce(v.m4, CAST(4611686018427387904 AS BIGINT)) AS m4,
+             coalesce(v.m5, CAST(4611686018427387904 AS BIGINT)) AS m5,
+             coalesce(v.m6, CAST(4611686018427387904 AS BIGINT)) AS m6,
+             coalesce(v.m7, CAST(4611686018427387904 AS BIGINT)) AS m7,
+             coalesce(v.m8, CAST(4611686018427387904 AS BIGINT)) AS m8,
+             coalesce(v.m9, CAST(4611686018427387904 AS BIGINT)) AS m9,
+             coalesce(v.m10, CAST(4611686018427387904 AS BIGINT)) AS m10,
+             coalesce(v.m11, CAST(4611686018427387904 AS BIGINT)) AS m11,
+             coalesce(v.m12, CAST(4611686018427387904 AS BIGINT)) AS m12,
+             coalesce(v.m13, CAST(4611686018427387904 AS BIGINT)) AS m13,
+             coalesce(v.m14, CAST(4611686018427387904 AS BIGINT)) AS m14,
+             coalesce(v.m15, CAST(4611686018427387904 AS BIGINT)) AS m15,
+             coalesce(v.m16, CAST(4611686018427387904 AS BIGINT)) AS m16,
+             coalesce(v.m17, CAST(4611686018427387904 AS BIGINT)) AS m17,
+             coalesce(v.m18, CAST(4611686018427387904 AS BIGINT)) AS m18,
+             coalesce(v.m19, CAST(4611686018427387904 AS BIGINT)) AS m19,
+             coalesce(v.m20, CAST(4611686018427387904 AS BIGINT)) AS m20,
+             coalesce(v.m21, CAST(4611686018427387904 AS BIGINT)) AS m21,
+             coalesce(v.m22, CAST(4611686018427387904 AS BIGINT)) AS m22,
+             coalesce(v.m23, CAST(4611686018427387904 AS BIGINT)) AS m23,
+             coalesce(v.m24, CAST(4611686018427387904 AS BIGINT)) AS m24,
+             coalesce(v.m25, CAST(4611686018427387904 AS BIGINT)) AS m25,
+             coalesce(v.m26, CAST(4611686018427387904 AS BIGINT)) AS m26,
+             coalesce(v.m27, CAST(4611686018427387904 AS BIGINT)) AS m27,
+             coalesce(v.m28, CAST(4611686018427387904 AS BIGINT)) AS m28,
+             coalesce(v.m29, CAST(4611686018427387904 AS BIGINT)) AS m29,
+             coalesce(v.m30, CAST(4611686018427387904 AS BIGINT)) AS m30,
+             coalesce(v.m31, CAST(4611686018427387904 AS BIGINT)) AS m31
+      FROM corpus c LEFT JOIN vmins v ON v.doc_id = c.doc_id
+    ),
+    bk AS MATERIALIZED (
+      SELECT id, b.band_id, b.band_hash FROM sig,
+        LATERAL (SELECT * FROM (VALUES
+        (0, CAST(('0x' || substring(md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' || CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)),
+        (1, CAST(('0x' || substring(md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR) || ',' || CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR) || '#1'), 1, 15)) AS BIGINT)),
+        (2, CAST(('0x' || substring(md5(CAST(m8 AS VARCHAR) || ',' || CAST(m9 AS VARCHAR) || ',' || CAST(m10 AS VARCHAR) || ',' || CAST(m11 AS VARCHAR) || '#2'), 1, 15)) AS BIGINT)),
+        (3, CAST(('0x' || substring(md5(CAST(m12 AS VARCHAR) || ',' || CAST(m13 AS VARCHAR) || ',' || CAST(m14 AS VARCHAR) || ',' || CAST(m15 AS VARCHAR) || '#3'), 1, 15)) AS BIGINT)),
+        (4, CAST(('0x' || substring(md5(CAST(m16 AS VARCHAR) || ',' || CAST(m17 AS VARCHAR) || ',' || CAST(m18 AS VARCHAR) || ',' || CAST(m19 AS VARCHAR) || '#4'), 1, 15)) AS BIGINT)),
+        (5, CAST(('0x' || substring(md5(CAST(m20 AS VARCHAR) || ',' || CAST(m21 AS VARCHAR) || ',' || CAST(m22 AS VARCHAR) || ',' || CAST(m23 AS VARCHAR) || '#5'), 1, 15)) AS BIGINT)),
+        (6, CAST(('0x' || substring(md5(CAST(m24 AS VARCHAR) || ',' || CAST(m25 AS VARCHAR) || ',' || CAST(m26 AS VARCHAR) || ',' || CAST(m27 AS VARCHAR) || '#6'), 1, 15)) AS BIGINT)),
+        (7, CAST(('0x' || substring(md5(CAST(m28 AS VARCHAR) || ',' || CAST(m29 AS VARCHAR) || ',' || CAST(m30 AS VARCHAR) || ',' || CAST(m31 AS VARCHAR) || '#7'), 1, 15)) AS BIGINT))
+        ) t(band_id, band_hash)) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh)
+               - len(list_intersect(sa.sh, sb.sh)) AS uni
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           floor(CASE WHEN uni > 0
+                 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END
+                 * 1e6 + 0.5) / 1e6 AS jaccard_sim
+    FROM verified
+    WHERE floor(CASE WHEN uni > 0
+                THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END
+                * 1e6 + 0.5) / 1e6 >= 0.8
+    """
+
+
+@register("minhash_dedup_docs", sql=_minhash_oracle_sql())
 def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 MinHash+LSH banding (32 hashes, 8 bands × 4 rows) with exact
+    """X2 MinHash+LSH banding (32 hashes, 8 bands x 4 rows) with exact
     Jaccard verification of candidates. Property tests assert the
-    cloned pairs are always captured (s=1.0 -> capture prob 1)."""
-    return minhash_dedup_pairs(
+    cloned pairs are always captured (s=1.0 -> capture prob 1).
+
+    Oracle-hashed since round 9: token/shingle/band hashes switched
+    from Spark-only xxhash64 to the low 60 bits of md5, and the 32
+    per-shingle signature hashes come from the Kirsch-Mitzenmacher
+    two-hash family h_i = h1 + i*(h2 mod P) — exact BIGINT
+    arithmetic both engines replay, two md5s per shingle instead of
+    32.  The xxhash64 operator (dedup/minhash.minhash_dedup_pairs)
+    remains the fastest Spark-only path with its property tests."""
+    from zoom_spark.dedup.minhash import minhash_md5_dedup_pairs
+
+    return minhash_md5_dedup_pairs(
         _doubled_docs(spark, sf_dir),
         text_col="text",
         id_col="doc_id",
