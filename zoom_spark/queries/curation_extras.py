@@ -251,27 +251,181 @@ def mine_hard_negatives_ann(
     )
 
 
-@register("hard_negative_pairs_ann")  # approximate (recall<1): rows-only
+HNA_ITERS = 3
+HNA_QSCALE = 1_000_000
+_HNA_K_SQL = (
+    "(SELECT greatest(8, CAST(floor(sqrt(count(*))) AS INTEGER)) "
+    "FROM embeddings)"
+)
+
+
+def _hna_oracle_sql() -> str:
+    from zoom_spark.queries.similarity_queries import int_lloyd_cte_sql
+
+    return (
+        int_lloyd_cte_sql(_HNA_K_SQL, HNA_ITERS, HNA_QSCALE)
+        + f""",
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cn2_f AS (
+      SELECT cell, sum(cv * cv) AS n2
+      FROM cent{HNA_ITERS} GROUP BY cell
+    ),
+    qscore AS (   -- EVERY vector probes: exact integer L2 per cell
+      SELECT e.vec_id AS q_id, c.cell,
+             -2 * sum(e.x * c.cv) + any_value(n.n2) AS s
+      FROM edim e
+      JOIN cent{HNA_ITERS} c ON e.d = c.d
+      JOIN cn2_f n ON n.cell = c.cell
+      GROUP BY e.vec_id, c.cell
+    ),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT q_id, cell,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY s, cell) AS pr
+        FROM qscore
+      ) WHERE pr <= greatest(3, {_HNA_K_SQL} // 8)
+    ),
+    nv AS MATERIALIZED (
+      SELECT a.vec_id, a.cell, v.qv, l.label,
+             sqrt(CAST(list_inner_product(v.qv, v.qv) AS DOUBLE)) AS nrm
+      FROM assign{HNA_ITERS} a
+      JOIN vecs v USING (vec_id)
+      JOIN lab l USING (vec_id)
+    ),
+    scored AS (
+      SELECT p.q_id AS vec_id, q.label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             floor(CAST(list_inner_product(q.qv, c.qv) AS DOUBLE)
+                   / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6 AS sim
+      FROM probes p
+      JOIN nv c ON c.cell = p.cell
+      JOIN nv q ON q.vec_id = p.q_id
+      WHERE c.vec_id <> p.q_id AND c.label <> q.label
+    )
+    SELECT vec_id, label, neg_id, neg_label, sim FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neg_id DESC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register("hard_negative_pairs_ann", sql=_hna_oracle_sql())
 def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of hard_negative_pairs: IVF-bucketed candidate
     generation (~sqrt(N) cells, n_probe ~ cells/8) instead of the
     exact N^2 scan.
-    Property tests: full-probe equals the exact baseline exactly;
-    at n_probe=3 top-1 agreement >= 0.9 on planted clusters."""
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+
+    Oracle-hashed since round 9 via the integer-quantized IVF
+    machinery shared with knn_ivf: the coarse quantizer is the exact
+    int-Lloyd fit with a DATA-DEPENDENT k = max(8, floor(sqrt(N)))
+    (the oracle computes the same k as a scalar subquery), probe
+    ordering is exact integer L2, and the per-vector argmax uses the
+    shared snapped-cosine contract with (sim desc, neg_id desc)
+    tie-break — approximate recall, deterministic result.  The float
+    operator (mine_hard_negatives_ann, cosine probe ordering) keeps
+    its full-probe-equals-baseline property test."""
+    from pyspark.sql import Window
+
+    from zoom_spark.similarity.kmeans import (
+        int_assign,
+        int_lloyd_fit,
+        int_quantize,
     )
-    # IVF sizing: ~sqrt(N) cells (the standard IVF rule) keeps the
-    # candidate set ~N^1.5 instead of the fixed-8-cell 3/8*N^2; the
-    # count is one cheap scalar, the same model-sized driver exchange
-    # sample_centroids already performs
-    n = v.count()
-    n_centroids = max(8, int(n**0.5))
-    n_probe = max(3, n_centroids // 8)
-    return mine_hard_negatives_ann(
-        v, n_centroids=n_centroids, n_probe=n_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = int_quantize(
+        emb, "embedding", "vec_id", HNA_QSCALE
+    ).localCheckpoint(eager=False)
+    n = base.count()
+    k = max(8, int(n**0.5))
+    n_probe = max(3, k // 8)
+    cents = int_lloyd_fit(base, k=k, iters=HNA_ITERS)
+    dotl = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    nv = (
+        int_assign(base, cents)
+        .join(labels, on="id")
+        .select(
+            "id",
+            "cell",
+            "vec",
+            "label",
+            F.sqrt(dotl(F.col("vec"), F.col("vec")).cast("double")).alias(
+                "nrm"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cstats = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(
+                [c for _, c in cents],
+                [sum(x * x for x in c) for _, c in cents],
+                [cid for cid, _ in cents],
+            )],
+            "cmat array<array<long>>, cn2 array<long>, cid array<int>",
+        )
+    )
+    q = base.crossJoin(cstats).select(
+        F.col("id").alias("q_id"),
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.col("cmat"),
+                    F.col("cn2"),
+                    lambda c, n2: -2 * dotl(F.col("vec"), c) + n2,
+                ),
+                F.col("cid"),
+                lambda sc, cid: F.struct(sc.alias("s"), cid.alias("cell")),
+            )
+        ).alias("sc"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sc.s"), F.col("sc.cell"))
+    probes = (
+        q.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("q_id", F.col("sc.cell").alias("cell"))
+    )
+    qv = nv.select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    sim = (
+        F.floor(
+            dotl(F.col("q_vec"), F.col("vec")).cast("double")
+            / (F.col("q_nrm") * F.col("nrm"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id").desc()
+    )
+    return (
+        probes.join(nv, on="cell")
+        .where(F.col("q_id") != F.col("id"))
+        .join(qv, on="q_id")
+        .where(F.col("q_label") != F.col("label"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("q_label").alias("label"),
+            F.col("id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
