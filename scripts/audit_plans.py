@@ -791,6 +791,11 @@ EXPECTATIONS = {
     "hamming_knn_signbits": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R336: 1-row modularity scalar crossed onto the community-sized
+    # frame (scalar BNLJ by design)
+    "louvain_moves_copurchase": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

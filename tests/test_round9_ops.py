@@ -229,3 +229,56 @@ def test_poisson_glm_matches_closed_form(spark):
     assert abs(row["mu_weekday"] - mu0) < 1e-3
     assert abs(row["mu_weekend"] - mu1) < 1e-3
     assert abs(row["beta_weekend"] - math.log(mu1 / mu0)) < 1e-4
+
+
+def test_louvain_moves_matches_python(spark):
+    from collections import defaultdict
+
+    from zoom_spark.queries.round9_ops import (
+        LOUVAIN_ROUNDS,
+        louvain_moves_copurchase,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    m = len(edges)
+    lab = {n: n for n in adj}
+    for _ in range(LOUVAIN_ROUNDS):
+        tot = defaultdict(int)
+        for n, c in lab.items():
+            tot[c] += deg[n]
+        new = {}
+        for u in adj:
+            kuc = defaultdict(int)
+            for v in adj[u]:
+                kuc[lab[v]] += 1
+            kuc.setdefault(lab[u], 0)
+            best = None
+            for c, k in kuc.items():
+                t = tot[c] - (deg[u] if c == lab[u] else 0)
+                s = 2 * m * k - deg[u] * t
+                key = (-s, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            new[u] = best[1]
+        lab = new
+    sizes = defaultdict(int)
+    for n, c in lab.items():
+        sizes[c] += 1
+    got = {r["community"]: r for r in louvain_moves_copurchase(spark, SF_DIR).collect()}
+    assert {c: r["n_nodes"] for c, r in got.items()} == dict(sizes)
+    # modularity sanity: in [-0.5, 1], identical across rows
+    qs = {r["modularity"] for r in got.values()}
+    assert len(qs) == 1 and -0.5 <= qs.pop() <= 1.0

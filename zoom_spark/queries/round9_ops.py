@@ -983,3 +983,220 @@ def poisson_glm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mu_weekend"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R336 Louvain-style parallel modularity local moves (co-purchase)
+# ---------------------------------------------------------------------------
+
+LOUVAIN_ROUNDS = 4
+
+
+def _louvain_oracle_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled synchronous modularity local-move rounds: every score
+    is the integer 2m*k_{u,c} - deg_u * tot'_c (modularity gain
+    scaled by 2m^2 — argmax-invariant), so each round's labels are
+    exact; only the final Q is float (exact-operand divisions)."""
+    head = """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eu AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM eu UNION ALL SELECT v AS a, u AS b FROM eu
+    ),
+    deg AS MATERIALIZED (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eu),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS community FROM deg
+    )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""tot{k} AS MATERIALIZED (
+      SELECT l.community, CAST(sum(d.d) AS BIGINT) AS tot
+      FROM l{k - 1} l JOIN deg d USING (node)
+      GROUP BY l.community
+    ),
+    kuc{k} AS MATERIALIZED (
+      SELECT s.a AS node, l.community,
+             CAST(count(*) AS BIGINT) AS kuc
+      FROM sym s JOIN l{k - 1} l ON l.node = s.b
+      GROUP BY s.a, l.community
+    ),
+    cand{k} AS MATERIALIZED (
+      SELECT node, community, max(kuc) AS kuc FROM (
+        SELECT node, community, kuc FROM kuc{k}
+        UNION ALL
+        SELECT node, community, 0 AS kuc FROM l{k - 1}
+      ) GROUP BY node, community
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT c.node, c.community,
+               row_number() OVER (
+                 PARTITION BY c.node
+                 ORDER BY 2 * mm.m * c.kuc
+                          - d.d * (t.tot
+                                   - CASE WHEN own.community = c.community
+                                          THEN d.d ELSE 0 END) DESC,
+                          c.community ASC) AS rn
+        FROM cand{k} c
+        JOIN deg d ON d.node = c.node
+        JOIN l{k - 1} own ON own.node = c.node
+        JOIN tot{k} t ON t.community = c.community
+        CROSS JOIN mm
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    fin AS MATERIALIZED (SELECT node, community FROM l{rounds}),
+    cin AS (
+      SELECT fa.community, CAST(count(*) AS BIGINT) AS in_edges
+      FROM eu e JOIN fin fa ON fa.node = e.u
+                JOIN fin fb ON fb.node = e.v
+      WHERE fa.community = fb.community
+      GROUP BY fa.community
+    ),
+    csz AS (
+      SELECT f.community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS tot_deg
+      FROM fin f JOIN deg d USING (node)
+      GROUP BY f.community
+    ),
+    q AS (
+      SELECT floor(sum(CAST(coalesce(c.in_edges, 0) AS DOUBLE) / mm.m
+                       - (CAST(s.tot_deg AS DOUBLE) / (2 * mm.m))
+                         * (CAST(s.tot_deg AS DOUBLE) / (2 * mm.m)))
+                   * 1e6 + 0.5) / 1e6 AS q
+      FROM csz s LEFT JOIN cin c USING (community) CROSS JOIN mm
+    )
+    SELECT s.community, s.n_nodes, coalesce(c.in_edges, 0) AS in_edges,
+           s.tot_deg, q.q AS modularity
+    FROM csz s LEFT JOIN cin c USING (community) CROSS JOIN q
+    """
+    )
+
+
+@register("louvain_moves_copurchase", sql=_louvain_oracle_sql())
+def louvain_moves_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R336 Louvain-style community detection: 4 SYNCHRONOUS rounds
+    of modularity local moves on the co-purchase graph — every node
+    simultaneously moves to the neighbor community with the best
+    modularity gain (the parallel local-move step of Louvain/Leiden,
+    the form that scales: sequential Louvain is inherently serial).
+    The gain comparison is the INTEGER score 2m*k_{u,c} - deg_u *
+    tot'_c (gain scaled by 2m^2, own-community total adjusted by
+    -deg_u for the removal) with ties to the smallest community id,
+    so every round's labels are bit-deterministic and the unrolled
+    oracle replays them exactly; only the final modularity Q is
+    float (exact-operand divisions, shared snap).  Refines the LPA
+    communities (R?) with an objective-driven assignment.  Per round:
+    one degree-weighted aggregate + one neighbor-label join — the
+    same two-shuffle shape as LPA at any scale."""
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+    from pyspark.sql import Window
+
+    eu = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = eu.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        eu.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    m = eu.count()
+    lab = deg.select("node", F.col("node").alias("community"))
+    for _ in range(LOUVAIN_ROUNDS):
+        tot = (
+            lab.join(deg, on="node")
+            .groupBy("community")
+            .agg(F.sum("d").cast("bigint").alias("tot"))
+        )
+        kuc = (
+            sym.join(
+                lab.select(
+                    F.col("node").alias("b"), F.col("community")
+                ),
+                on="b",
+            )
+            .groupBy(F.col("a").alias("node"), "community")
+            .agg(F.count("*").cast("bigint").alias("kuc"))
+        )
+        cand = (
+            kuc.unionByName(
+                lab.select("node", "community", F.lit(0).cast("bigint").alias("kuc"))
+            )
+            .groupBy("node", "community")
+            .agg(F.max("kuc").alias("kuc"))
+        )
+        own = lab.select("node", F.col("community").alias("own_c"))
+        score = 2 * F.lit(int(m)).cast("bigint") * F.col("kuc") - F.col(
+            "d"
+        ) * (
+            F.col("tot")
+            - F.when(F.col("own_c") == F.col("community"), F.col("d")).otherwise(
+                F.lit(0)
+            )
+        )
+        w = Window.partitionBy("node").orderBy(
+            score.desc(), F.col("community").asc()
+        )
+        lab = (
+            cand.join(deg, on="node")
+            .join(own, on="node")
+            .join(tot, on="community")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=False)
+        )
+    fa = lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))
+    fb = lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))
+    cin = (
+        eu.join(fa, on="u")
+        .join(fb, on="v")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("in_edges"))
+    )
+    csz = (
+        lab.join(deg, on="node")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("tot_deg"),
+        )
+    )
+    base = csz.join(cin, on="community", how="left").select(
+        "community",
+        "n_nodes",
+        F.coalesce(F.col("in_edges"), F.lit(0).cast("bigint")).alias(
+            "in_edges"
+        ),
+        "tot_deg",
+    )
+    md = F.lit(float(m))
+    q = base.agg(
+        (
+            F.floor(
+                F.sum(
+                    F.col("in_edges").cast("double") / md
+                    - (F.col("tot_deg").cast("double") / (2 * md))
+                    * (F.col("tot_deg").cast("double") / (2 * md))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("modularity")
+    )
+    return base.crossJoin(F.broadcast(q))
