@@ -796,6 +796,16 @@ EXPECTATIONS = {
     "louvain_moves_copurchase": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R337: 1-row (n, p) totals crossed onto the ranked user frame
+    # (scalar BNLJ by design)
+    "average_precision_purchase": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R339: two 1-row component-test scalars crossed (scalar BNLJ);
+    # the embedded MWU/AB subplans carry their own waived scalars
+    "lepage_test_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -282,3 +282,55 @@ def test_louvain_moves_matches_python(spark):
     # modularity sanity: in [-0.5, 1], identical across rows
     qs = {r["modularity"] for r in got.values()}
     assert len(qs) == 1 and -0.5 <= qs.pop() <= 1.0
+
+
+def test_average_precision_matches_sklearn_formula(spark):
+    from zoom_spark.queries.round9_ops import average_precision_purchase
+
+    ev = _events()
+    g = ev.groupby("user_id")
+    score = g.size()
+    rel = g["event_type"].apply(lambda s: int((s == "purchase").any()))
+    df = pd.DataFrame({"score": score, "rel": rel}).reset_index()
+    df = df.sort_values(
+        ["score", "user_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    cum = df["rel"].cumsum()
+    k = np.arange(1, len(df) + 1)
+    p = int(df["rel"].sum())
+    want = float((cum[df["rel"] == 1] / k[df["rel"] == 1]).sum() / p)
+    row = average_precision_purchase(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(df) and row["n_positive"] == p
+    assert abs(row["average_precision"] - want) < 1e-6
+    assert row["average_precision"] >= row["prevalence_baseline"]
+
+
+def test_herfindahl_matches_pandas(spark):
+    from zoom_spark.queries.round9_ops import herfindahl_supplier_nation
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    sup = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    j = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    j["cents"] = (j["l_extendedprice"] * 100).astype("int64")
+    rev = j.groupby(["s_nationkey", "l_suppkey"])["cents"].sum()
+    got = {
+        r["nation"]: r
+        for r in herfindahl_supplier_nation(spark, SF_DIR).collect()
+    }
+    for nation, grp in rev.groupby(level=0):
+        shares = grp / grp.sum()
+        want = float((shares**2).sum())
+        assert abs(got[nation]["hhi"] - want) < 1e-6
+        assert got[nation]["n_suppliers"] == len(grp)
+        assert got[nation]["hhi"] >= got[nation]["hhi_uniform_floor"] - 1e-9
+
+
+def test_lepage_composes_component_tests(spark):
+    from zoom_spark.queries import QUERIES
+    from zoom_spark.queries.round9_ops import lepage_test_weekend
+
+    zw = QUERIES["mann_whitney_u_weekend"](spark, SF_DIR).collect()[0]["z"]
+    zab = QUERIES["ansari_bradley_weekend"](spark, SF_DIR).collect()[0]["z"]
+    row = lepage_test_weekend(spark, SF_DIR).collect()[0]
+    assert abs(row["lepage_stat"] - (zw * zw + zab * zab)) < 1e-6
+    assert row["lepage_stat"] >= 0

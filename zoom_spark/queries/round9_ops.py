@@ -1200,3 +1200,225 @@ def louvain_moves_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("modularity")
     )
     return base.crossJoin(F.broadcast(q))
+
+
+# ---------------------------------------------------------------------------
+# R337 average precision (PR-AUC) of event-count ranking vs purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "average_precision_purchase",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rel
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT rel,
+             row_number() OVER (ORDER BY score DESC, user_id) AS k,
+             sum(rel) OVER (ORDER BY score DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumpos
+      FROM u
+    ),
+    tot AS (SELECT CAST(sum(rel) AS BIGINT) AS p,
+                   CAST(count(*) AS BIGINT) AS n FROM ranked)
+    SELECT tot.n AS n_users, tot.p AS n_positive,
+           floor(sum(CASE WHEN r.rel = 1
+                     THEN CAST(r.cumpos AS DOUBLE) / r.k ELSE 0 END)
+                 / tot.p * 1e6 + 0.5) / 1e6 AS average_precision,
+           floor(CAST(tot.p AS DOUBLE) / tot.n * 1e6 + 0.5) / 1e6
+             AS prevalence_baseline
+    FROM ranked r CROSS JOIN tot
+    GROUP BY tot.n, tot.p
+    """,
+)
+def average_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R337 average precision (area under the precision-recall curve
+    by the step interpolation) of ranking users by activity (event
+    count, ties to user_id) against the did-they-purchase label —
+    the eval metric of record for IMBALANCED retrieval/classification
+    where ROC-AUC (gated, R?) is over-optimistic.  AP = mean over
+    positives of precision@their-rank; ranks and cumulative-positive
+    counts come from the two-phase global row number + prefix sum at
+    scale (the oracle uses the window form); every term is an exact
+    integer ratio, summed once and snapped.  The prevalence baseline
+    (AP of a random ranker) is emitted alongside."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rel"),
+    )
+    # descending score with user_id tiebreak == ascending (-score, id)
+    ranked = global_row_number(
+        u.select((-F.col("score")).alias("nscore"), "user_id", "rel"),
+        ["nscore", "user_id"],
+        out_col="k",
+    )
+    ranked = prefix_sum(
+        ranked.select(F.col("k").alias("ord"), "k", "rel"),
+        "ord",
+        "rel",
+        out_col="cumpos",
+    )
+    tot = ranked.agg(
+        F.sum("rel").cast("bigint").alias("p"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n", "p")
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("rel") == 1,
+                            F.col("cumpos").cast("double") / F.col("k"),
+                        ).otherwise(F.lit(0.0))
+                    )
+                    / F.first("p")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("average_precision"),
+            (
+                F.floor(
+                    F.first("p").cast("double") / F.first("n") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("prevalence_baseline"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("p").alias("n_positive"),
+            "average_precision",
+            "prevalence_baseline",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R338 Herfindahl-Hirschman supplier concentration per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "herfindahl_supplier_nation",
+    sql="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             CAST(sum(CAST(l.l_extendedprice * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    nat AS (
+      SELECT nation, CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY nation
+    )
+    SELECT n.nation, n.n_suppliers,
+           floor(sum((CAST(r.cents AS DOUBLE) / n.tot)
+                     * (CAST(r.cents AS DOUBLE) / n.tot))
+                 * 1e6 + 0.5) / 1e6 AS hhi,
+           floor(1e6 / n.n_suppliers + 0.5) / 1e6 AS hhi_uniform_floor
+    FROM rev r JOIN nat n USING (nation)
+    GROUP BY n.nation, n.n_suppliers
+    """,
+)
+def herfindahl_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R338 Herfindahl-Hirschman concentration index of supplier
+    revenue within each nation: HHI = sum of squared revenue shares
+    — the antitrust/market-structure measure (1/n = perfectly
+    competitive floor, emitted alongside; 1 = monopoly).  Revenue
+    aggregates to exact CENTS (the 2dp cent-grid rule), shares are
+    exact-operand divisions, so the only float work is the final
+    per-nation square-sum — one hash aggregate + one broadcast-sized
+    nation rollup at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    nat = rev.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("tot")
+    return (
+        rev.join(F.broadcast(nat), on="nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            (
+                F.floor(F.sum(share * share) * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("hhi"),
+            (
+                F.floor(1e6 / F.first("n_suppliers") + F.lit(0.5)) / 1e6
+            ).alias("hhi_uniform_floor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R339 Lepage location-scale omnibus (Wilcoxon^2 + Ansari-Bradley^2)
+# ---------------------------------------------------------------------------
+
+
+def _lepage_oracle_sql() -> str:
+    from zoom_spark.queries import ORACLE
+
+    return f"""
+    WITH mw AS ({ORACLE["mann_whitney_u_weekend"]}),
+    ab AS ({ORACLE["ansari_bradley_weekend"]})
+    SELECT mw.n_weekend, mw.n_weekday,
+           round(mw.z * mw.z + ab.z * ab.z, 6) AS lepage_stat
+    FROM mw CROSS JOIN ab
+    """
+
+
+@register("lepage_test_weekend", sql=_lepage_oracle_sql())
+def lepage_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R339 Lepage two-sample omnibus: L = z_Wilcoxon^2 +
+    z_AnsariBradley^2 — the classic location+scale combination
+    (chi-square(2) under H0), complementing Cucconi (R326) which
+    combines squared ranks/antiranks instead.  COMPOSES two gated
+    statistics verbatim: the standardized Mann-Whitney z and
+    Ansari-Bradley z are reused from their registered queries (and
+    the oracle embeds those queries' own SQL as CTEs), so this gate
+    also pins the composition contract.  Both inputs are 6dp-rounded
+    identically on both sides before the square-sum, making L exact
+    on the shared grid."""
+    from zoom_spark.queries import QUERIES
+
+    mw = QUERIES["mann_whitney_u_weekend"](spark, sf_dir).select(
+        "n_weekend", "n_weekday", F.col("z").alias("zw")
+    )
+    ab = QUERIES["ansari_bradley_weekend"](spark, sf_dir).select(
+        F.col("z").alias("zab")
+    )
+    return mw.crossJoin(F.broadcast(ab)).select(
+        "n_weekend",
+        "n_weekday",
+        F.round(
+            F.col("zw") * F.col("zw") + F.col("zab") * F.col("zab"), 6
+        ).alias("lepage_stat"),
+    )
