@@ -334,3 +334,57 @@ def test_lepage_composes_component_tests(spark):
     row = lepage_test_weekend(spark, SF_DIR).collect()[0]
     assert abs(row["lepage_stat"] - (zw * zw + zab * zab)) < 1e-6
     assert row["lepage_stat"] >= 0
+
+
+def test_personalized_pagerank_matches_python(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from zoom_spark.queries.round9_ops import (
+        PPR_DAMPING,
+        PPR_ITERS,
+        PPR_SEEDS,
+        personalized_pagerank_parts,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    nodes = sorted(adj)
+    seeds = sorted(
+        nodes, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n)
+    )[:PPR_SEEDS]
+    s = {n: (1.0 / PPR_SEEDS if n in seeds else 0.0) for n in nodes}
+    import math
+
+    snap9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    rank = dict(s)
+    for _ in range(PPR_ITERS):
+        mass = defaultdict(float)
+        for n in nodes:
+            c = rank[n] / len(adj[n])
+            for v in adj[n]:
+                mass[v] += c
+        rank = {
+            n: snap9((1 - PPR_DAMPING) * s[n] + PPR_DAMPING * mass[n])
+            for n in nodes
+        }
+    q6 = {n: math.floor(r * 1e6 + 0.5) / 1e6 for n, r in rank.items()}
+    want = sorted(
+        ((r, n) for n, r in q6.items() if r > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    got = personalized_pagerank_parts(spark, SF_DIR).collect()
+    assert [(r["ppr_q6"], r["part_id"]) for r in got] == [
+        (r, n) for r, n in want
+    ]

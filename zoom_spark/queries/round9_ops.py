@@ -1422,3 +1422,155 @@ def lepage_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("zw") * F.col("zw") + F.col("zab") * F.col("zab"), 6
         ).alias("lepage_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R340 personalized PageRank from a deterministic seed set
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 10
+PPR_SEEDS = 8
+PPR_DAMPING = 0.85
+
+
+def _ppr_oracle_sql(iterations: int = PPR_ITERS) -> str:
+    """Unrolled personalized power method (the pagerank_parts
+    schedule): restart mass concentrates on the 8 smallest-md5 part
+    keys instead of spreading uniformly; ranks snap to the 9dp grid
+    every round, final output on the 6dp grid."""
+    parts = [
+        f"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eu AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    directed AS MATERIALIZED (
+      SELECT u AS f, v AS t FROM eu UNION ALL SELECT v AS a, u AS b FROM eu
+    ),
+    outdeg AS MATERIALIZED (SELECT f, count(*) AS d FROM directed GROUP BY f),
+    seeds AS MATERIALIZED (
+      SELECT f AS node, 1.0 / {PPR_SEEDS} AS s FROM (
+        SELECT f, row_number() OVER (
+          ORDER BY md5(CAST(f AS VARCHAR)), f) AS rn
+        FROM outdeg
+      ) WHERE rn <= {PPR_SEEDS}
+    ),
+    r0 AS MATERIALIZED (
+      SELECT o.f AS node, coalesce(s.s, 0.0) AS rank
+      FROM outdeg o LEFT JOIN seeds s ON s.node = o.f
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT o.f AS node,
+             floor(((1.0 - {PPR_DAMPING})
+                      * coalesce(s.s, 0.0)
+                    + {PPR_DAMPING} * coalesce(m.in_mass, 0.0))
+                   * 1000000000.0 + 0.5) / 1000000000.0 AS rank
+      FROM outdeg o
+      LEFT JOIN seeds s ON s.node = o.f
+      LEFT JOIN (
+        SELECT d.t AS node, sum(r.rank / od.d) AS in_mass
+        FROM directed d
+        JOIN r{i - 1} r ON d.f = r.node
+        JOIN outdeg od ON od.f = d.f
+        GROUP BY d.t
+      ) m ON m.node = o.f
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS part_id,
+           floor(rank * 1000000 + 0.5) / 1000000.0 AS ppr_q6
+    FROM r{iterations}
+    WHERE floor(rank * 1000000 + 0.5) > 0
+    ORDER BY floor(rank * 1000000 + 0.5) DESC, node
+    LIMIT 50"""
+    )
+
+
+@register("personalized_pagerank_parts", sql=_ppr_oracle_sql())
+def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R340 personalized PageRank on the co-purchase graph: the power
+    method with RESTART MASS concentrated on a deterministic 8-part
+    seed set (smallest md5(part_id)) instead of the uniform vector —
+    the recommendation/related-items primitive ("parts relevant to
+    THIS basket"), complementing the global pagerank_parts (R?).
+    Same per-round shape (one contribution shuffle + rank join over
+    the co-partitioned edges) with a seed left-join so zero-in-mass
+    non-seed nodes stay in the frame at rank (1-d)*0; ranks snap to
+    the 9dp grid each round (the pagerank schedule) so the unrolled
+    oracle replays bitwise.  Output: the top-50 nonzero 6dp ranks —
+    the recommendation shortlist."""
+    from pyspark.sql import Window
+
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+
+    eu = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    directed = eu.select(F.col("u").alias("f"), F.col("v").alias("t")).unionAll(
+        eu.select(F.col("v").alias("f"), F.col("u").alias("t"))
+    )
+    outdeg = (
+        directed.groupBy("f")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        outdeg.select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("f").cast("string")), "f"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= PPR_SEEDS)
+        .select(F.col("f").alias("node"), F.lit(1.0 / PPR_SEEDS).alias("s"))
+    ).localCheckpoint(eager=False)
+    nodes = outdeg.select(F.col("f").alias("node")).join(
+        seeds, on="node", how="left"
+    ).select("node", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+    nodes = nodes.localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.col("s").alias("rank"))
+    dedges = directed.join(
+        outdeg, on="f"
+    ).localCheckpoint(eager=False)
+    for _ in range(PPR_ITERS):
+        in_mass = (
+            dedges.join(ranks, on=F.col("f") == F.col("node"))
+            .select(
+                F.col("t").alias("node"),
+                (F.col("rank") / F.col("d")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(in_mass, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.floor(
+                        (
+                            (1.0 - PPR_DAMPING) * F.col("s")
+                            + PPR_DAMPING
+                            * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        )
+                        * 1e9
+                        + F.lit(0.5)
+                    )
+                    / 1e9
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    q6 = F.floor(F.col("rank") * 1e6 + F.lit(0.5))
+    return (
+        ranks.where(q6 > 0)
+        .select(F.col("node").alias("part_id"), (q6 / 1e6).alias("ppr_q6"))
+        .orderBy(F.col("ppr_q6").desc(), "part_id")
+        .limit(50)
+    )
