@@ -806,6 +806,16 @@ EXPECTATIONS = {
     "lepage_test_weekend": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R341: 1-row group-moment scalar crossed onto the 1-row totals
+    # (scalar BNLJ by design)
+    "icc_acctbal_nation": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R342: 1-row exact-total then 1-row (md, sd) scalars crossed onto
+    # the order-diff frame for centering/limit counting (scalar BNLJ)
+    "bland_altman_order_totals": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -388,3 +388,70 @@ def test_personalized_pagerank_matches_python(spark):
     assert [(r["ppr_q6"], r["part_id"]) for r in got] == [
         (r, n) for r, n in want
     ]
+
+
+def test_icc_matches_formula(spark):
+    from zoom_spark.queries.round9_ops import icc_acctbal_nation
+
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    x = (c["c_acctbal"] * 100).round().astype("int64")
+    g = c["c_nationkey"]
+    N, J = len(x), g.nunique()
+    grand = x.sum() ** 2 / N
+    sgs = sum(grp.sum() ** 2 / len(grp) for _, grp in x.groupby(g))
+    ssb, ssw = sgs - grand, (x**2).sum() - sgs
+    msb, msw = ssb / (J - 1), ssw / (N - J)
+    k0 = (N - sum(len(grp) ** 2 for _, grp in x.groupby(g)) / N) / (J - 1)
+    want = (msb - msw) / (msb + (k0 - 1) * msw)
+    row = icc_acctbal_nation(spark, SF_DIR).collect()[0]
+    assert row["n_customers"] == N and row["n_nations"] == J
+    assert abs(row["k0"] - k0) < 1e-5
+    assert abs(row["icc1"] - want) < 1e-5
+
+
+def test_bland_altman_matches_pandas(spark):
+    from zoom_spark.queries.round9_ops import bland_altman_order_totals
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    m2 = (
+        np.floor(li["l_extendedprice"] * 100 + 0.5).astype("int64")
+        * (100 - np.floor(li["l_discount"] * 100 + 0.5).astype("int64"))
+        * (100 + np.floor(li["l_tax"] * 100 + 0.5).astype("int64"))
+    ).groupby(li["l_orderkey"]).sum()
+    j = o.set_index("o_orderkey").join(m2.rename("m2"), how="inner")
+    diff = (
+        np.floor(j["o_totalprice"] * 100 + 0.5).astype("int64") * 10000
+        - j["m2"]
+    ) / 1e8
+    md, sd = diff.mean(), diff.std(ddof=0)
+    row = bland_altman_order_totals(spark, SF_DIR).collect()[0]
+    assert row["n_orders"] == len(j)
+    assert abs(row["mean_diff"] - md) < 1e-3
+    assert abs(row["sd_diff"] - sd) < 1e-3
+    lo, hi = row["loa_low"], row["loa_high"]
+    assert row["n_outside"] == int(((diff < lo) | (diff > hi)).sum())
+
+
+def test_mantel_haenszel_matches_pandas(spark):
+    from zoom_spark.queries.round9_ops import mantel_haenszel_weekend_value
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    wd = (
+        pd.to_datetime(o["o_orderdate"]) - pd.Timestamp("1990-01-01")
+    ).dt.days % 7
+    e = wd.isin([5, 6]).astype(int)
+    y = (o["o_totalprice"] > 150000).astype(int)
+    num = den = 0.0
+    for _, idx in o.groupby("o_orderpriority").groups.items():
+        ee, yy = e.loc[idx], y.loc[idx]
+        a = int(((ee == 1) & (yy == 1)).sum())
+        b = int(((ee == 1) & (yy == 0)).sum())
+        cc = int(((ee == 0) & (yy == 1)).sum())
+        d = int(((ee == 0) & (yy == 0)).sum())
+        n = len(idx)
+        num += a * d / n
+        den += b * cc / n
+    row = mantel_haenszel_weekend_value(spark, SF_DIR).collect()[0]
+    assert row["n_strata"] == o["o_orderpriority"].nunique()
+    assert abs(row["or_mh"] - num / den) < 1e-5

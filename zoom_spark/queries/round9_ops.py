@@ -1574,3 +1574,315 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr_q6").desc(), "part_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# R341 intraclass correlation ICC(1) of account balances within nations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "icc_acctbal_nation",
+    sql="""
+    WITH c AS (
+      SELECT c_nationkey AS g,
+             CAST(c_acctbal * 100 AS BIGINT) AS x
+      FROM customer
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM c GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(count(DISTINCT g) AS BIGINT) AS j,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM c
+    ),
+    comp AS (
+      SELECT tot.nn, tot.j,
+             -- SSB = sum_g sx_g^2/n_g - (sum x)^2/N ; SSW = sxx - sum_g sx_g^2/n_g
+             (SELECT sum(CAST(grp.sx AS DOUBLE) * grp.sx / grp.n) FROM grp)
+               AS sgs,
+             CAST(tot.sx AS DOUBLE) * tot.sx / tot.nn AS cf,
+             CAST(tot.sxx AS DOUBLE) AS sxx,
+             -- unbalanced-design k0 = (N - sum n_g^2 / N) / (J - 1)
+             (tot.nn - (SELECT sum(CAST(grp.n AS DOUBLE) * grp.n)
+                        FROM grp) / tot.nn)
+               / (tot.j - 1) AS k0
+      FROM tot
+    )
+    SELECT nn AS n_customers, j AS n_nations,
+           floor(k0 * 1e6 + 0.5) / 1e6 AS k0,
+           floor(((sgs - cf) / (j - 1) - (sxx - sgs) / (nn - j))
+                 / ((sgs - cf) / (j - 1)
+                    + (k0 - 1.0) * ((sxx - sgs) / (nn - j)))
+                 * 1e6 + 0.5) / 1e6 AS icc1
+    FROM comp
+    """,
+)
+def icc_acctbal_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R341 intraclass correlation ICC(1) — one-way random-effects
+    reliability of account balance clustered by nation: (MSB - MSW)
+    / (MSB + (k0 - 1) MSW) with the unbalanced-design average group
+    size k0 = (N - sum n_g^2/N)/(J - 1) — the cluster-effect measure
+    a hierarchical-model or cluster-randomised design starts from
+    (complements the gated ANOVA F, which only tests the effect).
+    Balances aggregate to exact CENTS, so every sum of squares is an
+    exact BIGINT and the closed form (shared operation order) is
+    engine-identical until the final snap."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        (F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+    )
+    grp = c.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    gstats = grp.agg(
+        F.sum(F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias(
+            "sgs"
+        ),
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("sn2"),
+    )
+    tot = c.agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.count_distinct("g").cast("bigint").alias("j"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    z = tot.crossJoin(F.broadcast(gstats))
+    cf = F.col("sx").cast("double") * F.col("sx") / F.col("nn")
+    msb = (F.col("sgs") - cf) / (F.col("j") - 1)
+    msw = (F.col("sxx").cast("double") - F.col("sgs")) / (
+        F.col("nn") - F.col("j")
+    )
+    k0 = (F.col("nn") - F.col("sn2") / F.col("nn")) / (F.col("j") - 1)
+    snap6 = lambda cc: F.floor(cc * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return z.select(
+        F.col("nn").alias("n_customers"),
+        F.col("j").alias("n_nations"),
+        snap6(k0).alias("k0"),
+        snap6((msb - msw) / (msb + (k0 - 1.0) * msw)).alias("icc1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R342 Bland-Altman agreement: order header total vs line-item total
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bland_altman_order_totals",
+    sql="""
+    WITH lines AS (
+      -- line total in exact 1e-8-dollar integer units:
+      -- cents * (100 - disc_pct) * (100 + tax_pct)
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                      * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS m2
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    d AS (
+      SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 10000
+               - l.m2 AS diff
+      FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+    ),
+    -- pass 1: EXACT integer diff total (mean = one exact-operand
+    -- division); pass 2: centered second moment (relative sum-order
+    -- drift ~ n*2^-52 ~ 3e-12 -> a 4dp dollar grid is drift-safe)
+    p1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(diff) AS BIGINT) AS sdiff
+      FROM d
+    ),
+    st AS (
+      SELECT p1.n,
+             floor(CAST(p1.sdiff AS DOUBLE) / p1.n / 1e8 * 1e4 + 0.5)
+               / 1e4 AS md,
+             floor(sqrt(sum(
+                     ((CAST(d.diff AS DOUBLE)
+                       - CAST(p1.sdiff AS DOUBLE) / p1.n) / 1e8)
+                     * ((CAST(d.diff AS DOUBLE)
+                         - CAST(p1.sdiff AS DOUBLE) / p1.n) / 1e8))
+                   / p1.n) * 1e4 + 0.5) / 1e4 AS sd
+      FROM d CROSS JOIN p1
+      GROUP BY p1.n, p1.sdiff
+    )
+    SELECT st.n AS n_orders,
+           st.md AS mean_diff,
+           st.sd AS sd_diff,
+           floor((st.md - 1.96 * st.sd) * 1e4 + 0.5) / 1e4 AS loa_low,
+           floor((st.md + 1.96 * st.sd) * 1e4 + 0.5) / 1e4 AS loa_high,
+           CAST(sum(CASE WHEN CAST(d.diff AS DOUBLE) / 1e8
+                              < floor((st.md - 1.96 * st.sd) * 1e4 + 0.5) / 1e4
+                          OR CAST(d.diff AS DOUBLE) / 1e8
+                              > floor((st.md + 1.96 * st.sd) * 1e4 + 0.5) / 1e4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+    FROM d CROSS JOIN st
+    GROUP BY st.n, st.md, st.sd
+    """,
+)
+def bland_altman_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R342 Bland-Altman agreement analysis between two measurements
+    of the same quantity: the order HEADER total vs the recomputed
+    LINE-ITEM total sum(extprice*(1-disc)*(1+tax)) — the method-
+    comparison workhorse (mean bias + 1.96sd limits of agreement +
+    how many orders fall outside), turning the reconciliation diff
+    (gated, R?) into the statistical agreement contract.  Both
+    measurements are exact integers in 1e-8-dollar units (cent grid
+    x two 2dp percentage factors), the bias/sd snap to a 9dp grid
+    before the limit comparisons, and the outside-count compares
+    exact-operand doubles — engine-identical throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c100 = lambda cc: F.floor(cc * 100 + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(
+            c100(F.col("l_extendedprice"))
+            * (100 - c100(F.col("l_discount")))
+            * (100 + c100(F.col("l_tax")))
+        )
+        .cast("bigint")
+        .alias("m2")
+    )
+    d = o.join(lines, o["o_orderkey"] == lines["l_orderkey"]).select(
+        (
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            * 10000
+            - F.col("m2")
+        ).alias("diff")
+    ).localCheckpoint(eager=False)
+    snap4 = lambda cc: F.floor(cc * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    p1 = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("sdiff"),
+    )
+    cd = (
+        F.col("diff").cast("double")
+        - F.col("sdiff").cast("double") / F.col("n")
+    ) / 1e8
+    st = (
+        d.crossJoin(F.broadcast(p1))
+        .groupBy("n", "sdiff")
+        .agg(
+            snap4(F.sqrt(F.sum(cd * cd) / F.first("n"))).alias("sd"),
+        )
+        .select(
+            "n",
+            snap4(
+                F.col("sdiff").cast("double") / F.col("n") / 1e8
+            ).alias("md"),
+            "sd",
+        )
+    )
+    dd = F.col("diff").cast("double") / 1e8
+    lo = snap4(F.col("md") - 1.96 * F.col("sd"))
+    hi = snap4(F.col("md") + 1.96 * F.col("sd"))
+    return (
+        d.crossJoin(F.broadcast(st))
+        .groupBy("n", "md", "sd")
+        .agg(
+            F.sum(F.when((dd < lo) | (dd > hi), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outside")
+        )
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("md").alias("mean_diff"),
+            F.col("sd").alias("sd_diff"),
+            lo.alias("loa_low"),
+            hi.alias("loa_high"),
+            "n_outside",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R343 Mantel-Haenszel pooled odds ratio, stratified by priority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mantel_haenszel_weekend_value",
+    sql="""
+    WITH o AS (
+      SELECT o_orderpriority AS stratum,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS e,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    tab AS (
+      SELECT stratum,
+             CAST(sum(e * y) AS BIGINT) AS a,
+             CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+             CAST(sum((1 - e) * y) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY stratum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(a) AS BIGINT) AS n_exposed_hi,
+           floor(sum(CAST(a AS DOUBLE) * d / n)
+                 / sum(CAST(b AS DOUBLE) * c / n) * 1e6 + 0.5) / 1e6
+             AS or_mh,
+           floor((sum(CAST(a AS DOUBLE) * d / n)
+                  / sum(CAST(b AS DOUBLE) * c / n))
+                 / ((CAST(sum(a) AS DOUBLE) * sum(d))
+                    / (CAST(sum(b) AS DOUBLE) * sum(c)))
+                 * 1e6 + 0.5) / 1e6 AS confounding_ratio
+    FROM tab
+    """,
+)
+def mantel_haenszel_weekend_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R343 Mantel-Haenszel pooled odds ratio of (weekend order date)
+    vs (high-value order > 150k), STRATIFIED by order priority:
+    OR_MH = sum(a_k d_k / n_k) / sum(b_k c_k / n_k) — the classic
+    confounder-adjusted association estimate, with the crude-OR /
+    MH-OR confounding ratio emitted as the Simpson's-paradox
+    diagnostic.  The raw stream collapses to 5 stratum 2x2 tables
+    (one hash aggregate); every term is an exact-operand integer
+    ratio summed over the priority-bounded frame.  Weekend uses the
+    1990-01-01 Monday anchor (before the order epoch, the round-8
+    dayofweek rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    wd = (
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        % 7
+    ).cast("bigint")
+    base = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.when(wd.isin(5, 6), 1).otherwise(0).alias("e"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    tab = base.groupBy("stratum").agg(
+        F.sum(F.col("e") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    num = F.sum(F.col("a").cast("double") * F.col("d") / F.col("n"))
+    den = F.sum(F.col("b").cast("double") * F.col("c") / F.col("n"))
+    crude = (
+        F.sum("a").cast("double")
+        * F.sum("d")
+        / (F.sum("b").cast("double") * F.sum("c"))
+    )
+    snap6 = lambda cc: F.floor(cc * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return tab.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("n_exposed_hi"),
+        snap6(num / den).alias("or_mh"),
+        snap6((num / den) / crude).alias("confounding_ratio"),
+    )
