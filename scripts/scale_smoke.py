@@ -86,6 +86,16 @@ SUSPECTS = [
     # output -> linear expected)
     "harmonic_centrality_parts",
     "fuzzy_part_matches",
+    # round 9: the integer-exact conversions and new graph ops — all
+    # expected linear-band on the replica-disjoint upscale (louvain /
+    # PPR walk disjoint graph copies; the md5 dedup family re-blocks
+    # per replica; sqrt(N)-cell IVF mining is the documented N^1.5)
+    "louvain_moves_copurchase",
+    "personalized_pagerank_parts",
+    "minhash_dedup_docs",
+    "simhash_dedup_docs",
+    "hard_negative_pairs_ann",
+    "hamming_knn_signbits",
 ]
 
 

@@ -284,7 +284,7 @@ def _hna_oracle_sql() -> str:
                row_number() OVER (
                  PARTITION BY q_id ORDER BY s, cell) AS pr
         FROM qscore
-      ) WHERE pr <= greatest(3, {_HNA_K_SQL} // 8)
+      ) WHERE pr <= 3
     ),
     nv AS MATERIALIZED (
       SELECT a.vec_id, a.cell, v.qv, l.label,
@@ -315,8 +315,8 @@ def _hna_oracle_sql() -> str:
 @register("hard_negative_pairs_ann", sql=_hna_oracle_sql())
 def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of hard_negative_pairs: IVF-bucketed candidate
-    generation (~sqrt(N) cells, n_probe ~ cells/8) instead of the
-    exact N^2 scan.
+    generation (~sqrt(N) cells, CONSTANT n_probe = 3 -> 3*N^1.5 total
+    candidate work) instead of the exact N^2 scan.
 
     Oracle-hashed since round 9 via the integer-quantized IVF
     machinery shared with knn_ivf: the coarse quantizer is the exact
@@ -341,7 +341,12 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     n = base.count()
     k = max(8, int(n**0.5))
-    n_probe = max(3, k // 8)
+    # n_probe stays CONSTANT: with sqrt(N) cells, fixed-probe work is
+    # N * 3 * (N/k) = 3 N^1.5 total; a k//8-scaled probe count would
+    # quietly restore N^2/8 (the round-9 scale review caught this) —
+    # the recall-vs-cost tradeoff of growing k is the documented
+    # production contract
+    n_probe = 3
     cents = int_lloyd_fit(base, k=k, iters=HNA_ITERS)
     dotl = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda a, b: a * b),
