@@ -76,7 +76,7 @@ def cliffs_delta_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R327 Cliff's delta, weekend vs weekday event values: the
     nonparametric ordinal effect size delta = (#(a>b) - #(a<b))/(m*n)
     — the recommended companion to Mann-Whitney/Brunner-Munzel
-    (registry R?/R325) because it is bounded, tie-robust and needs
+    (registry: mann_whitney_u_weekend, R325 brunner_munzel) because it is bounded, tie-robust and needs
     no distribution assumption.  Pair counts come from the SAME
     distinct-value prefix frame as the rank tests: #(a>b) =
     sum_v na(v) * (#b strictly below v), one pass, two running
@@ -441,7 +441,7 @@ def calinski_harabasz_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     double reduction and two divisions are float, with operation
     order spelled identically in the oracle.  One posexplode + two
     hash aggregates — map-side partials, no data-sized shuffle of
-    vectors.  Companions: davies_bouldin_embeddings (R?),
+    vectors.  Companions: davies_bouldin_embeddings,
     silhouette_label_centroids (round 7)."""
     emb = load_table(spark, sf_dir, "embeddings")
     edim = emb.select(
@@ -563,7 +563,7 @@ def cox_one_step_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     events all cluster on Jan 1-2, so a weekend-signup covariate
     would be vacuous, the round-6 selector lesson.)  The one-step
     estimator is asymptotically equivalent to the full MLE for small
-    effects and completes the survival battery (logrank R?, RMST,
+    effects and completes the survival battery (logrank_arm_conversion, RMST,
     Nelson-Aalen, Weibull) with a REGRESSION coefficient.  Users
     with no purchase are right-censored at their last event.  Risk
     sets come from ascending prefix counts over the distinct-time
@@ -1098,7 +1098,7 @@ def louvain_moves_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every round's labels are bit-deterministic and the unrolled
     oracle replays them exactly; only the final modularity Q is
     float (exact-operand divisions, shared snap).  Refines the LPA
-    communities (R?) with an objective-driven assignment.  Per round:
+    communities (community_labels_copurchase) with an objective-driven assignment.  Per round:
     one degree-weighted aggregate + one neighbor-label join — the
     same two-shuffle shape as LPA at any scale."""
     from zoom_spark.queries.advanced_analytics import _co_purchase_edges
@@ -1242,7 +1242,7 @@ def average_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the step interpolation) of ranking users by activity (event
     count, ties to user_id) against the did-they-purchase label —
     the eval metric of record for IMBALANCED retrieval/classification
-    where ROC-AUC (gated, R?) is over-optimistic.  AP = mean over
+    where ROC-AUC (gated: roc_auc_purchase_value) is over-optimistic.  AP = mean over
     positives of precision@their-rank; ranks and cumulative-positive
     counts come from the two-phase global row number + prefix sum at
     scale (the oracle uses the window form); every term is an exact
@@ -1500,7 +1500,7 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     method with RESTART MASS concentrated on a deterministic 8-part
     seed set (smallest md5(part_id)) instead of the uniform vector —
     the recommendation/related-items primitive ("parts relevant to
-    THIS basket"), complementing the global pagerank_parts (R?).
+    THIS basket"), complementing the global pagerank_parts.
     Same per-round shape (one contribution shuffle + rank join over
     the co-partitioned edges) with a seed left-join so zero-in-mass
     non-seed nodes stay in the frame at rank (1-d)*0; ranks snap to
@@ -1733,7 +1733,7 @@ def bland_altman_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     LINE-ITEM total sum(extprice*(1-disc)*(1+tax)) — the method-
     comparison workhorse (mean bias + 1.96sd limits of agreement +
     how many orders fall outside), turning the reconciliation diff
-    (gated, R?) into the statistical agreement contract.  Both
+    (gated: orders_lineitem_reconciliation) into the statistical agreement contract.  Both
     measurements are exact integers in 1e-8-dollar units (cent grid
     x two 2dp percentage factors), the bias/sd snap to a 9dp grid
     before the limit comparisons, and the outside-count compares
