@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_docs",
         "minhash_dedup_docs",
         "hard_negative_pairs_ann",
+        "tfidf_cosine_pairs",
     )
     ROTATION_ROUND = 9
     by_module: dict[str, list[tuple[str, Callable]]] = {}

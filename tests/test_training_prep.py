@@ -2394,10 +2394,21 @@ def test_tfidf_cosine_pairs_match_numpy_referee(spark):
         did: math.sqrt(sum(x * x for x in v.values()))
         for did, v in vecs.items()
     }
+    import hashlib
+
+    def is_query(did):
+        # round 9: the contract is a deterministic md5 query batch
+        # (~1/16 of docs) against the corpus
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 16 == 0
+
     ids = sorted(vecs)
     expect = {}
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
+    for a in ids:
+        if not is_query(a):
+            continue
+        for b in ids:
+            if b == a:
+                continue
             shared = set(vecs[a]) & set(vecs[b])
             if not shared:
                 continue
