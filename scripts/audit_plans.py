@@ -816,6 +816,12 @@ EXPECTATIONS = {
     "bland_altman_order_totals": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R344: 1-row type-cardinality scalar crossed onto the 1-row
+    # chi-square frame (scalar BNLJ; the embedded chi-square subplan
+    # carries its own waived scalars)
+    "cramers_v_event_dow": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -455,3 +455,18 @@ def test_mantel_haenszel_matches_pandas(spark):
     row = mantel_haenszel_weekend_value(spark, SF_DIR).collect()[0]
     assert row["n_strata"] == o["o_orderpriority"].nunique()
     assert abs(row["or_mh"] - num / den) < 1e-5
+
+
+def test_cramers_v_matches_formula(spark):
+    from zoom_spark.queries import QUERIES
+    from zoom_spark.queries.round9_ops import cramers_v_event_dow
+
+    cs = QUERIES["chi_square_independence"](spark, SF_DIR).collect()[0]
+    ev = _events()
+    k = ev["event_type"].nunique()
+    want_v = math.sqrt(cs["chi2"] / (cs["n"] * min(k - 1, 6)))
+    want_c = math.sqrt(cs["chi2"] / (cs["chi2"] + cs["n"]))
+    row = cramers_v_event_dow(spark, SF_DIR).collect()[0]
+    assert abs(row["cramers_v"] - want_v) < 1e-6
+    assert abs(row["contingency_coef"] - want_c) < 1e-6
+    assert 0 <= row["cramers_v"] <= 1

@@ -1886,3 +1886,55 @@ def mantel_haenszel_weekend_value(
         snap6(num / den).alias("or_mh"),
         snap6((num / den) / crude).alias("confounding_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R344 Cramer's V + contingency coefficient (effect size for chi-square)
+# ---------------------------------------------------------------------------
+
+
+def _cramers_v_oracle_sql() -> str:
+    from zoom_spark.queries import ORACLE
+
+    return f"""
+    WITH cs AS ({ORACLE["chi_square_independence"]})
+    SELECT cs.n, cs.dof,
+           round(sqrt(cs.chi2 / (cs.n * least(
+             CAST((SELECT count(DISTINCT event_type) FROM events) - 1
+                  AS DOUBLE),
+             6.0))), 6) AS cramers_v,
+           round(sqrt(cs.chi2 / (cs.chi2 + cs.n)), 6)
+             AS contingency_coef
+    FROM cs
+    """
+
+
+@register("cramers_v_event_dow", sql=_cramers_v_oracle_sql())
+def cramers_v_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R344 Cramer's V and Pearson's contingency coefficient for the
+    event-type x day-of-week association: the EFFECT SIZES that make
+    the gated chi-square (chi_square_independence, whose SQL the
+    oracle embeds verbatim as a CTE — the Lepage composition pattern)
+    interpretable across sample sizes — V = sqrt(chi2 / (n * min(r-1,
+    c-1))), C = sqrt(chi2 / (chi2 + n)).  min(r-1, c-1) uses the
+    live event-type cardinality vs the 7-day calendar (6); both
+    inputs are the 6dp-rounded chi2 and exact n, identical on both
+    sides, so the composition is grid-exact."""
+    from zoom_spark.queries import QUERIES
+
+    cs = QUERIES["chi_square_independence"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.agg(
+        F.count_distinct("event_type").cast("bigint").alias("ktypes")
+    )
+    mindim = F.least((F.col("ktypes") - 1).cast("double"), F.lit(6.0))
+    return cs.crossJoin(F.broadcast(k)).select(
+        "n",
+        "dof",
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * mindim)), 6
+        ).alias("cramers_v"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 6
+        ).alias("contingency_coef"),
+    )
