@@ -268,9 +268,17 @@ def main() -> None:
         # untouched suspects keep their last full-battery numbers.
         for ln in lines[len(lines) - len(results):]:
             old_rows[ln.split("|")[1].strip()] = ln
-        lines = lines[: len(lines) - len(results)] + [
-            old_rows[s] for s in SUSPECTS if s in old_rows
-        ]
+        merged = []
+        for s in SUSPECTS:
+            if s in old_rows:
+                merged.append(old_rows[s])
+            else:
+                # ADVICE r9: never silently shrink the table — a suspect
+                # with neither a fresh row nor a prior one gets a visible
+                # placeholder so the gap is auditable.
+                print(f"WARNING: suspect {s} has no fresh or prior row")
+                merged.append(f"| {s} | — | — | — | MISSING (no run recorded) |")
+        lines = lines[: len(lines) - len(results)] + merged
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + tail)
     print("wrote BENCH_NOTES.md (upscale section)")

@@ -444,3 +444,31 @@ def test_star_contraction_raises_on_exhausted_iterations(spark):
     out = connected_components(chain).collect()
     assert all(r["component"] == 0 for r in out)
     assert len(out) == 201
+
+
+def test_window_fingerprints_empty_on_short_text(spark):
+    """ADVICE r9: text shorter than the window must emit NO window
+    hashes — sequence(1, 0) in Spark is [1, 0] (descending), which
+    used to hash truncated windows (and md5('') low-60 mod 16 == 0,
+    so every empty doc emitted a spurious fingerprint) while the
+    DuckDB oracle's range(1, 1) is empty."""
+    from zoom_spark.functions.text import (
+        md5_window_fingerprint,
+        rolling_hash_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [("", ), ("ab",), ("1234567",), ("12345678",), ("123456789",)],
+        "text string",
+    ).select(
+        "text",
+        md5_window_fingerprint("text", window=8, keep_mod=1).alias("md5fp"),
+        rolling_hash_fingerprint("text", window=8, keep_mod=1).alias("rollfp"),
+    )
+    rows = {r["text"]: r for r in df.collect()}
+    for short in ("", "ab", "1234567"):
+        assert rows[short]["md5fp"] == [], short
+        assert rows[short]["rollfp"] == [], short
+    # exactly at the window length: one window
+    assert len(rows["12345678"]["md5fp"]) == 1
+    assert len(rows["123456789"]["md5fp"]) == 2

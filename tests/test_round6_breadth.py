@@ -447,3 +447,52 @@ def test_table_checksum_detects_single_row_change(spark):
     h_old = int(hashlib.md5(s_old.encode()).hexdigest()[:8], 16)
     h_new = int(hashlib.md5(s_new.encode()).hexdigest()[:8], 16)
     assert h_old != h_new  # checksum in that bucket moves; others untouched
+
+
+def test_passjoin_short_name_recall(spark):
+    """ADVICE r9: the PassJoin core filters probe segments to l >= 1,
+    so names shorter than tau+1 = 3 chars need the direct short-name
+    verify path.  Plant a short-name vocabulary and referee against
+    brute-force Levenshtein over same-blk pairs."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.queries.warehouse_ops import _passjoin_name_pairs
+
+    names = ["ab", "a", "x ab", "abz", "ab ab", "zz ab", "q", "qq"]
+    nd = spark.createDataFrame(
+        [(n,) for n in names], "p_name string"
+    ).select(
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        F.length("p_name").alias("slen"),
+    )
+    got = {
+        (r["name_u"], r["name_v"], r["ed"])
+        for r in _passjoin_name_pairs(nd, tau=2).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def blk(n):
+        return n.split(" ")[-1]
+
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for a in names
+        for b in names
+        if a < b and blk(a) == blk(b) and lev(a, b) <= 2
+    }
+    # pairs involving len < 3 names must be present, e.g. ("ab", "x ab")
+    # (the contract also requires a shared last token, so e.g.
+    # ("a", "ab") is correctly absent — different blks)
+    assert ("ab", "x ab", 2) in want
+    assert got == want

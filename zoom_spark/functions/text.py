@@ -109,7 +109,12 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 8, keep_mod: int 
     (sequence + transform + filter) — no UDF."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+    # Guard: sequence(1, 0) evaluates DESCENDING to [1, 0] in Spark,
+    # which would hash spurious truncated windows for text shorter than
+    # `window` (DuckDB's range(1, 1) is empty) — emit no windows instead.
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     hashes = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(window))))
     kept = F.filter(hashes, lambda h: h % keep_mod == 0)
     return F.array_sort(F.array_distinct(kept))
@@ -154,7 +159,12 @@ def md5_window_fingerprint(
     UDF."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+    # Same short-text guard as rolling_hash_fingerprint: sequence(1, 0)
+    # is [1, 0] (descending), not empty — and md5('') low-60 mod 16 == 0,
+    # so every empty/short doc would emit a spurious fingerprint.
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     hashes = F.transform(
         idx,
         lambda i: F.conv(

@@ -1320,8 +1320,8 @@ def average_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH rev AS (
       SELECT s.s_nationkey AS nation, l.l_suppkey,
-             CAST(sum(CAST(l.l_extendedprice * 100 AS BIGINT))
-                  AS BIGINT) AS cents
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
       GROUP BY s.s_nationkey, l.l_suppkey
     ),
@@ -1354,7 +1354,10 @@ def herfindahl_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
         .agg(
-            F.sum((F.col("l_extendedprice") * 100).cast("bigint"))
+            # floor(x*100 + 0.5), NOT cast: Spark CAST(double AS BIGINT)
+            # truncates while DuckDB's rounds — the shared spelling keeps
+            # the cent grid identical cross-engine (bland_altman precedent).
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
             .cast("bigint")
             .alias("cents")
         )
@@ -1586,7 +1589,7 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH c AS (
       SELECT c_nationkey AS g,
-             CAST(c_acctbal * 100 AS BIGINT) AS x
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x
       FROM customer
     ),
     grp AS (
@@ -1635,7 +1638,9 @@ def icc_acctbal_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical until the final snap."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("g"),
-        (F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+        # Shared floor(x*100 + 0.5) cent spelling — Spark CAST truncates,
+        # DuckDB CAST rounds; round-half-up is identical cross-engine.
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
     )
     grp = c.groupBy("g").agg(
         F.count("*").cast("bigint").alias("n"),

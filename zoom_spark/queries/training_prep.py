@@ -5047,7 +5047,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1/16 of docs, both directions kept) against the corpus — the
     production similarity-lookup contract; all-pairs over a
     fixed-vocabulary corpus is quadratic in SF by construction
-    (109 s at sf0.1 when first benched; ~7 s re-scoped).
+    (109 s at sf0.1 when first benched; 15.1 s re-scoped in the
+    r9 driver bench).
     Per-token weights are rounded on both engines BEFORE the dot
     products. Threshold applied on the unrounded cosine consistently
     on both sides."""
