@@ -520,8 +520,9 @@ EXPECTATIONS = {
     # round-5 curation extras: class totals + 1-row class-average
     # broadcast; per-label top-5 is WindowGroupLimit-bounded
     "ctfidf_cluster_terms": dict(pushed=False, broadcast=True, cartesian=True),
-    # intentional broadcast corpus x corpus cross join (exact baseline;
-    # the scale path is the bucketed ANN family)
+    # fixed-size (HNP_BATCH=64) broadcast query batch x corpus scan —
+    # linear in the corpus since the r10 re-scope; the full-corpus
+    # scale path is the bucketed ANN family
     "hard_negative_pairs": dict(pushed=False, broadcast=False, cartesian=True),
     "kcore_parts": dict(pushed=False, broadcast=False, cartesian=False),
     # lag-7/lag-1 run over the calendar-bounded day-level pre-aggregate

@@ -96,6 +96,10 @@ SUSPECTS = [
     "simhash_dedup_docs",
     "hard_negative_pairs_ann",
     "hamming_knn_signbits",
+    # round 10: the re-scoped fixed-size (64) md5 query batch — work is
+    # 64 * N, so the 10x upscale should be ~linear (broadcast batch,
+    # map-side corpus scan)
+    "hard_negative_pairs",
 ]
 
 

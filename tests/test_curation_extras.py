@@ -63,8 +63,14 @@ def test_kcore_matches_python_referee_on_testdata(spark):
 
 
 def test_hard_negatives_match_numpy_referee(spark):
+    """Batch-contract query vs a full-corpus numpy referee: the rows
+    must be exactly the md5-smallest HNP_BATCH query ids, and each
+    row's negative must be the true full-corpus argmax (the batch
+    restricts the QUERY side only, never the candidate side)."""
+    import hashlib
+
     from zoom_spark.io import load_table
-    from zoom_spark.queries.curation_extras import hard_negative_pairs
+    from zoom_spark.queries.curation_extras import HNP_BATCH, hard_negative_pairs
 
     emb = load_table(spark, SF_DIR, "embeddings").toPandas()
     vecs = np.array([np.array(v, dtype=np.float64) for v in emb["embedding"]])
@@ -73,8 +79,17 @@ def test_hard_negatives_match_numpy_referee(spark):
     normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     sims = np.round(normed @ normed.T, 6)
     got = {r["vec_id"]: r for r in hard_negative_pairs(spark, SF_DIR).collect()}
-    assert len(got) == len(ids)
-    for i, vid in enumerate(ids):
+
+    def md5_low60(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+
+    want_batch = set(
+        sorted(ids.tolist(), key=lambda v: (md5_low60(v), v))[:HNP_BATCH]
+    )
+    assert set(got) == want_batch
+    idx = {vid: i for i, vid in enumerate(ids)}
+    for vid in want_batch:
+        i = idx[vid]
         mask = labels != labels[i]
         best_sim = sims[i][mask].max()
         # ties break to the highest neg_id
@@ -82,6 +97,36 @@ def test_hard_negatives_match_numpy_referee(spark):
         assert got[vid]["neg_id"] == cand, vid
         assert abs(got[vid]["sim"] - best_sim) < 1e-9
         assert got[vid]["neg_label"] != labels[i]
+
+
+def test_exact_hard_negatives_full_corpus_referee(spark):
+    """The exact full-corpus baseline (exact_hard_negatives, the
+    referee the ANN path and batch query are judged against) matches
+    numpy row-for-row over EVERY vector."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.curation_extras import exact_hard_negatives
+
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    vecs = np.array([np.array(v, dtype=np.float64) for v in emb["embedding"]])
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(normed @ normed.T, 6)
+    v = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vec"),
+    )
+    got = {r["vec_id"]: r for r in exact_hard_negatives(v).collect()}
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        mask = labels != labels[i]
+        best_sim = sims[i][mask].max()
+        cand = ids[mask][sims[i][mask] == best_sim].max()
+        assert got[vid]["neg_id"] == cand, vid
+        assert abs(got[vid]["sim"] - best_sim) < 1e-9
 
 
 def test_ctfidf_topk_per_label_and_term_provenance(spark):
@@ -155,7 +200,7 @@ def test_hard_negatives_ann_fullprobe_equals_exact_baseline(spark):
 
     from zoom_spark.io import load_table
     from zoom_spark.queries.curation_extras import (
-        hard_negative_pairs,
+        exact_hard_negatives,
         mine_hard_negatives_ann,
     )
 
@@ -167,7 +212,7 @@ def test_hard_negatives_ann_fullprobe_equals_exact_baseline(spark):
     got = sorted(
         map(tuple, mine_hard_negatives_ann(v, n_centroids=8, n_probe=8).collect())
     )
-    exact = sorted(map(tuple, hard_negative_pairs(spark, SF_DIR).collect()))
+    exact = sorted(map(tuple, exact_hard_negatives(v).collect()))
     assert got == exact
 
 

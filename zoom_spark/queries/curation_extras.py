@@ -104,50 +104,22 @@ def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hard_negative_pairs",
-    sql="""
-    WITH v AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT a.vec_id, a.label,
-             b.vec_id AS neg_id, b.label AS neg_label,
-             round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
-      FROM v a CROSS JOIN v b
-      WHERE a.label <> b.label
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-               PARTITION BY vec_id ORDER BY sim DESC, neg_id DESC) AS rn
-      FROM scored
-    )
-    SELECT vec_id, label, neg_id, neg_label, sim
-    FROM ranked WHERE rn = 1
-    """,
-)
-def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive hard-negative mining: for every vector, the single
-    most-cosine-similar vector carrying a DIFFERENT label — the pair a
-    metric-learning / embedding-finetune loop trains against. This is
-    the exact brute-force baseline (broadcast corpus x corpus,
-    JVM-side zip_with/aggregate math, one max-struct reduce per
-    vector — no window over the N^2 frame); at corpus scale the same
-    contract runs through the bucketed ANN paths (similarity/knn.py
-    LSH, ivf.py, pq.py) with the label filter applied post-probe.
-    Sim rounded to 6dp before the argmax; ties break to the highest
-    neg_id on both engines (max-struct vs DESC rank)."""
+HNP_BATCH = 64
+
+
+def exact_hard_negatives(v: DataFrame) -> DataFrame:
+    """Exact O(N^2) full-corpus hard-negative baseline: for every
+    vector, the single most-cosine-similar vector carrying a DIFFERENT
+    label (broadcast corpus x corpus, JVM-side zip_with/aggregate
+    math, one max-struct reduce per vector — no window over the N^2
+    frame).  Kept as the REFEREE for both the ANN scale path
+    (mine_hard_negatives_ann at full probes) and the registered
+    query-batch contract below; not itself a registry query since
+    round 10 (the r9 verdict's last quadratic-by-design plan).
+    Input: (vec_id, label, vec[double]).  Sim rounded to 6dp before
+    the argmax; ties break to the highest neg_id."""
     from zoom_spark.functions.vectors import cosine_with_norms, norm
 
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "vec"
-        ),
-    )
     a = v.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
@@ -172,6 +144,115 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a_id").alias("vec_id"),
             F.col("a_label").alias("label"),
+            F.struct(
+                sim.alias("sim"),
+                F.col("b_id").alias("neg_id"),
+                F.col("b_label").alias("neg_label"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("cand").alias("best"))
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("best.neg_id").alias("neg_id"),
+        F.col("best.neg_label").alias("neg_label"),
+        F.col("best.sim").alias("sim"),
+    )
+
+
+@register(
+    "hard_negative_pairs",
+    sql=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    q AS (
+      -- deterministic md5 query batch: the {HNP_BATCH} vectors with the
+      -- smallest (md5 low-60, vec_id) key — fixed-size, so total work
+      -- is {HNP_BATCH} * N (linear in the corpus)
+      SELECT vec_id, label, vec FROM v
+      ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT), vec_id
+      LIMIT {HNP_BATCH}
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             round(list_cosine_similarity(q.vec, b.vec), 6) AS sim
+      FROM q JOIN v b ON q.label <> b.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neg_id DESC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, label, neg_id, neg_label, sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining, query-batch contract (round
+    10 re-scope): for each vector in a deterministic md5 QUERY BATCH
+    (the HNP_BATCH = 64 vectors with the smallest (md5(vec_id) low-60,
+    vec_id) key — a TakeOrderedAndProject, no global sort), the single
+    most-cosine-similar corpus vector carrying a DIFFERENT label — the
+    pair a metric-learning / embedding-finetune loop trains against.
+
+    The batch is FIXED-SIZE, so total work is 64 * N: one broadcast of
+    the 64 queries against a map-side corpus scan, one max-struct
+    reduce per query — linear in the corpus, the production
+    contrastive-mining lookup shape (the r9 tfidf_cosine_pairs
+    precedent; the r9 verdict flagged the previous full N^2 crossJoin
+    as the last quadratic-by-design registry plan).  Full-corpus
+    mining at scale runs through the ANN path
+    (hard_negative_pairs_ann, 3*N^1.5 contract); the exact full-corpus
+    baseline lives on as exact_hard_negatives, referee-tested against
+    both at sf0.01.  Sim rounded to 6dp before the argmax; ties break
+    to the highest neg_id on both engines (max-struct vs DESC rank)."""
+    from zoom_spark.functions.vectors import cosine_with_norms, norm
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vec"
+        ),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    qbatch = (
+        v.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(HNP_BATCH)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("vec").alias("q_vec"),
+            norm(F.col("vec")).alias("q_norm"),
+        )
+    )
+    corpus = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("vec").alias("b_vec"),
+        norm(F.col("vec")).alias("b_norm"),
+    )
+    sim = F.round(
+        cosine_with_norms(
+            F.col("q_vec"), F.col("b_vec"), F.col("q_norm"), F.col("b_norm")
+        ),
+        6,
+    )
+    best = (
+        corpus.crossJoin(F.broadcast(qbatch))
+        .where(F.col("q_label") != F.col("b_label"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("q_label").alias("label"),
             F.struct(
                 sim.alias("sim"),
                 F.col("b_id").alias("neg_id"),
