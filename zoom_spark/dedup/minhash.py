@@ -288,11 +288,20 @@ def minhash_md5_dedup_pairs(
     shared floor(x*1e6+0.5) similarity snap.  Same band/bucket
     equi-join scale shape."""
     rows = num_hashes // bands
-    sig = df.select(
+    # ONE shingle frame feeds BOTH the signature and the verification
+    # join (round-10 perf fix: the sig side used to recompute the md5
+    # shingles from text — ~2x the md5 work).  The repartition barrier
+    # under `sh` makes the two consumers' exchange subtrees identical,
+    # so ReuseExchange computes the shingles once; the second barrier
+    # under `sig` stops CollapseProject from inlining the K-hash fold
+    # into each of the 8 band hashes.
+    sh = df.select(
         F.col(id_col).alias("id"),
-        minhash_md5_signature(
-            hashed_shingles_md5(F.col(text_col), shingle_n), num_hashes
-        ).alias("sig"),
+        hashed_shingles_md5(F.col(text_col), shingle_n).alias("sh"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sig = sh.select(
+        "id",
+        minhash_md5_signature(F.col("sh"), num_hashes).alias("sig"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     bands_arr = F.array(
         *[
@@ -324,10 +333,6 @@ def minhash_md5_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles_md5(F.col(text_col), shingle_n).alias("sh"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = (
         cands.join(
             sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a"

@@ -414,6 +414,7 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_assign,
         int_lloyd_fit,
         int_quantize,
+        lloyd_cache_key,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -428,7 +429,10 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the recall-vs-cost tradeoff of growing k is the documented
     # production contract
     n_probe = 3
-    cents = int_lloyd_fit(base, k=k, iters=HNA_ITERS)
+    cents = int_lloyd_fit(
+        base, k=k, iters=HNA_ITERS, n_rows=n,
+        cache_key=lloyd_cache_key(sf_dir, "embeddings", "embedding", HNA_QSCALE),
+    )
     dotl = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda a, b: a * b),
         F.lit(0).cast("long"),

@@ -205,13 +205,17 @@ def semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_assign,
         int_lloyd_fit,
         int_quantize,
+        lloyd_cache_key,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = int_quantize(
         emb, "embedding", "vec_id", SEMDEDUP_QSCALE
     ).localCheckpoint(eager=False)
-    cents = int_lloyd_fit(base, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    cents = int_lloyd_fit(
+        base, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS,
+        cache_key=lloyd_cache_key(sf_dir, "embeddings", "embedding", SEMDEDUP_QSCALE),
+    )
     dotl = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda a, b: a * b),
         F.lit(0).cast("long"),

