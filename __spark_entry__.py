@@ -29,100 +29,117 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.flagship_delta(spark, "/root/testdata/sf0.001")
 
 
-# Every name the driver has adjudicated in CORRECTNESS_r01..r08 —
+# Every name the driver has adjudicated in CORRECTNESS_r01..r09 —
 # the rotation fronts names NOT in this set (refresh per round).
 _DRIVER_SAMPLED = frozenset({
-    'ab_test_proportions', 'als_one_sweep_rmse', 'anova_f_segments',
-    'anti_join_customers', 'approx_distinct_parts',
-    'approx_quantiles_prices', 'array_functions', 'asof_forward_tolerance',
-    'asof_purchase_view', 'bayes_ab_prob_purchase',
-    'benchmark_contamination', 'bfs_reachable_parts', 'bigram_counts',
-    'bigram_logprob_quality', 'bitmap_day_activity', 'blocklist_scan_docs',
+    'ab_test_proportions', 'adamic_adar_link_prediction',
+    'als_one_sweep_rmse', 'anova_f_segments', 'anti_join_customers',
+    'approx_distinct_parts', 'approx_quantiles_prices', 'array_functions',
+    'asof_forward_tolerance', 'asof_purchase_view',
+    'association_rules_pairs', 'average_precision_purchase',
+    'bartlett_variance_priorities', 'bayes_ab_prob_purchase',
+    'benchmark_contamination', 'benford_first_digit', 'bfs_reachable_parts',
+    'bigram_counts', 'bigram_logprob_quality', 'bitmap_day_activity',
+    'bitmap_exact_distinct_customers', 'blocklist_scan_docs',
     'bm25_ranking', 'bpe_merge_candidates', 'bpe_token_counts',
     'campaign_gap_report', 'canonical_doc_ids', 'canonical_ids_chained',
     'case_when_buckets', 'chao1_shingle_richness',
-    'chi_square_independence', 'cohort_retention', 'collect_sorted_lines',
-    'community_labels_copurchase', 'conditional_entropy_props',
-    'conform_contract', 'corpus_to_shards_pipeline',
-    'correlated_scalar_vs_cust_avg', 'count_distinct_parts', 'count_rows',
-    'countmin_token_freq', 'cross_join_status_region',
-    'ctfidf_cluster_terms', 'cube_orders', 'curation_pipeline_e2e',
-    'date_functions', 'dbscan_embedding_cells', 'decision_stump_acctbal',
-    'decontaminate_ngram_overlap', 'dedup_exact_docs',
-    'diebold_mariano_revenue', 'distinct_status', 'doc_chunks',
+    'chi_square_independence', 'co_purchase_triangles',
+    'cochran_armitage_weekday_trend', 'cohort_retention',
+    'collect_sorted_lines', 'community_labels_copurchase',
+    'conditional_entropy_props', 'conform_contract',
+    'corpus_to_shards_pipeline', 'correlated_scalar_vs_cust_avg',
+    'count_distinct_parts', 'count_rows', 'countmin_token_freq',
+    'cross_join_status_region', 'ctfidf_cluster_terms', 'cube_orders',
+    'curation_pipeline_e2e', 'date_functions', 'dbscan_embedding_cells',
+    'decision_stump_acctbal', 'decontaminate_ngram_overlap',
+    'dedup_exact_docs', 'diebold_mariano_revenue',
+    'diff_in_diff_order_value', 'distinct_status', 'doc_chunks',
     'doc_fingerprints', 'docs_pipeline_clean', 'doremi_source_weights',
-    'dp_noisy_counts', 'dsir_importance_weights', 'duplicate_spans',
-    'duplicate_spans_invariant', 'durbin_watson_revenue_trend',
-    'effect_sizes_weekend', 'embedding_neardup', 'embedding_neardup_lsh',
+    'dp_noisy_counts', 'dq_constraint_report', 'dsir_importance_weights',
+    'duplicate_spans', 'duplicate_spans_invariant',
+    'durbin_watson_revenue_trend', 'effect_sizes_weekend',
+    'embedding_neardup', 'embedding_neardup_lsh',
     'epoch_timezone_functions', 'equidepth_histogram', 'except_customers',
-    'exists_heavy_lineitem', 'exponential_fit_interevent',
-    'feature_hashing_vectors', 'feature_information_gain',
-    'fellegi_sunter_part_linkage', 'filter_eq', 'flagship_delta',
-    'frequent_directions_spectrum', 'full_outer_balance',
-    'funnel_signup_purchase', 'gdpr_erasure_cascade',
-    'gini_customer_spend', 'gopher_quality_flags',
+    'exists_heavy_lineitem', 'explode_doc_tokens',
+    'exponential_fit_interevent', 'feature_hashing_vectors',
+    'feature_information_gain', 'fellegi_sunter_part_linkage', 'filter_eq',
+    'fisher_exact_weekend_purchase', 'flagship_delta',
+    'frequent_directions_spectrum', 'friedman_priority_by_weekday',
+    'full_outer_balance', 'funnel_signup_purchase', 'fuzzy_part_matches',
+    'gdpr_erasure_cascade', 'gini_customer_spend', 'gopher_quality_flags',
     'granger_count_to_revenue', 'groupby_multi_agg', 'grouping_sets_sql',
     'hard_negative_pairs', 'hard_negative_pairs_ann', 'heaps_law_fit',
-    'heavy_hitter_tokens', 'histogram_prices', 'hits_supplier_part',
-    'hll_distinct_users', 'holt_linear_forecast_revenue',
-    'holt_winters_forecast_revenue', 'horvitz_thompson_total',
-    'huber_regression_revenue_trend', 'in_subquery_parts',
+    'heavy_hitter_tokens', 'higher_order_arrays', 'histogram_prices',
+    'hits_supplier_part', 'hll_distinct_users',
+    'holt_linear_forecast_revenue', 'holt_winters_forecast_revenue',
+    'horvitz_thompson_total', 'huber_regression_revenue_trend',
+    'importance_weight_ess', 'in_subquery_parts',
     'incremental_agg_maintenance', 'intersect_customers',
-    'interval_join_campaigns', 'jackknife_ratio_revenue_per_order',
-    'jl_random_projection', 'join_enrich', 'js_divergence_sources',
-    'k_truss_copurchase', 'kcore_parts', 'kll_quantile_sketch_prices',
-    'kmeans_corpus_cells', 'knn_bruteforce', 'knn_ivf',
-    'knn_ivf_fullprobe', 'knn_ivfpq', 'knn_lsh_bucketed', 'knn_pq_adc',
-    'kruskal_wallis_segments', 'label_centroids', 'lag_lead_orders',
+    'interval_join_campaigns', 'isotonic_calibration',
+    'jackknife_ratio_revenue_per_order', 'jl_random_projection',
+    'join_enrich', 'js_divergence_sources', 'k_truss_copurchase',
+    'kcore_parts', 'kll_quantile_sketch_prices', 'kmeans_corpus_cells',
+    'knn_bruteforce', 'knn_ivf', 'knn_ivf_fullprobe', 'knn_ivfpq',
+    'knn_lsh_bucketed', 'knn_pq_adc', 'kruskal_wallis_segments',
+    'ks_test_weekend_value', 'label_centroids', 'lag_lead_orders',
     'lang_id', 'lateral_top_orders_per_customer',
     'latest_order_per_customer', 'left_lateral_latest_urgent_order',
     'lift_gains_deciles', 'linear_interp_fill', 'ljung_box_daily_revenue',
     'logrank_arm_conversion', 'logreg_purchase_model',
-    'mad_robust_anomaly', 'mann_whitney_u_weekend', 'map_functions',
-    'margin_mutual_knn_pairs', 'math_functions', 'median_ci_order_stats',
+    'louvain_moves_copurchase', 'mad_robust_anomaly',
+    'mann_whitney_u_weekend', 'map_functions', 'margin_mutual_knn_pairs',
+    'math_functions', 'mcc_value_classifier', 'median_ci_order_stats',
     'merge_order_intervals', 'minhash_dedup_docs', 'mix_shard_pipeline',
     'mixing_budget_allocation', 'mmr_rerank_topk',
     'multimodal_audio_envelope', 'multimodal_decode_wav_ppm',
     'multimodal_features', 'multimodal_metadata',
     'multimodal_pitch_autocorr', 'multimodal_resize_ppm',
     'multimodal_spectral_features', 'multimodal_video_frame_sample',
-    'nelson_aalen_conversion', 'nested_json_extract', 'ngram_jaccard_dups',
-    'not_exists_quiet_customers', 'novelty_ngram_score', 'null_handling',
-    'null_safe_join_segments', 'ols_normal_equations',
-    'orders_lineitem_reconciliation', 'outer_join_counts',
-    'pack_docs_into_shards', 'pack_shards_token_budget', 'pagerank_parts',
-    'partial_correlation_daily', 'pca_project_corpus', 'pii_redaction',
-    'pinball_loss_weekday_quantiles', 'pivot_status_counts',
-    'posting_lists', 'powerlaw_degree_fit', 'ppm_phash_neardup',
-    'quality_scores', 'quantile_normalize_spend',
-    'quota_sample_per_source', 'range_join_ship_lag',
-    'rank_orders_by_price', 'readability_scores', 'recursive_tree_depth',
-    'regexp_groups', 'repetition_stats', 'rfm_scores',
-    'robust_winnow_fingerprints', 'roc_auc_purchase_value',
+    'nelson_aalen_conversion', 'nested_json_extract', 'neyman_allocation',
+    'ngram_jaccard_dups', 'not_exists_quiet_customers',
+    'novelty_ngram_score', 'null_handling', 'null_safe_join_segments',
+    'ols_normal_equations', 'orders_lineitem_reconciliation',
+    'outer_join_counts', 'overdispersion_daily_events',
+    'pacf_daily_revenue', 'pack_docs_into_shards',
+    'pack_shards_token_budget', 'pagerank_parts',
+    'partial_correlation_daily', 'pca_project_corpus', 'percentile_prices',
+    'pii_redaction', 'pinball_loss_weekday_quantiles',
+    'pivot_status_counts', 'posting_lists', 'powerlaw_degree_fit',
+    'ppm_phash_neardup', 'quality_scores', 'quantile_normalize_spend',
+    'quota_sample_per_source', 'range_frame_rolling_revenue',
+    'range_join_ship_lag', 'rank_orders_by_price', 'readability_scores',
+    'recursive_tree_depth', 'regexp_groups', 'repetition_stats',
+    'rfm_scores', 'robust_winnow_fingerprints', 'roc_auc_purchase_value',
     'rollup_lineitem', 'running_sum_per_customer',
     'runs_test_purchase_sequence', 'scalar_subquery_above_avg',
     'seasonal_naive_mase', 'semdedup_corpus', 'semi_join_customers',
     'session_window_events', 'sessionize_events_sql',
     'shapley_channel_attribution', 'shuffle_shards_deterministic',
-    'simhash_dedup_docs', 'sliding_window_events', 'snapshot_diff_orders',
-    'stats_aggregates', 'stratified_sample_docs', 'string_functions',
-    'target_encoding_oof', 'tdigest_quantiles_prices',
-    'temperature_mix_sample', 'text_stats', 'textrank_keywords',
-    'tfidf_top_terms', 'time_travel_asof_orders', 'time_weighted_avg',
-    'topk_orders', 'touch_attribution', 'tpch_q11_important_parts',
+    'simhash_dedup_docs', 'skyline_orders', 'sliding_window_events',
+    'snapshot_diff_orders', 'sorted_neighborhood_pairs',
+    'sprt_purchase_rate', 'srm_check_assignment', 'stats_aggregates',
+    'stratified_sample_docs', 'string_functions', 'target_encoding_oof',
+    'tdigest_quantiles_prices', 'temperature_mix_sample', 'text_stats',
+    'textrank_keywords', 'tfidf_cosine_pairs', 'tfidf_top_terms',
+    'theil_sen_revenue_trend', 'theta_sketch_segment_overlap',
+    'time_travel_asof_orders', 'time_weighted_avg', 'topk_orders',
+    'touch_attribution', 'tpch_q11_important_parts',
     'tpch_q12_priority_by_returnflag', 'tpch_q13_order_distribution',
+    'tpch_q15_top_supplier', 'tpch_q16_supplier_cnt',
     'tpch_q17_small_quantity_revenue', 'tpch_q18_large_orders',
     'tpch_q19_disjunctive_revenue', 'tpch_q1_pricing',
-    'tpch_q2_top_supplier_per_nation', 'tpch_q3_shipping',
-    'tpch_q4_priority_count', 'tpch_q5_local_revenue',
+    'tpch_q20_excess_suppliers', 'tpch_q2_top_supplier_per_nation',
+    'tpch_q3_shipping', 'tpch_q4_priority_count', 'tpch_q5_local_revenue',
     'tpch_q6_forecast_revenue', 'tpch_q7_nation_volume',
-    'tpch_q8_market_share', 'train_val_test_split',
-    'tumbling_window_events', 'unigram_logprob_quality',
-    'union_pages_drift', 'unpivot_order_metrics', 'url_domain_stats',
-    'url_encode_names', 'user_value_slope', 'vocab_doc_frequency',
+    'tpch_q8_market_share', 'train_val_test_split', 'try_functions',
+    'tukey_hsd_segments', 'tumbling_window_events',
+    'unigram_logprob_quality', 'union_pages_drift', 'unpivot_order_metrics',
+    'url_domain_stats', 'url_encode_names', 'user_value_slope',
+    'vocab_doc_frequency', 'wasserstein_weekend_value',
     'watermark_next_day', 'weighted_jaccard_adjacent',
-    'weighted_minhash_dedup_docs', 'weighted_sample_docs',
-    'winnow_fingerprints', 'zscore_anomaly_events'
+    'weighted_minhash_dedup_docs', 'weighted_sample_docs', 'window_frames',
+    'winnow_fingerprints', 'woe_iv_acctbal', 'zscore_anomaly_events'
 })
 
 
@@ -138,7 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Because the gate samples only the first ~50 each round while the
     registry holds 350+, each module's list is ordered NEVER-DRIVER-
     SAMPLED names first (the frozen ``_DRIVER_SAMPLED`` set below holds
-    every name adjudicated in CORRECTNESS_r01..r08 — refresh it each
+    every name adjudicated in CORRECTNESS_r01..r09 — refresh it each
     round), each sublist rotated by a per-round offset (bump
     ``ROTATION_ROUND``), so each round's prefix sample adjudicates
     queries the driver has never seen while still covering every
@@ -148,25 +165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     from itertools import zip_longest
 
-    # Round 9: the rewritten fuzzy matcher (new plan, same contract)
-    # plus this round's rows-only → oracle-hashed conversions, pinned
-    # so the driver verifies the new contracts immediately.
+    # Round 10: gate-contract changes pinned for immediate driver
+    # adjudication — hard_negative_pairs re-scoped to the fixed-size
+    # md5 query batch (new output), herfindahl/icc switched to the
+    # shared round-half-up cent grid (values moved on the new grid).
     resample_first = (
-        "fuzzy_part_matches",
-        "isotonic_calibration",
-        "kmeans_corpus_cells",
-        "semdedup_corpus",
-        "knn_ivf",
-        "knn_lsh_bucketed",
-        "knn_pq_adc",
-        "knn_ivfpq",
-        "winnow_fingerprints",
-        "simhash_dedup_docs",
-        "minhash_dedup_docs",
-        "hard_negative_pairs_ann",
-        "tfidf_cosine_pairs",
+        "hard_negative_pairs",
+        "herfindahl_supplier_nation",
+        "icc_acctbal_nation",
     )
-    ROTATION_ROUND = 9
+    ROTATION_ROUND = 10
     by_module: dict[str, list[tuple[str, Callable]]] = {}
     for name, fn in Q.QUERIES.items():
         if name in resample_first:
