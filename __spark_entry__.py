@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_pairs",
         "herfindahl_supplier_nation",
         "icc_acctbal_nation",
+        # rows-only -> oracle conversions (new value contracts)
+        "pack_shards_token_budget",
+        "approx_distinct_parts",
     )
     ROTATION_ROUND = 10
     by_module: dict[str, list[tuple[str, Callable]]] = {}

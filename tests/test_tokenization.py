@@ -127,3 +127,30 @@ def test_pack_shards_token_budget_properties(spark):
     for sid, weights in by_shard.items():
         assert sum(weights[:-1]) <= TOKEN_BUDGET, (sid, sum(weights))
         assert sum(weights) <= TOKEN_BUDGET + weights[-1]
+
+
+def test_pack_by_budget_bpe_weights(spark):
+    """The BPE-exact packing variant (r10: the registered query now
+    packs by the portable chars/4 estimate so it can value-hash; the
+    BPE weight path stays covered here): same contiguity and budget
+    properties over bpe_token_counts' n_tokens."""
+    from zoom_spark.operators.prefix import pack_by_budget
+    from zoom_spark.queries.tokenization import (
+        TOKEN_BUDGET,
+        _encoded_docs,
+    )
+
+    enc = _encoded_docs(spark, SF_DIR).select("doc_id", "n_tokens")
+    rows = sorted(
+        pack_by_budget(
+            enc, order_col="doc_id", weight_col="n_tokens", budget=TOKEN_BUDGET
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    shard_seq = [r["shard_id"] for r in rows]
+    assert shard_seq == sorted(shard_seq)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["n_tokens"])
+    for sid, weights in by_shard.items():
+        assert sum(weights[:-1]) <= TOKEN_BUDGET, (sid, sum(weights))

@@ -122,3 +122,42 @@ def test_theta_sketch_overlap_matches_exact_disjoint_and_union(spark):
         exact_union = r["n_a"] + r["n_b"]
         assert abs(r["est_union"] - exact_union) <= max(2, 0.02 * exact_union)
         assert r["est_intersection"] <= max(2, 0.02 * exact_union)
+
+
+def test_kmv_distinct_estimate_referee_and_error_bound(spark):
+    """approx_distinct_parts (r10: portable KMV bottom-64 sketch).
+    A pure-Python md5 KMV referee must reproduce the estimate
+    EXACTLY (it is a deterministic order statistic), and the estimate
+    must sit within ~4/sqrt(K-2) relative error of the exact count."""
+    import hashlib
+
+    from zoom_spark.io import load_table
+    from zoom_spark.queries.analytics import KMV_K, approx_distinct_parts
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    ).toPandas()
+    got = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in approx_distinct_parts(spark, SF_DIR).collect()
+    }
+    import math
+
+    for flag, grp in li.groupby("l_returnflag"):
+        vals = set(grp["l_partkey"])
+        hashes = sorted(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in vals
+        )
+        bottom = hashes[:KMV_K]
+        if len(bottom) < KMV_K:
+            want = float(len(bottom))
+        else:
+            want = (
+                math.floor((KMV_K - 1) * float(1 << 60) / bottom[-1] * 1e4 + 0.5)
+                / 1e4
+            )
+        assert got[flag] == want, (flag, got[flag], want)
+        # statistical sanity: within ~4 standard errors of exact
+        exact = len(vals)
+        assert abs(got[flag] - exact) <= 4 / math.sqrt(KMV_K - 2) * exact + 2

