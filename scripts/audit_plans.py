@@ -823,6 +823,18 @@ EXPECTATIONS = {
     "cramers_v_event_dow": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # --- round 10 ---
+    # R345: the pairwise sign join is t_i < t_j over the CALENDAR-DAY
+    # frame (T ~ 2400 at sf0.1, fixed by the date range, not row
+    # volume) — bounded BNLJ by construction
+    "pettitt_daily_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R347: 1-row block-count scalar crossed onto the 1-row L frame
+    # (scalar BNLJ); the within-block rank join is equi on blk
+    "pages_trend_weekday": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 
