@@ -835,6 +835,16 @@ EXPECTATIONS = {
     "pages_trend_weekday": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R350: block-range ranking is an m x m join over the WEEK frame
+    # (m ~ 340, calendar-bounded) + 1-row scalar crosses
+    "quade_weekday_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R351: 1-row rounded-fit scalars crossed onto the day frame
+    # (same waiver as the gated durbin_watson residual pass)
+    "breusch_pagan_daily": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -116,3 +116,141 @@ def test_pages_trend_matches_pandas(spark):
     assert r["n_blocks"] == m
     assert abs(r["l_stat"] - l_stat) < 0.51
     assert abs(r["z"] - z) < 1e-4
+
+
+def _ratings(spark, sf_dir):
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    li["cents"] = (li["l_extendedprice"] * 100 + 0.5).apply(math.floor)
+    g = li.groupby("l_orderkey").agg(
+        gross=("cents", "sum"), qty=("l_quantity", "sum")
+    )
+    m = o.merge(g, left_on="o_orderkey", right_index=True)
+
+    def cat(v, lo, hi):
+        return 0 if v < lo else (1 if v < hi else 2)
+
+    return pd.DataFrame(
+        {
+            "c1": [cat(v, 77000, 150000) for v in m["o_totalprice"]],
+            "c2": [cat(v, 7500000, 14500000) for v in m["gross"]],
+            "c3": [cat(v, 60, 120) for v in m["qty"]],
+        }
+    )
+
+
+def test_fleiss_kappa_matches_textbook(spark):
+    """Textbook Fleiss: per-item P_i from the n_ij matrix (NOT the
+    equal-pair shortcut the query uses)."""
+    from zoom_spark.queries.round10_ops import fleiss_kappa_orders
+
+    rat = _ratings(spark, SF_DIR)
+    n, m, k = len(rat), 3, 3
+    nij = np.zeros((n, k))
+    for j in range(k):
+        nij[:, j] = (
+            (rat["c1"] == j).astype(int)
+            + (rat["c2"] == j)
+            + (rat["c3"] == j)
+        )
+    p_i = ((nij**2).sum(axis=1) - m) / (m * (m - 1))
+    p_bar = p_i.mean()
+    p_j = nij.sum(axis=0) / (n * m)
+    p_e = (p_j**2).sum()
+    kappa = (p_bar - p_e) / (1 - p_e)
+    [r] = fleiss_kappa_orders(spark, SF_DIR).collect()
+    assert r["n_items"] == n
+    assert abs(r["p_bar"] - p_bar) < 1e-6
+    assert abs(r["p_e"] - p_e) < 1e-6
+    assert abs(r["kappa"] - kappa) < 1e-5
+    assert 0 < r["kappa"] < 1  # correlated-but-not-identical raters
+
+
+def test_krippendorff_alpha_matches_textbook(spark):
+    """Nominal-metric alpha via the coincidence-matrix formulation."""
+    from zoom_spark.queries.round10_ops import krippendorff_alpha_orders
+
+    rat = _ratings(spark, SF_DIR)
+    n, m, k = len(rat), 3, 3
+    nij = np.zeros((n, k))
+    for j in range(k):
+        nij[:, j] = (
+            (rat["c1"] == j).astype(int)
+            + (rat["c2"] == j)
+            + (rat["c3"] == j)
+        )
+    big_n = n * m
+    # observed disagreement: fraction of within-item rater pairs that
+    # disagree; expected: pooled margins without replacement
+    agree_pairs = (nij * (nij - 1)).sum() / 2
+    total_pairs = n * m * (m - 1) / 2
+    d_o = 1 - agree_pairs / total_pairs
+    nj = nij.sum(axis=0)
+    d_e = 1 - (nj * (nj - 1)).sum() / (big_n * (big_n - 1))
+    alpha = 1 - d_o / d_e
+    [r] = krippendorff_alpha_orders(spark, SF_DIR).collect()
+    assert r["n_items"] == n
+    assert abs(r["d_o"] - d_o) < 1e-6
+    assert abs(r["d_e"] - d_e) < 1e-6
+    assert abs(r["alpha"] - alpha) < 1e-5
+    # alpha and Fleiss' kappa converge for large N (sanity ordering)
+    assert abs(r["alpha"]) <= 1
+
+
+def test_quade_matches_scipy_formulation(spark):
+    """Quade F from the original formulation over a pandas pivot."""
+    from zoom_spark.queries.round10_ops import quade_weekday_revenue
+
+    d = _daily_at(spark, SF01).reset_index()
+    d.columns = ["day", "cents"]
+    anchor = pd.Timestamp("1990-01-01")
+    d["blk"] = ((d["day"] - anchor).dt.days // 7).astype(int)
+    d["dow"] = ((d["day"] - anchor).dt.days % 7).astype(int)
+    full = d.groupby("blk").size()
+    d = d[d["blk"].isin(full[full == 7].index)]
+    piv = d.pivot(index="blk", columns="dow", values="cents")
+    m, k = piv.shape
+    r = piv.rank(axis=1, method="average")
+    rge = (piv.max(axis=1) - piv.min(axis=1)).rank(method="average")
+    s = r.sub((k + 1) / 2).mul(rge, axis=0)
+    a_stat = (s**2).to_numpy().sum()
+    sj = s.sum(axis=0)
+    b_stat = (sj**2).sum() / m
+    f = (m - 1) * b_stat / (a_stat - b_stat)
+    [row] = quade_weekday_revenue(spark, SF01).collect()
+    assert row["n_blocks"] == m
+    assert abs(row["a_stat"] - a_stat) < 0.51
+    assert abs(row["b_stat"] - b_stat) < 0.51
+    assert abs(row["quade_f"] - f) < 1e-3
+
+
+def test_breusch_pagan_matches_numpy(spark):
+    """Koenker BP from the rounded-fit residuals (same fit rounding
+    as the query, textbook aux-R^2 path)."""
+    from zoom_spark.queries.round10_ops import breusch_pagan_daily
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    rev = o.groupby(o["o_orderdate"].dt.normalize())["o_totalprice"].sum().round(2).sort_index()
+    t = np.arange(1, len(rev) + 1, dtype=np.float64)
+    y = rev.to_numpy(dtype=np.float64)
+    n = len(y)
+    b = round((n * (t * y).sum() - t.sum() * y.sum())
+              / (n * (t * t).sum() - t.sum() ** 2), 6)
+    a = round((y.sum() - b * t.sum()) / n, 4)
+    g2 = (y - (a + b * t)) ** 2
+    rho = (n * (t * g2).sum() - t.sum() * g2.sum()) / math.sqrt(
+        (n * (t * t).sum() - t.sum() ** 2)
+        * (n * (g2 * g2).sum() - g2.sum() ** 2)
+    )
+    [r] = breusch_pagan_daily(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert abs(r["r2_aux"] - rho * rho) < 1e-5
+    assert abs(r["lm_stat"] - n * rho * rho) < 1e-2

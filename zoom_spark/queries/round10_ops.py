@@ -57,18 +57,6 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn("t", F.row_number().over(w).cast("long"))
 
 
-_DAILY_CENTS_SQL = """
-    daily AS MATERIALIZED (
-      SELECT day, t, cents FROM (
-        SELECT CAST(o_orderdate AS DATE) AS day,
-               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                    AS BIGINT) AS cents
-        FROM orders GROUP BY 1
-      ) d
-      CROSS JOIN LATERAL (SELECT 1) dummy(one)
-      WINDOW dummy_w AS (ORDER BY day)
-    )
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -416,4 +404,458 @@ def pages_trend_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (7.0 * 8 * F.sqrt(md * 7 * 6)),
             6,
         ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R348/R349 multi-rater agreement: Fleiss' kappa, Krippendorff's alpha
+# ---------------------------------------------------------------------------
+
+_RATERS_SQL = """
+    rated AS MATERIALIZED (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_totalprice < 77000 THEN 0
+                  WHEN o.o_totalprice < 150000 THEN 1 ELSE 2 END AS c1,
+             CASE WHEN l.gross < 7500000 THEN 0
+                  WHEN l.gross < 14500000 THEN 1 ELSE 2 END AS c2,
+             CASE WHEN l.qty < 60 THEN 0
+                  WHEN l.qty < 120 THEN 1 ELSE 2 END AS c3
+      FROM orders o
+      JOIN (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS gross,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_orderkey
+      ) l ON l.l_orderkey = o.o_orderkey
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END
+                    + CASE WHEN c1 = c3 THEN 1 ELSE 0 END
+                    + CASE WHEN c2 = c3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pairs,
+             CAST(sum(CASE WHEN c1 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN c2 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN c3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN c1 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN c2 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c1 = 2 THEN 1 ELSE 0 END
+                    + CASE WHEN c2 = 2 THEN 1 ELSE 0 END
+                    + CASE WHEN c3 = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM rated
+    )
+"""
+
+
+def _rated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, c1, c2, c3): three deterministic order-size
+    'raters' — header total price, line gross (exact cents), total
+    quantity — each bucketing every order into {small, mid, large}.
+    Correlated but not identical, the classic inter-rater shape."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("gross"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    cat = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, 0).when(c < hi, 1).otherwise(2)
+    )
+    return o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        "o_orderkey",
+        cat(F.col("o_totalprice"), 77000, 150000).alias("c1"),
+        cat(F.col("gross"), 7500000, 14500000).alias("c2"),
+        cat(F.col("qty"), 60, 120).alias("c3"),
+    )
+
+
+def _rater_counts(rated: DataFrame) -> DataFrame:
+    eq = lambda a, b: F.when(F.col(a) == F.col(b), 1).otherwise(0)  # noqa: E731
+    isj = lambda c, j: F.when(F.col(c) == j, 1).otherwise(0)  # noqa: E731
+    return rated.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(eq("c1", "c2") + eq("c1", "c3") + eq("c2", "c3"))
+        .cast("long")
+        .alias("pairs"),
+        F.sum(isj("c1", 0) + isj("c2", 0) + isj("c3", 0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(isj("c1", 1) + isj("c2", 1) + isj("c3", 1))
+        .cast("long")
+        .alias("n1"),
+        F.sum(isj("c1", 2) + isj("c2", 2) + isj("c3", 2))
+        .cast("long")
+        .alias("n2"),
+    )
+
+
+@register(
+    "fleiss_kappa_orders",
+    sql=f"""
+    WITH {_RATERS_SQL.strip()}
+    SELECT n AS n_items,
+           round((CAST(3 * n + 2 * pairs AS DOUBLE) - 3.0 * n)
+                 / (3.0 * n * 2), 6) AS p_bar,
+           round((CAST(n0 AS DOUBLE) * n0 + CAST(n1 AS DOUBLE) * n1
+                  + CAST(n2 AS DOUBLE) * n2) / (9.0 * n * n), 6) AS p_e,
+           round(((CAST(3 * n + 2 * pairs AS DOUBLE) - 3.0 * n)
+                    / (3.0 * n * 2)
+                  - (CAST(n0 AS DOUBLE) * n0 + CAST(n1 AS DOUBLE) * n1
+                     + CAST(n2 AS DOUBLE) * n2) / (9.0 * n * n))
+                 / (1 - (CAST(n0 AS DOUBLE) * n0 + CAST(n1 AS DOUBLE) * n1
+                         + CAST(n2 AS DOUBLE) * n2) / (9.0 * n * n)),
+                 6) AS kappa
+    FROM counts
+    """,
+)
+def fleiss_kappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R348 Fleiss' kappa (1971): chance-corrected agreement of m = 3
+    raters assigning n items to k = 3 categories — the multi-rater
+    generalization of the gated Cohen's kappa (R84, which handles
+    exactly 2 raters).  Raters are three deterministic order-size
+    signals (header price, exact-cent line gross, total quantity).
+    With m = 3, per-item agreement reduces to the EQUAL-PAIR count:
+    sum_j n_ij^2 = 3 + 2 * (#equal rater pairs), so P-bar and P-e
+    both have INTEGER numerators (no per-item float mean) and kappa
+    is an exact-operand double.  One pass over orders + one
+    lineitem rollup at any scale."""
+    counts = _rater_counts(_rated_orders(spark, sf_dir))
+    nd = F.col("n").cast("double")
+    s2 = (3 * F.col("n") + 2 * F.col("pairs")).cast("double")
+    p_bar = (s2 - 3.0 * F.col("n")) / (3.0 * F.col("n") * 2)
+    p_e = (
+        F.col("n0").cast("double") * F.col("n0")
+        + F.col("n1").cast("double") * F.col("n1")
+        + F.col("n2").cast("double") * F.col("n2")
+    ) / (9.0 * nd * nd)
+    return counts.select(
+        F.col("n").alias("n_items"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1 - p_e), 6).alias("kappa"),
+    )
+
+
+@register(
+    "krippendorff_alpha_orders",
+    sql=f"""
+    WITH {_RATERS_SQL.strip()}
+    SELECT n AS n_items,
+           round(1 - (CAST(3 * n + 2 * pairs AS DOUBLE) - 3.0 * n)
+                     / (3.0 * n * 2), 6) AS d_o,
+           round(1 - (CAST(n0 AS DOUBLE) * (n0 - 1)
+                      + CAST(n1 AS DOUBLE) * (n1 - 1)
+                      + CAST(n2 AS DOUBLE) * (n2 - 1))
+                     / (CAST(3 * n AS DOUBLE) * (3 * n - 1)), 6) AS d_e,
+           round(1 - (1 - (CAST(3 * n + 2 * pairs AS DOUBLE) - 3.0 * n)
+                          / (3.0 * n * 2))
+                     / (1 - (CAST(n0 AS DOUBLE) * (n0 - 1)
+                             + CAST(n1 AS DOUBLE) * (n1 - 1)
+                             + CAST(n2 AS DOUBLE) * (n2 - 1))
+                            / (CAST(3 * n AS DOUBLE) * (3 * n - 1))),
+                 6) AS alpha
+    FROM counts
+    """,
+)
+def krippendorff_alpha_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R349 Krippendorff's alpha (nominal metric, complete data) over
+    the same 3-rater order-size matrix as R348: alpha = 1 - Do/De
+    where Do is observed within-item disagreement and De the
+    disagreement expected from the pooled category margins WITHOUT
+    replacement (N_j(N_j - 1)/(N(N-1)) — the small-sample correction
+    that distinguishes alpha from Fleiss' kappa; the two converge as
+    N grows).  Integer numerators throughout, same single-pass
+    shape."""
+    counts = _rater_counts(_rated_orders(spark, sf_dir))
+    s2 = (3 * F.col("n") + 2 * F.col("pairs")).cast("double")
+    d_o = 1 - (s2 - 3.0 * F.col("n")) / (3.0 * F.col("n") * 2)
+    nn = (3 * F.col("n")).cast("double")
+    d_e = 1 - (
+        F.col("n0").cast("double") * (F.col("n0") - 1)
+        + F.col("n1").cast("double") * (F.col("n1") - 1)
+        + F.col("n2").cast("double") * (F.col("n2") - 1)
+    ) / (nn * (nn - 1))
+    return counts.select(
+        F.col("n").alias("n_items"),
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(1 - d_o / d_e, 6).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R350 Quade test (weighted rank block test across weekdays)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quade_weekday_revenue",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') // 7
+                  AS BIGINT) AS blk,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 7
+                  AS BIGINT) AS dow,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    full_blk AS (SELECT blk FROM d GROUP BY blk HAVING count(*) = 7),
+    k AS MATERIALIZED (SELECT d.* FROM d JOIN full_blk USING (blk)),
+    r AS (   -- within-block average ranks (7x7 block-bounded join)
+      SELECT a.blk, a.dow,
+             sum(CASE WHEN b.cents < a.cents THEN 1.0
+                      WHEN b.cents = a.cents THEN 0.5 ELSE 0 END) + 0.5
+               AS rnk
+      FROM k a JOIN k b ON a.blk = b.blk
+      GROUP BY a.blk, a.dow
+    ),
+    rng AS (   -- block sample ranges, ranked across blocks (avg ties)
+      SELECT blk, max(cents) - min(cents) AS rge FROM k GROUP BY blk
+    ),
+    q AS (
+      SELECT a.blk,
+             sum(CASE WHEN b.rge < a.rge THEN 1.0
+                      WHEN b.rge = a.rge THEN 0.5 ELSE 0 END) + 0.5 AS qb
+      FROM rng a JOIN rng b ON true
+      GROUP BY a.blk, a.rge
+    ),
+    s AS (
+      SELECT r.blk, r.dow, q.qb * (r.rnk - 4.0) AS sbj
+      FROM r JOIN q USING (blk)
+    ),
+    sj AS (SELECT dow, sum(sbj) AS sj FROM s GROUP BY dow),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM full_blk) AS m,
+             (SELECT sum(sbj * sbj) FROM s) AS a_stat,
+             sum(sj * sj) AS bsum
+      FROM sj
+    )
+    SELECT m AS n_blocks,
+           round(a_stat, 4) AS a_stat,
+           round(bsum / m, 4) AS b_stat,
+           round((m - 1) * (bsum / m) / (a_stat - bsum / m), 6) AS quade_f
+    FROM agg
+    """,
+)
+def quade_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R350 Quade test (1979): the block-weighted rank test across the
+    7 weekdays over complete calendar weeks — Friedman (gated, R?)
+    weights every block equally, Quade up-weights blocks with LARGER
+    within-block spread (block weight = rank of the block's sample
+    range), which is more powerful when effect size scales with block
+    variability.  F = (m-1)B/(A-B) with S_bj = Q_b(r_bj - (k+1)/2).
+    Within-block ranks come from the 7x7 block-bounded join; block
+    range ranks from the m x m block-frame join (m ~ calendar weeks —
+    bounded by the date range, not row volume).  Ranks and ranges are
+    exact (0.5 grid over exact cents), so A and B are exact 0.25-grid
+    sums and F is an exact-operand double."""
+    anchor = F.lit("1990-01-01").cast("date")
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.datediff(F.col("o_orderdate").cast("date"), anchor) / 7)
+            .cast("long")
+            .alias("blk"),
+            (F.datediff(F.col("o_orderdate").cast("date"), anchor) % 7)
+            .cast("long")
+            .alias("dow"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    full_blk = d.groupBy("blk").count().where(F.col("count") == 7).select("blk")
+    k = d.join(full_blk, on="blk").localCheckpoint(eager=False)
+    b = k.select(F.col("blk").alias("blk2"), F.col("cents").alias("c2"))
+    r = (
+        k.join(b, F.col("blk") == F.col("blk2"))
+        .groupBy("blk", "dow")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("c2") < F.col("cents"), 1.0)
+                    .when(F.col("c2") == F.col("cents"), 0.5)
+                    .otherwise(0.0)
+                )
+                + 0.5
+            ).alias("rnk")
+        )
+    )
+    rng = k.groupBy("blk").agg(
+        (F.max("cents") - F.min("cents")).alias("rge")
+    )
+    rng2 = rng.select(F.col("rge").alias("rge2"))
+    q = (
+        rng.crossJoin(rng2)
+        .groupBy("blk", "rge")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("rge2") < F.col("rge"), 1.0)
+                    .when(F.col("rge2") == F.col("rge"), 0.5)
+                    .otherwise(0.0)
+                )
+                + 0.5
+            ).alias("qb")
+        )
+        .select("blk", "qb")
+    )
+    s = r.join(q, on="blk").select(
+        "dow", (F.col("qb") * (F.col("rnk") - 4.0)).alias("sbj")
+    ).localCheckpoint(eager=False)
+    a_stat = s.agg(F.sum(F.col("sbj") * F.col("sbj")).alias("a_stat"))
+    sj = s.groupBy("dow").agg(F.sum("sbj").alias("sj"))
+    m_ = full_blk.agg(F.count("*").cast("long").alias("m"))
+    agg = (
+        sj.agg(F.sum(F.col("sj") * F.col("sj")).alias("bsum"))
+        .crossJoin(F.broadcast(a_stat))
+        .crossJoin(F.broadcast(m_))
+    )
+    bm = F.col("bsum") / F.col("m")
+    return agg.select(
+        F.col("m").alias("n_blocks"),
+        F.round(F.col("a_stat"), 4).alias("a_stat"),
+        F.round(bm, 4).alias("b_stat"),
+        F.round((F.col("m") - 1) * bm / (F.col("a_stat") - bm), 6).alias(
+            "quade_f"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R351 Breusch-Pagan heteroscedasticity test (daily revenue trend)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "breusch_pagan_daily",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+      FROM daily
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round((count(*) * sum(t * rev) - sum(t) * sum(rev))
+                   / (count(*) * sum(t * t) - sum(t) * sum(t)), 6) AS b
+      FROM idx
+    ),
+    fit2 AS (
+      SELECT f.n, f.b,
+             round((sum(i.rev) - f.b * sum(i.t)) / f.n, 4) AS a
+      FROM idx i CROSS JOIN fit f GROUP BY f.n, f.b
+    ),
+    g AS MATERIALIZED (   -- squared residuals of the ROUNDED fit
+      SELECT i.t, pow(i.rev - (f.a + f.b * i.t), 2) AS g2
+      FROM idx i CROSS JOIN fit2 f
+    ),
+    aux AS (   -- R^2 of the auxiliary regression g2 ~ t
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             (count(*) * sum(t * g2) - sum(t) * sum(g2))
+               / sqrt((count(*) * sum(t * t) - sum(t) * sum(t))
+                      * (count(*) * sum(g2 * g2) - sum(g2) * sum(g2)))
+               AS rho
+      FROM g
+    )
+    SELECT n AS n_days,
+           round(rho * rho, 6) AS r2_aux,
+           round(n * rho * rho, 6) AS lm_stat
+    FROM aux
+    """,
+)
+def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R351 Breusch-Pagan (Koenker studentized form) test for
+    heteroscedasticity of the daily-revenue linear trend: regress the
+    SQUARED residuals on the regressor; LM = n * R^2_aux is
+    chi-square(1) under homoscedasticity — the diagnostic that says
+    whether the gated OLS/DW trend's standard errors need robust
+    (White) corrections.  Follows the gated Durbin-Watson residual
+    discipline exactly: slope/intercept ROUNDED before the residual
+    pass so both engines subtract identical fits; the auxiliary
+    moments run over the calendar-bounded day frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w_day = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w_day).cast("bigint").alias("t"), "rev"
+    ).localCheckpoint(eager=False)
+    fit = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            (
+                F.count("*") * F.sum(F.col("t") * F.col("rev"))
+                - F.sum("t") * F.sum("rev")
+            )
+            / (
+                F.count("*") * F.sum(F.col("t") * F.col("t"))
+                - F.sum("t") * F.sum("t")
+            ),
+            6,
+        ).alias("b"),
+    )
+    fit2 = (
+        idx.crossJoin(F.broadcast(fit))
+        .groupBy("n", "b")
+        .agg(
+            F.round(
+                (F.sum("rev") - F.col("b") * F.sum("t")) / F.col("n"), 4
+            ).alias("a")
+        )
+    )
+    g = idx.crossJoin(F.broadcast(fit2)).select(
+        "t",
+        F.pow(F.col("rev") - (F.col("a") + F.col("b") * F.col("t")), 2).alias(
+            "g2"
+        ),
+    )
+    aux = g.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            (
+                F.count("*") * F.sum(F.col("t") * F.col("g2"))
+                - F.sum("t") * F.sum("g2")
+            )
+            / F.sqrt(
+                (
+                    F.count("*") * F.sum(F.col("t") * F.col("t"))
+                    - F.sum("t") * F.sum("t")
+                )
+                * (
+                    F.count("*") * F.sum(F.col("g2") * F.col("g2"))
+                    - F.sum("g2") * F.sum("g2")
+                )
+            )
+        ).alias("rho"),
+    )
+    return aux.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("rho") * F.col("rho"), 6).alias("r2_aux"),
+        F.round(F.col("n") * F.col("rho") * F.col("rho"), 6).alias("lm_stat"),
     )
