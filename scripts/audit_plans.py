@@ -845,6 +845,17 @@ EXPECTATIONS = {
     "breusch_pagan_daily": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R352: 1-row midpoint + per-regime RSS scalars crossed (scalar BNLJ)
+    "chow_break_daily": dict(pushed=False, broadcast=False, cartesian=True),
+    # R354: 1-row block-count/tie-sum scalars crossed onto the 1-row
+    # rank-sum frame; rank join is equi on blk
+    "kendalls_w_weekday": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R355: 1-row node-moment x 1-row edge-moment scalar cross
+    "morans_i_copurchase": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -254,3 +254,122 @@ def test_breusch_pagan_matches_numpy(spark):
     assert r["n_days"] == n
     assert abs(r["r2_aux"] - rho * rho) < 1e-5
     assert abs(r["lm_stat"] - n * rho * rho) < 1e-2
+
+
+def test_chow_matches_numpy(spark):
+    from zoom_spark.queries.round10_ops import chow_break_daily
+
+    d = _daily(spark)
+    y = (d // 100).to_numpy(dtype=np.float64)
+    t = np.arange(1, len(y) + 1, dtype=np.float64)
+    n = len(y)
+    h = n // 2
+
+    def rss(tt, yy):
+        A = np.vstack([np.ones_like(tt), tt]).T
+        coef, res, *_ = np.linalg.lstsq(A, yy, rcond=None)
+        e = yy - A @ coef
+        return (e**2).sum()
+
+    rp = rss(t, y)
+    r1 = rss(t[:h], y[:h])
+    r2 = rss(t[h:], y[h:])
+    f = ((rp - r1 - r2) / 2) / ((r1 + r2) / (n - 4))
+    [r] = chow_break_daily(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert r["n_pre"] == h
+    assert abs(r["chow_f"] - f) < 1e-3 * max(1, abs(f))
+
+
+def test_dist_distances_match_python(spark):
+    from collections import Counter
+
+    from zoom_spark.queries.round10_ops import dist_distance_sources
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).toPandas()
+    cnt = {s: Counter() for s in ("src0", "src1")}
+    for s, txt in zip(docs["source"], docs["text"]):
+        if s in cnt:
+            cnt[s].update(w for w in txt.split(" ") if w)
+    n0, n1 = sum(cnt["src0"].values()), sum(cnt["src1"].values())
+    vocab = set(cnt["src0"]) | set(cnt["src1"])
+    bc = sum(
+        math.sqrt((cnt["src0"][w] / n0) * (cnt["src1"][w] / n1))
+        for w in vocab
+    )
+    tv = sum(
+        abs(cnt["src0"][w] / n0 - cnt["src1"][w] / n1) for w in vocab
+    ) / 2
+    [r] = dist_distance_sources(spark, SF_DIR).collect()
+    assert r["n_tokens"] == len(vocab)
+    assert abs(r["bhattacharyya"] - bc) < 1e-5
+    assert abs(r["hellinger"] - math.sqrt(1 - min(bc, 1.0))) < 1e-5
+    assert abs(r["total_variation"] - tv) < 1e-5
+    # metric sanity: H^2 <= TVD <= sqrt(2) H (standard inequalities)
+    h2 = 1 - min(bc, 1.0)
+    assert h2 - 1e-9 <= r["total_variation"] <= math.sqrt(2 * h2) + 1e-9
+
+
+def test_kendalls_w_matches_pandas(spark):
+    from zoom_spark.queries.round10_ops import kendalls_w_weekday
+
+    d = _daily_at(spark, SF01).reset_index()
+    d.columns = ["day", "cents"]
+    anchor = pd.Timestamp("1990-01-01")
+    d["blk"] = ((d["day"] - anchor).dt.days // 7).astype(int)
+    d["dow"] = ((d["day"] - anchor).dt.days % 7).astype(int)
+    # weekly totals per (blk, dow) may span multiple dates? one date per
+    # (blk, dow) by construction; keep the sum to match the query
+    g = d.groupby(["blk", "dow"])["cents"].sum().reset_index()
+    full = g.groupby("blk").size()
+    g = g[g["blk"].isin(full[full == 7].index)]
+    piv = g.pivot(index="blk", columns="dow", values="cents")
+    m, n = piv.shape
+    r = piv.rank(axis=1, method="average")
+    rj = r.sum(axis=0)
+    srj2 = (rj**2).sum()
+    tsum = 0
+    for _, row in piv.iterrows():
+        for _, c in row.value_counts().items():
+            tsum += c**3 - c
+    w = (12 * srj2 - 3 * m * m * n * (n + 1) ** 2) / (
+        m * m * n * (n * n - 1) - m * tsum
+    )
+    [row] = kendalls_w_weekday(spark, SF01).collect()
+    assert row["n_blocks"] == m
+    assert abs(row["kendalls_w"] - w) < 1e-5
+    assert 0 <= row["kendalls_w"] <= 1
+
+
+def test_morans_i_matches_networkx_style(spark):
+    from zoom_spark.queries.round10_ops import morans_i_copurchase
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas().drop_duplicates()
+    part = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice"
+    ).toPandas()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    xmap = {
+        k: math.floor(v * 100 + 0.5)
+        for k, v in zip(part["p_partkey"], part["p_retailprice"])
+    }
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    x = np.array([xmap[nd] for nd in nodes], dtype=np.float64)
+    idx = {nd: i for i, nd in enumerate(nodes)}
+    xb = x.mean()
+    num = sum(2 * (x[idx[u]] - xb) * (x[idx[v]] - xb) for u, v in edges)
+    den = ((x - xb) ** 2).sum()
+    i_stat = (len(nodes) / (2 * len(edges))) * num / den
+    [r] = morans_i_copurchase(spark, SF_DIR).collect()
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_edges"] == len(edges)
+    assert abs(r["morans_i"] - i_stat) < 1e-5

@@ -859,3 +859,489 @@ def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rho") * F.col("rho"), 6).alias("r2_aux"),
         F.round(F.col("n") * F.col("rho") * F.col("rho"), 6).alias("lm_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R352 Chow structural-break test on the daily revenue trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chow_break_daily",
+    sql="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) / 100) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, y
+      FROM d
+    ),
+    lab AS (
+      SELECT t, y,
+             CASE WHEN t <= (SELECT max(t) FROM idx) // 2
+                  THEN 0 ELSE 1 END AS seg
+      FROM idx
+    ),
+    mom AS (   -- raw integer moments per regime and pooled (seg 2)
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(t * y) AS BIGINT) AS sty,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM (SELECT seg, t, y FROM lab
+            UNION ALL SELECT 2 AS seg, t, y FROM lab) u
+      GROUP BY seg
+    ),
+    rss AS (
+      SELECT seg, n,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+               - pow(CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n, 2)
+                 / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+               AS rss
+      FROM mom
+    )
+    SELECT p.n AS n_days,
+           (SELECT n FROM rss WHERE seg = 0) AS n_pre,
+           round(((p.rss - a.rss - b.rss) / 2)
+                 / ((a.rss + b.rss) / (p.n - 4)), 6) AS chow_f
+    FROM (SELECT * FROM rss WHERE seg = 2) p,
+         (SELECT * FROM rss WHERE seg = 0) a,
+         (SELECT * FROM rss WHERE seg = 1) b
+    """,
+)
+def chow_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R352 Chow (1960) structural-break F-test of the daily-revenue
+    linear trend at the series midpoint: F = ((RSS_pooled - RSS_1 -
+    RSS_2)/k) / ((RSS_1 + RSS_2)/(n - 2k)), k = 2 parameters — the
+    classic "did the regime change?" companion to the gated Pettitt
+    (which finds WHERE) and CUSUM (which monitors).  Revenue on the
+    exact dollar grid; each regime's RSS comes from raw BIGINT
+    moments via RSS = Syy - Sxy^2/Sxx (identically-cast doubles), so
+    the statistic is bit-deterministic.  One aggregate over the
+    calendar-day frame; the union doubles a ~2400-row frame, nothing
+    row-scaled."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("day")
+    idx = d.select(
+        F.row_number().over(w).cast("long").alias("t"), "y"
+    ).localCheckpoint(eager=False)
+    half = idx.agg(F.floor(F.max("t") / 2).cast("long").alias("h"))
+    lab = idx.crossJoin(F.broadcast(half)).select(
+        "t", "y", F.when(F.col("t") <= F.col("h"), 0).otherwise(1).alias("seg")
+    )
+    u = lab.select("seg", "t", "y").unionAll(
+        lab.select(F.lit(2).alias("seg"), "t", "y")
+    )
+    mom = u.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    rss = mom.select(
+        "seg",
+        "n",
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / nd
+            - F.pow(
+                F.col("sty").cast("double")
+                - F.col("st").cast("double") * F.col("sy") / nd,
+                2,
+            )
+            / (
+                F.col("stt").cast("double")
+                - F.col("st").cast("double") * F.col("st") / nd
+            )
+        ).alias("rss"),
+    )
+    p = rss.where(F.col("seg") == 2).select(
+        F.col("n").alias("n_days"), F.col("rss").alias("rp")
+    )
+    a = rss.where(F.col("seg") == 0).select(
+        F.col("n").alias("n_pre"), F.col("rss").alias("ra")
+    )
+    b = rss.where(F.col("seg") == 1).select(F.col("rss").alias("rb"))
+    return (
+        p.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n_days",
+            "n_pre",
+            F.round(
+                ((F.col("rp") - F.col("ra") - F.col("rb")) / 2)
+                / ((F.col("ra") + F.col("rb")) / (F.col("n_days") - 4)),
+                6,
+            ).alias("chow_f"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R353 distribution distances between two sources' token distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dist_distance_sources",
+    sql="""
+    WITH toks AS (
+      SELECT source, t.tok, CAST(count(*) AS BIGINT) AS c
+      FROM documents
+      CROSS JOIN LATERAL (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS tok
+      ) t
+      WHERE source IN ('src0', 'src1')
+      GROUP BY source, t.tok
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM toks GROUP BY source),
+    pq AS (
+      SELECT COALESCE(a.tok, b.tok) AS tok,
+             COALESCE(CAST(a.c AS DOUBLE), 0)
+               / (SELECT n FROM tot WHERE source = 'src0') AS p,
+             COALESCE(CAST(b.c AS DOUBLE), 0)
+               / (SELECT n FROM tot WHERE source = 'src1') AS q
+      FROM (SELECT tok, c FROM toks WHERE source = 'src0') a
+      FULL OUTER JOIN (SELECT tok, c FROM toks WHERE source = 'src1') b
+        ON a.tok = b.tok
+    ),
+    terms AS (   -- per-term 12dp snap: grid sums are order-exact
+      SELECT floor(sqrt(p * q) * 1e12 + 0.5) / 1e12 AS bc_t,
+             floor(abs(p - q) * 1e12 + 0.5) / 1e12 AS tv_t
+      FROM pq
+    )
+    SELECT CAST((SELECT count(*) FROM pq) AS BIGINT) AS n_tokens,
+           round(sum(bc_t), 6) AS bhattacharyya,
+           round(sqrt(1 - least(sum(bc_t), 1.0)), 6) AS hellinger,
+           round(sum(tv_t) / 2, 6) AS total_variation
+    FROM terms
+    """,
+)
+def dist_distance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R353 distribution distances between two sources' unigram
+    distributions: Bhattacharyya coefficient BC = sum sqrt(p*q),
+    Hellinger distance sqrt(1 - BC), and total variation
+    (1/2) sum |p - q| — the bounded-metric companions to the gated
+    KL/JS divergences (which are unbounded / log-based).  p and q are
+    exact-operand ratios of BIGINT counts; each term is snapped to the
+    1e-12 grid BEFORE summing so the vocabulary-sized sums are
+    order-exact in both engines (sqrt is correctly rounded, so terms
+    are bit-identical).  Token explode + one equi full-outer join on
+    the token key — scales with vocabulary, not corpus."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = toks.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = (
+        toks.where(F.col("source") == "src0")
+        .join(F.broadcast(tot.where(F.col("source") == "src0")), "source")
+        .select("tok", (F.col("c").cast("double") / F.col("n")).alias("p"))
+    )
+    b = (
+        toks.where(F.col("source") == "src1")
+        .join(F.broadcast(tot.where(F.col("source") == "src1")), "source")
+        .select(F.col("tok").alias("tok_b"), (F.col("c").cast("double") / F.col("n")).alias("q"))
+    )
+    pq = a.join(b, a["tok"] == b["tok_b"], "full_outer").select(
+        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+        F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+    )
+    snap12 = lambda c: F.floor(c * 1e12 + F.lit(0.5)) / 1e12  # noqa: E731
+    terms = pq.select(
+        snap12(F.sqrt(F.col("p") * F.col("q"))).alias("bc_t"),
+        snap12(F.abs(F.col("p") - F.col("q"))).alias("tv_t"),
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.sum("bc_t"), 6).alias("bhattacharyya"),
+        F.round(
+            F.sqrt(1 - F.least(F.sum("bc_t"), F.lit(1.0))), 6
+        ).alias("hellinger"),
+        F.round(F.sum("tv_t") / 2, 6).alias("total_variation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R354 Kendall's W: concordance of weekly weekday-revenue rankings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendalls_w_weekday",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') // 7
+                  AS BIGINT) AS blk,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 7
+                  AS BIGINT) AS dow,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    full_blk AS (SELECT blk FROM d GROUP BY blk HAVING count(*) = 7),
+    k AS MATERIALIZED (SELECT d.* FROM d JOIN full_blk USING (blk)),
+    r AS (
+      SELECT a.blk, a.dow,
+             sum(CASE WHEN b.cents < a.cents THEN 1.0
+                      WHEN b.cents = a.cents THEN 0.5 ELSE 0 END) + 0.5
+               AS rnk
+      FROM k a JOIN k b ON a.blk = b.blk
+      GROUP BY a.blk, a.dow
+    ),
+    rj AS (SELECT dow, sum(rnk) AS rj FROM r GROUP BY dow),
+    ties AS (   -- per-block tie correction sum_b sum_groups (t^3 - t)
+      SELECT COALESCE(sum(tc), 0) AS tsum FROM (
+        SELECT blk, sum(cnt * cnt * cnt - cnt) AS tc FROM (
+          SELECT blk, cents, CAST(count(*) AS BIGINT) AS cnt
+          FROM k GROUP BY blk, cents
+        ) g GROUP BY blk
+      ) b
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM full_blk) AS m,
+             sum(rj * rj) AS srj2,
+             (SELECT tsum FROM ties) AS tsum
+      FROM rj
+    )
+    SELECT m AS n_blocks,
+           round((12 * srj2 - 3.0 * m * m * 7 * (7 + 1) * (7 + 1))
+                 / (CAST(m AS DOUBLE) * m * 7 * (7 * 7 - 1)
+                    - m * tsum), 6) AS kendalls_w
+    FROM agg
+    """,
+)
+def kendalls_w_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R354 Kendall's coefficient of concordance W (with the standard
+    tie correction): how consistently the m complete calendar weeks
+    rank the 7 weekdays by revenue — W = 1 means every week produces
+    the same weekday ordering, W = 0 means no shared pattern.  The
+    agreement-strength companion to Friedman/Page/Quade (which test
+    significance; W = chi2_F/(m(n-1)) measures effect size).  Ranks
+    on the exact 0.5 grid from the 7x7 block join; the tie term
+    sum(t^3 - t) is integer; the closed form is exact-operand."""
+    anchor = F.lit("1990-01-01").cast("date")
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.datediff(F.col("o_orderdate").cast("date"), anchor) / 7)
+            .cast("long")
+            .alias("blk"),
+            (F.datediff(F.col("o_orderdate").cast("date"), anchor) % 7)
+            .cast("long")
+            .alias("dow"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    full_blk = d.groupBy("blk").count().where(F.col("count") == 7).select("blk")
+    k = d.join(full_blk, on="blk").localCheckpoint(eager=False)
+    b2 = k.select(F.col("blk").alias("blk2"), F.col("cents").alias("c2"))
+    r = (
+        k.join(b2, F.col("blk") == F.col("blk2"))
+        .groupBy("blk", "dow")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("c2") < F.col("cents"), 1.0)
+                    .when(F.col("c2") == F.col("cents"), 0.5)
+                    .otherwise(0.0)
+                )
+                + 0.5
+            ).alias("rnk")
+        )
+    )
+    rj = r.groupBy("dow").agg(F.sum("rnk").alias("rj"))
+    ties = (
+        k.groupBy("blk", "cents")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+                ),
+                F.lit(0),
+            ).alias("tsum")
+        )
+    )
+    m_ = full_blk.agg(F.count("*").cast("long").alias("m"))
+    agg = (
+        rj.agg(F.sum(F.col("rj") * F.col("rj")).alias("srj2"))
+        .crossJoin(F.broadcast(m_))
+        .crossJoin(F.broadcast(ties))
+    )
+    md = F.col("m").cast("double")
+    return agg.select(
+        F.col("m").alias("n_blocks"),
+        F.round(
+            (12 * F.col("srj2") - 3.0 * F.col("m") * F.col("m") * 7 * 8 * 8)
+            / (md * F.col("m") * 7 * 48 - F.col("m") * F.col("tsum")),
+            6,
+        ).alias("kendalls_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R355 Moran's I spatial autocorrelation over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "morans_i_copurchase",
+    sql="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS MATERIALIZED (   -- unordered distinct co-purchase edges
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    x AS MATERIALIZED (   -- attribute: retail price cents, graph nodes only
+      SELECT p.p_partkey AS node,
+             CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS x
+      FROM part p
+      WHERE p.p_partkey IN (SELECT u FROM e UNION SELECT v FROM e)
+    ),
+    nodes AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM x
+    ),
+    edges AS (
+      SELECT CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(xu.x * xv.x) AS BIGINT) AS sexy,
+             CAST(sum(xu.x + xv.x) AS BIGINT) AS sesum
+      FROM e
+      JOIN x xu ON xu.node = e.u
+      JOIN x xv ON xv.node = e.v
+    )
+    SELECT n.n AS n_nodes, ed.ne AS n_edges,
+           round((CAST(n.n AS DOUBLE) / (2 * ed.ne))
+                 * (2 * (CAST(ed.sexy AS DOUBLE)
+                         - (CAST(n.sx AS DOUBLE) / n.n) * ed.sesum
+                         + (CAST(n.sx AS DOUBLE) / n.n)
+                           * (CAST(n.sx AS DOUBLE) / n.n) * ed.ne))
+                 / (CAST(n.sxx AS DOUBLE)
+                    - CAST(n.sx AS DOUBLE) * n.sx / n.n), 6) AS morans_i
+    FROM nodes n CROSS JOIN edges ed
+    """,
+)
+def morans_i_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R355 Moran's I autocorrelation of part retail price over the
+    co-purchase graph (w_uv = 1 per undirected edge): do co-purchased
+    parts have correlated prices?  I = (N/W) * sum_ij w_ij (x_i -
+    xbar)(x_j - xbar) / sum_i (x_i - xbar)^2 — Moran's I over a GRAPH
+    adjacency is the network analog of spatial autocorrelation, the
+    homophily diagnostic the gated degree-assortativity gives for
+    degrees (Newman 2002) applied to an external attribute.
+    Expanding the centered edge sum into RAW integer edge moments
+    (sum x_u x_v, sum (x_u + x_v)) keeps everything BIGINT-exact
+    (price cents ~2e5 -> edge products ~4e10 * 1.2M edges ~ 5e16 <
+    2^63 with 100x headroom); the closed form is exact-operand.  Edge
+    build is the standard basket self-join; attribute joins are equi
+    on the node key."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes_in_graph = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    x = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+        )
+        .join(nodes_in_graph, on="node")
+        .localCheckpoint(eager=False)
+    )
+    nodes = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    xu = x.select(F.col("node").alias("u"), F.col("x").alias("xu"))
+    xv = x.select(F.col("node").alias("v"), F.col("x").alias("xv"))
+    edges = (
+        e.join(xu, on="u")
+        .join(xv, on="v")
+        .agg(
+            F.count("*").cast("long").alias("ne"),
+            F.sum(F.col("xu") * F.col("xv")).cast("long").alias("sexy"),
+            F.sum(F.col("xu") + F.col("xv")).cast("long").alias("sesum"),
+        )
+    )
+    z = nodes.crossJoin(F.broadcast(edges))
+    xbar = F.col("sx").cast("double") / F.col("n")
+    num = 2 * (
+        F.col("sexy").cast("double")
+        - xbar * F.col("sesum")
+        + xbar * xbar * F.col("ne")
+    )
+    den = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("n")
+    return z.select(
+        F.col("n").alias("n_nodes"),
+        F.col("ne").alias("n_edges"),
+        F.round(
+            (F.col("n").cast("double") / (2 * F.col("ne"))) * num / den, 6
+        ).alias("morans_i"),
+    )
