@@ -856,6 +856,18 @@ EXPECTATIONS = {
     "morans_i_copurchase": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R357: 1-row broadcast centroid matrix onto the assignment scan
+    # (same waived shape as the int-Lloyd family)
+    "dunn_index_int_cells": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R358: 4 single-row rank-extreme scalars crossed (nation frame
+    # is dimension-bounded at 25 rows)
+    "dixon_q_nations": dict(pushed=False, broadcast=False, cartesian=True),
+    # R359: 1-row total-count scalar crossed onto the position frame
+    "siegel_tukey_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

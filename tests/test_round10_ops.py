@@ -373,3 +373,125 @@ def test_morans_i_matches_networkx_style(spark):
     assert r["n_nodes"] == len(nodes)
     assert r["n_edges"] == len(edges)
     assert abs(r["morans_i"] - i_stat) < 1e-5
+
+
+def test_ccf_matches_numpy(spark):
+    from zoom_spark.queries.round10_ops import CCF_MAX_LAG, ccf_orders_revenue
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype("int64")
+    g = o.groupby(o["o_orderdate"].dt.normalize()).agg(
+        x=("cents", "size"), yc=("cents", "sum")
+    ).sort_index()
+    x = g["x"].to_numpy(dtype=np.float64)
+    y = (g["yc"] // 100).to_numpy(dtype=np.float64)
+    got = {r["lag"]: r for r in ccf_orders_revenue(spark, SF_DIR).collect()}
+    assert set(got) == set(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+    for lag in got:
+        if lag >= 0:
+            xa, yb = x[: len(x) - lag], y[lag:]
+        else:
+            xa, yb = x[-lag:], y[: len(y) + lag]
+        want = np.corrcoef(xa, yb)[0, 1]
+        assert got[lag]["n_overlap"] == len(xa)
+        assert abs(got[lag]["ccf"] - want) < 1e-5, lag
+
+
+def test_dunn_index_matches_python_over_fit(spark):
+    """Recompute intra/inter from the SAME fitted centroids with
+    plain python over the collected quantized vectors."""
+    from zoom_spark.queries.round10_ops import dunn_index_int_cells
+    from zoom_spark.queries.similarity_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_QSCALE,
+    )
+    from zoom_spark.similarity.kmeans import int_lloyd_fit, int_quantize
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = int_quantize(emb, "embedding", "vec_id", KMEANS_QSCALE)
+    cents = int_lloyd_fit(base, k=KMEANS_K, iters=KMEANS_ITERS)
+    vecs = [list(map(int, r["vec"])) for r in base.collect()]
+
+    def d2(a, b):
+        return sum((u - v) * (u - v) for u, v in zip(a, b))
+
+    intra = max(min(d2(v, c) for _, c in cents) for v in vecs)
+    inter = min(
+        d2(c1, c2)
+        for i, (_, c1) in enumerate(cents)
+        for (_, c2) in cents[i + 1 :]
+    )
+    [r] = dunn_index_int_cells(spark, SF_DIR).collect()
+    assert r["n_cells"] == len(cents)
+    assert r["min_inter2"] == inter
+    assert r["max_intra2"] == intra
+    assert abs(r["dunn"] - math.sqrt(inter / intra)) < 1e-6
+
+
+def test_dixon_q_matches_python(spark):
+    from zoom_spark.queries.round10_ops import dixon_q_nations
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_nationkey", "c_acctbal"
+    ).toPandas()
+    c["cents"] = (c["c_acctbal"] * 100 + 0.5).apply(math.floor).astype("int64")
+    g = c.groupby("c_nationkey").agg(s=("cents", "sum"), n=("cents", "size"))
+    g["mu"] = g["s"] / g["n"]
+    srt = g.sort_values(["mu"]).reset_index()
+    # deterministic tiebreak by nation matches the query's (mu, nation)
+    srt = g.reset_index().sort_values(["mu", "c_nationkey"])
+    mus = srt["mu"].to_numpy()
+    rng = mus[-1] - mus[0]
+    [r] = dixon_q_nations(spark, SF_DIR).collect()
+    assert r["n_groups"] == len(mus)
+    assert r["low_nation"] == srt.iloc[0]["c_nationkey"]
+    assert r["high_nation"] == srt.iloc[-1]["c_nationkey"]
+    assert abs(r["q_min"] - (mus[1] - mus[0]) / rng) < 1e-6
+    assert abs(r["q_max"] - (mus[-1] - mus[-2]) / rng) < 1e-6
+
+
+def test_siegel_tukey_matches_python(spark):
+    from zoom_spark.queries.round10_ops import siegel_tukey_weekend
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "value"
+    ).toPandas()
+    anchor = pd.Timestamp("2024-01-01")
+    grp = (
+        ((ev["ts"].dt.normalize() - anchor).dt.days % 7).isin([5, 6])
+    ).astype(int)
+    rows = sorted(zip(ev["value"], ev["event_id"], grp))
+    n = len(rows)
+
+    # independent formulation: walk the alternation explicitly
+    st_rank = [0] * n
+    lo, hi, nxt, take_low, first = 0, n - 1, 1, True, True
+    # assignment order: 1 from bottom, then pairs alternating top/bottom
+    order = []
+    b, t = 0, n - 1
+    order.append(("b", b)); b += 1
+    side = "t"
+    while b <= t:
+        if side == "t":
+            order.append(("t", t)); t -= 1
+            if b <= t:
+                order.append(("t", t)); t -= 1
+            side = "b"
+        else:
+            order.append(("b", b)); b += 1
+            if b <= t:
+                order.append(("b", b)); b += 1
+            side = "t"
+    for rank0, (_, pos) in enumerate(order, start=1):
+        st_rank[pos] = rank0
+    w = sum(st_rank[i] for i in range(n) if rows[i][2] == 1)
+    m = sum(1 for r_ in rows if r_[2] == 1)
+    k = n - m
+    z = (w - m * (n + 1) / 2) / math.sqrt(m * k * (n + 1) / 12)
+    [r] = siegel_tukey_weekend(spark, SF_DIR).collect()
+    assert r["n_weekend"] == m and r["n_weekday"] == k
+    assert r["w_stat"] == w
+    assert abs(r["z"] - z) < 1e-5

@@ -1345,3 +1345,442 @@ def morans_i_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / (2 * F.col("ne"))) * num / den, 6
         ).alias("morans_i"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R356 cross-correlation function: daily order count vs daily revenue
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 7
+
+
+@register(
+    "ccf_orders_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x, y
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) / 100) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+      )
+    ),
+    lags AS (SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN d a ON true
+      JOIN d b ON b.t = a.t + l.lag
+    ),
+    mom AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_overlap,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS ccf
+    FROM mom ORDER BY lag
+    """,
+)
+def ccf_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R356 cross-correlation function between daily order COUNT and
+    daily revenue (dollar grid) at lags -7..+7: ccf(L) = corr(x_t,
+    y_{t+L}) over the overlapping window — the lead/lag diagnostic
+    that says whether volume LEADS revenue (pure volume effect shows
+    a symmetric peak at 0; basket-size dynamics skew it).  Each lag
+    is one equi-join on the shifted day index plus raw BIGINT
+    moments; 15 bounded lags over the calendar frame."""
+    d0 = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("day")
+    d = d0.select(
+        F.row_number().over(w).cast("long").alias("t"), "x", "y"
+    ).localCheckpoint(eager=False)
+    lagged = d.select(
+        "t",
+        "x",
+        F.explode(
+            F.sequence(F.lit(-CCF_MAX_LAG), F.lit(CCF_MAX_LAG))
+        ).alias("lag"),
+    ).select("lag", "x", (F.col("t") + F.col("lag")).alias("tj"))
+    pairs = lagged.join(
+        d.select(F.col("t").alias("tj"), "y"), on="tj"
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_overlap"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n_overlap")
+    return mom.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_overlap",
+        F.round(
+            (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+                * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# R357 Dunn index over the gated integer-Lloyd cells
+# ---------------------------------------------------------------------------
+
+
+def _dunn_oracle_sql() -> str:
+    from zoom_spark.queries.similarity_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_QSCALE,
+        int_lloyd_cte_sql,
+    )
+
+    it = KMEANS_ITERS
+    return (
+        int_lloyd_cte_sql(KMEANS_K, it, KMEANS_QSCALE)
+        + f""",
+    pn AS (
+      SELECT vec_id, CAST(list_inner_product(qv, qv) AS BIGINT) AS n2
+      FROM vecs
+    ),
+    cn AS (SELECT cell, sum(cv * cv) AS cn2 FROM cent{it} GROUP BY cell),
+    dt AS (
+      SELECT a.vec_id, a.cell, sum(e.x * c.cv) AS dot
+      FROM assign{it} a
+      JOIN edim e USING (vec_id)
+      JOIN cent{it} c ON c.cell = a.cell AND c.d = e.d
+      GROUP BY a.vec_id, a.cell
+    ),
+    intra AS (
+      SELECT CAST(max(p.n2 - 2 * d.dot + cn.cn2) AS BIGINT) AS max_intra2
+      FROM dt d JOIN pn p USING (vec_id) JOIN cn ON cn.cell = d.cell
+    ),
+    inter AS (
+      SELECT CAST(min(s) AS BIGINT) AS min_inter2,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM (
+        SELECT a.cell, b.cell AS cell2,
+               sum((a.cv - b.cv) * (a.cv - b.cv)) AS s
+        FROM cent{it} a JOIN cent{it} b
+          ON a.d = b.d AND a.cell < b.cell
+        GROUP BY a.cell, b.cell
+      )
+    )
+    SELECT (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM cent{it})
+             AS n_cells,
+           inter.min_inter2, intra.max_intra2,
+           round(sqrt(CAST(inter.min_inter2 AS DOUBLE)
+                      / intra.max_intra2), 6) AS dunn
+    FROM intra CROSS JOIN inter
+    """
+    )
+
+
+@register("dunn_index_int_cells", sql=_dunn_oracle_sql())
+def dunn_index_int_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R357 Dunn validity index over the FITTED integer-Lloyd cells
+    (centroid-linkage form): dunn = sqrt(min inter-centroid distance^2
+    / max point-to-own-centroid distance^2) — large when clusters are
+    compact and well separated; the companion to the gated
+    Calinski-Harabasz (variance-ratio) and silhouette (label-based)
+    indices, computed on the SAME coarse quantizer the kmeans/
+    semdedup/IVF family shares (and memoized with it).  Every
+    distance^2 is an exact 64-term integer sum, so min/max/ratio are
+    bit-deterministic; the centroid-pair scan is model-sized."""
+    from zoom_spark.queries.similarity_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_QSCALE,
+    )
+    from zoom_spark.similarity.kmeans import (
+        int_assign,
+        int_lloyd_fit,
+        int_quantize,
+        lloyd_cache_key,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = int_quantize(
+        emb, "embedding", "vec_id", KMEANS_QSCALE
+    ).localCheckpoint(eager=False)
+    cents = int_lloyd_fit(
+        base, k=KMEANS_K, iters=KMEANS_ITERS,
+        cache_key=lloyd_cache_key(sf_dir, "embeddings", "embedding", KMEANS_QSCALE),
+    )
+    # model-sized driver math: exact integer min inter-centroid dist^2
+    min_inter2 = min(
+        sum((a - b) * (a - b) for a, b in zip(c1, c2))
+        for i, (_, c1) in enumerate(cents)
+        for (_, c2) in cents[i + 1 :]
+    )
+    dotl = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cstats = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(
+                [c for _, c in cents],
+                [sum(x * x for x in c) for _, c in cents],
+                [cid for cid, _ in cents],
+            )],
+            "cmat array<array<long>>, cn2 array<long>, cid array<int>",
+        )
+    )
+    assigned = int_assign(base, cents)
+    idx = F.array_position(
+        F.col("cid"), F.col("cell")
+    ).cast("int")
+    dist2 = (
+        dotl(F.col("vec"), F.col("vec"))
+        - 2 * dotl(F.col("vec"), F.element_at(F.col("cmat"), idx))
+        + F.element_at(F.col("cn2"), idx)
+    )
+    intra = assigned.crossJoin(cstats).agg(
+        F.max(dist2).cast("long").alias("max_intra2")
+    )
+    return intra.select(
+        F.lit(len(cents)).cast("long").alias("n_cells"),
+        F.lit(int(min_inter2)).cast("long").alias("min_inter2"),
+        "max_intra2",
+        F.round(
+            F.sqrt(F.lit(float(min_inter2)) / F.col("max_intra2")), 6
+        ).alias("dunn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R358 Dixon's Q outlier test on per-nation mean balances
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dixon_q_nations",
+    sql="""
+    WITH m AS (
+      SELECT c_nationkey AS nation,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey
+    ),
+    v AS (
+      SELECT nation, CAST(cents AS DOUBLE) / n AS mu,
+             CAST(row_number() OVER (
+               ORDER BY CAST(cents AS DOUBLE) / n, nation) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS ng
+      FROM m
+    )
+    SELECT lo.ng AS n_groups,
+           lo.nation AS low_nation, hi.nation AS high_nation,
+           round((lo2.mu - lo.mu) / (hi.mu - lo.mu), 6) AS q_min,
+           round((hi.mu - hi2.mu) / (hi.mu - lo.mu), 6) AS q_max
+    FROM (SELECT * FROM v WHERE rn = 1) lo,
+         (SELECT * FROM v WHERE rn = 2) lo2,
+         (SELECT v.* FROM v WHERE rn = ng) hi,
+         (SELECT v.* FROM v WHERE rn = ng - 1) hi2
+    """,
+)
+def dixon_q_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R358 Dixon's Q test (r10 form) for a single outlier among the
+    per-nation mean account balances: Q = gap / range, evaluated at
+    both extremes — the small-n outlier screen (n = 25 nations) that
+    complements the gated Grubbs/gESD (which assume larger normal
+    samples).  Group means are exact-operand cent ratios; the rank
+    window runs over the NATION frame (25 rows, dimension-bounded);
+    ties order by nation key."""
+    m = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    v = m.select(
+        "nation", (F.col("cents").cast("double") / F.col("n")).alias("mu")
+    )
+    w = Window.orderBy("mu", "nation")
+    ranked = v.select(
+        "nation",
+        "mu",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("ng"),
+    ).localCheckpoint(eager=False)
+    lo = ranked.where(F.col("rn") == 1).select(
+        F.col("ng").alias("n_groups"),
+        F.col("nation").alias("low_nation"),
+        F.col("mu").alias("mu_lo"),
+    )
+    lo2 = ranked.where(F.col("rn") == 2).select(F.col("mu").alias("mu_lo2"))
+    hi = ranked.where(F.col("rn") == F.col("ng")).select(
+        F.col("nation").alias("high_nation"), F.col("mu").alias("mu_hi")
+    )
+    hi2 = ranked.where(F.col("rn") == F.col("ng") - 1).select(
+        F.col("mu").alias("mu_hi2")
+    )
+    z = (
+        lo.crossJoin(F.broadcast(lo2))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(hi2))
+    )
+    rng = F.col("mu_hi") - F.col("mu_lo")
+    return z.select(
+        "n_groups",
+        "low_nation",
+        "high_nation",
+        F.round((F.col("mu_lo2") - F.col("mu_lo")) / rng, 6).alias("q_min"),
+        F.round((F.col("mu_hi") - F.col("mu_hi2")) / rng, 6).alias("q_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R359 Siegel-Tukey scale test, weekend vs weekday event values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "siegel_tukey_weekend",
+    sql="""
+    WITH s AS (
+      SELECT value AS v, event_id,
+             CASE WHEN CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM events
+    ),
+    pos AS (
+      SELECT grp,
+             CAST(row_number() OVER (ORDER BY v, event_id) AS BIGINT) AS p,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM s
+    ),
+    st AS (   -- alternating extreme ranks from the closed form
+      SELECT grp, n,
+             CASE
+               WHEN 2 * p - 1 = n THEN n   -- odd-n middle element
+               WHEN p <= n / 2 THEN
+                 CASE WHEN p % 2 = 1 THEN 2 * p - 1 ELSE 2 * p END
+               ELSE
+                 CASE WHEN (n + 1 - p) % 2 = 1 THEN 2 * (n + 1 - p)
+                      ELSE 2 * (n + 1 - p) - 1 END
+             END AS r
+      FROM pos
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN grp = 1 THEN r ELSE 0 END) AS BIGINT) AS w
+      FROM st
+    )
+    SELECT m AS n_weekend, nn AS n_weekday, w AS w_stat,
+           round((w - m * (m + nn + 1) / 2.0)
+                 / sqrt(CAST(m AS DOUBLE) * nn * (m + nn + 1) / 12.0),
+                 6) AS z
+    FROM agg
+    """,
+)
+def siegel_tukey_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R359 Siegel-Tukey test for scale (dispersion) differences
+    between weekend and weekday event values: sort the pooled sample
+    and assign ranks ALTERNATING from the extremes (lowest gets 1,
+    the two highest 2-3, the two next-lowest 4-5, ...) so a
+    higher-dispersion group accumulates LOW ranks; the rank sum then
+    feeds the standard Wilcoxon normal approximation.  Complements
+    the gated Ansari-Bradley (distance-from-median ranks) with the
+    classic extreme-alternation formulation.  Positions come from the
+    two-phase global_row_number (never a single-task window); ties
+    break deterministically by event_id (documented variant — the
+    alternation makes average-rank tie handling ill-defined).  The
+    position -> ST-rank map is a closed form, so ranks are exact
+    integers."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    anchor = F.lit("2024-01-01").cast("date")
+    s = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        "event_id",
+        F.when(
+            (F.datediff(F.col("ts").cast("date"), anchor) % 7).isin(5, 6), 1
+        )
+        .otherwise(0)
+        .alias("grp"),
+    )
+    pos = global_row_number(s, ["v", "event_id"], out_col="p")
+    n_ = pos.agg(F.count("*").cast("long").alias("n"))
+    pos = pos.crossJoin(F.broadcast(n_))
+    p, nn = F.col("p").cast("long"), F.col("n")
+    top = nn + 1 - p
+    r = (
+        F.when(2 * p - 1 == nn, nn)
+        .when(
+            p <= nn / 2,
+            F.when(p % 2 == 1, 2 * p - 1).otherwise(2 * p),
+        )
+        .otherwise(
+            F.when(top % 2 == 1, 2 * top).otherwise(2 * top - 1)
+        )
+    )
+    st = pos.select("grp", r.alias("r"))
+    agg = st.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_weekend"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_weekday"),
+        F.sum(F.when(F.col("grp") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("w_stat"),
+    )
+    m, k = F.col("n_weekend"), F.col("n_weekday")
+    return agg.select(
+        "n_weekend",
+        "n_weekday",
+        "w_stat",
+        F.round(
+            (F.col("w_stat") - m * (m + k + 1) / 2.0)
+            / F.sqrt(m.cast("double") * k * (m + k + 1) / 12.0),
+            6,
+        ).alias("z"),
+    )
