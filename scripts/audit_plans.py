@@ -868,6 +868,10 @@ EXPECTATIONS = {
     "siegel_tukey_weekend": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R360: 1-row total-count scalar crossed for the decile cut
+    "hosmer_lemeshow_purchase": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

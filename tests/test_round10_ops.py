@@ -495,3 +495,75 @@ def test_siegel_tukey_matches_python(spark):
     assert r["n_weekend"] == m and r["n_weekday"] == k
     assert r["w_stat"] == w
     assert abs(r["z"] - z) < 1e-5
+
+
+def test_hosmer_lemeshow_matches_python(spark):
+    from zoom_spark.queries.round10_ops import HL_BINS, hosmer_lemeshow_purchase
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "event_type"
+    ).toPandas()
+    anchor = pd.Timestamp("2024-01-01")
+    ev["dow"] = ((ev["ts"].dt.normalize() - anchor).dt.days % 7).astype(int)
+    ev["hr"] = ev["ts"].dt.hour
+    ev["y"] = (ev["event_type"] == "purchase").astype(int)
+    cell = ev.groupby(["dow", "hr"])["y"].agg(["size", "sum"])
+    ev = ev.merge(
+        (cell["sum"] / cell["size"]).rename("phat").reset_index(),
+        on=["dow", "hr"],
+    )
+    ev = ev.sort_values(["phat", "event_id"]).reset_index(drop=True)
+    n = len(ev)
+    ev["bin"] = (ev.index * HL_BINS) // n
+    rows = {r["bin"]: r for r in hosmer_lemeshow_purchase(spark, SF_DIR).collect()}
+    assert len(rows) == HL_BINS
+    hl = 0.0
+    for b, grp in ev.groupby("bin"):
+        o, e, ng = grp["y"].sum(), grp["phat"].sum(), len(grp)
+        assert rows[b]["n_g"] == ng
+        assert rows[b]["o_g"] == o
+        assert abs(rows[b]["e_g"] - e) < 1e-3
+        if 0 < e < ng:
+            contrib = (o - e) ** 2 / (e * (1 - e / ng))
+            assert abs(rows[b]["hl_contrib"] - contrib) < 1e-4
+            hl += contrib
+        else:
+            assert rows[b]["hl_contrib"] is None
+    # chi2(HL_BINS-2) scale sanity: statistic is finite and positive
+    assert 0 <= hl < 1e6
+
+
+def test_katz_matches_python_walk_counts(spark):
+    from collections import defaultdict
+
+    from zoom_spark.queries.round10_ops import (
+        KATZ_ALPHA,
+        KATZ_DEPTH,
+        KATZ_TOPK,
+        katz_centrality_parts,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas().drop_duplicates()
+    adj = defaultdict(set)
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+    p = {v: 1 for v in adj}
+    katz = {v: 0.0 for v in adj}
+    for k in range(1, KATZ_DEPTH + 1):
+        nxt = {v: sum(p.get(u, 0) for u in adj[v]) for v in adj}
+        p = nxt
+        for v in adj:
+            katz[v] += (KATZ_ALPHA**k) * p[v]
+    want = sorted(katz.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[
+        :KATZ_TOPK
+    ]
+    got = katz_centrality_parts(spark, SF_DIR).collect()
+    assert [r["part"] for r in got] == [v for v, _ in want]
+    for r, (v, s) in zip(got, want):
+        assert abs(r["katz"] - s) < 1e-5, v

@@ -1784,3 +1784,255 @@ def siegel_tukey_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R360 Hosmer-Lemeshow calibration test of an empirical-rate model
+# ---------------------------------------------------------------------------
+
+HL_BINS = 10
+
+
+@register(
+    "hosmer_lemeshow_purchase",
+    sql=f"""
+    WITH ev AS MATERIALIZED (
+      SELECT event_id,
+             CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS BIGINT)
+               AS dow,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    cell AS (   -- the fitted model: empirical purchase rate per cell
+      SELECT dow, hr, CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(y) AS BIGINT) AS kc
+      FROM ev GROUP BY dow, hr
+    ),
+    scored AS MATERIALIZED (
+      SELECT e.event_id, e.y,
+             CAST(c.kc AS DOUBLE) / c.nc AS phat
+      FROM ev e JOIN cell c ON c.dow = e.dow AND c.hr = e.hr
+    ),
+    pos AS (
+      SELECT y, phat,
+             CAST(row_number() OVER (ORDER BY phat, event_id) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM scored
+    ),
+    binned AS (
+      SELECT CAST((rn - 1) * {HL_BINS} // n AS BIGINT) AS bin, y, phat, n
+      FROM pos
+    ),
+    -- group by (bin, phat) first: E is then a sum over <= 168 exact
+    -- count*rate products per bin, not a data-sized float sum
+    g AS (
+      SELECT bin, phat, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(y) AS BIGINT) AS o
+      FROM binned GROUP BY bin, phat
+    ),
+    bins AS (
+      SELECT bin, CAST(sum(m) AS BIGINT) AS n_g,
+             CAST(sum(o) AS BIGINT) AS o_g,
+             sum(m * phat) AS e_g
+      FROM g GROUP BY bin
+    )
+    SELECT bin, n_g, o_g, round(e_g, 4) AS e_g,
+           CASE WHEN e_g > 0 AND e_g < n_g
+                THEN round(pow(o_g - e_g, 2) / (e_g * (1 - e_g / n_g)), 6)
+           END AS hl_contrib
+    FROM bins ORDER BY bin
+    """,
+)
+def hosmer_lemeshow_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R360 Hosmer-Lemeshow goodness-of-calibration over an
+    empirical-rate model: predict P(purchase) for every event from
+    its (weekday, hour) cell rate, split events into {HL_BINS} risk
+    deciles, and emit each decile's observed count, expected count
+    and chi-square contribution — the calibration table a scoring
+    pipeline reviews before shipping a model (complements the gated
+    reliability/Brier and isotonic queries).  Rates are exact count
+    ratios; deciles come from the two-phase global_row_number with a
+    unique (phat, event_id) key; E_g sums <= 168 exact count*rate
+    products per bin (never a data-sized float sum).  In-sample by
+    design — the gate pins the TABLE, the referee checks the
+    formula."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    anchor = F.lit("2024-01-01").cast("date")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.datediff(F.col("ts").cast("date"), anchor) % 7)
+        .cast("long")
+        .alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cell = ev.groupBy("dow", "hr").agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum("y").cast("long").alias("kc"),
+    )
+    scored = ev.join(F.broadcast(cell), on=["dow", "hr"]).select(
+        "event_id",
+        "y",
+        (F.col("kc").cast("double") / F.col("nc")).alias("phat"),
+    )
+    pos = global_row_number(scored, ["phat", "event_id"], out_col="rn")
+    n_ = pos.agg(F.count("*").cast("long").alias("n"))
+    binned = pos.crossJoin(F.broadcast(n_)).select(
+        F.floor((F.col("rn") - 1) * HL_BINS / F.col("n"))
+        .cast("long")
+        .alias("bin"),
+        "y",
+        "phat",
+    )
+    g = binned.groupBy("bin", "phat").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("y").cast("long").alias("o"),
+    )
+    bins = g.groupBy("bin").agg(
+        F.sum("m").cast("long").alias("n_g"),
+        F.sum("o").cast("long").alias("o_g"),
+        F.sum(F.col("m") * F.col("phat")).alias("e_g_raw"),
+    )
+    return bins.select(
+        "bin",
+        "n_g",
+        "o_g",
+        F.round(F.col("e_g_raw"), 4).alias("e_g"),
+        # degenerate deciles (E = 0 or E = n, possible at tiny SFs where
+        # whole rate cells are all-0/all-1) get NULL on BOTH sides
+        F.when(
+            (F.col("e_g_raw") > 0) & (F.col("e_g_raw") < F.col("n_g")),
+            F.round(
+                F.pow(F.col("o_g") - F.col("e_g_raw"), 2)
+                / (F.col("e_g_raw") * (1 - F.col("e_g_raw") / F.col("n_g"))),
+                6,
+            ),
+        ).alias("hl_contrib"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# R361 truncated Katz centrality (integer path counts) on co-purchases
+# ---------------------------------------------------------------------------
+
+KATZ_ALPHA = 0.01
+KATZ_DEPTH = 4
+KATZ_TOPK = 20
+
+
+def _katz_oracle_sql() -> str:
+    parts = [
+        """li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS MATERIALIZED (   -- symmetrized distinct co-purchase edges
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+      ) GROUP BY u, v
+    ),
+    p0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, CAST(1 AS BIGINT) AS p FROM e
+    )"""
+    ]
+    for r in range(1, KATZ_DEPTH + 1):
+        parts.append(f""",
+    p{r} AS MATERIALIZED (
+      SELECT e.u AS node, CAST(sum(p.p) AS BIGINT) AS p
+      FROM e JOIN p{r - 1} p ON p.node = e.v
+      GROUP BY e.u
+    )""")
+    katz = " + ".join(
+        f"{KATZ_ALPHA}" + f" * COALESCE(p{r}.p, 0)"
+        if r == 1
+        else f"power({KATZ_ALPHA}, {r}) * COALESCE(p{r}.p, 0)"
+        for r in range(1, KATZ_DEPTH + 1)
+    )
+    joins = "".join(
+        f"\n      LEFT JOIN p{r} ON p{r}.node = n.node"
+        for r in range(1, KATZ_DEPTH + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+    SELECT node AS part, katz, paths_1
+    FROM (
+      SELECT n.node, round({katz}, 6) AS katz,
+             CAST(COALESCE(p1.p, 0) AS BIGINT) AS paths_1
+      FROM p0 n{joins}
+    )
+    ORDER BY katz DESC, part LIMIT {KATZ_TOPK}
+    """
+    )
+
+
+@register("katz_centrality_parts", sql=_katz_oracle_sql())
+def katz_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R361 truncated Katz centrality on the co-purchase graph:
+    katz(v) = sum_{{k<=4}} alpha^k * walks_k(v) with alpha = 0.01 —
+    the attenuated-walk influence measure between degree (k = 1) and
+    eigenvector centrality (k -> inf), complementing the gated
+    PageRank (random-walk) and harmonic (distance) centralities.
+    walk counts (A^k 1) are EXACT BIGINTs (4 rounds of one equi-join
+    + sum each — the same per-round shape as the gated label
+    propagation; max-degree^4 ~ 1.6e13 stays in long with 100x
+    headroom), so the attenuated combination is an exact-operand
+    double and the top-{KATZ_TOPK} is a TakeOrderedAndProject with a
+    part-key tie-break."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    p = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "p", F.lit(1).cast("long")
+    )
+    nodes = p.select("node")
+    path_cols = []
+    for r in range(1, KATZ_DEPTH + 1):
+        p = (
+            e.join(
+                p.select(F.col("node").alias("v"), "p"), on="v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("p").cast("long").alias("p"))
+            .localCheckpoint(eager=False)
+        )
+        path_cols.append(
+            p.select("node", F.col("p").alias(f"p{r}"))
+        )
+    out = nodes
+    for r, pc in enumerate(path_cols, start=1):
+        out = out.join(pc, on="node", how="left")
+    katz = sum(
+        (KATZ_ALPHA**r) * F.coalesce(F.col(f"p{r}"), F.lit(0))
+        for r in range(1, KATZ_DEPTH + 1)
+    )
+    return (
+        out.select(
+            F.col("node").alias("part"),
+            F.round(katz, 6).alias("katz"),
+            F.coalesce(F.col("p1"), F.lit(0)).cast("long").alias("paths_1"),
+        )
+        .orderBy(F.col("katz").desc(), "part")
+        .limit(KATZ_TOPK)
+    )
