@@ -872,6 +872,19 @@ EXPECTATIONS = {
     "hosmer_lemeshow_purchase": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R362: 1-row node-moment x 1-row edge-moment scalar cross
+    "gearys_c_copurchase": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R364: rank window over the calendar-bounded day frame
+    # (cusum-style bounded exception)
+    "lmoments_daily_revenue": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    # R365: 1-row date-bounds scalar crossed onto the order scan
+    "nation_rank_stability": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

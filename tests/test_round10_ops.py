@@ -567,3 +567,118 @@ def test_katz_matches_python_walk_counts(spark):
     assert [r["part"] for r in got] == [v for v, _ in want]
     for r, (v, s) in zip(got, want):
         assert abs(r["katz"] - s) < 1e-5, v
+
+
+def test_gearys_c_matches_python(spark):
+    from zoom_spark.queries.round10_ops import gearys_c_copurchase
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas().drop_duplicates()
+    part = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice"
+    ).toPandas()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    xmap = {
+        k: math.floor(v * 100 + 0.5)
+        for k, v in zip(part["p_partkey"], part["p_retailprice"])
+    }
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    x = np.array([xmap[nd] for nd in nodes], dtype=np.float64)
+    xb = x.mean()
+    num = sum(2 * (xmap[u] - xmap[v]) ** 2 for u, v in edges)
+    den = ((x - xb) ** 2).sum()
+    c = ((len(nodes) - 1) / (2 * 2 * len(edges))) * num / den
+    [r] = gearys_c_copurchase(spark, SF_DIR).collect()
+    assert r["n_nodes"] == len(nodes) and r["n_edges"] == len(edges)
+    assert abs(r["gearys_c"] - c) < 1e-5
+
+
+def test_weighted_kappa_matches_python(spark):
+    from zoom_spark.queries.round10_ops import weighted_kappa_orders
+
+    rat = _ratings(spark, SF_DIR)
+    n = len(rat)
+    conf = np.zeros((3, 3))
+    for a, b in zip(rat["c1"], rat["c2"]):
+        conf[a][b] += 1
+    ri, cj = conf.sum(axis=1), conf.sum(axis=0)
+
+    def kw(power):
+        do = sum(
+            abs(i - j) ** power * conf[i][j] for i in range(3) for j in range(3)
+        ) / n
+        de = sum(
+            abs(i - j) ** power * ri[i] * cj[j] / n / n
+            for i in range(3)
+            for j in range(3)
+        )
+        return 1 - do / de
+
+    [r] = weighted_kappa_orders(spark, SF_DIR).collect()
+    assert r["n_items"] == n
+    assert abs(r["kappa_linear"] - kw(1)) < 1e-5
+    assert abs(r["kappa_quadratic"] - kw(2)) < 1e-5
+    assert -1 <= r["kappa_linear"] <= 1 and -1 <= r["kappa_quadratic"] <= 1
+
+
+def test_lmoments_match_python(spark):
+    from zoom_spark.queries.round10_ops import lmoments_daily_revenue
+
+    d = _daily(spark)
+    y = np.sort((d // 100000).to_numpy(dtype=np.int64))
+    n = len(y)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    b0 = y.mean()
+    b1 = ((i - 1) * y).sum() / n / (n - 1)
+    b2 = ((i - 1) * (i - 2) * y).sum() / n / (n - 1) / (n - 2)
+    b3 = ((i - 1) * (i - 2) * (i - 3) * y).sum() / n / (n - 1) / (n - 2) / (n - 3)
+    l1, l2 = b0, 2 * b1 - b0
+    t3 = (6 * b2 - 6 * b1 + b0) / l2
+    t4 = (20 * b3 - 30 * b2 + 12 * b1 - b0) / l2
+    [r] = lmoments_daily_revenue(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert abs(r["l1"] - l1) < 1e-4
+    assert abs(r["l2"] - l2) < 1e-4
+    assert abs(r["l_skew"] - t3) < 1e-5
+    assert abs(r["l_kurtosis"] - t4) < 1e-5
+    # Hosking bounds: |tau3| < 1 and 0.25*(5*tau3^2 - 1) <= tau4 < 1
+    assert abs(r["l_skew"]) < 1
+    assert 0.25 * (5 * r["l_skew"] ** 2 - 1) - 1e-9 <= r["l_kurtosis"] < 1
+
+
+def test_nation_rank_stability_matches_pandas(spark):
+    from zoom_spark.queries.round10_ops import nation_rank_stability
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).toPandas()
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m["cents"] = (m["o_totalprice"] * 100 + 0.5).apply(math.floor)
+    days = m["o_orderdate"].dt.normalize()
+    lo, hi = days.min(), days.max()
+    m["half"] = ((days - lo).dt.days > (hi - lo).days // 2).astype(int)
+    tot = m.groupby(["c_nationkey", "half"])["cents"].sum().reset_index()
+    ranks = {}
+    for h in (0, 1):
+        sub = tot[tot["half"] == h].sort_values(
+            ["cents", "c_nationkey"], ascending=[False, True]
+        )
+        ranks[h] = {nk: i + 1 for i, nk in enumerate(sub["c_nationkey"])}
+    common = sorted(set(ranks[0]) & set(ranks[1]))
+    d2 = [(ranks[0][k] - ranks[1][k]) for k in common]
+    n = len(common)
+    rho = 1 - 6 * sum(x * x for x in d2) / (n * (n * n - 1))
+    [r] = nation_rank_stability(spark, SF_DIR).collect()
+    assert r["n_nations"] == n
+    assert r["footrule"] == sum(abs(x) for x in d2)
+    assert r["max_shift"] == max(abs(x) for x in d2)
+    assert abs(r["spearman_rho"] - rho) < 1e-6

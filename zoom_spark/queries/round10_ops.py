@@ -2036,3 +2036,414 @@ def katz_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("katz").desc(), "part")
         .limit(KATZ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# R362 Geary's C over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gearys_c_copurchase",
+    sql="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    x AS MATERIALIZED (
+      SELECT p.p_partkey AS node,
+             CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS x
+      FROM part p
+      WHERE p.p_partkey IN (SELECT u FROM e UNION SELECT v FROM e)
+    ),
+    nodes AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM x
+    ),
+    edges AS (
+      SELECT CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum((xu.x - xv.x) * (xu.x - xv.x)) AS BIGINT) AS sediff
+      FROM e
+      JOIN x xu ON xu.node = e.u
+      JOIN x xv ON xv.node = e.v
+    )
+    SELECT n.n AS n_nodes, ed.ne AS n_edges,
+           round((CAST(n.n - 1 AS DOUBLE) / (2 * (2 * ed.ne)))
+                 * (2 * CAST(ed.sediff AS DOUBLE))
+                 / (CAST(n.sxx AS DOUBLE)
+                    - CAST(n.sx AS DOUBLE) * n.sx / n.n), 6) AS gearys_c
+    FROM nodes n CROSS JOIN edges ed
+    """,
+)
+def gearys_c_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R362 Geary's C over the co-purchase graph (same attribute and
+    weights as R355 Moran's I): C = ((N-1)/(2W)) * sum w_ij (x_i -
+    x_j)^2 / sum (x_i - xbar)^2 — the PAIR-DIFFERENCE twin of Moran's
+    I (C < 1 = positive autocorrelation; C is more sensitive to local
+    structure, I to global).  Even cleaner integer-exactness than
+    Moran: the edge term sum (x_u - x_v)^2 is a pure BIGINT sum (no
+    mean in it at all); only the denominator touches xbar, via raw
+    moments.  Emitting both I and C is the standard spatial-stats
+    report pair."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes_in_graph = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    x = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+        )
+        .join(nodes_in_graph, on="node")
+        .localCheckpoint(eager=False)
+    )
+    nodes = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    xu = x.select(F.col("node").alias("u"), F.col("x").alias("xu"))
+    xv = x.select(F.col("node").alias("v"), F.col("x").alias("xv"))
+    edges = (
+        e.join(xu, on="u")
+        .join(xv, on="v")
+        .agg(
+            F.count("*").cast("long").alias("ne"),
+            F.sum(
+                (F.col("xu") - F.col("xv")) * (F.col("xu") - F.col("xv"))
+            )
+            .cast("long")
+            .alias("sediff"),
+        )
+    )
+    z = nodes.crossJoin(F.broadcast(edges))
+    den = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("n")
+    return z.select(
+        F.col("n").alias("n_nodes"),
+        F.col("ne").alias("n_edges"),
+        F.round(
+            ((F.col("n") - 1).cast("double") / (2 * (2 * F.col("ne"))))
+            * (2 * F.col("sediff").cast("double"))
+            / den,
+            6,
+        ).alias("gearys_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R363 weighted Cohen's kappa (linear + quadratic) between two raters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_kappa_orders",
+    sql=f"""
+    WITH {_RATERS_SQL.strip()},
+    conf AS (
+      SELECT c1, c2, CAST(count(*) AS BIGINT) AS o FROM rated GROUP BY c1, c2
+    ),
+    marg AS (
+      SELECT r.c1, r.c2, r.o,
+             (SELECT CAST(sum(o) AS BIGINT) FROM conf x WHERE x.c1 = r.c1)
+               AS ri,
+             (SELECT CAST(sum(o) AS BIGINT) FROM conf x WHERE x.c2 = r.c2)
+               AS cj
+      FROM conf r
+    ),
+    agg AS (
+      SELECT (SELECT CAST(sum(o) AS BIGINT) FROM conf) AS n,
+             CAST(sum(abs(c1 - c2) * o) AS BIGINT) AS dl_o,
+             CAST(sum((c1 - c2) * (c1 - c2) * o) AS BIGINT) AS dq_o,
+             sum(abs(c1 - c2) * CAST(ri AS DOUBLE) * cj) AS dl_e,
+             sum((c1 - c2) * (c1 - c2) * CAST(ri AS DOUBLE) * cj) AS dq_e
+      FROM marg
+    )
+    SELECT n AS n_items,
+           round(1 - CAST(dl_o AS DOUBLE) * n / dl_e, 6) AS kappa_linear,
+           round(1 - CAST(dq_o AS DOUBLE) * n / dq_e, 6) AS kappa_quadratic
+    FROM agg
+    """,
+)
+def weighted_kappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R363 weighted Cohen's kappa between the header-price and
+    line-gross raters of the R348 matrix, in the disagreement form
+    kappa_w = 1 - sum(w_ij O_ij) / sum(w_ij E_ij) with linear
+    (w = |i-j|) and quadratic (w = (i-j)^2) penalty weights — the
+    ORDINAL agreement measure (the gated unweighted Cohen's kappa
+    treats a 1-category miss the same as a 2-category miss; quadratic
+    weighting makes kappa equivalent to an ICC).  The confusion
+    matrix is 3x3 (model-sized); O terms are exact BIGINTs, E terms
+    exact count products — everything is exact-operand."""
+    rated = _rated_orders(spark, sf_dir)
+    conf = rated.groupBy("c1", "c2").agg(F.count("*").cast("long").alias("o"))
+    ri = conf.groupBy("c1").agg(F.sum("o").cast("long").alias("ri"))
+    cj = conf.groupBy("c2").agg(F.sum("o").cast("long").alias("cj"))
+    marg = conf.join(F.broadcast(ri), on="c1").join(F.broadcast(cj), on="c2")
+    dl = F.abs(F.col("c1") - F.col("c2"))
+    dq = (F.col("c1") - F.col("c2")) * (F.col("c1") - F.col("c2"))
+    agg = marg.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(dl * F.col("o")).cast("long").alias("dl_o"),
+        F.sum(dq * F.col("o")).cast("long").alias("dq_o"),
+        F.sum(dl * F.col("ri").cast("double") * F.col("cj")).alias("dl_e"),
+        F.sum(dq * F.col("ri").cast("double") * F.col("cj")).alias("dq_e"),
+    )
+    return agg.select(
+        F.col("n").alias("n_items"),
+        F.round(
+            1 - F.col("dl_o").cast("double") * F.col("n") / F.col("dl_e"), 6
+        ).alias("kappa_linear"),
+        F.round(
+            1 - F.col("dq_o").cast("double") * F.col("n") / F.col("dq_e"), 6
+        ).alias("kappa_quadratic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R364 L-moments of daily revenue (lambda1, lambda2, L-skew, L-kurtosis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lmoments_daily_revenue",
+    sql="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) / 100000) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    r AS MATERIALIZED (   -- order-statistic ranks (value ties: any
+                          -- consistent order gives identical weighted
+                          -- sums since tied values are equal)
+      SELECT CAST(row_number() OVER (ORDER BY y, day) AS BIGINT) AS i, y
+      FROM d
+    ),
+    b AS (   -- probability-weighted moments with INTEGER numerators
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s0,
+             CAST(sum((i - 1) * y) AS BIGINT) AS s1,
+             CAST(sum((i - 1) * (i - 2) * y) AS BIGINT) AS s2,
+             CAST(sum((i - 1) * (i - 2) * (i - 3) * y) AS BIGINT) AS s3
+      FROM r
+    ),
+    pwm AS (
+      SELECT n,
+             CAST(s0 AS DOUBLE) / n AS b0,
+             CAST(s1 AS DOUBLE) / n / (n - 1) AS b1,
+             CAST(s2 AS DOUBLE) / n / (n - 1) / (n - 2) AS b2,
+             CAST(s3 AS DOUBLE) / n / (n - 1) / (n - 2) / (n - 3) AS b3
+      FROM b
+    )
+    SELECT n AS n_days,
+           round(b0, 6) AS l1,
+           round(2 * b1 - b0, 6) AS l2,
+           round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6) AS l_skew,
+           round((20 * b3 - 30 * b2 + 12 * b1 - b0) / (2 * b1 - b0), 6)
+             AS l_kurtosis
+    FROM pwm
+    """,
+)
+def lmoments_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R364 first four L-moments of daily revenue (Hosking 1990):
+    lambda1 (location), lambda2 (L-scale), tau3 = L-skewness, tau4 =
+    L-kurtosis — the order-statistic moment family hydrology/risk
+    pipelines prefer because every L-moment exists whenever the mean
+    does and is far more outlier-robust than conventional skew/
+    kurtosis (both gated).  Probability-weighted moments b_r have
+    INTEGER numerators: sum (i-1)..(i-r) * y_i over the day ranks
+    (y on the 1000-dollar grid keeps the cubic-weight sum ~8e16
+    inside BIGINT at the 10x smoke), so the L-moment combinations
+    are exact-operand.  Ranks from the day-frame window; tied values
+    contribute identically under any tie order."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100000
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("y", "day")
+    r = d.select(
+        F.row_number().over(w).cast("long").alias("i"), "y"
+    )
+    i, y = F.col("i"), F.col("y")
+    b = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s0"),
+        F.sum((i - 1) * y).cast("long").alias("s1"),
+        F.sum((i - 1) * (i - 2) * y).cast("long").alias("s2"),
+        F.sum((i - 1) * (i - 2) * (i - 3) * y).cast("long").alias("s3"),
+    )
+    n = F.col("n")
+    b0 = F.col("s0").cast("double") / n
+    b1 = F.col("s1").cast("double") / n / (n - 1)
+    b2 = F.col("s2").cast("double") / n / (n - 1) / (n - 2)
+    b3 = F.col("s3").cast("double") / n / (n - 1) / (n - 2) / (n - 3)
+    l2 = 2 * b1 - b0
+    return b.select(
+        n.alias("n_days"),
+        F.round(b0, 6).alias("l1"),
+        F.round(l2, 6).alias("l2"),
+        F.round((6 * b2 - 6 * b1 + b0) / l2, 6).alias("l_skew"),
+        F.round((20 * b3 - 30 * b2 + 12 * b1 - b0) / l2, 6).alias(
+            "l_kurtosis"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R365 rank stability of nation revenue between date-range halves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_rank_stability",
+    sql="""
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             max(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    rev AS (
+      SELECT c.c_nationkey AS nation,
+             CASE WHEN (CAST(o.o_orderdate AS DATE) - b.lo)
+                       <= (b.hi - b.lo) // 2
+                  THEN 0 ELSE 1 END AS half,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      CROSS JOIN bounds b
+    ),
+    tot AS (
+      SELECT nation, half, CAST(sum(cents) AS BIGINT) AS cents
+      FROM rev GROUP BY nation, half
+    ),
+    rk AS (
+      SELECT nation, half,
+             CAST(row_number() OVER (
+               PARTITION BY half ORDER BY cents DESC, nation) AS BIGINT)
+               AS rnk
+      FROM tot
+    ),
+    pairs AS (
+      SELECT a.nation, a.rnk AS r1, b.rnk AS r2
+      FROM (SELECT * FROM rk WHERE half = 0) a
+      JOIN (SELECT * FROM rk WHERE half = 1) b USING (nation)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule,
+           CAST(max(abs(r1 - r2)) AS BIGINT) AS max_shift,
+           round(1 - 6.0 * sum((r1 - r2) * (r1 - r2))
+                     / (count(*) * (count(*) * count(*) - 1)), 6)
+             AS spearman_rho
+    FROM pairs
+    """,
+)
+def nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R365 rank-stability diagnostics: rank the 25 nations by total
+    revenue in the first and second halves of the date range, then
+    report Spearman's footrule (sum |r1 - r2|), the max rank shift,
+    and Spearman's rho between the two rankings — the leaderboard-
+    churn measure a reporting pipeline watches (complements the
+    gated Kendall tau, which counts pairwise inversions).  Revenue is
+    exact cents; per-half ranks are dense integers over the 25-row
+    nation frame (tie-break by nation key), so every output is
+    integer-exact up to the final rho ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    rev = (
+        o.join(c, on="o_custkey")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "nation",
+            F.when(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("lo"))
+                <= F.floor(
+                    F.datediff(F.col("hi"), F.col("lo")) / 2
+                ),
+                0,
+            )
+            .otherwise(1)
+            .alias("half"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    tot = rev.groupBy("nation", "half").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    w = Window.partitionBy("half").orderBy(F.col("cents").desc(), "nation")
+    rk = tot.select(
+        "nation", "half", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    pairs = (
+        rk.where(F.col("half") == 0)
+        .select("nation", F.col("rnk").alias("r1"))
+        .join(
+            rk.where(F.col("half") == 1).select(
+                "nation", F.col("rnk").alias("r2")
+            ),
+            on="nation",
+        )
+    )
+    n = F.count("*")
+    return pairs.agg(
+        n.cast("long").alias("n_nations"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).cast("long").alias("footrule"),
+        F.max(F.abs(F.col("r1") - F.col("r2"))).cast("long").alias("max_shift"),
+        F.round(
+            1
+            - 6.0
+            * F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+            / (n * (n * n - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
