@@ -923,7 +923,7 @@ def test_stream_scd2_history_sink(spark, tmp_path):
     src.mkdir()
     sink = str(tmp_path / "dim")
 
-    def write_changes(name, rows):
+    def write_changes(name, rows, mtime):
         t = pa.table(
             {
                 "k": pa.array([r[0] for r in rows], type=pa.int64()),
@@ -935,9 +935,18 @@ def test_stream_scd2_history_sink(spark, tmp_path):
             }
         )
         pq.write_table(t, str(src / name))
+        # the file source orders micro-batches by modification time;
+        # under heavy parallel IO two quick writes can land in the
+        # same mtime tick and get picked up out of order — pin
+        # strictly increasing mtimes (this models an ordered CDC feed)
+        import os
+
+        os.utime(str(src / name), (mtime, mtime))
 
     write_changes(
-        "b1.parquet", [(1, "2024-01-01", "a1"), (2, "2024-01-01", "b1")]
+        "b1.parquet",
+        [(1, "2024-01-01", "a1"), (2, "2024-01-01", "b1")],
+        mtime=1_700_000_000,
     )
     # batch 2 carries TWO versions of key 1 (applied in ts order) and
     # one of key 2
@@ -948,6 +957,7 @@ def test_stream_scd2_history_sink(spark, tmp_path):
             (1, "2024-03-01", "a3"),
             (2, "2024-02-15", "b2"),
         ],
+        mtime=1_700_000_060,
     )
 
     def run(cp):
