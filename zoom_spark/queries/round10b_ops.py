@@ -1,0 +1,540 @@
+"""Round-10 second-wave operator additions (R366+, SURVEY.md §2.19).
+
+Families, concept-grepped against the 474-query registry first (the
+round-7 lesson — cochran_armitage exists but Cochran's Q does not;
+mcnemar exists but its k×k generalization Bowker does not;
+jonckheere_terpstra exists but the rank-score Cuzick trend does not;
+kpss/variance-ratio exist but the Dickey-Fuller unit-root regression
+does not):
+
+- repeated-measures binary: Cochran's Q test
+- square-contingency symmetry: Bowker's test (McNemar k×k)
+- ordered-group trend in ranks: Cuzick's trend test
+- unit roots: augmented Dickey-Fuller (one lag)
+
+Engine-parity discipline (shared with rounds 4-10a): integer-exact
+arithmetic wherever inputs quantize once (cent/dollar grids, 2×midrank
+grids, indicator sums); raw INTEGER moments kept in BIGINT and cast to
+double only at the closed form (identical cast → identical doubles);
+per-term 1e-9 snaps before cross-row double sums so the sum is a
+BIGINT reduction (order-free); outputs snapped with the shared
+round(x, 6) spelling.
+
+Reference parity note: the reference (kippnorcal/zoom, main.py:1-537)
+is an API-ingest ETL with no statistics surface; these operators are
+part of the mandated north-star analytics extension (SURVEY.md §2.11+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# R366 Cochran's Q test — repeated-measures binary across 3 periods
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cochrans_q_yearly_activity",
+    sql="""
+    WITH y0 AS (
+      SELECT CAST(min(year(o_orderdate)) AS BIGINT) AS y0 FROM orders
+    ),
+    flags AS MATERIALIZED (
+      SELECT c.c_custkey,
+             CAST(max(CASE WHEN year(o.o_orderdate) = y0.y0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+             CAST(max(CASE WHEN year(o.o_orderdate) = y0.y0 + 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(max(CASE WHEN year(o.o_orderdate) = y0.y0 + 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      FROM customer c
+      CROSS JOIN y0
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+             CAST(sum(x0) AS BIGINT) AS c0,
+             CAST(sum(x1) AS BIGINT) AS c1,
+             CAST(sum(x2) AS BIGINT) AS c2,
+             CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS sr2
+      FROM flags
+    )
+    SELECT n_subjects, c0, c1, c2,
+           CAST(2 * (3 * (c0*c0 + c1*c1 + c2*c2)
+                     - (c0+c1+c2) * (c0+c1+c2)) AS BIGINT) AS q_num,
+           CAST(3 * (c0+c1+c2) - sr2 AS BIGINT) AS q_den,
+           round(CAST(2 * (3 * (c0*c0 + c1*c1 + c2*c2)
+                           - (c0+c1+c2) * (c0+c1+c2)) AS DOUBLE)
+                 / CAST(3 * (c0+c1+c2) - sr2 AS DOUBLE), 6) AS q_stat,
+           round(exp(-0.5 *
+                 CAST(2 * (3 * (c0*c0 + c1*c1 + c2*c2)
+                           - (c0+c1+c2) * (c0+c1+c2)) AS DOUBLE)
+                 / CAST(3 * (c0+c1+c2) - sr2 AS DOUBLE)), 6) AS p_value
+    FROM m
+    """,
+)
+def cochrans_q_yearly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R366 Cochran's Q test (1950) for k=3 related binary treatments:
+    subjects are customers, treatment j is "placed ≥1 order in calendar
+    year y0+j" (y0 = first year in the data).  Q = (k-1)(kΣC_j² - N²)
+    / (kN - ΣR_i²) with C_j column (period) totals, R_i row (subject)
+    totals, N total successes — the whole statistic is a ratio of two
+    BIGINTs (all-zero and all-one subjects contribute nothing, so
+    keeping every customer is harmless and keeps the frame
+    join-pruned).  df = k-1 = 2, whose chi-square survival function is
+    the CLOSED FORM exp(-Q/2) — no incomplete gamma needed, so the
+    p-value is an exp of an exact-operand double.  One groupBy on the
+    fact table + one 1-row broadcast (y0): scales as a single
+    aggregation pass at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    y0 = orders.agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("y0")
+    )
+    flags = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(
+            orders.select("o_custkey", F.year("o_orderdate").alias("yr"))
+            .join(F.broadcast(y0))
+            .groupBy("o_custkey")
+            .agg(
+                F.max(F.when(F.col("yr") == F.col("y0"), 1).otherwise(0))
+                .cast("long")
+                .alias("x0"),
+                F.max(F.when(F.col("yr") == F.col("y0") + 1, 1).otherwise(0))
+                .cast("long")
+                .alias("x1"),
+                F.max(F.when(F.col("yr") == F.col("y0") + 2, 1).otherwise(0))
+                .cast("long")
+                .alias("x2"),
+            ),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+            how="left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce("x0", F.lit(0)).alias("x0"),
+            F.coalesce("x1", F.lit(0)).alias("x1"),
+            F.coalesce("x2", F.lit(0)).alias("x2"),
+        )
+    )
+    r = F.col("x0") + F.col("x1") + F.col("x2")
+    m = flags.agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.sum("x0").cast("long").alias("c0"),
+        F.sum("x1").cast("long").alias("c1"),
+        F.sum("x2").cast("long").alias("c2"),
+        F.sum(r * r).cast("long").alias("sr2"),
+    )
+    s = F.col("c0") + F.col("c1") + F.col("c2")
+    ssq = (
+        F.col("c0") * F.col("c0")
+        + F.col("c1") * F.col("c1")
+        + F.col("c2") * F.col("c2")
+    )
+    q_num = (2 * (3 * ssq - s * s)).cast("long")
+    q_den = (3 * s - F.col("sr2")).cast("long")
+    q = q_num.cast("double") / q_den.cast("double")
+    return m.select(
+        "n_subjects",
+        "c0",
+        "c1",
+        "c2",
+        q_num.alias("q_num"),
+        q_den.alias("q_den"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(F.exp(-0.5 * q), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R367 Bowker's test of symmetry — k×k McNemar on priority transitions
+# ---------------------------------------------------------------------------
+
+_PRIO_BUCKET_SQL = """
+      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+           WHEN o_orderpriority = '3-MEDIUM' THEN 1
+           ELSE 2 END
+"""
+
+
+@register(
+    "bowker_symmetry_priority",
+    sql=f"""
+    WITH seq AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST({_PRIO_BUCKET_SQL} AS BIGINT) AS b,
+             lag(CAST({_PRIO_BUCKET_SQL} AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+             ) AS pb
+      FROM orders
+    ),
+    t AS (
+      SELECT pb AS i, b AS j, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE pb IS NOT NULL GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.i, a.j,
+             a.n AS nij, COALESCE(bb.n, 0) AS nji,
+             CAST(floor(1000000000.0 * (a.n - COALESCE(bb.n, 0))
+                        * (a.n - COALESCE(bb.n, 0))
+                        / (a.n + COALESCE(bb.n, 0))) AS BIGINT) AS term9
+      FROM t a LEFT JOIN t bb ON bb.i = a.j AND bb.j = a.i
+      WHERE a.i < a.j
+    )
+    SELECT CAST((SELECT sum(n) FROM t) AS BIGINT) AS n_transitions,
+           CAST(max(CASE WHEN i=0 AND j=1 THEN nij END) AS BIGINT) AS n01,
+           CAST(max(CASE WHEN i=0 AND j=1 THEN nji END) AS BIGINT) AS n10,
+           CAST(max(CASE WHEN i=0 AND j=2 THEN nij END) AS BIGINT) AS n02,
+           CAST(max(CASE WHEN i=0 AND j=2 THEN nji END) AS BIGINT) AS n20,
+           CAST(max(CASE WHEN i=1 AND j=2 THEN nij END) AS BIGINT) AS n12,
+           CAST(max(CASE WHEN i=1 AND j=2 THEN nji END) AS BIGINT) AS n21,
+           round(CAST(sum(term9) AS DOUBLE) / 1e9, 6) AS chi2,
+           CAST(3 AS BIGINT) AS df
+    FROM pairs
+    """,
+)
+def bowker_symmetry_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R367 Bowker (1948) test of symmetry — the k×k generalization of
+    McNemar (the registry's mcnemar_paired_classifiers is the 2×2
+    case): per customer, consecutive orders (ordered by date with
+    orderkey tie-break) form transitions between 3 priority buckets
+    (urgent/high, medium, notspec/low); H0 is n_ij = n_ji for the 3×3
+    transition table.  chi2 = Σ_{{i<j}} (n_ij-n_ji)²/(n_ij+n_ji) with
+    df = k(k-1)/2 = 3.  Each of the 3 pair terms is snapped to the
+    1e-9 grid BEFORE the cross-pair sum (the round-10 Hellinger
+    per-term-snap pattern), so the sum is a 3-row BIGINT reduction and
+    engine summation order cannot matter.  One window + one groupBy on
+    orders — a single shuffle on o_custkey at 100 TB."""
+    bucket = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", bucket.alias("b"))
+        .withColumn("pb", F.lag("b").over(w))
+        .where(F.col("pb").isNotNull())
+    )
+    t = seq.groupBy(F.col("pb").alias("i"), F.col("b").alias("j")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = t.alias("a")
+    b = t.select(
+        F.col("i").alias("ri"), F.col("j").alias("rj"), F.col("n").alias("rn")
+    )
+    pairs = (
+        a.where(F.col("i") < F.col("j"))
+        .join(
+            F.broadcast(b),
+            (F.col("ri") == F.col("j")) & (F.col("rj") == F.col("i")),
+            "left",
+        )
+        .select(
+            "i",
+            "j",
+            F.col("n").alias("nij"),
+            F.coalesce("rn", F.lit(0)).cast("long").alias("nji"),
+        )
+        .withColumn(
+            "term9",
+            F.floor(
+                1e9
+                * (F.col("nij") - F.col("nji"))
+                * (F.col("nij") - F.col("nji"))
+                / (F.col("nij") + F.col("nji"))
+            ).cast("long"),
+        )
+    )
+    total = t.agg(F.sum("n").cast("long").alias("n_transitions"))
+
+    def pick(i: int, j: int, col: str):
+        return F.max(
+            F.when((F.col("i") == i) & (F.col("j") == j), F.col(col))
+        ).cast("long")
+
+    return pairs.join(F.broadcast(total)).agg(
+        F.max("n_transitions").cast("long").alias("n_transitions"),
+        pick(0, 1, "nij").alias("n01"),
+        pick(0, 1, "nji").alias("n10"),
+        pick(0, 2, "nij").alias("n02"),
+        pick(0, 2, "nji").alias("n20"),
+        pick(1, 2, "nij").alias("n12"),
+        pick(1, 2, "nji").alias("n21"),
+        F.round(F.sum("term9").cast("double") / 1e9, 6).alias("chi2"),
+        F.lit(3).cast("long").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R368 Cuzick's trend test — rank trend across ordered priority groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cuzick_trend_priority_price",
+    sql="""
+    WITH obs AS MATERIALIZED (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS l,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS MATERIALIZED (
+      SELECT l, cents,
+             CAST(2 * rank() OVER (ORDER BY cents)
+                  + count(*) OVER (PARTITION BY cents) - 1
+                  AS BIGINT) AS r2
+      FROM obs
+    ),
+    ties AS (
+      SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie3 FROM (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY cents
+      )
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l * r2) AS BIGINT) AS t2,
+             CAST(sum(l) AS BIGINT) AS sl,
+             CAST(sum(l * l) AS BIGINT) AS sl2
+      FROM ranked
+    )
+    SELECT m.n, m.t2,
+           CAST((m.n + 1) * m.sl AS BIGINT) AS e2,
+           round((CAST(m.t2 AS DOUBLE) - CAST((m.n + 1) * m.sl AS DOUBLE))
+                 / (2.0 * sqrt(
+                     CAST(m.n * m.sl2 - m.sl * m.sl AS DOUBLE)
+                     * (CAST(m.n + 1 AS DOUBLE) / 12.0)
+                     * (1.0 - CAST(ties.tie3 AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) * m.n * m.n - m.n)))), 6)
+             AS z_stat
+    FROM m, ties
+    """,
+)
+def cuzick_trend_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R368 Cuzick (1985) nonparametric trend test across ordered
+    groups — the rank-score companion to the registry's
+    jonckheere_terpstra (JT counts pairwise exceedances; Cuzick is the
+    Wilcoxon-style linear-rank form): groups are the 5 ordered order
+    priorities with scores l = 1..5, observations are order totals on
+    the exact cent grid, midranked globally.  T = Σ l_i·rank_i;
+    E[T] = (N+1)·Σl/2; Var[T] = (N+1)/12·(NΣl² - (Σl)²)·tie_corr.
+    The engine carries 2×midrank (= 2·rank + ties - 1, an INTEGER) so
+    T2 = 2T and E2 = 2E are exact BIGINTs; z = (T2-E2)/(2·sqrt(Var))
+    is one exact-operand double.  Two window passes + one aggregate:
+    the global sort is the same single range-partitioned sort a
+    100-TB rank would need anyway."""
+    obs = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("l"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = obs.withColumn(
+        "r2",
+        (
+            2 * F.rank().over(Window.orderBy("cents"))
+            + F.count("*").over(Window.partitionBy("cents"))
+            - 1
+        ).cast("long"),
+    )
+    ties = (
+        obs.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    m = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l") * F.col("r2")).cast("long").alias("t2"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("sl2"),
+    )
+    n = F.col("n").cast("double")
+    e2 = ((F.col("n") + 1) * F.col("sl")).cast("long")
+    var_core = (
+        (F.col("n") * F.col("sl2") - F.col("sl") * F.col("sl")).cast("double")
+        * ((F.col("n") + 1).cast("double") / 12.0)
+        * (
+            1.0
+            - F.col("tie3").cast("double") / (n * n * n - n)
+        )
+    )
+    return m.join(F.broadcast(ties)).select(
+        "n",
+        "t2",
+        e2.alias("e2"),
+        F.round(
+            (F.col("t2").cast("double") - e2.cast("double"))
+            / (2.0 * F.sqrt(var_core)),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R369 augmented Dickey-Fuller unit-root test (one lag) on daily revenue
+# ---------------------------------------------------------------------------
+
+_ADF_SERIES_SQL = """
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y,
+             CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS t
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+@register(
+    "adf_unit_root_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    reg AS MATERIALIZED (
+      SELECT cur.y - p1.y AS dy,
+             p1.y AS ylag,
+             p1.y - p2.y AS dylag
+      FROM d cur
+      JOIN d p1 ON p1.t = cur.t - 1
+      JOIN d p2 ON p2.t = cur.t - 2
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ylag) AS BIGINT) AS sx1,
+             CAST(sum(dylag) AS BIGINT) AS sx2,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(ylag * ylag) AS BIGINT) AS s11,
+             CAST(sum(ylag * dylag) AS BIGINT) AS s12,
+             CAST(sum(dylag * dylag) AS BIGINT) AS s22,
+             CAST(sum(ylag * dy) AS BIGINT) AS s1y,
+             CAST(sum(dylag * dy) AS BIGINT) AS s2y,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM reg
+    ),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * s11 - CAST(sx1 AS DOUBLE) * sx1 AS a11,
+             CAST(n AS DOUBLE) * s12 - CAST(sx1 AS DOUBLE) * sx2 AS a12,
+             CAST(n AS DOUBLE) * s22 - CAST(sx2 AS DOUBLE) * sx2 AS a22,
+             CAST(n AS DOUBLE) * s1y - CAST(sx1 AS DOUBLE) * sy AS b1,
+             CAST(n AS DOUBLE) * s2y - CAST(sx2 AS DOUBLE) * sy AS b2,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c,
+             CAST(sx1 AS DOUBLE) / n AS mx1,
+             CAST(sx2 AS DOUBLE) / n AS mx2,
+             CAST(sy AS DOUBLE) / n AS my
+      FROM m
+    ),
+    fit AS (
+      SELECT n, mx1, mx2, my, syy_c, a11, a12, a22, b1, b2,
+             (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS rho,
+             (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS phi
+      FROM c
+    )
+    SELECT n AS n_obs,
+           round(rho, 6) AS rho,
+           round(phi, 6) AS phi,
+           round(my - rho * mx1 - phi * mx2, 2) AS const,
+           round(rho / sqrt(
+             ((syy_c - (rho * b1 + phi * b2) / n) / (n - 3))
+             * n * a22 / (a11 * a22 - a12 * a12)), 6) AS adf_t
+    FROM fit
+    """,
+)
+def adf_unit_root_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R369 augmented Dickey-Fuller unit-root test, one augmentation
+    lag: Δy_t = c + ρ·y_{{t-1}} + φ·Δy_{{t-1}} + ε over the daily
+    revenue series (exact whole-dollar grid, floor(cents/100), the
+    chow_break_daily spelling).  The registry has stationarity tests
+    AROUND this (kpss_level_revenue tests the level-stationary null,
+    variance_ratio_test_revenue the random-walk null) but not the DF
+    regression itself.  ADF t = ρ̂/se(ρ̂) with the 2-regressor normal
+    equations solved in CLOSED FORM (Cramer on centered BIGINT
+    moments; se from the (X'X)⁻¹ diagonal cofactor) — every input to
+    every double op is an exact BIGINT, so both engines compute
+    bit-identical doubles.  Two self-joins on the day index (calendar-
+    bounded frame) + one aggregate; the fact-table pass is a single
+    groupBy at 100 TB."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .select("y", "t")
+    )
+    cur = daily.select(F.col("t").alias("tc"), F.col("y").alias("yc"))
+    p1 = daily.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
+    p2 = daily.select(F.col("t").alias("t2x"), F.col("y").alias("y2"))
+    reg = (
+        cur.join(p1, F.col("t1") == F.col("tc") - 1)
+        .join(p2, F.col("t2x") == F.col("tc") - 2)
+        .select(
+            (F.col("yc") - F.col("y1")).alias("dy"),
+            F.col("y1").alias("ylag"),
+            (F.col("y1") - F.col("y2")).alias("dylag"),
+        )
+    )
+    m = reg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ylag").cast("long").alias("sx1"),
+        F.sum("dylag").cast("long").alias("sx2"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("ylag") * F.col("ylag")).cast("long").alias("s11"),
+        F.sum(F.col("ylag") * F.col("dylag")).cast("long").alias("s12"),
+        F.sum(F.col("dylag") * F.col("dylag")).cast("long").alias("s22"),
+        F.sum(F.col("ylag") * F.col("dy")).cast("long").alias("s1y"),
+        F.sum(F.col("dylag") * F.col("dy")).cast("long").alias("s2y"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("s11") - F.col("sx1").cast("double") * F.col("sx1")
+    a12 = nd * F.col("s12") - F.col("sx1").cast("double") * F.col("sx2")
+    a22 = nd * F.col("s22") - F.col("sx2").cast("double") * F.col("sx2")
+    b1 = nd * F.col("s1y") - F.col("sx1").cast("double") * F.col("sy")
+    b2 = nd * F.col("s2y") - F.col("sx2").cast("double") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    rho = (b1 * a22 - b2 * a12) / det
+    phi = (b2 * a11 - b1 * a12) / det
+    syy_c = F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy") / nd
+    mx1 = F.col("sx1").cast("double") / nd
+    mx2 = F.col("sx2").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    s2 = (syy_c - (rho * b1 + phi * b2) / nd) / (nd - 3)
+    se_rho = F.sqrt(s2 * nd * a22 / det)
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(rho, 6).alias("rho"),
+        F.round(phi, 6).alias("phi"),
+        F.round(my - rho * mx1 - phi * mx2, 2).alias("const"),
+        F.round(rho / se_rho, 6).alias("adf_t"),
+    )
