@@ -142,3 +142,174 @@ def test_adf_matches_lstsq(spark):
     # a unit-root regression on a mean-reverting daily total should
     # reject hard: rho must be negative (pulls back toward the mean)
     assert r["rho"] < 0
+
+
+def _copurchase_nbrs(spark, min_support=1):
+    import collections
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+        .drop_duplicates()
+    )
+    cnt = collections.Counter()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                cnt[(u, v)] += 1
+    nbr = collections.defaultdict(set)
+    for (u, v), c in cnt.items():
+        if c >= min_support:
+            nbr[u].add(v)
+            nbr[v].add(u)
+    return nbr
+
+
+def test_label_propagation_matches_python(spark):
+    import collections
+
+    from zoom_spark.queries.round10b_ops import (
+        _LPA_MIN_SUPPORT,
+        _LPA_ROUNDS,
+        label_propagation_copurchase,
+    )
+
+    nbr = _copurchase_nbrs(spark, _LPA_MIN_SUPPORT)
+    lab = {n: n for n in nbr}
+    for _ in range(_LPA_ROUNDS):
+        lab = {
+            n: sorted(
+                collections.Counter(lab[x] for x in nbr[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0][0]
+            for n in nbr
+        }
+    sizes = collections.Counter(lab.values())
+    mins = collections.defaultdict(lambda: 1 << 62)
+    for n, c in lab.items():
+        mins[c] = min(mins[c], n)
+    got = {
+        r["community"]: (r["size"], r["min_node"])
+        for r in label_propagation_copurchase(spark, SF_DIR).collect()
+    }
+    assert got == {c: (s, mins[c]) for c, s in sizes.items()}
+
+
+def test_link_prediction_panel_matches_python(spark):
+    import hashlib
+
+    from zoom_spark.queries.round10b_ops import (
+        _LP_QUERY_PREFIX,
+        link_prediction_panel,
+    )
+
+    nbr = _copurchase_nbrs(spark, 1)
+
+    def in_q(x):
+        h = hashlib.md5(str(x).encode()).hexdigest()
+        return h[0] == _LP_QUERY_PREFIX and h[1] < "4"
+
+    rows = []
+    for a in nbr:
+        if not in_q(a):
+            continue
+        for b in nbr:
+            if b == a or b in nbr[a]:
+                continue
+            common = nbr[a] & nbr[b]
+            if not common:
+                continue
+            cn = len(common)
+            ra9 = sum(10**9 // len(nbr[z]) for z in common)
+            rows.append(
+                (
+                    a,
+                    b,
+                    cn,
+                    round(cn / (len(nbr[a]) + len(nbr[b]) - cn), 6),
+                    len(nbr[a]) * len(nbr[b]),
+                    round(ra9 / 1e9, 6),
+                )
+            )
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    expect = rows[:50]
+    got = [tuple(r) for r in link_prediction_panel(spark, SF_DIR).collect()]
+    assert got == expect
+
+
+def test_err_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import (
+        _ERR_DEPTH,
+        err_ranking_segments,
+    )
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    g = m.groupby(["c_mktsegment", "c_custkey"]).agg(
+        cents=("cents", "sum"), n=("cents", "size")
+    )
+    expect = {}
+    for seg, sub in g.reset_index().groupby("c_mktsegment"):
+        sub = sub.sort_values(
+            ["cents", "c_custkey"], ascending=[False, True]
+        ).head(_ERR_DEPTH)
+        grades = [min(4, int(n) // 4) for n in sub["n"]]
+        # textbook cascade ERR, then replay the engine's per-term snap
+        err9 = 0
+        prod = 1.0
+        for r, gr in enumerate(grades, start=1):
+            rel = (2**gr - 1) / 16
+            err9 += math.floor(rel * prod / r * 1e9 + 0.5)
+            prod *= 1 - rel
+        expect[seg] = (len(grades), round(err9 / 1e9, 6))
+    got = {
+        r["segment"]: (r["n_ranked"], r["err"])
+        for r in err_ranking_segments(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_rbo_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import (
+        _RBO_DEPTH,
+        rbo_nation_rankings,
+    )
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    g = m.groupby("c_nationkey").agg(cents=("cents", "sum"), n=("cents", "size"))
+    by_rev = sorted(g.index, key=lambda k: (-g.loc[k, "cents"], k))
+    by_cnt = sorted(g.index, key=lambda k: (-g.loc[k, "n"], k))
+    ra = {k: i + 1 for i, k in enumerate(by_rev)}
+    rb = {k: i + 1 for i, k in enumerate(by_cnt)}
+    rbo9 = 0
+    xd_at = {}
+    for d in range(1, _RBO_DEPTH + 1):
+        xd = sum(1 for k in g.index if max(ra[k], rb[k]) <= d)
+        xd_at[d] = xd
+        rbo9 += math.floor(xd / (d * 2**d) * 1e9 + 0.5)
+    [r] = rbo_nation_rankings(spark, SF_DIR).collect()
+    assert r["n_items"] == len(g)
+    assert r["x10"] == xd_at[10]
+    assert r["x20"] == xd_at[_RBO_DEPTH]
+    assert abs(r["rbo"] - round(rbo9 / 1e9, 6)) < 1e-9
+    # RBO is bounded by the final-depth agreement and by 1
+    assert 0.0 <= r["rbo"] <= 1.0

@@ -538,3 +538,542 @@ def adf_unit_root_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(my - rho * mx1 - phi * mx2, 2).alias("const"),
         F.round(rho / se_rho, 6).alias("adf_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R370 synchronous label propagation communities over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+_LPA_MIN_SUPPORT = 2
+
+# unweighted co-purchase adjacency (the adamic_adar edge set)
+_COPURCHASE_NBR_SQL = """
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nbr AS MATERIALIZED (
+      SELECT u AS z, v AS x FROM pairs UNION ALL SELECT v, u FROM pairs
+    )
+"""
+
+# support-thresholded adjacency: pairs co-purchased in >= _LPA_MIN_SUPPORT
+# distinct orders (the market-basket min-support sparsification)
+_LPA_EDGES_SQL = f"""
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_LPA_MIN_SUPPORT}
+    ),
+    nbr AS MATERIALIZED (
+      SELECT u AS z, v AS x FROM pairs UNION ALL SELECT v, u FROM pairs
+    )
+"""
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled synchronous-LPA oracle: _LPA_ROUNDS rounds as chained
+    MATERIALIZED CTEs (the pagerank/katz unroll pattern — DuckDB
+    inlines plain CTEs and each round references the previous twice).
+    Each round takes, per node, the most frequent neighbor label with
+    ties broken toward the SMALLEST label — fully deterministic, no
+    float anywhere."""
+    parts = [f"WITH {_LPA_EDGES_SQL},"]
+    parts.append(
+        "l0 AS MATERIALIZED (SELECT DISTINCT z AS node, z AS lab FROM nbr)"
+    )
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+    c{r} AS MATERIALIZED (
+      SELECT nbr.x AS node, {prev}.lab AS lab,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM nbr JOIN {prev} ON {prev}.node = nbr.z
+      GROUP BY 1, 2
+    ),
+    l{r} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, lab
+               ) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+        prev = f"l{r}"
+    parts.append(
+        f"""
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS size,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM {prev} GROUP BY lab
+    """
+    )
+    return "".join(parts)
+
+
+@register("label_propagation_copurchase", sql=_lpa_oracle_sql())
+def label_propagation_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R370 synchronous label propagation (Raghavan 2007) over the
+    co-purchase graph, _LPA_ROUNDS fixed rounds: every node starts as
+    its own label; each round it adopts the most frequent label among
+    its neighbors, ties toward the smallest label (the deterministic
+    variant — classic LPA breaks ties randomly, which can never
+    cross-engine hash).  Complements the registry's modularity-greedy
+    louvain_moves_copurchase: LPA is the label-message twin (no
+    modularity objective, pure plurality dynamics).  The graph is the
+    min-support sparsification (pairs co-purchased in >=
+    _LPA_MIN_SUPPORT distinct orders — the market-basket support
+    notion): on the raw support-1 graph LPA degenerates to one giant
+    community at every SF (verified), while support-2 yields a real
+    community structure (349 communities at sf0.01).  Per round: ONE
+    shuffle (groupBy node,label) + a per-node window top-1 — the same
+    message-passing shape as pagerank_parts, linear in edges per
+    round at 100 TB; lineage is truncated per round with a lazy
+    localCheckpoint.  Output is the community histogram (label, size,
+    min member) — model-sized."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a_, b_ = li.alias("a"), li.alias("b")
+    e = (
+        a_.join(b_, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("supp"))
+        .where(F.col("supp") >= _LPA_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    nbr = (
+        e.select(F.col("u").alias("z"), F.col("v").alias("x"))
+        .unionAll(e.select(F.col("v").alias("z"), F.col("u").alias("x")))
+        .localCheckpoint(eager=False)
+    )
+    lab = nbr.select(F.col("z").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(_LPA_ROUNDS):
+        msgs = nbr.join(
+            lab.withColumnRenamed("node", "z"), on="z"
+        ).select(F.col("x").alias("node"), "lab")
+        cnt = msgs.groupBy("node", "lab").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").cast("long").alias("size"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R371 classic link-prediction index panel (CN / Jaccard / PA / RA)
+# ---------------------------------------------------------------------------
+
+_LP_TOPK = 50
+_LP_QUERY_PREFIX = "1"  # disjoint from adamic_adar's "0" query set
+
+
+@register(
+    "link_prediction_panel",
+    sql=f"""
+    WITH {_COPURCHASE_NBR_SQL},
+    deg AS MATERIALIZED (
+      SELECT z, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY z
+    ),
+    q AS (
+      SELECT DISTINCT x FROM nbr
+      WHERE substring(md5(CAST(x AS VARCHAR)), 1, 1) = '{_LP_QUERY_PREFIX}'
+        AND substring(md5(CAST(x AS VARCHAR)), 2, 1) < '4'
+    ),
+    wedges AS (
+      SELECT e1.x AS a, e2.x AS b, deg.d AS dz
+      FROM nbr e1
+      JOIN q ON q.x = e1.x
+      JOIN nbr e2 ON e1.z = e2.z AND e1.x <> e2.x
+      JOIN deg ON deg.z = e1.z
+    ),
+    scored AS (
+      SELECT a, b,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(CAST(floor(1000000000 / dz) AS BIGINT)) AS BIGINT)
+               AS ra9
+      FROM wedges GROUP BY a, b
+    ),
+    non_edges AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN nbr e ON s.a = e.z AND s.b = e.x
+      WHERE e.z IS NULL
+    )
+    SELECT n.a, n.b, n.cn,
+           round(CAST(n.cn AS DOUBLE)
+                 / CAST(da.d + db.d - n.cn AS DOUBLE), 6) AS jaccard,
+           CAST(da.d * db.d AS BIGINT) AS pref_attach,
+           round(CAST(n.ra9 AS DOUBLE) / 1e9, 6) AS resource_alloc
+    FROM non_edges n
+    JOIN deg da ON da.z = n.a
+    JOIN deg db ON db.z = n.b
+    ORDER BY n.cn DESC, n.a, n.b LIMIT {_LP_TOPK}
+    """,
+)
+def link_prediction_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R371 the four classic link-prediction indices (Liben-Nowell &
+    Kleinberg 2003) that adamic_adar_link_prediction does NOT cover:
+    common neighbors |Γa∩Γb|, Jaccard |Γa∩Γb|/|Γa∪Γb|, preferential
+    attachment |Γa|·|Γb|, and resource allocation Σ 1/deg(z) — over
+    the co-purchase graph for a deterministic md5 query set (prefix
+    '1*', disjoint from AA's '0*' set; same production rationale:
+    candidate scoring is for a query cohort, never all |V|²).  Exact-
+    ness: CN and PA are pure BIGINTs; Jaccard is one exact-operand
+    division; RA sums per-wedge floor(1e9/deg) INTEGERS (the per-term
+    snap pattern), so no float crosses a row boundary — unlike AA
+    whose 1/ln(d) terms are inherently transcendental.  Wedge
+    enumeration is the bounded equi-join on the wedge center; work is
+    Σ_{{z}} deg_Q(z)·deg(z), linear in the query set at 100 TB."""
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+
+    e = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nbr = (
+        e.select(F.col("u").alias("z"), F.col("v").alias("x"))
+        .unionAll(e.select(F.col("v").alias("z"), F.col("u").alias("x")))
+        .localCheckpoint(eager=False)
+    )
+    deg = nbr.groupBy("z").agg(F.count("*").cast("long").alias("d"))
+    md5c = F.md5(F.col("x").cast("string"))
+    q = (
+        nbr.select("x")
+        .where(
+            (F.substring(md5c, 1, 1) == _LP_QUERY_PREFIX)
+            & (F.substring(md5c, 2, 1) < "4")
+        )
+        .distinct()
+    )
+    e1 = nbr.join(q, on="x").select("z", F.col("x").alias("a"))
+    e2 = nbr.select("z", F.col("x").alias("b"))
+    wedges = (
+        e1.join(e2, on="z")
+        .where(F.col("a") != F.col("b"))
+        .join(deg, on="z")
+        .select("a", "b", F.col("d").alias("dz"))
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("cn"),
+        F.sum(F.floor(F.lit(1000000000) / F.col("dz")).cast("long"))
+        .cast("long")
+        .alias("ra9"),
+    )
+    adj = nbr.select(F.col("z").alias("a"), F.col("x").alias("b"))
+    non_edges = scored.join(adj, on=["a", "b"], how="left_anti")
+    da = deg.select(F.col("z").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("z").alias("b"), F.col("d").alias("db"))
+    return (
+        non_edges.join(da, on="a")
+        .join(db, on="b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            (F.col("da") * F.col("db")).cast("long").alias("pref_attach"),
+            F.round(F.col("ra9").cast("double") / 1e9, 6).alias(
+                "resource_alloc"
+            ),
+        )
+        .orderBy(F.col("cn").desc(), "a", "b")
+        .limit(_LP_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# R372 expected reciprocal rank (ERR) — cascade-model ranking metric
+# ---------------------------------------------------------------------------
+
+_ERR_DEPTH = 15
+
+
+@register(
+    "err_ranking_segments",
+    sql=f"""
+    WITH RECURSIVE spend AS MATERIALIZED (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS MATERIALIZED (
+      SELECT segment, r, g FROM (
+        SELECT segment,
+               CAST(row_number() OVER (
+                 PARTITION BY segment ORDER BY cents DESC, c_custkey
+               ) AS BIGINT) AS r,
+               CAST(least(4, n_orders // 4) AS BIGINT) AS g
+        FROM spend
+      ) WHERE r <= {_ERR_DEPTH}
+    ),
+    fold AS (
+      SELECT segment, r,
+             CAST(17 - (1 << g) AS BIGINT) AS prod,
+             CAST(floor(CAST((1 << g) - 1 AS DOUBLE) / 16.0 * 1e9 + 0.5)
+                  AS BIGINT) AS err9
+      FROM ranked WHERE r = 1
+      UNION ALL
+      SELECT nxt.segment, nxt.r,
+             CAST(f.prod * (17 - (1 << nxt.g)) AS BIGINT) AS prod,
+             CAST(f.err9 + floor(
+               CAST(((1 << nxt.g) - 1) * f.prod AS DOUBLE)
+               / (CAST(nxt.r AS DOUBLE) * power(16.0, nxt.r))
+               * 1e9 + 0.5) AS BIGINT) AS err9
+      FROM fold f
+      JOIN ranked nxt ON nxt.segment = f.segment AND nxt.r = f.r + 1
+    )
+    SELECT segment, CAST(max(r) AS BIGINT) AS n_ranked,
+           round(CAST(max_by(err9, r) AS DOUBLE) / 1e9, 6) AS err
+    FROM fold GROUP BY segment
+    """,
+)
+def err_ranking_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R372 expected reciprocal rank (Chapelle 2009), the cascade-model
+    ranking metric the registry's mrr/ndcg/average-precision family
+    does not cover (MRR is ERR's binary special case; NDCG has no
+    cascade): per market segment, customers ranked by exact-cent spend
+    (custkey tie-break) to depth 15, graded g = min(4, n_orders/4);
+    ERR = Σ_r (1/r)·R_r·Π_{{i<r}}(1-R_i) with R = (2^g-1)/16.
+    Exactness: R's denominator is 16, so the survival product
+    Π(17-2^g)/16^(r-1) has an exact BIGINT numerator (≤16^14 < 2^63 at
+    depth 15 — the depth is chosen BY the overflow bound) and a
+    power-of-two denominator that is exact in ANY IEEE double; each
+    rank's term is one exact-operand division snapped to the 1e-9 grid
+    before the cross-rank sum.  The engine folds the 15-element
+    per-segment array with F.aggregate (sequential, deterministic);
+    the oracle replays the identical fold as a recursive CTE.  One
+    groupBy + one per-segment top-15 window: a single shuffle at
+    100 TB."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("cents").desc(), F.col("c_custkey")
+    )
+    ranked = (
+        spend.withColumn("r", F.row_number().over(w).cast("long"))
+        .where(F.col("r") <= _ERR_DEPTH)
+        .select(
+            "segment",
+            "r",
+            F.least(F.lit(4), F.floor(F.col("n_orders") / 4))
+            .cast("long")
+            .alias("g"),
+        )
+    )
+    arr = ranked.groupBy("segment").agg(
+        F.array_sort(F.collect_list(F.struct("r", "g"))).alias("xs"),
+        F.count("*").cast("long").alias("n_ranked"),
+    )
+    init = F.struct(
+        F.lit(1).cast("long").alias("prod"),
+        F.lit(0).cast("long").alias("err9"),
+    )
+    # 2^g for g in 0..4 (power-of-two doubles are exact; cast is exact)
+    gain = lambda x: F.pow(F.lit(2.0), x["g"].cast("double")).cast(  # noqa: E731
+        "long"
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        init,
+        lambda acc, x: F.struct(
+            (acc["prod"] * (F.lit(17) - gain(x))).cast("long").alias("prod"),
+            (
+                acc["err9"]
+                + F.floor(
+                    ((gain(x) - 1) * acc["prod"]).cast("double")
+                    / (
+                        x["r"].cast("double")
+                        * F.pow(F.lit(16.0), x["r"].cast("double"))
+                    )
+                    * 1e9
+                    + 0.5
+                ).cast("long")
+            ).alias("err9"),
+        ),
+    )
+    return arr.select(
+        "segment",
+        "n_ranked",
+        F.round(fold["err9"].cast("double") / 1e9, 6).alias("err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R373 rank-biased overlap (RBO) between two nation rankings
+# ---------------------------------------------------------------------------
+
+_RBO_DEPTH = 20
+
+
+@register(
+    "rbo_nation_rankings",
+    sql=f"""
+    WITH per_nation AS MATERIALIZED (
+      SELECT n.n_nationkey AS nation,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM nation n
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    both_ranks AS MATERIALIZED (
+      SELECT nation,
+             CAST(row_number() OVER (ORDER BY cents DESC, nation)
+                  AS BIGINT) AS ra,
+             CAST(row_number() OVER (ORDER BY n_orders DESC, nation)
+                  AS BIGINT) AS rb
+      FROM per_nation
+    ),
+    ovl AS (
+      SELECT d.d,
+             CAST(count(*) FILTER (
+               WHERE greatest(br.ra, br.rb) <= d.d) AS BIGINT) AS xd
+      FROM (SELECT CAST(range AS BIGINT) AS d
+            FROM range(1, {_RBO_DEPTH} + 1)) d
+      CROSS JOIN both_ranks br
+      GROUP BY d.d
+    ),
+    terms AS (
+      SELECT d, xd,
+             CAST(floor(CAST(xd AS DOUBLE)
+                        / (CAST(d AS DOUBLE) * power(2.0, d))
+                        * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM ovl
+    )
+    SELECT CAST((SELECT count(*) FROM per_nation) AS BIGINT) AS n_items,
+           CAST(max(CASE WHEN d = 10 THEN xd END) AS BIGINT) AS x10,
+           CAST(max(CASE WHEN d = {_RBO_DEPTH} THEN xd END) AS BIGINT)
+             AS x20,
+           round(CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS rbo
+    FROM terms
+    """,
+)
+def rbo_nation_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R373 rank-biased overlap (Webber 2010) with persistence p = 1/2
+    to depth 20, between the nation-by-revenue and nation-by-order-
+    count rankings — the top-weighted ranking-agreement measure the
+    registry's kendall_tau_topk / nation_rank_stability (footrule,
+    Spearman) family lacks (those weight all ranks equally; RBO
+    geometrically discounts depth, the standard IR comparison).
+    RBO_d = (1-p)·Σ p^(d-1)·X_d/d = Σ X_d/(d·2^d) at p=1/2: overlap
+    counts X_d are pure integers (X_d = #{{items: max(ra,rb) ≤ d}}),
+    2^d is exact in any double, so each depth term is one exact-
+    operand division snapped at 1e-9 before the 20-row BIGINT sum.
+    Two 25-row window ranks + a 20×25 broadcast grid join: driver-
+    bounded, scan-dominated at 100 TB."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_nation = (
+        n.join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("n_nationkey").alias("nation"))
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    both = per_nation.select(
+        "nation",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), "nation"))
+        .cast("long")
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_orders").desc(), "nation"))
+        .cast("long")
+        .alias("rb"),
+    )
+    grid = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").cast("long").alias("d")
+    )
+    overlaps = (
+        grid.crossJoin(F.broadcast(both))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    F.greatest("ra", "rb") <= F.col("d"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("xd")
+        )
+    )
+    terms = overlaps.select(
+        "d",
+        "xd",
+        F.floor(
+            F.col("xd").cast("double")
+            / (F.col("d").cast("double") * F.pow(F.lit(2.0), F.col("d")))
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("t9"),
+    )
+    n_items = per_nation.agg(F.count("*").cast("long").alias("n_items"))
+    return terms.join(F.broadcast(n_items)).agg(
+        F.max("n_items").cast("long").alias("n_items"),
+        F.max(F.when(F.col("d") == 10, F.col("xd"))).cast("long").alias(
+            "x10"
+        ),
+        F.max(F.when(F.col("d") == _RBO_DEPTH, F.col("xd")))
+        .cast("long")
+        .alias("x20"),
+        F.round(F.sum("t9").cast("double") / 1e9, 6).alias("rbo"),
+    )
