@@ -313,3 +313,133 @@ def test_rbo_matches_python(spark):
     assert abs(r["rbo"] - round(rbo9 / 1e9, 6)) < 1e-9
     # RBO is bounded by the final-depth agreement and by 1
     assert 0.0 <= r["rbo"] <= 1.0
+
+
+def test_richness_spectrum_matches_python(spark):
+    import collections
+    import re
+
+    from zoom_spark.queries.round10b_ops import corpus_richness_spectrum
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").toPandas()
+    cnt = collections.Counter()
+    for t in docs["text"]:
+        cnt.update(w for w in re.split(r"\s+", t.strip().lower()) if w)
+    n = sum(cnt.values())
+    v = len(cnt)
+    spectrum = collections.Counter(cnt.values())
+    v1, v2 = spectrum[1], spectrum[2]
+    s2 = sum(m * m for m in cnt.values())
+    yules_k = 1e4 * (s2 - n) / n**2
+    simpson = sum(m * (m - 1) for m in cnt.values()) / (n * (n - 1))
+    honore = 100 * math.log(n) / (1 - v1 / v)
+    [r] = corpus_richness_spectrum(spark, SF_DIR).collect()
+    assert (r["n_tokens"], r["n_types"], r["v1"], r["v2"]) == (n, v, v1, v2)
+    assert abs(r["yules_k"] - yules_k) < 1e-5
+    assert abs(r["simpson_d"] - simpson) < 1e-6
+    assert abs(r["sichel_s"] - v2 / v) < 1e-6
+    assert abs(r["honore_r"] - honore) < 1e-4
+
+
+def test_hoover_palma_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import hoover_palma_spend
+
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey").toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    spend = {k: 0 for k in c["c_custkey"]}
+    for k, v in o.groupby("o_custkey")["cents"].sum().items():
+        spend[k] = int(v)
+    xs = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    vals = [v for _, v in xs]
+    n, s = len(vals), sum(vals)
+    hoover = sum(abs(v - s / n) for v in vals) / (2 * s)
+    bot40 = sum(vals[: (4 * n) // 10])
+    top10 = sum(vals[n - n // 10 :])
+    top1 = sum(vals[n - n // 100 :])
+    [r] = hoover_palma_spend(spark, SF_DIR).collect()
+    assert r["n_customers"] == n
+    assert abs(r["hoover"] - hoover) < 1e-6
+    assert abs(r["palma"] - top10 / bot40) < 1e-6
+    assert abs(r["top10_share"] - top10 / s) < 1e-6
+    assert abs(r["bottom40_share"] - bot40 / s) < 1e-6
+    assert abs(r["top1_share"] - top1 / s) < 1e-6
+    # sanity: Lorenz ordering means top10 share >= 10% on skewed spend
+    assert r["top10_share"] >= 0.1
+
+
+def test_youden_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import youden_j_threshold
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).toPandas()
+    urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    c["score"] = (c["c_acctbal"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    c["y"] = c["c_custkey"].isin(urgent).astype(int)
+    pos, neg = int(c["y"].sum()), int((1 - c["y"]).sum())
+    best = None
+    for s in sorted(c["score"].unique()):
+        tp = int(c.loc[c["score"] >= s, "y"].sum())
+        fp = int((c["score"] >= s).sum()) - tp
+        j_scaled = tp * neg - fp * pos
+        key = (-j_scaled, s)
+        if best is None or key < best[0]:
+            best = (key, s, tp, fp, j_scaled)
+    _, s_star, tp, fp, j_scaled = best
+    [r] = youden_j_threshold(spark, SF_DIR).collect()
+    assert (r["n_pos"], r["n_neg"]) == (pos, neg)
+    assert r["threshold_cents"] == s_star
+    assert (r["tp"], r["fp"]) == (tp, fp)
+    assert abs(r["youden_j"] - j_scaled / (pos * neg)) < 1e-6
+
+
+def test_theta_forecast_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import (
+        _THETA_H,
+        theta_forecast_revenue,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    d = (
+        o.groupby(o["o_orderdate"].dt.normalize())["cents"].sum() // 100
+    ).sort_index()
+    y = d.to_numpy(dtype=np.float64)
+    t = np.arange(1, len(y) + 1, dtype=np.float64)
+    n = len(y)
+    b = (n * (t * y).sum() - t.sum() * y.sum()) / (
+        n * (t * t).sum() - t.sum() ** 2
+    )
+    a = (y.sum() - b * t.sum()) / n
+    # textbook SES(1/2) recursion on the theta-2 line
+    z = 2 * y - (a + b * t)
+    level = z[0]
+    for zt in z[1:]:
+        level = 0.5 * zt + 0.5 * level
+    rows = theta_forecast_revenue(spark, SF_DIR).collect()
+    assert len(rows) == _THETA_H
+    got = {r["h"]: r for r in rows}
+    for h in range(1, _THETA_H + 1):
+        r = got[h]
+        assert r["n_days"] == n
+        assert abs(r["intercept"] - a) < 1e-3
+        assert abs(r["slope"] - b) < 1e-5
+        # snapped weight-sum level vs float recursion: n terms on the
+        # 1e-6 grid
+        assert abs(r["theta2_level"] - level) < max(1e-2, n * 1e-6)
+        expect = 0.5 * (a + b * (n + h)) + 0.5 * level
+        assert abs(r["yhat"] - expect) < max(1e-2, n * 1e-6)

@@ -1077,3 +1077,510 @@ def rbo_nation_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x20"),
         F.round(F.sum("t9").cast("double") / 1e9, 6).alias("rbo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R374 corpus frequency-spectrum richness (Yule / Simpson / Sichel / Honoré)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_richness_spectrum",
+    sql=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                   '\s+'),
+                    t -> t <> '')) AS token
+      FROM documents
+    ),
+    freq AS MATERIALIZED (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(n * n) AS BIGINT) AS s2,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS pair2
+      FROM freq
+    )
+    SELECT big_n AS n_tokens, v AS n_types, v1, v2,
+           round(10000.0 * CAST(s2 - big_n AS DOUBLE)
+                 / (CAST(big_n AS DOUBLE) * big_n), 6) AS yules_k,
+           round(CAST(pair2 AS DOUBLE)
+                 / (CAST(big_n AS DOUBLE) * (big_n - 1)), 6) AS simpson_d,
+           round(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s,
+           round(100.0 * ln(CAST(big_n AS DOUBLE))
+                 / (1.0 - CAST(v1 AS DOUBLE) / v), 6) AS honore_r
+    FROM m
+    """,
+)
+def corpus_richness_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R374 corpus-level vocabulary-richness panel from the token
+    frequency spectrum — Yule's K = 10⁴(Σn²-N)/N², Simpson's
+    repeat-rate D = Σn(n-1)/(N(N-1)), Sichel's S = V₂/V, Honoré's
+    R = 100·lnN/(1-V₁/V).  Complements the registry's PER-DOCUMENT
+    diversity (lexical_diversity_docs: TTR/Herdan) and the V₁/N
+    unseen-mass estimate (good_turing_unseen_mass): these four are the
+    corpus-wide spectrum statistics (authorship / corpus-drift
+    fingerprints).  Every numerator and denominator is a BIGINT
+    spectrum moment (K and D are exact rationals; Honoré's ln is one
+    exact-operand transcendental).  One explode + two aggregations —
+    the token frequency table is the same shuffle any vocabulary
+    build needs at 100 TB."""
+    from zoom_spark.functions.text import ws_tokens
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias(
+                "token"
+            )
+        )
+    )
+    freq = tok.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    m = freq.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("pair2"),
+    )
+    nn = F.col("big_n").cast("double")
+    return m.select(
+        F.col("big_n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        "v1",
+        "v2",
+        F.round(
+            10000.0 * (F.col("s2") - F.col("big_n")).cast("double") / (nn * nn),
+            6,
+        ).alias("yules_k"),
+        F.round(
+            F.col("pair2").cast("double") / (nn * (F.col("big_n") - 1)), 6
+        ).alias("simpson_d"),
+        F.round(F.col("v2").cast("double") / F.col("v"), 6).alias("sichel_s"),
+        F.round(
+            100.0
+            * F.log(nn)
+            / (1.0 - F.col("v1").cast("double") / F.col("v")),
+            6,
+        ).alias("honore_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R375 inequality panel extras: Hoover index, Palma ratio, tail shares
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hoover_palma_spend",
+    sql="""
+    WITH spend AS MATERIALIZED (
+      SELECT c.c_custkey,
+             CAST(COALESCE(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                    AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+      FROM spend
+    ),
+    ranked AS MATERIALIZED (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, c_custkey)
+                  AS BIGINT) AS r
+      FROM spend
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(abs(tot.n * ranked.cents - tot.s)) AS BIGINT) AS dev,
+        CAST(sum(CASE WHEN ranked.r <= tot.n * 4 // 10
+                      THEN ranked.cents ELSE 0 END) AS BIGINT) AS bot40,
+        CAST(sum(CASE WHEN ranked.r > tot.n - tot.n // 10
+                      THEN ranked.cents ELSE 0 END) AS BIGINT) AS top10,
+        CAST(sum(CASE WHEN ranked.r > tot.n - tot.n // 100
+                      THEN ranked.cents ELSE 0 END) AS BIGINT) AS top1
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT tot.n AS n_customers,
+           round(CAST(agg.dev AS DOUBLE) / (2.0 * tot.n * tot.s), 6)
+             AS hoover,
+           round(CAST(agg.top10 AS DOUBLE) / agg.bot40, 6) AS palma,
+           round(CAST(agg.top10 AS DOUBLE) / tot.s, 6) AS top10_share,
+           round(CAST(agg.bot40 AS DOUBLE) / tot.s, 6) AS bottom40_share,
+           round(CAST(agg.top1 AS DOUBLE) / tot.s, 6) AS top1_share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def hoover_palma_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R375 inequality panel over customer spend (exact cents; never-
+    ordered customers enter at 0) — the three standard measures the
+    registry's gini/atkinson/theil/lorenz family does not include:
+    Hoover (Robin Hood) index Σ|x-μ|/(2Σx) — spelled Σ|N·x_i - S| /
+    (2NS) so the deviation sum is a PURE BIGINT (no float mean) —
+    Palma ratio (top-10% share / bottom-40% share, rank cutoffs
+    floor(N/10)/floor(4N/10) with custkey tie-break), and the
+    top-1%/top-10%/bottom-40% shares themselves.  All sums are
+    BIGINT cent totals; the only doubles are the final ratios.  One
+    groupBy + one global sort — identical scale shape to the gated
+    lorenz_curve_spend."""
+    spend = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            ),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+            how="left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("cents"))
+    )
+    tot = spend.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "c_custkey"))
+        .cast("long")
+        .alias("r"),
+    )
+    j = ranked.join(F.broadcast(tot))
+    agg = j.agg(
+        F.sum(F.abs(F.col("n") * F.col("cents") - F.col("s")))
+        .cast("long")
+        .alias("dev"),
+        F.sum(
+            F.when(
+                F.col("r") <= F.floor(F.col("n") * 4 / 10), F.col("cents")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bot40"),
+        F.sum(
+            F.when(
+                F.col("r") > F.col("n") - F.floor(F.col("n") / 10),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("top10"),
+        F.sum(
+            F.when(
+                F.col("r") > F.col("n") - F.floor(F.col("n") / 100),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("top1"),
+        F.max("n").cast("long").alias("n"),
+        F.max("s").cast("long").alias("s"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            F.col("dev").cast("double")
+            / (2.0 * F.col("n").cast("double") * F.col("s").cast("double")),
+            6,
+        ).alias("hoover"),
+        F.round(F.col("top10").cast("double") / F.col("bot40"), 6).alias(
+            "palma"
+        ),
+        F.round(F.col("top10").cast("double") / F.col("s"), 6).alias(
+            "top10_share"
+        ),
+        F.round(F.col("bot40").cast("double") / F.col("s"), 6).alias(
+            "bottom40_share"
+        ),
+        F.round(F.col("top1").cast("double") / F.col("s"), 6).alias(
+            "top1_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R376 Youden-J optimal threshold (≡ KS discrimination point) for a scorer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "youden_j_threshold",
+    sql="""
+    WITH labeled AS MATERIALIZED (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT'
+             ) THEN 1 ELSE 0 END AS y
+      FROM customer c
+    ),
+    tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM labeled
+    ),
+    per_thresh AS (
+      SELECT score,
+             CAST(sum(y) AS BIGINT) AS tp_here,
+             CAST(count(*) - sum(y) AS BIGINT) AS fp_here
+      FROM labeled GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             CAST(sum(tp_here) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS tp,
+             CAST(sum(fp_here) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS fp
+      FROM per_thresh
+    ),
+    best AS (
+      SELECT cum.score, cum.tp, cum.fp,
+             CAST(cum.tp * tot.neg - cum.fp * tot.pos AS BIGINT) AS j_scaled
+      FROM cum CROSS JOIN tot
+      ORDER BY j_scaled DESC, score ASC LIMIT 1
+    )
+    SELECT tot.pos AS n_pos, tot.neg AS n_neg,
+           best.score AS threshold_cents,
+           best.tp, best.fp,
+           round(CAST(best.tp AS DOUBLE) / tot.pos, 6) AS tpr,
+           round(CAST(best.fp AS DOUBLE) / tot.neg, 6) AS fpr,
+           round(CAST(best.j_scaled AS DOUBLE)
+                 / (CAST(tot.pos AS DOUBLE) * tot.neg), 6) AS youden_j
+    FROM best CROSS JOIN tot
+    """,
+)
+def youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R376 Youden-J-optimal operating point for the account-balance
+    scorer predicting "customer has ≥1 urgent order" — J(s) = TPR(s)
+    - FPR(s) maximized over all thresholds; the maximizing J equals
+    the two-sample KS separation between the score distributions, so
+    this is also the model-discrimination KS point (the registry's
+    roc_auc_purchase_value integrates the same curve, ks_test_*
+    compares OTHER variables; the optimal-threshold selection step is
+    new).  Exactness: J is ranked by the INTEGER J_scaled = TP·Nneg
+    - FP·Npos (= Npos·Nneg·J), ties toward the smallest threshold —
+    argmax needs no float at all.  Cumulative TP/FP via one ordered
+    window over per-score groups (distinct thresholds, not rows);
+    single sort at 100 TB, same shape as the gated ROC queries."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("score"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    labeled = c.join(
+        urgent.withColumn("y1", F.lit(1)),
+        on=F.col("c_custkey") == F.col("o_custkey"),
+        how="left",
+    ).select("score", F.coalesce("y1", F.lit(0)).cast("long").alias("y"))
+    tot = labeled.agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    per = labeled.groupBy("score").agg(
+        F.sum("y").cast("long").alias("tp_here"),
+        (F.count("*") - F.sum("y")).cast("long").alias("fp_here"),
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "score",
+        F.sum("tp_here").over(wd).cast("long").alias("tp"),
+        F.sum("fp_here").over(wd).cast("long").alias("fp"),
+    )
+    best = (
+        cum.join(F.broadcast(tot))
+        .withColumn(
+            "j_scaled",
+            (F.col("tp") * F.col("neg") - F.col("fp") * F.col("pos")).cast(
+                "long"
+            ),
+        )
+        .orderBy(F.col("j_scaled").desc(), F.col("score").asc())
+        .limit(1)
+    )
+    return best.select(
+        F.col("pos").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        F.col("score").alias("threshold_cents"),
+        "tp",
+        "fp",
+        F.round(F.col("tp").cast("double") / F.col("pos"), 6).alias("tpr"),
+        F.round(F.col("fp").cast("double") / F.col("neg"), 6).alias("fpr"),
+        F.round(
+            F.col("j_scaled").cast("double")
+            / (F.col("pos").cast("double") * F.col("neg").cast("double")),
+            6,
+        ).alias("youden_j"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R377 theta-method forecast (θ = 2) of daily revenue
+# ---------------------------------------------------------------------------
+
+_THETA_H = 7
+_THETA_DAILY_SQL = """
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y,
+             CAST(row_number() OVER (ORDER BY CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS t
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+@register(
+    "theta_forecast_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_THETA_DAILY_SQL}),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(t * y) AS BIGINT) AS sty
+      FROM d
+    ),
+    line AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                * st) / n AS a
+      FROM m
+    ),
+    ses AS (
+      -- SES(alpha=1/2) of the theta-2 line z_t = 2y_t - (a + b t):
+      -- L_T = sum_{{j=0..T-2}} z_(T-j)/2^(j+1) + z_1/2^(T-1);
+      -- weights are exact powers of two, each term snapped to the
+      -- 1e-6 grid before the BIGINT sum (order-free)
+      SELECT CAST(sum(CAST(floor(
+               (2.0 * d.y - line.a - line.b * d.t)
+               * (CASE WHEN d.t = 1
+                       THEN power(0.5, CAST(line.n - 1 AS DOUBLE))
+                       ELSE power(0.5, CAST(line.n - d.t + 1 AS DOUBLE))
+                  END) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS l6
+      FROM d CROSS JOIN line
+    )
+    SELECT CAST(h.h AS BIGINT) AS h,
+           line.n AS n_days,
+           round(line.a, 4) AS intercept,
+           round(line.b, 6) AS slope,
+           round(CAST(ses.l6 AS DOUBLE) / 1e6, 4) AS theta2_level,
+           round(0.5 * (line.a + line.b * (line.n + h.h))
+                 + 0.5 * (CAST(ses.l6 AS DOUBLE) / 1e6), 4) AS yhat
+    FROM line CROSS JOIN ses
+    CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS h) h
+    """,
+)
+def theta_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R377 theta-method forecast (Assimakopoulos & Nikolopoulos 2000,
+    θ = 2 — the M3 benchmark winner), horizon 7 days, on the exact
+    whole-dollar daily revenue series: decompose into the θ=0 line
+    (the OLS trend, extrapolated) and the θ=2 line z_t = 2y_t -
+    trend_t (SES-smoothed, α = 1/2), forecast = their mean.
+    Complements holt/holt-winters (different smoothing family) and
+    two_segment_trend_fit.  Determinism without recursion: α = 1/2
+    makes every SES weight an exact power of two (2^-k is exact in
+    ANY IEEE double down to underflow, which is itself deterministic),
+    so L_T = Σ z_t·2^-(T-t+1) + z_1·2^-(T-1) is computed as a
+    PER-TERM-SNAPPED (1e-6 grid) BIGINT sum — order-free, no
+    recursive state, unlike the applyInPandas recursion holt needs
+    for general α.  OLS a,b come from exact BIGINT moments.  One
+    groupBy + two scalar joins: single-pass at 100 TB."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .select("y", "t")
+    )
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sty") - F.col("st").cast("double") * F.col("sy")) / (
+        nd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("st")) / nd
+    line = m.select("n", a.alias("a"), b.alias("b"))
+    z = 2.0 * F.col("y") - F.col("a") - F.col("b") * F.col("t")
+    wgt = F.when(
+        F.col("t") == 1,
+        F.pow(F.lit(0.5), (F.col("n") - 1).cast("double")),
+    ).otherwise(F.pow(F.lit(0.5), (F.col("n") - F.col("t") + 1).cast("double")))
+    ses = (
+        daily.join(F.broadcast(line))
+        .select(
+            F.floor(z * wgt * 1e6 + 0.5).cast("long").alias("term6")
+        )
+        .agg(F.sum("term6").cast("long").alias("l6"))
+    )
+    hs = spark.range(1, _THETA_H + 1).select(
+        F.col("id").cast("long").alias("h")
+    )
+    lvl = F.col("l6").cast("double") / 1e6
+    return (
+        line.join(F.broadcast(ses))
+        .join(F.broadcast(hs))
+        .select(
+            "h",
+            F.col("n").alias("n_days"),
+            F.round(F.col("a"), 4).alias("intercept"),
+            F.round(F.col("b"), 6).alias("slope"),
+            F.round(lvl, 4).alias("theta2_level"),
+            F.round(
+                0.5 * (F.col("a") + F.col("b") * (F.col("n") + F.col("h")))
+                + 0.5 * lvl,
+                4,
+            ).alias("yhat"),
+        )
+    )
