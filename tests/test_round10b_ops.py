@@ -443,3 +443,155 @@ def test_theta_forecast_matches_python(spark):
         assert abs(r["theta2_level"] - level) < max(1e-2, n * 1e-6)
         expect = 0.5 * (a + b * (n + h)) + 0.5 * level
         assert abs(r["yhat"] - expect) < max(1e-2, n * 1e-6)
+
+
+def test_proximity_search_matches_python(spark):
+    import re
+
+    from zoom_spark.queries.round10b_ops import (
+        _PROX_W1,
+        _PROX_W2,
+        _PROX_WIN,
+        proximity_search_postings,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    expect = {}
+    for _, row in docs.iterrows():
+        toks = [w for w in re.split(r"\s+", row["text"].strip().lower()) if w]
+        pa = [i + 1 for i, w in enumerate(toks) if w == _PROX_W1]
+        pb = [i + 1 for i, w in enumerate(toks) if w == _PROX_W2]
+        pairs = [
+            (a, b) for a in pa for b in pb if abs(a - b) <= _PROX_WIN
+        ]
+        if pairs:
+            expect[row["doc_id"]] = (
+                len(pairs),
+                min(abs(a - b) for a, b in pairs),
+                min(min(a, b) for a, b in pairs),
+            )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"], r["first_pos"])
+        for r in proximity_search_postings(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_breslow_day_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import breslow_day_weekend_value
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).toPandas()
+    anchor = pd.Timestamp("1990-01-01")
+    o["e"] = (
+        ((o["o_orderdate"].dt.normalize() - anchor).dt.days % 7).isin([5, 6])
+    ).astype(int)
+    o["y"] = (o["o_totalprice"] > 150000).astype(int)
+    tabs = []
+    for _, g in o.groupby("o_orderpriority"):
+        a = int(((g["e"] == 1) & (g["y"] == 1)).sum())
+        b = int(((g["e"] == 1) & (g["y"] == 0)).sum())
+        c_ = int(((g["e"] == 0) & (g["y"] == 1)).sum())
+        d = int(((g["e"] == 0) & (g["y"] == 0)).sum())
+        tabs.append((a, b, c_, d))
+    # textbook MH common OR and BD statistic (floats, no snapping)
+    psi = sum(a * d / (a + b + c_ + d) for a, b, c_, d in tabs) / sum(
+        b * c_ / (a + b + c_ + d) for a, b, c_, d in tabs
+    )
+    bd = 0.0
+    for a, b, c_, d in tabs:
+        n1, n0, m1 = a + b, c_ + d, a + c_
+        # psi (n1-A)(m1-A) = A (n0-m1+A)
+        qa = 1 - psi
+        qb = (n1 + m1) * psi + (n0 - m1)
+        qc = -psi * n1 * m1
+        atil = (-qb + math.sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)
+        var_inv = (
+            1 / atil + 1 / (n1 - atil) + 1 / (m1 - atil)
+            + 1 / (n0 - m1 + atil)
+        )
+        bd += (a - atil) ** 2 * var_inv
+    [r] = breslow_day_weekend_value(spark, SF_DIR).collect()
+    assert r["n_strata"] == len(tabs)
+    assert r["df"] == len(tabs) - 1
+    assert abs(r["or_mh"] - psi) < 1e-5  # per-stratum 1e-9 snaps
+    assert abs(r["bd_chi2"] - bd) < 1e-4
+    # fitted cells under the common OR must reproduce each margin:
+    # BD of a single stratum is 0 by construction
+    assert r["bd_chi2"] >= 0
+
+
+def test_stuart_maxwell_matches_numpy(spark):
+    from zoom_spark.queries.round10b_ops import stuart_maxwell_priority
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    ).toPandas()
+
+    def bucket(p):
+        if p in ("1-URGENT", "2-HIGH"):
+            return 0
+        if p == "3-MEDIUM":
+            return 1
+        return 2
+
+    o["b"] = o["o_orderpriority"].map(bucket)
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    n = np.zeros((3, 3), dtype=np.int64)
+    for _, g in o.groupby("o_custkey"):
+        bs = g["b"].to_numpy()
+        for a, b in zip(bs[:-1], bs[1:]):
+            n[a, b] += 1
+    d = n.sum(axis=1) - n.sum(axis=0)
+    s = np.zeros((2, 2))
+    for i in range(2):
+        s[i, i] = n.sum(axis=1)[i] + n.sum(axis=0)[i] - 2 * n[i, i]
+    s[0, 1] = s[1, 0] = -(n[0, 1] + n[1, 0])
+    chi2 = float(d[:2] @ np.linalg.inv(s) @ d[:2])
+    [r] = stuart_maxwell_priority(spark, SF_DIR).collect()
+    assert r["n_transitions"] == int(n.sum())
+    assert (r["d0"], r["d1"]) == (d[0], d[1])
+    assert abs(r["chi2"] - chi2) < 1e-6
+    assert abs(r["chi2_num"] / r["chi2_den"] - chi2) < 1e-9
+    assert abs(r["p_value"] - math.exp(-chi2 / 2)) < 1e-6
+
+
+def test_lda_matches_numpy(spark):
+    from zoom_spark.queries.round10b_ops import lda_urgent_classifier
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).toPandas()
+    counts = o.groupby("o_custkey").size()
+    urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    c["x1"] = (c["c_acctbal"] * 100 + 0.5).apply(math.floor).astype("int64")
+    c["x2"] = c["c_custkey"].map(counts).fillna(0).astype("int64")
+    c["y"] = c["c_custkey"].isin(urgent).astype(int)
+    x = c[["x1", "x2"]].to_numpy(dtype=np.float64)
+    y = c["y"].to_numpy()
+    mu1 = x[y == 1].mean(axis=0)
+    mu0 = x[y == 0].mean(axis=0)
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    cov = (
+        np.cov(x[y == 1].T, bias=False) * (n1 - 1)
+        + np.cov(x[y == 0].T, bias=False) * (n0 - 1)
+    ) / (n1 + n0 - 2)
+    w = np.linalg.inv(cov) @ (mu1 - mu0)
+    thr = 0.5 * w @ (mu1 + mu0) - math.log(n1 / n0)
+    yhat = (x @ w > thr).astype(int)
+    tp = int(((y == 1) & (yhat == 1)).sum())
+    fp = int(((y == 0) & (yhat == 1)).sum())
+    fn = int(((y == 1) & (yhat == 0)).sum())
+    tn = int(((y == 0) & (yhat == 0)).sum())
+    [r] = lda_urgent_classifier(spark, SF_DIR).collect()
+    assert (r["n_customers"], r["n_pos"], r["n_neg"]) == (len(c), n1, n0)
+    assert abs(r["w1_scaled"] - w[0] * 1e6) < 1e-3
+    assert abs(r["w2"] - w[1]) < 1e-6
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+    assert abs(r["accuracy"] - (tp + tn) / len(c)) < 1e-6

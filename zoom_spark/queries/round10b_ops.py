@@ -1584,3 +1584,636 @@ def theta_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yhat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R378 proximity search over positional postings (terms within a window)
+# ---------------------------------------------------------------------------
+
+_PROX_W1, _PROX_W2 = "join", "filter"
+_PROX_WIN = 5
+
+
+@register(
+    "proximity_search_postings",
+    sql=f"""
+    WITH pos AS MATERIALIZED (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS p, ws[t.i] AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+      )
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(ws))) AS i
+      ) t
+      WHERE ws[t.i] IN ('{_PROX_W1}', '{_PROX_W2}')
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(abs(a.p - b.p)) AS BIGINT) AS min_dist,
+           CAST(min(least(a.p, b.p)) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id
+     AND abs(a.p - b.p) <= {_PROX_WIN}
+    WHERE a.w = '{_PROX_W1}' AND b.w = '{_PROX_W2}'
+    GROUP BY a.doc_id
+    """,
+)
+def proximity_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R378 proximity search ("{_PROX_W1}" NEAR/{_PROX_WIN}
+    "{_PROX_W2}", unordered) over positional postings — the windowed
+    companion to phrase_search_postings (which requires EXACT
+    adjacency): per document, count the position pairs of the two
+    terms within {_PROX_WIN} tokens and report the closest distance
+    and earliest hit.  Pure-integer positions from one posting build
+    (explode with ordinality, filtered to the two query terms BEFORE
+    the self-join — the postings-list pruning that makes this linear
+    in the two terms' posting sizes, not in corpus length); the
+    band |pa-pb| <= {_PROX_WIN} keeps the per-doc join output-bounded.
+    At 100 TB this is the standard positional-index probe: doc_id
+    hash-partitioned, term-pruned scan."""
+    from zoom_spark.functions.text import ws_tokens
+
+    pos = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias(
+                "p0", "w"
+            ),
+        )
+        .where(F.col("w").isin(_PROX_W1, _PROX_W2))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "w")
+    )
+    a = pos.where(F.col("w") == _PROX_W1).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.where(F.col("w") == _PROX_W2).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, on="doc_id")
+        .where(F.abs(F.col("pa") - F.col("pb")) <= _PROX_WIN)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb")))
+            .cast("long")
+            .alias("min_dist"),
+            F.min(F.least("pa", "pb")).cast("long").alias("first_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R379 Breslow-Day homogeneity-of-odds-ratios test (with MH common OR)
+# ---------------------------------------------------------------------------
+
+_BD_STRATA_SQL = """
+      SELECT o_orderpriority AS stratum,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS e,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+"""
+
+
+@register(
+    "breslow_day_weekend_value",
+    sql=f"""
+    WITH o AS ({_BD_STRATA_SQL}),
+    tab AS MATERIALIZED (
+      SELECT stratum,
+             CAST(sum(e * y) AS BIGINT) AS a,
+             CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+             CAST(sum((1 - e) * y) AS BIGINT) AS c,
+             CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY stratum
+    ),
+    mh AS (
+      -- per-stratum 1e-9 snap, then BIGINT sums (order-free), then
+      -- one exact-operand division: psi_MH
+      SELECT CAST(sum(CAST(floor(CAST(a AS DOUBLE) * d / n * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS ad9,
+             CAST(sum(CAST(floor(CAST(b AS DOUBLE) * c / n * 1e9 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS bc9
+      FROM tab
+    ),
+    fit AS (
+      SELECT t.stratum, t.a, t.n,
+             CAST(t.a + t.b AS BIGINT) AS n1,
+             CAST(t.c + t.d AS BIGINT) AS n0,
+             CAST(t.a + t.c AS BIGINT) AS m1,
+             CAST(mh.ad9 AS DOUBLE) / mh.bc9 AS psi
+      FROM tab t CROSS JOIN mh
+    ),
+    sol AS (
+      -- admissible root of (1-psi) A^2 + [(n1+m1) psi + n0-m1] A
+      --                      - psi n1 m1 = 0
+      SELECT stratum, a, n1, n0, m1, psi,
+             ((
+               -(CAST(n1 + m1 AS DOUBLE) * psi + (n0 - m1))
+               + sqrt(power(CAST(n1 + m1 AS DOUBLE) * psi + (n0 - m1), 2)
+                      + 4.0 * (1.0 - psi) * psi * n1 * m1)
+             ) / (2.0 * (1.0 - psi))) AS atil
+      FROM fit
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               power(CAST(a AS DOUBLE) - atil, 2)
+               * (1.0 / atil + 1.0 / (n1 - atil) + 1.0 / (m1 - atil)
+                  + 1.0 / (n0 - m1 + atil))
+               * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM sol
+    )
+    SELECT CAST((SELECT count(*) FROM tab) AS BIGINT) AS n_strata,
+           round((SELECT CAST(ad9 AS DOUBLE) / bc9 FROM mh), 6) AS or_mh,
+           round(CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS bd_chi2,
+           CAST((SELECT count(*) - 1 FROM tab) AS BIGINT) AS df
+    FROM terms
+    """,
+)
+def breslow_day_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R379 Breslow-Day (1980) test for HOMOGENEITY of odds ratios
+    across strata — the companion the registry's Mantel-Haenszel
+    estimators assume but never test (mantel_haenszel_weekend_value
+    pools the same priority-stratified weekend×high-value 2×2 tables;
+    BD asks whether one common OR is even justified).  Per stratum
+    the fitted cell ã solves the quadratic ψ(n1-ã)(m1-ã) =
+    ã(n0-m1+ã) under the MH common ψ (admissible root via one sqrt of
+    exact-operand doubles); X²_BD = Σ (a-ã)²·[1/ã + 1/(n1-ã) +
+    1/(m1-ã) + 1/(n0-m1+ã)] with each stratum term snapped to 1e-9
+    before the 5-row BIGINT sum.  ψ itself uses per-stratum-snapped
+    ad/n, bc/n integer sums (order-free, unlike the raw double sums
+    of the MH query).  One hash aggregate to 5 rows: scan-bound at
+    100 TB."""
+    wk = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        % 7
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.when(wk.isin(5, 6), 1).otherwise(0).alias("e"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    tab = o.groupBy("stratum").agg(
+        F.sum(F.col("e") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    mh = tab.agg(
+        F.sum(
+            F.floor(
+                F.col("a").cast("double") * F.col("d") / nd * 1e9 + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ad9"),
+        F.sum(
+            F.floor(
+                F.col("b").cast("double") * F.col("c") / nd * 1e9 + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bc9"),
+        F.count("*").cast("long").alias("n_strata"),
+    )
+    fit = tab.join(F.broadcast(mh)).select(
+        "a",
+        (F.col("a") + F.col("b")).cast("long").alias("n1"),
+        (F.col("c") + F.col("d")).cast("long").alias("n0"),
+        (F.col("a") + F.col("c")).cast("long").alias("m1"),
+        (F.col("ad9").cast("double") / F.col("bc9")).alias("psi"),
+        "n_strata",
+        "ad9",
+        "bc9",
+    )
+    lin = (F.col("n1") + F.col("m1")).cast("double") * F.col("psi") + (
+        F.col("n0") - F.col("m1")
+    ).cast("double")
+    atil = (
+        -lin
+        + F.sqrt(
+            F.pow(lin, 2)
+            + 4.0
+            * (1.0 - F.col("psi"))
+            * F.col("psi")
+            * F.col("n1").cast("double")
+            * F.col("m1").cast("double")
+        )
+    ) / (2.0 * (1.0 - F.col("psi")))
+    term9 = F.floor(
+        F.pow(F.col("a").cast("double") - atil, 2)
+        * (
+            1.0 / atil
+            + 1.0 / (F.col("n1") - atil)
+            + 1.0 / (F.col("m1") - atil)
+            + 1.0 / (F.col("n0") - F.col("m1") + atil)
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return (
+        fit.withColumn("atil", atil)
+        .select("n_strata", "ad9", "bc9", term9.alias("t9"))
+        .groupBy("n_strata", "ad9", "bc9")
+        .agg(F.sum("t9").cast("long").alias("s9"))
+        .select(
+            "n_strata",
+            F.round(F.col("ad9").cast("double") / F.col("bc9"), 6).alias(
+                "or_mh"
+            ),
+            F.round(F.col("s9").cast("double") / 1e9, 6).alias("bd_chi2"),
+            (F.col("n_strata") - 1).cast("long").alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R380 Stuart-Maxwell marginal-homogeneity test (3×3, exact BIGINT form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stuart_maxwell_priority",
+    sql=f"""
+    WITH seq AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST({_PRIO_BUCKET_SQL} AS BIGINT) AS b,
+             lag(CAST({_PRIO_BUCKET_SQL} AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+             ) AS pb
+      FROM seq_base
+    ),
+    t AS (
+      SELECT pb AS i, b AS j, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE pb IS NOT NULL GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT CAST(COALESCE(sum(CASE WHEN i = 0 AND j = 0 THEN n END), 0)
+                  AS BIGINT) AS n00,
+             CAST(COALESCE(sum(CASE WHEN i = 0 AND j = 1 THEN n END), 0)
+                  AS BIGINT) AS n01,
+             CAST(COALESCE(sum(CASE WHEN i = 0 AND j = 2 THEN n END), 0)
+                  AS BIGINT) AS n02,
+             CAST(COALESCE(sum(CASE WHEN i = 1 AND j = 0 THEN n END), 0)
+                  AS BIGINT) AS n10,
+             CAST(COALESCE(sum(CASE WHEN i = 1 AND j = 1 THEN n END), 0)
+                  AS BIGINT) AS n11,
+             CAST(COALESCE(sum(CASE WHEN i = 1 AND j = 2 THEN n END), 0)
+                  AS BIGINT) AS n12,
+             CAST(COALESCE(sum(CASE WHEN i = 2 AND j = 0 THEN n END), 0)
+                  AS BIGINT) AS n20,
+             CAST(COALESCE(sum(CASE WHEN i = 2 AND j = 1 THEN n END), 0)
+                  AS BIGINT) AS n21,
+             CAST(COALESCE(sum(CASE WHEN i = 2 AND j = 2 THEN n END), 0)
+                  AS BIGINT) AS n22
+      FROM t
+    ),
+    dd AS (
+      SELECT
+        CAST((n00+n01+n02) - (n00+n10+n20) AS BIGINT) AS d0,
+        CAST((n10+n11+n12) - (n01+n11+n21) AS BIGINT) AS d1,
+        CAST((n00+n01+n02) + (n00+n10+n20) - 2*n00 AS BIGINT) AS s00,
+        CAST((n10+n11+n12) + (n01+n11+n21) - 2*n11 AS BIGINT) AS s11,
+        CAST(-(n01 + n10) AS BIGINT) AS s01,
+        CAST(n00+n01+n02+n10+n11+n12+n20+n21+n22 AS BIGINT)
+          AS n_transitions
+      FROM cells
+    )
+    SELECT n_transitions, d0, d1,
+           CAST(d0*d0*s11 - 2*d0*d1*s01 + d1*d1*s00 AS BIGINT) AS chi2_num,
+           CAST(s00*s11 - s01*s01 AS BIGINT) AS chi2_den,
+           round(CAST(d0*d0*s11 - 2*d0*d1*s01 + d1*d1*s00 AS DOUBLE)
+                 / (s00*s11 - s01*s01), 6) AS chi2,
+           round(exp(-0.5 * CAST(d0*d0*s11 - 2*d0*d1*s01 + d1*d1*s00
+                                 AS DOUBLE)
+                     / (s00*s11 - s01*s01)), 6) AS p_value
+    FROM dd
+    """.replace("FROM seq_base", "FROM orders"),
+)
+def stuart_maxwell_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R380 Stuart-Maxwell (1955/1970) marginal-homogeneity test on
+    the 3×3 priority-transition table — Bowker (R367) tests cell
+    SYMMETRY n_ij = n_ji; Stuart-Maxwell tests the weaker marginal
+    claim row_i = col_i (did the priority MIX drift between
+    consecutive orders?).  With d = row-col margins (which sum to 0,
+    so drop the 3rd) and the 2×2 covariance S (S_ii = row_i + col_i
+    - 2n_ii, S_ij = -(n_ij+n_ji)), X² = d'S⁻¹d — via the 2×2 inverse
+    this is a RATIO OF TWO BIGINTS (both emitted), the cleanest
+    exactness class; df = 2 so the p-value is the closed-form
+    exp(-X²/2).  Same one-window one-aggregate shape as Bowker:
+    single o_custkey shuffle at 100 TB."""
+    bucket = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", bucket.alias("b"))
+        .withColumn("pb", F.lag("b").over(w))
+        .where(F.col("pb").isNotNull())
+    )
+    t = seq.groupBy(F.col("pb").alias("i"), F.col("b").alias("j")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+    def cell(i: int, j: int):
+        return (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("i") == i) & (F.col("j") == j), F.col("n")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+        )
+
+    cells = t.agg(
+        *[
+            cell(i, j).alias(f"n{i}{j}")
+            for i in range(3)
+            for j in range(3)
+        ]
+    )
+    row = lambda i: sum(F.col(f"n{i}{j}") for j in range(3))  # noqa: E731
+    col = lambda j: sum(F.col(f"n{i}{j}") for i in range(3))  # noqa: E731
+    dd = cells.select(
+        (row(0) - col(0)).cast("long").alias("d0"),
+        (row(1) - col(1)).cast("long").alias("d1"),
+        (row(0) + col(0) - 2 * F.col("n00")).cast("long").alias("s00"),
+        (row(1) + col(1) - 2 * F.col("n11")).cast("long").alias("s11"),
+        (-(F.col("n01") + F.col("n10"))).cast("long").alias("s01"),
+        sum(
+            F.col(f"n{i}{j}") for i in range(3) for j in range(3)
+        )
+        .cast("long")
+        .alias("n_transitions"),
+    )
+    num = (
+        F.col("d0") * F.col("d0") * F.col("s11")
+        - 2 * F.col("d0") * F.col("d1") * F.col("s01")
+        + F.col("d1") * F.col("d1") * F.col("s00")
+    ).cast("long")
+    den = (F.col("s00") * F.col("s11") - F.col("s01") * F.col("s01")).cast(
+        "long"
+    )
+    chi2 = num.cast("double") / den.cast("double")
+    return dd.select(
+        "n_transitions",
+        "d0",
+        "d1",
+        num.alias("chi2_num"),
+        den.alias("chi2_den"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.exp(-0.5 * chi2), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R381 Fisher linear discriminant (2-class, 2-feature, closed form)
+# ---------------------------------------------------------------------------
+
+_LDA_FEATURES_SQL = """
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x1,
+             CAST(count(o.o_orderkey) AS BIGINT) AS x2,
+             CASE WHEN sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) > 0
+                  THEN 1 ELSE 0 END AS y
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+"""
+
+
+@register(
+    "lda_urgent_classifier",
+    sql=f"""
+    WITH feats AS MATERIALIZED ({_LDA_FEATURES_SQL}),
+    m AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1,
+             CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22
+      FROM feats GROUP BY y
+    ),
+    pool AS (
+      SELECT
+        CAST(sum(n) AS BIGINT) AS n,
+        CAST(max(CASE WHEN y = 1 THEN n END) AS BIGINT) AS n1,
+        CAST(max(CASE WHEN y = 0 THEN n END) AS BIGINT) AS n0,
+        max(CASE WHEN y = 1 THEN CAST(sx1 AS DOUBLE) / n END) AS mu1x1,
+        max(CASE WHEN y = 1 THEN CAST(sx2 AS DOUBLE) / n END) AS mu1x2,
+        max(CASE WHEN y = 0 THEN CAST(sx1 AS DOUBLE) / n END) AS mu0x1,
+        max(CASE WHEN y = 0 THEN CAST(sx2 AS DOUBLE) / n END) AS mu0x2,
+        sum(CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n)
+          / (sum(n) - 2) AS c11,
+        sum(CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n)
+          / (sum(n) - 2) AS c12,
+        sum(CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n)
+          / (sum(n) - 2) AS c22
+      FROM m
+    ),
+    wvec AS (
+      SELECT n, n1, n0, mu1x1, mu1x2, mu0x1, mu0x2,
+             (c22 * (mu1x1 - mu0x1) - c12 * (mu1x2 - mu0x2))
+               / (c11 * c22 - c12 * c12) AS w1,
+             (c11 * (mu1x2 - mu0x2) - c12 * (mu1x1 - mu0x1))
+               / (c11 * c22 - c12 * c12) AS w2
+      FROM pool
+    ),
+    thr AS (
+      SELECT n, n1, n0, w1, w2,
+             0.5 * (w1 * (mu1x1 + mu0x1) + w2 * (mu1x2 + mu0x2))
+               - ln(CAST(n1 AS DOUBLE) / n0) AS c
+      FROM wvec
+    ),
+    scored AS (
+      SELECT f.y,
+             CASE WHEN t.w1 * f.x1 + t.w2 * f.x2 > t.c
+                  THEN 1 ELSE 0 END AS yhat
+      FROM feats f CROSS JOIN thr t
+    ),
+    conf AS (
+      SELECT CAST(sum(y * yhat) AS BIGINT) AS tp,
+             CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+             CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+             CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT t.n AS n_customers, t.n1 AS n_pos, t.n0 AS n_neg,
+           round(t.w1 * 1e6, 6) AS w1_scaled,
+           round(t.w2, 6) AS w2,
+           conf.tp, conf.fp, conf.fn, conf.tn,
+           round(CAST(conf.tp + conf.tn AS DOUBLE) / t.n, 6) AS accuracy
+    FROM thr t CROSS JOIN conf
+    """,
+)
+def lda_urgent_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R381 Fisher linear discriminant analysis, 2 classes × 2
+    features in closed form: predict "customer has ≥1 urgent order"
+    from (acctbal cents, order count); w = Σ_pooled⁻¹(μ₁-μ₀) with the
+    pooled within-class covariance from per-class BIGINT raw moments
+    and the 2×2 inverse written out (no iterative solver — the
+    registry's logreg/ridge/naive-bayes classifiers are iterative or
+    independence-based; LDA is the closed-form Gaussian discriminant,
+    trained in ONE aggregation pass).  Decision: w·x > ½w·(μ₁+μ₀) -
+    ln(n₁/n₀) (prior-adjusted midpoint).  Every double on both
+    engines is built from the same BIGINTs by the same expression
+    tree, so per-row classification (integer features × shared
+    weights) is bit-deterministic; the confusion matrix is then pure
+    counts.  Train = one groupBy to 2 rows; score = map-side
+    broadcast — the canonical scalable LDA shape at 100 TB."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x1"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    feats = (
+        c.join(o, on=F.col("c_custkey") == F.col("o_custkey"), how="left")
+        .groupBy("c_custkey", "x1")
+        .agg(
+            F.count("o_custkey").cast("long").alias("x2"),
+            F.when(
+                F.coalesce(F.sum("urgent"), F.lit(0)) > 0, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+        .select("x1", "x2", "y")
+    )
+    m = feats.groupBy("y").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+    )
+    nd = F.col("n").cast("double")
+    pool = m.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.max(F.when(F.col("y") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("y") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.max(
+            F.when(F.col("y") == 1, F.col("sx1").cast("double") / nd)
+        ).alias("mu1x1"),
+        F.max(
+            F.when(F.col("y") == 1, F.col("sx2").cast("double") / nd)
+        ).alias("mu1x2"),
+        F.max(
+            F.when(F.col("y") == 0, F.col("sx1").cast("double") / nd)
+        ).alias("mu0x1"),
+        F.max(
+            F.when(F.col("y") == 0, F.col("sx2").cast("double") / nd)
+        ).alias("mu0x2"),
+        (
+            F.sum(
+                F.col("s11").cast("double")
+                - F.col("sx1").cast("double") * F.col("sx1") / nd
+            )
+            / (F.sum("n") - 2)
+        ).alias("c11"),
+        (
+            F.sum(
+                F.col("s12").cast("double")
+                - F.col("sx1").cast("double") * F.col("sx2") / nd
+            )
+            / (F.sum("n") - 2)
+        ).alias("c12"),
+        (
+            F.sum(
+                F.col("s22").cast("double")
+                - F.col("sx2").cast("double") * F.col("sx2") / nd
+            )
+            / (F.sum("n") - 2)
+        ).alias("c22"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    w1 = (
+        F.col("c22") * (F.col("mu1x1") - F.col("mu0x1"))
+        - F.col("c12") * (F.col("mu1x2") - F.col("mu0x2"))
+    ) / det
+    w2 = (
+        F.col("c11") * (F.col("mu1x2") - F.col("mu0x2"))
+        - F.col("c12") * (F.col("mu1x1") - F.col("mu0x1"))
+    ) / det
+    thr = pool.select(
+        "n",
+        "n1",
+        "n0",
+        w1.alias("w1"),
+        w2.alias("w2"),
+        (
+            0.5
+            * (
+                w1 * (F.col("mu1x1") + F.col("mu0x1"))
+                + w2 * (F.col("mu1x2") + F.col("mu0x2"))
+            )
+            - F.log(F.col("n1").cast("double") / F.col("n0"))
+        ).alias("c"),
+    )
+    scored = feats.join(F.broadcast(thr)).select(
+        "y",
+        "n",
+        "n1",
+        "n0",
+        "w1",
+        "w2",
+        F.when(
+            F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+            > F.col("c"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("yhat"),
+    )
+    conf = scored.groupBy("n", "n1", "n0", "w1", "w2").agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("long")
+        .alias("tn"),
+    )
+    return conf.select(
+        F.col("n").alias("n_customers"),
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(F.col("w1") * 1e6, 6).alias("w1_scaled"),
+        F.round("w2", 6).alias("w2"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double") / F.col("n"), 6
+        ).alias("accuracy"),
+    )
