@@ -595,3 +595,184 @@ def test_lda_matches_numpy(spark):
     assert abs(r["w2"] - w[1]) < 1e-6
     assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
     assert abs(r["accuracy"] - (tp + tn) / len(c)) < 1e-6
+
+
+def _daily_dollars(spark):
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    return (
+        o.groupby(o["o_orderdate"].dt.normalize())["cents"].sum() // 100
+    ).sort_index()
+
+
+def test_turning_points_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import turning_points_revenue
+
+    y = _daily_dollars(spark).to_numpy()
+    n = len(y)
+    t_count = sum(
+        1
+        for i in range(1, n - 1)
+        if (y[i] > y[i - 1] and y[i] > y[i + 1])
+        or (y[i] < y[i - 1] and y[i] < y[i + 1])
+    )
+    e = 2 * (n - 2) / 3
+    z = (t_count - e) / math.sqrt((16 * n - 29) / 90)
+    [r] = turning_points_revenue(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert r["n_turning"] == t_count
+    assert abs(r["e_turning"] - e) < 1e-6
+    assert abs(r["z_stat"] - z) < 1e-6
+
+
+def test_bartels_rvn_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import bartels_rvn_revenue
+
+    y = _daily_dollars(spark)
+    r_ = y.rank(method="average").to_numpy()
+    n = len(r_)
+    rvn = ((r_[:-1] - r_[1:]) ** 2).sum() / ((r_ - r_.mean()) ** 2).sum()
+    var = (
+        4 * (n - 2) * (5 * n**2 - 2 * n - 9)
+        / (5 * n * (n + 1) * (n - 1) ** 2)
+    )
+    z = (rvn - 2) / math.sqrt(var)
+    [row] = bartels_rvn_revenue(spark, SF_DIR).collect()
+    assert row["n_days"] == n
+    # 2x-grid integers reproduce the float ratio exactly: rvn =
+    # n*num4/den4n
+    assert abs(row["n_days"] * row["num4"] / row["den4n"] - rvn) < 1e-9
+    assert abs(row["rvn"] - rvn) < 1e-6
+    assert abs(row["z_stat"] - z) < 1e-6
+
+
+def test_xbar_r_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import (
+        _XBAR_A2,
+        _XBAR_D3,
+        _XBAR_D4,
+        _XBAR_N,
+        xbar_r_control_chart,
+    )
+
+    y = _daily_dollars(spark).to_numpy()
+    m = len(y) // _XBAR_N
+    xbars, ranges = [], []
+    for j in range(m):
+        g = y[j * _XBAR_N : (j + 1) * _XBAR_N]
+        xbars.append(g.mean())
+        ranges.append(int(g.max() - g.min()))
+    xbb = float(np.mean(xbars))
+    rbar = float(np.mean(ranges))
+    ucl_x, lcl_x = xbb + _XBAR_A2 * rbar, xbb - _XBAR_A2 * rbar
+    ucl_r, lcl_r = _XBAR_D4 * rbar, _XBAR_D3 * rbar
+    n_x = sum(1 for v in xbars if v > ucl_x or v < lcl_x)
+    n_r = sum(1 for v in ranges if v > ucl_r or v < lcl_r)
+    [r] = xbar_r_control_chart(spark, SF_DIR).collect()
+    assert r["n_subgroups"] == m
+    assert abs(r["xbar_bar"] - xbb) < 1e-3
+    assert abs(r["r_bar"] - rbar) < 1e-3
+    assert abs(r["ucl_x"] - ucl_x) < 1e-3
+    assert abs(r["ucl_r"] - ucl_r) < 1e-3
+    assert (r["n_x_ooc"], r["n_r_ooc"]) == (n_x, n_r)
+
+
+def test_cronbach_matches_textbook(spark):
+    from zoom_spark.queries.round10b_ops import cronbach_alpha_yearly_spend
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).toPandas()
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey").toPandas()
+    o["yr"] = o["o_orderdate"].dt.year
+    o["h"] = (o["o_totalprice"] / 100).apply(math.floor).astype("int64")
+    y0 = int(o["yr"].min())
+    x = np.zeros((len(c), 3), dtype=np.int64)
+    idx = {ck: i for i, ck in enumerate(c["c_custkey"])}
+    for j in range(3):
+        for ck, v in (
+            o.loc[o["yr"] == y0 + j].groupby("o_custkey")["h"].sum().items()
+        ):
+            x[idx[ck], j] = v
+    k = 3
+    # textbook: population variances (the 1/n scale cancels)
+    item_vars = x.var(axis=0, ddof=0).sum()
+    total_var = x.sum(axis=1).var(ddof=0)
+    alpha = k / (k - 1) * (1 - item_vars / total_var)
+    [r] = cronbach_alpha_yearly_spend(spark, SF_DIR).collect()
+    assert (r["n_subjects"], r["k_items"]) == (len(c), 3)
+    assert abs(r["var_total_n"] - total_var) < 1e-2
+    assert abs(r["var_items_n"] - item_vars) < 1e-2
+    assert abs(r["alpha"] - alpha) < 1e-6
+
+
+def test_spectral_entropy_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import (
+        _SPEC_PERIODS,
+        spectral_entropy_revenue,
+    )
+
+    y = _daily_dollars(spark).to_numpy(dtype=np.float64)
+    n = len(y)
+    s = y.sum()
+    t = np.arange(n, dtype=np.float64)
+    powers = {}
+    for p in _SPEC_PERIODS:
+        ang = 2 * math.pi * t / p
+        centered = n * y - s
+        c = np.floor(centered * np.cos(ang) + 0.5).sum()
+        s_ = np.floor(centered * np.sin(ang) + 0.5).sum()
+        powers[p] = c * c + s_ * s_
+    ptot = sum(powers.values())
+    h = sum(
+        -pv / ptot * math.log(pv / ptot) for pv in powers.values() if pv > 0
+    )
+    dom = min(powers, key=lambda p: (-powers[p], p))
+    [r] = spectral_entropy_revenue(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert r["dominant_period"] == dom
+    assert abs(r["spectral_entropy"] - h) < 1e-5
+    assert abs(
+        r["spectral_entropy_norm"] - h / math.log(len(_SPEC_PERIODS))
+    ) < 1e-5
+    assert 0 <= r["spectral_entropy_norm"] <= 1
+
+
+def test_dfa_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import _DFA_BOXES, dfa_alpha_revenue
+
+    y = _daily_dollars(spark).to_numpy(dtype=np.float64)
+    n = len(y)
+    prof = np.floor(
+        (np.cumsum(y) * n - np.arange(1, n + 1) * y.sum()) / (1000.0 * n)
+    )
+    fs = {}
+    for b in _DFA_BOXES:
+        m = n // b
+        rss_total = 0.0
+        for j in range(m):
+            z = prof[j * b : (j + 1) * b]
+            i = np.arange(1, b + 1, dtype=np.float64)
+            beta = ((i - i.mean()) * (z - z.mean())).sum() / (
+                (i - i.mean()) ** 2
+            ).sum()
+            resid = z - z.mean() - beta * (i - i.mean())
+            rss_total += math.floor((resid**2).sum() * 1e3 + 0.5) / 1e3
+        fs[b] = math.sqrt(rss_total / (m * b))
+    lx = np.log(np.array(list(_DFA_BOXES), dtype=np.float64))
+    ly = np.log(np.array([fs[b] for b in _DFA_BOXES]))
+    alpha = ((lx - lx.mean()) * (ly - ly.mean())).sum() / (
+        (lx - lx.mean()) ** 2
+    ).sum()
+    [r] = dfa_alpha_revenue(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    for b in _DFA_BOXES:
+        assert abs(r[f"f{b}"] - fs[b]) < 1e-3
+    assert abs(r["dfa_alpha"] - alpha) < 1e-3
+    # daily totals are noise-like: alpha should sit well below the
+    # random-walk regime
+    assert 0.0 < r["dfa_alpha"] < 1.5

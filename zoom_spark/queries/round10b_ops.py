@@ -2217,3 +2217,873 @@ def lda_urgent_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tp") + F.col("tn")).cast("double") / F.col("n"), 6
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R382 turning-points randomness test on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "turning_points_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    tp AS (
+      SELECT cur.t,
+             CASE WHEN (cur.y > p.y AND cur.y > nx.y)
+                    OR (cur.y < p.y AND cur.y < nx.y)
+                  THEN 1 ELSE 0 END AS is_tp
+      FROM d cur
+      JOIN d p ON p.t = cur.t - 1
+      JOIN d nx ON nx.t = cur.t + 1
+    ),
+    m AS (
+      SELECT CAST((SELECT max(t) FROM d) AS BIGINT) AS n,
+             CAST(sum(is_tp) AS BIGINT) AS t_count
+      FROM tp
+    )
+    SELECT n AS n_days, t_count AS n_turning,
+           round(2.0 * (n - 2) / 3.0, 6) AS e_turning,
+           round((CAST(t_count AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z_stat
+    FROM m
+    """,
+)
+def turning_points_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R382 turning-points test of randomness (Kendall) on the daily
+    revenue series: count strict local extrema (y_t above or below
+    BOTH neighbors — ties break neither way, the discrete-data
+    convention, documented because cents can tie); under i.i.d.
+    randomness E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90, z = (T-E)/
+    sqrt(Var).  Complements runs_test_purchase_sequence (sign runs vs
+    a threshold) and mann_kendall (monotone trend): turning points
+    detect OSCILLATION-rate departures.  The count is a pure integer
+    from two calendar-index self-joins; E and Var are rationals of n.
+    Scan + day-frame joins only at 100 TB."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .select("y", "t")
+        .localCheckpoint(eager=False)
+    )
+    cur = d.select(F.col("t").alias("tc"), F.col("y").alias("yc"))
+    p = d.select(F.col("t").alias("tp_"), F.col("y").alias("yp"))
+    nx = d.select(F.col("t").alias("tn"), F.col("y").alias("yn"))
+    tp = (
+        cur.join(p, F.col("tp_") == F.col("tc") - 1)
+        .join(nx, F.col("tn") == F.col("tc") + 1)
+        .select(
+            F.when(
+                ((F.col("yc") > F.col("yp")) & (F.col("yc") > F.col("yn")))
+                | ((F.col("yc") < F.col("yp")) & (F.col("yc") < F.col("yn"))),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_tp")
+        )
+    )
+    nrow = d.agg(F.max("t").cast("long").alias("n"))
+    m = tp.agg(F.sum("is_tp").cast("long").alias("t_count")).join(
+        F.broadcast(nrow)
+    )
+    nd = F.col("n").cast("double")
+    e = 2.0 * (nd - 2) / 3.0
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("t_count").alias("n_turning"),
+        F.round(e, 6).alias("e_turning"),
+        F.round(
+            (F.col("t_count").cast("double") - e)
+            / F.sqrt((16.0 * nd - 29.0) / 90.0),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R383 Bartels rank von Neumann randomness test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bartels_rvn_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    ranked AS MATERIALIZED (
+      SELECT t,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2
+      FROM d
+    ),
+    num AS (
+      SELECT CAST(sum((a.r2 - b.r2) * (a.r2 - b.r2)) AS BIGINT) AS nsum
+      FROM ranked a JOIN ranked b ON b.t = a.t + 1
+    ),
+    den AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2) AS BIGINT) AS s,
+             CAST(sum(r2 * r2) AS BIGINT) AS ss
+      FROM ranked
+    )
+    SELECT den.n AS n_days,
+           num.nsum AS num4,
+           CAST(den.n * den.ss - den.s * den.s AS BIGINT) AS den4n,
+           round(CAST(den.n AS DOUBLE) * num.nsum
+                 / (den.n * den.ss - CAST(den.s AS DOUBLE) * den.s), 6)
+             AS rvn,
+           round((CAST(den.n AS DOUBLE) * num.nsum
+                  / (den.n * den.ss - CAST(den.s AS DOUBLE) * den.s) - 2.0)
+                 / sqrt(4.0 * (den.n - 2) * (5.0 * den.n * den.n
+                                             - 2.0 * den.n - 9.0)
+                        / (5.0 * den.n * (den.n + 1.0)
+                           * (den.n - 1.0) * (den.n - 1.0))), 6) AS z_stat
+    FROM num CROSS JOIN den
+    """,
+)
+def bartels_rvn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R383 Bartels (1982) rank von Neumann ratio test of randomness
+    on daily revenue: RVN = Σ(r_t - r_{{t+1}})² / Σ(r_t - r̄)² over
+    midranks; E[RVN] = 2, Var = 4(n-2)(5n²-2n-9)/(5n(n+1)(n-1)²) —
+    the rank (outlier-robust) analogue of the von-Neumann/Durbin-
+    Watson successive-difference family the registry gates on raw
+    values.  Carrying 2×midrank (integer) makes BOTH quadratic forms
+    exact BIGINTs (the 4× scale cancels in the ratio; numerator and
+    n·denominator are emitted for the hash); z is one exact-operand
+    closed form.  One global rank + one lag join over the calendar-
+    bounded day frame."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+    )
+    ranked = d.select(
+        "t",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    ).localCheckpoint(eager=False)
+    a = ranked.select(F.col("t").alias("ta"), F.col("r2").alias("ra"))
+    b = ranked.select(F.col("t").alias("tb"), F.col("r2").alias("rb"))
+    num = a.join(b, F.col("tb") == F.col("ta") + 1).agg(
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .cast("long")
+        .alias("nsum")
+    )
+    den = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2").cast("long").alias("s"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("ss"),
+    )
+    m = num.join(F.broadcast(den))
+    nd = F.col("n").cast("double")
+    rvn = (
+        nd
+        * F.col("nsum")
+        / (
+            F.col("n") * F.col("ss")
+            - F.col("s").cast("double") * F.col("s")
+        )
+    )
+    var = (
+        4.0
+        * (F.col("n") - 2)
+        * (5.0 * nd * nd - 2.0 * nd - 9.0)
+        / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("nsum").alias("num4"),
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("long")
+        .alias("den4n"),
+        F.round(rvn, 6).alias("rvn"),
+        F.round((rvn - 2.0) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R384 X̄-R control chart over weekly subgroups of daily revenue
+# ---------------------------------------------------------------------------
+
+# Shewhart constants for subgroup size n = 7
+_XBAR_A2 = 0.419
+_XBAR_D3 = 0.076
+_XBAR_D4 = 1.924
+_XBAR_N = 7
+
+
+@register(
+    "xbar_r_control_chart",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    grp AS MATERIALIZED (
+      SELECT CAST((t - 1) // {_XBAR_N} AS BIGINT) AS g,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(max(y) - min(y) AS BIGINT) AS r
+      FROM d GROUP BY 1
+      HAVING count(*) = {_XBAR_N}
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(s) AS BIGINT) AS ssum,
+             CAST(sum(r) AS BIGINT) AS rsum
+      FROM grp
+    ),
+    lim AS (
+      SELECT m,
+             CAST(ssum AS DOUBLE) / (m * {_XBAR_N}) AS xbb,
+             CAST(rsum AS DOUBLE) / m AS rbar
+      FROM tot
+    )
+    SELECT lim.m AS n_subgroups,
+           round(lim.xbb, 4) AS xbar_bar,
+           round(lim.rbar, 4) AS r_bar,
+           round(lim.xbb + {_XBAR_A2} * lim.rbar, 4) AS ucl_x,
+           round(lim.xbb - {_XBAR_A2} * lim.rbar, 4) AS lcl_x,
+           round({_XBAR_D4} * lim.rbar, 4) AS ucl_r,
+           round({_XBAR_D3} * lim.rbar, 4) AS lcl_r,
+           CAST(sum(CASE WHEN CAST(grp.s AS DOUBLE) / {_XBAR_N}
+                              > lim.xbb + {_XBAR_A2} * lim.rbar
+                           OR CAST(grp.s AS DOUBLE) / {_XBAR_N}
+                              < lim.xbb - {_XBAR_A2} * lim.rbar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_x_ooc,
+           CAST(sum(CASE WHEN CAST(grp.r AS DOUBLE)
+                              > {_XBAR_D4} * lim.rbar
+                           OR CAST(grp.r AS DOUBLE)
+                              < {_XBAR_D3} * lim.rbar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_r_ooc
+    FROM grp CROSS JOIN lim
+    GROUP BY lim.m, lim.xbb, lim.rbar
+    """,
+)
+def xbar_r_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R384 Shewhart X̄-R control chart over complete 7-day subgroups
+    of daily revenue (whole-dollar grid): center lines X̄̄ and R̄,
+    limits X̄̄ ± A₂R̄ and D₃R̄/D₄R̄ with the tabled n=7 constants
+    (A₂=0.419, D₃=0.076, D₄=1.924 — Montgomery SPC tables), plus the
+    out-of-control subgroup counts — the SPC monitoring primitive the
+    registry's anomaly family (zscore/MAD/CUSUM/Page-Hinkley) does
+    not cover (subgrouped common-cause limits vs individual scores).
+    Subgroup sums/ranges are BIGINTs; limits and per-subgroup
+    comparisons are the same exact-operand expressions on both
+    engines, so the OOC counts are deterministic integers.  One
+    groupBy on the day index: scan-bound at 100 TB."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+    )
+    grp = (
+        d.groupBy(F.floor((F.col("t") - 1) / _XBAR_N).cast("long").alias("g"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("y").cast("long").alias("s"),
+            (F.max("y") - F.min("y")).cast("long").alias("r"),
+        )
+        .where(F.col("cnt") == _XBAR_N)
+    )
+    tot = grp.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("s").cast("long").alias("ssum"),
+        F.sum("r").cast("long").alias("rsum"),
+    )
+    xbb = F.col("ssum").cast("double") / (F.col("m") * _XBAR_N)
+    rbar = F.col("rsum").cast("double") / F.col("m")
+    lim = tot.select("m", xbb.alias("xbb"), rbar.alias("rbar"))
+    j = grp.join(F.broadcast(lim))
+    xbar_g = F.col("s").cast("double") / _XBAR_N
+    ucl_x = F.col("xbb") + _XBAR_A2 * F.col("rbar")
+    lcl_x = F.col("xbb") - _XBAR_A2 * F.col("rbar")
+    ucl_r = _XBAR_D4 * F.col("rbar")
+    lcl_r = _XBAR_D3 * F.col("rbar")
+    return j.groupBy("m", "xbb", "rbar").agg(
+        F.sum(
+            F.when((xbar_g > ucl_x) | (xbar_g < lcl_x), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_x_ooc"),
+        F.sum(
+            F.when(
+                (F.col("r").cast("double") > ucl_r)
+                | (F.col("r").cast("double") < lcl_r),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_r_ooc"),
+    ).select(
+        F.col("m").alias("n_subgroups"),
+        F.round(F.col("xbb"), 4).alias("xbar_bar"),
+        F.round(F.col("rbar"), 4).alias("r_bar"),
+        F.round(F.col("xbb") + _XBAR_A2 * F.col("rbar"), 4).alias("ucl_x"),
+        F.round(F.col("xbb") - _XBAR_A2 * F.col("rbar"), 4).alias("lcl_x"),
+        F.round(_XBAR_D4 * F.col("rbar"), 4).alias("ucl_r"),
+        F.round(_XBAR_D3 * F.col("rbar"), 4).alias("lcl_r"),
+        "n_x_ooc",
+        "n_r_ooc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R385 Cronbach's alpha over yearly spend "items"
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cronbach_alpha_yearly_spend",
+    sql="""
+    WITH y0 AS (
+      SELECT CAST(min(year(o_orderdate)) AS BIGINT) AS y0 FROM orders
+    ),
+    items AS MATERIALIZED (
+      SELECT c.c_custkey,
+             CAST(COALESCE(sum(CASE WHEN year(o.o_orderdate) = y0.y0
+                   THEN CAST(floor(o.o_totalprice / 100) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS x0,
+             CAST(COALESCE(sum(CASE WHEN year(o.o_orderdate) = y0.y0 + 1
+                   THEN CAST(floor(o.o_totalprice / 100) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS x1,
+             CAST(COALESCE(sum(CASE WHEN year(o.o_orderdate) = y0.y0 + 2
+                   THEN CAST(floor(o.o_totalprice / 100) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS x2
+      FROM customer c
+      CROSS JOIN y0
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x0) AS BIGINT) AS s0,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(x0*x0) AS BIGINT) AS q0,
+             CAST(sum(x1*x1) AS BIGINT) AS q1,
+             CAST(sum(x2*x2) AS BIGINT) AS q2,
+             CAST(sum((x0+x1+x2)*(x0+x1+x2)) AS BIGINT) AS qt,
+             CAST(sum(x0+x1+x2) AS BIGINT) AS st
+      FROM items
+    )
+    SELECT n AS n_subjects,
+           CAST(3 AS BIGINT) AS k_items,
+           round((CAST(n AS DOUBLE) * qt - CAST(st AS DOUBLE) * st)
+                 / (CAST(n AS DOUBLE) * n), 4) AS var_total_n,
+           round(((CAST(n AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+                  + (CAST(n AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                  + (CAST(n AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2))
+                 / (CAST(n AS DOUBLE) * n), 4) AS var_items_n,
+           round((3.0 / 2.0) * (1.0 -
+                 ((CAST(n AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+                  + (CAST(n AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                  + (CAST(n AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2))
+                 / (CAST(n AS DOUBLE) * qt - CAST(st AS DOUBLE) * st)), 6)
+             AS alpha
+    FROM m
+    """,
+)
+def cronbach_alpha_yearly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R385 Cronbach's alpha internal-consistency coefficient with
+    k = 3 "items" = customer spend (whole hundred-dollar units) in
+    each of the first three calendar years: alpha = k/(k-1)·(1 -
+    Σσ²_item/σ²_total) — the CONTINUOUS-score reliability companion
+    to the registry's categorical agreement family (fleiss/
+    krippendorff/ICC test other designs; alpha is the classic scale-
+    reliability statistic).  Every variance is the n-scaled integer
+    form n·Σx² - (Σx)² (pure BIGINT; the common 1/n² factor cancels
+    in alpha), so alpha is one exact-operand double.  One groupBy
+    over the fact table: single-pass at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    y0 = orders.agg(F.min(F.year("o_orderdate")).cast("long").alias("y0"))
+    hund = F.floor(F.col("o_totalprice") / 100).cast("long")
+    per = (
+        orders.select(
+            "o_custkey", F.year("o_orderdate").alias("yr"), hund.alias("h")
+        )
+        .join(F.broadcast(y0))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("yr") == F.col("y0"), F.col("h")).otherwise(0))
+            .cast("long")
+            .alias("x0"),
+            F.sum(
+                F.when(F.col("yr") == F.col("y0") + 1, F.col("h")).otherwise(0)
+            )
+            .cast("long")
+            .alias("x1"),
+            F.sum(
+                F.when(F.col("yr") == F.col("y0") + 2, F.col("h")).otherwise(0)
+            )
+            .cast("long")
+            .alias("x2"),
+        )
+    )
+    items = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(per, on=F.col("c_custkey") == F.col("o_custkey"), how="left")
+        .select(
+            F.coalesce("x0", F.lit(0)).cast("long").alias("x0"),
+            F.coalesce("x1", F.lit(0)).cast("long").alias("x1"),
+            F.coalesce("x2", F.lit(0)).cast("long").alias("x2"),
+        )
+    )
+    t = F.col("x0") + F.col("x1") + F.col("x2")
+    m = items.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x0").cast("long").alias("s0"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x0") * F.col("x0")).cast("long").alias("q0"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q2"),
+        F.sum(t * t).cast("long").alias("qt"),
+        F.sum(t).cast("long").alias("st"),
+    )
+    nd = F.col("n").cast("double")
+    vt = nd * F.col("qt") - F.col("st").cast("double") * F.col("st")
+    vi = (
+        (nd * F.col("q0") - F.col("s0").cast("double") * F.col("s0"))
+        + (nd * F.col("q1") - F.col("s1").cast("double") * F.col("s1"))
+        + (nd * F.col("q2") - F.col("s2").cast("double") * F.col("s2"))
+    )
+    return m.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(3).cast("long").alias("k_items"),
+        F.round(vt / (nd * nd), 4).alias("var_total_n"),
+        F.round(vi / (nd * nd), 4).alias("var_items_n"),
+        F.round((3.0 / 2.0) * (1.0 - vi / vt), 6).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R386 spectral entropy of daily revenue over the fixed period grid
+# ---------------------------------------------------------------------------
+
+_SPEC_PERIODS = (7, 14, 30, 91, 182, 365)
+
+
+@register(
+    "spectral_entropy_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM d
+    ),
+    grid AS (
+      SELECT unnest(ARRAY[{", ".join(str(p) for p in _SPEC_PERIODS)}])
+        AS period
+    ),
+    terms AS (
+      -- centered series scaled by n (n*y_t - S is a pure BIGINT);
+      -- each cos/sin product snapped to the unit grid before the
+      -- BIGINT sum (order-free)
+      SELECT g.period,
+             CAST(sum(CAST(floor(
+               (CAST(tot.n AS DOUBLE) * d.y - tot.s)
+               * cos(2 * pi() * (d.t - 1) / g.period) + 0.5)
+               AS BIGINT)) AS BIGINT) AS c1,
+             CAST(sum(CAST(floor(
+               (CAST(tot.n AS DOUBLE) * d.y - tot.s)
+               * sin(2 * pi() * (d.t - 1) / g.period) + 0.5)
+               AS BIGINT)) AS BIGINT) AS s1
+      FROM d CROSS JOIN grid g CROSS JOIN tot
+      GROUP BY g.period
+    ),
+    pw AS (
+      SELECT period,
+             CAST(c1 AS DOUBLE) * c1 + CAST(s1 AS DOUBLE) * s1 AS p
+      FROM terms
+    ),
+    ps AS (SELECT CAST(sum(p) AS DOUBLE) AS ptot FROM pw),
+    ent AS (
+      SELECT CAST(sum(CAST(floor(
+               CASE WHEN pw.p > 0
+                    THEN -(pw.p / ps.ptot) * ln(pw.p / ps.ptot)
+                    ELSE 0 END * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      FROM pw CROSS JOIN ps
+    ),
+    dom AS (
+      SELECT CAST(period AS BIGINT) AS dominant_period
+      FROM pw ORDER BY p DESC, period LIMIT 1
+    )
+    SELECT (SELECT n FROM tot) AS n_days,
+           dom.dominant_period,
+           round(CAST(ent.h9 AS DOUBLE) / 1e9, 6) AS spectral_entropy,
+           round(CAST(ent.h9 AS DOUBLE) / 1e9
+                 / ln({len(_SPEC_PERIODS)}.0), 6) AS spectral_entropy_norm
+    FROM ent CROSS JOIN dom
+    """,
+)
+def spectral_entropy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R386 spectral entropy of daily revenue over the fixed period
+    grid {_SPEC_PERIODS}: normalize the per-period DFT powers (the
+    periodogram_fixed_bins probe) to a distribution and report its
+    Shannon entropy — the standard "forecastability" feature
+    (low entropy = concentrated spectrum = predictable seasonality;
+    the tsfeatures/catch22 headline statistic), which the registry's
+    periodogram/seasonality-strength queries do not reduce to.
+    Determinism: the centered series is the n-scaled BIGINT n·y_t -
+    S; each cos/sin product is snapped to the UNIT grid before the
+    per-period BIGINT sum (relative error ~1e-10 on the ~1e10-scale
+    operands, far below the 6dp output); powers are exact-operand
+    doubles of those integers; the 6 entropy terms are 1e-9-snapped
+    then integer-summed.  Same single-pass map-side cos/sin shape as
+    the gated periodogram at 100 TB."""
+    import math as _math
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in _SPEC_PERIODS], "period int"
+    )
+    centered = F.col("n").cast("double") * F.col("y") - F.col("s")
+    ang = 2 * _math.pi * (F.col("t") - 1) / F.col("period")
+    terms = (
+        d.crossJoin(F.broadcast(grid))
+        .join(F.broadcast(tot))
+        .groupBy("period")
+        .agg(
+            F.sum(F.floor(centered * F.cos(ang) + 0.5).cast("long"))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.floor(centered * F.sin(ang) + 0.5).cast("long"))
+            .cast("long")
+            .alias("s1"),
+        )
+    )
+    pw = terms.select(
+        "period",
+        (
+            F.col("c1").cast("double") * F.col("c1")
+            + F.col("s1").cast("double") * F.col("s1")
+        ).alias("p"),
+    ).localCheckpoint(eager=False)
+    ps = pw.agg(F.sum("p").alias("ptot"))
+    ent = (
+        pw.join(F.broadcast(ps))
+        .select(
+            F.floor(
+                F.when(
+                    F.col("p") > 0,
+                    -(F.col("p") / F.col("ptot"))
+                    * F.log(F.col("p") / F.col("ptot")),
+                ).otherwise(0.0)
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("t9")
+        )
+        .agg(F.sum("t9").cast("long").alias("h9"))
+    )
+    dom = pw.orderBy(F.col("p").desc(), "period").limit(1).select(
+        F.col("period").cast("long").alias("dominant_period")
+    )
+    return (
+        tot.select("n")
+        .join(F.broadcast(ent))
+        .join(F.broadcast(dom))
+        .select(
+            F.col("n").alias("n_days"),
+            "dominant_period",
+            F.round(F.col("h9").cast("double") / 1e9, 6).alias(
+                "spectral_entropy"
+            ),
+            F.round(
+                F.col("h9").cast("double")
+                / 1e9
+                / _math.log(len(_SPEC_PERIODS)),
+                6,
+            ).alias("spectral_entropy_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R387 detrended fluctuation analysis (DFA) of daily revenue
+# ---------------------------------------------------------------------------
+
+_DFA_BOXES = (8, 16, 32, 64)
+
+
+@register(
+    "dfa_alpha_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM d
+    ),
+    prof AS MATERIALIZED (
+      -- integer profile on the thousand-dollar grid:
+      -- zk_t = floor((cumsum_t - t*mean) / 1000) via the n-scaled
+      -- BIGINT n*cumsum_t - t*S
+      SELECT d.t,
+             CAST(floor((CAST(sum(d2.y) AS DOUBLE) * tot.n
+                         - CAST(d.t AS DOUBLE) * tot.s)
+                        / (1000.0 * tot.n)) AS BIGINT) AS zk
+      FROM d
+      JOIN d d2 ON d2.t <= d.t
+      CROSS JOIN tot
+      GROUP BY d.t, tot.n, tot.s
+    ),
+    grid AS (
+      SELECT unnest(ARRAY[{", ".join(str(b) for b in _DFA_BOXES)}]) AS b
+    ),
+    boxed AS MATERIALIZED (
+      SELECT g.b,
+             CAST((p.t - 1) // g.b AS BIGINT) AS box,
+             CAST((p.t - 1) % g.b + 1 AS BIGINT) AS i,
+             p.zk
+      FROM prof p CROSS JOIN grid g
+    ),
+    bm AS MATERIALIZED (
+      SELECT b, box,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(i) AS BIGINT) AS si,
+             CAST(sum(zk) AS BIGINT) AS sz,
+             CAST(sum(i * i) AS BIGINT) AS sii,
+             CAST(sum(i * zk) AS BIGINT) AS siz,
+             CAST(sum(zk * zk) AS BIGINT) AS szz
+      FROM boxed GROUP BY b, box
+      HAVING count(*) = b
+    ),
+    rss AS (
+      -- per-box OLS detrend RSS (closed form from BIGINT moments),
+      -- snapped to the 1e-3 grid before the cross-box BIGINT sum
+      SELECT b, box, cnt,
+             CAST(floor((
+               (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / cnt)
+               - power(CAST(siz AS DOUBLE) - CAST(si AS DOUBLE) * sz / cnt, 2)
+                 / (CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * si / cnt)
+             ) * 1e3 + 0.5) AS BIGINT) AS rss3
+      FROM bm
+    ),
+    fb AS MATERIALIZED (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS n_boxes,
+             sqrt(CAST(sum(rss3) AS DOUBLE) / 1e3
+                  / (count(*) * b)) AS f
+      FROM rss GROUP BY b
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(ln(CAST(b AS DOUBLE))) AS sx,
+             sum(ln(f)) AS sy,
+             sum(ln(CAST(b AS DOUBLE)) * ln(CAST(b AS DOUBLE))) AS sxx,
+             sum(ln(CAST(b AS DOUBLE)) * ln(f)) AS sxy
+      FROM fb
+    )
+    SELECT (SELECT n FROM tot) AS n_days,
+           round((SELECT f FROM fb WHERE b = 8), 4) AS f8,
+           round((SELECT f FROM fb WHERE b = 16), 4) AS f16,
+           round((SELECT f FROM fb WHERE b = 32), 4) AS f32,
+           round((SELECT f FROM fb WHERE b = 64), 4) AS f64,
+           round((fit.k * fit.sxy - fit.sx * fit.sy)
+                 / (fit.k * fit.sxx - fit.sx * fit.sx), 4) AS dfa_alpha
+    FROM fit
+    """,
+)
+def dfa_alpha_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R387 detrended fluctuation analysis (Peng 1994) scaling
+    exponent of daily revenue — the OTHER standard long-range-
+    dependence estimator next to the registry's hurst_exponent_revenue
+    (R/S): integrate the centered series into a profile, split into
+    boxes of size b ∈ {_DFA_BOXES}, OLS-detrend each box, and fit the
+    log-log slope of the RMS fluctuation F(b).  Exactness chain: the
+    profile is the n-scaled BIGINT n·cumsum_t - t·S floored onto the
+    thousand-dollar grid (integer zk; 1e3 granularity is ~2e-5
+    relative on the ~5e7-dollar profile — invisible at the 4dp
+    output); per-box moments are pure BIGINTs; each box's closed-form
+    RSS is snapped to 1e-3 before the cross-box BIGINT sum; the
+    4-point log-log fit is exact-operand.  The windowed cumulative
+    sum is ONE ordered prefix window (not the quadratic join the
+    oracle unrolls — DuckDB's day frame is calendar-bounded);
+    everything else is two hash aggregates.  α≈0.5 = white noise,
+    α≈1 = 1/f, α≈1.5 = random walk."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    cum = d.withColumn(
+        "cs",
+        F.sum("y").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    prof = (
+        cum.join(F.broadcast(tot))
+        .select(
+            "t",
+            F.floor(
+                (
+                    F.col("cs").cast("double") * F.col("n")
+                    - F.col("t").cast("double") * F.col("s")
+                )
+                / (1000.0 * F.col("n"))
+            )
+            .cast("long")
+            .alias("zk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    grid = spark.createDataFrame([(b,) for b in _DFA_BOXES], "b int")
+    boxed = prof.crossJoin(F.broadcast(grid)).select(
+        "b",
+        F.floor((F.col("t") - 1) / F.col("b")).cast("long").alias("box"),
+        ((F.col("t") - 1) % F.col("b") + 1).cast("long").alias("i"),
+        "zk",
+    )
+    bm = (
+        boxed.groupBy("b", "box")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("i").cast("long").alias("si"),
+            F.sum("zk").cast("long").alias("sz"),
+            F.sum(F.col("i") * F.col("i")).cast("long").alias("sii"),
+            F.sum(F.col("i") * F.col("zk")).cast("long").alias("siz"),
+            F.sum(F.col("zk") * F.col("zk")).cast("long").alias("szz"),
+        )
+        .where(F.col("cnt") == F.col("b"))
+    )
+    cd = F.col("cnt").cast("double")
+    szz_c = F.col("szz").cast("double") - F.col("sz").cast("double") * F.col(
+        "sz"
+    ) / cd
+    siz_c = F.col("siz").cast("double") - F.col("si").cast("double") * F.col(
+        "sz"
+    ) / cd
+    sii_c = F.col("sii").cast("double") - F.col("si").cast("double") * F.col(
+        "si"
+    ) / cd
+    rss = bm.select(
+        "b",
+        F.floor((szz_c - F.pow(siz_c, 2) / sii_c) * 1e3 + 0.5)
+        .cast("long")
+        .alias("rss3"),
+    )
+    fb = rss.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_boxes"),
+        F.sqrt(
+            F.sum("rss3").cast("double")
+            / 1e3
+            / (F.count("*") * F.col("b"))
+        ).alias("f"),
+    ).localCheckpoint(eager=False)
+    lb = F.log(F.col("b").cast("double"))
+    fit = fb.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(lb).alias("sx"),
+        F.sum(F.log("f")).alias("sy"),
+        F.sum(lb * lb).alias("sxx"),
+        F.sum(lb * F.log("f")).alias("sxy"),
+    )
+
+    def f_at(b: int):
+        return fb.where(F.col("b") == b).select(
+            F.round("f", 4).alias(f"f{b}")
+        )
+
+    out = tot.select(F.col("n").alias("n_days"))
+    for b in _DFA_BOXES:
+        out = out.join(F.broadcast(f_at(b)))
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return out.join(F.broadcast(fit)).select(
+        "n_days",
+        "f8",
+        "f16",
+        "f32",
+        "f64",
+        F.round(slope, 4).alias("dfa_alpha"),
+    )
