@@ -776,3 +776,233 @@ def test_dfa_matches_python(spark):
     # daily totals are noise-like: alpha should sit well below the
     # random-walk regime
     assert 0.0 < r["dfa_alpha"] < 1.5
+
+
+def test_higuchi_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import (
+        _HIGUCHI_KMAX,
+        higuchi_fd_revenue,
+    )
+
+    y = _daily_dollars(spark).to_numpy(dtype=np.float64)
+    n = len(y)
+    ls = {}
+    for k in range(1, _HIGUCHI_KMAX + 1):
+        lm6 = 0
+        for m in range(1, k + 1):
+            idx = np.arange(m - 1, n, k)
+            if len(idx) < 2:
+                continue
+            s = np.abs(np.diff(y[idx])).sum()
+            q = len(idx) - 1
+            lm6 += math.floor(s * (n - 1) / (q * k * k) * 1e6 + 0.5)
+        ls[k] = lm6 / 1e6 / k
+    lx = np.log(1.0 / np.arange(1, _HIGUCHI_KMAX + 1))
+    ly = np.log(np.array([ls[k] for k in range(1, _HIGUCHI_KMAX + 1)]))
+    fd = ((lx - lx.mean()) * (ly - ly.mean())).sum() / (
+        (lx - lx.mean()) ** 2
+    ).sum()
+    [r] = higuchi_fd_revenue(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert abs(r["l1"] - ls[1]) < 1e-3
+    assert abs(r[f"l{_HIGUCHI_KMAX}"] - ls[_HIGUCHI_KMAX]) < 1e-3
+    assert abs(r["higuchi_fd"] - fd) < 1e-3
+    # a noisy series has FD near the plane-filling limit; the
+    # finite-sample estimator can slightly exceed 2 (2.0035 at
+    # sf0.001) — bound with a small overshoot allowance
+    assert 1.0 <= r["higuchi_fd"] <= 2.1
+
+
+def test_ratio_regression_matches_python(spark):
+    import hashlib
+
+    from zoom_spark.queries.round10b_ops import ratio_regression_estimator
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).toPandas()
+    qty = li.groupby("l_orderkey")["l_quantity"].sum().astype("int64")
+    o = o[o["o_orderkey"].isin(qty.index)]
+    o["y"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype("int64")
+    o["x"] = o["o_orderkey"].map(qty)
+    o["in_s"] = o["o_orderkey"].map(
+        lambda k: hashlib.md5(str(k).encode()).hexdigest()[0] < "4"
+    )
+    s = o[o["in_s"]]
+    n_pop, n_s = len(o), len(s)
+    ty, tx = int(o["y"].sum()), int(o["x"].sum())
+    ht = n_pop / n_s * s["y"].sum()
+    ratio = s["y"].sum() / s["x"].sum() * tx
+    b = (
+        n_s * (s["x"] * s["y"]).sum() - s["x"].sum() * s["y"].sum()
+    ) / (n_s * (s["x"] ** 2).sum() - s["x"].sum() ** 2)
+    reg = n_pop * (
+        s["y"].mean() + b * (tx / n_pop - s["x"].mean())
+    )
+    [r] = ratio_regression_estimator(spark, SF_DIR).collect()
+    assert (r["n_pop"], r["n_s"]) == (n_pop, n_s)
+    assert r["true_total_cents"] == ty
+    assert abs(r["ht_est"] - ht) < 1
+    assert abs(r["ratio_est"] - ratio) < 1
+    assert abs(r["reg_est"] - reg) < max(1, 1e-9 * abs(reg))
+    # error fields must agree with their estimators (no independent
+    # data claim: at sf0.001 quantity is a WEAK auxiliary and the
+    # ratio estimator legitimately loses to HT)
+    assert abs(r["ht_err_bp"] - round(abs(ht - ty) / ty * 1e4, 2)) < 0.02
+    assert (
+        abs(r["ratio_err_bp"] - round(abs(ratio - ty) / ty * 1e4, 2)) < 0.02
+    )
+
+
+def test_basket_rule_metrics_matches_python(spark):
+    import collections
+    import itertools
+
+    from zoom_spark.queries.round10b_ops import (
+        _RULE_TOPK,
+        basket_rule_metrics,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas()
+    p = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_brand"
+    ).toPandas()
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    baskets = m.groupby("l_orderkey")["p_brand"].agg(set)
+    n = len(baskets)
+    item_c = collections.Counter()
+    pair_c = collections.Counter()
+    for items in baskets:
+        for it in items:
+            item_c[it] += 1
+        for x, y_ in itertools.permutations(items, 2):
+            pair_c[(x, y_)] += 1
+    top = sorted(pair_c.items(), key=lambda kv: (-kv[1], kv[0]))[:_RULE_TOPK]
+    expect = {}
+    for (ante, cons), c in top:
+        sa, sb, sab = item_c[ante] / n, item_c[cons] / n, c / n
+        conf = c / item_c[ante]
+        lev = sab - sa * sb
+        expect[(ante, cons)] = (
+            c,
+            round(conf, 6),
+            round((1 - sb) / (1 - conf), 6),
+            round(lev, 6),
+            round(lev / max(sab * (1 - sa), sa * (sb - sab)), 6),
+            round(c / (item_c[ante] + item_c[cons] - c), 6),
+        )
+    got = {
+        (r["ante"], r["cons"]): (
+            r["n_both"],
+            r["confidence"],
+            r["conviction"],
+            r["leverage"],
+            r["zhang"],
+            r["jaccard"],
+        )
+        for r in basket_rule_metrics(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        for a, b in zip(got[k], expect[k]):
+            assert abs(a - b) < 2e-6, (k, got[k], expect[k])
+
+
+def test_gwet_ac1_matches_textbook(spark):
+    from zoom_spark.queries.round10b_ops import gwet_ac1_orders
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    li["gross"] = (li["l_extendedprice"] * 100 + 0.5).apply(
+        math.floor
+    ).astype("int64")
+    g = li.groupby("l_orderkey").agg(
+        gross=("gross", "sum"), qty=("l_quantity", "sum")
+    )
+    m = o.merge(g, left_on="o_orderkey", right_index=True)
+    c1 = np.where(
+        m["o_totalprice"] < 77000, 0, np.where(m["o_totalprice"] < 150000, 1, 2)
+    )
+    c2 = np.where(m["gross"] < 7500000, 0, np.where(m["gross"] < 14500000, 1, 2))
+    c3 = np.where(m["qty"] < 60, 0, np.where(m["qty"] < 120, 1, 2))
+    n = len(m)
+    ratings = np.stack([c1, c2, c3], axis=1)
+    # textbook AC1: Pa from pairwise agreement, Pe = sum pi(1-pi)/(k-1)
+    pa = np.mean(
+        [
+            sum(a == b for a, b in [(r[0], r[1]), (r[0], r[2]), (r[1], r[2])])
+            / 3
+            for r in ratings
+        ]
+    )
+    pis = [np.mean(ratings == q) for q in (0, 1, 2)]
+    pe = sum(p_ * (1 - p_) for p_ in pis) / 2
+    ac1 = (pa - pe) / (1 - pe)
+    [r] = gwet_ac1_orders(spark, SF_DIR).collect()
+    assert r["n_items"] == n
+    assert abs(r["p_a"] - pa) < 1e-6
+    assert abs(r["p_e_gwet"] - pe) < 1e-6
+    assert abs(r["ac1"] - ac1) < 1e-5
+
+
+def test_price_elasticity_matches_numpy(spark):
+    from zoom_spark.queries.round10b_ops import price_elasticity_loglog
+
+    p = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_retailprice"
+    ).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_quantity"
+    ).toPandas()
+    q = li.groupby("l_partkey")["l_quantity"].sum().astype("int64")
+    p = p[p["p_partkey"].isin(q.index)].copy()
+    p["pc"] = (p["p_retailprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    lp = np.log(p["pc"].to_numpy(dtype=np.float64))
+    lq = np.log(p["p_partkey"].map(q).to_numpy(dtype=np.float64))
+    slope, intercept = np.polyfit(lp, lq, 1)
+    r2 = np.corrcoef(lp, lq)[0, 1] ** 2
+    [r] = price_elasticity_loglog(spark, SF_DIR).collect()
+    assert r["n_parts"] == len(p)
+    assert abs(r["elasticity"] - slope) < 1e-4
+    assert abs(r["intercept"] - intercept) < 1e-3
+    assert abs(r["r2"] - r2) < 1e-4
+
+
+def test_process_rework_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import process_rework_report
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    expect = {}
+    for et, g in ev.groupby("event_type"):
+        n_events = len(g)
+        n_users = g["user_id"].nunique()
+        expect[et] = [n_events, n_users, n_events - n_users, 0]
+    for _, g in ev.groupby("user_id"):
+        ts = g["event_type"].to_numpy()
+        for a, b in zip(ts[:-1], ts[1:]):
+            if a == b:
+                expect[b][3] += 1
+    got = {
+        r["event_type"]: [
+            r["n_events"],
+            r["n_users"],
+            r["n_rework"],
+            r["n_selfloops"],
+        ]
+        for r in process_rework_report(spark, SF_DIR).collect()
+    }
+    assert got == expect

@@ -3087,3 +3087,736 @@ def dfa_alpha_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f64",
         F.round(slope, 4).alias("dfa_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R388 Higuchi fractal dimension of daily revenue
+# ---------------------------------------------------------------------------
+
+_HIGUCHI_KMAX = 8
+
+
+@register(
+    "higuchi_fd_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    grid AS (
+      SELECT unnest(generate_series(1, {_HIGUCHI_KMAX})) AS k
+    ),
+    steps AS (
+      -- all step-k absolute differences, keyed by the offset class
+      -- m = (t-1) % k + 1 (pure integers)
+      SELECT g.k,
+             CAST((a.t - 1) % g.k + 1 AS BIGINT) AS m,
+             CAST(abs(b.y - a.y) AS BIGINT) AS ad
+      FROM d a
+      CROSS JOIN grid g
+      JOIN d b ON b.t = a.t + g.k
+    ),
+    perm AS (
+      -- L_m(k) = S_m * (n-1) / (q_m * k * k), snapped at 1e-6 before
+      -- the per-k BIGINT mean
+      SELECT k, m,
+             CAST(sum(ad) AS BIGINT) AS s_m,
+             CAST(count(*) AS BIGINT) AS q_m
+      FROM steps GROUP BY k, m
+    ),
+    lk AS MATERIALIZED (
+      SELECT perm.k,
+             CAST(sum(CAST(floor(
+               CAST(perm.s_m AS DOUBLE) * (tot.n - 1)
+               / (CAST(perm.q_m AS DOUBLE) * perm.k * perm.k)
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS lsum6,
+             CAST(count(*) AS BIGINT) AS n_offsets
+      FROM perm CROSS JOIN tot
+      GROUP BY perm.k
+    ),
+    pts AS (
+      SELECT k,
+             ln(CAST(lsum6 AS DOUBLE) / 1e6 / n_offsets) AS ly,
+             ln(1.0 / k) AS lx
+      FROM lk
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS kk,
+             sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+      FROM pts
+    )
+    SELECT (SELECT n FROM tot) AS n_days,
+           round((SELECT CAST(lsum6 AS DOUBLE) / 1e6 / n_offsets
+                  FROM lk WHERE k = 1), 4) AS l1,
+           round((SELECT CAST(lsum6 AS DOUBLE) / 1e6 / n_offsets
+                  FROM lk WHERE k = {_HIGUCHI_KMAX}), 4)
+             AS l{_HIGUCHI_KMAX},
+           round((fit.kk * fit.sxy - fit.sx * fit.sy)
+                 / (fit.kk * fit.sxx - fit.sx * fit.sx), 4) AS higuchi_fd
+    FROM fit
+    """,
+)
+def higuchi_fd_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R388 Higuchi (1988) fractal dimension of daily revenue, kmax =
+    {_HIGUCHI_KMAX}: for each lag k and offset class m, the curve
+    length L_m(k) = Σ|y_(m+ik) - y_(m+(i-1)k)| · (n-1)/(q·k²); FD is
+    the slope of ln L̄(k) on ln(1/k) — the third fractal/memory
+    estimator next to hurst (R/S) and dfa_alpha (detrended RMS),
+    each with different finite-sample bias (reporting all three is
+    the standard practice).  Step sums are PURE BIGINTs from one
+    step-k self-join on the day index; each offset's normalized
+    length is snapped at 1e-6 before the per-k integer mean; the
+    8-point log-log fit is exact-operand.  FD∈[1,2]: 1.5 ≈ random
+    walk increments, →2 = plane-filling noise."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    grid = spark.range(1, _HIGUCHI_KMAX + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = d.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = d.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    steps = (
+        a.crossJoin(F.broadcast(grid))
+        .join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .select(
+            "k",
+            ((F.col("ta") - 1) % F.col("k") + 1).cast("long").alias("m"),
+            F.abs(F.col("yb") - F.col("ya")).cast("long").alias("ad"),
+        )
+    )
+    perm = steps.groupBy("k", "m").agg(
+        F.sum("ad").cast("long").alias("s_m"),
+        F.count("*").cast("long").alias("q_m"),
+    )
+    lk = (
+        perm.join(F.broadcast(tot))
+        .select(
+            "k",
+            F.floor(
+                F.col("s_m").cast("double")
+                * (F.col("n") - 1)
+                / (
+                    F.col("q_m").cast("double")
+                    * F.col("k")
+                    * F.col("k")
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("l6"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("l6").cast("long").alias("lsum6"),
+            F.count("*").cast("long").alias("n_offsets"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pts = lk.select(
+        "k",
+        F.log(
+            F.col("lsum6").cast("double") / 1e6 / F.col("n_offsets")
+        ).alias("ly"),
+        F.log(1.0 / F.col("k")).alias("lx"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("kk"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    lmean = lambda kv: lk.where(F.col("k") == kv).select(  # noqa: E731
+        F.round(
+            F.col("lsum6").cast("double") / 1e6 / F.col("n_offsets"), 4
+        ).alias(f"l{kv}")
+    )
+    slope = (F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        tot.select(F.col("n").alias("n_days"))
+        .join(F.broadcast(lmean(1)))
+        .join(F.broadcast(lmean(_HIGUCHI_KMAX)))
+        .join(F.broadcast(fit))
+        .select(
+            "n_days",
+            "l1",
+            f"l{_HIGUCHI_KMAX}",
+            F.round(slope, 4).alias("higuchi_fd"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R389 survey sampling: ratio and regression estimators vs HT baseline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ratio_regression_estimator",
+    sql="""
+    WITH pop AS MATERIALIZED (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             l.x,
+             CASE WHEN substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 1)
+                       < '4' THEN 1 ELSE 0 END AS in_s
+      FROM orders o
+      JOIN (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM lineitem GROUP BY l_orderkey
+      ) l ON l.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(in_s) AS BIGINT) AS n_s,
+             CAST(sum(y) AS BIGINT) AS ty,
+             CAST(sum(x) AS BIGINT) AS tx,
+             CAST(sum(in_s * y) AS BIGINT) AS sy,
+             CAST(sum(in_s * x) AS BIGINT) AS sx,
+             CAST(sum(in_s * x * y) AS BIGINT) AS sxy,
+             CAST(sum(in_s * x * x) AS BIGINT) AS sxx
+      FROM pop
+    )
+    SELECT n_pop, n_s, ty AS true_total_cents,
+           round(CAST(n_pop AS DOUBLE) / n_s * sy, 0) AS ht_est,
+           round(CAST(sy AS DOUBLE) / sx * tx, 0) AS ratio_est,
+           round(CAST(n_pop AS DOUBLE) * (
+             CAST(sy AS DOUBLE) / n_s
+             + (CAST(n_s AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n_s AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(tx AS DOUBLE) / n_pop - CAST(sx AS DOUBLE) / n_s)
+           ), 0) AS reg_est,
+           round(abs(CAST(n_pop AS DOUBLE) / n_s * sy - ty)
+                 / ty * 1e4, 2) AS ht_err_bp,
+           round(abs(CAST(sy AS DOUBLE) / sx * tx - ty)
+                 / ty * 1e4, 2) AS ratio_err_bp,
+           round(abs(CAST(n_pop AS DOUBLE) * (
+             CAST(sy AS DOUBLE) / n_s
+             + (CAST(n_s AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n_s AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(tx AS DOUBLE) / n_pop - CAST(sx AS DOUBLE) / n_s)
+           ) - ty) / ty * 1e4, 2) AS reg_err_bp
+    FROM m
+    """,
+)
+def ratio_regression_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R389 classical survey-sampling estimators of total revenue from
+    a deterministic md5 25% order sample, using total line quantity
+    as the auxiliary with KNOWN population total: the expansion (HT)
+    estimator N/n·Σy, the ratio estimator (Σy/Σx)·X, and the linear
+    regression estimator N(ȳ + b(X̄-x̄)) — the model-assisted family
+    the registry's horvitz_thompson/neyman_allocation queries do not
+    include (those do design weights/allocation; ratio/regression
+    exploit an auxiliary).  Every moment is a BIGINT over the joined
+    frame (x·y ≤ ~3e10 per row); estimators and their basis-point
+    errors vs the exact true total are exact-operand doubles.  One
+    fact-fact equi-join + one aggregate: the standard audit-sampling
+    shape at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    lx = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x"))
+    )
+    pop = o.join(lx, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "y",
+        "x",
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+            < "4",
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("in_s"),
+    )
+    m = pop.agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum("in_s").cast("long").alias("n_s"),
+        F.sum("y").cast("long").alias("ty"),
+        F.sum("x").cast("long").alias("tx"),
+        F.sum(F.col("in_s") * F.col("y")).cast("long").alias("sy"),
+        F.sum(F.col("in_s") * F.col("x")).cast("long").alias("sx"),
+        F.sum(F.col("in_s") * F.col("x") * F.col("y"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.col("in_s") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    npop = F.col("n_pop").cast("double")
+    ns = F.col("n_s").cast("double")
+    ht = npop / ns * F.col("sy")
+    ratio = F.col("sy").cast("double") / F.col("sx") * F.col("tx")
+    b = (ns * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        ns * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    reg = npop * (
+        F.col("sy").cast("double") / ns
+        + b * (F.col("tx").cast("double") / npop - F.col("sx").cast("double") / ns)
+    )
+    ty = F.col("ty").cast("double")
+    return m.select(
+        "n_pop",
+        "n_s",
+        F.col("ty").alias("true_total_cents"),
+        F.round(ht, 0).alias("ht_est"),
+        F.round(ratio, 0).alias("ratio_est"),
+        F.round(reg, 0).alias("reg_est"),
+        F.round(F.abs(ht - ty) / ty * 1e4, 2).alias("ht_err_bp"),
+        F.round(F.abs(ratio - ty) / ty * 1e4, 2).alias("ratio_err_bp"),
+        F.round(F.abs(reg - ty) / ty * 1e4, 2).alias("reg_err_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R390 association-rule metric panel (conviction / leverage / Zhang / Jaccard)
+# ---------------------------------------------------------------------------
+
+_RULE_TOPK = 30
+
+
+@register(
+    "basket_rule_metrics",
+    sql=f"""
+    WITH baskets AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM baskets),
+    item_n AS MATERIALIZED (
+      SELECT item, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY item
+    ),
+    pair_n AS MATERIALIZED (
+      SELECT a.item AS ante, b.item AS cons, CAST(count(*) AS BIGINT) AS c
+      FROM baskets a JOIN baskets b ON a.o = b.o AND a.item <> b.item
+      GROUP BY 1, 2
+    ),
+    top_rules AS (
+      SELECT ante, cons, c FROM pair_n
+      ORDER BY c DESC, ante, cons LIMIT {_RULE_TOPK}
+    )
+    SELECT r.ante, r.cons, r.c AS n_both,
+           round(CAST(r.c AS DOUBLE) / ia.c, 6) AS confidence,
+           round((1.0 - CAST(ic.c AS DOUBLE) / nb.n)
+                 / (1.0 - CAST(r.c AS DOUBLE) / ia.c), 6) AS conviction,
+           round(CAST(r.c AS DOUBLE) / nb.n
+                 - (CAST(ia.c AS DOUBLE) / nb.n)
+                   * (CAST(ic.c AS DOUBLE) / nb.n), 6) AS leverage,
+           round((CAST(r.c AS DOUBLE) / nb.n
+                  - (CAST(ia.c AS DOUBLE) / nb.n)
+                    * (CAST(ic.c AS DOUBLE) / nb.n))
+                 / greatest(
+                     (CAST(r.c AS DOUBLE) / nb.n)
+                     * (1.0 - CAST(ia.c AS DOUBLE) / nb.n),
+                     (CAST(ia.c AS DOUBLE) / nb.n)
+                     * (CAST(ic.c AS DOUBLE) / nb.n
+                        - CAST(r.c AS DOUBLE) / nb.n)), 6) AS zhang,
+           round(CAST(r.c AS DOUBLE) / (ia.c + ic.c - r.c), 6) AS jaccard
+    FROM top_rules r
+    JOIN item_n ia ON ia.item = r.ante
+    JOIN item_n ic ON ic.item = r.cons
+    CROSS JOIN nb
+    """,
+)
+def basket_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R390 the four association-rule interestingness measures beyond
+    support/confidence/lift (which association_rules_pairs already
+    gates): conviction (1-supp(B))/(1-conf), leverage supp(AB)-
+    supp(A)supp(B), Zhang's metric (leverage normalized by its
+    maximum — the direction-corrected lift), and rule Jaccard — over
+    the top-{_RULE_TOPK} brand co-occurrence rules (brand baskets
+    keep the item dimension model-sized; ties broken by pair name).
+    All measures are exact rationals of three BIGINT counts
+    (basket, item, pair) composed with the same expression tree on
+    both engines.  One distinct-projection + one self-equi-join on
+    the order key: the standard market-basket shape, linear in
+    baskets at 100 TB."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+            on=F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = baskets.agg(F.countDistinct("o").cast("long").alias("n"))
+    item_n = baskets.groupBy("item").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a = baskets.select(F.col("o"), F.col("item").alias("ante"))
+    b = baskets.select(F.col("o"), F.col("item").alias("cons"))
+    pair_n = (
+        a.join(b, on="o")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = pair_n.orderBy(F.col("c").desc(), "ante", "cons").limit(_RULE_TOPK)
+    ia = item_n.select(F.col("item").alias("ante"), F.col("c").alias("ca"))
+    ic = item_n.select(F.col("item").alias("cons"), F.col("c").alias("cc"))
+    j = (
+        top.join(F.broadcast(ia), on="ante")
+        .join(F.broadcast(ic), on="cons")
+        .join(F.broadcast(nb))
+    )
+    nd = F.col("n").cast("double")
+    supp_ab = F.col("c").cast("double") / nd
+    supp_a = F.col("ca").cast("double") / nd
+    supp_b = F.col("cc").cast("double") / nd
+    conf = F.col("c").cast("double") / F.col("ca")
+    lev = supp_ab - supp_a * supp_b
+    return j.select(
+        "ante",
+        "cons",
+        F.col("c").alias("n_both"),
+        F.round(conf, 6).alias("confidence"),
+        F.round((1.0 - supp_b) / (1.0 - conf), 6).alias("conviction"),
+        F.round(lev, 6).alias("leverage"),
+        F.round(
+            lev
+            / F.greatest(
+                supp_ab * (1.0 - supp_a), supp_a * (supp_b - supp_ab)
+            ),
+            6,
+        ).alias("zhang"),
+        F.round(
+            F.col("c").cast("double")
+            / (F.col("ca") + F.col("cc") - F.col("c")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R391 Gwet's AC1 agreement coefficient (same 3-rater design as Fleiss)
+# ---------------------------------------------------------------------------
+
+
+def _gwet_oracle_sql() -> str:
+    """AC1 over the SAME rater CTEs the gated Fleiss oracle uses
+    (round10_ops._RATERS_SQL ends in `counts(n, pairs, n0, n1, n2)`)."""
+    from zoom_spark.queries.round10_ops import _RATERS_SQL
+
+    pi = lambda c: f"(CAST({c} AS DOUBLE) / (3.0 * n))"  # noqa: E731
+    pe = (
+        f"(({pi('n0')} * (1.0 - {pi('n0')})"
+        f" + {pi('n1')} * (1.0 - {pi('n1')})"
+        f" + {pi('n2')} * (1.0 - {pi('n2')})) / 2.0)"
+    )
+    pa = "(CAST(pairs AS DOUBLE) / (3.0 * n))"
+    return f"""
+    WITH {_RATERS_SQL.strip()}
+    SELECT n AS n_items,
+           round({pa}, 6) AS p_a,
+           round({pe}, 6) AS p_e_gwet,
+           round(({pa} - {pe}) / (1.0 - {pe}), 6) AS ac1
+    FROM counts
+    """
+
+
+@register("gwet_ac1_orders", sql=_gwet_oracle_sql())
+def gwet_ac1_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R391 Gwet's AC1 (2008) chance-corrected agreement over the
+    SAME 3-rater × 3-category order-size design as the gated
+    fleiss_kappa_orders (R348) — AC1's chance model Pe = 1/(k-1) ·
+    Σ_q π̄_q(1-π̄_q) is robust to the kappa paradox (Fleiss' kappa
+    collapses under prevalence skew; reporting both is the standard
+    agreement-study practice, and the shared design makes the
+    contrast interpretable).  Pa reduces to the equal-pair count as
+    in Fleiss; π̄_q = n_q/(3n).  All numerators BIGINT; AC1 is one
+    exact-operand expression.  Same single join + aggregate shape."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("gross"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    rated = (
+        load_table(spark, sf_dir, "orders")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(F.col("o_totalprice") < 77000, 0)
+            .when(F.col("o_totalprice") < 150000, 1)
+            .otherwise(2)
+            .alias("c1"),
+            F.when(F.col("gross") < 7500000, 0)
+            .when(F.col("gross") < 14500000, 1)
+            .otherwise(2)
+            .alias("c2"),
+            F.when(F.col("qty") < 60, 0)
+            .when(F.col("qty") < 120, 1)
+            .otherwise(2)
+            .alias("c3"),
+        )
+    )
+    eqp = (
+        F.when(F.col("c1") == F.col("c2"), 1).otherwise(0)
+        + F.when(F.col("c1") == F.col("c3"), 1).otherwise(0)
+        + F.when(F.col("c2") == F.col("c3"), 1).otherwise(0)
+    )
+    cat = lambda q: (  # noqa: E731
+        F.when(F.col("c1") == q, 1).otherwise(0)
+        + F.when(F.col("c2") == q, 1).otherwise(0)
+        + F.when(F.col("c3") == q, 1).otherwise(0)
+    )
+    counts = rated.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(eqp).cast("long").alias("pairs"),
+        F.sum(cat(0)).cast("long").alias("n0"),
+        F.sum(cat(1)).cast("long").alias("n1"),
+        F.sum(cat(2)).cast("long").alias("n2"),
+    )
+    nd = F.col("n").cast("double")
+    pa = F.col("pairs").cast("double") / (3.0 * F.col("n"))
+    pi = lambda c: F.col(c).cast("double") / (3.0 * nd)  # noqa: E731
+    pe = (
+        (pi("n0") * (1.0 - pi("n0")))
+        + (pi("n1") * (1.0 - pi("n1")))
+        + (pi("n2") * (1.0 - pi("n2")))
+    ) / 2.0
+    return counts.select(
+        F.col("n").alias("n_items"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pe, 6).alias("p_e_gwet"),
+        F.round((pa - pe) / (1.0 - pe), 6).alias("ac1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R392 log-log price elasticity of demand across parts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_elasticity_loglog",
+    sql="""
+    WITH per_part AS MATERIALIZED (
+      SELECT p.p_partkey,
+             CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS pc,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      -- each log and each product snapped to the 1e-9 grid per row,
+      -- so every cross-row sum is a BIGINT reduction
+      SELECT
+        CAST(floor(ln(CAST(pc AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lp9,
+        CAST(floor(ln(CAST(q AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS lq9,
+        CAST(floor(ln(CAST(pc AS DOUBLE)) * ln(CAST(q AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT) AS lpq9,
+        CAST(floor(ln(CAST(pc AS DOUBLE)) * ln(CAST(pc AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT) AS lpp9,
+        CAST(floor(ln(CAST(q AS DOUBLE)) * ln(CAST(q AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT) AS lqq9
+      FROM per_part
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lp9) AS BIGINT) AS sp,
+             CAST(sum(lq9) AS BIGINT) AS sq,
+             CAST(sum(lpq9) AS BIGINT) AS spq,
+             CAST(sum(lpp9) AS BIGINT) AS spp,
+             CAST(sum(lqq9) AS BIGINT) AS sqq
+      FROM terms
+    )
+    SELECT n AS n_parts,
+           round((CAST(n AS DOUBLE) * spq / 1e9
+                  - CAST(sp AS DOUBLE) / 1e9 * sq / 1e9)
+                 / (CAST(n AS DOUBLE) * spp / 1e9
+                    - CAST(sp AS DOUBLE) / 1e9 * sp / 1e9), 6)
+             AS elasticity,
+           round((CAST(sq AS DOUBLE) / 1e9
+                  - (CAST(n AS DOUBLE) * spq / 1e9
+                     - CAST(sp AS DOUBLE) / 1e9 * sq / 1e9)
+                    / (CAST(n AS DOUBLE) * spp / 1e9
+                       - CAST(sp AS DOUBLE) / 1e9 * sp / 1e9)
+                    * sp / 1e9) / n, 6) AS intercept,
+           round(power(CAST(n AS DOUBLE) * spq / 1e9
+                       - CAST(sp AS DOUBLE) / 1e9 * sq / 1e9, 2)
+                 / ((CAST(n AS DOUBLE) * spp / 1e9
+                     - CAST(sp AS DOUBLE) / 1e9 * sp / 1e9)
+                    * (CAST(n AS DOUBLE) * sqq / 1e9
+                       - CAST(sq AS DOUBLE) / 1e9 * sq / 1e9)), 6)
+             AS r2
+    FROM m
+    """,
+)
+def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R392 constant-elasticity (log-log) demand regression across
+    parts: ln(total quantity sold) on ln(retail price cents);
+    the slope IS the price elasticity of demand, with R² as fit
+    quality — the standard pricing-analytics primitive the
+    registry's linear/robust/ridge trend regressions (all on raw or
+    time scales) do not cover.  Determinism for the transcendental
+    moments: every per-row log and log-product is snapped to the
+    1e-9 grid (exact-operand ln of BIGINT cents/quantities), so the
+    cross-row moment sums are BIGINT reductions — summation order
+    cannot matter; the OLS closed form then runs on the snapped
+    moments.  One fact-dim join + one aggregate: scan-bound at
+    100 TB."""
+    per_part = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("pc"),
+        )
+        .join(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_partkey", F.col("l_quantity").cast("long").alias("qd")
+            ),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "pc")
+        .agg(F.sum("qd").cast("long").alias("q"))
+    )
+    lp = F.log(F.col("pc").cast("double"))
+    lq = F.log(F.col("q").cast("double"))
+    s9 = lambda c: F.floor(c * 1e9 + 0.5).cast("long")  # noqa: E731
+    terms = per_part.select(
+        s9(lp).alias("lp9"),
+        s9(lq).alias("lq9"),
+        s9(lp * lq).alias("lpq9"),
+        s9(lp * lp).alias("lpp9"),
+        s9(lq * lq).alias("lqq9"),
+    )
+    m = terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lp9").cast("long").alias("sp"),
+        F.sum("lq9").cast("long").alias("sq"),
+        F.sum("lpq9").cast("long").alias("spq"),
+        F.sum("lpp9").cast("long").alias("spp"),
+        F.sum("lqq9").cast("long").alias("sqq"),
+    )
+    nd = F.col("n").cast("double")
+    sp = F.col("sp").cast("double") / 1e9
+    sq = F.col("sq").cast("double") / 1e9
+    spq = F.col("spq").cast("double") / 1e9
+    spp = F.col("spp").cast("double") / 1e9
+    sqq = F.col("sqq").cast("double") / 1e9
+    cov = nd * spq - sp * sq
+    varp = nd * spp - sp * sp
+    varq = nd * sqq - sq * sq
+    slope = cov / varp
+    return m.select(
+        F.col("n").alias("n_parts"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((sq - slope * sp) / nd, 6).alias("intercept"),
+        F.round(F.pow(cov, 2) / (varp * varq), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R393 process-mining rework / self-loop report over the event log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "process_rework_report",
+    sql="""
+    WITH ev AS MATERIALIZED (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN prev_type = event_type
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_selfloops
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_users,
+           CAST(n_events - n_users AS BIGINT) AS n_rework,
+           round(CAST(n_events - n_users AS DOUBLE) / n_events, 6)
+             AS rework_rate,
+           n_selfloops,
+           round(CAST(n_selfloops AS DOUBLE) / n_events, 6)
+             AS selfloop_rate
+    FROM per_type
+    """,
+)
+def process_rework_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R393 process-mining rework report over the event log: per
+    activity (event_type), total executions, distinct users, REWORK
+    (executions beyond each user's first — the repeated-activity
+    mass a conformance report flags), and SELF-LOOPS (immediate
+    re-execution, lag over the per-user timeline with event_id
+    tie-break) — the activity-level process-health counters the
+    registry's eventually_follows_pairs / markov_transitions (edge-
+    level) queries do not report.  Counts are pure integers from one
+    per-user window + one aggregate; rates are exact-operand.  One
+    user_id shuffle at 100 TB — the canonical event-log partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.when(F.col("prev_type") == F.col("event_type"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_selfloops"),
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.col("n_events") - F.col("n_users")).cast("long").alias("n_rework"),
+        F.round(
+            (F.col("n_events") - F.col("n_users")).cast("double")
+            / F.col("n_events"),
+            6,
+        ).alias("rework_rate"),
+        "n_selfloops",
+        F.round(
+            F.col("n_selfloops").cast("double") / F.col("n_events"), 6
+        ).alias("selfloop_rate"),
+    )
