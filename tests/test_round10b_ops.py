@@ -1006,3 +1006,190 @@ def test_process_rework_matches_python(spark):
         for r in process_rework_report(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_kendall_tau_b_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import kendall_tau_b_priority_value
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    x = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    y = np.minimum(9, (o["o_totalprice"] / 55000).apply(math.floor)).astype(
+        int
+    ).to_numpy()
+    # textbook grouped tau-b from the full contingency table
+    import collections
+
+    cells = collections.Counter(zip(x, y))
+    cc = dd = 0
+    items = list(cells.items())
+    for i, ((xa, ya), ca) in enumerate(items):
+        for (xb, yb), cb in items[i + 1 :]:
+            if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+                cc += ca * cb
+            elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+                dd += ca * cb
+    n = len(o)
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        t * (t - 1) // 2 for t in collections.Counter(x).values()
+    )
+    n2 = sum(
+        t * (t - 1) // 2 for t in collections.Counter(y).values()
+    )
+    tau_b = (cc - dd) / math.sqrt((n0 - n1) * (n0 - n2))
+    [r] = kendall_tau_b_priority_value(spark, SF_DIR).collect()
+    assert r["n_orders"] == n
+    assert (r["concordant"], r["discordant"]) == (cc, dd)
+    assert (r["ties_x"], r["ties_y"]) == (n1, n2)
+    assert abs(r["tau_b"] - tau_b) < 1e-6
+
+
+def test_hodges_lehmann_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import hodges_lehmann_weekend_shift
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    d = (
+        o.groupby(o["o_orderdate"].dt.normalize())["cents"].sum() // 100
+    ).sort_index()
+    anchor = pd.Timestamp("1990-01-01")
+    wk = ((d.index - anchor).days % 7).isin([5, 6])
+    we = d[wk].to_numpy()
+    wd = d[~wk].to_numpy()
+    diffs = np.sort((we[:, None] - wd[None, :]).ravel())
+    m = len(diffs)
+    hl2 = int(diffs[(m + 1) // 2 - 1] + diffs[m // 2])
+    [r] = hodges_lehmann_weekend_shift(spark, SF_DIR).collect()
+    assert (r["n_weekend"], r["n_weekday"]) == (len(we), len(wd))
+    assert r["n_pairs"] == m
+    assert r["hl2"] == hl2
+    assert abs(r["hl_shift"] - hl2 / 2) < 0.051
+
+
+def test_zip_moment_fit_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import zip_moment_fit_events
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts"
+    ).toPandas()
+    wk = ev["ts"].dt.to_period("W").dt.start_time
+    w0 = wk.min()
+    ev["wk"] = ((wk - w0).dt.days // 7).astype(int)
+    n_weeks = int(ev["wk"].max()) + 1
+    users = ev["user_id"].unique()
+    counts = np.zeros((len(users), n_weeks), dtype=np.int64)
+    uix = {u: i for i, u in enumerate(users)}
+    for (u, w), c in ev.groupby(["user_id", "wk"]).size().items():
+        counts[uix[u], w] = c
+    flat = counts.ravel()
+    n = len(flat)
+    mean = flat.mean()
+    var = flat.var(ddof=1)
+    lam = (var + mean**2 - mean) / mean
+    pi = (lam - mean) / lam
+    [r] = zip_moment_fit_events(spark, SF_DIR).collect()
+    assert r["n_cells"] == n
+    assert r["n_zero_cells"] == int((flat == 0).sum())
+    assert abs(r["mean_c"] - mean) < 1e-6
+    assert abs(r["var_c"] - var) < 1e-6
+    assert abs(r["lambda_hat"] - lam) < 1e-5
+    assert abs(r["pi_hat"] - pi) < 1e-5
+    # moment fit must put lambda above the observed mean when
+    # zero-inflated (var > mean)
+    if var > mean:
+        assert r["lambda_hat"] > r["mean_c"]
+
+
+def test_lognormal_fit_matches_numpy(spark):
+    from zoom_spark.queries.round10b_ops import lognormal_fit_spend
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    spend = o.groupby("o_custkey")["cents"].sum()
+    spend = spend[spend > 0].to_numpy(dtype=np.float64)
+    lx = np.log(spend)
+    mu = lx.mean()
+    sigma = lx.std(ddof=1)
+    [r] = lognormal_fit_spend(spark, SF_DIR).collect()
+    assert r["n_customers"] == len(spend)
+    assert abs(r["mu"] - mu) < 1e-5
+    assert abs(r["sigma"] - sigma) < 1e-5
+    assert abs(r["median_fit_dollars"] - math.exp(mu) / 100) < 0.5
+    assert abs(
+        r["mean_fit_dollars"] - math.exp(mu + sigma**2 / 2) / 100
+    ) < 0.5
+    assert abs(r["mean_obs_dollars"] - spend.mean() / 100) < 0.5
+    # log-normal fitted mean must exceed fitted median (sigma > 0)
+    assert r["mean_fit_dollars"] > r["median_fit_dollars"]
+
+
+def test_degree_centralization_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import (
+        degree_centralization_copurchase,
+    )
+
+    nbr = _copurchase_nbrs(spark, 1)
+    degs = sorted((len(v), k) for k, v in nbr.items())
+    n = len(degs)
+    ds = [d for d, _ in degs]
+    sd = sum(ds)
+    dmax = max(ds)
+    centralization = (n * dmax - sd) / ((n - 1) * (n - 2))
+    gini = sum((2 * (i + 1) - n - 1) * d for i, d in enumerate(ds)) / (
+        n * sd
+    )
+    [r] = degree_centralization_copurchase(spark, SF_DIR).collect()
+    assert r["n_nodes"] == n
+    assert r["n_edges"] == sd // 2
+    assert r["max_degree"] == dmax
+    assert abs(r["mean_degree"] - sd / n) < 1e-3
+    assert abs(r["centralization"] - centralization) < 1e-6
+    assert abs(r["degree_gini"] - gini) < 1e-6
+
+
+def test_gehan_breslow_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import gehan_breslow_conversion
+    from zoom_spark.queries.survival import _spells
+
+    sp = _spells(spark, SF_DIR).toPandas()
+    # textbook Gehan-Breslow: weight each event time by total at risk
+    times = sorted(sp.loc[sp["converted"] == 1, "t"].unique())
+    num = 0.0
+    var = 0.0
+    wo1 = 0
+    we6 = 0
+    wv6 = 0
+    for t in times:
+        at_risk = sp[sp["t"] >= t]
+        n = len(at_risk)
+        n1 = int((at_risk["grp"] == 1).sum())
+        ev = sp[(sp["t"] == t) & (sp["converted"] == 1)]
+        d_all = len(ev)
+        d1 = int((ev["grp"] == 1).sum())
+        e1 = d_all * n1 / n
+        v = (
+            d_all * (n1 / n) * (1 - n1 / n) * (n - d_all) / max(n - 1, 1)
+            if n > 1
+            else 0.0
+        )
+        num += n * (d1 - e1)
+        var += n * n * v
+        wo1 += n * d1
+        we6 += math.floor(n * e1 * 1e6 + 0.5)
+        wv6 += math.floor(n * n * v * 1e6 + 0.5)
+    [r] = gehan_breslow_conversion(spark, SF_DIR).collect()
+    assert r["w_observed_1"] == wo1
+    assert abs(r["w_expected_1"] - we6 / 1e6) < 1e-3
+    assert abs(r["z_stat"] - (wo1 - we6 / 1e6) / math.sqrt(wv6 / 1e6)) < 1e-5
+    # and the snapped z must track the unsnapped textbook z closely
+    assert abs(r["z_stat"] - num / math.sqrt(var)) < 1e-3

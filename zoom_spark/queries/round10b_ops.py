@@ -3820,3 +3820,719 @@ def process_rework_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_selfloops").cast("double") / F.col("n_events"), 6
         ).alias("selfloop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R394 Kendall's tau-b from the grouped priority × price-bucket table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_b_priority_value",
+    sql="""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             CAST(least(9, CAST(floor(o_totalprice / 55000) AS BIGINT))
+                  AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    conc AS (
+      SELECT
+        CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS cc,
+        CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS dd
+      FROM cells a JOIN cells b
+        ON (b.x > a.x) OR (b.x = a.x AND b.y > a.y)
+    ),
+    ties AS (
+      SELECT
+        CAST((SELECT sum(c) FROM cells) AS BIGINT) AS n,
+        CAST((SELECT sum(tx * (tx - 1) / 2) FROM (
+          SELECT CAST(sum(c) AS BIGINT) AS tx FROM cells GROUP BY x
+        )) AS BIGINT) AS n1,
+        CAST((SELECT sum(ty * (ty - 1) / 2) FROM (
+          SELECT CAST(sum(c) AS BIGINT) AS ty FROM cells GROUP BY y
+        )) AS BIGINT) AS n2
+    )
+    SELECT ties.n AS n_orders, conc.cc AS concordant,
+           conc.dd AS discordant,
+           ties.n1 AS ties_x, ties.n2 AS ties_y,
+           round((CAST(conc.cc AS DOUBLE) - conc.dd)
+                 / sqrt((CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2 - ties.n1)
+                        * (CAST(ties.n AS DOUBLE) * (ties.n - 1) / 2
+                           - ties.n2)), 6) AS tau_b
+    FROM conc CROSS JOIN ties
+    """,
+)
+def kendall_tau_b_priority_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R394 Kendall's tau-b between order priority (1..5) and a fixed
+    $55k price bucket (0..9) from the GROUPED 5×10 contingency table —
+    completing the ordinal-association family: gk_gamma ignores ties,
+    somers_d is asymmetric, kendall_tau_topk compares two top-k lists;
+    tau-b = (C-D)/√((n₀-n₁)(n₀-n₂)) is the tie-corrected symmetric
+    coefficient.  Concordant/discordant pair counts come from a 50-
+    cell self-join with products of BIGINT cell counts (never a row-
+    level pair join — grouped data makes tau-b O(k²), the textbook
+    trick); tie terms are row/column-margin BIGINTs.  One aggregate +
+    one 50-row join: scan-bound at 100 TB."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+            F.least(
+                F.lit(9), F.floor(F.col("o_totalprice") / 55000)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("xb") > F.col("xa"))
+            | ((F.col("xb") == F.col("xa")) & (F.col("yb") > F.col("ya"))),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cc"),
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dd"),
+        )
+    )
+    n = cells.agg(F.sum("c").cast("long").alias("n"))
+    n1 = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("tx"))
+        .agg(
+            F.sum(F.col("tx") * (F.col("tx") - 1) / 2)
+            .cast("long")
+            .alias("n1")
+        )
+    )
+    n2 = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("ty"))
+        .agg(
+            F.sum(F.col("ty") * (F.col("ty") - 1) / 2)
+            .cast("long")
+            .alias("n2")
+        )
+    )
+    m = conc.join(F.broadcast(n)).join(F.broadcast(n1)).join(F.broadcast(n2))
+    nd = F.col("n").cast("double")
+    n0 = nd * (F.col("n") - 1) / 2.0
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("n1").alias("ties_x"),
+        F.col("n2").alias("ties_y"),
+        F.round(
+            (F.col("cc").cast("double") - F.col("dd"))
+            / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R395 Hodges-Lehmann shift estimate: weekend vs weekday daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hodges_lehmann_weekend_shift",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS wk
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    diffs AS MATERIALIZED (
+      SELECT CAST(a.y - b.y AS BIGINT) AS dd
+      FROM d a JOIN d b ON a.wk = 1 AND b.wk = 0
+    ),
+    ranked AS (
+      SELECT dd,
+             CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM diffs
+    )
+    SELECT (SELECT CAST(sum(wk) AS BIGINT) FROM d) AS n_weekend,
+           (SELECT CAST(sum(1 - wk) AS BIGINT) FROM d) AS n_weekday,
+           CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN r = (m + 1) // 2 THEN dd ELSE 0 END)
+                + sum(CASE WHEN r = m // 2 + 1 THEN dd ELSE 0 END)
+                AS BIGINT) AS hl2,
+           round((sum(CASE WHEN r = (m + 1) // 2 THEN dd ELSE 0 END)
+                  + sum(CASE WHEN r = m // 2 + 1 THEN dd ELSE 0 END))
+                 / 2.0, 1) AS hl_shift
+    FROM ranked
+    """,
+)
+def hodges_lehmann_weekend_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R395 Hodges-Lehmann shift estimator between weekend and weekday
+    daily revenue: the MEDIAN of all pairwise differences y_weekend -
+    y_weekday — the point estimate that accompanies the registry's
+    Mann-Whitney/Brunner-Munzel weekend TESTS (which only give
+    significance, not magnitude; HL is the robust effect size).
+    The difference cloud is weekend-days × weekday-days — calendar-
+    bounded (~1.2M exact whole-dollar BIGINTs at sf0.1, fixed by the
+    date span, NOT by row volume — the fact table collapses to days
+    first), so the pair join never touches raw rows.  The median is
+    taken on the 2× grid (low+high order statistics summed, one
+    global sort) for integer exactness at even counts."""
+    wk = (
+        F.datediff(
+            F.col("day"), F.lit("1990-01-01").cast("date")
+        )
+        % 7
+    )
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            "y", F.when(wk.isin(5, 6), 1).otherwise(0).alias("wk")
+        )
+        .localCheckpoint(eager=False)
+    )
+    we = d.where(F.col("wk") == 1).select(F.col("y").alias("ya"))
+    wd = d.where(F.col("wk") == 0).select(F.col("y").alias("yb"))
+    diffs = we.crossJoin(wd).select(
+        (F.col("ya") - F.col("yb")).cast("long").alias("dd")
+    )
+    ranked = diffs.select(
+        "dd",
+        F.row_number().over(Window.orderBy("dd")).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    counts = d.agg(
+        F.sum("wk").cast("long").alias("n_weekend"),
+        F.sum(1 - F.col("wk")).cast("long").alias("n_weekday"),
+    )
+    lo = F.sum(
+        F.when(F.col("r") == F.floor((F.col("m") + 1) / 2), F.col("dd"))
+        .otherwise(0)
+    )
+    hi = F.sum(
+        F.when(F.col("r") == F.floor(F.col("m") / 2) + 1, F.col("dd"))
+        .otherwise(0)
+    )
+    return (
+        ranked.agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            (lo + hi).cast("long").alias("hl2"),
+            F.round((lo + hi) / 2.0, 1).alias("hl_shift"),
+        )
+        .join(F.broadcast(counts))
+        .select("n_weekend", "n_weekday", "n_pairs", "hl2", "hl_shift")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R396 zero-inflated Poisson moment fit of per-user-week event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zip_moment_fit_events",
+    sql="""
+    WITH bounds AS (
+      SELECT CAST(min(date_trunc('week', ts)) AS DATE) AS w0,
+             CAST(max(date_trunc('week', ts)) AS DATE) AS w1
+      FROM events
+    ),
+    weeks AS MATERIALIZED (
+      SELECT CAST(unnest(generate_series(0,
+               date_diff('week', w0, w1))) AS BIGINT) AS wk
+      FROM bounds
+    ),
+    users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    obs AS MATERIALIZED (
+      SELECT CAST(date_diff('week', b.w0, date_trunc('week', e.ts))
+                  AS BIGINT) AS wk,
+             e.user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events e CROSS JOIN bounds b
+      GROUP BY 1, 2
+    ),
+    cells AS MATERIALIZED (
+      SELECT COALESCE(o.c, 0) AS c
+      FROM users u CROSS JOIN weeks w
+      LEFT JOIN obs o ON o.user_id = u.user_id AND o.wk = w.wk
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS q,
+             CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zeros
+      FROM cells
+    )
+    SELECT n AS n_cells, zeros AS n_zero_cells,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_c,
+           round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (n - 1), 6) AS var_c,
+           round(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                  + power(CAST(s AS DOUBLE) / n, 2)
+                  - CAST(s AS DOUBLE) / n)
+                 / (CAST(s AS DOUBLE) / n), 6) AS lambda_hat,
+           round((((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                   + power(CAST(s AS DOUBLE) / n, 2)
+                   - CAST(s AS DOUBLE) / n)
+                  / (CAST(s AS DOUBLE) / n)
+                  - CAST(s AS DOUBLE) / n)
+                 / (((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                     / (n - 1)
+                     + power(CAST(s AS DOUBLE) / n, 2)
+                     - CAST(s AS DOUBLE) / n)
+                    / (CAST(s AS DOUBLE) / n)), 6) AS pi_hat,
+           round(CAST(zeros AS DOUBLE) / n, 6) AS p0_observed
+    FROM m
+    """,
+)
+def zip_moment_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R396 zero-inflated Poisson moment estimator on per-user-week
+    event counts (the full user × week grid, so structural zeros are
+    REAL cells): method-of-moments λ̂ = (s² + m² - m)/m and π̂ =
+    (λ̂ - m)/λ̂ — the sparse-activity model the registry's Poisson
+    GLM / negative-binomial overdispersion fits do not cover (NB
+    spreads variance, ZIP spikes zeros; which one fits is a modeling
+    decision this panel feeds).  The grid is users × calendar weeks
+    (both data-bounded dimensions); counts/squares/zero counts are
+    BIGINTs; estimators are exact-operand closed forms.  One groupBy
+    + one broadcast grid join at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    )
+    bounds = ev.agg(
+        F.min("w").alias("w0"), F.max("w").alias("w1")
+    )
+    obs = (
+        ev.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (F.datediff("w", "w0") / 7).cast("long").alias("wk"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_weeks = bounds.select(
+        ((F.datediff("w1", "w0") / 7).cast("long") + 1).alias("nw")
+    )
+    users = ev.select("user_id").distinct()
+    weeks = (
+        n_weeks.join(
+            spark.range(0, 10000).select(F.col("id").cast("long").alias("wk"))
+        )
+        .where(F.col("wk") < F.col("nw"))
+        .select("wk")
+    )
+    cells = (
+        users.crossJoin(F.broadcast(weeks))
+        .join(obs, on=["user_id", "wk"], how="left")
+        .select(F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    m = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zeros"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / nd
+    ) / (nd - 1)
+    lam = (var + mean * mean - mean) / mean
+    return m.select(
+        F.col("n").alias("n_cells"),
+        F.col("zeros").alias("n_zero_cells"),
+        F.round(mean, 6).alias("mean_c"),
+        F.round(var, 6).alias("var_c"),
+        F.round(lam, 6).alias("lambda_hat"),
+        F.round((lam - mean) / lam, 6).alias("pi_hat"),
+        F.round(F.col("zeros").cast("double") / nd, 6).alias("p0_observed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R397 log-normal fit of customer spend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lognormal_fit_spend",
+    sql="""
+    WITH spend AS MATERIALIZED (
+      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    terms AS (
+      SELECT cents,
+             CAST(floor(ln(CAST(cents AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               AS l9,
+             CAST(floor(ln(CAST(cents AS DOUBLE)) * ln(CAST(cents AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS ll9
+      FROM spend WHERE cents > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l9) AS BIGINT) AS sl,
+             CAST(sum(ll9) AS BIGINT) AS sll,
+             CAST(sum(cents) AS BIGINT) AS sc
+      FROM terms
+    )
+    SELECT n AS n_customers,
+           round(CAST(sl AS DOUBLE) / 1e9 / n, 6) AS mu,
+           round(sqrt((CAST(sll AS DOUBLE) / 1e9
+                       - CAST(sl AS DOUBLE) / 1e9 * sl / 1e9 / n)
+                      / (n - 1)), 6) AS sigma,
+           round(exp(CAST(sl AS DOUBLE) / 1e9 / n) / 100, 2)
+             AS median_fit_dollars,
+           round(exp(CAST(sl AS DOUBLE) / 1e9 / n
+                     + ((CAST(sll AS DOUBLE) / 1e9
+                         - CAST(sl AS DOUBLE) / 1e9 * sl / 1e9 / n)
+                        / (n - 1)) / 2) / 100, 2) AS mean_fit_dollars,
+           round(CAST(sc AS DOUBLE) / n / 100, 2) AS mean_obs_dollars
+    FROM m
+    """,
+)
+def lognormal_fit_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R397 log-normal MLE of customer total spend: μ̂ = mean(ln x),
+    σ̂² = sample variance of ln x, with the fitted median e^μ and
+    mean e^(μ+σ²/2) against the observed mean — the body-distribution
+    companion to the registry's TAIL fits (gpd/gumbel/weibull/
+    exponential/hill all model extremes; spend bodies are classically
+    log-normal, and the fitted-vs-observed mean gap is the standard
+    misfit diagnostic).  Per-row ln and ln² are snapped to 1e-9 (the
+    price_elasticity discipline) so the moment sums are BIGINT
+    reductions; everything after is exact-operand.  One groupBy +
+    one aggregate at 100 TB."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .where(F.col("cents") > 0)
+    )
+    lx = F.log(F.col("cents").cast("double"))
+    terms = spend.select(
+        "cents",
+        F.floor(lx * 1e9 + 0.5).cast("long").alias("l9"),
+        F.floor(lx * lx * 1e9 + 0.5).cast("long").alias("ll9"),
+    )
+    m = terms.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("l9").cast("long").alias("sl"),
+        F.sum("ll9").cast("long").alias("sll"),
+        F.sum("cents").cast("long").alias("sc"),
+    )
+    nd = F.col("n").cast("double")
+    sl = F.col("sl").cast("double") / 1e9
+    sll = F.col("sll").cast("double") / 1e9
+    mu = sl / nd
+    var = (sll - sl * sl / nd) / (nd - 1)
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round(F.exp(mu) / 100, 2).alias("median_fit_dollars"),
+        F.round(F.exp(mu + var / 2) / 100, 2).alias("mean_fit_dollars"),
+        F.round(F.col("sc").cast("double") / nd / 100, 2).alias(
+            "mean_obs_dollars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R398 degree centralization + degree Gini of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_centralization_copurchase",
+    sql=f"""
+    WITH {_COPURCHASE_NBR_SQL},
+    deg AS MATERIALIZED (
+      SELECT z, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY z
+    ),
+    ranked AS (
+      SELECT d, CAST(row_number() OVER (ORDER BY d, z) AS BIGINT) AS r
+      FROM deg
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(max(d) AS BIGINT) AS dmax,
+             CAST(sum((2 * r - (SELECT count(*) FROM deg) - 1) * d)
+                  AS BIGINT) AS gsum
+      FROM ranked
+    )
+    SELECT n AS n_nodes,
+           CAST(sd / 2 AS BIGINT) AS n_edges,
+           dmax AS max_degree,
+           round(CAST(sd AS DOUBLE) / n, 4) AS mean_degree,
+           round(CAST(n * dmax - sd AS DOUBLE)
+                 / (CAST(n - 1 AS DOUBLE) * (n - 2)), 6)
+             AS centralization,
+           round(CAST(gsum AS DOUBLE) / (CAST(n AS DOUBLE) * sd), 6)
+             AS degree_gini
+    FROM m
+    """,
+)
+def degree_centralization_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R398 Freeman degree centralization Σ(d_max - d_i)/((n-1)(n-2))
+    and the degree-distribution Gini coefficient of the co-purchase
+    graph — the hub-dominance summary statistics next to the
+    registry's per-node centralities (degree_powerlaw_alpha fits the
+    tail SHAPE; centralization/Gini measure star-ness and inequality
+    of the whole graph).  The Gini uses the sorted-rank identity
+    Σ(2r-n-1)d_(r) / (nΣd) with a deterministic (degree, node) sort —
+    every term a BIGINT.  One degree aggregate + one sort of the
+    node-sized frame."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a_, b_ = li.alias("a"), li.alias("b")
+    pairs = (
+        a_.join(b_, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    nbr = pairs.select(F.col("u").alias("z")).unionAll(
+        pairs.select(F.col("v").alias("z"))
+    )
+    deg = nbr.groupBy("z").agg(F.count("*").cast("long").alias("d"))
+    nrow = deg.agg(F.count("*").cast("long").alias("n"))
+    ranked = deg.join(F.broadcast(nrow)).select(
+        "d",
+        "n",
+        F.row_number().over(Window.orderBy("d", "z")).cast("long").alias("r"),
+    )
+    m = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.max("d").cast("long").alias("dmax"),
+        F.sum((2 * F.col("r") - F.col("n") - 1) * F.col("d"))
+        .cast("long")
+        .alias("gsum"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_nodes"),
+        F.floor(F.col("sd") / 2).cast("long").alias("n_edges"),
+        F.col("dmax").alias("max_degree"),
+        F.round(F.col("sd").cast("double") / nd, 4).alias("mean_degree"),
+        F.round(
+            (F.col("n") * F.col("dmax") - F.col("sd")).cast("double")
+            / ((nd - 1) * (nd - 2)),
+            6,
+        ).alias("centralization"),
+        F.round(
+            F.col("gsum").cast("double") / (nd * F.col("sd")), 6
+        ).alias("degree_gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R399 Gehan-Breslow weighted log-rank test (weights = at-risk count)
+# ---------------------------------------------------------------------------
+
+
+def _gehan_oracle_sql() -> str:
+    """Gehan-Breslow over the SAME spell CTEs as the gated log-rank
+    (survival._SPELLS_SQL): per event day the hypergeometric O-E and
+    variance terms are weighted by the total at-risk count n_j; each
+    weighted term is snapped at 1e-6 before the BIGINT sum."""
+    from zoom_spark.queries.survival import _SPELLS_SQL
+
+    return f"""
+    WITH {_SPELLS_SQL.strip()},
+    at_t AS (
+      SELECT t, grp,
+             CAST(sum(converted) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM spells GROUP BY t, grp
+    ),
+    risk AS (
+      SELECT t, grp, d,
+             CAST(sum(leaving) OVER (PARTITION BY grp ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n_g
+      FROM at_t
+    ),
+    tot AS (
+      SELECT t,
+             CAST(sum(d) AS BIGINT) AS d_all,
+             CAST(sum(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN grp = 1 THEN n_g ELSE 0 END) AS BIGINT)
+               AS n1_part,
+             CAST(sum(n_g) AS BIGINT) AS n_part
+      FROM risk GROUP BY t
+    ),
+    filled AS (
+      SELECT t, d_all, d1,
+             CAST(max(n1_part) OVER (ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n1,
+             CAST(max(n_part) OVER (ORDER BY t DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS n
+      FROM tot
+    ),
+    terms AS (
+      SELECT
+        CAST(n * d1 AS BIGINT) AS wo1,
+        CAST(floor(CAST(n AS DOUBLE) * d_all * n1 / n * 1e6 + 0.5)
+             AS BIGINT) AS we6,
+        CAST(floor(CASE WHEN n > 1
+              THEN CAST(n AS DOUBLE) * n
+                   * (d_all * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n)
+                      * (n - d_all) * 1.0 / greatest(n - 1, 1))
+              ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS wv6
+      FROM filled WHERE d_all > 0
+    )
+    SELECT CAST(sum(wo1) AS BIGINT) AS w_observed_1,
+           round(CAST(sum(we6) AS DOUBLE) / 1e6, 4) AS w_expected_1,
+           round((CAST(sum(wo1) AS DOUBLE) - sum(we6) / 1e6)
+                 / sqrt(CAST(sum(wv6) AS DOUBLE) / 1e6), 6) AS z_stat
+    FROM terms
+    """
+
+
+@register("gehan_breslow_conversion", sql=_gehan_oracle_sql())
+def gehan_breslow_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R399 Gehan-Breslow(-Wilcoxon) weighted log-rank test over the
+    SAME md5 placebo arms and conversion spells as the gated
+    logrank_arm_conversion (survival.py:94) — weights w_j = n_j (the
+    total at-risk count) emphasize EARLY differences where the plain
+    log-rank weights all event times equally; reporting both is the
+    standard survival-comparison practice (they disagree exactly when
+    hazards cross).  Z = Σn_j(d1j - e1j)/√(Σn_j²v_j) with the same
+    hypergeometric e/v terms; each weighted term is snapped at 1e-6
+    before the BIGINT sum (n_j·d1j is already a pure integer).  Same
+    calendar-bounded day-frame windows as the log-rank: one user
+    shuffle at 100 TB."""
+    from zoom_spark.queries.survival import _spells
+
+    spells = _spells(spark, sf_dir)
+    at_t = spells.groupBy("t", "grp").agg(
+        F.sum("converted").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    w_g = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = at_t.withColumn("n_g", F.sum("leaving").over(w_g).cast("long"))
+    tot = risk.groupBy("t").agg(
+        F.sum("d").cast("long").alias("d_all"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_g")).otherwise(0))
+        .cast("long")
+        .alias("n1_part"),
+        F.sum("n_g").cast("long").alias("n_part"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = tot.select(
+        "t",
+        "d_all",
+        "d1",
+        F.max("n1_part").over(w_desc).cast("long").alias("n1"),
+        F.max("n_part").over(w_desc).cast("long").alias("n"),
+    ).where(F.col("d_all") > 0)
+    nd = F.col("n").cast("double")
+    frac = F.col("n1") * F.lit(1.0) / F.col("n")
+    v = (
+        F.col("d_all")
+        * frac
+        * (1 - frac)
+        * (F.col("n") - F.col("d_all"))
+        * F.lit(1.0)
+        / F.greatest(F.col("n") - 1, F.lit(1))
+    )
+    terms = filled.select(
+        (F.col("n") * F.col("d1")).cast("long").alias("wo1"),
+        F.floor(nd * F.col("d_all") * F.col("n1") / F.col("n") * 1e6 + 0.5)
+        .cast("long")
+        .alias("we6"),
+        F.floor(
+            F.when(F.col("n") > 1, nd * nd * v).otherwise(0.0) * 1e6 + 0.5
+        )
+        .cast("long")
+        .alias("wv6"),
+    )
+    return terms.agg(
+        F.sum("wo1").cast("long").alias("w_observed_1"),
+        F.round(F.sum("we6").cast("double") / 1e6, 4).alias("w_expected_1"),
+        F.round(
+            (
+                F.sum("wo1").cast("double")
+                - F.sum("we6").cast("double") / 1e6
+            )
+            / F.sqrt(F.sum("wv6").cast("double") / 1e6),
+            6,
+        ).alias("z_stat"),
+    )
