@@ -885,6 +885,113 @@ EXPECTATIONS = {
     "nation_rank_stability": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # --- round 10 second wave (R366+) ---
+    # R366/R385: 1-row min-year scalar (y0) broadcast onto the order
+    # scan (scalar BNLJ by design)
+    "cochrans_q_yearly_activity": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "cronbach_alpha_yearly_spend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R367/R380: 1-row transition-total scalar crossed onto the 3-row
+    # pair frame
+    "bowker_symmetry_priority": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R368: global midrank via the two-phase prefix scan (no window);
+    # remaining flag is the 1-row tie-sum scalar cross
+    "cuzick_trend_priority_price": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R369: lag/lead self-joins + row_number over the CALENDAR-DAY
+    # frame (T ~ 2400 at sf0.1, fixed by the date range) — the
+    # lmoments/pettitt day-frame exception
+    "adf_unit_root_revenue": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    # R373: 25-row nation frame windows + the 20-row depth grid cross
+    # (both dimension-bounded)
+    "rbo_nation_rankings": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R375/R376: global rank / cumulative TP-FP via the two-phase
+    # prefix scan; remaining flag is the 1-row totals scalar cross
+    "hoover_palma_spend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "youden_j_threshold": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R377: day-frame row_number window + 1-row line/level scalars and
+    # the 7-row horizon grid crossed (all bounded)
+    "theta_forecast_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R379: 1-row MH-psi scalar crossed onto the 5-row stratum frame
+    "breslow_day_weekend_value": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R381: 1-row trained-weights scalar broadcast onto the scoring
+    # scan (the canonical broadcast-model shape)
+    "lda_urgent_classifier": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R382/R383: day-frame neighbor joins / day-frame rank windows +
+    # 1-row total scalars
+    "turning_points_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "bartels_rvn_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R384: day-frame row_number window + 1-row limit scalars crossed
+    # onto the ~340-row subgroup frame
+    "xbar_r_control_chart": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R386/R387/R388: day-frame windows, the fixed period/box/lag
+    # grids, and 1-row moment scalars crossed (pettitt class)
+    "spectral_entropy_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "dfa_alpha_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "higuchi_fd_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R390: 1-row basket-count scalar crossed onto the 30-row rule
+    # frame
+    "basket_rule_metrics": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R394: 1-row n/tie scalars crossed onto the 1-row concordance
+    # frame (the 50-cell join itself is a bounded broadcast theta join)
+    "kendall_tau_b_priority_value": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R395: weekend x weekday DAY pair cloud (calendar-bounded, the
+    # pettitt class) + its global median rank window over that bounded
+    # cloud + 1-row count scalars
+    "hodges_lehmann_weekend_shift": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R396: users x calendar-weeks grid (both data-bounded dims) via
+    # broadcast cross + 1-row bounds scalars
+    "zip_moment_fit_events": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R398: Gini rank via the two-phase prefix scan; remaining flag is
+    # the 1-row node-count scalar cross
+    "degree_centralization_copurchase": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R399: same calendar-bounded day-frame fill windows + scalar
+    # crosses as the waived logrank gate it composes
+    "gehan_breslow_conversion": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

@@ -100,6 +100,12 @@ SUSPECTS = [
     # 64 * N, so the 10x upscale should be ~linear (broadcast batch,
     # map-side corpus scan)
     "hard_negative_pairs",
+    # round 10 second wave: the wedge-join link-prediction panel
+    # (work = sum deg_Q * deg, like AA — linear on the replica-
+    # disjoint upscale) and 4-round synchronous LPA over the
+    # support-2 graph (one shuffle per round, linear in edges)
+    "link_prediction_panel",
+    "label_propagation_copurchase",
 ]
 
 

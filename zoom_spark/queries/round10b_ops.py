@@ -333,39 +333,47 @@ def cuzick_trend_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     E[T] = (N+1)·Σl/2; Var[T] = (N+1)/12·(NΣl² - (Σl)²)·tie_corr.
     The engine carries 2×midrank (= 2·rank + ties - 1, an INTEGER) so
     T2 = 2T and E2 = 2E are exact BIGINTs; z = (T2-E2)/(2·sqrt(Var))
-    is one exact-operand double.  Two window passes + one aggregate:
-    the global sort is the same single range-partitioned sort a
-    100-TB rank would need anyway."""
+    is one exact-operand double.  Scale shape (the MWU discipline,
+    rank_stats.py:126): rows collapse to per-(cents, l) counts in one
+    hash aggregate; the global midrank comes from the TWO-PHASE
+    distributed prefix scan over the distinct-value frame (never an
+    unpartitioned window over raw rows — that single-task sort is
+    what dies at 100 TB); T2 = Σ c_{{v,l}}·l·r2(v) is one more
+    aggregate."""
+    from zoom_spark.operators.prefix import prefix_sum
+
     obs = load_table(spark, sf_dir, "orders").select(
         F.substring("o_orderpriority", 1, 1).cast("long").alias("l"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("cents"),
     )
-    ranked = obs.withColumn(
-        "r2",
-        (
-            2 * F.rank().over(Window.orderBy("cents"))
-            + F.count("*").over(Window.partitionBy("cents"))
-            - 1
-        ).cast("long"),
+    cell = obs.groupBy("cents", "l").agg(
+        F.count("*").cast("long").alias("c")
     )
-    ties = (
-        obs.groupBy("cents")
-        .agg(F.count("*").cast("long").alias("t"))
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            )
-            .cast("long")
-            .alias("tie3")
-        )
+    per_v = cell.groupBy("cents").agg(F.sum("c").cast("long").alias("t"))
+    # inclusive running count in cents order -> r2(v) = 2*(cum-t)+t+1
+    cum = prefix_sum(per_v, "cents", "t", out_col="cum").select(
+        "cents",
+        "t",
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+        .cast("long")
+        .alias("r2"),
     )
-    m = ranked.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("l") * F.col("r2")).cast("long").alias("t2"),
-        F.sum("l").cast("long").alias("sl"),
-        F.sum(F.col("l") * F.col("l")).cast("long").alias("sl2"),
+    ties = per_v.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3")
+    )
+    m = cell.join(cum.select("cents", "r2"), on="cents").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("l") * F.col("r2"))
+        .cast("long")
+        .alias("t2"),
+        F.sum(F.col("c") * F.col("l")).cast("long").alias("sl"),
+        F.sum(F.col("c") * F.col("l") * F.col("l"))
+        .cast("long")
+        .alias("sl2"),
     )
     n = F.col("n").cast("double")
     e2 = ((F.col("n") + 1) * F.col("sl")).cast("long")
@@ -1231,9 +1239,12 @@ def hoover_palma_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Palma ratio (top-10% share / bottom-40% share, rank cutoffs
     floor(N/10)/floor(4N/10) with custkey tie-break), and the
     top-1%/top-10%/bottom-40% shares themselves.  All sums are
-    BIGINT cent totals; the only doubles are the final ratios.  One
-    groupBy + one global sort — identical scale shape to the gated
-    lorenz_curve_spend."""
+    BIGINT cent totals; the only doubles are the final ratios.  Scale
+    shape: the global rank comes from the TWO-PHASE prefix scan
+    (operators/prefix.py — range shuffle + P-row offsets), never an
+    unpartitioned window over the customer frame."""
+    from zoom_spark.operators.prefix import prefix_sum
+
     spend = (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey")
@@ -1254,13 +1265,12 @@ def hoover_palma_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
     )
-    ranked = spend.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "c_custkey"))
-        .cast("long")
-        .alias("r"),
-    )
+    ranked = prefix_sum(
+        spend.withColumn("one", F.lit(1)),
+        ["cents", "c_custkey"],
+        "one",
+        out_col="r",
+    ).select("cents", F.col("r").cast("long").alias("r"))
     j = ranked.join(F.broadcast(tot))
     agg = j.agg(
         F.sum(F.abs(F.col("n") * F.col("cents") - F.col("s")))
@@ -1381,9 +1391,15 @@ def youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares OTHER variables; the optimal-threshold selection step is
     new).  Exactness: J is ranked by the INTEGER J_scaled = TP·Nneg
     - FP·Npos (= Npos·Nneg·J), ties toward the smallest threshold —
-    argmax needs no float at all.  Cumulative TP/FP via one ordered
-    window over per-score groups (distinct thresholds, not rows);
-    single sort at 100 TB, same shape as the gated ROC queries."""
+    argmax needs no float at all.  Cumulative TP/FP over per-score
+    groups (distinct thresholds, not rows) via the TWO-PHASE prefix
+    scan in descending-score order — both counters ride ONE scan by
+    packing (tp << 32 | fp) into a single additive value (each
+    cumulative count < 2^32 up to ~4e9 subjects, far past 100 TB
+    customer cardinality), so there is no unpartitioned window and
+    no second range shuffle."""
+    from zoom_spark.operators.prefix import prefix_sum
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
@@ -1409,13 +1425,18 @@ def youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("tp_here"),
         (F.count("*") - F.sum("y")).cast("long").alias("fp_here"),
     )
-    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = per.select(
+    packed = per.select(
         "score",
-        F.sum("tp_here").over(wd).cast("long").alias("tp"),
-        F.sum("fp_here").over(wd).cast("long").alias("fp"),
+        (-F.col("score")).alias("neg_score"),
+        (
+            F.col("tp_here") * F.lit(4294967296).cast("long")
+            + F.col("fp_here")
+        ).alias("pk"),
+    )
+    cum = prefix_sum(packed, "neg_score", "pk", out_col="cpk").select(
+        "score",
+        F.floor(F.col("cpk") / F.lit(4294967296)).cast("long").alias("tp"),
+        (F.col("cpk") % F.lit(4294967296)).cast("long").alias("fp"),
     )
     best = (
         cum.join(F.broadcast(tot))
@@ -4340,8 +4361,11 @@ def degree_centralization_copurchase(
     tail SHAPE; centralization/Gini measure star-ness and inequality
     of the whole graph).  The Gini uses the sorted-rank identity
     Σ(2r-n-1)d_(r) / (nΣd) with a deterministic (degree, node) sort —
-    every term a BIGINT.  One degree aggregate + one sort of the
-    node-sized frame."""
+    every term a BIGINT; the rank comes from the TWO-PHASE prefix
+    scan (the node frame scales with the part catalog, so an
+    unpartitioned window would be the one non-scalable step)."""
+    from zoom_spark.operators.prefix import prefix_sum
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -4361,10 +4385,12 @@ def degree_centralization_copurchase(
     )
     deg = nbr.groupBy("z").agg(F.count("*").cast("long").alias("d"))
     nrow = deg.agg(F.count("*").cast("long").alias("n"))
-    ranked = deg.join(F.broadcast(nrow)).select(
-        "d",
-        "n",
-        F.row_number().over(Window.orderBy("d", "z")).cast("long").alias("r"),
+    ranked = (
+        prefix_sum(
+            deg.withColumn("one", F.lit(1)), ["d", "z"], "one", out_col="r"
+        )
+        .select("d", F.col("r").cast("long").alias("r"))
+        .join(F.broadcast(nrow))
     )
     m = ranked.agg(
         F.max("n").cast("long").alias("n"),
