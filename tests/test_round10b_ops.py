@@ -1193,3 +1193,216 @@ def test_gehan_breslow_matches_python(spark):
     assert abs(r["z_stat"] - (wo1 - we6 / 1e6) / math.sqrt(wv6 / 1e6)) < 1e-5
     # and the snapped z must track the unsnapped textbook z closely
     assert abs(r["z_stat"] - num / math.sqrt(var)) < 1e-3
+
+
+def _as_phi(z):
+    """A-S 7.1.26 normal CDF, the engine's spelling."""
+    x = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    a = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    poly = sum(c * t ** (i + 1) for i, c in enumerate(a))
+    erf = 1.0 - poly * math.exp(-x * x)
+    return 0.5 * (1.0 + (1.0 if z >= 0 else -1.0) * erf)
+
+
+def test_lilliefors_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import lilliefors_lognormal_spend
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    spend = o.groupby("o_custkey")["cents"].sum()
+    spend = np.sort(spend[spend > 0].to_numpy(dtype=np.float64))
+    lx = np.log(spend)
+    n = len(lx)
+    mu, sigma = lx.mean(), lx.std(ddof=1)
+    d = 0.0
+    for i, v in enumerate(lx):
+        phi = _as_phi((v - mu) / sigma)
+        d = max(d, abs(phi - (i + 1) / n), abs(phi - i / n))
+    [r] = lilliefors_lognormal_spend(spark, SF_DIR).collect()
+    assert r["n_customers"] == n
+    assert abs(r["mu"] - mu) < 1e-5
+    assert abs(r["sigma"] - sigma) < 1e-5
+    assert abs(r["ks_d"] - d) < 1e-5
+    assert abs(
+        r["lilliefors_stat"]
+        - d * (math.sqrt(n) - 0.01 + 0.85 / math.sqrt(n))
+    ) < 1e-4
+
+
+def test_tukey_biweight_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import tukey_biweight_location
+
+    o = load_table(spark, SF_DIR, "orders").select("o_totalprice").toPandas()
+    x = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    ).to_numpy()
+    xs = np.sort(x)
+    n = len(xs)
+    med = (xs[(n + 1) // 2 - 1] + xs[n // 2]) / 2.0
+    dev = np.sort(np.abs(x - med))
+    mad = (dev[(n + 1) // 2 - 1] + dev[n // 2]) / 2.0
+    u = (x - med) / (9 * mad)
+    mask = np.abs(u) < 1
+    w = (1 - u[mask] ** 2) ** 2
+    biweight = (w * x[mask]).sum() / w.sum()
+    [r] = tukey_biweight_location(spark, SF_DIR).collect()
+    assert r["n_orders"] == n
+    assert abs(r["median_dollars"] - med / 100) < 0.01
+    assert abs(r["mad_dollars"] - mad / 100) < 0.01
+    assert abs(r["biweight_dollars"] - biweight / 100) < 0.01
+    assert abs(r["mean_dollars"] - x.mean() / 100) < 0.01
+    # the M-estimator must land inside the bulk: within one MAD of
+    # the median (order totals are near-symmetric, so no skew claim)
+    assert abs(r["biweight_dollars"] - r["median_dollars"]) <= r[
+        "mad_dollars"
+    ]
+
+
+def test_james_stein_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import james_stein_nation_means
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    spend = o.groupby("o_custkey")["cents"].sum()
+    c["cents"] = c["c_custkey"].map(spend).fillna(0).astype("int64")
+    g = c.groupby("c_nationkey")["cents"]
+    means = {k: round(v * 1e6) / 1e6 for k, v in g.mean().items()}
+    k = len(means)
+    gm = sum(means.values()) / k
+    s_stat = sum(math.floor((m - gm) ** 2 + 0.5) for m in means.values())
+    ssw = sum(
+        ((grp - grp.mean()) ** 2).sum() for _, grp in g
+    )
+    df_w = len(c) - k
+    sig2_mean = (ssw / df_w) / (len(c) / k)
+    factor = max(0.0, 1 - (k - 3) * sig2_mean / s_stat)
+    rows = james_stein_nation_means(spark, SF_DIR).collect()
+    assert len(rows) == k
+    for r in rows:
+        m = means[r["nation"]]
+        assert abs(r["raw_mean_dollars"] - m / 100) < 1e-3
+        assert abs(r["shrink_factor"] - factor) < 1e-5
+        expect = (gm + factor * (m - gm)) / 100
+        assert abs(r["js_mean_dollars"] - expect) < 1e-3
+        # shrinkage moves every estimate strictly toward the grand mean
+        lo, hi = sorted((m / 100, gm / 100))
+        assert lo - 1e-3 <= r["js_mean_dollars"] <= hi + 1e-3
+
+
+def test_longest_streaks_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import longest_streaks_revenue
+
+    y = _daily_dollars(spark).to_numpy()
+    n = len(y)
+    ys = np.sort(y)
+    med2 = int(ys[(n + 1) // 2 - 1] + ys[n // 2])
+
+    def longest(flags):
+        best = cur = 0
+        for f in flags:
+            cur = cur + 1 if f else 0
+            best = max(best, cur)
+        return best
+
+    up = [y[i] > y[i - 1] for i in range(1, n)]
+    dn = [y[i] < y[i - 1] for i in range(1, n)]
+    hi = [2 * v > med2 for v in y]
+    [r] = longest_streaks_revenue(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert abs(r["median_dollars"] - med2 / 2) < 0.051
+    assert r["longest_up_streak"] == longest(up)
+    assert r["longest_down_streak"] == longest(dn)
+    assert r["longest_above_median_streak"] == longest(hi)
+
+
+def test_oaxaca_matches_numpy(spark):
+    from zoom_spark.queries.round10b_ops import oaxaca_gap_decomposition
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).toPandas()
+    agg = li.groupby("l_orderkey").agg(
+        x1=("l_quantity", "size"), x2=("l_quantity", "sum")
+    )
+    m = o.merge(agg, left_on="o_orderkey", right_index=True)
+    m["y"] = (m["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    m["g"] = (m["o_orderpriority"] == "1-URGENT").astype(int)
+    stats = {}
+    for g, grp in m.groupby("g"):
+        x = grp[["x1", "x2"]].to_numpy(dtype=np.float64)
+        yv = grp["y"].to_numpy(dtype=np.float64)
+        xc = x - x.mean(axis=0)
+        yc = yv - yv.mean()
+        beta = np.linalg.solve(xc.T @ xc, xc.T @ yc)
+        stats[g] = (len(grp), x.mean(axis=0), yv.mean(), beta)
+    n1, mx1v, my1, _ = stats[1]
+    n0, mx0v, my0, beta0 = stats[0]
+    gap = my1 - my0
+    explained = float(beta0 @ (mx1v - mx0v))
+    [r] = oaxaca_gap_decomposition(spark, SF_DIR).collect()
+    assert (r["n_urgent"], r["n_other"]) == (n1, n0)
+    assert abs(r["gap_dollars"] - gap / 100) < 1e-2
+    assert abs(r["explained_dollars"] - explained / 100) < 1e-2
+    assert abs(
+        r["unexplained_dollars"] - (gap - explained) / 100
+    ) < 1e-2
+    assert abs(r["beta_lines_other"] - beta0[0] / 100) < 1e-3
+    assert abs(r["beta_qty_other"] - beta0[1] / 100) < 1e-3
+    # identity: gap == explained + unexplained on the reported grid
+    assert abs(
+        r["gap_dollars"]
+        - (r["explained_dollars"] + r["unexplained_dollars"])
+    ) < 2e-4
+
+
+def test_beta_binomial_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import beta_binomial_shrinkage
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).toPandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m["u"] = (m["o_orderpriority"] == "1-URGENT").astype(int)
+    g = m.groupby("c_nationkey").agg(n=("u", "size"), k=("u", "sum"))
+    # replay the engine's 1e-9 rate snap, then textbook MoM
+    p = np.array(
+        [math.floor(k / n * 1e9 + 0.5) / 1e9 for n, k in zip(g["n"], g["k"])]
+    )
+    mu = p.mean()
+    v = p.var(ddof=1)
+    common = mu * (1 - mu) / v - 1
+    alpha, beta = mu * common, (1 - mu) * common
+    rows = beta_binomial_shrinkage(spark, SF_DIR).collect()
+    assert len(rows) == len(g)
+    for r in rows:
+        n, k = int(g.loc[r["nation"], "n"]), int(g.loc[r["nation"], "k"])
+        assert (r["n_orders"], r["k_urgent"]) == (n, k)
+        assert abs(r["raw_rate"] - k / n) < 1e-6
+        assert abs(r["alpha"] - alpha) < 1e-3
+        assert abs(r["beta"] - beta) < 1e-3
+        assert abs(
+            r["shrunk_rate"] - (k + alpha) / (n + alpha + beta)
+        ) < 1e-5
+        # shrinkage bounds: posterior mean between raw rate and mu
+        lo, hi = sorted((k / n, mu))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6

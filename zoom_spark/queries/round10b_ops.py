@@ -4562,3 +4562,942 @@ def gehan_breslow_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R400 Lilliefors test of log-normality of customer spend
+# ---------------------------------------------------------------------------
+
+# Abramowitz-Stegun 7.1.26 erf polynomial (the repo-shared A-S
+# constants, survival._ERF_P_SQL) — spelled identically on both
+# engines so the normal CDF is the same double everywhere
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _phi_sql(z: str) -> str:
+    """Standard normal CDF via the A-S erf polynomial (SQL)."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = " + ".join(
+        f"({a}) * power({t}, {i + 1})" for i, a in enumerate(_AS_A)
+    )
+    erf = f"(1.0 - ({poly}) * exp(-({x}) * ({x})))"
+    return (
+        f"(0.5 * (1.0 + (CASE WHEN {z} >= 0 THEN 1.0 ELSE -1.0 END)"
+        f" * {erf}))"
+    )
+
+
+def _phi_col(z):
+    """Standard normal CDF via the A-S erf polynomial (Spark column,
+    same expression tree as _phi_sql)."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + _AS_P * x)
+    poly = None
+    for i, a in enumerate(_AS_A):
+        term = F.lit(a) * F.pow(t, float(i + 1))
+        poly = term if poly is None else poly + term
+    erf = 1.0 - poly * F.exp(-x * x)
+    return 0.5 * (
+        1.0 + F.when(z >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)) * erf
+    )
+
+
+@register(
+    "lilliefors_lognormal_spend",
+    sql=f"""
+    WITH spend AS MATERIALIZED (
+      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+      HAVING sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) > 0
+    ),
+    lt AS MATERIALIZED (
+      SELECT cents,
+             CAST(floor(ln(CAST(cents AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               AS l9,
+             CAST(floor(ln(CAST(cents AS DOUBLE)) * ln(CAST(cents AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS ll9
+      FROM spend
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l9) AS BIGINT) AS sl,
+             CAST(sum(ll9) AS BIGINT) AS sll
+      FROM lt
+    ),
+    vals AS MATERIALIZED (
+      SELECT cents, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(count(*)) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM lt GROUP BY cents
+    ),
+    dd AS (
+      SELECT max(greatest(
+               abs({_phi_sql("((ln(CAST(v.cents AS DOUBLE)) - CAST(m.sl AS DOUBLE) / 1e9 / m.n) / sqrt((CAST(m.sll AS DOUBLE) / 1e9 - CAST(m.sl AS DOUBLE) / 1e9 * m.sl / 1e9 / m.n) / (m.n - 1)))")}
+                   - CAST(v.cum AS DOUBLE) / m.n),
+               abs({_phi_sql("((ln(CAST(v.cents AS DOUBLE)) - CAST(m.sl AS DOUBLE) / 1e9 / m.n) / sqrt((CAST(m.sll AS DOUBLE) / 1e9 - CAST(m.sl AS DOUBLE) / 1e9 * m.sl / 1e9 / m.n) / (m.n - 1)))")}
+                   - CAST(v.cum - v.t AS DOUBLE) / m.n))) AS d
+      FROM vals v CROSS JOIN m
+    )
+    SELECT m.n AS n_customers,
+           round(CAST(m.sl AS DOUBLE) / 1e9 / m.n, 6) AS mu,
+           round(sqrt((CAST(m.sll AS DOUBLE) / 1e9
+                       - CAST(m.sl AS DOUBLE) / 1e9 * m.sl / 1e9 / m.n)
+                      / (m.n - 1)), 6) AS sigma,
+           round(dd.d, 6) AS ks_d,
+           round(dd.d * (sqrt(CAST(m.n AS DOUBLE)) - 0.01
+                         + 0.85 / sqrt(CAST(m.n AS DOUBLE))), 6)
+             AS lilliefors_stat
+    FROM m CROSS JOIN dd
+    """,
+)
+def lilliefors_lognormal_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R400 Lilliefors (1967) composite goodness-of-fit test of
+    LOG-normality of customer spend: the one-sample KS distance
+    between the empirical CDF and the normal CDF with ESTIMATED
+    (μ̂, σ̂) on the log scale, plus the Dallal-Wilkinson finite-sample
+    scaling D·(√n - 0.01 + 0.85/√n) — the fitted-distribution test
+    the registry's two-sample KS/Kuiper/CvM family does not cover
+    (and the formal companion to R397's lognormal_fit_spend
+    diagnostic).  Determinism: μ̂/σ̂ from the 1e-9-snapped ln moments
+    (BIGINT sums); the normal CDF is the shared A-S 7.1.26 erf
+    polynomial (the logrank p-value spelling) — the identical
+    expression tree on both engines; the sup over distinct values
+    (step CDF evaluated at both jump sides) is an order-free MAX.
+    The distinct-value ECDF rank rides the two-phase prefix scan,
+    not an unpartitioned window."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .where(F.col("cents") > 0)
+    )
+    lx = F.log(F.col("cents").cast("double"))
+    lt = spend.select(
+        "cents",
+        F.floor(lx * 1e9 + 0.5).cast("long").alias("l9"),
+        F.floor(lx * lx * 1e9 + 0.5).cast("long").alias("ll9"),
+    )
+    m = lt.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("l9").cast("long").alias("sl"),
+        F.sum("ll9").cast("long").alias("sll"),
+    )
+    vals = prefix_sum(
+        lt.groupBy("cents").agg(F.count("*").cast("long").alias("t")),
+        "cents",
+        "t",
+        out_col="cum",
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sl").cast("double") / 1e9 / nd
+    var = (
+        F.col("sll").cast("double") / 1e9
+        - F.col("sl").cast("double") / 1e9 * F.col("sl") / 1e9 / nd
+    ) / (nd - 1)
+    z = (F.log(F.col("cents").cast("double")) - mu) / F.sqrt(var)
+    phi = _phi_col(z)
+    dd = (
+        vals.join(F.broadcast(m))
+        .select(
+            F.greatest(
+                F.abs(phi - F.col("cum").cast("double") / nd),
+                F.abs(phi - (F.col("cum") - F.col("t")).cast("double") / nd),
+            ).alias("gap")
+        )
+        .agg(F.max("gap").alias("d"))
+    )
+    return m.join(F.broadcast(dd)).select(
+        F.col("n").alias("n_customers"),
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round(F.col("d"), 6).alias("ks_d"),
+        F.round(
+            F.col("d") * (F.sqrt(nd) - 0.01 + 0.85 / F.sqrt(nd)), 6
+        ).alias("lilliefors_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R401 one-step Tukey biweight robust location of order values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tukey_biweight_location",
+    sql="""
+    WITH x AS MATERIALIZED (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    vals AS MATERIALIZED (
+      SELECT c, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(count(*)) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM x GROUP BY c
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+    med AS (
+      -- 2x-grid exact median: value at rank (n+1)//2 plus value at
+      -- rank n//2+1 (a distinct value covers rank r iff
+      -- cum - t < r <= cum)
+      SELECT CAST(sum(CASE WHEN v.cum - v.t < (nn.n + 1) // 2
+                            AND (nn.n + 1) // 2 <= v.cum
+                           THEN v.c ELSE 0 END)
+                + sum(CASE WHEN v.cum - v.t < nn.n // 2 + 1
+                            AND nn.n // 2 + 1 <= v.cum
+                           THEN v.c ELSE 0 END) AS BIGINT) AS med2
+      FROM vals v CROSS JOIN nn
+    ),
+    dev AS MATERIALIZED (
+      SELECT CAST(abs(2 * x.c - med.med2) AS BIGINT) AS d2
+      FROM x CROSS JOIN med
+    ),
+    dvals AS MATERIALIZED (
+      SELECT d2, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(count(*)) OVER (ORDER BY d2
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM dev GROUP BY d2
+    ),
+    mad AS (
+      SELECT CAST(sum(CASE WHEN v.cum - v.t < (nn.n + 1) // 2
+                            AND (nn.n + 1) // 2 <= v.cum
+                           THEN v.d2 ELSE 0 END)
+                + sum(CASE WHEN v.cum - v.t < nn.n // 2 + 1
+                            AND nn.n // 2 + 1 <= v.cum
+                           THEN v.d2 ELSE 0 END) AS BIGINT) AS mad4
+      FROM dvals v CROSS JOIN nn
+    ),
+    wt AS (
+      -- u = (x - med)/(9 MAD); per-row weights and weighted values
+      -- snapped before the BIGINT sums
+      SELECT
+        CAST(floor(power(1.0 - power((x.c - med.med2 / 2.0)
+                                     / (9.0 * mad.mad4 / 4.0), 2), 2)
+                   * 1e9 + 0.5) AS BIGINT) AS w9,
+        CAST(floor(power(1.0 - power((x.c - med.med2 / 2.0)
+                                     / (9.0 * mad.mad4 / 4.0), 2), 2)
+                   * x.c * 1e3 + 0.5) AS BIGINT) AS wx3
+      FROM x CROSS JOIN med CROSS JOIN mad
+      WHERE abs(x.c - med.med2 / 2.0) < 9.0 * mad.mad4 / 4.0
+    )
+    SELECT (SELECT n FROM nn) AS n_orders,
+           round((SELECT med2 FROM med) / 2.0 / 100, 2) AS median_dollars,
+           round((SELECT mad4 FROM mad) / 4.0 / 100, 2) AS mad_dollars,
+           round(CAST(sum(wx3) AS DOUBLE) / 1e3
+                 / (CAST(sum(w9) AS DOUBLE) / 1e9) / 100, 4)
+             AS biweight_dollars,
+           round((SELECT CAST(sum(c) AS DOUBLE) / count(*) FROM x) / 100,
+                 4) AS mean_dollars
+    FROM wt
+    """,
+)
+def tukey_biweight_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R401 one-step Tukey biweight (bisquare) M-estimator of the
+    order-value location, c = 9·MAD: w = (1-u²)² inside |u|<1, T =
+    Σwx/Σw — the smooth-downweighting robust location between the
+    median (which ignores magnitude) and the registry's hard-cutoff
+    winsorized/trimmed means; mad_robust_anomaly gates MAD itself but
+    no M-estimation.  Median and MAD are EXACT on the 2×/4× integer
+    grids via distinct-value prefix ranks (rank-coverage predicates,
+    no sort-to-one-task); weights and weighted values are per-row
+    snapped (1e-9/1e-3) so both sums are BIGINT reductions.  Three
+    aggregates + two prefix scans at 100 TB."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    x = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    nn = x.agg(F.count("*").cast("long").alias("n"))
+
+    def median2(frame: DataFrame, col: str) -> DataFrame:
+        vals = prefix_sum(
+            frame.groupBy(col).agg(F.count("*").cast("long").alias("t")),
+            col,
+            "t",
+            out_col="cum",
+        )
+        j = vals.join(F.broadcast(nn))
+        lo_r = F.floor((F.col("n") + 1) / 2)
+        hi_r = F.floor(F.col("n") / 2) + 1
+        covers = lambda r: (F.col("cum") - F.col("t") < r) & (  # noqa: E731
+            r <= F.col("cum")
+        )
+        return j.agg(
+            (
+                F.sum(F.when(covers(lo_r), F.col(col)).otherwise(0))
+                + F.sum(F.when(covers(hi_r), F.col(col)).otherwise(0))
+            )
+            .cast("long")
+            .alias("m2")
+        )
+
+    med = median2(x, "c").withColumnRenamed("m2", "med2")
+    dev = x.join(F.broadcast(med)).select(
+        F.abs(2 * F.col("c") - F.col("med2")).cast("long").alias("d2")
+    )
+    mad = median2(dev, "d2").withColumnRenamed("m2", "mad4")
+    u = (F.col("c") - F.col("med2") / 2.0) / (9.0 * F.col("mad4") / 4.0)
+    w = F.pow(1.0 - F.pow(u, 2), 2)
+    wt = (
+        x.join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .where(
+            F.abs(F.col("c") - F.col("med2") / 2.0)
+            < 9.0 * F.col("mad4") / 4.0
+        )
+        .select(
+            F.floor(w * 1e9 + 0.5).cast("long").alias("w9"),
+            F.floor(w * F.col("c") * 1e3 + 0.5).cast("long").alias("wx3"),
+        )
+    )
+    mean = x.agg(
+        (F.sum("c").cast("double") / F.count("*")).alias("mean_c")
+    )
+    return (
+        wt.agg(
+            F.sum("wx3").cast("long").alias("swx3"),
+            F.sum("w9").cast("long").alias("sw9"),
+        )
+        .join(F.broadcast(nn))
+        .join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .join(F.broadcast(mean))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(F.col("med2") / 2.0 / 100, 2).alias("median_dollars"),
+            F.round(F.col("mad4") / 4.0 / 100, 2).alias("mad_dollars"),
+            F.round(
+                F.col("swx3").cast("double")
+                / 1e3
+                / (F.col("sw9").cast("double") / 1e9)
+                / 100,
+                4,
+            ).alias("biweight_dollars"),
+            F.round(F.col("mean_c") / 100, 4).alias("mean_dollars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R402 James-Stein shrinkage of per-nation mean spend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "james_stein_nation_means",
+    sql="""
+    WITH spend AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation, c.c_custkey,
+             CAST(COALESCE(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                    AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    per_nation AS MATERIALIZED (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS q,
+             CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*) * 1e6 + 0.5)
+                  AS BIGINT) AS mean6
+      FROM spend GROUP BY nation
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(mean6) AS BIGINT) AS smean6,
+             CAST(sum(m) AS BIGINT) AS n_cust,
+             sum(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / m) AS ssw,
+             CAST(sum(m) - count(*) AS BIGINT) AS df_w
+    FROM per_nation
+    ),
+    shr AS (
+      SELECT k, smean6, n_cust,
+             (ssw / df_w) / (CAST(n_cust AS DOUBLE) / k) AS sig2_mean,
+             CAST(sum(CAST(floor(
+               power(CAST(p.mean6 AS DOUBLE) / 1e6
+                     - CAST(g.smean6 AS DOUBLE) / 1e6 / g.k, 2) + 0.5)
+               AS BIGINT)) AS BIGINT) AS s_stat
+      FROM per_nation p CROSS JOIN g
+      GROUP BY k, smean6, n_cust, ssw, df_w
+    )
+    SELECT p.nation,
+           p.m AS n_customers,
+           round(CAST(p.mean6 AS DOUBLE) / 1e6 / 100, 4) AS raw_mean_dollars,
+           round(greatest(0.0, 1.0 - (shr.k - 3) * shr.sig2_mean
+                                / shr.s_stat), 6) AS shrink_factor,
+           round((CAST(shr.smean6 AS DOUBLE) / 1e6 / shr.k
+                  + greatest(0.0, 1.0 - (shr.k - 3) * shr.sig2_mean
+                                  / shr.s_stat)
+                    * (CAST(p.mean6 AS DOUBLE) / 1e6
+                       - CAST(shr.smean6 AS DOUBLE) / 1e6 / shr.k))
+                 / 100, 4) AS js_mean_dollars
+    FROM per_nation p CROSS JOIN shr
+    """,
+)
+def james_stein_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R402 James-Stein (positive-part) shrinkage of the 25 per-nation
+    mean customer spends toward the grand mean: θ̂_i = x̿ + (1 -
+    (k-3)σ̂²_mean/S)⁺(x̄_i - x̿) with S = Σ(x̄_i - x̿)² and σ̂²_mean =
+    pooled within-nation variance over the average nation size — the
+    canonical empirical-Bayes demonstration that dominates the raw
+    MLE for k ≥ 4 (the registry's target_encoding_oof does additive
+    smoothing; JS is the frequentist shrinkage with a data-driven
+    factor).  Per-nation means snap to 1e-6 (then every cross-nation
+    term is exact), S accumulates unit-grid-snapped squares (cent²
+    scale makes the unit grid ~1e-10 relative), and the shrink factor
+    is one exact-operand expression reused per row.  Two aggregates +
+    one 25-row broadcast."""
+    spend = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cc"),
+            ),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+            how="left",
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(F.coalesce(F.sum("cc"), F.lit(0)).cast("long").alias("cents"))
+    )
+    per_nation = spend.groupBy("nation").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+        F.floor(
+            F.sum("cents").cast("double") / F.count("*") * 1e6 + 0.5
+        )
+        .cast("long")
+        .alias("mean6"),
+    ).localCheckpoint(eager=False)
+    g = per_nation.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("mean6").cast("long").alias("smean6"),
+        F.sum("m").cast("long").alias("n_cust"),
+        F.sum(
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("m")
+        ).alias("ssw"),
+        (F.sum("m") - F.count("*")).cast("long").alias("df_w"),
+    )
+    gm = F.col("smean6").cast("double") / 1e6 / F.col("k")
+    shr = (
+        per_nation.join(F.broadcast(g))
+        .select(
+            "k",
+            "smean6",
+            "n_cust",
+            (
+                (F.col("ssw") / F.col("df_w"))
+                / (F.col("n_cust").cast("double") / F.col("k"))
+            ).alias("sig2_mean"),
+            F.floor(
+                F.pow(F.col("mean6").cast("double") / 1e6 - gm, 2) + 0.5
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+        .groupBy("k", "smean6", "n_cust", "sig2_mean")
+        .agg(F.sum("sq").cast("long").alias("s_stat"))
+    )
+    factor = F.greatest(
+        F.lit(0.0),
+        1.0
+        - (F.col("k") - 3) * F.col("sig2_mean") / F.col("s_stat"),
+    )
+    return per_nation.join(F.broadcast(shr)).select(
+        "nation",
+        F.col("m").alias("n_customers"),
+        F.round(F.col("mean6").cast("double") / 1e6 / 100, 4).alias(
+            "raw_mean_dollars"
+        ),
+        F.round(factor, 6).alias("shrink_factor"),
+        F.round(
+            (gm + factor * (F.col("mean6").cast("double") / 1e6 - gm)) / 100,
+            4,
+        ).alias("js_mean_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R403 longest streaks in daily revenue (up / down / above-median)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "longest_streaks_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    med AS (
+      SELECT CAST(sum(CASE WHEN v.cum - v.t < (nn.n + 1) // 2
+                            AND (nn.n + 1) // 2 <= v.cum
+                           THEN v.y ELSE 0 END)
+                + sum(CASE WHEN v.cum - v.t < nn.n // 2 + 1
+                            AND nn.n // 2 + 1 <= v.cum
+                           THEN v.y ELSE 0 END) AS BIGINT) AS med2
+      FROM (
+        SELECT y, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(count(*)) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM d GROUP BY y
+      ) v CROSS JOIN nn
+    ),
+    flags AS MATERIALIZED (
+      SELECT cur.t,
+             CASE WHEN cur.y > p.y THEN 1 ELSE 0 END AS up,
+             CASE WHEN cur.y < p.y THEN 1 ELSE 0 END AS dn,
+             CASE WHEN 2 * cur.y > med.med2 THEN 1 ELSE 0 END AS hi
+      FROM d cur
+      LEFT JOIN d p ON p.t = cur.t - 1
+      CROSS JOIN med
+    ),
+    runs AS (
+      SELECT
+        CAST(max(cnt) FILTER (WHERE kind = 'up') AS BIGINT) AS up_max,
+        CAST(max(cnt) FILTER (WHERE kind = 'dn') AS BIGINT) AS dn_max,
+        CAST(max(cnt) FILTER (WHERE kind = 'hi') AS BIGINT) AS hi_max
+      FROM (
+        SELECT 'up' AS kind, count(*) AS cnt FROM (
+          SELECT t, t - row_number() OVER (ORDER BY t) AS grp
+          FROM flags WHERE up = 1
+        ) GROUP BY grp
+        UNION ALL
+        SELECT 'dn', count(*) FROM (
+          SELECT t, t - row_number() OVER (ORDER BY t) AS grp
+          FROM flags WHERE dn = 1
+        ) GROUP BY grp
+        UNION ALL
+        SELECT 'hi', count(*) FROM (
+          SELECT t, t - row_number() OVER (ORDER BY t) AS grp
+          FROM flags WHERE hi = 1
+        ) GROUP BY grp
+      )
+    )
+    SELECT nn.n AS n_days,
+           round(CAST((SELECT med2 FROM med) AS DOUBLE) / 2, 1)
+             AS median_dollars,
+           runs.up_max AS longest_up_streak,
+           runs.dn_max AS longest_down_streak,
+           runs.hi_max AS longest_above_median_streak
+    FROM nn CROSS JOIN runs
+    """,
+)
+def longest_streaks_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R403 longest streaks in daily revenue — longest run of strictly
+    up days, strictly down days, and above-median days (the gambler's
+    ruin / drawdown-adjacent report the runs TEST (z-score) does not
+    emit: the actual extreme run LENGTHS).  Median is exact on the 2×
+    grid via distinct-value prefix ranks; runs use the t -
+    row_number(t) gap-and-island identity over the calendar-bounded
+    day frame (the registry's sessionize idiom); all outputs are
+    integers.  Day-frame windows only."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .select("y", "t")
+        .localCheckpoint(eager=False)
+    )
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    vals = d.groupBy("y").agg(F.count("*").cast("long").alias("t_"))
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    vals = vals.withColumn("cum", F.sum("t_").over(w).cast("long"))
+    j = vals.join(F.broadcast(nn))
+    covers = lambda r: (F.col("cum") - F.col("t_") < r) & (  # noqa: E731
+        r <= F.col("cum")
+    )
+    lo_r = F.floor((F.col("n") + 1) / 2)
+    hi_r = F.floor(F.col("n") / 2) + 1
+    med = j.agg(
+        (
+            F.sum(F.when(covers(lo_r), F.col("y")).otherwise(0))
+            + F.sum(F.when(covers(hi_r), F.col("y")).otherwise(0))
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    cur = d.select(F.col("t").alias("tc"), F.col("y").alias("yc"))
+    prev = d.select(F.col("t").alias("tp_"), F.col("y").alias("yp"))
+    flags = (
+        cur.join(prev, F.col("tp_") == F.col("tc") - 1, "left")
+        .join(F.broadcast(med))
+        .select(
+            F.col("tc").alias("t"),
+            F.when(F.col("yc") > F.col("yp"), 1).otherwise(0).alias("up"),
+            F.when(F.col("yc") < F.col("yp"), 1).otherwise(0).alias("dn"),
+            F.when(2 * F.col("yc") > F.col("med2"), 1)
+            .otherwise(0)
+            .alias("hi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def longest(flag: str):
+        f = flags.where(F.col(flag) == 1).select(
+            "t",
+            (F.col("t") - F.row_number().over(Window.orderBy("t"))).alias(
+                "grp"
+            ),
+        )
+        return f.groupBy("grp").agg(F.count("*").alias("cnt")).agg(
+            F.max("cnt").cast("long").alias(f"{flag}_max")
+        )
+
+    return (
+        nn.join(F.broadcast(med))
+        .join(F.broadcast(longest("up")))
+        .join(F.broadcast(longest("dn")))
+        .join(F.broadcast(longest("hi")))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("med2").cast("double") / 2, 1).alias(
+                "median_dollars"
+            ),
+            F.col("up_max").alias("longest_up_streak"),
+            F.col("dn_max").alias("longest_down_streak"),
+            F.col("hi_max").alias("longest_above_median_streak"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R404 Oaxaca-Blinder decomposition of the urgent-order value gap
+# ---------------------------------------------------------------------------
+
+_OAXACA_FEATURES_SQL = """
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS g,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             l.x1, l.x2
+      FROM orders o
+      JOIN (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS x1,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+        FROM lineitem GROUP BY l_orderkey
+      ) l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register(
+    "oaxaca_gap_decomposition",
+    sql=f"""
+    WITH feats AS MATERIALIZED ({_OAXACA_FEATURES_SQL}),
+    m AS MATERIALIZED (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1,
+             CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM feats GROUP BY g
+    ),
+    beta AS MATERIALIZED (
+      -- per-group centered normal equations, 2x2 Cramer closed form
+      SELECT g, n,
+             CAST(sx1 AS DOUBLE) / n AS mx1,
+             CAST(sx2 AS DOUBLE) / n AS mx2,
+             CAST(sy AS DOUBLE) / n AS my,
+             ((CAST(n AS DOUBLE) * s22 - CAST(sx2 AS DOUBLE) * sx2)
+              * (CAST(n AS DOUBLE) * s1y - CAST(sx1 AS DOUBLE) * sy)
+              - (CAST(n AS DOUBLE) * s12 - CAST(sx1 AS DOUBLE) * sx2)
+                * (CAST(n AS DOUBLE) * s2y - CAST(sx2 AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * s11 - CAST(sx1 AS DOUBLE) * sx1)
+                * (CAST(n AS DOUBLE) * s22 - CAST(sx2 AS DOUBLE) * sx2)
+                - power(CAST(n AS DOUBLE) * s12
+                        - CAST(sx1 AS DOUBLE) * sx2, 2)) AS b1,
+             ((CAST(n AS DOUBLE) * s11 - CAST(sx1 AS DOUBLE) * sx1)
+              * (CAST(n AS DOUBLE) * s2y - CAST(sx2 AS DOUBLE) * sy)
+              - (CAST(n AS DOUBLE) * s12 - CAST(sx1 AS DOUBLE) * sx2)
+                * (CAST(n AS DOUBLE) * s1y - CAST(sx1 AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * s11 - CAST(sx1 AS DOUBLE) * sx1)
+                * (CAST(n AS DOUBLE) * s22 - CAST(sx2 AS DOUBLE) * sx2)
+                - power(CAST(n AS DOUBLE) * s12
+                        - CAST(sx1 AS DOUBLE) * sx2, 2)) AS b2
+      FROM m
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN g = 1 THEN n END) AS n1,
+        max(CASE WHEN g = 0 THEN n END) AS n0,
+        max(CASE WHEN g = 1 THEN my END) AS my1,
+        max(CASE WHEN g = 0 THEN my END) AS my0,
+        max(CASE WHEN g = 1 THEN mx1 END) AS mx1_1,
+        max(CASE WHEN g = 0 THEN mx1 END) AS mx1_0,
+        max(CASE WHEN g = 1 THEN mx2 END) AS mx2_1,
+        max(CASE WHEN g = 0 THEN mx2 END) AS mx2_0,
+        max(CASE WHEN g = 0 THEN b1 END) AS b1_0,
+        max(CASE WHEN g = 0 THEN b2 END) AS b2_0,
+        max(CASE WHEN g = 1 THEN b1 END) AS b1_1,
+        max(CASE WHEN g = 1 THEN b2 END) AS b2_1
+      FROM beta
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n0 AS BIGINT) AS n_other,
+           round((my1 - my0) / 100, 4) AS gap_dollars,
+           round((b1_0 * (mx1_1 - mx1_0) + b2_0 * (mx2_1 - mx2_0)) / 100,
+                 4) AS explained_dollars,
+           round(((my1 - my0)
+                  - (b1_0 * (mx1_1 - mx1_0) + b2_0 * (mx2_1 - mx2_0)))
+                 / 100, 4) AS unexplained_dollars,
+           round(b1_0 / 100, 4) AS beta_lines_other,
+           round(b2_0 / 100, 4) AS beta_qty_other,
+           round(b1_1 / 100, 4) AS beta_lines_urgent,
+           round(b2_1 / 100, 4) AS beta_qty_urgent
+    FROM wide
+    """,
+)
+def oaxaca_gap_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R404 Oaxaca-Blinder twofold decomposition of the urgent-vs-
+    other order value gap: ȳ₁-ȳ₀ = β₀'(X̄₁-X̄₀) [explained by line
+    count / quantity composition] + residual [unexplained — the
+    priority "premium"], with group-0 coefficients as the reference
+    (the standard wage-gap methodology applied to order economics —
+    the registry's diff_in_diff / regression_discontinuity are
+    time/threshold designs; O-B decomposes a CROSS-SECTIONAL group
+    gap).  Per-group 2-feature OLS in the same centered-BIGINT 2×2
+    Cramer closed form as lda_urgent_classifier; means are exact-
+    operand; the decomposition is arithmetic on those doubles.  One
+    fact-fact join + one 2-row aggregate at 100 TB."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("long").alias("x1"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x2"),
+        )
+    )
+    feats = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    m = feats.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("s11") - F.col("sx1").cast("double") * F.col("sx1")
+    a12 = nd * F.col("s12") - F.col("sx1").cast("double") * F.col("sx2")
+    a22 = nd * F.col("s22") - F.col("sx2").cast("double") * F.col("sx2")
+    b1v = nd * F.col("s1y") - F.col("sx1").cast("double") * F.col("sy")
+    b2v = nd * F.col("s2y") - F.col("sx2").cast("double") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta = m.select(
+        "g",
+        "n",
+        (F.col("sx1").cast("double") / nd).alias("mx1"),
+        (F.col("sx2").cast("double") / nd).alias("mx2"),
+        (F.col("sy").cast("double") / nd).alias("my"),
+        ((a22 * b1v - a12 * b2v) / det).alias("b1"),
+        ((a11 * b2v - a12 * b1v) / det).alias("b2"),
+    )
+
+    def pick(g: int, col: str):
+        return F.max(F.when(F.col("g") == g, F.col(col)))
+
+    wide = beta.agg(
+        pick(1, "n").cast("long").alias("n1"),
+        pick(0, "n").cast("long").alias("n0"),
+        pick(1, "my").alias("my1"),
+        pick(0, "my").alias("my0"),
+        pick(1, "mx1").alias("mx1_1"),
+        pick(0, "mx1").alias("mx1_0"),
+        pick(1, "mx2").alias("mx2_1"),
+        pick(0, "mx2").alias("mx2_0"),
+        pick(0, "b1").alias("b1_0"),
+        pick(0, "b2").alias("b2_0"),
+        pick(1, "b1").alias("b1_1"),
+        pick(1, "b2").alias("b2_1"),
+    )
+    explained = F.col("b1_0") * (F.col("mx1_1") - F.col("mx1_0")) + F.col(
+        "b2_0"
+    ) * (F.col("mx2_1") - F.col("mx2_0"))
+    gap = F.col("my1") - F.col("my0")
+    return wide.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n0").alias("n_other"),
+        F.round(gap / 100, 4).alias("gap_dollars"),
+        F.round(explained / 100, 4).alias("explained_dollars"),
+        F.round((gap - explained) / 100, 4).alias("unexplained_dollars"),
+        F.round(F.col("b1_0") / 100, 4).alias("beta_lines_other"),
+        F.round(F.col("b2_0") / 100, 4).alias("beta_qty_other"),
+        F.round(F.col("b1_1") / 100, 4).alias("beta_lines_urgent"),
+        F.round(F.col("b2_1") / 100, 4).alias("beta_qty_urgent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R405 beta-binomial empirical-Bayes shrinkage of nation urgent rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "beta_binomial_shrinkage",
+    sql="""
+    WITH per_cust AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation,
+             CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k_urgent
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    rates AS MATERIALIZED (
+      SELECT nation, n_orders, k_urgent,
+             CAST(floor(CAST(k_urgent AS DOUBLE) / n_orders * 1e9 + 0.5)
+                  AS BIGINT) AS p9
+      FROM per_cust
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(p9) AS BIGINT) AS sp9,
+             CAST(sum(p9 * p9 // 1000000000) AS BIGINT) AS spp9
+      FROM rates
+    ),
+    ab AS (
+      -- method of moments on the per-nation rates: common =
+      -- mu(1-mu)/v - 1; alpha = mu*common, beta = (1-mu)*common
+      SELECT k,
+             CAST(sp9 AS DOUBLE) / 1e9 / k AS mu,
+             (CAST(spp9 AS DOUBLE) / 1e9
+              - CAST(sp9 AS DOUBLE) / 1e9 * sp9 / 1e9 / k) / (k - 1) AS v
+      FROM mom
+    ),
+    prior AS (
+      SELECT mu, v,
+             mu * (mu * (1.0 - mu) / v - 1.0) AS alpha,
+             (1.0 - mu) * (mu * (1.0 - mu) / v - 1.0) AS beta
+      FROM ab
+    )
+    SELECT r.nation, r.n_orders, r.k_urgent,
+           round(CAST(r.p9 AS DOUBLE) / 1e9, 6) AS raw_rate,
+           round(prior.alpha, 6) AS alpha,
+           round(prior.beta, 6) AS beta,
+           round((r.k_urgent + prior.alpha)
+                 / (r.n_orders + prior.alpha + prior.beta), 6)
+             AS shrunk_rate
+    FROM rates r CROSS JOIN prior
+    """,
+)
+def beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R405 beta-binomial empirical-Bayes shrinkage of per-nation
+    urgent-order rates: fit Beta(α, β) to the 25 raw rates by method
+    of moments (α+β = μ(1-μ)/v - 1), then posterior-mean-shrink each
+    nation to (k_i+α)/(n_i+α+β) — the conjugate-prior counterpart to
+    R402's James-Stein (JS shrinks GAUSSIAN means; this shrinks
+    binomial PROPORTIONS, the canonical small-sample rate-ranking
+    fix).  Raw rates snap to 1e-9 (then the MoM moments are BIGINT
+    sums — the p9*p9/1e9 product keeps the square on the same grid);
+    the prior and every posterior are exact-operand doubles of those
+    integers.  One aggregate + one 25-row broadcast at 100 TB."""
+    per = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                .otherwise(0)
+                .alias("u"),
+            ),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("u").cast("long").alias("k_urgent"),
+        )
+    )
+    rates = per.withColumn(
+        "p9",
+        F.floor(
+            F.col("k_urgent").cast("double") / F.col("n_orders") * 1e9 + 0.5
+        ).cast("long"),
+    ).localCheckpoint(eager=False)
+    mom = rates.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("p9").cast("long").alias("sp9"),
+        F.sum(F.floor(F.col("p9") * F.col("p9") / F.lit(1000000000)))
+        .cast("long")
+        .alias("spp9"),
+    )
+    kd = F.col("k").cast("double")
+    mu = F.col("sp9").cast("double") / 1e9 / kd
+    v = (
+        F.col("spp9").cast("double") / 1e9
+        - F.col("sp9").cast("double") / 1e9 * F.col("sp9") / 1e9 / kd
+    ) / (kd - 1)
+    common = mu * (1.0 - mu) / v - 1.0
+    prior = mom.select(
+        (mu * common).alias("alpha"),
+        ((1.0 - mu) * common).alias("beta"),
+    )
+    return rates.join(F.broadcast(prior)).select(
+        "nation",
+        "n_orders",
+        "k_urgent",
+        F.round(F.col("p9").cast("double") / 1e9, 6).alias("raw_rate"),
+        F.round(F.col("alpha"), 6).alias("alpha"),
+        F.round(F.col("beta"), 6).alias("beta"),
+        F.round(
+            (F.col("k_urgent") + F.col("alpha"))
+            / (F.col("n_orders") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+    )
