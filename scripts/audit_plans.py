@@ -992,6 +992,27 @@ EXPECTATIONS = {
     "gehan_breslow_conversion": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R400/R401: 1-row moment/median/MAD scalars broadcast onto the
+    # value scan (ECDF/median ranks ride the two-phase prefix scan)
+    "lilliefors_lognormal_spend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "tukey_biweight_location": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R402/R405: 1-row grand-mean / beta-prior scalars crossed onto
+    # the 25-row nation frame
+    "james_stein_nation_means": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "beta_binomial_shrinkage": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R403: day-frame windows (gap-and-island runs + the distinct-
+    # value median rank over the day-bounded frame) + 1-row scalars
+    "longest_streaks_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 
