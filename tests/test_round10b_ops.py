@@ -1406,3 +1406,73 @@ def test_beta_binomial_matches_python(spark):
         # shrinkage bounds: posterior mean between raw rate and mu
         lo, hi = sorted((k / n, mu))
         assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+
+
+def test_pass_at_k_matches_python(spark):
+    from math import comb
+
+    from zoom_spark.queries.round10b_ops import pass_at_k_estimator
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).toPandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m["u"] = (m["o_orderpriority"] == "1-URGENT").astype(int)
+    g = m.groupby("c_nationkey").agg(n=("u", "size"), cc=("u", "sum"))
+    rows = pass_at_k_estimator(spark, SF_DIR).collect()
+    assert len(rows) == len(g)
+    for r in rows:
+        n, cc = int(g.loc[r["task"], "n"]), int(g.loc[r["task"], "cc"])
+        assert (r["n_trials"], r["n_correct"]) == (n, cc)
+        for k in (1, 5, 10):
+            got = r[f"pass_at_{k}"]
+            if n < k:
+                assert got is None
+            else:
+                # textbook: 1 - C(n-c, k)/C(n, k) via exact binomials
+                expect = 1.0 - comb(n - cc, k) / comb(n, k)
+                assert abs(got - expect) < 1e-6, (r["task"], k)
+        # monotone in k
+        if r["pass_at_10"] is not None:
+            assert (
+                r["pass_at_1"] <= r["pass_at_5"] + 1e-9
+                and r["pass_at_5"] <= r["pass_at_10"] + 1e-9
+            )
+
+
+def test_tokenizer_fertility_matches_python(spark):
+    import re
+
+    from zoom_spark.queries.round10b_ops import tokenizer_fertility_by_lang
+    from zoom_spark.functions.text import BPE_ISH_PATTERN
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "text"
+    ).toPandas()
+    expect = {}
+    for lang, g in docs.groupby("lang"):
+        ws = sum(
+            len([w for w in re.split(r"\s+", t.strip().lower()) if w])
+            for t in g["text"]
+        )
+        bpe = sum(len(re.findall(BPE_ISH_PATTERN, t)) for t in g["text"])
+        chars = sum(len(t) for t in g["text"])
+        expect[lang] = (len(g), ws, bpe, chars)
+    rows = tokenizer_fertility_by_lang(spark, SF_DIR).collect()
+    assert {r["lang"] for r in rows} == set(expect)
+    for r in rows:
+        nd, ws, bpe, chars = expect[r["lang"]]
+        assert (
+            r["n_docs"],
+            r["n_ws_tokens"],
+            r["n_bpeish_tokens"],
+            r["n_chars"],
+        ) == (nd, ws, bpe, chars)
+        assert abs(r["fertility"] - bpe / ws) < 1e-6
+        assert abs(r["chars_per_token"] - chars / bpe) < 1e-6
+        # subword fertility is >= 1 by construction (BPE-ish splits
+        # never merge across whitespace)
+        assert r["fertility"] >= 1.0

@@ -5501,3 +5501,168 @@ def beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shrunk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R406 pass@k estimator (Codex-style unbiased estimator) per nation
+# ---------------------------------------------------------------------------
+
+_PASS_KS = (1, 5, 10)
+
+
+def _pass_at_k_sql(k: int) -> str:
+    """1 - prod_{i=0..k-1} (n-c-i)/(n-i) — unrolled exact-operand
+    product; NULL when n < k, 1.0 when fewer than k failures."""
+    prod = " * ".join(
+        f"(CAST(n_trials - n_correct - {i} AS DOUBLE)"
+        f" / (n_trials - {i}))"
+        for i in range(k)
+    )
+    return f"""
+      CASE WHEN n_trials < {k} THEN NULL
+           WHEN n_trials - n_correct < {k} THEN 1.0
+           ELSE round(1.0 - {prod}, 6) END
+    """
+
+
+@register(
+    "pass_at_k_estimator",
+    sql=f"""
+    WITH trials AS MATERIALIZED (
+      SELECT c.c_nationkey AS task,
+             CAST(count(*) AS BIGINT) AS n_trials,
+             CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT task, n_trials, n_correct,
+           {_pass_at_k_sql(1)} AS pass_at_1,
+           {_pass_at_k_sql(5)} AS pass_at_5,
+           {_pass_at_k_sql(10)} AS pass_at_10
+    FROM trials
+    """,
+)
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R406 the unbiased pass@k estimator (Chen et al. 2021, Codex):
+    per task with n sampled trials of which c succeed, pass@k =
+    1 - C(n-c,k)/C(n,k) = 1 - Π_{{i<k}}(n-c-i)/(n-i) — THE standard
+    LLM code/eval metric (naive c/n-based estimates are biased; this
+    telescoped form also avoids the factorial overflow).  Tasks are
+    nations, trials are their customers' orders, "success" is an
+    urgent order — the fixture stand-in for (problem, sample,
+    passed-tests) eval tables.  The k-term product is UNROLLED per k
+    ∈ {_PASS_KS} (fixed expression order, exact-operand divisions of
+    BIGINT counts → identical doubles cross-engine); n < k yields
+    NULL, fewer than k failures yields exactly 1.  One groupBy at
+    100 TB — eval tables shard by task."""
+    trials = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                .otherwise(0)
+                .alias("u"),
+            ),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("task"))
+        .agg(
+            F.count("*").cast("long").alias("n_trials"),
+            F.sum("u").cast("long").alias("n_correct"),
+        )
+    )
+
+    def pass_at(k: int):
+        prod = None
+        for i in range(k):
+            term = (F.col("n_trials") - F.col("n_correct") - i).cast(
+                "double"
+            ) / (F.col("n_trials") - i)
+            prod = term if prod is None else prod * term
+        return (
+            F.when(F.col("n_trials") < k, F.lit(None).cast("double"))
+            .when(
+                F.col("n_trials") - F.col("n_correct") < k, F.lit(1.0)
+            )
+            .otherwise(F.round(1.0 - prod, 6))
+        )
+
+    return trials.select(
+        "task",
+        "n_trials",
+        "n_correct",
+        pass_at(1).alias("pass_at_1"),
+        pass_at(5).alias("pass_at_5"),
+        pass_at(10).alias("pass_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R407 tokenizer fertility report by language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    sql=r"""
+    WITH per_doc AS MATERIALIZED (
+      SELECT lang,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                                                     '\s+'),
+                       t -> t <> '')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpeish_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 6) AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 6)
+             AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R407 tokenizer fertility report per language: BPE-ish
+    subword-per-word ratio (fertility — THE standard cross-lingual
+    tokenizer-equity metric: high-fertility languages pay more tokens
+    per word) and chars-per-token (compression), from the repo's two
+    tokenizers (ws_tokens and the BPE_ISH_PATTERN pre-tokenizer —
+    the same RE2-portable regex on both engines).  All counts are
+    BIGINTs; ratios exact-operand.  Map-side token counts + one
+    groupBy on lang: scan-bound at 100 TB (token counting is the
+    canonical corpus-stats pass).  Complements token_stats_by_lang
+    (whitespace stats only) and vocab_coverage_sizes (vocab growth);
+    neither reports subword fertility."""
+    from zoom_spark.functions.text import bpe_ish_token_count, ws_tokens
+
+    per_doc = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(ws_tokens(F.lower(F.trim(F.col("text")))))
+        .cast("long")
+        .alias("n_ws"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("n_bpeish_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
+    )
