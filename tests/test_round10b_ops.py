@@ -1282,9 +1282,9 @@ def test_james_stein_matches_python(spark):
     k = len(means)
     gm = sum(means.values()) / k
     s_stat = sum(math.floor((m - gm) ** 2 + 0.5) for m in means.values())
-    ssw = sum(
-        ((grp - grp.mean()) ** 2).sum() for _, grp in g
-    )
+    # engine computes the within variance on the whole-dollar grid
+    gd = c.assign(d=(c["cents"] // 100)).groupby("c_nationkey")["d"]
+    ssw = sum(((grp - grp.mean()) ** 2).sum() for _, grp in gd) * 1e4
     df_w = len(c) - k
     sig2_mean = (ssw / df_w) / (len(c) / k)
     factor = max(0.0, 1 - (k - 3) * sig2_mean / s_stat)

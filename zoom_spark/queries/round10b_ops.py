@@ -4911,10 +4911,13 @@ def tukey_biweight_location(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     per_nation AS MATERIALIZED (
+      -- within-nation second moment on the WHOLE-DOLLAR grid
+      -- (cents^2 sums overflow BIGINT past ~10k customers; the
+      -- variance is scaled back by 1e4 below)
       SELECT nation,
              CAST(count(*) AS BIGINT) AS m,
-             CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(cents * cents) AS BIGINT) AS q,
+             CAST(sum(cents // 100) AS BIGINT) AS sd,
+             CAST(sum((cents // 100) * (cents // 100)) AS BIGINT) AS qd,
              CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*) * 1e6 + 0.5)
                   AS BIGINT) AS mean6
       FROM spend GROUP BY nation
@@ -4923,7 +4926,8 @@ def tukey_biweight_location(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(mean6) AS BIGINT) AS smean6,
              CAST(sum(m) AS BIGINT) AS n_cust,
-             sum(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / m) AS ssw,
+             sum((CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / m)
+                 * 1e4) AS ssw,
              CAST(sum(m) - count(*) AS BIGINT) AS df_w
     FROM per_nation
     ),
@@ -4959,7 +4963,10 @@ def james_stein_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical empirical-Bayes demonstration that dominates the raw
     MLE for k ≥ 4 (the registry's target_encoding_oof does additive
     smoothing; JS is the frequentist shrinkage with a data-driven
-    factor).  Per-nation means snap to 1e-6 (then every cross-nation
+    factor).  The within-nation second moment runs on the WHOLE-
+    DOLLAR grid, scaled back by 1e4 (cents² sums overflow BIGINT past
+    ~10k customers; the ~1e-5-relative grid loss is invisible in the
+    6dp shrink factor).  Per-nation means snap to 1e-6 (then every cross-nation
     term is exact), S accumulates unit-grid-snapped squares (cent²
     scale makes the unit grid ~1e-10 relative), and the shrink factor
     is one exact-operand expression reused per row.  Two aggregates +
@@ -4980,10 +4987,11 @@ def james_stein_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
         .agg(F.coalesce(F.sum("cc"), F.lit(0)).cast("long").alias("cents"))
     )
+    dollars = F.floor(F.col("cents") / 100).cast("long")
     per_nation = spend.groupBy("nation").agg(
         F.count("*").cast("long").alias("m"),
-        F.sum("cents").cast("long").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+        F.sum(dollars).cast("long").alias("sd"),
+        F.sum(dollars * dollars).cast("long").alias("qd"),
         F.floor(
             F.sum("cents").cast("double") / F.count("*") * 1e6 + 0.5
         )
@@ -4995,8 +5003,11 @@ def james_stein_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mean6").cast("long").alias("smean6"),
         F.sum("m").cast("long").alias("n_cust"),
         F.sum(
-            F.col("q").cast("double")
-            - F.col("s").cast("double") * F.col("s") / F.col("m")
+            (
+                F.col("qd").cast("double")
+                - F.col("sd").cast("double") * F.col("sd") / F.col("m")
+            )
+            * 1e4
         ).alias("ssw"),
         (F.sum("m") - F.count("*")).cast("long").alias("df_w"),
     )
