@@ -38,6 +38,11 @@ HEADLINE = [
     "dedup_exact_docs",        # exact dedup
     "minhash_dedup_docs",      # MinHash LSH dedup
     "knn_bruteforce",          # similarity search
+    "kmeans_corpus_cells",     # int-Lloyd fit — runs FIRST among the
+                               # shared-cell family so the one-time
+                               # memoized fit is attributed to the
+                               # query whose contract IS the fit (the
+                               # knn/semdedup members then reuse it)
     "knn_ivf",                 # IVF-flat ANN
     "canonical_doc_ids",       # iterative connected components
     "window_frames",           # multi-function window pass
