@@ -1013,6 +1013,14 @@ EXPECTATIONS = {
     "longest_streaks_revenue": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R408/R410: 1-row weight-total / fitted-line scalars broadcast
+    # onto 5-row / day-bounded frames
+    "welch_anova_segments": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "white_test_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -1476,3 +1476,90 @@ def test_tokenizer_fertility_matches_python(spark):
         # subword fertility is >= 1 by construction (BPE-ish splits
         # never merge across whitespace)
         assert r["fertility"] >= 1.0
+
+
+def test_welch_anova_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import welch_anova_segments
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype(
+        "int64"
+    )
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    g = m.groupby(["c_mktsegment", "c_custkey"])["cents"].sum().reset_index()
+    k = g["c_mktsegment"].nunique()
+    wj, xb, nj = [], [], []
+    for _, grp in g.groupby("c_mktsegment"):
+        x = grp["cents"].to_numpy(dtype=np.float64)
+        # engine computes the variance on the whole-dollar grid
+        d = np.floor(x / 100)
+        var = d.var(ddof=1) * 1e4
+        wj.append(len(x) / var)
+        xb.append(x.mean())
+        nj.append(len(x))
+    wj, xb, nj = np.array(wj), np.array(xb), np.array(nj)
+    wsum = wj.sum()
+    xt = (wj * xb).sum() / wsum
+    num = (wj * (xb - xt) ** 2).sum() / (k - 1)
+    lam = ((1 - wj / wsum) ** 2 / (nj - 1)).sum()
+    f = num / (1 + 2 * (k - 2) / (k**2 - 1) * lam)
+    df2 = (k**2 - 1) / (3 * lam)
+    [r] = welch_anova_segments(spark, SF_DIR).collect()
+    assert (r["k"], r["df1"]) == (k, k - 1)
+    assert abs(r["df2"] - df2) < 1e-2
+    assert abs(r["welch_f"] - f) < 1e-4
+
+
+def _trend_resid(spark):
+    d = _daily_dollars(spark)
+    y = d.to_numpy(dtype=np.float64)
+    t = np.arange(1, len(y) + 1, dtype=np.float64)
+    n = len(y)
+    b = (n * (t * y).sum() - t.sum() * y.sum()) / (
+        n * (t * t).sum() - t.sum() ** 2
+    )
+    a = (y.sum() - b * t.sum()) / n
+    return t, np.floor(y - a - b * t + 0.5)
+
+
+def test_breusch_godfrey_matches_numpy(spark):
+    from zoom_spark.queries.round10b_ops import breusch_godfrey_revenue
+
+    t, e = _trend_resid(spark)
+    # aux regression e_t on [1, t, e_{t-1}]
+    yv = e[1:]
+    x = np.column_stack([np.ones(len(yv)), t[1:], e[:-1]])
+    beta, *_ = np.linalg.lstsq(x, yv, rcond=None)
+    fitted = x @ beta
+    ssr = ((fitted - yv.mean()) ** 2).sum()
+    sst = ((yv - yv.mean()) ** 2).sum()
+    r2 = ssr / sst
+    n = len(yv)
+    [r] = breusch_godfrey_revenue(spark, SF_DIR).collect()
+    assert r["n_obs"] == n
+    assert abs(r["r2_aux"] - r2) < 1e-5
+    assert abs(r["lm_stat"] - n * r2) < 1e-2
+    assert abs(r["p_exp_df2_bound"] - math.exp(-n * r2 / 2)) < 1e-5
+
+
+def test_white_test_matches_numpy(spark):
+    from zoom_spark.queries.round10b_ops import white_test_revenue
+
+    t, e = _trend_resid(spark)
+    e4 = np.floor(e / 1e4 + 0.5)
+    yv = e4 * e4
+    x = np.column_stack([np.ones(len(yv)), t, t * t])
+    beta, *_ = np.linalg.lstsq(x, yv, rcond=None)
+    fitted = x @ beta
+    r2 = ((fitted - yv.mean()) ** 2).sum() / ((yv - yv.mean()) ** 2).sum()
+    n = len(yv)
+    [r] = white_test_revenue(spark, SF_DIR).collect()
+    assert r["n_obs"] == n
+    assert abs(r["r2_aux"] - r2) < 1e-5
+    assert abs(r["lm_stat"] - n * r2) < 1e-2
+    assert abs(r["p_value"] - math.exp(-n * r2 / 2)) < 1e-5

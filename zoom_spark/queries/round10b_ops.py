@@ -5677,3 +5677,491 @@ def tokenizer_fertility_by_lang(
             F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R408 Welch's heteroscedastic one-way ANOVA across market segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_anova_segments",
+    sql="""
+    WITH spend AS MATERIALIZED (
+      SELECT c.c_mktsegment AS seg,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    m AS MATERIALIZED (
+      -- per-group mean/variance on the whole-dollar grid (cents^2
+      -- overflows BIGINT; 1e4 scale-back below)
+      SELECT seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents // 100) AS BIGINT) AS sd,
+             CAST(sum((cents // 100) * (cents // 100)) AS BIGINT) AS qd
+      FROM spend GROUP BY seg
+    ),
+    w AS MATERIALIZED (
+      SELECT seg, n,
+             CAST(s AS DOUBLE) / n AS xbar,
+             CAST(n AS DOUBLE)
+               / ((CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)
+                  / (n - 1) * 1e4) AS wj
+      FROM m
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(wj) AS wsum,
+             sum(wj * xbar) AS wxsum
+      FROM w
+    ),
+    terms AS (
+      -- per-group contributions snapped at 1e-9 before the k-row sums
+      SELECT CAST(sum(CAST(floor(
+               w.wj * power(w.xbar - tot.wxsum / tot.wsum, 2) * 1e9 + 0.5)
+               AS BIGINT)) AS BIGINT) AS num9,
+             CAST(sum(CAST(floor(
+               power(1.0 - w.wj / tot.wsum, 2) / (w.n - 1) * 1e9 + 0.5)
+               AS BIGINT)) AS BIGINT) AS lam9
+      FROM w CROSS JOIN tot
+    )
+    SELECT tot.k,
+           CAST(tot.k - 1 AS BIGINT) AS df1,
+           round((tot.k * tot.k - 1.0)
+                 / (3.0 * (CAST(terms.lam9 AS DOUBLE) / 1e9)), 4) AS df2,
+           round((CAST(terms.num9 AS DOUBLE) / 1e9 / (tot.k - 1))
+                 / (1.0 + 2.0 * (tot.k - 2) / (tot.k * tot.k - 1.0)
+                          * (CAST(terms.lam9 AS DOUBLE) / 1e9)), 6)
+             AS welch_f
+    FROM tot CROSS JOIN terms
+    """,
+)
+def welch_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R408 Welch's heteroscedastic one-way ANOVA of customer spend
+    across the 5 market segments: F* = [Σw_j(x̄_j-x̃)²/(k-1)] /
+    [1 + 2(k-2)/(k²-1)·Λ] with w_j = n_j/s_j², x̃ = Σw_jx̄_j/Σw_j,
+    Λ = Σ(1-w_j/Σw)²/(n_j-1), Satterthwaite df2 = (k²-1)/(3Λ) — the
+    unequal-variances companion the registry's anova_f_segments
+    (classic F assumes homoscedasticity; levene/bartlett test the
+    assumption, Welch is what you run when it fails).  Group moments
+    are BIGINT (variance on the whole-dollar grid, 1e4 scale-back —
+    the james_stein overflow discipline); the k per-group numerator
+    and Λ terms are 1e-9-snapped before the 5-row sums.  One groupBy
+    + a 5-row broadcast at 100 TB."""
+    spend = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cc"),
+            ),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
+        .agg(F.sum("cc").cast("long").alias("cents"))
+    )
+    d = F.floor(F.col("cents") / 100).cast("long")
+    m = spend.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(d).cast("long").alias("sd"),
+        F.sum(d * d).cast("long").alias("qd"),
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        (
+            F.col("qd").cast("double")
+            - F.col("sd").cast("double") * F.col("sd") / nd
+        )
+        / (nd - 1)
+        * 1e4
+    )
+    w = m.select(
+        "seg",
+        "n",
+        (F.col("s").cast("double") / nd).alias("xbar"),
+        (nd / var).alias("wj"),
+    ).localCheckpoint(eager=False)
+    tot = w.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("wj").alias("wsum"),
+        F.sum(F.col("wj") * F.col("xbar")).alias("wxsum"),
+    )
+    j = w.join(F.broadcast(tot))
+    xt = F.col("wxsum") / F.col("wsum")
+    terms = j.agg(
+        F.sum(
+            F.floor(
+                F.col("wj") * F.pow(F.col("xbar") - xt, 2) * 1e9 + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("num9"),
+        F.sum(
+            F.floor(
+                F.pow(1.0 - F.col("wj") / F.col("wsum"), 2)
+                / (F.col("n") - 1)
+                * 1e9
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("lam9"),
+        F.max("k").cast("long").alias("k"),
+    )
+    kd = F.col("k").cast("double")
+    lam = F.col("lam9").cast("double") / 1e9
+    return terms.select(
+        "k",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        F.round((kd * kd - 1.0) / (3.0 * lam), 4).alias("df2"),
+        F.round(
+            (F.col("num9").cast("double") / 1e9 / (kd - 1))
+            / (1.0 + 2.0 * (kd - 2) / (kd * kd - 1.0) * lam),
+            6,
+        ).alias("welch_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R409 Breusch-Godfrey LM test for serial correlation (1 lag)
+# ---------------------------------------------------------------------------
+
+_TREND_RESID_SQL = f"""
+    d AS MATERIALIZED ({_ADF_SERIES_SQL}),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             (CAST(count(*) AS DOUBLE) * sum(t * y)
+              - CAST(sum(t) AS DOUBLE) * sum(y))
+             / (CAST(count(*) AS DOUBLE) * sum(t * t)
+                - CAST(sum(t) AS DOUBLE) * sum(t)) AS b,
+             (CAST(sum(y) AS DOUBLE)
+              - (CAST(count(*) AS DOUBLE) * sum(t * y)
+                 - CAST(sum(t) AS DOUBLE) * sum(y))
+                / (CAST(count(*) AS DOUBLE) * sum(t * t)
+                   - CAST(sum(t) AS DOUBLE) * sum(t)) * sum(t))
+             / count(*) AS a
+      FROM d
+    ),
+    resid AS MATERIALIZED (
+      -- whole-dollar-snapped residuals (exact-operand fitted values)
+      SELECT d.t,
+             CAST(floor(d.y - fit.a - fit.b * d.t + 0.5) AS BIGINT) AS e
+      FROM d CROSS JOIN fit
+    )
+"""
+
+
+@register(
+    "breusch_godfrey_revenue",
+    sql=f"""
+    WITH {_TREND_RESID_SQL},
+    reg AS MATERIALIZED (
+      SELECT cur.t AS t, cur.e AS e, p.e AS el
+      FROM resid cur JOIN resid p ON p.t = cur.t - 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(el) AS BIGINT) AS sl,
+             CAST(sum(e) AS BIGINT) AS se,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(t * el) AS BIGINT) AS stl,
+             CAST(sum(el * el) AS BIGINT) AS sll,
+             CAST(sum(t * e) AS BIGINT) AS ste,
+             CAST(sum(el * e) AS BIGINT) AS sle,
+             CAST(sum(e * e) AS BIGINT) AS see
+      FROM reg
+    ),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st AS a11,
+             CAST(n AS DOUBLE) * stl - CAST(st AS DOUBLE) * sl AS a12,
+             CAST(n AS DOUBLE) * sll - CAST(sl AS DOUBLE) * sl AS a22,
+             CAST(n AS DOUBLE) * ste - CAST(st AS DOUBLE) * se AS b1,
+             CAST(n AS DOUBLE) * sle - CAST(sl AS DOUBLE) * se AS b2,
+             CAST(n AS DOUBLE) * see - CAST(se AS DOUBLE) * se AS syy
+      FROM m
+    )
+    SELECT n AS n_obs,
+           round((b1 * (b1 * a22 - b2 * a12)
+                  + b2 * (b2 * a11 - b1 * a12))
+                 / ((a11 * a22 - a12 * a12) * syy), 6) AS r2_aux,
+           round(CAST(n AS DOUBLE)
+                 * (b1 * (b1 * a22 - b2 * a12)
+                    + b2 * (b2 * a11 - b1 * a12))
+                 / ((a11 * a22 - a12 * a12) * syy), 6) AS lm_stat,
+           round(exp(-0.5 * CAST(n AS DOUBLE)
+                 * (b1 * (b1 * a22 - b2 * a12)
+                    + b2 * (b2 * a11 - b1 * a12))
+                 / ((a11 * a22 - a12 * a12) * syy)) *
+                 (1.0 + 0.0), 6) AS p_exp_df2_bound
+    FROM c
+    """,
+)
+def breusch_godfrey_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R409 Breusch-Godfrey LM test for serial correlation in the
+    daily-revenue trend residuals, 1 lag: regress e_t on [1, t,
+    e_{{t-1}}]; LM = n·R²_aux ~ χ²(1) — the registry's
+    durbin_watson is the classic first-order statistic with an
+    inconclusive region and no higher-order path; BG is the modern LM
+    form (and, unlike DW, valid with lagged regressors).  Residuals
+    are snapped to the whole-dollar grid (exact-operand fitted values
+    → identical BIGINTs on both engines), so every aux-regression
+    moment is a BIGINT and R² is one closed form (centered 2×2
+    Cramer).  The emitted exp(-LM/2) is the χ²(2)-form upper bound on
+    the df=1 p-value (df=1 needs erf; the bound is monotone in LM and
+    cross-engine exact).  Day-frame joins only."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .select("y", "t")
+        .localCheckpoint(eager=False)
+    )
+    fit = d.agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            (
+                F.count("*").cast("double") * F.sum(F.col("t") * F.col("y"))
+                - F.sum("t").cast("double") * F.sum("y")
+            )
+            / (
+                F.count("*").cast("double") * F.sum(F.col("t") * F.col("t"))
+                - F.sum("t").cast("double") * F.sum("t")
+            )
+        ).alias("b"),
+    )
+    fit = (
+        d.join(F.broadcast(fit))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("b").alias("b"),
+            (
+                (F.sum("y").cast("double") - F.max("b") * F.sum("t"))
+                / F.count("*")
+            ).alias("a"),
+        )
+    )
+    resid = (
+        d.join(F.broadcast(fit))
+        .select(
+            "t",
+            F.floor(
+                F.col("y") - F.col("a") - F.col("b") * F.col("t") + 0.5
+            )
+            .cast("long")
+            .alias("e"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cur = resid.select(F.col("t").alias("tc"), F.col("e").alias("e"))
+    p = resid.select(F.col("t").alias("tp_"), F.col("e").alias("el"))
+    reg = cur.join(p, F.col("tp_") == F.col("tc") - 1).select(
+        F.col("tc").alias("t"), "e", "el"
+    )
+    m = reg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("el").cast("long").alias("sl"),
+        F.sum("e").cast("long").alias("se"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("el")).cast("long").alias("stl"),
+        F.sum(F.col("el") * F.col("el")).cast("long").alias("sll"),
+        F.sum(F.col("t") * F.col("e")).cast("long").alias("ste"),
+        F.sum(F.col("el") * F.col("e")).cast("long").alias("sle"),
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("see"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    a12 = nd * F.col("stl") - F.col("st").cast("double") * F.col("sl")
+    a22 = nd * F.col("sll") - F.col("sl").cast("double") * F.col("sl")
+    b1 = nd * F.col("ste") - F.col("st").cast("double") * F.col("se")
+    b2 = nd * F.col("sle") - F.col("sl").cast("double") * F.col("se")
+    syy = nd * F.col("see") - F.col("se").cast("double") * F.col("se")
+    det = a11 * a22 - a12 * a12
+    r2 = (b1 * (b1 * a22 - b2 * a12) + b2 * (b2 * a11 - b1 * a12)) / (
+        det * syy
+    )
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(nd * r2, 6).alias("lm_stat"),
+        F.round(F.exp(-0.5 * nd * r2) * (1.0 + 0.0), 6).alias(
+            "p_exp_df2_bound"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R410 White test for heteroskedasticity of the revenue trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "white_test_revenue",
+    sql=f"""
+    WITH {_TREND_RESID_SQL},
+    sq AS MATERIALIZED (
+      -- squared residuals on the 10k-dollar grid: e4 = floor(e/1e4 +
+      -- 0.5) keeps e4^2 products BIGINT through the t^2 regressors
+      SELECT t,
+             CAST(floor(CAST(e AS DOUBLE) / 1e4 + 0.5) AS BIGINT) AS e4
+      FROM resid
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS s1,
+             CAST(sum(t * t) AS BIGINT) AS s2,
+             CAST(sum(t * t * t) AS BIGINT) AS s3,
+             CAST(sum(t * t * t * t) AS BIGINT) AS s4,
+             CAST(sum(e4 * e4) AS BIGINT) AS sy,
+             CAST(sum(t * e4 * e4) AS BIGINT) AS sy1,
+             CAST(sum(t * t * e4 * e4) AS BIGINT) AS sy2,
+             CAST(sum(e4 * e4 * e4 * e4) AS BIGINT) AS syy
+      FROM sq
+    ),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1 AS a11,
+             CAST(n AS DOUBLE) * s3 - CAST(s1 AS DOUBLE) * s2 AS a12,
+             CAST(n AS DOUBLE) * s4 - CAST(s2 AS DOUBLE) * s2 AS a22,
+             CAST(n AS DOUBLE) * sy1 - CAST(s1 AS DOUBLE) * sy AS b1,
+             CAST(n AS DOUBLE) * sy2 - CAST(s2 AS DOUBLE) * sy AS b2,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vyy
+      FROM m
+    )
+    SELECT n AS n_obs,
+           round((b1 * (b1 * a22 - b2 * a12)
+                  + b2 * (b2 * a11 - b1 * a12))
+                 / ((a11 * a22 - a12 * a12) * vyy), 6) AS r2_aux,
+           round(CAST(n AS DOUBLE)
+                 * (b1 * (b1 * a22 - b2 * a12)
+                    + b2 * (b2 * a11 - b1 * a12))
+                 / ((a11 * a22 - a12 * a12) * vyy), 6) AS lm_stat,
+           round(exp(-0.5 * CAST(n AS DOUBLE)
+                 * (b1 * (b1 * a22 - b2 * a12)
+                    + b2 * (b2 * a11 - b1 * a12))
+                 / ((a11 * a22 - a12 * a12) * vyy)), 6) AS p_value
+    FROM c
+    """,
+)
+def white_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R410 White (1980) test for heteroskedasticity of the daily-
+    revenue trend: regress the squared residuals on [1, t, t²]; LM =
+    n·R²_aux ~ χ²(2), whose p-value is the CLOSED FORM exp(-LM/2) —
+    completing the residual-diagnostic triple with breusch_pagan
+    (Koenker form, same regressor) and breusch_godfrey (serial
+    correlation): White's squared-regressor term catches variance
+    curvature BP's linear form misses, with no normality assumption.
+    Residuals ride the shared whole-dollar snap; their SQUARES drop
+    to the 10⁴-dollar grid (e⁴ sums overflow BIGINT on the dollar
+    grid — the grid is ~0.3% of the residual sd, invisible at 6dp on
+    R²), making every aux moment a BIGINT and R² one centered 2×2
+    Cramer closed form.  Day-frame only."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("day")).cast("long")
+        )
+        .select("y", "t")
+        .localCheckpoint(eager=False)
+    )
+    fit = d.agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            (
+                F.count("*").cast("double") * F.sum(F.col("t") * F.col("y"))
+                - F.sum("t").cast("double") * F.sum("y")
+            )
+            / (
+                F.count("*").cast("double") * F.sum(F.col("t") * F.col("t"))
+                - F.sum("t").cast("double") * F.sum("t")
+            )
+        ).alias("b"),
+    )
+    fit = (
+        d.join(F.broadcast(fit))
+        .agg(
+            F.max("b").alias("b"),
+            (
+                (F.sum("y").cast("double") - F.max("b") * F.sum("t"))
+                / F.count("*")
+            ).alias("a"),
+        )
+    )
+    sq = d.join(F.broadcast(fit)).select(
+        "t",
+        F.floor(
+            F.floor(
+                F.col("y") - F.col("a") - F.col("b") * F.col("t") + 0.5
+            ).cast("double")
+            / 1e4
+            + 0.5
+        )
+        .cast("long")
+        .alias("e4"),
+    )
+    t = F.col("t")
+    e2 = F.col("e4") * F.col("e4")
+    m = sq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(t).cast("long").alias("s1"),
+        F.sum(t * t).cast("long").alias("s2"),
+        F.sum(t * t * t).cast("long").alias("s3"),
+        F.sum(t * t * t * t).cast("long").alias("s4"),
+        F.sum(e2).cast("long").alias("sy"),
+        F.sum(t * e2).cast("long").alias("sy1"),
+        F.sum(t * t * e2).cast("long").alias("sy2"),
+        F.sum(e2 * e2).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1")
+    a12 = nd * F.col("s3") - F.col("s1").cast("double") * F.col("s2")
+    a22 = nd * F.col("s4") - F.col("s2").cast("double") * F.col("s2")
+    b1 = nd * F.col("sy1") - F.col("s1").cast("double") * F.col("sy")
+    b2 = nd * F.col("sy2") - F.col("s2").cast("double") * F.col("sy")
+    vyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    r2 = (b1 * (b1 * a22 - b2 * a12) + b2 * (b2 * a11 - b1 * a12)) / (
+        det * vyy
+    )
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(nd * r2, 6).alias("lm_stat"),
+        F.round(F.exp(-0.5 * nd * r2), 6).alias("p_value"),
+    )
