@@ -1021,6 +1021,11 @@ EXPECTATIONS = {
     "white_test_revenue": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R411: 1-row total/level-sum scalars crossed onto the <=21-row
+    # cell frame (ranks ride the two-phase prefix scan)
+    "scheirer_ray_hare_test": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -1563,3 +1563,50 @@ def test_white_test_matches_numpy(spark):
     assert abs(r["r2_aux"] - r2) < 1e-5
     assert abs(r["lm_stat"] - n * r2) < 1e-2
     assert abs(r["p_value"] - math.exp(-n * r2 / 2)) < 1e-5
+
+
+def test_scheirer_ray_hare_matches_python(spark):
+    from zoom_spark.queries.round10b_ops import scheirer_ray_hare_test
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    anchor = pd.Timestamp("1990-01-01")
+    wd = ((o["o_orderdate"].dt.normalize() - anchor).dt.days % 7).astype(int)
+
+    def bucket(p):
+        if p in ("1-URGENT", "2-HIGH"):
+            return 0
+        if p == "3-MEDIUM":
+            return 1
+        return 2
+
+    pb = o["o_orderpriority"].map(bucket)
+    cents = (o["o_totalprice"] * 100 + 0.5).apply(math.floor).astype("int64")
+    ranks = pd.Series(cents).rank(method="average").to_numpy()
+    n = len(o)
+    df = pd.DataFrame({"wd": wd, "pb": pb, "r": ranks})
+    # textbook SRH: SS on ranks / MS_total(ranks); compare against
+    # the engine's H values (the engine works on the 2x grid and
+    # unit-snaps T^2/m — ~1e-14 relative, invisible here)
+    ms = df["r"].var(ddof=1)
+    grand = df["r"].sum()
+
+    def ss(groupcols):
+        g = df.groupby(groupcols)["r"].agg(["sum", "size"])
+        return (g["sum"] ** 2 / g["size"]).sum() - grand**2 / n
+
+    h_a = ss("wd") / ms
+    h_b = ss("pb") / ms
+    h_ab = (ss(["wd", "pb"]) - ss("wd") - ss("pb")) / ms + 0.0
+    [r] = scheirer_ray_hare_test(spark, SF_DIR).collect()
+    assert r["n_orders"] == n
+    assert abs(r["h_weekday"] - h_a) < 1e-4
+    assert abs(r["h_priority"] - h_b) < 1e-4
+    assert abs(r["h_interaction"] - h_ab) < 1e-4
+    assert (r["df_weekday"], r["df_priority"], r["df_interaction"]) == (
+        6,
+        2,
+        12,
+    )
+    assert abs(r["p_priority"] - math.exp(-h_b / 2)) < 1e-5

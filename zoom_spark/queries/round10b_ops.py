@@ -6165,3 +6165,207 @@ def white_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nd * r2, 6).alias("lm_stat"),
         F.round(F.exp(-0.5 * nd * r2), 6).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R411 Scheirer-Ray-Hare nonparametric two-way ANOVA on ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scheirer_ray_hare_test",
+    sql=f"""
+    WITH obs AS MATERIALIZED (
+      SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 7
+                  AS BIGINT) AS wd,
+             CAST({_PRIO_BUCKET_SQL} AS BIGINT) AS pb,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    vals AS MATERIALIZED (
+      SELECT cents, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(count(*)) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM obs GROUP BY cents
+    ),
+    r AS MATERIALIZED (
+      -- 2x-midrank per distinct value: 2*(cum-t) + t + 1
+      SELECT cents, CAST(2 * (cum - t) + t + 1 AS BIGINT) AS r2
+      FROM vals
+    ),
+    ranked AS MATERIALIZED (
+      SELECT o.wd, o.pb, r.r2 FROM obs o JOIN r ON r.cents = o.cents
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2) AS BIGINT) AS s,
+             CAST(sum(r2 * r2) AS BIGINT) AS ss
+      FROM ranked
+    ),
+    cells AS MATERIALIZED (
+      SELECT wd, pb, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(r2) AS BIGINT) AS t2
+      FROM ranked GROUP BY wd, pb
+    ),
+    -- per-level/per-cell T^2/m terms snapped on the UNIT grid before
+    -- the BIGINT sums (the terms are ~1e14 at sf0.1: T2^2 overflows
+    -- BIGINT and a finer snap grid would too; unit grid = 1e-14
+    -- relative, far below the 6dp output)
+    sa AS (
+      SELECT CAST(sum(CAST(floor(CAST(t2 AS DOUBLE) * t2 / m + 0.5)
+                           AS BIGINT)) AS BIGINT) AS v6
+      FROM (SELECT wd, CAST(sum(m) AS BIGINT) AS m,
+                   CAST(sum(t2) AS BIGINT) AS t2 FROM cells GROUP BY wd)
+    ),
+    sb AS (
+      SELECT CAST(sum(CAST(floor(CAST(t2 AS DOUBLE) * t2 / m + 0.5)
+                           AS BIGINT)) AS BIGINT) AS v6
+      FROM (SELECT pb, CAST(sum(m) AS BIGINT) AS m,
+                   CAST(sum(t2) AS BIGINT) AS t2 FROM cells GROUP BY pb)
+    ),
+    sab AS (
+      SELECT CAST(sum(CAST(floor(CAST(t2 AS DOUBLE) * t2 / m + 0.5)
+                           AS BIGINT)) AS BIGINT) AS v6
+      FROM cells
+    )
+    SELECT tot.n AS n_orders,
+           round((CAST(sa.v6 AS DOUBLE)
+                  - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                 / ((CAST(tot.ss AS DOUBLE)
+                     - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                    / (tot.n - 1)), 6) AS h_weekday,
+           round((CAST(sb.v6 AS DOUBLE)
+                  - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                 / ((CAST(tot.ss AS DOUBLE)
+                     - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                    / (tot.n - 1)), 6) AS h_priority,
+           round((CAST(sab.v6 AS DOUBLE)
+                  - CAST(sa.v6 AS DOUBLE)
+                  - CAST(sb.v6 AS DOUBLE)
+                  + CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                 / ((CAST(tot.ss AS DOUBLE)
+                     - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                    / (tot.n - 1)), 6) AS h_interaction,
+           CAST(6 AS BIGINT) AS df_weekday,
+           CAST(2 AS BIGINT) AS df_priority,
+           CAST(12 AS BIGINT) AS df_interaction,
+           round(exp(-0.5 *
+                 (CAST(sb.v6 AS DOUBLE)
+                  - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                 / ((CAST(tot.ss AS DOUBLE)
+                     - CAST(tot.s AS DOUBLE) * tot.s / tot.n)
+                    / (tot.n - 1))), 6) AS p_priority
+    FROM tot CROSS JOIN sa CROSS JOIN sb CROSS JOIN sab
+    """,
+)
+def scheirer_ray_hare_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R411 Scheirer-Ray-Hare (1976) nonparametric TWO-WAY ANOVA on
+    ranks: order values globally midranked, factors weekday (7) ×
+    priority bucket (3); H_factor = SS_factor(ranks)/MS_total(ranks)
+    ~ χ²(df), including the INTERACTION term — the crossed-design
+    extension of the registry's one-way Kruskal-Wallis and the
+    blocked Friedman/Quade (neither tests an interaction).  Ranks
+    ride the 2×midrank grid via the two-phase prefix scan over
+    distinct cent values (the cuzick spelling); level/cell rank sums
+    are BIGINTs; each T²/m term is UNIT-grid-snapped before its ≤21-row
+    sum (T² itself would overflow, so the division runs in
+    exact-operand doubles); MS_total comes from BIGINT Σr², Σr.
+    df=2 priority p-value is the closed-form exp(-H/2).  One rank
+    scan + two hash aggregates at 100 TB."""
+    from zoom_spark.operators.prefix import prefix_sum
+
+    wd = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        % 7
+    ).cast("long")
+    pb = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    obs = load_table(spark, sf_dir, "orders").select(
+        wd.alias("wd"),
+        pb.alias("pb"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    vals = prefix_sum(
+        obs.groupBy("cents").agg(F.count("*").cast("long").alias("t")),
+        "cents",
+        "t",
+        out_col="cum",
+    ).select(
+        "cents",
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    ranked = obs.join(vals, on="cents").select("wd", "pb", "r2")
+    ranked = ranked.localCheckpoint(eager=False)
+    tot = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2").cast("long").alias("s"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("ss"),
+    )
+    cells = ranked.groupBy("wd", "pb").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("r2").cast("long").alias("t2"),
+    ).localCheckpoint(eager=False)
+
+    def level_sum(frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.sum(
+                F.floor(
+                    F.col("t2").cast("double")
+                    * F.col("t2")
+                    / F.col("m")
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("v6")
+        )
+
+    sa = level_sum(
+        cells.groupBy("wd").agg(
+            F.sum("m").cast("long").alias("m"),
+            F.sum("t2").cast("long").alias("t2"),
+        )
+    ).withColumnRenamed("v6", "sa6")
+    sb = level_sum(
+        cells.groupBy("pb").agg(
+            F.sum("m").cast("long").alias("m"),
+            F.sum("t2").cast("long").alias("t2"),
+        )
+    ).withColumnRenamed("v6", "sb6")
+    sab = level_sum(cells).withColumnRenamed("v6", "sab6")
+    j = tot.join(F.broadcast(sa)).join(F.broadcast(sb)).join(
+        F.broadcast(sab)
+    )
+    nd = F.col("n").cast("double")
+    corr = F.col("s").cast("double") * F.col("s") / nd
+    ms = (F.col("ss").cast("double") - corr) / (nd - 1)
+    h_a = (F.col("sa6").cast("double") - corr) / ms
+    h_b = (F.col("sb6").cast("double") - corr) / ms
+    h_ab = (
+        F.col("sab6").cast("double")
+        - F.col("sa6").cast("double")
+        - F.col("sb6").cast("double")
+        + corr
+    ) / ms
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.round(h_a, 6).alias("h_weekday"),
+        F.round(h_b, 6).alias("h_priority"),
+        F.round(h_ab, 6).alias("h_interaction"),
+        F.lit(6).cast("long").alias("df_weekday"),
+        F.lit(2).cast("long").alias("df_priority"),
+        F.lit(12).cast("long").alias("df_interaction"),
+        F.round(F.exp(-0.5 * h_b), 6).alias("p_priority"),
+    )
