@@ -76,4 +76,5 @@ from zoom_spark.queries import round8_ops  # noqa: E402,F401
 from zoom_spark.queries import round9_ops  # noqa: E402,F401
 from zoom_spark.queries import round10_ops  # noqa: E402,F401
 from zoom_spark.queries import round10b_ops  # noqa: E402,F401
+from zoom_spark.queries import round10c_ops  # noqa: E402,F401
 from zoom_spark.queries.parity import flagship_delta  # noqa: E402,F401

@@ -1,0 +1,598 @@
+"""Round-10 third-wave operator additions (R412+, SURVEY.md §2.19).
+
+Families, concept-grepped against the 520-query registry first (the
+round-7 lesson — mann_kendall exists but its Hirsch-Slack SEASONAL
+variant does not; pearson chi-square and cramers_v exist but the
+likelihood-ratio G-test does not; gk_gamma exists but Goodman-Kruskal
+LAMBDA does not; js_divergence exists but the contingency
+mutual-information / Theil's-U panel does not):
+
+- seasonal trend: Hirsch-Slack seasonal Mann-Kendall
+- contingency: likelihood-ratio G-test, Goodman-Kruskal lambda,
+  mutual information + uncertainty coefficients
+- evidence pooling: Fisher/Stouffer p-value combination,
+  DerSimonian-Laird meta-analysis, Egger funnel asymmetry
+- survival: Harrell's concordance index
+- forecasting: Croston / SBA intermittent demand
+- effect size: Vargha-Delaney A
+- robust screening: Hampel rolling median/MAD filter
+- normality: probability-plot correlation (PPCC, Blom positions)
+- variance homogeneity: Hartley F-max + Cochran's C panel
+- sequence mining: first-occurrence event-type 2-sequences
+- sketches: count-min (portable md5), AMS F2 median-of-means
+- graph: bounded BFS eccentricity panel
+
+Engine-parity discipline (shared with rounds 4-10b): integer-exact
+arithmetic wherever inputs quantize once (cent/dollar grids,
+indicator sums); raw INTEGER moments kept in BIGINT and cast to
+double only at the closed form; per-term 1e-9 snaps (floor(x*1e9+0.5)
+-> BIGINT) before cross-row double sums so the reduction is order-free;
+outputs snapped with the shared round(x, 6) spelling.
+
+Reference parity note: the reference (kippnorcal/zoom, main.py:1-537)
+is an API-ingest ETL with no statistics surface; these operators are
+part of the mandated north-star analytics extension (SURVEY.md §2.11+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zoom_spark.io import load_table
+from zoom_spark.queries import register
+
+# Abramowitz-Stegun 7.1.26 erf polynomial (repo-shared constants,
+# survival._ERF_P_SQL) — spelled identically on both engines.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _phi_sql(z: str) -> str:
+    """Standard normal CDF via the A-S erf polynomial (SQL)."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = " + ".join(
+        f"({a}) * power({t}, {i + 1})" for i, a in enumerate(_AS_A)
+    )
+    erf = f"(1.0 - ({poly}) * exp(-({x}) * ({x})))"
+    return (
+        f"(0.5 * (1.0 + (CASE WHEN {z} >= 0 THEN 1.0 ELSE -1.0 END)"
+        f" * {erf}))"
+    )
+
+
+def _phi_col(z):
+    """Standard normal CDF via the A-S erf polynomial (Spark column,
+    same expression tree as _phi_sql)."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + _AS_P * x)
+    poly = None
+    for i, a in enumerate(_AS_A):
+        term = F.lit(a) * F.pow(t, float(i + 1))
+        poly = term if poly is None else poly + term
+    erf = 1.0 - poly * F.exp(-x * x)
+    return 0.5 * (
+        1.0 + F.when(z >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)) * erf
+    )
+
+
+# ---------------------------------------------------------------------------
+# R412 Hirsch-Slack seasonal Mann-Kendall trend test (weekday seasons)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_mann_kendall_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 7
+                  AS BIGINT) AS dow,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN a.y < b.y THEN 1
+                           WHEN a.y > b.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_total
+      FROM d a JOIN d b ON a.dow = b.dow AND a.day < b.day
+    ),
+    nk AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dow
+    ),
+    ties AS (
+      SELECT dow,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (
+        SELECT dow, CAST(count(*) AS BIGINT) AS t
+        FROM d GROUP BY dow, y
+      ) GROUP BY dow
+    ),
+    v AS (
+      SELECT CAST(sum(nk.n * (nk.n - 1) * (2 * nk.n + 5)
+                      - coalesce(ties.tie_term, 0)) AS BIGINT) AS var18,
+             CAST(sum(nk.n) AS BIGINT) AS n_days
+      FROM nk LEFT JOIN ties ON nk.dow = ties.dow
+    )
+    SELECT n_days, s_total, var18,
+           round((CAST(s_total AS DOUBLE)
+                  - (CASE WHEN s_total > 0 THEN 1.0
+                          WHEN s_total < 0 THEN -1.0 ELSE 0.0 END))
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS z_stat,
+           round(2.0 * (1.0 - {_phi_sql('''
+                 abs((CAST(s_total AS DOUBLE)
+                      - (CASE WHEN s_total > 0 THEN 1.0
+                              WHEN s_total < 0 THEN -1.0 ELSE 0.0 END))
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0))''')}), 6)
+             AS p_value
+    FROM s, v
+    """,
+)
+def seasonal_mann_kendall_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R412 Hirsch-Slack (1984) seasonal Mann-Kendall trend test on
+    daily revenue with weekday seasons: the MK pairwise sign sum S_k
+    is computed WITHIN each of the 7 weekday series (so the weekly
+    cycle that the registry's plain mann_kendall_revenue_trend must
+    absorb into its variance never enters the statistic), then S and
+    the tie-corrected variances are summed across seasons.  S is a
+    pure BIGINT (pairwise signs over whole-dollar daily revenue), and
+    18*Var is a BIGINT too — z and the two-sided normal p (shared A-S
+    erf spelling) are closed forms of exact operands.  The pair join
+    is calendar-bounded: days x days within a weekday is ~(T/7)^2 * 7
+    pairs, fixed by the date span, NOT by row volume — the fact table
+    collapses to days first, so 100 TB of orders still produces the
+    same ~2.4k-row day frame."""
+    day = F.col("o_orderdate").cast("date")
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            "day",
+            "y",
+            (
+                F.datediff(F.col("day"), F.lit("1990-01-01").cast("date"))
+                % 7
+            )
+            .cast("long")
+            .alias("dow"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = d.select(
+        F.col("dow").alias("dow_a"),
+        F.col("day").alias("day_a"),
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("dow").alias("dow_b"),
+        F.col("day").alias("day_b"),
+        F.col("y").alias("yb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("dow_a") == F.col("dow_b"))
+            & (F.col("day_a") < F.col("day_b")),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ya") < F.col("yb"), 1)
+                .when(F.col("ya") > F.col("yb"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_total")
+        )
+    )
+    nk = d.groupBy("dow").agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        d.groupBy("dow", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nk.join(ties, on="dow", how="left")
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            .cast("long")
+            .alias("var18"),
+            F.sum("n").cast("long").alias("n_days"),
+        )
+    )
+    out = s.crossJoin(v)
+    s_d = F.col("s_total").cast("double")
+    corr = (
+        F.when(F.col("s_total") > 0, F.lit(1.0))
+        .when(F.col("s_total") < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    z = (s_d - corr) / F.sqrt(F.col("var18").cast("double") / 18.0)
+    return out.select(
+        "n_days",
+        "s_total",
+        "var18",
+        F.round(z, 6).alias("z_stat"),
+        F.round(2.0 * (1.0 - _phi_col(F.abs(z))), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R413 likelihood-ratio G-test on the priority x market-segment table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_test_priority_segment",
+    sql="""
+    WITH cells AS MATERIALIZED (
+      SELECT o.o_orderpriority AS pri, c.c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS o_cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_orderpriority, c.c_mktsegment
+    ),
+    marg AS (
+      SELECT cells.*,
+             CAST(sum(o_cnt) OVER (PARTITION BY pri) AS BIGINT) AS r_tot,
+             CAST(sum(o_cnt) OVER (PARTITION BY seg) AS BIGINT) AS c_tot,
+             CAST(sum(o_cnt) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT n,
+             CAST(count(*) OVER () AS BIGINT) AS n_cells,
+             CAST(floor(CAST(o_cnt AS DOUBLE)
+                        * ln(CAST(o_cnt AS DOUBLE) * n
+                             / (CAST(r_tot AS DOUBLE) * c_tot))
+                        * 1e9 + 0.5) AS BIGINT) AS g_term,
+             CAST(floor(
+               power(CAST(o_cnt AS DOUBLE)
+                     - CAST(r_tot AS DOUBLE) * c_tot / n, 2)
+               / (CAST(r_tot AS DOUBLE) * c_tot / n) * 1e9 + 0.5)
+               AS BIGINT) AS x_term
+      FROM marg
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(n_cells) AS BIGINT) AS n_cells,
+           CAST(16 AS BIGINT) AS df,
+           round(2.0 * sum(g_term) / 1e9, 6) AS g_stat,
+           round(sum(x_term) / 1e9, 6) AS chi2_stat
+    FROM terms
+    """,
+)
+def g_test_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R413 likelihood-ratio G-test of independence on the 5x5 order
+    priority x customer market-segment contingency table: G = 2 Σ O_ij
+    ln(O_ij N / (R_i C_j)) — the LR twin of the registry's Pearson
+    chi-square / Cramer's V family (G is additive under table
+    partitions, which Pearson is not).  Cell counts and margins are
+    BIGINTs from one fact-dim join + groupBy (the dim side is
+    customer, joined on the shuffle key — at 100 TB this is the
+    standard hash join + 25-cell aggregate, no driver state); the
+    25 per-cell ln terms are 1e-9-snapped to BIGINTs so the
+    reduction is order-free, and Pearson chi-square is emitted from
+    the same frame as a cross-check column.  df = (5-1)(5-1) = 16."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderpriority").alias("pri"))
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_mktsegment").alias("seg")
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("pri", "seg")
+        .agg(F.count("*").cast("long").alias("o_cnt"))
+    )
+    marg = cells.select(
+        "pri",
+        "seg",
+        "o_cnt",
+        F.sum("o_cnt").over(Window.partitionBy("pri")).cast("long").alias(
+            "r_tot"
+        ),
+        F.sum("o_cnt").over(Window.partitionBy("seg")).cast("long").alias(
+            "c_tot"
+        ),
+        F.sum("o_cnt")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    o_d = F.col("o_cnt").cast("double")
+    e_d = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    terms = marg.select(
+        "n",
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n_cells"),
+        F.floor(
+            o_d
+            * F.log(
+                o_d * F.col("n") / (F.col("r_tot").cast("double") * F.col("c_tot"))
+            )
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("g_term"),
+        F.floor(F.pow(o_d - e_d, 2) / e_d * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("x_term"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max("n_cells").cast("long").alias("n_cells"),
+        F.lit(16).cast("long").alias("df"),
+        F.round(2.0 * F.sum("g_term") / 1e9, 6).alias("g_stat"),
+        F.round(F.sum("x_term") / 1e9, 6).alias("chi2_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R414 Goodman-Kruskal lambda (proportional reduction in error)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gk_lambda_priority_segment",
+    sql="""
+    WITH cells AS MATERIALIZED (
+      SELECT o.o_orderpriority AS pri, c.c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS o_cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_orderpriority, c.c_mktsegment
+    ),
+    rowmax AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS sum_rowmax
+      FROM (SELECT max(o_cnt) AS mx FROM cells GROUP BY pri)
+    ),
+    colmax AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS sum_colmax
+      FROM (SELECT max(o_cnt) AS mx FROM cells GROUP BY seg)
+    ),
+    marg AS (
+      SELECT CAST(sum(o_cnt) AS BIGINT) AS n,
+             CAST(max(r_tot) AS BIGINT) AS max_rtot,
+             CAST(max(c_tot) AS BIGINT) AS max_ctot
+      FROM (
+        SELECT o_cnt,
+               sum(o_cnt) OVER (PARTITION BY pri) AS r_tot,
+               sum(o_cnt) OVER (PARTITION BY seg) AS c_tot
+        FROM cells
+      )
+    )
+    SELECT n AS n_orders, sum_rowmax, sum_colmax, max_rtot, max_ctot,
+           round(CAST(sum_rowmax - max_ctot AS DOUBLE)
+                 / CAST(n - max_ctot AS DOUBLE), 6) AS lambda_seg_given_pri,
+           round(CAST(sum_colmax - max_rtot AS DOUBLE)
+                 / CAST(n - max_rtot AS DOUBLE), 6) AS lambda_pri_given_seg,
+           round(CAST(sum_rowmax + sum_colmax - max_ctot - max_rtot
+                      AS DOUBLE)
+                 / CAST(2 * n - max_ctot - max_rtot AS DOUBLE), 6)
+             AS lambda_symmetric
+    FROM marg, rowmax, colmax
+    """,
+)
+def gk_lambda_priority_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R414 Goodman-Kruskal lambda (1954) on the priority x segment
+    table: the proportional-reduction-in-error association measure —
+    lambda(Y|X) = (Σ_x max_y O_xy - max_y C_y) / (N - max_y C_y) —
+    the modal-prediction twin of the registry's gk_gamma (which is
+    ordinal; lambda is nominal).  Every numerator and denominator is
+    a pure BIGINT from the 25-cell contingency frame (cell maxima per
+    row/column plus the modal margins), so the three lambdas
+    (Y|X, X|Y, symmetric) are single exact-operand ratios.  Wrong-
+    prediction asymmetry note: lambda is 0 whenever the modal column
+    is the same in every row — a documented property, not a bug."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderpriority").alias("pri"))
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_mktsegment").alias("seg")
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("pri", "seg")
+        .agg(F.count("*").cast("long").alias("o_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    rowmax = (
+        cells.groupBy("pri")
+        .agg(F.max("o_cnt").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("sum_rowmax"))
+    )
+    colmax = (
+        cells.groupBy("seg")
+        .agg(F.max("o_cnt").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("sum_colmax"))
+    )
+    marg = (
+        cells.select(
+            "o_cnt",
+            F.sum("o_cnt")
+            .over(Window.partitionBy("pri"))
+            .alias("r_tot"),
+            F.sum("o_cnt")
+            .over(Window.partitionBy("seg"))
+            .alias("c_tot"),
+        )
+        .agg(
+            F.sum("o_cnt").cast("long").alias("n"),
+            F.max("r_tot").cast("long").alias("max_rtot"),
+            F.max("c_tot").cast("long").alias("max_ctot"),
+        )
+    )
+    out = marg.crossJoin(rowmax).crossJoin(colmax)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        F.col("n").alias("n_orders"),
+        "sum_rowmax",
+        "sum_colmax",
+        "max_rtot",
+        "max_ctot",
+        F.round(
+            (d("sum_rowmax") - d("max_ctot")) / (d("n") - d("max_ctot")), 6
+        ).alias("lambda_seg_given_pri"),
+        F.round(
+            (d("sum_colmax") - d("max_rtot")) / (d("n") - d("max_rtot")), 6
+        ).alias("lambda_pri_given_seg"),
+        F.round(
+            (d("sum_rowmax") + d("sum_colmax") - d("max_ctot") - d("max_rtot"))
+            / (2 * d("n") - d("max_ctot") - d("max_rtot")),
+            6,
+        ).alias("lambda_symmetric"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R415 mutual information + Theil's uncertainty coefficients
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "uncertainty_coefficient_panel",
+    sql="""
+    WITH cells AS MATERIALIZED (
+      SELECT o.o_orderpriority AS pri, c.c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS o_cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_orderpriority, c.c_mktsegment
+    ),
+    n_t AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS n FROM cells),
+    hx AS (
+      SELECT CAST(sum(CAST(floor(
+               -(CAST(r AS DOUBLE) / n) * ln(CAST(r AS DOUBLE) / n)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      FROM (SELECT pri, CAST(sum(o_cnt) AS BIGINT) AS r
+            FROM cells GROUP BY pri), n_t
+    ),
+    hy AS (
+      SELECT CAST(sum(CAST(floor(
+               -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      FROM (SELECT seg, CAST(sum(o_cnt) AS BIGINT) AS c
+            FROM cells GROUP BY seg), n_t
+    ),
+    hxy AS (
+      SELECT CAST(sum(CAST(floor(
+               -(CAST(o_cnt AS DOUBLE) / n) * ln(CAST(o_cnt AS DOUBLE) / n)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      FROM cells, n_t
+    )
+    SELECT n_t.n AS n_orders,
+           round(hx.h9 / 1e9, 6) AS h_pri,
+           round(hy.h9 / 1e9, 6) AS h_seg,
+           round(hxy.h9 / 1e9, 6) AS h_joint,
+           round((hx.h9 + hy.h9 - hxy.h9) / 1e9, 6) AS mutual_info,
+           round(CAST(hx.h9 + hy.h9 - hxy.h9 AS DOUBLE) / hy.h9, 6)
+             AS u_seg_given_pri,
+           round(CAST(hx.h9 + hy.h9 - hxy.h9 AS DOUBLE) / hx.h9, 6)
+             AS u_pri_given_seg,
+           round(2.0 * (hx.h9 + hy.h9 - hxy.h9) / (hx.h9 + hy.h9), 6)
+             AS u_symmetric
+    FROM n_t, hx, hy, hxy
+    """,
+)
+def uncertainty_coefficient_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R415 mutual information and Theil's uncertainty coefficients on
+    the priority x segment table: MI = H(X) + H(Y) - H(X,Y), U(Y|X) =
+    MI / H(Y) — the entropy-based association panel that complements
+    the registry's chi-square family (U is margin-normalized to [0,1]
+    and asymmetric, which Cramer's V is not) and its G-test twin
+    (G = 2N * MI in nats).  Each entropy is a sum of per-cell
+    -p ln p terms, 1e-9-snapped to BIGINTs before the reduction
+    (order-free; ≤ 35 terms across the three entropies), so the
+    coefficient ratios are exact-BIGINT ratios.  One fact-dim join +
+    25-cell aggregate — a single shuffle at any scale."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderpriority").alias("pri"))
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_mktsegment").alias("seg")
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("pri", "seg")
+        .agg(F.count("*").cast("long").alias("o_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    n_t = cells.agg(F.sum("o_cnt").cast("long").alias("n"))
+
+    def _h9(df: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n")
+        return (
+            df.crossJoin(F.broadcast(n_t))
+            .select(
+                F.floor(-p * F.log(p) * 1e9 + F.lit(0.5))
+                .cast("long")
+                .alias("t9")
+            )
+            .agg(F.sum("t9").cast("long").alias("h9"))
+        )
+
+    hx = _h9(cells.groupBy("pri").agg(F.sum("o_cnt").alias("r")), "r")
+    hy = _h9(cells.groupBy("seg").agg(F.sum("o_cnt").alias("c")), "c")
+    hxy = _h9(cells, "o_cnt")
+    out = (
+        n_t.crossJoin(hx.withColumnRenamed("h9", "hx9"))
+        .crossJoin(hy.withColumnRenamed("h9", "hy9"))
+        .crossJoin(hxy.withColumnRenamed("h9", "hxy9"))
+    )
+    mi9 = F.col("hx9") + F.col("hy9") - F.col("hxy9")
+    return out.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("hx9") / 1e9, 6).alias("h_pri"),
+        F.round(F.col("hy9") / 1e9, 6).alias("h_seg"),
+        F.round(F.col("hxy9") / 1e9, 6).alias("h_joint"),
+        F.round(mi9 / 1e9, 6).alias("mutual_info"),
+        F.round(mi9.cast("double") / F.col("hy9"), 6).alias(
+            "u_seg_given_pri"
+        ),
+        F.round(mi9.cast("double") / F.col("hx9"), 6).alias(
+            "u_pri_given_seg"
+        ),
+        F.round(
+            2.0 * mi9 / (F.col("hx9") + F.col("hy9")), 6
+        ).alias("u_symmetric"),
+    )
