@@ -142,3 +142,97 @@ def test_uncertainty_coefficient_matches_textbook(spark):
     e = tab.sum(axis=1, keepdims=True) @ tab.sum(axis=0, keepdims=True) / n
     g_direct = 2.0 * (tab * np.log(tab / e)).sum()
     assert abs(g - g_direct) < 1e-4
+
+
+def _effects_panel(spark):
+    """Textbook per-nation weekend-effect panel (theta, v) from raw rows."""
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).toPandas()
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = (
+        np.floor(j["o_totalprice"] * 100 + 0.5).astype(np.int64) // 100
+    ).astype(np.int64)
+    epoch = pd.Timestamp("1990-01-01")
+    j["wk"] = (
+        (j["o_orderdate"].dt.normalize() - epoch).dt.days % 7
+    ).isin([5, 6])
+    out = []
+    for nation, g in j.groupby("c_nationkey"):
+        we = g.loc[g["wk"], "x"].to_numpy(dtype=float)
+        wd = g.loc[~g["wk"], "x"].to_numpy(dtype=float)
+        if len(we) < 2 or len(wd) < 2:
+            continue
+        theta = we.mean() - wd.mean()
+        v = we.var(ddof=1) / len(we) + wd.var(ddof=1) / len(wd)
+        out.append((nation, theta, v))
+    return out
+
+
+def test_combined_pvalues_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import combined_pvalues_nations
+
+    panel = _effects_panel(spark)
+    zs = [t / math.sqrt(v) for _, t, v in panel]
+    ps = [max(2 * (1 - _phi(abs(z))), 1e-12) for z in zs]
+    fisher = -2 * sum(math.log(p) for p in ps)
+    stouffer = sum(zs) / math.sqrt(len(zs))
+    [r] = combined_pvalues_nations(spark, SF_DIR).collect()
+    assert r["k"] == len(panel)
+    assert r["fisher_df"] == 2 * len(panel)
+    assert abs(r["fisher_stat"] - fisher) < 1e-3
+    assert abs(r["stouffer_z"] - stouffer) < 1e-5
+    assert abs(r["stouffer_p"] - 2 * (1 - _phi(abs(stouffer)))) < 1e-4
+
+
+def test_meta_analysis_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import meta_analysis_weekend_effect
+
+    panel = _effects_panel(spark)
+    th = np.array([t for _, t, v in panel])
+    v = np.array([vv for _, t, vv in panel])
+    w = 1.0 / v
+    k = len(panel)
+    theta_f = (w * th).sum() / w.sum()
+    q = (w * (th - theta_f) ** 2).sum()
+    c = w.sum() - (w**2).sum() / w.sum()
+    tau2 = max(0.0, (q - (k - 1)) / c)
+    ws = 1.0 / (v + tau2)
+    theta_r = (ws * th).sum() / ws.sum()
+    [r] = meta_analysis_weekend_effect(spark, SF_DIR).collect()
+    assert r["k"] == k
+    assert abs(r["theta_fixed"] - theta_f) < 1e-2
+    assert abs(r["q_stat"] - q) < 1e-3
+    assert abs(r["tau2"] - tau2) < max(1e-6 * abs(tau2), 1.0)
+    assert abs(r["theta_random"] - theta_r) < 1e-2
+    assert abs(r["i_squared"] - max(0.0, (q - (k - 1)) / q)) < 1e-4
+    assert abs(r["se_fixed"] - 1.0 / math.sqrt(w.sum())) < 1e-3
+    assert abs(r["se_random"] - 1.0 / math.sqrt(ws.sum())) < 1e-3
+    # random-effects SE must dominate fixed-effects SE
+    assert r["se_random"] >= r["se_fixed"] - 1e-9
+
+
+def test_egger_matches_lstsq(spark):
+    from zoom_spark.queries.round10c_ops import egger_regression_asymmetry
+
+    panel = _effects_panel(spark)
+    se = np.array([math.sqrt(v) for _, t, v in panel])
+    y = np.array([t for _, t, v in panel]) / se
+    x = 1000.0 / se  # kilodollar precision grid (query spelling)
+    k = len(panel)
+    a = np.column_stack([np.ones(k), x])
+    (b0, b1), *_ = np.linalg.lstsq(a, y, rcond=None)
+    resid = y - a @ np.array([b0, b1])
+    s2 = (resid**2).sum() / (k - 2)
+    sxx = (x**2).sum()
+    det = k * sxx - x.sum() ** 2
+    se_b0 = math.sqrt(s2 * sxx / det)
+    [r] = egger_regression_asymmetry(spark, SF_DIR).collect()
+    assert r["k"] == k
+    assert abs(r["egger_intercept"] - b0) < 1e-4
+    assert abs(r["egger_slope"] - b1) < 1e-3
+    assert abs(r["se_intercept"] - se_b0) < 1e-4
+    assert abs(r["t_stat"] - b0 / se_b0) < 1e-3
