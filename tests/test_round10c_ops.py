@@ -236,3 +236,99 @@ def test_egger_matches_lstsq(spark):
     assert abs(r["egger_slope"] - b1) < 1e-3
     assert abs(r["se_intercept"] - se_b0) < 1e-4
     assert abs(r["t_stat"] - b0 / se_b0) < 1e-3
+
+
+def test_harrell_c_matches_bruteforce(spark):
+    from zoom_spark.queries.round10c_ops import harrell_c_conversion
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    ev["day"] = ev["ts"].dt.normalize()
+    g = ev.groupby("user_id")
+    first = g["day"].min()
+    conv = ev.loc[ev["event_type"] == "purchase"].groupby("user_id")[
+        "day"
+    ].min()
+    risk = g.size()
+    horizon = ev["day"].max()
+    rows = []
+    for uid in first.index:
+        cd = conv.get(uid, pd.NaT)
+        if pd.notna(cd) and cd >= first[uid]:
+            rows.append((uid, (cd - first[uid]).days, 1, risk[uid]))
+        else:
+            rows.append((uid, (horizon - first[uid]).days, 0, risk[uid]))
+    df = pd.DataFrame(rows, columns=["uid", "t", "d", "risk"])
+    # deterministic 16-bucket quantization (row_number over (risk, uid))
+    df = df.sort_values(["risk", "uid"]).reset_index(drop=True)
+    n = len(df)
+    df["b"] = (df.index * 16) // n
+    # brute-force usable/concordant over the bucketed risk
+    usable = 0
+    conc2 = 0
+    arr = df[["t", "d", "b"]].to_numpy()
+    for i in range(n):
+        ti, di, bi = arr[i]
+        if di != 1:
+            continue
+        later = arr[arr[:, 0] > ti]
+        usable += len(later)
+        conc2 += 2 * int((bi > later[:, 2]).sum()) + int(
+            (bi == later[:, 2]).sum()
+        )
+    [r] = harrell_c_conversion(spark, SF_DIR).collect()
+    assert r["n_users"] == n
+    assert r["n_usable_pairs"] == usable
+    assert r["concordant2"] == conc2
+    assert abs(r["c_index"] - conc2 / (2 * usable)) < 1e-6
+
+
+def test_croston_matches_recursion(spark):
+    from zoom_spark.queries.round10c_ops import croston_intermittent_demand
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).toPandas()
+    pt = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_brand"
+    ).toPandas()
+    bb = pt["p_brand"].min()
+    keys = set(pt.loc[pt["p_brand"] == bb, "p_partkey"])
+    sub = li[li["l_partkey"].isin(keys)].copy()
+    sub["day"] = sub["l_shipdate"].dt.normalize()
+    sub["q"] = np.floor(sub["l_quantity"] + 0.5).astype(np.int64)
+    dem = sub.groupby("day", as_index=False)["q"].sum().sort_values("day")
+    z = dem["q"].to_numpy(dtype=float)
+    days = dem["day"].to_numpy()
+    gaps = np.diff(days).astype("timedelta64[D]").astype(float)
+    # textbook SES recursion, alpha = 1/2, full history (no truncation)
+    def ses(x):
+        s = x[0]
+        for v in x[1:]:
+            s = 0.5 * v + 0.5 * s
+        return s
+
+    zh, ih = ses(z), ses(gaps)
+    [r] = croston_intermittent_demand(spark, SF_DIR).collect()
+    assert r["n_demands"] == len(z)
+    assert abs(r["z_hat"] - zh) < 1e-4
+    assert abs(r["i_hat"] - ih) < 1e-4
+    assert abs(r["croston_forecast"] - zh / ih) < 1e-4
+    assert abs(r["sba_forecast"] - 0.75 * zh / ih) < 1e-4
+
+
+def test_vargha_delaney_matches_bruteforce(spark):
+    from zoom_spark.queries.round10c_ops import vargha_delaney_a_weekend
+
+    d = _daily_revenue(spark)
+    we = d.loc[d["dow"].isin([5, 6]), "y"].to_numpy()
+    wd = d.loc[~d["dow"].isin([5, 6]), "y"].to_numpy()
+    gt = sum(int((w > wd).sum()) for w in we)
+    eq = sum(int((w == wd).sum()) for w in we)
+    a = (gt + 0.5 * eq) / (len(we) * len(wd))
+    [r] = vargha_delaney_a_weekend(spark, SF_DIR).collect()
+    assert r["n_weekend"] == len(we)
+    assert r["n_weekday"] == len(wd)
+    assert abs(r["a_measure"] - a) < 1e-6
+    assert abs(r["cliffs_delta"] - (2 * a - 1)) < 1e-6

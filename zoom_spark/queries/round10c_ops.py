@@ -1083,3 +1083,444 @@ def egger_regression_asymmetry(
         F.round(se0, 6).alias("se_intercept"),
         F.round(F.col("b0") / se0, 6).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R419 Harrell's concordance index (C-index) on conversion spells
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "harrell_c_conversion",
+    sql="""
+    WITH per_user AS MATERIALIZED (
+      SELECT user_id,
+             min(CAST(ts AS DATE)) AS first_day,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS conv_day,
+             CAST(count(*) AS BIGINT) AS risk
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    spells AS MATERIALIZED (
+      SELECT p.user_id,
+             CASE WHEN p.conv_day IS NOT NULL AND p.conv_day >= p.first_day
+                  THEN CAST(p.conv_day - p.first_day AS BIGINT)
+                  ELSE CAST(hz.h - p.first_day AS BIGINT) END AS t,
+             CASE WHEN p.conv_day IS NOT NULL AND p.conv_day >= p.first_day
+                  THEN 1 ELSE 0 END AS d,
+             p.risk
+      FROM per_user p CROSS JOIN horizon hz
+    ),
+    bucketed AS MATERIALIZED (
+      SELECT t, d,
+             CAST(floor((CAST(row_number() OVER (ORDER BY risk, user_id)
+                              AS BIGINT) - 1) * 16.0
+                        / CAST(count(*) OVER () AS BIGINT)) AS BIGINT) AS b
+      FROM spells
+    ),
+    cells AS MATERIALIZED (
+      SELECT t, d, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM bucketed GROUP BY t, d, b
+    ),
+    pairs AS (
+      SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS usable,
+             CAST(sum(a.cnt * b.cnt
+                      * (CASE WHEN a.b > b.b THEN 2
+                              WHEN a.b = b.b THEN 1 ELSE 0 END))
+                  AS BIGINT) AS conc2
+      FROM cells a JOIN cells b ON a.d = 1 AND a.t < b.t
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM spells) AS n_users,
+           usable AS n_usable_pairs, conc2 AS concordant2,
+           round(CAST(conc2 AS DOUBLE) / (2 * usable), 6) AS c_index
+    FROM pairs
+    """,
+)
+def harrell_c_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R419 Harrell's concordance index for the conversion spells
+    (time to first purchase, right-censored at the horizon — the
+    survival._SPELLS_SQL construction with user_id retained), scoring
+    per-user ACTIVITY (total event count) as the risk predictor: a
+    pair is usable iff the earlier time is an observed event
+    (t_i < t_j, d_i = 1); concordant iff the earlier-event user has
+    the HIGHER risk score; risk ties count 1/2.  The O(n²) pair cloud
+    is collapsed to a (t, d, risk-sixteenth) CELL join — risk is
+    quantized to 16 deterministic rank buckets (row_number over
+    (risk, user_id), so the quantized C is exactly reproducible; the
+    full-resolution C differs only within buckets, documented) — cells
+    are day×2×16 bounded, so the join is calendar-bounded, not
+    row-bounded, and both counts (usable, 2·concordant+ties) are pure
+    BIGINTs.  At 100 TB the spells collapse per user in one shuffle
+    and the cell join is a broadcast-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts").cast("date")
+            )
+        ).alias("conv_day"),
+        F.count("*").cast("long").alias("risk"),
+    )
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    conv_ok = F.col("conv_day").isNotNull() & (
+        F.col("conv_day") >= F.col("first_day")
+    )
+    spells = per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.when(conv_ok, F.datediff("conv_day", "first_day"))
+        .otherwise(F.datediff("h", "first_day"))
+        .cast("long")
+        .alias("t"),
+        F.when(conv_ok, 1).otherwise(0).alias("d"),
+        "risk",
+    )
+    n_t = spells.count()
+    bucketed = spells.select(
+        "t",
+        "d",
+        F.floor(
+            (
+                F.row_number()
+                .over(Window.orderBy("risk", "user_id"))
+                .cast("long")
+                - 1
+            )
+            * 16.0
+            / F.lit(n_t)
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    cells = (
+        bucketed.groupBy("t", "d", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("t").alias("t_a"),
+        F.col("d").alias("d_a"),
+        F.col("b").alias("b_a"),
+        F.col("cnt").alias("cnt_a"),
+    ).where(F.col("d_a") == 1)
+    b = cells.select(
+        F.col("t").alias("t_b"),
+        F.col("b").alias("b_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    pairs = a.join(b, F.col("t_a") < F.col("t_b")).agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("usable"),
+        F.sum(
+            F.col("cnt_a")
+            * F.col("cnt_b")
+            * (
+                F.when(F.col("b_a") > F.col("b_b"), 2)
+                .when(F.col("b_a") == F.col("b_b"), 1)
+                .otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("conc2"),
+    )
+    return pairs.select(
+        F.lit(n_t).cast("long").alias("n_users"),
+        F.col("usable").alias("n_usable_pairs"),
+        F.col("conc2").alias("concordant2"),
+        F.round(
+            F.col("conc2").cast("double") / (2 * F.col("usable")), 6
+        ).alias("c_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R420 Croston / SBA intermittent-demand forecast
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "croston_intermittent_demand",
+    sql="""
+    WITH brand AS (SELECT min(p_brand) AS bb FROM part),
+    demands AS MATERIALIZED (
+      SELECT CAST(l.l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS z
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      CROSS JOIN brand
+      WHERE p.p_brand = brand.bb
+      GROUP BY CAST(l.l_shipdate AS DATE)
+    ),
+    seq AS MATERIALIZED (
+      SELECT z,
+             CAST(day - lag(day) OVER (ORDER BY day) AS BIGINT) AS gap,
+             CAST(row_number() OVER (ORDER BY day DESC) AS BIGINT) AS j,
+             CAST(count(*) OVER () AS BIGINT) AS k
+      FROM demands
+    ),
+    zhat AS (
+      SELECT CAST(sum(CASE
+               WHEN j < k AND j <= 40 THEN
+                 CAST(floor(z * power(0.5, j) * 1e9 + 0.5) AS BIGINT)
+               WHEN j = k AND k <= 40 THEN
+                 CAST(floor(z * power(0.5, k - 1) * 1e9 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS z9,
+             CAST(max(k) AS BIGINT) AS n_demands
+      FROM seq
+    ),
+    gaps AS MATERIALIZED (
+      SELECT gap,
+             CAST(row_number() OVER (ORDER BY j) AS BIGINT) AS gj,
+             CAST(count(*) OVER () AS BIGINT) AS gk
+      FROM seq WHERE gap IS NOT NULL
+    ),
+    ihat AS (
+      SELECT CAST(sum(CASE
+               WHEN gj < gk AND gj <= 40 THEN
+                 CAST(floor(gap * power(0.5, gj) * 1e9 + 0.5) AS BIGINT)
+               WHEN gj = gk AND gk <= 40 THEN
+                 CAST(floor(gap * power(0.5, gk - 1) * 1e9 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS i9
+      FROM gaps
+    )
+    SELECT n_demands,
+           round(z9 / 1e9, 6) AS z_hat,
+           round(i9 / 1e9, 6) AS i_hat,
+           round((z9 / 1e9) / (i9 / 1e9), 6) AS croston_forecast,
+           round(0.75 * (z9 / 1e9) / (i9 / 1e9), 6) AS sba_forecast
+    FROM zhat, ihat
+    """,
+)
+def croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R420 Croston's (1972) intermittent-demand method on the
+    sparsest natural demand series in the schema — daily shipped
+    quantity of the lexicographically-first part brand: SES (α = 1/2)
+    is run separately on the NONZERO demand sizes z and on the
+    inter-demand intervals, and the demand-rate forecast is ẑ/î,
+    with the Syntetos-Boylan approximation ẑ/î·(1-α/2) = 0.75·ẑ/î
+    as the bias-corrected twin.  α = 1/2 makes every SES weight an
+    exact power of two (the theta_forecast discipline): the recursion
+    unrolls to Σ 2⁻ʲ z₍ⱼ₎ over the last ≤ 40 demands (truncation
+    error ≤ max z · 2⁻⁴⁰ < the 1e-6 output grid, documented), each
+    term 1e-9-snapped to a BIGINT so the reduction is order-free.
+    The gap series orders by recency via the SAME row_number frame,
+    so both engines unroll the identical sequence.  Scale: the fact
+    table collapses to brand-days in one pushed-down join + groupBy;
+    the unroll frame is ≤ 40 rows."""
+    part = load_table(spark, sf_dir, "part")
+    brand = part.agg(F.min("p_brand").alias("bb"))
+    demands = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                part.join(F.broadcast(brand), F.col("p_brand") == F.col("bb"))
+                .select("p_partkey")
+            ),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("z")
+        )
+    )
+    seq = demands.select(
+        "z",
+        F.datediff(
+            F.col("day"), F.lag("day").over(Window.orderBy("day"))
+        )
+        .cast("long")
+        .alias("gap"),
+        F.row_number()
+        .over(Window.orderBy(F.col("day").desc()))
+        .cast("long")
+        .alias("j"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("k"),
+    ).localCheckpoint(eager=False)
+    zhat = seq.agg(
+        F.sum(
+            F.when(
+                (F.col("j") < F.col("k")) & (F.col("j") <= 40),
+                F.floor(
+                    F.col("z") * F.pow(F.lit(0.5), F.col("j")) * 1e9
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .when(
+                (F.col("j") == F.col("k")) & (F.col("k") <= 40),
+                F.floor(
+                    F.col("z") * F.pow(F.lit(0.5), F.col("k") - 1) * 1e9
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("z9"),
+        F.max("k").cast("long").alias("n_demands"),
+    )
+    gaps = (
+        seq.where(F.col("gap").isNotNull())
+        .select(
+            "gap",
+            F.row_number().over(Window.orderBy("j")).cast("long").alias(
+                "gj"
+            ),
+            F.count("*")
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias("gk"),
+        )
+    )
+    ihat = gaps.agg(
+        F.sum(
+            F.when(
+                (F.col("gj") < F.col("gk")) & (F.col("gj") <= 40),
+                F.floor(
+                    F.col("gap") * F.pow(F.lit(0.5), F.col("gj")) * 1e9
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .when(
+                (F.col("gj") == F.col("gk")) & (F.col("gk") <= 40),
+                F.floor(
+                    F.col("gap") * F.pow(F.lit(0.5), F.col("gk") - 1) * 1e9
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("i9")
+    )
+    out = zhat.crossJoin(ihat)
+    rate = (F.col("z9") / 1e9) / (F.col("i9") / 1e9)
+    return out.select(
+        "n_demands",
+        F.round(F.col("z9") / 1e9, 6).alias("z_hat"),
+        F.round(F.col("i9") / 1e9, 6).alias("i_hat"),
+        F.round(rate, 6).alias("croston_forecast"),
+        F.round(0.75 * rate, 6).alias("sba_forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R421 Vargha-Delaney A effect size (weekend vs weekday daily revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vargha_delaney_a_weekend",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS wk
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    r AS (
+      SELECT wk,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2
+      FROM d
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN wk = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_we
+      FROM r
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday, r2_we AS r2_sum_weekend,
+           round(CAST(r2_we - n1 * (n1 + 1) AS DOUBLE)
+                 / CAST(2 * n1 * n0 AS DOUBLE), 6) AS a_measure,
+           round(CAST(r2_we - n1 * (n1 + 1) AS DOUBLE)
+                 / CAST(n1 * n0 AS DOUBLE) - 1.0, 6) AS cliffs_delta
+    FROM agg
+    """,
+)
+def vargha_delaney_a_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R421 Vargha-Delaney Â (2000) stochastic-superiority effect size
+    for weekend vs weekday daily revenue: Â = P(Y_we > Y_wd) +
+    ½P(Y_we = Y_wd) — the [0,1]-scaled companion to the registry's
+    cliffs_delta_weekend (δ = 2Â-1, emitted as a cross-check column)
+    and the EFFECT-SIZE partner of its Mann-Whitney weekend TEST.
+    Computed from midranks on the 2× grid: 2·midrank = 2·rank(y) +
+    tiecount(y) - 1 is a pure BIGINT, so Â = (ΣR2_we - n1(n1+1)) /
+    (2 n1 n0) is an exact-BIGINT ratio (the U-statistic identity —
+    no pair join needed; one global sort over the calendar-bounded
+    day frame replaces the n1×n0 comparison cloud)."""
+    wk = (
+        F.datediff(
+            F.col("day"), F.lit("1990-01-01").cast("date")
+        )
+        % 7
+    )
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.when(wk.isin(5, 6), 1).otherwise(0).alias("wk"))
+    )
+    r = d.select(
+        "wk",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("wk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("wk") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r2_we"),
+    )
+    num = (F.col("r2_we") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+    return agg.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.col("r2_we").alias("r2_sum_weekend"),
+        F.round(num / (2 * F.col("n1") * F.col("n0")).cast("double"), 6)
+        .alias("a_measure"),
+        F.round(
+            num / (F.col("n1") * F.col("n0")).cast("double") - 1.0, 6
+        ).alias("cliffs_delta"),
+    )
