@@ -332,3 +332,82 @@ def test_vargha_delaney_matches_bruteforce(spark):
     assert r["n_weekday"] == len(wd)
     assert abs(r["a_measure"] - a) < 1e-6
     assert abs(r["cliffs_delta"] - (2 * a - 1)) < 1e-6
+
+
+def test_hampel_filter_matches_pandas(spark):
+    from zoom_spark.queries.round10c_ops import hampel_filter_revenue
+
+    d = _daily_revenue(spark)
+    y = d["y"].to_numpy()
+    flagged = []
+    for i in range(3, len(y) - 3):
+        wnd = y[i - 3 : i + 4]
+        med = int(np.sort(wnd)[3])
+        mad = int(np.sort(np.abs(wnd - med))[3])
+        dev = abs(int(y[i]) - med)
+        if dev * 10000 > 44478 * mad:
+            flagged.append((d["day"].iloc[i], int(y[i]), med, mad, dev))
+    rows = hampel_filter_revenue(spark, SF_DIR).collect()
+    assert len(rows) == len(flagged)
+    for r, (day, yy, med, mad, dev) in zip(rows, flagged):
+        assert r["day"] == day
+        assert r["y"] == yy
+        assert r["med7"] == med
+        assert r["mad7"] == mad
+        assert r["abs_dev"] == dev
+
+
+def _probit_bisect(p: float) -> float:
+    """Independent inverse-normal via bisection on math.erf."""
+    lo, hi = -10.0, 10.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if _phi(mid) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def test_ppcc_matches_independent_probit(spark):
+    from zoom_spark.queries.round10c_ops import ppcc_normality_revenue
+
+    d = _daily_revenue(spark)
+    y = np.sort(d["y"].to_numpy().astype(float))
+    n = len(y)
+    q = np.array(
+        [_probit_bisect((i + 1 - 0.375) / (n + 0.25)) for i in range(n)]
+    )
+    r = np.corrcoef(y, q)[0, 1]
+    [row] = ppcc_normality_revenue(spark, SF_DIR).collect()
+    assert row["n_days"] == n
+    assert abs(row["ppcc"] - r) < 1e-5
+    assert abs(row["w_prime"] - r * r) < 1e-5
+    assert 0.0 < row["ppcc"] <= 1.0
+
+
+def test_variance_ratio_panel_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import (
+        variance_ratio_panel_priorities,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    o["x"] = (
+        np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64) // 100
+    ).astype(np.int64)
+    groups = {
+        pri: g["x"].to_numpy(dtype=float)
+        for pri, g in o.groupby("o_orderpriority")
+    }
+    s2 = {pri: v.var(ddof=1) for pri, v in groups.items()}
+    vmax, vmin = max(s2.values()), min(s2.values())
+    [r] = variance_ratio_panel_priorities(spark, SF_DIR).collect()
+    assert r["k_groups"] == len(groups)
+    assert r["max_priority"] == max(s2, key=lambda k: (s2[k], k))
+    assert r["min_priority"] == min(s2, key=lambda k: (s2[k], k))
+    assert abs(r["hartley_fmax"] - vmax / vmin) < 1e-5
+    assert abs(r["cochran_c"] - vmax / sum(s2.values())) < 1e-5
+    assert 1.0 / len(groups) <= r["cochran_c"] <= 1.0
+    assert r["hartley_fmax"] >= 1.0

@@ -1524,3 +1524,489 @@ def vargha_delaney_a_weekend(
             num / (F.col("n1") * F.col("n0")).cast("double") - 1.0, 6
         ).alias("cliffs_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R422 Hampel identifier: rolling median/MAD outlier days
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hampel_filter_revenue",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT day, y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r
+      FROM d
+    ),
+    neigh AS MATERIALIZED (
+      SELECT c.day, c.y, c.r, n.y AS yn,
+             CAST(count(*) OVER (PARTITION BY c.r) AS BIGINT) AS w
+      FROM ranked c JOIN ranked n ON abs(n.r - c.r) <= 3
+    ),
+    med AS MATERIALIZED (
+      SELECT day, y, r, yn,
+             CAST(sum(CASE WHEN rn = 4 THEN yn ELSE 0 END)
+                  OVER (PARTITION BY r) AS BIGINT) AS med7
+      FROM (
+        SELECT day, y, r, yn,
+               CAST(row_number() OVER (PARTITION BY r ORDER BY yn)
+                    AS BIGINT) AS rn
+        FROM neigh WHERE w = 7
+      )
+    ),
+    mad AS (
+      SELECT day, y, med7,
+             CAST(sum(CASE WHEN an = 4 THEN ad ELSE 0 END) AS BIGINT)
+               AS mad7
+      FROM (
+        SELECT day, y, med7, abs(yn - med7) AS ad,
+               CAST(row_number() OVER (PARTITION BY r ORDER BY abs(yn - med7))
+                    AS BIGINT) AS an
+        FROM med
+      )
+      GROUP BY day, y, med7
+    )
+    SELECT day, y, med7, mad7,
+           CAST(abs(y - med7) AS BIGINT) AS abs_dev
+    FROM mad
+    WHERE abs(y - med7) * 10000 > 44478 * mad7
+    ORDER BY day
+    """,
+)
+def hampel_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R422 Hampel identifier over daily revenue: flag day t when
+    |y_t - med7_t| > 3 · 1.4826 · MAD7_t, with med7/MAD7 the median
+    and median-absolute-deviation of the CENTERED 7-day positional
+    window (complete windows only) — the robust rolling-window
+    outlier screen that complements the registry's global
+    mad_robust_anomaly (whose single global median misses level
+    shifts) and seasonal_anomaly_days (which needs a seasonal model).
+    Window size 7 makes both medians the exact 4th order statistic of
+    integer whole-dollar values, so the decision rule is the PURE
+    INTEGER comparison 10000·|dev| > 44478·MAD (3·1.4826 = 4.4478
+    exactly) — no floats anywhere.  Spark evaluates the window via
+    array_sort/transform on the 7-element collect_list (JVM
+    higher-order functions, no shuffle beyond the day frame); the
+    oracle spells the same windows as a rank-distance self-join.
+    Calendar-bounded at any data scale."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    arr = F.collect_list("y").over(w)
+    med = F.element_at(F.array_sort(arr), 4)
+    windowed = d.select(
+        "day",
+        "y",
+        F.count("*").over(w).alias("wcnt"),
+        arr.alias("arr7"),
+    ).where(F.col("wcnt") == 7)
+    med_df = windowed.select(
+        "day",
+        "y",
+        F.element_at(F.array_sort(F.col("arr7")), 4)
+        .cast("long")
+        .alias("med7"),
+        "arr7",
+    )
+    mad_df = med_df.select(
+        "day",
+        "y",
+        "med7",
+        F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("arr7"),
+                    lambda v: F.abs(v - F.col("med7")),
+                )
+            ),
+            4,
+        )
+        .cast("long")
+        .alias("mad7"),
+    )
+    return (
+        mad_df.withColumn(
+            "abs_dev", F.abs(F.col("y") - F.col("med7")).cast("long")
+        )
+        .where(F.col("abs_dev") * 10000 > 44478 * F.col("mad7"))
+        .select("day", "y", "med7", "mad7", "abs_dev")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R423 normal probability-plot correlation coefficient (PPCC)
+# ---------------------------------------------------------------------------
+
+# Acklam (2003) rational approximation to the standard normal
+# quantile function, |rel err| < 1.15e-9 — spelled with the SAME
+# Horner nesting on both engines so Phi^-1(p) is the identical double.
+_ACK_A = (
+    -3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+    1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00,
+)
+_ACK_B = (
+    -5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+    6.680131188771972e01, -1.328068155288572e01,
+)
+_ACK_C = (
+    -7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+    -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00,
+)
+_ACK_D = (
+    7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+    3.754408661907416e00,
+)
+_ACK_PLOW = 0.02425
+
+
+def _probit_sql(p: str) -> str:
+    """Acklam inverse-normal CDF (SQL), three-region rational form."""
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+    ql = f"sqrt(-2.0 * ln({p}))"
+    low = (
+        f"(((((({c[0]}) * {ql} + ({c[1]})) * {ql} + ({c[2]})) * {ql}"
+        f" + ({c[3]})) * {ql} + ({c[4]})) * {ql} + ({c[5]}))"
+        f" / (((({d[0]} * {ql} + ({d[1]})) * {ql} + ({d[2]})) * {ql}"
+        f" + ({d[3]})) * {ql} + 1.0)"
+    )
+    qh = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    high = (
+        f"-(((((({c[0]}) * {qh} + ({c[1]})) * {qh} + ({c[2]})) * {qh}"
+        f" + ({c[3]})) * {qh} + ({c[4]})) * {qh} + ({c[5]}))"
+        f" / (((({d[0]} * {qh} + ({d[1]})) * {qh} + ({d[2]})) * {qh}"
+        f" + ({d[3]})) * {qh} + 1.0)"
+    )
+    qc = f"(({p}) - 0.5)"
+    rc = f"({qc} * {qc})"
+    cen = (
+        f"(((((({a[0]}) * {rc} + ({a[1]})) * {rc} + ({a[2]})) * {rc}"
+        f" + ({a[3]})) * {rc} + ({a[4]})) * {rc} + ({a[5]})) * {qc}"
+        f" / ((((({b[0]} * {rc} + ({b[1]})) * {rc} + ({b[2]})) * {rc}"
+        f" + ({b[3]})) * {rc} + ({b[4]})) * {rc} + 1.0)"
+    )
+    return (
+        f"(CASE WHEN ({p}) < {_ACK_PLOW} THEN {low}"
+        f" WHEN ({p}) > 1.0 - {_ACK_PLOW} THEN {high}"
+        f" ELSE {cen} END)"
+    )
+
+
+def _probit_col(p):
+    """Acklam inverse-normal CDF (Spark column, same Horner nesting)."""
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+    ql = F.sqrt(-2.0 * F.log(p))
+    low_num = F.lit(c[0])
+    for cc in c[1:]:
+        low_num = low_num * ql + F.lit(cc)
+    low_den = F.lit(d[0])
+    for dd in d[1:]:
+        low_den = low_den * ql + F.lit(dd)
+    low = low_num / (low_den * ql + 1.0)
+    qh = F.sqrt(-2.0 * F.log(1.0 - p))
+    high_num = F.lit(c[0])
+    for cc in c[1:]:
+        high_num = high_num * qh + F.lit(cc)
+    high_den = F.lit(d[0])
+    for dd in d[1:]:
+        high_den = high_den * qh + F.lit(dd)
+    high = -high_num / (high_den * qh + 1.0)
+    qc = p - 0.5
+    rc = qc * qc
+    cen_num = F.lit(a[0])
+    for aa in a[1:]:
+        cen_num = cen_num * rc + F.lit(aa)
+    cen_den = F.lit(b[0])
+    for bb in b[1:]:
+        cen_den = cen_den * rc + F.lit(bb)
+    cen = cen_num * qc / (cen_den * rc + 1.0)
+    return (
+        F.when(p < _ACK_PLOW, low)
+        .when(p > 1.0 - _ACK_PLOW, high)
+        .otherwise(cen)
+    )
+
+
+@register(
+    "ppcc_normality_revenue",
+    sql=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT y / 1000.0 AS yk,
+             CAST(floor({_probit_sql(
+                 '''(CAST(row_number() OVER (ORDER BY y) AS DOUBLE) - 0.375)
+                    / (CAST(count(*) OVER () AS DOUBLE) + 0.25)''')}
+                 * 1e9 + 0.5) AS BIGINT) AS q9,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM d
+    ),
+    s AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(q9) AS BIGINT) AS sx9,
+             CAST(sum(CAST(floor(yk * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sy6,
+             CAST(sum(CAST(floor((q9 / 1e9) * (q9 / 1e9) * 1e9 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS sxx9,
+             CAST(sum(CAST(floor((q9 / 1e9) * yk * 1e9 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS sxy9,
+             CAST(sum(CAST(floor(yk * yk * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS syy6
+      FROM ranked
+    )
+    SELECT n AS n_days,
+           round((n * (sxy9 / 1e9) - (sx9 / 1e9) * (sy6 / 1e6))
+                 / sqrt((n * (sxx9 / 1e9) - (sx9 / 1e9) * (sx9 / 1e9))
+                        * (n * (syy6 / 1e6) - (sy6 / 1e6) * (sy6 / 1e6))),
+                 6) AS ppcc,
+           round(power((n * (sxy9 / 1e9) - (sx9 / 1e9) * (sy6 / 1e6)), 2)
+                 / ((n * (sxx9 / 1e9) - (sx9 / 1e9) * (sx9 / 1e9))
+                    * (n * (syy6 / 1e6) - (sy6 / 1e6) * (sy6 / 1e6))),
+                 6) AS w_prime
+    FROM s
+    """,
+)
+def ppcc_normality_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R423 normal probability-plot correlation coefficient (Filliben
+    1975) for daily revenue: the Pearson correlation between the
+    sorted sample and Blom plotting-position normal quantiles
+    Phi^-1((i - 0.375)/(n + 0.25)) — the graphical-normality statistic
+    whose square is the Shapiro-Francia W' (emitted as a cross-check
+    column); complements the registry's Lilliefors (ECDF-distance)
+    and Anderson-Darling (tail-weighted) normality gates with the
+    correlation-based third family.  Phi^-1 is the Acklam rational
+    approximation spelled with identical Horner nesting on both
+    engines (the A-S erf discipline, applied to the INVERSE);
+    quantiles snap at 1e-9 and revenue works on the kilodollar grid
+    so all five correlation sums are per-term-snapped BIGINT
+    reductions (Σy·q stays < 1e16 at sf0.1; the dollar grid would
+    overflow).  One global sort of the calendar-bounded day frame."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = (
+        F.row_number().over(Window.orderBy("y")).cast("double") - 0.375
+    ) / (F.count("*").over(wn).cast("double") + 0.25)
+    ranked = d.select(
+        (F.col("y") / 1000.0).alias("yk"),
+        F.floor(_probit_col(p) * 1e9 + F.lit(0.5)).cast("long").alias("q9"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    s = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("q9").cast("long").alias("sx9"),
+        F.sum(F.floor(F.col("yk") * 1e6 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sy6"),
+        F.sum(
+            F.floor(
+                (F.col("q9") / 1e9) * (F.col("q9") / 1e9) * 1e9 + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sxx9"),
+        F.sum(
+            F.floor(
+                (F.col("q9") / 1e9) * F.col("yk") * 1e9 + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sxy9"),
+        F.sum(
+            F.floor(F.col("yk") * F.col("yk") * 1e6 + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("syy6"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx9") / 1e9
+    sy = F.col("sy6") / 1e6
+    sxx = F.col("sxx9") / 1e9
+    sxy = F.col("sxy9") / 1e9
+    syy = F.col("syy6") / 1e6
+    num = nn * sxy - sx * sy
+    den = (nn * sxx - sx * sx) * (nn * syy - sy * sy)
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(num / F.sqrt(den), 6).alias("ppcc"),
+        F.round(F.pow(num, 2) / den, 6).alias("w_prime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R424 Hartley F-max + Cochran's C variance-homogeneity panel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variance_ratio_panel_priorities",
+    sql="""
+    WITH g AS MATERIALIZED (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
+                  AS BIGINT) / 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
+                  AS BIGINT) / 100) AS BIGINT)
+                  * CAST(floor(CAST(floor(o_totalprice * 100 + 0.5)
+                  AS BIGINT) / 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM orders GROUP BY o_orderpriority
+    ),
+    v AS MATERIALIZED (
+      SELECT pri, n,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+               AS s2v
+      FROM g
+    ),
+    ext AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(min(n) AS BIGINT) AS n_min,
+             CAST(max(n) AS BIGINT) AS n_max,
+             max(s2v) AS v_max, min(s2v) AS v_min,
+             CAST(sum(CAST(floor(s2v * 1e3 + 0.5) AS BIGINT)) AS BIGINT)
+               AS vsum3
+      FROM v
+    ),
+    arg AS (
+      SELECT min(CASE WHEN rmax = 1 THEN pri END) AS max_priority,
+             min(CASE WHEN rmin = 1 THEN pri END) AS min_priority
+      FROM (
+        SELECT pri,
+               row_number() OVER (ORDER BY s2v DESC, pri) AS rmax,
+               row_number() OVER (ORDER BY s2v ASC, pri) AS rmin
+        FROM v
+      )
+    )
+    SELECT k AS k_groups, n_min, n_max,
+           max_priority, min_priority,
+           round(v_max, 2) AS s2_max,
+           round(v_min, 2) AS s2_min,
+           round(v_max / v_min, 6) AS hartley_fmax,
+           round(v_max / (vsum3 / 1e3), 6) AS cochran_c
+    FROM ext, arg
+    """,
+)
+def variance_ratio_panel_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R424 Hartley's F-max (1950) and Cochran's C (1941) variance-
+    homogeneity panel over order values grouped by the 5 priorities:
+    F_max = s²_max/s²_min and C = s²_max/Σs² — the quick-ratio
+    screens that complement the registry's Bartlett (chi-square LR)
+    and Levene/Brown-Forsythe (ANOVA-on-deviations) homogeneity
+    tests.  Group variances use the exact-BIGINT spelling
+    (S2 - S1²/n)/(n-1) on the whole-dollar grid (S1² < 9.2e18 at
+    sf0.1 where n·S2 would overflow — the james_stein lesson); the
+    5-term Σs² snaps per-term at 1e-3 (s² ~ 1e9 dollars², so the
+    snap keeps 12 significant digits and the reduction order-free).
+    Argmax/argmin priorities tie-break lexicographically.  One
+    group-by pass; the panel is 5 rows at any scale."""
+    x = F.floor(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long") / 100
+    ).cast("long")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("pri"), x.alias("x"))
+        .groupBy("pri")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        )
+    )
+    v = g.select(
+        "pri",
+        "n",
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("s2v"),
+    ).localCheckpoint(eager=False)
+    ext = v.agg(
+        F.count("*").cast("long").alias("k"),
+        F.min("n").cast("long").alias("n_min"),
+        F.max("n").cast("long").alias("n_max"),
+        F.max("s2v").alias("v_max"),
+        F.min("s2v").alias("v_min"),
+        F.sum(F.floor(F.col("s2v") * 1e3 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("vsum3"),
+    )
+    arg = (
+        v.select(
+            "pri",
+            F.row_number()
+            .over(Window.orderBy(F.col("s2v").desc(), F.col("pri")))
+            .alias("rmax"),
+            F.row_number()
+            .over(Window.orderBy(F.col("s2v").asc(), F.col("pri")))
+            .alias("rmin"),
+        )
+        .agg(
+            F.min(F.when(F.col("rmax") == 1, F.col("pri"))).alias(
+                "max_priority"
+            ),
+            F.min(F.when(F.col("rmin") == 1, F.col("pri"))).alias(
+                "min_priority"
+            ),
+        )
+    )
+    out = ext.crossJoin(arg)
+    return out.select(
+        F.col("k").alias("k_groups"),
+        "n_min",
+        "n_max",
+        "max_priority",
+        "min_priority",
+        F.round(F.col("v_max"), 2).alias("s2_max"),
+        F.round(F.col("v_min"), 2).alias("s2_min"),
+        F.round(F.col("v_max") / F.col("v_min"), 6).alias("hartley_fmax"),
+        F.round(F.col("v_max") / (F.col("vsum3") / 1e3), 6).alias(
+            "cochran_c"
+        ),
+    )
