@@ -411,3 +411,84 @@ def test_variance_ratio_panel_matches_numpy(spark):
     assert abs(r["cochran_c"] - vmax / sum(s2.values())) < 1e-5
     assert 1.0 / len(groups) <= r["cochran_c"] <= 1.0
     assert r["hartley_fmax"] >= 1.0
+
+
+def test_sequential_patterns_match_pandas(spark):
+    from zoom_spark.queries.round10c_ops import sequential_pattern_pairs
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    firsts = ev.groupby(["user_id", "event_type"], as_index=False)[
+        "ts"
+    ].min()
+    support = {}
+    for _, g in firsts.groupby("user_id"):
+        recs = list(g[["event_type", "ts"]].itertuples(index=False))
+        for a, ta in recs:
+            for b, tb in recs:
+                if a != b and ta < tb:
+                    support[(a, b)] = support.get((a, b), 0) + 1
+    n_ante = firsts.groupby("event_type").size().to_dict()
+    expected = sorted(
+        ((v, a, b) for (a, b), v in support.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    rows = sequential_pattern_pairs(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r, (sup, a, b) in zip(rows, expected):
+        assert (r["antecedent"], r["consequent"], r["support"]) == (a, b, sup)
+        assert r["n_antecedent"] == n_ante[a]
+        assert abs(r["confidence"] - sup / n_ante[a]) < 1e-6
+
+
+def _md5_int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_countmin_matches_python_and_dominates(spark):
+    from zoom_spark.queries.round10c_ops import countmin_sketch_users
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id").toPandas()
+    counts = ev.groupby("user_id").size().to_dict()
+    cells = {}
+    for uid, c in counts.items():
+        for r in range(4):
+            b = _md5_int(f"{r}:{uid}") % 256
+            cells[(r, b)] = cells.get((r, b), 0) + c
+    rows = countmin_sketch_users(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        uid = r["user_id"]
+        est = min(
+            cells[(rr, _md5_int(f"{rr}:{uid}") % 256)] for rr in range(4)
+        )
+        assert r["exact_cnt"] == counts[uid]
+        assert r["cms_est"] == est
+        assert r["overestimate"] == est - counts[uid]
+        # CMS never underestimates
+        assert r["cms_est"] >= r["exact_cnt"]
+
+
+def test_ams_f2_matches_python(spark):
+    from zoom_spark.queries.round10c_ops import ams_f2_sketch_users
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id").toPandas()
+    counts = ev.groupby("user_id").size().to_dict()
+    f2 = sum(c * c for c in counts.values())
+    sums = []
+    for i in range(16):
+        s = sum(
+            c * (1 if _md5_int(f"{i}#{uid}") % 2 == 0 else -1)
+            for uid, c in counts.items()
+        )
+        sums.append(s * s)
+    grp = sorted(sum(sums[g * 4 : g * 4 + 4]) for g in range(4))
+    est = (grp[1] + grp[2]) / 8.0
+    [r] = ams_f2_sketch_users(spark, SF_DIR).collect()
+    assert r["n_users"] == len(counts)
+    assert r["exact_f2"] == f2
+    assert abs(r["ams_estimate"] - est) < 0.01
+    assert abs(r["relative_error"] - (est - f2) / f2) < 1e-6

@@ -2010,3 +2010,339 @@ def variance_ratio_panel_priorities(
             "cochran_c"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R425 first-occurrence sequential pattern pairs (PrefixSpan-lite, len 2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sequential_pattern_pairs",
+    sql="""
+    WITH firsts AS MATERIALIZED (
+      SELECT user_id, event_type, min(ts) AS t0
+      FROM events GROUP BY user_id, event_type
+    ),
+    type_support AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(count(*) AS BIGINT) AS support
+      FROM firsts a JOIN firsts b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.t0 < b.t0
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.antecedent, p.consequent, p.support,
+           ts.n_users AS n_antecedent,
+           round(CAST(p.support AS DOUBLE) / ts.n_users, 6) AS confidence
+    FROM pairs p JOIN type_support ts ON p.antecedent = ts.event_type
+    ORDER BY p.support DESC, p.antecedent, p.consequent
+    LIMIT 20
+    """,
+)
+def sequential_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R425 length-2 sequential pattern mining (PrefixSpan-lite) over
+    user event histories: the pattern a→b is supported by a user iff
+    the user's FIRST occurrence of a strictly precedes their first
+    occurrence of b (equal timestamps don't count — documented strict
+    order; first-occurrence semantics make support antisymmetric-safe
+    and O(1) state per (user, type)).  Confidence = support(a→b) /
+    users(a).  This is the registry's markov_transitions complement:
+    transitions count ADJACENT steps, sequential patterns count
+    EVENTUAL order.  The fact table collapses to (user, type, min ts)
+    in one shuffle; the per-user pair join is bounded by the event-
+    type vocabulary (~10), so 100 TB of events still joins ~10 rows
+    per user.  Top-20 by support, lexicographic tie-break."""
+    firsts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("t0"))
+        .localCheckpoint(eager=False)
+    )
+    type_support = firsts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a = firsts.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_type").alias("antecedent"),
+        F.col("t0").alias("ta"),
+    )
+    b = firsts.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("consequent"),
+        F.col("t0").alias("tb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("antecedent") != F.col("consequent"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(type_support),
+            on=F.col("antecedent") == F.col("event_type"),
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.col("n_users").alias("n_antecedent"),
+            F.round(
+                F.col("support").cast("double") / F.col("n_users"), 6
+            ).alias("confidence"),
+        )
+        .orderBy(
+            F.col("support").desc(), F.col("antecedent"), F.col("consequent")
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# R426 count-min sketch (portable md5 hashes) with exact-count probes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "countmin_sketch_users",
+    sql="""
+    WITH counts AS MATERIALIZED (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    buckets AS MATERIALIZED (
+      SELECT r.r,
+             CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+                   || CAST(counts.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 256 AS b,
+             CAST(sum(counts.c) AS BIGINT) AS cell
+      FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+      GROUP BY r.r, CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':'
+                   || CAST(counts.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 256
+    ),
+    probes AS MATERIALIZED (
+      SELECT user_id, c FROM counts
+      ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 20
+    ),
+    est AS (
+      SELECT p.user_id, p.c,
+             CAST(min(bk.cell) AS BIGINT) AS cms_est
+      FROM probes p
+      JOIN buckets bk
+        ON bk.b = CAST(('0x' || substring(md5(CAST(bk.r AS VARCHAR) || ':'
+                        || CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 256
+      GROUP BY p.user_id, p.c
+    )
+    SELECT user_id, c AS exact_cnt, cms_est,
+           CAST(cms_est - c AS BIGINT) AS overestimate
+    FROM est ORDER BY user_id
+    """,
+)
+def countmin_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R426 count-min sketch (Cormode-Muthukrishnan 2005) of per-user
+    event frequencies, d = 4 rows × w = 256 buckets, with hashes from
+    the repo's PORTABLE md5 idiom (conv(substring(md5, 1, 15)) mod w —
+    identical integers on both engines), probed at 20 deterministic
+    users (smallest md5 of user_id — an unbiased pseudo-random probe
+    set): estimate = min over rows of the bucket sums, reported next
+    to the exact count with the (always ≥ 0) overestimate — the
+    sub-linear frequency summary that complements the registry's
+    exact heavy-hitter and KMV/HLL distinct sketches.  Everything is
+    BIGINT; the sketch build is one groupBy over a 4× fanout of the
+    user-count frame (1024 cells regardless of scale), and the probe
+    join is broadcast-sized."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
+
+    def bucket(rcol, ucol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            rcol.cast("string"), F.lit(":"), ucol.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    buckets = (
+        counts.crossJoin(F.broadcast(rows))
+        .groupBy(
+            F.col("r"), bucket(F.col("r"), F.col("user_id")).alias("b")
+        )
+        .agg(F.sum("c").cast("long").alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    probes = (
+        counts.orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
+        .limit(20)
+    )
+    est = (
+        probes.crossJoin(F.broadcast(rows.select(F.col("r").alias("pr"))))
+        .select(
+            "user_id",
+            "c",
+            "pr",
+            bucket(F.col("pr"), F.col("user_id")).alias("pb"),
+        )
+        .join(
+            buckets,
+            on=(F.col("pr") == F.col("r")) & (F.col("pb") == F.col("b")),
+        )
+        .groupBy("user_id", "c")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        F.col("c").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("c")).cast("long").alias("overestimate"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# R427 AMS second-frequency-moment sketch (median of means)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ams_f2_sketch_users",
+    sql="""
+    WITH counts AS MATERIALIZED (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    exact AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS f2,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM counts
+    ),
+    sketch AS MATERIALIZED (
+      SELECT i.i,
+             CAST(sum(c * (CASE WHEN
+               CAST(('0x' || substring(md5(CAST(i.i AS VARCHAR) || '#'
+                     || CAST(counts.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS s
+      FROM counts CROSS JOIN (
+        SELECT unnest([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS i) i
+      GROUP BY i.i
+    ),
+    grp AS MATERIALIZED (
+      SELECT CAST(i // 4 AS BIGINT) AS g,
+             CAST(sum(s * s) AS BIGINT) AS x4
+      FROM sketch GROUP BY CAST(i // 4 AS BIGINT)
+    ),
+    med AS (
+      SELECT CAST(sum(CASE WHEN rn IN (2, 3) THEN x4 ELSE 0 END)
+                  AS BIGINT) AS mid2
+      FROM (
+        SELECT x4, CAST(row_number() OVER (ORDER BY x4, g) AS BIGINT) AS rn
+        FROM grp
+      )
+    )
+    SELECT exact.n_users, exact.f2 AS exact_f2,
+           round(med.mid2 / 8.0, 2) AS ams_estimate,
+           round((med.mid2 / 8.0 - exact.f2) / exact.f2, 6)
+             AS relative_error
+    FROM exact, med
+    """,
+)
+def ams_f2_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R427 AMS sketch (Alon-Matias-Szegedy 1996) of the second
+    frequency moment F2 = Σ c_u² of the user-event distribution:
+    16 independent ±1-hash estimators X_i = (Σ_u c_u·s_i(u))² with
+    signs from the parity of the portable md5 integer, combined
+    median-of-means (4 groups of 4; the median of 4 group sums is
+    (2nd+3rd)/2, so the estimate is the exact rational mid2/8) and
+    reported against the EXACT F2 with its relative error — the
+    self-join-free estimator of join sizes / skew that complements
+    the registry's CMS point-frequency sketch (R426).  Every sketch
+    cell is a BIGINT (|Σ c s| ≤ F1 < 2³⁰ at sf0.1, squares < 2⁶⁰);
+    the build is one 16× fanout groupBy, 16 cells total at any
+    scale."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    exact = counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    ests = spark.range(16).select(F.col("id").cast("int").alias("i"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit("#"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    sketch = (
+        counts.crossJoin(F.broadcast(ests))
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * sign).cast("long").alias("s"))
+    )
+    grp = sketch.groupBy(
+        F.floor(F.col("i") / 4).cast("long").alias("g")
+    ).agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("x4"))
+    med = (
+        grp.select(
+            "x4",
+            F.row_number()
+            .over(Window.orderBy("x4", "g"))
+            .cast("long")
+            .alias("rn"),
+        )
+        .agg(
+            F.sum(F.when(F.col("rn").isin(2, 3), F.col("x4")).otherwise(0))
+            .cast("long")
+            .alias("mid2")
+        )
+    )
+    out = exact.crossJoin(med)
+    return out.select(
+        "n_users",
+        F.col("f2").alias("exact_f2"),
+        F.round(F.col("mid2") / 8.0, 2).alias("ams_estimate"),
+        F.round(
+            (F.col("mid2") / 8.0 - F.col("f2")) / F.col("f2"), 6
+        ).alias("relative_error"),
+    )
