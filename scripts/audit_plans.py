@@ -1026,6 +1026,68 @@ EXPECTATIONS = {
     "scheirer_ray_hare_test": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R412: pairwise MK sign join is day-frame x day-frame within a
+    # weekday (calendar-bounded ~(T/7)^2*7), then two 1-row scalars
+    # (S total, variance sum) cross onto each other
+    "seasonal_mann_kendall_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R413-R415: 25-cell contingency frame; margins ride unpartitioned
+    # windows over the 25-row frame (bounded by the 5x5 category
+    # product), plus 1-row entropy/margin scalars crossed together
+    "g_test_priority_segment": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    "gk_lambda_priority_segment": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "uncertainty_coefficient_panel": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R417: three sequential 1-row weight-sum scalars (fixed, Q, tau2)
+    # crossed onto the <=25-row nation panel
+    "meta_analysis_weekend_effect": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R419: 1-row horizon scalar onto per-user spells; the risk
+    # bucketing rides one unpartitioned row_number over the user frame
+    # (user-bounded: spells are one row per user after the collapse);
+    # cell x cell pair join is day x 32-bucket bounded
+    "harrell_c_conversion": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R420: brand-day demand frame (<=calendar days); recency
+    # row_number + gap lag ride unpartitioned windows over it; zhat/
+    # ihat 1-row scalars cross at the end
+    "croston_intermittent_demand": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R421/R422/R423: day-frame global rank/rolling windows (calendar-
+    # bounded, the hodges_lehmann waiver class)
+    "vargha_delaney_a_weekend": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    "hampel_filter_revenue": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    "ppcc_normality_revenue": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
+    # R424: 5-row priority-variance panel; extremes/argmax windows run
+    # over 5 rows; ext x arg 1-row scalars cross at the end
+    "variance_ratio_panel_priorities": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R426/R427: 4x/16x salt fanout is a broadcast cross of a 4/16-row
+    # literal range onto the user-count frame; the 16-cell sketch
+    # median rides a 4-row unpartitioned window; exact-vs-estimate
+    # 1-row scalars cross at the end
+    "countmin_sketch_users": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "ams_f2_sketch_users": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 
