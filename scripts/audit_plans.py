@@ -1088,6 +1088,11 @@ EXPECTATIONS = {
     "ams_f2_sketch_users": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R429: the two 1-row group-moment frames (weekend, weekday)
+    # cross onto each other for the closed-form T²
+    "hotelling_t2_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

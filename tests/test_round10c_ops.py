@@ -492,3 +492,165 @@ def test_ams_f2_matches_python(spark):
     assert r["exact_f2"] == f2
     assert abs(r["ams_estimate"] - est) < 0.01
     assert abs(r["relative_error"] - (est - f2) / f2) < 1e-6
+
+
+def _baskets(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas().drop_duplicates()
+    return li
+
+
+def test_four_cycle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from zoom_spark.queries.round10c_ops import four_cycle_count_copurchase
+
+    li = _baskets(spark)
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"])
+        for u, v in combinations(ps, 2):
+            edges.add((u, v))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    quad = 0
+    pairs_cn2 = 0
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            cn = len(adj[x] & adj[y])
+            if cn >= 2:
+                pairs_cn2 += 1
+                quad += cn * (cn - 1) // 2
+    [r] = four_cycle_count_copurchase(spark, SF_DIR).collect()
+    assert r["n_edges"] == len(edges)
+    assert r["n_pairs_cn2"] == pairs_cn2
+    assert r["quad"] == quad
+    assert quad % 2 == 0
+    assert r["n_four_cycles"] == quad // 2
+
+
+def test_hotelling_t2_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import hotelling_t2_weekend
+
+    d = _daily_revenue(spark)
+    o = load_table(spark, SF_DIR, "orders").select("o_orderdate").toPandas()
+    o["day"] = o["o_orderdate"].dt.date
+    cnt = o.groupby("day").size()
+    d = d.set_index("day")
+    x = np.column_stack([cnt.reindex(d.index).to_numpy(), d["y"].to_numpy()])
+    wk = d["dow"].isin([5, 6]).to_numpy()
+    g1, g0 = x[wk].astype(float), x[~wk].astype(float)
+    n1, n0 = len(g1), len(g0)
+    diff = g1.mean(axis=0) - g0.mean(axis=0)
+    sp = ((n1 - 1) * np.cov(g1.T) + (n0 - 1) * np.cov(g0.T)) / (
+        n1 + n0 - 2
+    )
+    t2 = (n1 * n0 / (n1 + n0)) * diff @ np.linalg.inv(sp) @ diff
+    f = t2 * (n1 + n0 - 3) / ((n1 + n0 - 2) * 2)
+    [r] = hotelling_t2_weekend(spark, SF_DIR).collect()
+    assert r["n_weekend"] == n1
+    assert r["n_weekday"] == n0
+    assert abs(r["t2_stat"] - t2) < 1e-4
+    assert abs(r["f_stat"] - f) < 1e-4
+
+
+def _customer_frame(spark):
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).toPandas()
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    o["dollars"] = (
+        np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64) // 100
+    )
+    agg = o.groupby("o_custkey").agg(
+        n_orders=("dollars", "size"),
+        spend=("dollars", "sum"),
+        maxv=("dollars", "max"),
+    )
+    j = c.merge(agg, left_on="c_custkey", right_index=True, how="left")
+    j[["n_orders", "spend", "maxv"]] = (
+        j[["n_orders", "spend", "maxv"]].fillna(0).astype(np.int64)
+    )
+    return j
+
+
+def test_wilks_lambda_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import wilks_lambda_manova
+
+    j = _customer_frame(spark)
+    x = j[["n_orders", "spend"]].to_numpy(dtype=float)
+    labels = j["c_mktsegment"].to_numpy()
+    grand = x.mean(axis=0)
+    w = np.zeros((2, 2))
+    for s in np.unique(labels):
+        g = x[labels == s]
+        dev = g - g.mean(axis=0)
+        w += dev.T @ dev
+    devt = x - grand
+    t = devt.T @ devt
+    lam = np.linalg.det(w) / np.linalg.det(t)
+    n, k, p = len(x), len(np.unique(labels)), 2
+    chi2 = -(n - 1 - (p + k) / 2) * math.log(lam)
+    h = chi2 / 2
+    pval = math.exp(-h) * (1 + h + h * h / 2 + h**3 / 6)
+    [r] = wilks_lambda_manova(spark, SF_DIR).collect()
+    assert r["k_groups"] == k
+    assert r["n_customers"] == n
+    assert abs(r["wilks_lambda"] - lam) < 1e-5
+    assert abs(r["bartlett_chi2"] - chi2) < 1e-2
+    assert r["df"] == p * (k - 1)
+    assert abs(r["p_value"] - pval) < 1e-5
+
+
+def test_canonical_correlation_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import (
+        canonical_correlation_customers,
+    )
+
+    j = _customer_frame(spark)
+    j["bal_cents"] = np.floor(j["c_acctbal"] * 100 + 0.5).astype(np.int64)
+    x = j[["bal_cents", "n_orders"]].to_numpy(dtype=float)
+    y = j[["spend", "maxv"]].to_numpy(dtype=float)
+    xc = x - x.mean(axis=0)
+    yc = y - y.mean(axis=0)
+    sxx = xc.T @ xc
+    syy = yc.T @ yc
+    sxy = xc.T @ yc
+    m = np.linalg.inv(sxx) @ sxy @ np.linalg.inv(syy) @ sxy.T
+    ev = np.sort(np.linalg.eigvals(m).real)[::-1]
+    [r] = canonical_correlation_customers(spark, SF_DIR).collect()
+    assert r["n_customers"] == len(j)
+    assert abs(r["rho1"] - math.sqrt(ev[0])) < 1e-5
+    assert abs(r["rho2"] - math.sqrt(max(ev[1], 0))) < 1e-5
+    assert 0 <= r["rho2"] <= r["rho1"] <= 1.0
+
+
+def test_covisitation_matches_pandas(spark):
+    from itertools import combinations
+
+    from zoom_spark.queries.round10c_ops import covisitation_item_item_topk
+
+    li = _baskets(spark)
+    deg = li.groupby("l_partkey").size().to_dict()
+    cnt = {}
+    for _, g in li.groupby("l_orderkey"):
+        for u, v in combinations(sorted(g["l_partkey"]), 2):
+            cnt[(u, v)] = cnt.get((u, v), 0) + 1
+    cand = [
+        (c * c / (deg[a] * deg[b]), a, b, c)
+        for (a, b), c in cnt.items()
+        if c >= 2
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    rows = covisitation_item_item_topk(spark, SF_DIR).collect()
+    assert len(rows) == min(20, len(cand))
+    for r, (_, a, b, c) in zip(rows, cand[:20]):
+        assert (r["item_a"], r["item_b"], r["co_count"]) == (a, b, c)
+        assert r["deg_a"] == deg[a] and r["deg_b"] == deg[b]
+        assert abs(r["cosine"] - c / math.sqrt(deg[a] * deg[b])) < 1e-6

@@ -2346,3 +2346,717 @@ def ams_f2_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mid2") / 8.0 - F.col("f2")) / F.col("f2"), 6
         ).alias("relative_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R428 four-cycle (C4) count on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "four_cycle_count_copurchase",
+    sql="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL
+      SELECT v AS src, u AS dst FROM e
+    ),
+    cn AS MATERIALIZED (
+      SELECT a.dst AS x, b.dst AS y, CAST(count(*) AS BIGINT) AS c
+      FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst
+    ),
+    agg AS (
+      SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS quad,
+             CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_cn2
+      FROM cn
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           n_pairs_cn2, quad,
+           CAST(quad / 2 AS BIGINT) AS n_four_cycles
+    FROM agg
+    """,
+)
+def four_cycle_count_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R428 four-cycle (C4 / 'butterfly') count on the co-purchase
+    graph: every 4-cycle {u,z,v,w} is determined by its two diagonal
+    pairs, so C4 = ½ Σ_{x<y} C(cn(x,y), 2) where cn is the common-
+    neighbor count — computed from the SAME wedge frame the
+    registry's adamic_adar and link_prediction_panel score (this adds
+    the global MOTIF census those per-pair scores don't give; squares
+    are the bipartite-cohesion complement of co_purchase_triangles).
+    The wedge join is the standard adjacency self-join on the center;
+    every count is a BIGINT and quad is provably even (each cycle
+    counted by exactly 2 diagonals).  Cites reference scope: the
+    reference has no graph surface (SURVEY §2.11 extension).
+    At 100 TB the basket-explode edge build (advanced_analytics.
+    _co_purchase_edges) keeps the fact scan linear; wedge volume is
+    Σ deg², the quantity every triangle/AA query here already
+    shoulders."""
+    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
+
+    e = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    a = adj.select(F.col("src").alias("sa"), F.col("dst").alias("x"))
+    b = adj.select(F.col("src").alias("sb"), F.col("dst").alias("y"))
+    cn = (
+        a.join(
+            b, (F.col("sa") == F.col("sb")) & (F.col("x") < F.col("y"))
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = cn.agg(
+        F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("quad"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs_cn2"),
+    )
+    n_edges = e.count()
+    return agg.select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "n_pairs_cn2",
+        "quad",
+        (F.col("quad") / 2).cast("long").alias("n_four_cycles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R429 Hotelling's T² two-sample multivariate test (weekend vs weekday)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hotelling_t2_weekend",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS x1,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS x2,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7 AS BIGINT) IN (5, 6)
+                  THEN 1 ELSE 0 END AS wk
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    m AS MATERIALIZED (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22
+      FROM d GROUP BY wk
+    ),
+    s AS (
+      SELECT
+        a.n AS n1, b.n AS n0,
+        CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n AS d1,
+        CAST(a.s2 AS DOUBLE) / a.n - CAST(b.s2 AS DOUBLE) / b.n AS d2,
+        ((CAST(a.s11 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
+         + (CAST(b.s11 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n))
+          / (a.n + b.n - 2) AS w11,
+        ((CAST(a.s12 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s2 / a.n)
+         + (CAST(b.s12 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s2 / b.n))
+          / (a.n + b.n - 2) AS w12,
+        ((CAST(a.s22 AS DOUBLE) - CAST(a.s2 AS DOUBLE) * a.s2 / a.n)
+         + (CAST(b.s22 AS DOUBLE) - CAST(b.s2 AS DOUBLE) * b.s2 / b.n))
+          / (a.n + b.n - 2) AS w22
+      FROM (SELECT * FROM m WHERE wk = 1) a,
+           (SELECT * FROM m WHERE wk = 0) b
+    ),
+    t AS (
+      SELECT n1, n0,
+             (CAST(n1 AS DOUBLE) * n0 / (n1 + n0))
+             * (d1 * (w22 * d1 - w12 * d2)
+                + d2 * (w11 * d2 - w12 * d1))
+             / (w11 * w22 - w12 * w12) AS t2
+      FROM s
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           round(t2, 6) AS t2_stat,
+           round(t2 * (n1 + n0 - 3) / (CAST(n1 + n0 AS DOUBLE) - 2) / 2.0,
+                 6) AS f_stat
+    FROM t
+    """,
+)
+def hotelling_t2_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R429 Hotelling's T² two-sample test on the per-day bivariate
+    (order count, whole-dollar revenue) between weekend and weekday
+    days: T² = (n₁n₀/(n₁+n₀)) d' S_pooled⁻¹ d with the 2×2 pooled
+    covariance inverted in closed form — the MULTIVARIATE
+    generalization of the registry's per-feature weekend t/z tests
+    (it respects the count-revenue correlation that running two
+    univariate tests ignores), with the exact F conversion
+    F = T²(n-p-1)/((n-2)p), p = 2.  Every scatter entry is built
+    from BIGINT day-frame moments with the S2 - S1²/n spelling
+    (exact-operand doubles; n·S2 would overflow at sf0.1), so both
+    engines invert the identical matrix.  One groupBy to days, one
+    2-group aggregate: single-shuffle at any scale."""
+    wk = (
+        F.datediff(
+            F.col("day"), F.lit("1990-01-01").cast("date")
+        )
+        % 7
+    )
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("x1"),
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("x2"),
+        )
+        .select(
+            "x1", "x2", F.when(wk.isin(5, 6), 1).otherwise(0).alias("wk")
+        )
+    )
+    m = d.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+    )
+    a = m.where(F.col("wk") == 1).select(
+        *[F.col(c).alias(f"a_{c}") for c in ["n", "s1", "s2", "s11", "s12", "s22"]]
+    )
+    b = m.where(F.col("wk") == 0).select(
+        *[F.col(c).alias(f"b_{c}") for c in ["n", "s1", "s2", "s11", "s12", "s22"]]
+    )
+    j = a.crossJoin(b)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    nn = (F.col("a_n") + F.col("b_n") - 2).cast("double")
+    d1 = dd("a_s1") / F.col("a_n") - dd("b_s1") / F.col("b_n")
+    d2 = dd("a_s2") / F.col("a_n") - dd("b_s2") / F.col("b_n")
+    w11 = (
+        (dd("a_s11") - dd("a_s1") * F.col("a_s1") / F.col("a_n"))
+        + (dd("b_s11") - dd("b_s1") * F.col("b_s1") / F.col("b_n"))
+    ) / nn
+    w12 = (
+        (dd("a_s12") - dd("a_s1") * F.col("a_s2") / F.col("a_n"))
+        + (dd("b_s12") - dd("b_s1") * F.col("b_s2") / F.col("b_n"))
+    ) / nn
+    w22 = (
+        (dd("a_s22") - dd("a_s2") * F.col("a_s2") / F.col("a_n"))
+        + (dd("b_s22") - dd("b_s2") * F.col("b_s2") / F.col("b_n"))
+    ) / nn
+    t2 = (
+        (F.col("a_n").cast("double") * F.col("b_n") / (F.col("a_n") + F.col("b_n")))
+        * (d1 * (w22 * d1 - w12 * d2) + d2 * (w11 * d2 - w12 * d1))
+        / (w11 * w22 - w12 * w12)
+    )
+    return j.select(
+        F.col("a_n").alias("n_weekend"),
+        F.col("b_n").alias("n_weekday"),
+        F.round(t2, 6).alias("t2_stat"),
+        F.round(
+            t2
+            * (F.col("a_n") + F.col("b_n") - 3)
+            / ((F.col("a_n") + F.col("b_n")).cast("double") - 2)
+            / 2.0,
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R430 one-way MANOVA: Wilks' lambda over market segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilks_lambda_manova",
+    sql="""
+    WITH cust AS MATERIALIZED (
+      SELECT c.c_custkey, c.c_mktsegment AS seg,
+             CAST(count(o.o_orderkey) AS BIGINT) AS x1,
+             CAST(coalesce(sum(CAST(floor(CAST(floor(o.o_totalprice * 100
+                  + 0.5) AS BIGINT) / 100) AS BIGINT)), 0) AS BIGINT) AS x2
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    grp AS MATERIALIZED (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22
+      FROM cust GROUP BY seg
+    ),
+    w AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(CAST(floor((CAST(s11 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * s1 / n) * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS w11_6,
+             CAST(sum(CAST(floor((CAST(s12 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * s2 / n) * 1e3 + 0.5) AS BIGINT))
+                  AS BIGINT) AS w12_3,
+             CAST(sum(CAST(floor(CAST(s22 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * s2 / n + 0.5) AS BIGINT))
+                  AS BIGINT) AS w22,
+             CAST(sum(s1) AS BIGINT) AS g1, CAST(sum(s2) AS BIGINT) AS g2,
+             CAST(sum(s11) AS BIGINT) AS t11r,
+             CAST(sum(s12) AS BIGINT) AS t12r,
+             CAST(sum(s22) AS BIGINT) AS t22r
+      FROM grp
+    ),
+    lam AS (
+      SELECT k, n_total,
+             ((w11_6 / 1e6) * w22 - (w12_3 / 1e3) * (w12_3 / 1e3))
+             / ((CAST(t11r AS DOUBLE) - CAST(g1 AS DOUBLE) * g1 / n_total)
+                * (CAST(t22r AS DOUBLE) - CAST(g2 AS DOUBLE) * g2 / n_total)
+                - (CAST(t12r AS DOUBLE) - CAST(g1 AS DOUBLE) * g2 / n_total)
+                  * (CAST(t12r AS DOUBLE) - CAST(g1 AS DOUBLE) * g2
+                     / n_total)) AS lambda
+      FROM w
+    ),
+    bart AS (
+      SELECT k, n_total, lambda,
+             -(n_total - 1 - (2.0 + k) / 2.0) * ln(lambda) AS chi2
+      FROM lam
+    )
+    SELECT k AS k_groups, n_total AS n_customers,
+           round(lambda, 6) AS wilks_lambda,
+           round(chi2, 6) AS bartlett_chi2,
+           CAST(2 * (k - 1) AS BIGINT) AS df,
+           round(exp(-chi2 / 2.0)
+                 * (1.0 + (chi2 / 2.0)
+                    + (chi2 / 2.0) * (chi2 / 2.0) / 2.0
+                    + (chi2 / 2.0) * (chi2 / 2.0) * (chi2 / 2.0) / 6.0),
+                 6) AS p_value
+    FROM bart
+    """,
+)
+def wilks_lambda_manova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R430 one-way MANOVA via Wilks' Λ on the per-customer bivariate
+    (order count, whole-dollar spend) across the 5 market segments:
+    Λ = det(W)/det(T) with W the pooled within-group and T the total
+    scatter — the multivariate generalization of the registry's
+    anova_f_segments (which tests each feature alone), with
+    Bartlett's chi-square approximation χ² = -(N-1-(p+k)/2)·lnΛ and
+    its CLOSED-FORM df = p(k-1) = 8 survival function
+    e^{-x/2}·Σ_{i<4}(x/2)^i/i! (even df ⇒ finite sum — no incomplete
+    gamma).  Scatter entries come from BIGINT group moments with the
+    S2 - S1²/n spelling; each group's within-scatter contribution is
+    snapped on a SCALE-APPROPRIATE grid per entry (count² at 1e-6,
+    count·dollar at 1e-3, dollar² at 1e0 — a uniform integer snap
+    loses 0.17 percent of Λ through the det(W) cancellation because
+    the count² entry is ~1e3 while dollar² is ~1e14; referee-caught)
+    so each 5-term sum is an order-free BIGINT reduction under the
+    9.2e18 BIGINT cap at sf0.1.  LEFT JOIN keeps zero-order customers (true zeros in
+    both features).  One fact-dim join + two bounded aggregates."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                "o_orderkey",
+                F.floor(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                    / 100
+                )
+                .cast("long")
+                .alias("dollars"),
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+            how="left",
+        )
+        .groupBy("c_custkey", "seg")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("x1"),
+            F.coalesce(F.sum("dollars"), F.lit(0)).cast("long").alias("x2"),
+        )
+    )
+    grp = cust.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    w = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.floor(
+                (dd("s11") - dd("s1") * F.col("s1") / F.col("n")) * 1e6
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("w11_6"),
+        F.sum(
+            F.floor(
+                (dd("s12") - dd("s1") * F.col("s2") / F.col("n")) * 1e3
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("w12_3"),
+        F.sum(
+            F.floor(
+                dd("s22") - dd("s2") * F.col("s2") / F.col("n") + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("w22"),
+        F.sum("s1").cast("long").alias("g1"),
+        F.sum("s2").cast("long").alias("g2"),
+        F.sum("s11").cast("long").alias("t11r"),
+        F.sum("s12").cast("long").alias("t12r"),
+        F.sum("s22").cast("long").alias("t22r"),
+    )
+    t11 = dd("t11r") - dd("g1") * F.col("g1") / F.col("n_total")
+    t12 = dd("t12r") - dd("g1") * F.col("g2") / F.col("n_total")
+    t22 = dd("t22r") - dd("g2") * F.col("g2") / F.col("n_total")
+    lam = (
+        (F.col("w11_6") / 1e6) * F.col("w22")
+        - (F.col("w12_3") / 1e3) * (F.col("w12_3") / 1e3)
+    ) / (t11 * t22 - t12 * t12)
+    out = w.withColumn("lambda", lam).withColumn(
+        "chi2",
+        -(
+            F.col("n_total")
+            - 1
+            - (2.0 + F.col("k")) / 2.0
+        )
+        * F.log(F.col("lambda")),
+    )
+    h = F.col("chi2") / 2.0
+    return out.select(
+        F.col("k").alias("k_groups"),
+        F.col("n_total").alias("n_customers"),
+        F.round(F.col("lambda"), 6).alias("wilks_lambda"),
+        F.round(F.col("chi2"), 6).alias("bartlett_chi2"),
+        (2 * (F.col("k") - 1)).cast("long").alias("df"),
+        F.round(
+            F.exp(-h) * (1.0 + h + h * h / 2.0 + h * h * h / 6.0), 6
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R431 canonical correlation (2x2 closed form) between customer blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "canonical_correlation_customers",
+    sql="""
+    WITH cust AS MATERIALIZED (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x1,
+             CAST(count(o.o_orderkey) AS BIGINT) AS x2,
+             CAST(coalesce(sum(CAST(floor(CAST(floor(o.o_totalprice * 100
+                  + 0.5) AS BIGINT) / 100) AS BIGINT)), 0) AS BIGINT) AS y1,
+             CAST(coalesce(max(CAST(floor(CAST(floor(o.o_totalprice * 100
+                  + 0.5) AS BIGINT) / 100) AS BIGINT)), 0) AS BIGINT) AS y2
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y1) AS BIGINT) AS sy1, CAST(sum(y2) AS BIGINT) AS sy2,
+             CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+             CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+             CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+             CAST(sum(y1 * y1) AS BIGINT) AS sy11,
+             CAST(sum(y1 * y2) AS BIGINT) AS sy12,
+             CAST(sum(y2 * y2) AS BIGINT) AS sy22,
+             CAST(sum(x1 * y1) AS BIGINT) AS sc11,
+             CAST(sum(x1 * y2) AS BIGINT) AS sc12,
+             CAST(sum(x2 * y1) AS BIGINT) AS sc21,
+             CAST(sum(x2 * y2) AS BIGINT) AS sc22
+      FROM cust
+    ),
+    cov AS (
+      SELECT n,
+        CAST(sx11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS a11,
+        CAST(sx12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS a12,
+        CAST(sx22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS a22,
+        CAST(sy11 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / n AS b11,
+        CAST(sy12 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy2 / n AS b12,
+        CAST(sy22 AS DOUBLE) - CAST(sy2 AS DOUBLE) * sy2 / n AS b22,
+        CAST(sc11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1 / n AS c11,
+        CAST(sc12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy2 / n AS c12,
+        CAST(sc21 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy1 / n AS c21,
+        CAST(sc22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy2 / n AS c22
+      FROM m
+    ),
+    eig AS (
+      SELECT n,
+        -- tr(M) and det(M) of M = Sxx^-1 Sxy Syy^-1 Syx, expanded so
+        -- both engines evaluate the identical expression tree:
+        ((c11 * (b22 * c11 - b12 * c12) + c12 * (b11 * c12 - b12 * c11))
+           * a22
+         + (c21 * (b22 * c11 - b12 * c12) + c22 * (b11 * c12 - b12 * c11))
+           * (-a12)
+         + (c11 * (b22 * c21 - b12 * c22) + c12 * (b11 * c22 - b12 * c21))
+           * (-a12)
+         + (c21 * (b22 * c21 - b12 * c22) + c22 * (b11 * c22 - b12 * c21))
+           * a11)
+          / ((a11 * a22 - a12 * a12) * (b11 * b22 - b12 * b12)) AS tr_m,
+        ((c11 * c22 - c12 * c21) * (c11 * c22 - c12 * c21))
+          / ((a11 * a22 - a12 * a12) * (b11 * b22 - b12 * b12)) AS det_m
+      FROM cov
+    )
+    SELECT n AS n_customers,
+           round(sqrt((tr_m + sqrt(tr_m * tr_m - 4 * det_m)) / 2.0), 6)
+             AS rho1,
+           round(sqrt(greatest((tr_m - sqrt(tr_m * tr_m - 4 * det_m))
+                               / 2.0, 0.0)), 6) AS rho2,
+           round(tr_m, 6) AS trace_m,
+           round(det_m, 9) AS det_m
+    FROM eig
+    """,
+)
+def canonical_correlation_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R431 canonical correlation analysis between the customer
+    PROFILE block X = (account balance cents, order count) and the
+    SPEND block Y = (total whole-dollar spend, max order value):
+    the canonical correlations are the square roots of the
+    eigenvalues of M = Sxx⁻¹·Sxy·Syy⁻¹·Syx — for p = q = 2 the
+    eigenvalues are the CLOSED-FORM quadratic roots
+    (tr ± √(tr²-4det))/2, with tr(M) expanded to one explicit
+    polynomial of the ten covariance entries (identical expression
+    tree both engines) and det(M) = det(Sxy)²/(det Sxx·det Syy) —
+    the block-level generalization of the registry's single-pair
+    correlation / partial-correlation queries.  All ten scatter
+    entries are exact-operand doubles from BIGINT moments (cent
+    balances × dollar spends stay < 9.2e18 at sf0.1).  One fact-dim
+    aggregate; the eigenproblem is a scalar expression."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x1"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                "o_orderkey",
+                F.floor(cents / 100).cast("long").alias("dollars"),
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+            how="left",
+        )
+        .groupBy("c_custkey", "x1")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("x2"),
+            F.coalesce(F.sum("dollars"), F.lit(0))
+            .cast("long")
+            .alias("y1"),
+            F.coalesce(F.max("dollars"), F.lit(0))
+            .cast("long")
+            .alias("y2"),
+        )
+    )
+    m = cust.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(expr).cast("long").alias(name)
+            for name, expr in [
+                ("sx1", F.col("x1")),
+                ("sx2", F.col("x2")),
+                ("sy1", F.col("y1")),
+                ("sy2", F.col("y2")),
+                ("sx11", F.col("x1") * F.col("x1")),
+                ("sx12", F.col("x1") * F.col("x2")),
+                ("sx22", F.col("x2") * F.col("x2")),
+                ("sy11", F.col("y1") * F.col("y1")),
+                ("sy12", F.col("y1") * F.col("y2")),
+                ("sy22", F.col("y2") * F.col("y2")),
+                ("sc11", F.col("x1") * F.col("y1")),
+                ("sc12", F.col("x1") * F.col("y2")),
+                ("sc21", F.col("x2") * F.col("y1")),
+                ("sc22", F.col("x2") * F.col("y2")),
+            ]
+        ],
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = F.col("n")
+    cov = m.select(
+        "n",
+        (dd("sx11") - dd("sx1") * F.col("sx1") / n).alias("a11"),
+        (dd("sx12") - dd("sx1") * F.col("sx2") / n).alias("a12"),
+        (dd("sx22") - dd("sx2") * F.col("sx2") / n).alias("a22"),
+        (dd("sy11") - dd("sy1") * F.col("sy1") / n).alias("b11"),
+        (dd("sy12") - dd("sy1") * F.col("sy2") / n).alias("b12"),
+        (dd("sy22") - dd("sy2") * F.col("sy2") / n).alias("b22"),
+        (dd("sc11") - dd("sx1") * F.col("sy1") / n).alias("c11"),
+        (dd("sc12") - dd("sx1") * F.col("sy2") / n).alias("c12"),
+        (dd("sc21") - dd("sx2") * F.col("sy1") / n).alias("c21"),
+        (dd("sc22") - dd("sx2") * F.col("sy2") / n).alias("c22"),
+    )
+    a11, a12, a22 = F.col("a11"), F.col("a12"), F.col("a22")
+    b11, b12, b22 = F.col("b11"), F.col("b12"), F.col("b22")
+    c11, c12, c21, c22 = (
+        F.col("c11"),
+        F.col("c12"),
+        F.col("c21"),
+        F.col("c22"),
+    )
+    den = (a11 * a22 - a12 * a12) * (b11 * b22 - b12 * b12)
+    tr_m = (
+        (c11 * (b22 * c11 - b12 * c12) + c12 * (b11 * c12 - b12 * c11))
+        * a22
+        + (c21 * (b22 * c11 - b12 * c12) + c22 * (b11 * c12 - b12 * c11))
+        * (-a12)
+        + (c11 * (b22 * c21 - b12 * c22) + c12 * (b11 * c22 - b12 * c21))
+        * (-a12)
+        + (c21 * (b22 * c21 - b12 * c22) + c22 * (b11 * c22 - b12 * c21))
+        * a11
+    ) / den
+    det_m = ((c11 * c22 - c12 * c21) * (c11 * c22 - c12 * c21)) / den
+    eig = cov.select("n", tr_m.alias("tr_m"), det_m.alias("det_m"))
+    disc = F.sqrt(F.col("tr_m") * F.col("tr_m") - 4 * F.col("det_m"))
+    return eig.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.sqrt((F.col("tr_m") + disc) / 2.0), 6).alias("rho1"),
+        F.round(
+            F.sqrt(F.greatest((F.col("tr_m") - disc) / 2.0, F.lit(0.0))), 6
+        ).alias("rho2"),
+        F.round(F.col("tr_m"), 6).alias("trace_m"),
+        F.round(F.col("det_m"), 9).alias("det_m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R432 item-item covisitation cosine top-k (recsys candidate generation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "covisitation_item_item_topk",
+    sql="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    deg AS MATERIALIZED (
+      SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS d
+      FROM li GROUP BY l_partkey
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS ia, b.l_partkey AS ib,
+             CAST(count(*) AS BIGINT) AS c
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    )
+    SELECT p.ia AS item_a, p.ib AS item_b, p.c AS co_count,
+           da.d AS deg_a, db.d AS deg_b,
+           round(CAST(p.c AS DOUBLE) / sqrt(CAST(da.d * db.d AS DOUBLE)),
+                 6) AS cosine
+    FROM pairs p
+    JOIN deg da ON p.ia = da.item
+    JOIN deg db ON p.ib = db.item
+    ORDER BY CAST(p.c * p.c AS DOUBLE) / CAST(da.d * db.d AS DOUBLE) DESC,
+             p.ia, p.ib
+    LIMIT 20
+    """,
+)
+def covisitation_item_item_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R432 item-item covisitation with cosine normalization — the
+    classical recsys candidate-generation matrix: c(a,b) = baskets
+    containing both items, cosine = c/√(d_a·d_b) with d the item's
+    basket frequency, support ≥ 2, top-20 — the NORMALIZED companion
+    of the registry's raw co-purchase edge queries (raw counts rank
+    popular items first; cosine surfaces genuinely-associated pairs)
+    and the graph-free sibling of its ALS/embedding recommenders.
+    The ranking key is the exact rational c²/(d_a·d_b) (BIGINT
+    operands — identical double on both engines, so the ORDER BY is
+    reproducible; ties break lexicographically).  Pair counting joins
+    the deduped basket-item frame to itself on the basket key — at
+    100 TB this is one shuffle on l_orderkey with map-side basket
+    dedup, and the support filter prunes before the degree join."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("oa"), F.col("l_partkey").alias("ia")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("ib")
+    )
+    pairs = (
+        a.join(
+            b, (F.col("oa") == F.col("ob")) & (F.col("ia") < F.col("ib"))
+        )
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("long").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    da = deg.select(
+        F.col("item").alias("item_da"), F.col("d").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("item").alias("item_db"), F.col("d").alias("deg_b")
+    )
+    joined = pairs.join(
+        da, on=F.col("ia") == F.col("item_da")
+    ).join(db, on=F.col("ib") == F.col("item_db"))
+    cos2 = (F.col("c") * F.col("c")).cast("double") / (
+        F.col("deg_a") * F.col("deg_b")
+    ).cast("double")
+    return (
+        joined.select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("c").alias("co_count"),
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt((F.col("deg_a") * F.col("deg_b")).cast("double")),
+                6,
+            ).alias("cosine"),
+            cos2.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), F.col("item_a"), F.col("item_b"))
+        .limit(20)
+        .drop("_ord")
+    )
