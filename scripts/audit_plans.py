@@ -1093,6 +1093,16 @@ EXPECTATIONS = {
     "hotelling_t2_weekend": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R433: 9-row decile grid broadcast-crossed onto the day frame;
+    # per-group ranks ride partitioned windows
+    "quantile_treatment_effects": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R435: day row-number/count ride unpartitioned windows over the
+    # calendar-bounded day frame; the two 1-row segment fits cross
+    "its_segmented_regression": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

@@ -655,3 +655,77 @@ def test_covisitation_matches_pandas(spark):
         assert (r["item_a"], r["item_b"], r["co_count"]) == (a, b, c)
         assert r["deg_a"] == deg[a] and r["deg_b"] == deg[b]
         assert abs(r["cosine"] - c / math.sqrt(deg[a] * deg[b])) < 1e-6
+
+
+def test_qte_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import quantile_treatment_effects
+
+    d = _daily_revenue(spark)
+    we = np.sort(d.loc[d["dow"].isin([5, 6]), "y"].to_numpy(float))
+    wd = np.sort(d.loc[~d["dow"].isin([5, 6]), "y"].to_numpy(float))
+    rows = quantile_treatment_effects(spark, SF_DIR).collect()
+    assert len(rows) == 9
+    for r in rows:
+        tau = r["decile"] / 10.0
+        qw = np.quantile(we, tau)  # numpy default = type-7
+        qd = np.quantile(wd, tau)
+        assert abs(r["q_weekend"] - qw) < 1e-4
+        assert abs(r["q_weekday"] - qd) < 1e-4
+        assert abs(r["qte"] - (qw - qd)) < 1e-4
+
+
+def test_propensity_ate_matches_pandas(spark):
+    from zoom_spark.queries.round10c_ops import propensity_stratified_ate
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).toPandas()
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["treat"] = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    j["yr"] = j["o_orderdate"].dt.year
+    j["cents"] = np.floor(j["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    crude = (
+        j.loc[j["treat"] == 1, "cents"].mean()
+        - j.loc[j["treat"] == 0, "cents"].mean()
+    ) / 100.0
+    num, n_used, k = 0.0, 0, 0
+    for _, g in j.groupby(["c_mktsegment", "yr"]):
+        g1 = g.loc[g["treat"] == 1, "cents"]
+        g0 = g.loc[g["treat"] == 0, "cents"]
+        if len(g1) == 0 or len(g0) == 0:
+            continue
+        k += 1
+        n_used += len(g)
+        num += (g1.mean() - g0.mean()) * len(g)
+    strat = num / n_used / 100.0
+    [r] = propensity_stratified_ate(spark, SF_DIR).collect()
+    assert r["k_strata"] == k
+    assert r["n_used"] == n_used
+    assert abs(r["crude_diff"] - crude) < 1e-4
+    assert abs(r["stratified_ate"] - strat) < 1e-4
+    assert abs(r["confounding_bias"] - (crude - strat)) < 1e-4
+
+
+def test_its_segmented_matches_polyfit(spark):
+    from zoom_spark.queries.round10c_ops import its_segmented_regression
+
+    d = _daily_revenue(spark)
+    y = d["y"].to_numpy(float)
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=float)
+    brk = n // 2
+    pre, post = t <= brk, t > brk
+    b_pre = np.polyfit(t[pre], y[pre], 1)
+    b_post = np.polyfit(t[post], y[post], 1)
+    t0 = brk + 1
+    level = (b_post[1] + b_post[0] * t0) - (b_pre[1] + b_pre[0] * t0)
+    [r] = its_segmented_regression(spark, SF_DIR).collect()
+    assert r["n_pre"] == int(pre.sum())
+    assert r["n_post"] == int(post.sum())
+    assert abs(r["slope_pre"] - b_pre[0]) < 1e-3
+    assert abs(r["slope_post"] - b_post[0]) < 1e-3
+    assert abs(r["slope_change"] - (b_post[0] - b_pre[0])) < 1e-3
+    assert abs(r["level_change"] - level) < 1e-2

@@ -3080,3 +3080,447 @@ def covisitation_item_item_topk(
         .limit(20)
         .drop("_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# R433 quantile treatment effects (weekend vs weekday revenue deciles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_treatment_effects",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS wk
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    r AS MATERIALIZED (
+      SELECT wk, y,
+             CAST(row_number() OVER (PARTITION BY wk ORDER BY y)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY wk) AS BIGINT) AS n
+      FROM d
+    ),
+    qs AS (
+      SELECT q.q, r.wk,
+             CAST(sum(CASE WHEN r.rn = CAST(floor((q.q * (r.n - 1)) / 10.0)
+                                            AS BIGINT) + 1
+                           THEN r.y ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN r.rn = CAST(ceil((q.q * (r.n - 1)) / 10.0)
+                                            AS BIGINT) + 1
+                           THEN r.y ELSE 0 END) AS BIGINT) AS hi,
+             CAST(max(CASE WHEN CAST(floor((q.q * (r.n - 1)) / 10.0)
+                                 AS BIGINT)
+                                = CAST(ceil((q.q * (r.n - 1)) / 10.0)
+                                       AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS degenerate,
+             max((q.q * (r.n - 1)) % 10) AS frac10
+      FROM r CROSS JOIN (
+        SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS q) q
+      GROUP BY q.q, r.wk
+    ),
+    qv AS (
+      SELECT q, wk,
+             CASE WHEN degenerate = 1 THEN CAST(lo AS DOUBLE)
+                  ELSE lo + (hi - lo) * (frac10 / 10.0) END AS qval
+      FROM qs
+    )
+    SELECT a.q AS decile,
+           round(a.qval, 6) AS q_weekend,
+           round(b.qval, 6) AS q_weekday,
+           round(a.qval - b.qval, 6) AS qte
+    FROM (SELECT * FROM qv WHERE wk = 1) a
+    JOIN (SELECT * FROM qv WHERE wk = 0) b ON a.q = b.q
+    ORDER BY a.q
+    """,
+)
+def quantile_treatment_effects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R433 quantile 'treatment' effects of weekends on daily revenue:
+    QTE(τ) = Q_weekend(τ) - Q_weekday(τ) at the nine deciles — the
+    DISTRIBUTIONAL effect profile that mean-effect tests
+    (hodges_lehmann, vargha_delaney, the weekend z panel) cannot
+    show (a weekend that fattens only the upper tail has zero
+    median effect).  Quantiles are type-7 (linear interpolation at
+    h = τ(n-1)): the bracketing order statistics lo/hi come from
+    per-group row_number (exact whole-dollar BIGINTs) and the
+    fractional weight is the EXACT RATIONAL (τ·(n-1)) mod 10 / 10,
+    so interpolation multiplies identical doubles on both engines.
+    Day-frame bounded; one sort per group."""
+    wk = (
+        F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")) % 7
+    )
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.when(wk.isin(5, 6), 1).otherwise(0).alias("wk"))
+    )
+    r = d.select(
+        "wk",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("wk").orderBy("y"))
+        .cast("long")
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("wk"))
+        .cast("long")
+        .alias("n"),
+    )
+    qgrid = spark.range(1, 10).select(F.col("id").cast("long").alias("q"))
+    h10 = F.col("q") * (F.col("n") - 1)
+    lo_rn = F.floor(h10 / 10.0).cast("long") + 1
+    hi_rn = F.ceil(h10 / 10.0).cast("long") + 1
+    qs = (
+        r.crossJoin(F.broadcast(qgrid))
+        .groupBy("q", "wk")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") == lo_rn, F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("lo"),
+            F.sum(
+                F.when(F.col("rn") == hi_rn, F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("hi"),
+            F.max(F.when(lo_rn == hi_rn, 1).otherwise(0))
+            .cast("long")
+            .alias("degenerate"),
+            F.max(h10 % 10).alias("frac10"),
+        )
+    )
+    qv = qs.select(
+        "q",
+        "wk",
+        F.when(F.col("degenerate") == 1, F.col("lo").cast("double"))
+        .otherwise(
+            F.col("lo")
+            + (F.col("hi") - F.col("lo")) * (F.col("frac10") / 10.0)
+        )
+        .alias("qval"),
+    )
+    a = qv.where(F.col("wk") == 1).select(
+        F.col("q").alias("qa"), F.col("qval").alias("q_we")
+    )
+    b = qv.where(F.col("wk") == 0).select(
+        F.col("q").alias("qb"), F.col("qval").alias("q_wd")
+    )
+    return (
+        a.join(b, F.col("qa") == F.col("qb"))
+        .select(
+            F.col("qa").alias("decile"),
+            F.round(F.col("q_we"), 6).alias("q_weekend"),
+            F.round(F.col("q_wd"), 6).alias("q_weekday"),
+            F.round(F.col("q_we") - F.col("q_wd"), 6).alias("qte"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R434 propensity-stratified ATE (urgent priority -> high order value)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "propensity_stratified_ate",
+    sql="""
+    WITH o AS MATERIALIZED (
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS treat,
+             c.c_mktsegment AS seg,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    strata AS MATERIALIZED (
+      SELECT seg, yr,
+             CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(treat) AS BIGINT) AS n1,
+             CAST(sum(1 - treat) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS s0
+      FROM o GROUP BY seg, yr
+      HAVING sum(treat) >= 1 AND sum(1 - treat) >= 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_strata,
+             CAST(sum(n_s) AS BIGINT) AS n_used,
+             CAST(sum(CAST(floor(
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               * n_s * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS wd4,
+             CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(n1) AS BIGINT) AS m1,
+             CAST(sum(s0) AS BIGINT) AS t0, CAST(sum(n0) AS BIGINT) AS m0
+      FROM strata
+    )
+    SELECT k_strata, n_used,
+           round((CAST(t1 AS DOUBLE) / m1 - CAST(t0 AS DOUBLE) / m0)
+                 / 100.0, 6) AS crude_diff,
+           round(wd4 / 1e4 / n_used / 100.0, 6) AS stratified_ate,
+           round((CAST(t1 AS DOUBLE) / m1 - CAST(t0 AS DOUBLE) / m0)
+                 / 100.0 - wd4 / 1e4 / n_used / 100.0, 6)
+             AS confounding_bias
+    FROM agg
+    """,
+)
+def propensity_stratified_ate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R434 stratified average 'treatment' effect of urgent/high
+    priority on order value, adjusting for (market segment × order
+    year) strata: ATE_strat = Σ_s (n_s/N)(ȳ₁ₛ - ȳ₀ₛ) — the
+    propensity-score-stratification estimator (strata built on the
+    observed confounders directly, the deterministic special case of
+    PS binning), reported against the crude difference so the
+    CONFOUNDING BIAS column shows what adjustment moved — the
+    causal-adjustment complement of the registry's iv_2sls
+    (instrumental) and diff_in_diff (panel) estimators.  Strata with
+    an empty arm are dropped (positivity violation — standard;
+    n_used reports the surviving mass).  Per-stratum mean
+    differences are exact-operand cent ratios, weighted terms snap
+    at 1e-4 cents before the BIGINT reduction.  One fact-dim join +
+    one bounded groupBy (≤ 5×|years| strata)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("treat"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_mktsegment").alias("seg")
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    strata = (
+        o.groupBy("seg", "yr")
+        .agg(
+            F.count("*").cast("long").alias("n_s"),
+            F.sum("treat").cast("long").alias("n1"),
+            F.sum(1 - F.col("treat")).cast("long").alias("n0"),
+            F.sum(F.when(F.col("treat") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("s1"),
+            F.sum(F.when(F.col("treat") == 0, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("s0"),
+        )
+        .where((F.col("n1") >= 1) & (F.col("n0") >= 1))
+    )
+    agg = strata.agg(
+        F.count("*").cast("long").alias("k_strata"),
+        F.sum("n_s").cast("long").alias("n_used"),
+        F.sum(
+            F.floor(
+                (
+                    F.col("s1").cast("double") / F.col("n1")
+                    - F.col("s0").cast("double") / F.col("n0")
+                )
+                * F.col("n_s")
+                * 1e4
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("wd4"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.sum("n1").cast("long").alias("m1"),
+        F.sum("s0").cast("long").alias("t0"),
+        F.sum("n0").cast("long").alias("m0"),
+    )
+    crude = (
+        F.col("t1").cast("double") / F.col("m1")
+        - F.col("t0").cast("double") / F.col("m0")
+    ) / 100.0
+    strat = F.col("wd4") / 1e4 / F.col("n_used") / 100.0
+    return agg.select(
+        "k_strata",
+        "n_used",
+        F.round(crude, 6).alias("crude_diff"),
+        F.round(strat, 6).alias("stratified_ate"),
+        F.round(crude - strat, 6).alias("confounding_bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R435 interrupted time series: segmented regression at the midpoint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "its_segmented_regression",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             y, CAST(count(*) OVER () AS BIGINT) AS n
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) / 100) AS BIGINT) AS y
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+      )
+    ),
+    seg AS MATERIALIZED (
+      SELECT t, y, n, n // 2 AS brk,
+             CASE WHEN t > n // 2 THEN 1 ELSE 0 END AS post
+      FROM d
+    ),
+    m AS (
+      SELECT post,
+             CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(t * y) AS BIGINT) AS sty,
+             CAST(max(brk) AS BIGINT) AS brk
+      FROM seg GROUP BY post
+    ),
+    fit AS (
+      SELECT post, np, brk,
+             (CAST(np AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+               / (CAST(np AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+               AS slope,
+             (CAST(sy AS DOUBLE)
+              - (CAST(np AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                / (CAST(np AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                * st) / np AS intercept
+      FROM m
+    )
+    SELECT pre.np AS n_pre, post.np AS n_post,
+           round(pre.slope, 6) AS slope_pre,
+           round(post.slope, 6) AS slope_post,
+           round(post.slope - pre.slope, 6) AS slope_change,
+           round((post.intercept + post.slope * (pre.brk + 1))
+                 - (pre.intercept + pre.slope * (pre.brk + 1)), 6)
+             AS level_change
+    FROM (SELECT * FROM fit WHERE post = 0) pre,
+         (SELECT * FROM fit WHERE post = 1) post
+    """,
+)
+def its_segmented_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R435 interrupted-time-series segmented regression of daily
+    revenue at the midpoint break: separate OLS lines on the pre and
+    post segments, reporting the SLOPE CHANGE and the LEVEL CHANGE
+    (both fits evaluated at the first post-break day) — the effect-
+    size companion to the registry's chow_break_daily (which only
+    tests whether the break exists) and pettitt/cusum change-points
+    (which only locate it).  Each segment's slope/intercept is a
+    Cramer closed form of five BIGINT moments (t is the day row
+    number, so Σt·y stays < 1e13 at sf0.1); the two 1-row fits cross
+    for the deltas.  Day-frame bounded at any scale."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("long").alias(
+                "t"
+            ),
+            "y",
+            F.count("*")
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    seg = d.select(
+        "t",
+        "y",
+        F.floor(F.col("n") / 2).cast("long").alias("brk"),
+        F.when(F.col("t") > F.floor(F.col("n") / 2), 1)
+        .otherwise(0)
+        .alias("post"),
+    )
+    m = seg.groupBy("post").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.max("brk").cast("long").alias("brk"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (dd("np") * F.col("sty") - dd("st") * F.col("sy")) / (
+        dd("np") * F.col("stt") - dd("st") * F.col("st")
+    )
+    fit = m.select(
+        "post",
+        "np",
+        "brk",
+        slope.alias("slope"),
+        ((dd("sy") - slope * F.col("st")) / F.col("np")).alias("intercept"),
+    )
+    pre = fit.where(F.col("post") == 0).select(
+        F.col("np").alias("n_pre"),
+        F.col("slope").alias("slope_pre"),
+        F.col("intercept").alias("int_pre"),
+        F.col("brk").alias("brk"),
+    )
+    post = fit.where(F.col("post") == 1).select(
+        F.col("np").alias("n_post"),
+        F.col("slope").alias("slope_post"),
+        F.col("intercept").alias("int_post"),
+    )
+    out = pre.crossJoin(post)
+    t0 = F.col("brk") + 1
+    return out.select(
+        "n_pre",
+        "n_post",
+        F.round(F.col("slope_pre"), 6).alias("slope_pre"),
+        F.round(F.col("slope_post"), 6).alias("slope_post"),
+        F.round(F.col("slope_post") - F.col("slope_pre"), 6).alias(
+            "slope_change"
+        ),
+        F.round(
+            (F.col("int_post") + F.col("slope_post") * t0)
+            - (F.col("int_pre") + F.col("slope_pre") * t0),
+            6,
+        ).alias("level_change"),
+    )
