@@ -106,6 +106,14 @@ SUSPECTS = [
     # support-2 graph (one shuffle per round, linear in edges)
     "link_prediction_panel",
     "label_propagation_copurchase",
+    # round 10 third wave: the support-2 four-cycle census (wedge join
+    # over disjoint graph copies -> linear expected), item-item
+    # covisitation pair counting (basket-bounded pair explosion,
+    # linear in lineitem), and the seasonal-MK day-pair join (day
+    # frame is calendar-FIXED under the upscale -> flat expected)
+    "four_cycle_count_copurchase",
+    "covisitation_item_item_topk",
+    "seasonal_mann_kendall_revenue",
 ]
 
 
