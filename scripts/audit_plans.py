@@ -1103,6 +1103,21 @@ EXPECTATIONS = {
     "its_segmented_regression": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R436: 1-row day-count scalar crossed onto the 20-row grid
+    # literal; the kernel join itself is a banded broadcast
+    "nadaraya_watson_smoother": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    # R437: the two 1-row group-moment frames cross for the closed
+    # form (the hotelling waiver class)
+    "tost_equivalence_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    # R438: one global sort of the hash column (the two-phase-rank
+    # family's documented single-sort shape)
+    "hash_uniformity_cvm": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
 }
 
 

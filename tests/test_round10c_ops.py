@@ -729,3 +729,76 @@ def test_its_segmented_matches_polyfit(spark):
     assert abs(r["slope_post"] - b_post[0]) < 1e-3
     assert abs(r["slope_change"] - (b_post[0] - b_pre[0])) < 1e-3
     assert abs(r["level_change"] - level) < 1e-2
+
+
+def test_nadaraya_watson_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import nadaraya_watson_smoother
+
+    d = _daily_revenue(spark)
+    y = d["y"].to_numpy(float)
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=float)
+    rows = nadaraya_watson_smoother(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        t0 = 1 + math.floor((r["grid_point"] - 1) * (n - 1) / 19.0)
+        assert r["day_index"] == t0
+        mask = np.abs(t - t0) <= 120
+        w = np.exp(-((t[mask] - t0) ** 2) / (2 * 30.0**2))
+        expect = (w * y[mask]).sum() / w.sum()
+        assert abs(r["smoothed"] - expect) < 1e-2
+
+
+def test_tost_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import tost_equivalence_weekend
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    epoch = pd.Timestamp("1990-01-01")
+    wk = ((o["o_orderdate"].dt.normalize() - epoch).dt.days % 7).isin(
+        [5, 6]
+    )
+    x = (
+        np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64) // 100
+    ).astype(float)
+    g1, g0 = x[wk].to_numpy(), x[~wk].to_numpy()
+    diff = g1.mean() - g0.mean()
+    se = math.sqrt(
+        g1.var(ddof=1) / len(g1) + g0.var(ddof=1) / len(g0)
+    )
+    margin = 0.01 * x.mean()
+    zl, zu = (diff + margin) / se, (diff - margin) / se
+    pl, pu = 1 - _phi(zl), _phi(zu)
+    [r] = tost_equivalence_weekend(spark, SF_DIR).collect()
+    assert r["n_weekend"] == len(g1)
+    assert r["n_weekday"] == len(g0)
+    assert abs(r["mean_diff"] - diff) < 1e-4
+    assert abs(r["equivalence_margin"] - margin) < 1e-4
+    assert abs(r["z_lower"] - zl) < 1e-4
+    assert abs(r["z_upper"] - zu) < 1e-4
+    assert abs(r["p_tost"] - max(pl, pu)) < 1e-4
+    assert r["equivalent_at_05"] == (1 if max(pl, pu) < 0.05 else 0)
+
+
+def test_hash_uniformity_cvm_matches_python(spark):
+    from zoom_spark.queries.round10c_ops import hash_uniformity_cvm
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey").toPandas()
+    u = np.sort(
+        np.array(
+            [
+                _md5_int(str(k)) / 1152921504606846976.0
+                for k in o["o_orderkey"]
+            ]
+        )
+    )
+    n = len(u)
+    i = np.arange(1, n + 1)
+    w2 = 1.0 / (12 * n) + (((u - (2 * i - 1) / (2 * n)) ** 2).sum())
+    [r] = hash_uniformity_cvm(spark, SF_DIR).collect()
+    assert r["n_keys"] == n
+    assert abs(r["w2_stat"] - w2) < 1e-4
+    assert abs(r["w2_adjusted"] - w2 / (1 + 0.5 / n)) < 1e-4
+    # md5 should look uniform: W2 firmly below the 1% critical value
+    assert r["w2_stat"] < 0.743

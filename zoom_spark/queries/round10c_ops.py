@@ -3524,3 +3524,372 @@ def its_segmented_regression(
             6,
         ).alias("level_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R436 Nadaraya-Watson kernel regression of daily revenue on time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nadaraya_watson_smoother",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             y, CAST(count(*) OVER () AS BIGINT) AS n
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) / 100) AS BIGINT) AS y
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+      )
+    ),
+    grid AS (
+      SELECT g.g,
+             CAST(floor(1 + (g.g - 1) * (d.n - 1) / 19.0) AS BIGINT) AS t0,
+             d.n
+      FROM (SELECT DISTINCT n FROM d) d
+      CROSS JOIN (SELECT unnest(range(1, 21)) AS g) g
+    ),
+    terms AS (
+      SELECT grid.g, grid.t0,
+             CAST(floor(exp(-(CAST(d.t - grid.t0 AS DOUBLE)
+                              * (d.t - grid.t0))
+                            / (2.0 * 30.0 * 30.0)) * d.y * 1e6 + 0.5)
+                  AS BIGINT) AS wy6,
+             CAST(floor(exp(-(CAST(d.t - grid.t0 AS DOUBLE)
+                              * (d.t - grid.t0))
+                            / (2.0 * 30.0 * 30.0)) * 1e9 + 0.5)
+                  AS BIGINT) AS w9
+      FROM d JOIN grid ON abs(d.t - grid.t0) <= 120
+    )
+    SELECT g AS grid_point, t0 AS day_index,
+           round((sum(wy6) / 1e6) / (sum(w9) / 1e9), 6) AS smoothed
+    FROM terms
+    GROUP BY g, t0
+    ORDER BY g
+    """,
+)
+def nadaraya_watson_smoother(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R436 Nadaraya-Watson kernel regression of daily revenue on the
+    day index, evaluated at 20 evenly-spaced grid points with a
+    Gaussian kernel (h = 30 days, truncated at 4h where the weight is
+    < e⁻⁸ — documented cutoff that also bounds the join): m̂(t₀) =
+    Σ K((t-t₀)/h)·y / Σ K((t-t₀)/h) — the NONPARAMETRIC trend reader
+    that complements the registry's parametric trend fits (theil_sen,
+    holt_winters, its_segmented: all impose a shape; NW lets the
+    data choose).  Kernel weights and weighted revenues are per-term
+    snapped (1e-9 / 1e-6·y) so both numerator and denominator are
+    order-free BIGINT reductions; the grid frame is 20 rows and the
+    banded join is day-frame × 20 bounded.  Scales as one broadcast
+    join over the calendar-bounded day frame."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("long").alias(
+                "t"
+            ),
+            "y",
+            F.count("*")
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ncount = d.select("n").distinct()
+    grid = (
+        ncount.crossJoin(
+            F.broadcast(
+                d.sparkSession.range(1, 21).select(
+                    F.col("id").cast("long").alias("g")
+                )
+            )
+        )
+        .select(
+            "g",
+            F.floor(
+                1 + (F.col("g") - 1) * (F.col("n") - 1) / 19.0
+            )
+            .cast("long")
+            .alias("t0"),
+        )
+    )
+    kern = F.exp(
+        -((F.col("t") - F.col("t0")).cast("double") * (F.col("t") - F.col("t0")))
+        / (2.0 * 30.0 * 30.0)
+    )
+    terms = d.join(
+        F.broadcast(grid), F.abs(F.col("t") - F.col("t0")) <= 120
+    ).select(
+        "g",
+        "t0",
+        F.floor(kern * F.col("y") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("wy6"),
+        F.floor(kern * 1e9 + F.lit(0.5)).cast("long").alias("w9"),
+    )
+    return (
+        terms.groupBy("g", "t0")
+        .agg(
+            F.round(
+                (F.sum("wy6") / 1e6) / (F.sum("w9") / 1e9), 6
+            ).alias("smoothed")
+        )
+        .select(
+            F.col("g").alias("grid_point"),
+            F.col("t0").alias("day_index"),
+            "smoothed",
+        )
+        .orderBy("grid_point")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R437 TOST equivalence test on the weekend effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tost_equivalence_weekend",
+    sql=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        / 100) AS BIGINT) AS x,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS wk
+      FROM orders
+    ),
+    m AS MATERIALIZED (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM d GROUP BY wk
+    ),
+    s AS (
+      SELECT a.n AS n1, b.n AS n0,
+             CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n
+               AS diff,
+             sqrt((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
+                  / (a.n - 1) / a.n
+                  + (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1
+                     / b.n) / (b.n - 1) / b.n) AS se,
+             0.01 * ((CAST(a.s1 AS DOUBLE) + b.s1) / (a.n + b.n))
+               AS margin
+      FROM (SELECT * FROM m WHERE wk = 1) a,
+           (SELECT * FROM m WHERE wk = 0) b
+    ),
+    z AS (
+      SELECT n1, n0, diff, se, margin,
+             (diff + margin) / se AS z_lower,
+             (diff - margin) / se AS z_upper
+      FROM s
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           round(diff, 6) AS mean_diff,
+           round(margin, 6) AS equivalence_margin,
+           round(z_lower, 6) AS z_lower,
+           round(z_upper, 6) AS z_upper,
+           round(1.0 - {_phi_sql('z_lower')}, 6) AS p_lower,
+           round({_phi_sql('z_upper')}, 6) AS p_upper,
+           round(greatest(1.0 - {_phi_sql('z_lower')},
+                          {_phi_sql('z_upper')}), 6) AS p_tost,
+           CAST(CASE WHEN greatest(1.0 - {_phi_sql('z_lower')},
+                                   {_phi_sql('z_upper')}) < 0.05
+                     THEN 1 ELSE 0 END AS BIGINT) AS equivalent_at_05
+    FROM z
+    """,
+)
+def tost_equivalence_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R437 TOST (two one-sided tests) EQUIVALENCE test of weekend vs
+    weekday mean order value with a ±1% margin of the grand mean:
+    H0 is |δ| ≥ margin (non-equivalence), rejected only if BOTH
+    one-sided z tests reject — the inferential inverse of the
+    registry's difference tests (a non-significant t-test is NOT
+    evidence of no effect; TOST is).  p_TOST = max(p_lower, p_upper).
+    Group moments are exact whole-dollar BIGINTs (the S2 - S1²/n
+    spelling), the margin is an exact-operand grand-mean ratio, and
+    both normal p's use the shared A-S erf.  One two-group
+    aggregate; single shuffle."""
+    wk = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        % 7
+    )
+    d = load_table(spark, sf_dir, "orders").select(
+        F.floor(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            / 100
+        )
+        .cast("long")
+        .alias("x"),
+        F.when(wk.isin(5, 6), 1).otherwise(0).alias("wk"),
+    )
+    m = d.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    a = m.where(F.col("wk") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("s1").alias("a_s1"),
+        F.col("s2").alias("a_s2"),
+    )
+    b = m.where(F.col("wk") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("s1").alias("b_s1"),
+        F.col("s2").alias("b_s2"),
+    )
+    j = a.crossJoin(b)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = dd("a_s1") / F.col("n1") - dd("b_s1") / F.col("n0")
+    se = F.sqrt(
+        (dd("a_s2") - dd("a_s1") * F.col("a_s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+        + (dd("b_s2") - dd("b_s1") * F.col("b_s1") / F.col("n0"))
+        / (F.col("n0") - 1)
+        / F.col("n0")
+    )
+    margin = 0.01 * ((dd("a_s1") + F.col("b_s1")) / (F.col("n1") + F.col("n0")))
+    zq = j.select(
+        "n1",
+        "n0",
+        diff.alias("diff"),
+        se.alias("se"),
+        margin.alias("margin"),
+        ((diff + margin) / se).alias("z_lower"),
+        ((diff - margin) / se).alias("z_upper"),
+    )
+    p_lower = 1.0 - _phi_col(F.col("z_lower"))
+    p_upper = _phi_col(F.col("z_upper"))
+    p_tost = F.greatest(p_lower, p_upper)
+    return zq.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.round(F.col("diff"), 6).alias("mean_diff"),
+        F.round(F.col("margin"), 6).alias("equivalence_margin"),
+        F.round(F.col("z_lower"), 6).alias("z_lower"),
+        F.round(F.col("z_upper"), 6).alias("z_upper"),
+        F.round(p_lower, 6).alias("p_lower"),
+        F.round(p_upper, 6).alias("p_upper"),
+        F.round(p_tost, 6).alias("p_tost"),
+        F.when(p_tost < 0.05, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("equivalent_at_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R438 Cramér-von Mises uniformity audit of the md5 partitioning hash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_uniformity_cvm",
+    sql="""
+    WITH u AS MATERIALIZED (
+      SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS h
+      FROM orders
+    ),
+    r AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, 1) AS BIGINT) AS i,
+             h / 1152921504606846976.0 AS ui,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM u
+    ),
+    terms AS (
+      SELECT n,
+             CAST(floor(power(ui - (2.0 * i - 1) / (2.0 * n), 2) * 1e12
+                        + 0.5) AS BIGINT) AS t12
+      FROM r
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_keys,
+           round(1.0 / (12.0 * max(n)) + sum(t12) / 1e12, 6) AS w2_stat,
+           round((1.0 / (12.0 * max(n)) + sum(t12) / 1e12)
+                 / (1.0 + 0.5 / max(n)), 6) AS w2_adjusted
+    FROM terms
+    """,
+)
+def hash_uniformity_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R438 Cramér-von Mises one-sample uniformity audit of the
+    engine's PORTABLE PARTITIONING HASH: the 60-bit md5 integers the
+    registry uses everywhere for sharding/sampling/sketching are
+    mapped to [0,1) (÷2⁶⁰) and tested against U(0,1) with
+    W² = 1/(12n) + Σ(u₍ᵢ₎ - (2i-1)/(2n))² — a DISTRIBUTED-SYSTEMS
+    quality gate (a biased shard hash skews every md5-based split,
+    sample, CMS bucket and LSH band in the registry), not just a
+    statistics exercise.  Order statistics come from one global sort
+    of exact BIGINT hashes; each squared ECDF deviation is
+    1e-12-snapped so W² is an order-free BIGINT reduction.  The
+    small-sample adjusted W²(1+0.5/n) accompanies.  One sort at any
+    scale (the same shape as every two-phase-rank query here)."""
+    u = load_table(spark, sf_dir, "orders").select(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = u.select(
+        F.row_number().over(Window.orderBy("h")).cast("long").alias("i"),
+        (F.col("h") / F.lit(1152921504606846976.0)).alias("ui"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    terms = r.select(
+        "n",
+        F.floor(
+            F.pow(
+                F.col("ui")
+                - (2.0 * F.col("i") - 1) / (2.0 * F.col("n")),
+                2,
+            )
+            * 1e12
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t12"),
+    )
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.sum("t12").cast("long").alias("st12"),
+    )
+    w2 = 1.0 / (12.0 * F.col("n_keys")) + F.col("st12") / 1e12
+    return agg.select(
+        "n_keys",
+        F.round(w2, 6).alias("w2_stat"),
+        F.round(w2 / (1.0 + 0.5 / F.col("n_keys")), 6).alias(
+            "w2_adjusted"
+        ),
+    )
