@@ -1118,6 +1118,22 @@ EXPECTATIONS = {
     "hash_uniformity_cvm": dict(
         pushed=False, broadcast=False, cartesian=False, unpart_window=True
     ),
+    # R439-R442: day-frame scalar shapes — base-moment / per-level /
+    # profile 1-row frames crossing for the closed forms (haar's six
+    # level scalars union then cross the total; dtw crosses the 1-row
+    # min/max date bound onto the fact rows broadcast-style)
+    "yule_walker_ar2": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "haar_wavelet_energy": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "sax_symbolic_revenue": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "dtw_weekly_profiles": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

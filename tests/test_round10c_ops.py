@@ -802,3 +802,115 @@ def test_hash_uniformity_cvm_matches_python(spark):
     assert abs(r["w2_adjusted"] - w2 / (1 + 0.5 / n)) < 1e-4
     # md5 should look uniform: W2 firmly below the 1% critical value
     assert r["w2_stat"] < 0.743
+
+
+def test_yule_walker_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import yule_walker_ar2
+
+    d = _daily_revenue(spark)
+    y = d["y"].to_numpy(float)
+    n = len(y)
+    ybar = y.mean()
+    c0 = ((y - ybar) ** 2).sum()
+
+    def r(k):
+        return (((y[:-k] - ybar) * (y[k:] - ybar)).sum()) / c0
+
+    r1, r2 = r(1), r(2)
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    [row] = yule_walker_ar2(spark, SF_DIR).collect()
+    assert row["n_days"] == n
+    assert abs(row["acf1"] - r1) < 1e-6
+    assert abs(row["acf2"] - r2) < 1e-6
+    assert abs(row["phi1"] - phi1) < 1e-5
+    assert abs(row["phi2"] - phi2) < 1e-5
+    # Durbin-Levinson: phi2 equals the lag-2 PACF
+    sigma2 = (c0 / n) * (1 - phi1 * r1 - phi2 * r2)
+    assert abs(row["sigma2"] - sigma2) < max(1e-6 * sigma2, 1e-3)
+
+
+def test_haar_energy_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import haar_wavelet_energy
+
+    d = _daily_revenue(spark)
+    y = (d["y"].to_numpy() // 1000) * 64
+    n = (len(y) // 64) * 64
+    s = y[:n].astype(np.int64)
+    expected = []
+    for lvl in range(1, 7):
+        a = (s[0::2] + s[1::2]) // 2
+        w = (s[0::2] - s[1::2]) // 2
+        expected.append((lvl, len(w), int((w.astype(object) ** 2).sum())))
+        s = a
+    rows = haar_wavelet_energy(spark, SF_DIR).collect()
+    total = sum(e for _, _, e in expected)
+    assert len(rows) == 6
+    for r, (lvl, ncf, en) in zip(rows, expected):
+        assert r["level"] == lvl
+        assert r["n_coeffs"] == ncf
+        assert r["energy"] == en
+        assert abs(r["energy_frac"] - en / total) < 1e-6
+
+
+def test_sax_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import sax_symbolic_revenue
+
+    d = _daily_revenue(spark)
+    y = d["y"].to_numpy(float)
+    n = len(y)
+    seg = (np.arange(n) * 16) // n
+    mu, sd = y.mean(), y.std(ddof=1)
+    rows = sax_symbolic_revenue(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    for r in rows:
+        vals = y[seg == r["segment"]]
+        m = vals.mean()
+        z = (m - mu) / sd
+        sym = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        assert r["n_days"] == len(vals)
+        assert abs(r["paa_mean"] - m) < 1e-4
+        assert abs(r["z_score"] - z) < 1e-5
+        assert r["symbol"] == sym
+
+
+def test_dtw_matches_python(spark):
+    from zoom_spark.queries.round10c_ops import dtw_weekly_profiles
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    epoch = pd.Timestamp("1990-01-01")
+    o["day"] = o["o_orderdate"].dt.normalize()
+    o["dow"] = ((o["day"] - epoch).dt.days % 7).astype(int)
+    o["cents"] = np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    d0, d1 = o["day"].min(), o["day"].max()
+    mid = d0 + pd.Timedelta(days=(d1 - d0).days // 2)
+    o["half"] = (o["day"] > mid).astype(int)
+    prof = {}
+    for (dow, half), g in o.groupby(["dow", "half"]):
+        prof[(dow, half)] = (
+            math.floor(g["cents"].mean() / 100.0 * 1e6 + 0.5) / 1e6
+        )
+    a = [prof[(i, 0)] for i in range(7)]
+    b = [prof[(i, 1)] for i in range(7)]
+    inf = float("inf")
+    g = [[inf] * 8 for _ in range(8)]
+    g[1][1] = abs(a[0] - b[0])
+    for i in range(1, 8):
+        for j in range(1, 8):
+            if (i, j) == (1, 1):
+                continue
+            prev = min(
+                g[i - 1][j] if i > 1 else inf,
+                g[i][j - 1] if j > 1 else inf,
+                g[i - 1][j - 1] if i > 1 and j > 1 else inf,
+            )
+            g[i][j] = abs(a[i - 1] - b[j - 1]) + prev
+    l1 = sum(abs(x - yv) for x, yv in zip(a, b))
+    [r] = dtw_weekly_profiles(spark, SF_DIR).collect()
+    assert abs(r["dtw_distance"] - g[7][7]) < 1e-4
+    assert abs(r["dtw_per_step"] - g[7][7] / 7.0) < 1e-4
+    assert abs(r["euclidean_l1"] - l1) < 1e-4
+    # warping can only help: DTW <= L1
+    assert r["dtw_distance"] <= r["euclidean_l1"] + 1e-9
