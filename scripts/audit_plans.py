@@ -1134,6 +1134,17 @@ EXPECTATIONS = {
     "dtw_weekly_profiles": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R443/R445/R446: day-frame global midrank windows (the
+    # hodges_lehmann waiver class) + 1-row tie/moment scalars crossing
+    "wilcoxon_signed_rank_weeks": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "anderson_darling_two_sample": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "bws_test_weekend": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

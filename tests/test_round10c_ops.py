@@ -914,3 +914,122 @@ def test_dtw_matches_python(spark):
     assert abs(r["euclidean_l1"] - l1) < 1e-4
     # warping can only help: DTW <= L1
     assert r["dtw_distance"] <= r["euclidean_l1"] + 1e-9
+
+
+def _week_pairs(spark):
+    d = _daily_revenue(spark)
+    by_day = dict(zip(d["day"], d["y"]))
+    diffs = []
+    for day, y in by_day.items():
+        nxt = day + pd.Timedelta(days=7)
+        nxt = (pd.Timestamp(day) + pd.Timedelta(days=7)).date()
+        if nxt in by_day and by_day[nxt] != y:
+            diffs.append(int(by_day[nxt]) - int(y))
+    return np.array(diffs, dtype=np.int64)
+
+
+def test_wilcoxon_signed_rank_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import wilcoxon_signed_rank_weeks
+
+    diffs = _week_pairs(spark)
+    n = len(diffs)
+    order = np.abs(diffs)
+    # midranks (manual; no scipy in this container)
+    uniq, counts = np.unique(order, return_counts=True)
+    start = {}
+    c = 0
+    for u, cnt in zip(uniq, counts):
+        start[u] = c + (cnt + 1) / 2.0
+        c += cnt
+    ranks = np.array([start[a] for a in order])
+    w_plus = ranks[diffs > 0].sum()
+    tie3 = sum(int(t) ** 3 - int(t) for t in counts)
+    var = (n * (n + 1) * (2 * n + 1)) / 24.0 - tie3 / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+    [r] = wilcoxon_signed_rank_weeks(spark, SF_DIR).collect()
+    assert r["n_pairs"] == n
+    assert r["w2_plus"] == round(2 * w_plus)
+    assert abs(r["z_stat"] - z) < 1e-5
+    assert abs(r["p_value"] - 2 * (1 - _phi(abs(z)))) < 1e-4
+
+
+def test_sign_test_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import sign_test_adjacent_weeks
+
+    diffs = _week_pairs(spark)
+    n = len(diffs)
+    s = int((diffs > 0).sum())
+    cc = 1.0 if 2 * s > n else -1.0 if 2 * s < n else 0.0
+    z = (2 * s - n - cc) / math.sqrt(n)
+    [r] = sign_test_adjacent_weeks(spark, SF_DIR).collect()
+    assert r["n_pairs"] == n
+    assert r["n_pos"] == s
+    assert abs(r["frac_up"] - s / n) < 1e-6
+    assert abs(r["z_stat"] - z) < 1e-5
+    assert abs(r["p_value"] - 2 * (1 - _phi(abs(z)))) < 1e-4
+
+
+def test_ad_two_sample_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import anderson_darling_two_sample
+
+    d = _daily_revenue(spark)
+    wk = d["dow"].isin([5, 6]).to_numpy()
+    y = d["y"].to_numpy()
+    nn = len(y)
+    n1, n0 = int(wk.sum()), int((~wk).sum())
+    # Scholz-Stephens midrank A2akN, k=2, from the paper's eq. (7)
+    uniq = np.unique(y)
+    a2 = 0.0
+    for na, sel in ((n1, wk), (n0, ~wk)):
+        inner = 0.0
+        cum_l = 0
+        cum_la = 0
+        for v in uniq:
+            l = int((y == v).sum())
+            la = int(((y == v) & sel).sum())
+            bj = cum_l + l / 2.0
+            maj = cum_la + la / 2.0
+            den = bj * (nn - bj) - nn * l / 4.0
+            if den > 0:
+                inner += l * (nn * maj - na * bj) ** 2 / den
+            cum_l += l
+            cum_la += la
+        a2 += inner / na
+    a2 *= (nn - 1) / nn / nn
+    [r] = anderson_darling_two_sample(spark, SF_DIR).collect()
+    assert r["n_weekend"] == n1
+    assert r["n_weekday"] == n0
+    assert abs(r["a2_stat"] - a2) < 1e-4
+
+
+def test_bws_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import bws_test_weekend
+
+    d = _daily_revenue(spark)
+    wk = d["dow"].isin([5, 6]).to_numpy()
+    y = d["y"].to_numpy(float)
+    nn = len(y)
+    # pooled midranks
+    order = np.argsort(y, kind="stable")
+    ranks = np.empty(nn)
+    sy = y[order]
+    i = 0
+    while i < nn:
+        j = i
+        while j < nn and sy[j] == sy[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    bs = {}
+    for label, sel in (("x", wk), ("y", ~wk)):
+        n = int(sel.sum())
+        m = nn - n
+        rr = np.sort(ranks[sel])
+        idx = np.arange(1, n + 1)
+        num = (rr - nn * idx / n) ** 2
+        den = (idx / (n + 1)) * (1 - idx / (n + 1)) * (m * nn / n)
+        bs[label] = (num / den).sum() / n
+    [r] = bws_test_weekend(spark, SF_DIR).collect()
+    assert abs(r["b_weekend"] - bs["x"]) < 1e-4
+    assert abs(r["b_weekday"] - bs["y"]) < 1e-4
+    assert abs(r["bws_stat"] - (bs["x"] + bs["y"]) / 2) < 1e-4

@@ -4594,3 +4594,530 @@ def dtw_weekly_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("g_7_7") / 7.0, 6).alias("dtw_per_step"),
         F.round(l1, 6).alias("euclidean_l1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R443 Wilcoxon signed-rank test on week-over-week paired days
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilcoxon_signed_rank_weeks",
+    sql=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT CAST(b.y - a.y AS BIGINT) AS diff
+      FROM d a JOIN d b ON b.day = a.day + 7
+      WHERE b.y <> a.y
+    ),
+    r AS (
+      SELECT diff,
+             CAST(2 * rank() OVER (ORDER BY abs(diff))
+                  + count(*) OVER (PARTITION BY abs(diff)) - 1
+                  AS BIGINT) AS r2
+      FROM pairs
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM pairs GROUP BY abs(diff))
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS w2_plus
+      FROM r
+    )
+    SELECT n AS n_pairs, w2_plus,
+           round((2.0 * w2_plus - n * (n + 1.0)) / 4.0
+                 / sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie3) / 48.0),
+                 6) AS z_stat,
+           round(2.0 * (1.0 - {_phi_sql('''
+                 abs((2.0 * w2_plus - n * (n + 1.0)) / 4.0
+                     / sqrt((2.0 * n * (n + 1) * (2 * n + 1) - tie3)
+                            / 48.0))''')}), 6) AS p_value
+    FROM agg, ties
+    """,
+)
+def wilcoxon_signed_rank_weeks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R443 Wilcoxon signed-rank test of week-over-week revenue
+    change: days are PAIRED with the same weekday one week later
+    (d_t = y_{t+7} - y_t, zeros dropped per the classic procedure),
+    |d| is midranked on the 2× grid (integer R2 = 2·rank + ties - 1),
+    and W⁺ = Σ_{d>0} midrank — the PAIRED nonparametric test the
+    registry lacked (mann_whitney is two-INDEPENDENT-sample;
+    McNemar is paired-binary).  The z numerator 2·W2⁺ - n(n+1) and
+    the tie-corrected 48·2·Var = 2(2n(n+1)(2n+1) - Σ(t³-t)) are
+    pure BIGINTs, so z and the two-sided A-S-erf p are closed forms
+    of exact operands.  The +7-day self-join is calendar-bounded."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = d.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, F.col("db") == F.date_add(F.col("da"), 7))
+        .where(F.col("yb") != F.col("ya"))
+        .select((F.col("yb") - F.col("ya")).cast("long").alias("diff"))
+        .localCheckpoint(eager=False)
+    )
+    r = pairs.select(
+        "diff",
+        (
+            2 * F.rank().over(Window.orderBy(F.abs(F.col("diff"))))
+            + F.count("*").over(Window.partitionBy(F.abs(F.col("diff"))))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    ties = (
+        pairs.groupBy(F.abs(F.col("diff")).alias("ad"))
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w2_plus"),
+    )
+    j = agg.crossJoin(ties)
+    num = (2.0 * F.col("w2_plus") - F.col("n") * (F.col("n") + 1.0)) / 4.0
+    var = (
+        2.0 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+        - F.col("tie3")
+    ) / 48.0
+    z = num / F.sqrt(var)
+    return j.select(
+        F.col("n").alias("n_pairs"),
+        "w2_plus",
+        F.round(z, 6).alias("z_stat"),
+        F.round(2.0 * (1.0 - _phi_col(F.abs(z))), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R444 sign test on the same week-over-week pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sign_test_adjacent_weeks",
+    sql=f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos
+      FROM d a JOIN d b ON b.day = a.day + 7
+      WHERE b.y <> a.y
+    )
+    SELECT n AS n_pairs, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_up,
+           round((2.0 * n_pos - n
+                  - (CASE WHEN 2 * n_pos > n THEN 1.0
+                          WHEN 2 * n_pos < n THEN -1.0 ELSE 0.0 END))
+                 / sqrt(CAST(n AS DOUBLE)), 6) AS z_stat,
+           round(2.0 * (1.0 - {_phi_sql('''
+                 abs((2.0 * n_pos - n
+                      - (CASE WHEN 2 * n_pos > n THEN 1.0
+                              WHEN 2 * n_pos < n THEN -1.0 ELSE 0.0 END))
+                     / sqrt(CAST(n AS DOUBLE)))''')}), 6) AS p_value
+    FROM agg
+    """,
+)
+def sign_test_adjacent_weeks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R444 sign test on the week-over-week pairs (the same +7-day
+    pairing as R443, zeros dropped): S = #(y_{t+7} > y_t) vs
+    Binomial(n, ½), normal approximation with continuity correction
+    z = (2S - n ∓ 1)/√n — the assumption-free companion of the
+    signed-rank test (signs only, no rank information; what survives
+    when even symmetry of the differences is in doubt).  Counts are
+    BIGINTs; z and the A-S-erf p are exact-operand closed forms."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    a = d.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    agg = (
+        a.join(b, F.col("db") == F.date_add(F.col("da"), 7))
+        .where(F.col("yb") != F.col("ya"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("yb") > F.col("ya"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+    )
+    cc = (
+        F.when(2 * F.col("n_pos") > F.col("n"), F.lit(1.0))
+        .when(2 * F.col("n_pos") < F.col("n"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    z = (2.0 * F.col("n_pos") - F.col("n") - cc) / F.sqrt(
+        F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "frac_up"
+        ),
+        F.round(z, 6).alias("z_stat"),
+        F.round(2.0 * (1.0 - _phi_col(F.abs(z))), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R445 two-sample Anderson-Darling (Scholz-Stephens midrank form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anderson_darling_two_sample",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS wk
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(wk) AS BIGINT) AS n1,
+             CAST(sum(1 - wk) AS BIGINT) AS n0
+      FROM d
+    ),
+    lev AS MATERIALIZED (
+      SELECT y, CAST(count(*) AS BIGINT) AS l,
+             CAST(sum(wk) AS BIGINT) AS l1,
+             CAST(sum(1 - wk) AS BIGINT) AS l0
+      FROM d GROUP BY y
+    ),
+    cum AS MATERIALIZED (
+      SELECT l, l1, l0,
+             CAST(2 * sum(l) OVER (ORDER BY y) - l AS BIGINT) AS b2,
+             CAST(2 * sum(l1) OVER (ORDER BY y) - l1 AS BIGINT) AS m21,
+             CAST(2 * sum(l0) OVER (ORDER BY y) - l0 AS BIGINT) AS m20
+      FROM lev
+    ),
+    terms AS (
+      SELECT
+        CAST(floor(CAST(l AS DOUBLE)
+             * power(CAST(tot.nn * m21 - tot.n1 * b2 AS DOUBLE), 2)
+             / (CAST(b2 AS DOUBLE) * (2 * tot.nn - b2) - tot.nn * l)
+             * 1e9 + 0.5) AS BIGINT) AS t19,
+        CAST(floor(CAST(l AS DOUBLE)
+             * power(CAST(tot.nn * m20 - tot.n0 * b2 AS DOUBLE), 2)
+             / (CAST(b2 AS DOUBLE) * (2 * tot.nn - b2) - tot.nn * l)
+             * 1e9 + 0.5) AS BIGINT) AS t09
+      FROM cum, tot
+      WHERE CAST(b2 AS DOUBLE) * (2 * tot.nn - b2) - tot.nn * l > 0
+    )
+    SELECT tot.n1 AS n_weekend, tot.n0 AS n_weekday,
+           round((CAST(tot.nn AS DOUBLE) - 1) / tot.nn / tot.nn
+                 * (sum(t19) / 1e9 / tot.n1 + sum(t09) / 1e9 / tot.n0),
+                 6) AS a2_stat
+    FROM terms, tot
+    GROUP BY tot.n1, tot.n0, tot.nn
+    """,
+)
+def anderson_darling_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R445 two-sample Anderson-Darling test (Scholz-Stephens 1987,
+    midrank/tie-adjusted A²akN with k = 2) between weekend and
+    weekday daily revenue: the TAIL-WEIGHTED two-sample companion of
+    the registry's KS (sup-norm), CvM (integrated), and Kuiper
+    (cyclic) distances — AD up-weights the distribution tails where
+    revenue differences live.  Working on the 2× midrank grid makes
+    every building block an integer (b2 = 2B_j, m2 = 2M_aj), so each
+    distinct-value term l·(N·m2 - n_a·b2)²/(b2(2N-b2) - N·l) is an
+    exact-operand double, 1e-9-snapped into an order-free BIGINT
+    reduction; degenerate last-value terms (zero denominator) are
+    excluded per the original paper.  One sort over the distinct
+    daily values — calendar-bounded."""
+    wk = (
+        F.datediff(
+            F.col("day"), F.lit("1990-01-01").cast("date")
+        )
+        % 7
+    )
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.when(wk.isin(5, 6), 1).otherwise(0).alias("wk"))
+        .localCheckpoint(eager=False)
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("wk").cast("long").alias("n1"),
+        F.sum(1 - F.col("wk")).cast("long").alias("n0"),
+    )
+    lev = d.groupBy("y").agg(
+        F.count("*").cast("long").alias("l"),
+        F.sum("wk").cast("long").alias("l1"),
+        F.sum(1 - F.col("wk")).cast("long").alias("l0"),
+    )
+    wy = Window.orderBy("y")
+    cum = lev.select(
+        "l",
+        (2 * F.sum("l").over(wy) - F.col("l")).cast("long").alias("b2"),
+        (2 * F.sum("l1").over(wy) - F.col("l1")).cast("long").alias("m21"),
+        (2 * F.sum("l0").over(wy) - F.col("l0")).cast("long").alias("m20"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    den = (
+        F.col("b2").cast("double") * (2 * F.col("nn") - F.col("b2"))
+        - F.col("nn") * F.col("l")
+    )
+
+    def term(m2, na):
+        return F.floor(
+            F.col("l").cast("double")
+            * F.pow(
+                (F.col("nn") * F.col(m2) - F.col(na) * F.col("b2")).cast(
+                    "double"
+                ),
+                2,
+            )
+            / den
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long")
+
+    terms = j.where(den > 0).select(
+        "n1",
+        "n0",
+        "nn",
+        term("m21", "n1").alias("t19"),
+        term("m20", "n0").alias("t09"),
+    )
+    return terms.groupBy("n1", "n0", "nn").agg(
+        F.round(
+            (F.col("nn").cast("double") - 1)
+            / F.col("nn")
+            / F.col("nn")
+            * (
+                F.sum("t19") / 1e9 / F.col("n1")
+                + F.sum("t09") / 1e9 / F.col("n0")
+            ),
+            6,
+        ).alias("a2_stat")
+    ).select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        "a2_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R446 Baumgartner-Weiss-Schindler (BWS) two-sample test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bws_test_weekend",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y,
+             CASE WHEN CAST((CAST(o_orderdate AS DATE)
+                             - DATE '1990-01-01') % 7
+                       AS BIGINT) IN (5, 6) THEN 1 ELSE 0 END AS wk
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(wk) AS BIGINT) AS n1,
+             CAST(sum(1 - wk) AS BIGINT) AS n0
+      FROM d
+    ),
+    r AS MATERIALIZED (
+      SELECT wk,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2,
+             CAST(row_number() OVER (PARTITION BY wk ORDER BY y)
+                  AS BIGINT) AS i
+      FROM d
+    ),
+    terms AS (
+      SELECT wk,
+             CAST(floor(
+               power(CAST((CASE WHEN wk = 1 THEN tot.n1 ELSE tot.n0 END) * r2
+                          - 2 * tot.nn * i AS DOUBLE), 2)
+               * power(CAST((CASE WHEN wk = 1 THEN tot.n1 ELSE tot.n0 END)
+                            + 1 AS DOUBLE), 2)
+               / (4.0 * (CASE WHEN wk = 1 THEN tot.n1 ELSE tot.n0 END)
+                  * i
+                  * ((CASE WHEN wk = 1 THEN tot.n1 ELSE tot.n0 END) + 1 - i)
+                  * (CASE WHEN wk = 1 THEN tot.n0 ELSE tot.n1 END)
+                  * tot.nn)
+               * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM r, tot
+      WHERE i < (CASE WHEN wk = 1 THEN tot.n1 ELSE tot.n0 END) + 1
+    ),
+    b AS (
+      SELECT
+        (SELECT sum(t9) / 1e9 FROM terms WHERE wk = 1)
+          / (SELECT n1 FROM tot) AS b_x,
+        (SELECT sum(t9) / 1e9 FROM terms WHERE wk = 0)
+          / (SELECT n0 FROM tot) AS b_y
+    )
+    SELECT (SELECT n1 FROM tot) AS n_weekend,
+           (SELECT n0 FROM tot) AS n_weekday,
+           round(b_x, 6) AS b_weekend,
+           round(b_y, 6) AS b_weekday,
+           round((b_x + b_y) / 2.0, 6) AS bws_stat
+    FROM b
+    """,
+)
+def bws_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R446 Baumgartner-Weiss-Schindler test (1998) between weekend
+    and weekday daily revenue: B = (B_X + B_Y)/2 with B_X =
+    (1/n) Σᵢ (R_i - N·i/n)² / [(i/(n+1))(1-i/(n+1))·mN/n] — the
+    variance-WEIGHTED rank statistic that out-powers both KS and CvM
+    against scale-and-location alternatives (weights blow up at the
+    extremes exactly where ECDF variance shrinks).  Pooled midranks
+    ride the 2× grid, so each term is the exact rational
+    (n·R2 - 2N·i)²(n+1)² / (4n·i(n+1-i)·m·N) of BIGINTs,
+    1e-9-snapped into order-free reductions (tied members take
+    consecutive i with equal R2, so the term multiset is
+    tie-order-invariant — documented).  One pooled sort + one
+    per-group rank: calendar-bounded."""
+    wk = (
+        F.datediff(
+            F.col("day"), F.lit("1990-01-01").cast("date")
+        )
+        % 7
+    )
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.when(wk.isin(5, 6), 1).otherwise(0).alias("wk"))
+        .localCheckpoint(eager=False)
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("wk").cast("long").alias("n1"),
+        F.sum(1 - F.col("wk")).cast("long").alias("n0"),
+    )
+    r = d.select(
+        "wk",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+        F.row_number()
+        .over(Window.partitionBy("wk").orderBy("y"))
+        .cast("long")
+        .alias("i"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    na = F.when(F.col("wk") == 1, F.col("n1")).otherwise(F.col("n0"))
+    nb = F.when(F.col("wk") == 1, F.col("n0")).otherwise(F.col("n1"))
+    t9 = F.floor(
+        F.pow((na * F.col("r2") - 2 * F.col("nn") * F.col("i")).cast("double"), 2)
+        * F.pow((na + 1).cast("double"), 2)
+        / (
+            4.0
+            * na
+            * F.col("i")
+            * (na + 1 - F.col("i"))
+            * nb
+            * F.col("nn")
+        )
+        * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    terms = j.select("wk", t9.alias("t9"))
+    agg = terms.groupBy("wk").agg(F.sum("t9").cast("long").alias("s9"))
+    bx = agg.where(F.col("wk") == 1).select(F.col("s9").alias("s1"))
+    by = agg.where(F.col("wk") == 0).select(F.col("s9").alias("s0"))
+    out = tot.crossJoin(bx).crossJoin(by)
+    b_x = F.col("s1") / 1e9 / F.col("n1")
+    b_y = F.col("s0") / 1e9 / F.col("n0")
+    return out.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.round(b_x, 6).alias("b_weekend"),
+        F.round(b_y, 6).alias("b_weekday"),
+        F.round((b_x + b_y) / 2.0, 6).alias("bws_stat"),
+    )
