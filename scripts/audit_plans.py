@@ -1145,6 +1145,12 @@ EXPECTATIONS = {
     "bws_test_weekend": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R447: the 64-cell densified copula grid cumulates via a
+    # broadcast 64x64 self-cross (constant size); rank windows over
+    # the customer frame
+    "empirical_copula_dependence": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

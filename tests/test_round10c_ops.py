@@ -1033,3 +1033,61 @@ def test_bws_matches_textbook(spark):
     assert abs(r["b_weekend"] - bs["x"]) < 1e-4
     assert abs(r["b_weekday"] - bs["y"]) < 1e-4
     assert abs(r["bws_stat"] - (bs["x"] + bs["y"]) / 2) < 1e-4
+
+
+def test_empirical_copula_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import empirical_copula_dependence
+
+    j = _customer_frame(spark)
+    j["bal_cents"] = np.floor(j["c_acctbal"] * 100 + 0.5).astype(np.int64)
+    n = len(j)
+    ru = (
+        j.sort_values(["bal_cents", "c_custkey"])
+        .reset_index()
+        .sort_values("index")
+        .index.to_numpy()
+    )
+    # recompute ranks properly: rank position of each row
+    order_u = np.lexsort((j["c_custkey"], j["bal_cents"]))
+    order_v = np.lexsort((j["c_custkey"], j["spend"]))
+    ru = np.empty(n, dtype=int)
+    rv = np.empty(n, dtype=int)
+    ru[order_u] = np.arange(1, n + 1)
+    rv[order_v] = np.arange(1, n + 1)
+    cu = (ru - 1) * 8 // n
+    cv = (rv - 1) * 8 // n
+    hist = np.zeros((8, 8), dtype=np.int64)
+    for a, b in zip(cu, cv):
+        hist[a, b] += 1
+    s = 0.0
+    for a in range(8):
+        for b in range(8):
+            c = hist[: a + 1, : b + 1].sum() / n
+            s += abs(c - ((a + 1) / 8) * ((b + 1) / 8))
+    sigma = 12.0 * s / 64.0
+    [r] = empirical_copula_dependence(spark, SF_DIR).collect()
+    assert r["n_customers"] == n
+    assert abs(r["schweizer_wolff_sigma"] - sigma) < 1e-4
+    assert abs(r["mean_abs_dev"] - s / 64.0) < 1e-5
+    assert 0.0 <= r["schweizer_wolff_sigma"] <= 1.0 + 1e-9
+
+
+def test_frequent_triples_matches_pandas(spark):
+    from itertools import combinations
+
+    from zoom_spark.queries.round10c_ops import frequent_triples
+
+    li = _baskets(spark)
+    cnt = {}
+    for _, g in li.groupby("l_orderkey"):
+        for t in combinations(sorted(g["l_partkey"]), 3):
+            cnt[t] = cnt.get(t, 0) + 1
+    cand = sorted(
+        ((c, t) for t, c in cnt.items() if c >= 2),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    rows = frequent_triples(spark, SF_DIR).collect()
+    assert len(rows) == min(20, len(cand))
+    for r, (c, t) in zip(rows, cand):
+        assert (r["item_1"], r["item_2"], r["item_3"]) == t
+        assert r["support"] == c

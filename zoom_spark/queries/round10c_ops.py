@@ -5121,3 +5121,290 @@ def bws_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b_y, 6).alias("b_weekday"),
         F.round((b_x + b_y) / 2.0, 6).alias("bws_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R447 empirical copula grid + Schweizer-Wolff dependence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "empirical_copula_dependence",
+    sql="""
+    WITH cust AS MATERIALIZED (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+             CAST(coalesce(sum(CAST(floor(CAST(floor(o.o_totalprice * 100
+                  + 0.5) AS BIGINT) / 100) AS BIGINT)), 0) AS BIGINT)
+               AS spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    ranked AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY bal, c_custkey) AS BIGINT)
+               AS ru,
+             CAST(row_number() OVER (ORDER BY spend, c_custkey) AS BIGINT)
+               AS rv,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM cust
+    ),
+    cells AS MATERIALIZED (
+      SELECT CAST((ru - 1) * 8 // n AS BIGINT) AS cu,
+             CAST((rv - 1) * 8 // n AS BIGINT) AS cv,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(max(n) AS BIGINT) AS n
+      FROM ranked GROUP BY CAST((ru - 1) * 8 // n AS BIGINT),
+                           CAST((rv - 1) * 8 // n AS BIGINT)
+    ),
+    grid AS (
+      SELECT gu.g AS cu, gv.g AS cv
+      FROM (SELECT unnest(range(0, 8)) AS g) gu
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS g) gv
+    ),
+    dense AS MATERIALIZED (
+      SELECT grid.cu, grid.cv,
+             coalesce(cells.cnt, 0) AS cnt,
+             (SELECT max(n) FROM cells) AS n
+      FROM grid LEFT JOIN cells
+        ON grid.cu = cells.cu AND grid.cv = cells.cv
+    ),
+    cop AS (
+      SELECT a.cu, a.cv,
+             CAST(sum(CASE WHEN b.cu <= a.cu AND b.cv <= a.cv
+                           THEN b.cnt ELSE 0 END) AS BIGINT) AS cum,
+             CAST(max(a.n) AS BIGINT) AS n
+      FROM dense a JOIN dense b ON 1 = 1
+      GROUP BY a.cu, a.cv
+    ),
+    sw AS (
+      SELECT CAST(sum(CAST(floor(abs(CAST(cum AS DOUBLE) / n
+                   - ((cu + 1) / 8.0) * ((cv + 1) / 8.0)) * 1e9 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS s9,
+             CAST(max(n) AS BIGINT) AS n
+      FROM cop
+    )
+    SELECT n AS n_customers,
+           round(12.0 * (s9 / 1e9) / 64.0, 6) AS schweizer_wolff_sigma,
+           round(s9 / 1e9 / 64.0, 6) AS mean_abs_dev
+    FROM sw
+    """,
+)
+def empirical_copula_dependence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R447 empirical copula of (account balance, total spend) on an
+    8×8 rank grid with the Schweizer-Wolff sigma dependence measure:
+    ranks strip both marginals (deterministic c_custkey tie-break),
+    the joint rank-bucket histogram is cumulated into the empirical
+    copula C(u,v), and σ = 12·mean|C(u,v) - uv| measures dependence
+    of ANY form — nonlinear and non-monotone included — which the
+    registry's Pearson/Spearman/Kendall queries (all monotone-only)
+    cannot see.  Every count is a BIGINT; |C - uv| terms are
+    1e-9-snapped into an order-free reduction over the FIXED 64-cell
+    grid (the cumulation is a 64×64 broadcast self-join of the
+    densified grid, constant at any data scale).  Two global sorts
+    (one per marginal) — the two-phase-rank family's shape."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bal"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.floor(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                    / 100
+                )
+                .cast("long")
+                .alias("dollars"),
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+            how="left",
+        )
+        .groupBy("c_custkey", "bal")
+        .agg(
+            F.coalesce(F.sum("dollars"), F.lit(0)).cast("long").alias(
+                "spend"
+            )
+        )
+    )
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cust.select(
+        F.row_number()
+        .over(Window.orderBy("bal", "c_custkey"))
+        .cast("long")
+        .alias("ru"),
+        F.row_number()
+        .over(Window.orderBy("spend", "c_custkey"))
+        .cast("long")
+        .alias("rv"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    cells = ranked.groupBy(
+        F.floor((F.col("ru") - 1) * 8 / F.col("n")).cast("long").alias(
+            "cu"
+        ),
+        F.floor((F.col("rv") - 1) * 8 / F.col("n")).cast("long").alias(
+            "cv"
+        ),
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max("n").cast("long").alias("n"),
+    )
+    spark_grid = (
+        spark.range(8)
+        .select(F.col("id").cast("long").alias("gu"))
+        .crossJoin(
+            spark.range(8).select(F.col("id").cast("long").alias("gv"))
+        )
+    )
+    ntot = cells.agg(F.max("n").alias("ntot"))
+    dense = (
+        spark_grid.join(
+            cells,
+            on=(F.col("gu") == F.col("cu")) & (F.col("gv") == F.col("cv")),
+            how="left",
+        )
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.col("gu").alias("cu"),
+            F.col("gv").alias("cv"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            F.col("ntot").cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = dense.select(
+        F.col("cu").alias("au"),
+        F.col("cv").alias("av"),
+        F.col("n").alias("n"),
+    )
+    b = dense.select(
+        F.col("cu").alias("bu"),
+        F.col("cv").alias("bv"),
+        F.col("cnt").alias("bcnt"),
+    )
+    cop = (
+        a.join(F.broadcast(b), F.lit(True))
+        .groupBy("au", "av")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("bu") <= F.col("au"))
+                    & (F.col("bv") <= F.col("av")),
+                    F.col("bcnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cum"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    sw = cop.agg(
+        F.sum(
+            F.floor(
+                F.abs(
+                    F.col("cum").cast("double") / F.col("n")
+                    - ((F.col("au") + 1) / 8.0) * ((F.col("av") + 1) / 8.0)
+                )
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s9"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return sw.select(
+        F.col("n").alias("n_customers"),
+        F.round(12.0 * (F.col("s9") / 1e9) / 64.0, 6).alias(
+            "schweizer_wolff_sigma"
+        ),
+        F.round(F.col("s9") / 1e9 / 64.0, 6).alias("mean_abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R448 frequent 3-itemsets (Apriori level 3) over order baskets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "frequent_triples",
+    sql="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    triples AS (
+      SELECT a.l_partkey AS i1, b.l_partkey AS i2, c.l_partkey AS i3,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      JOIN li c ON b.l_orderkey = c.l_orderkey
+                AND b.l_partkey < c.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey, c.l_partkey
+      HAVING count(*) >= 2
+    )
+    SELECT i1 AS item_1, i2 AS item_2, i3 AS item_3, support
+    FROM triples
+    ORDER BY support DESC, i1, i2, i3
+    LIMIT 20
+    """,
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R448 frequent 3-itemsets over order baskets (Apriori level 3,
+    min-support 2, top-20): the next lattice level above the
+    registry's association_rules_pairs / basket_rule_metrics (pairs)
+    and below full FP-growth — 3-itemsets are where pair-based rules
+    start missing real structure (a triple can be frequent while one
+    of its pairs is only marginal).  The triple join expands each
+    basket to C(b,3) ordered combinations — bounded by BASKET size
+    exactly like the registry's basket-explode edge build, so the
+    expansion stays linear in lineitem rows at 100 TB; support
+    counts are BIGINTs and ordering is (support desc, lexicographic)
+    for reproducibility."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("oa"), F.col("l_partkey").alias("i1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("i2")
+    )
+    c = li.select(
+        F.col("l_orderkey").alias("oc"), F.col("l_partkey").alias("i3")
+    )
+    triples = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("i1") < F.col("i2")))
+        .join(
+            c, (F.col("ob") == F.col("oc")) & (F.col("i2") < F.col("i3"))
+        )
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    return (
+        triples.select(
+            F.col("i1").alias("item_1"),
+            F.col("i2").alias("item_2"),
+            F.col("i3").alias("item_3"),
+            "support",
+        )
+        .orderBy(
+            F.col("support").desc(), "item_1", "item_2", "item_3"
+        )
+        .limit(20)
+    )
