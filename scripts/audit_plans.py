@@ -1151,6 +1151,14 @@ EXPECTATIONS = {
     "empirical_copula_dependence": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R449/R450: day-frame lag/rank/running-max windows + the 2-row
+    # alpha grid / 1-row moment scalars crossing
+    "var_cvar_revenue_changes": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "performance_ratio_panel": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

@@ -1091,3 +1091,42 @@ def test_frequent_triples_matches_pandas(spark):
     for r, (c, t) in zip(rows, cand):
         assert (r["item_1"], r["item_2"], r["item_3"]) == t
         assert r["support"] == c
+
+
+def test_var_cvar_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import var_cvar_revenue_changes
+
+    d = _daily_revenue(spark)
+    chg = np.diff(d["y"].to_numpy()).astype(np.int64)
+    s = np.sort(chg)
+    n = len(s)
+    rows = var_cvar_revenue_changes(spark, SF_DIR).collect()
+    assert [r["alpha"] for r in rows] == [0.05, 0.01]
+    for r in rows:
+        k = math.ceil(r["alpha"] * n)
+        assert r["n_changes"] == n
+        assert r["tail_n"] == k
+        assert r["var_loss"] == -int(s[k - 1])
+        assert abs(r["cvar_loss"] - (-s[:k].mean())) < 1e-6
+        # coherence: expected shortfall dominates VaR
+        assert r["cvar_loss"] >= r["var_loss"] - 1e-9
+
+
+def test_performance_panel_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import performance_ratio_panel
+
+    d = _daily_revenue(spark)
+    y = d["y"].to_numpy().astype(np.int64)
+    chg = np.diff(y).astype(float)
+    mean, sd = chg.mean(), chg.std(ddof=1)
+    sortino = mean / math.sqrt((chg[chg < 0] ** 2).sum() / len(chg))
+    peak = np.maximum.accumulate(y)
+    mdd = int((peak - y).max())
+    ulcer = math.sqrt((((peak - y) / peak) ** 2).mean())
+    [r] = performance_ratio_panel(spark, SF_DIR).collect()
+    assert r["n_changes"] == len(chg)
+    assert abs(r["sharpe"] - mean / sd) < 1e-5
+    assert abs(r["sortino"] - sortino) < 1e-5
+    assert r["max_drawdown"] == mdd
+    assert abs(r["ulcer_index"] - ulcer) < 1e-5
+    assert abs(r["calmar_like"] - mean / mdd) < 1e-6

@@ -5408,3 +5408,278 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# R449 historical VaR / CVaR of day-over-day revenue changes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "var_cvar_revenue_changes",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    chg AS MATERIALIZED (
+      SELECT CAST(y - lag(y) OVER (ORDER BY day) AS BIGINT) AS chg
+      FROM d QUALIFY chg IS NOT NULL
+    ),
+    r AS MATERIALIZED (
+      SELECT chg,
+             CAST(row_number() OVER (ORDER BY chg, 1) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM chg
+    ),
+    q AS (
+      SELECT a.alpha,
+             CAST(max(r.n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN r.rn = CAST(ceil(a.alpha * r.n) AS BIGINT)
+                           THEN r.chg ELSE 0 END) AS BIGINT) AS var_chg,
+             CAST(sum(CASE WHEN r.rn <= CAST(ceil(a.alpha * r.n) AS BIGINT)
+                           THEN r.chg ELSE 0 END) AS BIGINT) AS tail_sum,
+             CAST(max(CAST(ceil(a.alpha * r.n) AS BIGINT)) AS BIGINT)
+               AS tail_n
+      FROM r CROSS JOIN (SELECT unnest([0.05, 0.01]) AS alpha) a
+      GROUP BY a.alpha
+    )
+    SELECT round(alpha, 2) AS alpha, n AS n_changes,
+           CAST(-var_chg AS BIGINT) AS var_loss,
+           round(-CAST(tail_sum AS DOUBLE) / tail_n, 6) AS cvar_loss,
+           tail_n
+    FROM q ORDER BY alpha DESC
+    """,
+)
+def var_cvar_revenue_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R449 historical value-at-risk and expected shortfall of
+    day-over-day revenue changes: VaR_α is the ⌈αn⌉-th smallest
+    change (exact whole-dollar order statistic, loss-signed) and
+    CVaR_α is the exact mean of the changes at or below it — the
+    coherent-risk pair (CVaR is subadditive where VaR is not) that
+    the registry's distributional queries lacked; reported at
+    α = 5% and 1%.  Both are BIGINT-exact: one global sort of the
+    calendar-bounded change series, a 2-row α grid broadcast, and
+    integer tail sums (CVaR = tail_sum/tail_n is an exact rational).
+    The deterministic rn tie-break inside equal changes does not
+    affect either statistic (equal values, same tail multiset)."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    chg = (
+        d.select(
+            (F.col("y") - F.lag("y").over(Window.orderBy("day")))
+            .cast("long")
+            .alias("chg")
+        )
+        .where(F.col("chg").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = chg.select(
+        "chg",
+        F.row_number().over(Window.orderBy("chg")).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    alphas = (
+        spark.createDataFrame([(0.05,), (0.01,)], ["alpha"])
+    )
+    k = F.ceil(F.col("alpha") * F.col("n")).cast("long")
+    q = (
+        r.crossJoin(F.broadcast(alphas))
+        .groupBy("alpha")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(F.when(F.col("rn") == k, F.col("chg")).otherwise(0))
+            .cast("long")
+            .alias("var_chg"),
+            F.sum(F.when(F.col("rn") <= k, F.col("chg")).otherwise(0))
+            .cast("long")
+            .alias("tail_sum"),
+            F.max(k).cast("long").alias("tail_n"),
+        )
+    )
+    return q.select(
+        F.round(F.col("alpha"), 2).alias("alpha"),
+        F.col("n").alias("n_changes"),
+        (-F.col("var_chg")).cast("long").alias("var_loss"),
+        F.round(
+            -F.col("tail_sum").cast("double") / F.col("tail_n"), 6
+        ).alias("cvar_loss"),
+        "tail_n",
+    ).orderBy(F.col("alpha").desc())
+
+
+# ---------------------------------------------------------------------------
+# R450 performance-ratio panel on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "performance_ratio_panel",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    chg AS MATERIALIZED (
+      SELECT CAST(y - lag(y) OVER (ORDER BY day) AS BIGINT) AS chg
+      FROM d QUALIFY chg IS NOT NULL
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(chg) AS BIGINT) AS s1,
+             CAST(sum(chg * chg) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN chg < 0 THEN chg * chg ELSE 0 END)
+                  AS BIGINT) AS s2neg
+      FROM chg
+    ),
+    dd AS MATERIALIZED (
+      SELECT y,
+             CAST(max(y) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS peak
+      FROM d
+    ),
+    ddagg AS (
+      SELECT CAST(max(peak - y) AS BIGINT) AS max_drawdown,
+             CAST(sum(CAST(floor(
+               power(CAST(peak - y AS DOUBLE) / peak, 2) * 1e12 + 0.5)
+               AS BIGINT)) AS BIGINT) AS u12,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM dd
+    )
+    SELECT mom.n AS n_changes,
+           round(CAST(mom.s1 AS DOUBLE) / mom.n
+                 / sqrt((CAST(mom.s2 AS DOUBLE)
+                         - CAST(mom.s1 AS DOUBLE) * mom.s1 / mom.n)
+                        / (mom.n - 1)), 6) + 0.0 AS sharpe,
+           round(CAST(mom.s1 AS DOUBLE) / mom.n
+                 / sqrt(CAST(mom.s2neg AS DOUBLE) / mom.n), 6) + 0.0
+             AS sortino,
+           ddagg.max_drawdown,
+           round(sqrt(ddagg.u12 / 1e12 / ddagg.nd), 6) AS ulcer_index,
+           round((CAST(mom.s1 AS DOUBLE) / mom.n)
+                 / ddagg.max_drawdown, 6) + 0.0 AS calmar_like
+    FROM mom, ddagg
+    """,
+)
+def performance_ratio_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R450 performance-ratio panel treating daily revenue as an
+    equity-style series: Sharpe (mean/sd of day-over-day changes),
+    Sortino (mean / downside root-mean-square, penalizing only
+    losses), maximum drawdown (peak-to-trough of the LEVEL series
+    via a running-max window — exact whole dollars), Ulcer index
+    (RMS of relative drawdowns, 1e-12-snapped terms), and a
+    Calmar-like mean-change/max-drawdown ratio — the risk-adjusted
+    summary family that completes the VaR/CVaR pair (R449 measures
+    tail risk; these measure reward per unit of risk).  Moments are
+    exact BIGINTs with the S2 - S1²/n spelling; drawdowns ride one
+    cumulative-max window over the calendar-bounded day frame."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    chg = d.select(
+        (F.col("y") - F.lag("y").over(Window.orderBy("day")))
+        .cast("long")
+        .alias("chg")
+    ).where(F.col("chg").isNotNull())
+    mom = chg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("chg").cast("long").alias("s1"),
+        F.sum(F.col("chg") * F.col("chg")).cast("long").alias("s2"),
+        F.sum(
+            F.when(F.col("chg") < 0, F.col("chg") * F.col("chg")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("s2neg"),
+    )
+    dd = d.select(
+        "y",
+        F.max("y")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("peak"),
+    )
+    ddagg = dd.agg(
+        F.max(F.col("peak") - F.col("y")).cast("long").alias(
+            "max_drawdown"
+        ),
+        F.sum(
+            F.floor(
+                F.pow(
+                    (F.col("peak") - F.col("y")).cast("double")
+                    / F.col("peak"),
+                    2,
+                )
+                * 1e12
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("u12"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    j = mom.crossJoin(ddagg)
+    dd_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = dd_("s1") / F.col("n")
+    sd = F.sqrt(
+        (dd_("s2") - dd_("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    return j.select(
+        F.col("n").alias("n_changes"),
+        (F.round(mean / sd, 6) + 0.0).alias("sharpe"),
+        (F.round(mean / F.sqrt(dd_("s2neg") / F.col("n")), 6) + 0.0).alias(
+            "sortino"
+        ),
+        "max_drawdown",
+        F.round(F.sqrt(F.col("u12") / 1e12 / F.col("nd")), 6).alias(
+            "ulcer_index"
+        ),
+        (F.round(mean / F.col("max_drawdown"), 6) + 0.0).alias(
+            "calmar_like"
+        ),
+    )
