@@ -1159,6 +1159,12 @@ EXPECTATIONS = {
     "performance_ratio_panel": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R451: pooled midrank window over the fact frame (the shared
+    # KW/MWU shape) + 1-row total/tie scalars crossing the 10-pair
+    # group join
+    "dunn_posthoc_segments": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

@@ -1130,3 +1130,98 @@ def test_performance_panel_matches_numpy(spark):
     assert r["max_drawdown"] == mdd
     assert abs(r["ulcer_index"] - ulcer) < 1e-5
     assert abs(r["calmar_like"] - mean / mdd) < 1e-6
+
+
+def test_dunn_posthoc_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import dunn_posthoc_segments
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = (
+        np.floor(j["o_totalprice"] * 100 + 0.5).astype(np.int64) // 100
+    )
+    x = j["x"].to_numpy()
+    nn = len(x)
+    # pooled midranks
+    order = np.argsort(x, kind="stable")
+    ranks = np.empty(nn)
+    sx = x[order]
+    i = 0
+    while i < nn:
+        k = i
+        while k < nn and sx[k] == sx[i]:
+            k += 1
+        ranks[order[i:k]] = (i + 1 + k) / 2.0
+        i = k
+    j["rank"] = ranks
+    _, counts = np.unique(x, return_counts=True)
+    tie3 = sum(int(t) ** 3 - int(t) for t in counts)
+    groups = {
+        s: g["rank"].to_numpy() for s, g in j.groupby("c_mktsegment")
+    }
+    segs = sorted(groups)
+    rows = dunn_posthoc_segments(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    idx = 0
+    for ai in range(len(segs)):
+        for bi in range(ai + 1, len(segs)):
+            sa, sb = segs[ai], segs[bi]
+            ga, gb = groups[sa], groups[sb]
+            z = (ga.mean() - gb.mean()) / math.sqrt(
+                (nn * (nn + 1) / 12 - tie3 / (12 * (nn - 1)))
+                * (1 / len(ga) + 1 / len(gb))
+            )
+            r = rows[idx]
+            idx += 1
+            assert (r["seg_a"], r["seg_b"]) == (sa, sb)
+            assert (r["n_a"], r["n_b"]) == (len(ga), len(gb))
+            assert abs(r["z_stat"] - z) < 1e-5
+            assert abs(
+                r["p_bonferroni"] - min(1.0, 20 * (1 - _phi(abs(z))))
+            ) < 1e-4
+
+
+def test_median_polish_matches_python(spark):
+    from zoom_spark.queries.round10c_ops import median_polish_dow_priority
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    epoch = pd.Timestamp("1990-01-01")
+    o["dow"] = ((o["o_orderdate"].dt.normalize() - epoch).dt.days % 7)
+    o["cents"] = np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    tbl = {}
+    for (dow, pri), g in o.groupby(["dow", "o_orderpriority"]):
+        tbl[(dow, pri)] = math.floor(g["cents"].mean() + 0.5)
+    dows = sorted({k[0] for k in tbl})
+    pris = sorted({k[1] for k in tbl})
+    resid = {k: v for k, v in tbl.items()}
+    dow_eff = {d: 0 for d in dows}
+    pri_eff = {p: 0 for p in pris}
+
+    def med_sorted(vals):
+        return sorted(vals)[len(vals) // 2]
+
+    for _ in range(2):
+        for d in dows:
+            m = med_sorted([resid[(d, p)] for p in pris])
+            for p in pris:
+                resid[(d, p)] -= m
+            dow_eff[d] += m
+        for p in pris:
+            m = med_sorted([resid[(d, p)] for d in dows])
+            for d in dows:
+                resid[(d, p)] -= m
+            pri_eff[p] += m
+    rows = median_polish_dow_priority(spark, SF_DIR).collect()
+    assert len(rows) == 35
+    for r in rows:
+        key = (r["dow"], r["pri"])
+        assert abs(r["residual"] - resid[key] / 100.0) < 1e-9
+        assert abs(r["dow_effect"] - dow_eff[r["dow"]] / 100.0) < 1e-9
+        assert abs(r["pri_effect"] - pri_eff[r["pri"]] / 100.0) < 1e-9

@@ -5683,3 +5683,320 @@ def performance_ratio_panel(
             "calmar_like"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R451 Dunn's post-hoc pairwise test (Kruskal-Wallis follow-up)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dunn_posthoc_segments",
+    sql=f"""
+    WITH o AS MATERIALIZED (
+      SELECT c.c_mktsegment AS seg,
+             CAST(floor(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                        / 100) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS MATERIALIZED (
+      SELECT seg,
+             CAST(2 * rank() OVER (ORDER BY x)
+                  + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
+      FROM o
+    ),
+    g AS MATERIALIZED (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2) AS BIGINT) AS sr2
+      FROM r GROUP BY seg
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn FROM g
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM o GROUP BY x)
+    ),
+    pairs AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             a.n AS n_a, b.n AS n_b,
+             (CAST(a.sr2 AS DOUBLE) / (2 * a.n)
+              - CAST(b.sr2 AS DOUBLE) / (2 * b.n))
+             / sqrt((CAST(tot.nn AS DOUBLE) * (tot.nn + 1) / 12.0
+                     - CAST(ties.tie3 AS DOUBLE) / (12.0 * (tot.nn - 1)))
+                    * (1.0 / a.n + 1.0 / b.n)) AS z
+      FROM g a JOIN g b ON a.seg < b.seg, tot, ties
+    )
+    SELECT seg_a, seg_b, n_a, n_b,
+           round(z, 6) AS z_stat,
+           round(least(1.0, 10.0 * 2.0 * (1.0 - {_phi_sql('abs(z)')})), 6)
+             AS p_bonferroni
+    FROM pairs
+    ORDER BY seg_a, seg_b
+    """,
+)
+def dunn_posthoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R451 Dunn's (1964) post-hoc pairwise test over the 5 market
+    segments' order values — the follow-up the registry's
+    Kruskal-Wallis omnibus needed (KW says "some segment differs";
+    Dunn says WHICH pairs, on the same pooled ranks, which plain
+    pairwise Mann-Whitneys get wrong because their ranks are
+    recomputed per pair): z_ij = (R̄_i - R̄_j) / √((N(N+1)/12 -
+    Σ(t³-t)/(12(N-1)))(1/n_i + 1/n_j)), Bonferroni-adjusted over the
+    10 comparisons (capped at 1).  Pooled midranks ride the 2× grid
+    so every rank sum is a BIGINT; z is an exact-operand closed form
+    and p uses the shared A-S erf.  One global sort + a 5×5
+    group-pair join."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_mktsegment").alias("seg")
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("seg", "x")
+        .localCheckpoint(eager=False)
+    )
+    r = o.select(
+        "seg",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count("*").over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    g = r.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2").cast("long").alias("sr2"),
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("nn"))
+    ties = (
+        o.groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    a = g.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("n_a"),
+        F.col("sr2").alias("sr2_a"),
+    )
+    b = g.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("n_b"),
+        F.col("sr2").alias("sr2_b"),
+    )
+    pairs = (
+        a.join(b, F.col("seg_a") < F.col("seg_b"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+    )
+    z = (
+        F.col("sr2_a").cast("double") / (2 * F.col("n_a"))
+        - F.col("sr2_b").cast("double") / (2 * F.col("n_b"))
+    ) / F.sqrt(
+        (
+            F.col("nn").cast("double") * (F.col("nn") + 1) / 12.0
+            - F.col("tie3").cast("double") / (12.0 * (F.col("nn") - 1))
+        )
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        F.round(z, 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 10.0 * 2.0 * (1.0 - _phi_col(F.abs(z)))),
+            6,
+        ).alias("p_bonferroni"),
+    ).orderBy("seg_a", "seg_b")
+
+
+# ---------------------------------------------------------------------------
+# R452 Tukey median polish of the (weekday x priority) revenue table
+# ---------------------------------------------------------------------------
+
+# Two full sweeps (rows then columns, twice), unrolled: medians of 5
+# (priorities per row) and 7 (weekdays per column) values are exact
+# middle order statistics on the integer cent grid, and residuals stay
+# integers through every sweep — the whole polish is BIGINT algebra.
+
+
+@register(
+    "median_polish_dow_priority",
+    sql="""
+    WITH cell AS MATERIALIZED (
+      SELECT CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 7
+                  AS BIGINT) AS dow,
+             o_orderpriority AS pri,
+             CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+               AS resid,
+             CAST(0 AS BIGINT) AS dow_eff,
+             CAST(0 AS BIGINT) AS pri_eff
+      FROM orders
+      GROUP BY CAST((CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 7
+                    AS BIGINT), o_orderpriority
+    ),
+    r1m AS MATERIALIZED (
+      SELECT dow, CAST(sum(CASE WHEN rn = 3 THEN resid ELSE 0 END)
+                       AS BIGINT) AS med
+      FROM (SELECT dow, resid,
+                   CAST(row_number() OVER (PARTITION BY dow
+                        ORDER BY resid, pri) AS BIGINT) AS rn
+            FROM cell) GROUP BY dow
+    ),
+    r1 AS MATERIALIZED (
+      SELECT t.dow, t.pri, CAST(t.resid - m.med AS BIGINT) AS resid,
+             CAST(t.dow_eff + m.med AS BIGINT) AS dow_eff, t.pri_eff
+      FROM cell t JOIN r1m m ON t.dow = m.dow
+    ),
+    c1m AS MATERIALIZED (
+      SELECT pri, CAST(sum(CASE WHEN rn = 4 THEN resid ELSE 0 END)
+                       AS BIGINT) AS med
+      FROM (SELECT pri, resid,
+                   CAST(row_number() OVER (PARTITION BY pri
+                        ORDER BY resid, dow) AS BIGINT) AS rn
+            FROM r1) GROUP BY pri
+    ),
+    c1 AS MATERIALIZED (
+      SELECT t.dow, t.pri, CAST(t.resid - m.med AS BIGINT) AS resid,
+             t.dow_eff, CAST(t.pri_eff + m.med AS BIGINT) AS pri_eff
+      FROM r1 t JOIN c1m m ON t.pri = m.pri
+    ),
+    r2m AS MATERIALIZED (
+      SELECT dow, CAST(sum(CASE WHEN rn = 3 THEN resid ELSE 0 END)
+                       AS BIGINT) AS med
+      FROM (SELECT dow, resid,
+                   CAST(row_number() OVER (PARTITION BY dow
+                        ORDER BY resid, pri) AS BIGINT) AS rn
+            FROM c1) GROUP BY dow
+    ),
+    r2 AS MATERIALIZED (
+      SELECT t.dow, t.pri, CAST(t.resid - m.med AS BIGINT) AS resid,
+             CAST(t.dow_eff + m.med AS BIGINT) AS dow_eff, t.pri_eff
+      FROM c1 t JOIN r2m m ON t.dow = m.dow
+    ),
+    c2m AS MATERIALIZED (
+      SELECT pri, CAST(sum(CASE WHEN rn = 4 THEN resid ELSE 0 END)
+                       AS BIGINT) AS med
+      FROM (SELECT pri, resid,
+                   CAST(row_number() OVER (PARTITION BY pri
+                        ORDER BY resid, dow) AS BIGINT) AS rn
+            FROM r2) GROUP BY pri
+    ),
+    c2 AS MATERIALIZED (
+      SELECT t.dow, t.pri, CAST(t.resid - m.med AS BIGINT) AS resid,
+             t.dow_eff, CAST(t.pri_eff + m.med AS BIGINT) AS pri_eff
+      FROM r2 t JOIN c2m m ON t.pri = m.pri
+    )
+    SELECT dow, pri,
+           round(resid / 100.0, 2) AS residual,
+           round(dow_eff / 100.0, 2) AS dow_effect,
+           round(pri_eff / 100.0, 2) AS pri_effect
+    FROM c2 ORDER BY dow, pri
+    """,
+)
+def median_polish_dow_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R452 Tukey median polish of the 7×5 (weekday × priority) mean
+    order-value table, two full sweeps unrolled: alternately subtract
+    per-row and per-column MEDIANS, accumulating them as row/column
+    effects — the robust two-way decomposition whose residuals
+    resist the outlier cells that mean-based two-way ANOVA
+    (anova/scheirer_ray_hare) smears.  Cell means round half-up to
+    the integer CENT grid; medians of 5 (rn=3) and 7 (rn=4) values
+    are exact middle order statistics (deterministic tie-break by
+    the cross dimension), so residuals and effects stay integers
+    through every sweep — the polish is pure BIGINT algebra with no
+    convergence question (two sweeps is Tukey's standard stopping
+    rule, documented).  35-cell frame: free at any scale."""
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1990-01-01").cast("date"),
+                )
+                % 7
+            )
+            .cast("long")
+            .alias("dow"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("resid")
+        )
+        .withColumn("dow_eff", F.lit(0).cast("long"))
+        .withColumn("pri_eff", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+
+    def sweep(df: DataFrame, dim: str, other: str, eff: str, k: int):
+        med = (
+            df.select(
+                dim,
+                "resid",
+                F.row_number()
+                .over(Window.partitionBy(dim).orderBy("resid", other))
+                .cast("long")
+                .alias("rn"),
+            )
+            .groupBy(dim)
+            .agg(
+                F.sum(F.when(F.col("rn") == k, F.col("resid")).otherwise(0))
+                .cast("long")
+                .alias("med")
+            )
+        )
+        out = df.join(F.broadcast(med), on=dim).select(
+            "dow",
+            "pri",
+            (F.col("resid") - F.col("med")).cast("long").alias("resid"),
+            (F.col(eff) + F.col("med")).cast("long").alias(eff),
+            "pri_eff" if eff == "dow_eff" else "dow_eff",
+        )
+        return out.localCheckpoint(eager=False)
+
+    cur = cell
+    for _ in range(2):
+        cur = sweep(cur, "dow", "pri", "dow_eff", 3)
+        cur = sweep(cur, "pri", "dow", "pri_eff", 4)
+    return cur.select(
+        "dow",
+        "pri",
+        F.round(F.col("resid") / 100.0, 2).alias("residual"),
+        F.round(F.col("dow_eff") / 100.0, 2).alias("dow_effect"),
+        F.round(F.col("pri_eff") / 100.0, 2).alias("pri_effect"),
+    ).orderBy("dow", "pri")
