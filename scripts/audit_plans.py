@@ -1165,6 +1165,15 @@ EXPECTATIONS = {
     "dunn_posthoc_segments": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R453/R454: 1-row moment/Rbar scalars crossing; the MCF risk
+    # probe is a broadcast range join onto the bounded age frame with
+    # an ordered cumulative window over it
+    "process_capability_daily": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
+    "mean_cumulative_function": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

@@ -1225,3 +1225,65 @@ def test_median_polish_matches_python(spark):
         assert abs(r["residual"] - resid[key] / 100.0) < 1e-9
         assert abs(r["dow_effect"] - dow_eff[r["dow"]] / 100.0) < 1e-9
         assert abs(r["pri_effect"] - pri_eff[r["pri"]] / 100.0) < 1e-9
+
+
+def test_process_capability_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import process_capability_daily
+
+    d = _daily_revenue(spark)
+    y = d["y"].to_numpy(float)
+    n = len(y)
+    mu, sig_o = y.mean(), y.std(ddof=1)
+    k = n // 7
+    ranges = [
+        y[i * 7 : i * 7 + 7].max() - y[i * 7 : i * 7 + 7].min()
+        for i in range(k)
+    ]
+    sig_w = (sum(ranges) / k) / 2.704
+    lsl, usl = 0.8 * mu, 1.2 * mu
+    [r] = process_capability_daily(spark, SF_DIR).collect()
+    assert r["n_days"] == n
+    assert r["n_subgroups"] == k
+    assert abs(r["mean_revenue"] - mu) < 1e-3
+    assert abs(r["sigma_within"] - sig_w) < 1e-3
+    assert abs(r["sigma_overall"] - sig_o) < 1e-3
+    assert abs(r["cp"] - (usl - lsl) / (6 * sig_w)) < 1e-5
+    assert abs(r["cpk"] - min(usl - mu, mu - lsl) / (3 * sig_w)) < 1e-5
+    assert abs(r["pp"] - (usl - lsl) / (6 * sig_o)) < 1e-5
+    assert abs(r["ppk"] - min(usl - mu, mu - lsl) / (3 * sig_o)) < 1e-5
+    # symmetric specs => cpk == cp and ppk == pp
+    assert abs(r["cp"] - r["cpk"]) < 1e-6
+
+
+def test_mcf_matches_python(spark):
+    from zoom_spark.queries.round10c_ops import mean_cumulative_function
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    ev["day"] = ev["ts"].dt.normalize()
+    first = ev.groupby("user_id")["day"].min()
+    horizon = ev["day"].max()
+    pur = ev[ev["event_type"] == "purchase"]
+    ages = (
+        (pur["day"] - pur["user_id"].map(first)).dt.days.to_numpy()
+    )
+    follow = (horizon - first).dt.days.to_numpy()
+    mcf = {}
+    acc = 0.0
+    for a in sorted(set(ages)):
+        d = int((ages == a).sum())
+        n_risk = int((follow >= a).sum())
+        acc += math.floor(d / n_risk * 1e9 + 0.5) / 1e9
+        mcf[a] = (d, n_risk, acc)
+    rows = mean_cumulative_function(spark, SF_DIR).collect()
+    assert rows
+    prev = 0.0
+    for r in rows:
+        d, n_risk, acc = mcf[r["age"]]
+        assert r["n_events"] == d
+        assert r["n_risk"] == n_risk
+        assert abs(r["mcf"] - acc) < 1e-6
+        # MCF is nondecreasing
+        assert r["mcf"] >= prev - 1e-12
+        prev = r["mcf"]

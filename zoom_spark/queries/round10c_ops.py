@@ -6000,3 +6000,257 @@ def median_polish_dow_priority(
         F.round(F.col("dow_eff") / 100.0, 2).alias("dow_effect"),
         F.round(F.col("pri_eff") / 100.0, 2).alias("pri_effect"),
     ).orderBy("dow", "pri")
+
+
+# ---------------------------------------------------------------------------
+# R453 process capability (Cp/Cpk/Pp/Ppk) of daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "process_capability_daily",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t,
+             y
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) / 100) AS BIGINT) AS y
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+      )
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM d
+    ),
+    sub AS MATERIALIZED (
+      SELECT t // 7 AS grp,
+             CAST(max(y) - min(y) AS BIGINT) AS rng,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY t // 7 HAVING count(*) = 7
+    ),
+    rbar AS (
+      SELECT CAST(sum(rng) AS BIGINT) AS sr,
+             CAST(count(*) AS BIGINT) AS k
+      FROM sub
+    ),
+    spec AS (
+      SELECT mom.*, rbar.sr, rbar.k,
+             CAST(mom.s1 AS DOUBLE) / mom.n AS mu,
+             0.8 * (CAST(mom.s1 AS DOUBLE) / mom.n) AS lsl,
+             1.2 * (CAST(mom.s1 AS DOUBLE) / mom.n) AS usl,
+             sqrt((CAST(mom.s2 AS DOUBLE)
+                   - CAST(mom.s1 AS DOUBLE) * mom.s1 / mom.n)
+                  / (mom.n - 1)) AS sigma_overall,
+             (CAST(rbar.sr AS DOUBLE) / rbar.k) / 2.704 AS sigma_within
+      FROM mom, rbar
+    )
+    SELECT n AS n_days, k AS n_subgroups,
+           round(mu, 6) AS mean_revenue,
+           round(sigma_within, 6) AS sigma_within,
+           round(sigma_overall, 6) AS sigma_overall,
+           round((usl - lsl) / (6.0 * sigma_within), 6) AS cp,
+           round(least(usl - mu, mu - lsl) / (3.0 * sigma_within), 6)
+             AS cpk,
+           round((usl - lsl) / (6.0 * sigma_overall), 6) AS pp,
+           round(least(usl - mu, mu - lsl) / (3.0 * sigma_overall), 6)
+             AS ppk
+    FROM spec
+    """,
+)
+def process_capability_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R453 process-capability panel for daily revenue against the
+    conventional ±20%-of-mean spec band: Cp/Cpk use the WITHIN-
+    subgroup sigma (R̄/d₂ over complete 7-day subgroups, d₂ = 2.704 —
+    the xbar_r_control_chart constants) and Pp/Ppk the OVERALL
+    sample sigma — the SPC capability quartet whose Cp-vs-Pp gap
+    measures between-week drift that a single global sigma hides.
+    Moments and ranges are exact BIGINTs (the S2 - S1²/n spelling;
+    whole-dollar grid); every ratio is an exact-operand closed form.
+    The synthetic spec band is documented (the schema has no real
+    engineering tolerances).  One groupBy + a week-subgroup
+    aggregate: calendar-bounded."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            (
+                F.row_number().over(Window.orderBy("day")).cast("long") - 1
+            ).alias("t"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    mom = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    sub = (
+        d.groupBy(F.floor(F.col("t") / 7).cast("long").alias("grp"))
+        .agg(
+            (F.max("y") - F.min("y")).cast("long").alias("rng"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .where(F.col("cnt") == 7)
+    )
+    rbar = sub.agg(
+        F.sum("rng").cast("long").alias("sr"),
+        F.count("*").cast("long").alias("k"),
+    )
+    j = mom.crossJoin(rbar)
+    mu = F.col("s1").cast("double") / F.col("n")
+    lsl, usl = 0.8 * mu, 1.2 * mu
+    sig_o = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    sig_w = (F.col("sr").cast("double") / F.col("k")) / 2.704
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_subgroups"),
+        F.round(mu, 6).alias("mean_revenue"),
+        F.round(sig_w, 6).alias("sigma_within"),
+        F.round(sig_o, 6).alias("sigma_overall"),
+        F.round((usl - lsl) / (6.0 * sig_w), 6).alias("cp"),
+        F.round(F.least(usl - mu, mu - lsl) / (3.0 * sig_w), 6).alias(
+            "cpk"
+        ),
+        F.round((usl - lsl) / (6.0 * sig_o), 6).alias("pp"),
+        F.round(F.least(usl - mu, mu - lsl) / (3.0 * sig_o), 6).alias(
+            "ppk"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R454 mean cumulative function for recurrent purchases
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mean_cumulative_function",
+    sql="""
+    WITH per_user AS MATERIALIZED (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    ev AS MATERIALIZED (
+      SELECT CAST(CAST(e.ts AS DATE) - p.first_day AS BIGINT) AS age
+      FROM events e
+      JOIN per_user p ON e.user_id = p.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    risk AS MATERIALIZED (
+      SELECT CAST(hz.h - p.first_day AS BIGINT) AS follow
+      FROM per_user p CROSS JOIN horizon hz
+    ),
+    ages AS MATERIALIZED (
+      SELECT age, CAST(count(*) AS BIGINT) AS d FROM ev GROUP BY age
+    ),
+    inc AS MATERIALIZED (
+      SELECT a.age, a.d,
+             (SELECT CAST(count(*) AS BIGINT) FROM risk
+              WHERE risk.follow >= a.age) AS n_risk
+      FROM ages a
+    ),
+    mcf AS (
+      SELECT age, d, n_risk,
+             CAST(sum(CAST(floor(CAST(d AS DOUBLE) / n_risk * 1e9 + 0.5)
+                  AS BIGINT)) OVER (ORDER BY age) AS BIGINT) AS m9
+      FROM inc
+    )
+    SELECT age, d AS n_events, n_risk,
+           round(m9 / 1e9, 6) AS mcf
+    FROM mcf
+    WHERE age % 10 = 0 OR age < 10
+    ORDER BY age
+    """,
+)
+def mean_cumulative_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R454 Nelson-Aalen-style mean cumulative function for RECURRENT
+    purchases: MCF(t) = Σ_{s≤t} d(s)/n(s) where d(s) counts purchase
+    events at user-age s (days since the user's first activity) and
+    n(s) counts users still under observation at age s (follow-up =
+    horizon - first day) — the recurrent-event extension of the
+    registry's kaplan_meier/nelson_aalen (which stop at the FIRST
+    event; MCF counts the expected cumulative NUMBER of purchases
+    per user, the marketing repeat-purchase curve).  Increments
+    d/n are 1e-9-snapped BIGINTs cumulated by an ordered window, so
+    the curve is exact and order-stable; the output samples every
+    10th age (plus the first ten) to stay bounded.  One groupBy per
+    frame; the risk counts are a broadcast anti-monotone probe."""
+    ev_tbl = load_table(spark, sf_dir, "events")
+    per_user = ev_tbl.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    horizon = ev_tbl.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    ev = (
+        ev_tbl.where(F.col("event_type") == "purchase")
+        .join(per_user, on="user_id")
+        .select(
+            F.datediff(F.col("ts").cast("date"), F.col("first_day"))
+            .cast("long")
+            .alias("age")
+        )
+    )
+    risk = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("h"), F.col("first_day")).cast("long").alias(
+            "follow"
+        )
+    )
+    ages = ev.groupBy("age").agg(F.count("*").cast("long").alias("d"))
+    # risk count at each age: join ages x risk on follow >= age
+    inc = (
+        ages.join(F.broadcast(risk), F.col("follow") >= F.col("age"))
+        .groupBy("age", "d")
+        .agg(F.count("*").cast("long").alias("n_risk"))
+    )
+    mcf = inc.select(
+        "age",
+        "d",
+        "n_risk",
+        F.sum(
+            F.floor(
+                F.col("d").cast("double") / F.col("n_risk") * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .over(
+            Window.orderBy("age").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("m9"),
+    )
+    return (
+        mcf.where((F.col("age") % 10 == 0) | (F.col("age") < 10))
+        .select(
+            "age",
+            F.col("d").alias("n_events"),
+            "n_risk",
+            F.round(F.col("m9") / 1e9, 6).alias("mcf"),
+        )
+        .orderBy("age")
+    )
