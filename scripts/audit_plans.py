@@ -1174,6 +1174,10 @@ EXPECTATIONS = {
     "mean_cumulative_function": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R455: the 1-row trace/margin/total scalars cross for Newman's r
+    "attribute_assortativity_brand": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

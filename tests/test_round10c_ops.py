@@ -1287,3 +1287,85 @@ def test_mcf_matches_python(spark):
         # MCF is nondecreasing
         assert r["mcf"] >= prev - 1e-12
         prev = r["mcf"]
+
+
+def test_attribute_assortativity_matches_python(spark):
+    from itertools import combinations
+
+    from zoom_spark.queries.round10c_ops import (
+        attribute_assortativity_brand,
+    )
+
+    li = _baskets(spark)
+    pt = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_brand"
+    ).toPandas()
+    brand = dict(zip(pt["p_partkey"], pt["p_brand"]))
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        for u, v in combinations(sorted(g["l_partkey"]), 2):
+            edges.add((u, v))
+    mix = {}
+    for u, v in edges:
+        for bi, bj in ((brand[u], brand[v]), (brand[v], brand[u])):
+            mix[(bi, bj)] = mix.get((bi, bj), 0) + 1
+    m2 = sum(mix.values())
+    tr = sum(v for (bi, bj), v in mix.items() if bi == bj) / m2
+    ends = {}
+    for (bi, bj), v in mix.items():
+        ends[bi] = ends.get(bi, 0) + v
+    a2 = sum(v * v for v in ends.values()) / (m2 * m2)
+    r_exp = (tr - a2) / (1 - a2)
+    [r] = attribute_assortativity_brand(spark, SF_DIR).collect()
+    assert r["n_edges"] == len(edges)
+    assert r["n_brands"] == len(ends)
+    assert abs(r["frac_same_brand"] - tr) < 1e-6
+    assert abs(r["assortativity_r"] - r_exp) < 1e-5
+    assert -1.0 <= r["assortativity_r"] <= 1.0
+
+
+def test_classical_mds_matches_numpy_eig(spark):
+    from zoom_spark.queries.round10c_ops import classical_mds_nations
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.floor(j["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    prof = {}
+    for (nat, pri), g in j.groupby(["c_nationkey", "o_orderpriority"]):
+        prof[(nat, pri)] = (
+            math.floor(g["cents"].mean() / 100.0 * 1e6 + 0.5) / 1e6
+        )
+    nations = sorted({k[0] for k in prof})
+    pris = sorted({k[1] for k in prof})
+    x = np.array([[prof[(n, p)] for p in pris] for n in nations])
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    n = len(nations)
+    jc = np.eye(n) - np.ones((n, n)) / n
+    bmat = -0.5 * jc @ d2 @ jc
+    ev, vec = np.linalg.eigh(bmat)
+    order = np.argsort(ev)[::-1]
+    l1, l2 = ev[order[0]], ev[order[1]]
+    v1, v2 = vec[:, order[0]], vec[:, order[1]]
+    rows = classical_mds_nations(spark, SF_DIR).collect()
+    assert len(rows) == n
+    assert abs(rows[0]["eigval1"] - l1) < max(1e-3 * abs(l1), 1.0)
+    assert abs(rows[0]["eigval2"] - l2) < max(5e-3 * abs(l2), 1.0)
+    assert rows[0]["eigval1"] >= rows[0]["eigval2"] >= -1e-6
+    c1 = np.array([r["coord1"] for r in rows])
+    c2 = np.array([r["coord2"] for r in rows])
+    e1 = math.sqrt(max(l1, 0)) * v1
+    e2 = math.sqrt(max(l2, 0)) * v2
+    # sign-invariant comparison; 8 power-iteration rounds approximate
+    scale1 = np.abs(e1).max()
+    scale2 = np.abs(e2).max()
+    assert min(
+        np.abs(c1 - e1).max(), np.abs(c1 + e1).max()
+    ) < 0.02 * scale1
+    assert min(
+        np.abs(c2 - e2).max(), np.abs(c2 + e2).max()
+    ) < 0.05 * scale2

@@ -6254,3 +6254,409 @@ def mean_cumulative_function(
         )
         .orderBy("age")
     )
+
+
+# ---------------------------------------------------------------------------
+# R455 categorical (brand) attribute assortativity on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribute_assortativity_brand",
+    sql="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    eb AS MATERIALIZED (
+      SELECT pu.p_brand AS bu, pv.p_brand AS bv
+      FROM e
+      JOIN part pu ON e.u = pu.p_partkey
+      JOIN part pv ON e.v = pv.p_partkey
+    ),
+    mix AS MATERIALIZED (
+      -- symmetric mixing counts over directed edge ends (2|E| ends)
+      SELECT bu AS bi, bv AS bj, CAST(count(*) AS BIGINT) AS m FROM eb
+      GROUP BY bu, bv
+    ),
+    tot AS (SELECT CAST(2 * sum(m) AS BIGINT) AS m2 FROM mix),
+    diag AS (
+      SELECT CAST(sum(CASE WHEN bi = bj THEN 2 * m ELSE 0 END) AS BIGINT)
+        AS tr2
+      FROM mix
+    ),
+    marg AS (
+      SELECT brand, CAST(sum(cnt) AS BIGINT) AS ends
+      FROM (
+        SELECT bi AS brand, m AS cnt FROM mix
+        UNION ALL
+        SELECT bj AS brand, m AS cnt FROM mix
+      ) GROUP BY brand
+    ),
+    ab AS (
+      SELECT CAST(sum(ends * ends) AS BIGINT) AS sum_ab2
+      FROM marg
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM marg) AS n_brands,
+           round(CAST(diag.tr2 AS DOUBLE) / tot.m2, 6) AS frac_same_brand,
+           round((CAST(diag.tr2 AS DOUBLE) / tot.m2
+                  - CAST(ab.sum_ab2 AS DOUBLE) / (CAST(tot.m2 AS DOUBLE)
+                                                  * tot.m2))
+                 / (1.0 - CAST(ab.sum_ab2 AS DOUBLE)
+                          / (CAST(tot.m2 AS DOUBLE) * tot.m2)), 6)
+             AS assortativity_r
+    FROM tot, diag, ab
+    """,
+)
+def attribute_assortativity_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R455 Newman's categorical attribute assortativity (2003) of
+    part BRAND over the co-purchase graph: r = (Σe_ii - Σa_i²) /
+    (1 - Σa_i²) from the symmetric brand mixing matrix (each
+    undirected edge contributes both directed ends) — the
+    CATEGORICAL twin of the registry's degree_assortativity (degree
+    is numeric mixing; this asks whether same-brand parts co-sell,
+    the brand-loyalty signal).  All mixing-matrix cells, the trace
+    and the end-marginals are BIGINTs, so r is an exact-operand
+    closed form; frac_same_brand rides along as the unnormalized
+    diagonal mass.  Basket-bounded edge build + two broadcast dim
+    joins (part is the dimension side at 100 TB)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("oa"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("v")
+    )
+    e = (
+        a.join(b, (F.col("oa") == F.col("ob")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    eb = (
+        e.join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("ku"),
+                    F.col("p_brand").alias("bu"),
+                )
+            ),
+            on=F.col("u") == F.col("ku"),
+        )
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("kv"),
+                    F.col("p_brand").alias("bv"),
+                )
+            ),
+            on=F.col("v") == F.col("kv"),
+        )
+        .select("bu", "bv")
+    )
+    mix = eb.groupBy("bu", "bv").agg(
+        F.count("*").cast("long").alias("m")
+    ).localCheckpoint(eager=False)
+    tot = mix.agg((2 * F.sum("m")).cast("long").alias("m2"))
+    diag = mix.agg(
+        F.sum(
+            F.when(F.col("bu") == F.col("bv"), 2 * F.col("m")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tr2")
+    )
+    marg = (
+        mix.select(F.col("bu").alias("brand"), F.col("m").alias("cnt"))
+        .unionAll(
+            mix.select(F.col("bv").alias("brand"), F.col("m").alias("cnt"))
+        )
+        .groupBy("brand")
+        .agg(F.sum("cnt").cast("long").alias("ends"))
+        .localCheckpoint(eager=False)
+    )
+    ab = marg.agg(
+        F.sum(F.col("ends") * F.col("ends")).cast("long").alias("sum_ab2")
+    )
+    n_edges = e.count()
+    n_brands = marg.count()
+    out = tot.crossJoin(diag).crossJoin(ab)
+    tr = F.col("tr2").cast("double") / F.col("m2")
+    a2 = F.col("sum_ab2").cast("double") / (
+        F.col("m2").cast("double") * F.col("m2")
+    )
+    return out.select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_brands).cast("long").alias("n_brands"),
+        F.round(tr, 6).alias("frac_same_brand"),
+        F.round((tr - a2) / (1.0 - a2), 6).alias("assortativity_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R456 classical MDS of nation spending profiles (unrolled power iteration)
+# ---------------------------------------------------------------------------
+
+_MDS_ITERS = 60
+
+
+def _mds_power_sql(bsrc: str, tag: str) -> str:
+    """Unrolled power iteration on a 25x25 Gram frame `bsrc`(i,j,bij):
+    8 rounds of v <- normalize(B v), each matrix-vector term and each
+    component snapped so both engines carry identical doubles."""
+    parts = [
+        f"""v{tag}0 AS MATERIALIZED (
+      SELECT i, floor((1.0 + i) / 25.0 * 1e9 + 0.5) / 1e9 AS v
+      FROM (SELECT DISTINCT i FROM {bsrc})
+    )"""
+    ]
+    for k in range(1, _MDS_ITERS + 1):
+        parts.append(
+            f"""w{tag}{k} AS MATERIALIZED (
+      SELECT b.i,
+             sum(CAST(floor(b.bij * v.v * 1e3 + 0.5) AS BIGINT)) / 1e3
+               AS w
+      FROM {bsrc} b JOIN v{tag}{k - 1} v ON b.j = v.i
+      GROUP BY b.i
+    ),
+    n{tag}{k} AS MATERIALIZED (
+      SELECT sqrt(sum(CAST(floor(w * w * 1e-3 + 0.5) AS BIGINT)) * 1e3)
+        AS nrm
+      FROM w{tag}{k}
+    ),
+    v{tag}{k} AS MATERIALIZED (
+      SELECT w.i, floor(w.w / n.nrm * 1e9 + 0.5) / 1e9 AS v
+      FROM w{tag}{k} w CROSS JOIN n{tag}{k} n
+    )"""
+        )
+    parts.append(
+        f"""lam{tag} AS MATERIALIZED (
+      SELECT sum(CAST(floor(vi.v * b.bij * vj.v * 1e3 + 0.5) AS BIGINT))
+               / 1e3 AS lam
+      FROM {bsrc} b
+      JOIN v{tag}{_MDS_ITERS} vi ON b.i = vi.i
+      JOIN v{tag}{_MDS_ITERS} vj ON b.j = vj.i
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _mds_oracle_sql() -> str:
+    return f"""
+    WITH prof AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation, o.o_orderpriority AS pri,
+             floor(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / count(*) / 100.0 * 1e6 + 0.5)
+               / 1e6 AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_orderpriority
+    ),
+    d2 AS MATERIALIZED (
+      SELECT a.nation AS i, b.nation AS j,
+             sum(CAST(floor((a.x - b.x) * (a.x - b.x) * 1e6 + 0.5)
+                 AS BIGINT)) / 1e6 AS dsq
+      FROM prof a JOIN prof b ON a.pri = b.pri
+      GROUP BY a.nation, b.nation
+    ),
+    rowm AS MATERIALIZED (
+      SELECT i, sum(CAST(floor(dsq * 1e3 + 0.5) AS BIGINT)) / 1e3 / 25.0
+        AS rm
+      FROM d2 GROUP BY i
+    ),
+    grand AS MATERIALIZED (
+      SELECT sum(CAST(floor(rm * 1e3 + 0.5) AS BIGINT)) / 1e3 / 25.0 AS gm
+      FROM rowm
+    ),
+    b AS MATERIALIZED (
+      SELECT d2.i, d2.j,
+             floor(-0.5 * (d2.dsq - ri.rm - rj.rm + grand.gm) * 1e3 + 0.5)
+               / 1e3 AS bij
+      FROM d2
+      JOIN rowm ri ON d2.i = ri.i
+      JOIN rowm rj ON d2.j = rj.i
+      CROSS JOIN grand
+    ),
+    {_mds_power_sql('b', 'a')},
+    b2 AS MATERIALIZED (
+      SELECT b.i, b.j,
+             floor((b.bij - lama.lam * vi.v * vj.v) * 1e3 + 0.5) / 1e3
+               AS bij
+      FROM b
+      JOIN va{_MDS_ITERS} vi ON b.i = vi.i
+      JOIN va{_MDS_ITERS} vj ON b.j = vj.i
+      CROSS JOIN lama
+    ),
+    {_mds_power_sql('b2', 'b')}
+    SELECT v1.i AS nation,
+           round(sqrt(greatest(lama.lam, 0.0)) * v1.v, 6) AS coord1,
+           round(sqrt(greatest(lamb.lam, 0.0)) * v2.v, 6) AS coord2,
+           round(lama.lam, 3) AS eigval1,
+           round(lamb.lam, 3) AS eigval2
+    FROM va{_MDS_ITERS} v1
+    JOIN vb{_MDS_ITERS} v2 ON v1.i = v2.i
+    CROSS JOIN lama CROSS JOIN lamb
+    ORDER BY nation
+    """
+
+
+@register("classical_mds_nations", sql=_mds_oracle_sql())
+def classical_mds_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R456 classical (Torgerson) multidimensional scaling of the 25
+    nation spending profiles (mean order value per priority, 5-dim):
+    double-center the squared-distance matrix into the Gram form
+    B = -1/2 J D^2 J and extract the top TWO eigenpairs by a 60-round
+    snapped power iteration with deflation — the embedding-for-
+    visualization op the registry lacked (PCA projects FEATURES; MDS
+    embeds a DISTANCE matrix and works for any dissimilarity).
+    EXECUTION SPLIT (the memoized-Lloyd / driver-orchestrated-PQ
+    precedent): the fact table collapses to the 125-cell profile
+    frame IN SPARK (the only data-sized stage — one join + groupBy at
+    100 TB); the 625-cell Gram eigensolve is MODEL-SIZED state and
+    runs on the driver with the IDENTICAL floor-snap arithmetic the
+    DuckDB oracle unrolls (every matrix-vector term snapped to the
+    1e-3 grid as a BIGINT sum, components to 1e-9, so both engines
+    produce the same doubles; a 120-stage lazy Spark chain spent
+    30-45 s on driver latency for zero distributed work —
+    measured, re-scoped).  Eigenvector SIGN is arithmetic-determined
+    and identical cross-engine (unique up to global sign as in any
+    MDS)."""
+    import math as _math
+
+    prof_rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("pri"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", F.col("c_nationkey").alias("nation")
+            ),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("nation", "pri")
+        .agg(
+            F.sum("cents").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .collect()
+    )
+    prof = {}
+    for r in prof_rows:
+        prof[(r["nation"], r["pri"])] = (
+            _math.floor(r["s"] / r["n"] / 100.0 * 1e6 + 0.5) / 1e6
+        )
+    nations = sorted({k[0] for k in prof})
+    pris = sorted({k[1] for k in prof})
+    nn = len(nations)
+
+    def snap(x, g):
+        return _math.floor(x * g + 0.5) / g
+
+    d2 = {}
+    for i in nations:
+        for jn in nations:
+            d2[(i, jn)] = (
+                sum(
+                    int(
+                        _math.floor(
+                            (prof[(i, p)] - prof[(jn, p)]) ** 2 * 1e6 + 0.5
+                        )
+                    )
+                    for p in pris
+                )
+                / 1e6
+            )
+    rowm = {
+        i: sum(
+            int(_math.floor(d2[(i, jn)] * 1e3 + 0.5)) for jn in nations
+        )
+        / 1e3
+        / 25.0
+        for i in nations
+    }
+    gm = (
+        sum(int(_math.floor(rowm[i] * 1e3 + 0.5)) for i in nations)
+        / 1e3
+        / 25.0
+    )
+    bmat = {
+        (i, jn): snap(
+            -0.5 * (d2[(i, jn)] - rowm[i] - rowm[jn] + gm), 1e3
+        )
+        for i in nations
+        for jn in nations
+    }
+
+    def power(b):
+        v = {i: snap((1.0 + i) / 25.0, 1e9) for i in nations}
+        for _ in range(_MDS_ITERS):
+            w = {
+                i: sum(
+                    int(_math.floor(b[(i, jn)] * v[jn] * 1e3 + 0.5))
+                    for jn in nations
+                )
+                / 1e3
+                for i in nations
+            }
+            nrm = _math.sqrt(
+                sum(
+                    int(_math.floor(w[i] * w[i] * 1e-3 + 0.5))
+                    for i in nations
+                )
+                * 1e3
+            )
+            v = {i: snap(w[i] / nrm, 1e9) for i in nations}
+        lam = (
+            sum(
+                int(
+                    _math.floor(
+                        v[i] * b[(i, jn)] * v[jn] * 1e3 + 0.5
+                    )
+                )
+                for i in nations
+                for jn in nations
+            )
+            / 1e3
+        )
+        return v, lam
+
+    v1, lam1 = power(bmat)
+    b2 = {
+        (i, jn): snap(bmat[(i, jn)] - lam1 * v1[i] * v1[jn], 1e3)
+        for i in nations
+        for jn in nations
+    }
+    v2, lam2 = power(b2)
+    s1 = _math.sqrt(max(lam1, 0.0))
+    s2 = _math.sqrt(max(lam2, 0.0))
+    out = [
+        (
+            int(i),
+            round(s1 * v1[i], 6),
+            round(s2 * v2[i], 6),
+            round(lam1, 3),
+            round(lam2, 3),
+        )
+        for i in nations
+    ]
+    return spark.createDataFrame(
+        out, "nation long, coord1 double, coord2 double, "
+        "eigval1 double, eigval2 double"
+    ).orderBy("nation")
