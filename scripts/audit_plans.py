@@ -1178,6 +1178,15 @@ EXPECTATIONS = {
     "attribute_assortativity_brand": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R457/R458: label-bounded point-cloud crosses (fixed ~200x200
+    # taxonomy frames, broadcast) — the exact-baseline pair-cloud
+    # class, same as exact_hard_negatives
+    "hausdorff_chamfer_labels": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "energy_distance_labels": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -1369,3 +1369,64 @@ def test_classical_mds_matches_numpy_eig(spark):
     assert min(
         np.abs(c2 - e2).max(), np.abs(c2 + e2).max()
     ) < 0.05 * scale2
+
+
+def _int_clouds(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).toPandas()
+    q = 1_000_000
+
+    def iv(e):
+        return np.floor(np.asarray(e, dtype=np.float64) * q + 0.5).astype(
+            np.int64
+        )
+
+    a = np.stack([iv(e) for e in emb.loc[emb["label"] == 0, "embedding"]])
+    b = np.stack([iv(e) for e in emb.loc[emb["label"] == 1, "embedding"]])
+    return a, b
+
+
+def test_hausdorff_chamfer_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import hausdorff_chamfer_labels
+
+    a, b = _int_clouds(spark)
+    q = 1_000_000
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+    mins_a = d2.min(axis=1)
+    mins_b = d2.min(axis=0)
+    h_ab = math.sqrt(mins_a.max()) / q
+    h_ba = math.sqrt(mins_b.max()) / q
+    chamfer = (
+        np.floor(np.sqrt(mins_a.astype(float)) + 0.5).mean()
+        + np.floor(np.sqrt(mins_b.astype(float)) + 0.5).mean()
+    ) / 2 / q
+    [r] = hausdorff_chamfer_labels(spark, SF_DIR).collect()
+    assert r["n_label0"] == len(a)
+    assert r["n_label1"] == len(b)
+    assert abs(r["hausdorff"] - max(h_ab, h_ba)) < 1e-5
+    assert abs(r["hausdorff_0_to_1"] - h_ab) < 1e-5
+    assert abs(r["hausdorff_1_to_0"] - h_ba) < 1e-5
+    assert abs(r["chamfer"] - chamfer) < 1e-5
+    # Chamfer (a mean) never exceeds Hausdorff (the max)
+    assert r["chamfer"] <= r["hausdorff"] + 1e-9
+
+
+def test_energy_distance_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import energy_distance_labels
+
+    a, b = _int_clouds(spark)
+    q = 1_000_000
+
+    def mean_dist(x, y):
+        d2 = ((x[:, None, :] - y[None, :, :]) ** 2).sum(axis=2)
+        return np.floor(np.sqrt(d2.astype(float)) + 0.5).mean()
+
+    exy = mean_dist(a, b)
+    exx = mean_dist(a, a)
+    eyy = mean_dist(b, b)
+    e = (2 * exy - exx - eyy) / q
+    [r] = energy_distance_labels(spark, SF_DIR).collect()
+    assert r["n_cross_pairs"] == len(a) * len(b)
+    assert abs(r["energy_distance"] - e) < 1e-5
+    assert r["energy_distance"] >= -1e-9

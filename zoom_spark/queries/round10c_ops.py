@@ -6660,3 +6660,264 @@ def classical_mds_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "nation long, coord1 double, coord2 double, "
         "eigval1 double, eigval2 double"
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# R457 Hausdorff + Chamfer distances between embedding label clouds
+# ---------------------------------------------------------------------------
+
+_SETQ = 1_000_000  # the similarity family's 1e-6 int-vector grid
+
+
+@register(
+    "hausdorff_chamfer_labels",
+    sql=f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_SETQ} + 0.5)
+                         AS BIGINT)) AS v
+      FROM embeddings WHERE label IN (0, 1)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      FROM (SELECT * FROM iv WHERE label = 0) a
+      CROSS JOIN (SELECT * FROM iv WHERE label = 1) b
+    ),
+    mins_a AS MATERIALIZED (
+      SELECT ia, CAST(min(d2) AS BIGINT) AS md2 FROM pairs GROUP BY ia
+    ),
+    mins_b AS MATERIALIZED (
+      SELECT ib, CAST(min(d2) AS BIGINT) AS md2 FROM pairs GROUP BY ib
+    ),
+    agg AS (
+      SELECT (SELECT CAST(max(md2) AS BIGINT) FROM mins_a) AS h_ab2,
+             (SELECT CAST(max(md2) AS BIGINT) FROM mins_b) AS h_ba2,
+             (SELECT CAST(sum(CAST(floor(sqrt(CAST(md2 AS DOUBLE))
+                   + 0.5) AS BIGINT)) AS BIGINT) FROM mins_a) AS sa,
+             (SELECT CAST(count(*) AS BIGINT) FROM mins_a) AS na,
+             (SELECT CAST(sum(CAST(floor(sqrt(CAST(md2 AS DOUBLE))
+                   + 0.5) AS BIGINT)) AS BIGINT) FROM mins_b) AS sb,
+             (SELECT CAST(count(*) AS BIGINT) FROM mins_b) AS nb
+    )
+    SELECT na AS n_label0, nb AS n_label1,
+           round(sqrt(CAST(greatest(h_ab2, h_ba2) AS DOUBLE))
+                 / {_SETQ}, 6) AS hausdorff,
+           round(sqrt(CAST(h_ab2 AS DOUBLE)) / {_SETQ}, 6)
+             AS hausdorff_0_to_1,
+           round(sqrt(CAST(h_ba2 AS DOUBLE)) / {_SETQ}, 6)
+             AS hausdorff_1_to_0,
+           round((CAST(sa AS DOUBLE) / na + CAST(sb AS DOUBLE) / nb)
+                 / 2.0 / {_SETQ}, 6) AS chamfer
+    FROM agg
+    """,
+)
+def hausdorff_chamfer_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R457 Hausdorff and Chamfer distances between the label-0 and
+    label-1 embedding point clouds: directed h(A→B) = max_a min_b
+    ‖a-b‖ (the worst-covered point), the symmetric Hausdorff
+    max(h(A→B), h(B→A)), and the Chamfer mean-of-nearest distances —
+    the SET-level distances the registry's per-point kNN family
+    doesn't expose (Hausdorff answers 'how far apart are these two
+    clusters as SHAPES', the embedding-drift question).  Vectors
+    snap once to the similarity family's 1e-6 integer grid, so every
+    pairwise squared distance is an exact BIGINT, the min/max lattice
+    is pure integers, and Chamfer's per-point roots snap to the
+    integer grid before the mean (exact rationals).  The pair cloud
+    is label-bounded (~200×200 at any SF — labels are a fixed
+    taxonomy) and broadcast-joined."""
+    iv = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isin(0, 1))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * _SETQ + F.lit(0.5)
+                ).cast("long"),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = iv.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = iv.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "ia", "ib", d2.alias("d2")
+    ).localCheckpoint(eager=False)
+    mins_a = pairs.groupBy("ia").agg(F.min("d2").cast("long").alias("md2"))
+    mins_b = pairs.groupBy("ib").agg(F.min("d2").cast("long").alias("md2"))
+    agg_a = mins_a.agg(
+        F.max("md2").cast("long").alias("h_ab2"),
+        F.sum(
+            F.floor(F.sqrt(F.col("md2").cast("double")) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("sa"),
+        F.count("*").cast("long").alias("na"),
+    )
+    agg_b = mins_b.agg(
+        F.max("md2").cast("long").alias("h_ba2"),
+        F.sum(
+            F.floor(F.sqrt(F.col("md2").cast("double")) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("sb"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    out = agg_a.crossJoin(agg_b)
+    return out.select(
+        F.col("na").alias("n_label0"),
+        F.col("nb").alias("n_label1"),
+        F.round(
+            F.sqrt(F.greatest(F.col("h_ab2"), F.col("h_ba2")).cast("double"))
+            / _SETQ,
+            6,
+        ).alias("hausdorff"),
+        F.round(F.sqrt(F.col("h_ab2").cast("double")) / _SETQ, 6).alias(
+            "hausdorff_0_to_1"
+        ),
+        F.round(F.sqrt(F.col("h_ba2").cast("double")) / _SETQ, 6).alias(
+            "hausdorff_1_to_0"
+        ),
+        F.round(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                + F.col("sb").cast("double") / F.col("nb")
+            )
+            / 2.0
+            / _SETQ,
+            6,
+        ).alias("chamfer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R458 energy distance between embedding label clouds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "energy_distance_labels",
+    sql=f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_SETQ} + 0.5)
+                         AS BIGINT)) AS v
+      FROM embeddings WHERE label IN (0, 1)
+    ),
+    xy AS (
+      SELECT CAST(sum(CAST(floor(sqrt(CAST(list_sum(list_transform(
+               list_zip(a.v, b.v), p -> (p[1] - p[2]) * (p[1] - p[2])))
+               AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT * FROM iv WHERE label = 0) a
+      CROSS JOIN (SELECT * FROM iv WHERE label = 1) b
+    ),
+    xx AS (
+      SELECT CAST(sum(CAST(floor(sqrt(CAST(list_sum(list_transform(
+               list_zip(a.v, b.v), p -> (p[1] - p[2]) * (p[1] - p[2])))
+               AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT * FROM iv WHERE label = 0) a
+      CROSS JOIN (SELECT * FROM iv WHERE label = 0) b
+    ),
+    yy AS (
+      SELECT CAST(sum(CAST(floor(sqrt(CAST(list_sum(list_transform(
+               list_zip(a.v, b.v), p -> (p[1] - p[2]) * (p[1] - p[2])))
+               AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT * FROM iv WHERE label = 1) a
+      CROSS JOIN (SELECT * FROM iv WHERE label = 1) b
+    )
+    SELECT xy.m AS n_cross_pairs,
+           round(2.0 * xy.s / xy.m / {_SETQ}, 6) AS e_xy2,
+           round(CAST(xx.s AS DOUBLE) / xx.m / {_SETQ}, 6) AS e_xx,
+           round(CAST(yy.s AS DOUBLE) / yy.m / {_SETQ}, 6) AS e_yy,
+           round((2.0 * xy.s / xy.m - CAST(xx.s AS DOUBLE) / xx.m
+                  - CAST(yy.s AS DOUBLE) / yy.m) / {_SETQ}, 6)
+             AS energy_distance
+    FROM xy, xx, yy
+    """,
+)
+def energy_distance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R458 Székely-Rizzo energy distance between the label-0 and
+    label-1 embedding clouds: E = 2·E‖X-Y‖ - E‖X-X'‖ - E‖Y-Y'‖ —
+    zero iff the two DISTRIBUTIONS coincide, the multivariate
+    two-sample distance that sees what the registry's 1-D
+    Wasserstein/KS drift gates project away (and the metric twin of
+    R457's Hausdorff, which only sees extremes).  All three pair
+    clouds use the similarity family's 1e-6 integer vector grid:
+    squared distances are exact BIGINTs, each root snaps to the
+    integer grid before the sum (order-free BIGINT reductions; the
+    diagonal's zero terms are included per the V-statistic form,
+    documented).  Label-bounded pair clouds (~200² each), broadcast
+    joins."""
+    iv = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isin(0, 1))
+        .select(
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * _SETQ + F.lit(0.5)
+                ).cast("long"),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def cloud(la: int, lb: int, name: str) -> DataFrame:
+        a = iv.where(F.col("label") == la).select(F.col("v").alias("va"))
+        b = iv.where(F.col("label") == lb).select(F.col("v").alias("vb"))
+        d2 = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return a.crossJoin(F.broadcast(b)).agg(
+            F.sum(
+                F.floor(F.sqrt(d2.cast("double")) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias(f"s_{name}"),
+            F.count("*").cast("long").alias(f"m_{name}"),
+        )
+
+    out = (
+        cloud(0, 1, "xy")
+        .crossJoin(cloud(0, 0, "xx"))
+        .crossJoin(cloud(1, 1, "yy"))
+    )
+    exy = 2.0 * F.col("s_xy") / F.col("m_xy")
+    exx = F.col("s_xx").cast("double") / F.col("m_xx")
+    eyy = F.col("s_yy").cast("double") / F.col("m_yy")
+    return out.select(
+        F.col("m_xy").alias("n_cross_pairs"),
+        F.round(exy / _SETQ, 6).alias("e_xy2"),
+        F.round(exx / _SETQ, 6).alias("e_xx"),
+        F.round(eyy / _SETQ, 6).alias("e_yy"),
+        F.round((exy - exx - eyy) / _SETQ, 6).alias("energy_distance"),
+    )
