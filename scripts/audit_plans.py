@@ -1187,6 +1187,11 @@ EXPECTATIONS = {
     "energy_distance_labels": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R459: pooled pair-cloud cross (label-bounded) + the global
+    # median rank window over the bounded pair frame
+    "mmd_rbf_labels": dict(
+        pushed=False, broadcast=False, cartesian=True, unpart_window=True
+    ),
 }
 
 

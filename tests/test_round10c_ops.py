@@ -1430,3 +1430,46 @@ def test_energy_distance_matches_numpy(spark):
     assert r["n_cross_pairs"] == len(a) * len(b)
     assert abs(r["energy_distance"] - e) < 1e-5
     assert r["energy_distance"] >= -1e-9
+
+
+def test_mmd_rbf_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import mmd_rbf_labels
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).toPandas()
+    emb = emb[emb["label"].isin([0, 1])].sort_values("vec_id")
+    q = 1_000_000
+    vecs = np.stack(
+        [
+            np.floor(np.asarray(e, dtype=np.float64) * q + 0.5)
+            for e in emb["embedding"]
+        ]
+    ).astype(np.int64)
+    labels = emb["label"].to_numpy()
+    n = len(vecs)
+    d2 = ((vecs[:, None, :] - vecs[None, :, :]) ** 2).sum(axis=2)
+    iu = np.triu_indices(n, k=1)
+    pair_d2 = d2[iu]
+    s = np.sort(pair_d2)
+    m = len(s)
+    med2x = int(s[(m + 1) // 2 - 1]) + int(s[m // 2])
+    kmat = np.floor(np.exp(-d2.astype(float) / med2x) * 1e9 + 0.5) / 1e9
+    la = labels[iu[0]]
+    lb = labels[iu[1]]
+    kp = kmat[iu]
+    kxx = kp[(la == 0) & (lb == 0)].mean()
+    kyy = kp[(la == 1) & (lb == 1)].mean()
+    kxy = kp[la != lb].mean()
+    mmd2 = kxx + kyy - 2 * kxy
+    [r] = mmd_rbf_labels(spark, SF_DIR).collect()
+    assert r["n_label0"] == int((labels == 0).sum())
+    assert r["n_label1"] == int((labels == 1).sum())
+    assert abs(r["sigma2_median"] - med2x / 2 / (q * q)) < 1e-5
+    assert abs(r["k_xx"] - kxx) < 1e-5
+    assert abs(r["k_yy"] - kyy) < 1e-5
+    assert abs(r["k_xy"] - kxy) < 1e-5
+    assert abs(r["mmd2"] - mmd2) < 1e-5
+    # the U-statistic (unordered-pairs) MMD^2 estimator may dip
+    # slightly negative under H0; only the V-statistic is >= 0
+    assert r["mmd2"] >= -0.05

@@ -6921,3 +6921,211 @@ def energy_distance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eyy / _SETQ, 6).alias("e_yy"),
         F.round((exy - exx - eyy) / _SETQ, 6).alias("energy_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R459 maximum mean discrepancy (RBF kernel, median-heuristic bandwidth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mmd_rbf_labels",
+    sql=f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_SETQ} + 0.5)
+                         AS BIGINT)) AS v
+      FROM embeddings WHERE label IN (0, 1)
+    ),
+    alld AS MATERIALIZED (
+      SELECT a.label AS la, b.label AS lb,
+             CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      FROM iv a JOIN iv b ON a.vec_id < b.vec_id
+    ),
+    med AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN d2 ELSE 0 END)
+                  + sum(CASE WHEN rn = m // 2 + 1 THEN d2 ELSE 0 END)
+                  AS BIGINT) AS med2x
+      FROM (
+        SELECT d2,
+               CAST(row_number() OVER (ORDER BY d2) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM alld
+      )
+    ),
+    terms AS MATERIALIZED (
+      SELECT la, lb,
+             CAST(sum(CAST(floor(
+               exp(-CAST(d2 AS DOUBLE) / CAST(med.med2x AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s9,
+             CAST(count(*) AS BIGINT) AS m
+      FROM alld, med
+      GROUP BY la, lb, med.med2x
+    ),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM iv
+    ),
+    k AS (
+      -- U-statistic means over unordered within/cross pairs
+      SELECT
+        (SELECT CAST(s9 AS DOUBLE) / 1e9 / m FROM terms
+         WHERE la = 0 AND lb = 0) AS kxx,
+        (SELECT CAST(s9 AS DOUBLE) / 1e9 / m FROM terms
+         WHERE la = 1 AND lb = 1) AS kyy,
+        (SELECT CAST(sum(s9) AS DOUBLE) / 1e9 / sum(m) FROM terms
+         WHERE la <> lb) AS kxy
+    )
+    SELECT cnt.n0 AS n_label0, cnt.n1 AS n_label1,
+           round((SELECT med2x FROM med) / 2.0
+                 / ({_SETQ}.0 * {_SETQ}.0), 6) AS sigma2_median,
+           round(kxx, 6) AS k_xx,
+           round(kyy, 6) AS k_yy,
+           round(kxy, 6) AS k_xy,
+           round(kxx + kyy - 2.0 * kxy, 6) AS mmd2
+    FROM k, cnt
+    """,
+)
+def mmd_rbf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R459 maximum mean discrepancy (Gretton 2012) between the
+    label-0 and label-1 embedding clouds with an RBF kernel at the
+    MEDIAN-HEURISTIC bandwidth (2σ² = median pairwise squared
+    distance over the POOLED cloud, the standard self-tuning choice;
+    the 2×-grid median of exact BIGINT d² keeps it engine-exact):
+    MMD² = E k(x,x') + E k(y,y') - 2E k(x,y) over unordered pairs —
+    the KERNEL member of the two-sample family (R458's energy
+    distance is the α = 1 limit; MMD sees scale-localized
+    differences energy distance averages out).  Kernel values are
+    1e-9-snapped into order-free BIGINT reductions; pair clouds are
+    label-bounded and broadcast-joined."""
+    iv = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label").isin(0, 1))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * _SETQ + F.lit(0.5)
+                ).cast("long"),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = iv.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+    )
+    b = iv.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+    )
+    d2c = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alld = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select("la", "lb", d2c.alias("d2"))
+        .localCheckpoint(eager=False)
+    )
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        alld.select(
+            "d2",
+            F.row_number().over(Window.orderBy("d2")).cast("long").alias(
+                "rn"
+            ),
+            F.count("*").over(wn).cast("long").alias("m"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("m") + 1) / 2),
+                        F.col("d2"),
+                    ).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        F.col("rn") == F.floor(F.col("m") / 2) + 1,
+                        F.col("d2"),
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("med2x")
+        )
+    )
+    terms = (
+        alld.crossJoin(F.broadcast(med))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.exp(
+                        -F.col("d2").cast("double")
+                        / F.col("med2x").cast("double")
+                    )
+                    * 1e9
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s9"),
+            F.count("*").cast("long").alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cnt = iv.agg(
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    kxx = (
+        terms.where((F.col("la") == 0) & (F.col("lb") == 0))
+        .select((F.col("s9").cast("double") / 1e9 / F.col("m")).alias("kxx"))
+    )
+    kyy = (
+        terms.where((F.col("la") == 1) & (F.col("lb") == 1))
+        .select((F.col("s9").cast("double") / 1e9 / F.col("m")).alias("kyy"))
+    )
+    kxy = (
+        terms.where(F.col("la") != F.col("lb"))
+        .agg(
+            (F.sum("s9").cast("double") / 1e9 / F.sum("m")).alias("kxy")
+        )
+    )
+    out = (
+        cnt.crossJoin(kxx)
+        .crossJoin(kyy)
+        .crossJoin(kxy)
+        .crossJoin(F.broadcast(med))
+    )
+    return out.select(
+        F.col("n0").alias("n_label0"),
+        F.col("n1").alias("n_label1"),
+        F.round(
+            F.col("med2x") / 2.0 / (float(_SETQ) * float(_SETQ)), 6
+        ).alias("sigma2_median"),
+        F.round(F.col("kxx"), 6).alias("k_xx"),
+        F.round(F.col("kyy"), 6).alias("k_yy"),
+        F.round(F.col("kxy"), 6).alias("k_xy"),
+        F.round(
+            F.col("kxx") + F.col("kyy") - 2.0 * F.col("kxy"), 6
+        ).alias("mmd2"),
+    )
