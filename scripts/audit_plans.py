@@ -1192,6 +1192,11 @@ EXPECTATIONS = {
     "mmd_rbf_labels": dict(
         pushed=False, broadcast=False, cartesian=True, unpart_window=True
     ),
+    # R460: the 1-row shipdate-bound scalar broadcasts onto the fact
+    # scan; matched-basket sums cross the 1-row expenditure totals
+    "price_index_halves": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -1473,3 +1473,44 @@ def test_mmd_rbf_matches_numpy(spark):
     # the U-statistic (unordered-pairs) MMD^2 estimator may dip
     # slightly negative under H0; only the V-statistic is >= 0
     assert r["mmd2"] >= -0.05
+
+
+def test_price_index_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import price_index_halves
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    li["day"] = li["l_shipdate"].dt.normalize()
+    d0, d1 = li["day"].min(), li["day"].max()
+    mid = d0 + pd.Timedelta(days=(d1 - d0).days // 2)
+    li["half"] = (li["day"] > mid).astype(int)
+    li["cents"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype(
+        np.int64
+    )
+    li["qty"] = np.floor(li["l_quantity"] + 0.5).astype(np.int64)
+    g = li.groupby(["l_partkey", "half"]).agg(
+        sc=("cents", "sum"), sq=("qty", "sum")
+    )
+    h0 = g.xs(0, level="half")
+    h1 = g.xs(1, level="half")
+    common = h0.index.intersection(h1.index)
+    p0 = (h0.loc[common, "sc"] / h0.loc[common, "sq"]).to_numpy()
+    q0 = h0.loc[common, "sq"].to_numpy(float)
+    p1 = (h1.loc[common, "sc"] / h1.loc[common, "sq"]).to_numpy()
+    q1 = h1.loc[common, "sq"].to_numpy(float)
+    lasp = (p1 * q0).sum() / (p0 * q0).sum()
+    paas = (p1 * q1).sum() / (p0 * q1).sum()
+    w = 0.5 * (
+        p0 * q0 / (p0 * q0).sum() + p1 * q1 / (p1 * q1).sum()
+    )
+    torn = math.exp((w * np.log(p1 / p0)).sum())
+    [r] = price_index_halves(spark, SF_DIR).collect()
+    assert r["n_parts_matched"] == len(common)
+    assert abs(r["laspeyres"] - lasp) < 1e-4
+    assert abs(r["paasche"] - paas) < 1e-4
+    assert abs(r["fisher"] - math.sqrt(lasp * paas)) < 1e-4
+    assert abs(r["tornqvist"] - torn) < 1e-4
+    # Fisher lies between Laspeyres and Paasche
+    lo, hi = min(lasp, paas), max(lasp, paas)
+    assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9

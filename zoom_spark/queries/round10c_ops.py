@@ -7129,3 +7129,198 @@ def mmd_rbf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kxx") + F.col("kyy") - 2.0 * F.col("kxy"), 6
         ).alias("mmd2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R460 price-index panel between calendar halves (Laspeyres family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_index_halves",
+    sql="""
+    WITH li AS MATERIALIZED (
+      SELECT l_partkey,
+             CASE WHEN CAST(l_shipdate AS DATE) <= bnd.d0
+                       + CAST((bnd.d1 - bnd.d0) // 2 AS INTEGER)
+                  THEN 0 ELSE 1 END AS half,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+      CROSS JOIN (SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+                         max(CAST(l_shipdate AS DATE)) AS d1
+                  FROM lineitem) bnd
+    ),
+    pp AS MATERIALIZED (
+      SELECT l_partkey AS pk, half,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(qty) AS BIGINT) AS sq
+      FROM li GROUP BY l_partkey, half
+    ),
+    matched AS MATERIALIZED (
+      SELECT a.pk,
+             CAST(a.sc AS DOUBLE) / a.sq AS p0, a.sq AS q0,
+             CAST(b.sc AS DOUBLE) / b.sq AS p1, b.sq AS q1
+      FROM (SELECT * FROM pp WHERE half = 0) a
+      JOIN (SELECT * FROM pp WHERE half = 1) b ON a.pk = b.pk
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CAST(floor(p1 * q0 * 1e4 + 0.5) AS BIGINT))
+                  AS BIGINT) AS l_num4,
+             CAST(sum(CAST(floor(p0 * q0 * 1e4 + 0.5) AS BIGINT))
+                  AS BIGINT) AS l_den4,
+             CAST(sum(CAST(floor(p1 * q1 * 1e4 + 0.5) AS BIGINT))
+                  AS BIGINT) AS p_num4,
+             CAST(sum(CAST(floor(p0 * q1 * 1e4 + 0.5) AS BIGINT))
+                  AS BIGINT) AS p_den4,
+             CAST(sum(CAST(floor(
+               0.5 * (p0 * q0 / (SELECT sum(CAST(floor(p0 * q0 * 1e4 + 0.5)
+                                 AS BIGINT)) / 1e4 FROM matched)
+                      + p1 * q1 / (SELECT sum(CAST(floor(p1 * q1 * 1e4
+                                  + 0.5) AS BIGINT)) / 1e4 FROM matched))
+               * ln(p1 / p0) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS t9
+      FROM matched
+    )
+    SELECT n_parts AS n_parts_matched,
+           round(CAST(l_num4 AS DOUBLE) / l_den4, 6) AS laspeyres,
+           round(CAST(p_num4 AS DOUBLE) / p_den4, 6) AS paasche,
+           round(sqrt((CAST(l_num4 AS DOUBLE) / l_den4)
+                      * (CAST(p_num4 AS DOUBLE) / p_den4)), 6) AS fisher,
+           round(exp(t9 / 1e9), 6) AS tornqvist
+    FROM sums
+    """,
+)
+def price_index_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R460 bilateral price-index panel between the first and second
+    calendar halves of lineitem shipments, over parts traded in BOTH
+    periods (the matched basket, standard practice): Laspeyres
+    (base-period quantities), Paasche (current), Fisher (their
+    geometric mean — the 'ideal' index satisfying time reversal),
+    and Törnqvist (expenditure-share-weighted log index, the
+    superlative twin) — the economic-measurement family the registry
+    lacked (price_elasticity estimates a CURVE; indices AGGREGATE
+    price change).  Unit prices are exact cent/quantity rationals;
+    every cross term p·q snaps at 1e-4 and the Törnqvist log terms
+    at 1e-9, so all four indices are exact-operand ratios of BIGINT
+    reductions.  One scan + one (part, half) groupBy + a part-keyed
+    self-join: a single shuffle at 100 TB."""
+    bnd = load_table(spark, sf_dir, "lineitem").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("d0"),
+        F.max(F.col("l_shipdate").cast("date")).alias("d1"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .crossJoin(F.broadcast(bnd))
+        .select(
+            "l_partkey",
+            F.when(
+                F.col("l_shipdate").cast("date")
+                <= F.date_add(
+                    F.col("d0"),
+                    F.floor(
+                        F.datediff(F.col("d1"), F.col("d0")) / 2
+                    ).cast("int"),
+                ),
+                0,
+            )
+            .otherwise(1)
+            .alias("half"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    pp = li.groupBy(F.col("l_partkey").alias("pk"), "half").agg(
+        F.sum("cents").cast("long").alias("sc"),
+        F.sum("qty").cast("long").alias("sq"),
+    )
+    a = pp.where(F.col("half") == 0).select(
+        F.col("pk").alias("pk0"),
+        (F.col("sc").cast("double") / F.col("sq")).alias("p0"),
+        F.col("sq").alias("q0"),
+    )
+    b = pp.where(F.col("half") == 1).select(
+        F.col("pk").alias("pk1"),
+        (F.col("sc").cast("double") / F.col("sq")).alias("p1"),
+        F.col("sq").alias("q1"),
+    )
+    matched = a.join(b, F.col("pk0") == F.col("pk1")).localCheckpoint(
+        eager=False
+    )
+    base = matched.agg(
+        F.sum(
+            F.floor(F.col("p0") * F.col("q0") * 1e4 + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("e04"),
+        F.sum(
+            F.floor(F.col("p1") * F.col("q1") * 1e4 + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("e14"),
+    )
+    sums = (
+        matched.crossJoin(F.broadcast(base))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(
+                F.floor(
+                    F.col("p1") * F.col("q0") * 1e4 + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("l_num4"),
+            F.sum(
+                F.floor(
+                    F.col("p0") * F.col("q0") * 1e4 + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("l_den4"),
+            F.sum(
+                F.floor(
+                    F.col("p1") * F.col("q1") * 1e4 + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("p_num4"),
+            F.sum(
+                F.floor(
+                    F.col("p0") * F.col("q1") * 1e4 + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("p_den4"),
+            F.sum(
+                F.floor(
+                    0.5
+                    * (
+                        F.col("p0") * F.col("q0") / (F.col("e04") / 1e4)
+                        + F.col("p1") * F.col("q1") / (F.col("e14") / 1e4)
+                    )
+                    * F.log(F.col("p1") / F.col("p0"))
+                    * 1e9
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("t9"),
+        )
+    )
+    lasp = F.col("l_num4").cast("double") / F.col("l_den4")
+    paas = F.col("p_num4").cast("double") / F.col("p_den4")
+    return sums.select(
+        F.col("n_parts").alias("n_parts_matched"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        F.round(F.exp(F.col("t9") / 1e9), 6).alias("tornqvist"),
+    )
