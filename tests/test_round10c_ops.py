@@ -1514,3 +1514,54 @@ def test_price_index_matches_numpy(spark):
     # Fisher lies between Laspeyres and Paasche
     lo, hi = min(lasp, paas), max(lasp, paas)
     assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9
+
+
+def test_greedy_matching_matches_python(spark):
+    from itertools import combinations
+
+    from zoom_spark.queries.round10c_ops import greedy_maximal_matching
+
+    li = _baskets(spark)
+    sup = {}
+    for _, g in li.groupby("l_orderkey"):
+        for u, v in combinations(sorted(g["l_partkey"]), 2):
+            sup[(u, v)] = sup.get((u, v), 0) + 1
+    edges = {
+        (u, v): (1000000 - s) * 10**12 + u * 10**6 + v
+        for (u, v), s in sup.items()
+        if s >= 2
+    }
+    # replicate the mutual-min rounds exactly
+    alive = dict(edges)
+    matched = []
+    for _ in range(8):
+        if not alive:
+            break
+        mu = {}
+        for (u, v), w in alive.items():
+            mu[u] = min(mu.get(u, w), w)
+            mu[v] = min(mu.get(v, w), w)
+        m = [
+            (u, v, w)
+            for (u, v), w in alive.items()
+            if mu[u] == w and mu[v] == w
+        ]
+        matched.extend(m)
+        used = {u for u, v, w in m} | {v for u, v, w in m}
+        alive = {
+            (u, v): w
+            for (u, v), w in alive.items()
+            if u not in used and v not in used
+        }
+    [r] = greedy_maximal_matching(spark, SF_DIR).collect()
+    assert r["n_edges"] == len(edges)
+    assert r["matching_size"] == len(matched)
+    assert r["leftover_edges"] == len(alive)
+    assert r["matched_support"] == sum(
+        1000000 - w // 10**12 for _, _, w in matched
+    )
+    # converged to a MAXIMAL matching at this SF
+    assert r["leftover_edges"] == 0
+    # matching property: no vertex twice
+    verts = [x for u, v, w in matched for x in (u, v)]
+    assert len(verts) == len(set(verts))

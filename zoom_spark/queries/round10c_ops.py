@@ -7324,3 +7324,169 @@ def price_index_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
         F.round(F.exp(F.col("t9") / 1e9), 6).alias("tornqvist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R461 distributed greedy maximal matching (mutual-min edges, unrolled)
+# ---------------------------------------------------------------------------
+
+_MATCH_ROUNDS = 8
+
+
+def _matching_oracle_sql() -> str:
+    head = """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sup AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(count(*) AS BIGINT) AS s
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v,
+             CAST((1000000 - s) * 1000000000000 + u * 1000000 + v
+                  AS BIGINT) AS w
+      FROM sup
+    )"""
+    parts = [head]
+    for k in range(_MATCH_ROUNDS):
+        parts.append(f""",
+    mu{k} AS MATERIALIZED (
+      SELECT x, CAST(min(w) AS BIGINT) AS mw FROM (
+        SELECT u AS x, w FROM e{k} UNION ALL SELECT v AS x, w FROM e{k}
+      ) GROUP BY x
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT e.u, e.v, e.w
+      FROM e{k} e
+      JOIN mu{k} a ON e.u = a.x AND e.w = a.mw
+      JOIN mu{k} b ON e.v = b.x AND e.w = b.mw
+    ),
+    mv{k} AS MATERIALIZED (
+      SELECT u AS x FROM m{k} UNION SELECT v FROM m{k}
+    ),
+    e{k + 1} AS MATERIALIZED (
+      SELECT e.u, e.v, e.w FROM e{k} e
+      WHERE e.u NOT IN (SELECT x FROM mv{k})
+        AND e.v NOT IN (SELECT x FROM mv{k})
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT u, v, w FROM m{k}" for k in range(_MATCH_ROUNDS)
+    )
+    parts.append(f""",
+    matched AS MATERIALIZED ({unions})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+           CAST(count(*) AS BIGINT) AS matching_size,
+           CAST((SELECT count(*) FROM e{_MATCH_ROUNDS}) AS BIGINT)
+             AS leftover_edges,
+           CAST(sum(1000000 - w // 1000000000000) AS BIGINT)
+             AS matched_support
+    FROM matched""")
+    return "".join(parts)
+
+
+@register("greedy_maximal_matching", sql=_matching_oracle_sql())
+def greedy_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R461 distributed greedy maximal matching (Israeli-Itai style)
+    on the support-2 co-purchase graph with UNIQUE integer edge
+    weights ((1e6 - support)·1e12 + u·1e6 + v — support-descending,
+    lexicographic tie-break, so the greedy matching is deterministic
+    on both engines): each round keeps the edges that are the
+    minimum-weight incident edge of BOTH endpoints (mutual-min — a
+    valid matching by construction), removes their endpoints, and
+    repeats; 8 unrolled rounds with the LEFTOVER-EDGES SENTINEL
+    column proving maximality (0 = no eligible edge remains — the
+    k-core/ER convergence-sentinel discipline).  Matching is the
+    primitive behind one-to-one entity linking and seat assignment
+    that the registry's ER family (many-to-many clusters) does not
+    provide.  Every round is one groupBy + two semi-joins over a
+    shrinking edge frame — O(rounds) shuffles at 100 TB."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a0 = li.select(
+        F.col("l_orderkey").alias("oa"), F.col("l_partkey").alias("pu")
+    )
+    b0 = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("pv")
+    )
+    e = (
+        a0.join(
+            b0, (F.col("oa") == F.col("ob")) & (F.col("pu") < F.col("pv"))
+        )
+        .groupBy(F.col("pu").alias("u"), F.col("pv").alias("v"))
+        .agg(F.count("*").cast("long").alias("s"))
+        .where(F.col("s") >= 2)
+        .select(
+            "u",
+            "v",
+            (
+                (1000000 - F.col("s")) * F.lit(1000000000000)
+                + F.col("u") * 1000000
+                + F.col("v")
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    matched_parts = []
+    cur = e
+    for _ in range(_MATCH_ROUNDS):
+        ends = cur.select(F.col("u").alias("x"), "w").unionAll(
+            cur.select(F.col("v").alias("x"), "w")
+        )
+        mu = ends.groupBy("x").agg(F.min("w").cast("long").alias("mw"))
+        m = (
+            cur.join(
+                mu.select(F.col("x").alias("xu"), F.col("mw").alias("mwu")),
+                (F.col("u") == F.col("xu")) & (F.col("w") == F.col("mwu")),
+            )
+            .join(
+                mu.select(F.col("x").alias("xv"), F.col("mw").alias("mwv")),
+                (F.col("v") == F.col("xv")) & (F.col("w") == F.col("mwv")),
+            )
+            .select("u", "v", "w")
+            .localCheckpoint(eager=False)
+        )
+        matched_parts.append(m)
+        mv = m.select(F.col("u").alias("x")).unionAll(
+            m.select(F.col("v").alias("x"))
+        ).distinct()
+        cur = (
+            cur.join(
+                mv.select(F.col("x").alias("bu")),
+                F.col("u") == F.col("bu"),
+                "left_anti",
+            )
+            .join(
+                mv.select(F.col("x").alias("bv")),
+                F.col("v") == F.col("bv"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)
+        )
+    matched = matched_parts[0]
+    for m in matched_parts[1:]:
+        matched = matched.unionAll(m)
+    leftover = cur.count()
+    agg = matched.agg(
+        F.count("*").cast("long").alias("matching_size"),
+        F.sum(
+            1000000 - F.floor(F.col("w") / F.lit(1000000000000)).cast("long")
+        )
+        .cast("long")
+        .alias("matched_support"),
+    )
+    return agg.select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "matching_size",
+        F.lit(leftover).cast("long").alias("leftover_edges"),
+        "matched_support",
+    )
