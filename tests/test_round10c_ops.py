@@ -1565,3 +1565,67 @@ def test_greedy_matching_matches_python(spark):
     # matching property: no vertex twice
     verts = [x for u, v, w in matched for x in (u, v)]
     assert len(verts) == len(set(verts))
+
+
+def test_luby_mis_matches_python(spark):
+    import hashlib
+    from itertools import combinations
+
+    from zoom_spark.queries.round10c_ops import (
+        luby_maximal_independent_set,
+    )
+
+    li = _baskets(spark)
+    sup = {}
+    for _, g in li.groupby("l_orderkey"):
+        for u, v in combinations(sorted(g["l_partkey"]), 2):
+            sup[(u, v)] = sup.get((u, v), 0) + 1
+    edges = [e for e, s in sup.items() if s >= 2]
+    verts = sorted({x for e in edges for x in e})
+
+    def pr(x):
+        return (
+            int(hashlib.md5(str(x).encode()).hexdigest()[:10], 16)
+            * 1000000
+            + x
+        )
+
+    alive_v = set(verts)
+    alive_e = list(edges)
+    mis = set()
+    for _ in range(8):
+        if not alive_v:
+            break
+        nbr_min = {}
+        for u, v in alive_e:
+            nbr_min[u] = min(nbr_min.get(u, float("inf")), pr(v))
+            nbr_min[v] = min(nbr_min.get(v, float("inf")), pr(u))
+        c = {
+            x
+            for x in alive_v
+            if x not in nbr_min or pr(x) < nbr_min[x]
+        }
+        mis |= c
+        removed = set(c)
+        for u, v in alive_e:
+            if u in c:
+                removed.add(v)
+            if v in c:
+                removed.add(u)
+        alive_v -= removed
+        alive_e = [
+            (u, v)
+            for u, v in alive_e
+            if u not in removed and v not in removed
+        ]
+    [r] = luby_maximal_independent_set(spark, SF_DIR).collect()
+    assert r["n_vertices"] == len(verts)
+    assert r["n_edges"] == len(edges)
+    assert r["mis_size"] == len(mis)
+    assert r["leftover_vertices"] == len(alive_v)
+    # converged and independent at this SF
+    assert r["leftover_vertices"] == 0
+    es = set(edges)
+    assert not any(
+        (u, v) in es for u in mis for v in mis if u < v
+    )

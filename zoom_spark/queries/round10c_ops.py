@@ -7490,3 +7490,209 @@ def greedy_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(leftover).cast("long").alias("leftover_edges"),
         "matched_support",
     )
+
+
+# ---------------------------------------------------------------------------
+# R462 Luby-style maximal independent set (md5 priorities, unrolled)
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 8
+
+
+def _mis_oracle_sql() -> str:
+    head = """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sup AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    pr AS MATERIALIZED (
+      SELECT x,
+             CAST(('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 10))
+                  AS BIGINT) * 1000000 + x AS p
+      FROM (SELECT u AS x FROM sup UNION SELECT v FROM sup)
+    ),
+    v0 AS MATERIALIZED (SELECT x, p FROM pr),
+    e0 AS MATERIALIZED (
+      SELECT s.u, s.v, pu.p AS pu, pv.p AS pv
+      FROM sup s JOIN pr pu ON s.u = pu.x JOIN pr pv ON s.v = pv.x
+    )"""
+    parts = [head]
+    for k in range(_MIS_ROUNDS):
+        parts.append(f""",
+    nbrmin{k} AS MATERIALIZED (
+      SELECT x, CAST(min(p) AS BIGINT) AS mp FROM (
+        SELECT u AS x, pv AS p FROM e{k}
+        UNION ALL SELECT v AS x, pu AS p FROM e{k}
+      ) GROUP BY x
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT v.x FROM v{k} v LEFT JOIN nbrmin{k} n ON v.x = n.x
+      WHERE n.mp IS NULL OR v.p < n.mp
+    ),
+    rm{k} AS MATERIALIZED (
+      SELECT x FROM c{k}
+      UNION
+      SELECT e.v AS x FROM e{k} e JOIN c{k} c ON e.u = c.x
+      UNION
+      SELECT e.u AS x FROM e{k} e JOIN c{k} c ON e.v = c.x
+    ),
+    v{k + 1} AS MATERIALIZED (
+      SELECT v.x, v.p FROM v{k} v
+      WHERE v.x NOT IN (SELECT x FROM rm{k})
+    ),
+    e{k + 1} AS MATERIALIZED (
+      SELECT e.* FROM e{k} e
+      WHERE e.u NOT IN (SELECT x FROM rm{k})
+        AND e.v NOT IN (SELECT x FROM rm{k})
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT x FROM c{k}" for k in range(_MIS_ROUNDS)
+    )
+    parts.append(f""",
+    mis AS MATERIALIZED ({unions})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v0) AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+           CAST(count(*) AS BIGINT) AS mis_size,
+           CAST((SELECT count(*) FROM v{_MIS_ROUNDS}) AS BIGINT)
+             AS leftover_vertices
+    FROM mis""")
+    return "".join(parts)
+
+
+@register("luby_maximal_independent_set", sql=_mis_oracle_sql())
+def luby_maximal_independent_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R462 Luby-style maximal independent set on the support-2
+    co-purchase graph with DETERMINISTIC priorities (the portable
+    md5 integer ×1e6 + key — unique, so the local-minimum rule needs
+    no randomness): each round admits every vertex whose priority
+    beats all surviving neighbors (isolated survivors admit
+    vacuously), removes the admitted vertices AND their neighbors,
+    and repeats; 8 unrolled rounds with the LEFTOVER-VERTICES
+    sentinel proving maximality (0 = every vertex is in the MIS or
+    adjacent to it).  MIS is the symmetric primitive to R461's
+    maximal matching (vertices vs edges) and the standard
+    building block for distributed coloring/scheduling.  Each round
+    is a groupBy + anti-joins over shrinking frames — O(rounds)
+    shuffles, O(log n) rounds w.h.p. under hashed priorities."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a0 = li.select(
+        F.col("l_orderkey").alias("oa"), F.col("l_partkey").alias("pu")
+    )
+    b0 = li.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("pv")
+    )
+    sup = (
+        a0.join(
+            b0, (F.col("oa") == F.col("ob")) & (F.col("pu") < F.col("pv"))
+        )
+        .groupBy(F.col("pu").alias("u"), F.col("pv").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    prio = (
+        sup.select(F.col("u").alias("x"))
+        .unionAll(sup.select(F.col("v").alias("x")))
+        .distinct()
+        .select(
+            "x",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("x").cast("string")), 1, 10),
+                    16,
+                    10,
+                ).cast("long")
+                * 1000000
+                + F.col("x")
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = prio
+    e = (
+        sup.join(
+            prio.select(F.col("x").alias("xu"), F.col("p").alias("pu_")),
+            F.col("u") == F.col("xu"),
+        )
+        .join(
+            prio.select(F.col("x").alias("xv"), F.col("p").alias("pv_")),
+            F.col("v") == F.col("xv"),
+        )
+        .select("u", "v", F.col("pu_").alias("pu"), F.col("pv_").alias("pv"))
+        .localCheckpoint(eager=False)
+    )
+    n_vertices = v.count()
+    n_edges = e.count()
+    mis_parts = []
+    for _ in range(_MIS_ROUNDS):
+        nbrmin = (
+            e.select(F.col("u").alias("x"), F.col("pv").alias("p"))
+            .unionAll(e.select(F.col("v").alias("x"), F.col("pu").alias("p")))
+            .groupBy("x")
+            .agg(F.min("p").cast("long").alias("mp"))
+        )
+        c = (
+            v.join(nbrmin, on="x", how="left")
+            .where(F.col("mp").isNull() | (F.col("p") < F.col("mp")))
+            .select("x")
+            .localCheckpoint(eager=False)
+        )
+        mis_parts.append(c)
+        rm = (
+            c.select("x")
+            .unionAll(
+                e.join(c.select(F.col("x").alias("cu")), F.col("u") == F.col("cu"))
+                .select(F.col("v").alias("x"))
+            )
+            .unionAll(
+                e.join(c.select(F.col("x").alias("cv")), F.col("v") == F.col("cv"))
+                .select(F.col("u").alias("x"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        v = v.join(
+            rm.select(F.col("x").alias("rx")),
+            F.col("x") == F.col("rx"),
+            "left_anti",
+        ).localCheckpoint(eager=False)
+        e = (
+            e.join(
+                rm.select(F.col("x").alias("ru")),
+                F.col("u") == F.col("ru"),
+                "left_anti",
+            )
+            .join(
+                rm.select(F.col("x").alias("rv")),
+                F.col("v") == F.col("rv"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)
+        )
+    mis = mis_parts[0]
+    for c in mis_parts[1:]:
+        mis = mis.unionAll(c)
+    mis_size = mis.count()
+    leftover = v.count()
+    return (
+        load_table(spark, sf_dir, "region")
+        .limit(1)
+        .select(
+            F.lit(n_vertices).cast("long").alias("n_vertices"),
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            F.lit(mis_size).cast("long").alias("mis_size"),
+            F.lit(leftover).cast("long").alias("leftover_vertices"),
+        )
+    )
