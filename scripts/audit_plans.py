@@ -1197,6 +1197,15 @@ EXPECTATIONS = {
     "price_index_halves": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R463/R465: 1-row margin/entropy scalars cross over the <=80-cell
+    # contingency (the uncertainty-panel waiver class; int_assign's
+    # broadcast centroid cross rides along)
+    "adjusted_rand_index_cells": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
+    "vmeasure_nmi_cells": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -1629,3 +1629,91 @@ def test_luby_mis_matches_python(spark):
     assert not any(
         (u, v) in es for u in mis for v in mis if u < v
     )
+
+
+def _cells_labels_contingency(spark):
+    from zoom_spark.queries.round10c_ops import _cells_vs_labels
+
+    rows = _cells_vs_labels(spark, SF_DIR).collect()
+    ct = {}
+    for r in rows:
+        ct[(r["cell"], r["label"])] = r["nij"]
+    return ct
+
+
+def test_ari_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import adjusted_rand_index_cells
+
+    ct = _cells_labels_contingency(spark)
+    n = sum(ct.values())
+    tp = sum(v * (v - 1) // 2 for v in ct.values())
+    a = {}
+    b = {}
+    for (c, l), v in ct.items():
+        a[c] = a.get(c, 0) + v
+        b[l] = b.get(l, 0) + v
+    sa = sum(v * (v - 1) // 2 for v in a.values())
+    sb = sum(v * (v - 1) // 2 for v in b.values())
+    npairs = n * (n - 1) / 2
+    exp = sa * sb / npairs
+    ari = (tp - exp) / ((sa + sb) / 2 - exp)
+    fm = tp / math.sqrt(sa * sb)
+    ri = (tp + (npairs - sa - sb + tp)) / npairs
+    [r] = adjusted_rand_index_cells(spark, SF_DIR).collect()
+    assert r["n_points"] == n
+    assert r["pair_tp"] == tp
+    assert r["pair_same_cluster"] == sa
+    assert r["pair_same_label"] == sb
+    assert abs(r["ari"] - ari) < 1e-5
+    assert abs(r["fowlkes_mallows"] - fm) < 1e-5
+    assert abs(r["rand_index"] - ri) < 1e-5
+    assert -1.0 <= r["ari"] <= 1.0
+
+
+def test_bcubed_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import bcubed_cluster_eval
+
+    ct = _cells_labels_contingency(spark)
+    n = sum(ct.values())
+    a = {}
+    b = {}
+    for (c, l), v in ct.items():
+        a[c] = a.get(c, 0) + v
+        b[l] = b.get(l, 0) + v
+    prec = sum(v * v / a[c] for (c, l), v in ct.items()) / n
+    rec = sum(v * v / b[l] for (c, l), v in ct.items()) / n
+    f1 = 2 * prec * rec / (prec + rec)
+    [r] = bcubed_cluster_eval(spark, SF_DIR).collect()
+    assert r["n_points"] == n
+    assert abs(r["bcubed_precision"] - prec) < 1e-5
+    assert abs(r["bcubed_recall"] - rec) < 1e-5
+    assert abs(r["bcubed_f1"] - f1) < 1e-5
+    assert 0 < r["bcubed_f1"] <= 1.0
+
+
+def test_vmeasure_matches_textbook(spark):
+    from zoom_spark.queries.round10c_ops import vmeasure_nmi_cells
+
+    ct = _cells_labels_contingency(spark)
+    n = sum(ct.values())
+    a = {}
+    b = {}
+    for (c, l), v in ct.items():
+        a[c] = a.get(c, 0) + v
+        b[l] = b.get(l, 0) + v
+
+    def ent(vals):
+        return -sum(v / n * math.log(v / n) for v in vals if v > 0)
+
+    hc, hl, hcl = ent(a.values()), ent(b.values()), ent(ct.values())
+    mi = hc + hl - hcl
+    [r] = vmeasure_nmi_cells(spark, SF_DIR).collect()
+    assert r["n_points"] == n
+    assert abs(r["h_cluster"] - hc) < 1e-5
+    assert abs(r["h_label"] - hl) < 1e-5
+    assert abs(r["mutual_info"] - mi) < 1e-5
+    assert abs(r["homogeneity"] - mi / hl) < 1e-4
+    assert abs(r["completeness"] - mi / hc) < 1e-4
+    assert abs(r["v_measure"] - 2 * mi / (hc + hl)) < 1e-4
+    assert abs(r["nmi"] - mi / math.sqrt(hc * hl)) < 1e-4
+    assert 0 <= r["v_measure"] <= 1.0 + 1e-9

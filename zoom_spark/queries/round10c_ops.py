@@ -7696,3 +7696,337 @@ def luby_maximal_independent_set(
             F.lit(leftover).cast("long").alias("leftover_vertices"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R463-R465 clustering-evaluation metrics: int-Lloyd cells vs labels
+# ---------------------------------------------------------------------------
+
+
+def _cells_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, label, nij) contingency between the memoized int-Lloyd
+    cells (the kmeans/semdedup/IVF shared fit) and the embedding
+    labels."""
+    from zoom_spark.queries.similarity_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_QSCALE,
+    )
+    from zoom_spark.similarity.kmeans import (
+        int_assign,
+        int_lloyd_fit,
+        int_quantize,
+        lloyd_cache_key,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = int_quantize(emb, "embedding", "vec_id", KMEANS_QSCALE)
+    cents = int_lloyd_fit(
+        base,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        cache_key=lloyd_cache_key(
+            sf_dir, "embeddings", "embedding", KMEANS_QSCALE
+        ),
+    )
+    assigned = int_assign(base, cents).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    return (
+        assigned.join(emb.select("vec_id", "label"), on="vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").cast("long").alias("nij"))
+    )
+
+
+def _ct_sql_prefix() -> str:
+    from zoom_spark.queries.similarity_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_QSCALE,
+        int_lloyd_cte_sql,
+    )
+
+    return (
+        int_lloyd_cte_sql(KMEANS_K, KMEANS_ITERS, KMEANS_QSCALE)
+        + f""",
+    ct AS MATERIALIZED (
+      SELECT a.cell, e.label, CAST(count(*) AS BIGINT) AS nij
+      FROM assign{KMEANS_ITERS} a JOIN embeddings e USING (vec_id)
+      GROUP BY a.cell, e.label
+    )"""
+    )
+
+
+@register(
+    "adjusted_rand_index_cells",
+    sql=_ct_sql_prefix()
+    + """,
+    marg AS (
+      SELECT CAST(sum(nij) AS BIGINT) AS n,
+             CAST(sum(nij * (nij - 1) / 2) AS BIGINT) AS tp,
+             (SELECT CAST(sum(a * (a - 1) / 2) AS BIGINT)
+              FROM (SELECT CAST(sum(nij) AS BIGINT) AS a FROM ct
+                    GROUP BY cell)) AS sa,
+             (SELECT CAST(sum(b * (b - 1) / 2) AS BIGINT)
+              FROM (SELECT CAST(sum(nij) AS BIGINT) AS b FROM ct
+                    GROUP BY label)) AS sb
+      FROM ct
+    )
+    SELECT n AS n_points, tp AS pair_tp, sa AS pair_same_cluster,
+           sb AS pair_same_label,
+           round((CAST(tp AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * sb / (n * (n - 1.0) / 2.0))
+                 / ((sa + sb) / 2.0
+                    - CAST(sa AS DOUBLE) * sb / (n * (n - 1.0) / 2.0)),
+                 6) AS ari,
+           round(CAST(tp AS DOUBLE)
+                 / sqrt(CAST(sa AS DOUBLE) * sb), 6) AS fowlkes_mallows,
+           round((CAST(tp AS DOUBLE)
+                  + (n * (n - 1.0) / 2.0 - sa - sb + tp))
+                 / (n * (n - 1.0) / 2.0), 6) AS rand_index
+    FROM marg
+    """,
+)
+def adjusted_rand_index_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R463 adjusted Rand index between the shared int-Lloyd cells
+    and the embedding ground-truth labels — the chance-corrected
+    pair-counting agreement (ARI = 0 for random clusterings, 1 for
+    perfect), with Fowlkes-Mallows (geometric-mean precision/recall
+    on pairs) and the raw Rand index alongside — the EXTERNAL
+    cluster-validity family the registry lacked (silhouette/Dunn/CH
+    are internal: no ground truth).  Every pair count (TP, same-
+    cluster, same-label) is a pure BIGINT from the ≤ 80-cell
+    contingency; the three indices are exact-operand closed forms.
+    The contingency is one broadcast join over the fitted
+    assignment — model-sized beyond the shared fit."""
+    ct = _cells_vs_labels(spark, sf_dir).localCheckpoint(eager=False)
+    marg = ct.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum((F.col("nij") * (F.col("nij") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("tp"),
+    )
+    sa = (
+        ct.groupBy("cell")
+        .agg(F.sum("nij").cast("long").alias("a"))
+        .agg(
+            F.sum((F.col("a") * (F.col("a") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("sa")
+        )
+    )
+    sb = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").cast("long").alias("b"))
+        .agg(
+            F.sum((F.col("b") * (F.col("b") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("sb")
+        )
+    )
+    j = marg.crossJoin(sa).crossJoin(sb)
+    npairs = F.col("n") * (F.col("n") - 1.0) / 2.0
+    exp = F.col("sa").cast("double") * F.col("sb") / npairs
+    return j.select(
+        F.col("n").alias("n_points"),
+        F.col("tp").alias("pair_tp"),
+        F.col("sa").alias("pair_same_cluster"),
+        F.col("sb").alias("pair_same_label"),
+        F.round(
+            (F.col("tp").cast("double") - exp)
+            / ((F.col("sa") + F.col("sb")) / 2.0 - exp),
+            6,
+        ).alias("ari"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.sqrt(F.col("sa").cast("double") * F.col("sb")),
+            6,
+        ).alias("fowlkes_mallows"),
+        F.round(
+            (
+                F.col("tp").cast("double")
+                + (npairs - F.col("sa") - F.col("sb") + F.col("tp"))
+            )
+            / npairs,
+            6,
+        ).alias("rand_index"),
+    )
+
+
+@register(
+    "bcubed_cluster_eval",
+    sql=_ct_sql_prefix()
+    + """,
+    sizes AS MATERIALIZED (
+      SELECT ct.cell, ct.label, ct.nij,
+             ca.a, cb.b
+      FROM ct
+      JOIN (SELECT cell, CAST(sum(nij) AS BIGINT) AS a FROM ct
+            GROUP BY cell) ca ON ct.cell = ca.cell
+      JOIN (SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM ct
+            GROUP BY label) cb ON ct.label = cb.label
+    ),
+    agg AS (
+      SELECT CAST(sum(nij) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(nij AS DOUBLE) * nij / a * 1e9
+                  + 0.5) AS BIGINT)) AS BIGINT) AS p9,
+             CAST(sum(CAST(floor(CAST(nij AS DOUBLE) * nij / b * 1e9
+                  + 0.5) AS BIGINT)) AS BIGINT) AS r9
+      FROM sizes
+    )
+    SELECT n AS n_points,
+           round(p9 / 1e9 / n, 6) AS bcubed_precision,
+           round(r9 / 1e9 / n, 6) AS bcubed_recall,
+           round(2.0 * (p9 / 1e9 / n) * (r9 / 1e9 / n)
+                 / (p9 / 1e9 / n + r9 / 1e9 / n), 6) AS bcubed_f1
+    FROM agg
+    """,
+)
+def bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R464 B-cubed precision/recall/F1 of the int-Lloyd cells
+    against the embedding labels: per-POINT precision = the fraction
+    of the point's cluster sharing its label (Σ n_ij²/a_i over n)
+    and recall = the fraction of its label class sharing its cluster
+    (Σ n_ij²/b_j over n) — the entity-resolution evaluation standard
+    (Bagga-Baldwin) that, unlike pair counting (R463), weights
+    every POINT equally and so is robust to one giant cluster.
+    Per-cell terms n_ij²/a are exact-operand doubles snapped at 1e-9
+    into order-free BIGINT reductions over the ≤ 80-cell frame."""
+    ct = _cells_vs_labels(spark, sf_dir).localCheckpoint(eager=False)
+    ca = ct.groupBy("cell").agg(F.sum("nij").cast("long").alias("a"))
+    cb = ct.groupBy("label").agg(F.sum("nij").cast("long").alias("b"))
+    sizes = ct.join(ca, on="cell").join(cb, on="label")
+    agg = sizes.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("nij").cast("double")
+                * F.col("nij")
+                / F.col("a")
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("p9"),
+        F.sum(
+            F.floor(
+                F.col("nij").cast("double")
+                * F.col("nij")
+                / F.col("b")
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("r9"),
+    )
+    prec = F.col("p9") / 1e9 / F.col("n")
+    rec = F.col("r9") / 1e9 / F.col("n")
+    return agg.select(
+        F.col("n").alias("n_points"),
+        F.round(prec, 6).alias("bcubed_precision"),
+        F.round(rec, 6).alias("bcubed_recall"),
+        F.round(2.0 * prec * rec / (prec + rec), 6).alias("bcubed_f1"),
+    )
+
+
+@register(
+    "vmeasure_nmi_cells",
+    sql=_ct_sql_prefix()
+    + """,
+    n_t AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+    hc AS (
+      SELECT CAST(sum(CAST(floor(
+               -(CAST(a AS DOUBLE) / n) * ln(CAST(a AS DOUBLE) / n)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      FROM (SELECT cell, CAST(sum(nij) AS BIGINT) AS a FROM ct
+            GROUP BY cell), n_t
+    ),
+    hl AS (
+      SELECT CAST(sum(CAST(floor(
+               -(CAST(b AS DOUBLE) / n) * ln(CAST(b AS DOUBLE) / n)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM ct
+            GROUP BY label), n_t
+    ),
+    hcl AS (
+      SELECT CAST(sum(CAST(floor(
+               -(CAST(nij AS DOUBLE) / n) * ln(CAST(nij AS DOUBLE) / n)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      FROM ct, n_t
+    )
+    SELECT n_t.n AS n_points,
+           round(hc.h9 / 1e9, 6) AS h_cluster,
+           round(hl.h9 / 1e9, 6) AS h_label,
+           round((hc.h9 + hl.h9 - hcl.h9) / 1e9, 6) AS mutual_info,
+           round(CAST(hc.h9 + hl.h9 - hcl.h9 AS DOUBLE) / hl.h9, 6)
+             AS homogeneity,
+           round(CAST(hc.h9 + hl.h9 - hcl.h9 AS DOUBLE) / hc.h9, 6)
+             AS completeness,
+           round(2.0 * (hc.h9 + hl.h9 - hcl.h9)
+                 / (hc.h9 + hl.h9), 6) AS v_measure,
+           round((hc.h9 + hl.h9 - hcl.h9)
+                 / sqrt(CAST(hc.h9 AS DOUBLE) * hl.h9), 6) AS nmi
+    FROM n_t, hc, hl, hcl
+    """,
+)
+def vmeasure_nmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R465 V-measure and normalized mutual information between the
+    int-Lloyd cells and the embedding labels: homogeneity =
+    MI/H(label) (each cluster holds one class), completeness =
+    MI/H(cluster) (each class lands in one cluster), V = their
+    harmonic mean, NMI = MI/√(H(C)H(L)) — the INFORMATION-THEORETIC
+    external-validity trio completing R463's pair-counting and
+    R464's point-averaged views (the three disagree exactly when
+    cluster size skew matters; emitting all three is the evaluation
+    standard).  The same snapped -p ln p discipline as the
+    uncertainty-coefficient panel: every entropy is an order-free
+    BIGINT reduction over the ≤ 80-cell contingency."""
+    ct = _cells_vs_labels(spark, sf_dir).localCheckpoint(eager=False)
+    n_t = ct.agg(F.sum("nij").cast("long").alias("n"))
+
+    def h9(df: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n")
+        return (
+            df.crossJoin(F.broadcast(n_t))
+            .select(
+                F.floor(-p * F.log(p) * 1e9 + F.lit(0.5))
+                .cast("long")
+                .alias("t9")
+            )
+            .agg(F.sum("t9").cast("long").alias("h9"))
+        )
+
+    hc = h9(ct.groupBy("cell").agg(F.sum("nij").alias("a")), "a")
+    hl = h9(ct.groupBy("label").agg(F.sum("nij").alias("b")), "b")
+    hcl = h9(ct, "nij")
+    out = (
+        n_t.crossJoin(hc.withColumnRenamed("h9", "hc9"))
+        .crossJoin(hl.withColumnRenamed("h9", "hl9"))
+        .crossJoin(hcl.withColumnRenamed("h9", "hcl9"))
+    )
+    mi9 = F.col("hc9") + F.col("hl9") - F.col("hcl9")
+    return out.select(
+        F.col("n").alias("n_points"),
+        F.round(F.col("hc9") / 1e9, 6).alias("h_cluster"),
+        F.round(F.col("hl9") / 1e9, 6).alias("h_label"),
+        F.round(mi9 / 1e9, 6).alias("mutual_info"),
+        F.round(mi9.cast("double") / F.col("hl9"), 6).alias(
+            "homogeneity"
+        ),
+        F.round(mi9.cast("double") / F.col("hc9"), 6).alias(
+            "completeness"
+        ),
+        F.round(2.0 * mi9 / (F.col("hc9") + F.col("hl9")), 6).alias(
+            "v_measure"
+        ),
+        F.round(
+            mi9
+            / F.sqrt(F.col("hc9").cast("double") * F.col("hl9")),
+            6,
+        ).alias("nmi"),
+    )
