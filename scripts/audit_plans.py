@@ -1206,6 +1206,12 @@ EXPECTATIONS = {
     "vmeasure_nmi_cells": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R466: the cumulative-coverage window runs over the 10-row pick
+    # frame (round-bounded); per-round TakeOrdered argmaxes are the
+    # data-sized stages
+    "greedy_max_coverage_docs": dict(
+        pushed=False, broadcast=False, cartesian=False, unpart_window=True
+    ),
 }
 
 

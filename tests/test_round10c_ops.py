@@ -1717,3 +1717,43 @@ def test_vmeasure_matches_textbook(spark):
     assert abs(r["v_measure"] - 2 * mi / (hc + hl)) < 1e-4
     assert abs(r["nmi"] - mi / math.sqrt(hc * hl)) < 1e-4
     assert 0 <= r["v_measure"] <= 1.0 + 1e-9
+
+
+def test_greedy_max_coverage_matches_python(spark):
+    import re
+
+    from zoom_spark.queries.round10c_ops import greedy_max_coverage_docs
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    postings = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split(r"\s+", r["text"].strip().lower()) if t]
+        if len(toks) < 2:
+            continue
+        postings[r["doc_id"]] = {
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        }
+    vocab = set().union(*postings.values())
+    covered = set()
+    expected = []
+    for _ in range(10):
+        best = None
+        for d, ts in sorted(postings.items()):
+            gain = len(ts - covered)
+            if best is None or gain > best[1]:
+                best = (d, gain)
+        covered |= postings[best[0]]
+        expected.append((best[0], best[1], len(covered)))
+    rows = greedy_max_coverage_docs(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for i, (r, (d, g, cum)) in enumerate(zip(rows, expected)):
+        assert r["round"] == i
+        assert r["doc_id"] == d
+        assert r["new_terms"] == g
+        assert r["cumulative_terms"] == cum
+        assert abs(r["coverage_frac"] - cum / len(vocab)) < 1e-6
+    # submodularity: marginal gains are nonincreasing
+    gains = [r["new_terms"] for r in rows]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))

@@ -8030,3 +8030,140 @@ def vmeasure_nmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R466 greedy max-coverage document selection (submodular, unrolled)
+# ---------------------------------------------------------------------------
+
+_COV_ROUNDS = 10
+
+
+def _coverage_oracle_sql() -> str:
+    head = r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS term
+      FROM toks WHERE len(t) >= 2
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM dt),
+    u0 AS MATERIALIZED (SELECT doc_id, term FROM dt)"""
+    parts = [head]
+    for r in range(_COV_ROUNDS):
+        parts.append(f""",
+    pick{r} AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+      FROM u{r} GROUP BY doc_id
+      ORDER BY count(*) DESC, doc_id LIMIT 1
+    ),
+    cov{r} AS MATERIALIZED (
+      SELECT DISTINCT u.term FROM u{r} u
+      JOIN pick{r} p ON u.doc_id = p.doc_id
+    ),
+    u{r + 1} AS MATERIALIZED (
+      SELECT u.doc_id, u.term FROM u{r} u
+      WHERE u.term NOT IN (SELECT term FROM cov{r})
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, doc_id, gain FROM pick{r}"
+        for r in range(_COV_ROUNDS)
+    )
+    parts.append(f""",
+    picks AS MATERIALIZED ({sel})
+    SELECT CAST(p.round AS BIGINT) AS round, p.doc_id,
+           p.gain AS new_terms,
+           CAST(sum(p.gain) OVER (ORDER BY p.round) AS BIGINT)
+             AS cumulative_terms,
+           round(CAST(sum(p.gain) OVER (ORDER BY p.round) AS DOUBLE)
+                 / vocab.v, 6) AS coverage_frac
+    FROM picks p CROSS JOIN vocab
+    ORDER BY p.round""")
+    return "".join(parts)
+
+
+@register("greedy_max_coverage_docs", sql=_coverage_oracle_sql())
+def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R466 greedy maximum-coverage document selection: 10 unrolled
+    rounds of 'pick the document covering the most NOT-YET-COVERED
+    vocabulary terms' (lexicographic doc_id tie-break) — the
+    (1 - 1/e)-approximate submodular corpus-subset selection that
+    LLM data pipelines use to seed diverse training mixtures (the
+    registry's stratified/temperature samplers pick by METADATA;
+    max-coverage picks by CONTENT, and its marginal-gain column
+    shows the diminishing-returns curve directly).  Each round is
+    one groupBy + a 1-row argmax + an anti-join that shrinks the
+    uncovered posting frame — all integer counts, so the pick
+    sequence is deterministic and engine-exact.  Scales as
+    O(rounds) shuffles over the (doc, term) posting frame."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("t"),
+    ).where(F.size("t") >= 2)
+    dt = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vocab = dt.select("term").distinct().count()
+    u = dt
+    picks = []
+    for r in range(_COV_ROUNDS):
+        pick = (
+            u.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        picks.append(
+            pick.select(
+                F.lit(r).cast("long").alias("round"), "doc_id", "gain"
+            )
+        )
+        cov = (
+            u.join(
+                pick.select(F.col("doc_id").alias("pd")),
+                F.col("doc_id") == F.col("pd"),
+            )
+            .select("term")
+            .distinct()
+        )
+        u = u.join(cov, on="term", how="left_anti").localCheckpoint(
+            eager=False
+        )
+    allp = picks[0]
+    for p in picks[1:]:
+        allp = allp.unionAll(p)
+    cum = F.sum("gain").over(
+        Window.orderBy("round").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return allp.select(
+        "round",
+        "doc_id",
+        F.col("gain").alias("new_terms"),
+        cum.cast("long").alias("cumulative_terms"),
+        F.round(cum.cast("double") / F.lit(vocab), 6).alias(
+            "coverage_frac"
+        ),
+    ).orderBy("round")
