@@ -1212,6 +1212,11 @@ EXPECTATIONS = {
     "greedy_max_coverage_docs": dict(
         pushed=False, broadcast=False, cartesian=False, unpart_window=True
     ),
+    # R467: each round broadcast-crosses the 1-row chosen center onto
+    # the distance frame (k-1 scalar broadcasts by design)
+    "kcenter_greedy_embeddings": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -1757,3 +1757,44 @@ def test_greedy_max_coverage_matches_python(spark):
     # submodularity: marginal gains are nonincreasing
     gains = [r["new_terms"] for r in rows]
     assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+def test_kcenter_greedy_matches_python(spark):
+    import hashlib
+
+    from zoom_spark.queries.round10c_ops import kcenter_greedy_embeddings
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    q = 1_000_000
+    vecs = {
+        int(r["vec_id"]): np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * q + 0.5
+        ).astype(np.int64)
+        for _, r in emb.iterrows()
+    }
+    start = min(
+        vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )
+    selected = [start]
+    md2 = {
+        v: int(((vecs[v] - vecs[start]) ** 2).sum()) for v in vecs
+    }
+    for _ in range(7):
+        far = max(md2, key=lambda v: (md2[v], -v))
+        # tie-break: max distance, then LOWEST vec_id
+        best = min(
+            (v for v in md2 if md2[v] == md2[far])
+        )
+        selected.append(best)
+        for v in vecs:
+            md2[v] = min(
+                md2[v], int(((vecs[v] - vecs[best]) ** 2).sum())
+            )
+    radius = math.sqrt(max(md2.values())) / q
+    rows = kcenter_greedy_embeddings(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert [r["vec_id"] for r in rows] == selected
+    assert all(r["round"] == i for i, r in enumerate(rows))
+    assert abs(rows[0]["final_radius"] - radius) < 1e-5

@@ -8167,3 +8167,147 @@ def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_frac"
         ),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# R467 k-center greedy (Gonzalez farthest-point) coreset selection
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle_sql() -> str:
+    head = f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_SETQ} + 0.5)
+                         AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    s0 AS MATERIALIZED (
+      SELECT vec_id, v FROM iv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+    ),
+    d0 AS MATERIALIZED (
+      SELECT i.vec_id,
+             CAST(list_sum(list_transform(list_zip(i.v, s.v),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS md2
+      FROM iv i CROSS JOIN s0 s
+    )"""
+    parts = [head]
+    for r in range(1, _KCENTER_K):
+        parts.append(f""",
+    p{r} AS MATERIALIZED (
+      SELECT d.vec_id, i.v FROM d{r - 1} d JOIN iv i USING (vec_id)
+      ORDER BY d.md2 DESC, d.vec_id LIMIT 1
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT d.vec_id,
+             least(d.md2,
+                   CAST(list_sum(list_transform(list_zip(i.v, p.v),
+                        q -> (q[1] - q[2]) * (q[1] - q[2]))) AS BIGINT))
+               AS md2
+      FROM d{r - 1} d JOIN iv i USING (vec_id) CROSS JOIN p{r} p
+    )""")
+    sel = " UNION ALL ".join(
+        ["SELECT 0 AS round, vec_id FROM s0"]
+        + [f"SELECT {r}, vec_id FROM p{r}" for r in range(1, _KCENTER_K)]
+    )
+    parts.append(f""",
+    centers AS MATERIALIZED ({sel}),
+    radius AS (SELECT CAST(max(md2) AS BIGINT) AS r2
+               FROM d{_KCENTER_K - 1})
+    SELECT CAST(c.round AS BIGINT) AS round, c.vec_id,
+           round(sqrt(CAST(radius.r2 AS DOUBLE)) / {_SETQ}, 6)
+             AS final_radius
+    FROM centers c CROSS JOIN radius
+    ORDER BY c.round""")
+    return "".join(parts)
+
+
+@register("kcenter_greedy_embeddings", sql=_kcenter_oracle_sql())
+def kcenter_greedy_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R467 k-center greedy (Gonzalez 1985 farthest-point traversal,
+    k = 8) over the embedding corpus: start from the md5-minimal
+    vector, repeatedly add the point FARTHEST from the selected set
+    (deterministic vec_id tie-break), and report the final covering
+    radius — the 2-approximate k-center CORESET selector that active
+    learning and dataset-distillation pipelines use (R466's
+    max-coverage picks for TEXT diversity; k-center picks for
+    GEOMETRIC coverage of the embedding space — together they are
+    the two standard subset-selection axes).  All distances are
+    exact BIGINTs on the similarity family's 1e-6 grid, the running
+    min-distance column updates by one broadcast join per round, and
+    each argmax is a TakeOrdered — k-1 linear passes, no pair
+    cloud."""
+    iv = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * _SETQ + F.lit(0.5)
+                ).cast("long"),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s0 = (
+        iv.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .localCheckpoint(eager=False)
+    )
+
+    def d2(vb):
+        return F.aggregate(
+            F.zip_with("v", vb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    d = iv.crossJoin(
+        F.broadcast(s0.select(F.col("v").alias("sv")))
+    ).select("vec_id", d2(F.col("sv")).cast("long").alias("md2"))
+    centers = [s0.select(F.lit(0).cast("long").alias("round"), "vec_id")]
+    for r in range(1, _KCENTER_K):
+        p = (
+            d.orderBy(F.col("md2").desc(), F.col("vec_id"))
+            .limit(1)
+            .join(iv.select(F.col("vec_id").alias("pid"), F.col("v").alias("pv")),
+                  F.col("vec_id") == F.col("pid"))
+            .select("vec_id", "pv")
+            .localCheckpoint(eager=False)
+        )
+        centers.append(
+            p.select(F.lit(r).cast("long").alias("round"), "vec_id")
+        )
+        d = (
+            d.join(iv, on="vec_id")
+            .crossJoin(F.broadcast(p.select(F.col("pv").alias("cv"))))
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("md2"), d2(F.col("cv")).cast("long")
+                ).alias("md2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    radius = d.agg(F.max("md2").cast("long").alias("r2"))
+    cents = centers[0]
+    for c in centers[1:]:
+        cents = cents.unionAll(c)
+    return (
+        cents.crossJoin(F.broadcast(radius))
+        .select(
+            "round",
+            "vec_id",
+            F.round(F.sqrt(F.col("r2").cast("double")) / _SETQ, 6).alias(
+                "final_radius"
+            ),
+        )
+        .orderBy("round")
+    )
