@@ -1798,3 +1798,36 @@ def test_kcenter_greedy_matches_python(spark):
     assert [r["vec_id"] for r in rows] == selected
     assert all(r["round"] == i for i, r in enumerate(rows))
     assert abs(rows[0]["final_radius"] - radius) < 1e-5
+
+
+def test_hill_numbers_matches_python(spark):
+    import re
+    from collections import Counter
+
+    from zoom_spark.queries.round10c_ops import hill_numbers_diversity
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).toPandas()
+    per_src = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split(r"\s+", r["text"].strip().lower()) if t]
+        per_src.setdefault(r["source"], Counter()).update(toks)
+    rows = hill_numbers_diversity(spark, SF_DIR).collect()
+    assert len(rows) == len(per_src)
+    for r in rows:
+        cnt = per_src[r["source"]]
+        n = sum(cnt.values())
+        probs = np.array(list(cnt.values()), dtype=float) / n
+        h = float(-(probs * np.log(probs)).sum())
+        q0 = len(cnt)
+        q1 = math.exp(h)
+        q2 = n * n / sum(v * v for v in cnt.values())
+        qinf = n / max(cnt.values())
+        assert r["hill_q0"] == q0
+        assert abs(r["hill_q1"] - q1) < 1e-3
+        assert abs(r["hill_q2"] - q2) < 1e-4
+        assert abs(r["hill_qinf"] - qinf) < 1e-4
+        # Hill numbers are nonincreasing in q
+        assert q0 + 1e-9 >= r["hill_q1"] >= r["hill_q2"] - 1e-9
+        assert r["hill_q2"] >= r["hill_qinf"] - 1e-9

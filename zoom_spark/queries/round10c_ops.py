@@ -8311,3 +8311,98 @@ def kcenter_greedy_embeddings(
         )
         .orderBy("round")
     )
+
+
+# ---------------------------------------------------------------------------
+# R468 Hill-numbers diversity profile per source (q = 0, 1, 2, inf)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hill_numbers_diversity",
+    sql=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                                '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, term
+    ),
+    tf2 AS MATERIALIZED (
+      SELECT source, c,
+             CAST(floor(
+               -(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY source))
+               * ln(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY source))
+               * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM tf
+    ),
+    mom AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS richness,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             CAST(max(c) AS BIGINT) AS cmax,
+             CAST(sum(t9) AS BIGINT) AS h9
+      FROM tf2 GROUP BY source
+    )
+    SELECT source,
+           richness AS hill_q0,
+           round(exp(h9 / 1e9), 6) AS hill_q1,
+           round(CAST(n AS DOUBLE) * n / s2, 6) AS hill_q2,
+           round(CAST(n AS DOUBLE) / cmax, 6) AS hill_qinf
+    FROM mom ORDER BY source
+    """,
+)
+def hill_numbers_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R468 Hill-numbers diversity profile of each source's token
+    distribution: the effective-species counts ⁰D = richness,
+    ¹D = exp(Shannon), ²D = 1/Simpson = N²/Σc², and the Berger-Parker
+    limit ∞D = N/c_max — the UNIFIED diversity spectrum (all four are
+    the same Rényi family at q = 0, 1, 2, ∞) that puts the
+    registry's separate richness/Simpson/entropy readings on one
+    comparable 'effective vocabulary size' scale, the standard way
+    to compare corpus sources whose raw entropies aren't
+    commensurate.  Counts and Σc² are BIGINTs; the Shannon sum is
+    the snapped -p ln p reduction (order-free); the window total
+    inside the per-term probability uses the same partitioned sum on
+    both engines.  One tokenize + one groupBy per source."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = tok.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wsrc = Window.partitionBy("source")
+    p = F.col("c").cast("double") / F.sum("c").over(wsrc)
+    tf2 = tf.select(
+        "source",
+        "c",
+        F.floor(-p * F.log(p) * 1e9 + F.lit(0.5)).cast("long").alias("t9"),
+    )
+    mom = tf2.groupBy("source").agg(
+        F.count("*").cast("long").alias("richness"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.max("c").cast("long").alias("cmax"),
+        F.sum("t9").cast("long").alias("h9"),
+    )
+    return mom.select(
+        "source",
+        F.col("richness").alias("hill_q0"),
+        F.round(F.exp(F.col("h9") / 1e9), 6).alias("hill_q1"),
+        F.round(
+            F.col("n").cast("double") * F.col("n") / F.col("s2"), 6
+        ).alias("hill_q2"),
+        F.round(F.col("n").cast("double") / F.col("cmax"), 6).alias(
+            "hill_qinf"
+        ),
+    ).orderBy("source")
