@@ -1217,6 +1217,11 @@ EXPECTATIONS = {
     "kcenter_greedy_embeddings": dict(
         pushed=False, broadcast=False, cartesian=True
     ),
+    # R469: the 2-row m-label grid broadcast-crosses the per-source
+    # totals (the fisher/bayes lnfact family's waived scalar shape)
+    "rarefaction_curve_sources": dict(
+        pushed=False, broadcast=False, cartesian=True
+    ),
 }
 
 

@@ -1831,3 +1831,40 @@ def test_hill_numbers_matches_python(spark):
         # Hill numbers are nonincreasing in q
         assert q0 + 1e-9 >= r["hill_q1"] >= r["hill_q2"] - 1e-9
         assert r["hill_q2"] >= r["hill_qinf"] - 1e-9
+
+
+def test_rarefaction_matches_lgamma(spark):
+    import re
+    from collections import Counter
+    from math import lgamma
+
+    from zoom_spark.queries.round10c_ops import rarefaction_curve_sources
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).toPandas()
+    per_src = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split(r"\s+", r["text"].strip().lower()) if t]
+        per_src.setdefault(r["source"], Counter()).update(toks)
+
+    def lnc(n, k):
+        return lgamma(n + 1) - lgamma(k + 1) - lgamma(n - k + 1)
+
+    rows = rarefaction_curve_sources(spark, SF_DIR).collect()
+    assert len(rows) == 2 * len(per_src)
+    for r in rows:
+        cnt = per_src[r["source"]]
+        n = sum(cnt.values())
+        m = n // 4 if r["m_label"] == "quarter" else n // 2
+        es = sum(
+            1.0
+            if c > n - m
+            else 1.0 - math.exp(lnc(n - c, m) - lnc(n, m))
+            for c in cnt.values()
+        )
+        assert r["m"] == m
+        assert r["observed_richness"] == len(cnt)
+        assert abs(r["expected_richness"] - es) < 5e-3
+        # rarefied richness can never exceed the observed richness
+        assert r["expected_richness"] <= r["observed_richness"] + 1e-9

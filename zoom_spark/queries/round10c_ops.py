@@ -8406,3 +8406,193 @@ def hill_numbers_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hill_qinf"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# R469 rarefaction curve per source (expected richness at subsample m)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rarefaction_curve_sources",
+    sql=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                                '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, term
+    ),
+    ntot AS MATERIALIZED (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS s_obs
+      FROM tf GROUP BY source
+    ),
+    ks AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY 1) AS BIGINT) AS k
+      FROM tok
+    ),
+    lnf AS MATERIALIZED (
+      SELECT k, sum(ln(CAST(k AS DOUBLE))) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+      FROM ks
+      UNION ALL SELECT 0, 0.0
+    ),
+    grid AS MATERIALIZED (
+      SELECT n2.source, g.lab,
+             CASE WHEN g.lab = 'quarter' THEN n2.n // 4
+                  ELSE n2.n // 2 END AS m,
+             n2.n, n2.s_obs
+      FROM ntot n2
+      CROSS JOIN (SELECT unnest(['quarter', 'half']) AS lab) g
+    ),
+    terms AS (
+      SELECT grid.source, grid.lab, grid.m, grid.n, grid.s_obs,
+             CASE WHEN tf.c > grid.n - grid.m THEN CAST(1e9 AS BIGINT)
+                  ELSE CAST(floor((1.0 - exp(
+                         lnc.lf - lncm.lf - lnn.lf + lnnm.lf))
+                       * 1e9 + 0.5) AS BIGINT) END AS t9
+      FROM grid
+      JOIN tf ON tf.source = grid.source
+      JOIN lnf lnc ON lnc.k = grid.n - tf.c
+      JOIN lnf lncm
+        ON lncm.k = CASE WHEN tf.c > grid.n - grid.m THEN 0
+                         ELSE grid.n - tf.c - grid.m END
+      JOIN lnf lnn ON lnn.k = grid.n
+      JOIN lnf lnnm ON lnnm.k = grid.n - grid.m
+    )
+    SELECT source, lab AS m_label, CAST(max(m) AS BIGINT) AS m,
+           CAST(max(s_obs) AS BIGINT) AS observed_richness,
+           round(sum(t9) / 1e9, 4) AS expected_richness
+    FROM terms
+    GROUP BY source, lab
+    ORDER BY source, m_label
+    """,
+)
+def rarefaction_curve_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R469 rarefaction curve per source: the EXPECTED vocabulary
+    richness in a uniform subsample of m tokens, E[S_m] = Σ_terms
+    (1 - C(N-c_i, m)/C(N, m)), evaluated at m = N/4 and N/2 — the
+    fair-comparison companion to chao1 (extrapolates UP) and the
+    Hill spectrum (whole-sample): rarefaction compares sources of
+    unequal size at a COMMON depth, the standard corpus-growth
+    diagnostic.  Binomial ratios resolve through the repo's
+    DISTRIBUTED log-factorial table (ordered prefix sum of ln k —
+    bit-identical on both engines, the fisher_exact/bayes_ab idiom;
+    lf(m) cancels algebraically so each term needs 4 lookups);
+    per-term probabilities snap at 1e-9 into order-free BIGINT
+    reductions, and c > N-m terms short-circuit to exactly 1.
+    One tokenize + integer-key equi-joins: no driver math."""
+    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    ).localCheckpoint(eager=False)
+    tf = tok.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ntot = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("s_obs"),
+    )
+    ks = global_row_number(
+        tok.select("term"), ["term"], out_col="k"
+    ).select("k")
+    lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
+    lnf = (
+        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        .select("k", "lf")
+        .unionAll(
+            spark.createDataFrame([(0, 0.0)], "k bigint, lf double")
+        )
+        .localCheckpoint(eager=False)
+    )
+    grid = ntot.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("quarter",), ("half",)], "lab string"
+            )
+        )
+    ).select(
+        "source",
+        "lab",
+        F.when(
+            F.col("lab") == "quarter", F.floor(F.col("n") / 4)
+        )
+        .otherwise(F.floor(F.col("n") / 2))
+        .cast("long")
+        .alias("m"),
+        "n",
+        "s_obs",
+    )
+    j = (
+        grid.join(tf, on="source")
+        .withColumn("k_nc", (F.col("n") - F.col("c")).cast("long"))
+        .withColumn(
+            "k_ncm",
+            F.when(
+                F.col("c") > F.col("n") - F.col("m"), F.lit(0)
+            )
+            .otherwise(F.col("n") - F.col("c") - F.col("m"))
+            .cast("long"),
+        )
+        .withColumn("k_n", F.col("n").cast("long"))
+        .withColumn("k_nm", (F.col("n") - F.col("m")).cast("long"))
+    )
+
+    def lk(df, key, out):
+        return df.join(
+            lnf.select(F.col("k").alias(key + "_j"), F.col("lf").alias(out)),
+            F.col(key) == F.col(key + "_j"),
+        ).drop(key + "_j")
+
+    j = lk(j, "k_nc", "lf_nc")
+    j = lk(j, "k_ncm", "lf_ncm")
+    j = lk(j, "k_n", "lf_n")
+    j = lk(j, "k_nm", "lf_nm")
+    t9 = F.when(
+        F.col("c") > F.col("n") - F.col("m"),
+        F.lit(1000000000).cast("long"),
+    ).otherwise(
+        F.floor(
+            (
+                1.0
+                - F.exp(
+                    F.col("lf_nc")
+                    - F.col("lf_ncm")
+                    - F.col("lf_n")
+                    + F.col("lf_nm")
+                )
+            )
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return (
+        j.select("source", "lab", "m", "s_obs", t9.alias("t9"))
+        .groupBy("source", "lab")
+        .agg(
+            F.max("m").cast("long").alias("m"),
+            F.max("s_obs").cast("long").alias("observed_richness"),
+            F.round(F.sum("t9") / 1e9, 4).alias("expected_richness"),
+        )
+        .select(
+            "source",
+            F.col("lab").alias("m_label"),
+            "m",
+            "observed_richness",
+            "expected_richness",
+        )
+        .orderBy("source", "m_label")
+    )
