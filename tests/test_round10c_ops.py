@@ -1868,3 +1868,34 @@ def test_rarefaction_matches_lgamma(spark):
         assert abs(r["expected_richness"] - es) < 5e-3
         # rarefied richness can never exceed the observed richness
         assert r["expected_richness"] <= r["observed_richness"] + 1e-9
+
+
+def test_rayleigh_circular_matches_numpy(spark):
+    from zoom_spark.queries.round10c_ops import rayleigh_circular_hours
+
+    ev = load_table(spark, SF_DIR, "events").select("ts").toPandas()
+    sod = (
+        ev["ts"].dt.hour * 3600
+        + ev["ts"].dt.minute * 60
+        + ev["ts"].dt.second
+    ).to_numpy()
+    theta = sod * 2 * math.pi / 86400.0
+    n = len(theta)
+    c, s = np.cos(theta).sum(), np.sin(theta).sum()
+    rbar = math.hypot(c, s) / n
+    z = n * rbar * rbar
+    p = math.exp(-z) * (1 + (2 * z - z * z) / (4 * n))
+    mean_dir = math.atan2(s, c)
+    if mean_dir < 0:
+        mean_dir += 2 * math.pi
+    mean_hour = mean_dir / (2 * math.pi) * 24
+    cstd = math.sqrt(-2 * math.log(rbar)) / (2 * math.pi) * 24
+    [r] = rayleigh_circular_hours(spark, SF_DIR).collect()
+    assert r["n_events"] == n
+    assert abs(r["mean_resultant_r"] - rbar) < 1e-6
+    assert abs(r["rayleigh_z"] - z) < 1e-4
+    assert abs(r["p_value"] - p) < 1e-5
+    assert abs(r["mean_hour"] - mean_hour) < 1e-3
+    assert abs(r["circular_std_hours"] - cstd) < 1e-3
+    assert 0 <= r["mean_resultant_r"] <= 1
+    assert 0 <= r["mean_hour"] < 24

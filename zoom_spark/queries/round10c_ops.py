@@ -8596,3 +8596,113 @@ def rarefaction_curve_sources(
         )
         .orderBy("source", "m_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# R470 circular statistics of event time-of-day (Rayleigh test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rayleigh_circular_hours",
+    sql="""
+    WITH ang AS MATERIALIZED (
+      SELECT (CAST(hour(ts) AS BIGINT) * 3600
+              + CAST(minute(ts) AS BIGINT) * 60
+              + CAST(date_part('second', ts) AS BIGINT))
+             * 2.0 * pi() / 86400.0 AS theta
+      FROM events
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(cos(theta) * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c9,
+             CAST(sum(CAST(floor(sin(theta) * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s9
+      FROM ang
+    ),
+    r AS (
+      SELECT n, c9, s9,
+             sqrt((c9 / 1e9) * (c9 / 1e9) + (s9 / 1e9) * (s9 / 1e9)) / n
+               AS rbar
+      FROM s
+    )
+    SELECT n AS n_events,
+           round(rbar, 6) AS mean_resultant_r,
+           round(n * rbar * rbar, 6) AS rayleigh_z,
+           round(exp(-n * rbar * rbar)
+                 * (1.0 + (2.0 * n * rbar * rbar
+                           - n * rbar * rbar * n * rbar * rbar)
+                          / (4.0 * n)), 6) AS p_value,
+           round(((CASE WHEN atan2(s9 / 1e9, c9 / 1e9) < 0
+                        THEN atan2(s9 / 1e9, c9 / 1e9) + 2 * pi()
+                        ELSE atan2(s9 / 1e9, c9 / 1e9) END)
+                  / (2 * pi())) * 24.0, 6) AS mean_hour,
+           round(sqrt(-2.0 * ln(rbar)) / (2 * pi()) * 24.0, 6)
+             AS circular_std_hours
+    FROM r
+    """,
+)
+def rayleigh_circular_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R470 circular statistics of event TIME-OF-DAY: seconds-of-day
+    map to angles θ = 2π·s/86400, the mean resultant length R̄ =
+    |Σe^{iθ}|/n measures diurnal concentration, and the Rayleigh
+    test z = nR̄² (with the standard (1+(2z-z²)/4n) small-sample
+    p correction) asks whether activity has ANY preferred hour —
+    the CIRCULAR family the registry lacked (its dow/hour
+    seasonality queries bin the clock, which breaks at midnight;
+    circular moments respect the wrap-around), plus the circular
+    mean hour (atan2 of the component sums) and circular std.
+    cos/sin terms snap at 1e-9 into order-free BIGINT reductions
+    (the ln/exp/erf shared-libm discipline); the wrapped atan2 and
+    all closed forms see identical snapped operands on both
+    engines.  One scan + one aggregate."""
+    import math as _math
+
+    ang = load_table(spark, sf_dir, "events").select(
+        (
+            (
+                F.hour("ts").cast("long") * 3600
+                + F.minute("ts").cast("long") * 60
+                + F.second("ts").cast("long")
+            ).cast("double")
+            * 2.0
+            * _math.pi
+            / 86400.0
+        ).alias("theta")
+    )
+    s = ang.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.floor(F.cos(F.col("theta")) * 1e9 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("c9"),
+        F.sum(
+            F.floor(F.sin(F.col("theta")) * 1e9 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("s9"),
+    )
+    rbar = (
+        F.sqrt(
+            (F.col("c9") / 1e9) * (F.col("c9") / 1e9)
+            + (F.col("s9") / 1e9) * (F.col("s9") / 1e9)
+        )
+        / F.col("n")
+    )
+    z = F.col("n") * rbar * rbar
+    at = F.atan2(F.col("s9") / 1e9, F.col("c9") / 1e9)
+    at_wrapped = F.when(at < 0, at + 2 * _math.pi).otherwise(at)
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.round(rbar, 6).alias("mean_resultant_r"),
+        F.round(z, 6).alias("rayleigh_z"),
+        F.round(
+            F.exp(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * F.col("n"))), 6
+        ).alias("p_value"),
+        F.round(at_wrapped / (2 * _math.pi) * 24.0, 6).alias("mean_hour"),
+        F.round(
+            F.sqrt(-2.0 * F.log(rbar)) / (2 * _math.pi) * 24.0, 6
+        ).alias("circular_std_hours"),
+    )
