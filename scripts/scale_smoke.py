@@ -278,7 +278,13 @@ def main() -> None:
         idx = old.find("\n## ")
         if idx != -1:
             tail = old[idx:]
-        for ln in old.splitlines():
+        # Harvest prior rows ONLY from the smoke section itself (before
+        # the first "## " heading). Scanning the whole file let rows
+        # from later hand-written tables (isolated steady states, the
+        # round-5 delta table) shadow same-named smoke rows and corrupt
+        # the table schema on the next partial merge (r10 verdict #4).
+        head = old[:idx] if idx != -1 else old
+        for ln in head.splitlines():
             if ln.startswith("| ") and not ln.startswith("| query"):
                 old_rows[ln.split("|")[1].strip()] = ln
     if only:

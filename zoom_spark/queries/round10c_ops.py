@@ -6415,8 +6415,9 @@ _MDS_ITERS = 60
 
 def _mds_power_sql(bsrc: str, tag: str) -> str:
     """Unrolled power iteration on a 25x25 Gram frame `bsrc`(i,j,bij):
-    8 rounds of v <- normalize(B v), each matrix-vector term and each
-    component snapped so both engines carry identical doubles."""
+    _MDS_ITERS rounds of v <- normalize(B v), each matrix-vector term
+    and each component snapped so both engines carry identical
+    doubles."""
     parts = [
         f"""v{tag}0 AS MATERIALIZED (
       SELECT i, floor((1.0 + i) / 25.0 * 1e9 + 0.5) / 1e9 AS v
@@ -6569,6 +6570,11 @@ def classical_mds_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     def snap(x, g):
         return _math.floor(x * g + 0.5) / g
 
+    # Mirror the oracle's `prof a JOIN prof b ON a.pri = b.pri`: a
+    # priority term contributes ONLY when both nations have that cell
+    # populated; a missing cell drops the term on both engines (the
+    # full 125-cell grid is populated at every shipped SF, but small
+    # or filtered data must not diverge — or KeyError — here).
     d2 = {}
     for i in nations:
         for jn in nations:
@@ -6580,6 +6586,7 @@ def classical_mds_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
                     for p in pris
+                    if (i, p) in prof and (jn, p) in prof
                 )
                 / 1e6
             )
