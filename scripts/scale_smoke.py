@@ -92,7 +92,8 @@ SUSPECTS = [
     # per replica; sqrt(N)-cell IVF mining is the documented N^1.5)
     "louvain_moves_copurchase",
     "personalized_pagerank_parts",
-    "minhash_dedup_docs",
+    # (minhash_dedup_docs already a suspect above — don't re-list;
+    # a duplicate here emitted two table rows per merge, r10 verdict #4)
     "simhash_dedup_docs",
     "hard_negative_pairs_ann",
     "hamming_knn_signbits",
@@ -232,7 +233,7 @@ def main() -> None:
     # Optional: smoke only the named suspects (full list at round end);
     # a partial run merges its rows into the existing BENCH_NOTES table.
     only = set(sys.argv[2:])
-    suspects = [s for s in SUSPECTS if not only or s in only]
+    suspects = [s for s in dict.fromkeys(SUSPECTS) if not only or s in only]
     results = {}
     for name in suspects:
         t_base, n_base = time_query(name, spark, SRC)
@@ -293,7 +294,7 @@ def main() -> None:
         for ln in lines[len(lines) - len(results):]:
             old_rows[ln.split("|")[1].strip()] = ln
         merged = []
-        for s in SUSPECTS:
+        for s in dict.fromkeys(SUSPECTS):
             if s in old_rows:
                 merged.append(old_rows[s])
             else:
