@@ -399,10 +399,13 @@ def main():
     warm.write.format("noop").mode("overwrite").save()
     li.count()
 
+    from zoom_spark.session import release_storage
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
+        df = None
         try:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -411,6 +414,13 @@ def main():
             # not wipe the whole benchmark record (round-3 lesson)
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        # Between-query storage hygiene (OUTSIDE the timed section):
+        # without it, ~259 localCheckpoint sites accumulate executor
+        # blocks over the 579-query session and the resulting GC
+        # pressure inflated late-bench lines 2-4x (round-11
+        # adjudication — all seven flagged movers were this artifact).
+        del df
+        release_storage(spark)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from zoom_spark.session import get_spark  # noqa: E402
+from zoom_spark.session import get_spark, release_storage  # noqa: E402
 
 
 def main() -> None:
@@ -68,6 +68,10 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 2))
+            # same between-run hygiene as bench.py — accumulated
+            # checkpoint blocks from run k otherwise inflate run k+1
+            # (pagerank rose 13.6 -> 18.5 across a triple before this)
+            release_storage(spark)
         steady = min(times[1:]) if len(times) > 1 else times[0]
         out[name] = {"runs": times, "steady": steady}
         print(

@@ -53,3 +53,29 @@ def get_spark(app_name: str = "zoom_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
+
+
+def release_storage(spark: SparkSession) -> None:
+    """Drop every cached/localCheckpointed block a completed query left
+    in executor storage.
+
+    The engine localCheckpoints iterative frames (graph fixpoints,
+    Lloyd rounds, prefix tables) to truncate lineage; those blocks stay
+    referenced until the Python DataFrame is garbage-collected AND the
+    JVM ContextCleaner runs, so a long one-JVM session (the 579-query
+    driver bench) accumulates storage and the resulting GC pressure
+    inflates later query timings 2-4x (round-11 adjudication: all
+    seven flagged "regressions" reproduced at r9-level steady states
+    in a quiet JVM). Safe ONLY between queries: no cross-query code
+    shares a checkpointed frame (session memos hold model-sized plain
+    lists, never DataFrames); unpersisting mid-query would break a
+    lineage-truncated plan that has not finished executing.
+    """
+    import gc
+
+    spark.catalog.clearCache()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+    # Drop py4j refs so the ContextCleaner can also reap broadcasts.
+    gc.collect()
