@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo/tests")
 from oracle_harness import compare_query, duckdb_con  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from zoom_spark.session import get_spark  # noqa: E402
+from zoom_spark.session import get_spark, release_storage  # noqa: E402
 
 
 def _changed_names(qs: dict, base: str) -> set[str] | None:
@@ -94,6 +94,9 @@ def main():
         if not res.get("ok"):
             n_fail += 1
         print(f"[{status}] {name}: { {k: v for k, v in res.items() if k != 'name'} }")
+        # between-query hygiene: checkpoint blocks otherwise accumulate
+        # over a 579-query sweep (same mechanism as the bench noise)
+        release_storage(spark)
     print(f"\n{n_fail} failures / {len(only) if only else len(qs)} checked")
     sys.exit(1 if n_fail else 0)
 

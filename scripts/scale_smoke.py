@@ -207,9 +207,16 @@ def build_upscale(spark: SparkSession, replication: int) -> int:
 
 
 def time_query(name: str, spark: SparkSession, sf_dir: str) -> tuple[float, int]:
+    from zoom_spark.session import release_storage
+
     t0 = time.time()
     n = QUERIES[name](spark, sf_dir).count()
-    return time.time() - t0, n
+    dt = time.time() - t0
+    # hygiene OUTSIDE the timed span: accumulated checkpoint blocks from
+    # earlier suspects distorted a later heavy's upscale ratio by GC
+    # pressure (triangles read 20.0x in a 3-suspect batch, 8.2x alone)
+    release_storage(spark)
+    return dt, n
 
 
 def main() -> None:
