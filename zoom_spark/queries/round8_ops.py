@@ -2108,10 +2108,17 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centrality that behaves on disconnected graphs (unreached
     seeds contribute 0, no infinite-distance patch), estimated the
     way production systems do it (sampled sources; exact all-sources
-    harmonic is O(nm)). Frontier state is (node x seeds) bounded;
-    each round is one join + one min-aggregate, lineage truncated by
-    lazy checkpoints; the oracle replays the same fixed rounds
-    (min-label monotone, extra rounds idempotent)."""
+    harmonic is O(nm)). FRONTIER-ONLY expansion (round 11): each BSP
+    round expands only the (seed, node) pairs settled in the previous
+    round — exact for hop-synchronous min-dist BFS (a node first
+    reached at hop k has dist k; re-expanding it later only produces
+    candidates that lose the min) — so total join volume is
+    O(E * seeds) across ALL rounds instead of O(reached * deg) PER
+    round; on this dense diameter-~3 graph the old full re-expansion
+    pushed ~19M rows per late round through the shuffle for zero new
+    labels. Lineage truncated by lazy checkpoints; the oracle replays
+    the same fixed full-relaxation rounds (min-label monotone — the
+    distances are identical)."""
     from zoom_spark.queries.advanced_analytics import _co_purchase_edges
 
     from zoom_spark.operators.sizing import frame_partitions
@@ -2137,17 +2144,24 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.broadcast(seeds).select(
         "s", F.col("s").alias("node"), F.lit(0).alias("dist")
     ).localCheckpoint(eager=False)
+    frontier = d
     for _ in range(HC_HOPS):
-        step = (
-            d.join(e, d["node"] == e["a"])
-            .select("s", F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
-        )
-        d = (
-            d.unionByName(step)
+        cand = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select(
+                "s",
+                F.col("b").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
             .groupBy("s", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
         )
+        # the new BFS layer: candidates not yet settled (any settled
+        # (s, node) has dist <= current hop, so it would lose the min)
+        frontier = cand.join(
+            d.select("s", "node"), on=["s", "node"], how="left_anti"
+        ).localCheckpoint(eager=False)
+        d = d.unionByName(frontier).localCheckpoint(eager=False)
     return (
         d.where(F.col("dist") > 0)
         .groupBy("node")

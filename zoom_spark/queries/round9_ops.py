@@ -937,7 +937,17 @@ def poisson_glm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical unrolled updates.  For one binary
     covariate the MLE has the closed form beta_weekend =
     ln(mean_weekend / mean_weekday) — the referee checks the GD
-    fixpoint against it independently."""
+    fixpoint against it independently.
+    EXECUTION SPLIT (round 11; the memoized-Lloyd / MDS precedent):
+    the events table collapses to the CALENDAR-BOUNDED day frame IN
+    SPARK (the only data-sized stage at 100 TB — one groupBy), and
+    the 60 GD iterations run on the driver over that model-sized
+    (y, x) list with the identical 9dp-snapped updates — the prior
+    shape paid 60 Spark jobs (one 1-row collect per iteration,
+    ~0.15 s fixed latency each ≈ 9.5 s) for zero distributed work.
+    Per-iteration sub-1e-9 summation-order drift between the Python
+    mean and DuckDB's avg is absorbed by the same weight snap that
+    already absorbed the Spark-vs-DuckDB drift."""
     import math
 
     snap9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
@@ -948,30 +958,26 @@ def poisson_glm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 7
     ).cast("bigint")
-    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count("*").cast("bigint").alias("y"),
-        F.max(F.when(wd.isin(5, 6), 1.0).otherwise(0.0)).alias("x"),
+    rows = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("y"),
+            F.max(F.when(wd.isin(5, 6), 1.0).otherwise(0.0)).alias("x"),
+        )
+        .collect()
     )
-    st = d.agg(
-        (F.sum("y").cast("double") / F.count("*")).alias("my"),
-        F.count("*").cast("bigint").alias("n"),
-    ).collect()[0]
-    my, n = float(st["my"]), int(st["n"])
-    sc = d.select(
-        (F.col("y").cast("double") / F.lit(my)).alias("ys"), "x"
-    ).persist()
-    try:
-        b = c1 = 0.0
-        for _ in range(POIS_ITERS):
-            mu = F.exp(F.lit(b) + F.lit(c1) * F.col("x"))
-            g = sc.agg(
-                F.avg(F.col("ys") - mu).alias("g0"),
-                F.avg((F.col("ys") - mu) * F.col("x")).alias("g1"),
-            ).collect()[0]
-            b = snap9(b + POIS_LR * g["g0"])
-            c1 = snap9(c1 + POIS_LR * g["g1"])
-    finally:
-        sc.unpersist()
+    n = len(rows)
+    my = float(sum(r["y"] for r in rows)) / n  # exact: int sum, one div
+    day = [(r["y"] / my, r["x"]) for r in rows]
+    b = c1 = 0.0
+    for _ in range(POIS_ITERS):
+        g0 = g1 = 0.0
+        for ys, x in day:
+            r = ys - math.exp(b + c1 * x)
+            g0 += r
+            g1 += r * x
+        b = snap9(b + POIS_LR * g0 / n)
+        c1 = snap9(c1 + POIS_LR * g1 / n)
     snap6c = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     one = load_table(spark, sf_dir, "events").limit(1).select(F.lit(1))
     return one.select(
