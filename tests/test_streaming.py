@@ -858,6 +858,15 @@ def test_stream_merge_upsert_crash_midbatch_recovery(spark, tmp_path):
         "b1.parquet", [(1, "a", 10), (2, "b", 11), (2, "b2", 12), (3, "c", 13)]
     )
     write_changes("b2.parquet", [(1, "a2", 20), (4, "d", 21)])
+    # pin discovery order (file source orders by mtime): under heavy
+    # machine load the two writes can land close enough for a tie,
+    # making "epoch 1 == b2" nondeterministic
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "b1.parquet", (now - 10, now - 10))
+    _os.utime(src / "b2.parquet", (now, now))
 
     def stream():
         return (
@@ -884,7 +893,10 @@ def test_stream_merge_upsert_crash_midbatch_recovery(spark, tmp_path):
     with pytest.raises(StreamingQueryException):
         q.awaitTermination()
     assert crashed["done"], "fault injection never fired"
-    # the crashed epoch's merge DID reach the sink (at-least-once)
+    # the crashed epoch's merge DID reach the sink (at-least-once);
+    # refresh first — a cached listing of the just-overwritten path
+    # served the pre-merge snapshot once under full-machine load
+    spark.catalog.refreshByPath(sink)
     mid = {r["k"]: (r["v"], r["seq"]) for r in spark.read.parquet(sink).collect()}
     assert mid[1] == ("a2", 20) and mid[4] == ("d", 21)
 

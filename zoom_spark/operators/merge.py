@@ -34,10 +34,21 @@ def merge_upsert_to_path(
     keys: list[str] | str,
 ) -> None:
     """Full-table merge rewrite for unpartitioned sinks (bootstrap
-    when the sink does not exist yet)."""
-    import os
+    when the sink does not exist yet).
 
-    if os.path.exists(path):
+    Existence is probed through the Hadoop FileSystem API, not
+    ``os.path`` — the sink is an HDFS/S3 URI on a real cluster, where
+    a local-FS check would silently report "absent" and the merge
+    would DROP the whole existing table into a bootstrap overwrite.
+    After the final write the path's cached file listing is refreshed
+    so a reader in the same session can never serve the pre-merge
+    snapshot (same-session read-after-overwrite staleness surfaced as
+    a load flake in the crash-recovery e2e, round 11)."""
+    jvm = spark._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         existing = spark.read.parquet(path)
         merged = merge_upsert(existing, updates, keys)
     else:
@@ -48,9 +59,8 @@ def merge_upsert_to_path(
     merged.write.mode("overwrite").parquet(staging)
     final = spark.read.parquet(staging)
     final.write.mode("overwrite").parquet(path)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def compact_small_files(
