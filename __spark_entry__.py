@@ -29,54 +29,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.flagship_delta(spark, "/root/testdata/sf0.001")
 
 
-# Every name the driver has adjudicated in CORRECTNESS_r01..r10 —
+# Every name the driver has adjudicated in CORRECTNESS_r01..r11 —
 # the rotation fronts names NOT in this set (refresh per round).
 _DRIVER_SAMPLED = frozenset({
-    'ab_test_proportions', 'adamic_adar_link_prediction',
-    'als_one_sweep_rmse', 'anova_f_segments', 'anti_join_customers',
-    'approx_distinct_parts', 'approx_quantiles_prices', 'array_functions',
-    'asof_forward_tolerance', 'asof_purchase_view',
-    'association_rules_pairs', 'average_precision_purchase',
-    'bartlett_variance_priorities', 'bayes_ab_prob_purchase',
-    'benchmark_contamination', 'benford_first_digit',
-    'bfs_reachable_parts', 'bh_fdr_correction', 'bigram_counts',
-    'bigram_logprob_quality', 'bitmap_day_activity',
+    'ab_test_proportions', 'abc_xyz_inventory',
+    'adamic_adar_link_prediction', 'als_one_sweep_rmse', 'anova_f_segments',
+    'anti_join_customers', 'approx_distinct_parts',
+    'approx_quantiles_prices', 'array_functions', 'asof_forward_tolerance',
+    'asof_purchase_view', 'association_rules_pairs',
+    'average_precision_purchase', 'bartlett_variance_priorities',
+    'bayes_ab_prob_purchase', 'benchmark_contamination',
+    'benford_first_digit', 'bfs_reachable_parts', 'bh_fdr_correction',
+    'bigram_counts', 'bigram_logprob_quality', 'bitmap_day_activity',
     'bitmap_exact_distinct_customers', 'blocklist_scan_docs',
-    'bm25_ranking', 'bpe_merge_candidates', 'bpe_token_counts',
-    'breslow_day_weekend_value', 'brier_decomposition_purchase',
-    'burrows_delta_sources', 'campaign_gap_report', 'canonical_doc_ids',
+    'bm25_ranking', 'boolean_aggregates', 'bpe_merge_candidates',
+    'bpe_token_counts', 'breslow_day_weekend_value',
+    'brier_decomposition_purchase', 'brunner_munzel_weekend',
+    'burrows_delta_sources', 'campaign_gap_report',
+    'canonical_correlation_customers', 'canonical_doc_ids',
     'canonical_ids_chained', 'case_when_buckets', 'cdc_chunks_docs',
     'chao1_shingle_richness', 'chi_square_independence',
     'cliffs_delta_weekend', 'co_purchase_triangles',
     'cochran_armitage_weekday_trend', 'cohort_retention',
-    'collect_sorted_lines', 'community_labels_copurchase',
+    'cohort_retention_matrix', 'collect_sorted_lines',
+    'community_labels_copurchase', 'competing_risks_cif',
     'conditional_entropy_props', 'conform_contract',
-    'corpus_to_shards_pipeline', 'correlated_scalar_vs_cust_avg',
-    'count_distinct_parts', 'count_rows', 'countmin_sketch_users',
-    'countmin_token_freq', 'cramers_v_event_dow',
+    'containment_neardup_pairs', 'corpus_to_shards_pipeline',
+    'correlated_scalar_vs_cust_avg', 'count_distinct_parts', 'count_rows',
+    'countmin_sketch_users', 'countmin_token_freq',
+    'covisitation_item_item_topk', 'cox_one_step_cohort',
+    'cramers_v_event_dow', 'cronbach_alpha_yearly_spend',
     'cross_join_status_region', 'ctfidf_cluster_terms', 'cube_orders',
-    'curation_pipeline_e2e', 'date_functions', 'dbscan_embedding_cells',
+    'cucconi_test_weekend', 'cuped_adjusted_ab', 'curation_pipeline_e2e',
+    'dagostino_k2_order_values', 'date_functions', 'dbscan_embedding_cells',
     'decision_stump_acctbal', 'decontaminate_ngram_overlap',
     'dedup_exact_docs', 'delta_method_ratio_ci',
-    'deterministic_random_walks', 'diebold_mariano_revenue',
-    'diff_in_diff_order_value', 'distinct_status', 'dixon_q_nations',
-    'doc_chunks', 'doc_fingerprints', 'docs_pipeline_clean',
-    'doremi_source_weights', 'dp_noisy_counts', 'dq_constraint_report',
-    'dsir_importance_weights', 'dunn_index_int_cells', 'duplicate_spans',
-    'duplicate_spans_invariant', 'durbin_watson_revenue_trend',
-    'effect_sizes_weekend', 'embedding_neardup', 'embedding_neardup_lsh',
-    'epoch_timezone_functions', 'equidepth_histogram', 'except_customers',
-    'exists_heavy_lineitem', 'explode_doc_tokens',
-    'exponential_fit_interevent', 'feature_hashing_vectors',
-    'feature_information_gain', 'fellegi_sunter_part_linkage',
-    'filter_eq', 'fisher_exact_weekend_purchase', 'flagship_delta',
+    'deterministic_random_walks', 'dfa_alpha_revenue',
+    'diebold_mariano_revenue', 'diff_in_diff_order_value',
+    'distinct_status', 'dixon_q_nations', 'doc_chunks', 'doc_fingerprints',
+    'docs_pipeline_clean', 'doremi_source_weights',
+    'dp_median_exponential_mechanism', 'dp_noisy_counts',
+    'dq_constraint_report', 'dsir_importance_weights',
+    'dunn_index_int_cells', 'duplicate_spans', 'duplicate_spans_invariant',
+    'durbin_watson_revenue_trend', 'effect_sizes_weekend',
+    'embedding_neardup', 'embedding_neardup_lsh',
+    'epoch_timezone_functions', 'equidepth_histogram',
+    'event_pattern_sessions', 'except_customers', 'exists_heavy_lineitem',
+    'explode_doc_tokens', 'exponential_fit_interevent',
+    'feature_hashing_vectors', 'feature_information_gain',
+    'fellegi_sunter_part_linkage', 'filter_eq',
+    'fisher_exact_weekend_purchase', 'flagship_delta',
     'frequent_directions_spectrum', 'friedman_priority_by_weekday',
     'full_outer_balance', 'funnel_signup_purchase', 'fuzzy_name_pairs',
     'fuzzy_part_matches', 'gdpr_erasure_cascade', 'gini_customer_spend',
     'gopher_quality_flags', 'granger_count_to_revenue',
-    'groupby_multi_agg', 'grouping_sets_sql', 'hard_negative_pairs',
-    'hard_negative_pairs_ann', 'harmonic_centrality_parts',
-    'heaps_law_fit', 'heavy_hitter_tokens', 'herfindahl_supplier_nation',
+    'group_kfold_assignment', 'groupby_multi_agg', 'grouping_sets_sql',
+    'hamming_knn_signbits', 'hard_negative_pairs',
+    'hard_negative_pairs_ann', 'harmonic_centrality_parts', 'heaps_law_fit',
+    'heavy_hitter_tokens', 'herfindahl_supplier_nation',
     'higher_order_arrays', 'histogram_prices', 'hits_supplier_part',
     'hll_distinct_users', 'hoeffding_confidence_sequence',
     'holt_linear_forecast_revenue', 'holt_winters_forecast_revenue',
@@ -86,84 +96,93 @@ _DRIVER_SAMPLED = frozenset({
     'interval_join_campaigns', 'isotonic_calibration',
     'jackknife_ratio_revenue_per_order', 'jaro_winkler_name_pairs',
     'jarque_bera_order_value', 'jl_random_projection', 'join_enrich',
-    'js_divergence_sources', 'k_truss_copurchase', 'kcore_parts',
-    'kll_quantile_sketch_prices', 'kmeans_corpus_cells', 'knn_bruteforce',
-    'knn_ivf', 'knn_ivf_fullprobe', 'knn_ivfpq', 'knn_lsh_bucketed',
-    'knn_pq_adc', 'kruskal_wallis_segments', 'ks_test_weekend_value',
+    'join_size_estimator', 'join_skew_advisor',
+    'jonckheere_terpstra_balance_orders', 'js_divergence_sources',
+    'k_truss_copurchase', 'kcore_parts', 'kll_quantile_sketch_prices',
+    'kmeans_corpus_cells', 'knn_bruteforce', 'knn_ivf', 'knn_ivf_fullprobe',
+    'knn_ivfpq', 'knn_lsh_bucketed', 'knn_pq_adc',
+    'kruskal_wallis_segments', 'ks_test_weekend_value',
     'l_diversity_report', 'label_centroids', 'lag_lead_orders', 'lang_id',
     'lateral_top_orders_per_customer', 'latest_order_per_customer',
     'left_lateral_latest_urgent_order', 'levene_brown_forsythe',
-    'lift_gains_deciles', 'linear_interp_fill', 'ljung_box_daily_revenue',
-    'local_clustering_parts', 'logrank_arm_conversion',
-    'logreg_purchase_model', 'louvain_moves_copurchase',
-    'mad_robust_anomaly', 'mann_whitney_u_weekend',
-    'mantel_haenszel_weekend_value', 'map_functions',
-    'margin_mutual_knn_pairs', 'math_functions', 'mcc_value_classifier',
-    'median_ci_order_stats', 'merge_order_intervals',
-    'minhash_dedup_docs', 'mix_shard_pipeline',
+    'lift_gains_deciles', 'linear_interp_fill', 'linear_touch_attribution',
+    'linkage_prefix_features', 'ljung_box_daily_revenue',
+    'lmoments_daily_revenue', 'local_clustering_parts', 'locf_gap_fill',
+    'logrank_arm_conversion', 'logreg_purchase_model',
+    'louvain_moves_copurchase', 'mad_robust_anomaly',
+    'mann_whitney_u_weekend', 'mantel_haenszel_weekend_value',
+    'map_functions', 'margin_mutual_knn_pairs', 'markov_transitions',
+    'math_functions', 'mcc_value_classifier', 'median_ci_order_stats',
+    'merge_order_intervals', 'minhash_dedup_docs', 'mix_shard_pipeline',
     'mixing_budget_allocation', 'mmr_rerank_topk', 'modern_aggregates',
-    'multimodal_audio_envelope', 'multimodal_decode_wav_ppm',
-    'multimodal_features', 'multimodal_metadata',
-    'multimodal_pitch_autocorr', 'multimodal_resize_ppm',
-    'multimodal_spectral_features', 'multimodal_video_frame_sample',
-    'ndcg_value_ranking', 'nelson_aalen_conversion',
-    'nested_json_extract', 'neyman_allocation', 'ngram_jaccard_dups',
-    'not_exists_quiet_customers', 'novelty_ngram_score', 'null_handling',
-    'null_safe_join_segments', 'ols_normal_equations',
-    'orders_lineitem_reconciliation', 'orders_per_day_densified',
-    'outer_join_counts', 'overdispersion_daily_events',
-    'pacf_daily_revenue', 'pack_docs_into_shards',
-    'pack_shards_token_budget', 'pagerank_parts',
-    'partial_correlation_daily', 'pca_project_corpus',
-    'percentile_prices', 'pii_redaction',
+    'mrr_value_ranking', 'multimodal_audio_envelope',
+    'multimodal_decode_wav_ppm', 'multimodal_features',
+    'multimodal_metadata', 'multimodal_pitch_autocorr',
+    'multimodal_resize_ppm', 'multimodal_spectral_features',
+    'multimodal_video_frame_sample', 'nation_rank_stability',
+    'ndcg_value_ranking', 'nelson_aalen_conversion', 'nested_json_extract',
+    'neyman_allocation', 'ngram_jaccard_dups', 'not_exists_quiet_customers',
+    'novelty_ngram_score', 'null_handling', 'null_safe_join_segments',
+    'ols_normal_equations', 'orders_lineitem_reconciliation',
+    'orders_per_day_densified', 'outer_join_counts',
+    'overdispersion_daily_events', 'pacf_daily_revenue',
+    'pack_docs_into_shards', 'pack_shards_token_budget', 'pagerank_parts',
+    'partial_correlation_daily', 'pca_project_corpus', 'percentile_prices',
+    'pettitt_daily_revenue', 'phrase_search_postings', 'pii_redaction',
     'pinball_loss_weekday_quantiles', 'pivot_status_counts',
-    'posting_lists', 'powerlaw_degree_fit', 'ppm_phash_neardup',
-    'profile_orders', 'proximity_search_postings', 'quality_scores',
-    'quantile_normalize_spend', 'quota_sample_per_source',
+    'poisson_glm_daily', 'posting_lists', 'powerlaw_degree_fit',
+    'ppm_phash_neardup', 'profile_orders', 'proximity_search_postings',
+    'quality_scores', 'quantile_normalize_spend',
+    'quantile_treatment_effects', 'quota_sample_per_source',
     'rake_keywords', 'randomized_response_estimate',
     'range_frame_rolling_revenue', 'range_join_ship_lag',
-    'rank_orders_by_price', 'readability_scores', 'recursive_tree_depth',
-    'regexp_groups', 'repetition_stats', 'rfm_scores',
-    'ridge_lineitem_price_model', 'robust_winnow_fingerprints',
-    'roc_auc_purchase_value', 'rollup_lineitem',
-    'running_sum_per_customer', 'runs_test_purchase_sequence',
-    'scalar_subquery_above_avg', 'seasonal_naive_mase', 'semdedup_corpus',
+    'rank_distributions', 'rank_orders_by_price', 'readability_scores',
+    'recursive_tree_depth', 'regexp_groups', 'repetition_stats',
+    'retention_decay_fit', 'rfm_scores', 'ridge_lineitem_price_model',
+    'risk_ratio_weekend_purchase', 'robust_winnow_fingerprints',
+    'roc_auc_purchase_value', 'rolling_30day_distinct_users',
+    'rollup_lineitem', 'rrf_fusion_ranking', 'running_sum_per_customer',
+    'runs_test_purchase_sequence', 'scalar_subquery_above_avg',
+    'seasonal_anomaly_days', 'seasonal_naive_mase', 'semdedup_corpus',
     'semi_join_customers', 'sequential_pattern_pairs',
     'session_window_events', 'sessionize_events_sql',
     'shapley_channel_attribution', 'shuffle_shards_deterministic',
     'siegel_tukey_weekend', 'simhash_dedup_docs', 'skyline_orders',
     'sliding_window_events', 'snapshot_diff_orders',
     'sorted_neighborhood_pairs', 'source_vocab_jaccard',
-    'sprt_purchase_rate', 'srm_check_assignment', 'stats_aggregates',
-    'stratified_kfold_docs', 'stratified_sample_docs', 'string_functions',
-    'stuart_maxwell_priority', 't_closeness_report',
-    'table_checksum_buckets', 'target_encoding_oof',
+    'spectral_entropy_revenue', 'spiegelhalter_z_calibration',
+    'split_leakage_report', 'sprt_purchase_rate', 'srm_check_assignment',
+    'stats_aggregates', 'stratified_kfold_docs', 'stratified_sample_docs',
+    'string_functions', 'stuart_maxwell_priority', 'suffix_array_corpus',
+    't_closeness_report', 'table_checksum_buckets', 'target_encoding_oof',
     'tdigest_quantiles_prices', 'temperature_mix_sample', 'text_stats',
     'textrank_keywords', 'tfidf_cosine_pairs', 'tfidf_top_terms',
     'theil_sen_revenue_trend', 'theta_sketch_segment_overlap',
-    'time_travel_asof_orders', 'time_weighted_avg', 'topk_orders',
-    'touch_attribution', 'tpch_q10_returned_items',
+    'time_travel_asof_orders', 'time_weighted_avg', 'token_stats_by_lang',
+    'topk_orders', 'touch_attribution', 'tpch_q10_returned_items',
     'tpch_q11_important_parts', 'tpch_q12_priority_by_returnflag',
     'tpch_q13_order_distribution', 'tpch_q14_promo_revenue',
     'tpch_q15_top_supplier', 'tpch_q16_supplier_cnt',
     'tpch_q17_small_quantity_revenue', 'tpch_q18_large_orders',
     'tpch_q19_disjunctive_revenue', 'tpch_q1_pricing',
-    'tpch_q20_excess_suppliers', 'tpch_q22_global_sales_opportunity',
-    'tpch_q2_top_supplier_per_nation', 'tpch_q3_shipping',
-    'tpch_q4_priority_count', 'tpch_q5_local_revenue',
+    'tpch_q20_excess_suppliers', 'tpch_q21_waiting_suppliers',
+    'tpch_q22_global_sales_opportunity', 'tpch_q2_top_supplier_per_nation',
+    'tpch_q3_shipping', 'tpch_q4_priority_count', 'tpch_q5_local_revenue',
     'tpch_q6_forecast_revenue', 'tpch_q7_nation_volume',
     'tpch_q8_market_share', 'tpch_q9_profit_by_nation_year',
     'train_val_test_split', 'try_functions', 'tukey_hsd_segments',
-    'tumbling_window_events', 'unigram_logprob_quality',
-    'union_pages_drift', 'unpivot_order_metrics', 'url_domain_stats',
-    'url_encode_names', 'user_value_slope',
+    'tumbling_window_events', 'two_segment_trend_fit',
+    'unigram_logprob_quality', 'union_pages_drift', 'unpivot_order_metrics',
+    'url_domain_stats', 'url_encode_names', 'user_value_slope',
     'variance_ratio_panel_priorities', 'variant_json_extract',
-    'vocab_doc_frequency', 'wasserstein_weekend_value',
-    'watermark_next_day', 'weighted_jaccard_adjacent',
+    'vocab_coverage_sizes', 'vocab_doc_frequency',
+    'wasserstein_weekend_value', 'watermark_next_day',
+    'weighted_jaccard_adjacent', 'weighted_kappa_orders',
     'weighted_minhash_dedup_docs', 'weighted_sample_docs',
-    'welch_ttest_weekend', 'window_frames', 'winnow_fingerprints',
-    'woe_iv_acctbal', 'zone_map_skipping_report', 'zorder_layout_keys',
-    'zscore_anomaly_events'
+    'welch_ttest_weekend', 'wilks_lambda_manova', 'window_frames',
+    'winnow_fingerprints', 'woe_iv_acctbal', 'word2vec_sampling_table',
+    'xbar_r_control_chart', 'zone_map_skipping_report',
+    'zorder_layout_keys', 'zscore_anomaly_events'
 })
 
 
@@ -179,7 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Because the gate samples only the first ~50 each round while the
     registry holds 350+, each module's list is ordered NEVER-DRIVER-
     SAMPLED names first (the frozen ``_DRIVER_SAMPLED`` set below holds
-    every name adjudicated in CORRECTNESS_r01..r10 — refresh it each
+    every name adjudicated in CORRECTNESS_r01..r11 — refresh it each
     round), each sublist rotated by a per-round offset (bump
     ``ROTATION_ROUND``), so each round's prefix sample adjudicates
     queries the driver has never seen while still covering every
@@ -189,14 +208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     from itertools import zip_longest
 
-    # Round 11: no gate-contract changes this round (the
-    # classical_mds_nations driver-path fix only changed behavior on
-    # sparse profile grids, which no shipped SF produces — its values
-    # are unchanged; it enters the fresh wave as a never-sampled r10
-    # name anyway). Keep the pin list empty so the full prefix drains
+    # Round 12: no gate-contract changes this round (registry frozen
+    # per the r11 verdict; only the suffix-array early-exit and k-truss
+    # frontier plan changes land, both value-identical and re-gated at
+    # 3 SFs). Keep the pin list empty so the full prefix drains
     # never-sampled names.
     resample_first = ()
-    ROTATION_ROUND = 11
+    ROTATION_ROUND = 12
     by_module: dict[str, list[tuple[str, Callable]]] = {}
     for name, fn in Q.QUERIES.items():
         if name in resample_first:

@@ -36,6 +36,16 @@ def _changed_names(qs: dict, base: str) -> set[str] | None:
         text=True,
         check=True,
     ).stdout.split()
+    # ADVICE r11: `git diff` never lists untracked files, so a brand-new
+    # query module would yield "nothing to sweep" — a false green on
+    # exactly the code most likely to be wrong. Fold them in.
+    diff += subprocess.run(
+        ["git", "-C", "/root/repo", "ls-files", "--others",
+         "--exclude-standard"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
     mod_of = {}
     for name, fn in qs.items():
         mod_of.setdefault(fn.__module__, set()).add(name)
@@ -46,6 +56,16 @@ def _changed_names(qs: dict, base: str) -> set[str] | None:
         mod = path[:-3].replace("/", ".")
         if mod in mod_of:
             picked |= mod_of[mod]
+        elif path == "tests/oracle_harness.py":
+            # ADVICE r11: the harness defines compare_query — the gate
+            # itself. A harness change invalidates every prior PASS, so
+            # refuse to narrow rather than sweep nothing.
+            print(
+                "--changed: tests/oracle_harness.py (the comparison gate) "
+                "changed — run the FULL sweep instead",
+                file=sys.stderr,
+            )
+            return None
         elif path.startswith(("tests/", "scripts/")) or path == "bench.py":
             continue  # no runtime effect on query results
         elif path == "__spark_entry__.py":

@@ -966,6 +966,10 @@ def poisson_glm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    # Partition order is nondeterministic; sort so the float-summation
+    # order of the GD gradients is reproducible run-to-run (ADVICE r11:
+    # the 1e-9 snap only absorbs drift away from grid half-boundaries).
+    rows.sort(key=lambda r: r["day"])
     n = len(rows)
     my = float(sum(r["y"] for r in rows)) / n  # exact: int sum, one div
     day = [(r["y"] / my, r["x"]) for r in rows]

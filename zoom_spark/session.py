@@ -75,7 +75,10 @@ def release_storage(spark: SparkSession) -> None:
 
     spark.catalog.clearCache()
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    # Blocking unpersist (ADVICE r11): this hook only runs OUTSIDE timed
+    # spans, and async removal could otherwise overlap the next query's
+    # timer — partially reintroducing the GC noise it exists to remove.
     while it.hasNext():
-        it.next()._2().unpersist(False)
+        it.next()._2().unpersist(True)
     # Drop py4j refs so the ContextCleaner can also reap broadcasts.
     gc.collect()
