@@ -365,8 +365,32 @@ HEADLINE = [
 ]
 
 
+def _ambient_load() -> dict:
+    """Machine-load snapshot so ambient-contention claims adjudicate
+    themselves (VERDICT r11 #7): 1-min loadavg plus the cumulative
+    /proc/stat jiffy counters (total and idle). Two snapshots bracket
+    the bench run; their delta gives machine-wide CPU busy-fraction
+    DURING the run, which separates "this box was loaded" from "a
+    query regressed" without a per-query diff argument."""
+    out: dict = {}
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(p) for p in parts]
+        out["cpu_jiffies_total"] = sum(vals)
+        out["cpu_jiffies_idle"] = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_before = _ambient_load()
     spark = get_spark("zoom-spark-bench")
     import __spark_entry__ as entry_mod
 
@@ -424,12 +448,26 @@ def main():
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_after = _ambient_load()
+    ambient = {"before": load_before, "after": load_after}
+    if (
+        "cpu_jiffies_total" in load_before
+        and "cpu_jiffies_total" in load_after
+    ):
+        dt = load_after["cpu_jiffies_total"] - load_before["cpu_jiffies_total"]
+        di = load_after["cpu_jiffies_idle"] - load_before["cpu_jiffies_idle"]
+        if dt > 0:
+            # Machine-wide busy fraction over the whole bench window
+            # (includes our own Spark work; compare ACROSS runs of the
+            # same code to spot ambient contention).
+            ambient["cpu_busy_frac"] = round(1.0 - di / dt, 3)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "ambient": ambient,
     }
     if errors:
         detail["errors"] = errors
@@ -459,6 +497,11 @@ def main():
         "error_count": len(errors),
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
+        "load_1m": [
+            load_before.get("loadavg_1m"),
+            load_after.get("loadavg_1m"),
+        ],
+        "cpu_busy_frac": ambient.get("cpu_busy_frac"),
     }
     while len(json.dumps(summary)) > 1200 and summary["queries"]:
         summary["queries"].pop(next(reversed(summary["queries"])))
