@@ -2310,3 +2310,57 @@ def test_corpus_scorecard_consistent_with_components(spark):
         drops = sum(bp[i][1] for i in ids)
         assert abs(r["boilerplate_share"] - drops / segs) < 1e-6
         assert r["total_tokens"] == sum(lex[i][1] for i in ids)
+
+
+def test_global_row_number_count_out(spark):
+    """count_out rides the offsets collect: the appended total must
+    equal the frame's row count, with no extra job needed."""
+    from zoom_spark.operators.prefix import global_row_number
+
+    df = spark.range(0, 257).selectExpr("id * 7 % 257 AS k")
+    out: list = []
+    ranked = global_row_number(df, ["k"], out_col="rn", count_out=out)
+    assert out == [257]
+    assert ranked.count() == 257
+
+
+def test_suffix_array_early_exit_corpus(spark, tmp_path):
+    """Manber-Myers fixpoint exit (round-12): a corpus whose suffixes
+    are all distinguishable after ONE doubling (every token unique
+    within and across docs) stabilizes rounds before
+    ceil(log2(max_len)); a wrong early exit would freeze ranks at a
+    coarser partition and corrupt the dense sa_rank order. Referee:
+    direct sorted-suffix recompute, same as the sf0.001 referee."""
+    from zoom_spark.queries.round7_ops import SA_TOP, suffix_array_corpus
+
+    # 3 docs x 20 globally-unique tokens: r0 already separates every
+    # suffix by first token, so round 1 (k=1) refines nothing and the
+    # loop must exit with ranks already final (log2(20) would run 5).
+    texts = {
+        f"d{d}": " ".join(f"tok{d:02d}{i:02d}" for i in range(20))
+        for d in range(3)
+    }
+    docs = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = suffix_array_corpus(spark, str(tmp_path)).collect()
+    suffixes = []
+    for doc_id, text in texts.items():
+        ts = text.split()
+        for p in range(len(ts)):
+            suffixes.append((tuple(ts[p:]), doc_id, p))
+    suffixes.sort(key=lambda s: s[0])
+    want = {}
+    rank, prev_key = 0, None
+    for key, doc, p in suffixes:
+        if key != prev_key:
+            rank += 1
+            prev_key = key
+        if rank > SA_TOP:
+            break
+        want[(doc, p)] = (rank, " ".join(key[:3]))
+    got = {
+        (r["doc_id"], r["pos"]): (r["sa_rank"], r["preview"]) for r in rows
+    }
+    assert got == want

@@ -150,6 +150,7 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    count_out: list | None = None,
 ) -> DataFrame:
     """Global 1-based row_number in ascending `order_cols` order
     WITHOUT the single-task global window: range-partition on the
@@ -168,7 +169,13 @@ def global_row_number(
     is whatever row carries rn = k.  Callers reading values at ranks
     (medians, quantile cuts) may therefore pass value-only keys;
     callers that join rn back to rows or diff consecutive rows must
-    append a unique id as the last column."""
+    append a unique id as the last column.
+
+    ``count_out``: optional list; the TOTAL row count (already known
+    on the driver from the per-partition offsets collect — no extra
+    job) is appended to it. Iterative callers (prefix-doubling
+    fixpoint tests) use this to detect convergence for free instead
+    of paying a separate count() over the ranked frame."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(p, *cols).withColumn(
@@ -183,6 +190,8 @@ def global_row_number(
     for r in sorted(totals, key=lambda r: r["_pid"]):
         offsets[r["_pid"]] = running
         running += r["_n"]
+    if count_out is not None:
+        count_out.append(running)
     off_df = df.sparkSession.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset bigint"
     )

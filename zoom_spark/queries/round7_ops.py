@@ -3134,9 +3134,15 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # r0: dense rank of the token itself = row number over DISTINCT
-    # tokens (two-phase, no global window)
+    # tokens (two-phase, no global window). n_classes accumulates the
+    # per-round distinct-rank counts (free: they ride the offsets
+    # collect) for the Manber-Myers early exit below; the oracle's
+    # fixed-round replay reaches the identical fixpoint because
+    # post-stability rounds are provably no-ops.
+    n_classes: list = []
     vocab = global_row_number(
-        tok.select("w").distinct(), ["w"], out_col="r"
+        tok.select("w").distinct(), ["w"], out_col="r",
+        count_out=n_classes,
     )
     cur = tok.join(vocab, on="w").select("doc_id", "pos", "r")
     # rounds beyond ceil(log2(longest doc)) are no-ops (every suffix
@@ -3169,7 +3175,21 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             paired.select("r", "r2").distinct(),
             ["r", "r2"],
             out_col="nr",
+            count_out=n_classes,
         )
+        # Manber-Myers fixpoint: if this doubling produced NO new rank
+        # classes (#distinct (r, r2) pairs == #distinct r), every class
+        # is stable — each old class maps to exactly one pair, so the
+        # dense re-rank is the identity, and by induction (members of
+        # a stable class have pairwise-tied ranks at offset 2^(k-1),
+        # whose classes are themselves stable) every later doubling is
+        # a no-op too. The surviving ties are genuinely identical
+        # suffixes (exact-clone docs), which the contract KEEPS tied.
+        # Skipping the remaining rounds is therefore value-identical;
+        # the convergence count rides the offsets collect inside
+        # global_row_number, so the test costs zero extra jobs.
+        if n_classes[-1] == n_classes[-2]:
+            break
         cur = paired.join(ranks, on=["r", "r2"]).select(
             "doc_id", "pos", F.col("nr").alias("r")
         ).localCheckpoint(eager=False)
