@@ -69,3 +69,82 @@ def test_canon_equates_date_and_midnight_timestamp():
     # ...but a real time-of-day difference still fails
     duck_side2 = pd.DataFrame({"d": [pd.Timestamp("1995-01-01 03:00:00")]})
     assert canon_frame(spark_side) != canon_frame(duck_side2)
+
+
+# --- _changed_names guards (r11 ADVICE: the --changed fast path must
+# never produce a false green) -------------------------------------
+
+
+def _fake_git(diff_files, untracked_files):
+    """subprocess.run stand-in: first call is `git diff --name-only`,
+    second is `git ls-files --others --exclude-standard`."""
+
+    class _R:
+        def __init__(self, out):
+            self.stdout = out
+
+    def run(cmd, **kw):
+        if "ls-files" in cmd:
+            return _R("\n".join(untracked_files) + "\n")
+        return _R("\n".join(diff_files) + "\n")
+
+    return run
+
+
+def _fake_queries(mod: str):
+    def fn(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+
+    fn.__module__ = mod
+    return {"some_query": fn}
+
+
+def test_changed_names_harvests_untracked_query_modules(monkeypatch):
+    """A brand-new, not-yet-added query module must enter the sweep —
+    `git diff` alone never lists untracked files (r11 ADVICE)."""
+    import scripts.check_oracle as co
+
+    monkeypatch.setattr(
+        co.subprocess, "run",
+        _fake_git([], ["zoom_spark/queries/new_mod.py"]),
+    )
+    qs = _fake_queries("zoom_spark.queries.new_mod")
+    assert co._changed_names(qs, "HEAD") == {"some_query"}
+
+
+def test_changed_names_refuses_on_oracle_harness_change(monkeypatch):
+    """tests/oracle_harness.py defines compare_query — the gate
+    itself. A harness diff must refuse to narrow (return None), not
+    fall into the blanket tests/ skip (r11 ADVICE)."""
+    import scripts.check_oracle as co
+
+    monkeypatch.setattr(
+        co.subprocess, "run", _fake_git(["tests/oracle_harness.py"], [])
+    )
+    assert co._changed_names(_fake_queries("x"), "HEAD") is None
+
+
+def test_changed_names_refuses_on_shared_module(monkeypatch):
+    import scripts.check_oracle as co
+
+    monkeypatch.setattr(
+        co.subprocess, "run",
+        _fake_git(["zoom_spark/operators/prefix.py"], []),
+    )
+    assert co._changed_names(_fake_queries("x"), "HEAD") is None
+
+
+def test_changed_names_skips_test_and_script_diffs(monkeypatch):
+    """Plain test/script/entry diffs have no runtime effect on query
+    results: empty pick set (caller prints 'nothing to sweep')."""
+    import scripts.check_oracle as co
+
+    monkeypatch.setattr(
+        co.subprocess, "run",
+        _fake_git(
+            ["tests/test_merge.py", "scripts/audit_plans.py",
+             "bench.py", "__spark_entry__.py", "BENCH_NOTES.md"],
+            [],
+        ),
+    )
+    assert co._changed_names(_fake_queries("x"), "HEAD") == set()
