@@ -29,31 +29,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.flagship_delta(spark, "/root/testdata/sf0.001")
 
 
-# Every name the driver has adjudicated in CORRECTNESS_r01..r11 —
+# Every name the driver has adjudicated in CORRECTNESS_r01..r12 —
 # the rotation fronts names NOT in this set (refresh per round).
 _DRIVER_SAMPLED = frozenset({
     'ab_test_proportions', 'abc_xyz_inventory',
-    'adamic_adar_link_prediction', 'als_one_sweep_rmse', 'anova_f_segments',
-    'anti_join_customers', 'approx_distinct_parts',
-    'approx_quantiles_prices', 'array_functions', 'asof_forward_tolerance',
-    'asof_purchase_view', 'association_rules_pairs',
+    'adamic_adar_link_prediction', 'als_one_sweep_rmse',
+    'anova_f_segments', 'ansari_bradley_weekend', 'anti_join_customers',
+    'approx_distinct_parts', 'approx_quantiles_prices', 'array_functions',
+    'asof_forward_tolerance', 'asof_purchase_view',
+    'association_rules_pairs', 'atkinson_index_spend',
     'average_precision_purchase', 'bartlett_variance_priorities',
     'bayes_ab_prob_purchase', 'benchmark_contamination',
     'benford_first_digit', 'bfs_reachable_parts', 'bh_fdr_correction',
-    'bigram_counts', 'bigram_logprob_quality', 'bitmap_day_activity',
-    'bitmap_exact_distinct_customers', 'blocklist_scan_docs',
-    'bm25_ranking', 'boolean_aggregates', 'bpe_merge_candidates',
-    'bpe_token_counts', 'breslow_day_weekend_value',
+    'bigram_counts', 'bigram_entropy_rate', 'bigram_logprob_quality',
+    'bitmap_day_activity', 'bitmap_exact_distinct_customers',
+    'bland_altman_order_totals', 'blocklist_scan_docs',
+    'bloom_filter_join_stats', 'bm25_ranking', 'boolean_aggregates',
+    'bpe_merge_candidates', 'bpe_token_counts',
+    'breslow_day_weekend_value', 'breusch_pagan_daily',
     'brier_decomposition_purchase', 'brunner_munzel_weekend',
     'burrows_delta_sources', 'campaign_gap_report',
     'canonical_correlation_customers', 'canonical_doc_ids',
     'canonical_ids_chained', 'case_when_buckets', 'cdc_chunks_docs',
-    'chao1_shingle_richness', 'chi_square_independence',
-    'cliffs_delta_weekend', 'co_purchase_triangles',
-    'cochran_armitage_weekday_trend', 'cohort_retention',
-    'cohort_retention_matrix', 'collect_sorted_lines',
+    'centroid_cosine_matrix', 'chao1_shingle_richness',
+    'chi_square_independence', 'chow_break_daily', 'cliffs_delta_weekend',
+    'co_purchase_triangles', 'cochran_armitage_weekday_trend',
+    'cohort_retention', 'cohort_retention_matrix', 'collect_sorted_lines',
     'community_labels_copurchase', 'competing_risks_cif',
-    'conditional_entropy_props', 'conform_contract',
+    'concordance_corr_daily', 'conditional_entropy_props',
+    'conform_contract', 'conformal_interval_coverage',
     'containment_neardup_pairs', 'corpus_to_shards_pipeline',
     'correlated_scalar_vs_cust_avg', 'count_distinct_parts', 'count_rows',
     'countmin_sketch_users', 'countmin_token_freq',
@@ -61,51 +65,59 @@ _DRIVER_SAMPLED = frozenset({
     'cramers_v_event_dow', 'cronbach_alpha_yearly_spend',
     'cross_join_status_region', 'ctfidf_cluster_terms', 'cube_orders',
     'cucconi_test_weekend', 'cuped_adjusted_ab', 'curation_pipeline_e2e',
-    'dagostino_k2_order_values', 'date_functions', 'dbscan_embedding_cells',
-    'decision_stump_acctbal', 'decontaminate_ngram_overlap',
-    'dedup_exact_docs', 'delta_method_ratio_ci',
-    'deterministic_random_walks', 'dfa_alpha_revenue',
-    'diebold_mariano_revenue', 'diff_in_diff_order_value',
-    'distinct_status', 'dixon_q_nations', 'doc_chunks', 'doc_fingerprints',
-    'docs_pipeline_clean', 'doremi_source_weights',
-    'dp_median_exponential_mechanism', 'dp_noisy_counts',
-    'dq_constraint_report', 'dsir_importance_weights',
-    'dunn_index_int_cells', 'duplicate_spans', 'duplicate_spans_invariant',
-    'durbin_watson_revenue_trend', 'effect_sizes_weekend',
-    'embedding_neardup', 'embedding_neardup_lsh',
-    'epoch_timezone_functions', 'equidepth_histogram',
+    'dagostino_k2_order_values', 'date_functions',
+    'dbscan_embedding_cells', 'decision_stump_acctbal',
+    'decontaminate_ngram_overlap', 'dedup_exact_docs',
+    'delta_method_ratio_ci', 'deterministic_random_walks',
+    'dfa_alpha_revenue', 'diebold_mariano_revenue',
+    'diff_in_diff_order_value', 'dist_distance_sources',
+    'distance_correlation_daily', 'distinct_status', 'dixon_q_nations',
+    'doc_chunks', 'doc_fingerprints', 'docs_pipeline_clean',
+    'doremi_source_weights', 'dp_median_exponential_mechanism',
+    'dp_noisy_counts', 'dq_constraint_report', 'dsir_importance_weights',
+    'dtw_weekly_profiles', 'dunn_index_int_cells', 'duplicate_spans',
+    'duplicate_spans_invariant', 'durbin_watson_revenue_trend',
+    'effect_sizes_weekend', 'embedding_neardup', 'embedding_neardup_lsh',
+    'epoch_timezone_functions', 'equidepth_histogram', 'event_burstiness',
     'event_pattern_sessions', 'except_customers', 'exists_heavy_lineitem',
     'explode_doc_tokens', 'exponential_fit_interevent',
     'feature_hashing_vectors', 'feature_information_gain',
     'fellegi_sunter_part_linkage', 'filter_eq',
     'fisher_exact_weekend_purchase', 'flagship_delta',
     'frequent_directions_spectrum', 'friedman_priority_by_weekday',
-    'full_outer_balance', 'funnel_signup_purchase', 'fuzzy_name_pairs',
-    'fuzzy_part_matches', 'gdpr_erasure_cascade', 'gini_customer_spend',
-    'gopher_quality_flags', 'granger_count_to_revenue',
-    'group_kfold_assignment', 'groupby_multi_agg', 'grouping_sets_sql',
-    'hamming_knn_signbits', 'hard_negative_pairs',
-    'hard_negative_pairs_ann', 'harmonic_centrality_parts', 'heaps_law_fit',
-    'heavy_hitter_tokens', 'herfindahl_supplier_nation',
-    'higher_order_arrays', 'histogram_prices', 'hits_supplier_part',
-    'hll_distinct_users', 'hoeffding_confidence_sequence',
-    'holt_linear_forecast_revenue', 'holt_winters_forecast_revenue',
-    'horvitz_thompson_total', 'huber_regression_revenue_trend',
+    'full_outer_balance', 'funnel_latency_percentiles',
+    'funnel_signup_purchase', 'fuzzy_name_pairs', 'fuzzy_part_matches',
+    'gdpr_erasure_cascade', 'gini_customer_spend',
+    'gk_gamma_priority_price', 'gopher_quality_flags',
+    'granger_count_to_revenue', 'group_kfold_assignment',
+    'groupby_multi_agg', 'grouping_sets_sql', 'gwet_ac1_orders',
+    'haar_wavelet_energy', 'hamming_knn_signbits', 'hard_negative_pairs',
+    'hard_negative_pairs_ann', 'harmonic_centrality_parts',
+    'hash_uniformity_cvm', 'heaps_law_fit', 'heavy_hitter_tokens',
+    'herfindahl_supplier_nation', 'higher_order_arrays',
+    'hill_tail_index_spend', 'histogram_prices', 'hits_supplier_part',
+    'hll_distinct_users', 'hodges_lehmann_weekend_shift',
+    'hoeffding_confidence_sequence', 'holt_linear_forecast_revenue',
+    'holt_winters_forecast_revenue', 'horvitz_thompson_total',
+    'huber_regression_revenue_trend', 'hurst_exponent_revenue',
     'icc_acctbal_nation', 'importance_weight_ess', 'in_subquery_parts',
     'incremental_agg_maintenance', 'intersect_customers',
     'interval_join_campaigns', 'isotonic_calibration',
-    'jackknife_ratio_revenue_per_order', 'jaro_winkler_name_pairs',
-    'jarque_bera_order_value', 'jl_random_projection', 'join_enrich',
-    'join_size_estimator', 'join_skew_advisor',
-    'jonckheere_terpstra_balance_orders', 'js_divergence_sources',
-    'k_truss_copurchase', 'kcore_parts', 'kll_quantile_sketch_prices',
-    'kmeans_corpus_cells', 'knn_bruteforce', 'knn_ivf', 'knn_ivf_fullprobe',
-    'knn_ivfpq', 'knn_lsh_bucketed', 'knn_pq_adc',
-    'kruskal_wallis_segments', 'ks_test_weekend_value',
-    'l_diversity_report', 'label_centroids', 'lag_lead_orders', 'lang_id',
-    'lateral_top_orders_per_customer', 'latest_order_per_customer',
-    'left_lateral_latest_urgent_order', 'levene_brown_forsythe',
-    'lift_gains_deciles', 'linear_interp_fill', 'linear_touch_attribution',
+    'iv_2sls_orders_revenue', 'jackknife_ratio_revenue_per_order',
+    'jaro_winkler_name_pairs', 'jarque_bera_order_value',
+    'jl_random_projection', 'join_enrich', 'join_size_estimator',
+    'join_skew_advisor', 'jonckheere_terpstra_balance_orders',
+    'js_divergence_sources', 'k_anonymity_report', 'k_truss_copurchase',
+    'kcore_parts', 'kendall_tau_b_priority_value', 'kendall_tau_topk',
+    'kendalls_w_weekday', 'kll_quantile_sketch_prices',
+    'kmeans_corpus_cells', 'knn_bruteforce', 'knn_ivf',
+    'knn_ivf_fullprobe', 'knn_ivfpq', 'knn_lsh_bucketed', 'knn_pq_adc',
+    'kpss_level_revenue', 'kruskal_wallis_segments',
+    'ks_test_weekend_value', 'l_diversity_report', 'label_centroids',
+    'lag_lead_orders', 'lang_id', 'lateral_top_orders_per_customer',
+    'latest_order_per_customer', 'left_lateral_latest_urgent_order',
+    'lepage_test_weekend', 'levene_brown_forsythe', 'lift_gains_deciles',
+    'linear_interp_fill', 'linear_touch_attribution',
     'linkage_prefix_features', 'ljung_box_daily_revenue',
     'lmoments_daily_revenue', 'local_clustering_parts', 'locf_gap_fill',
     'logrank_arm_conversion', 'logreg_purchase_model',
@@ -115,74 +127,86 @@ _DRIVER_SAMPLED = frozenset({
     'math_functions', 'mcc_value_classifier', 'median_ci_order_stats',
     'merge_order_intervals', 'minhash_dedup_docs', 'mix_shard_pipeline',
     'mixing_budget_allocation', 'mmr_rerank_topk', 'modern_aggregates',
-    'mrr_value_ranking', 'multimodal_audio_envelope',
-    'multimodal_decode_wav_ppm', 'multimodal_features',
-    'multimodal_metadata', 'multimodal_pitch_autocorr',
-    'multimodal_resize_ppm', 'multimodal_spectral_features',
-    'multimodal_video_frame_sample', 'nation_rank_stability',
-    'ndcg_value_ranking', 'nelson_aalen_conversion', 'nested_json_extract',
-    'neyman_allocation', 'ngram_jaccard_dups', 'not_exists_quiet_customers',
+    'morans_i_copurchase', 'mrr_value_ranking',
+    'multimodal_audio_envelope', 'multimodal_decode_wav_ppm',
+    'multimodal_features', 'multimodal_metadata',
+    'multimodal_pitch_autocorr', 'multimodal_resize_ppm',
+    'multimodal_spectral_features', 'multimodal_video_frame_sample',
+    'naive_bayes_source_classifier', 'nation_rank_stability',
+    'ndcg_value_ranking', 'negative_binomial_fit_events',
+    'nelson_aalen_conversion', 'nested_json_extract', 'neyman_allocation',
+    'ngram_jaccard_dups', 'not_exists_quiet_customers',
     'novelty_ngram_score', 'null_handling', 'null_safe_join_segments',
     'ols_normal_equations', 'orders_lineitem_reconciliation',
     'orders_per_day_densified', 'outer_join_counts',
     'overdispersion_daily_events', 'pacf_daily_revenue',
-    'pack_docs_into_shards', 'pack_shards_token_budget', 'pagerank_parts',
-    'partial_correlation_daily', 'pca_project_corpus', 'percentile_prices',
-    'pettitt_daily_revenue', 'phrase_search_postings', 'pii_redaction',
+    'pack_docs_into_shards', 'pack_shards_token_budget',
+    'padding_waste_report', 'pagerank_parts', 'partial_correlation_daily',
+    'pca_project_corpus', 'percentile_prices', 'periodogram_fixed_bins',
+    'personalized_pagerank_parts', 'pettitt_daily_revenue',
+    'phrase_search_postings', 'pii_redaction',
     'pinball_loss_weekday_quantiles', 'pivot_status_counts',
     'poisson_glm_daily', 'posting_lists', 'powerlaw_degree_fit',
-    'ppm_phash_neardup', 'profile_orders', 'proximity_search_postings',
-    'quality_scores', 'quantile_normalize_spend',
+    'ppm_phash_neardup', 'price_elasticity_loglog',
+    'process_rework_report', 'profile_orders', 'proximity_search_postings',
+    'quade_weekday_revenue', 'quality_scores', 'quantile_normalize_spend',
     'quantile_treatment_effects', 'quota_sample_per_source',
     'rake_keywords', 'randomized_response_estimate',
     'range_frame_rolling_revenue', 'range_join_ship_lag',
     'rank_distributions', 'rank_orders_by_price', 'readability_scores',
-    'recursive_tree_depth', 'regexp_groups', 'repetition_stats',
+    'recursive_tree_depth', 'regexp_groups',
+    'regression_discontinuity_acctbal', 'repetition_stats',
     'retention_decay_fit', 'rfm_scores', 'ridge_lineitem_price_model',
     'risk_ratio_weekend_purchase', 'robust_winnow_fingerprints',
     'roc_auc_purchase_value', 'rolling_30day_distinct_users',
     'rollup_lineitem', 'rrf_fusion_ranking', 'running_sum_per_customer',
-    'runs_test_purchase_sequence', 'scalar_subquery_above_avg',
-    'seasonal_anomaly_days', 'seasonal_naive_mase', 'semdedup_corpus',
+    'runs_test_purchase_sequence', 'sax_symbolic_revenue',
+    'scalar_subquery_above_avg', 'seasonal_anomaly_days',
+    'seasonal_decompose_revenue', 'seasonal_naive_mase', 'semdedup_corpus',
     'semi_join_customers', 'sequential_pattern_pairs',
     'session_window_events', 'sessionize_events_sql',
     'shapley_channel_attribution', 'shuffle_shards_deterministic',
     'siegel_tukey_weekend', 'simhash_dedup_docs', 'skyline_orders',
     'sliding_window_events', 'snapshot_diff_orders',
-    'sorted_neighborhood_pairs', 'source_vocab_jaccard',
+    'somers_d_balance_urgency', 'sorted_neighborhood_pairs',
+    'source_duplication_report', 'source_vocab_jaccard',
     'spectral_entropy_revenue', 'spiegelhalter_z_calibration',
     'split_leakage_report', 'sprt_purchase_rate', 'srm_check_assignment',
     'stats_aggregates', 'stratified_kfold_docs', 'stratified_sample_docs',
     'string_functions', 'stuart_maxwell_priority', 'suffix_array_corpus',
     't_closeness_report', 'table_checksum_buckets', 'target_encoding_oof',
-    'tdigest_quantiles_prices', 'temperature_mix_sample', 'text_stats',
-    'textrank_keywords', 'tfidf_cosine_pairs', 'tfidf_top_terms',
-    'theil_sen_revenue_trend', 'theta_sketch_segment_overlap',
+    'taylors_law_demand', 'tdigest_quantiles_prices',
+    'temperature_mix_sample', 'text_stats', 'textrank_keywords',
+    'tfidf_cosine_pairs', 'tfidf_top_terms', 'theil_sen_revenue_trend',
+    'theils_u_status_priority', 'theta_sketch_segment_overlap',
     'time_travel_asof_orders', 'time_weighted_avg', 'token_stats_by_lang',
-    'topk_orders', 'touch_attribution', 'tpch_q10_returned_items',
-    'tpch_q11_important_parts', 'tpch_q12_priority_by_returnflag',
-    'tpch_q13_order_distribution', 'tpch_q14_promo_revenue',
-    'tpch_q15_top_supplier', 'tpch_q16_supplier_cnt',
-    'tpch_q17_small_quantity_revenue', 'tpch_q18_large_orders',
-    'tpch_q19_disjunctive_revenue', 'tpch_q1_pricing',
-    'tpch_q20_excess_suppliers', 'tpch_q21_waiting_suppliers',
-    'tpch_q22_global_sales_opportunity', 'tpch_q2_top_supplier_per_nation',
-    'tpch_q3_shipping', 'tpch_q4_priority_count', 'tpch_q5_local_revenue',
+    'topk_orders', 'tost_equivalence_weekend', 'touch_attribution',
+    'tpch_q10_returned_items', 'tpch_q11_important_parts',
+    'tpch_q12_priority_by_returnflag', 'tpch_q13_order_distribution',
+    'tpch_q14_promo_revenue', 'tpch_q15_top_supplier',
+    'tpch_q16_supplier_cnt', 'tpch_q17_small_quantity_revenue',
+    'tpch_q18_large_orders', 'tpch_q19_disjunctive_revenue',
+    'tpch_q1_pricing', 'tpch_q20_excess_suppliers',
+    'tpch_q21_waiting_suppliers', 'tpch_q22_global_sales_opportunity',
+    'tpch_q2_top_supplier_per_nation', 'tpch_q3_shipping',
+    'tpch_q4_priority_count', 'tpch_q5_local_revenue',
     'tpch_q6_forecast_revenue', 'tpch_q7_nation_volume',
     'tpch_q8_market_share', 'tpch_q9_profit_by_nation_year',
     'train_val_test_split', 'try_functions', 'tukey_hsd_segments',
     'tumbling_window_events', 'two_segment_trend_fit',
-    'unigram_logprob_quality', 'union_pages_drift', 'unpivot_order_metrics',
-    'url_domain_stats', 'url_encode_names', 'user_value_slope',
-    'variance_ratio_panel_priorities', 'variant_json_extract',
-    'vocab_coverage_sizes', 'vocab_doc_frequency',
+    'unigram_logprob_quality', 'union_pages_drift',
+    'unpivot_order_metrics', 'url_domain_stats', 'url_encode_names',
+    'user_value_slope', 'variance_ratio_panel_priorities',
+    'variant_json_extract', 'vocab_coverage_sizes', 'vocab_doc_frequency',
     'wasserstein_weekend_value', 'watermark_next_day',
-    'weighted_jaccard_adjacent', 'weighted_kappa_orders',
-    'weighted_minhash_dedup_docs', 'weighted_sample_docs',
-    'welch_ttest_weekend', 'wilks_lambda_manova', 'window_frames',
-    'winnow_fingerprints', 'woe_iv_acctbal', 'word2vec_sampling_table',
-    'xbar_r_control_chart', 'zone_map_skipping_report',
-    'zorder_layout_keys', 'zscore_anomaly_events'
+    'weibull_fit_interevent', 'weighted_jaccard_adjacent',
+    'weighted_kappa_orders', 'weighted_minhash_dedup_docs',
+    'weighted_sample_docs', 'welch_ttest_weekend', 'wilks_lambda_manova',
+    'window_frames', 'winnow_fingerprints', 'woe_iv_acctbal',
+    'word2vec_sampling_table', 'xbar_r_control_chart', 'yule_walker_ar2',
+    'zip_moment_fit_events', 'zipf_exponent_fit',
+    'zone_map_skipping_report', 'zorder_layout_keys',
+    'zscore_anomaly_events'
 })
 
 
@@ -198,7 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Because the gate samples only the first ~50 each round while the
     registry holds 350+, each module's list is ordered NEVER-DRIVER-
     SAMPLED names first (the frozen ``_DRIVER_SAMPLED`` set below holds
-    every name adjudicated in CORRECTNESS_r01..r11 — refresh it each
+    every name adjudicated in CORRECTNESS_r01..r12 — refresh it each
     round), each sublist rotated by a per-round offset (bump
     ``ROTATION_ROUND``), so each round's prefix sample adjudicates
     queries the driver has never seen while still covering every
@@ -208,13 +232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     from itertools import zip_longest
 
-    # Round 12: no gate-contract changes this round (registry frozen
-    # per the r11 verdict; only the suffix-array early-exit and k-truss
-    # frontier plan changes land, both value-identical and re-gated at
-    # 3 SFs). Keep the pin list empty so the full prefix drains
-    # never-sampled names.
+    # Round 13: no gate-contract changes (registry frozen per the r12
+    # verdict's tail-drain mandate, third consecutive round). Keep the
+    # pin list empty so the full prefix drains never-sampled names
+    # (tail 166 -> target <=116).
     resample_first = ()
-    ROTATION_ROUND = 12
+    ROTATION_ROUND = 13
     by_module: dict[str, list[tuple[str, Callable]]] = {}
     for name, fn in Q.QUERIES.items():
         if name in resample_first:

@@ -390,7 +390,6 @@ def _ambient_load() -> dict:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_before = _ambient_load()
     spark = get_spark("zoom-spark-bench")
     import __spark_entry__ as entry_mod
 
@@ -422,6 +421,12 @@ def main():
     )
     warm.write.format("noop").mode("overwrite").save()
     li.count()
+
+    # ADVICE r12: sample the first ambient snapshot AFTER JVM startup
+    # and the warmup noop write, immediately before the timed loop —
+    # otherwise one-time startup/warmup CPU folds into cpu_busy_frac
+    # and dilutes the ambient-contention signal it exists to measure.
+    load_before = _ambient_load()
 
     from zoom_spark.session import release_storage
 

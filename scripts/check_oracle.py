@@ -66,6 +66,17 @@ def _changed_names(qs: dict, base: str) -> set[str] | None:
                 file=sys.stderr,
             )
             return None
+        elif path == "scripts/check_oracle.py":
+            # ADVICE r12: this file holds _changed_names itself — the
+            # narrowing logic. A regression here would self-certify via
+            # the blanket scripts/ skip below, the same false-green
+            # class the oracle_harness guard closed. Refuse to narrow.
+            print(
+                "--changed: scripts/check_oracle.py (the narrowing logic) "
+                "changed — run the FULL sweep instead",
+                file=sys.stderr,
+            )
+            return None
         elif path.startswith(("tests/", "scripts/")) or path == "bench.py":
             continue  # no runtime effect on query results
         elif path == "__spark_entry__.py":

@@ -134,6 +134,19 @@ def test_changed_names_refuses_on_shared_module(monkeypatch):
     assert co._changed_names(_fake_queries("x"), "HEAD") is None
 
 
+def test_changed_names_refuses_on_check_oracle_change(monkeypatch):
+    """scripts/check_oracle.py holds _changed_names itself — the
+    narrowing logic. Its own diff must refuse to narrow (return None),
+    not self-certify via the blanket scripts/ skip (r12 ADVICE)."""
+    import scripts.check_oracle as co
+
+    monkeypatch.setattr(
+        co.subprocess, "run",
+        _fake_git(["scripts/check_oracle.py"], []),
+    )
+    assert co._changed_names(_fake_queries("x"), "HEAD") is None
+
+
 def test_changed_names_skips_test_and_script_diffs(monkeypatch):
     """Plain test/script/entry diffs have no runtime effect on query
     results: empty pick set (caller prints 'nothing to sweep')."""
