@@ -2141,13 +2141,28 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.orderBy("node").limit(HC_SEEDS).select(
         F.col("node").alias("s")
     )
+    # Broadcast gate for the per-round (seed, node) frames: settled/
+    # frontier rows are bounded by HC_SEEDS * |V| (counted, never
+    # estimated). Checkpointed frames scan with unknown stats, so
+    # without the hint every BFS round re-shuffles the full edge frame
+    # for a sort-merge join (r13 A/B at sf0.1: 10.5 s shuffle vs
+    # 5.4-7.6 s broadcast, identical results); past the budget —
+    # the billion-node regime — the gate fails closed and the rounds
+    # keep today's shuffle join (operators/graph.BCAST_MAX_ROWS).
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if HC_SEEDS * nodes.count() <= BCAST_MAX_ROWS
+        else (lambda df: df)
+    )
     d = F.broadcast(seeds).select(
         "s", F.col("s").alias("node"), F.lit(0).alias("dist")
     ).localCheckpoint(eager=False)
     frontier = d
     for _ in range(HC_HOPS):
         cand = (
-            frontier.join(e, frontier["node"] == e["a"])
+            bcast(frontier).join(e, frontier["node"] == e["a"])
             .select(
                 "s",
                 F.col("b").alias("node"),
@@ -2159,7 +2174,7 @@ def harmonic_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the new BFS layer: candidates not yet settled (any settled
         # (s, node) has dist <= current hop, so it would lose the min)
         frontier = cand.join(
-            d.select("s", "node"), on=["s", "node"], how="left_anti"
+            bcast(d.select("s", "node")), on=["s", "node"], how="left_anti"
         ).localCheckpoint(eager=False)
         d = d.unionByName(frontier).localCheckpoint(eager=False)
     return (
