@@ -46,7 +46,19 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
+def _maybe_bcast(df: DataFrame, small: bool) -> DataFrame:
+    """Broadcast hint for the node-sized per-round min tables. The
+    star frames are checkpointed RDD scans with unknown stats, so
+    without the hint every round sort-merge-joins the edge frame
+    against a table one groupBy just proved is node-sized; ``small``
+    is derived from the COUNTED edge total each round (checksum rides
+    the convergence check, so the gate is free) and fails closed at
+    billion-node scale (r13 A/B at sf0.1: canonical_ids_chained
+    6.3 s shuffle vs 4.3 s broadcast, identical results)."""
+    return F.broadcast(df) if small else df
+
+
+def _large_star(edges: DataFrame, n_parts: int, small: bool = False) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
     min(N(u) ∪ {u}).  Emitted edges always point high -> low, so the
     component minimum only spreads downhill."""
@@ -57,7 +69,7 @@ def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
         .select("src", F.least("src", "mn").alias("mn"))
     )
     return (
-        sym.join(mins, "src")
+        sym.join(_maybe_bcast(mins, small), "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -66,7 +78,7 @@ def _large_star(edges: DataFrame, n_parts: int) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
+def _small_star(edges: DataFrame, n_parts: int, small: bool = False) -> DataFrame:
     """Orient every edge (max, min); for each center u connect u and
     all its (smaller) neighbors to the neighborhood minimum."""
     oriented = edges.select(
@@ -74,7 +86,7 @@ def _small_star(edges: DataFrame, n_parts: int) -> DataFrame:
         F.least("src", "dst").alias("dst"),
     ).where(F.col("src") != F.col("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
-    nbrs = oriented.join(mins, "src").select(
+    nbrs = oriented.join(_maybe_bcast(mins, small), "src").select(
         F.col("dst").alias("src"), F.col("mn").alias("dst")
     )
     centers = mins.select("src", F.col("mn").alias("dst"))
@@ -120,11 +132,16 @@ def _star_contraction(
         edges = edges.repartition(n_parts, "src").localCheckpoint(eager=False)
     rounds = 0
     converged = False
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
     for _ in range(max_iter):
         rounds += 1
-        edges = _small_star(_large_star(edges, n_parts), n_parts).localCheckpoint(
-            eager=False
-        )
+        # mins tables hold <= |V| <= 2 * edge-count rows; the checksum
+        # count from the previous round gates the broadcast for free
+        small = 2 * prev[0] <= BCAST_MAX_ROWS
+        edges = _small_star(
+            _large_star(edges, n_parts, small), n_parts, small
+        ).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             converged = True

@@ -288,8 +288,20 @@ def label_propagation_communities(
     # their parallelism. Per-round shuffles stay at the session count
     # with AQE trimming empties at runtime.
     sym = sym.localCheckpoint(eager=False)
-    n_parts = frame_partitions(sc, sym.count())
+    n_sym = sym.count()
+    n_parts = frame_partitions(sc, n_sym)
     sym = sym.repartition(n_parts, "b").localCheckpoint(eager=False)
+    # The label frame holds one row per node (<= n_sym rows), so the
+    # already-paid count gates a per-round broadcast hint: label frames
+    # are checkpointed RDD scans with unknown stats, and without the
+    # hint every round re-shuffles the edge frame for the vote join
+    # (r13 A/B at sf0.1: community_labels 8.2 s shuffle vs 5.0 s
+    # broadcast, identical results); fails closed at billion-node scale.
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if n_sym <= BCAST_MAX_ROWS
+        else (lambda df: df)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -298,7 +310,7 @@ def label_propagation_communities(
     )
     for _ in range(iterations):
         votes = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(bcast(labels), sym.b == labels.node)
             .groupBy(F.col("a"), F.col("community"))
             .agg(F.count("*").alias("n_votes"))
         )

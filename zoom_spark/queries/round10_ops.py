@@ -2003,6 +2003,22 @@ def katz_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # The per-round walk-count frame p holds one row per node
+    # (<= counted edge rows) — broadcast it into the edge join so each
+    # round stays map-side over the checkpointed edge frame instead of
+    # re-shuffling it for a sort-merge join (checkpointed scans carry
+    # unknown stats, so the planner never does this itself; r13 A/B at
+    # sf0.1: 4.4 s shuffle vs 3.1 s broadcast, identical results).
+    # Past the row budget the gate fails closed to today's shuffle
+    # join; p must stay checkpointed — each round's frame fans out to
+    # the next join AND its path_cols leg.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if e.count() <= BCAST_MAX_ROWS
+        else (lambda df: df)
+    )
     p = e.select(F.col("u").alias("node")).distinct().withColumn(
         "p", F.lit(1).cast("long")
     )
@@ -2011,7 +2027,7 @@ def katz_centrality_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, KATZ_DEPTH + 1):
         p = (
             e.join(
-                p.select(F.col("node").alias("v"), "p"), on="v"
+                bcast(p.select(F.col("node").alias("v"), "p")), on="v"
             )
             .groupBy(F.col("u").alias("node"))
             .agg(F.sum("p").cast("long").alias("p"))
