@@ -7628,19 +7628,35 @@ def luby_maximal_independent_set(
         .localCheckpoint(eager=False)
     )
     v = prio
+    # n_vertices was always counted for the output; counting it BEFORE
+    # the e-build lets the same paid count gate broadcast hints on every
+    # node-sized frame below (prio here; nbrmin/c/rm in the rounds —
+    # each holds <= n_vertices rows by construction). Checkpointed
+    # frames scan as ExistingRDD with unknown stats, so without the
+    # hint every round sort-merge-joins the edge frame against tables a
+    # groupBy/distinct just proved are node-sized (r13 A/B at sf0.1:
+    # 5.65 s shuffle vs 5.15 s broadcast, identical results); fails
+    # closed to the shuffle join at billion-node scale.
+    n_vertices = v.count()
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    bc = (
+        (lambda df: F.broadcast(df))
+        if n_vertices <= BCAST_MAX_ROWS
+        else (lambda df: df)
+    )
     e = (
         sup.join(
-            prio.select(F.col("x").alias("xu"), F.col("p").alias("pu_")),
+            bc(prio.select(F.col("x").alias("xu"), F.col("p").alias("pu_"))),
             F.col("u") == F.col("xu"),
         )
         .join(
-            prio.select(F.col("x").alias("xv"), F.col("p").alias("pv_")),
+            bc(prio.select(F.col("x").alias("xv"), F.col("p").alias("pv_"))),
             F.col("v") == F.col("xv"),
         )
         .select("u", "v", F.col("pu_").alias("pu"), F.col("pv_").alias("pv"))
         .localCheckpoint(eager=False)
     )
-    n_vertices = v.count()
     n_edges = e.count()
     mis_parts = []
     for _ in range(_MIS_ROUNDS):
@@ -7651,7 +7667,7 @@ def luby_maximal_independent_set(
             .agg(F.min("p").cast("long").alias("mp"))
         )
         c = (
-            v.join(nbrmin, on="x", how="left")
+            v.join(bc(nbrmin), on="x", how="left")
             .where(F.col("mp").isNull() | (F.col("p") < F.col("mp")))
             .select("x")
             .localCheckpoint(eager=False)
@@ -7660,29 +7676,35 @@ def luby_maximal_independent_set(
         rm = (
             c.select("x")
             .unionAll(
-                e.join(c.select(F.col("x").alias("cu")), F.col("u") == F.col("cu"))
+                e.join(
+                    bc(c.select(F.col("x").alias("cu"))),
+                    F.col("u") == F.col("cu"),
+                )
                 .select(F.col("v").alias("x"))
             )
             .unionAll(
-                e.join(c.select(F.col("x").alias("cv")), F.col("v") == F.col("cv"))
+                e.join(
+                    bc(c.select(F.col("x").alias("cv"))),
+                    F.col("v") == F.col("cv"),
+                )
                 .select(F.col("u").alias("x"))
             )
             .distinct()
             .localCheckpoint(eager=False)
         )
         v = v.join(
-            rm.select(F.col("x").alias("rx")),
+            bc(rm.select(F.col("x").alias("rx"))),
             F.col("x") == F.col("rx"),
             "left_anti",
         ).localCheckpoint(eager=False)
         e = (
             e.join(
-                rm.select(F.col("x").alias("ru")),
+                bc(rm.select(F.col("x").alias("ru"))),
                 F.col("u") == F.col("ru"),
                 "left_anti",
             )
             .join(
-                rm.select(F.col("x").alias("rv")),
+                bc(rm.select(F.col("x").alias("rv"))),
                 F.col("v") == F.col("rv"),
                 "left_anti",
             )
