@@ -82,7 +82,14 @@ def ngram_jaccard_pairs(
         ),
     ).where(F.size("sh") > 0)
 
-    exploded = sh.select("id", "blk", F.explode("sh").alias("g"))
+    # r13: the shingle subtrees fan out (exploded -> freq + ordered;
+    # ordered -> postings x2 + sides x2) and nothing reuses them — the
+    # before-plan scanned the documents parquet 32 times, re-shingling
+    # each time. Materialize each shared frame once; every leg below
+    # reads the checkpoint.
+    exploded = sh.select("id", "blk", F.explode("sh").alias("g")).localCheckpoint(
+        eager=False
+    )
     freq = exploded.groupBy("g").agg(F.count("*").alias("f"))
     # per-doc shingle array re-assembled in (global freq, hash) order;
     # this is one (doc, shingle) shuffle — linear in corpus size
@@ -95,6 +102,7 @@ def ngram_jaccard_pairs(
                 lambda e: e["g"],
             ).alias("sh")
         )
+        .localCheckpoint(eager=False)
     )
     n_sh = F.size("sh")
     prefix_len = (n_sh - F.ceil(n_sh * F.lit(float(threshold))) + 1).cast("int")

@@ -5053,6 +5053,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     products. Threshold applied on the unrounded cosine consistently
     on both sides."""
     docs = load_table(spark, sf_dir, "documents")
+    # r13: the TF/vec subtrees fan out (tf -> n_docs/idf/vec; vec ->
+    # norms/a/b) and nothing reuses them — the before-plan scanned the
+    # documents parquet 24 times, re-tokenizing each time. Materialize
+    # each shared frame once; every leg below reads the checkpoint.
     tf = (
         docs.select(
             "doc_id",
@@ -5062,6 +5066,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     n_docs = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
     idf = (
@@ -5072,11 +5077,28 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", F.log(F.col("n") * 1.0 / F.col("df")).alias("idf")
         )
     )
-    vec = tf.join(idf, "w").select(
-        "doc_id", "w", F.round(F.col("tf") * F.col("idf"), 6).alias("x")
+    vec = (
+        tf.join(idf, "w")
+        .select(
+            "doc_id", "w", F.round(F.col("tf") * F.col("idf"), 6).alias("x")
+        )
+        .localCheckpoint(eager=False)
     )
     norms = vec.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    ).localCheckpoint(eager=False)
+    # norms holds one row per doc — the collected scalar (one cheap agg
+    # over the checkpointed tf) gates a broadcast hint for the two
+    # norm lookups against the pair-space frame; checkpointed frames
+    # carry unknown stats, so the planner would sort-merge-join them.
+    # Fails closed to the shuffle join past the row budget.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    n_docs_val = n_docs.collect()[0]["n"]
+    bc = (
+        (lambda df: F.broadcast(df))
+        if n_docs_val <= BCAST_MAX_ROWS
+        else (lambda df: df)
     )
     # round 9: deterministic md5 query batch (~1/16) vs corpus — the
     # production similarity-lookup shape; the fixture's fixed 31-token
@@ -5104,14 +5126,18 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
     return (
         dots.join(
-            norms.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
-                "nrm", "na"
+            bc(
+                norms.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                    "nrm", "na"
+                )
             ),
             "id_a",
         )
         .join(
-            norms.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "nrm", "nb"
+            bc(
+                norms.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                    "nrm", "nb"
+                )
             ),
             "id_b",
         )
