@@ -378,3 +378,31 @@ def test_csv_malformed_row_quarantine(spark, tmp_path):
         spark, str(p), schema="a INT, b STRING", mode="DROPMALFORMED"
     )
     assert {r.a for r in dropped.collect()} == {1, 3}
+
+
+def test_spread_scan_spreads_single_split_scan(spark):
+    """r13: a single-split scan is round-robin-spread to the session's
+    parallelism so heavy map-side projections downstream parallelize;
+    rows are unchanged."""
+    from zoom_spark.io import spread_scan
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    assert base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    spread = spread_scan(base)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert sorted(r["doc_id"] for r in spread.collect()) == sorted(
+        r["doc_id"] for r in base.collect()
+    )
+
+
+def test_spread_scan_noop_on_parallel_input(spark):
+    """The 100 TB contract: an input already at >= target partitions is
+    returned untouched (no extra exchange)."""
+    from zoom_spark.io import spread_scan
+
+    n = spark.sparkContext.defaultParallelism
+    wide = load_table(spark, SF_DIR, "documents").repartition(n + 4)
+    assert spread_scan(wide) is wide

@@ -12,13 +12,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zoom_spark.functions.text import fingerprint_md5
+from zoom_spark.io import spread_scan
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per distinct normalized text: canonical (min) id +
-    duplicate count."""
+    duplicate count. r13: input spread before the md5+regex
+    fingerprint projection (single-split fixture scans would
+    otherwise serialize it on one task; no-op on a parallel scan)."""
     return (
-        df.select(
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col), fingerprint_md5(text_col).alias("__fp")
         )
         .groupBy("__fp")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from zoom_spark.dedup.ngram import jaccard
 from zoom_spark.functions.text import ws_tokens
+from zoom_spark.io import spread_scan
 
 
 _LONG_MAX = (1 << 63) - 1
@@ -97,11 +98,18 @@ def signature_df(
     CollapseProject from inlining the signature expression into every
     downstream consumer (8 band hashes -> 8 copies of the tree). The
     shuffled payload is only (id, K longs) per document — negligible
-    next to the band-bucket shuffle that follows at any scale."""
-    return df.select(
-        F.col(id_col).alias("id"),
+    next to the band-bucket shuffle that follows at any scale.
+
+    r13: the input is spread BEFORE the signature projection — the
+    fixture scans are single-split, so the shingle+fold work otherwise
+    runs in one task (spread_scan is a no-op on a parallel scan)."""
+    src = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    )
+    return src.select(
+        "id",
         minhash_signature(
-            hashed_shingles(F.col(text_col), shingle_n), num_hashes
+            hashed_shingles(F.col("__text"), shingle_n), num_hashes
         ).alias("sig"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
@@ -182,9 +190,13 @@ def minhash_dedup_pairs(
     # so the underlying shuffle subtrees are identical and Spark's
     # ReuseExchange computes the shingle projection once, not twice.
     # Hashed shingles: the exchange moves long arrays, not text.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+    # r13: input spread before the shingle projection (single-split
+    # fixture scans would otherwise serialize it on one task).
+    sh = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id",
+        hashed_shingles(F.col("__text"), shingle_n).alias("sh"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
@@ -295,9 +307,13 @@ def minhash_md5_dedup_pairs(
     # so ReuseExchange computes the shingles once; the second barrier
     # under `sig` stops CollapseProject from inlining the K-hash fold
     # into each of the 8 band hashes.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles_md5(F.col(text_col), shingle_n).alias("sh"),
+    # r13: input spread before the md5 shingle projection (single-
+    # split fixture scans would otherwise serialize it on one task).
+    sh = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id",
+        hashed_shingles_md5(F.col("__text"), shingle_n).alias("sh"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = sh.select(
         "id",

@@ -74,10 +74,20 @@ def ngram_jaccard_pairs(
     shingles sorted by (freq, hash) -> explode prefix postings ->
     equi-join on (block, shingle) -> exact Jaccard verify.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
+    # r13: input spread before the shingle projection (single-split
+    # fixture scans would otherwise serialize it on one task).
+    from zoom_spark.io import spread_scan
+
+    sh = spread_scan(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col(text_col).alias("__text"),
+        )
+    ).select(
+        "id",
+        "blk",
+        F.transform(shingles(F.col("__text"), n), lambda s: F.xxhash64(s)).alias(
             "sh"
         ),
     ).where(F.size("sh") > 0)

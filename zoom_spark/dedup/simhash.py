@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zoom_spark.functions.text import ws_tokens
+from zoom_spark.io import spread_scan
 
 BITS = 64
 
@@ -77,9 +78,13 @@ def simhash_blocks(df: DataFrame, text_col: str, id_col: str, *, max_distance: i
     width = BITS // n_blocks
     # Exchange barrier: materialize (id, sig) so CollapseProject
     # cannot inline the simhash expression into each block slice
-    # (see minhash.signature_df for the rationale).
-    sigd = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+    # (see minhash.signature_df for the rationale). r13: input spread
+    # before the vote fold (single-split fixture scans would
+    # otherwise serialize it on one task).
+    sigd = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id", simhash(F.col("__text")).alias("sig")
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     blocks = F.array(
         *[
@@ -175,8 +180,12 @@ def simhash_md5_dedup_pairs(
     (pigeonhole blocks: 4 x 15-bit slices for distance 3)."""
     n_blocks = max_distance + 1
     width = MD5_BITS // n_blocks
-    sigd = df.select(
-        F.col(id_col).alias("id"), simhash_md5(F.col(text_col)).alias("sig")
+    # r13: input spread before the 60-bit md5 vote fold (single-split
+    # fixture scans would otherwise serialize it on one task).
+    sigd = spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id", simhash_md5(F.col("__text")).alias("sig")
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     blocks = F.array(
         *[

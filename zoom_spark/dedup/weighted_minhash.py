@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zoom_spark.functions.text import ws_tokens
+from zoom_spark.io import spread_scan
 
 _TWO63 = float(1 << 63)
 
@@ -139,10 +140,14 @@ def weighted_signature_df(
 ) -> DataFrame:
     """(id, sig: array<long>) materialized behind an exchange barrier
     (see minhash.signature_df for why: CollapseProject would otherwise
-    re-inline the K-wide fold into every band consumer)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        weighted_minhash_signature(term_freqs(text_col), num_hashes).alias("sig"),
+    re-inline the K-wide fold into every band consumer). r13: input
+    spread before the fold (single-split fixture scans would
+    otherwise serialize it on one task)."""
+    return spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id",
+        weighted_minhash_signature(term_freqs("__text"), num_hashes).alias("sig"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
@@ -198,10 +203,13 @@ def exact_weighted_jaccard(pairs: DataFrame, tf: DataFrame) -> DataFrame:
 
 
 def term_freq_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, term, w) exploded long-form term frequencies."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(term_freqs(text_col)).alias("e"),
+    """(id, term, w) exploded long-form term frequencies. r13: input
+    spread before the sort+RLE fold (see weighted_signature_df)."""
+    return spread_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ).select(
+        "id",
+        F.explode(term_freqs("__text")).alias("e"),
     ).select("id", F.col("e.t").alias("term"), F.col("e.w").alias("w"))
 
 
@@ -215,8 +223,26 @@ def weighted_minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """LSH candidates from weighted signatures, verified with exact
-    weighted Jaccard >= threshold. Output: id_a, id_b, wjaccard."""
-    sig = weighted_signature_df(df, text_col, id_col, num_hashes=num_hashes)
+    weighted Jaccard >= threshold. Output: id_a, id_b, wjaccard.
+
+    r13: ONE term-frequency fold feeds both the signature and the
+    verification explode (they used to run the sort+RLE fold twice
+    from text), the input is spread before the fold (single-split
+    fixture scans would otherwise serialize it on one task), and the
+    shared tf-array frame is materialized once (localCheckpoint) for
+    its two consumers."""
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    tfarr = (
+        spread_scan(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        )
+        .select("id", term_freqs("__text").alias("tfa"))
+        .localCheckpoint(eager=False)
+    )
+    sig = tfarr.select(
+        "id",
+        weighted_minhash_signature(F.col("tfa"), num_hashes).alias("sig"),
+    ).repartition(n_par)
     bk = _band_rows(sig, num_hashes, bands)
     cands = (
         bk.withColumnRenamed("id", "id_a")
@@ -227,8 +253,13 @@ def weighted_minhash_dedup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # two consumers inside exact_weighted_jaccard (inter + left
+        # join) — materialize instead of re-running the band join
+        .localCheckpoint(eager=False)
     )
-    tf = term_freq_rows(df, text_col, id_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id"
+    tf = (
+        tfarr.select("id", F.explode("tfa").alias("e"))
+        .select("id", F.col("e.t").alias("term"), F.col("e.w").alias("w"))
+        .repartition(n_par, "id")
     )
     return exact_weighted_jaccard(cands, tf).where(F.col("wjaccard") >= threshold)

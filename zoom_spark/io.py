@@ -77,6 +77,34 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin-spread a pruned scan whose file layout yields fewer
+    partitions than the session's parallelism, so an expensive per-row
+    projection placed downstream runs on every core instead of inside
+    the scan task.
+
+    The bench fixtures are single-row-group parquet files: such a scan
+    can never split past one task, so any heavy map-side expression
+    chain (shingle/signature folds, md5 fingerprints, codec decodes)
+    otherwise executes serially regardless of core count. At
+    production scale a scan yields >= cores splits and this helper is
+    a NO-OP — the guard reads the planned scan partitioning (one
+    physical-plan conversion, no job, cheap because callers pass a
+    plain scan projection with no exchange underneath).
+
+    Call AFTER projecting the needed columns and BEFORE the expensive
+    projection: the exchange is a pushdown/pruning barrier, so only
+    pre-pruned bytes should cross it (optimization guide: project
+    before the exchange), and the heavy expression must sit above the
+    exchange to parallelize.
+    """
+    sc = df.sparkSession.sparkContext
+    target = n or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """S6: expose every table as a temp view so spark.sql() queries
     (S7 raw-SQL pushdown parity) can reference them by name."""
