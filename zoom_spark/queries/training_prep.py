@@ -641,7 +641,13 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), then an exact percentile over the B-row frame. At 100 TB
     the shuffle carries B rows per partition, not B× the data."""
     od = load_table(spark, sf_dir, "orders")
-    rep = od.select(
+    # r13: spread before the xB replicate explode — the md5 draw per
+    # (row, replicate) is the dominant cost and the single-split
+    # fixture scan would otherwise compute all of it on one task
+    # (no-op on a parallel scan; see io.spread_scan).
+    from zoom_spark.io import spread_scan
+
+    rep = spread_scan(od.select("o_orderkey", "o_totalprice")).select(
         "o_orderkey",
         F.col("o_totalprice").alias("x"),
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
@@ -5217,7 +5223,11 @@ def permutation_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.avg(F.when(F.col("grp") == 0, F.col("v")))
         ).alias("d")
     )
-    perms = s.select(
+    # r13: spread before the xK permutation explode (md5 label draw per
+    # (event, perm) would otherwise run on the single-split scan task).
+    from zoom_spark.io import spread_scan
+
+    perms = spread_scan(s).select(
         "event_id",
         "v",
         F.explode(F.sequence(F.lit(1), F.lit(PERM_K))).alias("p"),
