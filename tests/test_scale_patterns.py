@@ -198,6 +198,35 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     assert with_bloom == baseline and len(baseline) == 1
 
 
+def test_prefix_sum_multi_column_matches_chained_calls(spark):
+    """N running sums over one order key in ONE two-phase scan must be
+    bit-identical to N chained single-column prefix_sum calls (r13:
+    the rank-statistics family merges its 2-3 chained calls)."""
+    from pyspark.sql import functions as F
+
+    from zoom_spark.operators.prefix import prefix_sum
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("v"),
+        ((F.col("id") * 13) % 7 + 1).alias("na"),
+        ((F.col("id") * 29) % 5 + 1).alias("nb"),
+        ((F.col("id") % 3) * 0.25 + 0.5).alias("fx"),
+    )
+    merged = prefix_sum(
+        df, "v", ["na", "nb", "fx"], out_col=["ca", "cb", "cf"],
+        num_partitions=16,
+    )
+    chained = prefix_sum(df, "v", "na", out_col="ca", num_partitions=16)
+    chained = prefix_sum(chained, "v", "nb", out_col="cb", num_partitions=16)
+    chained = prefix_sum(chained, "v", "fx", out_col="cf", num_partitions=16)
+    assert merged.subtract(chained).count() == 0
+    assert chained.subtract(merged).count() == 0
+    # offset typing: integer columns stay bigint-exact, float stays double
+    sch = dict((f.name, f.dataType.simpleString()) for f in merged.schema)
+    assert sch["ca"] == "bigint" and sch["cb"] == "bigint"
+    assert sch["cf"] == "double"
+
+
 def test_prefix_sum_matches_single_partition_window(spark):
     """Two-phase distributed prefix sum == the single-task global
     window, including across many range partitions."""

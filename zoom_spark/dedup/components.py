@@ -192,7 +192,8 @@ def connected_components(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        # eager=False: the count below materializes it in the same job
+        .localCheckpoint(eager=False)
     )
     n_parts = frame_partitions(
         sym.sparkSession.sparkContext, labels.count()
@@ -217,7 +218,8 @@ def connected_components(
                 ).alias("__changed"),
             )
             .coalesce(n_parts)
-            .localCheckpoint()
+            # eager=False: the __changed count materializes it
+            .localCheckpoint(eager=False)
         )
         n_changed = updated.where("__changed").count()
         labels = updated.drop("__changed")

@@ -105,6 +105,26 @@ def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_rows(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Unconditionally round-robin a SMALL, bounded-cardinality frame
+    (e.g. the calendar-bounded day aggregate: ~2.4k rows at ANY scale
+    factor) across the session parallelism before an operation that
+    multiplies its rows — a pairwise/cross self-join.
+
+    Why: the multiplied output inherits the input's partitioning, and
+    a tiny post-shuffle frame is AQE-coalesced to one partition (its
+    BYTE size earns one task), so the O(n^2) pair generation and
+    everything computed on top of it runs serially no matter how many
+    cores the session has. Spreading n bounded rows costs one trivial
+    exchange at any scale; the quadratic stage then uses every core.
+
+    Only for frames whose row count is bounded by construction —
+    spreading an unbounded frame belongs to AQE, not to this helper.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(n or sc.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """S6: expose every table as a temp view so spark.sql() queries
     (S7 raw-SQL pushdown parity) can reference them by name."""

@@ -180,6 +180,12 @@ def synthesize_media_fixture(ids: DataFrame, id_col: str) -> DataFrame:
             StructField("media_type", StringType()),
         ]
     )
+    # r13 note: spreading the id scan HERE was measured and reverted —
+    # it wins only when the downstream codec work is heavy (WAV synth +
+    # decode: 3.0 -> 1.7 s) and loses on the cheap PPM-only resize path
+    # (0.6 -> 2.1 s: 3 chained mapInPandas stages x 32 tiny Arrow
+    # batches cost more than the serial synth). Heavy callers spread
+    # their pruned id scan BEFORE calling (multimodal_decode_wav_ppm).
     return ids.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
         run, schema=schema
     )

@@ -27,15 +27,27 @@ from pyspark.sql import functions as F
 def prefix_sum(
     df: DataFrame,
     order_col: str | list[str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds `out_col` = inclusive running sum of `value_col` in
     ascending `order_col` order (a column name or a list of names —
-    the combined key must be unique: it defines the global order)."""
+    the combined key must be unique: it defines the global order).
+
+    `value_col`/`out_col` may be parallel LISTS: N running sums over
+    the SAME order key share one range shuffle, one local-window pass,
+    one checkpoint and one totals collect instead of N of each (r13:
+    the rank-statistics family chained 2-3 prefix_sum calls, paying
+    the whole two-phase machinery per column). Per-column values are
+    bit-identical to N separate calls: the partitioning, each column's
+    local window sum and each column's offset accumulation are
+    unchanged — only the job count drops."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(vcols) == len(ocols), (vcols, ocols)
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(p, *cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -48,18 +60,30 @@ def prefix_sum(
     # one applied to the other corrupt the prefix. localCheckpoint
     # freezes one partitioning for both reads (at warehouse scale:
     # persist(DISK_ONLY) or a checkpoint dir).
-    local = ranged.withColumn(
-        "_local_cum", F.sum(value_col).over(w)
-    ).localCheckpoint()
+    # eager=False: the totals collect below is the FIRST action on the
+    # frame, so it materializes the checkpoint in the same job — an
+    # eager checkpoint would pay one extra full pass per call just to
+    # then re-read its own cache for the totals (guide §1.2: remove
+    # passes). Single materialization (and hence one frozen
+    # partitioning for both consumers) is still guaranteed: blocks are
+    # cached at first computation.
+    local = ranged
+    for i, vc in enumerate(vcols):
+        local = local.withColumn(f"_local_cum{i}", F.sum(vc).over(w))
+    local = local.localCheckpoint(eager=False)
     totals = (
-        local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+        local.groupBy("_pid")
+        .agg(*[F.sum(vc).alias(f"_tot{i}") for i, vc in enumerate(vcols)])
+        .collect()
     )
     # exclusive offsets in partition-id order (range partitions are
     # ordered by construction)
-    offsets, running = {}, 0
+    offsets: dict[int, list] = {}
+    running = [0] * len(vcols)
     for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = running
-        running += r["_tot"] or 0
+        offsets[r["_pid"]] = list(running)
+        for i in range(len(vcols)):
+            running[i] += r[f"_tot{i}"] or 0
     spark = df.sparkSession
     # offsets carry the value column's numeric kind: fractional value
     # columns (e.g. a running sum of ln k) need DOUBLE offsets, integer
@@ -70,24 +94,39 @@ def prefix_sum(
 
     from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
-    sum_dt = local.schema["_local_cum"].dataType
-    if isinstance(sum_dt, DecimalType):
-        off_type = sum_dt.simpleString()
-        cast = lambda v: decimal.Decimal(v)  # noqa: E731
-    elif isinstance(sum_dt, (DoubleType, FloatType)) or isinstance(
-        running, float
-    ):
-        off_type, cast = "double", float
-    else:
-        off_type, cast = "bigint", int
-    off_df = spark.createDataFrame(
-        [(pid, cast(off)) for pid, off in offsets.items()],
-        f"_pid int, _offset {off_type}",
+    off_types, casts = [], []
+    for i in range(len(vcols)):
+        sum_dt = local.schema[f"_local_cum{i}"].dataType
+        if isinstance(sum_dt, DecimalType):
+            off_types.append(sum_dt.simpleString())
+            casts.append(lambda v: decimal.Decimal(v))
+        elif isinstance(sum_dt, (DoubleType, FloatType)) or isinstance(
+            running[i], float
+        ):
+            off_types.append("double")
+            casts.append(float)
+        else:
+            off_types.append("bigint")
+            casts.append(int)
+    schema = "_pid int, " + ", ".join(
+        f"_offset{i} {t}" for i, t in enumerate(off_types)
     )
-    return (
-        local.join(F.broadcast(off_df), on="_pid")
-        .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")))
-        .drop("_pid", "_local_cum", "_offset")
+    off_df = spark.createDataFrame(
+        [
+            (pid, *[casts[i](off[i]) for i in range(len(vcols))])
+            for pid, off in offsets.items()
+        ],
+        schema,
+    )
+    out = local.join(F.broadcast(off_df), on="_pid")
+    for i, oc in enumerate(ocols):
+        out = out.withColumn(
+            oc, F.col(f"_local_cum{i}") + F.col(f"_offset{i}")
+        )
+    return out.drop(
+        "_pid",
+        *[f"_local_cum{i}" for i in range(len(vcols))],
+        *[f"_offset{i}" for i in range(len(vcols))],
     )
 
 
@@ -119,9 +158,11 @@ def prefix_max(
     )
     # Same double-consumer hazard as prefix_sum: freeze ONE range
     # partitioning before the totals collect and the final join.
+    # eager=False: totals collect materializes the checkpoint (see
+    # prefix_sum)
     local = ranged.withColumn(
         "_local_mx", F.max(value_col).over(w)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     totals = (
         local.groupBy("_pid").agg(F.max(value_col).alias("_tot")).collect()
     )
@@ -182,9 +223,11 @@ def global_row_number(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
+    # eager=False: totals collect materializes the checkpoint (see
+    # prefix_sum)
     local = ranged.withColumn(
         "_local_rn", F.row_number().over(w)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     totals = local.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
     offsets, running = {}, 0
     for r in sorted(totals, key=lambda r: r["_pid"]):
@@ -263,7 +306,7 @@ def grouped_rank(
         local_cols.append(F.dense_rank().over(w).alias("_local_dense"))
     # Freeze one partitioning for the two consumers (offsets collect +
     # final join) — same hazard prefix_sum documents.
-    local = ranged.select(*local_cols).localCheckpoint()
+    local = ranged.select(*local_cols).localCheckpoint(eager=False)
     aggs = [F.count("*").alias("_n")]
     if dense_rank_col is not None:
         # dense_rank() treats NULL as a rank value, but countDistinct

@@ -630,9 +630,16 @@ def _co_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     any SF — the co-purchase notion itself caps it), so the explode
     stays linear in lineitem rows at 100 TB. A retail-scale variant
     with giant baskets would cap/sample baskets first."""
+    from zoom_spark.io import spread_scan
+
+    # The partial collect_set fold otherwise runs inside the scan task
+    # (single-row-group fixture => one task); no-op on a parallel scan.
     grp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        spread_scan(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            )
+        )
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )

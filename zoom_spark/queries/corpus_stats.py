@@ -575,11 +575,17 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-frequency) and chao1_shingle_richness (asymptote)."""
     from zoom_spark.operators.prefix import global_row_number
 
+    from zoom_spark.io import spread_scan
+
     docs = load_table(spark, sf_dir, "documents")
     ts = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
     )
-    grams = docs.select("doc_id", ts.alias("ts")).select(
+    # 3-gram expansion below the first exchange: spread the pruned
+    # single-split scan so it folds on every core (no-op when parallel)
+    grams = spread_scan(docs.select("doc_id", "text")).select(
+        "doc_id", ts.alias("ts")
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(

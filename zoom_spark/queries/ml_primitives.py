@@ -118,8 +118,7 @@ def decision_stump_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cnt"),
         F.sum("y").cast("bigint").alias("pos"),
     )
-    cum = prefix_sum(pv, "v", "cnt", out_col="nl")
-    cum = prefix_sum(cum, "v", "pos", out_col="pl")
+    cum = prefix_sum(pv, "v", ["cnt", "pos"], out_col=["nl", "pl"])  # merged: one two-phase scan for all running sums (r13)
     tot = pv.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("p"),

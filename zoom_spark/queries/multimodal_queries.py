@@ -88,7 +88,11 @@ def multimodal_decode_wav_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the pytest roundtrip suite instead."""
     from zoom_spark.multimodal.binary_ops import decode_media, synthesize_media_fixture
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from zoom_spark.io import spread_scan
+
+    # WAV synth + full decode are heavy per row and otherwise run in
+    # the single-split scan's one task (no-op on a parallel scan)
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     media = synthesize_media_fixture(docs, id_col="doc_id")
     dec = decode_media(media)
     return dec.select(

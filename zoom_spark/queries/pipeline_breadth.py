@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zoom_spark.io import load_table
+from zoom_spark.io import load_table, spread_scan
 from zoom_spark.queries import register
 
 GRAM = 24
@@ -72,8 +72,13 @@ def duplicate_spans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and hits ONE hash shuffle on the 16-byte gram hash; no join
     of document against document ever happens."""
     docs = load_table(spark, sf_dir, "documents")
+    # ~len(text) md5 evaluations per doc sit below the first exchange;
+    # spread the pruned scan so the fold uses every core (no-op on a
+    # parallel scan).
     grams = (
-        docs.where(F.length("text") >= GRAM)
+        spread_scan(
+            docs.where(F.length("text") >= GRAM).select("doc_id", "text")
+        )
         .select(
             "doc_id",
             F.explode(
@@ -151,7 +156,9 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the overestimate property (cms_est >= true_freq) on real
     data; the Hypothesis test generalizes it."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # CMS_DEPTH md5 draws per token sit below the groupBy exchange;
+    # spread the single-split scan (no-op on a parallel scan)
+    toks = spread_scan(docs.select("text")).select(
         F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     j = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")

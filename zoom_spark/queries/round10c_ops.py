@@ -8131,7 +8131,13 @@ def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncovered posting frame — all integer counts, so the pick
     sequence is deterministic and engine-exact.  Scales as
     O(rounds) shuffles over the (doc, term) posting frame."""
-    toks = load_table(spark, sf_dir, "documents").select(
+    from zoom_spark.io import spread_scan
+
+    # tokenize + bigram zip below the posting frame's first exchange:
+    # spread the pruned single-split scan (no-op on a parallel scan)
+    toks = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
@@ -8168,17 +8174,22 @@ def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).cast("long").alias("round"), "doc_id", "gain"
             )
         )
+        # pick is LITERALLY one row (limit(1)) and cov is the term set
+        # of that single document — both bounded by construction at any
+        # scale, but checkpointed/aggregated frames scan with unknown
+        # stats, so the planner would sort-merge-join the full posting
+        # frame against them every round (guide §3.1)
         cov = (
             u.join(
-                pick.select(F.col("doc_id").alias("pd")),
+                F.broadcast(pick.select(F.col("doc_id").alias("pd"))),
                 F.col("doc_id") == F.col("pd"),
             )
             .select("term")
             .distinct()
         )
-        u = u.join(cov, on="term", how="left_anti").localCheckpoint(
-            eager=False
-        )
+        u = u.join(
+            F.broadcast(cov), on="term", how="left_anti"
+        ).localCheckpoint(eager=False)
     allp = picks[0]
     for p in picks[1:]:
         allp = allp.unionAll(p)

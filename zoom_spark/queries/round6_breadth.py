@@ -177,7 +177,13 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = daily.count()
     n_pairs = nd * (nd - 1) // 2
     mid_lo, mid_hi = (n_pairs + 1) // 2, (n_pairs + 2) // 2
-    a_, b_ = daily.alias("a"), daily.alias("b")
+    # spread the calendar-bounded day frame so the O(days^2) slope-
+    # pair generation (and the range shuffle feeding the median rank)
+    # runs on every core instead of the one AQE-coalesced partition
+    from zoom_spark.io import spread_rows
+
+    dspread = spread_rows(daily)
+    a_, b_ = dspread.alias("a"), dspread.alias("b")
     slopes = a_.join(b_, F.col("a.d") < F.col("b.d")).select(
         (
             (F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d"))

@@ -1248,8 +1248,7 @@ def wasserstein_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp").cast("bigint").alias("na"),
         (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
     )
-    c = prefix_sum(pv, "v", "na", out_col="ca")
-    c = prefix_sum(c, "v", "nb", out_col="cb")
+    c = prefix_sum(pv, "v", ["na", "nb"], out_col=["ca", "cb"])  # merged: one two-phase scan for all running sums (r13)
     ranked = global_row_number(c, ["v"], out_col="rn")
     nxt = ranked.select(
         (F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next")
@@ -1848,9 +1847,13 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin hashes exactly; at 100 TB the phrase and word frames
     are vocabulary-sized, and the only data-sized shuffles are the
     token explode and the phrase aggregate."""
+    from zoom_spark.io import spread_scan
+
     docs = load_table(spark, sf_dir, "documents")
     stop = RAKE_STOPWORDS.split(",")
-    tok = docs.select(
+    # tokenize+explode below the first exchange: spread the pruned
+    # single-split scan (no-op on a parallel scan)
+    tok = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id",
         F.posexplode(
             F.filter(F.split(F.lower("text"), " "), lambda x: x != "")

@@ -2413,6 +2413,14 @@ def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cur", F.col("start"))
     )
+    # r13 measured and REJECTED: broadcasting the walker frame into the
+    # per-step edge join (gated on one up-front count), with and
+    # without spreading the checkpointed sym — steady 4.6-5.0 s vs the
+    # 3.8 s shuffle-join baseline. Unlike the batch-1/2 loops, each
+    # step here is join + min_by groupBy on the WALKER key, so the
+    # shuffle join already moves only walker-sized frames; the
+    # broadcast only added a per-step driver build. Keep the planner's
+    # join.
     for k in range(1, RW_STEPS + 1):
         w = (
             w.join(sym, w["cur"] == sym["a"])
@@ -2719,7 +2727,13 @@ def matrix_profile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
     ).localCheckpoint(eager=False)
     n = pos.count()
-    a, b = pos.alias("a"), pos.alias("b")
+    # spread the calendar-bounded position frame so the O(days^2)
+    # diagonal-product join runs on every core (the checkpointed day
+    # frame is one AQE-coalesced partition)
+    from zoom_spark.io import spread_rows
+
+    pspread = spread_rows(pos)
+    a, b = pspread.alias("a"), pspread.alias("b")
     # products along diagonals beyond the exclusion zone; diagonal
     # rows are contiguous in i, so a ROWS sliding frame is the exact
     # window dot: dot(i, i+d) = sum_{k<w} x[i+k] * x[i+d+k]
@@ -3127,8 +3141,13 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zoom_spark.operators.prefix import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize+posexplode otherwise materializes inside the single-
+    # split scan task (spread_scan is a no-op on a parallel scan)
+    from zoom_spark.io import spread_scan
+
     tok = (
-        docs.select(
+        spread_scan(docs.select("doc_id", "text"))
+        .select(
             "doc_id", F.posexplode(ws_tokens(F.lower("text"))).alias("pos", "w")
         )
         .localCheckpoint(eager=False)
@@ -4280,7 +4299,14 @@ def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
     ).localCheckpoint(eager=False)
     n = daily.count()
-    a, b = daily.alias("a"), daily.alias("b")
+    # spread the calendar-bounded day frame: the O(days^2) crossJoin
+    # inherits its partitioning, and the checkpointed day aggregate is
+    # one AQE-coalesced partition — the whole pair stage would run
+    # serially on any core count
+    from zoom_spark.io import spread_rows
+
+    dspread = spread_rows(daily)
+    a, b = dspread.alias("a"), dspread.alias("b")
     pairs = a.crossJoin(b).select(
         F.col("a.day").alias("dj"),
         F.col("b.day").alias("dk"),
@@ -4401,8 +4427,7 @@ def cramer_von_mises_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp").cast("bigint").alias("na"),
         (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
     )
-    c = prefix_sum(pv, "v", "na", out_col="ca")
-    c = prefix_sum(c, "v", "nb", out_col="cb")
+    c = prefix_sum(pv, "v", ["na", "nb"], out_col=["ca", "cb"])  # merged: one two-phase scan for all running sums (r13)
     tot = pv.agg(
         F.sum("na").cast("bigint").alias("n_a"),
         F.sum("nb").cast("bigint").alias("n_b"),
@@ -4499,8 +4524,7 @@ def kuiper_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp").cast("bigint").alias("na"),
         (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
     )
-    c = prefix_sum(pv, "v", "na", out_col="ca")
-    c = prefix_sum(c, "v", "nb", out_col="cb")
+    c = prefix_sum(pv, "v", ["na", "nb"], out_col=["ca", "cb"])  # merged: one two-phase scan for all running sums (r13)
     tot = pv.agg(
         F.sum("na").cast("bigint").alias("n_a"),
         F.sum("nb").cast("bigint").alias("n_b"),

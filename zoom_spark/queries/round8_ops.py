@@ -2979,9 +2979,7 @@ def brunner_munzel_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
     )
     pv = pv.withColumn("c", (F.col("na") + F.col("nb")).cast("bigint"))
-    r = prefix_sum(pv, "v", "c", out_col="cp")
-    r = prefix_sum(r, "v", "na", out_col="ca")
-    r = prefix_sum(r, "v", "nb", out_col="cb")
+    r = prefix_sum(pv, "v", ["c", "na", "nb"], out_col=["cp", "ca", "cb"])  # merged: one two-phase scan for all running sums (r13)
     r = r.select(
         "v",
         "na",

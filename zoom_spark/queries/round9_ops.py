@@ -90,8 +90,7 @@ def cliffs_delta_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp").cast("bigint").alias("na"),
         (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
     )
-    r = prefix_sum(pv, "v", "nb", out_col="cb")
-    r = prefix_sum(r, "v", "na", out_col="ca")
+    r = prefix_sum(pv, "v", ["nb", "na"], out_col=["cb", "ca"])  # merged: one two-phase scan for all running sums (r13)
     agg = r.agg(
         F.sum("na").cast("bigint").alias("m"),
         F.sum("nb").cast("bigint").alias("n"),
@@ -601,8 +600,7 @@ def cox_one_step_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("bigint").alias("dcnt"),
         F.sum(F.col("d") * F.col("x")).cast("bigint").alias("dcnt1"),
     )
-    r = prefix_sum(tv, "t", "cnt", out_col="cp")
-    r = prefix_sum(r, "t", "cnt1", out_col="cp1")
+    r = prefix_sum(tv, "t", ["cnt", "cnt1"], out_col=["cp", "cp1"])  # merged: one two-phase scan for all running sums (r13)
     rs = r.crossJoin(F.broadcast(tot)).select(
         "t",
         "dcnt",

@@ -1471,8 +1471,7 @@ def ks_test_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp").cast("bigint").alias("na"),
         (F.count("*") - F.sum("grp")).cast("bigint").alias("nb"),
     )
-    c = prefix_sum(pv, "v", "na", out_col="ca")
-    c = prefix_sum(c, "v", "nb", out_col="cb")
+    c = prefix_sum(pv, "v", ["na", "nb"], out_col=["ca", "cb"])  # merged: one two-phase scan for all running sums (r13)
     tot = pv.agg(
         F.sum("na").cast("bigint").alias("n_a"),
         F.sum("nb").cast("bigint").alias("n_b"),
@@ -3949,11 +3948,17 @@ def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate (~2.4k rows at any SF ⇒ ≤ ~3M sign pairs,
     constant in corpus size); daily revenue is 2dp-rounded before
     comparison on both engines so the sign pattern is identical."""
+    from zoom_spark.io import spread_rows
+
     od = load_table(spark, sf_dir, "orders")
     daily = od.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    # spread the calendar-bounded day frame so the O(days^2) sign-pair
+    # generation runs on every core (AQE coalesces the tiny day
+    # aggregate to one partition, serializing the quadratic stage)
+    ds = spread_rows(daily)
+    a, b = ds.alias("a"), ds.alias("b")
     sgn = (
         F.when(F.col("b.rev") > F.col("a.rev"), 1)
         .when(F.col("b.rev") < F.col("a.rev"), -1)
