@@ -36,7 +36,7 @@ def main() -> None:
     conf_value, names = args[0], args[1:]
     runs = int(os.environ.get("AB_RUNS", "2"))
     spark = get_spark("ab-minpartsize")
-    default = spark.conf.get(CONF, "1m(default)")
+    default = "1m"  # documented Spark default for this conf
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
@@ -52,18 +52,15 @@ def main() -> None:
     for name in names:
         rows = {"A": [], "B": []}
         for _ in range(runs):
-            for side, val in (("A", None), ("B", conf_value)):
-                if val is None:
-                    spark.conf.unset(CONF)
-                else:
-                    spark.conf.set(CONF, val)
+            for side, val in (("A", default), ("B", conf_value)):
+                spark.conf.set(CONF, val)
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 rows[side].append(round(time.perf_counter() - t0, 2))
                 release_storage(spark)
-        spark.conf.unset(CONF)
+        spark.conf.set(CONF, default)
         out[name] = rows
         print(
             f"| {name} | A(default {default}): {rows['A']} -> "

@@ -74,6 +74,13 @@ def solve_side(
     joined = ratings.join(fixed, on=fixed_col).select(
         solve_col, rating_col, "vec"
     )
+    # r13 measured and REJECTED: pinning this exchange with an explicit
+    # keyed repartition (frame_partitions row sizing, reused by the
+    # groupBy) regressed the ALS sweep 8.4 -> 17.3 s at sf0.1 — the
+    # up-front ratings count + the pinned exchange interact badly with
+    # the lazy-checkpointed rating frame's one-shot plan. The pandas
+    # solves are per-ENTITY (thousands of independent groups), so at
+    # real scale AQE's byte-based sizing is adequate here.
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack(pdf["vec"].to_numpy())

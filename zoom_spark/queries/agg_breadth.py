@@ -261,10 +261,25 @@ def user_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same covar_pop/var_pop definition)."""
     from zoom_spark.functions.grouped import slope_and_count
 
+    from zoom_spark.operators.sizing import frame_partitions
+
     ev = load_table(spark, sf_dir, "events")
     days = (F.unix_micros("ts") / F.lit(86400.0 * 1e6)).alias("x")
-    grouped = ev.select("user_id", days, F.col("value").alias("y")).groupBy(
-        "user_id"
+    # Pin the pre-pandas exchange: an explicit keyed repartition with
+    # the same key is REUSED by the groupBy (no second shuffle) and is
+    # not AQE-coalescible — byte-based coalescing otherwise collapses
+    # the tiny event frame to ~1 partition and the per-group pandas
+    # pass runs serially (r13 probe: 3.9 s -> 0.8 s). Row-sized, not
+    # core-sized: one task per ~4k rows, capped at 4x cores (pandas
+    # groups want small tasks; guide §2.4/§4).
+    n_ev = ev.count()
+    p = frame_partitions(
+        spark.sparkContext, n_ev, target_rows_per_task=4_000
+    )
+    grouped = (
+        ev.select("user_id", days, F.col("value").alias("y"))
+        .repartition(p, "user_id")
+        .groupBy("user_id")
     )
     out = grouped.applyInPandas(
         slope_and_count,

@@ -3141,13 +3141,13 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zoom_spark.operators.prefix import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
-    # tokenize+posexplode otherwise materializes inside the single-
-    # split scan task (spread_scan is a no-op on a parallel scan)
-    from zoom_spark.io import spread_scan
-
+    # r13 measured and REJECTED: spreading the scan before the
+    # tokenize (A/B interleaved same-JVM: 17.8 spread vs 16.7 s
+    # nospread) — whitespace tokenize is cheap next to the doubling
+    # rounds, each of which range-repartitions anyway, so the extra
+    # exchange only adds a token-frame shuffle.
     tok = (
-        spread_scan(docs.select("doc_id", "text"))
-        .select(
+        docs.select(
             "doc_id", F.posexplode(ws_tokens(F.lower("text"))).alias("pos", "w")
         )
         .localCheckpoint(eager=False)
