@@ -111,8 +111,16 @@ def lsh_candidate_pairs(
         ),
         1,
     )
+    from zoom_spark.io import spread_scan
+
     bk = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        # spread_scan: the projection fold (bands * band_bits sign bits
+        # per row) otherwise runs inside the input's scan task(s) — the
+        # fixtures are single-split, so it was serial. No-op when the
+        # input already splits >= cores (guide §2.5).
+        spread_scan(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        )
         .crossJoin(F.broadcast(planes_df))
         .select("id", F.posexplode(buckets).alias("band_id", "bucket"))
     )

@@ -67,10 +67,22 @@ def solve_side(
     rating_col: str = "r",
     k: int = ALS_K,
     lam: float = ALS_LAMBDA,
+    fixed_rows: int | None = None,
 ) -> DataFrame:
     """One ALS half-sweep: given `fixed` factors keyed by `fixed_col`,
     solve (VᵀV + λI)x = Vᵀr per `solve_col` group. Returns
-    (solve_col, vec)."""
+    (solve_col, vec).
+
+    ``fixed_rows``: the caller's COUNTED size of `fixed`. Factor frames
+    are checkpointed (unknown stats), so the planner sort-merge-joins
+    the full ratings frame against an entity-sized factor table; a
+    counted row bound lets us broadcast the factor side instead and
+    leave the ratings frame unshuffled. Fails closed to the shuffle
+    join past BCAST_MAX_ROWS (billions of entities)."""
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    if fixed_rows is not None and fixed_rows <= BCAST_MAX_ROWS:
+        fixed = F.broadcast(fixed)
     joined = ratings.join(fixed, on=fixed_col).select(
         solve_col, rating_col, "vec"
     )
@@ -103,11 +115,18 @@ def predict_rmse(
     user_col: str,
     item_col: str,
     rating_col: str = "r",
+    user_rows: int | None = None,
+    item_rows: int | None = None,
 ) -> DataFrame:
     """1-row frame with the RMSE of u·v predictions (prediction 0
     where a side is missing — `user_fac=None` scores the zero
-    baseline). JVM-side dot product (zip_with + aggregate)."""
+    baseline). JVM-side dot product (zip_with + aggregate).
+
+    ``user_rows`` / ``item_rows``: counted factor-frame sizes; same
+    gated-broadcast contract as solve_side (fails closed past
+    BCAST_MAX_ROWS)."""
     from zoom_spark.functions.vectors import dot
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
 
     if user_fac is None:
         scored = ratings.select(
@@ -116,6 +135,10 @@ def predict_rmse(
     else:
         uf = user_fac.withColumnRenamed("vec", "uvec")
         vf = item_fac.withColumnRenamed("vec", "ivec")
+        if user_rows is not None and user_rows <= BCAST_MAX_ROWS:
+            uf = F.broadcast(uf)
+        if item_rows is not None and item_rows <= BCAST_MAX_ROWS:
+            vf = F.broadcast(vf)
         scored = (
             ratings.join(uf, on=user_col)
             .join(vf, on=item_col)

@@ -498,13 +498,18 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 1e6
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("neg_id").desc()
-    )
-    return (
-        probes.join(nv, on="cell")
+    # Gated broadcasts (the already-paid n count): nv and qv are
+    # vector-corpus-sized but checkpoint-derived (unknown stats), so the
+    # planner sort-merge-joined the 3*N^1.5 candidate stream against
+    # them — the wrong side to shuffle. Fails closed past BCAST_MAX_ROWS.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    nv_j = F.broadcast(nv) if n <= BCAST_MAX_ROWS else nv
+    qv_j = F.broadcast(qv) if n <= BCAST_MAX_ROWS else qv
+    cand = (
+        probes.join(nv_j, on="cell")
         .where(F.col("q_id") != F.col("id"))
-        .join(qv, on="q_id")
+        .join(qv_j, on="q_id")
         .where(F.col("q_label") != F.col("label"))
         .select(
             F.col("q_id").alias("vec_id"),
@@ -513,9 +518,24 @@ def hard_negative_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("neg_label"),
             sim.alias("sim"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    )
+    # Per-query argmax as an aggregate, not a window: max(struct) gives
+    # the identical (sim desc, neg_id desc) winner — (sim, neg_id) pairs
+    # are unique per query since each id joins through exactly one cell —
+    # and Spark's partial (map-side) aggregation means only one row per
+    # (query, map partition) crosses the exchange instead of the full
+    # candidate stream (guide §2.3 "aggregate before you shuffle").
+    best = F.max(F.struct("sim", "neg_id", "neg_label")).alias("m")
+    return (
+        cand.groupBy("vec_id", "label")
+        .agg(best)
+        .select(
+            "vec_id",
+            "label",
+            F.col("m.neg_id").alias("neg_id"),
+            F.col("m.neg_label").alias("neg_label"),
+            F.col("m.sim").alias("sim"),
+        )
     )
 
 

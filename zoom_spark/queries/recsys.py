@@ -46,15 +46,38 @@ def als_one_sweep_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ifac0 = init_factors(ratings.select("i"), "i", tag="item").localCheckpoint(
         eager=False
     )
-    ufac1 = solve_side(ratings, ifac0, "u", "i").localCheckpoint(eager=False)
-    ifac1 = solve_side(ratings, ufac1, "i", "u").localCheckpoint(eager=False)
+    # Counted factor-frame sizes gate the broadcasts below (operators/
+    # als.py): each count materializes a checkpoint the next stage needs
+    # anyway, and an entity-sized factor table beats sort-merge-joining
+    # the full ratings frame three times per sweep. Fails closed past
+    # BCAST_MAX_ROWS.
+    n_items = ifac0.count()
+    ufac1 = solve_side(
+        ratings, ifac0, "u", "i", fixed_rows=n_items
+    ).localCheckpoint(eager=False)
+    n_users = ufac1.count()
+    ifac1 = solve_side(
+        ratings, ufac1, "i", "u", fixed_rows=n_users
+    ).localCheckpoint(eager=False)
     q6 = lambda c: (F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)).alias(  # noqa: E731
         "rmse_q6"
     )
     stages = [
         ("zero_baseline", predict_rmse(ratings, None, ifac0, "u", "i")),
-        ("user_sweep", predict_rmse(ratings, ufac1, ifac0, "u", "i")),
-        ("item_sweep", predict_rmse(ratings, ufac1, ifac1, "u", "i")),
+        (
+            "user_sweep",
+            predict_rmse(
+                ratings, ufac1, ifac0, "u", "i",
+                user_rows=n_users, item_rows=n_items,
+            ),
+        ),
+        (
+            "item_sweep",
+            predict_rmse(
+                ratings, ufac1, ifac1, "u", "i",
+                user_rows=n_users, item_rows=n_items,
+            ),
+        ),
     ]
     out = None
     for name, frame in stages:

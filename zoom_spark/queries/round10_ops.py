@@ -1317,11 +1317,24 @@ def morans_i_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
+    # Gated broadcast of the node-sized attribute table into the edge-
+    # moment join: x is checkpointed (unknown stats), so the planner
+    # sort-merge-joined the full edge frame against it twice. The count
+    # materializes the checkpoint the nodes agg reads anyway; BIGINT
+    # moments are summation-order exact, so the plan change cannot move
+    # the result. Fails closed past BCAST_MAX_ROWS.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    bc = (
+        (lambda d: F.broadcast(d))
+        if x.count() <= BCAST_MAX_ROWS
+        else (lambda d: d)
+    )
     xu = x.select(F.col("node").alias("u"), F.col("x").alias("xu"))
     xv = x.select(F.col("node").alias("v"), F.col("x").alias("xv"))
     edges = (
-        e.join(xu, on="u")
-        .join(xv, on="v")
+        e.join(bc(xu), on="u")
+        .join(bc(xv), on="v")
         .agg(
             F.count("*").cast("long").alias("ne"),
             F.sum(F.col("xu") * F.col("xv")).cast("long").alias("sexy"),
@@ -2146,11 +2159,20 @@ def gearys_c_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
+    # Same gated broadcast as morans_i_copurchase: node-sized attribute
+    # table vs the full edge frame, BIGINT-exact sums, fails closed.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    bc = (
+        (lambda d: F.broadcast(d))
+        if x.count() <= BCAST_MAX_ROWS
+        else (lambda d: d)
+    )
     xu = x.select(F.col("node").alias("u"), F.col("x").alias("xu"))
     xv = x.select(F.col("node").alias("v"), F.col("x").alias("xv"))
     edges = (
-        e.join(xu, on="u")
-        .join(xv, on="v")
+        e.join(bc(xu), on="u")
+        .join(bc(xv), on="v")
         .agg(
             F.count("*").cast("long").alias("ne"),
             F.sum(

@@ -94,11 +94,24 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nbr = (
-        pairs.select(F.col("u").alias("z"), F.col("v").alias("x"))
-        .unionAll(pairs.select(F.col("v").alias("z"), F.col("u").alias("x")))
-        .localCheckpoint(eager=False)
-    )
+    from zoom_spark.io import spread_scan
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    # spread before the checkpoint so every consumer reads >= cores
+    # cached splits (the distinct's tiny post-AQE partitioning otherwise
+    # serializes the wedge stage); no-op on a parallel frame.
+    nbr = spread_scan(
+        pairs.select(F.col("u").alias("z"), F.col("v").alias("x")).unionAll(
+            pairs.select(F.col("v").alias("z"), F.col("u").alias("x"))
+        )
+    ).localCheckpoint(eager=False)
+    # One counted gate for every node/edge-sized broadcast below: the
+    # count materializes the checkpoint the next job needs anyway.
+    # |deg|, |q| <= nodes <= n_nbr; |e1|, |adj| <= n_nbr. Past
+    # BCAST_MAX_ROWS everything falls back to today's shuffle joins.
+    n_nbr = nbr.count()
+    small = n_nbr <= BCAST_MAX_ROWS
+    bc = (lambda d: F.broadcast(d)) if small else (lambda d: d)
     deg = nbr.groupBy("z").agg(F.count("*").alias("d")).where(F.col("d") >= 2)
     q = (
         nbr.select("x")
@@ -111,20 +124,27 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1 = nbr.join(q, on="x").select(F.col("z"), F.col("x").alias("a"))
+    e1 = nbr.join(bc(q), on="x").select(F.col("z"), F.col("x").alias("a"))
     e2 = nbr.select(F.col("z"), F.col("x").alias("b"))
+    # Attach 1/ln(deg) to the QUERY-incident side before the wedge join:
+    # the weight only depends on z, so joining deg against e1 (edge/64-
+    # sized) instead of the wedge stream removes one join over the
+    # multiplied rows (guide §3.3: join before the explode-like step).
+    # The d >= 2 filter is a no-op on wedges (a != b forces deg >= 2).
+    e1w = e1.join(bc(deg), on="z").select(
+        "z", "a", (F.lit(1.0) / F.log(F.col("d"))).alias("w")
+    )
     wedges = (
-        e1.join(e2, on="z")
+        bc(e1w).join(e2, on="z")
         .where(F.col("a") != F.col("b"))
-        .join(deg, on="z")
-        .select("a", "b", (F.lit(1.0) / F.log(F.col("d"))).alias("w"))
+        .select("a", "b", "w")
     )
     scored = wedges.groupBy("a", "b").agg(
         F.round(F.sum("w"), 6).alias("aa_score"),
         F.count("*").cast("bigint").alias("n_common"),
     )
     adj = nbr.select(F.col("z").alias("a"), F.col("x").alias("b"))
-    non_edges = scored.join(adj, on=["a", "b"], how="left_anti")
+    non_edges = scored.join(bc(adj), on=["a", "b"], how="left_anti")
     return non_edges.select("a", "b", "n_common", "aa_score").orderBy(
         F.col("aa_score").desc(), "a", "b"
     ).limit(AA_TOPK)
@@ -594,8 +614,15 @@ def robust_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only because xxhash64 has no oracle twin; md5 hex strings
     compare identically on both engines). Per-doc window partitions
     are document-sized — the healthy window shape."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    from zoom_spark.io import spread_scan
+
+    # spread_scan: one md5 per CHARACTER position is evaluated below the
+    # per-doc window exchange, i.e. inside the single-split scan task on
+    # the fixtures. No-op on a parallel scan (guide §2.5).
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
     )
     g = docs.select(
         "doc_id",

@@ -815,14 +815,22 @@ def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (name edit<=1, brand, type, price within $1) are exact integer /
     cent-grid predicates, weights are lns of shared literals, so both
     engines agree bitwise."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_brand",
-        "p_type",
-        F.round("p_retailprice", 2).alias("price"),
-        F.element_at(F.split("p_name", " "), -1).alias("blk_tok"),
-        "p_size",
+    from zoom_spark.io import spread_scan
+
+    # spread_scan: the blocked self-join broadcasts one side and streams
+    # the other; on the single-split fixture scan the per-pair scoring
+    # (levenshtein + field predicates) would otherwise run inside the one
+    # scan task. No-op when the scan already splits >= cores (guide §2.5).
+    p = spread_scan(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            F.round("p_retailprice", 2).alias("price"),
+            F.element_at(F.split("p_name", " "), -1).alias("blk_tok"),
+            "p_size",
+        )
     )
     a, b = p.alias("a"), p.alias("b")
     import math
@@ -2525,8 +2533,14 @@ def er_clusters_from_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zoom_spark.dedup.components import canonical_ids
 
     scored = fellegi_sunter_part_linkage(spark, sf_dir)
-    matches = scored.where(F.col("decision") == "match").select(
-        F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b")
+    # Lazy checkpoint: matches feeds the node union (x2) and the CC
+    # machinery — without it every consumer re-runs the full blocked
+    # self-join + levenshtein scoring (the before-plan re-scanned
+    # part.parquet 18x). Materialized by the CC loop's first checksum.
+    matches = (
+        scored.where(F.col("decision") == "match")
+        .select(F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b"))
+        .localCheckpoint(eager=False)
     )
     nodes = (
         matches.select(F.col("id_a").alias("p_partkey"))

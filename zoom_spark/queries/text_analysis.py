@@ -278,7 +278,14 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 variant remains as functions/text.rolling_hash_
     fingerprint for Spark-only callers (robust winnowing keeps its
     own alignment-invariant gate)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from zoom_spark.io import spread_scan
+
+    # spread_scan: the whole query is one map-side fingerprint fold —
+    # on the single-split fixture scan it runs serially in the scan
+    # task. No-op when the scan already splits >= cores (guide §2.5).
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.select(
         "doc_id",
         F.explode_outer(T.md5_window_fingerprint("text")).alias("fp_hash"),

@@ -4047,21 +4047,27 @@ def degree_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
-    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
-    tail = deg.where(F.col("d") >= PL_DMIN)
-    return (
-        tail.agg(
-            F.count("*").cast("bigint").alias("n_tail"),
-            F.round(
-                1.0
-                + F.count("*")
-                / F.sum(F.log(F.col("d") * 1.0 / (PL_DMIN - 0.5))),
-                6,
-            ).alias("alpha"),
-        )
-        .crossJoin(F.broadcast(n_nodes))
-        .select("n_nodes", "n_tail", "alpha")
-    )
+    # ONE aggregate pass: n_nodes and the tail MLE were two separate
+    # aggregates over `deg`, each recomputing the basket self-join from
+    # the scans (the before-plan read lineitem.parquet 16x). Conditional
+    # aggregates see the identical term multiset the tail filter did.
+    tail_pred = F.col("d") >= PL_DMIN
+    n_tail = F.sum(F.when(tail_pred, 1).otherwise(0)).cast("bigint")
+    return deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        n_tail.alias("n_tail"),
+        F.round(
+            1.0
+            + n_tail.cast("double")
+            / F.sum(
+                F.when(
+                    tail_pred,
+                    F.log(F.col("d") * 1.0 / (PL_DMIN - 0.5)),
+                )
+            ),
+            6,
+        ).alias("alpha"),
+    ).select("n_nodes", "n_tail", "alpha")
 
 
 @register(
@@ -4116,6 +4122,19 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Checkpoint + counted gate: without them the basket self-join ran
+    # once per consumer (deg + two degree joins), and the node-sized
+    # degree table sort-merge-joined the edge frame twice. |deg| <=
+    # 2 * |e|; fails closed past BCAST_MAX_ROWS. The count materializes
+    # the checkpoint the deg aggregate reads anyway.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    bc = (
+        (lambda d: F.broadcast(d))
+        if 2 * e.count() <= BCAST_MAX_ROWS
+        else (lambda d: d)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -4124,8 +4143,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("d"))
     )
     ends = (
-        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        e.join(bc(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")), "u")
+        .join(bc(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")), "v")
         .select("du", "dv")
     )
     sym = ends.unionAll(
