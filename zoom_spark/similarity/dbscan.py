@@ -48,6 +48,21 @@ def dbscan_2d(
         F.floor(F.col(x_col).cast("double") / eps).alias("cx"),
         F.floor(F.col(y_col).cast("double") / eps).alias("cy"),
     ).localCheckpoint(eager=False)
+    # One counted gate for every point-bounded broadcast below (base,
+    # core, core_lab, labeled are all <= n_pts rows): checkpointed
+    # frames scan with unknown stats, so the planner otherwise
+    # sort-merge-joins the 9x probe stream and the neighbor frame
+    # against them. The count materializes the checkpoint the probe
+    # build reads anyway; fails closed past BCAST_MAX_ROWS. All
+    # downstream aggregates are integer-exact (counts / min ids), so
+    # the join-strategy change cannot move the result.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
+    bc = (
+        (lambda d: F.broadcast(d))
+        if base.count() <= BCAST_MAX_ROWS
+        else (lambda d: d)
+    )
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     probe = base.select(
         F.col("id").alias("a_id"),
@@ -66,7 +81,7 @@ def dbscan_2d(
         ).alias("c"),
     ).select("a_id", "ax", "ay", "c.px", "c.py")
     cand = probe.join(
-        base,
+        bc(base),
         (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy")),
     ).where(F.col("a_id") != F.col("id"))
     d2 = F.pow(F.col("ax") - F.col("x"), 2) + F.pow(
@@ -85,8 +100,8 @@ def dbscan_2d(
         .localCheckpoint(eager=False)
     )
     core_edges = (
-        nbr.join(core.withColumnRenamed("id", "a_id"), on="a_id")
-        .join(core.withColumnRenamed("id", "b_id"), on="b_id")
+        nbr.join(bc(core.withColumnRenamed("id", "a_id")), on="a_id")
+        .join(bc(core.withColumnRenamed("id", "b_id")), on="b_id")
         .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
     )
     comp = connected_components(core_edges)  # (id, component)
@@ -99,9 +114,9 @@ def dbscan_2d(
         .localCheckpoint(eager=False)
     )
     border = (
-        nbr.join(core, nbr["a_id"] == core["id"], "left_anti")
+        nbr.join(bc(core), nbr["a_id"] == core["id"], "left_anti")
         .join(
-            core_lab.withColumnRenamed("id", "b_id"),
+            bc(core_lab.withColumnRenamed("id", "b_id")),
             on="b_id",
         )
         .groupBy("a_id")
@@ -113,7 +128,7 @@ def dbscan_2d(
     )
     return (
         base.select("id")
-        .join(labeled, on="id", how="left")
+        .join(bc(labeled), on="id", how="left")
         .select(
             "id",
             "cluster",
