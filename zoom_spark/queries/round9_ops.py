@@ -1589,13 +1589,17 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / 1e9
                 ).alias("rank"),
             )
-            # no per-round checkpoint: ranks is referenced exactly once
-            # per round (pure chain), so the whole fixed-iteration
-            # recursion executes as ONE query — AQE plans the
-            # node-sized rank/in_mass sides as runtime broadcasts and
-            # the per-round job + block-store overhead disappears
-            # (r13 A/B at sf0.1: 24.1 s -> 15.5 s same-JVM, identical
-            # results; operators/graph.pagerank, same shape)
+            # Per-round checkpoint RESTORED (r13 batch 12): the chain
+            # variant (no checkpoint, whole recursion as one AQE query
+            # like operators/graph.pagerank) was re-adjudicated with an
+            # alternated quiet-window A/B — checkpointed 10.2/10.4 s
+            # stable vs chained 12.8/19.9 s volatile at sf0.1. Unlike
+            # the global pagerank chain (a clear win, kept), each PPR
+            # round adds a LEFT join against the checkpointed nodes
+            # frame, and the 10-round left-join chain is planning-
+            # dominated; the checkpoint bounds plan depth. Identical
+            # results either way (9dp per-round snap).
+            .localCheckpoint(eager=False)
         )
     q6 = F.floor(F.col("rank") * 1e6 + F.lit(0.5))
     return (
