@@ -227,6 +227,38 @@ def test_prefix_sum_multi_column_matches_chained_calls(spark):
     assert sch["cf"] == "double"
 
 
+def test_global_dense_rank_matches_single_partition_window(spark):
+    """One-shuffle global_dense_rank == the single-task dense_rank()
+    window, including heavy tie groups that straddle range-partition
+    boundaries (r14: the suffix-array doubling rounds re-rank with it
+    instead of distinct + row_number + join-back)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from zoom_spark.operators.prefix import global_dense_rank
+
+    # key space deliberately tiny (23 classes over 1000 rows across 16
+    # range partitions) so several partitions hold ONE class and many
+    # boundaries split a tie group.
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("rowid"),
+        ((F.col("id") * 37) % 23).alias("a"),
+        ((F.col("id") * 11) % 3).alias("b"),
+    )
+    got = global_dense_rank(df, ["a", "b"], out_col="dr", num_partitions=16)
+    ref = df.withColumn("dr", F.dense_rank().over(Window.orderBy("a", "b")))
+    assert got.subtract(ref).count() == 0
+    assert ref.subtract(got).count() == 0
+    # count_out reports the exact class count, driver-side and free
+    out: list = []
+    global_dense_rank(df, ["a", "b"], count_out=out, num_partitions=16)
+    assert out == [df.select("a", "b").distinct().count()]
+    # single giant tie group spanning every partition
+    one = spark.range(0, 400).select(F.lit(7).alias("a"), F.col("id").alias("rowid"))
+    got_one = global_dense_rank(one, ["a"], out_col="dr", num_partitions=8)
+    assert got_one.where(F.col("dr") != 1).count() == 0
+
+
 def test_prefix_sum_matches_single_partition_window(spark):
     """Two-phase distributed prefix sum == the single-task global
     window, including across many range partitions."""

@@ -247,6 +247,91 @@ def global_row_number(
     )
 
 
+def global_dense_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "dr",
+    num_partitions: int | None = None,
+    count_out: list | None = None,
+) -> DataFrame:
+    """Global 1-based dense_rank() in ascending `order_cols` order
+    WITHOUT a single-task window AND without the distinct() +
+    global_row_number + join-back detour (which pays a distinct
+    shuffle of the frame, a range shuffle of the key set, and a
+    join shuffle of the frame again — per call).
+
+    One range shuffle of the frame itself: range-partition on the
+    key, flag each row whose key differs from the previous row in
+    partition order (the class heads), running-sum the flags locally,
+    then add per-partition class-count offsets computed on the driver
+    from ONE collect of (#classes, first key, last key) per partition.
+    Adjacent partitions that share a boundary key merge their counts —
+    the range partitioner keeps equal keys in one partition (same
+    property grouped_rank relies on), but the correction is free (it
+    rides the same collect), so the result is exact under ANY
+    order-preserving partitioning. Rows with equal keys get equal
+    ranks; ranks are consecutive from 1 — exactly dense_rank().
+
+    ``count_out``: optional list; the TOTAL distinct-key count is
+    appended (free — it is the final driver running total), the same
+    convergence hook global_row_number offers."""
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(p, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    key = F.struct(*cols)
+    # eqNullSafe: NULL keys form their own class instead of poisoning
+    # the comparison; lag() at the partition head is NULL -> flag 1.
+    flag = F.when(key.eqNullSafe(F.lag(key).over(w)), 0).otherwise(1)
+    local = (
+        ranged.withColumn("_flag", flag)
+        .withColumn(
+            "_local_dr",
+            F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        # Freeze ONE partitioning for the two consumers (offsets
+        # collect + final join); eager=False so the collect below
+        # materializes it in the same job (see prefix_sum).
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        local.groupBy("_pid")
+        .agg(
+            F.sum("_flag").alias("_classes"),
+            F.min(key).alias("_first"),
+            F.max(key).alias("_last"),
+        )
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    prev_last = None
+    have_prev = False
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        # boundary merge: if this partition opens with the previous
+        # partition's closing key, its head flag double-counted the
+        # shared class — shift the whole partition down by one.
+        adj = 1 if have_prev and r["_first"] == prev_last else 0
+        offsets[r["_pid"]] = running - adj
+        running = offsets[r["_pid"]] + r["_classes"]
+        prev_last = r["_last"]
+        have_prev = True
+    if count_out is not None:
+        count_out.append(running)
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset bigint"
+    )
+    return (
+        local.join(F.broadcast(off_df), on="_pid")
+        .withColumn(
+            out_col, (F.col("_local_dr") + F.col("_offset")).cast("bigint")
+        )
+        .drop("_pid", "_flag", "_local_dr", "_offset")
+    )
+
+
 def pack_by_budget(
     df: DataFrame,
     order_col: str,

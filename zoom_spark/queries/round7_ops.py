@@ -3146,13 +3146,19 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-clone docs keep tied ranks, deterministically). This is
     the exact-substring-dedup index (Lee et al. 2022 deduplicate
     entire repeated spans with it) built with NO single-task sort:
-    each round's dense rank comes from global_row_number over the
-    DISTINCT pair keys (operators/prefix.py two-phase scan) joined
-    back, so every stage is a range shuffle + equi-join. Output: the
+    each round's dense rank comes from global_dense_rank over the
+    pair frame itself (operators/prefix.py two-phase flag scan), and
+    the pair lookup is lead(r, k) over the bounded per-doc position
+    window, so every round is one hash + one range shuffle. Output: the
     {SA_TOP} lexicographically smallest suffixes with a 3-token
     preview."""
+    from pyspark.sql import Window
+
     from zoom_spark.functions.text import ws_tokens
-    from zoom_spark.operators.prefix import global_row_number
+    from zoom_spark.operators.prefix import (
+        global_dense_rank,
+        global_row_number,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # r13 measured and REJECTED: spreading the scan before the
@@ -3166,17 +3172,24 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    # r0: dense rank of the token itself = row number over DISTINCT
-    # tokens (two-phase, no global window). n_classes accumulates the
-    # per-round distinct-rank counts (free: they ride the offsets
-    # collect) for the Manber-Myers early exit below; the oracle's
-    # fixed-round replay reaches the identical fixpoint because
-    # post-stability rounds are provably no-ops.
+    # r0: rank of the token itself = row number over the DISTINCT
+    # vocabulary (map-side partial distinct shrinks the exchange to
+    # vocabulary size), broadcast-joined back — the join-back side is
+    # vocabulary-sized and the count riding the offsets collect gates
+    # the broadcast for free (fails closed past BCAST_MAX_ROWS).
+    # n_classes accumulates the class counts (free: they ride the
+    # offsets collects) for the Manber-Myers early exit below; the
+    # oracle's fixed-round replay reaches the identical fixpoint
+    # because post-stability rounds are provably no-ops.
+    from zoom_spark.operators.graph import BCAST_MAX_ROWS
+
     n_classes: list = []
     vocab = global_row_number(
         tok.select("w").distinct(), ["w"], out_col="r",
         count_out=n_classes,
     )
+    if n_classes[-1] <= BCAST_MAX_ROWS:
+        vocab = F.broadcast(vocab)
     cur = tok.join(vocab, on="w").select("doc_id", "pos", "r")
     # rounds beyond ceil(log2(longest doc)) are no-ops (every suffix
     # pair already distinguishable), so run only the binding ones —
@@ -3187,45 +3200,79 @@ def suffix_array_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_len = tok.agg(F.max("pos").alias("m")).first()["m"] + 1
     rounds = min(SA_ROUNDS, max(1, math.ceil(math.log2(max(2, max_len)))))
     k = 1
-    for _ in range(rounds):
-        nxt = cur.select(
-            F.col("doc_id").alias("doc_id2"),
-            (F.col("pos") - k).alias("pos2"),
-            F.col("r").alias("r2"),
+    # Positions are CONTIGUOUS 0..len-1 per doc (posexplode of the
+    # token array), so "the rank at pos + k" is exactly lead(r, k)
+    # over (doc_id, pos) — one hash shuffle per round instead of the
+    # former positional self-join (which shuffled BOTH join legs).
+    # Per-doc window partitions are bounded by the SA_ROUNDS contract
+    # (docs < 2^SA_ROUNDS tokens), so no window task can be huge at
+    # any scale.
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # Doubling rounds alternate two FORMS of the same refinement (r14):
+    #
+    #  * MAP-COMBINE: when every current rank value is <= a driver-
+    #    tracked bound M with (M+1)^2 small enough for BIGINT, the pair
+    #    (r, r2) is packed as r*(M+1) + r2 — ORDER-ISOMORPHIC to the
+    #    dense pair rank (r2 <= M by construction), so later rounds see
+    #    the identical refinement. This is a pure lazy projection: no
+    #    sampling job, no range shuffle, no collect — consecutive map
+    #    rounds chain into ONE plan whose lead() windows share the
+    #    doc_id hash partitioning (a single exchange + sort).
+    #
+    #  * COMPRESS: a dense re-rank via global_dense_rank (one range
+    #    shuffle + the O(P) offsets collect), which restores small
+    #    dense values (and the exact class count for the fixpoint
+    #    test). Forced on the FINAL round — the output contract reads
+    #    dense ranks (r <= SA_TOP).
+    #
+    # At billion-class scale the map bound fails closed (M exceeds the
+    # packable range) and every round compresses — exactly the r13
+    # behavior. Class counts are monotone non-decreasing across
+    # doublings, so comparing consecutive COMPRESS counts still
+    # detects the Manber-Myers fixpoint exactly (see below).
+    #
+    # Manber-Myers fixpoint: if a doubling produces NO new rank
+    # classes (#distinct (r, r2) pairs == #distinct r), every class
+    # is stable — each old class maps to exactly one pair, so the
+    # dense re-rank is the identity, and by induction (members of
+    # a stable class have pairwise-tied ranks at offset 2^(k-1),
+    # whose classes are themselves stable) every later doubling is
+    # a no-op too. With map rounds in between, the counts of two
+    # consecutive compress rounds straddle the map rounds; equality
+    # plus monotonicity forces every intermediate count equal, so the
+    # exit remains exact (it can only fire LATER than the per-round
+    # test, never earlier, and post-stability rounds are no-ops).
+    # The compress adopted just before exiting is an identity re-rank,
+    # so breaking after adoption is value-identical.
+    PACK_MAX = (1 << 62) // 2  # (M+1)^2 - 1 must stay well inside BIGINT
+    bound = n_classes[-1]
+    last_classes = n_classes[-1]
+    for i in range(rounds):
+        r2 = F.coalesce(
+            F.lead("r", k).over(wdoc), F.lit(0).cast("bigint")
         )
-        paired = cur.join(
-            nxt,
-            (F.col("doc_id") == F.col("doc_id2"))
-            & (F.col("pos") == F.col("pos2")),
-            "left",
-        ).select(
-            "doc_id",
-            "pos",
-            "r",
-            F.coalesce("r2", F.lit(0)).alias("r2"),
-        )
-        ranks = global_row_number(
-            paired.select("r", "r2").distinct(),
-            ["r", "r2"],
-            out_col="nr",
-            count_out=n_classes,
-        )
-        # Manber-Myers fixpoint: if this doubling produced NO new rank
-        # classes (#distinct (r, r2) pairs == #distinct r), every class
-        # is stable — each old class maps to exactly one pair, so the
-        # dense re-rank is the identity, and by induction (members of
-        # a stable class have pairwise-tied ranks at offset 2^(k-1),
-        # whose classes are themselves stable) every later doubling is
-        # a no-op too. The surviving ties are genuinely identical
-        # suffixes (exact-clone docs), which the contract KEEPS tied.
-        # Skipping the remaining rounds is therefore value-identical;
-        # the convergence count rides the offsets collect inside
-        # global_row_number, so the test costs zero extra jobs.
-        if n_classes[-1] == n_classes[-2]:
-            break
-        cur = paired.join(ranks, on=["r", "r2"]).select(
-            "doc_id", "pos", F.col("nr").alias("r")
-        ).localCheckpoint(eager=False)
+        is_final = i == rounds - 1
+        if not is_final and (bound + 1) * (bound + 1) - 1 <= PACK_MAX:
+            cur = cur.select(
+                "doc_id",
+                "pos",
+                (F.col("r").cast("bigint") * F.lit(bound + 1) + r2).alias(
+                    "r"
+                ),
+            )
+            bound = (bound + 1) * (bound + 1) - 1
+        else:
+            paired = cur.select("doc_id", "pos", "r", r2.alias("r2"))
+            ranked = global_dense_rank(
+                paired, ["r", "r2"], out_col="nr", count_out=n_classes
+            )
+            cur = ranked.select(
+                "doc_id", "pos", F.col("nr").alias("r")
+            ).localCheckpoint(eager=False)
+            bound = n_classes[-1]
+            if n_classes[-1] == last_classes:
+                break
+            last_classes = n_classes[-1]
         k *= 2
     top = cur.where(F.col("r") <= SA_TOP)
     prev = (
