@@ -5141,18 +5141,114 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 16
         == 0
     )
-    a, b = vec.where(qsel).alias("a"), vec.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    # r14: the query batch's sparse vectors are MODEL-SIZED (~n/16 docs
+    # x ~vocab terms), so collect them (the int-Lloyd centroid idiom)
+    # and fold the dot products map-side over per-doc corpus vectors
+    # with ONE numpy matmul per Arrow chunk (guide §3.1 broadcast-the-
+    # side-that-fits, §4.2 whole-batch native compute) — the posting
+    # self-join shuffled ~26M joined rows into a ~1.6M-group aggregate
+    # at sf0.1. Pair set identical: the join emitted only pairs
+    # sharing >= 1 token; products are non-negative (tf > 0,
+    # idf >= 0), so dot == 0 exactly iff the pair shares no token or
+    # only idf = 0 tokens — pairs the cos >= TFIDF_COS_MIN (> 0)
+    # filter drops on BOTH paths, which is why the numpy nonzero()
+    # pre-filter is exact (no cancellation can zero a true pair).
+    # Per-pair dot terms are the same rounded x products; summation-
+    # order drift (hash-agg order vs BLAS) is ~1e-16 and both engines
+    # already rely on the 6dp output grid absorbing it. Gated on the
+    # COUNTED batch posting size and the query-vocabulary width; past
+    # either budget the r13 posting join runs unchanged — fails
+    # closed at 100 TB.
+    batch_rows = vec.where(qsel).count()
+    dots = None
+    # dense-axis cap: the fold materializes (chunk rows) x |q_vocab|
+    # doubles per Arrow chunk — past this width the dense layout stops
+    # making sense and the posting join is the right shape anyway
+    QV_CAP = 4096
+    if batch_rows <= BCAST_MAX_ROWS // 4:
+        # Model-sized: collect the batch's sparse vectors (same idiom
+        # as the int-Lloyd centroid collects) and run the corpus-side
+        # fold as ONE numpy matmul per Arrow batch (guide §4.2 —
+        # whole-batch native compute; only the two needed columns
+        # cross the boundary). Tokens outside the query vocabulary
+        # contribute 0 to every dot, so the dense axis is the QUERY
+        # vocabulary only.
+        q_rows = (
+            vec.where(qsel)
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("w", "x"))
+                ).alias("entries")
+            )
+            .collect()
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        q_vocab = sorted(
+            {e["w"] for r in q_rows for e in r["entries"]}
         )
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
-    )
+        if len(q_vocab) <= QV_CAP:
+            tid = {w: i for i, w in enumerate(q_vocab)}
+            qids = [r["doc_id"] for r in q_rows]
+            import numpy as np
+
+            n_v = len(q_vocab)
+            qmat = np.zeros((len(qids), n_v), dtype=np.float64)
+            for qi, r in enumerate(q_rows):
+                for e in r["entries"]:
+                    qmat[qi, tid[e["w"]]] = e["x"]
+            qid_arr = np.asarray(qids, dtype=np.int64)
+            chunk = max(1, 2_000_000 // max(1, n_v))
+
+            corpus = vec.groupBy("doc_id").agg(
+                F.collect_list(F.struct("w", "x")).alias("entries")
+            )
+
+            def _dots(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    for lo in range(0, len(pdf), chunk):
+                        part = pdf.iloc[lo : lo + chunk]
+                        ids = part["doc_id"].to_numpy(dtype=np.int64)
+                        dense = np.zeros(
+                            (len(part), n_v), dtype=np.float64
+                        )
+                        for ri, ents in enumerate(part["entries"]):
+                            for e in ents:
+                                j = tid.get(e["w"])
+                                if j is not None:
+                                    dense[ri, j] = e["x"]
+                        # one BLAS matmul per chunk: corpus x queries
+                        scores = dense @ qmat.T
+                        bi, qi = np.nonzero(scores)
+                        id_a = qid_arr[qi]
+                        id_b = ids[bi]
+                        keep = id_a != id_b
+                        yield pd.DataFrame(
+                            {
+                                "id_a": id_a[keep],
+                                "id_b": id_b[keep],
+                                "dot": scores[bi[keep], qi[keep]],
+                            }
+                        )
+
+            dots = corpus.mapInPandas(
+                _dots, "id_a long, id_b long, dot double"
+            )
+    if dots is None:
+        a, b = vec.where(qsel).alias("a"), vec.alias("b")
+        dots = (
+            a.join(
+                b,
+                (F.col("a.w") == F.col("b.w"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+        )
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
     return (
         dots.join(
