@@ -259,6 +259,35 @@ def test_global_dense_rank_matches_single_partition_window(spark):
     assert got_one.where(F.col("dr") != 1).count() == 0
 
 
+def test_prefix_sum_known_range_matches_sampled_range(spark):
+    """known_range literal-bucket prefix_sum == the sampled-range path
+    == the single-task window, for integer sums (exact) — r14: the
+    ln-factorial grids switch to it (one hash exchange, no sampling
+    pass, no ENSURE_REQUIREMENTS second shuffle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from zoom_spark.operators.prefix import prefix_sum
+
+    df = spark.range(1, 2001).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 91 + 1).alias("w")
+    )
+    got = prefix_sum(
+        df, "k", "w", out_col="cum", num_partitions=16,
+        known_range=(1, 2000),
+    )
+    ref = df.withColumn(
+        "cum",
+        F.sum("w").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert got.subtract(ref).count() == 0
+    assert ref.subtract(got).count() == 0
+    # helper columns must not leak
+    assert set(got.columns) == {"k", "w", "cum"}
+
+
 def test_prefix_sum_matches_single_partition_window(spark):
     """Two-phase distributed prefix sum == the single-task global
     window, including across many range partitions."""

@@ -77,6 +77,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     quantize_dp: int | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """PageRank over an undirected edge list (each edge walked both
     ways), fixed-iteration power method. Returns (node, rank).
@@ -148,6 +149,13 @@ def pagerank(
         if quant is not None:
             rank_expr = F.floor(rank_expr * quant + 0.5) / F.lit(quant)
         ranks = contribs.select("node", rank_expr.alias("rank"))
+        if checkpoint_every and (_ + 1) % checkpoint_every == 0:
+            # bound the chained plan's depth: a LAZY checkpoint
+            # truncates the Catalyst/AQE plan immediately (blocks only
+            # materialize at execution), so planning work stays
+            # O(checkpoint_every) rounds instead of O(iterations) while
+            # keeping the per-round job-submission savings of the chain
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -30,6 +30,7 @@ def prefix_sum(
     value_col: str | list[str],
     out_col: str | list[str] = "cum",
     num_partitions: int | None = None,
+    known_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Adds `out_col` = inclusive running sum of `value_col` in
     ascending `order_col` order (a column name or a list of names —
@@ -42,16 +43,42 @@ def prefix_sum(
     the whole two-phase machinery per column). Per-column values are
     bit-identical to N separate calls: the partitioning, each column's
     local window sum and each column's offset accumulation are
-    unchanged — only the job count drops."""
+    unchanged — only the job count drops.
+
+    ``known_range=(lo, hi)``: when the (single, integer) order key is
+    known to lie in [lo, hi] roughly uniformly (1..N row-number grids,
+    dense ranks), partition by the LITERAL bucket
+    (key - lo) DIV ceil((hi - lo + 1) / p) instead of sampling range
+    boundaries. This removes BOTH hidden costs of repartitionByRange:
+    the sampling pass (which re-executes the whole child plan once)
+    and the second ENSURE_REQUIREMENTS hash(_pid) exchange the window
+    otherwise inserts on top of the range exchange (RangePartitioning
+    does not satisfy the window's ClusteredDistribution on the derived
+    _pid column, so the r13 shape paid TWO full shuffles per call).
+    One hash exchange, zero extra passes; bucket order is known on the
+    driver by construction. Only for keys whose distribution the
+    caller knows — data-valued keys keep the sampled range path."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     ocols = [out_col] if isinstance(out_col, str) else list(out_col)
     assert len(vcols) == len(ocols), (vcols, ocols)
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(p, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    if known_range is not None:
+        assert len(order_cols) == 1, "known_range needs a single int key"
+        lo, hi = known_range
+        width = max(1, (hi - lo + p) // p)
+        bucket = F.expr(
+            f"CAST((CAST({order_cols[0]} AS BIGINT) - ({lo})) "
+            f"DIV {width} AS INT)"
+        )
+        ranged = df.withColumn("_pid", bucket).repartition(
+            p, F.col("_pid")
+        )
+    else:
+        ranged = df.repartitionByRange(p, *cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     w = Window.partitionBy("_pid").orderBy(*cols)
     # MATERIALIZE before fanning out to two consumers (the totals
     # collect and the final join): repartitionByRange samples its

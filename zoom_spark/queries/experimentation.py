@@ -439,7 +439,7 @@ def bayes_ab_prob_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer keys (expression join keys would degrade to nested
     loops — measured, not theoretical). The whole computation is
     joins + one aggregate: no UDF, no driver math, no sampling."""
-    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+    from zoom_spark.operators.prefix import prefix_sum
 
     ev = load_table(spark, sf_dir, "events")
     arm = (
@@ -464,19 +464,18 @@ def bayes_ab_prob_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bb"),
     )
     n_tot = ev.agg(F.count("*").cast("bigint").alias("n"))
-    extra = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x bigint")
-    ks = (
-        global_row_number(ev.select("event_id"), ["event_id"], out_col="k")
-        .select("k")
-        .unionAll(
-            extra.crossJoin(F.broadcast(n_tot)).select(
-                (F.col("n") + F.col("x")).alias("k")
-            )
-        )
-    )
+    # r14: the k grid is the integers 1..N+4 — spark.range after one
+    # count replaces the former global_row_number + appended tail
+    # (sampling pass + two shuffles + offsets collect + join), and the
+    # running ln-factorial uses the literal-bucket prefix_sum
+    # (known_range): one hash exchange, no sampling.
+    n_val = int(n_tot.first()["n"])
+    ks = spark.range(1, n_val + 5).select(F.col("id").alias("k"))
     lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
     lnf = (
-        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        prefix_sum(
+            lnk, "k", "lnk", out_col="lf", known_range=(1, n_val + 4)
+        )
         .select("k", "lf")
         .unionAll(
             spark.createDataFrame([(0, 0.0)], "k bigint, lf double")
@@ -610,16 +609,23 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF via the two-phase prefix scan. Everything is joins + scans —
     no UDF, no sampling, exact coverage guarantee (the textbook sign-
     test inversion)."""
-    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+    from zoom_spark.operators.prefix import prefix_sum
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("v"), "o_orderkey"
     )
     nn = o.agg(F.count("*").cast("bigint").alias("n"))
-    ks = global_row_number(o.select("o_orderkey"), ["o_orderkey"], out_col="k").select("k")
+    # r14: the k grid is just the integers 1..N — spark.range after one
+    # count replaces the former global_row_number over o_orderkey
+    # (sampling pass + range shuffle + ENSURE_REQUIREMENTS hash
+    # shuffle + offsets collect + broadcast join), and the running
+    # ln-factorial uses the literal-bucket prefix_sum (known_range):
+    # one hash exchange, no sampling, same two-phase scan semantics.
+    n_val = int(nn.first()["n"])
+    ks = spark.range(1, n_val + 1).select(F.col("id").alias("k"))
     lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
     lnf = (
-        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        prefix_sum(lnk, "k", "lnk", out_col="lf", known_range=(1, n_val))
         .select("k", "lf")
         .unionAll(spark.createDataFrame([(0, 0.0)], "k bigint, lf double"))
         .localCheckpoint(eager=False)
@@ -644,9 +650,9 @@ def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lf1") - F.col("lf2") - F.col("lf3") - F.col("n") * _LN2
         ).alias("t"),
     )
-    cdf = prefix_sum(terms, "j", "t", out_col="c").localCheckpoint(
-        eager=False
-    )
+    cdf = prefix_sum(
+        terms, "j", "t", out_col="c", known_range=(0, n_val)
+    ).localCheckpoint(eager=False)
     lo = cdf.where(F.col("c") <= MEDCI_ALPHA / 2).agg(
         (F.max("j") + 1).cast("bigint").alias("lo_rank")
     )
@@ -766,7 +772,7 @@ def fisher_exact_weekend_purchase(
     pattern; the support is ~|purchases| rows, trivially parallel."""
     import math as _math
 
-    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+    from zoom_spark.operators.prefix import prefix_sum
 
     ev = load_table(spark, sf_dir, "events")
     wk = (
@@ -784,12 +790,15 @@ def fisher_exact_weekend_purchase(
         .cast("bigint")
         .alias("d"),
     )
-    ks = global_row_number(
-        ev.select("event_id"), ["event_id"], out_col="k"
-    ).select("k")
+    # r14: the k grid is the integers 1..N — spark.range after one
+    # count replaces the former global_row_number machinery, and the
+    # running ln-factorial uses the literal-bucket prefix_sum
+    # (known_range): one hash exchange, no sampling.
+    n_val = int(ev.agg(F.count("*").alias("n")).first()["n"])
+    ks = spark.range(1, n_val + 1).select(F.col("id").alias("k"))
     lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
     lnf = (
-        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        prefix_sum(lnk, "k", "lnk", out_col="lf", known_range=(1, n_val))
         .select("k", "lf")
         .unionAll(spark.createDataFrame([(0, 0.0)], "k bigint, lf double"))
         .localCheckpoint(eager=False)

@@ -8528,7 +8528,7 @@ def rarefaction_curve_sources(
     per-term probabilities snap at 1e-9 into order-free BIGINT
     reductions, and c > N-m terms short-circuit to exactly 1.
     One tokenize + integer-key equi-joins: no driver math."""
-    from zoom_spark.operators.prefix import global_row_number, prefix_sum
+    from zoom_spark.operators.prefix import prefix_sum
 
     tok = load_table(spark, sf_dir, "documents").select(
         "source",
@@ -8546,12 +8546,16 @@ def rarefaction_curve_sources(
         F.sum("c").cast("long").alias("n"),
         F.count("*").cast("long").alias("s_obs"),
     )
-    ks = global_row_number(
-        tok.select("term"), ["term"], out_col="k"
-    ).select("k")
+    # r14: the k grid is the integers 1..(token count) — spark.range
+    # after one count (which materializes the tok checkpoint the other
+    # legs read anyway) replaces the former global_row_number
+    # machinery; the running ln-factorial uses the literal-bucket
+    # prefix_sum (known_range): one hash exchange, no sampling.
+    n_tok = tok.count()
+    ks = spark.range(1, n_tok + 1).select(F.col("id").alias("k"))
     lnk = ks.withColumn("lnk", F.log(F.col("k").cast("double")))
     lnf = (
-        prefix_sum(lnk, "k", "lnk", out_col="lf")
+        prefix_sum(lnk, "k", "lnk", out_col="lf", known_range=(1, n_tok))
         .select("k", "lf")
         .unionAll(
             spark.createDataFrame([(0, 0.0)], "k bigint, lf double")
