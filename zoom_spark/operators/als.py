@@ -93,17 +93,53 @@ def solve_side(
     # the lazy-checkpointed rating frame's one-shot plan. The pandas
     # solves are per-ENTITY (thousands of independent groups), so at
     # real scale AQE's byte-based sizing is adequate here.
-
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        V = np.stack(pdf["vec"].to_numpy())
-        r = pdf[rating_col].to_numpy(dtype=np.float64)
-        A = V.T @ V + lam * np.eye(k)
-        x = np.linalg.solve(A, V.T @ r)
-        return pd.DataFrame(
-            {solve_col: [int(pdf[solve_col].iloc[0])], "vec": [list(x)]}
+    #
+    # r14: the k x k normal equations are PLAIN SUMS — A = Σ v·vᵀ and
+    # b = Σ r·v per entity — so build them with a JVM hash aggregate
+    # (map-side partial aggregation shrinks the shuffle from every
+    # rating row carrying a k-vector to one (k(k+1)/2 + k)-column row
+    # per entity; guide §2.3 "aggregate before you shuffle") and solve
+    # ALL entities with ONE batched LAPACK call per Arrow batch. The
+    # former groupBy().applyInPandas shipped every rating row into
+    # Python and paid a pandas group + an 8x8 solve call per entity
+    # (~15k Python round-trips per half-sweep at sf0.1). Same math,
+    # same solver; summation order differs only within the referee's
+    # rel=1e-6 tolerance (test_als.py), far inside the 6dp output grid.
+    vec = F.col("vec")
+    aggs = []
+    for a in range(k):
+        aggs.append(
+            F.sum(vec[a] * F.col(rating_col)).alias(f"_b{a}")
         )
+    for a in range(k):
+        for b in range(a, k):
+            aggs.append(F.sum(vec[a] * vec[b]).alias(f"_a{a}_{b}"))
+    ne = joined.groupBy(solve_col).agg(*aggs)
 
-    return joined.groupBy(solve_col).applyInPandas(
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        eye = lam * np.eye(k)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            A = np.empty((n, k, k), dtype=np.float64)
+            bv = np.empty((n, k), dtype=np.float64)
+            for a in range(k):
+                bv[:, a] = pdf[f"_b{a}"].to_numpy(dtype=np.float64)
+                for b in range(a, k):
+                    col = pdf[f"_a{a}_{b}"].to_numpy(dtype=np.float64)
+                    A[:, a, b] = col
+                    A[:, b, a] = col
+            A += eye
+            x = np.linalg.solve(A, bv)  # one batched LAPACK call
+            yield pd.DataFrame(
+                {
+                    solve_col: pdf[solve_col].astype("int64"),
+                    "vec": [list(row) for row in x],
+                }
+            )
+
+    return ne.mapInPandas(
         solve, schema=f"{solve_col} bigint, vec array<double>"
     )
 
