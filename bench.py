@@ -421,6 +421,28 @@ def main():
     )
     warm.write.format("noop").mode("overwrite").save()
     li.count()
+    # r14: warm the PYTHON-WORKER POOL as well. The first query that
+    # fans a mapInPandas/applyInPandas across every core otherwise
+    # pays the whole pool spawn (one Python process + pyspark/pandas
+    # import per core) inside ITS timed span — measured this round:
+    # multimodal_decode_wav_ppm read 10.5 s cold in bench context vs
+    # 1.6 s with the pool already spawned, and the driver's r13 line
+    # (13.2 s) carried the same artifact. Same declared intent as the
+    # JIT/codegen warmup above: timings measure execution, not
+    # first-use session infrastructure. NOTE (measurement change,
+    # r14): lines for whichever query previously hit the cold pool
+    # (r13: multimodal_decode_wav_ppm) drop by the spawn cost; earlier
+    # rounds' numbers include it.
+    _p = spark.sparkContext.defaultParallelism
+
+    def _warm_workers(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, _p, 1, _p).mapInPandas(_warm_workers, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
 
     # ADVICE r12: sample the first ambient snapshot AFTER JVM startup
     # and the warmup noop write, immediately before the timed loop —
