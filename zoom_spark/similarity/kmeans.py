@@ -254,6 +254,60 @@ def _int_mstep_means(assigned: DataFrame) -> dict[int, list[float]]:
     return {r["cell"]: [float(x) for x in r["mean"]] for r in rows}
 
 
+# Row budget for the driver-local int-Lloyd path: the collected base
+# is n_rows x dim int64s (a few MB at the bound) — the same
+# model-artifact size class as the centroid collects the distributed
+# path already does per iteration. Past it, the per-iteration
+# distributed jobs run unchanged (fails closed at 100 TB).
+LLOYD_LOCAL_MAX = 100_000
+
+
+def _int_lloyd_fit_local(
+    base: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[int]]]:
+    """Driver-local replay of the distributed int-Lloyd loop over a
+    COLLECTED quantized base — bitwise identical to int_assign +
+    _int_mstep_means (see int_lloyd_fit's local-path comment)."""
+    import hashlib as _hashlib
+    import math as _math
+
+    import numpy as np
+
+    rows = base.select("id", "vec").collect()
+    ids = [int(r["id"]) for r in rows]
+    X = np.asarray([r["vec"] for r in rows], dtype=np.int64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            _hashlib.md5(str(ids[i]).encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    cents: list[tuple[int, list[int]]] = [
+        (j, [int(x) for x in X[order[j]]])
+        for j in range(min(k, len(order)))
+    ]
+    for _ in range(iters):
+        C = np.asarray([c for _, c in cents], dtype=np.int64)
+        cids = [cid for cid, _ in cents]
+        # exact int64 scores; argmin returns the FIRST minimum =
+        # the lowest cell id (cents sorted ascending)
+        scores = -2 * (X @ C.T) + (C * C).sum(axis=1)
+        idx = np.argmin(scores, axis=1)
+        new: dict[int, list[int]] = {}
+        for j, cid in enumerate(cids):
+            mask = idx == j
+            n = int(mask.sum())
+            if n == 0:
+                continue
+            sums = X[mask].sum(axis=0)
+            new[cid] = [
+                int(_math.floor(float(int(s)) / n + 0.5)) for s in sums
+            ]
+        cents = sorted(new.items())
+    return cents
+
+
 def int_lloyd_fit(
     base: DataFrame,
     k: int,
@@ -294,6 +348,20 @@ def int_lloyd_fit(
     sc = base.sparkSession.sparkContext
     if n_rows is None:
         n_rows = base.count()
+    if n_rows <= LLOYD_LOCAL_MAX and seed_order_col == "id":
+        # r14: a model-sized quantized base (the gate fails closed at
+        # scale) trains faster with ONE collect + numpy than with
+        # iters sequential Spark jobs (each job was ~1.2 s of
+        # scheduler + interpreted-HOF latency on a 2000-row frame at
+        # sf0.1). Bitwise-identical arithmetic: int64 dots/norms are
+        # exact, np.argmin takes the FIRST minimum (cents sorted by
+        # cell id = the lowest-id tie-break), the M-step divides the
+        # exact int sum by the count in the same IEEE double division,
+        # and seeds order by the same (md5(str(id)), id) key.
+        cents = _int_lloyd_fit_local(base, k, iters)
+        if memo_key is not None:
+            _LLOYD_FIT_CACHE[memo_key] = cents
+        return cents
     work = base.coalesce(frame_partitions(sc, n_rows, target_rows_per_task=20_000))
 
     seed_rows = (
