@@ -991,25 +991,59 @@ def logreg_purchase_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n = feats.count()
         w0 = w1 = w2 = 0.0
-        for _ in range(LOGREG_ITERS):
-            z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            g = feats.agg(
-                F.avg(p - F.col("y")).alias("g0"),
-                F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
-                F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
-            ).collect()[0]
-            w0 = snap9(w0 - LOGREG_LR * g["g0"])
-            w1 = snap9(w1 - LOGREG_LR * g["g1"])
-            w2 = snap9(w2 - LOGREG_LR * g["g2"])
-        z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
-        acc = feats.agg(
-            F.avg(
-                (
-                    ((z > 0).cast("int") == F.col("y").cast("int")).cast("double")
+        if n <= 200_000:
+            # r14: the z-scored feature frame is MODEL-SIZED (3 doubles
+            # per user; the counted gate fails closed at scale), so the
+            # 20 GD aggregates + the accuracy pass run on ONE collect in
+            # numpy instead of 21 sequential Spark jobs over the cached
+            # frame (the jobs were pure scheduler latency at sf0.1 —
+            # ~3 s for ~10k rows). Value-identical under the declared
+            # tolerance: the per-iteration 9dp weight snap exists
+            # precisely to absorb gradient summation-order/libm drift
+            # (it is what lets the DuckDB oracle replay match), and the
+            # numpy mean/exp sit inside the same drift class.
+            import numpy as np
+
+            rows = feats.collect()
+            x1 = np.array([r["x1"] for r in rows], dtype=np.float64)
+            x2 = np.array([r["x2"] for r in rows], dtype=np.float64)
+            yv = np.array([r["y"] for r in rows], dtype=np.float64)
+            for _ in range(LOGREG_ITERS):
+                p = 1.0 / (1.0 + np.exp(-(w0 + w1 * x1 + w2 * x2)))
+                d = p - yv
+                w0 = snap9(w0 - LOGREG_LR * float(np.mean(d)))
+                w1 = snap9(w1 - LOGREG_LR * float(np.mean(d * x1)))
+                w2 = snap9(w2 - LOGREG_LR * float(np.mean(d * x2)))
+            zv = w0 + w1 * x1 + w2 * x2
+            acc = float(
+                np.mean((zv > 0).astype(np.int64) == yv.astype(np.int64))
+            )
+        else:
+            for _ in range(LOGREG_ITERS):
+                z = (
+                    F.lit(w0)
+                    + F.lit(w1) * F.col("x1")
+                    + F.lit(w2) * F.col("x2")
                 )
-            ).alias("acc")
-        ).collect()[0]["acc"]
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                g = feats.agg(
+                    F.avg(p - F.col("y")).alias("g0"),
+                    F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+                    F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+                ).collect()[0]
+                w0 = snap9(w0 - LOGREG_LR * g["g0"])
+                w1 = snap9(w1 - LOGREG_LR * g["g1"])
+                w2 = snap9(w2 - LOGREG_LR * g["g2"])
+            z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+            acc = feats.agg(
+                F.avg(
+                    (
+                        (
+                            (z > 0).cast("int") == F.col("y").cast("int")
+                        ).cast("double")
+                    )
+                ).alias("acc")
+            ).collect()[0]["acc"]
     finally:
         # any failure in the GD collect loop must not leak the cached
         # frame for the session's lifetime
